@@ -1,0 +1,130 @@
+"""Relevance scoring as plain Spark column expressions.
+
+The reference scores with Lucene similarities (BM25 default, k1=1.2 b=0.75,
+`impl/LuceneConfig.scala:182,210`; configurable
+`ConfigurableBM25Similarity.scala:7-30`; global-IDF variants
+`BM25WithGlobalIDFSimilarity.scala:14-76`, `TFIDFWithGlobalIDFSimilarity
+.scala:14-76`; IDF formula `utils/IDFUtils.scala:28`). Per-index (local)
+statistics make cross-partition scores incomparable — a compromise the
+reference documents (`SearchableRDD.scala:22-27`) and works around with its
+"global IDF" mode.
+
+Here statistics are corpus-global *by construction* (one termstats
+DataFrame per corpus), so every score is globally comparable and there is
+nothing to broadcast by hand. Scores are pure column expressions over
+``tf``, ``dl`` (doc length) and ``df_t`` (document frequency) plus two
+scalars (``doc_count``, ``avgdl``) — no UDF, fully inside whole-stage
+codegen, and reproducible in any SQL engine (the DuckDB oracle runs the
+same formula).
+
+Divergence from the reference, recorded in SURVEY §4.4: the reference feeds
+``totalTermFreq`` where BM25 expects ``docFreq`` (`LuceneIndex.scala:173`).
+We use true docFreq.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _as_col(x) -> Column:  # type: ignore[no-untyped-def]
+    """Accept either a scalar (resolved at compile time) or a Column (e.g.
+    batch search across fields with differing stats)."""
+    return x if isinstance(x, Column) else F.lit(float(x))
+
+
+def idf_expr(df_t: Column, doc_count) -> Column:  # type: ignore[no-untyped-def]
+    """idf = ln(1 + (N - df + 0.5) / (df + 0.5))  (Lucene BM25 idf)."""
+    n = _as_col(doc_count)
+    return F.log(1.0 + (n - df_t + F.lit(0.5)) / (df_t + F.lit(0.5)))
+
+
+def bm25_term_score(
+    tf: Column,
+    dl: Column,
+    df_t: Column,
+    doc_count,
+    avgdl,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> Column:
+    """Per-(term, doc) BM25 contribution.
+
+    score = idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+    """
+    idf = idf_expr(df_t, doc_count)
+    denom = tf + F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * dl / _as_col(avgdl)
+    )
+    return idf * (tf * F.lit(float(k1) + 1.0)) / denom
+
+
+def tfidf_term_score(
+    tf: Column,
+    dl: Column,
+    df_t: Column,
+    doc_count,
+    avgdl,  # unused; uniform signature
+) -> Column:
+    """Classic TF-IDF (Lucene ClassicSimilarity shape): sqrt(tf) * idf^2.
+
+    Reference analog: `TFIDFWithGlobalIDFSimilarity.scala:14-76` (classic
+    similarity with the global idf override; we keep the idf^2 weighting of
+    ClassicSimilarity's tf*idf^2 product, dropping index-time norms).
+    """
+    return F.sqrt(tf) * F.pow(idf_expr(df_t, doc_count), F.lit(2.0))
+
+
+# scorer signature: (tf, dl, df_t, doc_count, avgdl) -> Column
+Scorer = Callable[[Column, Column, Column, float, float], Column]
+
+_SCORERS: dict[str, Scorer] = {}
+
+
+def register_scorer(name: str, fn: Scorer) -> None:
+    """Pluggable similarity (reference: any Lucene Similarity via config,
+    `LuceneConfig.scala:131-144`)."""
+    _SCORERS[name] = fn
+
+
+register_scorer("bm25", bm25_term_score)
+register_scorer("tfidf", tfidf_term_score)
+
+
+def get_scorer(name: str) -> Scorer:
+    try:
+        return _SCORERS[name]
+    except KeyError:
+        raise ValueError(
+            f"unknown scorer {name!r}; registered: {sorted(_SCORERS)}"
+        ) from None
+
+
+@dataclass(frozen=True)
+class ScoringConfig:
+    """Engine-level scoring configuration (reference: `LuceneConfig`)."""
+
+    similarity: str = "bm25"
+    k1: float = BM25_K1
+    b: float = BM25_B
+
+    def term_score(
+        self,
+        tf: Column,
+        dl: Column,
+        df_t: Column,
+        doc_count: float,
+        avgdl: float,
+    ) -> Column:
+        if self.similarity == "bm25":
+            return bm25_term_score(
+                tf, dl, df_t, doc_count, avgdl, k1=self.k1, b=self.b
+            )
+        return get_scorer(self.similarity)(tf, dl, df_t, doc_count, avgdl)

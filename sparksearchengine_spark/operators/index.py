@@ -1,0 +1,314 @@
+"""Corpus + SearchIndex: the "inverted index" as ordinary DataFrames.
+
+The reference builds one embedded Lucene index per data slice, with three
+physical placements (reference `impl/PartitionsIndexLuceneRDD.scala:582-594`,
+`DistributedIndexLuceneRDD.scala:509-525`, `BroadcastIndexLuceneRDD.scala:
+633-677`) and ships serialized RAMDirectories around. Our index is three
+relations that Catalyst treats like any other table:
+
+    postings(field, term, doc_id, tf, dl, positions array<int>|null)
+    termstats(field, term, df_t)                       # df_t = docFreq
+    fieldstats: {field: (doc_count, avgdl)}            # 1 row/field, driver
+
+``dl`` (document length) is **denormalized into postings** so scoring needs
+no doclen join at query time; ``termstats`` is small (≤ |vocab|) and
+broadcast into query joins; ``fieldstats`` is two scalars per field,
+resolved at compile time into literals.
+
+Placement strategies map as (SURVEY §4.2): partition-co-located postings =
+the default DataFrame partitioning; k decoupled indexes = repartition /
+bucketed-write of postings by term; broadcast index = Catalyst
+broadcast-hash-join of the (small) term-filtered postings side. At 100 TB
+the intended layout is postings bucketed by ``term`` (`bucket_by_term`), so
+a term lookup prunes to its buckets and query joins co-locate without a
+shuffle of the postings side.
+
+Scale notes:
+* the postings build is one shuffle (groupBy doc_id+term) — unavoidable and
+  linear; positions arrays inflate size ~3-5×, so they are per-column
+  opt-out (`TextOptions(positions=False)`, the reference's
+  NoPositionsStringField analog);
+* stats collection is two tiny aggregates; ``doc_count``/``avgdl`` land on
+  the driver as scalars (a few rows), never the postings themselves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.functions.analyzers import TextOptions, analyzer_expr
+from sparksearchengine_spark.functions.scoring import ScoringConfig
+
+DOC_ID = "doc_id"  # reserved result column (reference reserves "$id")
+
+
+@dataclass(frozen=True)
+class FieldStats:
+    doc_count: int  # docs with ≥1 token in this field (Lucene docCount)
+    avgdl: float    # average token count over those docs
+
+
+class Corpus:
+    """A DataFrame + declared searchable text columns.
+
+    The reference's dynamic `Indexable.getFields` record model
+    (`Indexable.scala:24-26`) collapses into: schema = the DataFrame schema,
+    missing field = NULL, multi-valued field = array column.
+    """
+
+    def __init__(
+        self,
+        df: DataFrame,
+        id_col: str = DOC_ID,
+        text_cols: dict[str, TextOptions] | None = None,
+    ) -> None:
+        if text_cols is None:
+            text_cols = {
+                f.name: TextOptions()
+                for f in df.schema.fields
+                if f.dataType.simpleString() == "string"
+            }
+        for c in [id_col, *text_cols]:
+            if c not in df.columns:
+                raise ValueError(f"column {c!r} not in DataFrame ({df.columns})")
+        self.df = df
+        self.id_col = id_col
+        self.text_cols = dict(text_cols)
+
+    def build_index(
+        self,
+        scoring: ScoringConfig | None = None,
+        persist: bool = True,
+    ) -> "SearchIndex":
+        """Tokenize every searchable column and materialize the index tables.
+
+        Eager (runs two small jobs for stats), mirroring the reference's
+        index build being the expensive first action
+        (`PartitionsIndexLuceneRDD.scala:588-593`).
+        """
+        spark = self.df.sparkSession
+        per_field = []
+        for fname, opts in self.text_cols.items():
+            toks = analyzer_expr(F.col(fname), opts.analyzer)
+            base = self.df.select(
+                F.col(self.id_col).cast("long").alias(DOC_ID),
+                F.coalesce(toks, F.array().cast("array<string>")).alias("_toks"),
+            )
+            exploded = base.select(
+                DOC_ID,
+                F.size("_toks").alias("dl"),
+                F.posexplode("_toks").alias("pos", "term"),
+            )
+            agg_cols = [
+                F.count(F.lit(1)).cast("long").alias("tf"),
+                F.first("dl").cast("long").alias("dl"),
+            ]
+            if opts.positions:
+                agg_cols.append(
+                    F.sort_array(F.collect_list("pos")).alias("positions")
+                )
+            else:
+                agg_cols.append(
+                    F.lit(None).cast("array<int>").alias("positions")
+                )
+            pf = (
+                exploded.groupBy(DOC_ID, "term")
+                .agg(*agg_cols)
+                .select(
+                    F.lit(fname).alias("field"),
+                    F.col("term"),
+                    F.col(DOC_ID),
+                    "tf",
+                    "dl",
+                    "positions",
+                )
+            )
+            per_field.append(pf)
+
+        postings = per_field[0]
+        for pf in per_field[1:]:
+            postings = postings.unionByName(pf)
+        if persist:
+            postings = postings.persist()
+
+        termstats = (
+            postings.groupBy("field", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+        )
+        if persist:
+            termstats = termstats.persist()
+
+        stats_rows = (
+            postings.select("field", DOC_ID, "dl")
+            .distinct()
+            .groupBy("field")
+            .agg(
+                F.count(F.lit(1)).alias("doc_count"),
+                F.avg("dl").alias("avgdl"),
+            )
+            .collect()
+        )
+        fieldstats = {
+            r["field"]: FieldStats(int(r["doc_count"]), float(r["avgdl"]))
+            for r in stats_rows
+        }
+        for fname in self.text_cols:
+            fieldstats.setdefault(fname, FieldStats(0, 0.0))
+
+        return SearchIndex(
+            corpus=self,
+            postings=postings,
+            termstats=termstats,
+            fieldstats=fieldstats,
+            scoring=scoring or ScoringConfig(),
+        )
+
+
+class SearchIndex:
+    """Queryable index over a Corpus. All methods return DataFrames (lazy)
+    unless named ``aggregating_*`` (driver-side collect, reference E1)."""
+
+    def __init__(
+        self,
+        corpus: Corpus,
+        postings: DataFrame,
+        termstats: DataFrame,
+        fieldstats: dict[str, FieldStats],
+        scoring: ScoringConfig,
+    ) -> None:
+        self.corpus = corpus
+        self.postings = postings
+        self.termstats = termstats
+        self.fieldstats = fieldstats
+        self.scoring = scoring
+
+    # -- convenience delegates (implementations live in operators/) --------
+
+    def compile(self, query) -> DataFrame:  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.plans.compiler import compile_query
+
+        return compile_query(query, self)
+
+    def search(self, query, k: int = 10, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.search import search
+
+        return search(self, query, k, **kw)
+
+    def aggregating_search(self, query, k: int = 10):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.search import aggregating_search
+
+        return aggregating_search(self, query, k)
+
+    def batch_search(self, queries_df: DataFrame, k: int = 10, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.search import batch_search
+
+        return batch_search(self, queries_df, k=k, **kw)
+
+    def query_join(self, other: DataFrame, text_col: str, field: str, k: int = 10, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.search import query_join
+
+        return query_join(self, other, text_col=text_col, field=field, k=k, **kw)
+
+    def get_elements(self, ids):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.search import get_elements
+
+        return get_elements(self, ids)
+
+    def doc_counts(self) -> DataFrame:
+        from sparksearchengine_spark.operators.stats import doc_counts
+
+        return doc_counts(self)
+
+    def term_counts(self) -> DataFrame:
+        from sparksearchengine_spark.operators.stats import term_counts
+
+        return term_counts(self)
+
+    def term_idfs(self) -> DataFrame:
+        from sparksearchengine_spark.operators.stats import term_idfs
+
+        return term_idfs(self)
+
+    def indices_info(self) -> dict:
+        from sparksearchengine_spark.operators.stats import indices_info
+
+        return indices_info(self)
+
+    # -- placement / persistence ------------------------------------------
+
+    def bucket_by_term(self, num_buckets: int) -> "SearchIndex":
+        """Decoupled-index analog (reference DistributedIndexLuceneRDD's
+        ``numIndices``): repartition postings by term so each query term
+        resolves within one partition. At scale, pair with a bucketed table
+        write so the layout persists across jobs."""
+        return SearchIndex(
+            corpus=self.corpus,
+            postings=self.postings.repartition(num_buckets, "term"),
+            termstats=self.termstats,
+            fieldstats=self.fieldstats,
+            scoring=self.scoring,
+        )
+
+    def save(self, path: str) -> None:
+        """Persist the index as Parquet (replaces the reference's serialized
+        RAMDirectory + Kryo machinery, `LuceneIndex.scala:92-118`)."""
+        self.postings.write.mode("overwrite").parquet(
+            os.path.join(path, "postings")
+        )
+        self.termstats.write.mode("overwrite").parquet(
+            os.path.join(path, "termstats")
+        )
+        meta = {
+            "id_col": self.corpus.id_col,
+            "text_cols": {
+                f: {"analyzer": o.analyzer, "positions": o.positions}
+                for f, o in self.corpus.text_cols.items()
+            },
+            "fieldstats": {
+                f: {"doc_count": s.doc_count, "avgdl": s.avgdl}
+                for f, s in self.fieldstats.items()
+            },
+            "scoring": {
+                "similarity": self.scoring.similarity,
+                "k1": self.scoring.k1,
+                "b": self.scoring.b,
+            },
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, "meta.json"), "w") as fh:
+            json.dump(meta, fh)
+
+    @staticmethod
+    def load(spark: SparkSession, path: str, corpus_df: DataFrame) -> "SearchIndex":
+        with open(os.path.join(path, "meta.json")) as fh:
+            meta = json.load(fh)
+        corpus = Corpus(
+            corpus_df,
+            id_col=meta["id_col"],
+            text_cols={
+                f: TextOptions(analyzer=o["analyzer"], positions=o["positions"])
+                for f, o in meta["text_cols"].items()
+            },
+        )
+        return SearchIndex(
+            corpus=corpus,
+            postings=spark.read.parquet(os.path.join(path, "postings")),
+            termstats=spark.read.parquet(os.path.join(path, "termstats")),
+            fieldstats={
+                f: FieldStats(s["doc_count"], s["avgdl"])
+                for f, s in meta["fieldstats"].items()
+            },
+            scoring=ScoringConfig(**meta["scoring"]),
+        )
+
+    def unpersist(self) -> None:
+        for df in (self.postings, self.termstats):
+            try:
+                df.unpersist()
+            except Exception:
+                pass

@@ -1,0 +1,349 @@
+"""Search execution operators: top-k, batch search, query join, lookups.
+
+Reference execution surface (SURVEY §2.5): `aggregatingSearch` (E1),
+`search` (E2), `light*` (E3), `*WithResultsTransformer` (E4),
+`batchSearch` (E5/E6), `queryJoin` (E7-E10), `getElement(s)` (E11/E12).
+The reference hand-rolls per-partition top-k + tree merges
+(`utils/package.scala:16-101`) and runs query joins as
+``cartesian(queryBatches × indexes)``
+(`PartitionsIndexLuceneRDD.scala:273`) — O(P²) tasks.
+
+Here every one of those collapses into Catalyst constructs:
+
+* global top-k        -> orderBy+limit => TakeOrderedAndProject (per-
+                         partition top-k + tree merge, exactly E1's kernel)
+* light / transformer -> column pruning (free)
+* batch search        -> query-terms table JOIN postings (broadcast when
+                         small) + groupBy partial agg + per-query rank
+                         window — no cartesian anywhere
+* per-query top-k     -> two-stage rank (salted pre-top-k then final) so a
+                         single hot query never serializes one reducer at
+                         100 TB (`topk_per_group(salt_buckets=...)`)
+* lookups             -> (broadcastable) join on doc_id
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Iterable
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.functions.analyzers import analyzer_expr
+
+if TYPE_CHECKING:
+    from sparksearchengine_spark.operators.index import SearchIndex
+    from sparksearchengine_spark.plans.ast import Query
+
+DOC_ID = "doc_id"
+SCORE = "score"
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list,
+    k: int,
+    salt_buckets: int | None = None,
+    salt_col: str = DOC_ID,
+) -> DataFrame:
+    """rank-window top-k per group, optionally two-stage.
+
+    With ``salt_buckets=s``, a first window over (group, hash(salt_col)%s)
+    keeps s*k candidates per group (partial top-k, fully parallel), and only
+    those reach the final per-group window — the standard skew-safe top-k at
+    scale (SURVEY §7.3.3). Exact for any s because every true top-k row
+    survives its own bucket's top-k.
+    """
+    if salt_buckets and salt_buckets > 1:
+        pre = Window.partitionBy(
+            *[F.col(c) for c in group_cols],
+            (F.crc32(F.col(salt_col).cast("string")) % salt_buckets),
+        ).orderBy(*order_cols)
+        df = (
+            df.withColumn("_prerank", F.row_number().over(pre))
+            .where(F.col("_prerank") <= k)
+            .drop("_prerank")
+        )
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# -- E1/E2/E3/E4 -----------------------------------------------------------
+
+
+def search(
+    index: "SearchIndex",
+    query: "Query",
+    k: int = 10,
+    with_elements: bool = False,
+    select_cols: list[str] | None = None,
+) -> DataFrame:
+    """Lazy top-k: DataFrame(doc_id, score, rank [, element columns]).
+
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition top-k
+    then a tree merge, the exact physical shape the reference hand-rolls
+    (E1/E2; `utils/package.scala:16-40`) but without its double-job
+    sortBy+zipWithIndex (`SearchableRDD.scala:344-349`).
+
+    Ties break on doc_id ascending (deterministic).
+    """
+    hits = (
+        index.compile(query)
+        .orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc())
+    hits = hits.withColumn("rank", F.row_number().over(w))  # ≤ k rows
+    if with_elements or select_cols:
+        c = index.corpus
+        elems = c.df.withColumn(DOC_ID, F.col(c.id_col).cast("long"))
+        if select_cols:  # E4 resultsTransformer = projection pushdown
+            elems = elems.select(DOC_ID, *select_cols)
+        hits = hits.join(F.broadcast(elems), DOC_ID)
+    return hits
+
+
+def aggregating_search(
+    index: "SearchIndex", query: "Query", k: int = 10
+) -> list[tuple]:
+    """E1 — driver-side list[(Row, score)], score-desc."""
+    rows = search(index, query, k, with_elements=True).orderBy("rank").collect()
+    return [(r, r[SCORE]) for r in rows]
+
+
+def light_search(index: "SearchIndex", query: "Query", k: int = 10) -> DataFrame:
+    """E3 — ids+scores only (identical plan minus the element join)."""
+    return search(index, query, k, with_elements=False)
+
+
+# -- E5/E6: batch search ---------------------------------------------------
+
+
+def batch_search(
+    index: "SearchIndex",
+    queries_df: DataFrame,
+    k: int = 10,
+    query_id_col: str = "query_id",
+    field_col: str | None = None,
+    text_col: str = "qtext",
+    field: str | None = None,
+    k_col: str | None = None,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """E5 — many queries in one pass. queries_df: (query_id, qtext[, field, k]).
+
+    Plan: tokenize queries -> explode to (query_id, field, term) -> join
+    postings on (field, term) [query side broadcast when small] ->
+    groupBy(query_id, doc_id) partial+final score agg -> per-query top-k
+    rank window. Returns (query_id, doc_id, score, rank).
+
+    The reference executes this as a per-index loop over queries
+    (`LuceneIndex.scala:54-60`) + aggregateByKey merge; a join *is* that
+    loop, minus the cartesian and with map-side combine.
+    """
+    if field is None and field_col is None:
+        raise ValueError("pass field= or field_col=")
+    fexpr = F.col(field_col) if field_col else F.lit(field)
+
+    fields = (
+        [r[0] for r in queries_df.select(fexpr).distinct().collect()]
+        if field_col
+        else [field]
+    )
+    analyzers = {f: index.corpus.text_cols[f].analyzer for f in fields}
+    if len(set(analyzers.values())) != 1:
+        raise ValueError("batch over mixed-analyzer fields not supported")
+    analyzer = next(iter(analyzers.values()))
+
+    kexpr = F.col(k_col) if k_col else F.lit(k)
+    qterms = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        fexpr.alias("field"),
+        kexpr.alias("_k"),
+        F.explode(
+            F.array_distinct(analyzer_expr(F.col(text_col), analyzer))
+        ).alias("term"),
+    )
+
+    fs_map = index.fieldstats
+    p = index.postings.where(F.col("field").isin(fields))
+    ts = index.termstats.where(F.col("field").isin(fields))
+
+    # doc_count/avgdl differ per field: resolve via a literal map lookup
+    dc = F.create_map(
+        *[x for f in fields for x in (F.lit(f), F.lit(float(fs_map[f].doc_count)))]
+    )[F.col("field")]
+    avgdl = F.create_map(
+        *[x for f in fields for x in (F.lit(f), F.lit(fs_map[f].avgdl))]
+    )[F.col("field")]
+
+    joined = (
+        F.broadcast(qterms)
+        .join(p, ["field", "term"])
+        .join(F.broadcast(ts), ["field", "term"])
+    )
+    scored = joined.select(
+        "query_id",
+        "_k",
+        F.col(DOC_ID),
+        index.scoring.term_score(
+            F.col("tf").cast("double"),
+            F.col("dl").cast("double"),
+            F.col("df_t").cast("double"),
+            dc,
+            avgdl,
+        ).alias("tscore"),
+    )
+    agg = scored.groupBy("query_id", DOC_ID).agg(
+        F.sum("tscore").alias(SCORE), F.first("_k").alias("_k")
+    )
+    ranked = topk_per_group(
+        agg,
+        ["query_id"],
+        [F.col(SCORE).desc(), F.col(DOC_ID).asc()],
+        k=k,
+        salt_buckets=salt_buckets,
+    )
+    if k_col:
+        ranked = ranked.where(F.col("rank") <= F.col("_k"))
+    return ranked.select("query_id", DOC_ID, SCORE, "rank")
+
+
+# -- E7-E10: query join ----------------------------------------------------
+
+
+def query_join(
+    index: "SearchIndex",
+    other: DataFrame,
+    text_col: str,
+    field: str,
+    k: int = 10,
+    other_id_col: str | None = None,
+    require_all: bool = False,
+    min_should_match: int = 1,
+    with_elements: bool = False,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """E7 — the flagship similarity join: for each row of ``other``, run the
+    query generated from its ``text_col`` against the index, keep top-k.
+
+    Returns other.* + (match_doc_id, score, rank) flat rows (the
+    reference's RDD[(U, Array[(T,score)])] re-expressed relationally; use
+    ``collect_matches`` below for the nested shape).
+
+    No cartesian: where the reference ships every index partition to every
+    query batch (O(P²) tasks, `PartitionsIndexLuceneRDD.scala:273`), this
+    is a single (field, term)-key join that Catalyst executes broadcast or
+    shuffle-hash by size, followed by partial-aggregated scoring and a
+    two-stage rank window.
+
+    ``min_should_match``/``require_all`` mirror matchAny/matchMin/matchAll
+    query generation.
+    """
+    if other_id_col is None:
+        other = other.withColumn("_qid", F.monotonically_increasing_id())
+        other_id_col = "_qid"
+    analyzer = index.corpus.text_cols[field].analyzer
+
+    qterms = other.select(
+        F.col(other_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(analyzer_expr(F.col(text_col), analyzer))
+        ).alias("term"),
+        F.size(
+            F.array_distinct(analyzer_expr(F.col(text_col), analyzer))
+        ).alias("_nq"),
+    )
+    fs = index.fieldstats[field]
+    p = index.postings.where(F.col("field") == field)
+    ts = index.termstats.where(F.col("field") == field).select("term", "df_t")
+
+    joined = qterms.join(p, "term").join(F.broadcast(ts), "term")
+    scored = joined.select(
+        "query_id",
+        "_nq",
+        F.col(DOC_ID),
+        index.scoring.term_score(
+            F.col("tf").cast("double"),
+            F.col("dl").cast("double"),
+            F.col("df_t").cast("double"),
+            float(fs.doc_count),
+            fs.avgdl,
+        ).alias("tscore"),
+    )
+    agg = scored.groupBy("query_id", DOC_ID).agg(
+        F.sum("tscore").alias(SCORE),
+        F.count(F.lit(1)).alias("_nmatched"),
+        F.first("_nq").alias("_nq"),
+    )
+    if require_all:
+        agg = agg.where(F.col("_nmatched") == F.col("_nq"))
+    elif min_should_match > 1:
+        agg = agg.where(F.col("_nmatched") >= min_should_match)
+    ranked = topk_per_group(
+        agg,
+        ["query_id"],
+        [F.col(SCORE).desc(), F.col(DOC_ID).asc()],
+        k=k,
+        salt_buckets=salt_buckets,
+    ).select("query_id", F.col(DOC_ID).alias("match_doc_id"), SCORE, "rank")
+
+    out = other.join(
+        ranked, other[other_id_col] == ranked["query_id"], "left"
+    ).drop("query_id")
+    if other_id_col == "_qid":
+        out = out.drop("_qid")
+    if with_elements:
+        c = index.corpus
+        elems = c.df.select(
+            F.col(c.id_col).cast("long").alias("match_doc_id"),
+            *[
+                F.col(x).alias(f"match_{x}")
+                for x in c.df.columns
+                if x != c.id_col
+            ],
+        )
+        out = out.join(elems, "match_doc_id", "left")
+    return out
+
+
+def collect_matches(joined: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Fold flat query-join output back into the reference's nested
+    ``(U, Array[(doc_id, score)])`` shape."""
+    return joined.groupBy(*group_cols).agg(
+        F.sort_array(
+            F.collect_list(F.struct("rank", "match_doc_id", SCORE))
+        ).alias("matches")
+    )
+
+
+# -- E11/E12: lookups ------------------------------------------------------
+
+
+def get_element(index: "SearchIndex", doc_id: int):
+    """E11 — point lookup. With doc_id-partitioned/bucketed storage this
+    prunes to one partition (the reference routes to ``id % numPartitions``,
+    `PartitionsIndexLuceneRDD.scala:403-424`)."""
+    c = index.corpus
+    rows = c.df.where(F.col(c.id_col) == doc_id).take(1)
+    return rows[0] if rows else None
+
+
+def get_elements(index: "SearchIndex", ids: Iterable[int]) -> DataFrame:
+    """E12 — bulk lookup; missing ids yield NULL element columns (the
+    reference's ``None``), keyed by requested_id."""
+    c = index.corpus
+    spark = c.df.sparkSession
+    ids_df = spark.createDataFrame(
+        [(int(i),) for i in ids], "requested_id long"
+    )
+    elems = c.df.withColumn("_did", F.col(c.id_col).cast("long"))
+    return (
+        F.broadcast(ids_df)
+        .join(elems, ids_df["requested_id"] == elems["_did"], "left")
+        .drop("_did")
+    )

@@ -1,0 +1,85 @@
+"""Statistics / metadata operators (reference SURVEY §2.8, M1-M6).
+
+The reference computes these by mapping over per-partition Lucene readers
+and tree-merging driver-side hash maps (`SearchableRDD.scala:306-330,
+379-408`, `LuceneIndex.scala:129-196`). Ours are one-line aggregates over
+the postings table — partial aggregation replaces the hand-rolled merges.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.functions.scoring import idf_expr
+
+if TYPE_CHECKING:
+    from sparksearchengine_spark.operators.index import SearchIndex
+
+
+def doc_counts(index: "SearchIndex") -> DataFrame:
+    """M1 — per field: number of docs containing it
+    (reference `LuceneIndex.scala:129-140`)."""
+    return (
+        index.postings.groupBy("field")
+        .agg(F.count_distinct(F.col("doc_id")).alias("doc_count"))
+    )
+
+
+def term_counts(index: "SearchIndex") -> DataFrame:
+    """M2 — (field, term) -> total term frequency. The reference returns
+    totalTermFreq (`LuceneIndex.scala:173`); we expose both it and docFreq."""
+    return (
+        index.postings.groupBy("field", "term")
+        .agg(
+            F.sum("tf").alias("total_tf"),
+            F.count(F.lit(1)).alias("df_t"),
+        )
+    )
+
+
+def term_idfs(index: "SearchIndex") -> DataFrame:
+    """M3 — per-term IDF with the BM25 idf formula (`IDFUtils.scala:28`),
+    fed true docFreq (not the reference's totalTermFreq quirk — SURVEY
+    §4.4.2)."""
+    dc = doc_counts(index).select(
+        "field", F.col("doc_count").cast("double").alias("_N")
+    )
+    return (
+        index.termstats.join(F.broadcast(dc), "field")
+        .select(
+            "field",
+            "term",
+            "df_t",
+            F.log(
+                1.0
+                + (F.col("_N") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
+            ).alias("idf"),
+        )
+    )
+
+
+def indices_info(index: "SearchIndex") -> dict:
+    """M4/M5 — index shape metadata (reference `IndicesInfo.scala:6-34`)."""
+    n_postings = index.postings.count()
+    n_terms = index.termstats.count()
+    return {
+        "num_partitions": index.postings.rdd.getNumPartitions(),
+        "num_postings": n_postings,
+        "num_terms": n_terms,
+        "fields": {
+            f: {"doc_count": s.doc_count, "avgdl": s.avgdl}
+            for f, s in index.fieldstats.items()
+        },
+    }
+
+
+def config_info(index: "SearchIndex") -> dict:
+    """M6 — engine config rendering (reference `LuceneConfig.scala:165-167`)."""
+    return {
+        "scoring": index.scoring,
+        "text_cols": index.corpus.text_cols,
+        "id_col": index.corpus.id_col,
+    }

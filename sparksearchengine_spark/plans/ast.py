@@ -1,0 +1,300 @@
+"""Query AST: the Python analog of the reference's DSL.
+
+Reference grammar (`dsl/package.scala:9-45`) builds a tree of
+`DslQuery` / `Filter` case classes (`dsl/DslQuery.scala`,
+`dsl/Filter.scala`) that compile to Lucene queries. Ours are frozen
+dataclasses that `plans.compiler` turns into DataFrame plans.
+
+Builder surface (reference: implicit ``String -> QueryBuilder``,
+`dsl/package.scala:47-132`):
+
+    Q.all()
+    Q.field("text").match_term("island")           # Q5  matchTerm
+    Q.field("text").match_all("a", "b")            # Q6  matchAll
+    Q.field("text").match_any("a", "b")            # Q7  matchAny
+    Q.field("text").match_min(2, "a", "b", "c")    # Q8  matchMin
+    Q.field("text").match_text("free text")        # Q9  matchText
+    Q.field("text").match_all_text("free text")    # Q10 matchAllText
+    Q.field("text").match_phrase("exact phrase")   # Q11 matchPhrase
+    Q.parse('text:(island OR sea) AND "fast scan"')# Q12 parseQuery
+    q1 & q2, q1 | q2, ~q                           # Q2/Q3/Q4
+
+Filters (non-scoring, reference `dsl/Filter.scala` — all wrap their Lucene
+query in ``Occur.FILTER``, i.e. zero score contribution):
+
+    F_.eq("views", 10); F_.gt(...); F_.ge(...); F_.lt(...); F_.le(...)
+    F_.between("views", 1, 5); F_.isin("size", 1, 2)
+    F_.exists("summary"); F_.missing("summary")
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+
+class Query:
+    """Base node. Composable with &, |, ~ (reference Q2/Q3/Q4)."""
+
+    def __and__(self, other: "Query") -> "Query":
+        return And((self, other))
+
+    def __or__(self, other: "Query") -> "Query":
+        return Or((self, other))
+
+    def __invert__(self) -> "Query":
+        return Not(self)
+
+
+# --- full-text queries (scored) -------------------------------------------
+
+
+@dataclass(frozen=True)
+class AllDocs(Query):
+    """Q1 — every doc, constant score 1.0 (`DslQuery.scala:24-28`)."""
+
+
+@dataclass(frozen=True)
+class MatchTerm(Query):
+    """Q5 — exact, un-analyzed single term (`DslQuery.scala:98-102`)."""
+
+    field: str
+    term: str
+
+
+@dataclass(frozen=True)
+class MatchTermSet(Query):
+    """Q6/Q7/Q8 — matchAll / matchAny / matchMin n over a term set
+    (`DslQuery.scala:63-96`). ``min_match`` semantics:
+    len(terms) => matchAll; 1 => matchAny; n => matchMin."""
+
+    field: str
+    terms: tuple[str, ...]
+    min_match: int
+
+    def __post_init__(self) -> None:
+        if not self.terms:
+            raise ValueError("term set must be non-empty")
+        if not (1 <= self.min_match <= len(self.terms)):
+            raise ValueError(
+                f"min_match {self.min_match} out of range for {len(self.terms)} terms"
+            )
+
+
+@dataclass(frozen=True)
+class MatchText(Query):
+    """Q9/Q10 — analyze text at query time; OR (require_all=False) or AND
+    (require_all=True) of produced terms (`DslQuery.scala:104-114`)."""
+
+    field: str
+    text: str
+    require_all: bool = False
+
+
+@dataclass(frozen=True)
+class MatchPhrase(Query):
+    """Q11 — analyzed terms must appear consecutively; needs positions
+    (`DslQuery.scala:116-120`)."""
+
+    field: str
+    text: str
+
+
+@dataclass(frozen=True)
+class And(Query):
+    """Q2 — all operands match; scores sum (`DslQuery.scala:30-37`)."""
+
+    operands: tuple[Query, ...]
+
+    def __and__(self, other: Query) -> Query:
+        return And(self.operands + (other,))
+
+
+@dataclass(frozen=True)
+class Or(Query):
+    """Q3 — any operand matches; matched scores sum (`DslQuery.scala:39-46`)."""
+
+    operands: tuple[Query, ...]
+
+    def __or__(self, other: Query) -> Query:
+        return Or(self.operands + (other,))
+
+
+@dataclass(frozen=True)
+class Not(Query):
+    """Q4 — complement. Top-level ``not q`` is legalized to
+    ``all & ~q`` exactly like the reference (`DslQuery.scala:54-60`);
+    our compiler's anti-join does that rewrite implicitly."""
+
+    operand: Query
+
+
+# --- filters (non-scoring) ------------------------------------------------
+
+
+class Filter(Query):
+    """Marker base: matches contribute score 0.0 (Occur.FILTER analog)."""
+
+
+@dataclass(frozen=True)
+class CompareFilter(Filter):
+    """F1-F5 — =, >, >=, <, <= (`dsl/Filter.scala:110-148`)."""
+
+    field: str
+    op: str  # one of = > >= < <=
+    value: Any
+
+    _OPS = ("=", ">", ">=", "<", "<=")
+
+    def __post_init__(self) -> None:
+        if self.op not in self._OPS:
+            raise ValueError(f"bad op {self.op!r}")
+
+
+@dataclass(frozen=True)
+class RangeFilter(Filter):
+    """F6 — closed interval (`dsl/Filter.scala:150-157`)."""
+
+    field: str
+    lo: Any
+    hi: Any
+
+    def __post_init__(self) -> None:
+        if self.lo is None or self.hi is None:
+            raise ValueError("range bounds must be non-null")
+
+
+@dataclass(frozen=True)
+class InSetFilter(Filter):
+    """F7 — membership (`dsl/Filter.scala:159-165`)."""
+
+    field: str
+    values: tuple[Any, ...]
+
+
+@dataclass(frozen=True)
+class ExistsFilter(Filter):
+    """F8 — field present (non-NULL). The reference's quirk — `exists` on
+    numeric Point fields never matches (`Filter.scala:167-173`) — is fixed
+    here: `IS NOT NULL` works on every type (SURVEY §4.4.3)."""
+
+    field: str
+
+
+@dataclass(frozen=True)
+class MissingFilter(Filter):
+    """F9 — field absent (NULL) (`dsl/Filter.scala:175-183`)."""
+
+    field: str
+
+
+# --- builders -------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class FieldRef:
+    name: str
+
+    def match_term(self, term: str) -> MatchTerm:
+        return MatchTerm(self.name, term)
+
+    def match_all(self, *terms: str) -> MatchTermSet:
+        return MatchTermSet(self.name, tuple(terms), min_match=len(terms))
+
+    def match_any(self, *terms: str) -> MatchTermSet:
+        return MatchTermSet(self.name, tuple(terms), min_match=1)
+
+    def match_min(self, n: int, *terms: str) -> MatchTermSet:
+        return MatchTermSet(self.name, tuple(terms), min_match=n)
+
+    def match_text(self, text: str) -> MatchText:
+        return MatchText(self.name, text, require_all=False)
+
+    def match_all_text(self, text: str) -> MatchText:
+        return MatchText(self.name, text, require_all=True)
+
+    def match_phrase(self, text: str) -> MatchPhrase:
+        return MatchPhrase(self.name, text)
+
+
+class Q:
+    """Query builder namespace."""
+
+    @staticmethod
+    def all() -> AllDocs:
+        return AllDocs()
+
+    @staticmethod
+    def field(name: str) -> FieldRef:
+        return FieldRef(name)
+
+    @staticmethod
+    def raw(query_string: str, default_field: str = "text") -> Query:
+        """Q13 — RawQuery: impl-defined string query. Default constructor =
+        analyzed boolean (OR) query over a default field
+        (`DefaultQueryConstructor.scala:10-17`). Pluggable via
+        `set_query_constructor`."""
+        return _query_constructor(query_string, default_field)
+
+    @staticmethod
+    def parse(query_string: str, default_field: str = "text") -> Query:
+        """Q12 — parse a Lucene-ish query syntax subset (terms, quoted
+        phrases, AND/OR/NOT, field:term, field:(a b c), +term, -term)."""
+        from sparksearchengine_spark.plans.parser import parse_query
+
+        return parse_query(query_string, default_field)
+
+
+def _default_query_constructor(s: str, default_field: str) -> Query:
+    return MatchText(default_field, s, require_all=False)
+
+
+_query_constructor = _default_query_constructor
+
+
+def set_query_constructor(fn) -> None:  # type: ignore[no-untyped-def]
+    """Swap the RawQuery constructor (reference `QueryConstructor.scala:7-10`,
+    configured `LuceneConfig.scala:125-129`)."""
+    global _query_constructor
+    _query_constructor = fn
+
+
+class F_:
+    """Filter builder namespace (underscore avoids clashing with
+    pyspark.sql.functions' customary ``F`` alias)."""
+
+    @staticmethod
+    def eq(field: str, value: Any) -> CompareFilter:
+        return CompareFilter(field, "=", value)
+
+    @staticmethod
+    def gt(field: str, value: Any) -> CompareFilter:
+        return CompareFilter(field, ">", value)
+
+    @staticmethod
+    def ge(field: str, value: Any) -> CompareFilter:
+        return CompareFilter(field, ">=", value)
+
+    @staticmethod
+    def lt(field: str, value: Any) -> CompareFilter:
+        return CompareFilter(field, "<", value)
+
+    @staticmethod
+    def le(field: str, value: Any) -> CompareFilter:
+        return CompareFilter(field, "<=", value)
+
+    @staticmethod
+    def between(field: str, lo: Any, hi: Any) -> RangeFilter:
+        return RangeFilter(field, lo, hi)
+
+    @staticmethod
+    def isin(field: str, *values: Any) -> InSetFilter:
+        return InSetFilter(field, tuple(values))
+
+    @staticmethod
+    def exists(field: str) -> ExistsFilter:
+        return ExistsFilter(field)
+
+    @staticmethod
+    def missing(field: str) -> MissingFilter:
+        return MissingFilter(field)

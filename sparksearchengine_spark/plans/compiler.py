@@ -1,0 +1,286 @@
+"""Query AST -> DataFrame plan compiler.
+
+The reference compiles its DSL tree to a Lucene ``Query`` per executor per
+index (`dsl/DslQuery.scala:21`, executed `impl/LuceneIndex.scala:42-48`).
+We compile the same tree once, on the driver, into a **relational plan**
+over the index tables; Catalyst then owns physical strategy (broadcast vs
+shuffle join, pushdown, AQE).
+
+Compilation contract: every node compiles to ``DataFrame(doc_id: long,
+score: double)`` containing exactly the matching documents.
+
+Node -> plan (SURVEY §2.3 "Spark compilation" column):
+
+* term / term-set       -> postings filter + broadcast termstats join +
+                           groupBy(doc_id) having count ≥/= n
+* and                   -> inner join on doc_id, scores sum; negated
+                           operands become LEFT ANTI joins (no score)
+* or                    -> unionByName + groupBy(doc_id).sum(score)
+* not (outside an and)  -> legalized to ``all_docs anti operand`` — the
+                           reference does the same rewrite at the top level
+                           (`DslQuery.scala:54-60`)
+* filters               -> corpus predicate, score 0.0 (Occur.FILTER
+                           semantics: match without scoring,
+                           `dsl/Filter.scala:114` et al.)
+* phrase                -> per-term postings self-join on doc_id + position
+                           adjacency via EXISTS over shifted positions
+
+Scale notes: a boolean query over k terms scans postings once per distinct
+leaf (term-set leaves scan once for the whole set); the termstats join is
+always broadcast (≤ vocabulary rows, filtered to the query's terms before
+the join). The groupBy(doc_id) aggregations are partial-agg friendly
+(map-side combine) — no driver materialization anywhere.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from typing import TYPE_CHECKING
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.functions.analyzers import tokenize_py
+from sparksearchengine_spark.plans import ast
+
+if TYPE_CHECKING:
+    from sparksearchengine_spark.operators.index import SearchIndex
+
+DOC_ID = "doc_id"
+SCORE = "score"
+
+
+def compile_query(q: ast.Query, index: "SearchIndex") -> DataFrame:
+    """Compile to DataFrame(doc_id, score), matching docs only."""
+    return _compile(q, index)
+
+
+# --------------------------------------------------------------------------
+
+
+def _doc_universe(index: "SearchIndex") -> DataFrame:
+    c = index.corpus
+    return c.df.select(F.col(c.id_col).cast("long").alias(DOC_ID))
+
+
+def _all_docs(index: "SearchIndex") -> DataFrame:
+    return _doc_universe(index).select(
+        DOC_ID, F.lit(1.0).alias(SCORE)
+    )
+
+
+def _field_analyzer(index: "SearchIndex", field: str) -> str:
+    opts = index.corpus.text_cols.get(field)
+    if opts is None:
+        raise ValueError(
+            f"field {field!r} is not a searchable text column "
+            f"(declared: {sorted(index.corpus.text_cols)})"
+        )
+    return opts.analyzer
+
+
+def _scored_postings(
+    index: "SearchIndex", field: str, terms: list[str]
+) -> DataFrame:
+    """postings rows for (field, terms) with per-row BM25 contribution.
+
+    Returns DataFrame(doc_id, term, positions, tscore). The termstats side
+    is filtered to the query terms then broadcast — at most |terms| rows
+    cross the network, the postings side never shuffles for this join.
+    """
+    fs = index.fieldstats[field]
+    if fs.doc_count == 0:
+        # empty field: no matches
+        spark = index.postings.sparkSession
+        return spark.createDataFrame(
+            [], "doc_id long, term string, positions array<int>, tscore double"
+        )
+    p = index.postings.where(
+        (F.col("field") == field) & F.col("term").isin(terms)
+    )
+    ts = index.termstats.where(
+        (F.col("field") == field) & F.col("term").isin(terms)
+    ).select("term", "df_t")
+    scored = p.join(F.broadcast(ts), "term").select(
+        F.col(DOC_ID),
+        F.col("term"),
+        F.col("positions"),
+        index.scoring.term_score(
+            F.col("tf").cast("double"),
+            F.col("dl").cast("double"),
+            F.col("df_t").cast("double"),
+            float(fs.doc_count),
+            fs.avgdl,
+        ).alias("tscore"),
+    )
+    return scored
+
+
+def _term_set(
+    index: "SearchIndex", field: str, terms: tuple[str, ...], min_match: int
+) -> DataFrame:
+    _field_analyzer(index, field)  # validate field is searchable
+    distinct_terms = sorted(set(terms))
+    scored = _scored_postings(index, field, distinct_terms)
+    grouped = scored.groupBy(DOC_ID).agg(
+        F.sum("tscore").alias(SCORE),
+        F.count(F.lit(1)).alias("_nmatched"),  # postings unique per (term,doc)
+    )
+    n = len(distinct_terms)
+    if min_match >= n:
+        grouped = grouped.where(F.col("_nmatched") == n)
+    elif min_match > 1:
+        grouped = grouped.where(F.col("_nmatched") >= min_match)
+    return grouped.select(DOC_ID, SCORE)
+
+
+def _phrase(index: "SearchIndex", node: ast.MatchPhrase) -> DataFrame:
+    analyzer = _field_analyzer(index, node.field)
+    opts = index.corpus.text_cols[node.field]
+    terms = tokenize_py(node.text, analyzer)
+    if not terms:
+        return _empty_result(index)
+    if len(terms) == 1:
+        return _term_set(index, node.field, (terms[0],), 1)
+    if not opts.positions:
+        raise ValueError(
+            f"phrase query on field {node.field!r} requires positions=True "
+            "(column was indexed with TextOptions(positions=False))"
+        )
+    # one scan of postings for all phrase terms, then n-way self-join on
+    # doc_id; adjacency: exists p in pos_0 with p+i in pos_i for all i.
+    scored = _scored_postings(index, node.field, sorted(set(terms))).persist()
+    joined = None
+    for i, t in enumerate(terms):
+        side = scored.where(F.col("term") == t).select(
+            F.col(DOC_ID),
+            F.col("positions").alias(f"_pos{i}"),
+            F.col("tscore").alias(f"_ts{i}"),
+        )
+        joined = side if joined is None else joined.join(side, DOC_ID)
+    n = len(terms)
+
+    def adjacent(p0):  # type: ignore[no-untyped-def]
+        cond = F.lit(True)
+        for i in range(1, n):
+            cond = cond & F.array_contains(F.col(f"_pos{i}"), p0 + i)
+        return cond
+
+    result = (
+        joined.where(F.exists(F.col("_pos0"), adjacent))
+        .select(
+            DOC_ID,
+            reduce(
+                lambda a, b: a + b, [F.col(f"_ts{i}") for i in range(n)]
+            ).alias(SCORE),
+        )
+    )
+    return result
+
+
+def _empty_result(index: "SearchIndex") -> DataFrame:
+    spark = index.postings.sparkSession
+    return spark.createDataFrame([], f"{DOC_ID} long, {SCORE} double")
+
+
+def _filter_pred(node: ast.Filter):  # type: ignore[no-untyped-def]
+    c = F.col(node.field)
+    if isinstance(node, ast.CompareFilter):
+        return {
+            "=": c == F.lit(node.value),
+            ">": c > F.lit(node.value),
+            ">=": c >= F.lit(node.value),
+            "<": c < F.lit(node.value),
+            "<=": c <= F.lit(node.value),
+        }[node.op]
+    if isinstance(node, ast.RangeFilter):
+        return c.between(F.lit(node.lo), F.lit(node.hi))
+    if isinstance(node, ast.InSetFilter):
+        return c.isin(list(node.values))
+    if isinstance(node, ast.ExistsFilter):
+        return c.isNotNull()
+    if isinstance(node, ast.MissingFilter):
+        return c.isNull()
+    raise TypeError(f"unknown filter node {type(node).__name__}")
+
+
+def _compile_filter(node: ast.Filter, index: "SearchIndex") -> DataFrame:
+    c = index.corpus
+    return (
+        c.df.where(_filter_pred(node))
+        .select(F.col(c.id_col).cast("long").alias(DOC_ID))
+        .select(DOC_ID, F.lit(0.0).alias(SCORE))
+    )
+
+
+def _flatten(node_cls, operands):  # type: ignore[no-untyped-def]
+    out = []
+    for op in operands:
+        if isinstance(op, node_cls):
+            out.extend(_flatten(node_cls, op.operands))
+        else:
+            out.append(op)
+    return out
+
+
+def _compile_and(node: ast.And, index: "SearchIndex") -> DataFrame:
+    operands = _flatten(ast.And, node.operands)
+    positives = [op for op in operands if not isinstance(op, ast.Not)]
+    negatives = [op.operand for op in operands if isinstance(op, ast.Not)]
+    if not positives:
+        # pure-negative boolean: legalize with AllDocs, like the reference's
+        # top-level rewrite (DslQuery.scala:54-60)
+        acc = _all_docs(index)
+    else:
+        compiled = [_compile(op, index) for op in positives]
+        acc = compiled[0]
+        for i, nxt in enumerate(compiled[1:], start=1):
+            nxt = nxt.select(
+                F.col(DOC_ID), F.col(SCORE).alias(f"_s{i}")
+            )
+            acc = acc.join(nxt, DOC_ID).select(
+                F.col(DOC_ID),
+                (F.col(SCORE) + F.col(f"_s{i}")).alias(SCORE),
+            )
+    for neg in negatives:
+        excl = _compile(neg, index).select(DOC_ID)
+        acc = acc.join(excl, DOC_ID, "left_anti")
+    return acc
+
+
+def _compile_or(node: ast.Or, index: "SearchIndex") -> DataFrame:
+    operands = _flatten(ast.Or, node.operands)
+    compiled = [_compile(op, index) for op in operands]
+    unioned = reduce(lambda a, b: a.unionByName(b), compiled)
+    return unioned.groupBy(DOC_ID).agg(F.sum(SCORE).alias(SCORE))
+
+
+def _compile(q: ast.Query, index: "SearchIndex") -> DataFrame:
+    if isinstance(q, ast.AllDocs):
+        return _all_docs(index)
+    if isinstance(q, ast.MatchTerm):
+        return _term_set(index, q.field, (q.term,), 1)
+    if isinstance(q, ast.MatchTermSet):
+        return _term_set(index, q.field, q.terms, q.min_match)
+    if isinstance(q, ast.MatchText):
+        analyzer = _field_analyzer(index, q.field)
+        terms = tuple(sorted(set(tokenize_py(q.text, analyzer))))
+        if not terms:
+            return _empty_result(index)
+        return _term_set(
+            index, q.field, terms, len(terms) if q.require_all else 1
+        )
+    if isinstance(q, ast.MatchPhrase):
+        return _phrase(index, q)
+    if isinstance(q, ast.And):
+        return _compile_and(q, index)
+    if isinstance(q, ast.Or):
+        return _compile_or(q, index)
+    if isinstance(q, ast.Not):
+        # standalone NOT: all docs not matching operand (score = AllDocs's
+        # constant 1.0), i.e. the reference's legalization applied eagerly
+        excl = _compile(q.operand, index).select(DOC_ID)
+        return _all_docs(index).join(excl, DOC_ID, "left_anti")
+    if isinstance(q, ast.Filter):
+        return _compile_filter(q, index)
+    raise TypeError(f"unknown query node {type(q).__name__}")
