@@ -3,8 +3,17 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Engine: `sparksearchengine_spark` (see SURVEY.md §2 for the operator
+inventory each query exercises). Text queries run over the `documents`
+corpus (the testdata has no comment columns on orders/part, so the
+declared QC06-QC14 semantics from FIXTURES.md §3 are bound to
+`documents.text`). Tokenizer: FIXTURES.md §0 "simple" analyzer, identical
+in Spark and DuckDB. BM25 (k1=1.2, b=0.75, corpus-global stats) is written
+with the same expression shape in both engines so doubles match bitwise;
+every computed double in an output is rounded to 6 decimals and aliased
+identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +21,635 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark import Corpus, Q, TextOptions
+from sparksearchengine_spark.functions.scoring import bm25_term_score, idf_expr
+
+# --------------------------------------------------------------------------
+# fixed query constants (the "test manifest"): chosen once against sf0.01
+# --------------------------------------------------------------------------
+QC01_QTY = 25.0
+QC02_T = 150000.0
+QC03_D1, QC03_D2 = "1995-01-01 00:00:00", "1996-12-31 23:59:59"
+QC04_SIZES = (5, 15, 25)
+QC06_TERM = "dup"
+QC07_TERMS = ("spark", "hash", "merge")
+QC08_T1, QC08_T2 = "spark", "dup"
+QC09_W1, QC09_W2 = "table", "hash"
+QC10_TERMS = ("dup", "spark")
+QC10_K = 10
+QC11_NQ, QC11_K = 20, 5
+QC13_IDS = (3, 7, 11, 999999, 888888)
+QC14_TERM = "dup"
+QC14_IDS = (8, 26, 45)
+EMB_NQ, EMB_K = 5, 10
+NGRAM_N, NGRAM_T = 3, 0.8
+
+_INDEX_CACHE: dict = {}
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # events.ts is parquet TIMESTAMP(NANOS), unreadable by Spark 4 defaults;
+    # read it as nanos-since-epoch long (runtime-settable legacy conf).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _docs_index(spark: SparkSession, sf_dir: str):
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _INDEX_CACHE:
+        docs = _read(spark, sf_dir, "documents")
+        corpus = Corpus(
+            docs, id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="simple", positions=True)},
+        )
+        _INDEX_CACHE[key] = corpus.build_index()
+    return _INDEX_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: BM25 match-any top-10 over documents.text with elements."""
+    idx = _docs_index(spark, "/root/testdata/sf0.001")
+    q = Q.field("text").match_any(*QC10_TERMS)
+    return idx.search(q, k=10, with_elements=True, select_cols=["text", "source"])
+
+
+# --------------------------------------------------------------------------
+# shared DuckDB oracle CTE: the postings/doclen/stats tables in SQL,
+# FIXTURES.md §0 tokenizer. Mirrors operators/index.py exactly.
+# --------------------------------------------------------------------------
+_CTE = """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     t -> t <> '') AS toks
+  FROM documents
+),
+exploded AS (
+  SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM toks
+),
+postings AS (
+  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+  FROM exploded GROUP BY doc_id, term
+),
+fieldstats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl
+  FROM (SELECT DISTINCT doc_id, dl FROM postings)
+),
+termstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term)
+"""
+
+
+def _bm25_sql(tf: str, dl: str, df: str, n: str = "f.n", avgdl: str = "f.avgdl") -> str:
+    """DuckDB BM25 with the exact expression shape of functions/scoring.py
+    (same literals, same associativity => bitwise-equal doubles)."""
+    return (
+        f"ln(1.0 + ({n} - {df} + 0.5) / ({df} + 0.5))"
+        f" * ({tf} * (1.2 + 1.0))"
+        f" / ({tf} + 1.2 * ((1.0 - 0.75) + 0.75 * {dl} / {avgdl}))"
+    )
+
+
+# --------------------------------------------------------------------------
+# queries (Spark) — one per operator; names match oracle_sql()
+# --------------------------------------------------------------------------
+
+
+def _qc01(spark, sf):
+    li = _read(spark, sf, "lineitem")
+    return li.where(F.col("l_quantity") == QC01_QTY).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def _qc02(spark, sf):
+    o = _read(spark, sf, "orders")
+    t = F.lit(QC02_T)
+    p = F.col("o_totalprice")
+    return o.agg(
+        F.sum(F.when(p > t, 1).otherwise(0)).cast("long").alias("cnt_gt"),
+        F.sum(F.when(p >= t, 1).otherwise(0)).cast("long").alias("cnt_ge"),
+        F.sum(F.when(p < t, 1).otherwise(0)).cast("long").alias("cnt_lt"),
+        F.sum(F.when(p <= t, 1).otherwise(0)).cast("long").alias("cnt_le"),
+    )
+
+
+def _qc03(spark, sf):
+    li = _read(spark, sf, "lineitem")
+    ship = F.col("l_shipdate")
+    dt = li.schema["l_shipdate"].dataType
+    cond = ship.between(F.lit(QC03_D1).cast(dt), F.lit(QC03_D2).cast(dt))
+    return li.where(cond).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("sum_extprice"),
+    )
+
+
+def _qc04(spark, sf):
+    p = _read(spark, sf, "part")
+    return p.where(F.col("p_size").isin(*QC04_SIZES)).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def _qc05(spark, sf):
+    ev = _read_events(spark, sf)
+    nullable = F.nullif(F.col("event_type"), F.lit("click"))
+    return ev.agg(
+        F.sum(F.when(nullable.isNull(), 1).otherwise(0)).cast("long").alias("n_null"),
+        F.sum(F.when(nullable.isNotNull(), 1).otherwise(0)).cast("long").alias("n_not_null"),
+    )
+
+
+def _qc06(spark, sf):
+    idx = _docs_index(spark, sf)
+    hits = idx.compile(Q.field("text").match_term(QC06_TERM))
+    return hits.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+
+
+def _qc07(spark, sf):
+    idx = _docs_index(spark, sf)
+    f = Q.field("text")
+    n_all = idx.compile(f.match_all(*QC07_TERMS)).agg(
+        F.count(F.lit(1)).alias("n_all")
+    )
+    n_any = idx.compile(f.match_any(*QC07_TERMS)).agg(
+        F.count(F.lit(1)).alias("n_any")
+    )
+    n_min2 = idx.compile(f.match_min(2, *QC07_TERMS)).agg(
+        F.count(F.lit(1)).alias("n_min2")
+    )
+    return n_all.crossJoin(n_any).crossJoin(n_min2)
+
+
+def _qc08(spark, sf):
+    idx = _docs_index(spark, sf)
+    t1 = Q.field("text").match_term(QC08_T1)
+    t2 = Q.field("text").match_term(QC08_T2)
+    n_and = idx.compile(t1 & t2).agg(F.count(F.lit(1)).alias("n_and"))
+    n_or = idx.compile(t1 | t2).agg(F.count(F.lit(1)).alias("n_or"))
+    n_and_not = idx.compile(t1 & ~t2).agg(F.count(F.lit(1)).alias("n_and_not"))
+    return n_and.crossJoin(n_or).crossJoin(n_and_not)
+
+
+def _qc09(spark, sf):
+    idx = _docs_index(spark, sf)
+    phrase = Q.field("text").match_phrase(f"{QC09_W1} {QC09_W2}")
+    return idx.compile(phrase).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def _qc10(spark, sf):
+    idx = _docs_index(spark, sf)
+    res = idx.search(Q.field("text").match_any(*QC10_TERMS), k=QC10_K)
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def _qc11(spark, sf):
+    idx = _docs_index(spark, sf)
+    docs = _read(spark, sf, "documents")
+    from sparksearchengine_spark.functions.analyzers import analyzer_expr
+
+    toks = analyzer_expr(F.col("text"), "simple")
+    qdf = docs.where(F.col("doc_id") < QC11_NQ).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("qtext"),
+    )
+    res = idx.batch_search(qdf, k=QC11_K, field="text")
+    return res.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def _qc12(spark, sf):
+    idx = _docs_index(spark, sf)
+    idfs = idx.term_idfs().where(F.col("field") == "text")
+    postings = idx.postings.where(F.col("field") == "text")
+    stats = postings.agg(
+        F.count_distinct("doc_id").alias("n_docs"),
+        F.count_distinct("term").alias("n_terms"),
+        F.sum("tf").cast("long").alias("sum_tf"),
+    )
+    idfsum = idfs.agg(F.round(F.sum("idf"), 4).alias("sum_idf"))
+    return stats.crossJoin(idfsum)
+
+
+def _qc13(spark, sf):
+    idx = _docs_index(spark, sf)
+    res = idx.get_elements(QC13_IDS)
+    return res.select("requested_id", "text", "n_chars").orderBy("requested_id")
+
+
+def _qc14(spark, sf):
+    idx = _docs_index(spark, sf)
+    fs = idx.fieldstats["text"]
+    p = idx.postings.where(
+        (F.col("field") == "text")
+        & (F.col("term") == QC14_TERM)
+        & F.col("doc_id").isin(*QC14_IDS)
+    )
+    ts = idx.termstats.where(
+        (F.col("field") == "text") & (F.col("term") == QC14_TERM)
+    ).select("term", "df_t")
+    j = p.join(F.broadcast(ts), "term")
+    tf = F.col("tf").cast("double")
+    dl = F.col("dl").cast("double")
+    dft = F.col("df_t").cast("double")
+    return j.select(
+        "doc_id",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("dl").cast("long").alias("dl"),
+        F.round(F.lit(fs.avgdl), 6).alias("avgdl"),
+        F.col("df_t").cast("long").alias("df"),
+        F.round(idf_expr(dft, float(fs.doc_count)), 6).alias("idf"),
+        F.round(
+            bm25_term_score(tf, dl, dft, float(fs.doc_count), fs.avgdl), 6
+        ).alias("score"),
+    ).orderBy("doc_id")
+
+
+# ---- training-data pipeline operators ------------------------------------
+
+
+def _dedup_exact(spark, sf):
+    from sparksearchengine_spark.operators.dedup import exact_dedup
+
+    docs = _read(spark, sf, "documents")
+    return exact_dedup(docs, ["text"], id_col="doc_id").select(
+        "doc_id", "canon_id"
+    )
+
+
+def _dedup_ngram_jaccard(spark, sf):
+    from sparksearchengine_spark.operators.dedup import ngram_jaccard_join
+
+    docs = _read(spark, sf, "documents")
+    pairs = ngram_jaccard_join(
+        docs, id_col="doc_id", text_col="text", n=NGRAM_N, threshold=NGRAM_T
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def _dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup (xxhash64-based => no SQL oracle; rows-only)."""
+    from sparksearchengine_spark.operators.dedup import minhash_lsh_dedup
+
+    docs = _read(spark, sf, "documents")
+    pairs = minhash_lsh_dedup(
+        docs, id_col="doc_id", text_col="text",
+        n=NGRAM_N, num_hashes=64, bands=16, threshold=NGRAM_T,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _dedup_simhash(spark, sf):
+    """SimHash Hamming<=3 near-dup (xxhash64-based; rows-only check)."""
+    from sparksearchengine_spark.operators.dedup import simhash_dedup
+
+    docs = _read(spark, sf, "documents")
+    return simhash_dedup(docs, id_col="doc_id", text_col="text", max_hamming=3)
+
+
+def _emb_cosine_topk(spark, sf):
+    from sparksearchengine_spark.operators.similarity import cosine_topk
+
+    emb = _read(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < EMB_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = cosine_topk(emb, queries, k=EMB_K)
+    return res.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+def _emb_lsh_topk(spark, sf):
+    """LSH-bucketed ANN (approximate by design; rows-only check)."""
+    from sparksearchengine_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _read(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < EMB_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = lsh_cosine_topk(emb, queries, k=EMB_K)
+    return res.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
+def _text_quality(spark, sf):
+    from sparksearchengine_spark.operators.textstats import quality_metrics
+
+    docs = _read(spark, sf, "documents")
+    m = quality_metrics(docs, text_col="text", id_col="doc_id")
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("distinct_ratio", 6).alias("distinct_ratio"),
+        F.round("quality_score", 2).alias("quality_score"),
+    )
+
+
+def _doc_fingerprint(spark, sf):
+    from sparksearchengine_spark.operators.textstats import content_fingerprint
+
+    docs = _read(spark, sf, "documents")
+    return content_fingerprint(docs, text_col="text", id_col="doc_id").select(
+        "doc_id", "fp_md5"
+    )
+
+
+def _lang_id(spark, sf):
+    """Stopword-hit language heuristic (rows-only check)."""
+    from sparksearchengine_spark.operators.textstats import lang_id
+
+    docs = _read(spark, sf, "documents")
+    return lang_id(docs, text_col="text", id_col="doc_id")
+
+
+def _events_hourly(spark, sf):
+    ev = _read_events(spark, sf)
+    hour = F.expr("ts DIV 3600000000000").alias("hour_bucket")
+    return (
+        ev.groupBy(hour, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .orderBy("hour_bucket", "event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "qc01_filter_eq": _qc01,
+        "qc02_filter_cmp": _qc02,
+        "qc03_filter_range_date": _qc03,
+        "qc04_filter_inset": _qc04,
+        "qc05_filter_null": _qc05,
+        "qc06_match_term": _qc06,
+        "qc07_match_termset": _qc07,
+        "qc08_bool_algebra": _qc08,
+        "qc09_match_phrase": _qc09,
+        "qc10_bm25_topk": _qc10,
+        "qc11_batch_search": _qc11,
+        "qc12_index_stats": _qc12,
+        "qc13_doc_lookup": _qc13,
+        "qc14_bm25_components": _qc14,
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash": _dedup_simhash,
+        "emb_cosine_topk": _emb_cosine_topk,
+        "emb_lsh_topk": _emb_lsh_topk,
+        "text_quality": _text_quality,
+        "doc_fingerprint": _doc_fingerprint,
+        "lang_id": _lang_id,
+        "events_hourly": _events_hourly,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# --------------------------------------------------------------------------
+# oracle SQL (DuckDB) — same semantics, same expression shapes
+# --------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    score = _bm25_sql("p.tf", "p.dl", "t.df")
+    sizes_in = ", ".join(str(s) for s in QC04_SIZES)
+    qc13_vals = ", ".join(f"({i})" for i in QC13_IDS)
+    qc14_ids = ", ".join(str(i) for i in QC14_IDS)
+    return {
+        "qc01_filter_eq": (
+            f"SELECT count(*) AS cnt FROM lineitem WHERE l_quantity = {QC01_QTY}"
+        ),
+        "qc02_filter_cmp": f"""
+            SELECT
+              CAST(count(*) FILTER (o_totalprice >  {QC02_T}) AS BIGINT) AS cnt_gt,
+              CAST(count(*) FILTER (o_totalprice >= {QC02_T}) AS BIGINT) AS cnt_ge,
+              CAST(count(*) FILTER (o_totalprice <  {QC02_T}) AS BIGINT) AS cnt_lt,
+              CAST(count(*) FILTER (o_totalprice <= {QC02_T}) AS BIGINT) AS cnt_le
+            FROM orders""",
+        "qc03_filter_range_date": f"""
+            SELECT count(*) AS cnt,
+                   round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                     AS sum_extprice
+            FROM lineitem
+            WHERE l_shipdate BETWEEN TIMESTAMP '{QC03_D1}' AND TIMESTAMP '{QC03_D2}'""",
+        "qc04_filter_inset": (
+            f"SELECT count(*) AS cnt FROM part WHERE p_size IN ({sizes_in})"
+        ),
+        "qc05_filter_null": """
+            SELECT
+              CAST(count(*) FILTER (nullif(event_type, 'click') IS NULL) AS BIGINT) AS n_null,
+              CAST(count(*) FILTER (nullif(event_type, 'click') IS NOT NULL) AS BIGINT) AS n_not_null
+            FROM events""",
+        "qc06_match_term": _CTE + f"""
+            SELECT count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+            FROM postings WHERE term = '{QC06_TERM}'""",
+        "qc07_match_termset": _CTE + f"""
+            , m AS (
+              SELECT doc_id, count(*) AS nm FROM postings
+              WHERE term IN ('{QC07_TERMS[0]}','{QC07_TERMS[1]}','{QC07_TERMS[2]}')
+              GROUP BY doc_id
+            )
+            SELECT
+              (SELECT count(*) FROM m WHERE nm = 3)  AS n_all,
+              (SELECT count(*) FROM m)               AS n_any,
+              (SELECT count(*) FROM m WHERE nm >= 2) AS n_min2""",
+        "qc08_bool_algebra": _CTE + f"""
+            , d1 AS (SELECT DISTINCT doc_id FROM postings WHERE term = '{QC08_T1}'),
+            d2 AS (SELECT DISTINCT doc_id FROM postings WHERE term = '{QC08_T2}')
+            SELECT
+              (SELECT count(*) FROM d1 WHERE doc_id IN (SELECT doc_id FROM d2)) AS n_and,
+              (SELECT count(*) FROM (SELECT doc_id FROM d1 UNION SELECT doc_id FROM d2)) AS n_or,
+              (SELECT count(*) FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM d2)) AS n_and_not""",
+        "qc09_match_phrase": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS toks
+              FROM documents
+            )
+            SELECT count(*) AS cnt FROM t
+            WHERE list_contains(
+              list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]),
+              '{QC09_W1} {QC09_W2}')""",
+        "qc10_bm25_topk": _CTE + f"""
+            , scored AS (
+              SELECT p.doc_id, sum({score}) AS s
+              FROM postings p JOIN termstats t USING (term) CROSS JOIN fieldstats f
+              WHERE p.term IN ('{QC10_TERMS[0]}','{QC10_TERMS[1]}')
+              GROUP BY p.doc_id
+            )
+            SELECT doc_id, round(s, 6) AS score,
+                   CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+            FROM scored ORDER BY s DESC, doc_id LIMIT {QC10_K}""",
+        "qc11_batch_search": _CTE + f"""
+            , q AS (
+              SELECT doc_id AS query_id, list_distinct(toks[1:2]) AS qt
+              FROM toks WHERE doc_id < {QC11_NQ}
+            ),
+            qterms AS (SELECT query_id, unnest(qt) AS term FROM q),
+            scored AS (
+              SELECT qt.query_id, p.doc_id, sum({score}) AS s
+              FROM qterms qt
+              JOIN postings p USING (term)
+              JOIN termstats t USING (term)
+              CROSS JOIN fieldstats f
+              GROUP BY qt.query_id, p.doc_id
+            ),
+            ranked AS (
+              SELECT query_id, doc_id, round(s, 6) AS score,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                             ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+              FROM scored
+            )
+            SELECT * FROM ranked WHERE rank <= {QC11_K}""",
+        "qc12_index_stats": _CTE + """
+            SELECT
+              (SELECT count(DISTINCT doc_id) FROM postings) AS n_docs,
+              (SELECT count(DISTINCT term) FROM postings)   AS n_terms,
+              (SELECT CAST(sum(tf) AS BIGINT) FROM postings) AS sum_tf,
+              (SELECT round(sum(ln(1.0 + (f.n - t.df + 0.5) / (t.df + 0.5))), 4)
+                 FROM termstats t CROSS JOIN fieldstats f) AS sum_idf""",
+        "qc13_doc_lookup": f"""
+            WITH ids(requested_id) AS (VALUES {qc13_vals})
+            SELECT CAST(i.requested_id AS BIGINT) AS requested_id,
+                   d.text, d.n_chars
+            FROM ids i LEFT JOIN documents d ON d.doc_id = i.requested_id
+            ORDER BY i.requested_id""",
+        "qc14_bm25_components": _CTE + f"""
+            SELECT p.doc_id,
+                   p.tf AS tf, p.dl AS dl,
+                   round(f.avgdl, 6) AS avgdl,
+                   t.df AS df,
+                   round(ln(1.0 + (f.n - t.df + 0.5) / (t.df + 0.5)), 6) AS idf,
+                   round({score}, 6) AS score
+            FROM postings p JOIN termstats t USING (term) CROSS JOIN fieldstats f
+            WHERE p.term = '{QC14_TERM}' AND p.doc_id IN ({qc14_ids})
+            ORDER BY p.doc_id""",
+        "dedup_exact": """
+            SELECT doc_id,
+                   min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
+            FROM documents""",
+        "dedup_ngram_jaccard": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - {NGRAM_N - 1}, 1) + 1),
+                       i -> array_to_string(toks[i:i+{NGRAM_N - 1}], ' '))) AS grams
+              FROM t
+            ),
+            e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6)
+                     AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {NGRAM_T}""",
+        "emb_cosine_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < {EMB_NQ}),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                          i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+                     AS c
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, round(c, 6) AS cos_sim,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                             ORDER BY c DESC, vec_id) AS BIGINT) AS rank
+              FROM scored
+            )
+            SELECT * FROM ranked WHERE rank <= {EMB_K}""",
+        "text_quality": """
+            WITH base AS (
+              SELECT doc_id,
+                     coalesce(text, '') AS text,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+'), t -> t <> '') AS toks
+              FROM documents
+            ),
+            m AS (
+              SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     length(text) AS n_chars,
+                     length(text) - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                       AS n_punct,
+                     len(list_filter(toks, t -> list_contains(
+                       ['the','and','of','to','in','is','that','it','for','was'], t)))
+                       AS n_stop,
+                     len(list_distinct(toks)) AS n_distinct
+              FROM base
+            )
+            SELECT doc_id,
+                   CAST(n_tokens AS INTEGER) AS n_tokens,
+                   CAST(n_chars AS INTEGER) AS n_chars,
+                   round(CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE), 6)
+                     AS punct_ratio,
+                   round(CAST(n_stop AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE), 6)
+                     AS stopword_ratio,
+                   round(CAST(n_distinct AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE), 6)
+                     AS distinct_ratio,
+                   round(
+                     (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END)
+                     + (CASE WHEN CAST(n_punct AS DOUBLE) / CAST(greatest(n_chars, 1) AS DOUBLE) < 0.5
+                             THEN 0.3 ELSE 0.0 END)
+                     + (CASE WHEN CAST(n_distinct AS DOUBLE) / CAST(greatest(n_tokens, 1) AS DOUBLE) > 0.1
+                             THEN 0.3 ELSE 0.0 END), 2) AS quality_score
+            FROM m""",
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(array_to_string(
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+'), t -> t <> ''), ' ')) AS fp_md5
+            FROM documents""",
+        "events_hourly": """
+            SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+                   event_type,
+                   count(*) AS cnt,
+                   round(min(value), 6) AS min_value,
+                   round(max(value), 6) AS max_value
+            FROM events
+            GROUP BY 1, 2 ORDER BY 1, 2""",
+        # dedup_minhash_lsh, dedup_simhash, emb_lsh_topk, lang_id:
+        # intentionally omitted -> driver's weaker rows-only check
+        # (xxhash64 / LSH bucketing has no DuckDB equivalent).
+    }

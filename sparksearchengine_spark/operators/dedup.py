@@ -1,0 +1,350 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Beyond the reference's surface (per BASELINE.json's north star): exact
+dedup, exact n-gram-Jaccard similarity join (prefix filtering), MinHash+LSH
+near-dup, and SimHash near-dup. All operate on the same Corpus abstraction
+(a DataFrame + id + text column) and are designed shuffle-minimal:
+
+* exact dedup           — one groupBy on a 128-bit content hash
+* ngram_jaccard_join    — EXACT similarity self-join via prefix filtering
+                          (sort n-grams by global rarity; two docs with
+                          Jaccard ≥ t must share one of the first
+                          |set| - ceil(t*|set|) + 1 rarest n-grams), so the
+                          candidate join touches a tiny fraction of the
+                          cross product; candidates then verified with the
+                          true Jaccard. Standard AllPairs/PPJoin shape.
+* minhash_lsh_dedup     — approximate scale path: k min-hashes over n-gram
+                          hashes, banded; candidate pairs verified exactly.
+* simhash_dedup         — 64-bit SimHash + block-partitioned Hamming join.
+
+Hash family: h_i(x) = (a_i * x + b_i) mod p over base = xxhash64(ngram)
+mod p, p = 2^31 - 1 (Mersenne prime). Operands stay < 2^62, so the
+arithmetic is exact under Spark ANSI mode (no silent overflow).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.functions.analyzers import analyzer_expr
+
+_P = 2_147_483_647  # 2^31 - 1
+
+
+def _hash_family(num_hashes: int, seed: int = 421) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs from a fixed LCG (no runtime RNG)."""
+    coeffs = []
+    state = seed
+    for _ in range(num_hashes):
+        state = (1103515245 * state + 12345) % (1 << 31)
+        a = state % (_P - 1) + 1
+        state = (1103515245 * state + 12345) % (1 << 31)
+        b = state % _P
+        coeffs.append((a, b))
+    return coeffs
+
+
+def token_ngrams(tokens: Column, n: int) -> Column:
+    """Distinct space-joined token n-grams of an array<string> column.
+
+    For size < n docs the result is the whole-doc gram (so short docs still
+    compare). Pure SQL (transform + slice), ANSI-safe.
+    """
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
+def exact_dedup(
+    df: DataFrame,
+    cols: list[str],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact duplicate grouping: (id, canon_id, is_duplicate).
+
+    canon_id = min id among rows with identical content hash. One shuffle
+    (window over the hash); at 100 TB hash first, never shuffle raw text.
+    """
+    h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]))
+    w = Window.partitionBy("_h")
+    return (
+        df.select(F.col(id_col), h.alias("_h"))
+        .withColumn("canon_id", F.min(id_col).over(w))
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canon_id"))
+        .select(id_col, "canon_id", "is_duplicate")
+    )
+
+
+def _ngram_df(
+    df: DataFrame, id_col: str, text_col: str, n: int, analyzer: str
+) -> DataFrame:
+    toks = analyzer_expr(F.col(text_col), analyzer)
+    return df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(token_ngrams(toks, n)).alias("gram"),
+    )
+
+
+def ngram_jaccard_join(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """EXACT n-gram-Jaccard similarity self-join: pairs (id_a < id_b,
+    jaccard) with jaccard ≥ threshold.
+
+    Prefix filtering: sort each doc's grams by global rarity; a pair with
+    J ≥ t must share a gram within each side's first
+    |set| - ceil(t*|set|) + 1 grams. Candidates come from joining only
+    those prefixes; each candidate is then verified with the true Jaccard,
+    so the result is exact (no LSH false negatives).
+    """
+    grams = _ngram_df(df, id_col, text_col, n, analyzer).distinct().persist()
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+
+    freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("freq"))
+    ranked = (
+        grams.join(freq, "gram")
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy("freq", "gram")
+            ),
+        )
+        .join(sizes, "id")
+        .withColumn(
+            "prefix_len",
+            F.col("sz")
+            - F.ceil(F.lit(float(threshold)) * F.col("sz")).cast("int")
+            + F.lit(1),
+        )
+        .where(F.col("r") <= F.col("prefix_len"))
+        .select("id", "gram")
+    )
+
+    a = ranked.alias("a")
+    b = ranked.alias("b")
+    cand = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    # verify: intersection size via keyed joins (no cross product)
+    ga = grams.select(F.col("id").alias("id_a"), "gram")
+    gb = grams.select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= float(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """(id, sig array<long>[num_hashes]) MinHash signatures over n-grams."""
+    grams = _ngram_df(df, id_col, text_col, n, analyzer).distinct()
+    base = F.pmod(F.xxhash64("gram"), F.lit(_P)).alias("base")
+    withbase = grams.select("id", base)
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("base") + F.lit(b), F.lit(_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_hash_family(num_hashes))
+    ]
+    sigs = withbase.groupBy("id").agg(*aggs)
+    return sigs.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Banded LSH: pairs sharing ≥1 band. rows_per_band = num_hashes/bands;
+    P(candidate) = 1-(1-J^r)^b — with 64/16 the curve crosses ~0.5 at
+    J≈0.55. Band hash is a single string concat; the join is keyed on
+    (band_idx, band_hash), so co-candidates co-locate in one shuffle."""
+    r = num_hashes // bands
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.concat_ws(
+                        ",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]
+                    ).alias("bh"),
+                )
+                for i in range(bands)
+            ]
+        )
+    ).alias("bd")
+    banded = sigs.select("id", band_cols).select(
+        "id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """Approximate near-dup pairs: LSH candidates verified with exact
+    Jaccard ≥ threshold. The scale path for 100 TB (signatures are
+    num_hashes longs per doc; raw grams never pair-joined beyond
+    candidates)."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, analyzer)
+    cand = minhash_lsh_candidates(sigs, num_hashes, bands)
+
+    grams = _ngram_df(df, id_col, text_col, n, analyzer).distinct().persist()
+    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ga = grams.select(F.col("id").alias("id_a"), "gram")
+    gb = grams.select(F.col("id").alias("id_b"), "gram")
+    inter = (
+        cand.join(ga, "id_a")
+        .join(gb, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= float(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 64,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """(id, simhash array<int>[bits/16] of 16-bit blocks).
+
+    Per doc: sum ±tf over each bit of xxhash64(term); sign -> bit. Blocks
+    (not one long) so downstream Hamming joins can band on block equality
+    without bit twiddling, and to stay ANSI-overflow-safe.
+    """
+    toks = analyzer_expr(F.col(text_col), analyzer)
+    terms = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(toks).alias("term"),
+    ).groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    h = F.xxhash64("term")
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    sums = terms.groupBy("id").agg(*bit_aggs)
+    n_blocks = bits // 16
+    blocks = [
+        sum(
+            (F.when(F.col(f"b{blk * 16 + j}") > 0, F.lit(1 << j)).otherwise(F.lit(0)))
+            for j in range(16)
+        ).alias(f"blk{blk}")
+        for blk in range(n_blocks)
+    ]
+    return sums.select("id", *blocks).select(
+        "id", F.array(*[f"blk{i}" for i in range(n_blocks)]).alias("simhash")
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole banding over the 4 16-bit blocks: distance ≤ 3 => at least
+    one block identical, so candidates come from 4 keyed equality joins
+    (union), then exact Hamming verification. No cross product.
+    """
+    if max_hamming > 3:
+        raise ValueError("block scheme supports max_hamming <= 3 (4 blocks)")
+    sh = simhash(df, id_col, text_col, 64, analyzer).persist()
+    cands = None
+    for blk in range(4):
+        a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+        b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+        c = a.join(
+            b,
+            (F.col("sh_a")[blk] == F.col("sh_b")[blk])
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+
+    def _popcount16(x: Column) -> Column:
+        # Hamming weight of a 16-bit value via bit_count (Spark 3.3+)
+        return F.bit_count(x)
+
+    ham = sum(
+        _popcount16(
+            F.col("sh_a")[i].bitwiseXOR(F.col("sh_b")[i])
+        )
+        for i in range(4)
+    )
+    return (
+        cands.withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,243 @@
+"""Similarity search over embedding columns (array<float>).
+
+North-star operators (BASELINE.json): brute-force cosine top-k as the
+exact baseline, and an LSH-bucketed approximate variant as the scale path.
+
+Design for 100 TB:
+* queries are broadcast (they are the small side by construction);
+* the dot product is a pure SQL higher-order-function expression
+  (zip_with + aggregate) — JVM-side, no Python in the hot loop;
+* norms are precomputed once per side (never per pair);
+* top-k per query goes through the two-stage salted rank window
+  (operators.search.topk_per_group) so one hot query can't serialize a
+  single reducer;
+* the LSH variant buckets by random-hyperplane signature so each probe
+  touches |bucket| << N candidates.
+
+The fold order of `aggregate` is the array order, deterministic — required
+for the DuckDB value-parity oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.operators.search import topk_per_group
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product of two array<float/double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: (query_id, vec_id, cos_sim, rank).
+
+    Plan: broadcast-nested-loop of items × (tiny) queries with the scoring
+    expression fused into the scan — at 1000 executors this is
+    embarrassingly parallel, one pass over the items, zero shuffle until
+    the (salted) top-k reduction.
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_qvec"),
+        norm_expr(F.col(query_vec)).alias("_qnorm"),
+    )
+    it = items.select(
+        F.col(item_id).alias("vec_id"),
+        F.col(item_vec).alias("_ivec"),
+        norm_expr(F.col(item_vec)).alias("_inorm"),
+    )
+    scored = it.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (
+            dot_expr(F.col("_ivec"), F.col("_qvec"))
+            / (F.col("_inorm") * F.col("_qnorm"))
+        ).alias("cos_sim"),
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("vec_id").asc()],
+        k=k,
+        salt_buckets=salt_buckets,
+        salt_col="vec_id",
+    ).select("query_id", "vec_id", "cos_sim", "rank")
+
+
+def _hyperplanes(num_planes: int, dim: int, seed: int = 20240) -> list[list[float]]:
+    """Deterministic pseudo-random unit-free hyperplanes (fixed LCG -> no
+    runtime RNG, reproducible across sessions)."""
+    planes = []
+    state = seed
+    for _ in range(num_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (1 << 31)
+            row.append((state / float(1 << 31)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_signature_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature string (one char per plane) — pure SQL."""
+    bits = [
+        F.when(
+            dot_expr(vec, F.array(*[F.lit(v) for v in p])) >= 0, F.lit("1")
+        ).otherwise(F.lit("0"))
+        for p in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    num_planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k: random-hyperplane LSH bucketing.
+
+    Signature = sign bits against `num_planes` fixed hyperplanes, split
+    into `bands` blocks; items sharing ≥1 block with the query are
+    candidates, re-ranked exactly. Recall < 1 by design (the scale path:
+    each query touches only its buckets, not all N items).
+    """
+    if dim is None:
+        sample = items.select(F.size(F.col(item_vec))).first()
+        dim = int(sample[0])
+    planes = _hyperplanes(num_planes, dim)
+    r = num_planes // bands
+
+    def banded(df: DataFrame, idc: str, vecc: str, out_id: str) -> DataFrame:
+        sig = lsh_signature_expr(F.col(vecc), planes)
+        d = df.select(
+            F.col(idc).alias(out_id), F.col(vecc).alias(f"_{out_id}_vec"),
+            sig.alias("_sig"),
+        )
+        bandarr = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.substring(F.col("_sig"), i * r + 1, r).alias("bh"),
+                )
+                for i in range(bands)
+            ]
+        )
+        return d.select(
+            out_id, f"_{out_id}_vec", F.explode(bandarr).alias("bd")
+        ).select(
+            out_id,
+            f"_{out_id}_vec",
+            F.col("bd.band").alias("band"),
+            F.col("bd.bh").alias("bh"),
+        )
+
+    bi = banded(items, item_id, item_vec, "vec_id")
+    bq = banded(queries, query_id, query_vec, "query_id")
+    cand = (
+        bi.join(F.broadcast(bq), ["band", "bh"])
+        .select("query_id", "vec_id", "_vec_id_vec", "_query_id_vec")
+        .dropDuplicates(["query_id", "vec_id"])
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        cosine_expr(F.col("_vec_id_vec"), F.col("_query_id_vec")).alias("cos_sim"),
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("vec_id").asc()],
+        k=k,
+    ).select("query_id", "vec_id", "cos_sim", "rank")
+
+
+def embedding_neardup(
+    items: DataFrame,
+    threshold: float = 0.95,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    num_planes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ threshold) via LSH
+    self-join + exact verification: (id_a < id_b, cos_sim)."""
+    sample = items.select(F.size(F.col(item_vec))).first()
+    planes = _hyperplanes(num_planes, int(sample[0]))
+    r = num_planes // bands
+    sig = lsh_signature_expr(F.col(item_vec), planes)
+    d = items.select(
+        F.col(item_id).cast("long").alias("id"),
+        F.col(item_vec).alias("vec"),
+        sig.alias("_sig"),
+    )
+    bandarr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.substring(F.col("_sig"), i * r + 1, r).alias("bh"),
+            )
+            for i in range(bands)
+        ]
+    )
+    banded = d.select("id", "vec", F.explode(bandarr).alias("bd")).select(
+        "id", "vec", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.vec").alias("va"),
+            F.col("b.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("cos_sim", cosine_expr(F.col("va"), F.col("vb")))
+        .where(F.col("cos_sim") >= float(threshold))
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,183 @@
+"""Text-analysis operators for training-data pipelines.
+
+North-star surface (BASELINE.json): language ID, quality scoring, token
+counting, document fingerprinting. Everything here is a pure SQL
+expression (JVM-side, whole-stage codegen) — the point at 100 TB is that
+these run *in the scan stage*, adding zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.functions.analyzers import analyzer_expr
+
+# small, fixed stopword lists per language for the n-gram/stopword-hit
+# language heuristic (top function words; deterministic, no model files)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "du", "que", "une"),
+    "de": ("der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "im"),
+    "it": ("il", "di", "che", "la", "per", "con", "del", "le", "una", "sono"),
+    "zh": (),  # no-space script: detected by the non-latin ratio instead
+}
+
+
+def token_count_expr(col: Column, analyzer: str = "simple") -> Column:
+    """Whitespace/analyzer token count (BPE-ish proxy: tokens ≈ 0.75 words
+    is the usual back-of-envelope; we expose the raw count)."""
+    return F.size(analyzer_expr(col, analyzer))
+
+
+def token_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    analyzer: str = "simple",
+) -> DataFrame:
+    """(id, n_tokens, n_distinct, avg_token_len) — one scan, no shuffle."""
+    toks = analyzer_expr(F.col(text_col), analyzer)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        (
+            F.aggregate(
+                F.transform(toks, lambda t: F.length(t).cast("double")),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    analyzer: str = "simple",
+) -> DataFrame:
+    """Per-doc quality signals: length, punctuation ratio, stopword ratio,
+    distinct-token ratio, plus a [0,1] composite `quality_score`.
+
+    The composite mirrors common curation heuristics (Gopher/C4-style
+    length + repetition + symbol filters) as a deterministic expression.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = analyzer_expr(text, analyzer)
+    n_chars = F.length(text)
+    n_alnum = F.length(F.regexp_replace(F.lower(text), r"[^a-z0-9]", ""))
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    en_stop = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(en_stop, t)))
+
+    punct_ratio = (n_chars - n_alnum).cast("double") / F.greatest(
+        n_chars, F.lit(1)
+    ).cast("double")
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)).cast(
+        "double"
+    )
+    distinct_ratio = n_distinct.cast("double") / F.greatest(
+        n_tokens, F.lit(1)
+    ).cast("double")
+
+    length_ok = (n_tokens >= 10) & (n_tokens <= 100000)
+    punct_ok = punct_ratio < 0.5
+    rep_ok = distinct_ratio > 0.1
+    score = (
+        F.when(length_ok, F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when(punct_ok, F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when(rep_ok, F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def lang_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """Heuristic language ID: stopword-hit counts per language, argmax with
+    deterministic tie-break (hit count desc, then language code asc);
+    'und' when nothing hits. (id, lang_pred, lang_hits)."""
+    toks = analyzer_expr(F.coalesce(F.col(text_col), F.lit("")), "simple")
+    scores = []
+    for lang, stops in sorted(LANG_STOPWORDS.items()):
+        if not stops:
+            continue
+        arr = F.array(*[F.lit(s) for s in stops])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        scores.append(F.struct(hits.alias("hits"), F.lit(lang).alias("lang")))
+    # argmax with deterministic tie-break: sort structs asc on (-hits, lang)
+    keyed = F.array(
+        *[
+            F.struct(
+                (-s["hits"]).alias("neg"), s["lang"].alias("lang"), s["hits"].alias("hits")
+            )
+            for s in scores
+        ]
+    )
+    best = F.sort_array(keyed, asc=True)[0]
+    return df.select(
+        F.col(id_col),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "lang_pred"
+        ),
+        best["hits"].alias("lang_hits"),
+    )
+
+
+def content_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    analyzer: str = "simple",
+) -> DataFrame:
+    """(id, fp_md5, fp_minhash): md5 of the normalized token stream (exact
+    content identity up to tokenization) + min token-5-gram hash (a 1-hash
+    MinHash sketch: equal for heavily-overlapping docs with prob ≈ J)."""
+    from sparksearchengine_spark.operators.dedup import token_ngrams
+
+    toks = analyzer_expr(F.coalesce(F.col(text_col), F.lit("")), analyzer)
+    normalized = F.concat_ws(" ", toks)
+    grams = token_ngrams(toks, 5)
+    minhash = F.array_min(F.transform(grams, lambda g: F.xxhash64(g)))
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized).alias("fp_md5"),
+        minhash.alias("fp_minhash"),
+    )
+
+
+def rolling_hash_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    window: int = 4, n: int = 5, analyzer: str = "simple",
+) -> DataFrame:
+    """Winnowing fingerprint (Schleimer et al. 2003): k-gram hashes,
+    per-window minima, distinct selected hashes sorted -> md5 digest.
+    Pure SQL higher-order functions; (id, fp_winnow, n_selected)."""
+    from sparksearchengine_spark.operators.dedup import token_ngrams
+
+    toks = analyzer_expr(F.coalesce(F.col(text_col), F.lit("")), analyzer)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )  # positional (not distinct) k-grams
+    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    nwin = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
+    window_mins = F.transform(
+        F.sequence(F.lit(1), nwin),
+        lambda i: F.array_min(F.slice(hashes, i, window)),
+    )
+    selected = F.array_sort(F.array_distinct(window_mins))
+    return df.select(
+        F.col(id_col),
+        F.md5(F.concat_ws(",", F.transform(selected, lambda h: h.cast("string")))).alias(
+            "fp_winnow"
+        ),
+        F.size(selected).alias("n_selected"),
+    )
