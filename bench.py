@@ -1,0 +1,142 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Workload classes per BASELINE.md (index build, single top-k, filter scan,
+batch search, self query-join, stats) plus the pipeline operators
+(minhash dedup, embedding top-k). Each timed section runs against a fully
+materialized (persisted) index, mirroring the reference's build-once /
+query-many economics.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from sparksearchengine_spark import Corpus, Q, TextOptions
+    from sparksearchengine_spark.functions.analyzers import analyzer_expr
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str):
+        class _T:
+            def __enter__(self):
+                self.t0 = time.time()
+
+            def __exit__(self, *a):
+                timings[name] = round(time.time() - self.t0, 3)
+
+        return _T()
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    # 1. index build (postings + termstats + fieldstats), fully materialized
+    with timed("index_build"):
+        corpus = Corpus(
+            docs, id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="simple", positions=True)},
+        )
+        idx = corpus.build_index()
+        idx.postings.count()
+        idx.termstats.count()
+
+    # 2. single top-k BM25 query (QC10 class), collect
+    with timed("topk_query"):
+        idx.search(Q.field("text").match_any("dup", "spark"), k=10).collect()
+
+    # 3. filter scan suite (QC01-QC04 class)
+    with timed("filter_scan"):
+        lineitem.where(F.col("l_quantity") == 25.0).count()
+        orders.where(F.col("o_totalprice") > 150000.0).count()
+        dt = lineitem.schema["l_shipdate"].dataType
+        lineitem.where(
+            F.col("l_shipdate").between(
+                F.lit("1995-01-01 00:00:00").cast(dt),
+                F.lit("1996-12-31 23:59:59").cast(dt),
+            )
+        ).agg(F.count(F.lit(1)), F.sum("l_extendedprice")).collect()
+        part.where(F.col("p_size").isin(5, 15, 25)).count()
+
+    # 4. batch search: 20 queries x top-10 (QC11 class)
+    with timed("batch_search"):
+        toks = analyzer_expr(F.col("text"), "simple")
+        qdf = docs.where(F.col("doc_id") < 20).select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(" ", F.slice(toks, 1, 2)).alias("qtext"),
+        )
+        idx.batch_search(qdf, k=10, field="text").collect()
+
+    # 5. self query-join: 1k docs vs the index, top-5 (E7 class)
+    with timed("query_join"):
+        sample = docs.where(F.col("doc_id") < 1000)
+        idx.query_join(
+            sample, text_col="text", field="text", k=5, other_id_col="doc_id"
+        ).count()
+
+    # 6. stats: term counts + IDF table (QC12 class)
+    with timed("stats"):
+        idx.term_counts().count()
+        idx.term_idfs().agg(F.sum("idf")).collect()
+
+    # 7. pipeline ops: minhash near-dup + embedding top-k
+    with timed("minhash_dedup"):
+        from sparksearchengine_spark.operators.dedup import minhash_lsh_dedup
+
+        minhash_lsh_dedup(
+            docs, id_col="doc_id", text_col="text", n=3,
+            num_hashes=64, bands=16, threshold=0.8,
+        ).count()
+
+    with timed("emb_topk"):
+        from sparksearchengine_spark.operators.similarity import cosine_topk
+
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        cosine_topk(emb, queries, k=10).count()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
