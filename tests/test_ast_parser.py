@@ -1,0 +1,118 @@
+"""AST builder + query-string parser unit tests (reference DSL grammar
+`dsl/package.scala:9-45`, parseQuery Q12 `DslQuery.scala:122-128`)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparksearchengine_spark.plans import ast
+from sparksearchengine_spark.plans.ast import F_, Q
+from sparksearchengine_spark.plans.parser import parse_query
+
+
+def test_builders_produce_expected_nodes():
+    f = Q.field("text")
+    assert f.match_term("x") == ast.MatchTerm("text", "x")
+    assert f.match_all("a", "b") == ast.MatchTermSet("text", ("a", "b"), 2)
+    assert f.match_any("a", "b") == ast.MatchTermSet("text", ("a", "b"), 1)
+    assert f.match_min(2, "a", "b", "c") == ast.MatchTermSet(
+        "text", ("a", "b", "c"), 2
+    )
+    assert f.match_text("a b") == ast.MatchText("text", "a b", False)
+    assert f.match_all_text("a b") == ast.MatchText("text", "a b", True)
+    assert f.match_phrase("a b") == ast.MatchPhrase("text", "a b")
+    assert Q.all() == ast.AllDocs()
+
+
+def test_boolean_operators_compose():
+    a, b, c = (Q.field("t").match_term(x) for x in "abc")
+    assert a & b == ast.And((a, b))
+    assert a | b == ast.Or((a, b))
+    assert ~a == ast.Not(a)
+    assert (a & b) & c == ast.And((a, b, c))  # flattening via __and__
+    assert (a | b) | c == ast.Or((a, b, c))
+
+
+def test_term_set_validation():
+    with pytest.raises(ValueError):
+        ast.MatchTermSet("t", (), 1)
+    with pytest.raises(ValueError):
+        ast.MatchTermSet("t", ("a",), 2)
+    with pytest.raises(ValueError):
+        ast.MatchTermSet("t", ("a",), 0)
+
+
+def test_filter_builders():
+    assert F_.eq("v", 1) == ast.CompareFilter("v", "=", 1)
+    assert F_.gt("v", 1).op == ">"
+    assert F_.between("v", 1, 5) == ast.RangeFilter("v", 1, 5)
+    assert F_.isin("v", 1, 2) == ast.InSetFilter("v", (1, 2))
+    assert F_.exists("v") == ast.ExistsFilter("v")
+    assert F_.missing("v") == ast.MissingFilter("v")
+    with pytest.raises(ValueError):
+        ast.RangeFilter("v", None, 5)
+    with pytest.raises(ValueError):
+        ast.CompareFilter("v", "!=", 1)
+
+
+def test_parser_terms_and_boolean():
+    q = parse_query("island AND sea", default_field="text")
+    assert q == ast.And(
+        (ast.MatchText("text", "island", False), ast.MatchText("text", "sea", False))
+    )
+    q = parse_query("a OR b")
+    assert isinstance(q, ast.Or)
+    q = parse_query("NOT a")
+    assert q == ast.Not(ast.MatchText("text", "a", False))
+
+
+def test_parser_bare_adjacency_is_or():
+    q = parse_query("island sea")
+    assert isinstance(q, ast.Or) and len(q.operands) == 2
+
+
+def test_parser_field_prefix_and_phrase():
+    q = parse_query('title:island AND "exact phrase"')
+    assert q == ast.And(
+        (
+            ast.MatchText("title", "island", False),
+            ast.MatchPhrase("text", "exact phrase"),
+        )
+    )
+    q = parse_query('body:"a b"')
+    assert q == ast.MatchPhrase("body", "a b")
+
+
+def test_parser_parens_and_minus():
+    q = parse_query("(a OR b) AND -c")
+    assert isinstance(q, ast.And)
+    assert isinstance(q.operands[0], ast.Or)
+    assert q.operands[1] == ast.Not(ast.MatchText("text", "c", False))
+
+
+def test_parser_plus_is_noop():
+    assert parse_query("+a") == ast.MatchText("text", "a", False)
+
+
+def test_parser_errors():
+    with pytest.raises(ValueError):
+        parse_query("(a OR b")
+    with pytest.raises(ValueError):
+        parse_query(")")
+
+
+def test_raw_query_default_constructor():
+    q = Q.raw("free text here", default_field="body")
+    assert q == ast.MatchText("body", "free text here", False)
+
+
+def test_query_constructor_pluggable():
+    from sparksearchengine_spark.plans.ast import set_query_constructor
+
+    try:
+        set_query_constructor(lambda s, f: ast.MatchTerm(f, s))
+        assert Q.raw("x", "t") == ast.MatchTerm("t", "x")
+    finally:
+        set_query_constructor(
+            lambda s, f: ast.MatchText(f, s, require_all=False)
+        )

@@ -1,0 +1,165 @@
+"""Query compilation semantics on the hand-computable tiny corpus.
+
+Tiny corpus tokenization (conftest):
+  doc 1: [a, b, a]    doc 2: [a, c]    doc 3: [b, b, c, c]
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparksearchengine_spark.plans.ast import F_, Q
+
+
+def ids(df):
+    return sorted(r["doc_id"] for r in df.select("doc_id").collect())
+
+
+class TestTermQueries:
+    def test_match_term(self, tiny_index):
+        assert ids(tiny_index.compile(Q.field("text").match_term("a"))) == [1, 2]
+        assert ids(tiny_index.compile(Q.field("text").match_term("c"))) == [2, 3]
+        assert ids(tiny_index.compile(Q.field("text").match_term("zz"))) == []
+
+    def test_match_all(self, tiny_index):
+        assert ids(tiny_index.compile(Q.field("text").match_all("a", "b"))) == [1]
+        assert ids(tiny_index.compile(Q.field("text").match_all("b", "c"))) == [3]
+        assert ids(tiny_index.compile(Q.field("text").match_all("a", "zz"))) == []
+
+    def test_match_any(self, tiny_index):
+        assert ids(tiny_index.compile(Q.field("text").match_any("a", "c"))) == [1, 2, 3]
+        assert ids(tiny_index.compile(Q.field("text").match_any("zz", "c"))) == [2, 3]
+
+    def test_match_min(self, tiny_index):
+        q = Q.field("text").match_min(2, "a", "b", "c")
+        assert ids(tiny_index.compile(q)) == [1, 2, 3]
+        q3 = Q.field("text").match_min(3, "a", "b", "c")
+        assert ids(tiny_index.compile(q3)) == []
+
+    def test_match_text_analyzes(self, tiny_index):
+        # "A, c!" tokenizes to [a, c] -> match_any
+        assert ids(tiny_index.compile(Q.field("text").match_text("A, c!"))) == [1, 2, 3]
+        assert ids(
+            tiny_index.compile(Q.field("text").match_all_text("A, c!"))
+        ) == [2]
+
+    def test_duplicate_terms_deduped(self, tiny_index):
+        q = Q.field("text").match_all("a", "a")
+        assert ids(tiny_index.compile(q)) == [1, 2]
+
+    def test_all_docs(self, tiny_index):
+        rows = tiny_index.compile(Q.all()).collect()
+        assert sorted(r["doc_id"] for r in rows) == [1, 2, 3]
+        assert all(r["score"] == 1.0 for r in rows)
+
+    def test_unknown_field_raises(self, tiny_index):
+        with pytest.raises(ValueError, match="not a searchable"):
+            tiny_index.compile(Q.field("nope").match_term("a")).collect()
+
+
+class TestPhrase:
+    def test_adjacent_bigram(self, tiny_index):
+        # doc1 = [a, b, a]: "a b" adjacent; "b a" adjacent; "a a" not
+        assert ids(tiny_index.compile(Q.field("text").match_phrase("a b"))) == [1]
+        assert ids(tiny_index.compile(Q.field("text").match_phrase("b a"))) == [1]
+        assert ids(tiny_index.compile(Q.field("text").match_phrase("a a"))) == []
+        # doc3 = [b, b, c, c]
+        assert ids(tiny_index.compile(Q.field("text").match_phrase("b c"))) == [3]
+        assert ids(tiny_index.compile(Q.field("text").match_phrase("c c"))) == [3]
+
+    def test_trigram(self, tiny_index):
+        assert ids(tiny_index.compile(Q.field("text").match_phrase("a b a"))) == [1]
+        assert ids(tiny_index.compile(Q.field("text").match_phrase("b c c"))) == [3]
+        assert ids(tiny_index.compile(Q.field("text").match_phrase("a b c"))) == []
+
+    def test_single_term_phrase(self, tiny_index):
+        assert ids(tiny_index.compile(Q.field("text").match_phrase("c"))) == [2, 3]
+
+    def test_phrase_without_positions_raises(self, tiny_corpus):
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        idx = Corpus(
+            tiny_corpus,
+            id_col="doc_id",
+            text_cols={"text": TextOptions(positions=False)},
+        ).build_index()
+        with pytest.raises(ValueError, match="positions"):
+            idx.compile(Q.field("text").match_phrase("a b"))
+
+
+class TestBooleanAlgebra:
+    def test_and_intersects_scores_sum(self, tiny_index):
+        a = Q.field("text").match_term("a")
+        c = Q.field("text").match_term("c")
+        both = tiny_index.compile(a & c)
+        assert ids(both) == [2]
+        sa = {r["doc_id"]: r["score"] for r in tiny_index.compile(a).collect()}
+        sc = {r["doc_id"]: r["score"] for r in tiny_index.compile(c).collect()}
+        got = both.collect()[0]["score"]
+        assert got == pytest.approx(sa[2] + sc[2])
+
+    def test_or_unions_scores_sum_on_overlap(self, tiny_index):
+        a = Q.field("text").match_term("a")
+        c = Q.field("text").match_term("c")
+        u = tiny_index.compile(a | c)
+        assert ids(u) == [1, 2, 3]
+        sa = {r["doc_id"]: r["score"] for r in tiny_index.compile(a).collect()}
+        sc = {r["doc_id"]: r["score"] for r in tiny_index.compile(c).collect()}
+        su = {r["doc_id"]: r["score"] for r in u.collect()}
+        assert su[2] == pytest.approx(sa[2] + sc[2])
+        assert su[1] == pytest.approx(sa[1])
+
+    def test_not_standalone(self, tiny_index):
+        q = ~Q.field("text").match_term("a")
+        assert ids(tiny_index.compile(q)) == [3]
+
+    def test_and_not(self, tiny_index):
+        b = Q.field("text").match_term("b")
+        a = Q.field("text").match_term("a")
+        assert ids(tiny_index.compile(b & ~a)) == [3]
+
+    def test_double_negation_is_identity(self, tiny_index):
+        a = Q.field("text").match_term("a")
+        assert ids(tiny_index.compile(~~a)) == ids(tiny_index.compile(a))
+
+    def test_subset_property(self, tiny_index):
+        """matchAll ⊆ matchMin(2) ⊆ matchAny (SURVEY §5 property test)."""
+        f = Q.field("text")
+        terms = ("a", "b", "c")
+        s_all = set(ids(tiny_index.compile(f.match_all(*terms))))
+        s_min = set(ids(tiny_index.compile(f.match_min(2, *terms))))
+        s_any = set(ids(tiny_index.compile(f.match_any(*terms))))
+        assert s_all <= s_min <= s_any
+
+
+class TestFilters:
+    def test_compare_filters(self, tiny_index):
+        assert ids(tiny_index.compile(F_.eq("views", 20))) == [2]
+        assert ids(tiny_index.compile(F_.gt("views", 10))) == [2, 3]
+        assert ids(tiny_index.compile(F_.ge("views", 20))) == [2, 3]
+        assert ids(tiny_index.compile(F_.lt("views", 20))) == [1]
+        assert ids(tiny_index.compile(F_.le("views", 20))) == [1, 2]
+
+    def test_range_and_inset(self, tiny_index):
+        assert ids(tiny_index.compile(F_.between("views", 15, 30))) == [2, 3]
+        assert ids(tiny_index.compile(F_.isin("views", 10, 30))) == [1, 3]
+
+    def test_exists_missing(self, tiny_index):
+        assert ids(tiny_index.compile(F_.exists("tag"))) == [2, 3]
+        assert ids(tiny_index.compile(F_.missing("tag"))) == [1]
+
+    def test_filters_score_zero(self, tiny_index):
+        rows = tiny_index.compile(F_.gt("views", 0)).collect()
+        assert all(r["score"] == 0.0 for r in rows)
+
+    def test_filter_does_not_add_score_in_and(self, tiny_index):
+        a = Q.field("text").match_term("a")
+        sa = {r["doc_id"]: r["score"] for r in tiny_index.compile(a).collect()}
+        combo = tiny_index.compile(a & F_.gt("views", 15))
+        rows = {r["doc_id"]: r["score"] for r in combo.collect()}
+        assert set(rows) == {2}
+        assert rows[2] == pytest.approx(sa[2])
+
+    def test_parsed_query_end_to_end(self, tiny_index):
+        q = Q.parse("a AND NOT c", default_field="text")
+        assert ids(tiny_index.compile(q)) == [1]

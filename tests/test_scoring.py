@@ -1,0 +1,93 @@
+"""BM25/TF-IDF scoring vs hand-computed values on the tiny corpus.
+
+Corpus stats: N=3, avgdl=3; doc1=[a,b,a] dl=3, doc2=[a,c] dl=2,
+doc3=[b,b,c,c] dl=4; df(a)=df(b)=df(c)=2.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from sparksearchengine_spark.plans.ast import Q
+
+K1, B = 1.2, 0.75
+
+
+def bm25(tf, dl, df, n=3, avgdl=3.0, k1=K1, b=B):
+    idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def scores(index, q):
+    return {r["doc_id"]: r["score"] for r in index.compile(q).collect()}
+
+
+def test_bm25_single_term(tiny_index):
+    got = scores(tiny_index, Q.field("text").match_term("a"))
+    assert got[1] == pytest.approx(bm25(tf=2, dl=3, df=2))
+    assert got[2] == pytest.approx(bm25(tf=1, dl=2, df=2))
+
+
+def test_bm25_multi_term_sums(tiny_index):
+    got = scores(tiny_index, Q.field("text").match_any("b", "c"))
+    assert got[3] == pytest.approx(
+        bm25(tf=2, dl=4, df=2) + bm25(tf=2, dl=4, df=2)
+    )
+    assert got[1] == pytest.approx(bm25(tf=1, dl=3, df=2))
+    assert got[2] == pytest.approx(bm25(tf=1, dl=2, df=2))
+
+
+def test_index_fieldstats(tiny_index):
+    fs = tiny_index.fieldstats["text"]
+    assert fs.doc_count == 3
+    assert fs.avgdl == pytest.approx(3.0)
+
+
+def test_idf_formula_matches(tiny_index):
+    import pyspark.sql.functions as F
+
+    rows = tiny_index.term_idfs().where(F.col("term") == "a").collect()
+    assert len(rows) == 1
+    assert rows[0]["idf"] == pytest.approx(math.log(1.0 + 1.5 / 2.5))
+
+
+def test_tfidf_scorer(tiny_corpus):
+    from sparksearchengine_spark import Corpus, TextOptions
+    from sparksearchengine_spark.functions.scoring import ScoringConfig
+
+    idx = Corpus(
+        tiny_corpus, id_col="doc_id", text_cols={"text": TextOptions()}
+    ).build_index(scoring=ScoringConfig(similarity="tfidf"))
+    got = scores(idx, Q.field("text").match_term("a"))
+    idf = math.log(1.0 + 1.5 / 2.5)
+    assert got[1] == pytest.approx(math.sqrt(2.0) * idf**2)
+    assert got[2] == pytest.approx(math.sqrt(1.0) * idf**2)
+
+
+def test_configurable_k1_b(tiny_corpus):
+    from sparksearchengine_spark import Corpus, TextOptions
+    from sparksearchengine_spark.functions.scoring import ScoringConfig
+
+    idx = Corpus(
+        tiny_corpus, id_col="doc_id", text_cols={"text": TextOptions()}
+    ).build_index(scoring=ScoringConfig(k1=2.0, b=0.5))
+    got = scores(idx, Q.field("text").match_term("a"))
+    assert got[1] == pytest.approx(bm25(tf=2, dl=3, df=2, k1=2.0, b=0.5))
+
+
+def test_custom_scorer_registry(tiny_corpus):
+    from sparksearchengine_spark import Corpus, TextOptions
+    from sparksearchengine_spark.functions.scoring import (
+        ScoringConfig,
+        register_scorer,
+    )
+    import pyspark.sql.functions as F
+
+    register_scorer("const7", lambda tf, dl, df_t, n, avgdl: F.lit(7.0))
+    idx = Corpus(
+        tiny_corpus, id_col="doc_id", text_cols={"text": TextOptions()}
+    ).build_index(scoring=ScoringConfig(similarity="const7"))
+    got = scores(idx, Q.field("text").match_term("a"))
+    assert got == {1: 7.0, 2: 7.0}

@@ -1,0 +1,187 @@
+"""Search execution operators (SURVEY §2.5): top-k, batch search, query
+join, lookups, stats — on the tiny corpus and the sf0.001 documents table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.plans.ast import Q
+
+
+class TestTopK:
+    def test_search_rank_order(self, tiny_index):
+        res = tiny_index.search(Q.field("text").match_term("a"), k=10).collect()
+        assert [r["rank"] for r in res] == [1, 2]
+        assert res[0]["score"] >= res[1]["score"]
+        assert res[0]["doc_id"] == 1  # tf=2 beats tf=1
+
+    def test_k_truncates(self, tiny_index):
+        res = tiny_index.search(Q.field("text").match_any("a", "b", "c"), k=2)
+        assert res.count() == 2
+
+    def test_with_elements(self, tiny_index):
+        res = tiny_index.search(
+            Q.field("text").match_term("a"), k=5, with_elements=True
+        )
+        assert "text" in res.columns and "views" in res.columns
+
+    def test_select_cols_projection(self, tiny_index):
+        res = tiny_index.search(
+            Q.field("text").match_term("a"), k=5, select_cols=["views"]
+        )
+        assert "views" in res.columns and "text" not in res.columns
+
+    def test_aggregating_search_driver_side(self, tiny_index):
+        top = tiny_index.aggregating_search(Q.field("text").match_term("a"), k=5)
+        assert len(top) == 2
+        assert top[0][1] >= top[1][1]
+        assert top[0][0]["doc_id"] == 1
+
+    def test_topk_ties_break_on_doc_id(self, docs_index):
+        res = docs_index.search(Q.all(), k=5).collect()
+        assert [r["doc_id"] for r in res] == sorted(r["doc_id"] for r in res)
+
+
+class TestBatchSearch:
+    def test_per_query_topk(self, spark, tiny_index):
+        qdf = spark.createDataFrame(
+            [(100, "a"), (200, "b c"), (300, "zz")],
+            "query_id long, qtext string",
+        )
+        res = tiny_index.batch_search(qdf, k=2, field="text").collect()
+        by_q = {}
+        for r in res:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert sorted(r["doc_id"] for r in by_q[100]) == [1, 2]
+        assert len(by_q[200]) == 2  # k=2 of 3 matches
+        assert 300 not in by_q  # no hits -> no rows
+        for rows in by_q.values():
+            ranks = sorted(r["rank"] for r in rows)
+            assert ranks == list(range(1, len(rows) + 1))
+
+    def test_per_query_k_col(self, spark, tiny_index):
+        qdf = spark.createDataFrame(
+            [(1, "a b c", 1), (2, "a b c", 3)],
+            "query_id long, qtext string, k int",
+        )
+        res = tiny_index.batch_search(qdf, k=10, field="text", k_col="k")
+        counts = {
+            r["query_id"]: r["n"]
+            for r in res.groupBy("query_id").agg(F.count("*").alias("n")).collect()
+        }
+        assert counts == {1: 1, 2: 3}
+
+    def test_salted_topk_equals_plain(self, spark, docs_index):
+        qdf = spark.createDataFrame(
+            [(i, f"doc {i}") for i in range(5)], "query_id long, qtext string"
+        )
+        plain = docs_index.batch_search(qdf, k=5, field="text")
+        salted = docs_index.batch_search(qdf, k=5, field="text", salt_buckets=4)
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, salted.collect())
+        )
+
+
+class TestQueryJoin:
+    def test_self_join_finds_self(self, docs_df, docs_index):
+        sample = docs_df.where(F.col("doc_id") < 5)
+        res = docs_index.query_join(
+            sample, text_col="text", field="text", k=10, other_id_col="doc_id"
+        )
+        rows = res.select("doc_id", "match_doc_id", "rank").collect()
+        by_q: dict = {}
+        for r in rows:
+            by_q.setdefault(r["doc_id"], []).append(r)
+        assert set(by_q) == {0, 1, 2, 3, 4}
+        for qid, matches in by_q.items():
+            # a doc matches every one of its own terms, so it must appear;
+            # it need not be rank 1 (the corpus has near-duplicates whose
+            # higher tf on rare terms legitimately out-scores the original)
+            assert qid in {m["match_doc_id"] for m in matches}
+            assert sorted(m["rank"] for m in matches) == list(
+                range(1, len(matches) + 1)
+            )
+
+    def test_rows_without_matches_kept(self, spark, tiny_index):
+        other = spark.createDataFrame(
+            [(1, "a"), (2, "zz qq")], "id long, t string"
+        )
+        res = tiny_index.query_join(
+            other, text_col="t", field="text", k=2, other_id_col="id"
+        )
+        no_match = res.where(F.col("id") == 2).collect()
+        assert len(no_match) == 1 and no_match[0]["match_doc_id"] is None
+
+    def test_require_all(self, spark, tiny_index):
+        other = spark.createDataFrame([(1, "a b")], "id long, t string")
+        res = tiny_index.query_join(
+            other, text_col="t", field="text", k=5,
+            other_id_col="id", require_all=True,
+        )
+        assert sorted(r["match_doc_id"] for r in res.collect()) == [1]
+
+    def test_collect_matches_nested_shape(self, spark, tiny_index):
+        from sparksearchengine_spark.operators.search import collect_matches
+
+        other = spark.createDataFrame([(1, "a")], "id long, t string")
+        res = tiny_index.query_join(
+            other, text_col="t", field="text", k=5, other_id_col="id"
+        )
+        nested = collect_matches(res, ["id"]).collect()
+        assert len(nested) == 1
+        assert [m["match_doc_id"] for m in nested[0]["matches"]] == [1, 2]
+
+
+class TestLookups:
+    def test_get_element(self, tiny_index):
+        from sparksearchengine_spark.operators.search import get_element
+
+        row = get_element(tiny_index, 2)
+        assert row is not None and row["views"] == 20
+        assert get_element(tiny_index, 999) is None
+
+    def test_get_elements_bulk_with_missing(self, tiny_index):
+        res = tiny_index.get_elements([1, 3, 999]).collect()
+        by_id = {r["requested_id"]: r for r in res}
+        assert set(by_id) == {1, 3, 999}
+        assert by_id[1]["views"] == 10
+        assert by_id[999]["text"] is None  # missing -> NULL columns
+
+
+class TestStats:
+    def test_doc_counts(self, tiny_index):
+        rows = tiny_index.doc_counts().collect()
+        assert {r["field"]: r["doc_count"] for r in rows} == {"text": 3}
+
+    def test_term_counts(self, tiny_index):
+        rows = tiny_index.term_counts().collect()
+        got = {r["term"]: (r["total_tf"], r["df_t"]) for r in rows}
+        assert got == {"a": (3, 2), "b": (3, 2), "c": (3, 2)}
+
+    def test_indices_info(self, tiny_index):
+        info = tiny_index.indices_info()
+        assert info["num_terms"] == 3
+        assert info["num_postings"] == 6  # distinct (doc, term) pairs
+        assert info["fields"]["text"]["doc_count"] == 3
+
+
+class TestPersistence:
+    def test_save_load_roundtrip(self, tmp_path, tiny_corpus, tiny_index):
+        from sparksearchengine_spark import SearchIndex
+
+        path = str(tmp_path / "idx")
+        tiny_index.save(path)
+        loaded = SearchIndex.load(
+            tiny_corpus.sparkSession, path, tiny_corpus
+        )
+        orig = tiny_index.search(Q.field("text").match_term("a"), k=5).collect()
+        got = loaded.search(Q.field("text").match_term("a"), k=5).collect()
+        assert sorted(map(tuple, orig)) == sorted(map(tuple, got))
+
+    def test_bucket_by_term_same_results(self, tiny_index):
+        b = tiny_index.bucket_by_term(2)
+        q = Q.field("text").match_any("a", "c")
+        assert sorted(map(tuple, b.search(q, k=5).collect())) == sorted(
+            map(tuple, tiny_index.search(q, k=5).collect())
+        )
