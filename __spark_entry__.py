@@ -383,6 +383,56 @@ def _lang_id(spark, sf):
     return lang_id(docs, text_col="text", id_col="doc_id")
 
 
+def _token_stats(spark, sf):
+    from sparksearchengine_spark.operators.textstats import token_stats
+
+    docs = _read(spark, sf, "documents")
+    return token_stats(docs, text_col="text", id_col="doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+    )
+
+
+def _doc_winnow(spark, sf):
+    """Winnowing rolling-hash fingerprint (xxhash64-based; rows-only)."""
+    from sparksearchengine_spark.operators.textstats import rolling_hash_fingerprint
+
+    docs = _read(spark, sf, "documents")
+    return rolling_hash_fingerprint(docs, text_col="text", id_col="doc_id")
+
+
+def _mm_image_features(spark, sf):
+    """Multimodal plumbing: binary column -> mapInPandas feature extraction
+    (deterministic fake codec; sha-based => rows-only check)."""
+    from sparksearchengine_spark.operators.multimodal import image_features
+
+    docs = _read(spark, sf, "documents")
+    media = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
+    feats = image_features(media, dim=16, codec="fake")
+    return feats.select(
+        "doc_id", F.round(F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x.cast("double")
+        ), 6).alias("emb_sum"))
+
+
+def _events_sessionize(spark, sf):
+    from sparksearchengine_spark.streaming import sessionize
+
+    ev = _read_events(spark, sf)
+    # ts arrives as nanos-since-epoch long; truncate to micros = DuckDB's
+    # TIMESTAMP precision so both engines sessionize identical instants
+    ev = ev.withColumn("ts_t", F.timestamp_micros(F.expr("ts DIV 1000")))
+    s = sessionize(ev, ts_col="ts_t", key_col="user_id", gap="30 minutes")
+    return s.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )
+
+
 def _events_hourly(spark, sf):
     ev = _read_events(spark, sf)
     hour = F.expr("ts DIV 3600000000000").alias("hour_bucket")
@@ -423,6 +473,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _doc_fingerprint,
         "lang_id": _lang_id,
         "events_hourly": _events_hourly,
+        "token_stats": _token_stats,
+        "doc_winnow": _doc_winnow,
+        "mm_image_features": _mm_image_features,
+        "events_sessionize": _events_sessionize,
     }
 
 
@@ -641,6 +695,45 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(string_split_regex(lower(coalesce(text, '')),
                                  '[^a-z0-9]+'), t -> t <> ''), ' ')) AS fp_md5
             FROM documents""",
+        "token_stats": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+                   round(
+                     list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
+                     / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS avg_token_len
+            FROM t""",
+        "events_sessionize": """
+            WITH lagged AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+              FROM events
+            ),
+            marked AS (
+              SELECT user_id, ts,
+                     CASE WHEN prev_ts IS NULL
+                               OR ts - prev_ts >= INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS new_s
+              FROM lagged
+            ),
+            grouped AS (
+              SELECT user_id, ts,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT user_id,
+                   CAST(epoch_us(min(ts)) AS BIGINT) AS session_start_us,
+                   CAST(epoch_us(max(ts) + INTERVAL 30 MINUTE) AS BIGINT)
+                     AS session_end_us,
+                   count(*) AS n_events
+            FROM grouped GROUP BY user_id, sid""",
         "events_hourly": """
             SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
                    event_type,
@@ -649,7 +742,9 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 6) AS max_value
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2""",
-        # dedup_minhash_lsh, dedup_simhash, emb_lsh_topk, lang_id:
+        # dedup_minhash_lsh, dedup_simhash, emb_lsh_topk, lang_id,
+        # doc_winnow, mm_image_features:
         # intentionally omitted -> driver's weaker rows-only check
-        # (xxhash64 / LSH bucketing has no DuckDB equivalent).
+        # (xxhash64 / LSH bucketing / sha-based fake codec has no DuckDB
+        # equivalent).
     }

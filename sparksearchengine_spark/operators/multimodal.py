@@ -1,0 +1,336 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed metadata.
+
+Beyond the reference's text-only scope (SURVEY §2.9): a 100 TB training
+pipeline carries media columns. Design:
+
+* media is an opaque ``binary`` column plus a typed metadata struct —
+  Parquet stores binaries page-compressed, and metadata predicates
+  (mime, width, duration) push down WITHOUT touching the bytes;
+* decode / resize / frame-sample / feature-extract run as Arrow-batched
+  ``mapInPandas`` stages — one Python worker per partition, bytes never
+  pass through the driver;
+* the actual codec step is environment-dependent (PIL/ffmpeg are not in
+  this container), so decoding is STUBBED: ``codec="fake"`` is a
+  deterministic bytes->array expansion used by tests, ``codec="real"``
+  raises NotImplementedError at the exact seam where PIL/soundfile/ffmpeg
+  plug in. The Spark-side plumbing — schemas, batch iteration, partition
+  behavior — is real and tested either way.
+
+Per-modality metadata schema (nullable where not applicable):
+
+    media_meta: struct<mime string, width int, height int, n_channels int,
+                       sample_rate int, duration_ms bigint, n_frames int>
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_META_SCHEMA = StructType(
+    [
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def media_meta_expr(
+    mime: Column,
+    width: Column | None = None,
+    height: Column | None = None,
+    n_channels: Column | None = None,
+    sample_rate: Column | None = None,
+    duration_ms: Column | None = None,
+    n_frames: Column | None = None,
+) -> Column:
+    """Build the typed metadata struct from whatever is known."""
+    null_i = F.lit(None).cast("int")
+    return F.struct(
+        mime.alias("mime"),
+        (width if width is not None else null_i).alias("width"),
+        (height if height is not None else null_i).alias("height"),
+        (n_channels if n_channels is not None else null_i).alias("n_channels"),
+        (sample_rate if sample_rate is not None else null_i).alias("sample_rate"),
+        (
+            duration_ms if duration_ms is not None else F.lit(None).cast("bigint")
+        ).alias("duration_ms"),
+        (n_frames if n_frames is not None else null_i).alias("n_frames"),
+    )
+
+
+def read_media_dir(spark, path: str, mime: str = "application/octet-stream") -> DataFrame:
+    """Binary-file source: (doc_id, content binary, media_meta).
+
+    ``binaryFile`` is Spark's built-in scale path for blob ingestion
+    (splittable listing, per-file rows); doc_id = xxhash of the path so ids
+    are stable across re-reads (unlike monotonically_increasing_id)."""
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select(
+        F.xxhash64(F.col("path")).alias("doc_id"),
+        F.col("path"),
+        F.col("content"),
+        media_meta_expr(F.lit(mime)).alias("media_meta"),
+    )
+
+
+# --------------------------------------------------------------------------
+# the codec seam: one function per modality, stubbed
+# --------------------------------------------------------------------------
+
+
+def _fake_decode(content: bytes, n: int) -> list[float]:
+    """Deterministic bytes -> n floats in [0,1): repeated sha256 expansion.
+    Stands in for a real pixel/sample decode in tests."""
+    out: list[float] = []
+    seed = hashlib.sha256(content or b"").digest()
+    block = seed
+    while len(out) < n:
+        block = hashlib.sha256(block).digest()
+        out.extend(b / 256.0 for b in block)
+    return out[:n]
+
+
+def _decode_image_bytes(content: bytes, codec: str) -> tuple[int, int, int, list[float]]:
+    """-> (width, height, n_channels, flat pixels). The 'real' branch is the
+    seam where PIL/opencv goes (not installed in this container)."""
+    if codec == "fake":
+        w, h, c = 8, 8, 3
+        return w, h, c, _fake_decode(content, w * h * c)
+    raise NotImplementedError(
+        "real image decoding requires PIL/opencv (not available in this "
+        "environment); pass codec='fake' for the deterministic test codec"
+    )
+
+
+def _decode_audio_bytes(content: bytes, codec: str) -> tuple[int, int, list[float]]:
+    """-> (sample_rate, n_samples, samples)."""
+    if codec == "fake":
+        sr, n = 16000, 64
+        return sr, n, [x * 2.0 - 1.0 for x in _fake_decode(content, n)]
+    raise NotImplementedError(
+        "real audio decoding requires soundfile/librosa (not available); "
+        "pass codec='fake' for the deterministic test codec"
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark-side operators (real plumbing, batched, distributed)
+# --------------------------------------------------------------------------
+
+_IMG_DECODE_SCHEMA = "doc_id bigint, width int, height int, n_channels int, pixels array<float>"
+
+
+def decode_images(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    codec: str = "fake",
+) -> DataFrame:
+    """Decode image bytes -> (doc_id, width, height, n_channels, pixels).
+
+    mapInPandas: each Arrow batch of (id, bytes) rows is decoded in one
+    Python worker call; partitioning is inherited from the input (no
+    shuffle). Flat ``pixels`` + dims rather than nested arrays keeps the
+    Arrow transfer a single contiguous buffer per row.
+    """
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, content in zip(pdf[id_col], pdf[content_col]):
+                w, h, c, px = _decode_image_bytes(bytes(content or b""), codec)
+                rows.append((int(did), w, h, c, px))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_channels", "pixels"]
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        decode, schema=_IMG_DECODE_SCHEMA
+    )
+
+
+def resize_images(
+    decoded: DataFrame, width: int, height: int
+) -> DataFrame:
+    """Nearest-neighbor resize over decoded pixel rows (pure pandas/numpy in
+    mapInPandas — no image library needed once pixels exist)."""
+
+    def resize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                c = int(r.n_channels)
+                arr = np.asarray(r.pixels, dtype=np.float32).reshape(
+                    int(r.height), int(r.width), c
+                )
+                ys = (np.arange(height) * r.height // height).astype(int)
+                xs = (np.arange(width) * r.width // width).astype(int)
+                out = arr[np.ix_(ys, xs)]
+                rows.append((int(r.doc_id), width, height, c, out.ravel().tolist()))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_channels", "pixels"]
+            )
+
+    return decoded.mapInPandas(resize, schema=_IMG_DECODE_SCHEMA)
+
+
+def image_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    dim: int = 32,
+    codec: str = "fake",
+) -> DataFrame:
+    """(doc_id, embedding array<float>) — decode + pool in one pass.
+
+    The embedding is a channel-wise mean/std pool over decoded pixels (a
+    stand-in for a CNN/CLIP forward; swap the pool for a model call at the
+    same seam). Output feeds operators/similarity.py directly.
+    """
+
+    def featurize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, embs = [], []
+            for did, content in zip(pdf[id_col], pdf[content_col]):
+                w, h, c, px = _decode_image_bytes(bytes(content or b""), codec)
+                arr = np.asarray(px, dtype=np.float32).reshape(h, w, c)
+                pooled: list[float] = []
+                # per-channel mean/std + coarse 2x2 spatial means, tiled to dim
+                for ch in range(c):
+                    a = arr[:, :, ch]
+                    pooled += [float(a.mean()), float(a.std())]
+                    pooled += [
+                        float(q.mean())
+                        for q in (
+                            a[: h // 2, : w // 2], a[: h // 2, w // 2:],
+                            a[h // 2:, : w // 2], a[h // 2:, w // 2:],
+                        )
+                    ]
+                vec = (pooled * (dim // len(pooled) + 1))[:dim]
+                ids.append(int(did))
+                embs.append(vec)
+            yield pd.DataFrame({"doc_id": ids, "embedding": embs})
+
+    return df.select(id_col, content_col).mapInPandas(
+        featurize,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        ),
+    )
+
+
+def sample_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    every_n: int = 10,
+    codec: str = "fake",
+) -> DataFrame:
+    """Video -> (doc_id, frame_idx, frame_bytes): keep every n-th frame.
+
+    The fake codec treats the binary as a concatenation of fixed 64-byte
+    frames; the real seam is an ffmpeg/pyav demux loop with identical batch
+    shape. One input row fans out to many output rows (mapInPandas handles
+    1->N naturally; a row-at-a-time UDF could not).
+    """
+
+    def sample(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        frame_size = 64
+        for pdf in batches:
+            rows = []
+            for did, content in zip(pdf[id_col], pdf[content_col]):
+                if codec != "fake":
+                    raise NotImplementedError(
+                        "real video demux requires ffmpeg/pyav; "
+                        "pass codec='fake'"
+                    )
+                data = bytes(content or b"")
+                n_frames = max(len(data) // frame_size, 0)
+                for i in range(0, n_frames, every_n):
+                    rows.append(
+                        (int(did), i, data[i * frame_size:(i + 1) * frame_size])
+                    )
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
+
+    return df.select(id_col, content_col).mapInPandas(
+        sample,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("frame_idx", IntegerType()),
+                StructField("frame_bytes", BinaryType()),
+            ]
+        ),
+    )
+
+
+def audio_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    n_bands: int = 16,
+    codec: str = "fake",
+) -> DataFrame:
+    """(doc_id, sample_rate, duration_ms, embedding): banded RMS energies
+    over decoded samples (stand-in for a mel filterbank)."""
+
+    def featurize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for did, content in zip(pdf[id_col], pdf[content_col]):
+                sr, n, samples = _decode_audio_bytes(bytes(content or b""), codec)
+                a = np.asarray(samples, dtype=np.float32)
+                bands = np.array_split(a, n_bands)
+                emb = [float(np.sqrt((b**2).mean())) if b.size else 0.0 for b in bands]
+                rows.append((int(did), sr, int(n * 1000 / sr), emb))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "duration_ms", "embedding"],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(
+        featurize,
+        schema=StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("sample_rate", IntegerType()),
+                StructField("duration_ms", LongType()),
+                StructField("embedding", ArrayType(FloatType())),
+            ]
+        ),
+    )

@@ -1,0 +1,19 @@
+"""Structured Streaming surface (north-star; the reference has none)."""
+
+from sparksearchengine_spark.streaming.stream import (
+    incremental_index,
+    load_incremental_index,
+    read_document_stream,
+    sessionize,
+    stream_postings,
+    windowed_event_counts,
+)
+
+__all__ = [
+    "incremental_index",
+    "load_incremental_index",
+    "read_document_stream",
+    "sessionize",
+    "stream_postings",
+    "windowed_event_counts",
+]

@@ -1,0 +1,200 @@
+"""Structured Streaming operators: streaming ingest, windowed aggregation,
+sessionization, and incremental index maintenance.
+
+The reference predates Structured Streaming entirely (Spark 1.6; SURVEY
+§2.9 "Streaming: none"), so this module is pure north-star surface. Design
+rules at 100 TB:
+
+* sources are file streams (``readStream.format("parquet")``) or any
+  rate/kafka-style source the deployment provides — everything downstream
+  is source-agnostic;
+* event-time windows always carry a watermark so state is bounded;
+* sessionization uses the built-in ``session_window`` (JVM state store) —
+  no Python-state operator needed for gap sessions;
+* incremental indexing appends per-batch postings via ``foreachBatch``:
+  the batch-side tokenize/explode/aggregate is EXACTLY the batch index
+  build (same code path), so streamed and batch-built postings are
+  bit-identical for the same rows. Global stats (df_t, avgdl) are NOT
+  maintained per-microbatch (a streaming global aggregate would rewrite
+  the whole stats table every batch); they are recomputed lazily from the
+  postings table at query time — the classic refresh-on-read tradeoff.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from sparksearchengine_spark.functions.analyzers import analyzer_expr
+
+
+def read_document_stream(
+    spark, path: str, schema: str = "doc_id bigint, text string"
+) -> DataFrame:
+    """File-based document stream: new parquet files under ``path`` become
+    micro-batches. The scale path for continuous corpus ingestion."""
+    return spark.readStream.format("parquet").schema(schema).load(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window counts with bounded state.
+
+    (window_start, window_end, key, cnt, sum_value?) — late rows beyond the
+    watermark are dropped by the state store, so executor state is
+    O(windows-in-flight × keys), independent of stream length.
+    """
+    agg_cols = [F.count(F.lit(1)).alias("cnt")]
+    if "value" in events.columns:
+        agg_cols.append(F.sum("value").alias("sum_value"))
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), F.col(key_col))
+        .agg(*agg_cols)
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            key_col,
+            *[c for c in ("cnt", "sum_value") if c == "cnt" or "value" in events.columns],
+        )
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessions via the built-in ``session_window`` — merges
+    events per key whose gaps are < ``gap`` into one growing window.
+    (key, session_start, session_end, n_events). Works identically on a
+    batch DataFrame (no watermark needed there), which is how the tests
+    and the DuckDB oracle check it.
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col(key_col),
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stream_postings(
+    docs_stream: DataFrame,
+    field: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "simple",
+    positions: bool = True,
+) -> DataFrame:
+    """Tokenize a document stream into per-batch postings rows — the
+    streaming half of ``Corpus.build_index`` (same expressions, same
+    output schema: field, term, doc_id, tf, dl, positions)."""
+    toks = F.coalesce(
+        analyzer_expr(F.col(field), analyzer), F.array().cast("array<string>")
+    )
+    exploded = docs_stream.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(toks).alias("dl"),
+        F.posexplode(toks).alias("pos", "term"),
+    )
+    agg_cols = [
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.first("dl").cast("long").alias("dl"),
+        (
+            F.sort_array(F.collect_list("pos")).alias("positions")
+            if positions
+            else F.lit(None).cast("array<int>").alias("positions")
+        ),
+    ]
+    return (
+        exploded.groupBy("doc_id", "term")
+        .agg(*agg_cols)
+        .select(
+            F.lit(field).alias("field"), "term", "doc_id", "tf", "dl", "positions"
+        )
+    )
+
+
+def incremental_index(
+    docs_stream: DataFrame,
+    index_path: str,
+    field: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "simple",
+    positions: bool = True,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain a postings table from a document stream.
+
+    foreachBatch rather than a streaming aggregation: per-batch postings
+    are complete for that batch's docs (a doc arrives whole in one file),
+    so an append-only parquet write is exact — no state store, no update
+    mode, scales linearly. Exactly-once comes from the checkpoint +
+    idempotent-per-batch append contract of foreachBatch.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        p = stream_postings(
+            batch_df, field=field, id_col=id_col,
+            analyzer=analyzer, positions=positions,
+        )
+        p.write.mode("append").parquet(f"{index_path}/postings")
+
+    writer = docs_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint or f"{index_path}/_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def load_incremental_index(spark, index_path: str, corpus_df: DataFrame,
+                           id_col: str = "doc_id", field: str = "text",
+                           analyzer: str = "simple"):
+    """Open a streamed postings table as a queryable SearchIndex, computing
+    global stats on read (see module docstring for the tradeoff)."""
+    from sparksearchengine_spark.functions.analyzers import TextOptions
+    from sparksearchengine_spark.functions.scoring import ScoringConfig
+    from sparksearchengine_spark.operators.index import (
+        Corpus,
+        FieldStats,
+        SearchIndex,
+    )
+
+    postings = spark.read.parquet(f"{index_path}/postings")
+    termstats = postings.groupBy("field", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_t")
+    )
+    stats_rows = (
+        postings.select("field", "doc_id", "dl").distinct()
+        .groupBy("field")
+        .agg(F.count(F.lit(1)).alias("doc_count"), F.avg("dl").alias("avgdl"))
+        .collect()
+    )
+    fieldstats = {
+        r["field"]: FieldStats(int(r["doc_count"]), float(r["avgdl"]))
+        for r in stats_rows
+    }
+    corpus = Corpus(
+        corpus_df, id_col=id_col, text_cols={field: TextOptions(analyzer=analyzer)}
+    )
+    return SearchIndex(
+        corpus=corpus, postings=postings, termstats=termstats,
+        fieldstats=fieldstats, scoring=ScoringConfig(),
+    )

@@ -1,0 +1,125 @@
+"""Sources: Wikipedia XML dump parsing (S1) + corpus parquet round-trip (S2)."""
+
+from __future__ import annotations
+
+import textwrap
+
+
+DUMP = textwrap.dedent(
+    """\
+    <mediawiki xmlns="http://www.mediawiki.org/xml/export-0.10/">
+      <siteinfo><sitename>Wikipedia</sitename></siteinfo>
+      <page>
+        <title>Island</title>
+        <ns>0</ns>
+        <id>1</id>
+        <revision>
+          <id>100</id>
+          <text xml:space="preserve">An '''island''' is land surrounded by [[water|the sea]]. {{cite book}}</text>
+        </revision>
+      </page>
+      <page>
+        <title>Isle</title>
+        <ns>0</ns>
+        <id>2</id>
+        <redirect title="Island" />
+        <revision>
+          <id>101</id>
+          <text xml:space="preserve">#REDIRECT [[Island]]</text>
+        </revision>
+      </page>
+      <page>
+        <title>Sea</title>
+        <ns>0</ns>
+        <id>3</id>
+        <revision>
+          <id>102</id>
+          <text xml:space="preserve">The &lt;b&gt;sea&lt;/b&gt; connects here.
+    == Oceans ==
+    More text.</text>
+        </revision>
+      </page>
+    </mediawiki>
+    """
+)
+
+
+def _write_dump(tmp_path) -> str:
+    p = tmp_path / "dump.xml"
+    p.write_text(DUMP)
+    return str(p)
+
+
+class TestWikipediaSource:
+    def test_pages_extracted_redirects_dropped(self, spark, tmp_path):
+        from sparksearchengine_spark.sources import read_wikipedia_dump
+
+        df = read_wikipedia_dump(spark, _write_dump(tmp_path))
+        rows = {r["title"]: r["text"] for r in df.collect()}
+        assert set(rows) == {"Island", "Sea"}  # redirect "Isle" dropped
+        assert "island" in rows["Island"].lower()
+
+    def test_keep_redirects(self, spark, tmp_path):
+        from sparksearchengine_spark.sources import read_wikipedia_dump
+
+        df = read_wikipedia_dump(spark, _write_dump(tmp_path), keep_redirects=True)
+        assert df.count() == 3
+
+    def test_markup_stripped(self, spark, tmp_path):
+        from sparksearchengine_spark.sources import read_wikipedia_dump
+
+        df = read_wikipedia_dump(spark, _write_dump(tmp_path), strip_markup=True)
+        rows = {r["title"]: r["text"] for r in df.collect()}
+        island = rows["Island"]
+        assert "'''" not in island and "[[" not in island and "{{" not in island
+        assert "the sea" in island  # link label kept
+        sea = rows["Sea"]
+        assert "<b>" not in sea and "==" not in sea
+
+    def test_indexable_end_to_end(self, spark, tmp_path):
+        """Reference example flow: parse dump -> index -> term query."""
+        from pyspark.sql import functions as F
+
+        from sparksearchengine_spark import Corpus, Q, TextOptions
+        from sparksearchengine_spark.sources import read_wikipedia_dump
+
+        df = read_wikipedia_dump(spark, _write_dump(tmp_path), strip_markup=True)
+        df = df.withColumn("doc_id", F.xxhash64("title"))
+        idx = Corpus(
+            df, id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="simple")},
+        ).build_index()
+        hits = idx.search(Q.field("text").match_term("island"), k=5,
+                          with_elements=True)
+        assert {r["title"] for r in hits.collect()} == {"Island"}
+
+    def test_fallback_parser_agrees(self, spark, tmp_path):
+        from sparksearchengine_spark.sources.wikipedia import (
+            _read_dump_fallback,
+            read_wikipedia_dump,
+        )
+
+        path = _write_dump(tmp_path)
+        native = {
+            (r["title"], r["text"])
+            for r in read_wikipedia_dump(spark, path).collect()
+        }
+        fallback = {
+            (r["title"], r["text"])
+            for r in _read_dump_fallback(
+                spark, path, strip_markup=False, keep_redirects=False
+            ).collect()
+        }
+        assert native == fallback
+
+
+class TestCorpusRoundTrip:
+    def test_save_load(self, spark, tmp_path, tiny_corpus):
+        from sparksearchengine_spark.sources import load_corpus, save_corpus
+
+        path = str(tmp_path / "corpus")
+        save_corpus(tiny_corpus, path)
+        back = load_corpus(spark, path)
+        assert sorted(map(tuple, back.collect())) == sorted(
+            map(tuple, tiny_corpus.collect())
+        )

@@ -1,0 +1,137 @@
+"""Structured Streaming: windowed aggregation with watermark, session
+windows, and incremental index maintenance via foreachBatch."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def doc_stream_dir(spark, tmp_path):
+    """Two parquet 'arrivals' under one stream directory."""
+    d = str(tmp_path / "stream_in")
+    spark.createDataFrame(
+        [(1, "a b a"), (2, "a c")], "doc_id long, text string"
+    ).write.mode("append").parquet(d)
+    spark.createDataFrame(
+        [(3, "b b c c")], "doc_id long, text string"
+    ).write.mode("append").parquet(d)
+    return d
+
+
+class TestIncrementalIndex:
+    def test_streamed_postings_match_batch_build(
+        self, spark, tmp_path, doc_stream_dir, tiny_corpus, tiny_index
+    ):
+        from sparksearchengine_spark.streaming import (
+            incremental_index,
+            load_incremental_index,
+            read_document_stream,
+        )
+
+        idx_path = str(tmp_path / "idx")
+        stream = read_document_stream(spark, doc_stream_dir)
+        assert stream.isStreaming
+        q = incremental_index(stream, idx_path)
+        q.awaitTermination(120)
+
+        # the streamed postings equal the batch build over the same rows
+        batch_postings = {
+            (r["term"], r["doc_id"], r["tf"], r["dl"], tuple(r["positions"]))
+            for r in tiny_index.postings.collect()
+        }
+        streamed = spark.read.parquet(f"{idx_path}/postings")
+        got = {
+            (r["term"], r["doc_id"], r["tf"], r["dl"], tuple(r["positions"]))
+            for r in streamed.collect()
+        }
+        assert got == batch_postings
+
+        # and the loaded index answers queries like the batch one
+        from sparksearchengine_spark import Q
+
+        loaded = load_incremental_index(spark, idx_path, tiny_corpus)
+        a = tiny_index.search(Q.field("text").match_term("a"), k=5).collect()
+        b = loaded.search(Q.field("text").match_term("a"), k=5).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestWindowedAggregation:
+    def test_tumbling_counts_batch_parity(self, spark):
+        from sparksearchengine_spark.streaming import windowed_event_counts
+
+        events = spark.createDataFrame(
+            [
+                ("2024-01-01 00:10:00", "click", 1.0),
+                ("2024-01-01 00:50:00", "click", 2.0),
+                ("2024-01-01 01:10:00", "view", 3.0),
+            ],
+            "ts_s string, event_type string, value double",
+        ).select(F.col("ts_s").cast("timestamp").alias("ts"), "event_type", "value")
+        out = windowed_event_counts(events, window="1 hour").collect()
+        got = {
+            (str(r["window_start"]), r["event_type"]): (r["cnt"], r["sum_value"])
+            for r in out
+        }
+        assert got == {
+            ("2024-01-01 00:00:00", "click"): (2, 3.0),
+            ("2024-01-01 01:00:00", "view"): (1, 3.0),
+        }
+
+    def test_streaming_windowed_counts(self, spark, tmp_path):
+        from sparksearchengine_spark.streaming import windowed_event_counts
+
+        d = str(tmp_path / "ev_in")
+        spark.createDataFrame(
+            [
+                ("2024-01-01 00:10:00", "click"),
+                ("2024-01-01 00:20:00", "click"),
+                ("2024-01-01 01:05:00", "view"),
+            ],
+            "ts_s string, event_type string",
+        ).select(
+            F.col("ts_s").cast("timestamp").alias("ts"), "event_type"
+        ).write.parquet(d)
+
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("ts timestamp, event_type string")
+            .load(d)
+        )
+        agg = windowed_event_counts(stream, window="1 hour")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from win_counts").collect()
+        got = {(str(r["window_start"]), r["event_type"]): r["cnt"] for r in rows}
+        assert got == {
+            ("2024-01-01 00:00:00", "click"): 2,
+            ("2024-01-01 01:00:00", "view"): 1,
+        }
+
+
+class TestSessionization:
+    def test_gap_sessions(self, spark):
+        from sparksearchengine_spark.streaming import sessionize
+
+        events = spark.createDataFrame(
+            [
+                ("2024-01-01 00:00:00", 1),
+                ("2024-01-01 00:10:00", 1),   # same session (gap 10m < 30m)
+                ("2024-01-01 01:00:00", 1),   # new session (gap 50m)
+                ("2024-01-01 00:05:00", 2),
+            ],
+            "ts_s string, user_id int",
+        ).select(F.col("ts_s").cast("timestamp").alias("ts"), "user_id")
+        out = sessionize(events, gap="30 minutes").collect()
+        per_user: dict = {}
+        for r in out:
+            per_user.setdefault(r["user_id"], []).append(r["n_events"])
+        assert sorted(per_user[1]) == [1, 2]
+        assert per_user[2] == [1]
