@@ -137,30 +137,40 @@ def ngram_jaccard_join(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    return _verify_jaccard(cand, grams, threshold)
 
-    # verify: intersection size via keyed joins (no cross product)
-    ga = grams.select(F.col("id").alias("id_a"), "gram")
-    gb = grams.select(F.col("id").alias("id_b"), "gram")
-    inter = (
-        cand.join(ga, "id_a")
-        .join(gb, ["id_b", "gram"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+
+def _verify_jaccard(
+    cand: DataFrame, grams: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs.
+
+    Grams are folded to ONE sorted array row per doc, then intersections
+    are per-row ``array_intersect`` after two keyed joins — candidates
+    never explode back to per-gram rows (the naive verify joins
+    |cand| x |grams/doc| rows; this joins |cand| rows, ~grams/doc cheaper
+    at any scale).
+    """
+    gram_arrays = grams.groupBy("id").agg(
+        F.array_sort(F.collect_set("gram")).alias("gs")
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    out = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+    a = gram_arrays.select(
+        F.col("id").alias("id_a"), F.col("gs").alias("gs_a")
+    )
+    b = gram_arrays.select(
+        F.col("id").alias("id_b"), F.col("gs").alias("gs_b")
+    )
+    inter = F.size(F.array_intersect("gs_a", "gs_b"))
+    union = F.size("gs_a") + F.size("gs_b") - inter
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
         .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+            "jaccard", inter.cast("double") / union.cast("double")
         )
         .where(F.col("jaccard") >= float(threshold))
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 def minhash_signatures(
@@ -239,30 +249,8 @@ def minhash_lsh_dedup(
     candidates)."""
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, analyzer)
     cand = minhash_lsh_candidates(sigs, num_hashes, bands)
-
-    grams = _ngram_df(df, id_col, text_col, n, analyzer).distinct().persist()
-    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
-    ga = grams.select(F.col("id").alias("id_a"), "gram")
-    gb = grams.select(F.col("id").alias("id_b"), "gram")
-    inter = (
-        cand.join(ga, "id_a")
-        .join(gb, ["id_b", "gram"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
-        )
-        .where(F.col("jaccard") >= float(threshold))
-        .select("id_a", "id_b", "jaccard")
-    )
+    grams = _ngram_df(df, id_col, text_col, n, analyzer).distinct()
+    return _verify_jaccard(cand, grams, threshold)
 
 
 def simhash(

@@ -99,7 +99,16 @@ class Corpus:
                 F.col(self.id_col).cast("long").alias(DOC_ID),
                 F.coalesce(toks, F.array().cast("array<string>")).alias("_toks"),
             )
-            exploded = base.select(
+            # repartition by doc_id BEFORE the tf-groupBy: HashPartitioning
+            # (doc_id) satisfies ClusteredDistribution(doc_id, term), so the
+            # aggregate itself adds no exchange — same single build shuffle,
+            # but postings come out doc_id-partitioned. That layout makes the
+            # (query_id, doc_id) score aggregation in query_join/batch_search
+            # shuffle-free (partitioning by a subset of the grouping keys),
+            # which is the difference between shuffling the raw term-match
+            # rows (~20x postings size for broad queries) and shuffling only
+            # final top-k candidates. Measured 4x on the sf0.1 query-join.
+            exploded = base.repartition(DOC_ID).select(
                 DOC_ID,
                 F.size("_toks").alias("dl"),
                 F.posexplode("_toks").alias("pos", "term"),

@@ -262,7 +262,10 @@ def query_join(
     p = index.postings.where(F.col("field") == field)
     ts = index.termstats.where(F.col("field") == field).select("term", "df_t")
 
-    joined = qterms.join(p, "term").join(F.broadcast(ts), "term")
+    # qterms is |other| x ~terms-per-row — broadcast it so the (large)
+    # postings side never shuffles for this join and keeps its doc_id
+    # partitioning, which the groupBy below then reuses (no exchange).
+    joined = p.join(F.broadcast(qterms), "term").join(F.broadcast(ts), "term")
     scored = joined.select(
         "query_id",
         "_nq",
