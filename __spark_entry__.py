@@ -350,6 +350,20 @@ def _emb_lsh_topk(spark, sf):
     )
 
 
+def _emb_ivf_topk(spark, sf):
+    """IVF (KMeans coarse-quantized) ANN (approximate; rows-only check)."""
+    from sparksearchengine_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _read(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < EMB_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = ivf_cosine_topk(emb, queries, k=EMB_K, n_clusters=16, nprobe=4)
+    return res.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
 def _text_quality(spark, sf):
     from sparksearchengine_spark.operators.textstats import quality_metrics
 
@@ -469,6 +483,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "emb_cosine_topk": _emb_cosine_topk,
         "emb_lsh_topk": _emb_lsh_topk,
+        "emb_ivf_topk": _emb_ivf_topk,
         "text_quality": _text_quality,
         "doc_fingerprint": _doc_fingerprint,
         "lang_id": _lang_id,
@@ -742,8 +757,8 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 6) AS max_value
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2""",
-        # dedup_minhash_lsh, dedup_simhash, emb_lsh_topk, lang_id,
-        # doc_winnow, mm_image_features:
+        # dedup_minhash_lsh, dedup_simhash, emb_lsh_topk, emb_ivf_topk,
+        # lang_id, doc_winnow, mm_image_features:
         # intentionally omitted -> driver's weaker rows-only check
         # (xxhash64 / LSH bucketing / sha-based fake codec has no DuckDB
         # equivalent).

@@ -188,6 +188,89 @@ def lsh_cosine_topk(
     ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
+def ivf_cosine_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via IVF (inverted-file) coarse quantization.
+
+    Train a KMeans coarse quantizer (pyspark.ml, fixed seed), partition
+    items by nearest centroid, probe only the ``nprobe`` closest cells per
+    query, re-rank candidates exactly. The standard ANN scale path when
+    buckets are persisted partitioned-by-cell: each query reads
+    nprobe/n_clusters of the corpus instead of all of it.
+
+    Recall < 1 by design (misses items whose cell isn't probed); nprobe =
+    n_clusters degrades gracefully to exact brute force.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    items_f = items.withColumn(
+        "_fvec", array_to_vector(F.col(item_vec).cast("array<double>"))
+    )
+    km = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_fvec", predictionCol="_cell"
+    )
+    model = km.fit(items_f)
+    assigned = model.transform(items_f).select(
+        F.col(item_id).alias("vec_id"),
+        F.col(item_vec).alias("_ivec"),
+        F.col("_cell"),
+    )
+
+    centers = [list(map(float, c)) for c in model.clusterCenters()]
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(v) for v in c]).alias("cvec"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    # nprobe nearest cells per query (queries are the small side; the
+    # query x centroid expansion is |queries| * n_clusters rows)
+    qcells = (
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(query_vec).alias("_qvec"),
+            F.explode(cent_arr).alias("c"),
+        )
+        .select(
+            "query_id",
+            "_qvec",
+            F.col("c.cell").alias("_cell"),
+            cosine_expr(F.col("_qvec"), F.col("c.cvec")).alias("_csim"),
+        )
+    )
+    qprobe = topk_per_group(
+        qcells, ["query_id"], [F.col("_csim").desc(), F.col("_cell").asc()],
+        k=nprobe,
+    ).select("query_id", "_qvec", "_cell")
+
+    cand = assigned.join(F.broadcast(qprobe), "_cell")
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        cosine_expr(F.col("_ivec"), F.col("_qvec")).alias("cos_sim"),
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("vec_id").asc()],
+        k=k,
+    ).select("query_id", "vec_id", "cos_sim", "rank")
+
+
 def embedding_neardup(
     items: DataFrame,
     threshold: float = 0.95,

@@ -133,6 +133,39 @@ class TestQueryJoin:
         assert [m["match_doc_id"] for m in nested[0]["matches"]] == [1, 2]
 
 
+class TestPlanShape:
+    """Physical-plan regression guards: the scale properties SURVEY §4
+    promises must be visible in the executed plan, not just fast today."""
+
+    def test_query_join_no_shuffle_before_topk(self, docs_df, docs_index):
+        res = docs_index.query_join(
+            docs_df.limit(10), text_col="text", field="text", k=3,
+            other_id_col="doc_id",
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        # per-query top-k must prune partition-locally before the exchange
+        assert "WindowGroupLimit" in plan
+        # the query side must broadcast (no shuffle of the postings side)
+        assert "BroadcastExchange" in plan
+
+    def test_search_topk_is_take_ordered(self, docs_index):
+        hits = docs_index.compile(Q.field("text").match_term("dup")).orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        ).limit(10)
+        plan = hits._jdf.queryExecution().executedPlan().toString()
+        # orderBy+limit must compile to per-partition top-k + tree merge,
+        # never a global sort
+        assert "TakeOrderedAndProject" in plan
+
+    def test_filter_pushdown_reaches_scan(self, spark):
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        q = li.where(F.col("l_quantity") == 10.0).select("l_orderkey")
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [IsNotNull(l_quantity), EqualTo(l_quantity,10.0)" in plan
+        # column pruning: the scan must not read every column
+        assert "l_comment" not in plan
+
+
 class TestLookups:
     def test_get_element(self, tiny_index):
         from sparksearchengine_spark.operators.search import get_element

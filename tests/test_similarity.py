@@ -1,0 +1,99 @@
+"""Similarity search: brute-force cosine, LSH and IVF approximate variants
+over the sf0.001 embeddings table."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+class TestBruteForce:
+    def test_self_is_top1(self, emb, queries):
+        from sparksearchengine_spark.operators.similarity import cosine_topk
+
+        res = cosine_topk(emb, queries, k=3).collect()
+        top1 = {r["query_id"]: r["vec_id"] for r in res if r["rank"] == 1}
+        assert top1 == {0: 0, 1: 1, 2: 2}
+        for r in res:
+            if r["rank"] == 1:
+                assert r["cos_sim"] == pytest.approx(1.0)
+
+    def test_salted_equals_plain(self, emb, queries):
+        from sparksearchengine_spark.operators.similarity import cosine_topk
+
+        plain = cosine_topk(emb, queries, k=5).collect()
+        salted = cosine_topk(emb, queries, k=5, salt_buckets=4).collect()
+        assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+class TestIVF:
+    def test_full_probe_equals_exact(self, emb, queries):
+        from sparksearchengine_spark.operators.similarity import (
+            cosine_topk,
+            ivf_cosine_topk,
+        )
+
+        exact = cosine_topk(emb, queries, k=5).collect()
+        full = ivf_cosine_topk(
+            emb, queries, k=5, n_clusters=4, nprobe=4
+        ).collect()
+        assert sorted(map(tuple, exact)) == sorted(map(tuple, full))
+
+    def test_partial_probe_finds_self(self, emb, queries):
+        from sparksearchengine_spark.operators.similarity import ivf_cosine_topk
+
+        res = ivf_cosine_topk(
+            emb, queries, k=3, n_clusters=8, nprobe=2
+        ).collect()
+        top1 = {r["query_id"]: r["vec_id"] for r in res if r["rank"] == 1}
+        # a query identical to an item lands in that item's own cell
+        assert top1 == {0: 0, 1: 1, 2: 2}
+
+    def test_deterministic(self, emb, queries):
+        from sparksearchengine_spark.operators.similarity import ivf_cosine_topk
+
+        a = ivf_cosine_topk(emb, queries, k=3, n_clusters=8, nprobe=2).collect()
+        b = ivf_cosine_topk(emb, queries, k=3, n_clusters=8, nprobe=2).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestLSH:
+    def test_results_subset_of_exact_scores(self, emb, queries):
+        from sparksearchengine_spark.operators.similarity import (
+            cosine_topk,
+            lsh_cosine_topk,
+        )
+
+        exact = {
+            (r["query_id"], r["vec_id"]): r["cos_sim"]
+            for r in cosine_topk(emb, queries, k=1000).collect()
+        }
+        approx = lsh_cosine_topk(emb, queries, k=5).collect()
+        for r in approx:  # every approx score must equal the exact score
+            assert exact[(r["query_id"], r["vec_id"])] == pytest.approx(
+                r["cos_sim"]
+            )
+
+
+class TestEmbeddingNearDup:
+    def test_pairs_above_threshold(self, emb):
+        from sparksearchengine_spark.operators.similarity import embedding_neardup
+
+        pairs = embedding_neardup(emb.limit(200), threshold=0.99).collect()
+        for r in pairs:
+            assert r["id_a"] < r["id_b"]
+            assert r["cos_sim"] >= 0.99
