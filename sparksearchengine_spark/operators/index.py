@@ -99,42 +99,51 @@ class Corpus:
                 F.col(self.id_col).cast("long").alias(DOC_ID),
                 F.coalesce(toks, F.array().cast("array<string>")).alias("_toks"),
             )
-            # repartition by doc_id BEFORE the tf-groupBy: HashPartitioning
-            # (doc_id) satisfies ClusteredDistribution(doc_id, term), so the
-            # aggregate itself adds no exchange — same single build shuffle,
-            # but postings come out doc_id-partitioned. That layout makes the
-            # (query_id, doc_id) score aggregation in query_join/batch_search
-            # shuffle-free (partitioning by a subset of the grouping keys),
-            # which is the difference between shuffling the raw term-match
-            # rows (~20x postings size for broad queries) and shuffling only
-            # final top-k candidates. Measured 4x on the sf0.1 query-join.
-            exploded = base.repartition(DOC_ID).select(
-                DOC_ID,
-                F.size("_toks").alias("dl"),
-                F.posexplode("_toks").alias("pos", "term"),
-            )
-            agg_cols = [
-                F.count(F.lit(1)).cast("long").alias("tf"),
-                F.first("dl").cast("long").alias("dl"),
-            ]
+            # Postings are computed PER ROW with higher-order functions:
+            # tf = count of the term in the token array, positions = its
+            # indexes — no explode-then-groupBy, so the only build shuffle
+            # is the cheap pre-tokenize repartition of raw docs by doc_id
+            # (one text row per doc vs ~dl exploded rows). Generate/Project
+            # preserve that partitioning, so postings come out
+            # doc_id-partitioned — which makes the (query_id, doc_id) score
+            # aggregation in query_join/batch_search shuffle-free
+            # (partitioning by a subset of the grouping keys). Measured 4x
+            # on the sf0.1 query-join and ~3x on the positions build vs the
+            # posexplode+collect_list formulation.
+            # Cost note: per-doc work is O(|vocab_doc| * dl) JVM-side; for
+            # pathological dl (book-length docs) cap upstream or split docs.
+            toks_c = F.col("_toks")
             if opts.positions:
-                agg_cols.append(
-                    F.sort_array(F.collect_list("pos")).alias("positions")
+                pos_c = lambda t: F.filter(  # noqa: E731
+                    F.sequence(F.lit(0), F.size(toks_c) - 1),
+                    lambda i: F.element_at(toks_c, i + 1) == t,
                 )
             else:
-                agg_cols.append(
-                    F.lit(None).cast("array<int>").alias("positions")
-                )
+                pos_c = lambda t: F.lit(None).cast("array<int>")  # noqa: E731
+            per_term = F.transform(
+                F.array_distinct(toks_c),
+                lambda t: F.struct(
+                    t.alias("term"),
+                    F.size(F.filter(toks_c, lambda x: x == t))
+                    .cast("long")
+                    .alias("tf"),
+                    pos_c(t).alias("positions"),
+                ),
+            )
             pf = (
-                exploded.groupBy(DOC_ID, "term")
-                .agg(*agg_cols)
+                base.repartition(DOC_ID)
+                .select(
+                    DOC_ID,
+                    F.size(toks_c).cast("long").alias("dl"),
+                    F.explode(per_term).alias("_p"),
+                )
                 .select(
                     F.lit(fname).alias("field"),
-                    F.col("term"),
+                    F.col("_p.term").alias("term"),
                     F.col(DOC_ID),
-                    "tf",
+                    F.col("_p.tf").alias("tf"),
                     "dl",
-                    "positions",
+                    F.col("_p.positions").alias("positions"),
                 )
             )
             per_field.append(pf)
