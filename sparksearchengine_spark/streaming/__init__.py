@@ -4,6 +4,7 @@ from sparksearchengine_spark.streaming.stream import (
     incremental_index,
     load_incremental_index,
     read_document_stream,
+    running_user_stats,
     sessionize,
     stream_postings,
     windowed_event_counts,
@@ -13,6 +14,7 @@ __all__ = [
     "incremental_index",
     "load_incremental_index",
     "read_document_stream",
+    "running_user_stats",
     "sessionize",
     "stream_postings",
     "windowed_event_counts",

@@ -164,6 +164,69 @@ def incremental_index(
     return writer.start()
 
 
+def running_user_stats(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    idle_timeout_ms: int = 3_600_000,
+) -> DataFrame:
+    """Custom stateful operator: per-key running (count, sum, max) that
+    survives across micro-batches, via ``applyInPandasWithState``.
+
+    This is the escape hatch for stateful logic the built-in windowed/
+    session aggregations can't express (here: unbounded running totals
+    with idle-timeout state eviction). State per key is three scalars —
+    O(|keys|) executor memory, partitioned by ``key_col``, so it scales
+    horizontally. Works only on streaming DataFrames (Spark requires a
+    streaming relation for flatMapGroupsWithState).
+
+    Output rows (one per key per batch the key appears in, plus one final
+    row when a key's state times out): (key, n_events, sum_value,
+    max_value, closed).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{key_col} bigint, n_events bigint, sum_value double, "
+        "max_value double, closed boolean"
+    )
+    state_schema = "n bigint, s double, m double"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (k,) = key
+        if state.hasTimedOut:
+            n, s, m = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(k, n, s, m, True)],
+                columns=[key_col, "n_events", "sum_value", "max_value", "closed"],
+            )
+            return
+        n, s, m = state.get if state.exists else (0, 0.0, float("-inf"))
+        for pdf in pdfs:
+            vals = pdf[value_col].dropna()
+            n += len(vals)
+            s += float(vals.sum()) if len(vals) else 0.0
+            m = max(m, float(vals.max())) if len(vals) else m
+        state.update((n, s, m))
+        state.setTimeoutDuration(int(idle_timeout_ms))
+        yield pd.DataFrame(
+            [(k, n, s, m, False)],
+            columns=[key_col, "n_events", "sum_value", "max_value", "closed"],
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def load_incremental_index(spark, index_path: str, corpus_df: DataFrame,
                            id_col: str = "doc_id", field: str = "text",
                            analyzer: str = "simple"):

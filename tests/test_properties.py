@@ -1,0 +1,129 @@
+"""Property-based tests (SURVEY §5.3): algebraic laws of the query DSL
+checked on hypothesis-generated corpora via a pure-Python oracle.
+
+Laws:
+  (a) matchAll(ts) ⊆ matchMin(n, ts) ⊆ matchAny(ts)
+  (b) not(not q) ≡ q on doc-sets
+  (c) top-k of (A ∪ B) == merge of top-k(A), top-k(B) truncated to k
+  (d) compiled doc-sets equal a naive Python evaluation on random corpora
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sparksearchengine_spark.functions.analyzers import tokenize_py
+from sparksearchengine_spark.plans.ast import Q
+
+# small vocabulary => collisions and empty results both happen
+_VOCAB = ["a", "b", "c", "dd", "ee"]
+_doc = st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=8)
+_corpus = st.lists(_doc, min_size=1, max_size=12)
+_terms = st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=3, unique=True)
+
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+def _index_of(spark, corpus: list[list[str]]):
+    from sparksearchengine_spark import Corpus, TextOptions
+
+    df = spark.createDataFrame(
+        [(i, " ".join(doc)) for i, doc in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    return Corpus(
+        df, id_col="doc_id", text_cols={"text": TextOptions()}
+    ).build_index()
+
+
+def _docs(index, query) -> set[int]:
+    return {r["doc_id"] for r in index.compile(query).collect()}
+
+
+class TestContainmentLaws:
+    @settings(**_SETTINGS)
+    @given(corpus=_corpus, terms=_terms)
+    def test_all_subset_min_subset_any(self, spark, corpus, terms):
+        idx = _index_of(spark, corpus)
+        f = Q.field("text")
+        n_min = max(1, len(terms) - 1)
+        s_all = _docs(idx, f.match_all(*terms))
+        s_min = _docs(idx, f.match_min(n_min, *terms))
+        s_any = _docs(idx, f.match_any(*terms))
+        assert s_all <= s_min <= s_any
+        # oracle: naive Python evaluation of matchAny / matchAll
+        toksets = {i: set(doc) for i, doc in enumerate(corpus)}
+        assert s_any == {i for i, ts in toksets.items() if ts & set(terms)}
+        assert s_all == {i for i, ts in toksets.items() if set(terms) <= ts}
+
+    @settings(**_SETTINGS)
+    @given(corpus=_corpus, terms=_terms)
+    def test_double_negation(self, spark, corpus, terms):
+        idx = _index_of(spark, corpus)
+        q = Q.field("text").match_any(*terms)
+        # ~~q ≡ q on doc-sets (scores differ by design: ~ kills scores)
+        assert _docs(idx, ~~q) == _docs(idx, q)
+
+    @settings(**_SETTINGS)
+    @given(corpus=_corpus, terms=_terms)
+    def test_demorgan_on_docsets(self, spark, corpus, terms):
+        idx = _index_of(spark, corpus)
+        t1 = Q.field("text").match_term(terms[0])
+        t2 = Q.field("text").match_term(terms[-1])
+        lhs = _docs(idx, ~(t1 | t2))
+        rhs = _docs(idx, ~t1 & ~t2)
+        assert lhs == rhs
+
+
+class TestTopKMerge:
+    @settings(**_SETTINGS)
+    @given(corpus=_corpus)
+    def test_topk_of_union_is_merge_of_topks(self, spark, corpus):
+        """(c): global top-k over A∪B == top-k of (top-k(A) ++ top-k(B))."""
+        idx = _index_of(spark, corpus)
+        qa = Q.field("text").match_term("a")
+        qb = Q.field("text").match_term("b")
+        k = 3
+
+        def key(r):
+            return (-r["score"], r["doc_id"])
+
+        union = idx.search(qa | qb, k=k).collect()
+        ra = idx.compile(qa).collect()
+        rb = idx.compile(qb).collect()
+        merged: dict[int, float] = {}
+        for r in ra + rb:
+            merged[r["doc_id"]] = merged.get(r["doc_id"], 0.0) + r["score"]
+        expect = sorted(
+            ({"doc_id": d, "score": s} for d, s in merged.items()),
+            key=lambda r: (-r["score"], r["doc_id"]),
+        )[:k]
+        got = sorted(union, key=key)
+        assert [r["doc_id"] for r in got] == [r["doc_id"] for r in expect]
+        for g, e in zip(got, expect):
+            assert g["score"] == pytest.approx(e["score"])
+
+
+class TestAnalyzerProperties:
+    @given(st.text(max_size=60))
+    @settings(max_examples=50, deadline=None)
+    def test_simple_tokens_are_normalized(self, text):
+        toks = tokenize_py(text, "simple")
+        import re
+
+        for t in toks:
+            # the simple analyzer emits exactly ASCII [a-z0-9]+ tokens
+            assert re.fullmatch(r"[a-z0-9]+", t), t
+
+    @given(st.text(max_size=60))
+    @settings(max_examples=50, deadline=None)
+    def test_idempotent_on_own_output(self, text):
+        toks = tokenize_py(text, "simple")
+        again = tokenize_py(" ".join(toks), "simple")
+        assert again == toks

@@ -116,6 +116,43 @@ class TestWindowedAggregation:
         }
 
 
+class TestStatefulOperator:
+    def test_running_user_stats_across_batches(self, spark, tmp_path):
+        from sparksearchengine_spark.streaming import running_user_stats
+
+        d = str(tmp_path / "st_in")
+        spark.createDataFrame(
+            [(1, 10.0), (1, 5.0), (2, 1.0)], "user_id long, value double"
+        ).write.mode("append").parquet(d)
+        spark.createDataFrame(
+            [(1, 7.0)], "user_id long, value double"
+        ).write.mode("append").parquet(d)
+
+        stream = (
+            spark.readStream.format("parquet")
+            .schema("user_id long, value double")
+            .option("maxFilesPerTrigger", "1")  # force multiple batches
+            .load(d)
+        )
+        out = running_user_stats(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("user_stats")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql("select * from user_stats").collect()
+        # the LAST emitted row per user carries the running totals across
+        # all batches: user 1 saw 10+5+7, user 2 saw 1
+        final: dict = {}
+        for r in rows:
+            final[r["user_id"]] = (r["n_events"], r["sum_value"], r["max_value"])
+        assert final[1] == (3, 22.0, 10.0)
+        assert final[2] == (1, 1.0, 1.0)
+
+
 class TestSessionization:
     def test_gap_sessions(self, spark):
         from sparksearchengine_spark.streaming import sessionize
