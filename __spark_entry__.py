@@ -44,6 +44,7 @@ QC13_IDS = (3, 7, 11, 999999, 888888)
 QC14_TERM = "dup"
 QC14_IDS = (8, 26, 45)
 EMB_NQ, EMB_K = 5, 10
+EMB_DUP_T = 0.4  # synthetic embeddings are near-orthogonal; max pair ~0.51
 NGRAM_N, NGRAM_T = 3, 0.8
 
 _INDEX_CACHE: dict = {}
@@ -364,6 +365,31 @@ def _emb_ivf_topk(spark, sf):
     )
 
 
+def _dedup_emb_exact(spark, sf):
+    from sparksearchengine_spark.operators.similarity import (
+        embedding_neardup_exact,
+    )
+
+    emb = _read(spark, sf, "embeddings")
+    pairs = embedding_neardup_exact(emb, threshold=EMB_DUP_T)
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
+def _dedup_emb_lsh(spark, sf):
+    """LSH-blocked embedding near-dup (approximate; rows-only check)."""
+    from sparksearchengine_spark.operators.similarity import embedding_neardup
+
+    emb = _read(spark, sf, "embeddings")
+    pairs = embedding_neardup(
+        emb, threshold=EMB_DUP_T, num_planes=16, bands=8
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim")
+    )
+
+
 def _text_quality(spark, sf):
     from sparksearchengine_spark.operators.textstats import quality_metrics
 
@@ -481,6 +507,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
+        "dedup_emb_exact": _dedup_emb_exact,
+        "dedup_emb_lsh": _dedup_emb_lsh,
         "emb_cosine_topk": _emb_cosine_topk,
         "emb_lsh_topk": _emb_lsh_topk,
         "emb_ivf_topk": _emb_ivf_topk,
@@ -647,6 +675,23 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {NGRAM_T}""",
+        "dedup_emb_exact": f"""
+            WITH d AS (
+              SELECT vec_id AS id, embedding AS v,
+                     sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                       i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))))
+                       AS nrm
+              FROM embeddings
+            ),
+            p AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     list_sum(list_transform(range(1, len(a.v) + 1),
+                       i -> CAST(a.v[i] AS DOUBLE) * CAST(b.v[i] AS DOUBLE)))
+                     / (a.nrm * b.nrm) AS c
+              FROM d a JOIN d b ON a.id < b.id
+            )
+            SELECT id_a, id_b, round(c, 6) AS cos_sim
+            FROM p WHERE c >= {EMB_DUP_T}""",
         "emb_cosine_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < {EMB_NQ}),

@@ -271,6 +271,42 @@ def ivf_cosine_topk(
     ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
+def embedding_neardup_exact(
+    items: DataFrame,
+    threshold: float = 0.95,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """Exact embedding near-duplicate pairs (cosine >= threshold):
+    (id_a < id_b, cos_sim).
+
+    O(N^2) pairwise baseline — norms precomputed per side so each pair
+    costs one fused dot product; the self-join is a single shuffle-free
+    broadcast-nested-loop when one side fits in memory, else a cross
+    partition sweep. At 100 TB use :func:`embedding_neardup` (LSH-blocked)
+    instead; this is the recall-1 oracle the approximate path is judged
+    against on samples.
+    """
+    d = items.select(
+        F.col(item_id).cast("long").alias("id"),
+        F.col(item_vec).alias("vec"),
+        norm_expr(F.col(item_vec)).alias("nrm"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (
+                dot_expr(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= float(threshold))
+    )
+
+
 def embedding_neardup(
     items: DataFrame,
     threshold: float = 0.95,

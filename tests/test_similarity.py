@@ -97,3 +97,43 @@ class TestEmbeddingNearDup:
         for r in pairs:
             assert r["id_a"] < r["id_b"]
             assert r["cos_sim"] >= 0.99
+
+    def test_exact_matches_numpy(self, emb):
+        import numpy as np
+
+        from sparksearchengine_spark.operators.similarity import (
+            embedding_neardup_exact,
+        )
+
+        rows = emb.limit(100).collect()
+        vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+                for r in rows}
+        ids = sorted(vecs)
+        expected = set()
+        for i, a in enumerate(ids):
+            for b in ids[i + 1:]:
+                va, vb = vecs[a], vecs[b]
+                c = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+                if c >= 0.3:
+                    expected.add((a, b))
+        got = embedding_neardup_exact(emb.limit(100), threshold=0.3).collect()
+        assert {(r["id_a"], r["id_b"]) for r in got} == expected
+        for r in got:
+            va, vb = vecs[r["id_a"]], vecs[r["id_b"]]
+            c = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+            assert r["cos_sim"] == pytest.approx(c)
+
+    def test_lsh_pairs_subset_of_exact(self, emb):
+        from sparksearchengine_spark.operators.similarity import (
+            embedding_neardup,
+            embedding_neardup_exact,
+        )
+
+        exact = {
+            (r["id_a"], r["id_b"])
+            for r in embedding_neardup_exact(emb, threshold=0.35).collect()
+        }
+        approx = embedding_neardup(
+            emb, threshold=0.35, num_planes=16, bands=8
+        ).collect()
+        assert {(r["id_a"], r["id_b"]) for r in approx} <= exact
