@@ -43,6 +43,7 @@ QC11_NQ, QC11_K = 20, 5
 QC13_IDS = (3, 7, 11, 999999, 888888)
 QC14_TERM = "dup"
 QC14_IDS = (8, 26, 45)
+QC15_LO, QC15_HI, QC15_K = 100, 120, 5
 EMB_NQ, EMB_K = 5, 10
 EMB_DUP_T = 0.4  # synthetic embeddings are near-orthogonal; max pair ~0.51
 NGRAM_N, NGRAM_T = 3, 0.8
@@ -280,6 +281,28 @@ def _qc14(spark, sf):
     ).orderBy("doc_id")
 
 
+def _qc15(spark, sf):
+    """E7 query join: each row of a 20-doc slice queries the full index
+    with its own text (matchAny over its distinct terms), top-5."""
+    from sparksearchengine_spark.operators.search import query_join
+
+    idx = _docs_index(spark, sf)
+    docs = _read(spark, sf, "documents")
+    other = docs.where(
+        (F.col("doc_id") >= QC15_LO) & (F.col("doc_id") < QC15_HI)
+    ).select("doc_id", "text")
+    res = query_join(
+        idx, other, text_col="text", field="text", k=QC15_K,
+        other_id_col="doc_id",
+    )
+    return res.select(
+        F.col("doc_id").alias("query_id"),
+        "match_doc_id",
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
 # ---- training-data pipeline operators ------------------------------------
 
 
@@ -503,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc12_index_stats": _qc12,
         "qc13_doc_lookup": _qc13,
         "qc14_bm25_components": _qc14,
+        "qc15_query_join": _qc15,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -643,6 +667,28 @@ def oracle_sql() -> dict[str, str]:
             FROM postings p JOIN termstats t USING (term) CROSS JOIN fieldstats f
             WHERE p.term = '{QC14_TERM}' AND p.doc_id IN ({qc14_ids})
             ORDER BY p.doc_id""",
+        "qc15_query_join": _CTE + f"""
+            , q AS (
+              SELECT doc_id AS query_id, list_distinct(toks) AS qt
+              FROM toks
+              WHERE doc_id >= {QC15_LO} AND doc_id < {QC15_HI}
+            ),
+            qterms AS (SELECT query_id, unnest(qt) AS term FROM q),
+            scored AS (
+              SELECT qt.query_id, p.doc_id, sum({score}) AS s
+              FROM qterms qt
+              JOIN postings p USING (term)
+              JOIN termstats t USING (term)
+              CROSS JOIN fieldstats f
+              GROUP BY qt.query_id, p.doc_id
+            ),
+            ranked AS (
+              SELECT query_id, doc_id AS match_doc_id, round(s, 6) AS score,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                             ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+              FROM scored
+            )
+            SELECT * FROM ranked WHERE rank <= {QC15_K}""",
         "dedup_exact": """
             SELECT doc_id,
                    min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id
