@@ -193,28 +193,38 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, sig array<long>[num_hashes]) MinHash signatures over n-grams.
 
-    Computed PER ROW with nested higher-order functions — base hashes once
-    per gram, then one array_min per hash function — so signature
-    generation is a pure map over the corpus: no explode, no 64-column
-    aggregation, no shuffle (measured ~18x vs the explode+groupBy(min*64)
-    formulation at sf0.1, bit-identical output).
+    Shape: explode distinct grams to (id, base-hash) longs, then ONE
+    hash-aggregate computing all ``num_hashes`` mins — every permutation
+    min is a codegen'd expression inside a partial (map-side) aggregate,
+    so the only shuffle is the (id)-keyed exchange of 64-column partials.
+
+    Deliberately NOT a per-row higher-order-function expression: nested
+    ``transform`` HOFs are CodegenFallback (interpreted eval) and re-evaluate
+    the inner base array once per hash function — measured ~100x slower
+    than this plan at sf0.1 despite being shuffle-free.
+
+    Narrow inputs are widened to ``defaultParallelism`` first: a small
+    local file reads as one split and would serialize the whole
+    hash-compute on one core; at cluster scale the input already has
+    more splits than cores and this is a no-op.
     """
-    fam = _hash_family(num_hashes)
-    coeffs = F.array(
-        *[F.struct(F.lit(a).alias("a"), F.lit(b).alias("b")) for a, b in fam]
-    )
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     toks = analyzer_expr(F.col(text_col), analyzer)
-    grams = token_ngrams(toks, n)
-    bases = F.transform(grams, lambda g: F.pmod(F.xxhash64(g), F.lit(_P)))
-    sig = F.transform(
-        coeffs,
-        lambda c: F.array_min(
-            F.transform(bases, lambda x: F.pmod(c["a"] * x + c["b"], F.lit(_P)))
-        ),
+    bases = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(token_ngrams(toks, n)).alias("gram"),
+    ).select("id", F.pmod(F.xxhash64("gram"), F.lit(_P)).alias("base"))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("base") + F.lit(b), F.lit(_P))).alias(f"h{i}")
+        for i, (a, b) in enumerate(_hash_family(num_hashes))
+    ]
+    sigs = bases.groupBy("id").agg(*aggs)
+    return sigs.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig")
     )
-    return df.select(
-        F.col(id_col).cast("long").alias("id"), sig.alias("sig")
-    ).where(F.col("sig").isNotNull())
 
 
 def minhash_lsh_candidates(
