@@ -47,6 +47,20 @@ def _hash_family(num_hashes: int, seed: int = 421) -> list[tuple[int, int]]:
     return coeffs
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Repartition narrow inputs up to defaultParallelism before per-row
+    heavy compute (tokenize / gram / hash expressions).
+
+    A small local file reads as ONE split, which would serialize the whole
+    map stage on a single core; at cluster scale the input already has
+    more splits than cores and this is a no-op.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def token_ngrams(tokens: Column, n: int) -> Column:
     """Distinct space-joined token n-grams of an array<string> column.
 
@@ -80,16 +94,6 @@ def exact_dedup(
     )
 
 
-def _ngram_df(
-    df: DataFrame, id_col: str, text_col: str, n: int, analyzer: str
-) -> DataFrame:
-    toks = analyzer_expr(F.col(text_col), analyzer)
-    return df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.explode(token_ngrams(toks, n)).alias("gram"),
-    )
-
-
 def ngram_jaccard_join(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -107,8 +111,11 @@ def ngram_jaccard_join(
     those prefixes; each candidate is then verified with the true Jaccard,
     so the result is exact (no LSH false negatives).
     """
-    grams = _ngram_df(df, id_col, text_col, n, analyzer).distinct().persist()
-    sizes = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    ga = _gram_arrays(
+        _widen(df), id_col, text_col, n, analyzer
+    ).persist()
+    grams = ga.select("id", F.explode("gs").alias("gram"))
+    sizes = ga.select("id", F.size("gs").alias("sz"))
 
     freq = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("freq"))
     ranked = (
@@ -137,9 +144,7 @@ def ngram_jaccard_join(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    return _verify_jaccard(
-        cand, _gram_arrays(df, id_col, text_col, n, analyzer), threshold
-    )
+    return _verify_jaccard(cand, ga, threshold)
 
 
 def _gram_arrays(
@@ -208,14 +213,18 @@ def minhash_signatures(
     hash-compute on one core; at cluster scale the input already has
     more splits than cores and this is a no-op.
     """
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
-    toks = analyzer_expr(F.col(text_col), analyzer)
-    bases = df.select(
-        F.col(id_col).cast("long").alias("id"),
-        F.explode(token_ngrams(toks, n)).alias("gram"),
+    return _signatures_from_grams(
+        _gram_arrays(_widen(df), id_col, text_col, n, analyzer), num_hashes
+    )
+
+
+def _signatures_from_grams(
+    gram_arrays: DataFrame, num_hashes: int
+) -> DataFrame:
+    """Signatures from an (id, gs array<string>) gram table — explode to
+    (id, base-hash) longs, then one codegen'd hash-aggregate of all mins."""
+    bases = gram_arrays.select(
+        "id", F.explode("gs").alias("gram")
     ).select("id", F.pmod(F.xxhash64("gram"), F.lit(_P)).alias("base"))
     aggs = [
         F.min(F.pmod(F.lit(a) * F.col("base") + F.lit(b), F.lit(_P))).alias(f"h{i}")
@@ -279,11 +288,12 @@ def minhash_lsh_dedup(
     Jaccard ≥ threshold. The scale path for 100 TB (signatures are
     num_hashes longs per doc; raw grams never pair-joined beyond
     candidates)."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes, analyzer)
+    ga = _gram_arrays(
+        _widen(df), id_col, text_col, n, analyzer
+    ).persist()
+    sigs = _signatures_from_grams(ga, num_hashes)
     cand = minhash_lsh_candidates(sigs, num_hashes, bands)
-    return _verify_jaccard(
-        cand, _gram_arrays(df, id_col, text_col, n, analyzer), threshold
-    )
+    return _verify_jaccard(cand, ga, threshold)
 
 
 def simhash(
@@ -299,6 +309,7 @@ def simhash(
     (not one long) so downstream Hamming joins can band on block equality
     without bit twiddling, and to stay ANSI-overflow-safe.
     """
+    df = _widen(df)
     toks = analyzer_expr(F.col(text_col), analyzer)
     terms = df.select(
         F.col(id_col).cast("long").alias("id"),
