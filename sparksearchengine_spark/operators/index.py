@@ -99,51 +99,45 @@ class Corpus:
                 F.col(self.id_col).cast("long").alias(DOC_ID),
                 F.coalesce(toks, F.array().cast("array<string>")).alias("_toks"),
             )
-            # Postings are computed PER ROW with higher-order functions:
-            # tf = count of the term in the token array, positions = its
-            # indexes — no explode-then-groupBy, so the only build shuffle
-            # is the cheap pre-tokenize repartition of raw docs by doc_id
-            # (one text row per doc vs ~dl exploded rows). Generate/Project
-            # preserve that partitioning, so postings come out
-            # doc_id-partitioned — which makes the (query_id, doc_id) score
-            # aggregation in query_join/batch_search shuffle-free
-            # (partitioning by a subset of the grouping keys). Measured 4x
-            # on the sf0.1 query-join and ~3x on the positions build vs the
-            # posexplode+collect_list formulation.
-            # Cost note: per-doc work is O(|vocab_doc| * dl) JVM-side; for
-            # pathological dl (book-length docs) cap upstream or split docs.
-            toks_c = F.col("_toks")
-            if opts.positions:
-                pos_c = lambda t: F.filter(  # noqa: E731
-                    F.sequence(F.lit(0), F.size(toks_c) - 1),
-                    lambda i: F.element_at(toks_c, i + 1) == t,
-                )
-            else:
-                pos_c = lambda t: F.lit(None).cast("array<int>")  # noqa: E731
-            per_term = F.transform(
-                F.array_distinct(toks_c),
-                lambda t: F.struct(
-                    t.alias("term"),
-                    F.size(F.filter(toks_c, lambda x: x == t))
-                    .cast("long")
-                    .alias("tf"),
-                    pos_c(t).alias("positions"),
-                ),
-            )
-            pf = (
+            # Shape: repartition raw docs by doc_id (one text row per doc —
+            # the cheapest point to shuffle), posexplode to (pos, term)
+            # rows, then ONE codegen'd aggregate for (tf, dl, positions).
+            # HashPartitioning(doc_id) satisfies the aggregate's
+            # ClusteredDistribution(doc_id, term) (subset key), so no
+            # second exchange, and postings come out doc_id-partitioned —
+            # which makes the (query_id, doc_id) score aggregation in
+            # query_join/batch_search shuffle-free.
+            # Deliberately NOT a per-row higher-order-function expression:
+            # nested transform/filter HOFs are CodegenFallback (interpreted)
+            # and O(|vocab_doc| * dl) per doc — measured 2-4x slower than
+            # this explode+groupBy at sf0.1.
+            ex = (
                 base.repartition(DOC_ID)
                 .select(
                     DOC_ID,
-                    F.size(toks_c).cast("long").alias("dl"),
-                    F.explode(per_term).alias("_p"),
+                    F.size("_toks").cast("long").alias("dl"),
+                    F.posexplode("_toks").alias("pos", "term"),
+                )
+            )
+            pos_agg = (
+                F.sort_array(F.collect_list("pos")).alias("positions")
+                if opts.positions
+                else F.first(F.lit(None).cast("array<int>")).alias("positions")
+            )
+            pf = (
+                ex.groupBy(DOC_ID, "term")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("tf"),
+                    F.first("dl").alias("dl"),
+                    pos_agg,
                 )
                 .select(
                     F.lit(fname).alias("field"),
-                    F.col("_p.term").alias("term"),
+                    "term",
                     F.col(DOC_ID),
-                    F.col("_p.tf").alias("tf"),
+                    "tf",
                     "dl",
-                    F.col("_p.positions").alias("positions"),
+                    "positions",
                 )
             )
             per_field.append(pf)
