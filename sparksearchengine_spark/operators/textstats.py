@@ -167,17 +167,30 @@ def rolling_hash_fingerprint(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )  # positional (not distinct) k-grams
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
-    nwin = F.greatest(F.size(hashes) - (window - 1), F.lit(1))
+    # Each stage materializes its array before the next references it:
+    # an inline sub-expression inside a transform lambda is RE-EVALUATED
+    # per element (HOFs are interpreted, no CSE across lambda calls), which
+    # turns the window-min pass into O(G^2) per doc. Bound columns are
+    # evaluated once, keeping it O(G * window).
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(grams, lambda g: F.xxhash64(g)).alias("_hashes"),
+    )
+    h = F.col("_hashes")
+    nwin = F.greatest(F.size(h) - (window - 1), F.lit(1))
     window_mins = F.transform(
         F.sequence(F.lit(1), nwin),
-        lambda i: F.array_min(F.slice(hashes, i, window)),
+        lambda i: F.array_min(F.slice(h, i, window)),
     )
-    selected = F.array_sort(F.array_distinct(window_mins))
-    return df.select(
+    selected_df = hashed.select(
         F.col(id_col),
-        F.md5(F.concat_ws(",", F.transform(selected, lambda h: h.cast("string")))).alias(
-            "fp_winnow"
-        ),
-        F.size(selected).alias("n_selected"),
+        F.array_sort(F.array_distinct(window_mins)).alias("_sel"),
+    )
+    sel = F.col("_sel")
+    return selected_df.select(
+        F.col(id_col),
+        F.md5(
+            F.concat_ws(",", F.transform(sel, lambda x: x.cast("string")))
+        ).alias("fp_winnow"),
+        F.size(sel).alias("n_selected"),
     )
