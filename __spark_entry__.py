@@ -360,6 +360,22 @@ def _emb_cosine_topk(spark, sf):
     )
 
 
+def _emb_cosine_topk_arrow(spark, sf):
+    """Arrow/numpy matmul brute-force (same semantics as emb_cosine_topk,
+    proven equal in tests; BLAS sum order differs from the sequential SQL
+    fold at ~1e-15, so rows-only here rather than bit-hash parity)."""
+    from sparksearchengine_spark.operators.similarity import cosine_topk_arrow
+
+    emb = _read(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < EMB_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = cosine_topk_arrow(emb, queries, k=EMB_K)
+    return res.select(
+        "query_id", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rank"
+    )
+
+
 def _emb_lsh_topk(spark, sf):
     """LSH-bucketed ANN (approximate by design; rows-only check)."""
     from sparksearchengine_spark.operators.similarity import lsh_cosine_topk
@@ -534,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_emb_exact": _dedup_emb_exact,
         "dedup_emb_lsh": _dedup_emb_lsh,
         "emb_cosine_topk": _emb_cosine_topk,
+        "emb_cosine_topk_arrow": _emb_cosine_topk_arrow,
         "emb_lsh_topk": _emb_lsh_topk,
         "emb_ivf_topk": _emb_ivf_topk,
         "text_quality": _text_quality,

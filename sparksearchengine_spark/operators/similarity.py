@@ -94,6 +94,69 @@ def cosine_topk(
     ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
+def cosine_topk_arrow(
+    items: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force cosine top-k via Arrow-batched numpy matmul.
+
+    Same semantics as :func:`cosine_topk`; different physical plan for the
+    dim x N hot loop: queries are collected (they are the small side by
+    construction) and broadcast as a normalized matrix; each Arrow batch of
+    items is one BLAS ``V @ Q.T``, and only the per-batch top-k per query
+    leaves Python — the global exact top-k then reduces |batches| * k
+    partials per query. The expression-based variant evaluates the
+    ``aggregate(zip_with(...))`` fold interpreted per pair; this one is
+    vectorized, so it wins as N * dim grows.
+
+    Ties at the per-batch k boundary are broken by vec_id asc, matching the
+    global ordering, so partial top-k is exact.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(query_id, query_vec).collect()
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bq = items.sparkSession.sparkContext.broadcast((qids, qmat))
+
+    def score(batches):
+        nqids, nq = bq.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf["_id"].to_numpy(dtype=np.int64)
+            v = np.array([list(x) for x in pdf["_vec"]], dtype=np.float64)
+            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            sims = v @ nq.T  # (batch, n_queries)
+            kk = min(k, sims.shape[0])
+            # top-kk rows per query; ties by vec_id asc via lexsort
+            order = np.lexsort((ids[:, None].repeat(len(nqids), 1), -sims), axis=0)
+            sel = order[:kk]  # (kk, n_queries)
+            out_q = np.repeat(nqids[None, :], kk, axis=0).ravel()
+            out_i = ids[sel].ravel()
+            out_s = np.take_along_axis(sims, sel, axis=0).ravel()
+            yield pd.DataFrame(
+                {"query_id": out_q, "vec_id": out_i, "cos_sim": out_s}
+            )
+
+    partials = items.select(
+        F.col(item_id).cast("long").alias("_id"), F.col(item_vec).alias("_vec")
+    ).mapInPandas(score, schema="query_id long, vec_id long, cos_sim double")
+    return topk_per_group(
+        partials,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("vec_id").asc()],
+        k=k,
+    ).select("query_id", "vec_id", "cos_sim", "rank")
+
+
 def _hyperplanes(num_planes: int, dim: int, seed: int = 20240) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes (fixed LCG -> no
     runtime RNG, reproducible across sessions)."""

@@ -40,6 +40,37 @@ class TestBruteForce:
         assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
 
 
+class TestArrowBruteForce:
+    def test_matches_expression_variant(self, emb, queries):
+        from sparksearchengine_spark.operators.similarity import (
+            cosine_topk,
+            cosine_topk_arrow,
+        )
+
+        exact = cosine_topk(emb, queries, k=7).collect()
+        arrow = cosine_topk_arrow(emb, queries, k=7).collect()
+        key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+        exact_m = {key(r): r for r in exact}
+        arrow_m = {key(r): r for r in arrow}
+        assert exact_m.keys() == arrow_m.keys()
+        for kk, r in exact_m.items():
+            assert arrow_m[kk]["vec_id"] == r["vec_id"]
+            assert arrow_m[kk]["cos_sim"] == pytest.approx(r["cos_sim"])
+
+    def test_partial_topk_is_exact_across_batches(self, emb, queries):
+        from sparksearchengine_spark.operators.similarity import (
+            cosine_topk,
+            cosine_topk_arrow,
+        )
+
+        # many tiny partitions => many per-batch partials to merge
+        scattered = emb.repartition(16)
+        exact = cosine_topk(emb, queries, k=5).collect()
+        arrow = cosine_topk_arrow(scattered, queries, k=5).collect()
+        assert sorted((r["query_id"], r["rank"], r["vec_id"]) for r in exact) == \
+            sorted((r["query_id"], r["rank"], r["vec_id"]) for r in arrow)
+
+
 class TestIVF:
     def test_full_probe_equals_exact(self, emb, queries):
         from sparksearchengine_spark.operators.similarity import (
