@@ -470,6 +470,7 @@ def _token_stats(spark, sf):
         "doc_id",
         "n_tokens",
         "n_distinct",
+        "n_bpe_tokens",
         F.round("avg_token_len", 6).alias("avg_token_len"),
     )
 
@@ -820,7 +821,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents""",
         "token_stats": """
             WITH t AS (
-              SELECT doc_id,
+              SELECT doc_id, text,
                      list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                                  x -> x <> '') AS toks
               FROM documents
@@ -828,6 +829,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(len(toks) AS INTEGER) AS n_tokens,
                    CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+                   CAST(len(regexp_extract_all(coalesce(text, ''),
+                     '''(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+                     AS INTEGER) AS n_bpe_tokens,
                    round(
                      list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
                      / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS avg_token_len

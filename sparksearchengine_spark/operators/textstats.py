@@ -31,16 +31,35 @@ def token_count_expr(col: Column, analyzer: str = "simple") -> Column:
     return F.size(analyzer_expr(col, analyzer))
 
 
+# GPT-2-style pretokenizer split, minus the `\s+(?!\S)` lookahead branch so
+# the same pattern runs under RE2 (DuckDB oracle) and Java regex (Spark).
+# Groups: contractions, optional-space letter runs, digit runs, symbol
+# runs, whitespace runs — each match ~ one BPE pretoken.
+BPE_SPLIT_PATTERN = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count_expr(col: Column) -> Column:
+    """BPE-ish pretoken count: number of pretokenizer-regex matches (the
+    usual denominator for tokens-per-doc budgeting in training pipelines;
+    an exact BPE vocab merge would need the vocab file — this counts the
+    pretokens every BPE starts from)."""
+    return F.size(
+        F.regexp_extract_all(F.coalesce(col, F.lit("")), F.lit(BPE_SPLIT_PATTERN), 0)
+    )
+
+
 def token_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     analyzer: str = "simple",
 ) -> DataFrame:
-    """(id, n_tokens, n_distinct, avg_token_len) — one scan, no shuffle."""
+    """(id, n_tokens, n_distinct, n_bpe_tokens, avg_token_len) — one scan,
+    no shuffle."""
     toks = analyzer_expr(F.col(text_col), analyzer)
     return df.select(
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
+        bpe_token_count_expr(F.col(text_col)).alias("n_bpe_tokens"),
         (
             F.aggregate(
                 F.transform(toks, lambda t: F.length(t).cast("double")),

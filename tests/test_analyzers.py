@@ -99,3 +99,27 @@ def test_register_custom_analyzer(spark):
 def test_unknown_analyzer_raises():
     with pytest.raises(ValueError, match="unknown analyzer"):
         get_analyzer("nope")
+
+
+def test_bpe_pretoken_count(spark):
+    from sparksearchengine_spark.operators.textstats import bpe_token_count_expr
+
+    df = spark.createDataFrame(
+        [
+            (0, "Hello, world's 3 dogs  ran"),
+            (1, ""),
+            (2, None),
+            (3, "don't"),
+        ],
+        "id long, t string",
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", bpe_token_count_expr(F.col("t")).alias("n")).collect()
+    }
+    # "Hello" "," " world" "'s" " 3" " dogs" "  " "ran" -> 8
+    assert got[0] == 8
+    assert got[1] == 0
+    assert got[2] == 0
+    # "don" "'t" -> 2
+    assert got[3] == 2
