@@ -157,6 +157,28 @@ class TestPlanShape:
         # never a global sort
         assert "TakeOrderedAndProject" in plan
 
+    def test_postings_build_single_exchange(self, docs_index):
+        """The build shuffles ONCE (raw docs by doc_id); the tf/positions
+        aggregate must reuse that partitioning (subset-key clustering),
+        never add a second exchange."""
+        plan = (
+            docs_index.postings._jdf.queryExecution().executedPlan().toString()
+        )
+        # AQE prints the plan twice (Final + Initial); count the final only
+        final = plan.split("== Initial Plan ==")[0]
+        n_exchange = final.count("Exchange hashpartitioning")
+        assert n_exchange == 1, plan
+
+    def test_minhash_signatures_aggregate_is_codegen(self, spark, docs_df):
+        """Signature mins must run inside a codegen'd HashAggregate, not an
+        interpreted per-row HOF expression."""
+        from sparksearchengine_spark.operators.dedup import minhash_signatures
+
+        sigs = minhash_signatures(docs_df, "doc_id", "text", 3, 8)
+        plan = sigs._jdf.queryExecution().executedPlan().toString()
+        assert "HashAggregate" in plan
+        assert "xxhash64" in plan
+
     def test_filter_pushdown_reaches_scan(self, spark):
         li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
         q = li.where(F.col("l_quantity") == 10.0).select("l_orderkey")
