@@ -199,6 +199,10 @@ class SearchIndex:
         self.fieldstats = fieldstats
         self.scoring = scoring
         self._scored_cache: dict[str, DataFrame] = {}
+        # per-phrase-query persisted scans, registered by the compiler so
+        # unpersist() can release them (no leaked cached blocks in a
+        # long-lived session)
+        self._phrase_caches: list[DataFrame] = []
 
     def scored_postings(self, field: str) -> DataFrame:
         """(term, doc_id, tscore) with the per-posting score precomputed.
@@ -356,9 +360,15 @@ class SearchIndex:
         )
 
     def unpersist(self) -> None:
-        for df in (self.postings, self.termstats, *self._scored_cache.values()):
+        for df in (
+            self.postings,
+            self.termstats,
+            *self._scored_cache.values(),
+            *self._phrase_caches,
+        ):
             try:
                 df.unpersist()
             except Exception:
                 pass
         self._scored_cache.clear()
+        self._phrase_caches.clear()

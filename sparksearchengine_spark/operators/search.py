@@ -38,6 +38,36 @@ if TYPE_CHECKING:
 DOC_ID = "doc_id"
 SCORE = "score"
 
+# Above this many query rows the tokenized query-terms side is no longer
+# safely broadcastable (rows fan out ~10-50 terms each); fall back to a
+# shuffle-hash join on term so the big self-join case (reference
+# `examples/SearchableRDDExamples.scala:68-82`, corpus joined to itself)
+# cannot OOM the driver. Probed with limit(n+1).count() — an early-exit
+# scan, not a full count.
+BROADCAST_MAX_QUERY_ROWS = 100_000
+
+
+def _hint_query_side(
+    qterms: DataFrame,
+    queries_df: DataFrame,
+    broadcast_queries: bool | None,
+    max_rows: int = BROADCAST_MAX_QUERY_ROWS,
+) -> DataFrame:
+    """Pick the join strategy for the query-terms side of a postings join.
+
+    ``broadcast_queries``: True forces broadcast, False forces the
+    shuffle-hash path, None (default) probes ``queries_df``'s row count
+    with an early-exit limit scan and broadcasts only under ``max_rows``.
+    The shuffle-hash hint keeps the postings side from being chosen as a
+    (sort-merge) build and lets AQE's skew-join splitting apply on hot
+    terms.
+    """
+    if broadcast_queries is None:
+        broadcast_queries = (
+            queries_df.limit(max_rows + 1).count() <= max_rows
+        )
+    return F.broadcast(qterms) if broadcast_queries else qterms.hint("shuffle_hash")
+
 
 def topk_per_group(
     df: DataFrame,
@@ -103,7 +133,9 @@ def search(
         elems = c.df.withColumn(DOC_ID, F.col(c.id_col).cast("long"))
         if select_cols:  # E4 resultsTransformer = projection pushdown
             elems = elems.select(DOC_ID, *select_cols)
-        hits = hits.join(F.broadcast(elems), DOC_ID)
+        # hits is the ≤ k-row side — broadcast IT, never the corpus, so
+        # this join stays a map-side lookup at any corpus size.
+        hits = F.broadcast(hits).join(elems, DOC_ID)
     return hits
 
 
@@ -133,13 +165,19 @@ def batch_search(
     field: str | None = None,
     k_col: str | None = None,
     salt_buckets: int | None = None,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """E5 — many queries in one pass. queries_df: (query_id, qtext[, field, k]).
 
     Plan: tokenize queries -> explode to (query_id, field, term) -> join
-    postings on (field, term) [query side broadcast when small] ->
+    postings on (field, term) [query side broadcast when small, else
+    shuffle-hash on the key — see ``_hint_query_side``] ->
     groupBy(query_id, doc_id) partial+final score agg -> per-query top-k
     rank window. Returns (query_id, doc_id, score, rank).
+
+    When ``k_col`` is given it takes precedence over ``k``: the rank
+    window is cut at max(k_col) and each query filtered to its own _k, so
+    per-query ks larger than ``k`` are honored, not truncated.
 
     The reference executes this as a per-index loop over queries
     (`LuceneIndex.scala:54-60`) + aggregateByKey merge; a join *is* that
@@ -159,6 +197,11 @@ def batch_search(
         raise ValueError("batch over mixed-analyzer fields not supported")
     analyzer = next(iter(analyzers.values()))
 
+    window_k = k
+    if k_col:  # window cutoff must cover the LARGEST per-query k
+        max_k = queries_df.agg(F.max(F.col(k_col))).first()[0]
+        window_k = int(max_k) if max_k is not None else k
+
     kexpr = F.col(k_col) if k_col else F.lit(k)
     qterms = queries_df.select(
         F.col(query_id_col).alias("query_id"),
@@ -177,7 +220,8 @@ def batch_search(
         one = index.scored_postings(f).withColumn("field", F.lit(f))
         sp = one if sp is None else sp.unionByName(one)
 
-    scored = sp.join(F.broadcast(qterms), ["field", "term"]).select(
+    qside = _hint_query_side(qterms, queries_df, broadcast_queries)
+    scored = sp.join(qside, ["field", "term"]).select(
         "query_id", "_k", F.col(DOC_ID), "tscore"
     )
     agg = scored.groupBy("query_id", DOC_ID).agg(
@@ -187,7 +231,7 @@ def batch_search(
         agg,
         ["query_id"],
         [F.col(SCORE).desc(), F.col(DOC_ID).asc()],
-        k=k,
+        k=window_k,
         salt_buckets=salt_buckets,
     )
     if k_col:
@@ -209,6 +253,7 @@ def query_join(
     min_should_match: int = 1,
     with_elements: bool = False,
     salt_buckets: int | None = None,
+    broadcast_queries: bool | None = None,
 ) -> DataFrame:
     """E7 — the flagship similarity join: for each row of ``other``, run the
     query generated from its ``text_col`` against the index, keep top-k.
@@ -219,15 +264,25 @@ def query_join(
 
     No cartesian: where the reference ships every index partition to every
     query batch (O(P²) tasks, `PartitionsIndexLuceneRDD.scala:273`), this
-    is a single (field, term)-key join that Catalyst executes broadcast or
-    shuffle-hash by size, followed by partial-aggregated scoring and a
-    two-stage rank window.
+    is a single (field, term)-key join. The query-terms side is broadcast
+    only when ``other`` is small (≤ ``BROADCAST_MAX_QUERY_ROWS``, probed);
+    the corpus-scale self-join case (reference
+    `examples/SearchableRDDExamples.scala:68-82`) takes a shuffle-hash
+    join on ``term`` instead — AQE splits skewed (hot-term) partitions,
+    and ``salt_buckets`` two-stages the rank window. Per-posting scores
+    come precomputed from the index cache.
 
     ``min_should_match``/``require_all`` mirror matchAny/matchMin/matchAll
     query generation.
     """
     if other_id_col is None:
-        other = other.withColumn("_qid", F.monotonically_increasing_id())
+        # monotonically_increasing_id is nondeterministic across plan
+        # re-evaluation; the id-stamped frame is referenced by TWO plan
+        # branches (qterms and the final join-back), so pin it with a
+        # lazy localCheckpoint — ids are materialized once and reused.
+        other = other.withColumn(
+            "_qid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
         other_id_col = "_qid"
     analyzer = index.corpus.text_cols[field].analyzer
 
@@ -237,13 +292,10 @@ def query_join(
         F.size(qtoks).alias("_nq"),
         F.explode(qtoks).alias("term"),
     )
-    # qterms is |other| x ~terms-per-row — broadcast it so the (large)
-    # scored-postings side never shuffles for this join and keeps its
-    # doc_id partitioning, which the groupBy below then reuses (no
-    # exchange). Per-posting scores come precomputed from the index cache.
+    qside = _hint_query_side(qterms, other, broadcast_queries)
     scored = (
         index.scored_postings(field)
-        .join(F.broadcast(qterms), "term")
+        .join(qside, "term")
         .select("query_id", "_nq", F.col(DOC_ID), "tscore")
     )
     agg = scored.groupBy("query_id", DOC_ID).agg(

@@ -156,6 +156,7 @@ def _phrase(index: "SearchIndex", node: ast.MatchPhrase) -> DataFrame:
     # one scan of postings for all phrase terms, then n-way self-join on
     # doc_id; adjacency: exists p in pos_0 with p+i in pos_i for all i.
     scored = _scored_postings(index, node.field, sorted(set(terms))).persist()
+    index._phrase_caches.append(scored)  # released by SearchIndex.unpersist()
     joined = None
     for i, t in enumerate(terms):
         side = scored.where(F.col("term") == t).select(

@@ -86,7 +86,19 @@ def _parse_or(toks: _Tokens, field: str) -> ast.Query:
             operands.append(_parse_and(toks, field))
         else:
             break
-    return operands[0] if len(operands) == 1 else ast.Or(tuple(operands))
+    if len(operands) == 1:
+        return operands[0]
+    # Lucene legalization: NOT/minus operands are MUST_NOT *within the
+    # group*, not a union branch — 'a -b' means (a) AND NOT (b), never
+    # OR(a, NOT b) (which would match nearly everything). Hoist them.
+    shoulds = [op for op in operands if not isinstance(op, ast.Not)]
+    nots = [op for op in operands if isinstance(op, ast.Not)]
+    if not nots:
+        return ast.Or(tuple(operands))
+    if not shoulds:  # pure-negative group -> And of MUST_NOTs (compiler
+        return ast.And(tuple(nots))  # legalizes with AllDocs)
+    should_q = shoulds[0] if len(shoulds) == 1 else ast.Or(tuple(shoulds))
+    return ast.And((should_q, *nots))
 
 
 def _parse_and(toks: _Tokens, field: str) -> ast.Query:

@@ -144,9 +144,12 @@ def incremental_index(
 
     foreachBatch rather than a streaming aggregation: per-batch postings
     are complete for that batch's docs (a doc arrives whole in one file),
-    so an append-only parquet write is exact — no state store, no update
-    mode, scales linearly. Exactly-once comes from the checkpoint +
-    idempotent-per-batch append contract of foreachBatch.
+    so a per-batch parquet write is exact — no state store, no update
+    mode, scales linearly. Exactly-once requires the batch write to be
+    IDEMPOTENT under foreachBatch's at-least-once replay: each batch
+    overwrites its own ``batch_id=N`` partition directory, so a replayed
+    micro-batch replaces its rows instead of double-appending them
+    (double-appends would inflate tf/df_t and corrupt scores).
     """
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -154,7 +157,9 @@ def incremental_index(
             batch_df, field=field, id_col=id_col,
             analyzer=analyzer, positions=positions,
         )
-        p.write.mode("append").parquet(f"{index_path}/postings")
+        p.write.mode("overwrite").parquet(
+            f"{index_path}/postings/batch_id={batch_id}"
+        )
 
     writer = docs_stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint or f"{index_path}/_checkpoint"
@@ -240,7 +245,11 @@ def load_incremental_index(spark, index_path: str, corpus_df: DataFrame,
         SearchIndex,
     )
 
+    # partition discovery surfaces the per-batch batch_id dirs as a
+    # column; drop it — it's a write-idempotency detail, not index schema
     postings = spark.read.parquet(f"{index_path}/postings")
+    if "batch_id" in postings.columns:
+        postings = postings.drop("batch_id")
     termstats = postings.groupBy("field", "term").agg(
         F.count(F.lit(1)).cast("long").alias("df_t")
     )

@@ -94,6 +94,32 @@ def test_parser_plus_is_noop():
     assert parse_query("+a") == ast.MatchText("text", "a", False)
 
 
+def test_parser_prohibited_in_bare_group_is_must_not():
+    # Lucene semantics: 'a -b' = docs with a, EXCLUDING b — the Not is
+    # hoisted out of the OR group, never unioned in.
+    q = parse_query("a -b")
+    assert q == ast.And(
+        (
+            ast.MatchText("text", "a", False),
+            ast.Not(ast.MatchText("text", "b", False)),
+        )
+    )
+    q = parse_query("a b -c")
+    assert isinstance(q, ast.And)
+    assert isinstance(q.operands[0], ast.Or)  # shoulds stay an OR
+    assert q.operands[1] == ast.Not(ast.MatchText("text", "c", False))
+    # pure-negative group: And of MUST_NOTs (compiler legalizes w/ AllDocs)
+    q = parse_query("-a -b")
+    assert isinstance(q, ast.And)
+    assert all(isinstance(op, ast.Not) for op in q.operands)
+
+
+def test_parser_prohibited_semantics_on_index(tiny_index):
+    # doc1='A b a!', doc2='a C', doc3='b b; c c' — 'a -b' must hit only doc2
+    res = tiny_index.compile(parse_query("a -b")).collect()
+    assert [r["doc_id"] for r in res] == [2]
+
+
 def test_parser_errors():
     with pytest.raises(ValueError):
         parse_query("(a OR b")

@@ -72,6 +72,23 @@ class TestBatchSearch:
         }
         assert counts == {1: 1, 2: 3}
 
+    def test_k_col_larger_than_default_k_not_truncated(self, spark, tiny_index):
+        # per-query k above the function-level k must be honored (the
+        # window cutoff is max(k_col), not k)
+        qdf = spark.createDataFrame(
+            [(1, "a b c", 3)], "query_id long, qtext string, k int"
+        )
+        res = tiny_index.batch_search(qdf, k=1, field="text", k_col="k")
+        assert res.count() == 3
+
+    def test_shuffle_hash_fallback_equals_broadcast(self, spark, tiny_index):
+        qdf = spark.createDataFrame(
+            [(100, "a"), (200, "b c")], "query_id long, qtext string"
+        )
+        bc = tiny_index.batch_search(qdf, k=5, field="text", broadcast_queries=True)
+        sh = tiny_index.batch_search(qdf, k=5, field="text", broadcast_queries=False)
+        assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
+
     def test_salted_topk_equals_plain(self, spark, docs_index):
         qdf = spark.createDataFrame(
             [(i, f"doc {i}") for i in range(5)], "query_id long, qtext string"
@@ -147,6 +164,38 @@ class TestPlanShape:
         assert "WindowGroupLimit" in plan
         # the query side must broadcast (no shuffle of the postings side)
         assert "BroadcastExchange" in plan
+
+    def test_query_join_large_other_no_query_broadcast(self, docs_df, docs_index):
+        """The corpus-scale self-join (reference
+        `examples/SearchableRDDExamples.scala:68-82`) must NOT broadcast
+        the query side — it takes the shuffle-hash path, and produces the
+        same rows as the broadcast plan."""
+        res = docs_index.query_join(
+            docs_df, text_col="text", field="text", k=3,
+            other_id_col="doc_id", broadcast_queries=False,
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan, plan
+        small = docs_df.where(F.col("doc_id") < 5)
+        bc = docs_index.query_join(
+            small, text_col="text", field="text", k=3,
+            other_id_col="doc_id", broadcast_queries=True,
+        ).select("doc_id", "match_doc_id", "rank")
+        sh = docs_index.query_join(
+            small, text_col="text", field="text", k=3,
+            other_id_col="doc_id", broadcast_queries=False,
+        ).select("doc_id", "match_doc_id", "rank")
+        assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
+
+    def test_with_elements_broadcasts_hits_not_corpus(self, docs_index):
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        res = docs_index.search(
+            _Q.field("text").match_term("dup"), k=5, with_elements=True
+        )
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        # the ≤k hits side is the build/broadcast side (left), never the corpus
+        assert "BuildLeft" in plan, plan
 
     def test_search_topk_is_take_ordered(self, docs_index):
         hits = docs_index.compile(Q.field("text").match_term("dup")).orderBy(
@@ -233,6 +282,24 @@ class TestPersistence:
         orig = tiny_index.search(Q.field("text").match_term("a"), k=5).collect()
         got = loaded.search(Q.field("text").match_term("a"), k=5).collect()
         assert sorted(map(tuple, orig)) == sorted(map(tuple, got))
+
+    def test_phrase_cache_released_on_unpersist(self, spark, tiny_corpus):
+        """Phrase queries persist a per-query postings scan; unpersist()
+        must release those too (no leaked cached blocks in a long session)."""
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        idx = Corpus(
+            tiny_corpus,
+            id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="simple", positions=True)},
+        ).build_index()
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        idx.search(Q.field("text").match_phrase("b b"), k=5).collect()
+        assert len(idx._phrase_caches) == 1
+        idx.unpersist()
+        assert len(idx._phrase_caches) == 0
+        assert jsc.getPersistentRDDs().size() <= before
 
     def test_bucket_by_term_same_results(self, tiny_index):
         b = tiny_index.bucket_by_term(2)

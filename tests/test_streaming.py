@@ -56,6 +56,31 @@ class TestIncrementalIndex:
         b = loaded.search(Q.field("text").match_term("a"), k=5).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
 
+    def test_replayed_batch_is_idempotent(self, spark, tmp_path, doc_stream_dir):
+        """foreachBatch is at-least-once: a replayed micro-batch must
+        REPLACE its postings (per-batch_id overwrite), never double-append
+        them — double-appends inflate tf/df_t and corrupt scores."""
+        from sparksearchengine_spark.streaming import (
+            incremental_index,
+            read_document_stream,
+        )
+
+        idx_path = str(tmp_path / "idx_replay")
+        q = incremental_index(
+            read_document_stream(spark, doc_stream_dir),
+            idx_path, checkpoint=str(tmp_path / "cp1"),
+        )
+        q.awaitTermination(120)
+        first = spark.read.parquet(f"{idx_path}/postings").count()
+        # lost-checkpoint replay: same input reprocessed with the same
+        # batch ids into the same output dir
+        q2 = incremental_index(
+            read_document_stream(spark, doc_stream_dir),
+            idx_path, checkpoint=str(tmp_path / "cp2"),
+        )
+        q2.awaitTermination(120)
+        assert spark.read.parquet(f"{idx_path}/postings").count() == first
+
 
 class TestWindowedAggregation:
     def test_tumbling_counts_batch_parity(self, spark):
