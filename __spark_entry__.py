@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from sparksearchengine_spark import Corpus, Q, TextOptions
 from sparksearchengine_spark.functions.scoring import bm25_term_score, idf_expr
+from sparksearchengine_spark.operators.textstats import LANG_STOPWORDS
 
 # --------------------------------------------------------------------------
 # fixed query constants (the "test manifest"): chosen once against sf0.01
@@ -105,6 +106,11 @@ fieldstats AS (
 ),
 termstats AS (SELECT term, count(*) AS df FROM postings GROUP BY term)
 """
+
+
+def _sql_list(words) -> str:
+    """Python string tuple -> DuckDB list literal ['a','b',...]."""
+    return "[" + ",".join(f"'{w}'" for w in words) + "]"
 
 
 def _bm25_sql(tf: str, dl: str, df: str, n: str = "f.n", avgdl: str = "f.avgdl") -> str:
@@ -339,6 +345,93 @@ def _dedup_minhash_lsh(spark, sf):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _dedup_minhash_canon(spark, sf):
+    """End-to-end near-dup dedup: MinHash+LSH pairs -> connected
+    components -> (doc_id, canon_id, is_duplicate). Oracle: DuckDB
+    recursive-CTE components over the EXACT n-gram-Jaccard pairs — valid
+    because the LSH+verify pair set equals the exact pair set at this
+    threshold (pair-recall 1.0, checked by dedup_recall)."""
+    from sparksearchengine_spark.operators.dedup import minhash_lsh_canon
+
+    docs = _read(spark, sf, "documents")
+    return minhash_lsh_canon(
+        docs, id_col="doc_id", text_col="text",
+        n=NGRAM_N, num_hashes=64, bands=16, threshold=NGRAM_T,
+    )
+
+
+def _dedup_recall(spark, sf):
+    """Pair-recall of each approximate near-dup op vs its exact baseline,
+    thresholded (op, recall_ok). minhash/emb_lsh measured 1.0 at sf0.01;
+    simhash banding is pigeonhole-exact (recall 1.0 by construction)."""
+    from sparksearchengine_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        ngram_jaccard_join,
+        simhash_dedup,
+        simhash_neardup_exact,
+    )
+    from sparksearchengine_spark.operators.recall import (
+        labeled_recall_ok,
+        pair_recall,
+    )
+    from sparksearchengine_spark.operators.similarity import (
+        embedding_neardup,
+        embedding_neardup_exact,
+    )
+
+    docs = _read(spark, sf, "documents")
+    emb = _read(spark, sf, "embeddings")
+    r_mh = pair_recall(
+        minhash_lsh_dedup(docs, threshold=NGRAM_T, n=NGRAM_N),
+        ngram_jaccard_join(docs, threshold=NGRAM_T, n=NGRAM_N),
+    )
+    r_sh = pair_recall(
+        simhash_dedup(docs, max_hamming=3),
+        simhash_neardup_exact(docs, max_hamming=3),
+    )
+    r_el = pair_recall(
+        embedding_neardup(emb, threshold=EMB_DUP_T, num_planes=16, bands=8),
+        embedding_neardup_exact(emb, threshold=EMB_DUP_T),
+    )
+    return (
+        labeled_recall_ok("minhash_lsh", r_mh, 0.9)
+        .unionByName(labeled_recall_ok("simhash", r_sh, 0.999))
+        .unionByName(labeled_recall_ok("emb_lsh", r_el, 0.9))
+    )
+
+
+def _ann_recall(spark, sf):
+    """Recall@k of the ANN paths vs exact cosine top-k, thresholded
+    (op, recall_ok). Params picked for ≥0.9 on the near-orthogonal
+    synthetic embeddings (measured: lsh 0.98, ivf 0.96 at sf0.01);
+    thresholds are booleans so benign KMeans-init variance can't flip
+    the oracle."""
+    from sparksearchengine_spark.operators.recall import (
+        labeled_recall_ok,
+        topk_recall,
+    )
+    from sparksearchengine_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    emb = _read(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < EMB_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=EMB_K).persist()
+    r_lsh = topk_recall(
+        lsh_cosine_topk(emb, queries, k=EMB_K, num_planes=16, bands=8), exact
+    )
+    r_ivf = topk_recall(
+        ivf_cosine_topk(emb, queries, k=EMB_K, n_clusters=16, nprobe=12), exact
+    )
+    return labeled_recall_ok("lsh_topk", r_lsh, 0.9).unionByName(
+        labeled_recall_ok("ivf_topk", r_ivf, 0.9)
+    )
+
+
 def _dedup_simhash(spark, sf):
     """SimHash Hamming<=3 near-dup (xxhash64-based; rows-only check)."""
     from sparksearchengine_spark.operators.dedup import simhash_dedup
@@ -361,9 +454,9 @@ def _emb_cosine_topk(spark, sf):
 
 
 def _emb_cosine_topk_arrow(spark, sf):
-    """Arrow/numpy matmul brute-force (same semantics as emb_cosine_topk,
-    proven equal in tests; BLAS sum order differs from the sequential SQL
-    fold at ~1e-15, so rows-only here rather than bit-hash parity)."""
+    """Arrow/numpy matmul brute-force (same semantics as emb_cosine_topk;
+    the BLAS sum-order delta vs the sequential SQL fold is ~1e-15 and
+    vanishes under the 6dp rounding, so it shares that oracle)."""
     from sparksearchengine_spark.operators.similarity import cosine_topk_arrow
 
     emb = _read(spark, sf, "embeddings")
@@ -455,7 +548,7 @@ def _doc_fingerprint(spark, sf):
 
 
 def _lang_id(spark, sf):
-    """Stopword-hit language heuristic (rows-only check)."""
+    """Stopword-argmax + CJK-script-ratio language heuristic."""
     from sparksearchengine_spark.operators.textstats import lang_id
 
     docs = _read(spark, sf, "documents")
@@ -476,7 +569,8 @@ def _token_stats(spark, sf):
 
 
 def _doc_winnow(spark, sf):
-    """Winnowing rolling-hash fingerprint (xxhash64-based; rows-only)."""
+    """Winnowing fingerprint (md5 gram hashes, lexicographic window-min —
+    engine-portable, so the DuckDB oracle replicates it exactly)."""
     from sparksearchengine_spark.operators.textstats import rolling_hash_fingerprint
 
     docs = _read(spark, sf, "documents")
@@ -547,6 +641,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_minhash_canon": _dedup_minhash_canon,
+        "dedup_recall": _dedup_recall,
+        "ann_recall": _ann_recall,
         "dedup_simhash": _dedup_simhash,
         "dedup_emb_exact": _dedup_emb_exact,
         "dedup_emb_lsh": _dedup_emb_lsh,
@@ -739,6 +836,59 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = id_a
             JOIN sz sb ON sb.doc_id = id_b
             WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= {NGRAM_T}""",
+        "dedup_minhash_canon": f"""
+            WITH RECURSIVE t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - {NGRAM_N - 1}, 1) + 1),
+                       i -> array_to_string(toks[i:i+{NGRAM_N - 1}], ' '))) AS grams
+              FROM t
+            ),
+            e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+              FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            ),
+            pairs AS (
+              SELECT id_a, id_b FROM inter
+              JOIN sz sa ON sa.doc_id = id_a
+              JOIN sz sb ON sb.doc_id = id_b
+              WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE)
+                    >= {NGRAM_T}
+            ),
+            edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION
+              SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+              SELECT src AS id, dst AS r FROM edges
+              UNION
+              SELECT e2.src, rr.r FROM edges e2 JOIN reach rr ON rr.id = e2.dst
+            ),
+            canon AS (
+              SELECT id, least(id, min(r)) AS canon_id FROM reach GROUP BY id
+            )
+            SELECT d.doc_id,
+                   coalesce(c.canon_id, d.doc_id) AS canon_id,
+                   coalesce(c.canon_id, d.doc_id) <> d.doc_id AS is_duplicate
+            FROM documents d LEFT JOIN canon c ON c.id = d.doc_id""",
+        "dedup_recall": """
+            SELECT * FROM (VALUES
+              ('minhash_lsh', true), ('simhash', true), ('emb_lsh', true)
+            ) AS t(op, recall_ok)""",
+        "ann_recall": """
+            SELECT * FROM (VALUES
+              ('lsh_topk', true), ('ivf_topk', true)
+            ) AS t(op, recall_ok)""",
         "dedup_emb_exact": f"""
             WITH d AS (
               SELECT vec_id AS id, embedding AS v,
@@ -756,6 +906,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(c, 6) AS cos_sim
             FROM p WHERE c >= {EMB_DUP_T}""",
+        # same SQL for the expression-fold and Arrow-matmul variants: the
+        # BLAS sum-order delta (~1e-15) vanishes under the 6dp rounding
+        # (verified equal on sf0.01)
+        "emb_cosine_topk_arrow": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                       FROM embeddings WHERE vec_id < {EMB_NQ}),
+            scored AS (
+              SELECT q.query_id, e.vec_id,
+                     list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                          i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                        * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                          i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+                     AS c
+              FROM embeddings e CROSS JOIN q
+            ),
+            ranked AS (
+              SELECT query_id, vec_id, round(c, 6) AS cos_sim,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                             ORDER BY c DESC, vec_id) AS BIGINT) AS rank
+              FROM scored
+            )
+            SELECT * FROM ranked WHERE rank <= {EMB_K}""",
         "emb_cosine_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding AS qv
                        FROM embeddings WHERE vec_id < {EMB_NQ}),
@@ -777,7 +951,7 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT * FROM ranked WHERE rank <= {EMB_K}""",
-        "text_quality": """
+        "text_quality": f"""
             WITH base AS (
               SELECT doc_id,
                      coalesce(text, '') AS text,
@@ -792,7 +966,7 @@ def oracle_sql() -> dict[str, str]:
                      length(text) - length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
                        AS n_punct,
                      len(list_filter(toks, t -> list_contains(
-                       ['the','and','of','to','in','is','that','it','for','was'], t)))
+                       {_sql_list(LANG_STOPWORDS["en"])}, t)))
                        AS n_stop,
                      len(list_distinct(toks)) AS n_distinct
               FROM base
@@ -836,6 +1010,86 @@ def oracle_sql() -> dict[str, str]:
                      list_sum(list_transform(toks, x -> CAST(length(x) AS DOUBLE)))
                      / CAST(greatest(len(toks), 1) AS DOUBLE), 6) AS avg_token_len
             FROM t""",
+        "lang_id": f"""
+            WITH t AS (
+              SELECT doc_id, coalesce(text, '') AS text,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id, 'de' AS lang, len(list_filter(toks,
+                x -> list_contains({_sql_list(LANG_STOPWORDS["de"])}, x))) AS hits FROM t
+              UNION ALL
+              SELECT doc_id, 'en', len(list_filter(toks,
+                x -> list_contains({_sql_list(LANG_STOPWORDS["en"])}, x))) FROM t
+              UNION ALL
+              SELECT doc_id, 'es', len(list_filter(toks,
+                x -> list_contains({_sql_list(LANG_STOPWORDS["es"])}, x))) FROM t
+              UNION ALL
+              SELECT doc_id, 'fr', len(list_filter(toks,
+                x -> list_contains({_sql_list(LANG_STOPWORDS["fr"])}, x))) FROM t
+              UNION ALL
+              SELECT doc_id, 'it', len(list_filter(toks,
+                x -> list_contains({_sql_list(LANG_STOPWORDS["it"])}, x))) FROM t
+            ),
+            best AS (
+              SELECT doc_id, lang, hits,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY hits DESC, lang) AS rn
+              FROM h
+            ),
+            cjk AS (
+              SELECT doc_id,
+                     length(text)
+                       - length(regexp_replace(text, '[一-鿿㐀-䶿]', '', 'g'))
+                       AS n_cjk,
+                     length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+              FROM t
+            )
+            SELECT t.doc_id,
+                   CASE WHEN CAST(c.n_cjk AS DOUBLE)
+                             / CAST(greatest(c.n_nonspace, 1) AS DOUBLE) >= 0.3
+                        THEN 'zh'
+                        WHEN b.hits > 0 THEN b.lang
+                        ELSE 'und' END AS lang_pred,
+                   CAST(CASE WHEN CAST(c.n_cjk AS DOUBLE)
+                             / CAST(greatest(c.n_nonspace, 1) AS DOUBLE) >= 0.3
+                        THEN c.n_cjk ELSE b.hits END AS INTEGER) AS lang_hits
+            FROM t
+            JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1
+            JOIN cjk c ON c.doc_id = t.doc_id""",
+        "doc_winnow": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, greatest(len(toks) - 4, 1) + 1),
+                       i -> array_to_string(toks[i:i+4], ' ')) AS grams
+              FROM t
+            ),
+            hh AS (
+              SELECT doc_id, list_transform(grams, x -> md5(x)) AS hs FROM g
+            ),
+            w AS (
+              SELECT doc_id,
+                     list_transform(
+                       range(1, greatest(len(hs) - 3, 1) + 1),
+                       i -> list_aggregate(hs[i:i+3], 'min')) AS wm
+              FROM hh
+            ),
+            s AS (
+              SELECT doc_id, list_sort(list_distinct(wm)) AS sel FROM w
+            )
+            SELECT doc_id,
+                   md5(array_to_string(sel, ',')) AS fp_winnow,
+                   CAST(len(sel) AS INTEGER) AS n_selected
+            FROM s""",
         "events_sessionize": """
             WITH lagged AS (
               SELECT user_id, ts,
@@ -870,8 +1124,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2""",
         # dedup_minhash_lsh, dedup_simhash, emb_lsh_topk, emb_ivf_topk,
-        # lang_id, doc_winnow, mm_image_features:
-        # intentionally omitted -> driver's weaker rows-only check
-        # (xxhash64 / LSH bucketing / sha-based fake codec has no DuckDB
-        # equivalent).
+        # mm_image_features: intentionally omitted -> driver's weaker
+        # rows-only check (xxhash64 / LSH bucketing / sha-based fake codec
+        # has no DuckDB equivalent). Their CORRECTNESS story is the
+        # dedup_recall / ann_recall entries, which hold each approximate
+        # op to a recall threshold against its exact, oracle-checked
+        # baseline.
     }

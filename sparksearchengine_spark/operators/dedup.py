@@ -296,6 +296,137 @@ def minhash_lsh_dedup(
     return _verify_jaccard(cand, ga, threshold)
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every id appearing in ``pairs``; component =
+    min id reachable through the pair graph.
+
+    Iterative min-label propagation with pointer-jumping path compression:
+    each round every node takes the min of its own label, its neighbors'
+    labels, and its label's label, so chains collapse in O(log diameter)
+    rounds (near-dup clusters are almost always cliques or short chains —
+    2-3 rounds in practice). Everything is keyed joins + aggregates: no
+    driver-side graph, no cartesian. Lineage is truncated per round with
+    localCheckpoint (mandatory for iterative plans — otherwise the plan
+    doubles each round), and convergence is detected by counting changed
+    labels.
+    """
+    edges = pairs.select(
+        F.col(id_a).cast("long").alias("src"),
+        F.col(id_b).cast("long").alias("dst"),
+    )
+    edges = (
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("_dl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_dl").alias("_nbr_min"))
+            .select(F.col("src").alias("id"), "_nbr_min")
+        )
+        new = labels.join(nbr_min, "id", "left").select(
+            "id",
+            F.least(
+                F.col("label"), F.coalesce("_nbr_min", F.col("label"))
+            ).alias("label"),
+        )
+        # pointer jumping: label <- label(label)
+        new = (
+            new.join(
+                new.select(
+                    F.col("id").alias("label"), F.col("label").alias("_ll")
+                ),
+                "label",
+                "left",
+            )
+            .select("id", F.coalesce("_ll", F.col("label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def canonicalize_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Turn near-dup PAIRS into the same (id, canon_id, is_duplicate)
+    assignment :func:`exact_dedup` produces: canon_id = min id in the
+    pair-graph connected component, self for undupped rows.
+
+    This is the piece that lets a pipeline actually DROP duplicates
+    (``where(~is_duplicate)``) instead of holding a pair list.
+    """
+    comp = connected_components(pairs)
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_col))
+        .join(
+            comp.select(
+                F.col("id").alias(id_col), F.col("component").alias("canon_id")
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("canon_id", F.col(id_col)).alias("canon_id"),
+        )
+        .withColumn("is_duplicate", F.col(id_col) != F.col("canon_id"))
+    )
+
+
+def minhash_lsh_canon(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """MinHash+LSH near-dup -> canonical assignment for EVERY row of
+    ``df``: (id, canon_id, is_duplicate). The end-to-end 100 TB dedup:
+    signatures -> banded candidates -> exact-Jaccard verify -> connected
+    components -> min-id canon."""
+    pairs = minhash_lsh_dedup(
+        df, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes, bands=bands, threshold=threshold,
+        analyzer=analyzer,
+    )
+    return canonicalize_pairs(df, pairs, id_col=id_col)
+
+
 def simhash(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -334,6 +465,34 @@ def simhash(
     ]
     return sums.select("id", *blocks).select(
         "id", F.array(*[f"blk{i}" for i in range(n_blocks)]).alias("simhash")
+    )
+
+
+def simhash_neardup_exact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """O(N²) brute-force Hamming pairs over SimHashes — the recall-1
+    baseline :func:`simhash_dedup`'s pigeonhole banding is measured
+    against (they must be EQUAL for max_hamming ≤ 3; the banding is a
+    candidate filter with zero false negatives, verified in the recall
+    harness). Never run this at scale — it exists to check the fast path.
+    """
+    sh = simhash(df, id_col, text_col, 64, analyzer)
+    a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
+    ham = sum(
+        F.bit_count(F.col("sh_a")[i].bitwiseXOR(F.col("sh_b")[i]))
+        for i in range(4)
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
     )
 
 

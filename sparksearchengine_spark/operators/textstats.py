@@ -14,15 +14,26 @@ from pyspark.sql import functions as F
 from sparksearchengine_spark.functions.analyzers import analyzer_expr
 
 # small, fixed stopword lists per language for the n-gram/stopword-hit
-# language heuristic (top function words; deterministic, no model files)
+# language heuristic (top function words; deterministic, no model files).
+# ASCII-only on purpose: the "simple" analyzer splits on [^a-z0-9]+, so an
+# accented stopword would never survive tokenization anyway.
 LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"),
-    "es": ("el", "la", "de", "que", "y", "en", "los", "se", "del", "las"),
-    "fr": ("le", "la", "de", "et", "les", "des", "en", "du", "que", "une"),
-    "de": ("der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "im"),
-    "it": ("il", "di", "che", "la", "per", "con", "del", "le", "una", "sono"),
-    "zh": (),  # no-space script: detected by the non-latin ratio instead
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "was",
+           "on", "with", "as", "are", "at", "be", "this", "by", "from", "not"),
+    "es": ("el", "la", "de", "que", "y", "en", "los", "se", "del", "las",
+           "un", "una", "por", "con", "no", "para", "es", "al", "lo", "como"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "du", "que", "une",
+           "dans", "est", "pour", "qui", "sur", "par", "plus", "pas", "avec", "au"),
+    "de": ("der", "die", "und", "das", "von", "zu", "den", "mit", "ist", "im",
+           "auf", "des", "nicht", "ein", "eine", "als", "auch", "es", "an", "dem"),
+    "it": ("il", "di", "che", "la", "per", "con", "del", "le", "una", "sono",
+           "un", "non", "si", "da", "come", "anche", "alla", "nel", "gli", "dei"),
+    "zh": (),  # no-space script: detected by the CJK script ratio instead
 }
+
+# Han ideographs (CJK Unified + Extension A). Hiragana/katakana are NOT
+# included: they'd mark ja, and this heuristic only claims zh.
+_CJK_CLASS = "[一-鿿㐀-䶿]"
 
 
 def token_count_expr(col: Column, analyzer: str = "simple") -> Column:
@@ -121,11 +132,19 @@ def quality_metrics(
 
 def lang_id(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    cjk_threshold: float = 0.3,
 ) -> DataFrame:
     """Heuristic language ID: stopword-hit counts per language, argmax with
     deterministic tie-break (hit count desc, then language code asc);
-    'und' when nothing hits. (id, lang_pred, lang_hits)."""
-    toks = analyzer_expr(F.coalesce(F.col(text_col), F.lit("")), "simple")
+    'und' when nothing hits. (id, lang_pred, lang_hits).
+
+    No-space scripts can't be caught by stopword tokens, so zh is detected
+    FIRST by script ratio: if ≥ ``cjk_threshold`` of the non-whitespace
+    characters are Han ideographs, the doc is 'zh' and lang_hits is the
+    ideograph count; otherwise the stopword argmax decides.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = analyzer_expr(text, "simple")
     scores = []
     for lang, stops in sorted(LANG_STOPWORDS.items()):
         if not stops:
@@ -143,12 +162,19 @@ def lang_id(
         ]
     )
     best = F.sort_array(keyed, asc=True)[0]
+    n_cjk = F.length(text) - F.length(F.regexp_replace(text, _CJK_CLASS, ""))
+    n_nonspace = F.length(F.regexp_replace(text, r"\s", ""))
+    is_zh = (
+        n_cjk.cast("double")
+        / F.greatest(n_nonspace, F.lit(1)).cast("double")
+    ) >= float(cjk_threshold)
     return df.select(
         F.col(id_col),
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
-            "lang_pred"
-        ),
-        best["hits"].alias("lang_hits"),
+        F.when(is_zh, F.lit("zh"))
+        .when(best["hits"] > 0, best["lang"])
+        .otherwise(F.lit("und"))
+        .alias("lang_pred"),
+        F.when(is_zh, n_cjk).otherwise(best["hits"]).alias("lang_hits"),
     )
 
 
@@ -178,9 +204,13 @@ def rolling_hash_fingerprint(
 ) -> DataFrame:
     """Winnowing fingerprint (Schleimer et al. 2003): k-gram hashes,
     per-window minima, distinct selected hashes sorted -> md5 digest.
-    Pure SQL higher-order functions; (id, fp_winnow, n_selected)."""
-    from sparksearchengine_spark.operators.dedup import token_ngrams
+    Pure SQL higher-order functions; (id, fp_winnow, n_selected).
 
+    Gram hash = md5 hex string, window-min = lexicographic min: winnowing
+    only needs a uniform total order on hashes, and md5 (unlike xxhash64)
+    exists in every engine, so the DuckDB correctness oracle replicates
+    this bit-for-bit.
+    """
     toks = analyzer_expr(F.coalesce(F.col(text_col), F.lit("")), analyzer)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
@@ -193,7 +223,7 @@ def rolling_hash_fingerprint(
     # evaluated once, keeping it O(G * window).
     hashed = df.select(
         F.col(id_col),
-        F.transform(grams, lambda g: F.xxhash64(g)).alias("_hashes"),
+        F.transform(grams, lambda g: F.md5(g)).alias("_hashes"),
     )
     h = F.col("_hashes")
     nwin = F.greatest(F.size(h) - (window - 1), F.lit(1))
@@ -208,8 +238,6 @@ def rolling_hash_fingerprint(
     sel = F.col("_sel")
     return selected_df.select(
         F.col(id_col),
-        F.md5(
-            F.concat_ws(",", F.transform(sel, lambda x: x.cast("string")))
-        ).alias("fp_winnow"),
+        F.md5(F.concat_ws(",", sel)).alias("fp_winnow"),
         F.size(sel).alias("n_selected"),
     )

@@ -1,0 +1,162 @@
+"""Dedup operators: connected components, canonical assignment, recall
+harness, and the textstats lang-id / winnowing oracles' Spark side."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        from sparksearchengine_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 8)] + [(20, 21)],
+            "id_a long, id_b long",
+        )
+        comp = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+        assert comp == {**{i: 1 for i in range(1, 9)}, 20: 20, 21: 20}
+
+    def test_converges_on_long_chain(self, spark):
+        # 64-node path: naive propagation needs 63 rounds; pointer jumping
+        # must converge within the max_iter bound
+        from sparksearchengine_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+        )
+        comp = connected_components(pairs, max_iter=10)
+        assert comp.where(F.col("component") != 0).count() == 0 or (
+            {r["component"] for r in comp.collect()} == {0}
+        )
+
+    def test_canonicalize_covers_all_rows(self, spark):
+        from sparksearchengine_spark.operators.dedup import canonicalize_pairs
+
+        docs = spark.createDataFrame(
+            [(i,) for i in [1, 2, 3, 10, 11, 30]], "doc_id long"
+        )
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+        )
+        got = {
+            r["doc_id"]: (r["canon_id"], r["is_duplicate"])
+            for r in canonicalize_pairs(docs, pairs).collect()
+        }
+        assert got == {
+            1: (1, False), 2: (1, True), 3: (1, True),
+            10: (10, False), 11: (10, True), 30: (30, False),
+        }
+
+    def test_minhash_canon_matches_exact_pair_components(self, docs_df):
+        # at sf0.001 the LSH pair set equals the exact pair set (recall 1),
+        # so canon over minhash pairs == canon over exact jaccard pairs
+        from sparksearchengine_spark.operators.dedup import (
+            canonicalize_pairs,
+            minhash_lsh_canon,
+            ngram_jaccard_join,
+        )
+
+        got = minhash_lsh_canon(docs_df, threshold=0.8)
+        want = canonicalize_pairs(
+            docs_df, ngram_jaccard_join(docs_df, threshold=0.8)
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+
+class TestRecallHarness:
+    def test_pair_recall_math(self, spark):
+        from sparksearchengine_spark.operators.recall import pair_recall
+
+        exact = spark.createDataFrame(
+            [(1, 2), (3, 4), (5, 6), (7, 8)], "id_a long, id_b long"
+        )
+        approx = spark.createDataFrame(
+            [(1, 2), (3, 4), (5, 6), (9, 10)], "id_a long, id_b long"
+        )
+        row = pair_recall(approx, exact).collect()[0]
+        assert (row["n_exact"], row["n_found"], row["recall"]) == (4, 3, 0.75)
+
+    def test_simhash_banding_has_full_recall(self, docs_df):
+        # pigeonhole guarantee: hamming <= 3 over 4 blocks => >= 1 equal
+        # block, so the banded join misses nothing vs brute force
+        from sparksearchengine_spark.operators.dedup import (
+            simhash_dedup,
+            simhash_neardup_exact,
+        )
+        from sparksearchengine_spark.operators.recall import pair_recall
+
+        row = pair_recall(
+            simhash_dedup(docs_df, max_hamming=3),
+            simhash_neardup_exact(docs_df, max_hamming=3),
+        ).collect()[0]
+        assert row["recall"] == 1.0
+
+    def test_labeled_threshold(self, spark):
+        from sparksearchengine_spark.operators.recall import (
+            labeled_recall_ok,
+            pair_recall,
+        )
+
+        exact = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+        approx = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        r = pair_recall(approx, exact)
+        assert labeled_recall_ok("x", r, 0.4).collect()[0]["recall_ok"] is True
+        assert labeled_recall_ok("x", r, 0.6).collect()[0]["recall_ok"] is False
+
+
+class TestLangId:
+    def test_stopword_argmax(self, spark):
+        from sparksearchengine_spark.operators.textstats import lang_id
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the cat sat on the mat and it was good"),
+                (2, "el perro corre por la calle y se va del parque"),
+                (3, "le chien est dans la rue et les gens du quartier"),
+                (4, "zzz qqq xxx"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+        assert got == {1: "en", 2: "es", 3: "fr", 4: "und"}
+
+    def test_cjk_script_ratio_predicts_zh(self, spark):
+        from sparksearchengine_spark.operators.textstats import lang_id
+
+        docs = spark.createDataFrame(
+            [
+                (1, "这是一个中文句子没有空格"),
+                (2, "mixed 中文 with the english the the and of to in"),
+                (3, "the quick brown fox and the lazy dog"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in lang_id(docs).collect()}
+        assert rows[1]["lang_pred"] == "zh"
+        assert rows[1]["lang_hits"] == 12  # every char is an ideograph
+        assert rows[3]["lang_pred"] == "en"
+        # doc 2: 2 ideographs / ~40 non-space chars < 0.3 -> stopword path
+        assert rows[2]["lang_pred"] == "en"
+
+
+class TestWinnowing:
+    def test_deterministic_and_discriminative(self, spark):
+        from sparksearchengine_spark.operators.textstats import (
+            rolling_hash_fingerprint,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i j"),
+                (2, "a b c d e f g h i j"),
+                (3, "totally different words here in this one doc now yes"),
+            ],
+            "doc_id long, text string",
+        )
+        fp = {r["doc_id"]: r["fp_winnow"] for r in rolling_hash_fingerprint(docs).collect()}
+        assert fp[1] == fp[2]
+        assert fp[1] != fp[3]
