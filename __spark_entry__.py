@@ -309,6 +309,18 @@ def _qc15(spark, sf):
     )
 
 
+def _qc16(spark, sf):
+    """Q12 parser end-to-end: a parsed boost query ('dup^2 spark') ranks
+    with the boosted BM25 sum. Two distinct terms -> FP addition is
+    order-insensitive, so 6dp rounding matches DuckDB bitwise."""
+    idx = _docs_index(spark, sf)
+    q = Q.parse("dup^2 spark", default_field="text")
+    res = idx.search(q, k=QC10_K)
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 # ---- training-data pipeline operators ------------------------------------
 
 
@@ -638,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc13_doc_lookup": _qc13,
         "qc14_bm25_components": _qc14,
         "qc15_query_join": _qc15,
+        "qc16_parsed_boost": _qc16,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -804,6 +817,19 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT * FROM ranked WHERE rank <= {QC15_K}""",
+        "qc16_parsed_boost": _CTE + f"""
+            , scored AS (
+              SELECT p.doc_id,
+                     sum(CASE WHEN p.term = 'dup'
+                              THEN ({score}) * 2.0
+                              ELSE ({score}) END) AS s
+              FROM postings p JOIN termstats t USING (term) CROSS JOIN fieldstats f
+              WHERE p.term IN ('dup', 'spark')
+              GROUP BY p.doc_id
+            )
+            SELECT doc_id, round(s, 6) AS score,
+                   CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+            FROM scored ORDER BY s DESC, doc_id LIMIT {QC10_K}""",
         "dedup_exact": """
             SELECT doc_id,
                    min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id

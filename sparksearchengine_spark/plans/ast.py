@@ -45,6 +45,9 @@ class Query:
     def __invert__(self) -> "Query":
         return Not(self)
 
+    def boost(self, factor: float) -> "Query":
+        return Boost(self, float(factor))
+
 
 # --- full-text queries (scored) -------------------------------------------
 
@@ -118,6 +121,19 @@ class Or(Query):
 
     def __or__(self, other: Query) -> Query:
         return Or(self.operands + (other,))
+
+
+@dataclass(frozen=True)
+class Boost(Query):
+    """Q12 boost (`term^2` in Lucene QueryParser syntax): the operand's
+    scores are multiplied by ``factor``. Matching set is unchanged."""
+
+    operand: Query
+    factor: float
+
+    def __post_init__(self) -> None:
+        if self.factor < 0:
+            raise ValueError("boost factor must be non-negative")
 
 
 @dataclass(frozen=True)
@@ -239,7 +255,9 @@ class Q:
     @staticmethod
     def parse(query_string: str, default_field: str = "text") -> Query:
         """Q12 — parse a Lucene-ish query syntax subset (terms, quoted
-        phrases, AND/OR/NOT, field:term, field:(a b c), +term, -term)."""
+        phrases, AND/OR/NOT, field:term, field:(a b c), +term, -term,
+        term^boost, field:[a TO b] ranges). Wildcard/fuzzy/exclusive-range
+        syntax raises an explicit error instead of mis-parsing."""
         from sparksearchengine_spark.plans.parser import parse_query
 
         return parse_query(query_string, default_field)

@@ -279,6 +279,11 @@ def _compile(q: ast.Query, index: "SearchIndex") -> DataFrame:
         )
     if isinstance(q, ast.MatchPhrase):
         return _phrase(index, q)
+    if isinstance(q, ast.Boost):
+        # Lucene boost semantics: same matching set, scores scaled
+        return _compile(q.operand, index).select(
+            F.col(DOC_ID), (F.col(SCORE) * F.lit(float(q.factor))).alias(SCORE)
+        )
     if isinstance(q, ast.And):
         return _compile_and(q, index)
     if isinstance(q, ast.Or):

@@ -9,12 +9,18 @@ parse a practical subset into the AST:
     field:term                -> MatchText(field, term)
     field:"quoted phrase"     -> MatchPhrase(field, ...)
     field:(a b c)             -> MatchAny over the terms
+    field:[a TO b]            -> RangeFilter (F6); * bound -> one-sided
     a AND b, a OR b, NOT a    -> And / Or / Not (left-assoc, NOT > AND > OR)
     +term / -term             -> required / prohibited (inside one group)
+    term^2, "phrase"^1.5      -> Boost (score multiplier)
     parentheses               -> grouping
 
 Bare adjacency ("a b") means OR (SHOULD), matching Lucene's default
-operator.
+operator; prohibited (-) operands in a group are hoisted to MUST_NOT.
+
+Lucene constructs we deliberately do NOT implement raise an explicit
+ValueError instead of mis-parsing: wildcards (`te*t`, `te?t`), fuzzy
+(`term~`, `term~2`), and exclusive range bounds (`{a TO b}`).
 """
 
 from __future__ import annotations
@@ -27,14 +33,20 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
         (?P<lparen>\()
       | (?P<rparen>\))
+      | (?P<lbracket>\[)
+      | (?P<rbracket>\])
+      | (?P<lbrace>\{)
+      | (?P<rbrace>\})
       | (?P<and>AND\b)
       | (?P<or>OR\b)
       | (?P<not>NOT\b)
+      | (?P<to>TO\b)
       | (?P<plus>\+)
       | (?P<minus>-)
+      | (?P<boost>\^\d+(?:\.\d+)?)
       | (?P<phrase>"[^"]*")
       | (?P<fieldterm>[A-Za-z_][\w.]*:)
-      | (?P<term>[^\s()+\-"][^\s()"]*)
+      | (?P<term>[^\s()+\-"\[\]{}^][^\s()"\[\]{}^]*)
     )""",
     re.VERBOSE,
 )
@@ -128,6 +140,15 @@ def _parse_unary(toks: _Tokens, field: str) -> ast.Query:
 
 
 def _parse_primary(toks: _Tokens, field: str) -> ast.Query:
+    q = _parse_primary_inner(toks, field)
+    nxt = toks.peek()
+    if nxt and nxt[0] == "boost":  # postfix ^n binds tighter than booleans
+        toks.next()
+        q = ast.Boost(q, float(nxt[1][1:]))
+    return q
+
+
+def _parse_primary_inner(toks: _Tokens, field: str) -> ast.Query:
     kind, val = toks.next()
     if kind == "lparen":
         q = _parse_or(toks, field)
@@ -136,11 +157,75 @@ def _parse_primary(toks: _Tokens, field: str) -> ast.Query:
             raise ValueError("unbalanced parenthesis in query")
         toks.next()
         return q
+    if kind == "lbracket":
+        return _parse_range(toks, field)
+    if kind == "lbrace":
+        raise ValueError(
+            "exclusive range bounds {a TO b} are not supported; "
+            "use an inclusive range [a TO b]"
+        )
     if kind == "phrase":
         return ast.MatchPhrase(field, val.strip('"'))
     if kind == "fieldterm":
         new_field = val[:-1]
-        return _parse_primary(toks, new_field)
+        return _parse_primary_inner(toks, new_field)
     if kind == "term":
+        _reject_unsupported_term(val)
         return ast.MatchText(field, val, require_all=False)
     raise ValueError(f"unexpected token {kind} {val!r}")
+
+
+def _reject_unsupported_term(val: str) -> None:
+    """Lucene syntax we don't implement must error, never mis-parse as a
+    literal term (reference QueryParser accepts these:
+    `dsl/DslQuery.scala:122-128`)."""
+    if "*" in val or "?" in val:
+        raise ValueError(
+            f"wildcard queries are not supported: {val!r}"
+        )
+    if "~" in val:
+        raise ValueError(f"fuzzy queries are not supported: {val!r}")
+
+
+def _parse_range(toks: _Tokens, field: str) -> ast.Query:
+    """field:[a TO b] -> RangeFilter (F6); open bound * -> CompareFilter."""
+    lo = _range_value(toks)
+    kind, _ = toks.next()
+    if kind != "to":
+        raise ValueError("expected TO in range query")
+    hi = _range_value(toks)
+    closing = toks.next()
+    if closing[0] != "rbracket":
+        raise ValueError("unbalanced bracket in range query")
+    if lo is None and hi is None:
+        return ast.ExistsFilter(field)
+    if lo is None:
+        return ast.CompareFilter(field, "<=", hi)
+    if hi is None:
+        return ast.CompareFilter(field, ">=", lo)
+    return ast.RangeFilter(field, lo, hi)
+
+
+def _range_value(toks: _Tokens):  # type: ignore[no-untyped-def]
+    kind, val = toks.next()
+    neg = False
+    if kind == "minus":
+        neg = True
+        kind, val = toks.next()
+    if kind == "phrase":
+        return val.strip('"')
+    if kind != "term":
+        raise ValueError(f"bad range bound {val!r}")
+    if val == "*" and not neg:
+        return None  # open bound
+    return _coerce(("-" if neg else "") + val)
+
+
+def _coerce(s: str):  # type: ignore[no-untyped-def]
+    try:
+        return int(s)
+    except ValueError:
+        try:
+            return float(s)
+        except ValueError:
+            return s

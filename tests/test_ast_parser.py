@@ -127,6 +127,61 @@ def test_parser_errors():
         parse_query(")")
 
 
+def test_parser_boost():
+    q = parse_query("island^2")
+    assert q == ast.Boost(ast.MatchText("text", "island", False), 2.0)
+    q = parse_query('"exact phrase"^1.5')
+    assert q == ast.Boost(ast.MatchPhrase("text", "exact phrase"), 1.5)
+    q = parse_query("title:island^3 AND sea")
+    assert q == ast.And(
+        (
+            ast.Boost(ast.MatchText("title", "island", False), 3.0),
+            ast.MatchText("text", "sea", False),
+        )
+    )
+    q = parse_query("(a OR b)^2")
+    assert isinstance(q, ast.Boost) and isinstance(q.operand, ast.Or)
+
+
+def test_parser_boost_scores_multiply(tiny_index):
+    from sparksearchengine_spark.plans.parser import parse_query as pq
+
+    plain = {
+        r["doc_id"]: r["score"]
+        for r in tiny_index.compile(pq("a")).collect()
+    }
+    boosted = {
+        r["doc_id"]: r["score"]
+        for r in tiny_index.compile(pq("a^2")).collect()
+    }
+    assert set(plain) == set(boosted)
+    for d, s in plain.items():
+        assert boosted[d] == pytest.approx(2.0 * s)
+
+
+def test_parser_ranges():
+    q = parse_query("views:[10 TO 20]")
+    assert q == ast.RangeFilter("views", 10, 20)
+    q = parse_query("views:[-1.5 TO 2]")
+    assert q == ast.RangeFilter("views", -1.5, 2)
+    q = parse_query("views:[10 TO *]")
+    assert q == ast.CompareFilter("views", ">=", 10)
+    q = parse_query("views:[* TO 20]")
+    assert q == ast.CompareFilter("views", "<=", 20)
+    q = parse_query('date:["2024-01-01" TO "2024-12-31"]')
+    assert q == ast.RangeFilter("date", "2024-01-01", "2024-12-31")
+    q = parse_query("a AND views:[1 TO 5]")
+    assert isinstance(q, ast.And)
+
+
+def test_parser_unsupported_syntax_errors_not_misparses():
+    for bad in ("te*t", "te?t", "fuzzy~", "fuzzy~2", "prefix*"):
+        with pytest.raises(ValueError):
+            parse_query(bad)
+    with pytest.raises(ValueError):
+        parse_query("views:{1 TO 5}")
+
+
 def test_raw_query_default_constructor():
     q = Q.raw("free text here", default_field="body")
     assert q == ast.MatchText("body", "free text here", False)
