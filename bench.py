@@ -102,6 +102,29 @@ def main() -> None:
             sample, text_col="text", field="text", k=5, other_id_col="doc_id"
         ).count()
 
+    # 5b. skewed self query-join: zipfian queries — 5% of the 1k queries
+    # are the corpus' hottest terms, so those query groups match nearly
+    # every doc; the salted two-stage rank window must keep this within
+    # ~2x of the uniform query_join instead of serializing one reducer
+    with timed("query_join_skew"):
+        hot = " ".join(
+            r["term"]
+            for r in idx.term_counts()
+            .orderBy(F.col("df_t").desc())
+            .limit(3)
+            .collect()
+        )
+        skewed = docs.where(F.col("doc_id") < 1000).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 20 == 0, F.lit(hot))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        idx.query_join(
+            skewed, text_col="text", field="text", k=5,
+            other_id_col="doc_id", salt_buckets=8,
+        ).count()
+
     # 6. stats: term counts + IDF table (QC12 class)
     with timed("stats"):
         idx.term_counts().count()

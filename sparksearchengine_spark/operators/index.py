@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import zlib
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +46,18 @@ from sparksearchengine_spark.functions.analyzers import TextOptions, analyzer_ex
 from sparksearchengine_spark.functions.scoring import ScoringConfig
 
 DOC_ID = "doc_id"  # reserved result column (reference reserves "$id")
+TERM_BUCKET = "_tbucket"  # partition column of a term-bucketed saved index
+
+
+def term_bucket(term: str, n: int) -> int:
+    """Driver-side bucket of a term — MUST match :func:`term_bucket_expr`.
+    crc32 on purpose (not xxhash64): zlib.crc32 == Spark's crc32, so the
+    query compiler can compute a term's bucket without a Spark job."""
+    return zlib.crc32(term.encode("utf-8")) % n
+
+
+def term_bucket_expr(col, n: int):  # type: ignore[no-untyped-def]
+    return F.pmod(F.crc32(col.cast("binary")), F.lit(n))
 
 
 @dataclass(frozen=True)
@@ -192,12 +205,16 @@ class SearchIndex:
         termstats: DataFrame,
         fieldstats: dict[str, FieldStats],
         scoring: ScoringConfig,
+        term_buckets: int | None = None,
     ) -> None:
         self.corpus = corpus
         self.postings = postings
         self.termstats = termstats
         self.fieldstats = fieldstats
         self.scoring = scoring
+        # set on indexes loaded from a term-bucketed save: postings carry a
+        # _tbucket partition column and term queries prune to its buckets
+        self.term_buckets = term_buckets
         self._scored_cache: dict[str, DataFrame] = {}
         # per-phrase-query persisted scans, registered by the compiler so
         # unpersist() can release them (no leaked cached blocks in a
@@ -297,8 +314,9 @@ class SearchIndex:
     def bucket_by_term(self, num_buckets: int) -> "SearchIndex":
         """Decoupled-index analog (reference DistributedIndexLuceneRDD's
         ``numIndices``): repartition postings by term so each query term
-        resolves within one partition. At scale, pair with a bucketed table
-        write so the layout persists across jobs."""
+        resolves within one partition. Session-lived; the durable version
+        is ``save(path, term_buckets=n)``, whose partitioned layout prunes
+        term queries at the scan after a restart."""
         return SearchIndex(
             corpus=self.corpus,
             postings=self.postings.repartition(num_buckets, "term"),
@@ -307,16 +325,35 @@ class SearchIndex:
             scoring=self.scoring,
         )
 
-    def save(self, path: str) -> None:
+    def save(self, path: str, term_buckets: int | None = None) -> None:
         """Persist the index as Parquet (replaces the reference's serialized
-        RAMDirectory + Kryo machinery, `LuceneIndex.scala:92-118`)."""
-        self.postings.write.mode("overwrite").parquet(
-            os.path.join(path, "postings")
-        )
+        RAMDirectory + Kryo machinery, `LuceneIndex.scala:92-118`).
+
+        With ``term_buckets=n`` the postings are laid out partitioned by
+        ``_tbucket = crc32(term) % n`` — the durable version of
+        :meth:`bucket_by_term` (a ``repartition`` dies with the session; a
+        partitioned layout survives restarts). A loaded index then prunes
+        term queries to their buckets at the SCAN (PartitionFilters), so a
+        k-term query on a 100 TB index reads ≤ k/n of the postings files.
+        """
+        pw = self.postings
+        if term_buckets:
+            pw = pw.withColumn(
+                TERM_BUCKET, term_bucket_expr(F.col("term"), term_buckets)
+            )
+            # one output dir per bucket; repartition by the bucket column
+            # so each partition writes one file per bucket it owns
+            pw = pw.repartition(term_buckets, TERM_BUCKET)
+            pw.write.mode("overwrite").partitionBy(TERM_BUCKET).parquet(
+                os.path.join(path, "postings")
+            )
+        else:
+            pw.write.mode("overwrite").parquet(os.path.join(path, "postings"))
         self.termstats.write.mode("overwrite").parquet(
             os.path.join(path, "termstats")
         )
         meta = {
+            "term_buckets": term_buckets,
             "id_col": self.corpus.id_col,
             "text_cols": {
                 f: {"analyzer": o.analyzer, "positions": o.positions}
@@ -357,6 +394,7 @@ class SearchIndex:
                 for f, s in meta["fieldstats"].items()
             },
             scoring=ScoringConfig(**meta["scoring"]),
+            term_buckets=meta.get("term_buckets"),
         )
 
     def unpersist(self) -> None:

@@ -9,12 +9,13 @@ pipeline carries media columns. Design:
 * decode / resize / frame-sample / feature-extract run as Arrow-batched
   ``mapInPandas`` stages — one Python worker per partition, bytes never
   pass through the driver;
-* the actual codec step is environment-dependent (PIL/ffmpeg are not in
-  this container), so decoding is STUBBED: ``codec="fake"`` is a
-  deterministic bytes->array expansion used by tests, ``codec="real"``
-  raises NotImplementedError at the exact seam where PIL/soundfile/ffmpeg
-  plug in. The Spark-side plumbing — schemas, batch iteration, partition
-  behavior — is real and tested either way.
+* the actual codec step is environment-dependent: ``codec="real"``
+  import-tries the optional dependency (PIL for images, soundfile for
+  audio, pyav for video) and decodes with it when installed, raising a
+  clear NotImplementedError when it isn't; ``codec="fake"`` is a
+  deterministic bytes->array expansion that works everywhere and is the
+  contract the tests and oracles pin. The Spark-side plumbing — schemas,
+  batch iteration, partition behavior — is identical either way.
 
 Per-modality metadata schema (nullable where not applicable):
 
@@ -110,26 +111,58 @@ def _fake_decode(content: bytes, n: int) -> list[float]:
 
 
 def _decode_image_bytes(content: bytes, codec: str) -> tuple[int, int, int, list[float]]:
-    """-> (width, height, n_channels, flat pixels). The 'real' branch is the
-    seam where PIL/opencv goes (not installed in this container)."""
+    """-> (width, height, n_channels, flat pixels in [0,1]).
+
+    ``codec="real"`` decodes with PIL when it is installed (optional
+    dependency — import-tried per call so executors without the lib fail
+    with a clear NotImplementedError, not an ImportError mid-batch);
+    ``codec="fake"`` stays the deterministic contract tests rely on.
+    """
     if codec == "fake":
         w, h, c = 8, 8, 3
         return w, h, c, _fake_decode(content, w * h * c)
-    raise NotImplementedError(
-        "real image decoding requires PIL/opencv (not available in this "
-        "environment); pass codec='fake' for the deterministic test codec"
-    )
+    if codec == "real":
+        try:
+            from PIL import Image
+        except ImportError as e:
+            raise NotImplementedError(
+                "codec='real' requires PIL (pip install pillow); it is not "
+                "installed here — pass codec='fake' for the deterministic "
+                "test codec"
+            ) from e
+        import io
+
+        import numpy as np
+
+        img = Image.open(io.BytesIO(content)).convert("RGB")
+        w, h = img.size
+        arr = np.asarray(img, dtype=np.float32) / 255.0  # (h, w, 3)
+        return w, h, 3, arr.ravel().tolist()
+    raise ValueError(f"unknown codec {codec!r} (use 'fake' or 'real')")
 
 
 def _decode_audio_bytes(content: bytes, codec: str) -> tuple[int, int, list[float]]:
-    """-> (sample_rate, n_samples, samples)."""
+    """-> (sample_rate, n_samples, samples in [-1,1]). Same optional-
+    dependency contract as :func:`_decode_image_bytes`, with soundfile."""
     if codec == "fake":
         sr, n = 16000, 64
         return sr, n, [x * 2.0 - 1.0 for x in _fake_decode(content, n)]
-    raise NotImplementedError(
-        "real audio decoding requires soundfile/librosa (not available); "
-        "pass codec='fake' for the deterministic test codec"
-    )
+    if codec == "real":
+        try:
+            import soundfile
+        except ImportError as e:
+            raise NotImplementedError(
+                "codec='real' requires soundfile (pip install soundfile); "
+                "it is not installed here — pass codec='fake' for the "
+                "deterministic test codec"
+            ) from e
+        import io
+
+        data, sr = soundfile.read(io.BytesIO(content), dtype="float32")
+        if getattr(data, "ndim", 1) > 1:
+            data = data.mean(axis=1)  # downmix to mono
+        return int(sr), len(data), [float(x) for x in data]
+    raise ValueError(f"unknown codec {codec!r} (use 'fake' or 'real')")
 
 
 # --------------------------------------------------------------------------
@@ -271,11 +304,20 @@ def sample_frames(
         for pdf in batches:
             rows = []
             for did, content in zip(pdf[id_col], pdf[content_col]):
-                if codec != "fake":
+                if codec == "real":
+                    try:
+                        import av  # noqa: F401  (optional dependency)
+                    except ImportError as e:
+                        raise NotImplementedError(
+                            "codec='real' requires pyav (pip install av); "
+                            "it is not installed here — pass codec='fake'"
+                        ) from e
                     raise NotImplementedError(
-                        "real video demux requires ffmpeg/pyav; "
-                        "pass codec='fake'"
+                        "real video demux seam: wire av.open(BytesIO(...))"
+                        ".decode(video=0) here with the same output shape"
                     )
+                if codec != "fake":
+                    raise ValueError(f"unknown codec {codec!r}")
                 data = bytes(content or b"")
                 n_frames = max(len(data) // frame_size, 0)
                 for i in range(0, n_frames, every_n):

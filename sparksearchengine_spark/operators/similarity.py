@@ -334,6 +334,117 @@ def ivf_cosine_topk(
     ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
+def ivf_build(
+    items: DataFrame,
+    path: str,
+    n_clusters: int = 16,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    seed: int = 42,
+) -> None:
+    """Train the IVF coarse quantizer and persist the items PARTITIONED BY
+    CELL — the durable layout behind :func:`ivf_cosine_topk`'s scale
+    claim: a later query session reads only its probed cells' directories
+    (partition pruning), ~nprobe/n_clusters of the corpus, instead of
+    re-clustering or scanning everything.
+
+    Layout: ``path/items/_cell=K/*.parquet`` + ``path/meta.json`` holding
+    the centroids (n_clusters × dim floats — driver-small by construction).
+    """
+    import json
+    import os
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    items_f = items.withColumn(
+        "_fvec", array_to_vector(F.col(item_vec).cast("array<double>"))
+    )
+    km = KMeans(
+        k=n_clusters, seed=seed, featuresCol="_fvec", predictionCol="_cell"
+    )
+    model = km.fit(items_f)
+    assigned = model.transform(items_f).select(
+        F.col(item_id).alias("vec_id"),
+        F.col(item_vec).alias("embedding"),
+        F.col("_cell"),
+    )
+    assigned.repartition(n_clusters, "_cell").write.mode(
+        "overwrite"
+    ).partitionBy("_cell").parquet(os.path.join(path, "items"))
+    meta = {
+        "n_clusters": n_clusters,
+        "centers": [list(map(float, c)) for c in model.clusterCenters()],
+    }
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "meta.json"), "w") as fh:
+        json.dump(meta, fh)
+
+
+def ivf_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against an :func:`ivf_build` layout. Probe-cell selection
+    runs on the (small) query side; the item scan is restricted to the
+    union of probed cells — a partition-column predicate, so unprobed cell
+    directories are never read (visible as PartitionFilters in the plan)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    centers = meta["centers"]
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(v) for v in c]).alias("cvec"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    qcells = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_qvec"),
+        F.explode(cent_arr).alias("c"),
+    ).select(
+        "query_id",
+        "_qvec",
+        F.col("c.cell").alias("_cell"),
+        cosine_expr(F.col("_qvec"), F.col("c.cvec")).alias("_csim"),
+    )
+    qprobe = topk_per_group(
+        qcells, ["query_id"], [F.col("_csim").desc(), F.col("_cell").asc()],
+        k=nprobe,
+    ).select("query_id", "_qvec", "_cell")
+    # union of probed cells: ≤ n_clusters ints — a tiny driver action that
+    # buys directory-level pruning on the big side
+    cells = sorted(
+        r["_cell"] for r in qprobe.select("_cell").distinct().collect()
+    )
+    items = spark.read.parquet(os.path.join(path, "items")).where(
+        F.col("_cell").isin(cells)
+    )
+    cand = items.join(F.broadcast(qprobe), "_cell")
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        cosine_expr(F.col("embedding"), F.col("_qvec")).alias("cos_sim"),
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("vec_id").asc()],
+        k=k,
+    ).select("query_id", "vec_id", "cos_sim", "rank")
+
+
 def embedding_neardup_exact(
     items: DataFrame,
     threshold: float = 0.95,

@@ -95,9 +95,19 @@ def _scored_postings(
         return spark.createDataFrame(
             [], "doc_id long, term string, positions array<int>, tscore double"
         )
-    p = index.postings.where(
-        (F.col("field") == field) & F.col("term").isin(terms)
-    )
+    p = index.postings
+    if index.term_buckets:
+        # term-bucketed saved layout: restrict the scan to the query
+        # terms' buckets FIRST — this is a partition-column predicate, so
+        # it prunes directories (PartitionFilters), not just rows
+        from sparksearchengine_spark.operators.index import (
+            TERM_BUCKET,
+            term_bucket,
+        )
+
+        bks = sorted({term_bucket(t, index.term_buckets) for t in terms})
+        p = p.where(F.col(TERM_BUCKET).isin(bks)).drop(TERM_BUCKET)
+    p = p.where((F.col("field") == field) & F.col("term").isin(terms))
     ts = index.termstats.where(
         (F.col("field") == field) & F.col("term").isin(terms)
     ).select("term", "df_t")
@@ -123,11 +133,17 @@ def _term_set(
     distinct_terms = sorted(set(terms))
     if index.fieldstats[field].doc_count == 0:
         return _empty_result(index)
-    # per-posting scores come precomputed from the index cache (narrow
-    # 3-column relation; no per-query BM25 re-evaluation)
-    scored = index.scored_postings(field).where(
-        F.col("term").isin(distinct_terms)
-    )
+    if index.term_buckets:
+        # disk-backed bucketed index: a cached full-field scored relation
+        # would defeat the layout (materializes everything to answer one
+        # term); go straight to the bucket-pruned scan instead
+        scored = _scored_postings(index, field, distinct_terms)
+    else:
+        # per-posting scores come precomputed from the index cache (narrow
+        # 3-column relation; no per-query BM25 re-evaluation)
+        scored = index.scored_postings(field).where(
+            F.col("term").isin(distinct_terms)
+        )
     grouped = scored.groupBy(DOC_ID).agg(
         F.sum("tscore").alias(SCORE),
         F.count(F.lit(1)).alias("_nmatched"),  # postings unique per (term,doc)

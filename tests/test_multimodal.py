@@ -1,11 +1,25 @@
 """Multimodal columns: binary content + typed metadata, decode/resize/
-feature/frame-sample plumbing over mapInPandas (fake codec; the real codec
-seam raises NotImplementedError by design)."""
+feature/frame-sample plumbing over mapInPandas. The fake codec is the
+deterministic contract; codec='real' uses PIL/soundfile when installed and
+raises a clear NotImplementedError when not — both branches are covered
+(skipif on the library's presence)."""
 
 from __future__ import annotations
 
 import pytest
 from pyspark.sql import functions as F
+
+
+def _try_import(name: str) -> bool:
+    try:
+        __import__(name)
+        return True
+    except ImportError:
+        return False
+
+
+_HAS_PIL = _try_import("PIL")
+_HAS_SOUNDFILE = _try_import("soundfile")
 
 
 @pytest.fixture(scope="module")
@@ -40,8 +54,37 @@ class TestDecode:
     def test_real_codec_raises(self, media_df):
         from sparksearchengine_spark.operators.multimodal import decode_images
 
-        with pytest.raises(Exception, match="NotImplementedError|real image"):
+        if _HAS_PIL:
+            pytest.skip("PIL installed; absence branch not reachable")
+        with pytest.raises(Exception, match="NotImplementedError|requires PIL"):
             decode_images(media_df, codec="real").collect()
+
+    def test_unknown_codec_rejected(self, media_df):
+        from sparksearchengine_spark.operators.multimodal import decode_images
+
+        with pytest.raises(Exception, match="unknown codec"):
+            decode_images(media_df, codec="bogus").collect()
+
+    @pytest.mark.skipif("not _HAS_PIL")
+    def test_real_codec_decodes_png(self, spark):
+        # only runs where pillow is installed: a real 2x2 PNG roundtrips
+        # through the same mapInPandas plumbing as the fake codec
+        import io
+
+        from PIL import Image
+
+        from sparksearchengine_spark.operators.multimodal import decode_images
+
+        buf = io.BytesIO()
+        Image.new("RGB", (2, 2), (255, 0, 0)).save(buf, format="PNG")
+        df = spark.createDataFrame(
+            [(1, buf.getvalue())], "doc_id long, content binary"
+        )
+        (r,) = decode_images(df, codec="real").collect()
+        assert (r["width"], r["height"], r["n_channels"]) == (2, 2, 3)
+        assert len(r["pixels"]) == 2 * 2 * 3
+        assert r["pixels"][0] == pytest.approx(1.0)  # red channel
+        assert r["pixels"][1] == pytest.approx(0.0)
 
 
 class TestResize:
@@ -89,6 +132,16 @@ class TestFeatures:
         for r in out:
             assert r["sample_rate"] == 16000
             assert len(r["embedding"]) == 8
+
+    def test_audio_real_codec_raises_without_soundfile(self, media_df):
+        from sparksearchengine_spark.operators.multimodal import audio_features
+
+        if _HAS_SOUNDFILE:
+            pytest.skip("soundfile installed; absence branch not reachable")
+        with pytest.raises(
+            Exception, match="NotImplementedError|requires soundfile"
+        ):
+            audio_features(media_df, codec="real").collect()
 
 
 class TestFrameSampling:

@@ -307,3 +307,31 @@ class TestPersistence:
         assert sorted(map(tuple, b.search(q, k=5).collect())) == sorted(
             map(tuple, tiny_index.search(q, k=5).collect())
         )
+
+    def test_term_bucketed_save_prunes_scan(self, tmp_path, docs_df, docs_index):
+        """The durable bucket_by_term: a saved term-bucketed layout must
+        (a) answer queries identically and (b) prune the postings scan to
+        the query terms' buckets via PartitionFilters."""
+        from sparksearchengine_spark import SearchIndex
+        from sparksearchengine_spark.operators.index import term_bucket
+
+        path = str(tmp_path / "bidx")
+        n = 8
+        docs_index.save(path, term_buckets=n)
+        loaded = SearchIndex.load(docs_df.sparkSession, path, docs_df)
+        assert loaded.term_buckets == n
+
+        q = Q.field("text").match_any("dup", "spark")
+        want = docs_index.search(q, k=10).collect()
+        got = loaded.search(q, k=10).collect()
+        assert sorted(map(tuple, want)) == sorted(map(tuple, got))
+
+        plan = (
+            loaded.compile(q)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters" in plan
+        assert "_tbucket" in plan, plan
+        # the driver-side bucket fn must agree with the Spark-side one:
+        # the pruned buckets appear literally in the partition filter
+        bks = {term_bucket(t, n) for t in ("dup", "spark")}
+        assert any(str(b) in plan for b in bks)

@@ -120,6 +120,27 @@ class TestLSH:
             )
 
 
+class TestIVFPersisted:
+    def test_build_search_roundtrip_and_pruning(self, spark, tmp_path, emb, queries):
+        from sparksearchengine_spark.operators.similarity import (
+            ivf_build,
+            ivf_cosine_topk,
+            ivf_search,
+        )
+
+        path = str(tmp_path / "ivf")
+        ivf_build(emb, path, n_clusters=8)
+        got = ivf_search(spark, path, queries, k=5, nprobe=3)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        # probed cells only: the item scan must carry a partition filter
+        assert "PartitionFilters" in plan and "_cell" in plan, plan
+        # same quantizer + same probes => same results as the in-session op
+        want = ivf_cosine_topk(emb, queries, k=5, n_clusters=8, nprobe=3)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+
 class TestEmbeddingNearDup:
     def test_pairs_above_threshold(self, emb):
         from sparksearchengine_spark.operators.similarity import embedding_neardup
