@@ -321,6 +321,22 @@ def _qc16(spark, sf):
     )
 
 
+def _qc17(spark, sf):
+    """Q12 wildcard + fuzzy end-to-end: constant-score multi-term queries
+    expanded against the term dictionary (LIKE / levenshtein on termstats,
+    broadcast into a postings hash-join)."""
+    idx = _docs_index(spark, sf)
+    wc = idx.compile(Q.parse("dup*")).agg(
+        F.count(F.lit(1)).alias("n_wildcard"),
+        F.sum("doc_id").cast("long").alias("sum_wc"),
+    )
+    fz = idx.compile(Q.parse("dup~1")).agg(
+        F.count(F.lit(1)).alias("n_fuzzy"),
+        F.sum("doc_id").cast("long").alias("sum_fz"),
+    )
+    return wc.crossJoin(fz)
+
+
 # ---- training-data pipeline operators ------------------------------------
 
 
@@ -651,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc14_bm25_components": _qc14,
         "qc15_query_join": _qc15,
         "qc16_parsed_boost": _qc16,
+        "qc17_wildcard_fuzzy": _qc17,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -830,6 +847,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(s, 6) AS score,
                    CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
             FROM scored ORDER BY s DESC, doc_id LIMIT {QC10_K}""",
+        "qc17_wildcard_fuzzy": _CTE + """
+            , wc AS (SELECT DISTINCT doc_id FROM postings WHERE term LIKE 'dup%'),
+            fzt AS (SELECT term FROM termstats WHERE levenshtein(term, 'dup') <= 1),
+            fz AS (SELECT DISTINCT doc_id FROM postings
+                   WHERE term IN (SELECT term FROM fzt))
+            SELECT
+              (SELECT count(*) FROM wc) AS n_wildcard,
+              (SELECT CAST(sum(doc_id) AS BIGINT) FROM wc) AS sum_wc,
+              (SELECT count(*) FROM fz) AS n_fuzzy,
+              (SELECT CAST(sum(doc_id) AS BIGINT) FROM fz) AS sum_fz""",
         "dedup_exact": """
             SELECT doc_id,
                    min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id

@@ -104,6 +104,38 @@ class MatchPhrase(Query):
 
 
 @dataclass(frozen=True)
+class MatchWildcard(Query):
+    """Q12 wildcard (`te*t`, `te?t` — Lucene WildcardQuery via the
+    QueryParser, `dsl/DslQuery.scala:122-128`). Pattern is matched against
+    the indexed (analyzed, lowercased) terms; constant score 1.0 per doc —
+    Lucene's own default rewrite for multi-term queries
+    (CONSTANT_SCORE_BLENDED degenerates to constant here)."""
+
+    field: str
+    pattern: str
+
+    def __post_init__(self) -> None:
+        if "*" not in self.pattern and "?" not in self.pattern:
+            raise ValueError("wildcard pattern needs * or ?")
+
+
+@dataclass(frozen=True)
+class MatchFuzzy(Query):
+    """Q12 fuzzy (`term~`, `term~1` — Lucene FuzzyQuery). Matches indexed
+    terms within ``max_edits`` Levenshtein distance; constant score 1.0
+    per doc (documented simplification of Lucene's distance-decayed
+    boost)."""
+
+    field: str
+    term: str
+    max_edits: int = 2
+
+    def __post_init__(self) -> None:
+        if not (1 <= self.max_edits <= 2):
+            raise ValueError("max_edits must be 1 or 2 (Lucene's bound)")
+
+
+@dataclass(frozen=True)
 class And(Query):
     """Q2 — all operands match; scores sum (`DslQuery.scala:30-37`)."""
 
@@ -256,8 +288,9 @@ class Q:
     def parse(query_string: str, default_field: str = "text") -> Query:
         """Q12 — parse a Lucene-ish query syntax subset (terms, quoted
         phrases, AND/OR/NOT, field:term, field:(a b c), +term, -term,
-        term^boost, field:[a TO b] ranges). Wildcard/fuzzy/exclusive-range
-        syntax raises an explicit error instead of mis-parsing."""
+        term^boost, field:[a TO b] ranges, te*t wildcards, term~n fuzzy).
+        Exclusive-range syntax ({a TO b}) raises an explicit error
+        instead of mis-parsing."""
         from sparksearchengine_spark.plans.parser import parse_query
 
         return parse_query(query_string, default_field)

@@ -201,6 +201,65 @@ def _phrase(index: "SearchIndex", node: ast.MatchPhrase) -> DataFrame:
     return result
 
 
+def _wildcard_to_like(pattern: str) -> str:
+    """Lucene wildcard -> SQL LIKE: * -> %, ? -> _, escape % _ literals."""
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append("%")
+        elif ch == "?":
+            out.append("_")
+        elif ch in ("%", "_", "\\"):
+            out.append("\\" + ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _multi_term_docs(
+    index: "SearchIndex", field: str, matched_terms: DataFrame
+) -> DataFrame:
+    """Docs containing ≥1 of the matched terms, constant score 1.0.
+
+    The term predicate is evaluated on TERMSTATS (vocabulary-sized) and
+    the matched set broadcast into a postings hash-join — the postings
+    side never evaluates a LIKE/levenshtein per row. That's the Spark
+    analog of Lucene expanding a MultiTermQuery against the term
+    dictionary, not the postings.
+    """
+    p = index.postings.where(F.col("field") == field).join(
+        F.broadcast(matched_terms.select("term")), "term"
+    )
+    return (
+        p.select(DOC_ID)
+        .distinct()
+        .select(DOC_ID, F.lit(1.0).alias(SCORE))
+    )
+
+
+def _compile_wildcard(node: ast.MatchWildcard, index: "SearchIndex") -> DataFrame:
+    _field_analyzer(index, node.field)
+    ts = index.termstats.where(
+        (F.col("field") == node.field)
+        & F.col("term").like(_wildcard_to_like(node.pattern.lower()))
+    )
+    return _multi_term_docs(index, node.field, ts)
+
+
+def _compile_fuzzy(node: ast.MatchFuzzy, index: "SearchIndex") -> DataFrame:
+    _field_analyzer(index, node.field)
+    q = node.term.lower()
+    ts = index.termstats.where(
+        (F.col("field") == node.field)
+        # cheap length prefilter before the quadratic edit distance
+        & F.length("term").between(
+            len(q) - node.max_edits, len(q) + node.max_edits
+        )
+        & (F.levenshtein(F.col("term"), F.lit(q)) <= node.max_edits)
+    )
+    return _multi_term_docs(index, node.field, ts)
+
+
 def _empty_result(index: "SearchIndex") -> DataFrame:
     spark = index.postings.sparkSession
     return spark.createDataFrame([], f"{DOC_ID} long, {SCORE} double")
@@ -295,6 +354,10 @@ def _compile(q: ast.Query, index: "SearchIndex") -> DataFrame:
         )
     if isinstance(q, ast.MatchPhrase):
         return _phrase(index, q)
+    if isinstance(q, ast.MatchWildcard):
+        return _compile_wildcard(q, index)
+    if isinstance(q, ast.MatchFuzzy):
+        return _compile_fuzzy(q, index)
     if isinstance(q, ast.Boost):
         # Lucene boost semantics: same matching set, scores scaled
         return _compile(q.operand, index).select(

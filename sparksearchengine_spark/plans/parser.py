@@ -13,14 +13,16 @@ parse a practical subset into the AST:
     a AND b, a OR b, NOT a    -> And / Or / Not (left-assoc, NOT > AND > OR)
     +term / -term             -> required / prohibited (inside one group)
     term^2, "phrase"^1.5      -> Boost (score multiplier)
+    te*t / te?t               -> MatchWildcard (constant-score)
+    term~ / term~1            -> MatchFuzzy (Levenshtein <= n, default 2)
     parentheses               -> grouping
 
 Bare adjacency ("a b") means OR (SHOULD), matching Lucene's default
 operator; prohibited (-) operands in a group are hoisted to MUST_NOT.
 
-Lucene constructs we deliberately do NOT implement raise an explicit
-ValueError instead of mis-parsing: wildcards (`te*t`, `te?t`), fuzzy
-(`term~`, `term~2`), and exclusive range bounds (`{a TO b}`).
+The one Lucene construct we deliberately do NOT implement raises an
+explicit ValueError instead of mis-parsing: exclusive range bounds
+(`{a TO b}` — use the inclusive `[a TO b]`).
 """
 
 from __future__ import annotations
@@ -170,21 +172,25 @@ def _parse_primary_inner(toks: _Tokens, field: str) -> ast.Query:
         new_field = val[:-1]
         return _parse_primary_inner(toks, new_field)
     if kind == "term":
-        _reject_unsupported_term(val)
-        return ast.MatchText(field, val, require_all=False)
+        return _classify_term(field, val)
     raise ValueError(f"unexpected token {kind} {val!r}")
 
 
-def _reject_unsupported_term(val: str) -> None:
-    """Lucene syntax we don't implement must error, never mis-parse as a
-    literal term (reference QueryParser accepts these:
-    `dsl/DslQuery.scala:122-128`)."""
-    if "*" in val or "?" in val:
-        raise ValueError(
-            f"wildcard queries are not supported: {val!r}"
-        )
+def _classify_term(field: str, val: str) -> ast.Query:
+    """Plain term, wildcard (te*t), or fuzzy (term~ / term~1) — the Lucene
+    QueryParser constructs the reference accepts
+    (`dsl/DslQuery.scala:122-128`)."""
+    m = re.fullmatch(r"(.+)~(\d?)", val)
+    if m:
+        base, edits = m.group(1), m.group(2)
+        if "~" in base or "*" in base or "?" in base:
+            raise ValueError(f"cannot parse fuzzy term {val!r}")
+        return ast.MatchFuzzy(field, base, int(edits) if edits else 2)
     if "~" in val:
-        raise ValueError(f"fuzzy queries are not supported: {val!r}")
+        raise ValueError(f"cannot parse fuzzy term {val!r}")
+    if "*" in val or "?" in val:
+        return ast.MatchWildcard(field, val)
+    return ast.MatchText(field, val, require_all=False)
 
 
 def _parse_range(toks: _Tokens, field: str) -> ast.Query:

@@ -174,12 +174,52 @@ def test_parser_ranges():
     assert isinstance(q, ast.And)
 
 
+def test_parser_wildcard_and_fuzzy_nodes():
+    assert parse_query("te*t") == ast.MatchWildcard("text", "te*t")
+    assert parse_query("te?t") == ast.MatchWildcard("text", "te?t")
+    assert parse_query("prefix*") == ast.MatchWildcard("text", "prefix*")
+    assert parse_query("title:du*") == ast.MatchWildcard("title", "du*")
+    assert parse_query("fuzzy~") == ast.MatchFuzzy("text", "fuzzy", 2)
+    assert parse_query("fuzzy~1") == ast.MatchFuzzy("text", "fuzzy", 1)
+    q = parse_query("du*^2")
+    assert q == ast.Boost(ast.MatchWildcard("text", "du*"), 2.0)
+
+
 def test_parser_unsupported_syntax_errors_not_misparses():
-    for bad in ("te*t", "te?t", "fuzzy~", "fuzzy~2", "prefix*"):
-        with pytest.raises(ValueError):
-            parse_query(bad)
     with pytest.raises(ValueError):
-        parse_query("views:{1 TO 5}")
+        parse_query("views:{1 TO 5}")  # exclusive range bounds
+    with pytest.raises(ValueError):
+        parse_query("a~b~c")  # unparseable fuzzy
+
+
+def test_wildcard_fuzzy_semantics_on_index(tiny_index):
+    # tiny corpus terms: a, b, c. wildcard over a custom multi-char check
+    # is exercised on docs_index below; here the fuzzy edit distance:
+    # 'b~1' matches a, b, c (lev<=1 for single chars) -> all 3 docs
+    res = tiny_index.compile(parse_query("b~1")).collect()
+    assert sorted(r["doc_id"] for r in res) == [1, 2, 3]
+    assert all(r["score"] == 1.0 for r in res)
+
+
+def test_wildcard_matches_prefix_on_docs(docs_index):
+    import pyspark.sql.functions as F
+
+    got = docs_index.compile(parse_query("dup*"))
+    # must be a superset of the exact 'dup' matches
+    exact = docs_index.compile(parse_query("dup")).select("doc_id")
+    missing = exact.join(got.select("doc_id"), "doc_id", "left_anti").count()
+    assert missing == 0
+    # and every matched doc really contains a token starting with 'dup'
+    n = got.count()
+    want = (
+        docs_index.corpus.df.where(
+            F.exists(
+                F.split(F.lower("text"), r"[^a-z0-9]+"),
+                lambda t: t.startswith("dup"),
+            )
+        ).count()
+    )
+    assert n == want
 
 
 def test_raw_query_default_constructor():
