@@ -337,6 +337,44 @@ def _qc17(spark, sf):
     return wc.crossJoin(fz)
 
 
+def _qc18(spark, sf):
+    """E6 per-query k (k_col): ks straddle the function-level default to
+    pin the max(k_col) window-cutoff behavior."""
+    idx = _docs_index(spark, sf)
+    docs = _read(spark, sf, "documents")
+    from sparksearchengine_spark.functions.analyzers import analyzer_expr
+
+    toks = analyzer_expr(F.col("text"), "simple")
+    qdf = docs.where(F.col("doc_id") < QC11_NQ).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("qtext"),
+        # per-query k in 1..8, deterministic, several above the default k=3
+        (F.col("doc_id") % 8 + 1).cast("int").alias("k"),
+    )
+    res = idx.batch_search(qdf, k=3, field="text", k_col="k")
+    return res.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def _events_hourly_windowed(spark, sf):
+    """Streaming operator in batch mode: windowed_event_counts (the same
+    plan Structured Streaming runs incrementally) over the events table."""
+    from sparksearchengine_spark.streaming import windowed_event_counts
+
+    ev = _read_events(spark, sf).select(
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"), "event_type"
+    )
+    w = windowed_event_counts(ev, ts_col="ts", key_col="event_type",
+                              window="1 hour")
+    return w.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        "event_type",
+        "cnt",
+    )
+
+
 # ---- training-data pipeline operators ------------------------------------
 
 
@@ -668,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc15_query_join": _qc15,
         "qc16_parsed_boost": _qc16,
         "qc17_wildcard_fuzzy": _qc17,
+        "qc18_batch_k_col": _qc18,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -685,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _doc_fingerprint,
         "lang_id": _lang_id,
         "events_hourly": _events_hourly,
+        "events_hourly_windowed": _events_hourly_windowed,
         "token_stats": _token_stats,
         "doc_winnow": _doc_winnow,
         "mm_image_features": _mm_image_features,
@@ -847,6 +887,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, round(s, 6) AS score,
                    CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
             FROM scored ORDER BY s DESC, doc_id LIMIT {QC10_K}""",
+        "qc18_batch_k_col": _CTE + f"""
+            , q AS (
+              SELECT doc_id AS query_id, list_distinct(toks[1:2]) AS qt,
+                     CAST(doc_id % 8 + 1 AS INTEGER) AS k
+              FROM toks WHERE doc_id < {QC11_NQ}
+            ),
+            qterms AS (SELECT query_id, k, unnest(qt) AS term FROM q),
+            scored AS (
+              SELECT qt.query_id, any_value(qt.k) AS k, p.doc_id,
+                     sum({score}) AS s
+              FROM qterms qt
+              JOIN postings p USING (term)
+              JOIN termstats t USING (term)
+              CROSS JOIN fieldstats f
+              GROUP BY qt.query_id, p.doc_id
+            ),
+            ranked AS (
+              SELECT query_id, k, doc_id, round(s, 6) AS score,
+                     CAST(row_number() OVER (PARTITION BY query_id
+                                             ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+              FROM scored
+            )
+            SELECT query_id, doc_id, score, rank
+            FROM ranked WHERE rank <= k""",
+        "events_hourly_windowed": """
+            SELECT
+              CAST((epoch_ns(ts) // 3600000000000) * 3600000000 AS BIGINT)
+                AS window_start_us,
+              CAST((epoch_ns(ts) // 3600000000000 + 1) * 3600000000 AS BIGINT)
+                AS window_end_us,
+              event_type,
+              count(*) AS cnt
+            FROM events
+            GROUP BY 1, 2, 3""",
         "qc17_wildcard_fuzzy": _CTE + """
             , wc AS (SELECT DISTINCT doc_id FROM postings WHERE term LIKE 'dup%'),
             fzt AS (SELECT term FROM termstats WHERE levenshtein(term, 'dup') <= 1),
