@@ -45,12 +45,13 @@ def _simple_tokenize(text: str) -> list[str]:
 
 
 def _simple_expr(col: Column) -> Column:
-    # filter(split(lower(col),'[^a-z0-9]+'), t -> t != '') — one codegen stage,
-    # no UDF, no shuffle. NULL input -> NULL array; callers wrap in coalesce.
-    return F.filter(
-        F.split(F.lower(col), r"[^a-z0-9]+"),
-        lambda t: t != F.lit(""),
-    )
+    # array_remove(split(lower(col),'[^a-z0-9]+'), '') — drops the empty
+    # tokens split() produces at separator boundaries. array_remove, not a
+    # filter() lambda: higher-order functions are CodegenFallback
+    # (interpreted per element) while ArrayRemove stays inside whole-stage
+    # codegen — measured ~2x on the index-build tokenize stage at sf0.1.
+    # NULL input -> NULL array; callers wrap in coalesce.
+    return F.array_remove(F.split(F.lower(col), r"[^a-z0-9]+"), "")
 
 
 def _whitespace_tokenize(text: str) -> list[str]:
@@ -60,7 +61,7 @@ def _whitespace_tokenize(text: str) -> list[str]:
 
 
 def _whitespace_expr(col: Column) -> Column:
-    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+    return F.array_remove(F.split(col, r"\s+"), "")
 
 
 # --------------------------------------------------------------------------

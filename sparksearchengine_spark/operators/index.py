@@ -104,33 +104,49 @@ class Corpus:
         index build being the expensive first action
         (`PartitionsIndexLuceneRDD.scala:588-593`).
         """
+        from pyspark.sql import Window
+
         spark = self.df.sparkSession
         per_field = []
         for fname, opts in self.text_cols.items():
-            toks = analyzer_expr(F.col(fname), opts.analyzer)
-            base = self.df.select(
-                F.col(self.id_col).cast("long").alias(DOC_ID),
-                F.coalesce(toks, F.array().cast("array<string>")).alias("_toks"),
-            )
-            # Shape: repartition raw docs by doc_id (one text row per doc —
-            # the cheapest point to shuffle), posexplode to (pos, term)
-            # rows, then ONE codegen'd aggregate for (tf, dl, positions).
-            # HashPartitioning(doc_id) satisfies the aggregate's
-            # ClusteredDistribution(doc_id, term) (subset key), so no
-            # second exchange, and postings come out doc_id-partitioned —
-            # which makes the (query_id, doc_id) score aggregation in
-            # query_join/batch_search shuffle-free.
+            # Shape: repartition RAW text by doc_id first (one row per doc,
+            # pre-tokenize — the cheapest point to shuffle AND the point
+            # that distributes the tokenize work: shuffling after the
+            # analyzer would evaluate the regex chain on the INPUT's
+            # partitioning, which for a narrow source is one core), then
+            # posexplode to (pos, term) rows, then ONE codegen'd aggregate
+            # for (tf, positions). HashPartitioning(doc_id) satisfies the
+            # aggregate's ClusteredDistribution(doc_id, term) (subset key),
+            # so no second exchange, and postings come out
+            # doc_id-partitioned — which makes the (query_id, doc_id)
+            # score aggregation in query_join/batch_search shuffle-free.
+            # dl (= total tokens in the doc) is recovered as sum(tf) over
+            # the doc's postings via a window on the SAME partitioning
+            # (local sort, no exchange) — computing it pre-explode would
+            # either re-evaluate the analyzer per reference (project
+            # collapse) or shuffle token arrays instead of raw text.
             # Deliberately NOT a per-row higher-order-function expression:
             # nested transform/filter HOFs are CodegenFallback (interpreted)
             # and O(|vocab_doc| * dl) per doc — measured 2-4x slower than
             # this explode+groupBy at sf0.1.
-            ex = (
-                base.repartition(DOC_ID)
-                .select(
-                    DOC_ID,
-                    F.size("_toks").cast("long").alias("dl"),
-                    F.posexplode("_toks").alias("pos", "term"),
-                )
+            # explicit partition count: an unnumbered repartition is fair
+            # game for AQE coalescing, which would fold this small-bytes /
+            # high-CPU stage (raw text is ~KB/doc, tokenize is the cost)
+            # back onto 1-2 cores; a user-specified count is preserved
+            nparts = max(
+                spark.sparkContext.defaultParallelism,
+                int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+            )
+            toks = analyzer_expr(F.col("_raw"), opts.analyzer)
+            raw = self.df.select(
+                F.col(self.id_col).cast("long").alias(DOC_ID),
+                F.col(fname).alias("_raw"),
+            ).repartition(nparts, DOC_ID)
+            ex = raw.select(
+                DOC_ID,
+                F.posexplode(
+                    F.coalesce(toks, F.array().cast("array<string>"))
+                ).alias("pos", "term"),
             )
             pos_agg = (
                 F.sort_array(F.collect_list("pos")).alias("positions")
@@ -141,8 +157,11 @@ class Corpus:
                 ex.groupBy(DOC_ID, "term")
                 .agg(
                     F.count(F.lit(1)).cast("long").alias("tf"),
-                    F.first("dl").alias("dl"),
                     pos_agg,
+                )
+                .withColumn(
+                    "dl",
+                    F.sum("tf").over(Window.partitionBy(DOC_ID)).cast("long"),
                 )
                 .select(
                     F.lit(fname).alias("field"),
