@@ -254,6 +254,7 @@ def query_join(
     with_elements: bool = False,
     salt_buckets: int | None = None,
     broadcast_queries: bool | None = None,
+    dedup_queries: bool = True,
 ) -> DataFrame:
     """E7 — the flagship similarity join: for each row of ``other``, run the
     query generated from its ``text_col`` against the index, keep top-k.
@@ -272,33 +273,68 @@ def query_join(
     and ``salt_buckets`` two-stages the rank window. Per-posting scores
     come precomputed from the index cache.
 
+    ``dedup_queries`` (default on): rows of ``other`` whose analyzed
+    DISTINCT term sets are identical execute as ONE query — the score
+    depends only on that set, so grouping by the sorted token array is
+    exact, and a zipfian query log (the realistic 100 TB batch workload)
+    stops re-scoring the same hot posting lists once per duplicate. The
+    sorted array is also a deterministic join-back key, so this path
+    needs no synthesized row id at all.
+
     ``min_should_match``/``require_all`` mirror matchAny/matchMin/matchAll
     query generation.
     """
-    if other_id_col is None:
-        # monotonically_increasing_id is nondeterministic across plan
-        # re-evaluation; the id-stamped frame is referenced by TWO plan
-        # branches (qterms and the final join-back), so pin it with a
-        # lazy localCheckpoint — ids are materialized once and reused.
-        other = other.withColumn(
-            "_qid", F.monotonically_increasing_id()
-        ).localCheckpoint(eager=False)
-        other_id_col = "_qid"
     analyzer = index.corpus.text_cols[field].analyzer
-
     qtoks = F.array_distinct(analyzer_expr(F.col(text_col), analyzer))
-    qterms = other.select(
-        F.col(other_id_col).alias("query_id"),
-        F.size(qtoks).alias("_nq"),
-        F.explode(qtoks).alias("term"),
-    )
+
+    if dedup_queries:
+        # One execution per distinct (sorted) term set. Execution is
+        # keyed on a compact long `_rid` — NOT the array itself: the
+        # group key rides every row of the postings-join fan-out, so an
+        # array key would shuffle each query's whole token list millions
+        # of times. The (rid, _qkey) mapping is tiny (one row per
+        # distinct query); monotonically_increasing_id on it is pinned
+        # with a lazy localCheckpoint exactly like the id path below.
+        # NULL text -> NULL _qkey -> never matches -> left join yields
+        # null match columns, same as the id path.
+        other = other.withColumn("_qkey", F.sort_array(qtoks))
+        reps = (
+            other.select("_qkey")
+            .distinct()
+            .withColumn("_rid", F.monotonically_increasing_id())
+            .localCheckpoint(eager=False)
+        )
+        qterms = reps.select(
+            F.col("_rid").alias("query_id"),
+            F.size("_qkey").alias("_nq"),
+            F.explode("_qkey").alias("term"),
+        )
+    else:
+        if other_id_col is None:
+            # monotonically_increasing_id is nondeterministic across plan
+            # re-evaluation; the id-stamped frame is referenced by TWO
+            # plan branches (qterms and the final join-back), so pin it
+            # with a lazy localCheckpoint — ids are materialized once.
+            other = other.withColumn(
+                "_qid", F.monotonically_increasing_id()
+            ).localCheckpoint(eager=False)
+            other_id_col = "_qid"
+        qterms = other.select(
+            F.col(other_id_col).alias("query_id"),
+            F.size(qtoks).alias("_nq"),
+            F.explode(qtoks).alias("term"),
+        )
+    key = "query_id"
+
+    # probe `other`, not the distinct frame: its row count upper-bounds
+    # the dedup'd side and the early-exit limit scan stays cheap.
     qside = _hint_query_side(qterms, other, broadcast_queries)
     scored = (
         index.scored_postings(field)
         .join(qside, "term")
-        .select("query_id", "_nq", F.col(DOC_ID), "tscore")
+        .select(key, "_nq", F.col(DOC_ID), "tscore")
     )
-    agg = scored.groupBy("query_id", DOC_ID).agg(
+    agg = scored.groupBy(key, DOC_ID).agg(
         F.sum("tscore").alias(SCORE),
         F.count(F.lit(1)).alias("_nmatched"),
         F.first("_nq").alias("_nq"),
@@ -309,17 +345,26 @@ def query_join(
         agg = agg.where(F.col("_nmatched") >= min_should_match)
     ranked = topk_per_group(
         agg,
-        ["query_id"],
+        [key],
         [F.col(SCORE).desc(), F.col(DOC_ID).asc()],
         k=k,
         salt_buckets=salt_buckets,
-    ).select("query_id", F.col(DOC_ID).alias("match_doc_id"), SCORE, "rank")
+    ).select(key, F.col(DOC_ID).alias("match_doc_id"), SCORE, "rank")
 
-    out = other.join(
-        ranked, other[other_id_col] == ranked["query_id"], "left"
-    ).drop("query_id")
-    if other_id_col == "_qid":
-        out = out.drop("_qid")
+    if dedup_queries:
+        # rid -> _qkey (small dim join), then fan results back out to
+        # every `other` row sharing the term set.
+        ranked = (
+            ranked.join(reps, ranked["query_id"] == reps["_rid"])
+            .drop("_rid", "query_id")
+        )
+        out = other.join(ranked, "_qkey", "left").drop("_qkey")
+    else:
+        out = other.join(
+            ranked, other[other_id_col] == ranked["query_id"], "left"
+        ).drop("query_id")
+        if other_id_col == "_qid":
+            out = out.drop("_qid")
     if with_elements:
         c = index.corpus
         elems = c.df.select(
