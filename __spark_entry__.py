@@ -357,6 +357,120 @@ def _qc18(spark, sf):
     )
 
 
+def _qc19(spark, sf):
+    """I2 decoupled k-index: the same term query through a term-bucketed
+    (bucket_by_term) session layout must match the base index (qc06)."""
+    idx = _docs_index(spark, sf).bucket_by_term(8)
+    hits = idx.compile(Q.field("text").match_term(QC06_TERM))
+    return hits.agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+
+
+def _qc20(spark, sf):
+    """I6/I8 durable layout: save(term_buckets=4) -> load -> BM25 top-k
+    must match the in-session index (qc10's oracle verbatim)."""
+    import tempfile
+
+    from sparksearchengine_spark.operators.index import SearchIndex
+
+    idx = _docs_index(spark, sf)
+    path = tempfile.mkdtemp(prefix="ssidx_qc20_") + "/idx"
+    idx.save(path, term_buckets=4)
+    loaded = SearchIndex.load(spark, path, _read(spark, sf, "documents"))
+    res = loaded.search(Q.field("text").match_any(*QC10_TERMS), k=QC10_K)
+    return res.select("doc_id", F.round("score", 6).alias("score"), "rank")
+
+
+def _qc21(spark, sf):
+    """E2/E4 search with elements + resultsTransformer projection: the
+    broadcast-the-hits join-back (never the corpus) carries doc columns."""
+    idx = _docs_index(spark, sf)
+    res = idx.search(
+        Q.field("text").match_any(*QC10_TERMS),
+        k=QC10_K,
+        with_elements=True,
+        select_cols=["source", "n_chars"],
+    )
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score"), "rank",
+        "source", "n_chars",
+    )
+
+
+def _qc22(spark, sf):
+    """Q10 matchAllText: query-time analysis ('Dup, SPARK!' -> dup, spark)
+    then conjunctive match."""
+    idx = _docs_index(spark, sf)
+    q = Q.field("text").match_all_text("Dup, SPARK!")
+    return idx.compile(q).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+
+
+def _qc23(spark, sf):
+    """E7 query join, explicit-id path (dedup_queries=False): must agree
+    with qc15's oracle row-for-row."""
+    from sparksearchengine_spark.operators.search import query_join
+
+    idx = _docs_index(spark, sf)
+    docs = _read(spark, sf, "documents")
+    other = docs.where(
+        (F.col("doc_id") >= QC15_LO) & (F.col("doc_id") < QC15_HI)
+    ).select("doc_id", "text")
+    res = query_join(
+        idx, other, text_col="text", field="text", k=QC15_K,
+        other_id_col="doc_id", dedup_queries=False,
+    )
+    return res.select(
+        F.col("doc_id").alias("query_id"),
+        "match_doc_id",
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
+def _qc24(spark, sf):
+    """E5/I3 batch search on the shuffle-hash fallback path
+    (broadcast_queries=False) — the 100 TB-scale join strategy must
+    produce the same rows as the broadcast default (qc11's oracle)."""
+    idx = _docs_index(spark, sf)
+    docs = _read(spark, sf, "documents")
+    from sparksearchengine_spark.functions.analyzers import analyzer_expr
+
+    toks = analyzer_expr(F.col("text"), "simple")
+    qdf = docs.where(F.col("doc_id") < QC11_NQ).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("qtext"),
+    )
+    res = idx.batch_search(qdf, k=QC11_K, field="text", broadcast_queries=False)
+    return res.select(
+        "query_id", "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def _qc25(spark, sf):
+    """Q13 RawQuery + pluggable constructor: swap the default analyzed-OR
+    constructor for the Lucene-syntax parser, so Q.raw('dup AND spark')
+    compiles conjunctively (same doc set as qc22), then restore."""
+    from sparksearchengine_spark.plans.ast import set_query_constructor
+
+    set_query_constructor(lambda s, f: Q.parse(s, default_field=f))
+    try:
+        q = Q.raw("dup AND spark", default_field="text")
+    finally:
+        from sparksearchengine_spark.plans.ast import _default_query_constructor
+
+        set_query_constructor(_default_query_constructor)
+    idx = _docs_index(spark, sf)
+    return idx.compile(q).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("doc_id").cast("long").alias("sum_doc_id"),
+    )
+
+
 def _events_hourly_windowed(spark, sf):
     """Streaming operator in batch mode: windowed_event_counts (the same
     plan Structured Streaming runs incrementally) over the events table."""
@@ -707,6 +821,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc16_parsed_boost": _qc16,
         "qc17_wildcard_fuzzy": _qc17,
         "qc18_batch_k_col": _qc18,
+        "qc19_bucketed_term": _qc19,
+        "qc20_saved_index": _qc20,
+        "qc21_search_elements": _qc21,
+        "qc22_match_alltext": _qc22,
+        "qc23_query_join_idpath": _qc23,
+        "qc24_batch_shuffle_hash": _qc24,
+        "qc25_raw_query": _qc25,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -742,7 +863,7 @@ def oracle_sql() -> dict[str, str]:
     sizes_in = ", ".join(str(s) for s in QC04_SIZES)
     qc13_vals = ", ".join(f"({i})" for i in QC13_IDS)
     qc14_ids = ", ".join(str(i) for i in QC14_IDS)
-    return {
+    out = {
         "qc01_filter_eq": (
             f"SELECT count(*) AS cnt FROM lineitem WHERE l_quantity = {QC01_QTY}"
         ),
@@ -1257,4 +1378,38 @@ def oracle_sql() -> dict[str, str]:
         # dedup_recall / ann_recall entries, which hold each approximate
         # op to a recall threshold against its exact, oracle-checked
         # baseline.
+        "qc21_search_elements": _CTE + f"""
+            , scored AS (
+              SELECT p.doc_id, sum({score}) AS s
+              FROM postings p JOIN termstats t USING (term) CROSS JOIN fieldstats f
+              WHERE p.term IN ('{QC10_TERMS[0]}','{QC10_TERMS[1]}')
+              GROUP BY p.doc_id
+            ),
+            topk AS (
+              SELECT doc_id, round(s, 6) AS score,
+                     CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+              FROM scored ORDER BY s DESC, doc_id LIMIT {QC10_K}
+            )
+            SELECT k.doc_id, k.score, k.rank, d.source, d.n_chars
+            FROM topk k JOIN documents d USING (doc_id)""",
+        "qc22_match_alltext": _CTE + """
+            , m AS (
+              SELECT doc_id FROM postings
+              WHERE term IN ('dup', 'spark')
+              GROUP BY doc_id HAVING count(DISTINCT term) = 2
+            )
+            SELECT count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+            FROM m""",
     }
+    return _derived_oracles(out)
+
+
+def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
+    """Entries that are alternate execution paths of an already-oracled
+    operator share its SQL verbatim — same semantics, different plan."""
+    o["qc19_bucketed_term"] = o["qc06_match_term"]
+    o["qc20_saved_index"] = o["qc10_bm25_topk"]
+    o["qc23_query_join_idpath"] = o["qc15_query_join"]
+    o["qc24_batch_shuffle_hash"] = o["qc11_batch_search"]
+    o["qc25_raw_query"] = o["qc22_match_alltext"]
+    return o
