@@ -471,6 +471,21 @@ def _qc25(spark, sf):
     )
 
 
+def _qc26(spark, sf):
+    """Q11/Q12 sloppy phrase: '"fast scan"~3' (ordered, gap <= slop)
+    through the parser, pinned against the exact phrase in one row."""
+    idx = _docs_index(spark, sf)
+    exact = idx.compile(Q.field("text").match_phrase("fast scan")).agg(
+        F.count(F.lit(1)).alias("cnt_exact"),
+        F.sum("doc_id").cast("long").alias("sum_exact"),
+    )
+    sloppy = idx.compile(Q.parse('"fast scan"~3', default_field="text")).agg(
+        F.count(F.lit(1)).alias("cnt_slop"),
+        F.sum("doc_id").cast("long").alias("sum_slop"),
+    )
+    return exact.crossJoin(sloppy)
+
+
 def _events_hourly_windowed(spark, sf):
     """Streaming operator in batch mode: windowed_event_counts (the same
     plan Structured Streaming runs incrementally) over the events table."""
@@ -828,6 +843,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc23_query_join_idpath": _qc23,
         "qc24_batch_shuffle_hash": _qc24,
         "qc25_raw_query": _qc25,
+        "qc26_phrase_slop": _qc26,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -1400,6 +1416,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
             FROM m""",
+        # ordered sloppy phrase: exists i<j with w1@i, w2@j, j-i-1 <= slop
+        "qc26_phrase_slop": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 t -> t <> '') AS toks
+              FROM documents
+            ),
+            hit AS (
+              SELECT doc_id,
+                len(list_filter(range(1, len(toks)+1),
+                    i -> toks[i] = 'fast'
+                         AND len(list_filter(range(i+1, i+2),
+                             j -> j <= len(toks) AND toks[j] = 'scan')) > 0)) > 0
+                  AS m_exact,
+                len(list_filter(range(1, len(toks)+1),
+                    i -> toks[i] = 'fast'
+                         AND len(list_filter(range(i+1, i+5),
+                             j -> j <= len(toks) AND toks[j] = 'scan')) > 0)) > 0
+                  AS m_slop
+              FROM toks
+            )
+            SELECT
+              (SELECT count(*) FROM hit WHERE m_exact) AS cnt_exact,
+              (SELECT CAST(sum(doc_id) AS BIGINT) FROM hit WHERE m_exact) AS sum_exact,
+              (SELECT count(*) FROM hit WHERE m_slop) AS cnt_slop,
+              (SELECT CAST(sum(doc_id) AS BIGINT) FROM hit WHERE m_slop) AS sum_slop""",
     }
     return _derived_oracles(out)
 

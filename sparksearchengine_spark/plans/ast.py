@@ -97,10 +97,17 @@ class MatchText(Query):
 @dataclass(frozen=True)
 class MatchPhrase(Query):
     """Q11 — analyzed terms must appear consecutively; needs positions
-    (`DslQuery.scala:116-120`)."""
+    (`DslQuery.scala:116-120`).
+
+    ``slop`` relaxes adjacency: terms must appear IN ORDER with at most
+    ``slop`` total extra gap (span - (n-1) <= slop). This is the ordered
+    subset of Lucene's sloppy PhraseQuery — Lucene additionally admits
+    out-of-order arrangements at edit-cost >= 2; we document and keep the
+    ordered semantics (deterministic, windowable at scale)."""
 
     field: str
     text: str
+    slop: int = 0
 
 
 @dataclass(frozen=True)
@@ -261,8 +268,8 @@ class FieldRef:
     def match_all_text(self, text: str) -> MatchText:
         return MatchText(self.name, text, require_all=True)
 
-    def match_phrase(self, text: str) -> MatchPhrase:
-        return MatchPhrase(self.name, text)
+    def match_phrase(self, text: str, slop: int = 0) -> MatchPhrase:
+        return MatchPhrase(self.name, text, slop=slop)
 
 
 class Q:

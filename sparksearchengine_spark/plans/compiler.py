@@ -183,14 +183,37 @@ def _phrase(index: "SearchIndex", node: ast.MatchPhrase) -> DataFrame:
         joined = side if joined is None else joined.join(side, DOC_ID)
     n = len(terms)
 
-    def adjacent(p0):  # type: ignore[no-untyped-def]
-        cond = F.lit(True)
-        for i in range(1, n):
-            cond = cond & F.array_contains(F.col(f"_pos{i}"), p0 + i)
-        return cond
+    if node.slop <= 0:
+
+        def matches(p0):  # type: ignore[no-untyped-def]
+            cond = F.lit(True)
+            for i in range(1, n):
+                cond = cond & F.array_contains(F.col(f"_pos{i}"), p0 + i)
+            return cond
+
+    else:
+        # Ordered sloppy phrase (see ast.MatchPhrase): exists a strictly
+        # increasing position chain p0 < p1 < ... < p_{n-1}, p_i in
+        # pos_i, with span - (n-1) <= slop. Greedy "smallest position
+        # greater than the previous" minimizes the chain end, so one
+        # greedy pass per start position is exact. Nested HOFs are
+        # interpreted (CodegenFallback) but only run on the n-way-join
+        # survivors — docs containing ALL phrase terms — not the corpus.
+        max_span = node.slop + n - 1
+
+        def _after(prev):  # type: ignore[no-untyped-def]
+            # single-arg lambda: a 2-arg lambda would be interpreted by
+            # F.filter as (element, index) and silently shadow `prev`
+            return lambda x: x > prev
+
+        def matches(p0):  # type: ignore[no-untyped-def]
+            prev = p0
+            for i in range(1, n):
+                prev = F.array_min(F.filter(F.col(f"_pos{i}"), _after(prev)))
+            return prev - p0 <= F.lit(max_span)  # NULL chain -> no match
 
     result = (
-        joined.where(F.exists(F.col("_pos0"), adjacent))
+        joined.where(F.exists(F.col("_pos0"), matches))
         .select(
             DOC_ID,
             reduce(

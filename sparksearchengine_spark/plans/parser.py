@@ -15,6 +15,7 @@ parse a practical subset into the AST:
     term^2, "phrase"^1.5      -> Boost (score multiplier)
     te*t / te?t               -> MatchWildcard (constant-score)
     term~ / term~1            -> MatchFuzzy (Levenshtein <= n, default 2)
+    "quoted phrase"~n         -> MatchPhrase(slop=n) (ordered sloppy)
     parentheses               -> grouping
 
 Bare adjacency ("a b") means OR (SHOULD), matching Lucene's default
@@ -167,7 +168,14 @@ def _parse_primary_inner(toks: _Tokens, field: str) -> ast.Query:
             "use an inclusive range [a TO b]"
         )
     if kind == "phrase":
-        return ast.MatchPhrase(field, val.strip('"'))
+        slop = 0
+        nxt = toks.peek()
+        if nxt and nxt[0] == "term":  # postfix "..."~n (sloppy phrase)
+            m = re.fullmatch(r"~(\d+)", nxt[1])
+            if m:
+                toks.next()
+                slop = int(m.group(1))
+        return ast.MatchPhrase(field, val.strip('"'), slop=slop)
     if kind == "fieldterm":
         new_field = val[:-1]
         return _parse_primary_inner(toks, new_field)

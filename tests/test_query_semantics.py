@@ -75,6 +75,38 @@ class TestPhrase:
     def test_single_term_phrase(self, tiny_index):
         assert ids(tiny_index.compile(Q.field("text").match_phrase("c"))) == [2, 3]
 
+    def test_slop_bridges_gaps_in_order(self, tiny_index):
+        # doc1 = [a@0, b@1, a@2]: "a a" has a gap of 1 -> slop 1 matches
+        f = Q.field("text")
+        assert ids(tiny_index.compile(f.match_phrase("a a", slop=0))) == []
+        assert ids(tiny_index.compile(f.match_phrase("a a", slop=1))) == [1]
+        # slop larger than needed still matches (monotone in slop)
+        assert ids(tiny_index.compile(f.match_phrase("a a", slop=3))) == [1]
+
+    def test_slop_is_ordered(self, tiny_index):
+        # doc3 = [b@0, b@1, c@2, c@3]: "c b" never occurs in order
+        f = Q.field("text")
+        assert ids(tiny_index.compile(f.match_phrase("c b", slop=0))) == []
+        assert ids(tiny_index.compile(f.match_phrase("c b", slop=4))) == []
+        # trigram out-of-order: doc1 has no a..a..b increasing chain
+        assert ids(tiny_index.compile(f.match_phrase("a a b", slop=4))) == []
+
+    def test_slop_trigram_chain(self, tiny_index):
+        # doc3 = [b@0, b@1, c@2, c@3]: "b b c" exact; "b c c" exact;
+        # "b b c" with the greedy chain b@0 -> b@1 -> c@2, span 2 = n-1
+        f = Q.field("text")
+        assert ids(tiny_index.compile(f.match_phrase("b b c", slop=0))) == [3]
+        # "b c c" skipping b@1: chain b@0 -> c@2 -> c@3 needs slop 1;
+        # but b@1 -> c@2 -> c@3 is exact, so slop 0 already matches
+        assert ids(tiny_index.compile(f.match_phrase("b c c", slop=0))) == [3]
+
+    def test_slop_parse_roundtrip(self, tiny_index):
+        from sparksearchengine_spark.plans.ast import MatchPhrase
+
+        q = Q.parse('"a a"~1', default_field="text")
+        assert q == MatchPhrase("text", "a a", slop=1)
+        assert ids(tiny_index.compile(q)) == [1]
+
     def test_phrase_without_positions_raises(self, tiny_corpus):
         from sparksearchengine_spark import Corpus, TextOptions
 
