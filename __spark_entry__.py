@@ -471,6 +471,15 @@ def _qc25(spark, sf):
     )
 
 
+def _text_repetition(spark, sf):
+    """Gopher-style repetition quality signals over documents — per-row
+    scan-stage expressions (run-length over sorted gram arrays)."""
+    from sparksearchengine_spark.operators.textstats import repetition_metrics
+
+    docs = _read(spark, sf, "documents")
+    return repetition_metrics(docs).orderBy("doc_id")
+
+
 def _qc26(spark, sf):
     """Q11/Q12 sloppy phrase: '"fast scan"~3' (ordered, gap <= slop)
     through the parser, pinned against the exact phrase in one row."""
@@ -858,6 +867,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_lsh_topk": _emb_lsh_topk,
         "emb_ivf_topk": _emb_ivf_topk,
         "text_quality": _text_quality,
+        "text_repetition": _text_repetition,
         "doc_fingerprint": _doc_fingerprint,
         "lang_id": _lang_id,
         "events_hourly": _events_hourly,
@@ -1416,6 +1426,61 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
             FROM m""",
+        # Gopher repetition signals; definitions pinned in
+        # operators/textstats.py::repetition_metrics docstring
+        "text_repetition": """
+            WITH base AS (
+              SELECT doc_id,
+                     greatest(length(coalesce(text, '')), 1) AS n_chars,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '[^a-z0-9]+'),
+                                 t -> t <> '') AS toks,
+                     list_filter(list_transform(
+                         string_split(coalesce(text, ''), chr(10)),
+                         x -> trim(x)), x -> x <> '') AS ls
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id, n, gram, count(*) AS cnt
+              FROM (
+                SELECT b.doc_id, n.n,
+                       unnest(list_transform(
+                         range(1, len(b.toks) - n.n + 2),
+                         i -> array_to_string(b.toks[i:i+n.n-1], ' '))) AS gram
+                FROM base b CROSS JOIN (VALUES (2), (3), (5)) n(n)
+              ) GROUP BY doc_id, n, gram
+            ),
+            top AS (
+              SELECT doc_id, n, cnt, gram FROM (
+                SELECT doc_id, n, gram, cnt,
+                       row_number() OVER (PARTITION BY doc_id, n
+                                          ORDER BY cnt DESC, gram ASC) AS rn
+                FROM g) WHERE rn = 1
+            ),
+            d5 AS (
+              SELECT doc_id,
+                     sum(CASE WHEN cnt > 1 THEN cnt * length(gram) END) AS dup,
+                     sum(cnt * length(gram)) AS tot
+              FROM g WHERE n = 5 GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   round(coalesce(t2.cnt * length(t2.gram), 0) * 1.0
+                         / b.n_chars, 6) AS top_2gram_char_frac,
+                   round(coalesce(t3.cnt * length(t3.gram), 0) * 1.0
+                         / b.n_chars, 6) AS top_3gram_char_frac,
+                   round(CASE WHEN coalesce(d5.tot, 0) > 0
+                              THEN coalesce(d5.dup, 0) * 1.0 / d5.tot
+                              ELSE 0.0 END, 6) AS dup_5gram_char_frac,
+                   CAST(len(b.ls) AS BIGINT) AS n_lines,
+                   round(CASE WHEN len(b.ls) > 0
+                              THEN 1.0 - len(list_distinct(b.ls)) * 1.0
+                                   / len(b.ls)
+                              ELSE 0.0 END, 6) AS frac_dup_lines
+            FROM base b
+            LEFT JOIN top t2 ON t2.doc_id = b.doc_id AND t2.n = 2
+            LEFT JOIN top t3 ON t3.doc_id = b.doc_id AND t3.n = 3
+            LEFT JOIN d5 ON d5.doc_id = b.doc_id
+            ORDER BY b.doc_id""",
         # ordered sloppy phrase: exists i<j with w1@i, w2@j, j-i-1 <= slop
         "qc26_phrase_slop": """
             WITH toks AS (

@@ -241,3 +241,147 @@ def rolling_hash_fingerprint(
         F.md5(F.concat_ws(",", sel)).alias("fp_winnow"),
         F.size(sel).alias("n_selected"),
     )
+
+
+# --------------------------------------------------------------------------
+# Gopher/C4-style repetition signals
+# --------------------------------------------------------------------------
+
+
+def _ngrams(toks: Column, n: int) -> Column:
+    """Word n-grams joined by a single space ('' when len(toks) < n)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _top_run(sorted_arr: Column) -> Column:
+    """(best_count, best_elem) of the most frequent element of a SORTED
+    array — single linear run-length pass via aggregate(); ties go to the
+    lexicographically smallest element (first maximal run wins because the
+    comparison is strict). Struct-state aggregate is CodegenFallback
+    (interpreted) but stays per-row in the scan stage: the 100 TB-safe
+    alternative to explode + per-doc groupBy, which would shuffle every
+    n-gram occurrence."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(None).cast("string").alias("bestg"),
+    )
+
+    def step(acc, x):  # type: ignore[no-untyped-def]
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["bestg"]).alias("bestg"),
+        )
+
+    return F.aggregate(
+        sorted_arr, init, step,
+        lambda acc: F.struct(acc["best"].alias("cnt"), acc["bestg"].alias("gram")),
+    )
+
+
+def _dup_chars(sorted_arr: Column) -> Column:
+    """Characters inside elements that occur more than once in a SORTED
+    array, counting every occurrence (a gram seen c>1 times contributes
+    c * length(gram)). Same linear run-length pass as _top_run."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc, x):  # type: ignore[no-untyped-def]
+        rep = x == acc["prev"]
+        run = F.when(rep, acc["run"] + 1).otherwise(F.lit(1))
+        # 2nd occurrence back-credits the 1st: + 2*len; later ones + len
+        add = F.when(
+            rep & (acc["run"] == 1), F.length(x) * 2
+        ).when(rep, F.length(x)).otherwise(F.lit(0))
+        return F.struct(
+            x.alias("prev"), run.alias("run"), (acc["dup"] + add).alias("dup")
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["dup"])
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    analyzer: str = "simple",
+) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1;
+    also used by C4/Dolma/RedPajama curation): documents dominated by a
+    repeated n-gram or duplicated lines are low-quality for training.
+
+    Per doc, one scan, zero shuffles (every metric is a per-row
+    expression over the token/line arrays):
+
+      top_2gram_char_frac / top_3gram_char_frac
+          (count * chars of the most frequent word n-gram) / chars(text);
+          ties break to the lexicographically smallest gram.
+      dup_5gram_char_frac
+          chars inside 5-grams occurring >1 time (every occurrence
+          counted) / total 5-gram chars.
+      n_lines, frac_dup_lines
+          trimmed non-empty lines; fraction = 1 - distinct/total.
+
+    Definitions follow the published filters in spirit; exact
+    denominators are pinned here (and mirrored in the DuckDB oracle)
+    since the papers leave them implementation-defined.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    toks = F.coalesce(
+        analyzer_expr(text, analyzer), F.array().cast("array<string>")
+    )
+    n_chars = F.greatest(F.length(text), F.lit(1)).cast("double")
+
+    out = [F.col(id_col)]
+    for n in (2, 3):
+        top = _top_run(F.array_sort(_ngrams(toks, n)))
+        out.append(
+            F.round(
+                F.when(
+                    top["cnt"] > 0,
+                    top["cnt"] * F.length(top["gram"]) / n_chars,
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    g5 = F.array_sort(_ngrams(toks, 5))
+    total5 = F.aggregate(
+        g5, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    out.append(
+        F.round(
+            F.when(
+                total5 > 0, _dup_chars(g5).cast("double") / total5
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_5gram_char_frac")
+    )
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n_lines = F.size(lines)
+    out.append(n_lines.cast("long").alias("n_lines"))
+    out.append(
+        F.round(
+            F.when(
+                n_lines > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct(lines)).cast("double") / n_lines,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("frac_dup_lines")
+    )
+    return df.select(*out)

@@ -123,3 +123,48 @@ def test_bpe_pretoken_count(spark):
     assert got[2] == 0
     # "don" "'t" -> 2
     assert got[3] == 2
+
+
+class TestRepetitionMetrics:
+    """Gopher-style repetition signals (operators/textstats.py)."""
+
+    def _run(self, spark, rows):
+        from sparksearchengine_spark.operators.textstats import (
+            repetition_metrics,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {
+            r["doc_id"]: r.asDict()
+            for r in repetition_metrics(df).collect()
+        }
+
+    def test_top_ngram_char_frac(self, spark):
+        m = self._run(spark, [(1, "spam spam spam spam"), (2, "a b c d e")])
+        # bigrams of doc1: ['spam spam'] x3 -> 3 * 9 / 19
+        assert m[1]["top_2gram_char_frac"] == round(27 / 19, 6)
+        # doc2: every bigram unique -> cnt 1; tie -> lexicographically
+        # smallest gram 'a b' (len 3): 3/9
+        assert m[2]["top_2gram_char_frac"] == round(3 / 9, 6)
+
+    def test_dup_5gram_char_frac(self, spark):
+        # 'x y' x5: 5-grams = 6 total, sorted runs: 'x y x y x' x3,
+        # 'y x y x y' x3 -> all duplicated -> 1.0
+        m = self._run(spark, [(3, "x y x y x y x y x y"), (4, "a b c d e f")])
+        assert m[3]["dup_5gram_char_frac"] == 1.0
+        assert m[4]["dup_5gram_char_frac"] == 0.0
+
+    def test_dup_lines(self, spark):
+        m = self._run(spark, [(5, "line one\nline one\nline two"), (6, "x")])
+        assert m[5]["n_lines"] == 3
+        assert m[5]["frac_dup_lines"] == round(1 - 2 / 3, 6)
+        assert m[6]["n_lines"] == 1 and m[6]["frac_dup_lines"] == 0.0
+
+    def test_null_and_empty(self, spark):
+        m = self._run(spark, [(7, None), (8, ""), (9, "one two")])
+        for d in (7, 8):
+            assert m[d]["top_2gram_char_frac"] == 0.0
+            assert m[d]["dup_5gram_char_frac"] == 0.0
+            assert m[d]["n_lines"] == 0
+        # fewer tokens than n -> no grams -> 0, not NULL
+        assert m[9]["top_3gram_char_frac"] == 0.0
