@@ -480,6 +480,29 @@ def _text_repetition(spark, sf):
     return repetition_metrics(docs).orderBy("doc_id")
 
 
+def _sample_stratified(spark, sf):
+    """Deterministic domain-mixing sample: md5-bucket membership per
+    (lang) stratum — reproducible across engines and partitionings."""
+    from sparksearchengine_spark.operators.sampling import stratified_sample
+
+    docs = _read(spark, sf, "documents")
+    s = stratified_sample(
+        docs, "lang", {"en": 0.5, "es": 0.25, "zh": 0.1},
+        key_col="doc_id",
+    )
+    return s.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _train_test_split(spark, sf):
+    """Deterministic leak-proof split column from the doc_id hash."""
+    from sparksearchengine_spark.operators.sampling import train_test_split
+
+    docs = _read(spark, sf, "documents")
+    return train_test_split(docs, "doc_id", test_fraction=0.2).select(
+        "doc_id", "split"
+    ).orderBy("doc_id")
+
+
 def _qc26(spark, sf):
     """Q11/Q12 sloppy phrase: '"fast scan"~3' (ordered, gap <= slop)
     through the parser, pinned against the exact phrase in one row."""
@@ -868,6 +891,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _emb_ivf_topk,
         "text_quality": _text_quality,
         "text_repetition": _text_repetition,
+        "sample_stratified": _sample_stratified,
+        "train_test_split": _train_test_split,
         "doc_fingerprint": _doc_fingerprint,
         "lang_id": _lang_id,
         "events_hourly": _events_hourly,
@@ -1426,6 +1451,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
             FROM m""",
+        # deterministic md5-bucket sampling (operators/sampling.py)
+        "sample_stratified": """
+            SELECT doc_id, lang FROM documents
+            WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) % 10000
+                  < CASE lang WHEN 'en' THEN 0.5 * 10000
+                              WHEN 'es' THEN 0.25 * 10000
+                              WHEN 'zh' THEN 0.1 * 10000
+                              ELSE 0.0 END
+            ORDER BY doc_id""",
+        "train_test_split": """
+            SELECT doc_id,
+                   CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                 1, 8) AS BIGINT) % 10000
+                             < 0.2 * 10000
+                        THEN 'test' ELSE 'train' END AS split
+            FROM documents ORDER BY doc_id""",
         # Gopher repetition signals; definitions pinned in
         # operators/textstats.py::repetition_metrics docstring
         "text_repetition": """

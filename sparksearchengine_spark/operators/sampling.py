@@ -1,0 +1,78 @@
+"""Deterministic sampling / split operators for training-data pipelines.
+
+A 100 TB curation pipeline cannot use RNG-state sampling (`df.sample`,
+`sampleBy`): results change across retries, partitionings, and engine
+versions, which breaks resumable runs and train/test hygiene. Everything
+here derives membership from a *content hash of a stable key*, so:
+
+  * re-running any subset of partitions reproduces the same sample;
+  * the sample is identical on any engine that can compute md5 (the
+    DuckDB oracles mirror the expressions exactly);
+  * upstream filters/joins don't perturb membership (no row ordering or
+    partition-index dependence, unlike rand(seed) / monotonically_id).
+
+All expressions are scan-stage column ops — zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 10_000 buckets -> fractions are honored to 1e-4 resolution
+DEFAULT_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column, buckets: int = DEFAULT_BUCKETS) -> Column:
+    """Uniform bucket in [0, buckets) from the md5 of the key's string
+    form. First 8 hex chars -> 32-bit int (portable: DuckDB spells it
+    CAST('0x' || substr(md5(k), 1, 8) AS BIGINT))."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10)
+    return h.cast("long") % buckets
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    default_fraction: float = 0.0,
+    buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """Keep each row iff hash_bucket(key) < fraction(stratum) * buckets —
+    the deterministic analog of ``DataFrame.sampleBy`` used for domain
+    mixing (e.g. up-/down-weighting sources or languages to target
+    proportions). Strata absent from ``fractions`` fall back to
+    ``default_fraction``."""
+    pairs: list[Column] = []
+    for k, v in sorted(fractions.items()):
+        pairs += [F.lit(k), F.lit(float(v))]
+    frac = F.coalesce(
+        F.create_map(*pairs)[F.col(strata_col)], F.lit(float(default_fraction))
+    )
+    keep = hash_bucket(F.col(key_col), buckets) < (frac * buckets)
+    return df.where(keep)
+
+
+def train_test_split(
+    df: DataFrame,
+    key_col: str,
+    test_fraction: float = 0.1,
+    buckets: int = DEFAULT_BUCKETS,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic split column ('train' / 'test') from the key hash.
+    The same key always lands in the same split — across runs, engines,
+    and data additions — which is the property that prevents train/test
+    leakage when the corpus is rebuilt or extended.
+
+    For *near*-duplicate leakage (two different keys, same content) run a
+    canonicalized dedup first (operators/dedup.py) and split on the
+    canon_id, so every member of a duplicate cluster lands in one side.
+    """
+    is_test = hash_bucket(F.col(key_col), buckets) < F.lit(
+        float(test_fraction)
+    ) * buckets
+    return df.withColumn(
+        split_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
+    )

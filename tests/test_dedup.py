@@ -160,3 +160,51 @@ class TestWinnowing:
         fp = {r["doc_id"]: r["fp_winnow"] for r in rolling_hash_fingerprint(docs).collect()}
         assert fp[1] == fp[2]
         assert fp[1] != fp[3]
+
+
+class TestDeterministicSampling:
+    """operators/sampling.py — hash-derived membership, no RNG state."""
+
+    def test_repartition_invariant(self, spark, docs_df):
+        from sparksearchengine_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        frac = {"en": 0.5, "es": 0.25}
+        a = stratified_sample(docs_df, "lang", frac, key_col="doc_id")
+        b = stratified_sample(
+            docs_df.repartition(7), "lang", frac, key_col="doc_id"
+        )
+        ids = lambda d: sorted(r["doc_id"] for r in d.select("doc_id").collect())
+        assert ids(a) == ids(b) and len(ids(a)) > 0
+
+    def test_fraction_roughly_honored(self, spark, docs_df):
+        from sparksearchengine_spark.operators.sampling import (
+            train_test_split,
+        )
+
+        t = train_test_split(docs_df, "doc_id", test_fraction=0.2)
+        n = docs_df.count()
+        n_test = t.where("split = 'test'").count()
+        assert 0.1 * n < n_test < 0.3 * n
+
+    def test_split_stable_under_corpus_growth(self, spark, docs_df):
+        from sparksearchengine_spark.operators.sampling import (
+            train_test_split,
+        )
+
+        half = docs_df.where("doc_id % 2 = 0")
+        full = train_test_split(docs_df, "doc_id", 0.2)
+        part = train_test_split(half, "doc_id", 0.2)
+        m_full = {r["doc_id"]: r["split"] for r in full.collect()}
+        for r in part.collect():
+            assert m_full[r["doc_id"]] == r["split"]
+
+    def test_default_fraction_drops_unlisted_strata(self, spark, docs_df):
+        from sparksearchengine_spark.operators.sampling import (
+            stratified_sample,
+        )
+
+        s = stratified_sample(docs_df, "lang", {"en": 1.0}, key_col="doc_id")
+        assert s.where("lang <> 'en'").count() == 0
+        assert s.count() == docs_df.where("lang = 'en'").count()
