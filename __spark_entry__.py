@@ -480,6 +480,16 @@ def _text_repetition(spark, sf):
     return repetition_metrics(docs).orderBy("doc_id")
 
 
+def _pii_scrub(spark, sf):
+    """PII masking pass over documents: typed placeholders + per-category
+    counts. Synthetic corpus is PII-free, so the hash match pins the
+    identity path (no accidental mangling); real shapes are unit-tested."""
+    from sparksearchengine_spark.operators.textstats import pii_scrub
+
+    docs = _read(spark, sf, "documents")
+    return pii_scrub(docs).orderBy("doc_id")
+
+
 def _sample_stratified(spark, sf):
     """Deterministic domain-mixing sample: md5-bucket membership per
     (lang) stratum — reproducible across engines and partitionings."""
@@ -891,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_topk": _emb_ivf_topk,
         "text_quality": _text_quality,
         "text_repetition": _text_repetition,
+        "pii_scrub": _pii_scrub,
         "sample_stratified": _sample_stratified,
         "train_test_split": _train_test_split,
         "doc_fingerprint": _doc_fingerprint,
@@ -1451,6 +1462,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
             FROM m""",
+        # PII scrub: same regexes, RE2/Java-portable subset
+        "pii_scrub": r"""
+            SELECT doc_id,
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                coalesce(text, ''),
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                '\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g')
+                AS text_scrubbed,
+              CAST(len(regexp_extract_all(coalesce(text, ''),
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+              CAST(len(regexp_extract_all(coalesce(text, ''),
+                '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+              CAST(len(regexp_extract_all(coalesce(text, ''),
+                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+              CAST(len(regexp_extract_all(coalesce(text, ''),
+                '\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b')) AS BIGINT) AS n_phone
+            FROM documents ORDER BY doc_id""",
         # deterministic md5-bucket sampling (operators/sampling.py)
         "sample_stratified": """
             SELECT doc_id, lang FROM documents

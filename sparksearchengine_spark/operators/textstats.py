@@ -385,3 +385,45 @@ def repetition_metrics(
         ).alias("frac_dup_lines")
     )
     return df.select(*out)
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing
+# --------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB oracle): no lookaround, no backreferences.
+# Ordering matters: EMAIL before PHONE so digit runs inside addresses
+# aren't re-masked as phones.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+)
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Mask common PII shapes (emails, SSNs, IPv4s, phone numbers) with
+    typed placeholder tokens and report per-category match counts.
+
+    Regex-shape detection only — deliberately conservative, the standard
+    first-pass scrub in public curation pipelines (C4 removed lines by
+    pattern; Dolma/RedPajama mask emails/IPs/phones the same way). Counts
+    are measured on the ORIGINAL text per category (order-independent);
+    masking applies sequentially in PII_PATTERNS order. Scan-stage
+    expressions, zero shuffles, no UDFs.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.regexp_count(text, F.lit(pat)).cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    scrubbed = text
+    for _, pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    return df.select(
+        F.col(id_col), scrubbed.alias("text_scrubbed"), *counts
+    )

@@ -168,3 +168,32 @@ class TestRepetitionMetrics:
             assert m[d]["n_lines"] == 0
         # fewer tokens than n -> no grams -> 0, not NULL
         assert m[9]["top_3gram_char_frac"] == 0.0
+
+
+class TestPiiScrub:
+    def _scrub(self, spark, rows):
+        from sparksearchengine_spark.operators.textstats import pii_scrub
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r.asDict() for r in pii_scrub(df).collect()}
+
+    def test_masks_and_counts(self, spark):
+        m = self._scrub(spark, [
+            (1, "mail jo.doe+x@example.co.uk or +1 (555) 123-4567"),
+            (2, "server 10.0.0.1 ssn 123-45-6789"),
+        ])
+        assert m[1]["text_scrubbed"] == "mail <EMAIL> or <PHONE>"
+        assert m[1]["n_email"] == 1 and m[1]["n_phone"] == 1
+        assert m[2]["text_scrubbed"] == "server <IP> ssn <SSN>"
+        assert m[2]["n_ip"] == 1 and m[2]["n_ssn"] == 1
+
+    def test_clean_text_untouched(self, spark):
+        m = self._scrub(spark, [(3, "no pii here 123"), (4, None), (5, "")])
+        assert m[3]["text_scrubbed"] == "no pii here 123"
+        assert all(m[3][f"n_{c}"] == 0 for c in ("email", "ssn", "ip", "phone"))
+        assert m[4]["text_scrubbed"] == "" and m[5]["text_scrubbed"] == ""
+
+    def test_multiple_occurrences(self, spark):
+        m = self._scrub(spark, [(6, "a@b.co c@d.org and 1.2.3.4 5.6.7.8")])
+        assert m[6]["n_email"] == 2 and m[6]["n_ip"] == 2
+        assert m[6]["text_scrubbed"] == "<EMAIL> <EMAIL> and <IP> <IP>"
