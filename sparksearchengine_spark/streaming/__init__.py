@@ -1,6 +1,7 @@
 """Structured Streaming surface (north-star; the reference has none)."""
 
 from sparksearchengine_spark.streaming.stream import (
+    compact_incremental_index,
     incremental_index,
     load_incremental_index,
     read_document_stream,
@@ -11,6 +12,7 @@ from sparksearchengine_spark.streaming.stream import (
 )
 
 __all__ = [
+    "compact_incremental_index",
     "incremental_index",
     "load_incremental_index",
     "read_document_stream",

@@ -232,11 +232,10 @@ def running_user_stats(
     )
 
 
-def load_incremental_index(spark, index_path: str, corpus_df: DataFrame,
-                           id_col: str = "doc_id", field: str = "text",
-                           analyzer: str = "simple"):
-    """Open a streamed postings table as a queryable SearchIndex, computing
-    global stats on read (see module docstring for the tradeoff)."""
+def _index_over_postings(postings: DataFrame, corpus_df: DataFrame,
+                         id_col: str, field: str, analyzer: str):
+    """SearchIndex over an externally-produced postings table, recomputing
+    the global termstats/fieldstats from it."""
     from sparksearchengine_spark.functions.analyzers import TextOptions
     from sparksearchengine_spark.functions.scoring import ScoringConfig
     from sparksearchengine_spark.operators.index import (
@@ -245,11 +244,6 @@ def load_incremental_index(spark, index_path: str, corpus_df: DataFrame,
         SearchIndex,
     )
 
-    # partition discovery surfaces the per-batch batch_id dirs as a
-    # column; drop it — it's a write-idempotency detail, not index schema
-    postings = spark.read.parquet(f"{index_path}/postings")
-    if "batch_id" in postings.columns:
-        postings = postings.drop("batch_id")
     termstats = postings.groupBy("field", "term").agg(
         F.count(F.lit(1)).cast("long").alias("df_t")
     )
@@ -270,3 +264,70 @@ def load_incremental_index(spark, index_path: str, corpus_df: DataFrame,
         corpus=corpus, postings=postings, termstats=termstats,
         fieldstats=fieldstats, scoring=ScoringConfig(),
     )
+
+
+def load_incremental_index(spark, index_path: str, corpus_df: DataFrame,
+                           id_col: str = "doc_id", field: str = "text",
+                           analyzer: str = "simple"):
+    """Open a streamed postings table as a queryable SearchIndex, computing
+    global stats on read (see module docstring for the tradeoff).
+
+    Append-only semantics: every batch's postings count. If docs can be
+    RE-ingested (updates), run :func:`compact_incremental_index` with
+    ``keep='latest'`` — here a re-ingested doc would double-count."""
+    # partition discovery surfaces the per-batch batch_id dirs as a
+    # column; drop it — it's a write-idempotency detail, not index schema
+    postings = spark.read.parquet(f"{index_path}/postings")
+    if "batch_id" in postings.columns:
+        postings = postings.drop("batch_id")
+    return _index_over_postings(postings, corpus_df, id_col, field, analyzer)
+
+
+def compact_incremental_index(
+    spark,
+    index_path: str,
+    out_path: str,
+    corpus_df: DataFrame,
+    id_col: str = "doc_id",
+    field: str = "text",
+    analyzer: str = "simple",
+    term_buckets: int | None = None,
+    keep: str = "latest",
+) -> "object":
+    """Compact a streamed ``batch_id=N`` postings layout into the durable
+    SearchIndex layout and return the loaded index.
+
+    Two scale problems this solves for a long-running ingest stream:
+
+    * **small files** — one directory per micro-batch means a day of
+      1-minute triggers leaves ~1.4k directories of KB-sized files; scans
+      pay per-file open cost. The rewrite merges them into the same
+      layout ``SearchIndex.save`` produces (optionally term-bucketed, so
+      term queries prune at the scan).
+    * **update semantics** — ``keep='latest'``: a doc re-ingested in a
+      later batch REPLACES its earlier postings (max batch_id per doc
+      wins; one doc_id-keyed window, one shuffle). ``keep='all'``
+      preserves load_incremental_index's append-only semantics.
+
+    The stream can keep writing new batches to ``index_path`` while the
+    compacted snapshot serves queries from ``out_path``.
+    """
+    from pyspark.sql import Window
+
+    from sparksearchengine_spark.operators.index import SearchIndex
+
+    postings = spark.read.parquet(f"{index_path}/postings")
+    if "batch_id" in postings.columns:
+        if keep == "latest":
+            w = Window.partitionBy("doc_id")
+            postings = (
+                postings.withColumn("_maxb", F.max("batch_id").over(w))
+                .where(F.col("batch_id") == F.col("_maxb"))
+                .drop("_maxb")
+            )
+        elif keep != "all":
+            raise ValueError(f"keep must be 'latest' or 'all', got {keep!r}")
+        postings = postings.drop("batch_id")
+    idx = _index_over_postings(postings, corpus_df, id_col, field, analyzer)
+    idx.save(out_path, term_buckets=term_buckets)
+    return SearchIndex.load(spark, out_path, corpus_df)

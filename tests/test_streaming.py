@@ -82,6 +82,71 @@ class TestIncrementalIndex:
         assert spark.read.parquet(f"{idx_path}/postings").count() == first
 
 
+class TestCompaction:
+    def _ingest(self, spark, tmp_path, rows):
+        """Append one arrival to a shared stream dir and drain it with the
+        SAME checkpoint — batch ids advance (0, 1, ...) like a real
+        long-running ingest."""
+        from sparksearchengine_spark.streaming import (
+            incremental_index,
+            read_document_stream,
+        )
+
+        d = str(tmp_path / "in_c")
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).write.mode("append").parquet(d)
+        idx_path = str(tmp_path / "idx_c")
+        q = incremental_index(
+            read_document_stream(spark, d), idx_path,
+            checkpoint=str(tmp_path / "cp_c"),
+        )
+        q.awaitTermination(120)
+        return idx_path
+
+    def test_latest_wins_and_layout_is_flat(self, spark, tmp_path):
+        import os
+
+        from sparksearchengine_spark import Q
+        from sparksearchengine_spark.streaming.stream import (
+            compact_incremental_index,
+            load_incremental_index,
+        )
+
+        # batch 0: docs 1,2 — batch 1 RE-INGESTS doc 1 with new text.
+        # Separate stream dirs share one index dir: two batch_id dirs.
+        idx_path = self._ingest(spark, tmp_path, [(1, "a b a"), (2, "a c")])
+        self._ingest(spark, tmp_path, [(1, "c c d")])
+
+        corpus = spark.createDataFrame(
+            [(1, "c c d"), (2, "a c")], "doc_id long, text string"
+        )
+        out = str(tmp_path / "compacted")
+        idx = compact_incremental_index(
+            spark, idx_path, out, corpus, term_buckets=2
+        )
+        # updated doc: 'a' postings from batch 0's doc 1 must be gone
+        a_hits = sorted(
+            r["doc_id"]
+            for r in idx.compile(Q.field("text").match_term("a")).collect()
+        )
+        assert a_hits == [2]
+        c_hits = sorted(
+            r["doc_id"]
+            for r in idx.compile(Q.field("text").match_term("c")).collect()
+        )
+        assert c_hits == [1, 2]
+        # no batch_id dirs in the compacted layout (term buckets instead)
+        subdirs = os.listdir(os.path.join(out, "postings"))
+        assert not any(s.startswith("batch_id=") for s in subdirs)
+        assert any(s.startswith("_tbucket=") for s in subdirs)
+        # keep='all' (load_incremental_index) is append-only: BOTH
+        # versions of doc 1 coexist (a,b from batch 0 + c,d from batch 1)
+        allidx = load_incremental_index(spark, idx_path, corpus)
+        assert allidx.postings.where("doc_id = 1").count() == 4
+        assert idx.postings.where("doc_id = 1").count() == 2
+
+
 class TestWindowedAggregation:
     def test_tumbling_counts_batch_parity(self, spark):
         from sparksearchengine_spark.streaming import windowed_event_counts
