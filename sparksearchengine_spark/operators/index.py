@@ -41,6 +41,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
 
 from sparksearchengine_spark.functions.analyzers import TextOptions, analyzer_expr
 from sparksearchengine_spark.functions.scoring import ScoringConfig
@@ -87,8 +88,15 @@ class Corpus:
                 if f.dataType.simpleString() == "string"
             }
         for c in [id_col, *text_cols]:
-            if c not in df.columns:
-                raise ValueError(f"column {c!r} not in DataFrame ({df.columns})")
+            # resolve, don't string-match: allows nested struct refs like
+            # 'author.name' (the reference's dot-flattened Indexable
+            # namespace, `Indexable.scala:27-38`, is native column access)
+            try:
+                df.select(F.col(c))
+            except Exception:
+                raise ValueError(
+                    f"column {c!r} not resolvable in DataFrame ({df.columns})"
+                ) from None
         self.df = df
         self.id_col = id_col
         self.text_cols = dict(text_cols)
@@ -137,10 +145,34 @@ class Corpus:
                 spark.sparkContext.defaultParallelism,
                 int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
             )
+            src = F.col(fname)
+            dtype = self.df.select(src).schema[0].dataType
+            if isinstance(dtype, ArrayType):
+                # SeqField (reference `LuceneIndexedPartition.scala:197`)
+                # stringifies the whole array ("List(a, b)") before
+                # tokenizing; we index per element instead (SURVEY §1.2's
+                # documented improvement). Joining elements with a space
+                # yields exactly the per-element token stream for every
+                # shipped analyzer (all are token-level after a
+                # separator split). Divergence from a Lucene position
+                # gap: phrases MAY match across an element boundary.
+                if not isinstance(dtype.elementType, StringType):
+                    raise ValueError(
+                        f"text column {fname!r} must be array<string>, "
+                        f"got {dtype.simpleString()}"
+                    )
+                src = F.concat_ws(" ", src)
+            elif not isinstance(dtype, StringType):
+                # the reference falls back to lossy toString indexing
+                # (`Indexable.scala:124`); we reject explicitly
+                raise ValueError(
+                    f"text column {fname!r} must be string or "
+                    f"array<string>, got {dtype.simpleString()}"
+                )
             toks = analyzer_expr(F.col("_raw"), opts.analyzer)
             raw = self.df.select(
                 F.col(self.id_col).cast("long").alias(DOC_ID),
-                F.col(fname).alias("_raw"),
+                src.alias("_raw"),
             ).repartition(nparts, DOC_ID)
             ex = raw.select(
                 DOC_ID,

@@ -335,3 +335,63 @@ class TestPersistence:
         # the pruned buckets appear literally in the partition filter
         bks = {term_bucket(t, n) for t in ("dup", "spark")}
         assert any(str(b) in plan for b in bks)
+
+
+class TestFieldTypes:
+    """SURVEY §1.2 parity: SeqField per-element indexing (improvement over
+    the reference's wholesale toString), nested struct refs, explicit
+    rejection of non-text columns."""
+
+    @pytest.fixture(scope="class")
+    def typed_df(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, ["red apple", "green pear"], ("alice", "ny")),
+                (2, ["blue sky"], ("bob", "sf")),
+                (3, None, ("carol", None)),
+            ],
+            "doc_id long, tags array<string>, "
+            "author struct<name:string,city:string>",
+        )
+
+    def test_array_column_indexes_per_element(self, typed_df):
+        from sparksearchengine_spark import Corpus, Q, TextOptions
+
+        idx = Corpus(
+            typed_df, id_col="doc_id", text_cols={"tags": TextOptions()}
+        ).build_index()
+        ids = lambda q: sorted(
+            r["doc_id"] for r in idx.compile(q).collect()
+        )
+        assert ids(Q.field("tags").match_term("apple")) == [1]
+        assert ids(Q.field("tags").match_phrase("red apple")) == [1]
+        # NULL array -> no postings, doc simply unmatchable
+        assert ids(Q.field("tags").match_any("red", "blue")) == [1, 2]
+
+    def test_nested_struct_field(self, typed_df):
+        from sparksearchengine_spark import Corpus, Q, TextOptions
+
+        idx = Corpus(
+            typed_df, id_col="doc_id",
+            text_cols={"author.name": TextOptions()},
+        ).build_index()
+        hits = idx.compile(Q.field("author.name").match_term("alice"))
+        assert [r["doc_id"] for r in hits.collect()] == [1]
+
+    def test_non_text_column_rejected(self, typed_df):
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        with pytest.raises(ValueError, match="must be string"):
+            Corpus(
+                typed_df, id_col="doc_id",
+                text_cols={"doc_id": TextOptions()},
+            ).build_index()
+
+    def test_unresolvable_column_rejected(self, typed_df):
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        with pytest.raises(ValueError, match="not resolvable"):
+            Corpus(
+                typed_df, id_col="doc_id",
+                text_cols={"author.nope": TextOptions()},
+            )
