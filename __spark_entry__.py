@@ -513,6 +513,31 @@ def _train_test_split(spark, sf):
     ).orderBy("doc_id")
 
 
+def _events_asof(spark, sf):
+    """As-of join: each click event picks up the user's most recent prior
+    purchase (one key shuffle + running window — no range cross-join).
+    Oracle = DuckDB's native ASOF LEFT JOIN."""
+    from sparksearchengine_spark.operators.asof import asof_join
+
+    ev = _read_events(spark, sf)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    j = asof_join(clicks, purchases, on="user_id", right_prefix="p_")
+    # report in microseconds: Spark reads the parquet nanos, DuckDB's
+    # TIMESTAMP is micros — the join itself runs at full nanos precision
+    return j.select(
+        "event_id", "user_id",
+        F.expr("ts div 1000").alias("ts_us"),  # exact long division:
+        F.expr("p_ts div 1000").alias("p_ts_us"),  # ns/1000 > 2^53 so
+        # float division would round the low microsecond digit
+        F.round("p_value", 6).alias("p_value"),
+    ).orderBy("event_id")
+
+
 def _qc26(spark, sf):
     """Q11/Q12 sloppy phrase: '"fast scan"~3' (ordered, gap <= slop)
     through the parser, pinned against the exact phrase in one row."""
@@ -906,6 +931,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": _train_test_split,
         "doc_fingerprint": _doc_fingerprint,
         "lang_id": _lang_id,
+        "events_asof": _events_asof,
         "events_hourly": _events_hourly,
         "events_hourly_windowed": _events_hourly_windowed,
         "token_stats": _token_stats,
@@ -1462,6 +1488,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT count(*) AS cnt, CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
             FROM m""",
+        # as-of join vs DuckDB's native ASOF LEFT JOIN
+        "events_asof": """
+            SELECT l.event_id, l.user_id,
+                   CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+                   CAST(epoch_us(r.ts) AS BIGINT) AS p_ts_us,
+                   round(r.value, 6) AS p_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id""",
         # PII scrub: same regexes, RE2/Java-portable subset
         "pii_scrub": r"""
             SELECT doc_id,

@@ -1,0 +1,90 @@
+"""As-of join (operators/asof.py): backward/forward, tolerance,
+inclusive ties, left-outer semantics, row-atomic payload fill."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [(1, 10, "T1"), (1, 25, "T2"), (2, 5, "T3"), (3, 7, "T4")],
+        "k long, ts long, tag string",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [(1, 10, 1.0), (1, 20, 2.0), (2, 9, 3.0)],
+        "k long, ts long, px double",
+    )
+
+
+def _rows(df):
+    return {
+        (r["k"], r["ts"]): (r["r_ts"], r["r_px"])
+        for r in df.collect()
+    }
+
+
+class TestAsofJoin:
+    def test_backward_inclusive(self, trades, quotes):
+        from sparksearchengine_spark.operators.asof import asof_join
+
+        m = _rows(asof_join(trades, quotes, on="k"))
+        assert m[(1, 10)] == (10, 1.0)   # equal ts matches
+        assert m[(1, 25)] == (20, 2.0)   # greatest earlier
+        assert m[(2, 5)] == (None, None)  # right exists but is later
+        assert m[(3, 7)] == (None, None)  # no right rows for key
+
+    def test_forward(self, trades, quotes):
+        from sparksearchengine_spark.operators.asof import asof_join
+
+        m = _rows(asof_join(trades, quotes, on="k", direction="forward"))
+        assert m[(1, 10)] == (10, 1.0)
+        assert m[(1, 25)] == (None, None)
+        assert m[(2, 5)] == (9, 3.0)
+
+    def test_tolerance(self, trades, quotes):
+        from sparksearchengine_spark.operators.asof import asof_join
+
+        m = _rows(asof_join(trades, quotes, on="k", tolerance=4))
+        assert m[(1, 10)] == (10, 1.0)    # gap 0
+        assert m[(1, 25)] == (None, None)  # gap 5 > 4
+
+    def test_payload_fill_is_row_atomic(self, spark):
+        """A NULL inside the matched right row must be returned as NULL,
+        not stitched from an older right row (struct fill, not
+        per-column last_value)."""
+        from sparksearchengine_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 30)], "k long, ts long")
+        right = spark.createDataFrame(
+            [(1, 10, 7.0), (1, 20, None)], "k long, ts long, px double"
+        )
+        (row,) = asof_join(left, right, on="k").collect()
+        assert row["r_ts"] == 20 and row["r_px"] is None
+
+    def test_multi_key(self, spark):
+        from sparksearchengine_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, "a", 10), (1, "b", 10)], "k long, g string, ts long"
+        )
+        right = spark.createDataFrame(
+            [(1, "a", 5, 1.0), (1, "b", 6, 2.0)],
+            "k long, g string, ts long, px double",
+        )
+        m = {
+            (r["k"], r["g"]): r["r_px"]
+            for r in asof_join(left, right, on=["k", "g"]).collect()
+        }
+        assert m == {(1, "a"): 1.0, (1, "b"): 2.0}
+
+    def test_bad_direction_raises(self, trades, quotes):
+        from sparksearchengine_spark.operators.asof import asof_join
+
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(trades, quotes, on="k", direction="nearest")
