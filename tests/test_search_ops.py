@@ -337,6 +337,48 @@ class TestPersistence:
         assert any(str(b) in plan for b in bks)
 
 
+class TestPlanShapeRound2:
+    """Plan guards for the round-2 operators: the shuffle counts their
+    docstrings promise must hold in the executed plan."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_asof_join_single_exchange(self, spark):
+        from sparksearchengine_spark.operators.asof import asof_join
+
+        l = spark.createDataFrame([(1, 10, "a")], "k long, ts long, tag string")
+        r = spark.createDataFrame([(1, 5, 1.0)], "k long, ts long, px double")
+        plan = self._plan(asof_join(l, r, on="k"))
+        # one key shuffle for the window; no join operator at all
+        assert plan.count("Exchange") == 1
+        assert "Join" not in plan
+
+    def test_repetition_metrics_zero_exchanges(self, docs_df):
+        from sparksearchengine_spark.operators.textstats import (
+            repetition_metrics,
+        )
+
+        assert self._plan(repetition_metrics(docs_df)).count("Exchange") == 0
+
+    def test_sampling_zero_exchanges(self, docs_df):
+        from sparksearchengine_spark.operators.sampling import (
+            stratified_sample,
+            train_test_split,
+        )
+
+        assert (
+            self._plan(train_test_split(docs_df, "doc_id")).count("Exchange")
+            == 0
+        )
+        assert (
+            self._plan(
+                stratified_sample(docs_df, "lang", {"en": 0.5}, "doc_id")
+            ).count("Exchange")
+            == 0
+        )
+
+
 class TestFieldTypes:
     """SURVEY §1.2 parity: SeqField per-element indexing (improvement over
     the reference's wholesale toString), nested struct refs, explicit
