@@ -513,6 +513,67 @@ def _train_test_split(spark, sf):
     ).orderBy("doc_id")
 
 
+DECONTAM_N, DECONTAM_EVAL_LO = 5, 450
+VOCAB_TOP_K = 100
+
+
+def _decontam_ngram(spark, sf):
+    """Benchmark decontamination: docs >= DECONTAM_EVAL_LO play the eval
+    set; every training doc reports its 5-gram overlap with it. Exact
+    duplicates in the synthetic corpus make this a live signal."""
+    from sparksearchengine_spark.operators.decontam import ngram_decontaminate
+
+    docs = _read(spark, sf, "documents")
+    train = docs.where(F.col("doc_id") < DECONTAM_EVAL_LO)
+    ev = docs.where(F.col("doc_id") >= DECONTAM_EVAL_LO)
+    out = ngram_decontaminate(train, ev, n=DECONTAM_N)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit_grams").cast("long").alias("n_hit_grams"),
+        "contaminated",
+    ).orderBy("doc_id")
+
+
+def _vocab_top(spark, sf):
+    """Corpus vocabulary / Zipf coverage: top-100 terms with total tf,
+    doc frequency, rank, and cumulative token coverage."""
+    from sparksearchengine_spark.operators.decontam import vocab_stats
+
+    docs = _read(spark, sf, "documents")
+    v = vocab_stats(docs, top_k=VOCAB_TOP_K)
+    return v.select(
+        "term", "tf", "df_t", "rank",
+        F.round("cum_frac", 6).alias("cum_frac"),
+    ).orderBy("rank")
+
+
+def _unigram_quality(spark, sf):
+    """Perplexity-proxy quality: per-doc mean -ln p(token) under the
+    corpus's own unigram LM (CCNet-style filter signal)."""
+    from sparksearchengine_spark.operators.decontam import unigram_logprob
+
+    docs = _read(spark, sf, "documents")
+    out = unigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_tokens", F.round("avg_nll", 6).alias("avg_nll")
+    ).orderBy("doc_id")
+
+
+EXPORT_SHARDS = 64
+
+
+def _export_shard_assign(spark, sf):
+    """Deterministic training-shard assignment (pure half of the shard
+    exporter; the write itself is unit-tested in tests/test_export.py)."""
+    from sparksearchengine_spark.operators.export import shard_assignments
+
+    docs = _read(spark, sf, "documents")
+    return shard_assignments(docs, num_shards=EXPORT_SHARDS).select(
+        "doc_id", "shard"
+    ).orderBy("doc_id")
+
+
 def _events_asof(spark, sf):
     """As-of join: each click event picks up the user's most recent prior
     purchase (one key shuffle + running window — no range cross-join).
@@ -929,6 +990,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": _pii_scrub,
         "sample_stratified": _sample_stratified,
         "train_test_split": _train_test_split,
+        "decontam_ngram": _decontam_ngram,
+        "vocab_top": _vocab_top,
+        "unigram_quality": _unigram_quality,
+        "export_shard_assign": _export_shard_assign,
         "doc_fingerprint": _doc_fingerprint,
         "lang_id": _lang_id,
         "events_asof": _events_asof,
@@ -1535,6 +1600,94 @@ def oracle_sql() -> dict[str, str]:
                              < 0.2 * 10000
                         THEN 'test' ELSE 'train' END AS split
             FROM documents ORDER BY doc_id""",
+        # deterministic shard export (operators/export.py)
+        "export_shard_assign": f"""
+            SELECT doc_id,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % {EXPORT_SHARDS} AS shard
+            FROM documents ORDER BY doc_id""",
+        # benchmark decontamination / vocab / unigram LM
+        # (operators/decontam.py)
+        "decontam_ngram": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - {DECONTAM_N - 1}, 1) + 1),
+                       i -> array_to_string(toks[i:i+{DECONTAM_N - 1}], ' ')))
+                       AS grams
+              FROM t
+            ),
+            ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+                   WHERE doc_id >= {DECONTAM_EVAL_LO}),
+            tr AS (SELECT doc_id, len(grams) AS n_grams,
+                          unnest(grams) AS gram
+                   FROM g WHERE doc_id < {DECONTAM_EVAL_LO}),
+            hits AS (
+              SELECT tr.doc_id,
+                     CAST(any_value(tr.n_grams) AS BIGINT) AS n_grams,
+                     CAST(count(ev.gram) AS BIGINT) AS n_hit_grams
+              FROM tr LEFT JOIN ev USING (gram)
+              GROUP BY tr.doc_id
+            )
+            SELECT doc_id, n_grams, n_hit_grams,
+                   n_hit_grams >= 1 AS contaminated
+            FROM hits ORDER BY doc_id""",
+        "vocab_top": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+            v AS (
+              SELECT term, CAST(count(*) AS BIGINT) AS tf,
+                     CAST(count(DISTINCT doc_id) AS BIGINT) AS df_t
+              FROM e GROUP BY term
+            ),
+            tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS tot FROM v),
+            r AS (
+              SELECT term, tf, df_t,
+                     CAST(row_number() OVER
+                          (ORDER BY tf DESC, term ASC) AS BIGINT) AS rank,
+                     CAST(sum(tf) OVER (ORDER BY tf DESC, term ASC) AS DOUBLE)
+                       / (SELECT tot FROM tot) AS cum_frac
+              FROM v
+            )
+            SELECT term, tf, df_t, rank, round(cum_frac, 6) AS cum_frac
+            FROM r WHERE rank <= {VOCAB_TOP_K} ORDER BY rank""",
+        "unigram_quality": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+            v AS (SELECT term, count(*) AS tf FROM e GROUP BY term),
+            tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS tot FROM v),
+            s AS (
+              SELECT e.doc_id,
+                     -ln(CAST(v.tf AS DOUBLE) / (SELECT tot FROM tot)) AS nll
+              FROM e JOIN v USING (term)
+            ),
+            agg AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                     avg(nll) AS avg_nll
+              FROM s GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0) AS n_tokens,
+                   round(coalesce(a.avg_nll, 0.0), 6) AS avg_nll
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id""",
         # Gopher repetition signals; definitions pinned in
         # operators/textstats.py::repetition_metrics docstring
         "text_repetition": """

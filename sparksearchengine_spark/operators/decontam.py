@@ -1,0 +1,199 @@
+"""Benchmark decontamination + corpus language-model statistics.
+
+Training-data-pipeline operators beyond the reference's search surface
+(BASELINE.json north star): before a corpus feeds a training run you need
+to (a) strip documents that overlap the eval benchmarks (n-gram
+decontamination, the GPT-3/PaLM appendix-C procedure), (b) know the
+corpus vocabulary / Zipf profile (tokenizer training, coverage budgets),
+and (c) score documents by a cheap unigram LM (perplexity-proxy quality
+filter, the CCNet/RefinedWeb shape with the KenLM swapped for the
+corpus's own unigram model so the operator is closed over its inputs).
+
+Scale shapes (the part that must survive 100 TB):
+
+* ``ngram_decontaminate`` — the eval side is a benchmark (thousands of
+  docs), the train side is the corpus. Eval grams are DISTINCT'd and
+  broadcast when small (probed, same policy as
+  ``operators/search.py::_hint_query_side``); the corpus side is one
+  explode + one left-semi-shaped aggregation keyed on the gram — never a
+  cross product, and the corpus is never shuffled by raw text (only the
+  matched grams ride the join).
+* ``vocab_stats`` — one explode + one groupBy(term). The rank/cumulative
+  window runs over the VOCAB (|V| ≪ corpus, millions not billions) and
+  is bounded by ``top_k`` before any global sort.
+* ``unigram_logprob`` — two passes: the vocab aggregate above, then an
+  explode + join(term) + per-doc aggregate. The vocab side is broadcast
+  when small; OOV terms (scoring against a foreign ``freq_df``) take an
+  add-one floor so the score is total, never null.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.functions.analyzers import analyzer_expr
+from sparksearchengine_spark.operators.dedup import token_ngrams, _widen
+
+# same policy knob as the search-side joins: broadcast the small side only
+# when a probed row count says it is actually small.
+BROADCAST_MAX_EVAL_ROWS = 1_000_000
+
+
+def _maybe_broadcast(
+    side: DataFrame, force: bool | None, max_rows: int
+) -> DataFrame:
+    if force is None:
+        force = side.limit(max_rows + 1).count() <= max_rows
+    return F.broadcast(side) if force else side.hint("shuffle_hash")
+
+
+def ngram_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "simple",
+    min_hit_grams: int = 1,
+    broadcast_eval: bool | None = None,
+) -> DataFrame:
+    """Flag training docs sharing ≥ ``min_hit_grams`` token ``n``-grams
+    with any eval/benchmark document.
+
+    Returns one row per ``train_df`` row:
+    ``(id_col, n_grams, n_hit_grams, contaminated)`` — zero-hit docs
+    included (left join), so the caller filters ``~contaminated`` to get
+    the clean corpus without a second pass.
+
+    Grams are the analyzer's token n-grams, DISTINCT per doc (hit counts
+    are set-intersection sizes, not positional counts — a doc repeating
+    one leaked gram 50× is one hit). Short docs (< n tokens) contribute
+    their whole-token-sequence gram, matching ``dedup.token_ngrams``.
+    """
+    toks = F.array_distinct(token_ngrams(
+        analyzer_expr(F.col(text_col), analyzer), n
+    ))
+    eval_grams = _maybe_broadcast(
+        _widen(eval_df)
+        .select(F.explode(toks).alias("gram"))
+        .distinct()
+        .withColumn("_hit", F.lit(1)),
+        broadcast_eval,
+        BROADCAST_MAX_EVAL_ROWS,
+    )
+    train_grams = _widen(train_df).select(
+        F.col(id_col),
+        F.size(toks).alias("n_grams"),
+        F.explode(toks).alias("gram"),
+    )
+    hits = (
+        train_grams.join(eval_grams, "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_grams").alias("n_grams"),
+            F.count("_hit").alias("n_hit_grams"),
+        )
+    )
+    return hits.select(
+        id_col,
+        "n_grams",
+        "n_hit_grams",
+        (F.col("n_hit_grams") >= F.lit(min_hit_grams)).alias("contaminated"),
+    )
+
+
+def vocab_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "simple",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary: ``(term, tf, df_t, rank, cum_frac)``.
+
+    ``tf`` = total occurrences, ``df_t`` = docs containing, ``rank`` =
+    1-based by (tf desc, term asc) — deterministic tiebreak — and
+    ``cum_frac`` = the Zipf coverage curve: fraction of all corpus tokens
+    covered by terms of rank ≤ this one (the "top-k terms cover x% of
+    text" number a tokenizer budget is sized from).
+
+    ``top_k`` bounds the output AFTER ranking (ranks/cum_frac are still
+    computed against the full vocabulary). The rank window is a single
+    global sort of the VOCAB — |V| rows, not corpus rows; at 100 TB the
+    vocab is millions of terms and this stays a one-partition window by
+    design (documented, bounded)."""
+    toks = analyzer_expr(F.col(text_col), analyzer)
+    exploded = _widen(df).select(
+        F.col(id_col), F.explode(toks).alias("term")
+    )
+    vocab = exploded.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.count_distinct(id_col).cast("long").alias("df_t"),
+    )
+    total = vocab.agg(F.sum("tf")).collect()[0][0] or 1
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
+    ranked = vocab.select(
+        "term",
+        "tf",
+        "df_t",
+        F.row_number().over(w).cast("long").alias("rank"),
+        (F.sum("tf").over(w) / F.lit(float(total))).alias("cum_frac"),
+    )
+    if top_k is not None:
+        ranked = ranked.where(F.col("rank") <= top_k)
+    return ranked
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "simple",
+    freq_df: DataFrame | None = None,
+    broadcast_vocab: bool | None = None,
+) -> DataFrame:
+    """Per-doc unigram-LM negative log-likelihood (perplexity-proxy
+    quality signal): ``(id_col, n_tokens, avg_nll)``.
+
+    ``avg_nll`` = mean over the doc's tokens of ``-ln p(term)``, with
+    ``p`` the corpus unigram distribution (or a foreign ``freq_df`` of
+    ``(term, tf)`` — a reference-corpus LM, the CCNet arrangement).
+    Unusually-high ``avg_nll`` ⇒ rare-token soup (boilerplate, lists,
+    noise); unusually-low ⇒ degenerate repetition. Both tails get cut in
+    a quality filter, which is why the raw number is returned instead of
+    a verdict.
+
+    OOV terms (possible only with a foreign ``freq_df``) take the
+    add-one floor ``p = 1/(total+1)``. Empty docs return ``avg_nll = 0``
+    (no evidence, not infinite surprise)."""
+    toks = analyzer_expr(F.col(text_col), analyzer)
+    exploded = _widen(df).select(
+        F.col(id_col), F.explode_outer(toks).alias("term")
+    )
+    if freq_df is None:
+        freq_df = exploded.where(F.col("term").isNotNull()).groupBy(
+            "term"
+        ).agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    total = freq_df.agg(F.sum("tf")).collect()[0][0] or 1
+    vocab = _maybe_broadcast(
+        freq_df.select(
+            "term",
+            (F.col("tf") / F.lit(float(total))).alias("_p"),
+        ),
+        broadcast_vocab,
+        BROADCAST_MAX_EVAL_ROWS,
+    )
+    floor = 1.0 / (float(total) + 1.0)
+    scored = exploded.join(vocab, "term", "left").select(
+        id_col,
+        F.when(F.col("term").isNull(), None)  # explode_outer pad row
+        .otherwise(-F.log(F.coalesce(F.col("_p"), F.lit(floor))))
+        .alias("_nll"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("_nll").cast("long").alias("n_tokens"),
+        F.coalesce(F.avg("_nll"), F.lit(0.0)).alias("avg_nll"),
+    )

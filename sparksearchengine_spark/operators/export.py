@@ -1,0 +1,85 @@
+"""Deterministic shard export for training-data delivery.
+
+The last stage of a curation pipeline writes the corpus as a fixed set of
+shards a training job can stream (shard = unit of shuffling/checkpointing
+in the data loader). Requirements at 100 TB:
+
+* **Deterministic assignment** — shard(doc) is a pure function of the doc
+  key (md5 bucket, same idiom as ``operators/sampling.py``): re-running
+  the export, or re-running only failed partitions, reproduces byte-stable
+  membership. ``repartition(n, key)``'s hashpartitioning would *also* be
+  deterministic, but opaque to other engines — the md5 bucket is the
+  portable contract (the DuckDB oracle mirrors it exactly).
+* **One shuffle** — a single ``repartition(shard)`` colocates each shard
+  into one task; ``sortWithinPartitions(key)`` makes file contents
+  byte-ordered without a global sort.
+* **Bounded files** — ``maxRecordsPerFile`` caps file size inside a shard
+  (Spark splits automatically); shards stay addressable via the
+  ``shard=N`` partition directory.
+
+``shard_assignments`` is the pure/lazy half (testable, oracle-able);
+``export_shards`` performs the write; ``shard_manifest`` reads the result
+back into the (shard, files, rows) accounting a loader consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.operators.sampling import hash_bucket
+
+
+def shard_assignments(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    num_shards: int = 64,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """df + a deterministic ``shard`` column in [0, num_shards)."""
+    return df.withColumn(
+        shard_col, hash_bucket(F.col(key_col), num_shards)
+    )
+
+
+def export_shards(
+    df: DataFrame,
+    path: str,
+    key_col: str = "doc_id",
+    num_shards: int = 64,
+    max_records_per_file: int | None = None,
+    file_format: str = "parquet",
+) -> None:
+    """Write ``df`` as ``path/shard=N/...`` with deterministic membership
+    and within-file ordering by ``key_col``.
+
+    ``partitionBy`` gives the shard-addressable layout; the explicit
+    ``repartition(num_shards, shard)`` before it keeps the write at one
+    task per shard instead of every task appending to every shard dir
+    (the small-files failure mode of naive partitionBy at scale)."""
+    out = (
+        shard_assignments(df, key_col, num_shards)
+        .repartition(num_shards, F.col("shard"))
+        .sortWithinPartitions(F.col("shard"), F.col(key_col))
+    )
+    writer = out.write.mode("overwrite").partitionBy("shard")
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.format(file_format).save(path)
+
+
+def shard_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """(shard, n_files, n_rows) accounting of an exported layout, from the
+    data itself (partition-discovery column + input_file_name)."""
+    df = spark.read.parquet(path)
+    return (
+        df.select(
+            F.col("shard").cast("long").alias("shard"),
+            F.input_file_name().alias("_f"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count_distinct("_f").cast("long").alias("n_files"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )

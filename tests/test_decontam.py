@@ -1,0 +1,169 @@
+"""Decontamination + vocab/unigram-LM operators (operators/decontam.py).
+
+Hand-computed corpora; join-strategy paths (broadcast vs shuffle-hash)
+asserted result-equal and plan-shape-checked like the search-side tests.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.operators.decontam import (
+    ngram_decontaminate,
+    unigram_logprob,
+    vocab_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def train_eval(spark):
+    # eval doc 100 is "alpha beta gamma delta"; train doc 1 copies a
+    # 3-gram of it verbatim, doc 2 shares nothing, doc 3 is a full copy.
+    train = spark.createDataFrame(
+        [
+            (1, "x alpha beta gamma y"),
+            (2, "totally unrelated words here"),
+            (3, "alpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    return train, ev
+
+
+class TestDecontaminate:
+    def test_hits_and_misses(self, spark, train_eval):
+        train, ev = train_eval
+        rows = {
+            r["doc_id"]: r
+            for r in ngram_decontaminate(train, ev, n=3).collect()
+        }
+        # doc 1 tokens: x alpha beta gamma y -> 3-grams:
+        #   "x alpha beta", "alpha beta gamma", "beta gamma y"
+        # eval 3-grams: "alpha beta gamma", "beta gamma delta"
+        assert rows[1]["n_grams"] == 3
+        assert rows[1]["n_hit_grams"] == 1
+        assert rows[1]["contaminated"] is True
+        assert rows[2]["n_hit_grams"] == 0
+        assert rows[2]["contaminated"] is False
+        assert rows[3]["n_hit_grams"] == 2
+        assert rows[3]["contaminated"] is True
+
+    def test_zero_hit_docs_survive_left_join(self, spark, train_eval):
+        train, ev = train_eval
+        out = ngram_decontaminate(train, ev, n=3)
+        assert out.count() == train.count()
+
+    def test_min_hit_threshold(self, spark, train_eval):
+        train, ev = train_eval
+        rows = {
+            r["doc_id"]: r["contaminated"]
+            for r in ngram_decontaminate(
+                train, ev, n=3, min_hit_grams=2
+            ).collect()
+        }
+        assert rows[1] is False  # one shared gram < threshold
+        assert rows[3] is True
+
+    def test_short_doc_whole_gram(self, spark):
+        # < n tokens: whole doc is the single gram (dedup.token_ngrams
+        # contract) so exact short-doc copies are still caught.
+        train = spark.createDataFrame(
+            [(1, "tiny doc")], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame(
+            [(9, "tiny doc")], "doc_id long, text string"
+        )
+        r = ngram_decontaminate(train, ev, n=8).collect()[0]
+        assert r["n_grams"] == 1 and r["contaminated"] is True
+
+    def test_shuffle_path_equals_broadcast_path(self, spark, train_eval):
+        train, ev = train_eval
+        a = sorted(
+            map(tuple, ngram_decontaminate(
+                train, ev, n=3, broadcast_eval=True
+            ).collect())
+        )
+        b = sorted(
+            map(tuple, ngram_decontaminate(
+                train, ev, n=3, broadcast_eval=False
+            ).collect())
+        )
+        assert a == b
+
+    def test_broadcast_plan_shape(self, spark, train_eval):
+        train, ev = train_eval
+        plan = ngram_decontaminate(
+            train, ev, n=3, broadcast_eval=True
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        noplan = ngram_decontaminate(
+            train, ev, n=3, broadcast_eval=False
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in noplan
+
+
+class TestVocabStats:
+    def test_counts_ranks_coverage(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "a c")], "doc_id long, text string"
+        )
+        rows = {r["term"]: r for r in vocab_stats(df).collect()}
+        # tf: a=3, b=1, c=1 (total 5); df: a=2, b=1, c=1
+        assert rows["a"]["tf"] == 3 and rows["a"]["df_t"] == 2
+        assert rows["a"]["rank"] == 1
+        # tiebreak (tf desc, term asc): b before c
+        assert rows["b"]["rank"] == 2 and rows["c"]["rank"] == 3
+        assert rows["a"]["cum_frac"] == pytest.approx(3 / 5)
+        assert rows["c"]["cum_frac"] == pytest.approx(1.0)
+
+    def test_top_k_bounds_output_not_ranks(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "a c")], "doc_id long, text string"
+        )
+        out = vocab_stats(df, top_k=2).collect()
+        assert {r["term"] for r in out} == {"a", "b"}
+        # cum_frac still computed against the FULL token total
+        assert max(r["cum_frac"] for r in out) < 1.0
+
+
+class TestUnigramLogprob:
+    def test_hand_computed_nll(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b a"), (2, "a c")], "doc_id long, text string"
+        )
+        # p: a=3/5, b=1/5, c=1/5
+        rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+        pa, pb, pc = 3 / 5, 1 / 5, 1 / 5
+        want1 = -(math.log(pa) + math.log(pb) + math.log(pa)) / 3
+        want2 = -(math.log(pa) + math.log(pc)) / 2
+        assert rows[1]["n_tokens"] == 3
+        assert rows[1]["avg_nll"] == pytest.approx(want1)
+        assert rows[2]["avg_nll"] == pytest.approx(want2)
+
+    def test_empty_doc_zero_not_null(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "")], "doc_id long, text string"
+        )
+        rows = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+        assert rows[2]["n_tokens"] == 0
+        assert rows[2]["avg_nll"] == 0.0
+
+    def test_foreign_freq_oov_floor(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a zzz")], "doc_id long, text string"
+        )
+        freq = spark.createDataFrame([("a", 4)], "term string, tf long")
+        r = unigram_logprob(df, freq_df=freq).collect()[0]
+        # p(a)=4/4=1.0, p(zzz)=floor=1/5
+        want = -(math.log(1.0) + math.log(1 / 5)) / 2
+        assert r["avg_nll"] == pytest.approx(want)
+
+    def test_row_count_preserved(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        assert unigram_logprob(docs).count() == docs.count()

@@ -1,0 +1,70 @@
+"""Deterministic shard export (operators/export.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.operators.export import (
+    export_shards,
+    shard_assignments,
+    shard_manifest,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestShardExport:
+    def test_assignment_deterministic_and_partition_invariant(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        a = shard_assignments(docs, num_shards=8).select("doc_id", "shard")
+        b = shard_assignments(
+            docs.repartition(13), num_shards=8
+        ).select("doc_id", "shard")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        shards = {r["shard"] for r in a.select("shard").distinct().collect()}
+        assert shards <= set(range(8)) and len(shards) > 1
+
+    def test_export_roundtrip(self, spark, tmp_path):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = str(tmp_path / "shards")
+        export_shards(docs, out, num_shards=8)
+        back = spark.read.parquet(out)
+        assert back.count() == docs.count()
+        # membership matches the pure assignment function
+        want = {
+            (r["doc_id"], r["shard"])
+            for r in shard_assignments(docs, num_shards=8)
+            .select("doc_id", "shard").collect()
+        }
+        got = {
+            (r["doc_id"], r["shard"])
+            for r in back.select(
+                "doc_id", F.col("shard").cast("long").alias("shard")
+            ).collect()
+        }
+        assert got == want
+
+    def test_one_file_per_shard_without_cap(self, spark, tmp_path):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = str(tmp_path / "shards")
+        export_shards(docs, out, num_shards=4)
+        m = {r["shard"]: r for r in shard_manifest(spark, out).collect()}
+        assert all(r["n_files"] == 1 for r in m.values())
+        assert sum(r["n_rows"] for r in m.values()) == docs.count()
+
+    def test_max_records_splits_files(self, spark, tmp_path):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = str(tmp_path / "shards")
+        export_shards(docs, out, num_shards=2, max_records_per_file=50)
+        m = shard_manifest(spark, out).collect()
+        # 500 rows / 2 shards ≈ 250/shard -> ≥ 5 files each at cap 50
+        assert all(r["n_files"] >= 5 for r in m)
+
+    def test_within_file_sorted_by_key(self, spark, tmp_path):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = str(tmp_path / "shards")
+        export_shards(docs, out, num_shards=4)
+        one = spark.read.parquet(out).where(F.col("shard") == 0)
+        ids = [r["doc_id"] for r in one.select("doc_id").collect()]
+        assert ids == sorted(ids)
