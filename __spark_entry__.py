@@ -561,6 +561,23 @@ def _unigram_quality(spark, sf):
 
 
 EXPORT_SHARDS = 64
+DEDUP_CROSS_SPLIT = 250
+
+
+def _dedup_cross_ngram(spark, sf):
+    """Cross-corpus EXACT near-dup join (new-crawl vs existing-corpus):
+    docs below the split play the crawl, docs above the corpus."""
+    from sparksearchengine_spark.operators.dedup import ngram_jaccard_join_cross
+
+    docs = _read(spark, sf, "documents")
+    out = ngram_jaccard_join_cross(
+        docs.where(F.col("doc_id") < DEDUP_CROSS_SPLIT),
+        docs.where(F.col("doc_id") >= DEDUP_CROSS_SPLIT),
+        n=NGRAM_N, threshold=NGRAM_T,
+    )
+    return out.select(
+        "id_l", "id_r", F.round("jaccard", 6).alias("jaccard")
+    ).orderBy("id_l", "id_r")
 
 
 def _export_shard_assign(spark, sf):
@@ -716,10 +733,26 @@ def _dedup_recall(spark, sf):
         embedding_neardup(emb, threshold=EMB_DUP_T, num_planes=16, bands=8),
         embedding_neardup_exact(emb, threshold=EMB_DUP_T),
     )
+    from sparksearchengine_spark.operators.dedup import (
+        minhash_lsh_join,
+        ngram_jaccard_join_cross,
+    )
+
+    lft = docs.where(F.col("doc_id") < DEDUP_CROSS_SPLIT)
+    rgt = docs.where(F.col("doc_id") >= DEDUP_CROSS_SPLIT)
+    r_x = pair_recall(
+        minhash_lsh_join(lft, rgt, threshold=NGRAM_T, n=NGRAM_N).select(
+            F.col("id_l").alias("id_a"), F.col("id_r").alias("id_b")
+        ),
+        ngram_jaccard_join_cross(
+            lft, rgt, threshold=NGRAM_T, n=NGRAM_N
+        ).select(F.col("id_l").alias("id_a"), F.col("id_r").alias("id_b")),
+    )
     return (
         labeled_recall_ok("minhash_lsh", r_mh, 0.9)
         .unionByName(labeled_recall_ok("simhash", r_sh, 0.999))
         .unionByName(labeled_recall_ok("emb_lsh", r_el, 0.9))
+        .unionByName(labeled_recall_ok("minhash_cross", r_x, 0.9))
     )
 
 
@@ -994,6 +1027,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top": _vocab_top,
         "unigram_quality": _unigram_quality,
         "export_shard_assign": _export_shard_assign,
+        "dedup_cross_ngram": _dedup_cross_ngram,
         "doc_fingerprint": _doc_fingerprint,
         "lang_id": _lang_id,
         "events_asof": _events_asof,
@@ -1284,7 +1318,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d LEFT JOIN canon c ON c.id = d.doc_id""",
         "dedup_recall": """
             SELECT * FROM (VALUES
-              ('minhash_lsh', true), ('simhash', true), ('emb_lsh', true)
+              ('minhash_lsh', true), ('simhash', true), ('emb_lsh', true),
+              ('minhash_cross', true)
             ) AS t(op, recall_ok)""",
         "ann_recall": """
             SELECT * FROM (VALUES
@@ -1600,6 +1635,40 @@ def oracle_sql() -> dict[str, str]:
                              < 0.2 * 10000
                         THEN 'test' ELSE 'train' END AS split
             FROM documents ORDER BY doc_id""",
+        # cross-corpus exact near-dup join (operators/dedup.py)
+        "dedup_cross_ngram": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - {NGRAM_N - 1}, 1) + 1),
+                       i -> array_to_string(toks[i:i+{NGRAM_N - 1}], ' ')))
+                       AS grams
+              FROM t
+            ),
+            e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            sz AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS id_l, b.doc_id AS id_r, count(*) AS i
+              FROM e a JOIN e b ON a.gram = b.gram
+              WHERE a.doc_id < {DEDUP_CROSS_SPLIT}
+                AND b.doc_id >= {DEDUP_CROSS_SPLIT}
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_l, id_r,
+                   round(CAST(i AS DOUBLE)
+                         / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+            FROM inter
+            JOIN sz sa ON sa.doc_id = id_l
+            JOIN sz sb ON sb.doc_id = id_r
+            WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE)
+                  >= {NGRAM_T}
+            ORDER BY id_l, id_r""",
         # deterministic shard export (operators/export.py)
         "export_shard_assign": f"""
             SELECT doc_id,

@@ -82,10 +82,17 @@ def ngram_decontaminate(
         broadcast_eval,
         BROADCAST_MAX_EVAL_ROWS,
     )
-    train_grams = _widen(train_df).select(
-        F.col(id_col),
-        F.size(toks).alias("n_grams"),
-        F.explode(toks).alias("gram"),
+    # materialize the gram array as a column first: size() and explode()
+    # then reference ONE evaluation of the tokenize+gram expression
+    # instead of recomputing it per consumer (the a8963e3 lesson)
+    train_grams = (
+        _widen(train_df)
+        .select(F.col(id_col), toks.alias("_grams"))
+        .select(
+            id_col,
+            F.size("_grams").alias("n_grams"),
+            F.explode("_grams").alias("gram"),
+        )
     )
     hits = (
         train_grams.join(eval_grams, "gram", "left")

@@ -160,7 +160,8 @@ def _gram_arrays(
 
 
 def _verify_jaccard(
-    cand: DataFrame, gram_arrays: DataFrame, threshold: float
+    cand: DataFrame, gram_arrays: DataFrame, threshold: float,
+    gram_arrays_b: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs.
 
@@ -168,11 +169,14 @@ def _verify_jaccard(
     ``array_intersect`` after two keyed joins — candidates never explode
     back to per-gram rows (the naive verify joins |cand| x |grams/doc|
     rows; this joins |cand| rows, ~grams/doc cheaper at any scale).
+
+    ``gram_arrays_b``: for cross-corpus joins, the id_b side's gram table
+    (defaults to the self-join case where both sides share one table).
     """
     a = gram_arrays.select(
         F.col("id").alias("id_a"), F.col("gs").alias("gs_a")
     )
-    b = gram_arrays.select(
+    b = (gram_arrays_b if gram_arrays_b is not None else gram_arrays).select(
         F.col("id").alias("id_b"), F.col("gs").alias("gs_b")
     )
     inter = F.size(F.array_intersect("gs_a", "gs_b"))
@@ -185,6 +189,135 @@ def _verify_jaccard(
         )
         .where(F.col("jaccard") >= float(threshold))
         .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_join_cross(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """EXACT cross-corpus n-gram-Jaccard join: pairs (id_l, id_r, jaccard
+    ≥ threshold), one row per (left doc, right doc) match — the
+    incremental-ingestion dedup: is anything in the new crawl (``left``)
+    a near-copy of the existing corpus (``right``)?
+
+    Same prefix-filter shape as the self-join, with one extra care: the
+    rarity order the prefixes are cut from must be ONE total order both
+    sides agree on, so gram frequencies are counted over the UNION of the
+    two corpora (a gram rare on one side but common on the other is
+    common, full stop). Ids live in separate namespaces — no ``id_a <
+    id_b`` constraint, and a doc appearing in both corpora matches
+    itself, which is exactly the answer the ingestion question wants.
+    """
+    gl = _gram_arrays(_widen(left), id_col, text_col, n, analyzer).persist()
+    gr = _gram_arrays(_widen(right), id_col, text_col, n, analyzer).persist()
+    grams_l = gl.select("id", F.explode("gs").alias("gram"))
+    grams_r = gr.select("id", F.explode("gs").alias("gram"))
+
+    freq = (
+        grams_l.union(grams_r)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+    def _prefixes(grams: DataFrame, ga: DataFrame) -> DataFrame:
+        sizes = ga.select("id", F.size("gs").alias("sz"))
+        return (
+            grams.join(freq, "gram")
+            .withColumn(
+                "r",
+                F.row_number().over(
+                    Window.partitionBy("id").orderBy("freq", "gram")
+                ),
+            )
+            .join(sizes, "id")
+            .withColumn(
+                "prefix_len",
+                F.col("sz")
+                - F.ceil(F.lit(float(threshold)) * F.col("sz")).cast("int")
+                + F.lit(1),
+            )
+            .where(F.col("r") <= F.col("prefix_len"))
+            .select("id", "gram")
+        )
+
+    a = _prefixes(grams_l, gl).alias("a")
+    b = _prefixes(grams_r, gr).alias("b")
+    cand = (
+        a.join(b, F.col("a.gram") == F.col("b.gram"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    out = _verify_jaccard(cand, gl, threshold, gram_arrays_b=gr)
+    return out.select(
+        F.col("id_a").alias("id_l"), F.col("id_b").alias("id_r"), "jaccard"
+    )
+
+
+def minhash_lsh_join(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """Approximate cross-corpus near-dup join — the 100 TB scale path for
+    ``ngram_jaccard_join_cross``: MinHash signatures on both sides (SAME
+    deterministic hash family, so signatures are comparable), banded LSH
+    across corpora, candidates verified with the true Jaccard. Output
+    (id_l, id_r, jaccard), exact above threshold among LSH candidates
+    (false negatives only from banding recall, measured by the recall
+    harness)."""
+    gl = _gram_arrays(_widen(left), id_col, text_col, n, analyzer).persist()
+    gr = _gram_arrays(_widen(right), id_col, text_col, n, analyzer).persist()
+    r = num_hashes // bands
+
+    def _banded(ga: DataFrame) -> DataFrame:
+        sigs = _signatures_from_grams(ga, num_hashes)
+        band_cols = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws(
+                            ",",
+                            *[
+                                F.col("sig")[i * r + j].cast("string")
+                                for j in range(r)
+                            ],
+                        ).alias("bh"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bd")
+        return sigs.select("id", band_cols).select(
+            "id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
+        )
+
+    a = _banded(gl).alias("a")
+    b = _banded(gr).alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    out = _verify_jaccard(cand, gl, threshold, gram_arrays_b=gr)
+    return out.select(
+        F.col("id_a").alias("id_l"), F.col("id_b").alias("id_r"), "jaccard"
     )
 
 

@@ -208,3 +208,98 @@ class TestDeterministicSampling:
         s = stratified_sample(docs_df, "lang", {"en": 1.0}, key_col="doc_id")
         assert s.where("lang <> 'en'").count() == 0
         assert s.count() == docs_df.where("lang = 'en'").count()
+
+
+class TestCrossCorpusJoin:
+    """Cross-corpus (A vs B) near-dup joins: exact prefix-filtered and
+    MinHash-LSH variants agree with the brute-force answer."""
+
+    @staticmethod
+    def _brute(spark, left_rows, right_rows, n, t):
+        import itertools
+
+        def grams(text):
+            toks = [x for x in __import__("re").split(
+                r"[^a-z0-9]+", text.lower()) if x]
+            if len(toks) < n:
+                return {" ".join(toks)}
+            return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+        out = set()
+        for (il, tl), (ir, tr) in itertools.product(left_rows, right_rows):
+            gl, gr = grams(tl), grams(tr)
+            j = len(gl & gr) / len(gl | gr)
+            if j >= t:
+                out.add((il, ir))
+        return out
+
+    @pytest.fixture(scope="class")
+    def two_corpora(self, spark):
+        left = [
+            (1, "spark makes big data small again every day"),
+            (2, "a totally unique left document about nothing"),
+            (3, "the quick brown fox jumps over the lazy dog"),
+        ]
+        right = [
+            (1, "spark makes big data small again every day"),  # = left 1
+            (20, "the quick brown fox jumps over the lazy dog today"),
+            (30, "completely different right side content here"),
+        ]
+        ldf = spark.createDataFrame(left, "doc_id long, text string")
+        rdf = spark.createDataFrame(right, "doc_id long, text string")
+        return left, right, ldf, rdf
+
+    def test_exact_cross_matches_brute_force(self, spark, two_corpora):
+        from sparksearchengine_spark.operators.dedup import (
+            ngram_jaccard_join_cross,
+        )
+
+        left, right, ldf, rdf = two_corpora
+        got = {
+            (r["id_l"], r["id_r"])
+            for r in ngram_jaccard_join_cross(
+                ldf, rdf, n=3, threshold=0.6
+            ).collect()
+        }
+        want = self._brute(spark, left, right, 3, 0.6)
+        assert got == want and (1, 1) in got
+
+    def test_lsh_cross_subset_of_exact_and_full_recall_here(
+        self, spark, two_corpora
+    ):
+        from sparksearchengine_spark.operators.dedup import (
+            minhash_lsh_join, ngram_jaccard_join_cross,
+        )
+
+        left, right, ldf, rdf = two_corpora
+        exact = {
+            (r["id_l"], r["id_r"], round(r["jaccard"], 9))
+            for r in ngram_jaccard_join_cross(
+                ldf, rdf, n=3, threshold=0.6
+            ).collect()
+        }
+        lsh = {
+            (r["id_l"], r["id_r"], round(r["jaccard"], 9))
+            for r in minhash_lsh_join(
+                ldf, rdf, n=3, threshold=0.6
+            ).collect()
+        }
+        assert lsh <= exact
+        assert lsh == exact  # identical copies: every band collides
+
+    def test_no_id_order_constraint_across_namespaces(self, spark):
+        # id_l > id_r must still match: ids are separate namespaces
+        from sparksearchengine_spark.operators.dedup import (
+            ngram_jaccard_join_cross,
+        )
+
+        ldf = spark.createDataFrame(
+            [(99, "same exact text in both corpora")],
+            "doc_id long, text string",
+        )
+        rdf = spark.createDataFrame(
+            [(1, "same exact text in both corpora")],
+            "doc_id long, text string",
+        )
+        got = ngram_jaccard_join_cross(ldf, rdf, n=3, threshold=0.9).collect()
+        assert [(r["id_l"], r["id_r"]) for r in got] == [(99, 1)]
