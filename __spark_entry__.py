@@ -562,6 +562,18 @@ def _unigram_quality(spark, sf):
 
 EXPORT_SHARDS = 64
 DEDUP_CROSS_SPLIT = 250
+CHUNK_MAX, CHUNK_OVERLAP = 32, 8
+
+
+def _chunk_docs(spark, sf):
+    """Token-window passage splitting with overlap: scan-stage generate,
+    full (doc_id, chunk_id) lineage."""
+    from sparksearchengine_spark.operators.chunking import chunk_documents
+
+    docs = _read(spark, sf, "documents")
+    return chunk_documents(
+        docs, max_tokens=CHUNK_MAX, overlap=CHUNK_OVERLAP
+    ).orderBy("doc_id", "chunk_id")
 
 
 def _dedup_cross_ngram(spark, sf):
@@ -1028,6 +1040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_quality": _unigram_quality,
         "export_shard_assign": _export_shard_assign,
         "dedup_cross_ngram": _dedup_cross_ngram,
+        "chunk_docs": _chunk_docs,
         "doc_fingerprint": _doc_fingerprint,
         "lang_id": _lang_id,
         "events_asof": _events_asof,
@@ -1635,6 +1648,35 @@ def oracle_sql() -> dict[str, str]:
                              < 0.2 * 10000
                         THEN 'test' ELSE 'train' END AS split
             FROM documents ORDER BY doc_id""",
+        # token-window chunking (operators/chunking.py); DuckDB slices are
+        # end-inclusive, Spark's are length-based — ranges below align
+        "chunk_docs": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            nz AS (SELECT * FROM t WHERE len(toks) > 0),
+            c AS (
+              SELECT doc_id, toks,
+                     unnest(range(0,
+                       1 + CAST(ceil(greatest(len(toks) - {CHUNK_MAX}, 0)
+                                     / {CHUNK_MAX - CHUNK_OVERLAP}.0)
+                                AS INT))) AS chunk_id
+              FROM nz
+            )
+            SELECT doc_id,
+                   CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(len(toks[chunk_id*{CHUNK_MAX - CHUNK_OVERLAP}+1 :
+                              chunk_id*{CHUNK_MAX - CHUNK_OVERLAP}+{CHUNK_MAX}])
+                        AS BIGINT) AS n_tokens,
+                   array_to_string(
+                     toks[chunk_id*{CHUNK_MAX - CHUNK_OVERLAP}+1 :
+                          chunk_id*{CHUNK_MAX - CHUNK_OVERLAP}+{CHUNK_MAX}],
+                     ' ') AS chunk_text
+            FROM c ORDER BY doc_id, chunk_id""",
         # cross-corpus exact near-dup join (operators/dedup.py)
         "dedup_cross_ngram": f"""
             WITH t AS (

@@ -1,0 +1,68 @@
+"""Document chunking: token-window passage splitting with overlap.
+
+Training pipelines rarely feed whole documents; they feed fixed-budget
+passages (context-window packing, retrieval corpora, embedding inputs).
+This operator splits each doc's analyzer token stream into windows of
+``max_tokens`` advancing by ``max_tokens - overlap``, keeping full
+lineage (doc_id, chunk_id) so dedup/decontam verdicts made at doc level
+propagate to chunks by join.
+
+Scale shape: one ``posexplode`` over a per-row computed array — a pure
+scan-stage generate, zero shuffles, linear output size. The chunk count
+formula is closed-form (no loop): a doc of L tokens yields
+``1 + ceil(max(L - max_tokens, 0) / stride)`` chunks, so the LAST chunk
+is the only one shorter than ``max_tokens`` and no trailing chunk is a
+strict subrange of its predecessor.
+
+``chunk_text`` is the space-join of analyzer tokens — normalized text
+(lowercased, punctuation folded), NOT a substring of the original; the
+contract is token-budget fidelity, not byte fidelity, and it keeps the
+operator engine-portable (the DuckDB oracle reproduces it exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.functions.analyzers import analyzer_expr
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_tokens: int = 128,
+    overlap: int = 0,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """(id_col, chunk_id, n_tokens, chunk_text) — one row per chunk,
+    chunk_id 0-based in document order. Empty/null docs yield no rows."""
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"need 0 <= overlap < max_tokens, got {overlap}/{max_tokens}"
+        )
+    stride = max_tokens - overlap
+    toks = analyzer_expr(F.col(text_col), analyzer)
+    with_toks = df.select(F.col(id_col), toks.alias("_toks")).where(
+        F.size("_toks") > 0
+    )
+    n_chunks = F.lit(1) + F.ceil(
+        F.greatest(F.size("_toks") - max_tokens, F.lit(0))
+        / F.lit(float(stride))
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("_toks"), i * stride + 1, max_tokens),
+    )
+    return (
+        with_toks.select(
+            id_col, F.posexplode(chunks).alias("chunk_id", "_ctoks")
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size("_ctoks").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "_ctoks").alias("chunk_text"),
+        )
+    )

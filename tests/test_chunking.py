@@ -1,0 +1,81 @@
+"""Token-window chunking (operators/chunking.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.operators.chunking import chunk_documents
+
+
+def _mk(spark, *texts):
+    return spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(texts)],
+        "doc_id long, text string",
+    )
+
+
+class TestChunking:
+    def test_no_overlap_windows(self, spark):
+        df = _mk(spark, "a b c d e f g")
+        rows = sorted(
+            chunk_documents(df, max_tokens=3).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert [r["chunk_text"] for r in rows] == ["a b c", "d e f", "g"]
+        assert [r["n_tokens"] for r in rows] == [3, 3, 1]
+        assert [r["chunk_id"] for r in rows] == [0, 1, 2]
+
+    def test_overlap_windows(self, spark):
+        # stride 2: starts at tokens 1,3,5 -> abc* windows of 4
+        df = _mk(spark, "a b c d e f g")
+        rows = sorted(
+            chunk_documents(df, max_tokens=4, overlap=2).collect(),
+            key=lambda r: r["chunk_id"],
+        )
+        assert [r["chunk_text"] for r in rows] == [
+            "a b c d", "c d e f", "e f g"
+        ]
+
+    def test_exact_fit_single_chunk(self, spark):
+        df = _mk(spark, "a b c")
+        rows = chunk_documents(df, max_tokens=3).collect()
+        assert len(rows) == 1 and rows[0]["chunk_text"] == "a b c"
+
+    def test_no_redundant_trailing_chunk(self, spark):
+        # 10 tokens, max 8, overlap 4 (stride 4): chunks at 1 and 5 only —
+        # a third chunk at 9 would be a subrange of chunk 1..10
+        df = _mk(spark, " ".join("t%d" % i for i in range(10)))
+        rows = chunk_documents(df, max_tokens=8, overlap=4).collect()
+        assert len(rows) == 2
+        assert sorted(r["n_tokens"] for r in rows) == [6, 8]
+
+    def test_empty_and_null_docs_yield_no_rows(self, spark):
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "x y")], "doc_id long, text string"
+        )
+        rows = chunk_documents(df, max_tokens=10).collect()
+        assert [r["doc_id"] for r in rows] == [3]
+
+    def test_bad_overlap_rejected(self, spark):
+        df = _mk(spark, "a")
+        with pytest.raises(ValueError):
+            chunk_documents(df, max_tokens=4, overlap=4)
+
+    def test_lineage_rejoins_to_docs(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        ch = chunk_documents(docs, max_tokens=32, overlap=8)
+        # every chunk joins back to its doc; token coverage >= doc tokens
+        j = ch.groupBy("doc_id").agg(F.sum("n_tokens").alias("s"))
+        from sparksearchengine_spark.functions.analyzers import analyzer_expr
+
+        dl = docs.select(
+            "doc_id", F.size(analyzer_expr(F.col("text"), "simple")).alias("L")
+        )
+        bad = j.join(dl, "doc_id").where(F.col("s") < F.col("L")).count()
+        assert bad == 0
+
+    def test_scan_stage_no_shuffle(self, spark):
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
