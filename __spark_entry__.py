@@ -563,6 +563,22 @@ def _unigram_quality(spark, sf):
 EXPORT_SHARDS = 64
 DEDUP_CROSS_SPLIT = 250
 CHUNK_MAX, CHUNK_OVERLAP = 32, 8
+CURATE_MIN_T, CURATE_MAX_T = 20, 70
+
+
+def _curation_report(spark, sf):
+    """End-to-end curation accounting: quality gate + exact dedup +
+    benchmark decontamination composed in ONE plan (operators/pipeline.py),
+    aggregated to a one-row report."""
+    from sparksearchengine_spark.operators.pipeline import curation_report
+
+    docs = _read(spark, sf, "documents")
+    return curation_report(
+        docs.where(F.col("doc_id") < DECONTAM_EVAL_LO),
+        docs.where(F.col("doc_id") >= DECONTAM_EVAL_LO),
+        min_tokens=CURATE_MIN_T, max_tokens=CURATE_MAX_T,
+        ngram_n=DECONTAM_N,
+    )
 
 
 def _chunk_docs(spark, sf):
@@ -1041,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_shard_assign": _export_shard_assign,
         "dedup_cross_ngram": _dedup_cross_ngram,
         "chunk_docs": _chunk_docs,
+        "curation_report": _curation_report,
         "doc_fingerprint": _doc_fingerprint,
         "lang_id": _lang_id,
         "events_asof": _events_asof,
@@ -1648,6 +1665,65 @@ def oracle_sql() -> dict[str, str]:
                              < 0.2 * 10000
                         THEN 'test' ELSE 'train' END AS split
             FROM documents ORDER BY doc_id""",
+        # composed curation pipeline report (operators/pipeline.py);
+        # train = docs < split, eval = docs >= split, gates mirror
+        # curation_flags exactly
+        "curation_report": f"""
+            WITH d AS (SELECT * FROM documents
+                       WHERE doc_id < {DECONTAM_EVAL_LO}),
+            t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM d
+            ),
+            q AS (SELECT doc_id,
+                         len(toks) BETWEEN {CURATE_MIN_T} AND {CURATE_MAX_T}
+                           AS quality_ok
+                  FROM t),
+            c AS (SELECT doc_id,
+                         doc_id <> min(doc_id) OVER (PARTITION BY md5(text))
+                           AS is_dup
+                  FROM d),
+            ta AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - {DECONTAM_N - 1}, 1) + 1),
+                       i -> array_to_string(toks[i:i+{DECONTAM_N - 1}], ' ')))
+                       AS grams
+              FROM ta
+            ),
+            ev AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+                   WHERE doc_id >= {DECONTAM_EVAL_LO}),
+            tr AS (SELECT doc_id, unnest(grams) AS gram FROM g
+                   WHERE doc_id < {DECONTAM_EVAL_LO}),
+            hit AS (SELECT DISTINCT tr.doc_id FROM tr
+                    JOIN ev USING (gram)),
+            f AS (
+              SELECT q.doc_id, q.quality_ok, c.is_dup,
+                     hit.doc_id IS NOT NULL AS contam
+              FROM q JOIN c USING (doc_id)
+              LEFT JOIN hit USING (doc_id)
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN NOT quality_ok THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_quality_fail,
+                   CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_exact_dup,
+                   CAST(sum(CASE WHEN contam THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_contaminated,
+                   CAST(sum(CASE WHEN quality_ok AND NOT is_dup
+                                      AND NOT contam THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_kept
+            FROM f""",
         # token-window chunking (operators/chunking.py); DuckDB slices are
         # end-inclusive, Spark's are length-based — ranges below align
         "chunk_docs": f"""

@@ -1,0 +1,98 @@
+"""Curation pipeline composition: flags → filter → report.
+
+The end-to-end shape a corpus actually goes through before training:
+quality gate → exact dedup → benchmark decontamination → split. Rather
+than running each stage as its own filter pass (N scans, N intermediate
+writes), ``curation_flags`` LEFT-JOINS every stage's verdict onto the
+corpus as boolean columns in ONE composed plan; downstream you either
+``where(keep)`` (the clean corpus, with lineage for free) or aggregate
+the flags (the report). Catalyst sees the whole thing and shares the
+scan; nothing is materialized per stage.
+
+Flag semantics:
+* ``quality_ok``     — token count within [min_tokens, max_tokens]
+* ``is_exact_dup``   — identical-content row whose id ≠ the group min
+                       (the canonical representative stays)
+* ``contaminated``   — shares ≥ min_hit_grams token n-grams with the
+                       eval/benchmark corpus (skipped if eval_df is None)
+* ``keep``           — quality_ok ∧ ¬is_exact_dup ∧ ¬contaminated
+
+At 100 TB: the dedup verdict is one hash-window shuffle, decontam is one
+gram join against a broadcast eval set, the quality gate is scan-stage —
+the composed plan has no stage-multiplied scans of the raw text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.operators.decontam import ngram_decontaminate
+from sparksearchengine_spark.operators.dedup import exact_dedup
+from sparksearchengine_spark.operators.textstats import token_count_expr
+
+
+def curation_flags(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 1,
+    max_tokens: int = 1_000_000,
+    ngram_n: int = 8,
+    min_hit_grams: int = 1,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """docs + (n_tokens, quality_ok, canon_id, is_exact_dup,
+    contaminated, keep)."""
+    out = docs.withColumn(
+        "n_tokens", token_count_expr(F.col(text_col), analyzer).cast("long")
+    ).withColumn(
+        "quality_ok",
+        F.col("n_tokens").between(min_tokens, max_tokens),
+    )
+    dd = exact_dedup(docs, [text_col], id_col=id_col)
+    out = out.join(
+        dd.select(id_col, "canon_id", F.col("is_duplicate").alias("is_exact_dup")),
+        id_col,
+    )
+    if eval_df is not None:
+        dc = ngram_decontaminate(
+            docs, eval_df, n=ngram_n, text_col=text_col, id_col=id_col,
+            analyzer=analyzer, min_hit_grams=min_hit_grams,
+        )
+        out = out.join(dc.select(id_col, "contaminated"), id_col)
+    else:
+        out = out.withColumn("contaminated", F.lit(False))
+    return out.withColumn(
+        "keep",
+        F.col("quality_ok") & ~F.col("is_exact_dup") & ~F.col("contaminated"),
+    )
+
+
+def curate(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    **kwargs,
+) -> DataFrame:
+    """The clean corpus: original columns of rows passing every gate."""
+    flags = curation_flags(docs, eval_df, **kwargs)
+    return flags.where(F.col("keep")).select(*docs.columns)
+
+
+def curation_report(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    **kwargs,
+) -> DataFrame:
+    """One-row accounting over the flags: how many docs each gate cut and
+    what survived. Gates overlap (a doc can fail several), so the fail
+    counts need not sum to n_docs - n_kept."""
+    flags = curation_flags(docs, eval_df, **kwargs)
+    return flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((~F.col("quality_ok")).cast("long")).alias("n_quality_fail"),
+        F.sum(F.col("is_exact_dup").cast("long")).alias("n_exact_dup"),
+        F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+        F.sum(F.col("keep").cast("long")).alias("n_kept"),
+    )

@@ -1,0 +1,77 @@
+"""Curation pipeline composition (operators/pipeline.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.operators.pipeline import (
+    curate,
+    curation_flags,
+    curation_report,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),  # clean
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "tiny"),                                         # too short
+        (4, "leaked eval passage word for word exactly"),    # contaminated
+        (5, "another perfectly ordinary document here"),     # clean
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(90, "leaked eval passage word for word exactly")],
+        "doc_id long, text string",
+    )
+    return docs, ev
+
+
+class TestCurationFlags:
+    def test_each_gate_fires(self, spark, corpus):
+        docs, ev = corpus
+        flags = {
+            r["doc_id"]: r
+            for r in curation_flags(
+                docs, ev, min_tokens=2, ngram_n=3
+            ).collect()
+        }
+        assert flags[1]["keep"] is True
+        assert flags[2]["is_exact_dup"] is True and flags[2]["keep"] is False
+        assert flags[2]["canon_id"] == 1
+        assert flags[3]["quality_ok"] is False and flags[3]["keep"] is False
+        assert flags[4]["contaminated"] is True and flags[4]["keep"] is False
+        assert flags[5]["keep"] is True
+
+    def test_no_eval_set_skips_decontam(self, spark, corpus):
+        docs, _ = corpus
+        flags = {
+            r["doc_id"]: r
+            for r in curation_flags(docs, None, min_tokens=2).collect()
+        }
+        assert flags[4]["contaminated"] is False and flags[4]["keep"] is True
+
+    def test_curate_returns_original_schema(self, spark, corpus):
+        docs, ev = corpus
+        clean = curate(docs, ev, min_tokens=2, ngram_n=3)
+        assert clean.columns == docs.columns
+        assert {r["doc_id"] for r in clean.collect()} == {1, 5}
+
+    def test_report_accounting(self, spark, corpus):
+        docs, ev = corpus
+        r = curation_report(docs, ev, min_tokens=2, ngram_n=3).collect()[0]
+        assert r["n_docs"] == 5
+        assert r["n_quality_fail"] == 1
+        assert r["n_exact_dup"] == 1
+        assert r["n_contaminated"] == 1
+        assert r["n_kept"] == 2
+
+    def test_single_composed_plan_one_text_scan_family(self, spark, corpus):
+        # the composed plan must not materialize per stage: no
+        # InMemoryTableScan / no more than the dedup+decontam exchanges
+        docs, ev = corpus
+        plan = curation_flags(docs, ev, ngram_n=3)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "InMemoryTableScan" not in plan
