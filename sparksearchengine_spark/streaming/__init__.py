@@ -2,6 +2,7 @@
 
 from sparksearchengine_spark.streaming.stream import (
     compact_incremental_index,
+    dedup_stream,
     incremental_index,
     load_incremental_index,
     read_document_stream,
@@ -13,6 +14,7 @@ from sparksearchengine_spark.streaming.stream import (
 
 __all__ = [
     "compact_incremental_index",
+    "dedup_stream",
     "incremental_index",
     "load_incremental_index",
     "read_document_stream",

@@ -169,6 +169,44 @@ def incremental_index(
     return writer.start()
 
 
+def dedup_stream(
+    docs_stream: DataFrame,
+    content_cols: list[str] | None = None,
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose content hash has been seen
+    before, keeping the first arrival.
+
+    The state the engine must remember is ONE 128-bit hash per distinct
+    document — never the text. With ``ts_col`` given, the hash is only
+    remembered for ``watermark`` of event time
+    (``dropDuplicatesWithinWatermark``): bounded state, the 100 TB/day
+    shape, with the documented contract that a re-crawl arriving after
+    the watermark is NOT dropped (dedup the at-rest corpus with
+    ``operators/dedup.py`` for the global guarantee). Without ``ts_col``
+    it falls back to plain ``dropDuplicates`` — exact forever, but state
+    grows with the distinct-doc count; only for bounded backfills.
+    """
+    content_cols = content_cols or ["text"]
+    h = F.md5(
+        F.concat_ws(
+            "\x1f",
+            *[
+                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                for c in content_cols
+            ],
+        )
+    )
+    hashed = docs_stream.withColumn("_content_hash", h)
+    if ts_col is not None:
+        out = hashed.withWatermark(ts_col, watermark)
+        out = out.dropDuplicatesWithinWatermark(["_content_hash"])
+    else:
+        out = hashed.dropDuplicates(["_content_hash"])
+    return out.drop("_content_hash")
+
+
 def running_user_stats(
     events: DataFrame,
     key_col: str = "user_id",

@@ -262,3 +262,64 @@ class TestSessionization:
             per_user.setdefault(r["user_id"], []).append(r["n_events"])
         assert sorted(per_user[1]) == [1, 2]
         assert per_user[2] == [1]
+
+
+class TestStreamDedup:
+    """dedup_stream: exact-dup rows dropped across micro-batches with
+    hash-only state."""
+
+    def _run(self, spark, tmp_path, in_dir, **kwargs):
+        from sparksearchengine_spark.streaming import dedup_stream
+
+        src = (
+            spark.readStream.format("parquet")
+            .schema("doc_id bigint, text string, ts timestamp")
+            .load(in_dir)
+        )
+        out_dir = str(tmp_path / "dedup_out")
+        q = (
+            dedup_stream(src, **kwargs)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", str(tmp_path / "dedup_cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out_dir)
+
+    def test_duplicates_dropped_within_watermark(self, spark, tmp_path):
+        d = str(tmp_path / "in")
+        rows = [
+            (1, "same text", "2024-01-01 10:00:00"),
+            (2, "same text", "2024-01-01 10:05:00"),  # dup, inside window
+            (3, "other text", "2024-01-01 10:10:00"),
+        ]
+        spark.createDataFrame(
+            rows, "doc_id long, text string, ts string"
+        ).select("doc_id", "text", F.col("ts").cast("timestamp").alias("ts")
+        ).write.mode("append").parquet(d)
+        out = self._run(
+            spark, tmp_path, d, ts_col="ts", watermark="1 hour"
+        )
+        texts = sorted(r["text"] for r in out.collect())
+        assert texts == ["other text", "same text"]
+        assert set(out.columns) == {"doc_id", "text", "ts"}
+
+    def test_unbounded_fallback_without_ts(self, spark, tmp_path):
+        d = str(tmp_path / "in2")
+        spark.createDataFrame(
+            [(1, "x y", None), (2, "x y", None), (3, "z", None)],
+            "doc_id long, text string, ts timestamp",
+        ).write.mode("append").parquet(d)
+        out = self._run(spark, tmp_path, d)
+        assert out.count() == 2
+
+    def test_null_text_rows_group_together(self, spark, tmp_path):
+        d = str(tmp_path / "in3")
+        spark.createDataFrame(
+            [(1, None, None), (2, None, None)],
+            "doc_id long, text string, ts timestamp",
+        ).write.mode("append").parquet(d)
+        out = self._run(spark, tmp_path, d)
+        assert out.count() == 1
