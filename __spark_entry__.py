@@ -564,6 +564,32 @@ EXPORT_SHARDS = 64
 DEDUP_CROSS_SPLIT = 250
 CHUNK_MAX, CHUNK_OVERLAP = 32, 8
 CURATE_MIN_T, CURATE_MAX_T = 20, 70
+COLL_MIN, COLL_K = 5, 50
+KEYWORDS_K = 5
+
+
+def _collocations(spark, sf):
+    """Adjacent-bigram collocations by PMI over the corpus (tokenizer
+    vocabulary curation / phrase-mining signal)."""
+    from sparksearchengine_spark.operators.decontam import collocations
+
+    docs = _read(spark, sf, "documents")
+    c = collocations(docs, min_count=COLL_MIN, top_k=COLL_K)
+    return c.select(
+        "term_a", "term_b", "n_ab", F.round("pmi", 6).alias("pmi")
+    ).orderBy("term_a", "term_b")
+
+
+def _doc_keywords(spark, sf):
+    """Per-doc top-k keywords by tf-idf straight off the postings table
+    (WindowGroupLimit, no re-tokenization)."""
+    from sparksearchengine_spark.operators.stats import doc_keywords
+
+    idx = _docs_index(spark, sf)
+    res = doc_keywords(idx, "text", k=KEYWORDS_K)
+    return res.select(
+        "doc_id", "term", F.round("tfidf", 6).alias("tfidf"), "rank"
+    ).orderBy("doc_id", "rank")
 
 
 def _curation_report(spark, sf):
@@ -1058,6 +1084,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_ngram": _dedup_cross_ngram,
         "chunk_docs": _chunk_docs,
         "curation_report": _curation_report,
+        "collocations_pmi": _collocations,
+        "doc_keywords": _doc_keywords,
         "doc_fingerprint": _doc_fingerprint,
         "lang_id": _lang_id,
         "events_asof": _events_asof,
@@ -1665,6 +1693,74 @@ def oracle_sql() -> dict[str, str]:
                              < 0.2 * 10000
                         THEN 'test' ELSE 'train' END AS split
             FROM documents ORDER BY doc_id""",
+        # per-doc tf-idf keywords off the postings table (operators/stats.py)
+        "doc_keywords": _CTE + f"""
+            , idf AS (
+              SELECT term,
+                     ln(1.0 + (CAST((SELECT n FROM fieldstats) AS DOUBLE)
+                               - df + 0.5) / (df + 0.5)) AS idf
+              FROM termstats
+            ),
+            scored AS (
+              SELECT p.doc_id, p.term,
+                     CAST(p.tf AS DOUBLE) * i.idf AS tfidf
+              FROM postings p JOIN idf i USING (term)
+            ),
+            ranked AS (
+              SELECT doc_id, term, tfidf,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                                             ORDER BY tfidf DESC, term)
+                          AS BIGINT) AS rank
+              FROM scored
+            )
+            SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank
+            FROM ranked WHERE rank <= {KEYWORDS_K}
+            ORDER BY doc_id, rank""",
+        # adjacent-bigram PMI collocations (operators/decontam.py)
+        "collocations_pmi": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            bgp AS (
+              SELECT unnest(list_transform(
+                       range(1, len(toks)),
+                       i -> toks[i] || ' ' || toks[i+1])) AS pair
+              FROM t
+            ),
+            bg AS (
+              SELECT split_part(pair, ' ', 1) AS term_a,
+                     split_part(pair, ' ', 2) AS term_b,
+                     CAST(count(*) AS BIGINT) AS n_ab
+              FROM bgp GROUP BY 1, 2
+            ),
+            u AS (
+              SELECT term, count(*) AS n_t
+              FROM (SELECT unnest(toks) AS term FROM t) GROUP BY term
+            ),
+            nn AS (SELECT CAST(sum(n_t) AS DOUBLE) AS n FROM u),
+            mm AS (SELECT CAST(sum(n_ab) AS DOUBLE) AS m FROM bg),
+            scored AS (
+              SELECT b.term_a, b.term_b, b.n_ab,
+                     ln((b.n_ab / (SELECT m FROM mm))
+                        / ((ua.n_t / (SELECT n FROM nn))
+                           * (ub.n_t / (SELECT n FROM nn)))) AS pmi
+              FROM bg b
+              JOIN u ua ON ua.term = b.term_a
+              JOIN u ub ON ub.term = b.term_b
+              WHERE b.n_ab >= {COLL_MIN}
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER
+                        (ORDER BY pmi DESC, term_a, term_b) AS r
+              FROM scored
+            )
+            SELECT term_a, term_b, n_ab, round(pmi, 6) AS pmi
+            FROM ranked WHERE r <= {COLL_K}
+            ORDER BY term_a, term_b""",
         # composed curation pipeline report (operators/pipeline.py);
         # train = docs < split, eval = docs >= split, gates mirror
         # curation_flags exactly

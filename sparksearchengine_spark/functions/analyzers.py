@@ -298,8 +298,49 @@ def register_analyzer(
     _REGISTRY[name] = Analyzer(name, py, sql_expr)
 
 
+# --------------------------------------------------------------------------
+# folding analyzer: simple + diacritics folded to ASCII before the split,
+# so accented words survive the [^a-z0-9] tokenizer (the reference's
+# ASCIIFoldingFilter analog). The fold is an explicit 1:1 char map — NOT
+# generic NFKD — because the SQL path uses translate(), which is 1:1, and
+# the Python path must produce identical tokens. Chars outside the map
+# (ß, CJK, …) remain separators, same as in "simple".
+# --------------------------------------------------------------------------
+
+_FOLD_PAIRS = [
+    ("àáâãäåāăą", "a"), ("çćĉč", "c"), ("ďđ", "d"), ("èéêëēĕėęě", "e"),
+    ("ĝğģ", "g"), ("ĥ", "h"), ("ìíîïĩīĭį", "i"), ("ĵ", "j"), ("ķ", "k"),
+    ("ĺļľł", "l"), ("ñńņň", "n"), ("òóôõöøōŏő", "o"), ("ŕŗř", "r"),
+    ("śŝşš", "s"), ("ţťŧ", "t"), ("ùúûüũūŭůűų", "u"), ("ŵ", "w"),
+    ("ýÿŷ", "y"), ("źżž", "z"),
+]
+FOLD_FROM = "".join(src for src, _ in _FOLD_PAIRS)
+FOLD_TO = "".join(dst * len(src) for src, dst in _FOLD_PAIRS)
+_FOLD_TABLE = str.maketrans(FOLD_FROM, FOLD_TO)
+
+
+def _folding_tokenize(text: str) -> list[str]:
+    if text is None:
+        return []
+    return [
+        t
+        for t in _SIMPLE_SPLIT_RE.split(text.lower().translate(_FOLD_TABLE))
+        if t
+    ]
+
+
+def _folding_expr(col: Column) -> Column:
+    return F.array_remove(
+        F.split(
+            F.translate(F.lower(col), FOLD_FROM, FOLD_TO), r"[^a-z0-9]+"
+        ),
+        "",
+    )
+
+
 register_analyzer("simple", _simple_tokenize, _simple_expr)
 register_analyzer("whitespace", _whitespace_tokenize, _whitespace_expr)
+register_analyzer("folding", _folding_tokenize, _folding_expr)
 register_analyzer("english", _english_tokenize)
 register_analyzer("italian", _italian_tokenize)
 

@@ -154,6 +154,96 @@ def vocab_stats(
     return ranked
 
 
+def collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "simple",
+    min_count: int = 5,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Adjacent-bigram collocations ranked by PMI:
+    ``(term_a, term_b, n_ab, pmi)``.
+
+    PMI = ln( p(ab) / (p(a)·p(b)) ) with p(ab) over the corpus's adjacent
+    bigram count M and p(·) over the token count N. ``min_count`` cuts
+    the noise floor (PMI is unstable for rare pairs); ``top_k`` bounds
+    output after a (pmi desc, pair asc) rank over the SURVIVING bigrams —
+    a vocab-sized window, not a corpus-sized one.
+
+    Shape: one explode to bigrams + one groupBy, one explode to tokens +
+    one groupBy, two broadcast-able joins of bigrams→unigram freqs. The
+    corpus text never shuffles; only (pair, count) rows do.
+    """
+    toks = analyzer_expr(F.col(text_col), analyzer)
+    base = _widen(df).select(F.col(id_col), toks.alias("_toks"))
+
+    # guard size >= 2 BEFORE sequence(): sequence(1, 0) is a DESCENDING
+    # [1, 0] in Spark (implicit step -1), which would index out of bounds
+    # on 1-token docs under ANSI mode
+    bigrams = (
+        base.where(F.size("_toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(_toks) - 1), "
+                    "i -> struct(_toks[i-1] as a, _toks[i] as b))"
+                )
+            ).alias("bg")
+        )
+        .select(F.col("bg.a").alias("term_a"), F.col("bg.b").alias("term_b"))
+    )
+    bg_counts = bigrams.groupBy("term_a", "term_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_ab")
+    )
+
+    uni = base.select(F.explode("_toks").alias("term")).groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("n_t")
+    )
+    uni = uni.persist()
+    n_tokens, n_vocab = (
+        uni.agg(F.sum("n_t"), F.count(F.lit(1))).collect()[0] or (1, 0)
+    )
+    n_tokens = n_tokens or 1
+    m_bigrams = bg_counts.agg(F.sum("n_ab")).collect()[0][0] or 1
+
+    # vocab is usually tiny next to the bigram table but unbounded in
+    # principle — same size-guarded broadcast policy as the eval-gram
+    # join (the stats collect above already knows the row count for free)
+    small = n_vocab <= BROADCAST_MAX_EVAL_ROWS
+    ua = uni.select(F.col("term").alias("term_a"), F.col("n_t").alias("n_a"))
+    ub = uni.select(F.col("term").alias("term_b"), F.col("n_t").alias("n_b"))
+    ua = F.broadcast(ua) if small else ua.hint("shuffle_hash")
+    ub = F.broadcast(ub) if small else ub.hint("shuffle_hash")
+    scored = (
+        bg_counts.where(F.col("n_ab") >= min_count)
+        .join(ua, "term_a")
+        .join(ub, "term_b")
+        .select(
+            "term_a", "term_b", "n_ab",
+            F.log(
+                (F.col("n_ab") / F.lit(float(m_bigrams)))
+                / (
+                    (F.col("n_a") / F.lit(float(n_tokens)))
+                    * (F.col("n_b") / F.lit(float(n_tokens)))
+                )
+            ).alias("pmi"),
+        )
+    )
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        w = Window.orderBy(
+            F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc()
+        )
+        scored = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= top_k)
+            .drop("_r")
+        )
+    return scored
+
+
 def unigram_logprob(
     df: DataFrame,
     text_col: str = "text",

@@ -61,6 +61,42 @@ def term_idfs(index: "SearchIndex") -> DataFrame:
     )
 
 
+def doc_keywords(
+    index: "SearchIndex",
+    field: str,
+    k: int = 5,
+) -> DataFrame:
+    """Per-document keyword extraction: top-``k`` terms by tf·idf,
+    ``(doc_id, term, tfidf, rank)`` — the classic document-profile /
+    tag-suggestion op, and the bridge between the search index and the
+    curation pipeline (keywords come straight off the postings table, no
+    re-tokenization).
+
+    Shape: postings ⋈ broadcast(idf) then a rank window PARTITIONED BY
+    doc_id — postings are already doc_id-partitioned out of the build, so
+    Spark plans a WindowGroupLimit with no extra exchange. Ties broken by
+    term asc for determinism.
+    """
+    idfs = term_idfs(index).where(F.col("field") == field).select(
+        "term", "idf"
+    )
+    from sparksearchengine_spark.operators.search import topk_per_group
+
+    scored = (
+        index.postings.where(F.col("field") == field)
+        .join(F.broadcast(idfs), "term")
+        .select(
+            "doc_id", "term",
+            (F.col("tf").cast("double") * F.col("idf")).alias("tfidf"),
+        )
+    )
+    return topk_per_group(
+        scored, ["doc_id"],
+        [F.col("tfidf").desc(), F.col("term").asc()],
+        k=k,
+    ).select("doc_id", "term", "tfidf", "rank")
+
+
 def indices_info(index: "SearchIndex") -> dict:
     """M4/M5 — index shape metadata (reference `IndicesInfo.scala:6-34`)."""
     n_postings = index.postings.count()

@@ -197,3 +197,49 @@ class TestPiiScrub:
         m = self._scrub(spark, [(6, "a@b.co c@d.org and 1.2.3.4 5.6.7.8")])
         assert m[6]["n_email"] == 2 and m[6]["n_ip"] == 2
         assert m[6]["text_scrubbed"] == "<EMAIL> <EMAIL> and <IP> <IP>"
+
+
+class TestFoldingAnalyzer:
+    def test_diacritics_folded_sql_path(self, spark):
+        from sparksearchengine_spark.functions.analyzers import analyzer_expr
+
+        df = spark.createDataFrame(
+            [("Café crème, naïve piñata — ÀÉÎÕÜ!",)], "text string"
+        )
+        out = df.select(analyzer_expr(F.col("text"), "folding").alias("t"))
+        assert out.collect()[0]["t"] == [
+            "cafe", "creme", "naive", "pinata", "aeiou"
+        ]
+
+    def test_py_and_sql_paths_agree(self, spark):
+        from sparksearchengine_spark.functions.analyzers import (
+            analyzer_expr, tokenize_py,
+        )
+
+        samples = [
+            "Señor Müller's Žižek œuvre ß",  # ß/œ unmapped -> separators
+            "çirçé Ågård ťest",
+            "plain ascii stays identical 123",
+        ]
+        df = spark.createDataFrame([(s,) for s in samples], "text string")
+        got = [
+            r["t"]
+            for r in df.select(
+                analyzer_expr(F.col("text"), "folding").alias("t")
+            ).collect()
+        ]
+        want = [tokenize_py(s, "folding") for s in samples]
+        assert got == want
+
+    def test_ascii_equals_simple(self, spark):
+        from sparksearchengine_spark.functions.analyzers import tokenize_py
+
+        s = "The quick brown fox 42!"
+        assert tokenize_py(s, "folding") == tokenize_py(s, "simple")
+
+    def test_fold_map_lengths_match(self):
+        from sparksearchengine_spark.functions.analyzers import (
+            FOLD_FROM, FOLD_TO,
+        )
+
+        assert len(FOLD_FROM) == len(FOLD_TO)

@@ -167,3 +167,48 @@ class TestUnigramLogprob:
     def test_row_count_preserved(self, spark):
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         assert unigram_logprob(docs).count() == docs.count()
+
+
+class TestCollocations:
+    def test_hand_computed_pmi(self, spark):
+        from sparksearchengine_spark.operators.decontam import collocations
+
+        # "new york" always adjacent; "the the" never occurs
+        df = spark.createDataFrame(
+            [
+                (1, "new york new york city"),
+                (2, "the big city the big apple"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            (r["term_a"], r["term_b"]): r
+            for r in collocations(df, min_count=2).collect()
+        }
+        import math
+
+        # tokens: doc1 = 5, doc2 = 6 -> N=11; bigrams M = 4 + 5 = 9
+        # "new york": n_ab=2, n_new=2, n_york=2
+        got = rows[("new", "york")]
+        want = math.log((2 / 9) / ((2 / 11) * (2 / 11)))
+        assert got["n_ab"] == 2
+        assert abs(got["pmi"] - want) < 1e-12
+        # min_count filters singletons
+        assert ("york", "new") not in rows  # occurs once only
+        assert ("the", "big") in rows       # occurs twice
+
+    def test_single_token_docs_no_bigrams(self, spark):
+        from sparksearchengine_spark.operators.decontam import collocations
+
+        df = spark.createDataFrame(
+            [(1, "solo"), (2, ""), (3, None)], "doc_id long, text string"
+        )
+        assert collocations(df, min_count=1).count() == 0
+
+    def test_top_k_deterministic(self, spark):
+        from sparksearchengine_spark.operators.decontam import collocations
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = [tuple(r) for r in collocations(docs, min_count=5, top_k=10).collect()]
+        b = [tuple(r) for r in collocations(docs, min_count=5, top_k=10).collect()]
+        assert a == b and len(a) == 10

@@ -437,3 +437,29 @@ class TestFieldTypes:
                 typed_df, id_col="doc_id",
                 text_cols={"author.nope": TextOptions()},
             )
+
+
+class TestDocKeywords:
+    def test_topk_tfidf_per_doc(self, spark, tiny_index):
+        from sparksearchengine_spark.operators.stats import doc_keywords
+
+        rows = doc_keywords(tiny_index, "text", k=2).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # every doc gets <= 2 keywords, ranked 1..n, tfidf non-increasing
+        for doc, rs in by_doc.items():
+            rs.sort(key=lambda r: r["rank"])
+            assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+            assert all(
+                rs[i]["tfidf"] >= rs[i + 1]["tfidf"] for i in range(len(rs) - 1)
+            )
+        # doc 1 = [a, b, a]: 'a' has tf 2 -> its top keyword
+        assert by_doc[1][0]["term"] == "a"
+
+    def test_no_extra_exchange_after_postings(self, spark, tiny_index):
+        from sparksearchengine_spark.operators.stats import doc_keywords
+
+        plan = doc_keywords(tiny_index, "text", k=3)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "WindowGroupLimit" in plan
