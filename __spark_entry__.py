@@ -566,6 +566,19 @@ CHUNK_MAX, CHUNK_OVERLAP = 32, 8
 CURATE_MIN_T, CURATE_MAX_T = 20, 70
 COLL_MIN, COLL_K = 5, 50
 KEYWORDS_K = 5
+MLT_NSRC, MLT_K, MLT_TERMS = 10, 5, 3
+
+
+def _more_like_this(spark, sf):
+    """Lucene-MoreLikeThis analog: neighbors of the first 10 docs via
+    their top-3 tf-idf keywords, scored with the shared BM25 cache."""
+    idx = _docs_index(spark, sf)
+    res = idx.more_like_this(
+        list(range(MLT_NSRC)), "text", k=MLT_K, num_terms=MLT_TERMS
+    )
+    return res.select(
+        "src_id", "match_doc_id", F.round("score", 6).alias("score"), "rank"
+    ).orderBy("src_id", "rank")
 
 
 def _collocations(spark, sf):
@@ -1086,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_report": _curation_report,
         "collocations_pmi": _collocations,
         "doc_keywords": _doc_keywords,
+        "more_like_this": _more_like_this,
         "doc_fingerprint": _doc_fingerprint,
         "lang_id": _lang_id,
         "events_asof": _events_asof,
@@ -1716,6 +1730,45 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank
             FROM ranked WHERE rank <= {KEYWORDS_K}
             ORDER BY doc_id, rank""",
+        # more-like-this: keyword expansion + BM25 (operators/search.py)
+        "more_like_this": _CTE + f"""
+            , idf AS (
+              SELECT term,
+                     ln(1.0 + (CAST((SELECT n FROM fieldstats) AS DOUBLE)
+                               - df + 0.5) / (df + 0.5)) AS idf
+              FROM termstats
+            ),
+            kwsc AS (
+              SELECT p.doc_id AS src_id, p.term,
+                     CAST(p.tf AS DOUBLE) * i.idf AS tfidf
+              FROM postings p JOIN idf i USING (term)
+              WHERE p.doc_id < {MLT_NSRC}
+            ),
+            kw AS (
+              SELECT src_id, term FROM (
+                SELECT *, row_number() OVER (PARTITION BY src_id
+                                             ORDER BY tfidf DESC, term) AS r
+                FROM kwsc) WHERE r <= {MLT_TERMS}
+            ),
+            sc AS (
+              SELECT k.src_id, p.doc_id, sum({score}) AS s
+              FROM kw k
+              JOIN postings p USING (term)
+              JOIN termstats t USING (term)
+              CROSS JOIN fieldstats f
+              WHERE p.doc_id <> k.src_id
+              GROUP BY k.src_id, p.doc_id
+            ),
+            ranked AS (
+              SELECT src_id, doc_id AS match_doc_id, round(s, 6) AS score,
+                     CAST(row_number() OVER (PARTITION BY src_id
+                                             ORDER BY s DESC, doc_id)
+                          AS BIGINT) AS rank
+              FROM sc
+            )
+            SELECT src_id, match_doc_id, score, rank
+            FROM ranked WHERE rank <= {MLT_K}
+            ORDER BY src_id, rank""",
         # adjacent-bigram PMI collocations (operators/decontam.py)
         "collocations_pmi": f"""
             WITH t AS (

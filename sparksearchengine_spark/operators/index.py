@@ -340,6 +340,11 @@ class SearchIndex:
 
         return get_elements(self, ids)
 
+    def more_like_this(self, source_ids, field: str, k: int = 10, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.search import more_like_this
+
+        return more_like_this(self, source_ids, field=field, k=k, **kw)
+
     def doc_counts(self) -> DataFrame:
         from sparksearchengine_spark.operators.stats import doc_counts
 

@@ -242,6 +242,66 @@ def batch_search(
 # -- E7-E10: query join ----------------------------------------------------
 
 
+def more_like_this(
+    index: "SearchIndex",
+    source_ids: "list | DataFrame",
+    field: str,
+    k: int = 10,
+    num_terms: int = 5,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Lucene-MoreLikeThis analog: for each source doc, find the top-``k``
+    most similar OTHER docs by querying the index with the source's
+    ``num_terms`` highest-tf·idf terms.
+
+    Returns (src_id, match_doc_id, score, rank); score is the same
+    per-posting BM25 sum a ``match_any`` over those terms produces (the
+    precomputed ``scored_postings`` cache — no per-row score re-eval).
+
+    Batch-shaped like ``batch_search``: source keywords are a tiny side
+    (``num_terms`` rows per source doc) joined to the postings once —
+    per-source jobs never happen, so "find neighbors of these 10k docs"
+    is one plan. The keyword extraction windows over ONLY the source
+    docs' postings (filter before the rank window, not after).
+    """
+    from sparksearchengine_spark.operators.stats import term_idfs
+
+    p = index.postings.where(F.col("field") == field)
+    if isinstance(source_ids, DataFrame):
+        src = source_ids.select(F.col(source_ids.columns[0]).alias(DOC_ID))
+        p_src = p.join(F.broadcast(src), DOC_ID, "left_semi")
+    else:
+        p_src = p.where(F.col(DOC_ID).isin(*source_ids))
+    idfs = term_idfs(index).where(F.col("field") == field).select(
+        "term", "idf"
+    )
+    scored_kw = p_src.join(F.broadcast(idfs), "term").select(
+        F.col(DOC_ID).alias("src_id"),
+        "term",
+        (F.col("tf").cast("double") * F.col("idf")).alias("tfidf"),
+    )
+    kws = topk_per_group(
+        scored_kw, ["src_id"],
+        [F.col("tfidf").desc(), F.col("term").asc()],
+        k=num_terms, salt_col="src_id",
+    ).select("src_id", "term")
+
+    matches = (
+        index.scored_postings(field)
+        .join(F.broadcast(kws), "term")
+        .where(F.col(DOC_ID) != F.col("src_id"))
+        .groupBy("src_id", DOC_ID)
+        .agg(F.sum("tscore").alias(SCORE))
+    )
+    return topk_per_group(
+        matches, ["src_id"],
+        [F.col(SCORE).desc(), F.col(DOC_ID).asc()],
+        k=k, salt_buckets=salt_buckets, salt_col="src_id",
+    ).select(
+        "src_id", F.col(DOC_ID).alias("match_doc_id"), SCORE, "rank"
+    )
+
+
 def query_join(
     index: "SearchIndex",
     other: DataFrame,

@@ -463,3 +463,60 @@ class TestDocKeywords:
         plan = doc_keywords(tiny_index, "text", k=3)._jdf.queryExecution(
         ).executedPlan().toString()
         assert "WindowGroupLimit" in plan
+
+
+class TestMoreLikeThis:
+    def test_similar_doc_found_self_excluded(self, spark):
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        docs = spark.createDataFrame(
+            [
+                (1, "apple banana cherry apple"),
+                (2, "apple banana cherry date"),   # near doc 1
+                (3, "xylophone zebra quartz"),     # unrelated
+            ],
+            "doc_id long, text string",
+        )
+        idx = Corpus(
+            docs, id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="simple")},
+        ).build_index()
+        rows = idx.more_like_this([1], "text", k=2, num_terms=3).collect()
+        assert all(r["match_doc_id"] != 1 for r in rows)
+        best = min(rows, key=lambda r: r["rank"])
+        assert best["match_doc_id"] == 2
+
+    def test_dataframe_id_side_matches_list(self, spark, tiny_index):
+        from pyspark.sql import functions as F2
+
+        a = tiny_index.more_like_this([1, 2], "text", k=3).collect()
+        ids_df = tiny_index.corpus.df.select("doc_id").where(
+            F2.col("doc_id").isin(1, 2)
+        )
+        b = tiny_index.more_like_this(ids_df, "text", k=3).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    def test_score_equals_match_any_over_keywords(self, spark, tiny_index):
+        # MLT score for a source doc == search(match_any(its keywords))
+        from sparksearchengine_spark import Q
+        from sparksearchengine_spark.operators.stats import doc_keywords
+        from pyspark.sql import functions as F2
+
+        kws = [
+            r["term"]
+            for r in doc_keywords(tiny_index, "text", k=2)
+            .where(F2.col("doc_id") == 1).collect()
+        ]
+        mlt = {
+            r["match_doc_id"]: r["score"]
+            for r in tiny_index.more_like_this([1], "text", k=10,
+                                               num_terms=2).collect()
+        }
+        full = {
+            r["doc_id"]: r["score"]
+            for r in tiny_index.search(
+                Q.field("text").match_any(*kws), k=10
+            ).collect()
+            if r["doc_id"] != 1
+        }
+        assert mlt == full
