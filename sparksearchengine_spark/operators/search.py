@@ -249,6 +249,7 @@ def more_like_this(
     k: int = 10,
     num_terms: int = 5,
     salt_buckets: int | None = None,
+    broadcast_keywords: bool | None = None,
 ) -> DataFrame:
     """Lucene-MoreLikeThis analog: for each source doc, find the top-``k``
     most similar OTHER docs by querying the index with the source's
@@ -269,7 +270,9 @@ def more_like_this(
     p = index.postings.where(F.col("field") == field)
     if isinstance(source_ids, DataFrame):
         src = source_ids.select(F.col(source_ids.columns[0]).alias(DOC_ID))
-        p_src = p.join(F.broadcast(src), DOC_ID, "left_semi")
+        p_src = p.join(
+            _hint_query_side(src, src, broadcast_keywords), DOC_ID, "left_semi"
+        )
     else:
         p_src = p.where(F.col(DOC_ID).isin(*source_ids))
     idfs = term_idfs(index).where(F.col("field") == field).select(
@@ -286,9 +289,14 @@ def more_like_this(
         k=num_terms, salt_col="src_id",
     ).select("src_id", "term")
 
+    # same size-aware policy as batch_search/query_join: broadcast the
+    # keyword side only when the source set is actually small — "neighbors
+    # of EVERY doc" makes kws corpus-sized and must take the shuffle-hash
+    # path (AQE skew-splits hot keyword terms there)
+    kws = _hint_query_side(kws, kws, broadcast_keywords)
     matches = (
         index.scored_postings(field)
-        .join(F.broadcast(kws), "term")
+        .join(kws, "term")
         .where(F.col(DOC_ID) != F.col("src_id"))
         .groupBy("src_id", DOC_ID)
         .agg(F.sum("tscore").alias(SCORE))

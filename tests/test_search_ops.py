@@ -520,3 +520,16 @@ class TestMoreLikeThis:
             if r["doc_id"] != 1
         }
         assert mlt == full
+
+    def test_large_source_side_takes_shuffle_hash(self, spark, tiny_index):
+        # forced non-broadcast path must agree with the broadcast path
+        a = sorted(map(tuple, tiny_index.more_like_this(
+            [1, 2, 3], "text", k=3, broadcast_keywords=True).collect()))
+        b = sorted(map(tuple, tiny_index.more_like_this(
+            [1, 2, 3], "text", k=3, broadcast_keywords=False).collect()))
+        assert a == b
+        # the keyword->postings join must not be a broadcast when forced off
+        plan = tiny_index.more_like_this(
+            [1], "text", k=3, broadcast_keywords=False
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan
