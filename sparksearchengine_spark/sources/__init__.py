@@ -31,9 +31,53 @@ def load_corpus(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_jsonl_corpus(
+    spark: SparkSession,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    schema: str | None = None,
+) -> DataFrame:
+    """JSONL corpus source — the de-facto LLM-corpus interchange format
+    (one JSON doc per line; .jsonl/.jsonl.gz/.jsonl.zst directories).
+
+    Contract hardening over a bare ``spark.read.json``:
+
+    * with ``schema`` given, malformed lines land in ``_corrupt_record``
+      (PERMISSIVE) instead of failing the job or silently widening the
+      schema — at crawl scale some lines are always broken. (Spark quirk:
+      filtering a raw JSON scan by ``_corrupt_record`` ALONE raises
+      QUERY_ONLY_CORRUPT_RECORD_COLUMN — ``cache()`` or reference another
+      column in the same query);
+    * without ``schema``, one inference pass runs (fine for exploration;
+      pass a schema in production to skip it);
+    * a missing ``id_col`` is synthesized from ``xxhash64(text)`` — the
+      same content-keyed idiom as the media source, deterministic across
+      reruns (unlike ``monotonically_increasing_id``), with the documented
+      property that exact-duplicate texts collide (they are the same doc
+      to every downstream dedup anyway);
+    * ``text_col`` must exist — failing here beats a nonsense index later.
+    """
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema).option("mode", "PERMISSIVE")
+    df = reader.json(path)
+    if text_col not in df.columns:
+        raise ValueError(
+            f"JSONL at {path!r} has no {text_col!r} column; "
+            f"found {df.columns}"
+        )
+    if id_col not in df.columns:
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(id_col, F.xxhash64(F.col(text_col)))
+    return df
+
+
 __all__ = [
     "read_wikipedia_dump",
     "strip_wiki_markup",
     "save_corpus",
     "load_corpus",
+    "read_jsonl_corpus",
 ]

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import textwrap
 
+import pytest
+
 
 DUMP = textwrap.dedent(
     """\
@@ -123,3 +125,73 @@ class TestCorpusRoundTrip:
         assert sorted(map(tuple, back.collect())) == sorted(
             map(tuple, tiny_corpus.collect())
         )
+
+
+class TestJsonlCorpus:
+    def _write(self, tmp_path, lines, name="corpus.jsonl"):
+        p = tmp_path / name
+        p.write_text("\n".join(lines) + "\n")
+        return str(p)
+
+    def test_roundtrip_with_ids(self, spark, tmp_path):
+        from sparksearchengine_spark.sources import read_jsonl_corpus
+
+        path = self._write(tmp_path, [
+            '{"doc_id": 1, "text": "hello world"}',
+            '{"doc_id": 2, "text": "second doc"}',
+        ])
+        df = read_jsonl_corpus(spark, path)
+        rows = {r["doc_id"]: r["text"] for r in df.collect()}
+        assert rows == {1: "hello world", 2: "second doc"}
+
+    def test_missing_id_synthesized_deterministically(self, spark, tmp_path):
+        from sparksearchengine_spark.sources import read_jsonl_corpus
+
+        path = self._write(tmp_path, [
+            '{"text": "alpha"}', '{"text": "beta"}',
+        ])
+        a = {r["text"]: r["doc_id"] for r in read_jsonl_corpus(spark, path).collect()}
+        b = {r["text"]: r["doc_id"] for r in read_jsonl_corpus(spark, path).collect()}
+        assert a == b and len(set(a.values())) == 2
+
+    def test_schema_mode_catches_corrupt_lines(self, spark, tmp_path):
+        from sparksearchengine_spark.sources import read_jsonl_corpus
+        from pyspark.sql import functions as F
+
+        path = self._write(tmp_path, [
+            '{"doc_id": 1, "text": "good"}',
+            'this is not json',
+        ])
+        df = read_jsonl_corpus(
+            spark, path,
+            schema="doc_id long, text string, _corrupt_record string",
+        )
+        # Spark disallows filtering a raw JSON scan by _corrupt_record
+        # alone (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize first,
+        # as the docstring instructs
+        rows = df.collect()
+        bad = [r for r in rows if r["_corrupt_record"] is not None]
+        good = [r for r in rows if r["_corrupt_record"] is None]
+        assert len(good) == 1 and len(bad) == 1
+        assert good[0]["text"] == "good"
+
+    def test_missing_text_col_raises(self, spark, tmp_path):
+        from sparksearchengine_spark.sources import read_jsonl_corpus
+
+        path = self._write(tmp_path, ['{"doc_id": 1, "body": "x"}'])
+        with pytest.raises(ValueError, match="no 'text' column"):
+            read_jsonl_corpus(spark, path)
+
+    def test_indexable_end_to_end(self, spark, tmp_path):
+        from sparksearchengine_spark.sources import read_jsonl_corpus
+        from sparksearchengine_spark import Corpus, Q, TextOptions
+
+        path = self._write(tmp_path, [
+            '{"text": "spark is fast"}',
+            '{"text": "duck is a bird"}',
+        ])
+        df = read_jsonl_corpus(spark, path)
+        idx = Corpus(df, id_col="doc_id",
+                     text_cols={"text": TextOptions()}).build_index()
+        hits = idx.search(Q.field("text").match_term("spark"), k=5).collect()
+        assert len(hits) == 1
