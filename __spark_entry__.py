@@ -567,6 +567,27 @@ CURATE_MIN_T, CURATE_MAX_T = 20, 70
 COLL_MIN, COLL_K = 5, 50
 KEYWORDS_K = 5
 MLT_NSRC, MLT_K, MLT_TERMS = 10, 5, 3
+PACK_SHARDS, PACK_BUDGET = 8, 256
+
+
+def _pack_chunks(spark, sf):
+    """Chunk → shard → pack: the full training-layout pipeline; offsets
+    and pack ids are deterministic (md5 shards, (doc,chunk) layout
+    order), so the whole physical layout is engine-reproducible."""
+    from sparksearchengine_spark.operators.chunking import (
+        chunk_documents,
+        pack_chunks,
+    )
+    from sparksearchengine_spark.operators.export import shard_assignments
+
+    docs = _read(spark, sf, "documents")
+    ch = chunk_documents(docs, max_tokens=CHUNK_MAX, overlap=CHUNK_OVERLAP)
+    sh = shard_assignments(ch, num_shards=PACK_SHARDS)
+    out = pack_chunks(sh, budget=PACK_BUDGET, shard_col="shard")
+    return out.select(
+        "doc_id", "chunk_id", F.col("shard").cast("long").alias("shard"),
+        "offset", "pack_id", "pack_offset",
+    ).orderBy("doc_id", "chunk_id")
 
 
 def _more_like_this(spark, sf):
@@ -1100,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_pmi": _collocations,
         "doc_keywords": _doc_keywords,
         "more_like_this": _more_like_this,
+        "pack_chunks": _pack_chunks,
         "doc_fingerprint": _doc_fingerprint,
         "lang_id": _lang_id,
         "events_asof": _events_asof,
@@ -1730,6 +1752,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, term, round(tfidf, 6) AS tfidf, rank
             FROM ranked WHERE rank <= {KEYWORDS_K}
             ORDER BY doc_id, rank""",
+        # chunk -> shard -> pack training layout (operators/chunking.py,
+        # operators/export.py)
+        "pack_chunks": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                    '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            nz AS (SELECT * FROM t WHERE len(toks) > 0),
+            c AS (
+              SELECT doc_id, toks,
+                     unnest(range(0,
+                       1 + CAST(ceil(greatest(len(toks) - {CHUNK_MAX}, 0)
+                                     / {CHUNK_MAX - CHUNK_OVERLAP}.0)
+                                AS INT))) AS chunk_id
+              FROM nz
+            ),
+            ch AS (
+              SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                     CAST(len(toks[chunk_id*{CHUNK_MAX - CHUNK_OVERLAP}+1 :
+                               chunk_id*{CHUNK_MAX - CHUNK_OVERLAP}+{CHUNK_MAX}])
+                          AS BIGINT) AS n_tokens,
+                     CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                          AS BIGINT) % {PACK_SHARDS} AS shard
+              FROM c
+            ),
+            packed AS (
+              SELECT doc_id, chunk_id, shard,
+                     CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT)
+                       AS "offset"
+              FROM ch
+              WINDOW w AS (PARTITION BY shard ORDER BY doc_id, chunk_id
+                           ROWS UNBOUNDED PRECEDING)
+            )
+            SELECT doc_id, chunk_id, shard, "offset",
+                   CAST("offset" // {PACK_BUDGET} AS BIGINT) AS pack_id,
+                   CAST("offset" % {PACK_BUDGET} AS BIGINT) AS pack_offset
+            FROM packed ORDER BY doc_id, chunk_id""",
         # more-like-this: keyword expansion + BM25 (operators/search.py)
         "more_like_this": _CTE + f"""
             , idf AS (

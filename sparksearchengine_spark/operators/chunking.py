@@ -22,10 +22,49 @@ operator engine-portable (the DuckDB oracle reproduces it exactly).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparksearchengine_spark.functions.analyzers import analyzer_expr
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    budget: int,
+    shard_col: str | None = None,
+    id_cols: tuple[str, str] = ("doc_id", "chunk_id"),
+    n_tokens_col: str = "n_tokens",
+) -> DataFrame:
+    """Sequence packing: lay chunks end-to-end and cut packs of
+    ``budget`` tokens (GPT-style packing — chunks may straddle a pack
+    boundary; the (pack_id, offset) pair tells the loader exactly where
+    each chunk's tokens land).
+
+    Adds ``offset`` (token position of the chunk's first token in the
+    concatenated stream), ``pack_id`` (= offset // budget, the pack the
+    chunk STARTS in), and ``pack_offset`` (offset within that pack).
+
+    Layout order is (doc_id, chunk_id) — deterministic and
+    engine-portable. The running sum windows over ``shard_col`` when
+    given (each shard packs independently — the scale path: shards are
+    the export unit, so packing parallelism = shard count and no global
+    sort exists); a None shard packs the whole frame in ONE ordered
+    window — exploration only, documented bounded use.
+    """
+    w = Window.orderBy(*[F.col(c).asc() for c in id_cols])
+    if shard_col is not None:
+        w = Window.partitionBy(shard_col).orderBy(
+            *[F.col(c).asc() for c in id_cols]
+        )
+    cum = F.sum(n_tokens_col).over(w)
+    out = chunks.withColumn(
+        "offset", (cum - F.col(n_tokens_col)).cast("long")
+    )
+    return out.withColumn(
+        "pack_id", (F.col("offset") / budget).cast("long")
+    ).withColumn(
+        "pack_offset", (F.col("offset") % budget).cast("long")
+    )
 
 
 def chunk_documents(

@@ -79,3 +79,59 @@ class TestChunking:
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestPackChunks:
+    def test_offsets_and_pack_assignment(self, spark):
+        from sparksearchengine_spark.operators.chunking import pack_chunks
+
+        chunks = spark.createDataFrame(
+            [(1, 0, 4), (1, 1, 4), (2, 0, 3), (3, 0, 5)],
+            "doc_id long, chunk_id long, n_tokens long",
+        )
+        rows = {
+            (r["doc_id"], r["chunk_id"]): r
+            for r in pack_chunks(chunks, budget=8).collect()
+        }
+        # layout order (doc,chunk): offsets 0,4,8,11
+        assert rows[(1, 0)]["offset"] == 0
+        assert rows[(1, 1)]["offset"] == 4
+        assert rows[(2, 0)]["offset"] == 8
+        assert rows[(3, 0)]["offset"] == 11
+        assert rows[(1, 1)]["pack_id"] == 0
+        assert rows[(2, 0)]["pack_id"] == 1
+        assert rows[(2, 0)]["pack_offset"] == 0
+        assert rows[(3, 0)]["pack_id"] == 1
+        assert rows[(3, 0)]["pack_offset"] == 3
+
+    def test_sharded_packing_independent(self, spark):
+        from sparksearchengine_spark.operators.chunking import pack_chunks
+
+        chunks = spark.createDataFrame(
+            [(1, 0, 4, 0), (2, 0, 4, 1), (3, 0, 4, 0), (4, 0, 4, 1)],
+            "doc_id long, chunk_id long, n_tokens long, shard int",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in pack_chunks(chunks, budget=8, shard_col="shard").collect()
+        }
+        # each shard starts its own stream at offset 0
+        assert rows[1]["offset"] == 0 and rows[2]["offset"] == 0
+        assert rows[3]["offset"] == 4 and rows[4]["offset"] == 4
+
+    def test_end_to_end_with_chunk_documents(self, spark):
+        from sparksearchengine_spark.operators.chunking import (
+            chunk_documents, pack_chunks,
+        )
+        from sparksearchengine_spark.operators.export import shard_assignments
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        ch = chunk_documents(docs, max_tokens=32)
+        sh = shard_assignments(ch, num_shards=4)
+        packed = pack_chunks(sh, budget=512, shard_col="shard")
+        # total tokens per shard == max offset + last n_tokens
+        agg = packed.groupBy("shard").agg(
+            F.sum("n_tokens").alias("s"),
+            F.max(F.col("offset") + F.col("n_tokens")).alias("m"),
+        )
+        assert all(r["s"] == r["m"] for r in agg.collect())
