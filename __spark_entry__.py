@@ -719,6 +719,22 @@ def _qc26(spark, sf):
     return exact.crossJoin(sloppy)
 
 
+def _events_trending(spark, sf):
+    """Trending rollup: top-3 event types per hour (rank over the
+    windowed-counts rollup, not the raw events)."""
+    from sparksearchengine_spark.streaming import trending_keys
+
+    ev = _read_events(spark, sf).select(
+        F.timestamp_micros(F.expr("ts DIV 1000")).alias("ts"), "event_type"
+    )
+    t = trending_keys(ev, window="1 hour", k=3)
+    return t.select(
+        F.unix_micros("window_start").alias("window_start_us"),
+        F.unix_micros("window_end").alias("window_end_us"),
+        "event_type", "cnt", "rank",
+    )
+
+
 def _events_hourly_windowed(spark, sf):
     """Streaming operator in batch mode: windowed_event_counts (the same
     plan Structured Streaming runs incrementally) over the events table."""
@@ -1127,6 +1143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": _events_asof,
         "events_hourly": _events_hourly,
         "events_hourly_windowed": _events_hourly_windowed,
+        "events_trending": _events_trending,
         "token_stats": _token_stats,
         "doc_winnow": _doc_winnow,
         "mm_image_features": _mm_image_features,
@@ -1313,6 +1330,26 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, score, rank
             FROM ranked WHERE rank <= k""",
+        "events_trending": """
+            WITH c AS (
+              SELECT
+                CAST((epoch_ns(ts) // 3600000000000) * 3600000000 AS BIGINT)
+                  AS window_start_us,
+                CAST((epoch_ns(ts) // 3600000000000 + 1) * 3600000000
+                     AS BIGINT) AS window_end_us,
+                event_type,
+                count(*) AS cnt
+              FROM events GROUP BY 1, 2, 3
+            ),
+            r AS (
+              SELECT *, CAST(row_number() OVER
+                             (PARTITION BY window_start_us
+                              ORDER BY cnt DESC, event_type) AS BIGINT)
+                          AS rank
+              FROM c
+            )
+            SELECT window_start_us, window_end_us, event_type, cnt, rank
+            FROM r WHERE rank <= 3""",
         "events_hourly_windowed": """
             SELECT
               CAST((epoch_ns(ts) // 3600000000000) * 3600000000 AS BIGINT)

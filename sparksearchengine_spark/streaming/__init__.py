@@ -9,6 +9,7 @@ from sparksearchengine_spark.streaming.stream import (
     running_user_stats,
     sessionize,
     stream_postings,
+    trending_keys,
     windowed_event_counts,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "running_user_stats",
     "sessionize",
     "stream_postings",
+    "trending_keys",
     "windowed_event_counts",
 ]

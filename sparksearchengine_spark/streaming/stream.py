@@ -66,6 +66,43 @@ def windowed_event_counts(
     )
 
 
+def trending_keys(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    k: int = 3,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Top-``k`` keys per event-time window by count — the "trending now"
+    rollup: ``(window_start, window_end, key, cnt, rank)``.
+
+    Composition: ``windowed_event_counts`` then a rank window PARTITIONED
+    BY the time window (ties → key asc, deterministic). Counts shrink the
+    stream to O(windows × keys) BEFORE the rank, so the sort is over the
+    rollup, never the raw events.
+
+    Rank windows are not allowed on an unterminated streaming plan
+    (Spark's unsupported-operations rule), so on a stream run this inside
+    ``foreachBatch`` over the windowed-counts sink — the batch plan here
+    is exactly that plan; on at-rest events it runs as-is.
+    """
+    from pyspark.sql import Window
+
+    counts = windowed_event_counts(
+        events, ts_col=ts_col, key_col=key_col, window=window,
+        watermark=watermark,
+    )
+    w = Window.partitionBy("window_start").orderBy(
+        F.col("cnt").desc(), F.col(key_col).asc()
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("window_start", "window_end", key_col, "cnt", "rank")
+    )
+
+
 def sessionize(
     events: DataFrame,
     ts_col: str = "ts",

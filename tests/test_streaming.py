@@ -323,3 +323,32 @@ class TestStreamDedup:
         ).write.mode("append").parquet(d)
         out = self._run(spark, tmp_path, d)
         assert out.count() == 1
+
+
+class TestTrendingKeys:
+    def test_topk_per_window(self, spark):
+        from sparksearchengine_spark.streaming import trending_keys
+
+        rows = [
+            ("2024-01-01 10:05:00", "a"), ("2024-01-01 10:10:00", "a"),
+            ("2024-01-01 10:15:00", "b"),
+            ("2024-01-01 11:05:00", "c"),
+        ]
+        ev = spark.createDataFrame(rows, "ts string, event_type string").select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        )
+        out = trending_keys(ev, k=1).collect()
+        by_win = {r["window_start"].hour: r for r in out}
+        assert by_win[10]["event_type"] == "a" and by_win[10]["cnt"] == 2
+        assert by_win[11]["event_type"] == "c"
+        assert all(r["rank"] == 1 for r in out)
+
+    def test_tie_broken_by_key(self, spark):
+        from sparksearchengine_spark.streaming import trending_keys
+
+        rows = [("2024-01-01 10:05:00", "z"), ("2024-01-01 10:06:00", "a")]
+        ev = spark.createDataFrame(rows, "ts string, event_type string").select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        )
+        out = sorted(trending_keys(ev, k=2).collect(), key=lambda r: r["rank"])
+        assert [r["event_type"] for r in out] == ["a", "z"]
