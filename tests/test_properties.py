@@ -127,3 +127,70 @@ class TestAnalyzerProperties:
         toks = tokenize_py(text, "simple")
         again = tokenize_py(" ".join(toks), "simple")
         assert again == toks
+
+
+class TestChunkPackProperties:
+    """Invariants of chunk_documents/pack_chunks on random corpora."""
+
+    @given(_corpus, st.integers(2, 6), st.integers(0, 1))
+    @settings(**_SETTINGS)
+    def test_chunk_coverage_and_shape(self, spark, corpus, max_t, ov):
+        from sparksearchengine_spark.operators.chunking import chunk_documents
+
+        df = spark.createDataFrame(
+            [(i, " ".join(doc)) for i, doc in enumerate(corpus)],
+            "doc_id long, text string",
+        )
+        rows = chunk_documents(
+            df, max_tokens=max_t, overlap=ov
+        ).collect()
+        stride = max_t - ov
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for i, doc in enumerate(corpus):
+            L = len(doc)
+            if L == 0:
+                assert i not in by_doc
+                continue
+            rs = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+            # closed-form count; ids contiguous from 0
+            import math
+
+            want_n = 1 + math.ceil(max(L - max_t, 0) / stride)
+            assert [r["chunk_id"] for r in rs] == list(range(want_n))
+            # chunk c covers tokens [c*stride, c*stride + n_tokens)
+            covered = set()
+            for r in rs:
+                start = r["chunk_id"] * stride
+                assert r["n_tokens"] >= 1
+                assert r["chunk_text"] == " ".join(
+                    doc[start:start + r["n_tokens"]]
+                )
+                covered.update(range(start, start + r["n_tokens"]))
+            assert covered == set(range(L))
+            # only the LAST chunk may be short
+            assert all(r["n_tokens"] == max_t for r in rs[:-1])
+
+    @given(_corpus, st.integers(2, 6), st.integers(4, 9))
+    @settings(**_SETTINGS)
+    def test_pack_offsets_contiguous(self, spark, corpus, max_t, budget):
+        from sparksearchengine_spark.operators.chunking import (
+            chunk_documents, pack_chunks,
+        )
+
+        df = spark.createDataFrame(
+            [(i, " ".join(doc)) for i, doc in enumerate(corpus)],
+            "doc_id long, text string",
+        )
+        ch = chunk_documents(df, max_tokens=max_t)
+        rows = sorted(
+            pack_chunks(ch, budget=budget).collect(),
+            key=lambda r: (r["doc_id"], r["chunk_id"]),
+        )
+        cum = 0
+        for r in rows:
+            assert r["offset"] == cum
+            assert r["pack_id"] == r["offset"] // budget
+            assert r["pack_offset"] == r["offset"] % budget
+            cum += r["n_tokens"]
