@@ -679,6 +679,27 @@ def _export_shard_assign(spark, sf):
     ).orderBy("doc_id")
 
 
+def _sample_per_group(spark, sf):
+    """Deterministic per-group cap (5 docs per lang): hash-ordered rank,
+    reproducible across engines and partitionings."""
+    from sparksearchengine_spark.operators.sampling import sample_per_group
+
+    docs = _read(spark, sf, "documents")
+    return sample_per_group(docs, "lang", n=5, key_col="doc_id").select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
+def _clean_text(spark, sf):
+    """Scan-stage text normalization (control chars, whitespace runs,
+    newline spam). Synthetic corpus is already clean, so the hash match
+    pins the identity path; rules are unit-tested on dirty fixtures."""
+    from sparksearchengine_spark.operators.textstats import clean_text
+
+    docs = _read(spark, sf, "documents")
+    return clean_text(docs).select("doc_id", "text").orderBy("doc_id")
+
+
 def _events_asof(spark, sf):
     """As-of join: each click event picks up the user's most recent prior
     purchase (one key shuffle + running window — no range cross-join).
@@ -1138,6 +1159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_keywords": _doc_keywords,
         "more_like_this": _more_like_this,
         "pack_chunks": _pack_chunks,
+        "sample_per_group": _sample_per_group,
+        "clean_text": _clean_text,
         "doc_fingerprint": _doc_fingerprint,
         "lang_id": _lang_id,
         "events_asof": _events_asof,
@@ -1759,6 +1782,27 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'zh' THEN 0.1 * 10000
                               ELSE 0.0 END
             ORDER BY doc_id""",
+        "sample_per_group": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                                    1, 8) AS BIGINT),
+                                doc_id) AS rn
+              FROM documents) WHERE rn <= 5 ORDER BY doc_id""",
+        "clean_text": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text,
+                           '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                         '[ \t]+', ' ', 'g'),
+                       ' ?\n ?', chr(10), 'g'),
+                     '\n{3,}', chr(10) || chr(10), 'g'),
+                   ' ') AS text
+            FROM documents ORDER BY doc_id""",
         "train_test_split": """
             SELECT doc_id,
                    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),

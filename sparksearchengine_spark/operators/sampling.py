@@ -16,7 +16,7 @@ All expressions are scan-stage column ops — zero shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # 10_000 buckets -> fractions are honored to 1e-4 resolution
@@ -52,6 +52,39 @@ def stratified_sample(
     )
     keep = hash_bucket(F.col(key_col), buckets) < (frac * buckets)
     return df.where(keep)
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str,
+) -> DataFrame:
+    """Deterministic "take n rows per group" (per-domain caps, per-source
+    quotas — the bounded analog of reservoir sampling).
+
+    Membership = the n smallest (hash_bucket-with-full-range, key) rows
+    of each group, so it is reproducible across runs/engines/partitions
+    and STABLE UNDER GROWTH in the same sense as ``train_test_split``:
+    a row's hash never changes, so adding new rows can only displace the
+    largest-hash members, never reshuffle the whole sample.
+
+    One rank window per group — at scale the window partitions by
+    ``group_col``, so skewed giant groups are the hotspot; the md5 sort
+    key spreads ties uniformly, and n ≪ group size means
+    WindowGroupLimit prunes partition-locally before any exchange.
+    """
+    h = F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = Window.partitionBy(group_col).orderBy(
+        h.asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )
 
 
 def train_test_split(

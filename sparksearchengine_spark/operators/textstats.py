@@ -36,6 +36,34 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 _CJK_CLASS = "[一-鿿㐀-䶿]"
 
 
+def clean_text_expr(col: Column) -> Column:
+    """Standard pre-index text normalization, scan-stage:
+
+    1. control chars (C0 minus \\t \\n, plus DEL) removed — they break
+       downstream tokenizers and line-based formats;
+    2. runs of spaces/tabs collapse to one space;
+    3. spaces hugging a newline are dropped (no trailing-space lines);
+    4. 3+ consecutive newlines collapse to two (paragraph break survives,
+       blank-line spam doesn't);
+    5. leading/trailing whitespace trimmed.
+
+    Pure Java-regex column expr (RE2-compatible — the DuckDB oracle runs
+    the same patterns); NULL passes through NULL.
+    """
+    c = F.regexp_replace(col, "[\\x00-\\x08\\x0B-\\x1F\\x7F]", "")
+    c = F.regexp_replace(c, "[ \\t]+", " ")
+    c = F.regexp_replace(c, " ?\\n ?", "\n")
+    c = F.regexp_replace(c, "\\n{3,}", "\n\n")
+    return F.trim(c)
+
+
+def clean_text(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Apply ``clean_text_expr`` (in place by default)."""
+    return df.withColumn(out_col or text_col, clean_text_expr(F.col(text_col)))
+
+
 def token_count_expr(col: Column, analyzer: str = "simple") -> Column:
     """Whitespace/analyzer token count (BPE-ish proxy: tokens ≈ 0.75 words
     is the usual back-of-envelope; we expose the raw count)."""

@@ -303,3 +303,45 @@ class TestCrossCorpusJoin:
         )
         got = ngram_jaccard_join_cross(ldf, rdf, n=3, threshold=0.9).collect()
         assert [(r["id_l"], r["id_r"]) for r in got] == [(99, 1)]
+
+
+class TestSamplePerGroup:
+    def test_caps_and_determinism(self, spark, docs_df):
+        from sparksearchengine_spark.operators.sampling import sample_per_group
+
+        s = sample_per_group(docs_df, "lang", n=5, key_col="doc_id")
+        per = {r["lang"]: r["c"] for r in
+               s.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+        full = {r["lang"]: r["c"] for r in
+                docs_df.groupBy("lang").agg(F.count(F.lit(1)).alias("c")).collect()}
+        for lang, c in per.items():
+            assert c == min(5, full[lang])
+        a = sorted(r["doc_id"] for r in s.collect())
+        b = sorted(r["doc_id"] for r in sample_per_group(
+            docs_df.repartition(7), "lang", n=5, key_col="doc_id").collect())
+        assert a == b
+
+    def test_stable_under_growth(self, spark, docs_df):
+        from sparksearchengine_spark.operators.sampling import sample_per_group
+
+        half = docs_df.where("doc_id % 2 = 0")
+        s_half = {r["doc_id"] for r in
+                  sample_per_group(half, "lang", 3, "doc_id").collect()}
+        s_full = {r["doc_id"] for r in
+                  sample_per_group(docs_df, "lang", 3, "doc_id").collect()}
+        # growth can only displace members, never add back non-members:
+        # full-corpus sample restricted to half's rows ⊆ half's sample
+        assert (s_full & {r["doc_id"] for r in half.collect()}) <= s_half
+
+
+class TestCleanText:
+    def test_normalization_rules(self, spark):
+        from sparksearchengine_spark.operators.textstats import clean_text
+
+        df = spark.createDataFrame(
+            [(1, "  a\tb\x00c  \n\n\n\nd  "), (2, None)],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r["text"] for r in clean_text(df).collect()}
+        assert rows[1] == "a bc\n\nd"
+        assert rows[2] is None
