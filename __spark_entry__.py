@@ -679,6 +679,23 @@ def _export_shard_assign(spark, sf):
     ).orderBy("doc_id")
 
 
+def _emb_quantize(spark, sf):
+    """Symmetric per-vector int8 quantization of the embedding table —
+    the 4x-smaller at-rest ANN format; explicit half-up rounding so the
+    int codes are engine-exact."""
+    from sparksearchengine_spark.operators.similarity import quantize_embeddings
+
+    emb = _read(spark, sf, "embeddings")
+    q = quantize_embeddings(emb)
+    return q.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.aggregate("qvec", F.lit(0).cast("long"),
+                    lambda acc, x: acc + F.abs(x)).alias("qabs_sum"),
+        F.element_at("qvec", 1).cast("long").alias("q_first"),
+    ).orderBy("vec_id")
+
+
 def _sample_per_group(spark, sf):
     """Deterministic per-group cap (5 docs per lang): hash-ordered rank,
     reproducible across engines and partitionings."""
@@ -1161,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks": _pack_chunks,
         "sample_per_group": _sample_per_group,
         "clean_text": _clean_text,
+        "emb_quantize": _emb_quantize,
         "doc_fingerprint": _doc_fingerprint,
         "lang_id": _lang_id,
         "events_asof": _events_asof,
@@ -1782,6 +1800,30 @@ def oracle_sql() -> dict[str, str]:
                               WHEN 'zh' THEN 0.1 * 10000
                               ELSE 0.0 END
             ORDER BY doc_id""",
+        "emb_quantize": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_max(list_transform(embedding, x -> abs(x))) / 127.0
+                       AS scale,
+                     embedding
+              FROM embeddings
+            ),
+            qq AS (
+              SELECT vec_id, scale,
+                     CASE WHEN scale = 0 THEN
+                       list_transform(embedding, x -> 0)
+                     ELSE
+                       list_transform(embedding,
+                                      x -> CAST(floor(x / scale + 0.5)
+                                                AS INTEGER))
+                     END AS qvec
+              FROM q
+            )
+            SELECT vec_id, round(CAST(scale AS DOUBLE), 6) AS scale,
+                   CAST(list_sum(list_transform(qvec, x -> abs(x)))
+                        AS BIGINT) AS qabs_sum,
+                   CAST(qvec[1] AS BIGINT) AS q_first
+            FROM qq ORDER BY vec_id""",
         "sample_per_group": """
             SELECT doc_id, lang FROM (
               SELECT doc_id, lang,

@@ -94,6 +94,92 @@ def cosine_topk(
     ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``(id, scale, qvec)`` with
+    ``qvec[i] = floor(v[i]/scale + 0.5)`` (explicit half-up — identical
+    in every engine, unlike round()'s mode-dependent ties), ``scale =
+    max|v|/127``. Cuts embedding memory/shuffle bytes 4× — the at-rest
+    format for a 100 TB ANN corpus; candidate scoring dequantizes
+    (``qvec[i]*scale``), exact re-rank reads the fp vector only for
+    finalists.
+
+    All-zero vectors get scale 0 and qvec of zeros (dequantizes to the
+    zero vector, never divides by zero).
+    """
+    v = F.col(vec_col)
+    scale = (
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    )
+    return df.select(
+        F.col(id_col),
+        scale.alias("scale"),
+        F.when(v.isNull(), None)
+        .otherwise(
+            F.transform(
+                v,
+                lambda x: F.when(scale == 0.0, F.lit(0)).otherwise(
+                    F.floor(x / scale + F.lit(0.5))
+                ).cast("int"),
+            )
+        )
+        .alias("qvec"),
+    )
+
+
+def dequantize_expr(qvec: Column, scale: Column) -> Column:
+    """array<float-ish doubles> back from (qvec, scale)."""
+    return F.transform(qvec, lambda q: q.cast("double") * scale)
+
+
+def cosine_topk_quantized(
+    items_q: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    item_id: str = "vec_id",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Brute-force cosine top-k over a QUANTIZED item table (the output
+    of ``quantize_embeddings``): same plan as ``cosine_topk`` with the
+    item vector dequantized in the scan. Approximation error is the int8
+    rounding only (recall measured against the fp path in the tests).
+    """
+    it = items_q.select(
+        F.col(item_id).alias("vec_id"),
+        dequantize_expr(F.col("qvec"), F.col("scale")).alias("_ivec"),
+    ).select(
+        "vec_id", "_ivec", norm_expr(F.col("_ivec")).alias("_inorm")
+    )
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_qvec"),
+        norm_expr(F.col(query_vec)).alias("_qnorm"),
+    )
+    scored = it.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        (
+            dot_expr(F.col("_ivec"), F.col("_qvec"))
+            / (F.col("_inorm") * F.col("_qnorm"))
+        ).alias("cos_sim"),
+    )
+    from sparksearchengine_spark.operators.search import topk_per_group
+
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("vec_id").asc()],
+        k=k,
+        salt_buckets=salt_buckets,
+        salt_col="vec_id",
+    ).select("query_id", "vec_id", "cos_sim", "rank")
+
+
 def cosine_topk_arrow(
     items: DataFrame,
     queries: DataFrame,

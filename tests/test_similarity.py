@@ -189,3 +189,44 @@ class TestEmbeddingNearDup:
             emb, threshold=0.35, num_planes=16, bands=8
         ).collect()
         assert {(r["id_a"], r["id_b"]) for r in approx} <= exact
+
+
+class TestQuantizedEmbeddings:
+    def test_quantize_dequantize_error_bound(self, spark):
+        from sparksearchengine_spark.operators.similarity import (
+            dequantize_expr, quantize_embeddings,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+            "vec_id long, embedding array<double>",
+        )
+        q = quantize_embeddings(df)
+        back = q.select(
+            "vec_id", "scale",
+            dequantize_expr(F.col("qvec"), F.col("scale")).alias("d"),
+        ).collect()
+        rows = {r["vec_id"]: r for r in back}
+        # error per component <= scale/2 = max_abs/254
+        orig = {1: [0.5, -1.0, 0.25], 2: [0.0, 0.0, 0.0]}
+        for vid, r in rows.items():
+            for a, b in zip(orig[vid], r["d"]):
+                assert abs(a - b) <= (r["scale"] or 0) / 2 + 1e-12
+        assert rows[2]["scale"] == 0.0 and rows[2]["d"] == [0.0, 0.0, 0.0]
+
+    def test_quantized_topk_recall(self, spark):
+        from sparksearchengine_spark.operators.similarity import (
+            cosine_topk, cosine_topk_quantized, quantize_embeddings,
+        )
+        from sparksearchengine_spark.operators.recall import topk_recall
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        queries = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        exact = cosine_topk(emb, queries, k=10)
+        quant = cosine_topk_quantized(
+            quantize_embeddings(emb), queries, k=10
+        )
+        r = topk_recall(quant, exact).collect()[0]
+        assert r["recall"] >= 0.9
