@@ -345,6 +345,11 @@ class SearchIndex:
 
         return more_like_this(self, source_ids, field=field, k=k, **kw)
 
+    def explain_score(self, query, doc_id):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.stats import explain_score
+
+        return explain_score(self, query, doc_id)
+
     def doc_counts(self) -> DataFrame:
         from sparksearchengine_spark.operators.stats import doc_counts
 

@@ -97,6 +97,86 @@ def doc_keywords(
     ).select("doc_id", "term", "tfidf", "rank")
 
 
+def explain_score(
+    index: "SearchIndex",
+    query,
+    doc_id,
+) -> DataFrame:
+    """Lucene ``Explanation`` analog: per-term score breakdown of ONE
+    doc under a query — ``(field, term, boost, tf, df_t, idf, tscore)``
+    where ``sum(boost * tscore)`` over the rows is exactly the doc's
+    score in ``search()`` (same precomputed ``scored_postings`` floats,
+    not a re-derivation that could drift).
+
+    Walks the AST collecting positively-scored (field, term, boost)
+    leaves (MatchTerm/MatchTermSet/MatchText/phrase/Boost subtrees);
+    Not-subtrees contribute nothing, mirroring the compiler where
+    anti-joined branches never add score. Terms absent from the doc
+    yield no row — an empty result means "matched by filters only or
+    not at all".
+    """
+    from sparksearchengine_spark.functions.analyzers import tokenize_py
+    from sparksearchengine_spark.plans import ast
+
+    leaves: list[tuple[str, str, float]] = []
+
+    def walk(q, boost: float) -> None:
+        if isinstance(q, ast.Boost):
+            walk(q.operand, boost * q.factor)
+        elif isinstance(q, ast.MatchTerm):
+            leaves.append((q.field, q.term, boost))
+        elif isinstance(q, ast.MatchTermSet):
+            leaves.extend((q.field, t, boost) for t in q.terms)
+        elif isinstance(q, (ast.MatchText, ast.MatchPhrase)):
+            analyzer = index.corpus.text_cols[q.field].analyzer
+            leaves.extend(
+                (q.field, t, boost)
+                for t in tokenize_py(q.text, analyzer)
+            )
+        elif isinstance(q, (ast.And, ast.Or)):
+            for op in q.operands:
+                walk(op, boost)
+        elif isinstance(q, ast.Not):
+            pass  # anti-joined branch: contributes no score
+        # filters / AllDocs / wildcard+fuzzy expansions score via their
+        # own compilation; wildcard term sets aren't statically known
+        # here, so they are out of explain's term-leaf scope
+
+    walk(query, 1.0)
+    spark = index.postings.sparkSession
+    if not leaves:
+        return spark.createDataFrame(
+            [], "field string, term string, boost double, tf bigint, "
+                "df_t bigint, idf double, tscore double"
+        )
+    q_df = spark.createDataFrame(
+        sorted(set(leaves)), "field string, term string, boost double"
+    )
+    rows = None
+    for field in {f for f, _, _ in leaves}:
+        sp = index.scored_postings(field).where(F.col("doc_id") == doc_id)
+        part = (
+            q_df.where(F.col("field") == field)
+            .join(sp, "term")
+            .join(
+                index.postings.where(
+                    (F.col("field") == field) & (F.col("doc_id") == doc_id)
+                ).select("term", "tf"),
+                "term",
+            )
+            .join(
+                term_idfs(index).where(F.col("field") == field).select(
+                    "term", "df_t", "idf"
+                ),
+                "term",
+            )
+            .select("field", "term", "boost", "tf", "df_t", "idf",
+                    F.col("tscore"))
+        )
+        rows = part if rows is None else rows.unionByName(part)
+    return rows
+
+
 def indices_info(index: "SearchIndex") -> dict:
     """M4/M5 — index shape metadata (reference `IndicesInfo.scala:6-34`)."""
     n_postings = index.postings.count()

@@ -91,3 +91,43 @@ def test_custom_scorer_registry(tiny_corpus):
     ).build_index(scoring=ScoringConfig(similarity="const7"))
     got = scores(idx, Q.field("text").match_term("a"))
     assert got == {1: 7.0, 2: 7.0}
+
+
+class TestExplainScore:
+    def test_breakdown_sums_to_search_score(self, spark, tiny_index):
+        from sparksearchengine_spark import Q
+        from pyspark.sql import functions as F
+
+        q = Q.field("text").match_any("a", "b")
+        hits = {r["doc_id"]: r["score"]
+                for r in tiny_index.search(q, k=10).collect()}
+        for doc_id, score in hits.items():
+            rows = tiny_index.explain_score(q, doc_id).collect()
+            total = sum(r["boost"] * r["tscore"] for r in rows)
+            assert abs(total - score) < 1e-12
+            assert all(r["tf"] >= 1 and r["df_t"] >= 1 for r in rows)
+
+    def test_boost_multiplies_contribution(self, spark, tiny_index):
+        from sparksearchengine_spark import Q
+        from sparksearchengine_spark.plans import ast
+
+        base = Q.field("text").match_term("a")
+        boosted = ast.Boost(base, 2.0)
+        r1 = tiny_index.explain_score(base, 1).collect()[0]
+        r2 = tiny_index.explain_score(boosted, 1).collect()[0]
+        assert r2["boost"] == 2.0 and r1["boost"] == 1.0
+        assert r1["tscore"] == r2["tscore"]
+
+    def test_not_branch_contributes_nothing(self, spark, tiny_index):
+        from sparksearchengine_spark import Q
+
+        q = Q.field("text").match_term("a") & ~Q.field("text").match_term("b")
+        rows = tiny_index.explain_score(q, 2).collect()
+        assert {r["term"] for r in rows} == {"a"}
+
+    def test_unmatched_doc_empty(self, spark, tiny_index):
+        from sparksearchengine_spark import Q
+
+        q = Q.field("text").match_term("a")
+        # doc 3 = [b, b, c, c] has no 'a'
+        assert tiny_index.explain_score(q, 3).count() == 0
