@@ -343,11 +343,11 @@ def query_join(
 
     ``dedup_queries`` (default on): rows of ``other`` whose analyzed
     DISTINCT term sets are identical execute as ONE query — the score
-    depends only on that set, so grouping by the sorted token array is
-    exact, and a zipfian query log (the realistic 100 TB batch workload)
-    stops re-scoring the same hot posting lists once per duplicate. The
-    sorted array is also a deterministic join-back key, so this path
-    needs no synthesized row id at all.
+    depends only on that set, so keying on an md5 of the sorted token
+    array is exact, and a zipfian query log (the realistic 100 TB batch
+    workload) stops re-scoring the same hot posting lists once per
+    duplicate. The hash is a deterministic join-back key, so this path
+    needs no synthesized row id and no checkpoint barrier at all.
 
     ``min_should_match``/``require_all`` mirror matchAny/matchMin/matchAll
     query generation.
@@ -357,25 +357,27 @@ def query_join(
 
     if dedup_queries:
         # One execution per distinct (sorted) term set. Execution is
-        # keyed on a compact long `_rid` — NOT the array itself: the
-        # group key rides every row of the postings-join fan-out, so an
-        # array key would shuffle each query's whole token list millions
-        # of times. The (rid, _qkey) mapping is tiny (one row per
-        # distinct query); monotonically_increasing_id on it is pinned
-        # with a lazy localCheckpoint exactly like the id path below.
-        # NULL text -> NULL _qkey -> never matches -> left join yields
+        # keyed on a compact md5 of the sorted tokens — NOT the array
+        # itself: the group key rides every row of the postings-join
+        # fan-out, so an array key would shuffle each query's whole
+        # token list millions of times. Because the key is a pure
+        # function of the tokens (tokens are alphanumeric post-analysis,
+        # so the \x1f join is unambiguous; 128 bits, collisions
+        # negligible), it is deterministic across plan branches — no
+        # synthesized id, no checkpoint barrier, and the join-back is a
+        # plain equi-join on the hash. NULL/empty text hashes but
+        # explodes to no terms -> no ranked rows -> left join yields
         # null match columns, same as the id path.
-        other = other.withColumn("_qkey", F.sort_array(qtoks))
-        reps = (
-            other.select("_qkey")
-            .distinct()
-            .withColumn("_rid", F.monotonically_increasing_id())
-            .localCheckpoint(eager=False)
+        other = other.withColumn("_qkey", F.sort_array(qtoks)).withColumn(
+            "_qh", F.md5(F.concat_ws("\x1f", F.col("_qkey")))
         )
-        qterms = reps.select(
-            F.col("_rid").alias("query_id"),
-            F.size("_qkey").alias("_nq"),
-            F.explode("_qkey").alias("term"),
+        qterms = (
+            other.select(
+                F.col("_qh").alias("query_id"),
+                F.size("_qkey").alias("_nq"),
+                F.explode("_qkey").alias("term"),
+            )
+            .dropDuplicates(["query_id", "term"])
         )
     else:
         if other_id_col is None:
@@ -420,13 +422,14 @@ def query_join(
     ).select(key, F.col(DOC_ID).alias("match_doc_id"), SCORE, "rank")
 
     if dedup_queries:
-        # rid -> _qkey (small dim join), then fan results back out to
-        # every `other` row sharing the term set.
-        ranked = (
-            ranked.join(reps, ranked["query_id"] == reps["_rid"])
-            .drop("_rid", "query_id")
+        # fan results back out to every `other` row sharing the term
+        # set: plain left equi-join on the deterministic hash.
+        out = (
+            other.join(
+                ranked, other["_qh"] == ranked["query_id"], "left"
+            )
+            .drop("query_id", "_qkey", "_qh")
         )
-        out = other.join(ranked, "_qkey", "left").drop("_qkey")
     else:
         out = other.join(
             ranked, other[other_id_col] == ranked["query_id"], "left"
