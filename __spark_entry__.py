@@ -22,6 +22,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from sparksearchengine_spark import Corpus, Q, TextOptions
 from sparksearchengine_spark.functions.scoring import bm25_term_score, idf_expr
@@ -57,10 +58,25 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # events.ts is parquet TIMESTAMP(NANOS), unreadable by Spark 4 defaults;
-    # read it as nanos-since-epoch long (runtime-settable legacy conf).
+    # Downstream event queries all compute on ts as NANOS-since-epoch long.
+    # The driver's events.ts has shipped as both parquet TIMESTAMP(NANOS)
+    # (Spark 4 reads it as long only under the legacy conf) and
+    # TIMESTAMP(MICROS, isAdjustedToUTC=0) (Spark reads TIMESTAMP_NTZ);
+    # normalize either to the long-nanos shape the queries (and their
+    # DuckDB epoch_ns oracles, which treat naive wall time as UTC) expect.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if not isinstance(ev.schema["ts"].dataType, LongType):
+        # NTZ->instant cast uses the session tz: pin UTC so wall time maps
+        # to epoch exactly as DuckDB's epoch_ns does on naive timestamps.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        ev = ev.withColumn(
+            "ts",
+            (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast(
+                "long"
+            ),
+        )
+    return ev
 
 
 def _docs_index(spark: SparkSession, sf_dir: str):
@@ -299,7 +315,7 @@ def _qc15(spark, sf):
     ).select("doc_id", "text")
     res = query_join(
         idx, other, text_col="text", field="text", k=QC15_K,
-        other_id_col="doc_id",
+        other_id_col="doc_id", dedup_queries=True,
     )
     return res.select(
         F.col("doc_id").alias("query_id"),

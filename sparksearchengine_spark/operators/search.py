@@ -42,9 +42,23 @@ SCORE = "score"
 # safely broadcastable (rows fan out ~10-50 terms each); fall back to a
 # shuffle-hash join on term so the big self-join case (reference
 # `examples/SearchableRDDExamples.scala:68-82`, corpus joined to itself)
-# cannot OOM the driver. Probed with limit(n+1).count() — an early-exit
-# scan, not a full count.
+# cannot OOM the driver.
 BROADCAST_MAX_QUERY_ROWS = 100_000
+# sizeInBytes fallback when the optimized plan carries no row count:
+# ~max_rows * a few hundred bytes of query text + id per row. Catalyst's
+# size estimates only ever OVER-estimate post-filter sizes, so an
+# estimate under this bound is genuinely broadcast-safe.
+BROADCAST_MAX_QUERY_BYTES = 32 << 20
+
+
+def _plan_stats(df: DataFrame) -> tuple[int | None, int]:
+    """(row_count or None, size_in_bytes) from Catalyst's optimized-plan
+    statistics — a pure driver-side estimate; launches NO Spark job."""
+    st = df._jdf.queryExecution().optimizedPlan().stats()
+    rc = st.rowCount()
+    # py4j converts scala BigInt to int; str() round-trip guards either way
+    rows = int(str(rc.get())) if rc.isDefined() else None
+    return rows, int(str(st.sizeInBytes()))
 
 
 def _hint_query_side(
@@ -56,15 +70,22 @@ def _hint_query_side(
     """Pick the join strategy for the query-terms side of a postings join.
 
     ``broadcast_queries``: True forces broadcast, False forces the
-    shuffle-hash path, None (default) probes ``queries_df``'s row count
-    with an early-exit limit scan and broadcasts only under ``max_rows``.
-    The shuffle-hash hint keeps the postings side from being chosen as a
-    (sort-merge) build and lets AQE's skew-join splitting apply on hot
-    terms.
+    shuffle-hash path. None (default) decides from Catalyst's
+    optimized-plan statistics on ``queries_df`` — row count when the plan
+    carries one (local relations, limits), else sizeInBytes — a
+    driver-side estimate that launches no job. (The earlier
+    limit(n+1).count() probe re-ran the whole query-side plan, incl.
+    tokenization, once per call — a full extra pass at 100 TB.)
+    Over-estimates fall back to shuffle-hash, the safe direction: the
+    postings side is still never the build side, and AQE's skew-join
+    splitting applies on hot terms.
     """
     if broadcast_queries is None:
+        rows, size = _plan_stats(queries_df)
         broadcast_queries = (
-            queries_df.limit(max_rows + 1).count() <= max_rows
+            rows <= max_rows
+            if rows is not None
+            else size <= BROADCAST_MAX_QUERY_BYTES
         )
     return F.broadcast(qterms) if broadcast_queries else qterms.hint("shuffle_hash")
 
@@ -322,7 +343,7 @@ def query_join(
     with_elements: bool = False,
     salt_buckets: int | None = None,
     broadcast_queries: bool | None = None,
-    dedup_queries: bool = True,
+    dedup_queries: bool = False,
 ) -> DataFrame:
     """E7 — the flagship similarity join: for each row of ``other``, run the
     query generated from its ``text_col`` against the index, keep top-k.
@@ -341,13 +362,17 @@ def query_join(
     and ``salt_buckets`` two-stages the rank window. Per-posting scores
     come precomputed from the index cache.
 
-    ``dedup_queries`` (default on): rows of ``other`` whose analyzed
+    ``dedup_queries`` (default OFF): rows of ``other`` whose analyzed
     DISTINCT term sets are identical execute as ONE query — the score
     depends only on that set, so keying on an md5 of the sorted token
-    array is exact, and a zipfian query log (the realistic 100 TB batch
-    workload) stops re-scoring the same hot posting lists once per
-    duplicate. The hash is a deterministic join-back key, so this path
-    needs no synthesized row id and no checkpoint barrier at all.
+    array is exact, and a zipfian query log stops re-scoring the same hot
+    posting lists once per duplicate. The hash is a deterministic
+    join-back key, so this path needs no synthesized row id and no
+    checkpoint barrier. It is opt-in because on all-distinct inputs (the
+    reference's flagship corpus self-join) the extra sort_array+md5 per
+    row, the dropDuplicates shuffle, and the hash-keyed fan-back join buy
+    nothing and cost ~2.4x wall clock (measured at sf0.1); turn it on for
+    duplicate-heavy query logs, where it wins by the duplication factor.
 
     ``min_should_match``/``require_all`` mirror matchAny/matchMin/matchAll
     query generation.
@@ -356,20 +381,28 @@ def query_join(
     qtoks = F.array_distinct(analyzer_expr(F.col(text_col), analyzer))
 
     if dedup_queries:
+        clash = {"_qkey", "_qh"} & set(other.columns)
+        if clash:
+            raise ValueError(
+                f"query_join(dedup_queries=True) reserves internal columns "
+                f"{sorted(clash)}; rename them in `other` first"
+            )
         # One execution per distinct (sorted) term set. Execution is
         # keyed on a compact md5 of the sorted tokens — NOT the array
         # itself: the group key rides every row of the postings-join
         # fan-out, so an array key would shuffle each query's whole
-        # token list millions of times. Because the key is a pure
-        # function of the tokens (tokens are alphanumeric post-analysis,
-        # so the \x1f join is unambiguous; 128 bits, collisions
-        # negligible), it is deterministic across plan branches — no
-        # synthesized id, no checkpoint barrier, and the join-back is a
-        # plain equi-join on the hash. NULL/empty text hashes but
-        # explodes to no terms -> no ranked rows -> left join yields
-        # null match columns, same as the id path.
+        # token list millions of times. The hash input is the JSON
+        # encoding of the array, which is collision-proof for ANY token
+        # content (a custom analyzer may emit tokens containing any
+        # separator byte; a bare concat_ws join would be ambiguous).
+        # Because the key is a pure function of the tokens, it is
+        # deterministic across plan branches — no synthesized id, no
+        # checkpoint barrier, and the join-back is a plain equi-join on
+        # the hash. NULL/empty text hashes but explodes to no terms ->
+        # no ranked rows -> left join yields null match columns, same as
+        # the id path.
         other = other.withColumn("_qkey", F.sort_array(qtoks)).withColumn(
-            "_qh", F.md5(F.concat_ws("\x1f", F.col("_qkey")))
+            "_qh", F.md5(F.to_json(F.col("_qkey")))
         )
         qterms = (
             other.select(
@@ -396,8 +429,8 @@ def query_join(
         )
     key = "query_id"
 
-    # probe `other`, not the distinct frame: its row count upper-bounds
-    # the dedup'd side and the early-exit limit scan stays cheap.
+    # size `other`, not the distinct frame: its stats upper-bound the
+    # dedup'd side and carry the source's (accurate) scan estimate.
     qside = _hint_query_side(qterms, other, broadcast_queries)
     scored = (
         index.scored_postings(field)

@@ -150,6 +150,67 @@ class TestQueryJoin:
         assert [m["match_doc_id"] for m in nested[0]["matches"]] == [1, 2]
 
 
+class TestQueryJoinDedup:
+    """dedup_queries=True must be a pure optimization: row-for-row equal
+    to the id path, including on duplicate-heavy inputs where the
+    dropDuplicates guard actually fires."""
+
+    def test_dedup_equals_id_path_on_duplicates(self, docs_df, docs_index):
+        # 15 query rows, every text repeated 3x — the zipfian-log shape
+        dup = (
+            docs_df.where(F.col("doc_id") < 5)
+            .select("doc_id", "text")
+            .withColumn("copy", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))))
+            .select(
+                (F.col("doc_id") * 10 + F.col("copy")).alias("qid"), "text"
+            )
+        )
+        cols = ["qid", "match_doc_id", "score", "rank"]
+        on = docs_index.query_join(
+            dup, text_col="text", field="text", k=3,
+            other_id_col="qid", dedup_queries=True,
+        ).select(*cols)
+        off = docs_index.query_join(
+            dup, text_col="text", field="text", k=3,
+            other_id_col="qid", dedup_queries=False,
+        ).select(*cols)
+        assert sorted(map(tuple, on.collect())) == sorted(map(tuple, off.collect()))
+
+    def test_dedup_key_separator_unambiguous(self, spark):
+        """ADVICE r2: the whitespace analyzer passes \\x1f through inside a
+        token, so ['a\\x1fb'] and ['a','b'] are DISTINCT term sets and must
+        not collide into one execution (the old concat_ws('\\x1f') key did)."""
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        corpus = spark.createDataFrame(
+            [(1, "a b")], "doc_id long, text string"
+        )
+        idx = Corpus(
+            corpus, id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="whitespace")},
+        ).build_index()
+        other = spark.createDataFrame(
+            [(1, "a\x1fb"), (2, "b a")], "id long, t string"
+        )
+        res = idx.query_join(
+            other, text_col="t", field="text", k=5,
+            other_id_col="id", dedup_queries=True,
+        ).collect()
+        by_id = {r["id"]: r for r in res}
+        assert by_id[1]["match_doc_id"] is None  # no term 'a\x1fb' indexed
+        assert by_id[2]["match_doc_id"] == 1
+
+    def test_dedup_reserved_columns_raise(self, spark, tiny_index):
+        other = spark.createDataFrame(
+            [(1, "a", "user-data")], "id long, t string, _qh string"
+        )
+        with pytest.raises(ValueError, match="_qh"):
+            tiny_index.query_join(
+                other, text_col="t", field="text", k=2,
+                other_id_col="id", dedup_queries=True,
+            )
+
+
 class TestPlanShape:
     """Physical-plan regression guards: the scale properties SURVEY §4
     promises must be visible in the executed plan, not just fast today."""
@@ -186,6 +247,23 @@ class TestPlanShape:
             other_id_col="doc_id", broadcast_queries=False,
         ).select("doc_id", "match_doc_id", "rank")
         assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
+
+    def test_broadcast_decision_launches_no_job(self, spark, docs_df, docs_index):
+        """VERDICT r2 #4: deciding broadcast-vs-shuffle-hash must be a
+        driver-side stats estimate, not a probe job — at 100 TB the old
+        limit+count probe re-ran the whole query-side plan once per call."""
+        docs_index.scored_postings("text")  # warm the postings cache
+        sc = spark.sparkContext
+        sc.setLocalProperty("spark.jobGroup.id", "probe-check")
+        try:
+            docs_index.query_join(
+                docs_df.limit(50), text_col="text", field="text", k=3,
+                other_id_col="doc_id",
+            )  # plan construction only — no action
+            jobs = sc.statusTracker().getJobIdsForGroup("probe-check")
+            assert list(jobs) == [], f"broadcast decision launched jobs {jobs}"
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
 
     def test_with_elements_broadcasts_hits_not_corpus(self, docs_index):
         from sparksearchengine_spark.plans.ast import Q as _Q
