@@ -1092,17 +1092,30 @@ def _doc_winnow(spark, sf):
 
 
 def _mm_image_features(spark, sf):
-    """Multimodal plumbing: binary column -> mapInPandas feature extraction
-    (deterministic fake codec; sha-based => rows-only check)."""
-    from sparksearchengine_spark.operators.multimodal import image_features
+    """Multimodal plumbing: binary column -> mapInPandas fake-codec decode.
+
+    The fake codec expands sha256 hex-digest chains, so the exact pixel
+    bytes are computable in DuckDB (recursive sha256(VARCHAR) chain) —
+    the check is integer-exact: each pixel is byte/256.0 (float32-exact),
+    so round(px*256) recovers the byte and the per-doc byte sum carries
+    no float noise at all. Pins content encoding, the sha chain, and the
+    Arrow mapInPandas decode plumbing end to end."""
+    from sparksearchengine_spark.operators.multimodal import decode_images
 
     docs = _read(spark, sf, "documents")
     media = docs.select("doc_id", F.encode("text", "utf-8").alias("content"))
-    feats = image_features(media, dim=16, codec="fake")
-    return feats.select(
-        "doc_id", F.round(F.aggregate(
-            "embedding", F.lit(0.0), lambda a, x: a + x.cast("double")
-        ), 6).alias("emb_sum"))
+    px = decode_images(media, codec="fake")
+    return px.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_channels",
+        F.aggregate(
+            "pixels",
+            F.lit(0).cast("long"),
+            lambda a, x: a + F.round(x.cast("double") * 256).cast("long"),
+        ).alias("px_byte_sum"),
+    )
 
 
 def _events_sessionize(spark, sf):
@@ -1747,13 +1760,29 @@ def oracle_sql() -> dict[str, str]:
                    round(max(value), 6) AS max_value
             FROM events
             GROUP BY 1, 2 ORDER BY 1, 2""",
-        # dedup_minhash_lsh, dedup_simhash, emb_lsh_topk, emb_ivf_topk,
-        # mm_image_features: intentionally omitted -> driver's weaker
-        # rows-only check (xxhash64 / LSH bucketing / sha-based fake codec
-        # has no DuckDB equivalent). Their CORRECTNESS story is the
-        # dedup_recall / ann_recall entries, which hold each approximate
-        # op to a recall threshold against its exact, oracle-checked
-        # baseline.
+        # dedup_minhash_lsh, dedup_simhash, emb_lsh_topk, emb_ivf_topk:
+        # intentionally omitted -> driver's weaker rows-only check
+        # (xxhash64 / LSH bucketing has no DuckDB equivalent). Their
+        # CORRECTNESS story is the dedup_recall / ann_recall entries,
+        # which hold each approximate op to a recall threshold against
+        # its exact, oracle-checked baseline.
+        # mm_image_features: the fake codec is a sha256 HEX-digest chain
+        # (multimodal._fake_decode), replicated below as a recursive CTE;
+        # 8x8x3 = 192 px = exactly 6 sha blocks x 32 bytes, each px is
+        # byte/256.0 so the byte sum is integer-exact on both engines.
+        "mm_image_features": """
+            WITH RECURSIVE chain(doc_id, i, h) AS (
+              SELECT doc_id, 0, sha256(text) FROM documents
+              UNION ALL
+              SELECT doc_id, i + 1, sha256(h) FROM chain WHERE i < 6
+            )
+            SELECT c.doc_id,
+                   8 AS width, 8 AS height, 3 AS n_channels,
+                   CAST(sum(CAST(('0x' || substr(c.h, CAST(2 * t.p + 1 AS INT), 2)) AS INT)) AS BIGINT) AS px_byte_sum
+            FROM chain c, unnest(range(32)) AS t(p)
+            WHERE c.i >= 1
+            GROUP BY c.doc_id
+            ORDER BY c.doc_id""",
         "qc21_search_elements": _CTE + f"""
             , scored AS (
               SELECT p.doc_id, sum({score}) AS s

@@ -100,13 +100,19 @@ def read_media_dir(spark, path: str, mime: str = "application/octet-stream") -> 
 
 def _fake_decode(content: bytes, n: int) -> list[float]:
     """Deterministic bytes -> n floats in [0,1): repeated sha256 expansion.
-    Stands in for a real pixel/sample decode in tests."""
+    Stands in for a real pixel/sample decode in tests.
+
+    The chain runs over HEX digests (block_{i+1} = sha256(hex(block_i))),
+    not raw digest bytes, so the exact same expansion is expressible in
+    engines whose sha256 only accepts strings (DuckDB's VARCHAR-only
+    sha256) — that makes the fake codec oracle-checkable end to end.
+    Every emitted float is byte/256.0, exactly representable in float32.
+    """
     out: list[float] = []
-    seed = hashlib.sha256(content or b"").digest()
-    block = seed
+    block = hashlib.sha256(content or b"").hexdigest()
     while len(out) < n:
-        block = hashlib.sha256(block).digest()
-        out.extend(b / 256.0 for b in block)
+        block = hashlib.sha256(block.encode("ascii")).hexdigest()
+        out.extend(int(block[i : i + 2], 16) / 256.0 for i in range(0, 64, 2))
     return out[:n]
 
 

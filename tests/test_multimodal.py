@@ -65,26 +65,72 @@ class TestDecode:
         with pytest.raises(Exception, match="unknown codec"):
             decode_images(media_df, codec="bogus").collect()
 
-    @pytest.mark.skipif("not _HAS_PIL")
-    def test_real_codec_decodes_png(self, spark):
-        # only runs where pillow is installed: a real 2x2 PNG roundtrips
-        # through the same mapInPandas plumbing as the fake codec
-        import io
+    def test_real_codec_decodes_png(self, spark, monkeypatch):
+        """The codec='real' branch runs in BOTH containers (no skip):
 
-        from PIL import Image
+        * with pillow installed, a real 2x2 PNG roundtrips through the
+          same mapInPandas plumbing as the fake codec;
+        * without it, a minimal PIL stand-in (Image.open ->
+          convert('RGB') -> __array__) is injected into sys.modules and
+          _decode_image_bytes is called directly — its `from PIL import
+          Image` happens at call time, so the stub exercises the exact
+          real-branch code (BytesIO open, RGB convert, numpy scale to
+          [0,1], ravel). The absence behavior itself is pinned by
+          test_real_codec_raises above.
+        """
+        import sys
+        import types
 
-        from sparksearchengine_spark.operators.multimodal import decode_images
+        import numpy as np
 
-        buf = io.BytesIO()
-        Image.new("RGB", (2, 2), (255, 0, 0)).save(buf, format="PNG")
-        df = spark.createDataFrame(
-            [(1, buf.getvalue())], "doc_id long, content binary"
+        if _HAS_PIL:
+            import io
+
+            from PIL import Image
+
+            from sparksearchengine_spark.operators.multimodal import decode_images
+
+            buf = io.BytesIO()
+            Image.new("RGB", (2, 2), (255, 0, 0)).save(buf, format="PNG")
+            df = spark.createDataFrame(
+                [(1, buf.getvalue())], "doc_id long, content binary"
+            )
+            (r,) = decode_images(df, codec="real").collect()
+            assert (r["width"], r["height"], r["n_channels"]) == (2, 2, 3)
+            assert len(r["pixels"]) == 2 * 2 * 3
+            assert r["pixels"][0] == pytest.approx(1.0)  # red channel
+            assert r["pixels"][1] == pytest.approx(0.0)
+            return
+
+        class _FakeImg:
+            size = (2, 2)
+
+            def convert(self, mode):
+                assert mode == "RGB"
+                return self
+
+            def __array__(self, dtype=None, copy=None):
+                a = np.zeros((2, 2, 3), dtype=np.uint8)
+                a[:, :, 0] = 255  # solid red
+                return a.astype(dtype) if dtype else a
+
+        fake_image_mod = types.SimpleNamespace(open=lambda fp: _FakeImg())
+        fake_pil = types.ModuleType("PIL")
+        fake_pil.Image = fake_image_mod
+        monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+        monkeypatch.setitem(
+            sys.modules, "PIL.Image", fake_image_mod  # type: ignore[arg-type]
         )
-        (r,) = decode_images(df, codec="real").collect()
-        assert (r["width"], r["height"], r["n_channels"]) == (2, 2, 3)
-        assert len(r["pixels"]) == 2 * 2 * 3
-        assert r["pixels"][0] == pytest.approx(1.0)  # red channel
-        assert r["pixels"][1] == pytest.approx(0.0)
+        content = b"\x89PNG-fake"
+
+        from sparksearchengine_spark.operators.multimodal import (
+            _decode_image_bytes,
+        )
+
+        w, h, c, px = _decode_image_bytes(content, "real")
+        assert (w, h, c) == (2, 2, 3)
+        assert len(px) == 12
+        assert px[0] == pytest.approx(1.0) and px[1] == pytest.approx(0.0)
 
 
 class TestResize:
