@@ -773,6 +773,22 @@ def _qc26(spark, sf):
     return exact.crossJoin(sloppy)
 
 
+def _qc27(spark, sf):
+    """E11/E12 durable point-lookup layout: save(doc_buckets=8) -> load
+    (corpus comes from the save itself) -> get_elements prunes to the
+    requested ids' bucket partitions; rows must equal qc13's oracle."""
+    import tempfile
+
+    from sparksearchengine_spark.operators.index import SearchIndex
+
+    idx = _docs_index(spark, sf)
+    path = tempfile.mkdtemp(prefix="ssidx_qc27_") + "/idx"
+    idx.save(path, doc_buckets=8)
+    loaded = SearchIndex.load(spark, path)
+    res = loaded.get_elements(QC13_IDS)
+    return res.select("requested_id", "text", "n_chars").orderBy("requested_id")
+
+
 def _events_trending(spark, sf):
     """Trending rollup: top-3 event types per hour (rank over the
     windowed-counts rollup, not the raw events)."""
@@ -1176,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc24_batch_shuffle_hash": _qc24,
         "qc25_raw_query": _qc25,
         "qc26_phrase_slop": _qc26,
+        "qc27_doc_bucket_lookup": _qc27,
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -2348,4 +2365,5 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
     o["qc23_query_join_idpath"] = o["qc15_query_join"]
     o["qc24_batch_shuffle_hash"] = o["qc11_batch_search"]
     o["qc25_raw_query"] = o["qc22_match_alltext"]
+    o["qc27_doc_bucket_lookup"] = o["qc13_doc_lookup"]
     return o

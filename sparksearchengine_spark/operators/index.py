@@ -61,6 +61,20 @@ def term_bucket_expr(col, n: int):  # type: ignore[no-untyped-def]
     return F.pmod(F.crc32(col.cast("binary")), F.lit(n))
 
 
+DOC_BUCKET = "_dbucket"  # partition column of a doc-bucketed saved corpus
+
+
+def doc_bucket(doc_id, n: int) -> int:  # type: ignore[no-untyped-def]
+    """Driver-side bucket of a doc id — MUST match :func:`doc_bucket_expr`
+    (same crc32-of-string contract as :func:`term_bucket`), so point
+    lookups compute their target partition without a Spark job."""
+    return zlib.crc32(str(int(doc_id)).encode("utf-8")) % n
+
+
+def doc_bucket_expr(col, n: int):  # type: ignore[no-untyped-def]
+    return F.pmod(F.crc32(col.cast("string").cast("binary")), F.lit(n))
+
+
 @dataclass(frozen=True)
 class FieldStats:
     doc_count: int  # docs with ≥1 token in this field (Lucene docCount)
@@ -257,6 +271,8 @@ class SearchIndex:
         fieldstats: dict[str, FieldStats],
         scoring: ScoringConfig,
         term_buckets: int | None = None,
+        doc_buckets: int | None = None,
+        corpus_store: DataFrame | None = None,
     ) -> None:
         self.corpus = corpus
         self.postings = postings
@@ -266,6 +282,11 @@ class SearchIndex:
         # set on indexes loaded from a term-bucketed save: postings carry a
         # _tbucket partition column and term queries prune to its buckets
         self.term_buckets = term_buckets
+        # set on indexes loaded from a doc-bucketed save: `corpus_store` is
+        # the corpus scan WITH its _dbucket partition column, so point
+        # lookups (E11/E12) prune to their bucket's files at the scan
+        self.doc_buckets = doc_buckets
+        self.corpus_store = corpus_store
         self._scored_cache: dict[str, DataFrame] = {}
         # per-phrase-query persisted scans, registered by the compiler so
         # unpersist() can release them (no leaked cached blocks in a
@@ -335,6 +356,11 @@ class SearchIndex:
 
         return query_join(self, other, text_col=text_col, field=field, k=k, **kw)
 
+    def get_element(self, doc_id):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.search import get_element
+
+        return get_element(self, doc_id)
+
     def get_elements(self, ids):  # type: ignore[no-untyped-def]
         from sparksearchengine_spark.operators.search import get_elements
 
@@ -386,7 +412,12 @@ class SearchIndex:
             scoring=self.scoring,
         )
 
-    def save(self, path: str, term_buckets: int | None = None) -> None:
+    def save(
+        self,
+        path: str,
+        term_buckets: int | None = None,
+        doc_buckets: int | None = None,
+    ) -> None:
         """Persist the index as Parquet (replaces the reference's serialized
         RAMDirectory + Kryo machinery, `LuceneIndex.scala:92-118`).
 
@@ -396,6 +427,14 @@ class SearchIndex:
         partitioned layout survives restarts). A loaded index then prunes
         term queries to their buckets at the SCAN (PartitionFilters), so a
         k-term query on a 100 TB index reads ≤ k/n of the postings files.
+
+        With ``doc_buckets=n`` the CORPUS is also written, partitioned by
+        ``_dbucket = crc32(str(doc_id)) % n`` — the E11/E12 lookup layout
+        (the reference routes a point lookup to partition
+        ``id % numPartitions``, `PartitionsIndexLuceneRDD.scala:403-424`;
+        same idea, durable). ``get_element(s)`` on the loaded index
+        compute the bucket driver-side and prune the scan to that
+        bucket's files instead of filtering the whole corpus.
         """
         pw = self.postings
         if term_buckets:
@@ -413,8 +452,18 @@ class SearchIndex:
         self.termstats.write.mode("overwrite").parquet(
             os.path.join(path, "termstats")
         )
+        if doc_buckets:
+            cw = self.corpus.df.withColumn(
+                DOC_BUCKET,
+                doc_bucket_expr(F.col(self.corpus.id_col), doc_buckets),
+            )
+            cw = cw.repartition(doc_buckets, DOC_BUCKET)
+            cw.write.mode("overwrite").partitionBy(DOC_BUCKET).parquet(
+                os.path.join(path, "corpus")
+            )
         meta = {
             "term_buckets": term_buckets,
+            "doc_buckets": doc_buckets,
             "id_col": self.corpus.id_col,
             "text_cols": {
                 f: {"analyzer": o.analyzer, "positions": o.positions}
@@ -435,9 +484,22 @@ class SearchIndex:
             json.dump(meta, fh)
 
     @staticmethod
-    def load(spark: SparkSession, path: str, corpus_df: DataFrame) -> "SearchIndex":
+    def load(
+        spark: SparkSession, path: str, corpus_df: DataFrame | None = None
+    ) -> "SearchIndex":
         with open(os.path.join(path, "meta.json")) as fh:
             meta = json.load(fh)
+        doc_buckets = meta.get("doc_buckets")
+        corpus_store = None
+        if doc_buckets:
+            corpus_store = spark.read.parquet(os.path.join(path, "corpus"))
+            if corpus_df is None:
+                corpus_df = corpus_store.drop(DOC_BUCKET)
+        if corpus_df is None:
+            raise ValueError(
+                "corpus_df is required: this save carries no stored corpus "
+                "(write one with save(path, doc_buckets=n))"
+            )
         corpus = Corpus(
             corpus_df,
             id_col=meta["id_col"],
@@ -456,6 +518,8 @@ class SearchIndex:
             },
             scoring=ScoringConfig(**meta["scoring"]),
             term_buckets=meta.get("term_buckets"),
+            doc_buckets=doc_buckets,
+            corpus_store=corpus_store,
         )
 
     def unpersist(self) -> None:

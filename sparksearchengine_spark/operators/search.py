@@ -496,24 +496,48 @@ def collect_matches(joined: DataFrame, group_cols: list[str]) -> DataFrame:
 # -- E11/E12: lookups ------------------------------------------------------
 
 
+def _lookup_frame(index: "SearchIndex", ids: list[int]) -> DataFrame:
+    """The corpus frame a point lookup should scan: on an index loaded
+    from a doc-bucketed save, prune to the requested ids' buckets at the
+    SCAN (the filter on the _dbucket partition column becomes a
+    PartitionFilter — ≤ |buckets|/n of the corpus files are read); else
+    the full corpus frame."""
+    from sparksearchengine_spark.operators.index import DOC_BUCKET, doc_bucket
+
+    store = index.corpus_store
+    if store is None or not index.doc_buckets:
+        return index.corpus.df
+    bks = sorted({doc_bucket(i, index.doc_buckets) for i in ids})
+    return store.where(F.col(DOC_BUCKET).isin(bks)).drop(DOC_BUCKET)
+
+
 def get_element(index: "SearchIndex", doc_id: int):
-    """E11 — point lookup. With doc_id-partitioned/bucketed storage this
-    prunes to one partition (the reference routes to ``id % numPartitions``,
-    `PartitionsIndexLuceneRDD.scala:403-424`)."""
+    """E11 — point lookup. On a doc-bucketed saved corpus this prunes to
+    one partition directory (the reference routes to
+    ``id % numPartitions``, `PartitionsIndexLuceneRDD.scala:403-424`);
+    unsaved corpora fall back to a full-corpus filter."""
     c = index.corpus
-    rows = c.df.where(F.col(c.id_col) == doc_id).take(1)
+    rows = (
+        _lookup_frame(index, [int(doc_id)])
+        .where(F.col(c.id_col) == doc_id)
+        .take(1)
+    )
     return rows[0] if rows else None
 
 
 def get_elements(index: "SearchIndex", ids: Iterable[int]) -> DataFrame:
     """E12 — bulk lookup; missing ids yield NULL element columns (the
-    reference's ``None``), keyed by requested_id."""
+    reference's ``None``), keyed by requested_id. Scans only the
+    requested ids' bucket partitions on a doc-bucketed saved corpus."""
     c = index.corpus
     spark = c.df.sparkSession
+    id_list = [int(i) for i in ids]
     ids_df = spark.createDataFrame(
-        [(int(i),) for i in ids], "requested_id long"
+        [(i,) for i in id_list], "requested_id long"
     )
-    elems = c.df.withColumn("_did", F.col(c.id_col).cast("long"))
+    elems = _lookup_frame(index, id_list).withColumn(
+        "_did", F.col(c.id_col).cast("long")
+    )
     return (
         F.broadcast(ids_df)
         .join(elems, ids_df["requested_id"] == elems["_did"], "left")

@@ -414,6 +414,42 @@ class TestPersistence:
         bks = {term_bucket(t, n) for t in ("dup", "spark")}
         assert any(str(b) in plan for b in bks)
 
+    def test_doc_bucketed_save_prunes_lookup(self, tmp_path, docs_df, docs_index):
+        """E11/E12 point-lookup layout (VERDICT r2 #7): a doc-bucketed
+        saved corpus must serve get_element(s) from a partition-pruned
+        scan, not a full-corpus filter — and return identical rows."""
+        from sparksearchengine_spark import SearchIndex
+        from sparksearchengine_spark.operators.index import doc_bucket
+
+        path = str(tmp_path / "didx")
+        n = 8
+        docs_index.save(path, doc_buckets=n)
+        # no corpus_df passed: the saved corpus IS the corpus
+        loaded = SearchIndex.load(docs_df.sparkSession, path)
+        assert loaded.doc_buckets == n
+
+        want = docs_index.get_element(7)
+        got = loaded.get_element(7)
+        assert got is not None and want is not None
+        assert got["text"] == want["text"]
+
+        ids = [3, 7, 999999]  # incl. a missing id -> NULL columns
+        res = loaded.get_elements(ids)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "_dbucket" in plan, plan
+        bks = {doc_bucket(i, n) for i in ids}
+        assert any(str(b) in plan for b in bks)
+        rows = {r["requested_id"]: r for r in res.collect()}
+        assert rows[999999]["text"] is None
+        assert rows[3]["text"] is not None
+        # output schema carries no internal bucket column
+        assert "_dbucket" not in res.columns
+        # queries on the loaded index still answer identically
+        q = Q.field("text").match_any("dup", "spark")
+        assert sorted(map(tuple, loaded.search(q, k=5).collect())) == sorted(
+            map(tuple, docs_index.search(q, k=5).collect())
+        )
+
 
 class TestPlanShapeRound2:
     """Plan guards for the round-2 operators: the shuffle counts their
