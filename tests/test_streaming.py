@@ -206,6 +206,86 @@ class TestWindowedAggregation:
         }
 
 
+class TestStreamBatchEquivalence:
+    """The SAME windowed plan, executed incrementally through Structured
+    Streaming over the real sf0.001 events file, must produce the batch
+    plan's exact rows — this pins incremental execution (state store agg,
+    availableNow drain), not just plan shape."""
+
+    def test_sf0001_windowed_counts_and_trending_stream_equal_batch(
+        self, spark, tmp_path
+    ):
+        import os
+
+        from pyspark.sql import Window
+
+        from sparksearchengine_spark.streaming import (
+            trending_keys,
+            windowed_event_counts,
+        )
+
+        # file-stream sources take a directory: symlink the read-only
+        # testdata file into one
+        d = tmp_path / "events_dir"
+        d.mkdir()
+        os.symlink(
+            "/root/testdata/sf0.001/events.parquet", str(d / "part-0.parquet")
+        )
+        raw = spark.read.parquet(str(d))
+        # the file stores TIMESTAMP_NTZ; watermarks require TIMESTAMP —
+        # the identical cast on both the batch and stream plans keeps the
+        # comparison exact whatever the session timezone is
+        to_ts = lambda df: df.withColumn("ts", F.col("ts").cast("timestamp"))  # noqa: E731
+        ev = to_ts(raw)
+
+        stream = to_ts(spark.readStream.schema(raw.schema).parquet(str(d)))
+        agg = windowed_event_counts(stream, window="1 hour")
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sf_wec_eq")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = spark.table("sf_wec_eq")
+
+        def ckey(rows):
+            return sorted(
+                (
+                    str(r["window_start"]),
+                    str(r["window_end"]),
+                    r["event_type"],
+                    r["cnt"],
+                    None if r["sum_value"] is None else round(r["sum_value"], 6),
+                )
+                for r in rows
+            )
+
+        batch_rows = ckey(windowed_event_counts(ev, window="1 hour").collect())
+        stream_rows = ckey(streamed.collect())
+        assert len(batch_rows) > 0
+        assert stream_rows == batch_rows
+
+        # trending = rank over the counts rollup; on a stream the rank runs
+        # over the windowed-counts sink (the documented foreachBatch shape).
+        # Applying it to the STREAMED counts must equal the batch plan.
+        w = Window.partitionBy("window_start").orderBy(
+            F.col("cnt").desc(), F.col("event_type").asc()
+        )
+        stream_trend = (
+            streamed.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 3)
+        )
+        tkey = lambda rows: sorted(  # noqa: E731
+            (str(r["window_start"]), r["event_type"], r["cnt"], r["rank"])
+            for r in rows
+        )
+        assert tkey(stream_trend.collect()) == tkey(
+            trending_keys(ev, window="1 hour", k=3).collect()
+        )
+
+
 class TestStatefulOperator:
     def test_running_user_stats_across_batches(self, spark, tmp_path):
         from sparksearchengine_spark.streaming import running_user_stats
