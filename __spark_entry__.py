@@ -497,13 +497,27 @@ def _text_repetition(spark, sf):
 
 
 def _pii_scrub(spark, sf):
-    """PII masking pass over documents: typed placeholders + per-category
-    counts. Synthetic corpus is PII-free, so the hash match pins the
-    identity path (no accidental mangling); real shapes are unit-tested."""
+    """PII masking pass over documents. The synthetic corpus is PII-free
+    (r2's row only pinned the identity path), so every 7th doc gets a
+    deterministic PII payload injected IN BOTH ENGINES — email, IP, SSN,
+    and a country-coded phone — making the oracle pin the actual masking
+    and per-category counts, not just pass-through."""
     from sparksearchengine_spark.operators.textstats import pii_scrub
 
     docs = _read(spark, sf, "documents")
-    return pii_scrub(docs).orderBy("doc_id")
+    dirty = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(" reach user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com at 10.0.0.1 ssn 123-45-6789 tel 1-555-123-4567"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return pii_scrub(dirty).orderBy("doc_id")
 
 
 def _sample_stratified(spark, sf):
@@ -725,12 +739,25 @@ def _sample_per_group(spark, sf):
 
 def _clean_text(spark, sf):
     """Scan-stage text normalization (control chars, whitespace runs,
-    newline spam). Synthetic corpus is already clean, so the hash match
-    pins the identity path; rules are unit-tested on dirty fixtures."""
+    newline spam). The synthetic corpus is already clean (r2's row only
+    pinned the identity path), so every 5th doc gets control chars, tab
+    runs, space-hugged newlines, and blank-line spam injected IN BOTH
+    ENGINES — each cleaning rule must actually fire to hash-match."""
     from sparksearchengine_spark.operators.textstats import clean_text
 
     docs = _read(spark, sf, "documents")
-    return clean_text(docs).select("doc_id", "text").orderBy("doc_id")
+    dirty = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                F.lit("\x07junk\t\t mid  "),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("  tail \n \n\n\n\nend  "),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return clean_text(dirty).select("doc_id", "text").orderBy("doc_id")
 
 
 def _events_asof(spark, sf):
@@ -1835,6 +1862,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY l.event_id""",
         # PII scrub: same regexes, RE2/Java-portable subset
         "pii_scrub": r"""
+            WITH documents_dirty AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN coalesce(text, '') || ' reach user' ||
+                               CAST(doc_id AS VARCHAR) ||
+                               '@example.com at 10.0.0.1 ssn 123-45-6789 tel 1-555-123-4567'
+                          ELSE text END AS text
+              FROM documents)
             SELECT doc_id,
               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                 coalesce(text, ''),
@@ -1851,7 +1886,7 @@ def oracle_sql() -> dict[str, str]:
                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
               CAST(len(regexp_extract_all(coalesce(text, ''),
                 '\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b')) AS BIGINT) AS n_phone
-            FROM documents ORDER BY doc_id""",
+            FROM documents_dirty ORDER BY doc_id""",
         # deterministic md5-bucket sampling (operators/sampling.py)
         "sample_stratified": """
             SELECT doc_id, lang FROM documents
@@ -1896,6 +1931,15 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id) AS rn
               FROM documents) WHERE rn <= 5 ORDER BY doc_id""",
         "clean_text": r"""
+            WITH documents_dirty AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                          THEN chr(7) || 'junk' || chr(9) || chr(9) ||
+                               ' mid  ' || coalesce(text, '') ||
+                               '  tail ' || chr(10) || ' ' || chr(10) ||
+                               chr(10) || chr(10) || chr(10) || 'end  '
+                          ELSE text END AS text
+              FROM documents)
             SELECT doc_id,
                    trim(regexp_replace(
                      regexp_replace(
@@ -1906,7 +1950,7 @@ def oracle_sql() -> dict[str, str]:
                        ' ?\n ?', chr(10), 'g'),
                      '\n{3,}', chr(10) || chr(10), 'g'),
                    ' ') AS text
-            FROM documents ORDER BY doc_id""",
+            FROM documents_dirty ORDER BY doc_id""",
         "train_test_split": """
             SELECT doc_id,
                    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
