@@ -48,18 +48,55 @@ def pack_chunks(
     engine-portable. The running sum windows over ``shard_col`` when
     given (each shard packs independently — the scale path: shards are
     the export unit, so packing parallelism = shard count and no global
-    sort exists); a None shard packs the whole frame in ONE ordered
-    window — exploration only, documented bounded use.
+    sort exists). With ``shard_col=None`` the GLOBAL running sum is
+    computed distributed, never on one reducer: range-partition by the
+    id order, per-partition running sums in parallel windows, then add
+    each partition's prefix total (a |partitions|-row driver merge,
+    broadcast back) — the textbook two-stage parallel prefix sum. The
+    range-partitioned frame is pinned with a lazy localCheckpoint
+    because two plan branches (the totals and the final join) must see
+    the SAME partition assignment.
     """
-    w = Window.orderBy(*[F.col(c).asc() for c in id_cols])
+    order = [F.col(c).asc() for c in id_cols]
     if shard_col is not None:
-        w = Window.partitionBy(shard_col).orderBy(
-            *[F.col(c).asc() for c in id_cols]
+        w = Window.partitionBy(shard_col).orderBy(*order)
+        out = chunks.withColumn(
+            "offset",
+            (F.sum(n_tokens_col).over(w) - F.col(n_tokens_col)).cast("long"),
         )
-    cum = F.sum(n_tokens_col).over(w)
-    out = chunks.withColumn(
-        "offset", (cum - F.col(n_tokens_col)).cast("long")
-    )
+    else:
+        data = (
+            chunks.repartitionByRange(*order)
+            .withColumn("_pid", F.spark_partition_id())
+            .localCheckpoint(eager=False)
+        )
+        w = Window.partitionBy("_pid").orderBy(*order)
+        local = data.withColumn(
+            "_lcum", F.sum(F.col(n_tokens_col).cast("long")).over(w)
+        )
+        totals = (
+            data.groupBy("_pid")
+            .agg(F.sum(F.col(n_tokens_col).cast("long")).alias("_tot"))
+            .collect()
+        )
+        acc = 0
+        prefix = []
+        for r in sorted(totals, key=lambda r: r["_pid"]):
+            prefix.append((int(r["_pid"]), acc))
+            acc += int(r["_tot"] or 0)
+        pdf = chunks.sparkSession.createDataFrame(
+            prefix, "_pid int, _prefix long"
+        )
+        out = (
+            local.join(F.broadcast(pdf), "_pid")
+            .withColumn(
+                "offset",
+                (
+                    F.col("_lcum") - F.col(n_tokens_col) + F.col("_prefix")
+                ).cast("long"),
+            )
+            .drop("_pid", "_lcum", "_prefix")
+        )
     return out.withColumn(
         "pack_id", (F.col("offset") / budget).cast("long")
     ).withColumn(

@@ -104,6 +104,31 @@ class TestPackChunks:
         assert rows[(3, 0)]["pack_id"] == 1
         assert rows[(3, 0)]["pack_offset"] == 3
 
+    def test_global_packing_avoids_single_reducer(self, spark):
+        """shard_col=None must compute the global running sum as the
+        two-stage parallel prefix sum — the plan may not funnel the data
+        through an Exchange SinglePartition (the r2-documented
+        exploration-only global window)."""
+        from sparksearchengine_spark.operators.chunking import pack_chunks
+
+        chunks = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.lit(0).alias("chunk_id"),
+            (F.col("id") % 7 + 1).alias("n_tokens"),
+        )
+        out = pack_chunks(chunks, budget=16)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan, plan
+        # and the offsets are still the exact global running sum
+        rows = sorted(
+            out.select("doc_id", "n_tokens", "offset").collect(),
+            key=lambda r: r["doc_id"],
+        )
+        acc = 0
+        for r in rows:
+            assert r["offset"] == acc
+            acc += r["n_tokens"]
+
     def test_sharded_packing_independent(self, spark):
         from sparksearchengine_spark.operators.chunking import pack_chunks
 
