@@ -36,15 +36,24 @@ from sparksearchengine_spark.functions.analyzers import analyzer_expr
 from sparksearchengine_spark.operators.dedup import token_ngrams, _widen
 
 # same policy knob as the search-side joins: broadcast the small side only
-# when a probed row count says it is actually small.
+# when Catalyst's plan statistics say it is actually small (driver-side
+# estimate, no probe job — see search.py::_hint_query_side).
 BROADCAST_MAX_EVAL_ROWS = 1_000_000
+BROADCAST_MAX_EVAL_BYTES = 64 << 20
 
 
 def _maybe_broadcast(
     side: DataFrame, force: bool | None, max_rows: int
 ) -> DataFrame:
     if force is None:
-        force = side.limit(max_rows + 1).count() <= max_rows
+        from sparksearchengine_spark.operators.search import _plan_stats
+
+        rows, size = _plan_stats(side)
+        force = (
+            rows <= max_rows
+            if rows is not None
+            else size <= BROADCAST_MAX_EVAL_BYTES
+        )
     return F.broadcast(side) if force else side.hint("shuffle_hash")
 
 
