@@ -289,6 +289,21 @@ def more_like_this(
     from sparksearchengine_spark.operators.stats import term_idfs
 
     p = index.postings.where(F.col("field") == field)
+    if broadcast_keywords is None:
+        # the keyword side is bounded by |sources| * num_terms — a bound
+        # we know driver-side exactly (list) or from the SOURCE plan's
+        # stats (DataFrame), which are far tighter than the stats of the
+        # derived window-over-postings plan the keywords come from.
+        if isinstance(source_ids, DataFrame):
+            rows, _ = _plan_stats(source_ids)
+            if rows is not None:
+                broadcast_keywords = (
+                    rows * num_terms <= BROADCAST_MAX_QUERY_ROWS
+                )
+        else:
+            broadcast_keywords = (
+                len(source_ids) * num_terms <= BROADCAST_MAX_QUERY_ROWS
+            )
     if isinstance(source_ids, DataFrame):
         src = source_ids.select(F.col(source_ids.columns[0]).alias(DOC_ID))
         p_src = p.join(
