@@ -194,3 +194,25 @@ class TestChunkPackProperties:
             assert r["pack_id"] == r["offset"] // budget
             assert r["pack_offset"] == r["offset"] % budget
             cum += r["n_tokens"]
+
+
+class TestQueryJoinDedupLaw:
+    """dedup_queries=True is a pure optimization: for ANY query frame
+    (duplicates, empty texts, token-order permutations) its rows equal
+    the id path's rows exactly."""
+
+    @given(corpus=_corpus, queries=st.lists(_doc, min_size=1, max_size=8))
+    @settings(**_SETTINGS)
+    def test_dedup_path_equals_id_path(self, spark, corpus, queries):
+        idx = _index_of(spark, corpus)
+        qdf = spark.createDataFrame(
+            [(i, " ".join(q)) for i, q in enumerate(queries)],
+            "qid long, qtext string",
+        )
+        cols = ["qid", "match_doc_id", "score", "rank"]
+        kw = dict(text_col="qtext", field="text", k=3, other_id_col="qid")
+        on = idx.query_join(qdf, dedup_queries=True, **kw).select(*cols)
+        off = idx.query_join(qdf, dedup_queries=False, **kw).select(*cols)
+        assert sorted(map(tuple, on.collect())) == sorted(
+            map(tuple, off.collect())
+        )
