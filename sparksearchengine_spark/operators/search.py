@@ -395,6 +395,12 @@ def query_join(
     analyzer = index.corpus.text_cols[field].analyzer
     qtoks = F.array_distinct(analyzer_expr(F.col(text_col), analyzer))
 
+    # size the join policy off the frame as the CALLER passed it: after a
+    # localCheckpoint (the synthesized-id branch below) the plan is a
+    # LogicalRDD whose stats degrade to the defaultSizeInBytes sentinel,
+    # which would veto broadcasting even a 10-row frame.
+    size_src = other
+
     if dedup_queries:
         clash = {"_qkey", "_qh"} & set(other.columns)
         if clash:
@@ -444,9 +450,10 @@ def query_join(
         )
     key = "query_id"
 
-    # size `other`, not the distinct frame: its stats upper-bound the
-    # dedup'd side and carry the source's (accurate) scan estimate.
-    qside = _hint_query_side(qterms, other, broadcast_queries)
+    # size the caller's frame, not the distinct/checkpointed one: its
+    # stats upper-bound the dedup'd side and carry the source's
+    # (accurate) scan estimate.
+    qside = _hint_query_side(qterms, size_src, broadcast_queries)
     scored = (
         index.scored_postings(field)
         .join(qside, "term")

@@ -248,6 +248,20 @@ class TestPlanShape:
         ).select("doc_id", "match_doc_id", "rank")
         assert sorted(map(tuple, bc.collect())) == sorted(map(tuple, sh.collect()))
 
+    def test_small_query_frame_without_id_still_broadcasts(
+        self, spark, tiny_index
+    ):
+        """The synthesized-id branch localCheckpoints `other`, whose
+        LogicalRDD stats degrade to the defaultSizeInBytes sentinel — the
+        broadcast decision must be taken from the caller's frame, or a
+        10-row query side would shuffle the postings."""
+        other = spark.createDataFrame(
+            [(i, "a b") for i in range(10)], "n long, t string"
+        )
+        res = tiny_index.query_join(other, text_col="t", field="text", k=2)
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan, plan
+
     def test_broadcast_decision_launches_no_job(self, spark, docs_df, docs_index):
         """VERDICT r2 #4: deciding broadcast-vs-shuffle-hash must be a
         driver-side stats estimate, not a probe job — at 100 TB the old
