@@ -149,6 +149,41 @@ def main() -> None:
         )
         cosine_topk(emb, queries, k=10).count()
 
+    # 8. newer operator families (first benched in round 3 — these rows'
+    # first values define their baseline)
+    with timed("asof_join"):
+        from sparksearchengine_spark.operators.asof import asof_join
+
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(ev.dtypes)["ts"] != "bigint":
+            ev = ev.withColumn(
+                "ts", F.unix_micros(F.col("ts").cast("timestamp"))
+            )
+        left = ev.where(F.col("event_type") == "click").select(
+            "event_id", "user_id", "ts"
+        )
+        right = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "value"
+        )
+        asof_join(left, right, on="user_id").count()
+
+    with timed("chunk_pack"):
+        from sparksearchengine_spark.operators.chunking import (
+            chunk_documents,
+            pack_chunks,
+        )
+
+        ch = chunk_documents(docs, max_tokens=128, overlap=16).withColumn(
+            "shard", F.pmod(F.crc32(F.col("doc_id").cast("string")), F.lit(16))
+        )
+        pack_chunks(ch, budget=2048, shard_col="shard").count()
+
+    with timed("more_like_this"):
+        idx.more_like_this(
+            docs.where(F.col("doc_id") < 100).select("doc_id"),
+            field="text", k=5, num_terms=5,
+        ).count()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
