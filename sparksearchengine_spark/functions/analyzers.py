@@ -338,11 +338,51 @@ def _folding_expr(col: Column) -> Column:
     )
 
 
+# --------------------------------------------------------------------------
+# cjk_bigram analyzer: Lucene CJKAnalyzer/CJKBigramFilter analog. CJK text
+# carries no word separators, so the "simple" analyzer would emit whole
+# sentences as single tokens (or drop them as separators); the standard
+# language-agnostic fix is overlapping character bigrams over each CJK run
+# (a lone CJK char stays a unigram), while latin/digit runs tokenize like
+# "simple". Positions are stream indexes, so phrase adjacency works across
+# bigrams exactly like Lucene's position increments. Pandas-UDF path (the
+# same Arrow batch shape as the stemming analyzers); pairs with
+# textstats.lang_id routing zh/ja/ko fields to this analyzer.
+# --------------------------------------------------------------------------
+
+_CJK_CLASS = (
+    "\u3040-\u30ff"  # hiragana + katakana
+    "\u3400-\u4dbf"  # CJK extension A
+    "\u4e00-\u9fff"  # CJK unified ideographs
+    "\uac00-\ud7a3"  # hangul syllables
+    "\uf900-\ufaff"  # CJK compatibility ideographs
+)
+_CJK_RUN_RE = re.compile(f"[{_CJK_CLASS}]+|[a-z0-9]+")
+_CJK_CHAR_RE = re.compile(f"[{_CJK_CLASS}]")
+
+
+def _cjk_bigram_tokenize(text: str) -> list[str]:
+    if text is None:
+        return []
+    out: list[str] = []
+    for m in _CJK_RUN_RE.finditer(text.lower()):
+        s = m.group(0)
+        if _CJK_CHAR_RE.match(s):
+            if len(s) == 1:
+                out.append(s)
+            else:
+                out.extend(s[i : i + 2] for i in range(len(s) - 1))
+        else:
+            out.append(s)
+    return out
+
+
 register_analyzer("simple", _simple_tokenize, _simple_expr)
 register_analyzer("whitespace", _whitespace_tokenize, _whitespace_expr)
 register_analyzer("folding", _folding_tokenize, _folding_expr)
 register_analyzer("english", _english_tokenize)
 register_analyzer("italian", _italian_tokenize)
+register_analyzer("cjk_bigram", _cjk_bigram_tokenize)
 
 
 def get_analyzer(name: str) -> Analyzer:

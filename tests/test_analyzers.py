@@ -243,3 +243,64 @@ class TestFoldingAnalyzer:
         )
 
         assert len(FOLD_FROM) == len(FOLD_TO)
+
+
+class TestCjkBigramAnalyzer:
+    def test_bigrams_over_cjk_runs(self):
+        from sparksearchengine_spark.functions.analyzers import tokenize_py
+
+        assert tokenize_py("中文搜索 engine", "cjk_bigram") == [
+            "中文", "文搜", "搜索", "engine",
+        ]
+        # runs split at non-CJK boundaries; lone char stays a unigram
+        assert tokenize_py("中, 文", "cjk_bigram") == ["中", "文"]
+        assert tokenize_py("한국어 텍스트 123", "cjk_bigram") == [
+            "한국", "국어", "텍스", "스트", "123",
+        ]
+        assert tokenize_py(None, "cjk_bigram") == []
+
+    def test_latin_matches_simple(self):
+        from sparksearchengine_spark.functions.analyzers import tokenize_py
+
+        s = "The quick brown fox 42!"
+        assert tokenize_py(s, "cjk_bigram") == tokenize_py(s, "simple")
+
+    def test_py_and_udf_paths_agree(self, spark):
+        from sparksearchengine_spark.functions.analyzers import (
+            analyzer_expr, tokenize_py,
+        )
+
+        samples = ["中文搜索引擎", "日本語テキスト mixed 中 text", "ascii only"]
+        df = spark.createDataFrame([(s,) for s in samples], "text string")
+        got = [
+            r["t"]
+            for r in df.select(
+                analyzer_expr(F.col("text"), "cjk_bigram").alias("t")
+            ).collect()
+        ]
+        assert got == [tokenize_py(s, "cjk_bigram") for s in samples]
+
+    def test_end_to_end_search_and_phrase(self, spark):
+        """Index unspaced zh text and run term + phrase queries — the
+        'simple' analyzer can't tokenize this corpus at all (no
+        separators); bigram positions make phrase adjacency work."""
+        from sparksearchengine_spark import Corpus, Q, TextOptions
+
+        df = spark.createDataFrame(
+            [
+                (1, "中文搜索引擎测试"),
+                (2, "搜索中文"),
+                (3, "完全无关的内容"),
+            ],
+            "doc_id long, text string",
+        )
+        idx = Corpus(
+            df, id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="cjk_bigram", positions=True)},
+        ).build_index()
+        hits = {r["doc_id"] for r in idx.search(Q.field("text").match_term("搜索"), k=10).collect()}
+        assert hits == {1, 2}
+        # phrase "中文搜索" = adjacent bigrams 中文,文搜,搜索 — doc 1 only
+        # (doc 2 has 搜索 then 中文, reversed order)
+        ph = {r["doc_id"] for r in idx.search(Q.field("text").match_phrase("中文搜索"), k=10).collect()}
+        assert ph == {1}
