@@ -295,11 +295,15 @@ def more_like_this(
         # stats (DataFrame), which are far tighter than the stats of the
         # derived window-over-postings plan the keywords come from.
         if isinstance(source_ids, DataFrame):
-            rows, _ = _plan_stats(source_ids)
+            rows, size = _plan_stats(source_ids)
             if rows is not None:
                 broadcast_keywords = (
                     rows * num_terms <= BROADCAST_MAX_QUERY_ROWS
                 )
+            else:
+                # id frames are ~8-100 B/row, so a small byte estimate
+                # bounds |sources| tightly even without a row count
+                broadcast_keywords = size <= BROADCAST_MAX_QUERY_BYTES
         else:
             broadcast_keywords = (
                 len(source_ids) * num_terms <= BROADCAST_MAX_QUERY_ROWS
