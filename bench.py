@@ -154,6 +154,9 @@ def main() -> None:
     with timed("asof_join"):
         from sparksearchengine_spark.operators.asof import asof_join
 
+        # events.ts has shipped as both TIMESTAMP(NANOS) (readable only
+        # under the legacy conf, as a long) and TIMESTAMP(MICROS)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
         if dict(ev.dtypes)["ts"] != "bigint":
             ev = ev.withColumn(

@@ -356,6 +356,7 @@ _CJK_CLASS = (
     "\u4e00-\u9fff"  # CJK unified ideographs
     "\uac00-\ud7a3"  # hangul syllables
     "\uf900-\ufaff"  # CJK compatibility ideographs
+    "\U00020000-\U0002ffff"  # supplementary ideographic plane (Ext B-F, compat supp.)
 )
 _CJK_RUN_RE = re.compile(f"[{_CJK_CLASS}]+|[a-z0-9]+")
 _CJK_CHAR_RE = re.compile(f"[{_CJK_CLASS}]")

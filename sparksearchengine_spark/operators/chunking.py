@@ -65,6 +65,12 @@ def pack_chunks(
             (F.sum(n_tokens_col).over(w) - F.col(n_tokens_col)).cast("long"),
         )
     else:
+        clash = {"_pid", "_lcum", "_prefix"} & set(chunks.columns)
+        if clash:
+            raise ValueError(
+                f"pack_chunks reserves internal columns {sorted(clash)}; "
+                f"rename them in the input first"
+            )
         data = (
             chunks.repartitionByRange(*order)
             .withColumn("_pid", F.spark_partition_id())

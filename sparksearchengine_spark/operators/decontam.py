@@ -35,25 +35,19 @@ from pyspark.sql import functions as F
 from sparksearchengine_spark.functions.analyzers import analyzer_expr
 from sparksearchengine_spark.operators.dedup import token_ngrams, _widen
 
-# same policy knob as the search-side joins: broadcast the small side only
-# when Catalyst's plan statistics say it is actually small (driver-side
-# estimate, no probe job — see search.py::_hint_query_side).
+# same policy as the search-side joins: plan-stats fast path, memoized
+# exact probe for the ambiguous middle (see search.py::decide_broadcast —
+# parquet sizeInBytes is compressed, so a bare byte bound under-estimates).
 BROADCAST_MAX_EVAL_ROWS = 1_000_000
-BROADCAST_MAX_EVAL_BYTES = 64 << 20
 
 
 def _maybe_broadcast(
     side: DataFrame, force: bool | None, max_rows: int
 ) -> DataFrame:
     if force is None:
-        from sparksearchengine_spark.operators.search import _plan_stats
+        from sparksearchengine_spark.operators.search import decide_broadcast
 
-        rows, size = _plan_stats(side)
-        force = (
-            rows <= max_rows
-            if rows is not None
-            else size <= BROADCAST_MAX_EVAL_BYTES
-        )
+        force = decide_broadcast(side, max_rows)
     return F.broadcast(side) if force else side.hint("shuffle_hash")
 
 

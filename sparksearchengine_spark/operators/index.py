@@ -492,9 +492,17 @@ class SearchIndex:
         doc_buckets = meta.get("doc_buckets")
         corpus_store = None
         if doc_buckets:
-            corpus_store = spark.read.parquet(os.path.join(path, "corpus"))
             if corpus_df is None:
+                corpus_store = spark.read.parquet(
+                    os.path.join(path, "corpus")
+                )
                 corpus_df = corpus_store.drop(DOC_BUCKET)
+            else:
+                # an explicitly passed corpus takes precedence EVERYWHERE,
+                # incl. point lookups — serving get_element(s) from the
+                # save-time snapshot would silently return stale rows and
+                # a different column set than index.corpus.df
+                doc_buckets = None
         if corpus_df is None:
             raise ValueError(
                 "corpus_df is required: this save carries no stored corpus "

@@ -464,6 +464,22 @@ class TestPersistence:
             map(tuple, docs_index.search(q, k=5).collect())
         )
 
+    def test_explicit_corpus_overrides_stored_snapshot(
+        self, tmp_path, docs_df, docs_index
+    ):
+        """Passing corpus_df to load() must win EVERYWHERE, incl. point
+        lookups — otherwise get_element(s) would silently serve stale
+        rows from the save-time snapshot."""
+        from sparksearchengine_spark import SearchIndex
+
+        path = str(tmp_path / "didx2")
+        docs_index.save(path, doc_buckets=4)
+        enriched = docs_df.withColumn("extra", F.lit("fresh"))
+        loaded = SearchIndex.load(docs_df.sparkSession, path, enriched)
+        got = loaded.get_element(3)
+        assert got is not None and got["extra"] == "fresh"
+        assert "extra" in loaded.get_elements([3]).columns
+
 
 class TestPlanShapeRound2:
     """Plan guards for the round-2 operators: the shuffle counts their
