@@ -279,6 +279,26 @@ class TestPlanShape:
         finally:
             sc.setLocalProperty("spark.jobGroup.id", None)
 
+    def test_probe_band_is_memoized(self, spark, docs_df, monkeypatch):
+        """When stats are ambiguous (no row count, mid-band size), the
+        exact probe may run ONCE per distinct plan — repeat calls must be
+        answered from the cache with no job."""
+        from sparksearchengine_spark.operators import search as S
+
+        monkeypatch.setattr(S, "BROADCAST_TINY_QUERY_BYTES", 0)
+        monkeypatch.setattr(S, "_PROBE_CACHE", {})
+        frame = docs_df.where(F.col("n_chars") > 0)  # no rowCount stat
+        sc = spark.sparkContext
+        assert S.decide_broadcast(frame, 100_000) is True
+        assert len(S._PROBE_CACHE) == 1
+        sc.setLocalProperty("spark.jobGroup.id", "probe-memo-check")
+        try:
+            assert S.decide_broadcast(frame, 100_000) is True
+            jobs = sc.statusTracker().getJobIdsForGroup("probe-memo-check")
+            assert list(jobs) == [], "second call must hit the cache"
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+
     def test_with_elements_broadcasts_hits_not_corpus(self, docs_index):
         from sparksearchengine_spark.plans.ast import Q as _Q
 
