@@ -55,7 +55,12 @@ def pack_chunks(
     broadcast back) — the textbook two-stage parallel prefix sum. The
     range-partitioned frame is pinned with a lazy localCheckpoint
     because two plan branches (the totals and the final join) must see
-    the SAME partition assignment.
+    the SAME partition assignment (RangePartitioner samples its bounds,
+    so re-evaluation could split differently). The checkpoint's storage
+    blocks live until the returned DataFrame is garbage-collected; a
+    long-lived session packing many frames globally should prefer
+    ``shard_col`` (the scale path — no checkpoint at all) or drop
+    references to finished results promptly.
     """
     order = [F.col(c).asc() for c in id_cols]
     if shard_col is not None:

@@ -47,7 +47,12 @@ def _maybe_broadcast(
     if force is None:
         from sparksearchengine_spark.operators.search import decide_broadcast
 
-        force = decide_broadcast(side, max_rows)
+        # every side this module sizes is a DERIVED frame — exploded
+        # gram tables (size stats don't model the fan-out: they look
+        # tiny) or distinct-vocab aggregates (stats stay corpus-sized:
+        # they look huge) — so the byte shortcuts are wrong in BOTH
+        # directions; go straight to the memoized exact probe.
+        force = decide_broadcast(side, max_rows, trust_bytes=False)
     return F.broadcast(side) if force else side.hint("shuffle_hash")
 
 

@@ -72,7 +72,13 @@ def doc_bucket(doc_id, n: int) -> int:  # type: ignore[no-untyped-def]
 
 
 def doc_bucket_expr(col, n: int):  # type: ignore[no-untyped-def]
-    return F.pmod(F.crc32(col.cast("string").cast("binary")), F.lit(n))
+    # canonicalize through long BEFORE the string cast: a DoubleType id
+    # renders '7.0' and crc32('7.0') != crc32('7') — the engine's doc-id
+    # contract is long everywhere else (postings build, element joins),
+    # and this keeps the driver-side bucket fn exact for any numeric id
+    return F.pmod(
+        F.crc32(col.cast("long").cast("string").cast("binary")), F.lit(n)
+    )
 
 
 @dataclass(frozen=True)

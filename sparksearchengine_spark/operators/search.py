@@ -69,7 +69,9 @@ def _plan_stats(df: DataFrame) -> tuple[int | None, int]:
     return rows, int(str(st.sizeInBytes()))
 
 
-def decide_broadcast(df: DataFrame, max_rows: int) -> bool:
+def decide_broadcast(
+    df: DataFrame, max_rows: int, trust_bytes: bool = True
+) -> bool:
     """Should a join side derived from ``df`` (bounded by its row count)
     be broadcast?
 
@@ -77,28 +79,42 @@ def decide_broadcast(df: DataFrame, max_rows: int) -> bool:
 
     1. optimized-plan ``rowCount`` when Catalyst carries one (local
        relations, limits) — exact, no job;
-    2. ``sizeInBytes`` outside the ambiguous band — certainly-small /
-       certainly-large calls need no job either. The small bound assumes
-       worst-case parquet compression (sizeInBytes is the COMPRESSED
-       scan size, it UNDER-estimates in-memory rows — the r3 review
-       caught a 32 MB bound here that could broadcast millions of rows);
+    2. with ``trust_bytes``, ``sizeInBytes`` outside the ambiguous band —
+       certainly-small / certainly-large calls need no job either. The
+       small bound assumes worst-case parquet compression (sizeInBytes
+       is the COMPRESSED scan size, it UNDER-estimates in-memory rows —
+       the r3 review caught a 32 MB bound here that could broadcast
+       millions of rows). Pass ``trust_bytes=False`` when ``df`` is a
+       derived frame whose size stats don't model its cardinality at
+       all — Spark's size-only estimator passes Generate (explode)
+       through un-multiplied and leaves Aggregate output at input scale,
+       so an exploded gram table looks tiny and a distinct-vocab
+       aggregate looks corpus-sized;
     3. otherwise ONE exact early-exit probe (limit(n+1).count()),
        memoized per (analyzed-plan semanticHash, max_rows) so the
        build-once / query-many pattern pays it once per session, not per
        call (the r2 verdict's objection to the always-probe design).
+
+    The memo is keyed on the PLAN, not the data: if the files under an
+    ambiguous-band path are rewritten mid-session at a different scale,
+    pass an explicit broadcast flag at the call site (every operator
+    exposes one) — the cache has no TTL by design.
     """
     rows, size = _plan_stats(df)
     if rows is not None:
         return rows <= max_rows
-    if size <= BROADCAST_TINY_QUERY_BYTES:
-        return True
-    if size >= BROADCAST_HUGE_QUERY_BYTES:
-        return False
+    if trust_bytes:
+        if size <= BROADCAST_TINY_QUERY_BYTES:
+            return True
+        if size >= BROADCAST_HUGE_QUERY_BYTES:
+            return False
     key = (
         int(str(df._jdf.queryExecution().analyzed().semanticHash())),
         max_rows,
     )
     if key not in _PROBE_CACHE:
+        if len(_PROBE_CACHE) >= 1024:  # decisions are 1 bool/plan; bound anyway
+            _PROBE_CACHE.clear()
         _PROBE_CACHE[key] = df.limit(max_rows + 1).count() <= max_rows
     return _PROBE_CACHE[key]
 
@@ -321,23 +337,25 @@ def more_like_this(
     from sparksearchengine_spark.operators.stats import term_idfs
 
     p = index.postings.where(F.col("field") == field)
+    # Two differently-sized sides share the policy flag when the caller
+    # sets it; when deciding ourselves, size each side by ITS bound:
+    # the src semi-join carries one row per source (full row budget), the
+    # keyword side fans out num_terms rows per source (scaled budget).
+    # Both decisions come from the SOURCE plan/list — far tighter than
+    # the stats of the derived window-over-postings keyword plan.
+    bc_src = bc_kws = broadcast_keywords
     if broadcast_keywords is None:
-        # the keyword side is bounded by |sources| * num_terms — decide
-        # from the SOURCE (exact list length, or decide_broadcast on the
-        # source plan with the row budget scaled down by num_terms),
-        # which is far tighter than the stats of the derived
-        # window-over-postings plan the keywords come from.
-        src_budget = max(1, BROADCAST_MAX_QUERY_ROWS // max(num_terms, 1))
+        kw_budget = max(1, BROADCAST_MAX_QUERY_ROWS // max(num_terms, 1))
         if isinstance(source_ids, DataFrame):
-            broadcast_keywords = decide_broadcast(source_ids, src_budget)
+            bc_src = decide_broadcast(source_ids, BROADCAST_MAX_QUERY_ROWS)
+            bc_kws = decide_broadcast(source_ids, kw_budget)
         else:
-            broadcast_keywords = (
-                len(source_ids) * num_terms <= BROADCAST_MAX_QUERY_ROWS
-            )
+            bc_src = len(source_ids) <= BROADCAST_MAX_QUERY_ROWS
+            bc_kws = len(source_ids) <= kw_budget
     if isinstance(source_ids, DataFrame):
         src = source_ids.select(F.col(source_ids.columns[0]).alias(DOC_ID))
         p_src = p.join(
-            _hint_query_side(src, src, broadcast_keywords), DOC_ID, "left_semi"
+            _hint_query_side(src, src, bc_src), DOC_ID, "left_semi"
         )
     else:
         p_src = p.where(F.col(DOC_ID).isin(*source_ids))
@@ -359,7 +377,7 @@ def more_like_this(
     # keyword side only when the source set is actually small — "neighbors
     # of EVERY doc" makes kws corpus-sized and must take the shuffle-hash
     # path (AQE skew-splits hot keyword terms there)
-    kws = _hint_query_side(kws, kws, broadcast_keywords)
+    kws = _hint_query_side(kws, kws, bc_kws)
     matches = (
         index.scored_postings(field)
         .join(kws, "term")
