@@ -54,10 +54,17 @@ def _simple_expr(col: Column) -> Column:
     return F.array_remove(F.split(F.lower(col), r"[^a-z0-9]+"), "")
 
 
+# Java regex \s (no UNICODE flag, what F.split compiles) is exactly
+# [ \t\n\x0B\f\r]; the Python side must use the SAME set — str.split()
+# also breaks on U+00A0/U+3000/etc and would disagree with the indexed
+# tokens on scraped-HTML whitespace (the index/query parity contract).
+_WS_ASCII_RE = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
 def _whitespace_tokenize(text: str) -> list[str]:
     if text is None:
         return []
-    return [t for t in text.split() if t]
+    return [t for t in _WS_ASCII_RE.split(text) if t]
 
 
 def _whitespace_expr(col: Column) -> Column:

@@ -144,13 +144,33 @@ def _term_set(
         scored = index.scored_postings(field).where(
             F.col("term").isin(distinct_terms)
         )
-    grouped = scored.groupBy(DOC_ID).agg(
-        F.sum("tscore").alias(SCORE),
-        F.count(F.lit(1)).alias("_nmatched"),  # postings unique per (term,doc)
-    )
-    n = len(distinct_terms)
-    if min_match >= n:
-        grouped = grouped.where(F.col("_nmatched") == n)
+    # min_match counts CLAUSES, like Lucene's minimumShouldMatch: a term
+    # listed twice contributes 2 toward the threshold when it matches
+    # (match_min(2,'a','a','b') accepts a doc containing only 'a').
+    # Scores stay a DISTINCT-set BM25 sum — the engine's documented
+    # results contract (every qc oracle) — only the threshold weights
+    # duplicates. The weighted branch only exists when duplicates do.
+    n_clauses = len(terms)
+    if len(distinct_terms) != n_clauses:
+        from collections import Counter
+
+        mult = Counter(terms)
+        w = F.coalesce(
+            *[F.when(F.col("term") == t, F.lit(c)) for t, c in mult.items()]
+        )
+        grouped = scored.select(
+            F.col(DOC_ID), F.col("tscore"), w.alias("_w")
+        ).groupBy(DOC_ID).agg(
+            F.sum("tscore").alias(SCORE),
+            F.sum("_w").alias("_nmatched"),
+        )
+    else:
+        grouped = scored.groupBy(DOC_ID).agg(
+            F.sum("tscore").alias(SCORE),
+            F.count(F.lit(1)).alias("_nmatched"),  # postings unique per (term,doc)
+        )
+    if min_match >= n_clauses:
+        grouped = grouped.where(F.col("_nmatched") == n_clauses)
     elif min_match > 1:
         grouped = grouped.where(F.col("_nmatched") >= min_match)
     return grouped.select(DOC_ID, SCORE)
@@ -260,18 +280,35 @@ def _multi_term_docs(
     )
 
 
+_CASE_FOLD_CACHE: dict[str, bool] = {}
+
+
+def _folds_case(analyzer: str) -> bool:
+    """Whether the analyzer lowercases its tokens — probed empirically so
+    custom registered analyzers answer correctly. Wildcard/fuzzy patterns
+    bypass tokenization (Lucene's multi-term query contract), so they
+    must match the INDEXED term case: lowercase the pattern only when the
+    index did."""
+    if analyzer not in _CASE_FOLD_CACHE:
+        _CASE_FOLD_CACHE[analyzer] = tokenize_py("AbC", analyzer) == tokenize_py(
+            "abc", analyzer
+        )
+    return _CASE_FOLD_CACHE[analyzer]
+
+
 def _compile_wildcard(node: ast.MatchWildcard, index: "SearchIndex") -> DataFrame:
-    _field_analyzer(index, node.field)
+    analyzer = _field_analyzer(index, node.field)
+    pat = node.pattern.lower() if _folds_case(analyzer) else node.pattern
     ts = index.termstats.where(
         (F.col("field") == node.field)
-        & F.col("term").like(_wildcard_to_like(node.pattern.lower()))
+        & F.col("term").like(_wildcard_to_like(pat))
     )
     return _multi_term_docs(index, node.field, ts)
 
 
 def _compile_fuzzy(node: ast.MatchFuzzy, index: "SearchIndex") -> DataFrame:
-    _field_analyzer(index, node.field)
-    q = node.term.lower()
+    analyzer = _field_analyzer(index, node.field)
+    q = node.term.lower() if _folds_case(analyzer) else node.term
     ts = index.termstats.where(
         (F.col("field") == node.field)
         # cheap length prefilter before the quadratic edit distance

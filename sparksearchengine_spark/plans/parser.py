@@ -76,6 +76,8 @@ class _Tokens:
         return self.toks[self.i] if self.i < len(self.toks) else None
 
     def next(self) -> tuple[str, str]:
+        if self.i >= len(self.toks):
+            raise ValueError("unexpected end of query")
         t = self.toks[self.i]
         self.i += 1
         return t

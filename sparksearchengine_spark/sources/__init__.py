@@ -60,7 +60,24 @@ def read_jsonl_corpus(
     """
     reader = spark.read
     if schema is not None:
-        reader = reader.schema(schema).option("mode", "PERMISSIVE")
+        # PERMISSIVE only CAPTURES corrupt lines when the corrupt-record
+        # column exists in the supplied schema — without it they would
+        # become silent all-NULL rows (r3 review finding); append it so
+        # the documented contract actually holds
+        from pyspark.sql.types import StringType, StructType
+        from pyspark.sql.types import _parse_datatype_string
+
+        st = (
+            _parse_datatype_string(schema)
+            if isinstance(schema, str)
+            else schema
+        )
+        corrupt_col = spark.conf.get(
+            "spark.sql.columnNameOfCorruptRecord", "_corrupt_record"
+        )
+        if isinstance(st, StructType) and corrupt_col not in st.names:
+            st = st.add(corrupt_col, StringType())
+        reader = reader.schema(st).option("mode", "PERMISSIVE")
     df = reader.json(path)
     if text_col not in df.columns:
         raise ValueError(

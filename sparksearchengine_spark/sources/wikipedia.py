@@ -68,8 +68,13 @@ def read_wikipedia_dump(
             .load(path)
         )
         return _project_pages(raw, strip_markup, keep_redirects)
-    except Exception:
-        # non-scale fallback: whole-file regex split (small dumps/tests only)
+    except Exception as e:
+        from pyspark.errors import AnalysisException
+
+        if isinstance(e, AnalysisException) and "PATH_NOT_FOUND" in str(e):
+            raise  # surface the real error, not a confusing binaryFile one
+        # non-scale fallback: whole-file regex split (small dumps/tests
+        # only); decompresses .bz2/.gz per file since binaryFile won't
         return _read_dump_fallback(spark, path, strip_markup, keep_redirects)
 
 
@@ -81,10 +86,25 @@ def _project_pages(
     # revision may parse as struct or array<struct>; text as string or
     # struct with _VALUE (it carries xml:space/bytes attributes)
     if "revision" in cols:
-        rev_t = raw.schema["revision"].dataType.simpleString()
-        rev = F.col("revision")[0] if rev_t.startswith("array") else F.col("revision")
+        from pyspark.sql.types import ArrayType, StructType
+
+        rev_dt = raw.schema["revision"].dataType
+        if isinstance(rev_dt, ArrayType):
+            # multi-revision pages list revisions chronologically; the
+            # contract is the LATEST revision's text, i.e. the last one
+            rev = F.element_at(F.col("revision"), -1)
+            rev_dt = rev_dt.elementType
+        else:
+            rev = F.col("revision")
         text = rev["text"]
-        if "_VALUE" in rev_t:
+        # check the TEXT field's own type, not the whole revision struct:
+        # any sibling element with attributes also contributes a _VALUE
+        text_dt = (
+            rev_dt["text"].dataType
+            if isinstance(rev_dt, StructType) and "text" in rev_dt.names
+            else None
+        )
+        if isinstance(text_dt, StructType) and "_VALUE" in text_dt.names:
             text = text["_VALUE"]
         text = text.cast("string")
     else:
@@ -125,9 +145,24 @@ def _read_dump_fallback(
                 .replace("&quot;", '"').replace("&amp;", "&")
             )
 
+        def decode(blob: bytes, p: str) -> str:
+            # binaryFile does NOT decompress; a .bz2/.gz dump read as raw
+            # bytes would regex-match nothing and silently yield an empty
+            # corpus — decompress per file here (r3 review finding)
+            if p.endswith(".bz2"):
+                import bz2
+
+                blob = bz2.decompress(blob)
+            elif p.endswith(".gz"):
+                import gzip
+
+                blob = gzip.decompress(blob)
+            return blob.decode("utf-8", errors="replace")
+
         for pdf in iterator:
             rows = []
-            for content in pdf["value"]:
+            for pth, blob in zip(pdf["path"], pdf["content"]):
+                content = decode(bytes(blob or b""), str(pth))
                 for m in page_re.finditer(content or ""):
                     body = m.group(1)
                     if not keep_redirects and redirect_re.search(body):
@@ -142,10 +177,7 @@ def _read_dump_fallback(
                     )
             yield pd.DataFrame(rows, columns=["title", "text"])
 
-    files = (
-        spark.read.format("binaryFile").load(path)
-        .select(F.col("content").cast("string").alias("value"))
-    )
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
     out = files.mapInPandas(parse_pages, schema=WIKIPAGE_SCHEMA)
     if strip_markup:
         out = out.withColumn("text", strip_wiki_markup(F.col("text")))

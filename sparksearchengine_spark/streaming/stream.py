@@ -12,9 +12,11 @@ rules at 100 TB:
 * sessionization uses the built-in ``session_window`` (JVM state store) —
   no Python-state operator needed for gap sessions;
 * incremental indexing appends per-batch postings via ``foreachBatch``:
-  the batch-side tokenize/explode/aggregate is EXACTLY the batch index
-  build (same code path), so streamed and batch-built postings are
-  bit-identical for the same rows. Global stats (df_t, avgdl) are NOT
+  the batch-side tokenize/explode/aggregate mirrors the batch index
+  build expression-for-expression (``stream_postings`` below; the parity
+  is pinned by ``TestIncrementalIndex``, which asserts streamed and
+  batch-built postings are row-identical for the same rows — keep both
+  sides in sync when touching either). Global stats (df_t, avgdl) are NOT
   maintained per-microbatch (a streaming global aggregate would rewrite
   the whole stats table every batch); they are recomputed lazily from the
   postings table at query time — the classic refresh-on-read tradeoff.
@@ -267,8 +269,11 @@ def running_user_stats(
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    # key type comes from the input schema — hardcoding bigint broke
+    # string-keyed streams at the Arrow boundary (r3 review finding)
+    key_type = events.schema[key_col].dataType.simpleString()
     out_schema = (
-        f"{key_col} bigint, n_events bigint, sum_value double, "
+        f"{key_col} {key_type}, n_events bigint, sum_value double, "
         "max_value double, closed boolean"
     )
     state_schema = "n bigint, s double, m double"

@@ -304,3 +304,23 @@ class TestCjkBigramAnalyzer:
         # (doc 2 has 搜索 then 中文, reversed order)
         ph = {r["doc_id"] for r in idx.search(Q.field("text").match_phrase("中文搜索"), k=10).collect()}
         assert ph == {1}
+
+
+class TestWhitespaceUnicodeParity:
+    def test_nbsp_treated_identically_by_py_and_sql(self, spark):
+        """Java regex \\s (what F.split compiles) is ASCII-only; the
+        Python tokenizer must agree, or index-time and query-time tokens
+        diverge on scraped-HTML whitespace (r3 review)."""
+        from sparksearchengine_spark.functions.analyzers import (
+            analyzer_expr, tokenize_py,
+        )
+
+        samples = ["foo bar", "a　b", "x \t y\nz", "thin space"]
+        df = spark.createDataFrame([(s,) for s in samples], "text string")
+        got = [
+            r["t"]
+            for r in df.select(
+                analyzer_expr(F.col("text"), "whitespace").alias("t")
+            ).collect()
+        ]
+        assert got == [tokenize_py(s, "whitespace") for s in samples]

@@ -195,3 +195,52 @@ class TestFilters:
     def test_parsed_query_end_to_end(self, tiny_index):
         q = Q.parse("a AND NOT c", default_field="text")
         assert ids(tiny_index.compile(q)) == [1]
+
+
+class TestReviewRegressions:
+    """r3 review: silent wrong-result bugs in the query path."""
+
+    def test_wildcard_fuzzy_case_preserving_analyzer(self, spark):
+        from sparksearchengine_spark import Corpus, Q, TextOptions
+
+        df = spark.createDataFrame(
+            [(1, "Foo Bar"), (2, "foo baz")], "doc_id long, text string"
+        )
+        idx = Corpus(
+            df, id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="whitespace")},
+        ).build_index()
+        # pattern case must match INDEXED term case (no forced lowercase)
+        w = {r["doc_id"] for r in idx.compile(Q.parse("text:Foo*")).collect()}
+        assert w == {1}
+        f = {r["doc_id"] for r in idx.compile(Q.parse("text:Foo~1")).collect()}
+        assert 1 in f  # exact-case term matches at distance 0
+        # lowercasing analyzers still fold the pattern
+        idx2 = Corpus(
+            df, id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="simple")},
+        ).build_index()
+        w2 = {r["doc_id"] for r in idx2.compile(Q.parse("text:Foo*")).collect()}
+        assert w2 == {1, 2}
+
+    def test_min_match_counts_duplicate_clauses(self, tiny_index):
+        from sparksearchengine_spark.plans.ast import Q
+
+        # doc 1 = [a,b,a], doc 2 = [a,c], doc 3 = [b,b,c,c]
+        # clauses (a,a,b) with min 2: docs containing just 'a' qualify
+        # (two 'a' clauses match), like Lucene's minimumShouldMatch
+        got = {
+            r["doc_id"]
+            for r in tiny_index.compile(
+                Q.field("text").match_min(2, "a", "a", "b")
+            ).collect()
+        }
+        assert got == {1, 2}  # doc 2 has only 'a' yet satisfies 2 clauses
+
+    def test_truncated_query_raises_value_error(self):
+        from sparksearchengine_spark.plans.ast import Q
+
+        with pytest.raises(ValueError):
+            Q.parse("title:")
+        with pytest.raises(ValueError):
+            Q.parse("year:[2020 TO")

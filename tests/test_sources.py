@@ -195,3 +195,54 @@ class TestJsonlCorpus:
                      text_cols={"text": TextOptions()}).build_index()
         hits = idx.search(Q.field("text").match_term("spark"), k=5).collect()
         assert len(hits) == 1
+
+
+class TestJsonlCorruptCapture:
+    def test_malformed_lines_captured_without_explicit_corrupt_col(
+        self, spark, tmp_path
+    ):
+        """r3 review: PERMISSIVE only captures corrupt lines when the
+        corrupt-record column is IN the schema; the reader must append it
+        so broken lines don't become silent all-NULL rows."""
+        from sparksearchengine_spark.sources import read_jsonl_corpus
+
+        p = str(tmp_path / "docs.jsonl")
+        with open(p, "w") as fh:
+            fh.write('{"doc_id": 1, "text": "good"}\n')
+            fh.write("{broken json!!\n")
+        from pyspark.sql import functions as F
+
+        df = read_jsonl_corpus(
+            spark, p, schema="doc_id long, text string"
+        ).cache()
+        assert "_corrupt_record" in df.columns
+        bad = df.where(F.col("_corrupt_record").isNotNull()).collect()
+        assert len(bad) == 1 and "broken" in bad[0]["_corrupt_record"]
+        good = df.where(F.col("_corrupt_record").isNull()).collect()
+        assert len(good) == 1 and good[0]["text"] == "good"
+
+
+class TestWikipediaCompressedFallback:
+    def test_bz2_dump_fallback_decompresses(self, spark, tmp_path):
+        """The regex fallback must decompress .bz2 dumps (binaryFile
+        reads raw bytes; before the r3 fix a compressed dump silently
+        yielded an empty corpus)."""
+        import bz2
+
+        from sparksearchengine_spark.sources.wikipedia import (
+            _read_dump_fallback,
+        )
+
+        xml = (
+            "<mediawiki><page><title>T1</title>"
+            "<revision><text>hello world</text></revision></page>"
+            "</mediawiki>"
+        )
+        p = str(tmp_path / "dump.xml.bz2")
+        with open(p, "wb") as fh:
+            fh.write(bz2.compress(xml.encode()))
+        rows = _read_dump_fallback(
+            spark, p, strip_markup=False, keep_redirects=True
+        ).collect()
+        assert len(rows) == 1
+        assert rows[0]["title"] == "T1" and rows[0]["text"] == "hello world"
