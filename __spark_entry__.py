@@ -1876,7 +1876,7 @@ def oracle_sql() -> dict[str, str]:
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
                 '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-                '\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g')
+                '(?:\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b', '<PHONE>', 'g')
                 AS text_scrubbed,
               CAST(len(regexp_extract_all(coalesce(text, ''),
                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
@@ -1885,7 +1885,7 @@ def oracle_sql() -> dict[str, str]:
               CAST(len(regexp_extract_all(coalesce(text, ''),
                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
               CAST(len(regexp_extract_all(coalesce(text, ''),
-                '\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b')) AS BIGINT) AS n_phone
+                '(?:\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b')) AS BIGINT) AS n_phone
             FROM documents_dirty ORDER BY doc_id""",
         # deterministic md5-bucket sampling (operators/sampling.py)
         "sample_stratified": """
@@ -2325,7 +2325,7 @@ def oracle_sql() -> dict[str, str]:
                                                     '[^a-z0-9]+'),
                                  t -> t <> '') AS toks,
                      list_filter(list_transform(
-                         string_split(coalesce(text, ''), chr(10)),
+                         string_split_regex(coalesce(text, ''), '\r?\n'),
                          x -> trim(x)), x -> x <> '') AS ls
               FROM documents
             ),

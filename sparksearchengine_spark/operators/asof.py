@@ -56,6 +56,11 @@ def asof_join(
         F.col(right_ts).alias("_ats"),
         F.struct(*[F.col(c) for c in payload]).alias("_rpay"),
         F.lit(0).alias("_lr"),
+    ).where(
+        # a NULL right timestamp has no as-of position; under asc NULLS
+        # FIRST it would become the fallback match for EVERY unmatched
+        # left row (r3 review finding; DuckDB ASOF never matches NULLs)
+        F.col("_ats").isNotNull()
     )
     l = left.select(
         *left.columns, F.col(left_ts).alias("_ats"), F.lit(1).alias("_lr")
@@ -66,8 +71,10 @@ def asof_join(
     w = (
         Window.partitionBy(*keys)
         # right rows (_lr=0) sort before left at the same timestamp ->
-        # inclusive match; left-vs-left ties don't matter (no state)
-        .orderBy(ts_order, F.col("_lr").asc())
+        # inclusive match; left-vs-left ties don't matter (no state);
+        # right-vs-right ties at the SAME timestamp break on the payload
+        # struct so the matched row is deterministic across runs
+        .orderBy(ts_order, F.col("_lr").asc(), F.col("_rpay").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # materialize the window fill BEFORE filtering to left rows — a

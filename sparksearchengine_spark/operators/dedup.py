@@ -74,6 +74,25 @@ def token_ngrams(tokens: Column, n: int) -> Column:
     return F.array_distinct(grams)
 
 
+def _self_delimited(cols: list[str]):  # type: ignore[no-untyped-def]
+    """Injection-proof multi-column content encoding: each value is
+    netstring-style length-prefixed, so a separator byte INSIDE a value
+    cannot shift column boundaries (('x\\x1fy','z') vs ('x','y\\x1fz')
+    collided under a bare concat_ws — r3 review finding). NULL encodes as
+    length -1, distinct from the empty string."""
+    parts = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        parts.append(
+            F.concat(
+                F.coalesce(F.length(s), F.lit(-1)).cast("string"),
+                F.lit(":"),
+                F.coalesce(s, F.lit("")),
+            )
+        )
+    return F.concat_ws("|", *parts)
+
+
 def exact_dedup(
     df: DataFrame,
     cols: list[str],
@@ -84,7 +103,7 @@ def exact_dedup(
     canon_id = min id among rows with identical content hash. One shuffle
     (window over the hash); at 100 TB hash first, never shuffle raw text.
     """
-    h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols]))
+    h = F.md5(_self_delimited(cols))
     w = Window.partitionBy("_h")
     return (
         df.select(F.col(id_col), h.alias("_h"))
@@ -279,6 +298,11 @@ def minhash_lsh_join(
     harness)."""
     gl = _gram_arrays(_widen(left), id_col, text_col, n, analyzer).persist()
     gr = _gram_arrays(_widen(right), id_col, text_col, n, analyzer).persist()
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(trailing hashes would be silently ignored)"
+        )
     r = num_hashes // bands
 
     def _banded(ga: DataFrame) -> DataFrame:
@@ -376,6 +400,11 @@ def minhash_lsh_candidates(
     P(candidate) = 1-(1-J^r)^b — with 64/16 the curve crosses ~0.5 at
     J≈0.55. Band hash is a single string concat; the join is keyed on
     (band_idx, band_hash), so co-candidates co-locate in one shuffle."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(trailing hashes would be silently ignored)"
+        )
     r = num_hashes // bands
     band_cols = F.explode(
         F.array(

@@ -46,7 +46,11 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    # NULL (not NaN) on zero-norm vectors: 0/0 is NaN, and Spark sorts
+    # NaN GREATER than every double — an all-zero embedding would rank 1
+    # for every query (r3 review finding). NULL sorts last under desc.
+    d = norm_expr(a) * norm_expr(b)
+    return F.when(d > 0, dot_expr(a, b) / d)
 
 
 def cosine_topk(
@@ -79,10 +83,11 @@ def cosine_topk(
     scored = it.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        (
+        F.when(
+            (F.col("_inorm") > 0) & (F.col("_qnorm") > 0),
             dot_expr(F.col("_ivec"), F.col("_qvec"))
-            / (F.col("_inorm") * F.col("_qnorm"))
-        ).alias("cos_sim"),
+            / (F.col("_inorm") * F.col("_qnorm")),
+        ).alias("cos_sim"),  # NULL on zero norms -> sorts last, never rank 1
     )
     return topk_per_group(
         scored,
@@ -110,19 +115,27 @@ def quantize_embeddings(
     All-zero vectors get scale 0 and qvec of zeros (dequantizes to the
     zero vector, never divides by zero).
     """
+    # two-phase on purpose: the lambda must reference the PRECOMPUTED
+    # scale column, not the array_max expression — higher-order functions
+    # are interpreted with no CSE, so an inlined scale would re-scan the
+    # whole vector per element, O(d^2) per row (r3 review finding; same
+    # pitfall textstats documents for its n-gram stats). CollapseProject
+    # keeps the split because the lambda references scale twice.
     v = F.col(vec_col)
     scale = (
         F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
     )
-    return df.select(
+    staged = df.select(F.col(id_col), v.alias("_v"), scale.alias("scale"))
+    sc = F.col("scale")
+    return staged.select(
         F.col(id_col),
-        scale.alias("scale"),
-        F.when(v.isNull(), None)
+        "scale",
+        F.when(F.col("_v").isNull(), None)
         .otherwise(
             F.transform(
-                v,
-                lambda x: F.when(scale == 0.0, F.lit(0)).otherwise(
-                    F.floor(x / scale + F.lit(0.5))
+                F.col("_v"),
+                lambda x: F.when(sc == F.lit(0.0), F.lit(0)).otherwise(
+                    F.floor(x / sc + F.lit(0.5))
                 ).cast("int"),
             )
         )
@@ -163,10 +176,11 @@ def cosine_topk_quantized(
     scored = it.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        (
+        F.when(
+            (F.col("_inorm") > 0) & (F.col("_qnorm") > 0),
             dot_expr(F.col("_ivec"), F.col("_qvec"))
-            / (F.col("_inorm") * F.col("_qnorm"))
-        ).alias("cos_sim"),
+            / (F.col("_inorm") * F.col("_qnorm")),
+        ).alias("cos_sim"),  # NULL on zero norms -> sorts last, never rank 1
     )
     from sparksearchengine_spark.operators.search import topk_per_group
 
@@ -207,10 +221,17 @@ def cosine_topk_arrow(
     import pandas as pd
 
     qrows = queries.select(query_id, query_vec).collect()
+    spark = items.sparkSession
+    if not qrows:  # empty query set -> empty result, same as the SQL path
+        return spark.createDataFrame(
+            [], "query_id long, vec_id long, cos_sim double, rank int"
+        )
     qids = np.array([r[0] for r in qrows], dtype=np.int64)
     qmat = np.array([list(r[1]) for r in qrows], dtype=np.float64)
-    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
-    bq = items.sparkSession.sparkContext.broadcast((qids, qmat))
+    qn = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qn[qn == 0] = np.nan  # zero-norm query -> NaN sims, masked below
+    qmat = qmat / qn
+    bq = spark.sparkContext.broadcast((qids, qmat))
 
     def score(batches):
         nqids, nq = bq.value
@@ -219,7 +240,12 @@ def cosine_topk_arrow(
                 continue
             ids = pdf["_id"].to_numpy(dtype=np.int64)
             v = np.array([list(x) for x in pdf["_vec"]], dtype=np.float64)
-            v = v / np.linalg.norm(v, axis=1, keepdims=True)
+            inorm = np.linalg.norm(v, axis=1)
+            keep = inorm > 0  # zero-norm items have no direction (SQL
+            if not keep.any():  # path yields NULL cos_sim; here: drop)
+                continue
+            ids, v = ids[keep], v[keep]
+            v = v / inorm[keep, None]
             sims = v @ nq.T  # (batch, n_queries)
             kk = min(k, sims.shape[0])
             # top-kk rows per query; ties by vec_id asc via lexsort
@@ -228,8 +254,9 @@ def cosine_topk_arrow(
             out_q = np.repeat(nqids[None, :], kk, axis=0).ravel()
             out_i = ids[sel].ravel()
             out_s = np.take_along_axis(sims, sel, axis=0).ravel()
+            ok = ~np.isnan(out_s)  # zero-norm queries: no defined sims
             yield pd.DataFrame(
-                {"query_id": out_q, "vec_id": out_i, "cos_sim": out_s}
+                {"query_id": out_q[ok], "vec_id": out_i[ok], "cos_sim": out_s[ok]}
             )
 
     partials = items.select(
@@ -291,6 +318,11 @@ def lsh_cosine_topk(
         sample = items.select(F.size(F.col(item_vec))).first()
         dim = int(sample[0])
     planes = _hyperplanes(num_planes, dim)
+    if num_planes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_planes={num_planes} "
+            "(trailing planes would be silently ignored)"
+        )
     r = num_planes // bands
 
     def banded(df: DataFrame, idc: str, vecc: str, out_id: str) -> DataFrame:
@@ -462,9 +494,12 @@ def ivf_build(
         "n_clusters": n_clusters,
         "centers": [list(map(float, c)) for c in model.clusterCenters()],
     }
-    os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, "meta.json"), "w") as fh:
-        json.dump(meta, fh)
+    # write meta through the SAME filesystem as the items (Spark text
+    # write -> Hadoop FS): a local open() would break every non-local
+    # path (s3://, hdfs://) the durable layout exists for (r3 review)
+    items.sparkSession.createDataFrame(
+        [(json.dumps(meta),)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(os.path.join(path, "meta"))
 
 
 def ivf_search(
@@ -483,8 +518,9 @@ def ivf_search(
     import json
     import os
 
-    with open(os.path.join(path, "meta.json")) as fh:
-        meta = json.load(fh)
+    meta = json.loads(
+        spark.read.text(os.path.join(path, "meta")).first()["value"]
+    )
     centers = meta["centers"]
     cent_arr = F.array(
         *[
@@ -579,6 +615,11 @@ def embedding_neardup(
     self-join + exact verification: (id_a < id_b, cos_sim)."""
     sample = items.select(F.size(F.col(item_vec))).first()
     planes = _hyperplanes(num_planes, int(sample[0]))
+    if num_planes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_planes={num_planes} "
+            "(trailing planes would be silently ignored)"
+        )
     r = num_planes // bands
     sig = lsh_signature_expr(F.col(item_vec), planes)
     d = items.select(

@@ -396,8 +396,9 @@ def repetition_metrics(
             6,
         ).alias("dup_5gram_char_frac")
     )
+    # split on \r?\n so CRLF documents don't count '\r' filler as lines
     lines = F.filter(
-        F.transform(F.split(text, r"\n"), lambda x: F.trim(x)),
+        F.transform(F.split(text, r"\r?\n"), lambda x: F.trim(x)),
         lambda x: x != F.lit(""),
     )
     n_lines = F.size(lines)
@@ -427,7 +428,10 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\+?\d{1,3}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
+    # country code is OPTIONAL: requiring it meant bare 10-digit numbers
+    # ('555-123-4567', '(555) 123-4567' — the common US shapes) were
+    # never masked, a silent PII leak (r3 review finding)
+    ("phone", r"(?:\+?\d{1,3}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b", "<PHONE>"),
 )
 
 

@@ -228,15 +228,10 @@ def dedup_stream(
     grows with the distinct-doc count; only for bounded backfills.
     """
     content_cols = content_cols or ["text"]
-    h = F.md5(
-        F.concat_ws(
-            "\x1f",
-            *[
-                F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                for c in content_cols
-            ],
-        )
-    )
+    from sparksearchengine_spark.operators.dedup import _self_delimited
+
+    # injection-proof encoding shared with the batch exact_dedup
+    h = F.md5(_self_delimited(content_cols))
     hashed = docs_stream.withColumn("_content_hash", h)
     if ts_col is not None:
         out = hashed.withWatermark(ts_col, watermark)

@@ -187,6 +187,19 @@ class TestPiiScrub:
         assert m[2]["text_scrubbed"] == "server <IP> ssn <SSN>"
         assert m[2]["n_ip"] == 1 and m[2]["n_ssn"] == 1
 
+    def test_bare_ten_digit_phones_masked(self, spark):
+        """r3 review: the country code must be OPTIONAL — the common US
+        shapes carry none and were silently leaking through."""
+        m = self._scrub(spark, [
+            (10, "call 555-123-4567 now"),
+            (11, "or (555) 123-4567 works"),
+            (12, "intl +44 555 123 4567"),
+        ])
+        for i in (10, 11, 12):
+            assert m[i]["n_phone"] == 1, m[i]
+            assert "<PHONE>" in m[i]["text_scrubbed"]
+            assert "4567" not in m[i]["text_scrubbed"]
+
     def test_clean_text_untouched(self, spark):
         m = self._scrub(spark, [(3, "no pii here 123"), (4, None), (5, "")])
         assert m[3]["text_scrubbed"] == "no pii here 123"
