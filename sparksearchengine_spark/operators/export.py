@@ -68,10 +68,14 @@ def export_shards(
     writer.format(file_format).save(path)
 
 
-def shard_manifest(spark: SparkSession, path: str) -> DataFrame:
+def shard_manifest(
+    spark: SparkSession, path: str, file_format: str = "parquet"
+) -> DataFrame:
     """(shard, n_files, n_rows) accounting of an exported layout, from the
-    data itself (partition-discovery column + input_file_name)."""
-    df = spark.read.parquet(path)
+    data itself (partition-discovery column + input_file_name). Pass the
+    same ``file_format`` the export used — a json export cannot be
+    manifested through a parquet read (r3 review)."""
+    df = spark.read.format(file_format).load(path)
     return (
         df.select(
             F.col("shard").cast("long").alias("shard"),

@@ -167,7 +167,10 @@ def _decode_audio_bytes(content: bytes, codec: str) -> tuple[int, int, list[floa
         data, sr = soundfile.read(io.BytesIO(content), dtype="float32")
         if getattr(data, "ndim", 1) > 1:
             data = data.mean(axis=1)  # downmix to mono
-        return int(sr), len(data), [float(x) for x in data]
+        # tolist(), not a per-sample Python loop: a 10-minute 44.1 kHz
+        # file is ~26M samples — boxing each float individually costs
+        # seconds and hundreds of MB of transient objects (r3 review)
+        return int(sr), len(data), data.tolist()
     raise ValueError(f"unknown codec {codec!r} (use 'fake' or 'real')")
 
 
@@ -264,9 +267,14 @@ def image_features(
                 # per-channel mean/std + coarse 2x2 spatial means, tiled to dim
                 for ch in range(c):
                     a = arr[:, :, ch]
-                    pooled += [float(a.mean()), float(a.std())]
+                    m = float(a.mean())
+                    pooled += [m, float(a.std())]
                     pooled += [
-                        float(q.mean())
+                        # a 1-pixel-wide/tall real image has empty 2x2
+                        # quadrants; their mean is NaN and would poison
+                        # downstream cosine/LSH — fall back to the
+                        # channel mean (r3 review)
+                        float(q.mean()) if q.size else m
                         for q in (
                             a[: h // 2, : w // 2], a[: h // 2, w // 2:],
                             a[h // 2:, : w // 2], a[h // 2:, w // 2:],

@@ -48,20 +48,32 @@ def curation_flags(
     out = docs.withColumn(
         "n_tokens", token_count_expr(F.col(text_col), analyzer).cast("long")
     ).withColumn(
+        # NULL text -> NULL n_tokens; coalesce so the doc FAILS the gate
+        # and is counted in n_quality_fail instead of vanishing from
+        # every report bucket with a NULL keep (r3 review)
         "quality_ok",
-        F.col("n_tokens").between(min_tokens, max_tokens),
+        F.coalesce(
+            F.col("n_tokens").between(min_tokens, max_tokens), F.lit(False)
+        ),
     )
+    # LEFT joins with coalesced defaults, per the module contract: a doc
+    # missing from a verdict frame surfaces with default flags instead of
+    # being silently deleted by an inner equi-join
     dd = exact_dedup(docs, [text_col], id_col=id_col)
     out = out.join(
         dd.select(id_col, "canon_id", F.col("is_duplicate").alias("is_exact_dup")),
         id_col,
-    )
+        "left",
+    ).withColumn("is_exact_dup", F.coalesce(F.col("is_exact_dup"), F.lit(False)))
     if eval_df is not None:
         dc = ngram_decontaminate(
             docs, eval_df, n=ngram_n, text_col=text_col, id_col=id_col,
             analyzer=analyzer, min_hit_grams=min_hit_grams,
         )
-        out = out.join(dc.select(id_col, "contaminated"), id_col)
+        out = out.join(dc.select(id_col, "contaminated"), id_col, "left")
+        out = out.withColumn(
+            "contaminated", F.coalesce(F.col("contaminated"), F.lit(False))
+        )
     else:
         out = out.withColumn("contaminated", F.lit(False))
     return out.withColumn(

@@ -20,20 +20,30 @@ from pyspark.sql import functions as F
 
 
 def _set_recall(approx: DataFrame, exact: DataFrame, keys: list[str]) -> DataFrame:
-    """1-row (n_exact, n_found, recall) for two keyed row sets."""
+    """1-row (n_exact, n_found, recall) for two keyed row sets.
+
+    ONE pass over the exact side: a left join against the (distinct)
+    approx keys with a hit marker, counted in a single aggregate — the
+    earlier semi-join + separate total ran the expensive exact-baseline
+    plan twice (r3 review). The approx side is key-distinct, so the left
+    join cannot multiply exact rows.
+    """
     e = exact.select(*keys).distinct()
-    a = approx.select(*keys).distinct()
-    found = e.join(a, keys, "left_semi").agg(
-        F.count(F.lit(1)).alias("n_found")
-    )
-    tot = e.agg(F.count(F.lit(1)).alias("n_exact"))
-    return tot.crossJoin(found).select(
-        "n_exact",
-        "n_found",
-        (
-            F.col("n_found").cast("double")
-            / F.greatest(F.col("n_exact"), F.lit(1)).cast("double")
-        ).alias("recall"),
+    a = approx.select(*keys).distinct().withColumn("_hit", F.lit(1))
+    return (
+        e.join(a, keys, "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_found"),
+        )
+        .select(
+            "n_exact",
+            "n_found",
+            (
+                F.col("n_found").cast("double")
+                / F.greatest(F.col("n_exact"), F.lit(1)).cast("double")
+            ).alias("recall"),
+        )
     )
 
 

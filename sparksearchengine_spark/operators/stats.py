@@ -44,20 +44,21 @@ def term_idfs(index: "SearchIndex") -> DataFrame:
     """M3 — per-term IDF with the BM25 idf formula (`IDFUtils.scala:28`),
     fed true docFreq (not the reference's totalTermFreq quirk — SURVEY
     §4.4.2)."""
-    dc = doc_counts(index).select(
-        "field", F.col("doc_count").cast("double").alias("_N")
+    # N comes from index.fieldstats — already a driver scalar with the
+    # same docs-with->=1-token definition — instead of re-aggregating a
+    # corpus-sized count_distinct over postings per call (r3 review);
+    # the formula is the shared idf_expr so it cannot drift from the idf
+    # scored_postings actually uses.
+    spark = index.termstats.sparkSession
+    dc = spark.createDataFrame(
+        [(f, float(st.doc_count)) for f, st in index.fieldstats.items()],
+        "field string, _N double",
     )
-    return (
-        index.termstats.join(F.broadcast(dc), "field")
-        .select(
-            "field",
-            "term",
-            "df_t",
-            F.log(
-                1.0
-                + (F.col("_N") - F.col("df_t") + 0.5) / (F.col("df_t") + 0.5)
-            ).alias("idf"),
-        )
+    return index.termstats.join(F.broadcast(dc), "field").select(
+        "field",
+        "term",
+        "df_t",
+        idf_expr(F.col("df_t").cast("double"), F.col("_N")).alias("idf"),
     )
 
 
@@ -126,12 +127,17 @@ def explain_score(
         elif isinstance(q, ast.MatchTerm):
             leaves.append((q.field, q.term, boost))
         elif isinstance(q, ast.MatchTermSet):
-            leaves.extend((q.field, t, boost) for t in q.terms)
+            # distinct WITHIN the node: the compiler scores a set's terms
+            # once each (_term_set dedups), but duplicates ACROSS sibling
+            # subtrees must stay — each subtree contributes its own score
+            leaves.extend(
+                (q.field, t, boost) for t in dict.fromkeys(q.terms)
+            )
         elif isinstance(q, (ast.MatchText, ast.MatchPhrase)):
             analyzer = index.corpus.text_cols[q.field].analyzer
             leaves.extend(
                 (q.field, t, boost)
-                for t in tokenize_py(q.text, analyzer)
+                for t in dict.fromkeys(tokenize_py(q.text, analyzer))
             )
         elif isinstance(q, (ast.And, ast.Or)):
             for op in q.operands:
@@ -149,8 +155,11 @@ def explain_score(
             [], "field string, term string, boost double, tf bigint, "
                 "df_t bigint, idf double, tscore double"
         )
+    # keep the leaf MULTISET: a term reached through two sibling
+    # subtrees scores twice in the compiler's union-sum, so it must
+    # appear twice here for sum(boost*tscore) to equal search()'s score
     q_df = spark.createDataFrame(
-        sorted(set(leaves)), "field string, term string, boost double"
+        sorted(leaves), "field string, term string, boost double"
     )
     rows = None
     for field in {f for f, _, _ in leaves}:
