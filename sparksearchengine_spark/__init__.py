@@ -45,4 +45,4 @@ __all__ = [
     "tokenize_py",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
