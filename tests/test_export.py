@@ -68,3 +68,19 @@ class TestShardExport:
         one = spark.read.parquet(out).where(F.col("shard") == 0)
         ids = [r["doc_id"] for r in one.select("doc_id").collect()]
         assert ids == sorted(ids)
+
+
+class TestManifestFormat:
+    def test_json_export_manifests(self, spark, tmp_path):
+        """r3 review: the manifest read must use the export's format."""
+        from sparksearchengine_spark.operators.export import (
+            export_shards, shard_manifest,
+        )
+
+        df = spark.range(40).select(
+            F.col("id").alias("doc_id"), F.lit("t").alias("text")
+        )
+        p = str(tmp_path / "jshards")
+        export_shards(df, p, num_shards=4, file_format="json")
+        man = shard_manifest(spark, p, file_format="json")
+        assert man.agg(F.sum("n_rows")).first()[0] == 40

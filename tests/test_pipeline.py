@@ -75,3 +75,24 @@ class TestCurationFlags:
         plan = curation_flags(docs, ev, ngram_n=3)._jdf.queryExecution(
         ).executedPlan().toString()
         assert "InMemoryTableScan" not in plan
+
+
+class TestNullTextAccounting:
+    def test_null_text_doc_fails_quality_gate(self, spark):
+        """r3 review: NULL text must FAIL the quality gate and be counted
+        there — not vanish with a NULL keep from every report bucket."""
+        from sparksearchengine_spark.operators.pipeline import (
+            curation_flags, curation_report,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "good doc text"), (2, None), (3, "another fine doc")],
+            "doc_id long, text string",
+        )
+        flags = {r["doc_id"]: r for r in curation_flags(docs).collect()}
+        assert flags[2]["quality_ok"] is False
+        assert flags[2]["keep"] is False
+        rep = curation_report(docs).collect()[0]
+        assert rep["n_docs"] == 3
+        assert rep["n_quality_fail"] == 1
+        assert rep["n_kept"] == 2

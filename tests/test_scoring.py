@@ -131,3 +131,26 @@ class TestExplainScore:
         q = Q.field("text").match_term("a")
         # doc 3 = [b, b, c, c] has no 'a'
         assert tiny_index.explain_score(q, 3).count() == 0
+
+
+class TestExplainSiblingDuplicates:
+    def test_sum_matches_search_with_repeated_term_across_subtrees(
+        self, tiny_index
+    ):
+        """r3 review: a term reached through two sibling subtrees scores
+        twice in the compiler's union-sum; explain must keep both leaves
+        so sum(boost*tscore) equals the search() score exactly."""
+        from pyspark.sql import functions as F
+
+        q = Q.field("text").match_term("a") | Q.field("text").match_any(
+            "a", "b"
+        )
+        hits = {
+            r["doc_id"]: r["score"]
+            for r in tiny_index.compile(q).collect()
+        }
+        rows = tiny_index.explain_score(q, 1).collect()
+        total = sum(r["boost"] * r["tscore"] for r in rows)
+        assert total == pytest.approx(hits[1])
+        # 'a' appears as TWO leaves (one per subtree), 'b' as one
+        assert sorted(r["term"] for r in rows) == ["a", "a", "b"]
