@@ -1191,6 +1191,51 @@ def _events_hourly(spark, sf):
     )
 
 
+def _dedup_boilerplate(spark, sf):
+    """Cross-document line-level boilerplate removal (CCNet-style). The
+    synthetic corpus is single-line (no newlines), so deterministic
+    boilerplate footers are injected IN BOTH ENGINES: every even doc gets
+    a newsletter line and every doc_id % 3 == 0 doc a copyright line —
+    both cross the min_docs=2 document-frequency threshold and must be
+    stripped — while a per-doc unique footer must survive. Whole-doc
+    exact duplicates in the corpus also collapse (their single original
+    line crosses the threshold), pinning that semantic too."""
+    from sparksearchengine_spark.operators.dedup import remove_boilerplate_lines
+
+    docs = _read(spark, sf, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit("\nsubscribe to our newsletter today"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\nall rights reserved 2024")
+            ).otherwise(F.lit("")),
+            F.lit("\nunique footer "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return (
+        remove_boilerplate_lines(dirty, min_docs=2)
+        .select("doc_id", "text", "n_lines", "n_removed")
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_crossgram(spark, sf):
+    """Cross-document duplicated n-gram fraction (Lee et al. 2021 /
+    RefinedWeb duplicated-text family). The corpus' shared vocabulary
+    yields natural cross-doc 3-gram repeats (~40% of gram types at
+    sf0.01), so the signal is exercised without injection."""
+    from sparksearchengine_spark.operators.dedup import cross_doc_ngram_dup
+
+    docs = _read(spark, sf, "documents")
+    return cross_doc_ngram_dup(docs, n=3, min_docs=2).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -1262,6 +1307,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow": _doc_winnow,
         "mm_image_features": _mm_image_features,
         "events_sessionize": _events_sessionize,
+        "dedup_boilerplate": _dedup_boilerplate,
+        "dedup_crossgram": _dedup_crossgram,
     }
 
 
@@ -2397,6 +2444,81 @@ def oracle_sql() -> dict[str, str]:
               (SELECT CAST(sum(doc_id) AS BIGINT) FROM hit WHERE m_exact) AS sum_exact,
               (SELECT count(*) FROM hit WHERE m_slop) AS cnt_slop,
               (SELECT CAST(sum(doc_id) AS BIGINT) FROM hit WHERE m_slop) AS sum_slop""",
+        # cross-doc line-level boilerplate removal (operators/dedup.py::
+        # remove_boilerplate_lines); freq join is on the raw line here vs
+        # md5(line) in Spark — equal lines <=> equal hashes, same result
+        "dedup_boilerplate": """
+            WITH dirty AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN chr(10) || 'subscribe to our newsletter today'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN chr(10) || 'all rights reserved 2024'
+                             ELSE '' END
+                     || chr(10) || 'unique footer ' || CAST(doc_id AS VARCHAR)
+                       AS text
+              FROM documents),
+            lines AS (
+              SELECT doc_id, unnest(ls) AS line,
+                     generate_subscripts(ls, 1) AS pos
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+                    FROM dirty)),
+            freq AS (
+              SELECT line, count(DISTINCT doc_id) AS df
+              FROM lines GROUP BY line),
+            kept AS (
+              SELECT l.doc_id, l.line, l.pos
+              FROM lines l JOIN freq f ON l.line = f.line
+              WHERE f.df < 2 OR trim(l.line) = ''),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY pos) AS new_text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce(r.new_text, '') AS text,
+                   CAST(len(string_split(d.text, chr(10))) AS INTEGER)
+                     AS n_lines,
+                   CAST(len(string_split(d.text, chr(10)))
+                        - coalesce(r.n_kept, 0) AS INTEGER) AS n_removed
+            FROM dirty d LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY d.doc_id""",
+        # cross-doc duplicated n-gram fraction (operators/dedup.py::
+        # cross_doc_ngram_dup), n=3, min_docs=2
+        "dedup_crossgram": """
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE list_transform(
+                                 range(1, greatest(len(toks) - 2, 1) + 1),
+                                 i -> array_to_string(toks[i:i+2], ' ')) END
+                       AS grams
+              FROM t),
+            e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            freq AS (
+              SELECT gram, count(DISTINCT doc_id) AS df
+              FROM e GROUP BY gram),
+            roll AS (
+              SELECT e.doc_id,
+                     count(*) AS n_grams,
+                     sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END) AS n_dup
+              FROM e JOIN freq f USING (gram)
+              GROUP BY e.doc_id)
+            SELECT d.doc_id,
+                   CAST(coalesce(r.n_grams, 0) AS BIGINT) AS n_grams,
+                   CAST(coalesce(r.n_dup, 0) AS BIGINT) AS n_dup_grams,
+                   round(CAST(coalesce(r.n_dup, 0) AS DOUBLE)
+                         / CAST(greatest(coalesce(r.n_grams, 0), 1) AS DOUBLE),
+                         6) AS dup_frac
+            FROM documents d LEFT JOIN roll r USING (doc_id)
+            ORDER BY d.doc_id""",
     }
     return _derived_oracles(out)
 

@@ -701,3 +701,160 @@ def simhash_dedup(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    keep_blank: bool = True,
+) -> DataFrame:
+    """Cross-document line-level boilerplate removal (CCNet-style).
+
+    A line appearing verbatim in >= min_docs DISTINCT documents is
+    boilerplate (nav bars, cookie banners, license footers) and is dropped
+    from every document; line order is otherwise preserved. Blank lines are
+    exempt by default (they carry paragraph structure, and would trivially
+    hit the threshold).
+
+    Returns the input columns with ``text_col`` rewritten, plus
+    ``n_lines`` (original) and ``n_removed``. NULL text passes through.
+
+    Scale shape: lines are md5-hashed before any shuffle (raw line text
+    never shuffles for the frequency count); one aggregation keyed on the
+    line hash to compute document frequency, one join of the exploded
+    lines against the flagged-hash set (no broadcast assumption — the
+    boilerplate set is unbounded), one groupBy on the doc id to
+    reassemble. No cross product, no driver-side state.
+    """
+    spark_cols = [c for c in df.columns]
+    lines = (
+        _widen(df)
+        .select(
+            F.col(id_col).alias("_bid"),
+            F.posexplode_outer(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+            .alias("_pos", "_line"),
+        )
+        .withColumn("_lh", F.md5(F.col("_line")))
+    )
+    linefreq = (
+        lines.select("_bid", "_lh")
+        .groupBy("_lh")
+        .agg(F.count_distinct("_bid").alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("_lh", F.lit(True).alias("_boiler"))
+    )
+    kept = lines.join(linefreq, "_lh", "left").where(
+        F.col("_boiler").isNull()
+        | (F.lit(keep_blank) & (F.trim(F.col("_line")) == ""))
+    )
+    rebuilt = (
+        kept.groupBy("_bid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                "\n",
+            ).alias("_new_text"),
+            F.count(F.lit(1)).alias("_n_kept"),
+        )
+    )
+    n_lines = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+    out = (
+        df.withColumn("_n_lines", n_lines)
+        .join(rebuilt, F.col(id_col) == F.col("_bid"), "left")
+        .withColumn(
+            text_col,
+            F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+                F.coalesce(F.col("_new_text"), F.lit(""))
+            ),
+        )
+        .withColumn(
+            "n_removed",
+            (F.col("_n_lines") - F.coalesce(F.col("_n_kept"), F.lit(0))).cast("int"),
+        )
+        .withColumn("n_lines", F.col("_n_lines").cast("int"))
+        .select(*spark_cols, "n_lines", "n_removed")
+    )
+    return out
+
+
+def token_ngram_windows(tokens: Column, n: int) -> Column:
+    """ALL space-joined n-gram windows (with multiplicity, unlike
+    ``token_ngrams``); docs shorter than n tokens yield their single
+    whole-doc gram so short docs still participate."""
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tokens) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+    )
+
+
+def cross_doc_ngram_dup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_docs: int = 2,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """Per-document cross-corpus duplicated-text signal: the fraction of a
+    doc's token n-gram windows that also occur in at least ``min_docs``
+    distinct documents (the doc itself included), per Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better") /
+    RefinedWeb's duplicated-fraction family. Doc-level near-dup catches
+    whole-document copies; THIS catches shared passages (quotes,
+    templates, syndicated paragraphs) inside otherwise-distinct docs.
+
+    Returns (id_col, n_grams, n_dup_grams, dup_frac). Empty/NULL text
+    rows return 0 grams and dup_frac 0.0.
+
+    Scale shape: grams are md5-hashed at the scan (raw gram text never
+    shuffles); one distinct + aggregation keyed on the gram hash for
+    document frequency; one join back on the hash; one groupBy(id) rollup.
+    """
+    toks = analyzer_expr(F.col(text_col), analyzer)
+    grams = (
+        _widen(df)
+        .select(
+            F.col(id_col).alias("_gid"),
+            F.explode_outer(
+                F.when(F.size(toks) > 0, token_ngram_windows(toks, n))
+            ).alias("_gram"),
+        )
+        .withColumn("_gh", F.md5(F.col("_gram")))
+        .select("_gid", "_gh")
+    )
+    dupset = (
+        grams.dropDuplicates(["_gid", "_gh"])
+        .groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("_gh", F.lit(1).alias("_dup"))
+    )
+    rolled = (
+        grams.join(dupset, "_gh", "left")
+        .groupBy("_gid")
+        .agg(
+            F.count("_gh").alias("n_grams"),
+            F.coalesce(F.sum("_dup"), F.lit(0)).alias("n_dup_grams"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rolled, F.col(id_col) == F.col("_gid"), "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_dup_grams"), F.lit(0))
+            .cast("bigint")
+            .alias("n_dup_grams"),
+            F.round(
+                F.coalesce(F.col("n_dup_grams"), F.lit(0))
+                / F.greatest(F.col("n_grams"), F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_frac"),
+        )
+    )

@@ -345,3 +345,168 @@ class TestCleanText:
         rows = {r["doc_id"]: r["text"] for r in clean_text(df).collect()}
         assert rows[1] == "a bc\n\nd"
         assert rows[2] is None
+
+
+class TestBoilerplateLines:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_shared_lines_removed_unique_kept(self, spark):
+        from sparksearchengine_spark.operators.dedup import (
+            remove_boilerplate_lines,
+        )
+
+        df = self._df(spark, [
+            (1, "alpha one\nshared footer\nbeta"),
+            (2, "gamma two\nshared footer"),
+            (3, "delta three"),
+        ])
+        got = {
+            r["doc_id"]: (r["text"], r["n_lines"], r["n_removed"])
+            for r in remove_boilerplate_lines(df, min_docs=2).collect()
+        }
+        assert got == {
+            1: ("alpha one\nbeta", 3, 1),
+            2: ("gamma two", 2, 1),
+            3: ("delta three", 1, 0),
+        }
+
+    def test_line_order_preserved(self, spark):
+        from sparksearchengine_spark.operators.dedup import (
+            remove_boilerplate_lines,
+        )
+
+        df = self._df(spark, [
+            (1, "z last\ncommon\na first\ncommon\nm mid"),
+            (2, "common"),
+        ])
+        row = {r["doc_id"]: r["text"]
+               for r in remove_boilerplate_lines(df, min_docs=2).collect()}
+        assert row[1] == "z last\na first\nm mid"
+        assert row[2] == ""
+
+    def test_blank_lines_exempt_by_default(self, spark):
+        from sparksearchengine_spark.operators.dedup import (
+            remove_boilerplate_lines,
+        )
+
+        df = self._df(spark, [
+            (1, "para one\n\npara two"),
+            (2, "other\n\nmore"),
+        ])
+        out = remove_boilerplate_lines(df, min_docs=2)
+        got = {r["doc_id"]: (r["text"], r["n_removed"]) for r in out.collect()}
+        assert got == {
+            1: ("para one\n\npara two", 0),
+            2: ("other\n\nmore", 0),
+        }
+
+    def test_blank_lines_removed_when_not_exempt(self, spark):
+        from sparksearchengine_spark.operators.dedup import (
+            remove_boilerplate_lines,
+        )
+
+        df = self._df(spark, [
+            (1, "para one\n\npara two"),
+            (2, "other\n\nmore"),
+        ])
+        out = remove_boilerplate_lines(df, min_docs=2, keep_blank=False)
+        got = {r["doc_id"]: r["text"] for r in out.collect()}
+        assert got == {1: "para one\npara two", 2: "other\nmore"}
+
+    def test_null_text_passes_through(self, spark):
+        from sparksearchengine_spark.operators.dedup import (
+            remove_boilerplate_lines,
+        )
+
+        df = self._df(spark, [(1, None), (2, "a\nb"), (3, "a\nc")])
+        got = {r["doc_id"]: (r["text"], r["n_removed"])
+               for r in remove_boilerplate_lines(df, min_docs=2).collect()}
+        assert got[1] == (None, 0) or got[1] == (None, 1)
+        # doc 1's NULL counts one synthetic empty line; text stays NULL
+        assert got[1][0] is None
+        assert got[2] == ("b", 1)
+        assert got[3] == ("c", 1)
+
+    def test_extra_columns_preserved(self, spark):
+        from sparksearchengine_spark.operators.dedup import (
+            remove_boilerplate_lines,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x\nshared", "en"), (2, "y\nshared", "es")],
+            "doc_id long, text string, lang string",
+        )
+        out = remove_boilerplate_lines(df, min_docs=2)
+        assert set(out.columns) == {
+            "doc_id", "text", "lang", "n_lines", "n_removed"
+        }
+        got = {r["doc_id"]: (r["text"], r["lang"]) for r in out.collect()}
+        assert got == {1: ("x", "en"), 2: ("y", "es")}
+
+    def test_within_doc_repeat_not_boilerplate(self, spark):
+        # a line repeated inside ONE doc is not cross-doc boilerplate
+        from sparksearchengine_spark.operators.dedup import (
+            remove_boilerplate_lines,
+        )
+
+        df = self._df(spark, [(1, "echo\necho"), (2, "solo")])
+        got = {r["doc_id"]: r["text"]
+               for r in remove_boilerplate_lines(df, min_docs=2).collect()}
+        assert got == {1: "echo\necho", 2: "solo"}
+
+
+class TestCrossDocNgramDup:
+    def test_shared_passage_detected(self, spark):
+        from sparksearchengine_spark.operators.dedup import cross_doc_ngram_dup
+
+        df = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "start pad quick brown fox jumps over end bit"),
+                (3, "totally different words here now"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+            for r in cross_doc_ngram_dup(df, n=5, min_docs=2).collect()
+        }
+        # doc1: 5 windows of 5; shared run "quick brown fox jumps over"
+        # is 1 window in each of doc1/doc2
+        assert got[1] == (5, 1)
+        assert got[2] == (5, 1)
+        assert got[3] == (1, 0)  # 5 tokens -> exactly one 5-window
+
+    def test_short_and_empty_docs(self, spark):
+        from sparksearchengine_spark.operators.dedup import cross_doc_ngram_dup
+
+        df = spark.createDataFrame(
+            [(1, "tiny doc"), (2, "tiny doc"), (3, ""), (4, None)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_frac"])
+            for r in cross_doc_ngram_dup(df, n=5, min_docs=2).collect()
+        }
+        # short docs compare via their whole-doc gram
+        assert got[1] == (1, 1, 1.0)
+        assert got[2] == (1, 1, 1.0)
+        assert got[3] == (0, 0, 0.0)
+        assert got[4] == (0, 0, 0.0)
+
+    def test_multiplicity_counted(self, spark):
+        from sparksearchengine_spark.operators.dedup import cross_doc_ngram_dup
+
+        df = spark.createDataFrame(
+            [(1, "a b a b a"), (2, "a b only")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+            for r in cross_doc_ngram_dup(df, n=2, min_docs=2).collect()
+        }
+        # doc1 windows: (a b)(b a)(a b)(b a); "a b" occurs in both docs ->
+        # dup windows in doc1 = 2 (both "a b" occurrences)
+        assert got[1] == (4, 2)
+        assert got[2] == (2, 1)
