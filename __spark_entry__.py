@@ -1225,6 +1225,35 @@ def _dedup_boilerplate(spark, sf):
     )
 
 
+def _text_gopher(spark, sf):
+    """Gopher quality-rule signals (Rae et al. 2021 §A1.1). The
+    bullet/ellipsis/symbol rules can't fire on the single-line synthetic
+    corpus, so deterministic bullet lines, an ellipsis line, and '#'
+    symbols are injected IN BOTH ENGINES on modular doc_id classes; the
+    word-count / mean-word-length / required-stopword rules run on the
+    natural text."""
+    from sparksearchengine_spark.operators.textstats import gopher_rules
+
+    docs = _read(spark, sf, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\n- bullet item alpha\n- bullet item beta"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("\nthis trails off...")
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" ## ## #")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return gopher_rules(dirty).orderBy("doc_id")
+
+
 def _dedup_crossgram(spark, sf):
     """Cross-document duplicated n-gram fraction (Lee et al. 2021 /
     RefinedWeb duplicated-text family). The corpus' shared vocabulary
@@ -1309,6 +1338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _events_sessionize,
         "dedup_boilerplate": _dedup_boilerplate,
         "dedup_crossgram": _dedup_crossgram,
+        "text_gopher": _text_gopher,
     }
 
 
@@ -2519,6 +2549,71 @@ def oracle_sql() -> dict[str, str]:
                          6) AS dup_frac
             FROM documents d LEFT JOIN roll r USING (doc_id)
             ORDER BY d.doc_id""",
+        # Gopher rule set (operators/textstats.py::gopher_rules) with the
+        # same modular-class injection as the Spark side
+        "text_gopher": """
+            WITH dirty AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN chr(10) || '- bullet item alpha'
+                                  || chr(10) || '- bullet item beta'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN chr(10) || 'this trails off...'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0 THEN ' ## ## #'
+                             ELSE '' END AS text
+              FROM documents),
+            sig AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\\s+'),
+                                 w -> w <> '') AS words,
+                     list_filter(list_transform(string_split(text, chr(10)),
+                                                l -> trim(l)),
+                                 l -> l <> '') AS lines,
+                     len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym
+              FROM dirty),
+            m AS (
+              SELECT doc_id,
+                     CAST(len(words) AS INTEGER) AS n_words,
+                     round(coalesce(list_sum(list_transform(words,
+                             w -> CAST(length(w) AS DOUBLE))), 0.0)
+                           / CAST(greatest(len(words), 1) AS DOUBLE), 6)
+                       AS mean_word_len,
+                     round(CAST(len(list_filter(lines,
+                             l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE)
+                           / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+                       AS bullet_line_frac,
+                     round(CAST(len(list_filter(lines,
+                             l -> regexp_matches(l, '(\\.\\.\\.|…)$')))
+                           AS DOUBLE)
+                           / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+                       AS ellipsis_line_frac,
+                     round(CAST(n_sym AS DOUBLE)
+                           / CAST(greatest(len(words), 1) AS DOUBLE), 6)
+                       AS symbol_word_ratio,
+                     round(CAST(len(list_filter(words,
+                             w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                           / CAST(greatest(len(words), 1) AS DOUBLE), 6)
+                       AS alpha_word_frac,
+                     CAST(len(list_filter(
+                             ['the','be','to','of','and','that','have','with'],
+                             r -> list_contains(list_transform(words,
+                                    w -> lower(w)), r))) AS INTEGER)
+                       AS required_word_hits
+              FROM sig)
+            SELECT doc_id, n_words, mean_word_len, bullet_line_frac,
+                   ellipsis_line_frac, symbol_word_ratio, alpha_word_frac,
+                   required_word_hits,
+                   (n_words >= 50 AND n_words <= 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND bullet_line_frac <= 0.9
+                    AND ellipsis_line_frac <= 0.3
+                    AND symbol_word_ratio <= 0.1
+                    AND alpha_word_frac >= 0.8
+                    AND required_word_hits >= 2) AS gopher_pass
+            FROM m ORDER BY doc_id""",
     }
     return _derived_oracles(out)
 

@@ -459,3 +459,107 @@ def pii_scrub(
     return df.select(
         F.col(id_col), scrubbed.alias("text_scrubbed"), *counts
     )
+
+
+# Gopher rule set (Rae et al. 2021, §A1.1 quality filters). Words are
+# WHITESPACE tokens (the paper's definition), not analyzer tokens.
+GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    max_symbol_word_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+    min_required_hits: int = 2,
+) -> DataFrame:
+    """Per-document Gopher quality-rule signals and verdict.
+
+    Emits the measured signal for every rule plus the composite
+    ``gopher_pass`` (all rules hold). Signals, per the paper:
+
+    * word count in [min_words, max_words]
+    * mean word length in [min, max]
+    * fraction of (non-blank) lines starting with a bullet char <= cap
+    * fraction of (non-blank) lines ending with an ellipsis <= cap
+    * '#'/ellipsis symbols per word <= cap
+    * fraction of words containing an alphabetic character >= floor
+    * at least ``min_required_hits`` distinct required stop words present
+
+    All pure scan-stage SQL expressions (whole-stage codegen, zero
+    shuffles, no UDFs); doubles rounded to 6dp for engine portability.
+    NULL text behaves as the empty document.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    safe_words = F.greatest(n_words, F.lit(1)).cast("double")
+    mean_word_len = F.round(
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / safe_words,
+        6,
+    )
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    n_lines = F.size(lines)
+    safe_lines = F.greatest(n_lines, F.lit(1)).cast("double")
+    bullet_frac = F.round(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^[-*•]"))).cast("double")
+        / safe_lines,
+        6,
+    )
+    ellipsis_frac = F.round(
+        F.size(
+            F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)$"))
+        ).cast("double")
+        / safe_lines,
+        6,
+    )
+    n_symbols = F.regexp_count(text, F.lit(r"#|\.\.\.|…"))
+    symbol_word_ratio = F.round(n_symbols.cast("double") / safe_words, 6)
+    alpha_word_frac = F.round(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))).cast("double")
+        / safe_words,
+        6,
+    )
+    required = F.array(*[F.lit(w) for w in GOPHER_REQUIRED_WORDS])
+    required_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(words, lambda w: F.lower(w))), required
+        )
+    )
+    gopher_pass = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mean_word_len)
+        & (mean_word_len <= max_mean_word_len)
+        & (bullet_frac <= max_bullet_frac)
+        & (ellipsis_frac <= max_ellipsis_frac)
+        & (symbol_word_ratio <= max_symbol_word_ratio)
+        & (alpha_word_frac >= min_alpha_word_frac)
+        & (required_hits >= min_required_hits)
+    )
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        symbol_word_ratio.alias("symbol_word_ratio"),
+        alpha_word_frac.alias("alpha_word_frac"),
+        required_hits.cast("int").alias("required_word_hits"),
+        gopher_pass.alias("gopher_pass"),
+    )
