@@ -95,18 +95,26 @@ def pack_chunks(
         for r in sorted(totals, key=lambda r: r["_pid"]):
             prefix.append((int(r["_pid"]), acc))
             acc += int(r["_tot"] or 0)
-        pdf = chunks.sparkSession.createDataFrame(
-            prefix, "_pid int, _prefix long"
+        # inline the per-partition prefix offsets as a literal map lookup
+        # instead of broadcast-joining a Python-local frame: an RDD-backed
+        # relation's broadcast spins up Python workers for |partitions|
+        # scalars, and the map expression stays in codegen
+        if not prefix:  # empty input: keep the map expression typed
+            prefix = [(0, 0)]
+        prefix_map = F.map_from_arrays(
+            F.array(*[F.lit(p) for p, _ in prefix]),
+            F.array(*[F.lit(o).cast("long") for _, o in prefix]),
         )
         out = (
-            local.join(F.broadcast(pdf), "_pid")
-            .withColumn(
+            local.withColumn(
                 "offset",
                 (
-                    F.col("_lcum") - F.col(n_tokens_col) + F.col("_prefix")
+                    F.col("_lcum")
+                    - F.col(n_tokens_col)
+                    + F.element_at(prefix_map, F.col("_pid"))
                 ).cast("long"),
             )
-            .drop("_pid", "_lcum", "_prefix")
+            .drop("_pid", "_lcum")
         )
     return out.withColumn(
         "pack_id", (F.col("offset") / budget).cast("long")

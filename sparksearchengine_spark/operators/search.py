@@ -602,9 +602,15 @@ def get_elements(index: "SearchIndex", ids: Iterable[int]) -> DataFrame:
     c = index.corpus
     spark = c.df.sparkSession
     id_list = [int(i) for i in ids]
-    ids_df = spark.createDataFrame(
-        [(i,) for i in id_list], "requested_id long"
+    # inline the ids as a JVM-side literal array instead of a Python-local
+    # createDataFrame: an RDD-backed relation's broadcast spins up Python
+    # workers (~seconds cold) for what is a handful of literals
+    id_arr = (
+        F.array(*[F.lit(i).cast("long") for i in id_list])
+        if id_list
+        else F.array().cast("array<long>")
     )
+    ids_df = spark.range(1).select(F.explode(id_arr).alias("requested_id"))
     elems = _lookup_frame(index, id_list).withColumn(
         "_did", F.col(c.id_col).cast("long")
     )

@@ -48,17 +48,21 @@ def term_idfs(index: "SearchIndex") -> DataFrame:
     # same docs-with->=1-token definition — instead of re-aggregating a
     # corpus-sized count_distinct over postings per call (r3 review);
     # the formula is the shared idf_expr so it cannot drift from the idf
-    # scored_postings actually uses.
-    spark = index.termstats.sparkSession
-    dc = spark.createDataFrame(
-        [(f, float(st.doc_count)) for f, st in index.fieldstats.items()],
-        "field string, _N double",
-    )
-    return index.termstats.join(F.broadcast(dc), "field").select(
+    # scored_postings actually uses. The scalars inline as a CASE
+    # expression rather than a broadcast-joined createDataFrame: a
+    # Python-local frame is an RDD-backed relation whose broadcast spins
+    # up Python workers (~4 s cold, measured at sf0.1 — the whole r4
+    # "stats" bench regression), while CASE stays in codegen.
+    n_expr = F.lit(None).cast("double")
+    for fname, st in index.fieldstats.items():
+        n_expr = F.when(
+            F.col("field") == fname, F.lit(float(st.doc_count))
+        ).otherwise(n_expr)
+    return index.termstats.select(
         "field",
         "term",
         "df_t",
-        idf_expr(F.col("df_t").cast("double"), F.col("_N")).alias("idf"),
+        idf_expr(F.col("df_t").cast("double"), n_expr).alias("idf"),
     )
 
 
