@@ -1254,6 +1254,50 @@ def _text_gopher(spark, sf):
     return gopher_rules(dirty).orderBy("doc_id")
 
 
+def _text_c4(spark, sf):
+    """C4 cleaning rules (Raffel et al. 2020 §2.2). The synthetic corpus
+    has no sentence punctuation, so sentence-shaped lines are injected IN
+    BOTH ENGINES on modular doc_id classes such that every rule fires:
+    a unique kept sentence per doc, a 5-sentence block (evens), a
+    too-short line (%3), a javascript line (%5), a lorem-ipsum page flag
+    (%7), and a curly-brace page flag (%11)."""
+    from sparksearchengine_spark.operators.textstats import c4_filters
+
+    docs = _read(spark, sf, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nfirst generated sentence for doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(" ends here."),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(
+                    "\nsecond sentence is also kept here. third one makes"
+                    " the page long enough! is this a question? yes it is."
+                    " final sentence closes it."
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("\ntoo short.")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit("\nplease enable javascript to continue reading."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit("\nlorem ipsum dolor sit amet."),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0, F.lit("\ncurly { brace } line.")
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return c4_filters(dirty).orderBy("doc_id")
+
+
 def _dedup_crossgram(spark, sf):
     """Cross-document duplicated n-gram fraction (Lee et al. 2021 /
     RefinedWeb duplicated-text family). The corpus' shared vocabulary
@@ -1339,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_boilerplate": _dedup_boilerplate,
         "dedup_crossgram": _dedup_crossgram,
         "text_gopher": _text_gopher,
+        "text_c4": _text_c4,
     }
 
 
@@ -2614,6 +2659,60 @@ def oracle_sql() -> dict[str, str]:
                     AND alpha_word_frac >= 0.8
                     AND required_word_hits >= 2) AS gopher_pass
             FROM m ORDER BY doc_id""",
+        # C4 cleaning rules (operators/textstats.py::c4_filters) with the
+        # same modular-class injection as the Spark side
+        "text_c4": """
+            WITH dirty AS (
+              SELECT doc_id,
+                     coalesce(text, '')
+                     || chr(10) || 'first generated sentence for doc '
+                     || CAST(doc_id AS VARCHAR) || ' ends here.'
+                     || CASE WHEN doc_id % 2 = 0
+                             THEN chr(10)
+                               || 'second sentence is also kept here. '
+                               || 'third one makes the page long enough! '
+                               || 'is this a question? yes it is. '
+                               || 'final sentence closes it.'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 3 = 0
+                             THEN chr(10) || 'too short.' ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN chr(10) || 'please enable javascript'
+                               || ' to continue reading.'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN chr(10) || 'lorem ipsum dolor sit amet.'
+                             ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN chr(10) || 'curly { brace } line.'
+                             ELSE '' END AS text
+              FROM documents),
+            t AS (
+              SELECT doc_id, text,
+                     list_filter(
+                       list_transform(string_split(text, chr(10)),
+                                      l -> trim(l)),
+                       l -> regexp_matches(l, '[.!?"]$')
+                            AND len(list_filter(
+                                  string_split_regex(l, '\\s+'),
+                                  w -> w <> '')) >= 3
+                            AND NOT regexp_matches(lower(l), 'javascript'))
+                       AS kept,
+                     len(string_split(text, chr(10))) AS n_lines
+              FROM dirty),
+            s AS (
+              SELECT doc_id, text,
+                     array_to_string(kept, chr(10)) AS new_text,
+                     CAST(len(kept) AS INTEGER) AS n_lines_kept,
+                     CAST(n_lines - len(kept) AS INTEGER) AS n_lines_dropped
+              FROM t)
+            SELECT doc_id, new_text AS text, n_lines_kept, n_lines_dropped,
+                   CAST(len(regexp_extract_all(new_text,
+                     '[.!?]("|\\s|$)')) AS INTEGER) AS n_sentences,
+                   (len(regexp_extract_all(new_text, '[.!?]("|\\s|$)')) >= 5
+                    AND NOT contains(lower(text), 'lorem ipsum')
+                    AND NOT contains(text, '{')) AS c4_keep
+            FROM s ORDER BY doc_id""",
     }
     return _derived_oracles(out)
 

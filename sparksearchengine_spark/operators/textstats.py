@@ -563,3 +563,66 @@ def gopher_rules(
         required_hits.cast("int").alias("required_word_hits"),
         gopher_pass.alias("gopher_pass"),
     )
+
+
+def c4_filters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """C4 cleaning rules (Raffel et al. 2020 §2.2) as one scan-stage pass.
+
+    Line rules (a line survives only if ALL hold):
+    * ends in terminal punctuation (. ! ? or a closing double quote)
+    * has at least ``min_words_per_line`` whitespace words
+    * does not contain the word "javascript" (case-insensitive)
+
+    Page rules (reported as ``c4_keep``; the text is rewritten either way
+    so callers can choose filter-then-keep or keep-all-with-verdict):
+    * at least ``min_sentences`` sentences in the RETAINED text, counting
+      terminal-punctuation boundaries
+    * page contains neither "lorem ipsum" (case-insensitive) nor '{'
+
+    Everything is per-row array/regex expressions — no explode, no
+    shuffle, whole-stage codegen. The 3-sentence-span dedup from the
+    paper is the job of the cross-document dedup family
+    (``operators/dedup.py``), not this per-row pass.
+
+    Returns the input columns with ``text_col`` rewritten plus
+    ``n_lines_kept``, ``n_lines_dropped``, ``n_sentences``, ``c4_keep``.
+    NULL text passes through as NULL with zero counts and c4_keep false.
+    """
+    raw = F.col(text_col)
+    text = F.coalesce(raw, F.lit(""))
+    lines = F.transform(F.split(text, "\n"), lambda l: F.trim(l))
+    n_lines = F.size(lines)
+
+    def _line_ok(l):  # type: ignore[no-untyped-def]
+        words = F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+        return (
+            l.rlike(r'[.!?"]$')
+            & (words >= min_words_per_line)
+            & ~F.lower(l).rlike("javascript")
+        )
+
+    kept = F.filter(lines, _line_ok)
+    new_text = F.array_join(kept, "\n")
+    n_sentences = F.regexp_count(new_text, F.lit(r'[.!?]("|\s|$)'))
+    page_ok = (
+        (n_sentences >= min_sentences)
+        & ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+    )
+    out_cols = [c for c in df.columns if c != text_col]
+    return df.select(
+        *out_cols,
+        F.when(raw.isNull(), F.lit(None).cast("string"))
+        .otherwise(new_text)
+        .alias(text_col),
+        F.size(kept).alias("n_lines_kept"),
+        (n_lines - F.size(kept)).alias("n_lines_dropped"),
+        n_sentences.alias("n_sentences"),
+        F.coalesce(page_ok & raw.isNotNull(), F.lit(False)).alias("c4_keep"),
+    )

@@ -49,3 +49,62 @@ class TestGopherRules:
         )
         row = gopher_rules(df).collect()[0]
         assert row["alpha_word_frac"] == round(2 / 5, 6)
+
+
+class TestC4Filters:
+    def test_line_rules(self, spark):
+        from sparksearchengine_spark.operators.textstats import c4_filters
+
+        df = spark.createDataFrame(
+            [
+                (1, "This sentence survives the filter.\n"
+                    "no terminal punctuation here\n"
+                    "Too short.\n"
+                    "Please enable JavaScript to proceed.\n"
+                    'He said "stop right there."'),
+            ],
+            "doc_id long, text string",
+        )
+        row = c4_filters(df).collect()[0]
+        assert row["text"] == (
+            'This sentence survives the filter.\nHe said "stop right there."'
+        )
+        assert row["n_lines_kept"] == 2
+        assert row["n_lines_dropped"] == 3
+
+    def test_page_rules(self, spark):
+        from sparksearchengine_spark.operators.textstats import c4_filters
+
+        five = ("One good sentence here. Two good sentences now. "
+                "Three in a row! Four keeps going? Five closes it out.")
+        df = spark.createDataFrame(
+            [
+                (1, five),
+                (2, five + "\nlorem ipsum dolor sit amet."),
+                (3, five + "\nvar x = { a: 1 };"),
+                (4, "Only one sentence lives here."),
+                (5, None),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r.asDict() for r in c4_filters(df).collect()}
+        assert got[1]["c4_keep"]
+        assert got[1]["n_sentences"] == 5
+        assert not got[2]["c4_keep"]  # lorem ipsum page flag
+        assert not got[3]["c4_keep"]  # curly brace page flag
+        assert not got[4]["c4_keep"]  # < 5 sentences
+        assert got[4]["n_sentences"] == 1
+        assert got[5]["text"] is None
+        assert not got[5]["c4_keep"]
+        assert got[5]["n_lines_kept"] == 0
+
+    def test_extra_columns_pass_through(self, spark):
+        from sparksearchengine_spark.operators.textstats import c4_filters
+
+        df = spark.createDataFrame(
+            [(1, "Keep this one sentence.", "en")],
+            "doc_id long, text string, lang string",
+        )
+        row = c4_filters(df).collect()[0]
+        assert row["lang"] == "en"
+        assert row["text"] == "Keep this one sentence."
