@@ -187,6 +187,28 @@ def main() -> None:
             field="text", k=5, num_terms=5,
         ).count()
 
+    # 9. curation rule sets (first benched in round 4 — these rows'
+    # first values define their baseline): the full scan-stage filter
+    # battery in ONE pass over the corpus, then the shuffling
+    # boilerplate-line pass
+    with timed("text_rules"):
+        from sparksearchengine_spark.operators.textstats import (
+            c4_filters,
+            gopher_rules,
+        )
+
+        gopher_rules(docs).agg(
+            F.sum(F.col("gopher_pass").cast("int"))
+        ).collect()
+        c4_filters(docs).agg(F.sum(F.col("c4_keep").cast("int"))).collect()
+
+    with timed("boilerplate"):
+        from sparksearchengine_spark.operators.dedup import (
+            remove_boilerplate_lines,
+        )
+
+        remove_boilerplate_lines(docs).agg(F.sum("n_removed")).collect()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

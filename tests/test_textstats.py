@@ -108,3 +108,35 @@ class TestC4Filters:
         row = c4_filters(df).collect()[0]
         assert row["lang"] == "en"
         assert row["text"] == "Keep this one sentence."
+
+
+class TestScanStagePlans:
+    """The scan-stage claims (zero shuffles) of the rule-set operators,
+    asserted on the physical plan, not just believed."""
+
+    def _plan(self, df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    def test_gopher_rules_no_exchange(self, spark):
+        from sparksearchengine_spark.operators.textstats import gopher_rules
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        assert "Exchange" not in self._plan(gopher_rules(docs))
+
+    def test_c4_filters_no_exchange(self, spark):
+        from sparksearchengine_spark.operators.textstats import c4_filters
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        assert "Exchange" not in self._plan(c4_filters(docs))
+
+    def test_boilerplate_no_nested_loop(self, spark):
+        # shuffles are inherent (df agg + reassembly) but there must be
+        # no cartesian/broadcast-nested-loop anywhere in the plan
+        from sparksearchengine_spark.operators.dedup import (
+            remove_boilerplate_lines,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = self._plan(remove_boilerplate_lines(docs))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
