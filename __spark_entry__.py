@@ -658,8 +658,12 @@ def _doc_keywords(spark, sf):
 
 def _curation_report(spark, sf):
     """End-to-end curation accounting: quality gate + exact dedup +
-    benchmark decontamination composed in ONE plan (operators/pipeline.py),
-    aggregated to a one-row report."""
+    benchmark decontamination + the Gopher rule gate composed in ONE plan
+    (operators/pipeline.py), aggregated to a one-row report. The Gopher
+    gate runs with min_required_hits=0 (the synthetic vocabulary has no
+    English function words, so the required-stopword rule would zero the
+    report); the C4 gate stays off (n_c4_fail pins the stable-schema
+    contract at 0)."""
     from sparksearchengine_spark.operators.pipeline import curation_report
 
     docs = _read(spark, sf, "documents")
@@ -668,6 +672,7 @@ def _curation_report(spark, sf):
         docs.where(F.col("doc_id") >= DECONTAM_EVAL_LO),
         min_tokens=CURATE_MIN_T, max_tokens=CURATE_MAX_T,
         ngram_n=DECONTAM_N,
+        gopher={"min_required_hits": 0},
     )
 
 
@@ -2269,10 +2274,45 @@ def oracle_sql() -> dict[str, str]:
                    WHERE doc_id < {DECONTAM_EVAL_LO}),
             hit AS (SELECT DISTINCT tr.doc_id FROM tr
                     JOIN ev USING (gram)),
+            gsig AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(coalesce(text, ''),
+                                 '\\s+'), w -> w <> '') AS words,
+                     list_filter(list_transform(
+                       string_split(coalesce(text, ''), chr(10)),
+                       l -> trim(l)), l -> l <> '') AS lines,
+                     len(regexp_extract_all(coalesce(text, ''),
+                         '#|\\.\\.\\.|…')) AS n_sym
+              FROM d),
+            gp AS (
+              SELECT doc_id,
+                     (len(words) >= 50 AND len(words) <= 100000
+                      AND round(coalesce(list_sum(list_transform(words,
+                            w -> CAST(length(w) AS DOUBLE))), 0.0)
+                          / CAST(greatest(len(words), 1) AS DOUBLE), 6)
+                          BETWEEN 3.0 AND 10.0
+                      AND round(CAST(len(list_filter(lines,
+                            l -> regexp_matches(l, '^[-*•]'))) AS DOUBLE)
+                          / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+                          <= 0.9
+                      AND round(CAST(len(list_filter(lines,
+                            l -> regexp_matches(l, '(\\.\\.\\.|…)$')))
+                          AS DOUBLE)
+                          / CAST(greatest(len(lines), 1) AS DOUBLE), 6)
+                          <= 0.3
+                      AND round(CAST(n_sym AS DOUBLE)
+                          / CAST(greatest(len(words), 1) AS DOUBLE), 6)
+                          <= 0.1
+                      AND round(CAST(len(list_filter(words,
+                            w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                          / CAST(greatest(len(words), 1) AS DOUBLE), 6)
+                          >= 0.8) AS gopher_ok
+              FROM gsig),
             f AS (
               SELECT q.doc_id, q.quality_ok, c.is_dup,
-                     hit.doc_id IS NOT NULL AS contam
+                     hit.doc_id IS NOT NULL AS contam, gp.gopher_ok
               FROM q JOIN c USING (doc_id)
+              JOIN gp USING (doc_id)
               LEFT JOIN hit USING (doc_id)
             )
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -2282,8 +2322,12 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS n_exact_dup,
                    CAST(sum(CASE WHEN contam THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_contaminated,
+                   CAST(sum(CASE WHEN NOT gopher_ok THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_gopher_fail,
+                   CAST(0 AS BIGINT) AS n_c4_fail,
                    CAST(sum(CASE WHEN quality_ok AND NOT is_dup
-                                      AND NOT contam THEN 1 ELSE 0 END)
+                                      AND NOT contam AND gopher_ok
+                                 THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_kept
             FROM f""",
         # token-window chunking (operators/chunking.py); DuckDB slices are

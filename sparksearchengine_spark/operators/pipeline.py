@@ -42,9 +42,22 @@ def curation_flags(
     ngram_n: int = 8,
     min_hit_grams: int = 1,
     analyzer: str = "simple",
+    gopher: bool | dict = False,
+    c4: bool | dict = False,
 ) -> DataFrame:
     """docs + (n_tokens, quality_ok, canon_id, is_exact_dup,
-    contaminated, keep)."""
+    contaminated, gopher_ok, c4_ok, keep).
+
+    ``gopher``/``c4`` switch on the Gopher rule set / C4 page verdict as
+    extra gates (pass a dict to override their thresholds). Both are
+    INLINED scan-stage expressions — enabling them adds zero joins and
+    zero shuffles to the composed plan. Disabled gates report ``True``
+    so the flag schema is stable either way.
+    """
+    from sparksearchengine_spark.operators.textstats import (
+        c4_signal_exprs,
+        gopher_signal_exprs,
+    )
     out = docs.withColumn(
         "n_tokens", token_count_expr(F.col(text_col), analyzer).cast("long")
     ).withColumn(
@@ -76,9 +89,28 @@ def curation_flags(
         )
     else:
         out = out.withColumn("contaminated", F.lit(False))
+    if gopher:
+        g_kwargs = gopher if isinstance(gopher, dict) else {}
+        out = out.withColumn(
+            "gopher_ok",
+            gopher_signal_exprs(F.col(text_col), **g_kwargs)["gopher_pass"],
+        )
+    else:
+        out = out.withColumn("gopher_ok", F.lit(True))
+    if c4:
+        c_kwargs = c4 if isinstance(c4, dict) else {}
+        out = out.withColumn(
+            "c4_ok", c4_signal_exprs(F.col(text_col), **c_kwargs)["c4_keep"]
+        )
+    else:
+        out = out.withColumn("c4_ok", F.lit(True))
     return out.withColumn(
         "keep",
-        F.col("quality_ok") & ~F.col("is_exact_dup") & ~F.col("contaminated"),
+        F.col("quality_ok")
+        & ~F.col("is_exact_dup")
+        & ~F.col("contaminated")
+        & F.col("gopher_ok")
+        & F.col("c4_ok"),
     )
 
 
@@ -106,5 +138,7 @@ def curation_report(
         F.sum((~F.col("quality_ok")).cast("long")).alias("n_quality_fail"),
         F.sum(F.col("is_exact_dup").cast("long")).alias("n_exact_dup"),
         F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
+        F.sum((~F.col("gopher_ok")).cast("long")).alias("n_gopher_fail"),
+        F.sum((~F.col("c4_ok")).cast("long")).alias("n_c4_fail"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
     )

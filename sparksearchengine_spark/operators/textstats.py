@@ -466,10 +466,8 @@ def pii_scrub(
 GOPHER_REQUIRED_WORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 
-def gopher_rules(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def gopher_signal_exprs(
+    text_expr: Column,
     min_words: int = 50,
     max_words: int = 100_000,
     min_mean_word_len: float = 3.0,
@@ -479,25 +477,12 @@ def gopher_rules(
     max_symbol_word_ratio: float = 0.1,
     min_alpha_word_frac: float = 0.8,
     min_required_hits: int = 2,
-) -> DataFrame:
-    """Per-document Gopher quality-rule signals and verdict.
-
-    Emits the measured signal for every rule plus the composite
-    ``gopher_pass`` (all rules hold). Signals, per the paper:
-
-    * word count in [min_words, max_words]
-    * mean word length in [min, max]
-    * fraction of (non-blank) lines starting with a bullet char <= cap
-    * fraction of (non-blank) lines ending with an ellipsis <= cap
-    * '#'/ellipsis symbols per word <= cap
-    * fraction of words containing an alphabetic character >= floor
-    * at least ``min_required_hits`` distinct required stop words present
-
-    All pure scan-stage SQL expressions (whole-stage codegen, zero
-    shuffles, no UDFs); doubles rounded to 6dp for engine portability.
-    NULL text behaves as the empty document.
-    """
-    text = F.coalesce(F.col(text_col), F.lit(""))
+) -> dict[str, Column]:
+    """The Gopher signals as named column expressions over a text column —
+    the composable form ``gopher_rules`` selects from and the curation
+    pipeline inlines (keeping its one-scan plan: a join would be wasted
+    on what is pure per-row compute)."""
+    text = F.coalesce(text_expr, F.lit(""))
     words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
     n_words = F.size(words)
     safe_words = F.greatest(n_words, F.lit(1)).cast("double")
@@ -552,16 +537,45 @@ def gopher_rules(
         & (alpha_word_frac >= min_alpha_word_frac)
         & (required_hits >= min_required_hits)
     )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "bullet_line_frac": bullet_frac,
+        "ellipsis_line_frac": ellipsis_frac,
+        "symbol_word_ratio": symbol_word_ratio,
+        "alpha_word_frac": alpha_word_frac,
+        "required_word_hits": required_hits.cast("int"),
+        "gopher_pass": gopher_pass,
+    }
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    **thresholds,
+) -> DataFrame:
+    """Per-document Gopher quality-rule signals and verdict.
+
+    Emits the measured signal for every rule plus the composite
+    ``gopher_pass`` (all rules hold). Signals, per the paper:
+
+    * word count in [min_words, max_words]
+    * mean word length in [min, max]
+    * fraction of (non-blank) lines starting with a bullet char <= cap
+    * fraction of (non-blank) lines ending with an ellipsis <= cap
+    * '#'/ellipsis symbols per word <= cap
+    * fraction of words containing an alphabetic character >= floor
+    * at least ``min_required_hits`` distinct required stop words present
+
+    All pure scan-stage SQL expressions (whole-stage codegen, zero
+    shuffles, no UDFs); doubles rounded to 6dp for engine portability.
+    NULL text behaves as the empty document. Thresholds are
+    ``gopher_signal_exprs`` keyword arguments.
+    """
+    sig = gopher_signal_exprs(F.col(text_col), **thresholds)
     return df.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        bullet_frac.alias("bullet_line_frac"),
-        ellipsis_frac.alias("ellipsis_line_frac"),
-        symbol_word_ratio.alias("symbol_word_ratio"),
-        alpha_word_frac.alias("alpha_word_frac"),
-        required_hits.cast("int").alias("required_word_hits"),
-        gopher_pass.alias("gopher_pass"),
+        F.col(id_col), *[expr.alias(name) for name, expr in sig.items()]
     )
 
 
@@ -594,7 +608,30 @@ def c4_filters(
     ``n_lines_kept``, ``n_lines_dropped``, ``n_sentences``, ``c4_keep``.
     NULL text passes through as NULL with zero counts and c4_keep false.
     """
-    raw = F.col(text_col)
+    sig = c4_signal_exprs(
+        F.col(text_col),
+        min_words_per_line=min_words_per_line,
+        min_sentences=min_sentences,
+    )
+    out_cols = [c for c in df.columns if c != text_col]
+    return df.select(
+        *out_cols,
+        sig["text"].alias(text_col),
+        sig["n_lines_kept"].alias("n_lines_kept"),
+        sig["n_lines_dropped"].alias("n_lines_dropped"),
+        sig["n_sentences"].alias("n_sentences"),
+        sig["c4_keep"].alias("c4_keep"),
+    )
+
+
+def c4_signal_exprs(
+    raw: Column,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+) -> dict[str, Column]:
+    """The C4 results as named column expressions over a text column —
+    the composable form ``c4_filters`` selects from and the curation
+    pipeline inlines (keeping its one-scan plan)."""
     text = F.coalesce(raw, F.lit(""))
     lines = F.transform(F.split(text, "\n"), lambda l: F.trim(l))
     n_lines = F.size(lines)
@@ -615,14 +652,12 @@ def c4_filters(
         & ~F.lower(text).contains("lorem ipsum")
         & ~text.contains("{")
     )
-    out_cols = [c for c in df.columns if c != text_col]
-    return df.select(
-        *out_cols,
-        F.when(raw.isNull(), F.lit(None).cast("string"))
-        .otherwise(new_text)
-        .alias(text_col),
-        F.size(kept).alias("n_lines_kept"),
-        (n_lines - F.size(kept)).alias("n_lines_dropped"),
-        n_sentences.alias("n_sentences"),
-        F.coalesce(page_ok & raw.isNotNull(), F.lit(False)).alias("c4_keep"),
-    )
+    return {
+        "text": F.when(raw.isNull(), F.lit(None).cast("string")).otherwise(
+            new_text
+        ),
+        "n_lines_kept": F.size(kept),
+        "n_lines_dropped": n_lines - F.size(kept),
+        "n_sentences": n_sentences,
+        "c4_keep": F.coalesce(page_ok & raw.isNotNull(), F.lit(False)),
+    }

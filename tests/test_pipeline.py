@@ -96,3 +96,59 @@ class TestNullTextAccounting:
         assert rep["n_docs"] == 3
         assert rep["n_quality_fail"] == 1
         assert rep["n_kept"] == 2
+
+
+class TestRuleSetGates:
+    def test_gates_off_report_true(self, spark):
+        from sparksearchengine_spark.operators.pipeline import curation_flags
+
+        docs = spark.createDataFrame(
+            [(1, "short doc")], "doc_id long, text string"
+        )
+        r = curation_flags(docs).collect()[0]
+        assert r["gopher_ok"] is True and r["c4_ok"] is True
+
+    def test_c4_gate_drops_punctuation_free_docs(self, spark):
+        from sparksearchengine_spark.operators.pipeline import (
+            curation_flags, curation_report,
+        )
+
+        five = ("One good sentence here. Two good sentences now. "
+                "Three in a row! Four keeps going? Five closes it out.")
+        docs = spark.createDataFrame(
+            [(1, five), (2, "no punctuation no sentences just words")],
+            "doc_id long, text string",
+        )
+        flags = {r["doc_id"]: r for r in curation_flags(docs, c4=True).collect()}
+        assert flags[1]["c4_ok"] is True and flags[1]["keep"] is True
+        assert flags[2]["c4_ok"] is False and flags[2]["keep"] is False
+        rep = curation_report(docs, c4=True).collect()[0]
+        assert rep["n_c4_fail"] == 1 and rep["n_kept"] == 1
+
+    def test_gopher_gate_threshold_override(self, spark):
+        from sparksearchengine_spark.operators.pipeline import curation_flags
+
+        long_doc = " ".join(["steady data flows keep the engine busy"] * 8)
+        docs = spark.createDataFrame(
+            [(1, long_doc), (2, "way too short")],
+            "doc_id long, text string",
+        )
+        flags = {
+            r["doc_id"]: r
+            for r in curation_flags(
+                docs, gopher={"min_required_hits": 0}
+            ).collect()
+        }
+        assert flags[1]["gopher_ok"] is True
+        assert flags[2]["gopher_ok"] is False  # < 50 words
+
+    def test_gates_add_no_exchanges(self, spark):
+        # the rule gates are inlined scan-stage expressions: enabling
+        # them must not add a single Exchange to the composed plan
+        from sparksearchengine_spark.operators.pipeline import curation_flags
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        off = curation_flags(docs)._jdf.queryExecution().executedPlan().toString()
+        on = curation_flags(docs, gopher=True, c4=True)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert on.count("Exchange") == off.count("Exchange")
