@@ -194,11 +194,16 @@ class Corpus:
                 F.col(self.id_col).cast("long").alias(DOC_ID),
                 src.alias("_raw"),
             ).repartition(nparts, DOC_ID)
+            safe_toks = F.coalesce(toks, F.array().cast("array<string>"))
+            # dl (field length in tokens) is size(toks), known BEFORE the
+            # explode — carrying it through as a per-doc constant and
+            # grouping on it removes the Sort+Window pass that re-derived
+            # it as sum(tf) over a doc_id partition (same value by
+            # construction, one fewer operator pair in every build)
             ex = raw.select(
                 DOC_ID,
-                F.posexplode(
-                    F.coalesce(toks, F.array().cast("array<string>"))
-                ).alias("pos", "term"),
+                F.size(safe_toks).cast("long").alias("dl"),
+                F.posexplode(safe_toks).alias("pos", "term"),
             )
             pos_agg = (
                 F.sort_array(F.collect_list("pos")).alias("positions")
@@ -206,14 +211,10 @@ class Corpus:
                 else F.first(F.lit(None).cast("array<int>")).alias("positions")
             )
             pf = (
-                ex.groupBy(DOC_ID, "term")
+                ex.groupBy(DOC_ID, "dl", "term")
                 .agg(
                     F.count(F.lit(1)).cast("long").alias("tf"),
                     pos_agg,
-                )
-                .withColumn(
-                    "dl",
-                    F.sum("tf").over(Window.partitionBy(DOC_ID)).cast("long"),
                 )
                 .select(
                     F.lit(fname).alias("field"),
