@@ -1230,6 +1230,18 @@ def _dedup_boilerplate(spark, sf):
     )
 
 
+def _dedup_spans(spark, sf):
+    """Cross-document duplicated-span removal (Lee et al. 2021): token
+    positions covered by a 3-gram window shared with another doc are
+    dropped; the corpus' repeated vocabulary provides natural shared
+    spans. Output text is analyzer-normalized (tokens re-joined with
+    spaces) per the operator contract."""
+    from sparksearchengine_spark.operators.dedup import remove_duplicate_spans
+
+    docs = _read(spark, sf, "documents")
+    return remove_duplicate_spans(docs, n=3, min_docs=2).orderBy("doc_id")
+
+
 def _text_gopher(spark, sf):
     """Gopher quality-rule signals (Rae et al. 2021 §A1.1). The
     bullet/ellipsis/symbol rules can't fire on the single-line synthetic
@@ -1389,6 +1401,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_crossgram": _dedup_crossgram,
         "text_gopher": _text_gopher,
         "text_c4": _text_c4,
+        "dedup_spans": _dedup_spans,
     }
 
 
@@ -2757,6 +2770,56 @@ def oracle_sql() -> dict[str, str]:
                     AND NOT contains(lower(text), 'lorem ipsum')
                     AND NOT contains(text, '{')) AS c4_keep
             FROM s ORDER BY doc_id""",
+        # cross-doc duplicated-span removal (operators/dedup.py::
+        # remove_duplicate_spans), n=3, min_docs=2; Spark positions are
+        # 0-based, generate_subscripts is 1-based -> the pos - 1 shift
+        "dedup_spans": """
+            WITH t AS (
+              SELECT doc_id, text IS NULL AS tnull,
+                     list_filter(string_split_regex(lower(coalesce(text, '')),
+                                 '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            g AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                          ELSE list_transform(
+                                 range(1, greatest(len(toks) - 2, 1) + 1),
+                                 i -> array_to_string(toks[i:i+2], ' ')) END
+                       AS grams
+              FROM t),
+            e AS (
+              SELECT doc_id, unnest(grams) AS gram,
+                     generate_subscripts(grams, 1) AS pos
+              FROM g),
+            freq AS (
+              SELECT gram, count(DISTINCT doc_id) AS df
+              FROM e GROUP BY gram),
+            ds AS (
+              SELECT e.doc_id, list_sort(list(e.pos - 1)) AS starts
+              FROM e JOIN freq USING (gram)
+              WHERE freq.df >= 2 GROUP BY e.doc_id),
+            j AS (
+              SELECT t.doc_id, t.tnull, t.toks,
+                     coalesce(ds.starts, CAST([] AS INTEGER[])) AS starts
+              FROM t LEFT JOIN ds USING (doc_id)),
+            k AS (
+              SELECT doc_id, tnull, toks,
+                     list_filter(range(1, len(toks) + 1),
+                       i -> len(list_filter(starts,
+                              s -> (i - 1) >= s
+                                   AND (i - 1) <= s + least(3, len(toks)) - 1
+                            )) = 0) AS keep_idx
+              FROM j)
+            SELECT doc_id,
+                   CASE WHEN tnull THEN NULL
+                        ELSE coalesce(array_to_string(
+                               list_transform(keep_idx, i -> toks[i]), ' '),
+                               '')
+                   END AS text,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(toks) - len(keep_idx) AS BIGINT)
+                     AS n_removed_tokens
+            FROM k ORDER BY doc_id""",
     }
     return _derived_oracles(out)
 

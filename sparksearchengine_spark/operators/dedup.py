@@ -858,3 +858,93 @@ def cross_doc_ngram_dup(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_docs: int = 2,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """Cross-document duplicated-span REMOVAL (Lee et al. 2021: drop the
+    repeated substring, keep the rest of the document). A token position
+    is removed when it is covered by any n-gram window occurring in >=
+    ``min_docs`` distinct documents; surviving tokens re-join with single
+    spaces.
+
+    The output text is therefore analyzer-normalized (tokens joined by
+    ' '), NOT the original byte string — the byte-exact variant needs the
+    raw offsets the tokenizer discards, and every downstream trainer
+    retokenizes anyway. Returns (id_col, text, n_tokens, n_removed_tokens).
+
+    Scale shape: same as ``cross_doc_ngram_dup`` — gram md5s only in the
+    shuffle, one document-frequency aggregation, one join back, then one
+    per-doc rollup collecting the (bounded-by-doc-length) duplicated
+    start positions; the coverage test is a per-row expression.
+    """
+    toks = analyzer_expr(F.col(text_col), analyzer)
+    base = _widen(df).select(
+        F.col(id_col).alias("_gid"),
+        F.col(text_col).isNull().alias("_tnull"),
+        F.coalesce(toks, F.array().cast("array<string>")).alias("_toks"),
+    )
+    grams = (
+        base.select(
+            "_gid",
+            F.posexplode_outer(
+                F.when(
+                    F.size(F.col("_toks")) > 0,
+                    token_ngram_windows(F.col("_toks"), n),
+                )
+            ).alias("_pos", "_gram"),
+        )
+        .withColumn("_gh", F.md5(F.col("_gram")))
+        .select("_gid", "_pos", "_gh")
+    )
+    dupset = (
+        grams.dropDuplicates(["_gid", "_gh"])
+        .groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= min_docs)
+        .select("_gh")
+    )
+    dup_starts = (
+        grams.join(dupset, "_gh")
+        .groupBy("_gid")
+        .agg(F.sort_array(F.collect_list("_pos")).alias("_starts"))
+    )
+    joined = base.join(dup_starts, "_gid", "left").withColumn(
+        "_starts", F.coalesce(F.col("_starts"), F.array().cast("array<int>"))
+    )
+    # a window of width n starting at 0-based _pos covers token indexes
+    # [_pos, _pos + n - 1]; short docs (< n tokens) emit one whole-doc
+    # window, so their covered span is the whole doc either way
+    span = F.least(F.lit(n), F.size(F.col("_toks")))
+    indexed = F.when(
+        F.size(F.col("_toks")) > 0,
+        F.transform(
+            F.col("_toks"),
+            lambda t, i: F.struct(i.alias("i"), t.alias("t")),
+        ),
+    ).otherwise(
+        F.array().cast("array<struct<i:int,t:string>>")
+    )
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("_starts"),
+            lambda st: (s["i"] >= st) & (s["i"] <= st + span - 1),
+        ),
+    )
+    return joined.select(
+        F.col("_gid").alias(id_col),
+        F.when(F.col("_tnull"), F.lit(None).cast("string"))
+        .otherwise(F.array_join(F.transform(kept, lambda s: s["t"]), " "))
+        .alias(text_col),
+        F.size(F.col("_toks")).cast("bigint").alias("n_tokens"),
+        (F.size(F.col("_toks")) - F.size(kept))
+        .cast("bigint")
+        .alias("n_removed_tokens"),
+    )

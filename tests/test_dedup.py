@@ -510,3 +510,84 @@ class TestCrossDocNgramDup:
         # dup windows in doc1 = 2 (both "a b" occurrences)
         assert got[1] == (4, 2)
         assert got[2] == (2, 1)
+
+
+class TestRemoveDuplicateSpans:
+    def test_shared_span_removed_from_all_docs(self, spark):
+        from sparksearchengine_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta shared run of tokens here"
+                    " epsilon zeta"),
+                (2, "other words shared run of tokens here and more tail"),
+                (3, "totally unrelated content"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in remove_duplicate_spans(df, n=5, min_docs=2).collect()
+        }
+        assert got[1]["text"] == "alpha beta gamma delta epsilon zeta"
+        assert got[1]["n_removed_tokens"] == 5
+        assert got[2]["text"] == "other words and more tail"
+        assert got[3]["text"] == "totally unrelated content"
+        assert got[3]["n_removed_tokens"] == 0
+
+    def test_overlapping_windows_union_coverage(self, spark):
+        from sparksearchengine_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        # shared run of SIX tokens with n=5 -> two overlapping dup windows
+        # covering tokens 0..5 in doc 1; union, not double count
+        run = "one two three four five six"
+        df = spark.createDataFrame(
+            [(1, run + " private suffix"), (2, "prefix bit " + run)],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in remove_duplicate_spans(df, n=5, min_docs=2).collect()
+        }
+        assert got[1]["text"] == "private suffix"
+        assert got[1]["n_removed_tokens"] == 6
+        assert got[2]["text"] == "prefix bit"
+        assert got[2]["n_removed_tokens"] == 6
+
+    def test_exact_dup_docs_fully_removed(self, spark):
+        from sparksearchengine_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "same short doc"), (2, "same short doc")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in remove_duplicate_spans(df, n=5, min_docs=2).collect()
+        }
+        # < n tokens -> whole-doc window; both copies empty out
+        assert got[1]["text"] == "" and got[2]["text"] == ""
+        assert got[1]["n_removed_tokens"] == 3
+
+    def test_null_and_empty(self, spark):
+        from sparksearchengine_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, ""), (3, "real content stays")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r.asDict()
+            for r in remove_duplicate_spans(df).collect()
+        }
+        assert got[1]["text"] is None and got[1]["n_tokens"] == 0
+        assert got[2]["text"] == "" and got[2]["n_tokens"] == 0
+        assert got[3]["text"] == "real content stays"
