@@ -432,3 +432,45 @@ class TestTrendingKeys:
         )
         out = sorted(trending_keys(ev, k=2).collect(), key=lambda r: r["rank"])
         assert [r["event_type"] for r in out] == ["a", "z"]
+
+
+class TestStatelessCurationOnStreams:
+    """The scan-stage rule sets (Gopher / C4 / PII) are stateless row
+    transforms, so they must run unchanged on a readStream source and
+    produce the batch plan's exact rows — curation-at-ingest for free."""
+
+    def test_gopher_and_c4_stream_equal_batch(self, spark, tmp_path):
+        import os
+
+        from sparksearchengine_spark.operators.textstats import (
+            c4_filters,
+            gopher_rules,
+        )
+
+        d = tmp_path / "docs_dir"
+        d.mkdir()
+        os.symlink(
+            "/root/testdata/sf0.001/documents.parquet",
+            str(d / "part-0.parquet"),
+        )
+        raw = spark.read.parquet(str(d))
+        stream = spark.readStream.schema(raw.schema).parquet(str(d))
+
+        for name, op in (
+            ("gq_eq", gopher_rules),
+            ("cq_eq", c4_filters),
+        ):
+            q = (
+                op(stream)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            got = sorted(
+                map(tuple, spark.sql(f"SELECT * FROM {name}").collect())
+            )
+            want = sorted(map(tuple, op(raw).collect()))
+            assert got == want and len(got) > 0
