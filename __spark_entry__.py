@@ -49,6 +49,15 @@ QC15_LO, QC15_HI, QC15_K = 100, 120, 5
 EMB_NQ, EMB_K = 5, 10
 EMB_DUP_T = 0.4  # synthetic embeddings are near-orthogonal; max pair ~0.51
 NGRAM_N, NGRAM_T = 3, 0.8
+KMEANS_K = 8  # clustering cells; init = the KMEANS_K lowest vec_ids
+# hashed linear quality model: integer weights (BIGINT-exact scores in
+# both engines), deterministic saw-tooth pattern over the bucket index
+CLF_DIM = 64
+CLF_WEIGHTS = [((i * 7) % 13) - 6 for i in range(CLF_DIM)]
+CLF_VOCAB = [  # integer-valued doubles: order-independent exact sums
+    ("the", 2.0), ("and", 1.0), ("data", 5.0), ("spark", 7.0),
+    ("dup", -4.0), ("table", 3.0), ("hash", -1.0),
+]
 
 _INDEX_CACHE: dict = {}
 
@@ -1326,6 +1335,59 @@ def _dedup_crossgram(spark, sf):
     return cross_doc_ngram_dup(docs, n=3, min_docs=2).orderBy("doc_id")
 
 
+def _emb_kmeans_assign(spark, sf):
+    """Scan-stage nearest-centroid assignment (k-means E-step) with the
+    deterministic lowest-id init — the clustering primitive under
+    SemDedup and corpus cartography (`operators/clustering.py`)."""
+    from sparksearchengine_spark.operators.clustering import (
+        default_centroids,
+        kmeans_assign,
+    )
+
+    emb = _read(spark, sf, "embeddings")
+    cents = default_centroids(emb, KMEANS_K)
+    return kmeans_assign(emb, cents).orderBy("id")
+
+
+def _emb_semdedup(spark, sf):
+    """SemDedup (Abbas et al. 2023): k-means cells bound the pairwise
+    cosine near-dedup; drop = lower-id in-cell neighbor >= threshold.
+    Assignment margins (min best-vs-2nd 8e-4) and threshold margins
+    (min |cos-t| 1e-4) are orders above cross-engine float noise, so the
+    integer/boolean output is engine-exact."""
+    from sparksearchengine_spark.operators.clustering import semdedup
+
+    emb = _read(spark, sf, "embeddings")
+    return semdedup(
+        emb, threshold=EMB_DUP_T, n_clusters=KMEANS_K
+    ).orderBy("id")
+
+
+def _classifier_score(spark, sf):
+    """Hashed linear quality-classifier inference (fastText bucket
+    shape): integer weights -> BIGINT-exact scores, md5 buckets shared
+    with the DuckDB oracle; the whole model is one scan-stage fold."""
+    from sparksearchengine_spark.operators.classify import classifier_score
+
+    docs = _read(spark, sf, "documents")
+    return classifier_score(
+        docs, CLF_WEIGHTS, bias=0, threshold=0
+    ).orderBy("id")
+
+
+def _classifier_vocab(spark, sf):
+    """Vocabulary linear model: explode + broadcast(term,weight) join +
+    per-doc re-aggregation. Integer-valued double weights keep the sums
+    order-independent-exact."""
+    from sparksearchengine_spark.operators.classify import (
+        classifier_score_vocab,
+    )
+
+    docs = _read(spark, sf, "documents")
+    w = spark.createDataFrame(CLF_VOCAB, "term string, weight double")
+    return classifier_score_vocab(docs, w, bias=1.0).orderBy("id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -1402,6 +1464,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_gopher": _text_gopher,
         "text_c4": _text_c4,
         "dedup_spans": _dedup_spans,
+        "emb_kmeans_assign": _emb_kmeans_assign,
+        "emb_semdedup": _emb_semdedup,
+        "classifier_score": _classifier_score,
+        "classifier_vocab": _classifier_vocab,
     }
 
 
@@ -2820,6 +2886,132 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(toks) - len(keep_idx) AS BIGINT)
                      AS n_removed_tokens
             FROM k ORDER BY doc_id""",
+        # k-means E-step (operators/clustering.py::kmeans_assign):
+        # centroids = the KMEANS_K lowest vec_ids' vectors; argmin of the
+        # squared L2 distance, ties to the lowest cell. Margins (min
+        # best-vs-2nd 8e-4 at sf0.01) dwarf cross-engine float noise.
+        "emb_kmeans_assign": f"""
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     CAST(embedding AS DOUBLE[]) AS cvec
+              FROM (SELECT * FROM embeddings ORDER BY vec_id
+                    LIMIT {KMEANS_K})
+            ),
+            d AS (
+              SELECT e.vec_id AS id, c.cell,
+                     list_sum(list_transform(
+                       list_zip(CAST(e.embedding AS DOUBLE[]), c.cvec),
+                       x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+              FROM embeddings e CROSS JOIN cent c
+            ),
+            r AS (
+              SELECT id, cell, row_number()
+                       OVER (PARTITION BY id ORDER BY dist, cell) AS rn
+              FROM d
+            )
+            SELECT id, CAST(cell AS INT) AS cell FROM r WHERE rn = 1
+            ORDER BY id""",
+        # SemDedup (operators/clustering.py::semdedup): same assignment,
+        # then drop rows with a lower-id in-cell neighbor of cosine >=
+        # threshold (min |cos - t| 1e-4 >> float noise)
+        "emb_semdedup": f"""
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                     CAST(embedding AS DOUBLE[]) AS cvec
+              FROM (SELECT * FROM embeddings ORDER BY vec_id
+                    LIMIT {KMEANS_K})
+            ),
+            dd AS (
+              SELECT e.vec_id AS id, c.cell,
+                     list_sum(list_transform(
+                       list_zip(CAST(e.embedding AS DOUBLE[]), c.cvec),
+                       x -> (x[1] - x[2]) * (x[1] - x[2]))) AS dist
+              FROM embeddings e CROSS JOIN cent c
+            ),
+            asg AS (
+              SELECT id, CAST(cell AS INT) AS cell FROM (
+                SELECT id, cell, row_number()
+                         OVER (PARTITION BY id ORDER BY dist, cell) AS rn
+                FROM dd) WHERE rn = 1
+            ),
+            v AS (
+              SELECT vec_id AS id, embedding AS v,
+                     sqrt(list_sum(list_transform(
+                       range(1, len(embedding) + 1),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST(embedding[i] AS DOUBLE)))) AS nrm
+              FROM embeddings
+            ),
+            dropped AS (
+              SELECT DISTINCT y.id
+              FROM asg x JOIN asg y
+                ON x.cell = y.cell AND x.id < y.id
+              JOIN v a ON a.id = x.id
+              JOIN v b ON b.id = y.id
+              WHERE CASE WHEN a.nrm > 0 AND b.nrm > 0 THEN
+                      list_sum(list_transform(range(1, len(a.v) + 1),
+                        i -> CAST(a.v[i] AS DOUBLE)
+                             * CAST(b.v[i] AS DOUBLE)))
+                      / (a.nrm * b.nrm)
+                    END >= {EMB_DUP_T}
+            )
+            SELECT asg.id, asg.cell, dropped.id IS NULL AS keep
+            FROM asg LEFT JOIN dropped ON asg.id = dropped.id
+            ORDER BY asg.id""",
+        # hashed linear classifier (operators/classify.py::
+        # classifier_score): md5-bucket weight lookup + integer fold —
+        # BIGINT-exact in both engines
+        "classifier_score": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+              FROM documents
+            )
+            SELECT doc_id AS id,
+                   CAST(len(toks) AS INTEGER) AS n_tokens,
+                   CAST(coalesce(list_sum(list_transform(toks,
+                     t -> ({CLF_WEIGHTS})[
+                       CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)
+                            % {CLF_DIM} AS INTEGER) + 1])), 0)
+                     AS BIGINT) AS score,
+                   CAST(coalesce(list_sum(list_transform(toks,
+                     t -> ({CLF_WEIGHTS})[
+                       CAST(CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)
+                            % {CLF_DIM} AS INTEGER) + 1])), 0)
+                     AS BIGINT) >= 0 AS keep
+            FROM t ORDER BY id""",
+        # vocabulary linear classifier (classifier_score_vocab): explode
+        # + weight-table left join + per-doc sum; integer-valued double
+        # weights keep the sums order-independent-exact
+        "classifier_vocab": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+              FROM documents
+            ),
+            w AS (
+              SELECT * FROM (VALUES {
+                  ", ".join(f"('{t}', CAST({v} AS DOUBLE))"
+                            for t, v in CLF_VOCAB)
+              }) AS w(term, weight)
+            ),
+            e AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+            s AS (
+              SELECT e.doc_id,
+                     count(*) AS n_tokens,
+                     coalesce(sum(w.weight), 0.0) + 1.0 AS score
+              FROM e LEFT JOIN w ON e.tok = w.term
+              GROUP BY e.doc_id
+            )
+            SELECT t.doc_id AS id,
+                   CAST(coalesce(s.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   coalesce(s.score, 1.0) AS score
+            FROM t LEFT JOIN s ON t.doc_id = s.doc_id
+            ORDER BY id""",
     }
     return _derived_oracles(out)
 

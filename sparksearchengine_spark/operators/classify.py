@@ -1,0 +1,125 @@
+"""Linear quality-classifier inference over token streams.
+
+The standard web-scale curation stack (CCNet, fastText quality filters a
+la GPT-3 / LLaMA data prep) scores each document with a LINEAR
+bag-of-tokens
+model — inference is the 100 TB-scale job (training is offline and
+small). Two shapes:
+
+* **hashing trick** (`classifier_score`, weights as a dense vector
+  indexed by `md5(token) % dim` — fastText's `-hash` buckets): the whole
+  model folds into ONE scan-stage projection (array-literal lookup +
+  sequential fold), zero joins, zero shuffles. This is the shape to run
+  against the full corpus.
+* **explicit vocabulary** (`classifier_score_vocab`, weights as a
+  `(term, weight)` DataFrame): explode + broadcast join + re-aggregate.
+  One shuffle on the doc id; use when the model ships as a word table.
+
+Both are engine-portable: md5 bucketing and sequential-fold sums are
+replicated verbatim by the driver's DuckDB oracle. With integer weights
+the score is exact (BIGINT); float weights follow the same fold order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.functions.analyzers import analyzer_expr
+
+
+def hash_bucket_expr(token: Column, dim: int) -> Column:
+    """`md5(token)` first 8 hex chars as an integer, mod dim — the same
+    engine-portable bucket `operators.sampling.hash_bucket` uses
+    (DuckDB: CAST('0x' || substr(md5(t),1,8) AS BIGINT) % dim)."""
+    return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long") % dim
+
+
+def classifier_score(
+    df: DataFrame,
+    weights: list[float] | list[int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "simple",
+    bias: float | int = 0,
+    threshold: float | int | None = None,
+) -> DataFrame:
+    """Hashed linear model: `score = bias + sum_t weights[md5(t) % dim]`
+    over the analyzed token stream; `(id, n_tokens, score[, keep])`.
+
+    The weight vector becomes an array literal resolved per token with
+    `element_at` inside a sequential fold — the entire model evaluates
+    inside the corpus scan's WholeStageCodegen, so scoring 100 TB costs
+    exactly one pass and no shuffle. ``dim`` (= len(weights)) up to a few
+    thousand keeps the literal driver-trivial; fastText's default 2M
+    buckets would instead ship as a table — use
+    :func:`classifier_score_vocab` for that regime.
+
+    Integer weights + integer bias => BIGINT score, bit-exact across
+    engines; float weights sum in token order (deterministic fold).
+    """
+    dim = len(weights)
+    if dim == 0:
+        raise ValueError("weights must be non-empty")
+    int_model = all(isinstance(w, int) for w in weights) and isinstance(bias, int)
+    warr = F.array(*[F.lit(w) for w in weights])
+    # NULL text scores exactly the bias (0 tokens), not NULL — a missing
+    # document is an empty document to a bag-of-tokens model
+    toks = F.coalesce(
+        analyzer_expr(F.col(text_col), analyzer),
+        F.array().cast("array<string>"),
+    )
+    contrib = F.transform(
+        toks, lambda t: F.element_at(warr, (hash_bucket_expr(t, dim) + 1).cast("int"))
+    )
+    zero = F.lit(0).cast("bigint") if int_model else F.lit(0.0)
+    score = F.aggregate(contrib, zero, lambda acc, x: acc + x) + F.lit(bias)
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).alias("n_tokens"),
+        score.alias("score"),
+    )
+    if threshold is not None:
+        out = out.withColumn("keep", F.col("score") >= F.lit(threshold))
+    return out
+
+
+def classifier_score_vocab(
+    df: DataFrame,
+    weights_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "simple",
+    bias: float = 0.0,
+    term_col: str = "term",
+    weight_col: str = "weight",
+) -> DataFrame:
+    """Vocabulary linear model: explode tokens, broadcast-join the
+    `(term, weight)` table (vocab << corpus by construction — a fastText
+    vocab is millions of rows, the corpus is billions), sum per doc.
+
+    OOV tokens contribute 0 (left join + coalesce). One shuffle (the
+    per-doc re-aggregation, partial-agg'd map-side). Returns
+    `(id, n_tokens, score)`; rows with no tokens score exactly ``bias``.
+    """
+    toks = analyzer_expr(F.col(text_col), analyzer)
+    base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    exploded = base.select(
+        "id", F.explode_outer(F.col("_toks")).alias("_t")
+    )
+    w = F.broadcast(
+        weights_df.select(
+            F.col(term_col).alias("_t"), F.col(weight_col).alias("_w")
+        )
+    )
+    scored = (
+        exploded.join(w, "_t", "left")
+        .groupBy("id")
+        .agg(
+            F.count(F.col("_t")).alias("n_tokens"),
+            (F.coalesce(F.sum("_w"), F.lit(0.0)) + F.lit(float(bias))).alias(
+                "score"
+            ),
+        )
+    )
+    return scored

@@ -1,0 +1,220 @@
+"""Embedding clustering and semantic deduplication (SemDedup).
+
+Training-data pipelines cluster embeddings for two jobs the flat ops in
+:mod:`operators.similarity` don't cover:
+
+* **SemDedup** (Abbas et al. 2023, arXiv:2303.09540): k-means the
+  embedding space, then drop near-duplicates *within* each cluster —
+  the pairwise O(n_c^2) work is bounded by cluster size instead of
+  corpus size, which is what makes cosine near-dedup feasible at 100 TB.
+* **corpus cartography**: per-cluster counts/centroids for mixture
+  analysis and downstream IVF layouts.
+
+Design for 100 TB:
+
+* the assignment step (`kmeans_assign`) is a pure scan-stage expression:
+  centroids are a driver-side k x dim literal array folded into ONE
+  projection (argmin over k squared-distance exprs) — no explode, no
+  join, no shuffle; Catalyst keeps it inside WholeStageCodegen;
+* the update step (`kmeans_fit`) aggregates per-dimension sums with
+  built-in partial aggregation (`groupBy(cell).agg(sum(vec[i])...)`) —
+  the shuffle carries k rows per map partition, not N x dim rows (no
+  posexplode);
+* `semdedup` shuffles once on the cell id; the within-cell self-join
+  generates only intra-cell pairs (sum of n_c^2, not N^2).
+
+Determinism: centroid init is the k lowest-id vectors (no RNG), ties in
+the argmin break to the lowest cell index, and the near-dup keep rule is
+"drop a row iff a lower-id neighbor in its cell is >= threshold" — all
+oracle-replicable in plain SQL (the driver's DuckDB gate runs the same
+computation; see `__spark_entry__.oracle_sql`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.operators.similarity import dot_expr, norm_expr
+
+
+def _sqdist_expr(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance between an array column (cast to double) and a
+    driver-side centroid literal — a sequential fold in array order, the
+    same association DuckDB's list_sum-over-list_transform uses."""
+    lit = F.array(*[F.lit(float(v)) for v in centroid])
+    return F.aggregate(
+        F.zip_with(vec.cast("array<double>"), lit, lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def default_centroids(
+    items: DataFrame, k: int, item_id: str = "vec_id", item_vec: str = "embedding"
+) -> list[list[float]]:
+    """Deterministic, RNG-free init: the vectors of the k lowest ids.
+
+    Collects k x dim floats — driver-small by construction (k is a knob,
+    dim is the embedding width). At 100 TB the ORDER BY id LIMIT k is a
+    TakeOrderedAndProject: per-partition top-k, no global sort.
+    """
+    rows = (
+        items.select(F.col(item_id).alias("id"), F.col(item_vec).alias("v"))
+        .orderBy("id")
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need >= {k} items to seed {k} clusters, got {len(rows)}")
+    return [[float(x) for x in r["v"]] for r in rows]
+
+
+def kmeans_assign(
+    items: DataFrame,
+    centroids: list[list[float]],
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """E-step: nearest-centroid assignment, `(id, cell)`.
+
+    One scan-stage projection: k squared-distance exprs + argmin via
+    `array_position(dists, array_min(dists))` (first occurrence = lowest
+    cell wins ties). No shuffle, no explode — the whole step rides the
+    corpus scan, so assignment at 100 TB costs one pass and nothing else.
+    """
+    dists = F.array(*[_sqdist_expr(F.col(item_vec), c) for c in centroids])
+    return items.select(
+        F.col(item_id).alias("id"),
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
+    )
+
+
+def kmeans_fit(
+    items: DataFrame,
+    k: int,
+    iters: int = 5,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> tuple[list[list[float]], DataFrame]:
+    """Lloyd's k-means in pure DataFrame ops; returns
+    ``(centroids, assignments)`` with assignments = `(id, cell)`.
+
+    Per iteration: one scan-stage assignment (no shuffle) + one
+    partial-aggregated `groupBy(cell)` whose shuffle moves at most
+    k rows per map partition (per-dimension `sum(vec[i])` exprs — never
+    a posexplode of N x dim rows). The k x dim centroid matrix is the
+    only driver-side state. Empty clusters keep their previous centroid
+    (standard Lloyd fallback), so k never silently shrinks.
+
+    Deterministic: init = k lowest-id vectors (`default_centroids`),
+    FP sums associate in Spark's partial-agg order — run-to-run stable on
+    the same partitioning; for a cross-engine-exact contract use
+    :func:`kmeans_assign` with pinned centroids (that is what the driver
+    oracle checks; this fitted variant is held to a quality bar vs
+    pyspark.ml KMeans in tests instead).
+    """
+    if centroids is None:
+        centroids = default_centroids(items, k, item_id, item_vec)
+    if len(centroids) != k:
+        raise ValueError(f"got {len(centroids)} centroids for k={k}")
+    dim = len(centroids[0])
+    vec_d = F.col(item_vec).cast("array<double>")
+    for _ in range(iters):
+        assigned = kmeans_assign(items, centroids, item_id, item_vec)
+        joined = items.select(
+            F.col(item_id).alias("id"), vec_d.alias("_v")
+        ).join(assigned, "id")
+        sums = (
+            joined.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at(F.col("_v"), i + 1)).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        new = list(centroids)  # empty cells keep the old centroid
+        for r in sums:
+            new[r["cell"]] = [r[f"_s{i}"] / r["_n"] for i in range(dim)]
+        centroids = new
+    return centroids, kmeans_assign(items, centroids, item_id, item_vec)
+
+
+def cluster_summary(
+    items: DataFrame,
+    centroids: list[list[float]],
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """Per-cluster cartography: `(cell, n_items, inertia)` — size and
+    summed squared distance to the assigned centroid. One scan + one
+    k-row aggregate."""
+    dists = F.array(*[_sqdist_expr(F.col(item_vec), c) for c in centroids])
+    assigned = items.select(
+        F.col(item_id).alias("id"),
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
+        F.array_min(dists).alias("_d"),
+    )
+    return assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_items"), F.sum("_d").alias("inertia")
+    )
+
+
+def semdedup(
+    items: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 8,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDedup: semantic near-dedup bounded by k-means cells.
+
+    Returns every item as `(id, cell, keep)` — ``keep = false`` iff some
+    LOWER-id item in the SAME cell has cosine >= threshold (the paper's
+    "keep one representative per semantic duplicate group", with the
+    deterministic lowest-id representative rule this repo's other dedup
+    ops use).
+
+    Scale shape: assignment is scan-stage; the only shuffle keys on
+    ``cell``; the self-join emits intra-cell pairs only (sum n_c^2 —
+    the whole point of clustering first). A duplicate pair split across
+    two cells is missed by design (the paper's recall trade-off); the
+    recall harness (`operators.recall.pair_recall`) quantifies it vs
+    `similarity.embedding_neardup_exact` in tests.
+    """
+    if centroids is None:
+        centroids = default_centroids(items, n_clusters, item_id, item_vec)
+    assigned = items.select(
+        F.col(item_id).cast("long").alias("id"),
+        F.col(item_vec).alias("vec"),
+        norm_expr(F.col(item_vec)).alias("nrm"),
+    ).join(kmeans_assign(items, centroids, item_id, item_vec), "id")
+    a, b = assigned.alias("a"), assigned.alias("b")
+    # ids (higher side) having a lower-id neighbor >= threshold in-cell
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .where(
+            # NULL (never NaN) on zero-norm vectors: the guard keeps
+            # 0/0 out of the comparison (Spark orders NaN above every
+            # double, so an unguarded 0/0 would pass any threshold)
+            F.when(
+                (F.col("a.nrm") > 0) & (F.col("b.nrm") > 0),
+                dot_expr(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+            )
+            >= float(threshold)
+        )
+        .select(F.col("b.id").alias("id"))
+        .distinct()
+    )
+    return assigned.join(dropped.withColumn("_dup", F.lit(True)), "id", "left").select(
+        "id", "cell", F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")
+    )

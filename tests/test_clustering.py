@@ -1,0 +1,296 @@
+"""Clustering + SemDedup + linear-classifier inference.
+
+Hand-computable fixtures for the assignment/fit/keep rules, plan-shape
+assertions for the scale claims (assignment is scan-stage: no Exchange),
+and a quality bar for the fitted variant (inertia monotone, agreement
+with pyspark.ml KMeans on separable data).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.operators.classify import (
+    classifier_score,
+    classifier_score_vocab,
+    hash_bucket_expr,
+)
+from sparksearchengine_spark.operators.clustering import (
+    cluster_summary,
+    default_centroids,
+    kmeans_assign,
+    kmeans_fit,
+    semdedup,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    # two tight groups around (0,0) and (10,10), plus one point nearer the
+    # second group; ids fix the deterministic init (ids 1,2 -> the first
+    # two vectors seed cells 0,1)
+    rows = [
+        (1, [0.0, 0.1]),
+        (2, [10.0, 10.0]),
+        (3, [0.1, 0.0]),
+        (4, [9.9, 10.1]),
+        (5, [6.0, 6.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestKmeansAssign:
+    def test_nearest_centroid_hand_computed(self, vecs):
+        cents = [[0.0, 0.0], [10.0, 10.0]]
+        got = {
+            r["id"]: r["cell"]
+            for r in kmeans_assign(vecs, cents).collect()
+        }
+        assert got == {1: 0, 3: 0, 2: 1, 4: 1, 5: 1}
+
+    def test_tie_breaks_to_lowest_cell(self, spark):
+        df = spark.createDataFrame(
+            [(1, [5.0, 5.0])], "vec_id long, embedding array<float>"
+        )
+        cents = [[0.0, 0.0], [10.0, 10.0]]  # equidistant
+        assert kmeans_assign(df, cents).first()["cell"] == 0
+
+    def test_assignment_is_scan_stage(self, vecs):
+        # the whole E-step must ride the scan: no Exchange in the plan
+        plan = kmeans_assign(
+            vecs, [[0.0, 0.0], [10.0, 10.0]]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_default_centroids_lowest_ids(self, vecs):
+        c = default_centroids(vecs, 2)
+        assert c[0] == pytest.approx([0.0, 0.1])
+        assert c[1] == pytest.approx([10.0, 10.0])
+
+    def test_default_centroids_too_few_raises(self, vecs):
+        with pytest.raises(ValueError, match="need >= 9"):
+            default_centroids(vecs, 9)
+
+
+class TestKmeansFit:
+    def test_converges_on_separable_groups(self, vecs):
+        cents, asg = kmeans_fit(vecs, 2, iters=4)
+        got = {r["id"]: r["cell"] for r in asg.collect()}
+        # the two tight groups separate; 5 joins the (10,10) group
+        assert got[1] == got[3]
+        assert got[2] == got[4] == got[5]
+        assert got[1] != got[2]
+        # converged centroids are the group means
+        assert cents[got[1]] == pytest.approx([0.05, 0.05])
+        assert cents[got[2]] == pytest.approx(
+            [(10.0 + 9.9 + 6.0) / 3, (10.0 + 10.1 + 6.0) / 3]
+        )
+
+    def test_inertia_never_increases(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        cents = default_centroids(emb, 8)
+        inertias = []
+        for it in range(3):
+            cents, _ = kmeans_fit(emb, 8, iters=1, centroids=cents)
+            total = (
+                cluster_summary(emb, cents)
+                .agg(F.sum("inertia"))
+                .first()[0]
+            )
+            inertias.append(total)
+        assert all(
+            a >= b - 1e-9 for a, b in zip(inertias, inertias[1:])
+        ), inertias
+
+    def test_matches_mllib_assignment_quality(self, spark):
+        """Same-k fit must reach an inertia within 10% of pyspark.ml
+        KMeans (seeded) on the sf0.001 embeddings — pins 'this is real
+        k-means', not a plausible-looking clustering."""
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        cents, _ = kmeans_fit(emb, 8, iters=10)
+        ours = cluster_summary(emb, cents).agg(F.sum("inertia")).first()[0]
+
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        f = emb.withColumn(
+            "_fv", array_to_vector(F.col("embedding").cast("array<double>"))
+        )
+        m = KMeans(k=8, seed=7, featuresCol="_fv").fit(f)
+        theirs = m.summary.trainingCost
+        assert ours <= theirs * 1.10, (ours, theirs)
+
+    def test_empty_cluster_keeps_centroid(self, spark):
+        # centroid 1 sits far from every point -> its cell is empty; the
+        # update must keep it instead of dropping to k-1 or crashing
+        df = spark.createDataFrame(
+            [(1, [0.0]), (2, [1.0])], "vec_id long, embedding array<float>"
+        )
+        cents, asg = kmeans_fit(
+            df, 2, iters=2, centroids=[[0.5], [1000.0]]
+        )
+        assert cents[1] == [1000.0]
+        assert sorted(r["cell"] for r in asg.collect()) == [0, 0]
+
+    def test_wrong_centroid_count_raises(self, vecs):
+        with pytest.raises(ValueError, match="2 centroids for k=3"):
+            kmeans_fit(vecs, 3, centroids=[[0.0, 0.0], [1.0, 1.0]])
+
+
+class TestSemDedup:
+    def test_drops_higher_id_within_cell(self, spark):
+        rows = [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.001]),   # near-dup of 1, same cell
+            (4, [0.001, 1.0]),   # near-dup of 2, same cell
+            (5, [-1.0, 0.0]),    # unique
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r["id"]: r["keep"]
+            for r in semdedup(df, threshold=0.99, n_clusters=2).collect()
+        }
+        assert got == {1: True, 2: True, 3: False, 4: False, 5: True}
+
+    def test_cross_cell_pair_missed_by_design(self, spark):
+        # identical vectors forced into different cells via explicit
+        # centroids would still co-assign; instead make the pair straddle
+        # a cell boundary: near-dups with the boundary between them
+        rows = [(1, [4.9, 0.0]), (2, [5.1, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r["id"]: r["keep"]
+            for r in semdedup(
+                df, threshold=0.99, n_clusters=2,
+                centroids=[[0.0, 0.0], [10.0, 0.0]],
+            ).collect()
+        }
+        # cos(v1,v2) = 1.0 but cells differ -> both kept (the recall
+        # trade-off the docstring declares)
+        assert got == {1: True, 2: True}
+
+    def test_zero_norm_vector_never_matches(self, spark):
+        rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [1.0, 0.0])]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        got = {
+            r["id"]: r["keep"]
+            for r in semdedup(
+                df, threshold=0.5, n_clusters=1, centroids=[[0.0, 0.0]]
+            ).collect()
+        }
+        assert got == {1: True, 2: True, 3: True}
+
+    def test_soundness_vs_exact_on_testdata(self, spark):
+        """In-cell near-dedup vs the O(N^2) exact pairs: the drop set must
+        be a strict SUBSET (soundness — semdedup never invents a dup) and
+        non-empty. No recall bar here: the synthetic embeddings are
+        near-orthogonal, so threshold-0.4 'duplicate' pairs are weakly
+        correlated points that mostly straddle cell boundaries (~30%
+        in-cell recall measured) — real near-dups (cos ≈ 1) co-cluster,
+        which `test_drops_higher_id_within_cell` pins."""
+        from sparksearchengine_spark.operators.similarity import (
+            embedding_neardup_exact,
+        )
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        t = 0.4
+        sd = semdedup(emb, threshold=t, n_clusters=8)
+        dropped = {r["id"] for r in sd.where(~F.col("keep")).collect()}
+        exact_dropped = {
+            r["id_b"]
+            for r in embedding_neardup_exact(emb, threshold=t).collect()
+        }
+        assert dropped
+        assert dropped <= exact_dropped
+
+
+class TestClassifierScore:
+    def test_hand_computed_integer_scores(self, spark):
+        df = spark.createDataFrame(
+            [(1, "aa bb aa"), (2, ""), (3, None)],
+            "doc_id long, text string",
+        )
+        dim, weights = 4, [1, 10, 100, 1000]
+        # bucket of each token via the same md5 rule, computed driver-side
+        import hashlib
+
+        def bucket(t):
+            return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+
+        expected1 = 2 * weights[bucket("aa")] + weights[bucket("bb")] + 5
+        got = {
+            r["id"]: (r["n_tokens"], r["score"])
+            for r in classifier_score(df, weights, bias=5).collect()
+        }
+        assert got[1] == (3, expected1)
+        assert got[2] == (0, 5)
+        assert got[3][1] == 5  # NULL text scores exactly the bias
+
+    def test_integer_weights_give_long_schema(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        s = classifier_score(df, [1, 2], threshold=0)
+        assert dict(s.dtypes)["score"] == "bigint"
+        assert "keep" in s.columns
+
+    def test_float_weights_give_double_schema(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        s = classifier_score(df, [0.5, 1.5])
+        assert dict(s.dtypes)["score"] == "double"
+
+    def test_empty_weights_raise(self, spark):
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="non-empty"):
+            classifier_score(df, [])
+
+    def test_scoring_is_scan_stage(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plan = classifier_score(
+            docs, [1, -1, 2, -2]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_bucket_matches_python_md5(self, spark):
+        import hashlib
+
+        df = spark.createDataFrame(
+            [("hello",), ("x1",), ("",)], "t string"
+        )
+        got = df.select(
+            "t", hash_bucket_expr(F.col("t"), 97).alias("b")
+        ).collect()
+        for r in got:
+            exp = int(hashlib.md5(r["t"].encode()).hexdigest()[:8], 16) % 97
+            assert r["b"] == exp
+
+
+class TestClassifierVocab:
+    def test_vocab_join_scores(self, spark):
+        df = spark.createDataFrame(
+            [(1, "spark fast spark"), (2, "slow"), (3, "")],
+            "doc_id long, text string",
+        )
+        w = spark.createDataFrame(
+            [("spark", 2.0), ("slow", -3.0)], "term string, weight double"
+        )
+        got = {
+            r["id"]: (r["n_tokens"], r["score"])
+            for r in classifier_score_vocab(df, w, bias=1.0).collect()
+        }
+        # OOV 'fast' contributes 0
+        assert got[1] == (3, 5.0)
+        assert got[2] == (1, -2.0)
+        assert got[3] == (0, 1.0)  # empty doc -> bias, still present
+
+    def test_vocab_side_is_broadcast(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        w = spark.createDataFrame(
+            [("the", 1.0)], "term string, weight double"
+        )
+        plan = classifier_score_vocab(
+            docs, w
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
