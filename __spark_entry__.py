@@ -58,6 +58,10 @@ CLF_VOCAB = [  # integer-valued doubles: order-independent exact sums
     ("the", 2.0), ("and", 1.0), ("data", 5.0), ("spark", 7.0),
     ("dup", -4.0), ("table", 3.0), ("hash", -1.0),
 ]
+# token-budget mixture: 'zh' deliberately unweighted (rate 0) to pin the
+# unknown-group path; budget sized so 'en' down-samples (rate < 1)
+MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "es": 0.2, "fr": 0.1}
+MIX_BUDGET = 5_000
 
 _INDEX_CACHE: dict = {}
 
@@ -682,6 +686,7 @@ def _curation_report(spark, sf):
         min_tokens=CURATE_MIN_T, max_tokens=CURATE_MAX_T,
         ngram_n=DECONTAM_N,
         gopher={"min_required_hits": 0},
+        classifier={"weights": CLF_WEIGHTS, "threshold": 0},
     )
 
 
@@ -1388,6 +1393,33 @@ def _classifier_vocab(spark, sf):
     return classifier_score_vocab(docs, w, bias=1.0).orderBy("id")
 
 
+def _mixture_sample(spark, sf):
+    """Token-budget mixture sampling (operators/sampling.py::
+    mixture_sample): per-group keep rates realize target mixture weights
+    under a total token budget; membership is the engine-portable
+    md5-bucket rule, so the keep column is bit-stable across engines
+    (the single data-dependent float op, scale/total, is one IEEE
+    division in both)."""
+    from sparksearchengine_spark.operators.sampling import mixture_sample
+    from sparksearchengine_spark.operators.textstats import token_count_expr
+
+    docs = _read(spark, sf, "documents")
+    d = docs.withColumn(
+        "n_tokens",
+        F.coalesce(
+            token_count_expr(F.col("text"), "simple").cast("long"), F.lit(0)
+        ),
+    )
+    return (
+        mixture_sample(
+            d, "lang", MIX_WEIGHTS, MIX_BUDGET,
+            key_col="doc_id", token_col="n_tokens",
+        )
+        .select("doc_id", "lang", "n_tokens", "keep")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -1468,6 +1500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup": _emb_semdedup,
         "classifier_score": _classifier_score,
         "classifier_vocab": _classifier_vocab,
+        "mixture_sample": _mixture_sample,
     }
 
 
@@ -2387,11 +2420,21 @@ def oracle_sql() -> dict[str, str]:
                           / CAST(greatest(len(words), 1) AS DOUBLE), 6)
                           >= 0.8) AS gopher_ok
               FROM gsig),
+            cf AS (
+              SELECT doc_id,
+                     CAST(coalesce(list_sum(list_transform(toks,
+                       tk -> ({CLF_WEIGHTS})[
+                         CAST(CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT)
+                              % {CLF_DIM} AS INTEGER) + 1])), 0)
+                       AS BIGINT) >= 0 AS clf_ok
+              FROM t),
             f AS (
               SELECT q.doc_id, q.quality_ok, c.is_dup,
-                     hit.doc_id IS NOT NULL AS contam, gp.gopher_ok
+                     hit.doc_id IS NOT NULL AS contam, gp.gopher_ok,
+                     cf.clf_ok
               FROM q JOIN c USING (doc_id)
               JOIN gp USING (doc_id)
+              JOIN cf USING (doc_id)
               LEFT JOIN hit USING (doc_id)
             )
             SELECT CAST(count(*) AS BIGINT) AS n_docs,
@@ -2404,8 +2447,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN NOT gopher_ok THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_gopher_fail,
                    CAST(0 AS BIGINT) AS n_c4_fail,
+                   CAST(sum(CASE WHEN NOT clf_ok THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_clf_fail,
                    CAST(sum(CASE WHEN quality_ok AND NOT is_dup
                                       AND NOT contam AND gopher_ok
+                                      AND clf_ok
                                  THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_kept
             FROM f""",
@@ -3012,6 +3058,39 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(s.score, 1.0) AS score
             FROM t LEFT JOIN s ON t.doc_id = s.doc_id
             ORDER BY id""",
+        # token-budget mixture sampling (operators/sampling.py::
+        # mixture_sample): scale_g = budget * normalized-weight is a
+        # driver-side literal in BOTH engines; the one data-dependent
+        # float op (scale / group-total) is a single IEEE division, so
+        # the keep booleans are bit-identical
+        "mixture_sample": f"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     CAST(len(list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            tot AS (SELECT lang, sum(n_tokens) AS t FROM tok
+                    GROUP BY lang),
+            r AS (
+              SELECT lang,
+                     CASE WHEN t = 0 THEN 0.0
+                          ELSE least(1.0,
+                            CASE lang {
+                                " ".join(
+                                    f"WHEN '{g}' THEN "
+                                    f"{MIX_BUDGET * (w / sum(MIX_WEIGHTS.values()))!r}"
+                                    for g, w in sorted(MIX_WEIGHTS.items())
+                                )
+                            } ELSE 0.0 END / CAST(t AS DOUBLE))
+                     END AS rate
+              FROM tot)
+            SELECT tok.doc_id, tok.lang, tok.n_tokens,
+                   CAST('0x' || substr(md5(CAST(tok.doc_id AS VARCHAR)),
+                        1, 8) AS BIGINT) % 10000 < rate * 10000 AS keep
+            FROM tok JOIN r USING (lang)
+            ORDER BY doc_id""",
     }
     return _derived_oracles(out)
 

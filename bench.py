@@ -202,6 +202,21 @@ def main() -> None:
         ).collect()
         c4_filters(docs).agg(F.sum(F.col("c4_keep").cast("int"))).collect()
 
+    # 10. clustering + classifier families (first benched in round 3 —
+    # first values define their baseline)
+    with timed("semdedup"):
+        from sparksearchengine_spark.operators.clustering import semdedup
+
+        semdedup(emb, threshold=0.4, n_clusters=16).where("NOT keep").count()
+
+    with timed("classifier"):
+        from sparksearchengine_spark.operators.classify import (
+            classifier_score,
+        )
+
+        w = [((i * 7) % 13) - 6 for i in range(256)]
+        classifier_score(docs, w, threshold=0).where("keep").count()
+
     with timed("boilerplate"):
         from sparksearchengine_spark.operators.dedup import (
             remove_boilerplate_lines,

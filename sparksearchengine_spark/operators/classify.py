@@ -35,6 +35,31 @@ def hash_bucket_expr(token: Column, dim: int) -> Column:
     return F.conv(F.substring(F.md5(token), 1, 8), 16, 10).cast("long") % dim
 
 
+def hashed_score_expr(
+    text: Column,
+    weights: list[float] | list[int],
+    bias: float | int = 0,
+    analyzer: str = "simple",
+) -> Column:
+    """The hashed-linear score as a bare Column expression — composable
+    into other scan-stage plans (the curation pipeline inlines it as a
+    gate). NULL text scores exactly ``bias``. Integer weights + integer
+    bias => BIGINT; otherwise DOUBLE (token-order sequential fold)."""
+    dim = len(weights)
+    if dim == 0:
+        raise ValueError("weights must be non-empty")
+    int_model = all(isinstance(w, int) for w in weights) and isinstance(bias, int)
+    warr = F.array(*[F.lit(w) for w in weights])
+    toks = F.coalesce(
+        analyzer_expr(text, analyzer), F.array().cast("array<string>")
+    )
+    contrib = F.transform(
+        toks, lambda t: F.element_at(warr, (hash_bucket_expr(t, dim) + 1).cast("int"))
+    )
+    zero = F.lit(0).cast("bigint") if int_model else F.lit(0.0)
+    return F.aggregate(contrib, zero, lambda acc, x: acc + x) + F.lit(bias)
+
+
 def classifier_score(
     df: DataFrame,
     weights: list[float] | list[int],
@@ -58,22 +83,13 @@ def classifier_score(
     Integer weights + integer bias => BIGINT score, bit-exact across
     engines; float weights sum in token order (deterministic fold).
     """
-    dim = len(weights)
-    if dim == 0:
-        raise ValueError("weights must be non-empty")
-    int_model = all(isinstance(w, int) for w in weights) and isinstance(bias, int)
-    warr = F.array(*[F.lit(w) for w in weights])
     # NULL text scores exactly the bias (0 tokens), not NULL — a missing
     # document is an empty document to a bag-of-tokens model
     toks = F.coalesce(
         analyzer_expr(F.col(text_col), analyzer),
         F.array().cast("array<string>"),
     )
-    contrib = F.transform(
-        toks, lambda t: F.element_at(warr, (hash_bucket_expr(t, dim) + 1).cast("int"))
-    )
-    zero = F.lit(0).cast("bigint") if int_model else F.lit(0.0)
-    score = F.aggregate(contrib, zero, lambda acc, x: acc + x) + F.lit(bias)
+    score = hashed_score_expr(F.col(text_col), weights, bias, analyzer)
     out = df.select(
         F.col(id_col).alias("id"),
         F.size(toks).alias("n_tokens"),

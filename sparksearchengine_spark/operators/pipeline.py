@@ -44,15 +44,19 @@ def curation_flags(
     analyzer: str = "simple",
     gopher: bool | dict = False,
     c4: bool | dict = False,
+    classifier: dict | None = None,
 ) -> DataFrame:
     """docs + (n_tokens, quality_ok, canon_id, is_exact_dup,
-    contaminated, gopher_ok, c4_ok, keep).
+    contaminated, gopher_ok, c4_ok, clf_ok, keep).
 
     ``gopher``/``c4`` switch on the Gopher rule set / C4 page verdict as
-    extra gates (pass a dict to override their thresholds). Both are
-    INLINED scan-stage expressions — enabling them adds zero joins and
-    zero shuffles to the composed plan. Disabled gates report ``True``
-    so the flag schema is stable either way.
+    extra gates (pass a dict to override their thresholds);
+    ``classifier`` enables the hashed linear quality model
+    (`operators/classify.py`) — pass ``{"weights": [...], "bias": ...,
+    "threshold": ...}``. All three are INLINED scan-stage expressions —
+    enabling them adds zero joins and zero shuffles to the composed
+    plan. Disabled gates report ``True`` so the flag schema is stable
+    either way.
     """
     from sparksearchengine_spark.operators.textstats import (
         c4_signal_exprs,
@@ -104,13 +108,28 @@ def curation_flags(
         )
     else:
         out = out.withColumn("c4_ok", F.lit(True))
+    if classifier:
+        from sparksearchengine_spark.operators.classify import (
+            hashed_score_expr,
+        )
+
+        kw = dict(classifier)
+        thr = kw.pop("threshold", 0)
+        out = out.withColumn(
+            "clf_ok",
+            hashed_score_expr(F.col(text_col), analyzer=analyzer, **kw)
+            >= F.lit(thr),
+        )
+    else:
+        out = out.withColumn("clf_ok", F.lit(True))
     return out.withColumn(
         "keep",
         F.col("quality_ok")
         & ~F.col("is_exact_dup")
         & ~F.col("contaminated")
         & F.col("gopher_ok")
-        & F.col("c4_ok"),
+        & F.col("c4_ok")
+        & F.col("clf_ok"),
     )
 
 
@@ -140,5 +159,6 @@ def curation_report(
         F.sum(F.col("contaminated").cast("long")).alias("n_contaminated"),
         F.sum((~F.col("gopher_ok")).cast("long")).alias("n_gopher_fail"),
         F.sum((~F.col("c4_ok")).cast("long")).alias("n_c4_fail"),
+        F.sum((~F.col("clf_ok")).cast("long")).alias("n_clf_fail"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
     )

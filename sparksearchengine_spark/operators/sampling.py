@@ -87,6 +87,84 @@ def sample_per_group(
     )
 
 
+def mixture_rates(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+    token_col: str,
+) -> dict[str, float]:
+    """Per-group keep fractions that realize a target token MIXTURE under
+    a total token budget: rate(g) = min(1, budget * w_g / tokens_g) with
+    weights normalized to sum 1 (the Pile / LLaMA "data mixing" recipe:
+    each group contributes ~budget * w_g tokens, capped by availability —
+    a group too small to fill its share keeps everything; re-allocating
+    the surplus is the caller's policy decision, not silently done).
+
+    One tiny aggregation job (|groups| rows — domains/langs, driver-small
+    by construction); groups not in ``weights`` get rate 0.0, as do
+    groups whose total is 0 (keeping token-less rows spends no budget but
+    realizes no mixture either).
+    """
+    if budget_tokens < 0:
+        raise ValueError("budget_tokens must be >= 0")
+    sw = float(sum(weights.values()))
+    if sw <= 0:
+        raise ValueError("weights must sum to > 0")
+    totals = {
+        r["g"]: r["t"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sum(F.col(token_col)).alias("t"))
+        .collect()
+    }
+    rates: dict[str, float] = {}
+    for g, t in totals.items():
+        w = weights.get(g)
+        if g is None or w is None or not t:
+            continue  # unweighted / empty groups keep nothing
+        # scale precomputed driver-side; the single / is the only
+        # data-dependent float op, so any engine computing
+        # scale / total gets the bit-identical rate (oracle parity)
+        scale = budget_tokens * (float(w) / sw)
+        rates[g] = min(1.0, scale / t)
+    return rates
+
+
+def mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    budget_tokens: int,
+    key_col: str,
+    token_col: str,
+    buckets: int = DEFAULT_BUCKETS,
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Deterministic down-sampling to a token budget with a target group
+    mixture: df + a boolean ``keep`` column, true iff
+    hash_bucket(key) < rate(group) * buckets (rates from
+    :func:`mixture_rates`).
+
+    Same scale shape as :func:`stratified_sample` — one tiny totals
+    aggregation, then the membership test is a scan-stage expression
+    (rates inline as literals; no join against a rates table). The hash
+    membership means the sample is stable under re-runs, repartitioning,
+    and corpus growth within each group.
+    """
+    rates = mixture_rates(df, group_col, weights, budget_tokens, token_col)
+    pairs: list[Column] = []
+    for g, r in sorted(rates.items()):
+        pairs += [F.lit(g), F.lit(r)]
+    rate = (
+        F.coalesce(F.create_map(*pairs)[F.col(group_col)], F.lit(0.0))
+        if pairs
+        else F.lit(0.0)
+    )
+    return df.withColumn(
+        keep_col, hash_bucket(F.col(key_col), buckets) < rate * buckets
+    )
+
+
 def train_test_split(
     df: DataFrame,
     key_col: str,

@@ -210,6 +210,78 @@ class TestDeterministicSampling:
         assert s.count() == docs_df.where("lang = 'en'").count()
 
 
+class TestMixtureSample:
+    """operators/sampling.py::mixture_rates/mixture_sample — token-budget
+    mixture realization."""
+
+    @pytest.fixture()
+    def tok_df(self, spark):
+        # per-group token totals: a=1000 (10x100), b=100 (10x10)
+        rows = [(i, "a" if i < 10 else "b", 100 if i < 10 else 10)
+                for i in range(20)]
+        return spark.createDataFrame(rows, "doc_id long, g string, nt long")
+
+    def test_rates_hand_computed(self, tok_df):
+        from sparksearchengine_spark.operators.sampling import mixture_rates
+
+        r = mixture_rates(
+            tok_df, "g", {"a": 0.5, "b": 0.5}, budget_tokens=200,
+            token_col="nt",
+        )
+        # a: 200*0.5/1000 = 0.1; b: 200*0.5/100 = 1.0 (capped)
+        assert r == {"a": pytest.approx(0.1), "b": pytest.approx(1.0)}
+
+    def test_unweighted_group_kept_out(self, tok_df):
+        from sparksearchengine_spark.operators.sampling import mixture_sample
+
+        s = mixture_sample(
+            tok_df, "g", {"a": 1.0}, budget_tokens=10_000,
+            key_col="doc_id", token_col="nt",
+        )
+        got = {r["doc_id"]: r["keep"] for r in s.collect()}
+        assert all(got[i] for i in range(10))        # a: rate capped at 1
+        assert not any(got[i] for i in range(10, 20))  # b unweighted
+
+    def test_membership_partitioning_invariant(self, tok_df):
+        from sparksearchengine_spark.operators.sampling import mixture_sample
+
+        kw = dict(weights={"a": 0.7, "b": 0.3}, budget_tokens=300,
+                  key_col="doc_id", token_col="nt")
+        a = mixture_sample(tok_df, "g", **kw)
+        b = mixture_sample(tok_df.repartition(7), "g", **kw)
+        assert sorted(map(tuple, a.collect())) == sorted(
+            map(tuple, b.collect())
+        )
+
+    def test_budget_roughly_honored_on_testdata(self, spark, docs_df):
+        from sparksearchengine_spark.operators.sampling import mixture_sample
+        from sparksearchengine_spark.operators.textstats import (
+            token_count_expr,
+        )
+        from pyspark.sql import functions as F
+
+        d = docs_df.withColumn(
+            "nt", token_count_expr(F.col("text")).cast("long")
+        )
+        total = d.agg(F.sum("nt")).first()[0]
+        budget = int(total * 0.3)
+        s = mixture_sample(
+            d, "lang", {"en": 0.5, "es": 0.5}, budget,
+            key_col="doc_id", token_col="nt",
+        )
+        kept = s.where("keep").agg(F.sum("nt")).first()[0] or 0
+        # md5-bucket quantization: within 2x either way of the budget
+        # actually realizable (each group caps at its availability)
+        assert 0 < kept <= total
+        assert kept <= budget * 2
+
+    def test_zero_weight_sum_raises(self, tok_df):
+        from sparksearchengine_spark.operators.sampling import mixture_rates
+
+        with pytest.raises(ValueError, match="sum to > 0"):
+            mixture_rates(tok_df, "g", {}, 100, token_col="nt")
+
+
 class TestCrossCorpusJoin:
     """Cross-corpus (A vs B) near-dup joins: exact prefix-filtered and
     MinHash-LSH variants agree with the brute-force answer."""

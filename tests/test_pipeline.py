@@ -149,6 +149,53 @@ class TestRuleSetGates:
 
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         off = curation_flags(docs)._jdf.queryExecution().executedPlan().toString()
-        on = curation_flags(docs, gopher=True, c4=True)._jdf.queryExecution(
-        ).executedPlan().toString()
+        on = curation_flags(
+            docs, gopher=True, c4=True,
+            classifier={"weights": [1, -1, 2, -2], "threshold": 0},
+        )._jdf.queryExecution().executedPlan().toString()
         assert on.count("Exchange") == off.count("Exchange")
+
+    def test_classifier_gate_drops_low_scores(self, spark):
+        from sparksearchengine_spark.operators.classify import (
+            hash_bucket_expr,  # noqa: F401 (documents the shared rule)
+        )
+        from sparksearchengine_spark.operators.pipeline import (
+            curation_flags, curation_report,
+        )
+
+        import hashlib
+
+        dim = 4
+
+        def bucket(t):
+            return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+
+        # weights chosen so 'good' scores positive and 'bad' negative
+        # (buckets 2 and 0 at dim=4 — distinct, no collision)
+        weights = [0] * dim
+        weights[bucket("good")] = 5
+        weights[bucket("bad")] = -5
+        docs = spark.createDataFrame(
+            [(1, "good good"), (2, "bad bad bad")],
+            "doc_id long, text string",
+        )
+        clf = {"weights": weights, "threshold": 1}
+        flags = {
+            r["doc_id"]: r
+            for r in curation_flags(docs, classifier=clf).collect()
+        }
+        assert flags[1]["clf_ok"] is True
+        assert flags[2]["clf_ok"] is False and flags[2]["keep"] is False
+        rep = curation_report(docs, classifier=clf).collect()[0]
+        assert rep["n_clf_fail"] == 1
+
+    def test_classifier_gate_off_reports_true(self, spark):
+        from sparksearchengine_spark.operators.pipeline import (
+            curation_flags, curation_report,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "any text")], "doc_id long, text string"
+        )
+        assert curation_flags(docs).collect()[0]["clf_ok"] is True
+        assert curation_report(docs).collect()[0]["n_clf_fail"] == 0

@@ -474,3 +474,34 @@ class TestStatelessCurationOnStreams:
             )
             want = sorted(map(tuple, op(raw).collect()))
             assert got == want and len(got) > 0
+
+    def test_classifier_score_stream_equal_batch(self, spark, tmp_path):
+        """The hashed linear classifier is a single scan-stage fold —
+        quality-model inference must run at ingest identically."""
+        import os
+
+        from sparksearchengine_spark.operators.classify import (
+            classifier_score,
+        )
+
+        d = tmp_path / "docs_clf_dir"
+        d.mkdir()
+        os.symlink(
+            "/root/testdata/sf0.001/documents.parquet",
+            str(d / "part-0.parquet"),
+        )
+        raw = spark.read.parquet(str(d))
+        stream = spark.readStream.schema(raw.schema).parquet(str(d))
+        w = [((i * 7) % 13) - 6 for i in range(64)]
+        q = (
+            classifier_score(stream, w, threshold=0)
+            .writeStream.format("memory")
+            .queryName("clf_eq")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(map(tuple, spark.sql("SELECT * FROM clf_eq").collect()))
+        want = sorted(map(tuple, classifier_score(raw, w, threshold=0).collect()))
+        assert got == want and len(got) > 0
