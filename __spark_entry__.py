@@ -62,6 +62,10 @@ CLF_VOCAB = [  # integer-valued doubles: order-independent exact sums
 # unknown-group path; budget sized so 'en' down-samples (rate < 1)
 MIX_WEIGHTS = {"en": 0.5, "de": 0.2, "es": 0.2, "fr": 0.1}
 MIX_BUDGET = 5_000
+# repeats variant: de overweighted so its uncapped rate exceeds 1
+# (multi-epoch up-sampling) while en stays fractional
+MIXR_WEIGHTS = {"en": 0.2, "de": 0.8}
+MIXR_BUDGET = 20_000
 
 _INDEX_CACHE: dict = {}
 
@@ -1420,6 +1424,31 @@ def _mixture_sample(spark, sf):
     )
 
 
+def _mixture_repeats(spark, sf):
+    """Up-sampling mixture (allow_repeats): uncapped rates become an
+    integer n_copies column — floor(rate) full epochs plus the
+    hash-selected fractional slice. Pins the data-constrained regime
+    (rate > 1) and the unweighted-group zero path."""
+    from sparksearchengine_spark.operators.sampling import mixture_sample
+    from sparksearchengine_spark.operators.textstats import token_count_expr
+
+    docs = _read(spark, sf, "documents")
+    d = docs.withColumn(
+        "n_tokens",
+        F.coalesce(
+            token_count_expr(F.col("text"), "simple").cast("long"), F.lit(0)
+        ),
+    )
+    return (
+        mixture_sample(
+            d, "lang", MIXR_WEIGHTS, MIXR_BUDGET,
+            key_col="doc_id", token_col="n_tokens", allow_repeats=True,
+        )
+        .select("doc_id", "lang", "n_tokens", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -1501,6 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_score": _classifier_score,
         "classifier_vocab": _classifier_vocab,
         "mixture_sample": _mixture_sample,
+        "mixture_repeats": _mixture_repeats,
     }
 
 
@@ -3089,6 +3119,40 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok.doc_id, tok.lang, tok.n_tokens,
                    CAST('0x' || substr(md5(CAST(tok.doc_id AS VARCHAR)),
                         1, 8) AS BIGINT) % 10000 < rate * 10000 AS keep
+            FROM tok JOIN r USING (lang)
+            ORDER BY doc_id""",
+        # up-sampling mixture (allow_repeats): uncapped rate; n_copies =
+        # floor(rate) + hash-selected fractional slice. floor/subtract
+        # are single IEEE ops on the bit-identical rate, so the integer
+        # output is engine-exact.
+        "mixture_repeats": f"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                     CAST(len(list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       x -> x <> '')) AS BIGINT) AS n_tokens
+              FROM documents
+            ),
+            tot AS (SELECT lang, sum(n_tokens) AS t FROM tok
+                    GROUP BY lang),
+            r AS (
+              SELECT lang,
+                     CASE WHEN t = 0 THEN 0.0
+                          ELSE CASE lang {
+                                " ".join(
+                                    f"WHEN '{g}' THEN "
+                                    f"{MIXR_BUDGET * (w / sum(MIXR_WEIGHTS.values()))!r}"
+                                    for g, w in sorted(MIXR_WEIGHTS.items())
+                                )
+                            } ELSE 0.0 END / CAST(t AS DOUBLE)
+                     END AS rate
+              FROM tot)
+            SELECT tok.doc_id, tok.lang, tok.n_tokens,
+                   CAST(floor(rate) AS BIGINT)
+                   + CASE WHEN CAST('0x' || substr(md5(
+                       CAST(tok.doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+                       % 10000 < (rate - floor(rate)) * 10000
+                     THEN 1 ELSE 0 END AS n_copies
             FROM tok JOIN r USING (lang)
             ORDER BY doc_id""",
     }

@@ -93,6 +93,7 @@ def mixture_rates(
     weights: dict[str, float],
     budget_tokens: int,
     token_col: str,
+    cap_at_one: bool = True,
 ) -> dict[str, float]:
     """Per-group keep fractions that realize a target token MIXTURE under
     a total token budget: rate(g) = min(1, budget * w_g / tokens_g) with
@@ -105,6 +106,12 @@ def mixture_rates(
     by construction); groups not in ``weights`` get rate 0.0, as do
     groups whose total is 0 (keeping token-less rows spends no budget but
     realizes no mixture either).
+
+    ``cap_at_one=False`` leaves rates uncapped (rate 2.6 = "this group
+    should contribute 2.6x its corpus"), for the data-constrained
+    up-sampling regime (Muennighoff et al. 2023: small high-quality
+    domains repeat for multiple epochs) — pair with
+    ``mixture_sample(allow_repeats=True)``.
     """
     if budget_tokens < 0:
         raise ValueError("budget_tokens must be >= 0")
@@ -126,7 +133,7 @@ def mixture_rates(
         # data-dependent float op, so any engine computing
         # scale / total gets the bit-identical rate (oracle parity)
         scale = budget_tokens * (float(w) / sw)
-        rates[g] = min(1.0, scale / t)
+        rates[g] = (scale / t) if not cap_at_one else min(1.0, scale / t)
     return rates
 
 
@@ -139,11 +146,21 @@ def mixture_sample(
     token_col: str,
     buckets: int = DEFAULT_BUCKETS,
     keep_col: str = "keep",
+    allow_repeats: bool = False,
 ) -> DataFrame:
     """Deterministic down-sampling to a token budget with a target group
     mixture: df + a boolean ``keep`` column, true iff
     hash_bucket(key) < rate(group) * buckets (rates from
     :func:`mixture_rates`).
+
+    ``allow_repeats=True`` switches to the data-constrained up-sampling
+    regime: instead of ``keep``, an integer ``n_copies`` column — every
+    row repeats floor(rate) times and the hash-selected fractional-part
+    slice one extra (so a rate-2.6 group contributes ~2.6 epochs; a
+    rate-0.3 group behaves exactly like the capped path). Materialize
+    the repeats downstream with
+    ``explode(sequence(1, n_copies))`` when the trainer wants physical
+    rows; keeping the count symbolic is free until then.
 
     Same scale shape as :func:`stratified_sample` — one tiny totals
     aggregation, then the membership test is a scan-stage expression
@@ -151,7 +168,10 @@ def mixture_sample(
     membership means the sample is stable under re-runs, repartitioning,
     and corpus growth within each group.
     """
-    rates = mixture_rates(df, group_col, weights, budget_tokens, token_col)
+    rates = mixture_rates(
+        df, group_col, weights, budget_tokens, token_col,
+        cap_at_one=not allow_repeats,
+    )
     pairs: list[Column] = []
     for g, r in sorted(rates.items()):
         pairs += [F.lit(g), F.lit(r)]
@@ -160,8 +180,13 @@ def mixture_sample(
         if pairs
         else F.lit(0.0)
     )
+    h = hash_bucket(F.col(key_col), buckets)
+    if not allow_repeats:
+        return df.withColumn(keep_col, h < rate * buckets)
+    whole = F.floor(rate).cast("long")
+    frac = rate - F.floor(rate)
     return df.withColumn(
-        keep_col, hash_bucket(F.col(key_col), buckets) < rate * buckets
+        "n_copies", whole + (h < frac * buckets).cast("long")
     )
 
 

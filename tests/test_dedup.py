@@ -281,6 +281,40 @@ class TestMixtureSample:
         with pytest.raises(ValueError, match="sum to > 0"):
             mixture_rates(tok_df, "g", {}, 100, token_col="nt")
 
+    def test_repeats_up_sample_hand_computed(self, tok_df):
+        from sparksearchengine_spark.operators.sampling import mixture_sample
+
+        # b (100 tokens) gets weight 0.5 of a 500-token budget -> rate
+        # 2.5: every b row repeats 2x, the hash-selected half 3x;
+        # a (1000 tokens) -> rate 0.25: 0 or 1 copies
+        s = mixture_sample(
+            tok_df, "g", {"a": 0.5, "b": 0.5}, budget_tokens=500,
+            key_col="doc_id", token_col="nt", allow_repeats=True,
+        )
+        got = {r["doc_id"]: r["n_copies"] for r in s.collect()}
+        assert all(got[i] in (0, 1) for i in range(10))
+        assert all(got[i] in (2, 3) for i in range(10, 20))
+        # the fractional slice is non-trivial on both sides
+        assert 0 < sum(got[i] == 3 for i in range(10, 20)) < 10
+
+    def test_repeats_rate_below_one_matches_keep_path(self, tok_df):
+        from sparksearchengine_spark.operators.sampling import mixture_sample
+
+        kw = dict(weights={"a": 1.0}, budget_tokens=300,
+                  key_col="doc_id", token_col="nt")
+        keep = {
+            r["doc_id"]: r["keep"]
+            for r in mixture_sample(tok_df, "g", **kw).collect()
+        }
+        copies = {
+            r["doc_id"]: r["n_copies"]
+            for r in mixture_sample(
+                tok_df, "g", allow_repeats=True, **kw
+            ).collect()
+        }
+        for i in keep:
+            assert copies[i] == int(keep[i])
+
 
 class TestCrossCorpusJoin:
     """Cross-corpus (A vs B) near-dup joins: exact prefix-filtered and
