@@ -70,6 +70,17 @@ def default_centroids(
     return [[float(x) for x in r["v"]] for r in rows]
 
 
+def assign_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """Nearest-centroid cell as a bare Column: k squared-distance exprs +
+    argmin via `array_position(dists, array_min(dists))` (first
+    occurrence = lowest cell wins ties). Composable into any projection —
+    `semdedup` and `kmeans_fit` inline it next to the columns they carry
+    so assignment never costs a join-back on id (an early draft did, and
+    its plan scanned the corpus 6x instead of once per side)."""
+    dists = F.array(*[_sqdist_expr(vec, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
 def kmeans_assign(
     items: DataFrame,
     centroids: list[list[float]],
@@ -78,15 +89,13 @@ def kmeans_assign(
 ) -> DataFrame:
     """E-step: nearest-centroid assignment, `(id, cell)`.
 
-    One scan-stage projection: k squared-distance exprs + argmin via
-    `array_position(dists, array_min(dists))` (first occurrence = lowest
-    cell wins ties). No shuffle, no explode — the whole step rides the
-    corpus scan, so assignment at 100 TB costs one pass and nothing else.
+    One scan-stage projection — no shuffle, no explode, no join: the
+    whole step rides the corpus scan, so assignment at 100 TB costs one
+    pass and nothing else.
     """
-    dists = F.array(*[_sqdist_expr(F.col(item_vec), c) for c in centroids])
     return items.select(
         F.col(item_id).alias("id"),
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
+        assign_cell_expr(F.col(item_vec), centroids).alias("cell"),
     )
 
 
@@ -122,10 +131,12 @@ def kmeans_fit(
     dim = len(centroids[0])
     vec_d = F.col(item_vec).cast("array<double>")
     for _ in range(iters):
-        assigned = kmeans_assign(items, centroids, item_id, item_vec)
+        # cell computed INLINE next to the vector — one scan per
+        # iteration, no join-back on id
         joined = items.select(
-            F.col(item_id).alias("id"), vec_d.alias("_v")
-        ).join(assigned, "id")
+            vec_d.alias("_v"),
+            assign_cell_expr(F.col(item_vec), centroids).alias("cell"),
+        )
         sums = (
             joined.groupBy("cell")
             .agg(
@@ -156,7 +167,7 @@ def cluster_summary(
     dists = F.array(*[_sqdist_expr(F.col(item_vec), c) for c in centroids])
     assigned = items.select(
         F.col(item_id).alias("id"),
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cell"),
+        assign_cell_expr(F.col(item_vec), centroids).alias("cell"),
         F.array_min(dists).alias("_d"),
     )
     return assigned.groupBy("cell").agg(
@@ -189,11 +200,14 @@ def semdedup(
     """
     if centroids is None:
         centroids = default_centroids(items, n_clusters, item_id, item_vec)
+    # cell inline with the carried columns: ONE scan per join side (the
+    # join-back-on-id alternative scans the corpus 6x — measured)
     assigned = items.select(
         F.col(item_id).cast("long").alias("id"),
         F.col(item_vec).alias("vec"),
         norm_expr(F.col(item_vec)).alias("nrm"),
-    ).join(kmeans_assign(items, centroids, item_id, item_vec), "id")
+        assign_cell_expr(F.col(item_vec), centroids).alias("cell"),
+    )
     a, b = assigned.alias("a"), assigned.alias("b")
     # ids (higher side) having a lower-id neighbor >= threshold in-cell
     dropped = (
