@@ -2421,7 +2421,7 @@ def oracle_sql() -> dict[str, str]:
                      list_filter(string_split_regex(coalesce(text, ''),
                                  '\\s+'), w -> w <> '') AS words,
                      list_filter(list_transform(
-                       string_split(coalesce(text, ''), chr(10)),
+                       string_split_regex(coalesce(text, ''), '\\r?\\n'),
                        l -> trim(l)), l -> l <> '') AS lines,
                      len(regexp_extract_all(coalesce(text, ''),
                          '#|\\.\\.\\.|…')) AS n_sym
@@ -2737,7 +2737,7 @@ def oracle_sql() -> dict[str, str]:
             lines AS (
               SELECT doc_id, unnest(ls) AS line,
                      generate_subscripts(ls, 1) AS pos
-              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls
+              FROM (SELECT doc_id, string_split_regex(text, '\\r?\\n') AS ls
                     FROM dirty)),
             freq AS (
               SELECT line, count(DISTINCT doc_id) AS df
@@ -2753,9 +2753,9 @@ def oracle_sql() -> dict[str, str]:
               FROM kept GROUP BY doc_id)
             SELECT d.doc_id,
                    coalesce(r.new_text, '') AS text,
-                   CAST(len(string_split(d.text, chr(10))) AS INTEGER)
+                   CAST(len(string_split_regex(d.text, '\\r?\\n')) AS INTEGER)
                      AS n_lines,
-                   CAST(len(string_split(d.text, chr(10)))
+                   CAST(len(string_split_regex(d.text, '\\r?\\n'))
                         - coalesce(r.n_kept, 0) AS INTEGER) AS n_removed
             FROM dirty d LEFT JOIN rebuilt r USING (doc_id)
             ORDER BY d.doc_id""",
@@ -2813,7 +2813,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      list_filter(string_split_regex(text, '\\s+'),
                                  w -> w <> '') AS words,
-                     list_filter(list_transform(string_split(text, chr(10)),
+                     list_filter(list_transform(string_split_regex(text, '\\r?\\n'),
                                                 l -> trim(l)),
                                  l -> l <> '') AS lines,
                      len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS n_sym
@@ -2889,7 +2889,7 @@ def oracle_sql() -> dict[str, str]:
             t AS (
               SELECT doc_id, text,
                      list_filter(
-                       list_transform(string_split(text, chr(10)),
+                       list_transform(string_split_regex(text, '\\r?\\n'),
                                       l -> trim(l)),
                        l -> regexp_matches(l, '[.!?"]$')
                             AND len(list_filter(
@@ -2897,7 +2897,7 @@ def oracle_sql() -> dict[str, str]:
                                   w -> w <> '')) >= 3
                             AND NOT regexp_matches(lower(l), 'javascript'))
                        AS kept,
-                     len(string_split(text, chr(10))) AS n_lines
+                     len(string_split_regex(text, '\\r?\\n')) AS n_lines
               FROM dirty),
             s AS (
               SELECT doc_id, text,

@@ -68,13 +68,31 @@ def asof_join(
     u = l.unionByName(r, allowMissingColumns=True)
 
     ts_order = F.col("_ats").asc() if direction == "backward" else F.col("_ats").desc()
+    # right rows (_lr=0) sort before left at the same timestamp ->
+    # inclusive match; left-vs-left ties don't matter (no state);
+    # right-vs-right ties at the SAME timestamp break on the payload
+    # struct so the matched row is deterministic across runs. A struct
+    # containing a MapType is not orderable in Spark — skip the payload
+    # tie-break there (r3 review: sorting would fail at analysis for
+    # every map-carrying caller) and accept DuckDB-ASOF-style
+    # unspecified choice among exact-duplicate-timestamp rows.
+    def _orderable(dt) -> bool:
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    order_cols = [ts_order, F.col("_lr").asc()]
+    if all(_orderable(right.schema[c].dataType) for c in payload):
+        order_cols.append(F.col("_rpay").asc())
     w = (
         Window.partitionBy(*keys)
-        # right rows (_lr=0) sort before left at the same timestamp ->
-        # inclusive match; left-vs-left ties don't matter (no state);
-        # right-vs-right ties at the SAME timestamp break on the payload
-        # struct so the matched row is deterministic across runs
-        .orderBy(ts_order, F.col("_lr").asc(), F.col("_rpay").asc())
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     # materialize the window fill BEFORE filtering to left rows — a

@@ -40,18 +40,29 @@ def hashed_score_expr(
     weights: list[float] | list[int],
     bias: float | int = 0,
     analyzer: str = "simple",
+    tokens: Column | None = None,
 ) -> Column:
     """The hashed-linear score as a bare Column expression — composable
     into other scan-stage plans (the curation pipeline inlines it as a
     gate). NULL text scores exactly ``bias``. Integer weights + integer
-    bias => BIGINT; otherwise DOUBLE (token-order sequential fold)."""
+    bias => BIGINT; otherwise DOUBLE (token-order sequential fold).
+
+    Pass ``tokens`` (an array<string> Column) to score an
+    already-analyzed stream — callers that need the token array anyway
+    (classifier_score reports n_tokens) would otherwise tokenize twice,
+    which doubles the dominant cost when the analyzer is a pandas UDF
+    (r3 review)."""
     dim = len(weights)
     if dim == 0:
         raise ValueError("weights must be non-empty")
     int_model = all(isinstance(w, int) for w in weights) and isinstance(bias, int)
     warr = F.array(*[F.lit(w) for w in weights])
-    toks = F.coalesce(
-        analyzer_expr(text, analyzer), F.array().cast("array<string>")
+    toks = (
+        tokens
+        if tokens is not None
+        else F.coalesce(
+            analyzer_expr(text, analyzer), F.array().cast("array<string>")
+        )
     )
     contrib = F.transform(
         toks, lambda t: F.element_at(warr, (hash_bucket_expr(t, dim) + 1).cast("int"))
@@ -89,7 +100,10 @@ def classifier_score(
         analyzer_expr(F.col(text_col), analyzer),
         F.array().cast("array<string>"),
     )
-    score = hashed_score_expr(F.col(text_col), weights, bias, analyzer)
+    # score from the SAME token expression (one tokenization per row)
+    score = hashed_score_expr(
+        F.col(text_col), weights, bias, analyzer, tokens=toks
+    )
     out = df.select(
         F.col(id_col).alias("id"),
         F.size(toks).alias("n_tokens"),

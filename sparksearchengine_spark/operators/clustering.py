@@ -76,7 +76,12 @@ def assign_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
     occurrence = lowest cell wins ties). Composable into any projection —
     `semdedup` and `kmeans_fit` inline it next to the columns they carry
     so assignment never costs a join-back on id (an early draft did, and
-    its plan scanned the corpus 6x instead of once per side)."""
+    its plan scanned the corpus 6x instead of once per side).
+
+    A NULL vector yields a NULL cell (it has no position in the space);
+    consumers must either filter or carry it — `kmeans_fit` excludes
+    NULL cells from the centroid update, `semdedup` keeps NULL-vec rows
+    (they can't be near anything)."""
     dists = F.array(*[_sqdist_expr(vec, c) for c in centroids])
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
 
@@ -132,11 +137,13 @@ def kmeans_fit(
     vec_d = F.col(item_vec).cast("array<double>")
     for _ in range(iters):
         # cell computed INLINE next to the vector — one scan per
-        # iteration, no join-back on id
+        # iteration, no join-back on id. NULL vectors assign to a NULL
+        # cell; they must not form a centroid-update group (r3 review:
+        # new[None] would TypeError after a full pass)
         joined = items.select(
             vec_d.alias("_v"),
             assign_cell_expr(F.col(item_vec), centroids).alias("cell"),
-        )
+        ).where(F.col("cell").isNotNull())
         sums = (
             joined.groupBy("cell")
             .agg(

@@ -296,13 +296,15 @@ def minhash_lsh_join(
     (id_l, id_r, jaccard), exact above threshold among LSH candidates
     (false negatives only from banding recall, measured by the recall
     harness)."""
-    gl = _gram_arrays(_widen(left), id_col, text_col, n, analyzer).persist()
-    gr = _gram_arrays(_widen(right), id_col, text_col, n, analyzer).persist()
+    # validate BEFORE the persists: raising after them would leak two
+    # cached frames for the session (r3 review)
     if num_hashes % bands:
         raise ValueError(
             f"bands={bands} must divide num_hashes={num_hashes} "
             "(trailing hashes would be silently ignored)"
         )
+    gl = _gram_arrays(_widen(left), id_col, text_col, n, analyzer).persist()
+    gr = _gram_arrays(_widen(right), id_col, text_col, n, analyzer).persist()
     r = num_hashes // bands
 
     def _banded(ga: DataFrame) -> DataFrame:
@@ -733,8 +735,13 @@ def remove_boilerplate_lines(
         _widen(df)
         .select(
             F.col(id_col).alias("_bid"),
-            F.posexplode_outer(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
-            .alias("_pos", "_line"),
+            # \r?\n so a CRLF doc's blank separators hash as '' (exempt
+            # under keep_blank) instead of '\r' (cross-doc boilerplate
+            # that would strip every paragraph break — r3 review). The
+            # rebuild joins with '\n': CRLF docs come back LF-normalized.
+            F.posexplode_outer(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
+            ).alias("_pos", "_line"),
         )
         .withColumn("_lh", F.md5(F.col("_line")))
     )
@@ -762,7 +769,9 @@ def remove_boilerplate_lines(
             F.count(F.lit(1)).alias("_n_kept"),
         )
     )
-    n_lines = F.size(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"))
+    n_lines = F.size(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\r?\n")
+    )
     out = (
         df.withColumn("_n_lines", n_lines)
         .join(rebuilt, F.col(id_col) == F.col("_bid"), "left")

@@ -93,7 +93,8 @@ def curation_flags(
         )
     else:
         out = out.withColumn("contaminated", F.lit(False))
-    if gopher:
+    # `is not False` so gopher={} ('enable with defaults') works (r3 review)
+    if gopher is not False and gopher is not None:
         g_kwargs = gopher if isinstance(gopher, dict) else {}
         out = out.withColumn(
             "gopher_ok",
@@ -101,14 +102,14 @@ def curation_flags(
         )
     else:
         out = out.withColumn("gopher_ok", F.lit(True))
-    if c4:
+    if c4 is not False and c4 is not None:
         c_kwargs = c4 if isinstance(c4, dict) else {}
         out = out.withColumn(
             "c4_ok", c4_signal_exprs(F.col(text_col), **c_kwargs)["c4_keep"]
         )
     else:
         out = out.withColumn("c4_ok", F.lit(True))
-    if classifier:
+    if classifier is not None:
         from sparksearchengine_spark.operators.classify import (
             hashed_score_expr,
         )

@@ -104,7 +104,16 @@ def decide_broadcast(
     if rows is not None:
         return rows <= max_rows
     if trust_bytes:
-        if size <= BROADCAST_TINY_QUERY_BYTES:
+        # The tiny-bytes bound is calibrated for the DEFAULT row budget
+        # (1 MB compressed ~ up to 100k short rows). A caller with a
+        # tighter budget (more_like_this keyword sides budget a few
+        # thousand rows) must not inherit it: 1 MB of delta/RLE-packed
+        # ids can hold millions of rows, far past such a budget — scale
+        # the bound down proportionally (r3 review).
+        tiny = BROADCAST_TINY_QUERY_BYTES * min(
+            1.0, max_rows / BROADCAST_MAX_QUERY_ROWS
+        )
+        if size <= tiny:
             return True
         if size >= BROADCAST_HUGE_QUERY_BYTES:
             return False
@@ -604,13 +613,21 @@ def get_elements(index: "SearchIndex", ids: Iterable[int]) -> DataFrame:
     id_list = [int(i) for i in ids]
     # inline the ids as a JVM-side literal array instead of a Python-local
     # createDataFrame: an RDD-backed relation's broadcast spins up Python
-    # workers (~seconds cold) for what is a handful of literals
-    id_arr = (
-        F.array(*[F.lit(i).cast("long") for i in id_list])
-        if id_list
-        else F.array().cast("array<long>")
-    )
-    ids_df = spark.range(1).select(F.explode(id_arr).alias("requested_id"))
+    # workers (~seconds cold) for what is a handful of literals. Bound
+    # the literal tree, though — a 500k-id bulk lookup as half a million
+    # expression nodes chokes analysis/codegen (r3 review), and at that
+    # size the createDataFrame overhead is amortized anyway.
+    if len(id_list) <= 10_000:
+        id_arr = (
+            F.array(*[F.lit(i).cast("long") for i in id_list])
+            if id_list
+            else F.array().cast("array<long>")
+        )
+        ids_df = spark.range(1).select(F.explode(id_arr).alias("requested_id"))
+    else:
+        ids_df = spark.createDataFrame(
+            [(i,) for i in id_list], "requested_id long"
+        )
     elems = _lookup_frame(index, id_list).withColumn(
         "_did", F.col(c.id_col).cast("long")
     )

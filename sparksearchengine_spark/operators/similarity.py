@@ -518,9 +518,16 @@ def ivf_search(
     import json
     import os
 
-    meta = json.loads(
-        spark.read.text(os.path.join(path, "meta")).first()["value"]
-    )
+    try:
+        meta = json.loads(
+            spark.read.text(os.path.join(path, "meta")).first()["value"]
+        )
+    except Exception:
+        # layouts written before the Spark-FS meta/ directory stored a
+        # single meta.json file — keep them searchable (r3 review)
+        meta = json.loads(
+            spark.read.text(os.path.join(path, "meta.json")).first()["value"]
+        )
     centers = meta["centers"]
     cent_arr = F.array(
         *[

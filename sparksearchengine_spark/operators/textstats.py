@@ -496,7 +496,10 @@ def gopher_signal_exprs(
         6,
     )
     lines = F.filter(
-        F.transform(F.split(text, "\n"), lambda l: F.trim(l)),
+        # \r?\n so CRLF documents don't count '\r' filler as non-blank
+        # lines and dilute the line-fraction rules (r3 review — matches
+        # repetition_metrics)
+        F.transform(F.split(text, r"\r?\n"), lambda l: F.trim(l)),
         lambda l: l != "",
     )
     n_lines = F.size(lines)
@@ -633,7 +636,9 @@ def c4_signal_exprs(
     the composable form ``c4_filters`` selects from and the curation
     pipeline inlines (keeping its one-scan plan)."""
     text = F.coalesce(raw, F.lit(""))
-    lines = F.transform(F.split(text, "\n"), lambda l: F.trim(l))
+    # \r?\n: CRLF '\r' residue would defeat the terminal-punct line rule
+    # (r3 review — matches repetition_metrics)
+    lines = F.transform(F.split(text, r"\r?\n"), lambda l: F.trim(l))
     n_lines = F.size(lines)
 
     def _line_ok(l):  # type: ignore[no-untyped-def]

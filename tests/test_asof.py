@@ -88,3 +88,17 @@ class TestAsofJoin:
 
         with pytest.raises(ValueError, match="direction"):
             asof_join(trades, quotes, on="k", direction="nearest")
+
+    def test_map_payload_column_supported(self, spark):
+        # a map<..> payload column is unorderable — the duplicate-ts
+        # payload tie-break must be skipped, not fail analysis
+        from sparksearchengine_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 10)], "k long, ts long"
+        )
+        right = spark.createDataFrame(
+            [(1, 5, {"a": "x"})], "k long, ts long, attrs map<string,string>"
+        )
+        got = asof_join(left, right, on="k").collect()
+        assert got[0]["r_attrs"] == {"a": "x"}

@@ -139,6 +139,25 @@ class TestKmeansFit:
         with pytest.raises(ValueError, match="2 centroids for k=3"):
             kmeans_fit(vecs, 3, centroids=[[0.0, 0.0], [1.0, 1.0]])
 
+    def test_null_embedding_survives_fit_and_semdedup(self, spark):
+        # NULL vectors: excluded from the centroid update (no crash),
+        # assigned a NULL cell, kept by semdedup (near nothing)
+        rows = [(1, [0.0, 0.0]), (2, [10.0, 10.0]), (3, None)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cents, asg = kmeans_fit(
+            df, 2, iters=2, centroids=[[0.0, 0.0], [10.0, 10.0]]
+        )
+        got = {r["id"]: r["cell"] for r in asg.collect()}
+        assert got[1] == 0 and got[2] == 1 and got[3] is None
+        sd = {
+            r["id"]: r["keep"]
+            for r in semdedup(
+                df, threshold=0.5, n_clusters=2,
+                centroids=[[0.0, 0.0], [10.0, 10.0]],
+            ).collect()
+        }
+        assert sd == {1: True, 2: True, 3: True}
+
 
 class TestSemDedup:
     def test_drops_higher_id_within_cell(self, spark):

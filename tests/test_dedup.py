@@ -477,6 +477,25 @@ class TestBoilerplateLines:
             3: ("delta three", 1, 0),
         }
 
+    def test_crlf_blank_lines_survive(self, spark):
+        # CRLF blank separators must hash as '' (keep_blank exemption),
+        # not '\r' (which would be cross-doc boilerplate and strip every
+        # paragraph break); output is LF-normalized
+        from sparksearchengine_spark.operators.dedup import (
+            remove_boilerplate_lines,
+        )
+
+        body = "para one {i}\r\n\r\npara two {i}\r\nshared footer"
+        df = self._df(spark, [
+            (i, body.replace("{i}", str(i))) for i in range(1, 4)
+        ])
+        got = {
+            r["doc_id"]: (r["text"], r["n_removed"])
+            for r in remove_boilerplate_lines(df, min_docs=2).collect()
+        }
+        for i in range(1, 4):
+            assert got[i] == (f"para one {i}\n\npara two {i}", 1)
+
     def test_line_order_preserved(self, spark):
         from sparksearchengine_spark.operators.dedup import (
             remove_boilerplate_lines,

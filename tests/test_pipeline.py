@@ -189,6 +189,17 @@ class TestRuleSetGates:
         rep = curation_report(docs, classifier=clf).collect()[0]
         assert rep["n_clf_fail"] == 1
 
+    def test_empty_dict_enables_gate_with_defaults(self, spark):
+        # gopher={} is 'enable with default thresholds', not 'off'
+        from sparksearchengine_spark.operators.pipeline import curation_flags
+
+        docs = spark.createDataFrame(
+            [(1, "way too short")], "doc_id long, text string"
+        )
+        r = curation_flags(docs, gopher={}, c4={}).collect()[0]
+        assert r["gopher_ok"] is False  # < 50 words fails the real gate
+        assert r["c4_ok"] is False      # < 5 sentences
+
     def test_classifier_gate_off_reports_true(self, spark):
         from sparksearchengine_spark.operators.pipeline import (
             curation_flags, curation_report,

@@ -299,6 +299,19 @@ class TestPlanShape:
         finally:
             sc.setLocalProperty("spark.jobGroup.id", None)
 
+    def test_tiny_bytes_shortcut_respects_row_budget(self, spark, docs_df):
+        """The certainly-small byte bound is calibrated for the default
+        100k-row budget; a caller with a budget of 10 rows must not
+        inherit it (1 MB of packed ids can hold millions of rows) — the
+        decision falls through to the exact probe instead."""
+        from sparksearchengine_spark.operators import search as S
+
+        frame = docs_df.where(F.col("n_chars") > 0)  # no rowCount stat
+        _, size = S._plan_stats(frame)
+        assert size <= S.BROADCAST_TINY_QUERY_BYTES  # would pass untightened
+        S._PROBE_CACHE.clear()
+        assert S.decide_broadcast(frame, 10) is False  # 500 rows > 10
+
     def test_with_elements_broadcasts_hits_not_corpus(self, docs_index):
         from sparksearchengine_spark.plans.ast import Q as _Q
 

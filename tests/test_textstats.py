@@ -50,6 +50,21 @@ class TestGopherRules:
         row = gopher_rules(df).collect()[0]
         assert row["alpha_word_frac"] == round(2 / 5, 6)
 
+    def test_crlf_equals_lf(self, spark):
+        # CRLF must not add '\r' filler lines that dilute the line
+        # fractions — identical signals for both encodings
+        from sparksearchengine_spark.operators.textstats import gopher_rules
+
+        lf = "- one\n- two\nplain line\n\ntrails off..."
+        df = spark.createDataFrame(
+            [(1, lf), (2, lf.replace("\n", "\r\n"))],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r.asDict() for r in gopher_rules(df).collect()}
+        a, b = rows[1], rows[2]
+        for k in ("bullet_line_frac", "ellipsis_line_frac", "n_words"):
+            assert a[k] == b[k], k
+
 
 class TestC4Filters:
     def test_line_rules(self, spark):
@@ -71,6 +86,24 @@ class TestC4Filters:
         )
         assert row["n_lines_kept"] == 2
         assert row["n_lines_dropped"] == 3
+
+    def test_crlf_equals_lf(self, spark):
+        # a CRLF doc's lines end in '\r' after an LF-only split, failing
+        # the terminal-punct rule for every line — the \r?\n split must
+        # make both encodings behave identically (modulo the rebuilt
+        # text being LF-normalized)
+        from sparksearchengine_spark.operators.textstats import c4_filters
+
+        lf = ("This sentence survives the filter.\n"
+              "no terminal punctuation here\n"
+              'He said "stop right there."')
+        df = spark.createDataFrame(
+            [(1, lf), (2, lf.replace("\n", "\r\n"))],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r.asDict() for r in c4_filters(df).collect()}
+        assert rows[2]["text"] == rows[1]["text"]
+        assert rows[2]["n_lines_kept"] == rows[1]["n_lines_kept"] == 2
 
     def test_page_rules(self, spark):
         from sparksearchengine_spark.operators.textstats import c4_filters
