@@ -216,3 +216,81 @@ class TestQueryJoinDedupLaw:
         assert sorted(map(tuple, on.collect())) == sorted(
             map(tuple, off.collect())
         )
+
+
+_vec = st.lists(
+    st.floats(-1.0, 1.0, allow_nan=False, width=32), min_size=2, max_size=2
+)
+
+
+class TestClusteringLaws:
+    """k-means invariants on random vector sets: every point lands in
+    the cell whose centroid is truly nearest (python oracle), and one
+    Lloyd step never increases the total inertia."""
+
+    @given(vecs=st.lists(_vec, min_size=2, max_size=10))
+    @settings(**_SETTINGS)
+    def test_assignment_matches_python_argmin(self, spark, vecs):
+        from sparksearchengine_spark.operators.clustering import (
+            kmeans_assign,
+        )
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        cents = [[0.0, 0.0], [1.0, 1.0]]
+        got = {r["id"]: r["cell"] for r in kmeans_assign(df, cents).collect()}
+        for i, v in enumerate(vecs):
+            # replicate the float32 storage the Spark path reads
+            import struct
+
+            v32 = [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+            d = [sum((x - c) ** 2 for x, c in zip(v32, cc)) for cc in cents]
+            want = d.index(min(d))
+            assert got[i] == want, (i, v, d)
+
+    @given(vecs=st.lists(_vec, min_size=2, max_size=10, unique_by=tuple))
+    @settings(**_SETTINGS)
+    def test_one_lloyd_step_never_increases_inertia(self, spark, vecs):
+        from pyspark.sql import functions as F
+
+        from sparksearchengine_spark.operators.clustering import (
+            cluster_summary,
+            default_centroids,
+            kmeans_fit,
+        )
+
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<float>",
+        )
+        c0 = default_centroids(df, 2)
+        i0 = cluster_summary(df, c0).agg(F.sum("inertia")).first()[0]
+        c1, _ = kmeans_fit(df, 2, iters=1, centroids=c0)
+        i1 = cluster_summary(df, c1).agg(F.sum("inertia")).first()[0]
+        assert i1 <= i0 + 1e-9
+
+
+class TestClassifierLaws:
+    """The hashed linear model is additive over token multisets: the
+    score of a doc equals bias + the sum of its tokens' single-token
+    scores (with bias 0)."""
+
+    @given(doc=_doc)
+    @settings(**_SETTINGS)
+    def test_score_is_sum_of_token_scores(self, spark, doc):
+        from sparksearchengine_spark.operators.classify import (
+            classifier_score,
+        )
+
+        w = [((i * 5) % 11) - 5 for i in range(16)]
+        rows = [(0, " ".join(doc))] + [
+            (i + 1, t) for i, t in enumerate(doc)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["id"]: r["score"]
+            for r in classifier_score(df, w, bias=0).collect()
+        }
+        assert got[0] == sum(got[i + 1] for i in range(len(doc)))
