@@ -1372,6 +1372,17 @@ def _emb_semdedup(spark, sf):
     ).orderBy("id")
 
 
+def _emb_semdedup_arrow(spark, sf):
+    """The Arrow/numpy per-cell matmul execution of emb_semdedup — same
+    answer, BLAS instead of interpreted SQL folds (the scale path)."""
+    from sparksearchengine_spark.operators.clustering import semdedup
+
+    emb = _read(spark, sf, "embeddings")
+    return semdedup(
+        emb, threshold=EMB_DUP_T, n_clusters=KMEANS_K, method="arrow"
+    ).orderBy("id")
+
+
 def _classifier_score(spark, sf):
     """Hashed linear quality-classifier inference (fastText bucket
     shape): integer weights -> BIGINT-exact scores, md5 buckets shared
@@ -1527,6 +1538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_spans": _dedup_spans,
         "emb_kmeans_assign": _emb_kmeans_assign,
         "emb_semdedup": _emb_semdedup,
+        "emb_semdedup_arrow": _emb_semdedup_arrow,
         "classifier_score": _classifier_score,
         "classifier_vocab": _classifier_vocab,
         "mixture_sample": _mixture_sample,
@@ -3168,4 +3180,5 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
     o["qc24_batch_shuffle_hash"] = o["qc11_batch_search"]
     o["qc25_raw_query"] = o["qc22_match_alltext"]
     o["qc27_doc_bucket_lookup"] = o["qc13_doc_lookup"]
+    o["emb_semdedup_arrow"] = o["emb_semdedup"]
     return o

@@ -209,6 +209,11 @@ def main() -> None:
 
         semdedup(emb, threshold=0.4, n_clusters=16).where("NOT keep").count()
 
+    with timed("semdedup_arrow"):
+        semdedup(
+            emb, threshold=0.4, n_clusters=16, method="arrow"
+        ).where("NOT keep").count()
+
     with timed("classifier"):
         from sparksearchengine_spark.operators.classify import (
             classifier_score,

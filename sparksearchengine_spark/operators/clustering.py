@@ -189,6 +189,7 @@ def semdedup(
     item_id: str = "vec_id",
     item_vec: str = "embedding",
     centroids: list[list[float]] | None = None,
+    method: str = "expr",
 ) -> DataFrame:
     """SemDedup: semantic near-dedup bounded by k-means cells.
 
@@ -204,7 +205,21 @@ def semdedup(
     two cells is missed by design (the paper's recall trade-off); the
     recall harness (`operators.recall.pair_recall`) quantifies it vs
     `similarity.embedding_neardup_exact` in tests.
+
+    ``method``:
+
+    * ``"expr"`` — pure SQL pairwise fold (the engine-portable oracle
+      form; array HOFs are interpreted, so the per-pair dot is the cost)
+    * ``"arrow"`` — per-cell numpy matmul via ``applyInPandas`` (the
+      paper's actual shape, and this repo's ``cosine_topk_arrow``
+      precedent): same ONE shuffle on cell, then each cell's cosine
+      matrix is a BLAS call in row blocks, O(block x n_c) memory. Same
+      drops bit-for-bit (exact arithmetic either way; the compare is a
+      threshold on a margin >> float noise). Use this at scale; size
+      ``n_clusters`` so a cell's vectors fit an Arrow worker.
     """
+    if method not in ("expr", "arrow"):
+        raise ValueError(f"method must be expr|arrow, got {method!r}")
     if centroids is None:
         centroids = default_centroids(items, n_clusters, item_id, item_vec)
     # cell inline with the carried columns: ONE scan per join side (the
@@ -215,6 +230,8 @@ def semdedup(
         norm_expr(F.col(item_vec)).alias("nrm"),
         assign_cell_expr(F.col(item_vec), centroids).alias("cell"),
     )
+    if method == "arrow":
+        return _semdedup_arrow_cells(assigned, float(threshold))
     a, b = assigned.alias("a"), assigned.alias("b")
     # ids (higher side) having a lower-id neighbor >= threshold in-cell
     dropped = (
@@ -238,4 +255,49 @@ def semdedup(
     )
     return assigned.join(dropped.withColumn("_dup", F.lit(True)), "id", "left").select(
         "id", "cell", F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")
+    )
+
+
+def _semdedup_arrow_cells(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Per-cell vectorized drop rule: keep(row) = no LOWER-id row in the
+    cell with cosine >= threshold. One applyInPandas over the cell
+    grouping; inside, a blocked V_block @ V.T so worker memory is
+    O(block x n_c), not n_c^2. NULL vectors / the NULL cell keep=true
+    (can't be near anything), matching the expr path."""
+    import numpy as np
+    import pandas as pd
+
+    def _cell(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        n = len(pdf)
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        keep = np.ones(n, dtype=bool)
+        valid = pdf["vec"].notna().to_numpy() & pdf["cell"].notna().to_numpy()
+        idx = np.flatnonzero(valid)
+        if len(idx) >= 2:
+            v = np.array([np.asarray(x, dtype=np.float64) for x in pdf["vec"].iloc[idx]])
+            nrm = np.linalg.norm(v, axis=1)
+            ok = nrm > 0  # zero-norm: no direction, never matches
+            sub = idx[ok]
+            vn = v[ok] / nrm[ok, None]
+            m = len(sub)
+            # rows are id-sorted: col j is dropped iff any row i<j hits
+            colmax = np.full(m, -np.inf)
+            block = 1024
+            for s in range(0, m, block):
+                e = min(s + block, m)
+                sims = vn[s:e] @ vn.T          # (e-s) x m
+                # only pairs with row index < col index count
+                ii = np.arange(s, e)[:, None]
+                jj = np.arange(m)[None, :]
+                sims[ii >= jj] = -np.inf
+                bm = sims.max(axis=0)
+                colmax = np.maximum(colmax, bm)
+            keep[sub[colmax >= threshold]] = False
+        out = pd.DataFrame(
+            {"id": pdf["id"], "cell": pdf["cell"], "keep": keep}
+        )
+        return out
+
+    return assigned.groupBy("cell").applyInPandas(
+        _cell, schema="id long, cell int, keep boolean"
     )

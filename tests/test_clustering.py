@@ -203,6 +203,40 @@ class TestSemDedup:
         }
         assert got == {1: True, 2: True, 3: True}
 
+    def test_arrow_method_equals_expr_method(self, spark):
+        """The per-cell numpy matmul path must produce the exact rows of
+        the SQL pairwise path — including near-dup drops, zero-norm and
+        NULL vectors, and the NULL cell."""
+        rows = [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 0.001]),
+            (4, [0.001, 1.0]),
+            (5, [-1.0, 0.0]),
+            (6, [0.0, 0.0]),
+            (7, None),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        kw = dict(threshold=0.99, n_clusters=2)
+        expr_rows = sorted(map(tuple, semdedup(df, **kw).collect()))
+        arrow_rows = sorted(
+            map(tuple, semdedup(df, method="arrow", **kw).collect())
+        )
+        assert arrow_rows == expr_rows
+
+    def test_arrow_method_equals_expr_on_testdata(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        kw = dict(threshold=0.4, n_clusters=8)
+        a = sorted(map(tuple, semdedup(emb, **kw).collect()))
+        b = sorted(
+            map(tuple, semdedup(emb, method="arrow", **kw).collect())
+        )
+        assert a == b and any(not r[2] for r in a)
+
+    def test_bad_method_raises(self, vecs):
+        with pytest.raises(ValueError, match="expr|arrow"):
+            semdedup(vecs, method="numpy")
+
     def test_soundness_vs_exact_on_testdata(self, spark):
         """In-cell near-dedup vs the O(N^2) exact pairs: the drop set must
         be a strict SUBSET (soundness — semdedup never invents a dup) and
