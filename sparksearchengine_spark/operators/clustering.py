@@ -91,17 +91,68 @@ def kmeans_assign(
     centroids: list[list[float]],
     item_id: str = "vec_id",
     item_vec: str = "embedding",
+    method: str = "expr",
 ) -> DataFrame:
     """E-step: nearest-centroid assignment, `(id, cell)`.
 
-    One scan-stage projection — no shuffle, no explode, no join: the
-    whole step rides the corpus scan, so assignment at 100 TB costs one
-    pass and nothing else.
+    ``method="expr"`` is one scan-stage projection — no shuffle, no
+    explode, no join: the whole step rides the corpus scan. It builds k
+    distance expressions, which is right up to k ~ tens; past that the
+    expression tree itself becomes the cost (array HOFs are interpreted,
+    and a 1024-centroid projection is a megabyte of plan).
+
+    ``method="arrow"`` computes the argmin per Arrow batch with one
+    numpy matmul against the broadcast k x dim centroid matrix — still
+    zero shuffles, and the per-row cost is BLAS, not k interpreted
+    folds. Use it for k beyond ~64 (SemDedup's realistic k is 10^3-10^5
+    cells). Ties and NULL/zero-dim handling match the expr path (first
+    minimal cell; NULL vector -> NULL cell).
     """
+    if method == "arrow":
+        sel = items.select(
+            F.col(item_id).alias("id"), F.col(item_vec).alias("_v")
+        )
+        return _arrow_assign(sel, centroids, keep_vec=False)
     return items.select(
         F.col(item_id).alias("id"),
         assign_cell_expr(F.col(item_vec), centroids).alias("cell"),
     )
+
+
+def _arrow_assign(
+    sel: DataFrame, centroids: list[list[float]], keep_vec: bool
+) -> DataFrame:
+    """mapInPandas argmin over (id, _v) batches. ||x-c||^2 = ||x||^2 -
+    2x.c + ||c||^2 via one matmul; argmin drops the ||x||^2 term. Ties
+    break to the lowest cell (np.argmin = first occurrence) like the
+    expr path; exact-tie agreement additionally needs the same distance
+    VALUE, which holds for the bit-identical duplicate vectors that
+    actually produce ties."""
+    import numpy as np
+
+    c = np.asarray(centroids, dtype=np.float64)
+    c_sq = (c * c).sum(axis=1)
+
+    def _batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            valid = pdf["_v"].notna().to_numpy()
+            cell = np.full(len(pdf), None, dtype=object)
+            idx = np.flatnonzero(valid)
+            if len(idx):
+                v = np.array(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["_v"].iloc[idx]]
+                )
+                d = c_sq[None, :] - 2.0 * (v @ c.T)
+                cell[idx] = d.argmin(axis=1)
+            out = {"id": pdf["id"], "cell": pd.Series(cell, dtype="Int32")}
+            if keep_vec:
+                out["vec"] = pdf["_v"]
+            yield pd.DataFrame(out)
+
+    schema = "id long, cell int" + (", vec array<float>" if keep_vec else "")
+    return sel.mapInPandas(_batches, schema=schema)
 
 
 def kmeans_fit(
@@ -111,6 +162,7 @@ def kmeans_fit(
     item_id: str = "vec_id",
     item_vec: str = "embedding",
     centroids: list[list[float]] | None = None,
+    method: str = "expr",
 ) -> tuple[list[list[float]], DataFrame]:
     """Lloyd's k-means in pure DataFrame ops; returns
     ``(centroids, assignments)`` with assignments = `(id, cell)`.
@@ -128,7 +180,13 @@ def kmeans_fit(
     :func:`kmeans_assign` with pinned centroids (that is what the driver
     oracle checks; this fitted variant is held to a quality bar vs
     pyspark.ml KMeans in tests instead).
+
+    ``method="arrow"`` routes the assignment through the numpy-matmul
+    path (see :func:`kmeans_assign`) — required for large k, where the
+    expr path's k-distance projection stops being reasonable.
     """
+    if method not in ("expr", "arrow"):
+        raise ValueError(f"method must be expr|arrow, got {method!r}")
     if centroids is None:
         centroids = default_centroids(items, k, item_id, item_vec)
     if len(centroids) != k:
@@ -140,10 +198,20 @@ def kmeans_fit(
         # iteration, no join-back on id. NULL vectors assign to a NULL
         # cell; they must not form a centroid-update group (r3 review:
         # new[None] would TypeError after a full pass)
-        joined = items.select(
-            vec_d.alias("_v"),
-            assign_cell_expr(F.col(item_vec), centroids).alias("cell"),
-        ).where(F.col("cell").isNotNull())
+        if method == "arrow":
+            joined = _arrow_assign(
+                items.select(
+                    F.col(item_id).alias("id"), F.col(item_vec).alias("_v")
+                ),
+                centroids,
+                keep_vec=True,
+            ).select(F.col("vec").cast("array<double>").alias("_v"), "cell")
+        else:
+            joined = items.select(
+                vec_d.alias("_v"),
+                assign_cell_expr(F.col(item_vec), centroids).alias("cell"),
+            )
+        joined = joined.where(F.col("cell").isNotNull())
         sums = (
             joined.groupBy("cell")
             .agg(
@@ -159,7 +227,9 @@ def kmeans_fit(
         for r in sums:
             new[r["cell"]] = [r[f"_s{i}"] / r["_n"] for i in range(dim)]
         centroids = new
-    return centroids, kmeans_assign(items, centroids, item_id, item_vec)
+    return centroids, kmeans_assign(
+        items, centroids, item_id, item_vec, method=method
+    )
 
 
 def cluster_summary(
@@ -222,6 +292,19 @@ def semdedup(
         raise ValueError(f"method must be expr|arrow, got {method!r}")
     if centroids is None:
         centroids = default_centroids(items, n_clusters, item_id, item_vec)
+    if method == "arrow":
+        # numpy assignment (scales past k~64) feeding the per-cell
+        # matmul verification — Python stages on both sides of the one
+        # cell shuffle, zero interpreted folds anywhere
+        assigned = _arrow_assign(
+            items.select(
+                F.col(item_id).cast("long").alias("id"),
+                F.col(item_vec).alias("_v"),
+            ),
+            centroids,
+            keep_vec=True,
+        )
+        return _semdedup_arrow_cells(assigned, float(threshold))
     # cell inline with the carried columns: ONE scan per join side (the
     # join-back-on-id alternative scans the corpus 6x — measured)
     assigned = items.select(
@@ -230,8 +313,6 @@ def semdedup(
         norm_expr(F.col(item_vec)).alias("nrm"),
         assign_cell_expr(F.col(item_vec), centroids).alias("cell"),
     )
-    if method == "arrow":
-        return _semdedup_arrow_cells(assigned, float(threshold))
     a, b = assigned.alias("a"), assigned.alias("b")
     # ids (higher side) having a lower-id neighbor >= threshold in-cell
     dropped = (

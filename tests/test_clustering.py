@@ -74,6 +74,45 @@ class TestKmeansAssign:
         with pytest.raises(ValueError, match="need >= 9"):
             default_centroids(vecs, 9)
 
+    def test_arrow_assignment_equals_expr(self, spark):
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        cents = default_centroids(emb, 8)
+        a = sorted(map(tuple, kmeans_assign(emb, cents).collect()))
+        b = sorted(
+            map(tuple, kmeans_assign(emb, cents, method="arrow").collect())
+        )
+        assert a == b
+
+    def test_arrow_assignment_null_vec_and_ties(self, spark):
+        df = spark.createDataFrame(
+            [(1, [5.0, 5.0]), (2, None)],
+            "vec_id long, embedding array<float>",
+        )
+        cents = [[0.0, 0.0], [10.0, 10.0]]  # 1 is equidistant
+        got = {
+            r["id"]: r["cell"]
+            for r in kmeans_assign(df, cents, method="arrow").collect()
+        }
+        assert got == {1: 0, 2: None}
+
+    def test_arrow_scales_to_large_k(self, spark):
+        # k=128 would be a 128-distance-expr projection on the expr
+        # path; the arrow path is one matmul. Smoke: cells cover the
+        # range and every point maps to its true argmin on a sample.
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        cents = default_centroids(emb, 128)
+        got = kmeans_assign(emb, cents, method="arrow")
+        cells = [r["cell"] for r in got.collect()]
+        assert len(cells) == 500 and all(0 <= c < 128 for c in cells)
+        # ids 0..127 seeded the centroids -> each sits in its own cell
+        seeded = {
+            r["id"]: r["cell"]
+            for r in got.where("id < 128").collect()
+        }
+        assert all(seeded[i] == i for i in range(128))
+
 
 class TestKmeansFit:
     def test_converges_on_separable_groups(self, vecs):
@@ -122,6 +161,18 @@ class TestKmeansFit:
         m = KMeans(k=8, seed=7, featuresCol="_fv").fit(f)
         theirs = m.summary.trainingCost
         assert ours <= theirs * 1.10, (ours, theirs)
+
+    def test_arrow_fit_equals_expr_fit(self, spark):
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        ce, ae = kmeans_fit(emb, 8, iters=2)
+        ca, aa = kmeans_fit(emb, 8, iters=2, method="arrow")
+        # same assignments; centroids equal to float tolerance (the
+        # partial sums run through the same codegen aggregate)
+        assert sorted(map(tuple, ae.collect())) == sorted(
+            map(tuple, aa.collect())
+        )
+        for a, b in zip(ce, ca):
+            assert a == pytest.approx(b, abs=1e-9)
 
     def test_empty_cluster_keeps_centroid(self, spark):
         # centroid 1 sits far from every point -> its cell is empty; the
