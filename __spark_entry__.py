@@ -66,6 +66,8 @@ MIX_BUDGET = 5_000
 # (multi-epoch up-sampling) while en stays fractional
 MIXR_WEIGHTS = {"en": 0.2, "de": 0.8}
 MIXR_BUDGET = 20_000
+# quality-aware selection: en cuts mid-group, de keeps ~all, others none
+SEL_BUDGETS = {"en": 3_000, "de": 1_000}
 
 _INDEX_CACHE: dict = {}
 
@@ -1460,6 +1462,31 @@ def _mixture_repeats(spark, sf):
     )
 
 
+def _select_budget(spark, sf):
+    """Quality-aware budget selection (operators/sampling.py::
+    select_top_by_budget): rank per lang by the hashed classifier score,
+    keep the greedy prefix that fits the token budget. Integer scores
+    and cumsums — engine-exact ordering and cut points."""
+    from sparksearchengine_spark.operators.classify import hashed_score_expr
+    from sparksearchengine_spark.operators.sampling import (
+        select_top_by_budget,
+    )
+    from sparksearchengine_spark.operators.textstats import token_count_expr
+
+    docs = _read(spark, sf, "documents")
+    d = docs.select(
+        "doc_id",
+        "lang",
+        F.coalesce(
+            token_count_expr(F.col("text"), "simple").cast("long"), F.lit(0)
+        ).alias("n_tokens"),
+        hashed_score_expr(F.col("text"), CLF_WEIGHTS).alias("score"),
+    )
+    return select_top_by_budget(
+        d, "lang", "score", "n_tokens", SEL_BUDGETS
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -1543,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "classifier_vocab": _classifier_vocab,
         "mixture_sample": _mixture_sample,
         "mixture_repeats": _mixture_repeats,
+        "select_budget": _select_budget,
     }
 
 
@@ -3167,6 +3195,42 @@ def oracle_sql() -> dict[str, str]:
                      THEN 1 ELSE 0 END AS n_copies
             FROM tok JOIN r USING (lang)
             ORDER BY doc_id""",
+        # quality-aware budget selection (operators/sampling.py::
+        # select_top_by_budget): greedy prefix of (score desc, id asc)
+        # under per-group integer token budgets
+        "select_budget": f"""
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, lang,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     CAST(coalesce(list_sum(list_transform(toks,
+                       tk -> ({CLF_WEIGHTS})[
+                         CAST(CAST('0x' || substr(md5(tk), 1, 8) AS BIGINT)
+                              % {CLF_DIM} AS INTEGER) + 1])), 0)
+                       AS BIGINT) AS score
+              FROM t
+            ),
+            c AS (
+              SELECT *,
+                     sum(n_tokens) OVER (PARTITION BY lang
+                       ORDER BY score DESC, doc_id ASC
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM s
+            )
+            SELECT doc_id, lang, n_tokens, score,
+                   coalesce(cum <= CASE lang {
+                       " ".join(
+                           f"WHEN '{g}' THEN {b}"
+                           for g, b in sorted(SEL_BUDGETS.items())
+                       )
+                   } END, FALSE) AS keep
+            FROM c ORDER BY doc_id""",
     }
     return _derived_oracles(out)
 

@@ -190,6 +190,46 @@ def mixture_sample(
     )
 
 
+def select_top_by_budget(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    token_col: str,
+    budgets: dict[str, int],
+    key_col: str = "doc_id",
+    keep_col: str = "keep",
+) -> DataFrame:
+    """Quality-aware budget selection: per group, keep the BEST-scoring
+    rows whose cumulative token count fits the group's budget — the
+    post-classifier companion to :func:`mixture_sample`'s hash-random
+    choice (rank by a quality score instead of sampling uniformly).
+
+    Rule: rows ranked by (score desc, key asc — deterministic ties);
+    a row is kept iff the cumulative tokens *through it* stay within
+    budget. Greedy-prefix (not knapsack): the first row that overflows
+    is cut, later smaller rows are NOT pulled forward — this keeps the
+    answer a pure window expression and the quality ordering strict.
+    Groups absent from ``budgets`` keep nothing.
+
+    Scale: one shuffle (the per-group window). A giant group serializes
+    its own sort only; budgets are driver literals. Integer cumsums —
+    engine-exact.
+    """
+    pairs: list[Column] = []
+    for g, b in sorted(budgets.items()):
+        pairs += [F.lit(g), F.lit(int(b)).cast("long")]
+    budget = F.create_map(*pairs)[F.col(group_col)] if pairs else F.lit(None)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(score_col).desc(), F.col(key_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col).cast("long")).over(w)
+    return df.withColumn(
+        keep_col, F.coalesce(cum <= budget, F.lit(False))
+    )
+
+
 def train_test_split(
     df: DataFrame,
     key_col: str,

@@ -297,6 +297,65 @@ class TestMixtureSample:
         # the fractional slice is non-trivial on both sides
         assert 0 < sum(got[i] == 3 for i in range(10, 20)) < 10
 
+    def test_select_top_by_budget_hand_computed(self, spark):
+        from sparksearchengine_spark.operators.sampling import (
+            select_top_by_budget,
+        )
+
+        rows = [
+            # g=a: scores 9,8,7 with 40+40+40 tokens, budget 100 ->
+            # keep the two best, the third overflows
+            (1, "a", 9, 40), (2, "a", 8, 40), (3, "a", 7, 40),
+            # g=b: no budget entry -> nothing kept
+            (4, "b", 99, 1),
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, g string, score long, nt long"
+        )
+        got = {
+            r["doc_id"]: r["keep"]
+            for r in select_top_by_budget(
+                df, "g", "score", "nt", {"a": 100}
+            ).collect()
+        }
+        assert got == {1: True, 2: True, 3: False, 4: False}
+
+    def test_select_top_greedy_prefix_not_knapsack(self, spark):
+        from sparksearchengine_spark.operators.sampling import (
+            select_top_by_budget,
+        )
+
+        # best row fills the budget; the tiny low-score row after the
+        # overflowing middle row is NOT pulled forward
+        rows = [(1, "a", 9, 90), (2, "a", 8, 20), (3, "a", 7, 5)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, g string, score long, nt long"
+        )
+        got = {
+            r["doc_id"]: r["keep"]
+            for r in select_top_by_budget(
+                df, "g", "score", "nt", {"a": 100}
+            ).collect()
+        }
+        assert got == {1: True, 2: False, 3: False}
+
+    def test_select_top_ties_break_on_key(self, spark):
+        from sparksearchengine_spark.operators.sampling import (
+            select_top_by_budget,
+        )
+
+        rows = [(2, "a", 5, 60), (1, "a", 5, 60)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, g string, score long, nt long"
+        )
+        got = {
+            r["doc_id"]: r["keep"]
+            for r in select_top_by_budget(
+                df, "g", "score", "nt", {"a": 100}
+            ).collect()
+        }
+        assert got == {1: True, 2: False}  # lower key wins the tie
+
     def test_repeats_rate_below_one_matches_keep_path(self, tok_df):
         from sparksearchengine_spark.operators.sampling import mixture_sample
 
