@@ -1462,6 +1462,29 @@ def _mixture_repeats(spark, sf):
     )
 
 
+HASH_EMBED_DIM = 16
+
+
+def _text_hash_embed(spark, sf):
+    """Feature-hashing text embedding (operators/classify.py::
+    hash_embed): md5-bucket counts L2-normalized — integer counts and a
+    single sqrt/division per slot make even the doubles engine-exact."""
+    from sparksearchengine_spark.operators.classify import hash_embed
+
+    docs = _read(spark, sf, "documents")
+    return hash_embed(docs, dim=HASH_EMBED_DIM).orderBy("id")
+
+
+def _text_hash_embed_arrow(spark, sf):
+    """The numpy bincount execution of text_hash_embed — same answer
+    (shares its oracle), vectorized instead of O(dl x dim) interpreted
+    folds."""
+    from sparksearchengine_spark.operators.classify import hash_embed
+
+    docs = _read(spark, sf, "documents")
+    return hash_embed(docs, dim=HASH_EMBED_DIM, method="arrow").orderBy("id")
+
+
 def _select_budget(spark, sf):
     """Quality-aware budget selection (operators/sampling.py::
     select_top_by_budget): rank per lang by the hashed classifier score,
@@ -1571,6 +1594,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": _mixture_sample,
         "mixture_repeats": _mixture_repeats,
         "select_budget": _select_budget,
+        "text_hash_embed": _text_hash_embed,
+        "text_hash_embed_arrow": _text_hash_embed_arrow,
     }
 
 
@@ -3231,6 +3256,37 @@ def oracle_sql() -> dict[str, str]:
                        )
                    } END, FALSE) AS keep
             FROM c ORDER BY doc_id""",
+        # feature-hashing embedding (operators/classify.py::hash_embed):
+        # per-slot token counts via the shared md5 bucket, L2-normalized.
+        # Counts are integers and the normalization is one sqrt + one
+        # division per slot — bit-identical doubles in both engines.
+        "text_hash_embed": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(
+                       lower(coalesce(text, '')), '[^a-z0-9]+'),
+                       x -> x <> '') AS toks
+              FROM documents
+            ),
+            c AS (
+              SELECT doc_id,
+                     list_transform(range(0, {HASH_EMBED_DIM}),
+                       i -> CAST(len(list_filter(toks,
+                         tk -> CAST(CAST('0x' || substr(md5(tk), 1, 8)
+                                    AS BIGINT) % {HASH_EMBED_DIM}
+                                    AS BIGINT) = i)) AS DOUBLE)) AS v
+              FROM t
+            ),
+            n AS (
+              SELECT doc_id, v,
+                     sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+              FROM c
+            )
+            SELECT doc_id AS id,
+                   CASE WHEN nrm > 0
+                        THEN list_transform(v, x -> x / nrm)
+                        ELSE v END AS embedding
+            FROM n ORDER BY id""",
     }
     return _derived_oracles(out)
 
@@ -3245,4 +3301,5 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
     o["qc25_raw_query"] = o["qc22_match_alltext"]
     o["qc27_doc_bucket_lookup"] = o["qc13_doc_lookup"]
     o["emb_semdedup_arrow"] = o["emb_semdedup"]
+    o["text_hash_embed_arrow"] = o["text_hash_embed"]
     return o

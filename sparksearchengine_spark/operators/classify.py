@@ -114,6 +114,101 @@ def classifier_score(
     return out
 
 
+def hash_embed(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "simple",
+    normalize: bool = True,
+    method: str = "expr",
+) -> DataFrame:
+    """Feature-hashing text embedding (HashingTF shape): bucket counts of
+    the analyzed token stream as a dense `array<double>[dim]`, optionally
+    L2-normalized — turns raw text into a vector column every embedding
+    operator here (cosine top-k, LSH/IVF ANN, SemDedup, k-means) can
+    consume without an external model. `(id, embedding)`.
+
+    Both methods are zero-shuffle and engine-portable (the bucket is the
+    shared md5 rule, counts are integers, and the normalization is one
+    sqrt + one division per slot — bit-identical across engines):
+
+    * ``"expr"`` — one `aggregate` fold per row. O(dl x dim)
+      INTERPRETED ops (nested HOFs are CodegenFallback): the oracle
+      form, fine for small dim.
+    * ``"arrow"`` — tokens come out of the scan, the bucket/bincount
+      runs in numpy per Arrow batch. The 100 TB form.
+
+    A doc with no tokens embeds as the zero vector (cosine guards treat
+    it as direction-less downstream).
+    """
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+    if method not in ("expr", "arrow"):
+        raise ValueError(f"method must be expr|arrow, got {method!r}")
+    toks = F.coalesce(
+        analyzer_expr(F.col(text_col), analyzer),
+        F.array().cast("array<string>"),
+    )
+    if method == "arrow":
+        sel = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+        return _hash_embed_arrow(sel, dim, normalize)
+    zero = F.array_repeat(F.lit(0.0), dim)
+    counts = F.aggregate(
+        toks,
+        zero,
+        lambda acc, t: F.transform(
+            acc,
+            lambda v, i: F.when(
+                hash_bucket_expr(t, dim).cast("int") == i, v + F.lit(1.0)
+            ).otherwise(v),
+        ),
+    )
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(
+                counts, F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+        vec = F.when(nrm > 0, F.transform(counts, lambda x: x / nrm)).otherwise(
+            counts
+        )
+    else:
+        vec = counts
+    return df.select(F.col(id_col).alias("id"), vec.alias("embedding"))
+
+
+def _hash_embed_arrow(sel: DataFrame, dim: int, normalize: bool) -> DataFrame:
+    """numpy bincount per Arrow batch over pre-analyzed token arrays.
+    hashlib.md5 reproduces hash_bucket_expr exactly; float64 counts,
+    same one-sqrt-one-division normalization as the expr path."""
+    import hashlib
+
+    import numpy as np
+
+    def _batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            out = []
+            for toks in pdf["_toks"]:
+                v = np.zeros(dim, dtype=np.float64)
+                if toks is not None and len(toks):
+                    idx = [
+                        int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+                        for t in toks
+                    ]
+                    np.add.at(v, idx, 1.0)
+                    if normalize:
+                        n = np.sqrt((v * v).sum())
+                        if n > 0:
+                            v = v / n
+                out.append(v.tolist())
+            yield pd.DataFrame({"id": pdf["id"], "embedding": out})
+
+    return sel.mapInPandas(_batches, schema="id long, embedding array<double>")
+
+
 def classifier_score_vocab(
     df: DataFrame,
     weights_df: DataFrame,

@@ -371,6 +371,73 @@ class TestClassifierScore:
             assert r["b"] == exp
 
 
+class TestHashEmbed:
+    def test_counts_and_normalization_hand_computed(self, spark):
+        import hashlib
+        import math
+
+        from sparksearchengine_spark.operators.classify import hash_embed
+
+        dim = 8
+        df = spark.createDataFrame(
+            [(1, "aa bb aa"), (2, ""), (3, None)],
+            "doc_id long, text string",
+        )
+        got = {r["id"]: r["embedding"] for r in hash_embed(df, dim=dim).collect()}
+
+        def bucket(t):
+            return int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % dim
+
+        want = [0.0] * dim
+        want[bucket("aa")] += 2
+        want[bucket("bb")] += 1
+        n = math.sqrt(sum(x * x for x in want))
+        want = [x / n for x in want]
+        assert got[1] == pytest.approx(want)
+        assert got[2] == [0.0] * dim  # zero vector, not NaN
+        assert got[3] == [0.0] * dim
+
+    def test_arrow_equals_expr_bitwise(self, spark):
+        from sparksearchengine_spark.operators.classify import hash_embed
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        a = {r["id"]: r["embedding"] for r in hash_embed(docs, dim=16).collect()}
+        b = {
+            r["id"]: r["embedding"]
+            for r in hash_embed(docs, dim=16, method="arrow").collect()
+        }
+        assert a == b  # exact equality, not approx — integer counts
+
+    def test_feeds_the_embedding_operators(self, spark):
+        # the whole point: raw text -> vector -> semdedup finds the
+        # exact-duplicate texts
+        from sparksearchengine_spark.operators.classify import hash_embed
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "alpha beta gamma"),
+             (3, "totally different words here")],
+            "doc_id long, text string",
+        )
+        emb = hash_embed(df, dim=32).withColumnRenamed("id", "vec_id")
+        got = {
+            r["id"]: r["keep"]
+            for r in semdedup(
+                emb, threshold=0.99, n_clusters=1,
+                centroids=[[0.0] * 32],
+            ).collect()
+        }
+        assert got == {1: True, 2: False, 3: True}
+
+    def test_bad_args_raise(self, spark):
+        from sparksearchengine_spark.operators.classify import hash_embed
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="dim"):
+            hash_embed(df, dim=0)
+        with pytest.raises(ValueError, match="expr|arrow"):
+            hash_embed(df, method="pandas")
+
+
 class TestClassifierVocab:
     def test_vocab_join_scores(self, spark):
         df = spark.createDataFrame(
