@@ -5,6 +5,7 @@ from sparksearchengine_spark.streaming.stream import (
     dedup_stream,
     incremental_index,
     load_incremental_index,
+    neardup_filter_stream,
     read_document_stream,
     running_user_stats,
     sessionize,
@@ -18,6 +19,7 @@ __all__ = [
     "dedup_stream",
     "incremental_index",
     "load_incremental_index",
+    "neardup_filter_stream",
     "read_document_stream",
     "running_user_stats",
     "sessionize",

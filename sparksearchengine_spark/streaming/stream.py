@@ -208,6 +208,67 @@ def incremental_index(
     return writer.start()
 
 
+def neardup_filter_stream(
+    docs_stream: DataFrame,
+    corpus_df: DataFrame,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    analyzer: str = "simple",
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Curation-at-ingest near-dedup: drop incoming documents that are
+    MinHash-LSH near-duplicates (Jaccard >= threshold) of a STATIC
+    reference corpus (the previous crawl, a benchmark set); survivors
+    land at ``out_path``.
+
+    foreachBatch rather than a streaming join: the per-batch frame is a
+    plain DataFrame, so each micro-batch runs the full batch operator
+    (``operators/dedup.py::minhash_lsh_join`` — shared deterministic
+    hash family, banded candidates, exact-Jaccard verification) and
+    anti-joins the matches away. A native stream-static formulation
+    can't express this: the "matched ids" side derives from the stream
+    itself, making the final anti-join stream-stream (stateful,
+    watermark-bound); per-batch it is exact and stateless. Exactly-once
+    via the ``incremental_index`` pattern — every batch overwrites its
+    own ``batch_id=N`` directory, so at-least-once replays replace
+    rather than double-append.
+
+    Note the guarantee is vs the REFERENCE corpus only: two near-dup
+    docs arriving in the stream both survive unless one is also in the
+    reference (use ``dedup_stream`` for in-stream exact dedup, and the
+    batch operators on the landed output for the global pass).
+    """
+    from sparksearchengine_spark.operators.dedup import minhash_lsh_join
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        matches = (
+            minhash_lsh_join(
+                batch_df, corpus_df, id_col=id_col, text_col=text_col,
+                n=n, num_hashes=num_hashes, bands=bands,
+                threshold=threshold, analyzer=analyzer,
+            )
+            .select(F.col("id_l").alias(id_col))
+            .distinct()
+        )
+        kept = batch_df.join(matches, id_col, "left_anti")
+        kept.write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint or f"{out_path}/_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def dedup_stream(
     docs_stream: DataFrame,
     content_cols: list[str] | None = None,

@@ -505,3 +505,47 @@ class TestStatelessCurationOnStreams:
         got = sorted(map(tuple, spark.sql("SELECT * FROM clf_eq").collect()))
         want = sorted(map(tuple, classifier_score(raw, w, threshold=0).collect()))
         assert got == want and len(got) > 0
+
+    def test_neardup_filter_stream_equals_batch(self, spark, tmp_path):
+        """Stream-vs-static near-dedup: the foreachBatch LSH filter must
+        land exactly the rows the batch anti-join keeps."""
+        import os
+
+        from sparksearchengine_spark.operators.dedup import (
+            minhash_lsh_join,
+        )
+        from sparksearchengine_spark.streaming import (
+            neardup_filter_stream,
+        )
+
+        d = tmp_path / "docs_nd_dir"
+        d.mkdir()
+        os.symlink(
+            "/root/testdata/sf0.001/documents.parquet",
+            str(d / "part-0.parquet"),
+        )
+        raw = spark.read.parquet(str(d))
+        # static reference = the high-id half; the stream carries dups
+        # of it (the synthetic corpus repeats texts across ids)
+        corpus = raw.where("doc_id >= 250")
+        stream = spark.readStream.schema(raw.schema).parquet(str(d))
+        out = str(tmp_path / "nd_out")
+        q = neardup_filter_stream(
+            stream, corpus, out, threshold=0.8,
+            checkpoint=str(tmp_path / "nd_ckpt"),
+        )
+        q.awaitTermination(180)
+        got = sorted(
+            r["doc_id"] for r in spark.read.parquet(out).collect()
+        )
+        matches = (
+            minhash_lsh_join(raw, corpus, threshold=0.8)
+            .select(F.col("id_l").alias("doc_id"))
+            .distinct()
+        )
+        want = sorted(
+            r["doc_id"]
+            for r in raw.join(matches, "doc_id", "left_anti").collect()
+        )
+        assert got == want
+        assert 0 < len(got) < raw.count()  # some rows were dropped
