@@ -785,6 +785,36 @@ def _clean_text(spark, sf):
     return clean_text(dirty).select("doc_id", "text").orderBy("doc_id")
 
 
+def _strip_html(spark, sf):
+    """Crawled-page text extraction (operators/textstats.py::strip_html).
+    The corpus has no markup, so every 4th doc is wrapped in a full HTML
+    scaffold IN BOTH ENGINES — script/style content removal, block-tag
+    newlines, tag drop, and entity decode must all fire to hash-match."""
+    from sparksearchengine_spark.operators.textstats import strip_html
+
+    docs = _read(spark, sf, "documents")
+    dirty = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit(
+                    "<html><head><style>p {color: red}</style>"
+                    '<script type="text/javascript">var x = 1 < 2;</script>'
+                    "</head><body><!-- a\ncomment --><h1>Title&nbsp;One"
+                    "</h1><p>"
+                ),
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit(
+                    "</p><br><div>Footer &amp; more &lt;tag&gt; "
+                    "&quot;q&quot; it&#39;s</div></body></html>"
+                ),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    return strip_html(dirty).select("doc_id", "text").orderBy("doc_id")
+
+
 def _events_asof(spark, sf):
     """As-of join: each click event picks up the user's most recent prior
     purchase (one key shuffle + running window — no range cross-join).
@@ -1596,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_budget": _select_budget,
         "text_hash_embed": _text_hash_embed,
         "text_hash_embed_arrow": _text_hash_embed_arrow,
+        "strip_html": _strip_html,
     }
 
 
@@ -3287,6 +3318,58 @@ def oracle_sql() -> dict[str, str]:
                         THEN list_transform(v, x -> x / nrm)
                         ELSE v END AS embedding
             FROM n ORDER BY id""",
+        # HTML strip (operators/textstats.py::strip_html): the same
+        # RE2-portable regex chain + entity replaces + clean_text finish,
+        # over the same injected scaffold
+        "strip_html": r"""
+            WITH dirty AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN '<html><head><style>p {color: red}</style>'
+                               || '<script type="text/javascript">'
+                               || 'var x = 1 < 2;</script>'
+                               || '</head><body><!-- a' || chr(10)
+                               || 'comment --><h1>Title&nbsp;One</h1><p>'
+                               || coalesce(text, '')
+                               || '</p><br><div>Footer &amp; more '
+                               || '&lt;tag&gt; &quot;q&quot; '
+                               || 'it&#39;s</div></body></html>'
+                          ELSE text END AS text
+              FROM documents),
+            stripped AS (
+              SELECT doc_id,
+                     replace(replace(replace(replace(replace(replace(
+                       replace(
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(
+                               regexp_replace(
+                                 regexp_replace(text,
+                                   '(?is)<script[^>]*>.*?</script>', ' ',
+                                   'g'),
+                                 '(?is)<style[^>]*>.*?</style>', ' ',
+                                 'g'),
+                               '(?is)<!--.*?-->', ' ', 'g'),
+                             '(?i)</?(p|div|li|ul|ol|h[1-6]|tr|table|blockquote)[^>]*>|<br[^>]*>',
+                             chr(10), 'g'),
+                           '<[^>]+>', ' ', 'g'),
+                       '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
+                       '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+                       '&apos;', '''') AS text
+              FROM dirty)
+            SELECT doc_id,
+                   regexp_replace(
+                     trim(regexp_replace(
+                       regexp_replace(
+                         regexp_replace(
+                           regexp_replace(text,
+                             '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'),
+                           '[ \t]+', ' ', 'g'),
+                         ' ?\n ?', chr(10), 'g'),
+                       '\n{3,}', chr(10) || chr(10), 'g'),
+                     ' '),
+                   '^\n+|\n+$', '', 'g') AS text
+            FROM stripped ORDER BY doc_id""",
     }
     return _derived_oracles(out)
 

@@ -64,6 +64,56 @@ def clean_text(
     return df.withColumn(out_col or text_col, clean_text_expr(F.col(text_col)))
 
 
+# entity -> replacement; the handful that dominate crawled text (full
+# decode needs an entity table; these cover the overwhelming majority)
+_HTML_ENTITIES = (
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+)
+
+
+def strip_html_expr(col: Column) -> Column:
+    """Crawled-page text extraction, scan-stage:
+
+    1. ``<script>``/``<style>`` blocks removed WITH their content
+       (boilerplate code, not text; (?is) = case-insensitive dotall);
+    2. block-level closers/openers (``</p> <br> <div> <li> <h1-6>
+       <tr>``) become newlines so paragraph structure survives
+       tag removal;
+    3. every remaining tag (incl. ``<!-- -->`` comments) dropped;
+    4. the dominant character entities decoded (&amp;nbsp; &amp;amp;
+       &amp;lt; &amp;gt; &amp;quot; &amp;#39;);
+    5. :func:`clean_text_expr` finishes (whitespace/blank-line spam
+       introduced by tag removal).
+
+    Pure column expr, same patterns in the DuckDB oracle; NULL passes
+    through NULL. Not a full HTML5 parser by design — for an exact DOM
+    walk plug a Pandas-UDF extractor in front; this is the cheap
+    99%-of-crawl path that runs inside the scan.
+    """
+    # script/style handled separately — a <(script|style)>...</\1>
+    # backreference would break the RE2-portability contract (DuckDB)
+    c = F.regexp_replace(col, "(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, "(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, "(?is)<!--.*?-->", " ")
+    c = F.regexp_replace(
+        c, "(?i)</?(p|div|li|ul|ol|h[1-6]|tr|table|blockquote)[^>]*>|<br[^>]*>",
+        "\n",
+    )
+    c = F.regexp_replace(c, "<[^>]+>", " ")
+    for ent, rep in _HTML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    # boundary newlines are wrapper-tag artifacts (<body>... -> "\n...")
+    return F.regexp_replace(clean_text_expr(c), "^\\n+|\\n+$", "")
+
+
+def strip_html(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Apply ``strip_html_expr`` (in place by default)."""
+    return df.withColumn(out_col or text_col, strip_html_expr(F.col(text_col)))
+
+
 def token_count_expr(col: Column, analyzer: str = "simple") -> Column:
     """Whitespace/analyzer token count (BPE-ish proxy: tokens ≈ 0.75 words
     is the usual back-of-envelope; we expose the raw count)."""

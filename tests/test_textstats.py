@@ -1,5 +1,53 @@
 
 
+class TestStripHtml:
+    def _one(self, spark, html):
+        from sparksearchengine_spark.operators.textstats import strip_html
+
+        df = spark.createDataFrame([(1, html)], "doc_id long, text string")
+        return strip_html(df).collect()[0]["text"]
+
+    def test_scripts_and_styles_removed_with_content(self, spark):
+        got = self._one(
+            spark,
+            "<script>var hidden = 'secret';</script>before"
+            "<style>.x{display:none}</style>after",
+        )
+        assert got == "before after"
+        assert "secret" not in got
+
+    def test_block_tags_preserve_paragraphs(self, spark):
+        got = self._one(
+            spark, "<p>first para</p><p>second para</p><br>third"
+        )
+        # adjacent close+open tags form a blank-line paragraph break
+        assert got == "first para\n\nsecond para\n\nthird"
+
+    def test_entities_decoded(self, spark):
+        got = self._one(
+            spark, "a&nbsp;b &amp; c &lt;d&gt; &quot;e&quot; f&#39;s"
+        )
+        assert got == 'a b & c <d> "e" f\'s'
+
+    def test_comments_and_inline_tags_dropped(self, spark):
+        got = self._one(
+            spark,
+            "keep <!-- multi\nline comment --><a href='x'>link</a> "
+            "<em>emphasis</em> end",
+        )
+        assert got == "keep link emphasis end"
+
+    def test_null_and_plain_text_pass_through(self, spark):
+        from sparksearchengine_spark.operators.textstats import strip_html
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "no markup at all")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r["text"] for r in strip_html(df).collect()}
+        assert got == {1: None, 2: "no markup at all"}
+
+
 class TestGopherRules:
     def test_signals_on_handmade_docs(self, spark):
         from sparksearchengine_spark.operators.textstats import gopher_rules
