@@ -3350,12 +3350,12 @@ def oracle_sql() -> dict[str, str]:
                                  '(?is)<style[^>]*>.*?</style>', ' ',
                                  'g'),
                                '(?is)<!--.*?-->', ' ', 'g'),
-                             '(?i)</?(p|div|li|ul|ol|h[1-6]|tr|table|blockquote)[^>]*>|<br[^>]*>',
+                             '(?i)</?(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|br)(>|[\s/][^>]*>)',
                              chr(10), 'g'),
                            '<[^>]+>', ' ', 'g'),
-                       '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'),
-                       '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
-                       '&apos;', '''') AS text
+                       '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                       '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+                       '&amp;', '&') AS text
               FROM dirty)
             SELECT doc_id,
                    regexp_replace(

@@ -106,8 +106,14 @@ def kmeans_assign(
     zero shuffles, and the per-row cost is BLAS, not k interpreted
     folds. Use it for k beyond ~64 (SemDedup's realistic k is 10^3-10^5
     cells). Ties and NULL/zero-dim handling match the expr path (first
-    minimal cell; NULL vector -> NULL cell).
+    minimal cell; NULL vector -> NULL cell). The two paths compute the
+    distance with different FP formulations (sequential (x-c)^2 fold vs
+    ||c||^2 - 2x.c matmul); an argmin can differ only when two centroids
+    are within ulps of exactly equidistant — the same tolerance model
+    the cross-engine DuckDB oracle already accepts.
     """
+    if method not in ("expr", "arrow"):
+        raise ValueError(f"method must be expr|arrow, got {method!r}")
     if method == "arrow":
         sel = items.select(
             F.col(item_id).alias("id"), F.col(item_vec).alias("_v")
@@ -151,7 +157,11 @@ def _arrow_assign(
                 out["vec"] = pdf["_v"]
             yield pd.DataFrame(out)
 
-    schema = "id long, cell int" + (", vec array<float>" if keep_vec else "")
+    # carry the INPUT element type through — declaring array<float> for
+    # an array<double> embedding would silently truncate the vectors the
+    # downstream cosine verification runs on (r3 review)
+    vec_type = sel.schema["_v"].dataType.simpleString()
+    schema = "id long, cell int" + (f", vec {vec_type}" if keep_vec else "")
     return sel.mapInPandas(_batches, schema=schema)
 
 
@@ -284,9 +294,12 @@ def semdedup(
       paper's actual shape, and this repo's ``cosine_topk_arrow``
       precedent): same ONE shuffle on cell, then each cell's cosine
       matrix is a BLAS call in row blocks, O(block x n_c) memory. Same
-      drops bit-for-bit (exact arithmetic either way; the compare is a
-      threshold on a margin >> float noise). Use this at scale; size
-      ``n_clusters`` so a cell's vectors fit an Arrow worker.
+      drops on real data — both paths compute in float64 and the
+      threshold compare sits on margins far above FP noise; only pairs
+      engineered to within ulps of the threshold (or of an assignment
+      tie) could diverge, the tolerance the DuckDB oracle itself
+      accepts. Use this at scale; size ``n_clusters`` so a cell's
+      vectors fit an Arrow worker.
     """
     if method not in ("expr", "arrow"):
         raise ValueError(f"method must be expr|arrow, got {method!r}")

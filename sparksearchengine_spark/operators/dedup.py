@@ -25,6 +25,7 @@ arithmetic is exact under Spark ANSI mode (no silent overflow).
 from __future__ import annotations
 
 import math
+from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -304,34 +305,91 @@ def minhash_lsh_join(
             "(trailing hashes would be silently ignored)"
         )
     gl = _gram_arrays(_widen(left), id_col, text_col, n, analyzer).persist()
-    gr = _gram_arrays(_widen(right), id_col, text_col, n, analyzer).persist()
+    corp = prepare_lsh_corpus(
+        right, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes, bands=bands, analyzer=analyzer,
+    )
+    return lsh_join_prepared(gl, corp, threshold)
+
+
+def _band_table(ga: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bh) banded LSH keys from an (id, gs) gram table."""
     r = num_hashes // bands
-
-    def _banded(ga: DataFrame) -> DataFrame:
-        sigs = _signatures_from_grams(ga, num_hashes)
-        band_cols = F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.concat_ws(
-                            ",",
-                            *[
-                                F.col("sig")[i * r + j].cast("string")
-                                for j in range(r)
-                            ],
-                        ).alias("bh"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bd")
-        return sigs.select("id", band_cols).select(
-            "id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
+    sigs = _signatures_from_grams(ga, num_hashes)
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col("sig")[i * r + j].cast("string")
+                            for j in range(r)
+                        ],
+                    ).alias("bh"),
+                )
+                for i in range(bands)
+            ]
         )
+    ).alias("bd")
+    return sigs.select("id", band_cols).select(
+        "id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
+    )
 
-    a = _banded(gl).alias("a")
-    b = _banded(gr).alias("b")
+
+@dataclass(frozen=True)
+class LshCorpus:
+    """A reference corpus prepared ONCE for repeated LSH joins: the gram
+    arrays and the banded signature table, both persisted. Built by
+    :func:`prepare_lsh_corpus`; consumed by :func:`lsh_join_prepared`
+    (and the streaming ingest filter, which would otherwise recompute
+    the whole corpus' signatures every micro-batch and leak a pair of
+    cached frames per batch — r3 review). ``unpersist()`` releases it.
+    """
+
+    grams: DataFrame
+    bands_df: DataFrame
+    n: int
+    num_hashes: int
+    bands: int
+    analyzer: str
+
+    def unpersist(self) -> None:
+        self.grams.unpersist()
+        self.bands_df.unpersist()
+
+
+def prepare_lsh_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    analyzer: str = "simple",
+) -> LshCorpus:
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} "
+            "(trailing hashes would be silently ignored)"
+        )
+    gr = _gram_arrays(_widen(df), id_col, text_col, n, analyzer).persist()
+    return LshCorpus(
+        grams=gr,
+        bands_df=_band_table(gr, num_hashes, bands).persist(),
+        n=n, num_hashes=num_hashes, bands=bands, analyzer=analyzer,
+    )
+
+
+def lsh_join_prepared(
+    gl: DataFrame, corpus: LshCorpus, threshold: float = 0.8
+) -> DataFrame:
+    """LSH join of a fresh (id, gs) gram table against a prepared
+    corpus: banded candidates + exact-Jaccard verification,
+    (id_l, id_r, jaccard)."""
+    a = _band_table(gl, corpus.num_hashes, corpus.bands).alias("a")
+    b = corpus.bands_df.alias("b")
     cand = (
         a.join(
             b,
@@ -341,7 +399,7 @@ def minhash_lsh_join(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    out = _verify_jaccard(cand, gl, threshold, gram_arrays_b=gr)
+    out = _verify_jaccard(cand, gl, threshold, gram_arrays_b=corpus.grams)
     return out.select(
         F.col("id_a").alias("id_l"), F.col("id_b").alias("id_r"), "jaccard"
     )

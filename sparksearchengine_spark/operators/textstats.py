@@ -65,10 +65,13 @@ def clean_text(
 
 
 # entity -> replacement; the handful that dominate crawled text (full
-# decode needs an entity table; these cover the overwhelming majority)
+# decode needs an entity table; these cover the overwhelming majority).
+# &amp; MUST decode LAST: decoding it first would turn escaped markup
+# ('&amp;lt;' — HTML shown as code) into '&lt;' and then double-decode
+# it to '<' (r3 review)
 _HTML_ENTITIES = (
-    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
-    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
 )
 
 
@@ -96,8 +99,13 @@ def strip_html_expr(col: Column) -> Column:
     c = F.regexp_replace(col, "(?is)<script[^>]*>.*?</script>", " ")
     c = F.regexp_replace(c, "(?is)<style[^>]*>.*?</style>", " ")
     c = F.regexp_replace(c, "(?is)<!--.*?-->", " ")
+    # tag names need a closing boundary — a bare (p|li|tr)[^>]* would
+    # also swallow <pre>, <link>, <track>… (r3 review). RE2 has no
+    # lookahead, so the boundary is the (>|[\s/]…>) alternation.
     c = F.regexp_replace(
-        c, "(?i)</?(p|div|li|ul|ol|h[1-6]|tr|table|blockquote)[^>]*>|<br[^>]*>",
+        c,
+        "(?i)</?(p|div|li|ul|ol|h[1-6]|tr|table|blockquote|br)"
+        "(>|[\\s/][^>]*>)",
         "\n",
     )
     c = F.regexp_replace(c, "<[^>]+>", " ")

@@ -228,38 +228,57 @@ def neardup_filter_stream(
     land at ``out_path``.
 
     foreachBatch rather than a streaming join: the per-batch frame is a
-    plain DataFrame, so each micro-batch runs the full batch operator
-    (``operators/dedup.py::minhash_lsh_join`` — shared deterministic
-    hash family, banded candidates, exact-Jaccard verification) and
-    anti-joins the matches away. A native stream-static formulation
-    can't express this: the "matched ids" side derives from the stream
-    itself, making the final anti-join stream-stream (stateful,
-    watermark-bound); per-batch it is exact and stateless. Exactly-once
-    via the ``incremental_index`` pattern — every batch overwrites its
-    own ``batch_id=N`` directory, so at-least-once replays replace
-    rather than double-append.
+    plain DataFrame, so each micro-batch runs the batch LSH machinery
+    (``operators/dedup.py`` — shared deterministic hash family, banded
+    candidates, exact-Jaccard verification) and anti-joins the matches
+    away. A native stream-static formulation can't express this: the
+    "matched ids" side derives from the stream itself, making the final
+    anti-join stream-stream (stateful, watermark-bound); per-batch it
+    is exact and stateless. Exactly-once via the ``incremental_index``
+    pattern — every batch overwrites its own ``batch_id=N`` directory,
+    so at-least-once replays replace rather than double-append.
+
+    The reference corpus is prepared ONCE (``prepare_lsh_corpus``:
+    grams + banded signatures, persisted) and shared by every
+    micro-batch — per-batch work is proportional to the BATCH, not the
+    corpus, and the per-batch gram cache is unpersisted when its batch
+    lands (a per-batch ``minhash_lsh_join`` would recompute the corpus
+    signatures every batch and leak two cached frames per batch — r3
+    review).
 
     Note the guarantee is vs the REFERENCE corpus only: two near-dup
     docs arriving in the stream both survive unless one is also in the
     reference (use ``dedup_stream`` for in-stream exact dedup, and the
     batch operators on the landed output for the global pass).
     """
-    from sparksearchengine_spark.operators.dedup import minhash_lsh_join
+    from sparksearchengine_spark.operators.dedup import (
+        _gram_arrays,
+        _widen,
+        lsh_join_prepared,
+        prepare_lsh_corpus,
+    )
+
+    corp = prepare_lsh_corpus(
+        corpus_df, id_col=id_col, text_col=text_col, n=n,
+        num_hashes=num_hashes, bands=bands, analyzer=analyzer,
+    )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        matches = (
-            minhash_lsh_join(
-                batch_df, corpus_df, id_col=id_col, text_col=text_col,
-                n=n, num_hashes=num_hashes, bands=bands,
-                threshold=threshold, analyzer=analyzer,
+        gl = _gram_arrays(
+            _widen(batch_df), id_col, text_col, n, analyzer
+        ).persist()
+        try:
+            matches = (
+                lsh_join_prepared(gl, corp, threshold)
+                .select(F.col("id_l").alias(id_col))
+                .distinct()
             )
-            .select(F.col("id_l").alias(id_col))
-            .distinct()
-        )
-        kept = batch_df.join(matches, id_col, "left_anti")
-        kept.write.mode("overwrite").parquet(
-            f"{out_path}/batch_id={batch_id}"
-        )
+            kept = batch_df.join(matches, id_col, "left_anti")
+            kept.write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}"
+            )
+        finally:
+            gl.unpersist()
 
     writer = docs_stream.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint or f"{out_path}/_checkpoint"

@@ -37,6 +37,22 @@ class TestStripHtml:
         )
         assert got == "keep link emphasis end"
 
+    def test_escaped_html_single_decodes(self, spark):
+        # '&amp;lt;' is escaped markup shown as code — one decode step,
+        # never two (&amp; decodes LAST)
+        got = self._one(spark, "code: &amp;lt;script&amp;gt; end")
+        assert got == "code: &lt;script&gt; end"
+
+    def test_non_block_tags_do_not_break_paragraphs(self, spark):
+        # <pre>/<link>/<path> share prefixes with block-tag names but
+        # must become spaces, not newlines
+        got = self._one(
+            spark,
+            'a <pre>x</pre> b <link rel="stylesheet"> c <path d="M0"/> d',
+        )
+        assert "\n" not in got
+        assert got == "a x b c d"
+
     def test_null_and_plain_text_pass_through(self, spark):
         from sparksearchengine_spark.operators.textstats import strip_html
 
