@@ -785,6 +785,23 @@ def _clean_text(spark, sf):
     return clean_text(dirty).select("doc_id", "text").orderBy("doc_id")
 
 
+PROFILE_COLS = (
+    "l_quantity", "l_extendedprice", "l_discount",
+    "l_returnflag", "l_linestatus", "l_shipdate",
+)
+
+
+def _table_profile(spark, sf):
+    """One-pass column profiling (operators/profile.py): every column's
+    nulls/distincts/ranges/totals in a single aggregate job, unpivoted
+    scan-stage. Sums go through the exact-decimal cast so totals are
+    independent of partial-agg order (engine-exact)."""
+    from sparksearchengine_spark.operators.profile import profile_columns
+
+    li = _read(spark, sf, "lineitem")
+    return profile_columns(li, list(PROFILE_COLS)).orderBy("column")
+
+
 def _strip_html(spark, sf):
     """Crawled-page text extraction (operators/textstats.py::strip_html).
     The corpus has no markup, so every 4th doc is wrapped in a full HTML
@@ -1627,12 +1644,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hash_embed": _text_hash_embed,
         "text_hash_embed_arrow": _text_hash_embed_arrow,
         "strip_html": _strip_html,
+        "table_profile": _table_profile,
     }
 
 
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB) — same semantics, same expression shapes
 # --------------------------------------------------------------------------
+
+
+def _profile_oracle_sql() -> str:
+    """DuckDB replication of `operators/profile.py::profile_columns` over
+    PROFILE_COLS — same single aggregate, same exact-decimal sums, same
+    ISO timestamp formatting; one UNION ALL branch per column."""
+    num = {"l_quantity", "l_extendedprice", "l_discount"}
+    ts = {"l_shipdate"}
+    aggs = ["count(*) AS n"]
+    for c in PROFILE_COLS:
+        aggs.append(
+            f"sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nl_{c}"
+        )
+        aggs.append(f"count(DISTINCT {c}) AS nd_{c}")
+        if c in num:
+            aggs.append(f"CAST(min({c}) AS DOUBLE) AS mn_{c}")
+            aggs.append(f"CAST(max({c}) AS DOUBLE) AS mx_{c}")
+            aggs.append(
+                f"CAST(sum(CAST({c} AS DECIMAL(28,6))) AS DOUBLE) AS sm_{c}"
+            )
+        elif c in ts:
+            aggs.append(
+                f"strftime(min({c}), '%Y-%m-%d %H:%M:%S') AS mns_{c}"
+            )
+            aggs.append(
+                f"strftime(max({c}), '%Y-%m-%d %H:%M:%S') AS mxs_{c}"
+            )
+        else:
+            aggs.append(f"min({c}) AS mns_{c}")
+            aggs.append(f"max({c}) AS mxs_{c}")
+    branches = []
+    for c in PROFILE_COLS:
+        if c in num:
+            dtype, mn, mx, sm = "double", f"mn_{c}", f"mx_{c}", f"sm_{c}"
+            mean = (
+                f"CASE WHEN n - nl_{c} > 0 "
+                f"THEN sm_{c} / CAST(n - nl_{c} AS DOUBLE) END"
+            )
+            mns = mxs = "CAST(NULL AS VARCHAR)"
+        else:
+            dtype = "timestamp_ntz" if c in ts else "string"
+            mn = mx = sm = mean = "CAST(NULL AS DOUBLE)"
+            mns, mxs = f"mns_{c}", f"mxs_{c}"
+        branches.append(
+            f"SELECT '{c}' AS \"column\", '{dtype}' AS dtype, n AS n_rows,"
+            f" nl_{c} AS n_null, nd_{c} AS n_distinct, {mn} AS min_num,"
+            f" {mx} AS max_num, {sm} AS sum_num, {mean} AS mean_num,"
+            f" {mns} AS min_str, {mxs} AS max_str FROM a"
+        )
+    return (
+        "WITH a AS (SELECT " + ", ".join(aggs) + " FROM lineitem) "
+        + " UNION ALL ".join(branches)
+        + ' ORDER BY "column"'
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -3385,4 +3457,5 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
     o["qc27_doc_bucket_lookup"] = o["qc13_doc_lookup"]
     o["emb_semdedup_arrow"] = o["emb_semdedup"]
     o["text_hash_embed_arrow"] = o["text_hash_embed"]
+    o["table_profile"] = _profile_oracle_sql()
     return o

@@ -1,0 +1,67 @@
+"""operators/profile.py — one-pass multi-column profiling."""
+
+from __future__ import annotations
+
+import pytest
+
+
+class TestProfileColumns:
+    def test_hand_computed_stats(self, spark):
+        from sparksearchengine_spark.operators.profile import profile_columns
+
+        df = spark.createDataFrame(
+            [(1, 10.0, "a"), (2, None, "b"), (3, 30.5, None), (3, 30.5, "b")],
+            "k long, v double, s string",
+        )
+        got = {r["column"]: r.asDict() for r in profile_columns(df).collect()}
+        assert got["k"]["n_rows"] == 4
+        assert got["k"]["n_null"] == 0
+        assert got["k"]["n_distinct"] == 3
+        assert got["k"]["min_num"] == 1.0 and got["k"]["max_num"] == 3.0
+        assert got["k"]["sum_num"] == 9.0
+        assert got["k"]["mean_num"] == pytest.approx(9 / 4)
+        assert got["v"]["n_null"] == 1
+        assert got["v"]["sum_num"] == pytest.approx(71.0)
+        assert got["v"]["mean_num"] == pytest.approx(71.0 / 3)  # non-null n
+        assert got["s"]["min_str"] == "a" and got["s"]["max_str"] == "b"
+        assert got["s"]["min_num"] is None
+
+    def test_all_null_numeric_column(self, spark):
+        from sparksearchengine_spark.operators.profile import profile_columns
+
+        df = spark.createDataFrame(
+            [(None,), (None,)], "v double"
+        )
+        r = profile_columns(df).collect()[0]
+        assert r["n_null"] == 2 and r["n_distinct"] == 0
+        assert r["sum_num"] is None and r["mean_num"] is None
+
+    def test_single_job_single_scan(self, spark):
+        # the whole profile must be ONE aggregate over ONE scan —
+        # per-column scans would be N passes over 100 TB
+        from sparksearchengine_spark.operators.profile import profile_columns
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        plan = profile_columns(
+            li, ["l_quantity", "l_returnflag"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("FileScan") == 1
+
+    def test_empty_cols_raise(self, spark):
+        from sparksearchengine_spark.operators.profile import profile_columns
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError, match="non-empty"):
+            profile_columns(df, [])
+
+    def test_timestamp_iso_format(self, spark):
+        from sparksearchengine_spark.operators.profile import profile_columns
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        r = profile_columns(li, ["l_shipdate"]).collect()[0]
+        import re
+
+        assert re.fullmatch(
+            r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", r["min_str"]
+        )
+        assert r["min_str"] <= r["max_str"]
