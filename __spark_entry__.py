@@ -791,6 +791,17 @@ PROFILE_COLS = (
 )
 
 
+def _events_props(spark, sf):
+    """Semi-structured JSON props rollup (operators/events.py): per
+    event_type count/sum/min/max of the JSON-extracted integer field —
+    extraction is scan-stage get_json_object, no UDF; DuckDB replicates
+    with json_extract_string + CAST."""
+    from sparksearchengine_spark.operators.events import props_rollup
+
+    ev = _read_events(spark, sf)
+    return props_rollup(ev, "k").orderBy("group")
+
+
 def _table_profile(spark, sf):
     """One-pass column profiling (operators/profile.py): every column's
     nulls/distincts/ranges/totals in a single aggregate job, unpivoted
@@ -1645,6 +1656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_hash_embed_arrow": _text_hash_embed_arrow,
         "strip_html": _strip_html,
         "table_profile": _table_profile,
+        "events_props": _events_props,
     }
 
 
@@ -3458,4 +3470,16 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
     o["emb_semdedup_arrow"] = o["emb_semdedup"]
     o["text_hash_embed_arrow"] = o["text_hash_embed"]
     o["table_profile"] = _profile_oracle_sql()
+    o["events_props"] = """
+        SELECT event_type AS "group",
+               count(*) AS n_events,
+               count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS n_with_field,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS sum_field,
+               min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS min_field,
+               max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS max_field
+        FROM events GROUP BY event_type ORDER BY "group\""""
     return o
