@@ -791,6 +791,28 @@ PROFILE_COLS = (
 )
 
 
+def _search_highlight(spark, sf):
+    """Top-k search + snippet highlighting (operators/search.py::
+    highlight_snippets): earliest query-term occurrence with +/-20 chars
+    of context, deterministic (pos, term) argmin — the Lucene
+    highlighter surface, pure scan-stage arithmetic replicated by the
+    DuckDB oracle."""
+    from sparksearchengine_spark.operators.search import highlight_snippets
+
+    idx = _docs_index(spark, sf)
+    docs = _read(spark, sf, "documents")
+    hits = idx.search(Q.field("text").match_any(*QC10_TERMS), k=QC10_K)
+    joined = hits.join(docs.select("doc_id", "text"), "doc_id")
+    return (
+        highlight_snippets(joined, QC10_TERMS, before=20, after=20)
+        .select(
+            "doc_id", F.round("score", 6).alias("score"), "rank",
+            "match_term", "match_pos", "snippet",
+        )
+        .orderBy("rank")
+    )
+
+
 def _events_props(spark, sf):
     """Semi-structured JSON props rollup (operators/events.py): per
     event_type count/sum/min/max of the JSON-extracted integer field —
@@ -1657,6 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_html": _strip_html,
         "table_profile": _table_profile,
         "events_props": _events_props,
+        "search_highlight": _search_highlight,
     }
 
 
@@ -3482,4 +3505,34 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
                max(CAST(json_extract_string(props, '$.k') AS BIGINT))
                  AS max_field
         FROM events GROUP BY event_type ORDER BY "group\""""
+    # top-k search + snippets: qc10's hits as a CTE, then the identical
+    # strpos/substr arithmetic (terms sorted; earliest pos wins, ties to
+    # the lexicographically smaller term)
+    t1, t2 = sorted(QC10_TERMS)
+    o["search_highlight"] = (
+        "WITH hits AS (" + o["qc10_bm25_topk"] + f"""
+        ),
+        j AS (
+          SELECT h.doc_id, h.score, h.rank, d.text,
+                 strpos(lower(d.text), '{t1}') AS p1,
+                 strpos(lower(d.text), '{t2}') AS p2
+          FROM hits h JOIN documents d USING (doc_id)
+        ),
+        m AS (
+          SELECT doc_id, score, rank, text,
+                 CASE WHEN p1 > 0 AND (p2 = 0 OR p1 <= p2) THEN '{t1}'
+                      WHEN p2 > 0 THEN '{t2}' END AS match_term,
+                 CASE WHEN p1 > 0 AND (p2 = 0 OR p1 <= p2) THEN p1
+                      WHEN p2 > 0 THEN p2 END AS match_pos
+          FROM j
+        )
+        SELECT doc_id, score, rank, match_term,
+               CAST(match_pos AS INTEGER) AS match_pos,
+               CASE WHEN match_pos IS NOT NULL THEN
+                 substr(text, CAST(greatest(1, match_pos - 20) AS INTEGER),
+                        CAST((match_pos - greatest(1, match_pos - 20))
+                             + length(match_term) + 20 AS INTEGER))
+               END AS snippet
+        FROM m ORDER BY rank"""
+    )
     return o

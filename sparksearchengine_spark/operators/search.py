@@ -636,3 +636,53 @@ def get_elements(index: "SearchIndex", ids: Iterable[int]) -> DataFrame:
         .join(elems, ids_df["requested_id"] == elems["_did"], "left")
         .drop("_did")
     )
+
+
+def highlight_snippets(
+    df: DataFrame,
+    terms: Iterable[str],
+    text_col: str = "text",
+    before: int = 30,
+    after: int = 30,
+) -> DataFrame:
+    """Lucene-highlighter analog: for each row, the earliest occurrence
+    of any query term in the (lowercased) text and a +/- window of
+    context around it — df + ``(match_term, match_pos, snippet)``.
+
+    Deterministic: the match is the minimum (position, term) pair
+    (earliest hit wins; lexicographic term on an exact tie), positions
+    are 1-based `locate` over lower(text) — the DuckDB oracle reproduces
+    the identical strpos/substr arithmetic. Rows matching no term get
+    NULLs (left-outer semantics for the UI).
+
+    Scan-stage: the candidate positions fold into one array expression
+    per row — no explode, no shuffle, no UDF; at 100 TB snippet
+    extraction rides whatever scan produces the hits (typically the <=k
+    rows of a search, where cost is irrelevant — but a full-corpus
+    "show every match in context" pass is one scan too).
+    """
+    terms = [str(t).lower() for t in terms]
+    if not terms:
+        raise ValueError("terms must be non-empty")
+    low = F.lower(F.col(text_col))
+    cands = F.array(
+        *[
+            F.struct(
+                F.locate(t, low).alias("pos"),
+                F.lit(t).alias("term"),
+            )
+            for t in sorted(terms)
+        ]
+    )
+    hit = F.array_min(F.filter(cands, lambda c: c["pos"] > 0))
+    start = F.greatest(F.lit(1), hit["pos"] - before)
+    length = (hit["pos"] - start) + F.length(hit["term"]) + after
+    return df.select(
+        "*",
+        hit["term"].alias("match_term"),
+        hit["pos"].alias("match_pos"),
+        F.when(
+            hit.isNotNull(),
+            F.substring(F.col(text_col), start.cast("int"), length.cast("int")),
+        ).alias("snippet"),
+    )

@@ -299,6 +299,62 @@ class TestPlanShape:
         finally:
             sc.setLocalProperty("spark.jobGroup.id", None)
 
+    def test_highlight_snippets(self, spark):
+        from sparksearchengine_spark.operators.search import (
+            highlight_snippets,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "The Quick brown fox jumps over the lazy dog"),
+                (2, "nothing relevant here"),
+                (3, "fox at the very start"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["match_term"], r["match_pos"], r["snippet"])
+            for r in highlight_snippets(
+                df, ["fox", "lazy"], before=6, after=6
+            ).collect()
+        }
+        assert got[1] == ("fox", 17, "brown fox jumps")
+        assert got[2] == (None, None, None)
+        # window clamps at the string start
+        assert got[3] == ("fox", 1, "fox at th")
+
+    def test_highlight_earliest_term_wins(self, spark):
+        from sparksearchengine_spark.operators.search import (
+            highlight_snippets,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "zz aa")], "doc_id long, text string"
+        )
+        r = highlight_snippets(df, ["aa", "zz"]).collect()[0]
+        assert r["match_term"] == "zz" and r["match_pos"] == 1
+
+    def test_highlight_empty_terms_raise(self, spark):
+        import pytest as _pytest
+
+        from sparksearchengine_spark.operators.search import (
+            highlight_snippets,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with _pytest.raises(ValueError, match="non-empty"):
+            highlight_snippets(df, [])
+
+    def test_highlight_is_scan_stage(self, spark, docs_df):
+        from sparksearchengine_spark.operators.search import (
+            highlight_snippets,
+        )
+
+        plan = highlight_snippets(
+            docs_df, ["dup", "spark"]
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
     def test_tiny_bytes_shortcut_respects_row_budget(self, spark, docs_df):
         """The certainly-small byte bound is calibrated for the default
         100k-row budget; a caller with a budget of 10 rows must not
