@@ -813,6 +813,16 @@ def _search_highlight(spark, sf):
     )
 
 
+def _search_facets(spark, sf):
+    """Faceted counts over the FULL match set of a query (not top-k) —
+    per (lang, source) value, how many matching docs. One doc-set join +
+    one grouping pass per facet, unioned."""
+    idx = _docs_index(spark, sf)
+    return idx.facet_counts(
+        Q.field("text").match_any(*QC10_TERMS), ["lang", "source"]
+    ).orderBy("facet", "value")
+
+
 def _events_props(spark, sf):
     """Semi-structured JSON props rollup (operators/events.py): per
     event_type count/sum/min/max of the JSON-extracted integer field —
@@ -1680,6 +1690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_profile": _table_profile,
         "events_props": _events_props,
         "search_highlight": _search_highlight,
+        "search_facets": _search_facets,
     }
 
 
@@ -3535,4 +3546,17 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
                END AS snippet
         FROM m ORDER BY rank"""
     )
+    o["search_facets"] = _CTE + f"""
+        , matched AS (
+          SELECT DISTINCT p.doc_id FROM postings p
+          WHERE p.term IN ('{QC10_TERMS[0]}','{QC10_TERMS[1]}')
+        )
+        SELECT 'lang' AS facet, CAST(d.lang AS VARCHAR) AS value,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM matched m JOIN documents d USING (doc_id) GROUP BY d.lang
+        UNION ALL
+        SELECT 'source', CAST(d.source AS VARCHAR),
+               CAST(count(*) AS BIGINT)
+        FROM matched m JOIN documents d USING (doc_id) GROUP BY d.source
+        ORDER BY facet, value"""
     return o

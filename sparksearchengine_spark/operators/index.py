@@ -378,6 +378,11 @@ class SearchIndex:
 
         return more_like_this(self, source_ids, field=field, k=k, **kw)
 
+    def facet_counts(self, query, facet_cols, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.search import facet_counts
+
+        return facet_counts(self, query, facet_cols, **kw)
+
     def explain_score(self, query, doc_id):  # type: ignore[no-untyped-def]
         from sparksearchengine_spark.operators.stats import explain_score
 

@@ -686,3 +686,51 @@ def highlight_snippets(
             F.substring(F.col(text_col), start.cast("int"), length.cast("int")),
         ).alias("snippet"),
     )
+
+
+def facet_counts(
+    index: "SearchIndex",
+    query: "Query",
+    facet_cols: Iterable[str],
+    include_score_stats: bool = False,
+) -> DataFrame:
+    """Faceted navigation over a query's FULL match set (not just top-k):
+    per facet column, the matching-document count per value —
+    `(facet, value, n_docs[, sum_score, max_score])`.
+
+    One compiled doc-set join to the corpus, then ONE grouping pass per
+    facet column unioned (each is a partial-agg'd groupBy over the
+    matched ids — at 100 TB the match set, not the corpus, bounds the
+    shuffle; Catalyst shares the compiled sub-plan across branches).
+    Facet values render as strings (NULL stays NULL — reported as its
+    own bucket, the way a UI shows "(missing)").
+    """
+    facet_cols = list(facet_cols)
+    if not facet_cols:
+        raise ValueError("facet_cols must be non-empty")
+    matched = index.compile(query).select(DOC_ID, SCORE)
+    joined = matched.join(
+        index.corpus.df.select(
+            F.col(index.corpus.id_col).cast("long").alias(DOC_ID), *facet_cols
+        ),
+        DOC_ID,
+    )
+    parts = []
+    for c in facet_cols:
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+        if include_score_stats:
+            aggs += [
+                F.round(F.sum(SCORE), 6).alias("sum_score"),
+                F.round(F.max(SCORE), 6).alias("max_score"),
+            ]
+        parts.append(
+            joined.groupBy(F.col(c).cast("string").alias("value"))
+            .agg(*aggs)
+            .select(F.lit(c).alias("facet"), "value", *[a for a in
+                    ("n_docs", "sum_score", "max_score")
+                    if include_score_stats or a == "n_docs"])
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

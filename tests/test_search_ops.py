@@ -334,6 +334,28 @@ class TestPlanShape:
         r = highlight_snippets(df, ["aa", "zz"]).collect()[0]
         assert r["match_term"] == "zz" and r["match_pos"] == 1
 
+    def test_facet_counts(self, docs_index, docs_df):
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        q = _Q.field("text").match_term("dup")
+        got = docs_index.facet_counts(q, ["lang"]).collect()
+        n_match = docs_index.compile(q).count()
+        assert sum(r["n_docs"] for r in got) == n_match
+        assert all(r["facet"] == "lang" for r in got)
+        # score stats variant carries the extra columns
+        s = docs_index.facet_counts(
+            q, ["lang"], include_score_stats=True
+        ).collect()
+        assert all(r["sum_score"] >= r["max_score"] > 0 for r in s)
+
+    def test_facet_counts_empty_cols_raise(self, docs_index):
+        import pytest as _pytest
+
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        with _pytest.raises(ValueError, match="non-empty"):
+            docs_index.facet_counts(_Q.field("text").match_term("dup"), [])
+
     def test_highlight_empty_terms_raise(self, spark):
         import pytest as _pytest
 
