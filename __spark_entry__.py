@@ -823,6 +823,29 @@ def _search_facets(spark, sf):
     ).orderBy("facet", "value")
 
 
+def _search_paged(spark, sf):
+    """Pagination (Lucene searchAfter shape): page 2 of the flagship
+    query — ranks 6..10, one TakeOrdered of offset+k rows then a rank
+    filter."""
+    idx = _docs_index(spark, sf)
+    res = idx.search(
+        Q.field("text").match_any(*QC10_TERMS), k=5, offset=5
+    )
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    ).orderBy("rank")
+
+
+def _search_grouped(spark, sf):
+    """Diversified per-group top-k (operators/search.py::grouped_search):
+    the best 3 matches per lang over the FULL match set — a global top-k
+    would let one dominant group fill every slot."""
+    idx = _docs_index(spark, sf)
+    return idx.grouped_search(
+        Q.field("text").match_any(*QC10_TERMS), "lang", k=3
+    ).orderBy("group", "rank")
+
+
 def _events_props(spark, sf):
     """Semi-structured JSON props rollup (operators/events.py): per
     event_type count/sum/min/max of the JSON-extracted integer field —
@@ -1691,6 +1714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": _events_props,
         "search_highlight": _search_highlight,
         "search_facets": _search_facets,
+        "search_paged": _search_paged,
+        "search_grouped": _search_grouped,
     }
 
 
@@ -3559,4 +3584,25 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
                CAST(count(*) AS BIGINT)
         FROM matched m JOIN documents d USING (doc_id) GROUP BY d.source
         ORDER BY facet, value"""
+    # pagination: page 2 = ranks 6..10 of the flagship top-10
+    o["search_paged"] = (
+        "WITH h AS (" + o["qc10_bm25_topk"] + ") "
+        "SELECT doc_id, score, rank FROM h WHERE rank > 5 ORDER BY rank"
+    )
+    o["search_grouped"] = _CTE + f"""
+        , scored AS (
+          SELECT p.doc_id, sum({_bm25_sql("p.tf", "p.dl", "t.df")}) AS s
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          WHERE p.term IN ('{QC10_TERMS[0]}','{QC10_TERMS[1]}')
+          GROUP BY p.doc_id
+        ),
+        g AS (
+          SELECT d.lang AS "group", s.doc_id, s.s,
+                 CAST(row_number() OVER (PARTITION BY d.lang
+                        ORDER BY s.s DESC, s.doc_id) AS BIGINT) AS rank
+          FROM scored s JOIN documents d USING (doc_id)
+        )
+        SELECT "group", doc_id, round(s, 6) AS score, rank
+        FROM g WHERE rank <= 3 ORDER BY "group", rank"""
     return o

@@ -383,6 +383,11 @@ class SearchIndex:
 
         return facet_counts(self, query, facet_cols, **kw)
 
+    def grouped_search(self, query, group_col: str, k: int = 10, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.search import grouped_search
+
+        return grouped_search(self, query, group_col, k=k, **kw)
+
     def explain_score(self, query, doc_id):  # type: ignore[no-untyped-def]
         from sparksearchengine_spark.operators.stats import explain_score
 

@@ -189,6 +189,7 @@ def search(
     k: int = 10,
     with_elements: bool = False,
     select_cols: list[str] | None = None,
+    offset: int = 0,
 ) -> DataFrame:
     """Lazy top-k: DataFrame(doc_id, score, rank [, element columns]).
 
@@ -197,15 +198,24 @@ def search(
     (E1/E2; `utils/package.scala:16-40`) but without its double-job
     sortBy+zipWithIndex (`SearchableRDD.scala:344-349`).
 
-    Ties break on doc_id ascending (deterministic).
+    Ties break on doc_id ascending (deterministic). ``offset`` paginates
+    (Lucene searchAfter shape): ranks (offset, offset+k] — executed as
+    one TakeOrdered of offset+k rows then a rank filter, so page N costs
+    one job and the deep-paging cost grows with offset exactly as it
+    must (cap offsets in serving layers; at depth use a cursor on
+    (score, doc_id) instead).
     """
+    if offset < 0:
+        raise ValueError("offset must be >= 0")
     hits = (
         index.compile(query)
         .orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc())
-        .limit(k)
+        .limit(k + offset)
     )
     w = Window.orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc())
-    hits = hits.withColumn("rank", F.row_number().over(w))  # ≤ k rows
+    hits = hits.withColumn("rank", F.row_number().over(w))  # ≤ k+offset rows
+    if offset:
+        hits = hits.where(F.col("rank") > offset)
     if with_elements or select_cols:
         c = index.corpus
         elems = c.df.withColumn(DOC_ID, F.col(c.id_col).cast("long"))
@@ -734,3 +744,37 @@ def facet_counts(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def grouped_search(
+    index: "SearchIndex",
+    query: "Query",
+    group_col: str,
+    k: int = 10,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Diversified top-k: the best k matches PER GROUP (per language, per
+    source/domain...) — `(group, doc_id, score, rank)`; a single global
+    top-k would let one dominant group fill every slot.
+
+    Compiled doc-set join to the corpus's group column, then the same
+    salted two-stage rank window every per-group top-k here uses
+    (`topk_per_group`): WindowGroupLimit prunes partition-locally before
+    the exchange, and ``salt_buckets`` keeps one giant group from
+    serializing a reducer. Ties break on doc_id ascending.
+    """
+    matched = index.compile(query).select(DOC_ID, SCORE)
+    joined = matched.join(
+        index.corpus.df.select(
+            F.col(index.corpus.id_col).cast("long").alias(DOC_ID),
+            F.col(group_col).alias("group"),
+        ),
+        DOC_ID,
+    )
+    return topk_per_group(
+        joined,
+        ["group"],
+        [F.col(SCORE).desc(), F.col(DOC_ID).asc()],
+        k=k,
+        salt_buckets=salt_buckets,
+    ).select("group", DOC_ID, F.round(SCORE, 6).alias(SCORE), "rank")

@@ -334,6 +334,38 @@ class TestPlanShape:
         r = highlight_snippets(df, ["aa", "zz"]).collect()[0]
         assert r["match_term"] == "zz" and r["match_pos"] == 1
 
+    def test_search_offset_paginates(self, docs_index):
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        q = _Q.field("text").match_any("dup", "spark")
+        full = docs_index.search(q, k=10).orderBy("rank").collect()
+        page2 = docs_index.search(q, k=5, offset=5).orderBy("rank").collect()
+        assert [r["doc_id"] for r in page2] == [
+            r["doc_id"] for r in full[5:10]
+        ]
+        assert [r["rank"] for r in page2] == [6, 7, 8, 9, 10]
+
+    def test_search_negative_offset_raises(self, docs_index):
+        import pytest as _pytest
+
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        with _pytest.raises(ValueError, match="offset"):
+            docs_index.search(
+                _Q.field("text").match_term("dup"), k=5, offset=-1
+            )
+
+    def test_grouped_search_caps_per_group(self, docs_index):
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        q = _Q.field("text").match_any("dup", "spark")
+        got = docs_index.grouped_search(q, "lang", k=2).collect()
+        from collections import Counter
+
+        per = Counter(r["group"] for r in got)
+        assert all(v <= 2 for v in per.values()) and len(per) > 1
+        assert all(r["rank"] in (1, 2) for r in got)
+
     def test_facet_counts(self, docs_index, docs_df):
         from sparksearchengine_spark.plans.ast import Q as _Q
 
