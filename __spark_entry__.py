@@ -823,6 +823,19 @@ def _search_facets(spark, sf):
     ).orderBy("facet", "value")
 
 
+def _bigram_quality(spark, sf):
+    """Bigram-LM perplexity proxy (operators/decontam.py::
+    bigram_logprob): per-doc mean -ln p(w2|w1) under the corpus MLE
+    conditional — one order sharper than the unigram signal."""
+    from sparksearchengine_spark.operators.decontam import bigram_logprob
+
+    docs = _read(spark, sf, "documents")
+    out = bigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_nll", 6).alias("avg_nll")
+    ).orderBy("doc_id")
+
+
 def _search_paged(spark, sf):
     """Pagination (Lucene searchAfter shape): page 2 of the flagship
     query — ranks 6..10, one TakeOrdered of offset+k rows then a rank
@@ -1716,6 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facets": _search_facets,
         "search_paged": _search_paged,
         "search_grouped": _search_grouped,
+        "bigram_quality": _bigram_quality,
     }
 
 
@@ -3605,4 +3619,37 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         )
         SELECT "group", doc_id, round(s, 6) AS score, rank
         FROM g WHERE rank <= 3 ORDER BY "group", rank"""
+    # bigram-LM quality (decontam.py::bigram_logprob): MLE conditional
+    # p(w2|w1) over adjacent pairs; round(,6) absorbs sum-order noise
+    # exactly like the unigram oracle
+    o["bigram_quality"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        e AS (
+          SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+          FROM t, unnest(range(1, greatest(len(toks), 1))) AS r(i)
+        ),
+        c12 AS (SELECT w1, w2, count(*) AS c12 FROM e GROUP BY w1, w2),
+        c1 AS (SELECT w1, count(*) AS c1 FROM e GROUP BY w1),
+        s AS (
+          SELECT e.doc_id,
+                 -ln(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE))
+                   AS nll
+          FROM e JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+        ),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                 avg(nll) AS avg_nll
+          FROM s GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_bigrams, 0) AS n_bigrams,
+               round(coalesce(a.avg_nll, 0.0), 6) AS avg_nll
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id"""
     return o

@@ -302,3 +302,69 @@ def unigram_logprob(
         F.count("_nll").cast("long").alias("n_tokens"),
         F.coalesce(F.avg("_nll"), F.lit(0.0)).alias("avg_nll"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "simple",
+    broadcast_vocab: bool | None = None,
+) -> DataFrame:
+    """Per-doc bigram-LM negative log-likelihood
+    ``(id_col, n_bigrams, avg_nll)`` — the next-order perplexity proxy
+    above :func:`unigram_logprob`: ``avg_nll`` = mean over the doc's
+    adjacent token pairs of ``-ln p(w2|w1)``, with
+    ``p(w2|w1) = c(w1,w2) / c(w1,*)`` the corpus MLE conditional.
+    Degenerate repetition scores near 0 (each bigram predicts its
+    successor perfectly); rare-pair soup scores high — the classic
+    both-tails quality cut, one order sharper than unigram.
+
+    Self-corpus LM only (every doc bigram is in the counts — no OOV
+    floor needed). Docs with < 2 tokens return ``(0, 0.0)``. Shape: one
+    per-row pair construction (scan-stage, guarded so 0/1-token docs
+    yield an empty array, never a descending `sequence`), one count
+    aggregation per arity, a (size-guarded broadcast) join back, one
+    per-doc re-aggregation.
+    """
+    toks = analyzer_expr(F.col(text_col), analyzer)
+    base = _widen(df).select(F.col(id_col), toks.alias("_t"))
+    pairs = F.when(
+        F.size(F.col("_t")) >= 2,
+        F.expr(
+            "transform(sequence(1, size(_t) - 1), "
+            "i -> struct(element_at(_t, i) AS w1, "
+            "element_at(_t, i + 1) AS w2))"
+        ),
+    ).otherwise(F.expr("array()").cast("array<struct<w1:string,w2:string>>"))
+    e = base.select(
+        id_col, F.explode_outer(pairs).alias("_p")
+    ).select(
+        id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    )
+    c12 = e.where(F.col("w1").isNotNull()).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("_c12")
+    )
+    c1 = e.where(F.col("w1").isNotNull()).groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("_c1")
+    )
+    vocab = _maybe_broadcast(
+        c12.join(c1, "w1").select(
+            "w1", "w2",
+            (F.col("_c12").cast("double") / F.col("_c1").cast("double")).alias(
+                "_p"
+            ),
+        ),
+        broadcast_vocab,
+        BROADCAST_MAX_EVAL_ROWS,
+    )
+    scored = e.join(vocab, ["w1", "w2"], "left").select(
+        id_col,
+        F.when(F.col("w1").isNull(), None)
+        .otherwise(-F.log(F.col("_p")))
+        .alias("_nll"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("_nll").cast("long").alias("n_bigrams"),
+        F.coalesce(F.avg("_nll"), F.lit(0.0)).alias("avg_nll"),
+    )

@@ -212,3 +212,46 @@ class TestCollocations:
         a = [tuple(r) for r in collocations(docs, min_count=5, top_k=10).collect()]
         b = [tuple(r) for r in collocations(docs, min_count=5, top_k=10).collect()]
         assert a == b and len(a) == 10
+
+
+class TestBigramLogprob:
+    def test_hand_computed(self, spark):
+        import math
+
+        from sparksearchengine_spark.operators.decontam import (
+            bigram_logprob,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b a b"), (2, "x"), (3, None), (4, "a a a a")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: (r["n_bigrams"], r["avg_nll"])
+            for r in bigram_logprob(df).collect()
+        }
+        # corpus: c(a,b)=2 c(b,a)=1 c(a,a)=3; c(a,*)=5 c(b,*)=1
+        d1 = (-math.log(2 / 5) + -math.log(1 / 1) + -math.log(2 / 5)) / 3
+        d4 = -math.log(3 / 5)
+        import pytest as _pytest
+
+        assert got[1] == (3, _pytest.approx(d1))
+        assert got[2] == (0, 0.0)   # 1 token -> no bigrams
+        assert got[3] == (0, 0.0)   # NULL text
+        assert got[4] == (3, _pytest.approx(d4))
+
+    def test_common_bigrams_score_lower_than_rare(self, spark):
+        from sparksearchengine_spark.operators.decontam import (
+            bigram_logprob,
+        )
+
+        # corpus: 'a b' dominates the a-conditional, 'a c' is the rare
+        # continuation -> doc of common pairs scores below doc of rare
+        rows = [(i, "a b") for i in range(1, 10)] + [(10, "a c")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r["avg_nll"] for r in bigram_logprob(df).collect()}
+        import math
+
+        assert got[1] == __import__("pytest").approx(-math.log(9 / 10))
+        assert got[10] == __import__("pytest").approx(-math.log(1 / 10))
+        assert got[1] < got[10]
