@@ -823,6 +823,19 @@ def _search_facets(spark, sf):
     ).orderBy("facet", "value")
 
 
+def _dedup_winnow_pairs(spark, sf):
+    """MOSS-style plagiarism candidates (operators/dedup.py::
+    winnow_overlap_pairs): pairs sharing winnowing fingerprints,
+    containment overlap >= 0.5. Engine-portable by the same md5/window
+    machinery doc_winnow pins."""
+    from sparksearchengine_spark.operators.dedup import winnow_overlap_pairs
+
+    docs = _read(spark, sf, "documents")
+    return winnow_overlap_pairs(docs, min_overlap=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
 def _bigram_quality(spark, sf):
     """Bigram-LM perplexity proxy (operators/decontam.py::
     bigram_logprob): per-doc mean -ln p(w2|w1) under the corpus MLE
@@ -1730,6 +1743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_paged": _search_paged,
         "search_grouped": _search_grouped,
         "bigram_quality": _bigram_quality,
+        "dedup_winnow_pairs": _dedup_winnow_pairs,
     }
 
 
@@ -3652,4 +3666,48 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
                round(coalesce(a.avg_nll, 0.0), 6) AS avg_nll
         FROM documents d LEFT JOIN agg a USING (doc_id)
         ORDER BY d.doc_id"""
+    # winnowing overlap pairs (dedup.py::winnow_overlap_pairs): the
+    # doc_winnow selection chain, exploded and pair-joined on the hash;
+    # containment overlap = shared / min(|sel|)
+    o["dedup_winnow_pairs"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                             '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(1, greatest(len(toks) - 4, 1) + 1),
+                   i -> array_to_string(toks[i:i+4], ' ')) AS grams
+          FROM t
+        ),
+        hh AS (
+          SELECT doc_id, list_transform(grams, x -> md5(x)) AS hs FROM g
+        ),
+        w AS (
+          SELECT doc_id,
+                 list_transform(
+                   range(1, greatest(len(hs) - 3, 1) + 1),
+                   i -> list_aggregate(hs[i:i+3], 'min')) AS wm
+          FROM hh
+        ),
+        s AS (SELECT doc_id, list_sort(list_distinct(wm)) AS sel FROM w),
+        e AS (SELECT doc_id, unnest(sel) AS h FROM s),
+        p AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(count(*) AS BIGINT) AS n_shared
+          FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        ),
+        sz AS (SELECT doc_id, len(sel) AS ns FROM s)
+        SELECT p.id_a, p.id_b, p.n_shared,
+               round(CAST(p.n_shared AS DOUBLE)
+                     / CAST(least(na.ns, nb.ns) AS DOUBLE), 6) AS overlap
+        FROM p JOIN sz na ON na.doc_id = p.id_a
+        JOIN sz nb ON nb.doc_id = p.id_b
+        WHERE round(CAST(p.n_shared AS DOUBLE)
+                    / CAST(least(na.ns, nb.ns) AS DOUBLE), 6) >= 0.5
+        ORDER BY p.id_a, p.id_b"""
     return o

@@ -1015,3 +1015,71 @@ def remove_duplicate_spans(
         .cast("bigint")
         .alias("n_removed_tokens"),
     )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_overlap: float = 0.2,
+    window: int = 4,
+    n: int = 5,
+    max_hash_df: int | None = None,
+    analyzer: str = "simple",
+) -> DataFrame:
+    """MOSS-style plagiarism candidates: pairs sharing winnowing
+    fingerprints — `(id_a < id_b, n_shared, overlap)` with
+    ``overlap = shared / min(|sel_a|, |sel_b|)`` (containment-style, so
+    a short doc lifted into a long one still scores high).
+
+    Shape: the winnowing selection (`textstats.winnow_selected`) explodes
+    to (id, hash) — ~|tokens|/window rows per doc, the whole point of
+    winnowing — and the pair join keys on the hash, so only docs
+    actually sharing a fingerprint ever meet. ``max_hash_df`` drops
+    fingerprints present in more than that many docs before the join
+    (corpus-wide boilerplate phrases otherwise fan out quadratically —
+    the same stop-fingerprint cap MOSS applies). At 100 TB this is one
+    explode + one hash-keyed join + one pair aggregation; raw text never
+    shuffles.
+    """
+    from sparksearchengine_spark.operators.textstats import winnow_selected
+
+    sel = winnow_selected(
+        _widen(df), text_col=text_col, id_col=id_col,
+        window=window, n=n, analyzer=analyzer,
+    ).select(F.col(id_col).cast("long").alias("id"), "sel")
+    sizes = sel.select("id", F.size("sel").alias("ns"))
+    e = sel.select("id", F.explode("sel").alias("h"))
+    if max_hash_df is not None:
+        hd = (
+            e.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_hash_df)
+            .select("h")
+        )
+        e = e.join(hd, "h")
+    a, b = e.alias("a"), e.alias("b")
+    pairs = (
+        a.join(
+            b, (F.col("a.h") == F.col("b.h")) & (F.col("a.id") < F.col("b.id"))
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("ns").alias("_na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("ns").alias("_nb"))
+    return (
+        pairs.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a", "id_b", "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least(F.col("_na"), F.col("_nb")).cast("double"),
+                6,
+            ).alias("overlap"),
+        )
+        .where(F.col("overlap") >= float(min_overlap))
+    )

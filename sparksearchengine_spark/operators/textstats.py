@@ -284,19 +284,15 @@ def content_fingerprint(
     )
 
 
-def rolling_hash_fingerprint(
+def winnow_selected(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     window: int = 4, n: int = 5, analyzer: str = "simple",
 ) -> DataFrame:
-    """Winnowing fingerprint (Schleimer et al. 2003): k-gram hashes,
-    per-window minima, distinct selected hashes sorted -> md5 digest.
-    Pure SQL higher-order functions; (id, fp_winnow, n_selected).
-
-    Gram hash = md5 hex string, window-min = lexicographic min: winnowing
-    only needs a uniform total order on hashes, and md5 (unlike xxhash64)
-    exists in every engine, so the DuckDB correctness oracle replicates
-    this bit-for-bit.
-    """
+    """The winnowing SELECTION (Schleimer et al. 2003) as data:
+    `(id, sel)` — sorted distinct per-window-min k-gram hashes. The
+    digest form is :func:`rolling_hash_fingerprint`; the pairwise
+    overlap join (`operators/dedup.py::winnow_overlap_pairs`) consumes
+    the raw selection."""
     toks = analyzer_expr(F.coalesce(F.col(text_col), F.lit("")), analyzer)
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
@@ -317,12 +313,27 @@ def rolling_hash_fingerprint(
         F.sequence(F.lit(1), nwin),
         lambda i: F.array_min(F.slice(h, i, window)),
     )
-    selected_df = hashed.select(
+    return hashed.select(
         F.col(id_col),
-        F.array_sort(F.array_distinct(window_mins)).alias("_sel"),
+        F.array_sort(F.array_distinct(window_mins)).alias("sel"),
     )
-    sel = F.col("_sel")
-    return selected_df.select(
+
+
+def rolling_hash_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    window: int = 4, n: int = 5, analyzer: str = "simple",
+) -> DataFrame:
+    """Winnowing fingerprint (Schleimer et al. 2003): k-gram hashes,
+    per-window minima, distinct selected hashes sorted -> md5 digest.
+    Pure SQL higher-order functions; (id, fp_winnow, n_selected).
+
+    Gram hash = md5 hex string, window-min = lexicographic min: winnowing
+    only needs a uniform total order on hashes, and md5 (unlike xxhash64)
+    exists in every engine, so the DuckDB correctness oracle replicates
+    this bit-for-bit.
+    """
+    sel = F.col("sel")
+    return winnow_selected(df, text_col, id_col, window, n, analyzer).select(
         F.col(id_col),
         F.md5(F.concat_ws(",", sel)).alias("fp_winnow"),
         F.size(sel).alias("n_selected"),

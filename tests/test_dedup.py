@@ -775,3 +775,59 @@ class TestRemoveDuplicateSpans:
         assert got[1]["text"] is None and got[1]["n_tokens"] == 0
         assert got[2]["text"] == "" and got[2]["n_tokens"] == 0
         assert got[3]["text"] == "real content stays"
+
+
+class TestWinnowOverlapPairs:
+    def test_identical_docs_full_overlap(self, spark):
+        from sparksearchengine_spark.operators.dedup import (
+            winnow_overlap_pairs,
+        )
+
+        text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = spark.createDataFrame(
+            [(1, text), (2, text), (3, "totally different words " * 4)],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["overlap"]
+            for r in winnow_overlap_pairs(df, min_overlap=0.5).collect()
+        }
+        assert got == {(1, 2): 1.0}
+
+    def test_partial_containment_scores_by_smaller_side(self, spark):
+        from sparksearchengine_spark.operators.dedup import (
+            winnow_overlap_pairs,
+        )
+
+        core = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = spark.createDataFrame(
+            [
+                (1, core),
+                (2, core + " lambda mu nu xi omicron pi rho sigma tau"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = winnow_overlap_pairs(df, min_overlap=0.3).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # the shorter doc's fingerprints nearly all appear in the longer
+        assert r["overlap"] >= 0.5
+
+    def test_stop_fingerprint_cap(self, spark):
+        from sparksearchengine_spark.operators.dedup import (
+            winnow_overlap_pairs,
+        )
+
+        # one boilerplate sentence shared by all docs + unique tails:
+        # capping hash df at 2 removes the corpus-wide fingerprints, so
+        # no pair survives
+        boiler = "this exact shared boilerplate sentence repeats across docs"
+        df = spark.createDataFrame(
+            [(i, f"{boiler} unique tail {i} content {i}") for i in range(6)],
+            "doc_id long, text string",
+        )
+        uncapped = winnow_overlap_pairs(df, min_overlap=0.3).count()
+        capped = winnow_overlap_pairs(
+            df, min_overlap=0.3, max_hash_df=2
+        ).count()
+        assert uncapped > 0 and capped == 0
