@@ -820,7 +820,7 @@ def _search_facets(spark, sf):
     idx = _docs_index(spark, sf)
     return idx.facet_counts(
         Q.field("text").match_any(*QC10_TERMS), ["lang", "source"]
-    ).orderBy("facet", "value")
+    ).orderBy("facet", F.asc_nulls_last("value"))
 
 
 def _dedup_winnow_pairs(spark, sf):
@@ -3560,13 +3560,13 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
     o["events_props"] = """
         SELECT event_type AS "group",
                count(*) AS n_events,
-               count(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               count(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
                  AS n_with_field,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               sum(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
                  AS sum_field,
-               min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               min(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
                  AS min_field,
-               max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+               max(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))
                  AS max_field
         FROM events GROUP BY event_type ORDER BY "group\""""
     # top-k search + snippets: qc10's hits as a CTE, then the identical
@@ -3578,16 +3578,22 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         ),
         j AS (
           SELECT h.doc_id, h.score, h.rank, d.text,
-                 strpos(lower(d.text), '{t1}') AS p1,
-                 strpos(lower(d.text), '{t2}') AS p2
+                 CASE WHEN regexp_matches(d.text, '(?is){t1}')
+                      THEN length(regexp_replace(d.text,
+                             '(?is){t1}.*$', '')) + 1 END AS p1,
+                 CASE WHEN regexp_matches(d.text, '(?is){t2}')
+                      THEN length(regexp_replace(d.text,
+                             '(?is){t2}.*$', '')) + 1 END AS p2
           FROM hits h JOIN documents d USING (doc_id)
         ),
         m AS (
           SELECT doc_id, score, rank, text,
-                 CASE WHEN p1 > 0 AND (p2 = 0 OR p1 <= p2) THEN '{t1}'
-                      WHEN p2 > 0 THEN '{t2}' END AS match_term,
-                 CASE WHEN p1 > 0 AND (p2 = 0 OR p1 <= p2) THEN p1
-                      WHEN p2 > 0 THEN p2 END AS match_pos
+                 CASE WHEN p1 IS NOT NULL AND (p2 IS NULL OR p1 <= p2)
+                        THEN '{t1}'
+                      WHEN p2 IS NOT NULL THEN '{t2}' END AS match_term,
+                 CASE WHEN p1 IS NOT NULL AND (p2 IS NULL OR p1 <= p2)
+                        THEN p1
+                      WHEN p2 IS NOT NULL THEN p2 END AS match_pos
           FROM j
         )
         SELECT doc_id, score, rank, match_term,
@@ -3611,7 +3617,7 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         SELECT 'source', CAST(d.source AS VARCHAR),
                CAST(count(*) AS BIGINT)
         FROM matched m JOIN documents d USING (doc_id) GROUP BY d.source
-        ORDER BY facet, value"""
+        ORDER BY facet, value NULLS LAST"""
     # pagination: page 2 = ranks 6..10 of the flagship top-10
     o["search_paged"] = (
         "WITH h AS (" + o["qc10_bm25_topk"] + ") "
@@ -3694,14 +3700,16 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
           FROM hh
         ),
         s AS (SELECT doc_id, list_sort(list_distinct(wm)) AS sel FROM w),
-        e AS (SELECT doc_id, unnest(sel) AS h FROM s),
+        e AS (SELECT doc_id, h FROM (
+                SELECT doc_id, unnest(sel) AS h FROM s)
+              WHERE h <> md5('')),
         p AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                  CAST(count(*) AS BIGINT) AS n_shared
           FROM e a JOIN e b ON a.h = b.h AND a.doc_id < b.doc_id
           GROUP BY a.doc_id, b.doc_id
         ),
-        sz AS (SELECT doc_id, len(sel) AS ns FROM s)
+        sz AS (SELECT doc_id, count(*) AS ns FROM e GROUP BY doc_id)
         SELECT p.id_a, p.id_b, p.n_shared,
                round(CAST(p.n_shared AS DOUBLE)
                      / CAST(least(na.ns, nb.ns) AS DOUBLE), 6) AS overlap

@@ -1048,8 +1048,12 @@ def winnow_overlap_pairs(
         _widen(df), text_col=text_col, id_col=id_col,
         window=window, n=n, analyzer=analyzer,
     ).select(F.col(id_col).cast("long").alias("id"), "sel")
-    sizes = sel.select("id", F.size("sel").alias("ns"))
-    e = sel.select("id", F.explode("sel").alias("h"))
+    e = sel.select("id", F.explode("sel").alias("h")).where(
+        # an empty/whitespace doc's selection is [md5('')] — a sentinel,
+        # not content: without this filter every empty doc pairs with
+        # every other at overlap 1.0 (r3 review), and quadratically so
+        F.col("h") != F.md5(F.lit(""))
+    )
     if max_hash_df is not None:
         hd = (
             e.groupBy("h")
@@ -1058,6 +1062,11 @@ def winnow_overlap_pairs(
             .select("h")
         )
         e = e.join(hd, "h")
+    # selection sizes AFTER the sentinel/stop-fingerprint drops: MOSS
+    # excludes stop fingerprints from BOTH sides — counting them in the
+    # denominator only would underestimate boilerplate-heavy docs'
+    # overlap and miss real pairs (r3 review)
+    sizes = e.groupBy("id").agg(F.count(F.lit(1)).alias("ns"))
     a, b = e.alias("a"), e.alias("b")
     pairs = (
         a.join(

@@ -34,13 +34,16 @@ def parse_props(
 ) -> DataFrame:
     """df + one typed column per requested JSON field
     (``{"k": "long", "tag": "string"}``). Scan-stage; the original
-    ``props_col`` is kept (drop it downstream once extracted)."""
-    out = df
-    for name, cast in fields.items():
-        out = out.withColumn(
-            name, json_field_expr(F.col(props_col), name, cast)
-        )
-    return out
+    ``props_col`` is kept (drop it downstream once extracted). All
+    fields land in ONE projection (a withColumn-per-field loop stacks
+    one analyzer pass per field — r3 review)."""
+    return df.select(
+        "*",
+        *[
+            json_field_expr(F.col(props_col), name, cast).alias(name)
+            for name, cast in fields.items()
+        ],
+    )
 
 
 def props_rollup(

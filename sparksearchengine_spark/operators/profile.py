@@ -94,9 +94,7 @@ def profile_columns(
     def _entry(c: str):
         dt = df.schema[c].dataType
         is_num = isinstance(dt, _NUMERIC)
-        has_str = not is_num and (
-            f"_mns_{c}" in [a for a in row.columns]
-        )
+        has_str = not is_num and f"_mns_{c}" in row.columns
         n_ok = (F.col("_n") - F.col(f"_nl_{c}")).cast("double")
         return F.struct(
             F.lit(c).alias("column"),

@@ -655,15 +655,19 @@ def highlight_snippets(
     before: int = 30,
     after: int = 30,
 ) -> DataFrame:
-    """Lucene-highlighter analog: for each row, the earliest occurrence
-    of any query term in the (lowercased) text and a +/- window of
+    """Lucene-highlighter analog: for each row, the earliest
+    case-insensitive occurrence of any query term and a +/- window of
     context around it — df + ``(match_term, match_pos, snippet)``.
 
     Deterministic: the match is the minimum (position, term) pair
-    (earliest hit wins; lexicographic term on an exact tie), positions
-    are 1-based `locate` over lower(text) — the DuckDB oracle reproduces
-    the identical strpos/substr arithmetic. Rows matching no term get
-    NULLs (left-outer semantics for the UI).
+    (earliest hit wins; lexicographic term on an exact tie). Positions
+    index the ORIGINAL text: each candidate position is the length of
+    the prefix before the first ``(?i)`` regex match, so length-changing
+    lowercase mappings (Turkish dotted I etc.) cannot desynchronize
+    match_pos/snippet from the displayed string (a locate-over-lower
+    draft had exactly that defect — r3 review). The DuckDB oracle
+    reproduces the identical regex-prefix arithmetic. Rows matching no
+    term get NULLs (left-outer semantics for the UI).
 
     Scan-stage: the candidate positions fold into one array expression
     per row — no explode, no shuffle, no UDF; at 100 TB snippet
@@ -671,20 +675,27 @@ def highlight_snippets(
     rows of a search, where cost is irrelevant — but a full-corpus
     "show every match in context" pass is one scan too).
     """
+    import re as _re
+
     terms = [str(t).lower() for t in terms]
     if not terms:
         raise ValueError("terms must be non-empty")
-    low = F.lower(F.col(text_col))
-    cands = F.array(
-        *[
+    text = F.col(text_col)
+    structs = []
+    for t in sorted(terms):
+        pat = "(?is)" + _re.escape(t)
+        # prefix length before the first match, on the original string;
+        # the (?s).*$ tail consumes the remainder so exactly one
+        # replacement happens
+        pos = F.length(F.regexp_replace(text, pat + ".*$", "")) + 1
+        structs.append(
             F.struct(
-                F.locate(t, low).alias("pos"),
+                F.when(text.rlike(pat), pos).alias("pos"),
                 F.lit(t).alias("term"),
             )
-            for t in sorted(terms)
-        ]
-    )
-    hit = F.array_min(F.filter(cands, lambda c: c["pos"] > 0))
+        )
+    cands = F.array(*structs)
+    hit = F.array_min(F.filter(cands, lambda c: c["pos"].isNotNull()))
     start = F.greatest(F.lit(1), hit["pos"] - before)
     length = (hit["pos"] - start) + F.length(hit["term"]) + after
     return df.select(

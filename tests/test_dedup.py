@@ -813,6 +813,41 @@ class TestWinnowOverlapPairs:
         # the shorter doc's fingerprints nearly all appear in the longer
         assert r["overlap"] >= 0.5
 
+    def test_empty_docs_never_pair(self, spark):
+        # empty/NULL docs share the md5('') sentinel selection — they
+        # must not surface as overlap-1.0 "plagiarism" pairs
+        from sparksearchengine_spark.operators.dedup import (
+            winnow_overlap_pairs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "   "), (4, "real content words here")],
+            "doc_id long, text string",
+        )
+        assert winnow_overlap_pairs(df, min_overlap=0.1).count() == 0
+
+    def test_cap_excluded_from_denominator_too(self, spark):
+        # MOSS semantics: stop fingerprints leave BOTH sides — a doc
+        # that is boilerplate + copied content still scores ~1.0
+        from sparksearchengine_spark.operators.dedup import (
+            winnow_overlap_pairs,
+        )
+
+        boiler = "this exact shared boilerplate sentence repeats across every doc in corpus"
+        core = "unique copied passage alpha beta gamma delta epsilon zeta"
+        df = spark.createDataFrame(
+            [(i, f"{boiler} filler {i}") for i in range(1, 5)]
+            + [(10, core), (11, f"{boiler} {core}")],
+            "doc_id long, text string",
+        )
+        got = {
+            (r["id_a"], r["id_b"]): r["overlap"]
+            for r in winnow_overlap_pairs(
+                df, min_overlap=0.8, max_hash_df=3
+            ).collect()
+        }
+        assert (10, 11) in got, got
+
     def test_stop_fingerprint_cap(self, spark):
         from sparksearchengine_spark.operators.dedup import (
             winnow_overlap_pairs,

@@ -323,6 +323,20 @@ class TestPlanShape:
         # window clamps at the string start
         assert got[3] == ("fox", 1, "fox at th")
 
+    def test_highlight_positions_index_original_text(self, spark):
+        # Turkish dotted I: lower('İ') is TWO chars, so a
+        # locate-over-lower approach drifts one char per occurrence;
+        # positions must index the ORIGINAL string
+        from sparksearchengine_spark.operators.search import (
+            highlight_snippets,
+        )
+
+        text = "İİİ the fox ran"
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        r = highlight_snippets(df, ["fox"], before=4, after=4).collect()[0]
+        assert text[r["match_pos"] - 1 : r["match_pos"] + 2] == "fox"
+        assert r["snippet"] == "the fox ran"
+
     def test_highlight_earliest_term_wins(self, spark):
         from sparksearchengine_spark.operators.search import (
             highlight_snippets,
