@@ -1048,12 +1048,21 @@ def winnow_overlap_pairs(
         _widen(df), text_col=text_col, id_col=id_col,
         window=window, n=n, analyzer=analyzer,
     ).select(F.col(id_col).cast("long").alias("id"), "sel")
-    e = sel.select("id", F.explode("sel").alias("h")).where(
+    # explode_OUTER deliberately: a plain explode makes Catalyst infer a
+    # `size(sel) > 0` filter (InferFiltersFromGenerate) and push it BELOW
+    # the widen exchange — the entire interpreted winnowing chain then
+    # re-evaluates on the pre-shuffle side, which is ONE task for a
+    # single-split input (measured 180s vs 3s at sf0.1). The outer
+    # variant infers nothing; its NULL row dies in the sentinel filter.
+    e = sel.select("id", F.explode_outer("sel").alias("h")).where(
         # an empty/whitespace doc's selection is [md5('')] — a sentinel,
         # not content: without this filter every empty doc pairs with
         # every other at overlap 1.0 (r3 review), and quadratically so
         F.col("h") != F.md5(F.lit(""))
-    )
+    ).persist()
+    # ^ persisted: the fingerprint table feeds several plan branches (df
+    # cap, both join sides, sizes); (id, hash) rows only — raw text
+    # never cached. Session-lived, matching ngram_jaccard_join's cache.
     if max_hash_df is not None:
         hd = (
             e.groupBy("h")
