@@ -222,6 +222,25 @@ def main() -> None:
         w = [((i * 7) % 13) - 6 for i in range(256)]
         classifier_score(docs, w, threshold=0).where("keep").count()
 
+    with timed("hash_embed"):
+        from sparksearchengine_spark.operators.classify import hash_embed
+
+        hash_embed(docs, dim=64, method="arrow").agg(
+            F.count(F.lit(1))
+        ).collect()
+
+    with timed("winnow_pairs"):
+        from sparksearchengine_spark.operators.dedup import (
+            winnow_overlap_pairs,
+        )
+
+        winnow_overlap_pairs(docs, min_overlap=0.5).count()
+
+    with timed("bigram_lm"):
+        from sparksearchengine_spark.operators.decontam import bigram_logprob
+
+        bigram_logprob(docs).agg(F.sum("n_bigrams")).collect()
+
     with timed("boilerplate"):
         from sparksearchengine_spark.operators.dedup import (
             remove_boilerplate_lines,
