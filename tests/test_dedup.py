@@ -813,6 +813,24 @@ class TestWinnowOverlapPairs:
         # the shorter doc's fingerprints nearly all appear in the longer
         assert r["overlap"] >= 0.5
 
+    def test_no_inferred_filter_below_the_widen_exchange(self, spark):
+        """A plain explode makes Catalyst infer size(sel)>0 and push the
+        whole interpreted winnowing chain below the exchange — onto the
+        pre-shuffle side, which is ONE task for a single-split input
+        (measured 28x at sf0.1). Pin the fixed plan shape: no
+        HOF-bearing Filter below any Exchange."""
+        from sparksearchengine_spark.operators.dedup import (
+            winnow_overlap_pairs,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        p = winnow_overlap_pairs(
+            docs, min_overlap=0.5
+        )._jdf.queryExecution().executedPlan().toString()
+        for seg in p.split("Exchange")[1:]:
+            scan_side = seg.split("FileScan")[0]
+            assert "Filter (size(array_sort" not in scan_side
+
     def test_empty_docs_never_pair(self, spark):
         # empty/NULL docs share the md5('') sentinel selection — they
         # must not surface as overlap-1.0 "plagiarism" pairs
