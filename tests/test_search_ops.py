@@ -359,6 +359,15 @@ class TestPlanShape:
         ]
         assert [r["rank"] for r in page2] == [6, 7, 8, 9, 10]
 
+    def test_search_offset_past_end_is_empty(self, docs_index):
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        q = _Q.field("text").match_term("dup")
+        total = docs_index.compile(q).count()
+        assert (
+            docs_index.search(q, k=5, offset=total + 100).count() == 0
+        )
+
     def test_search_negative_offset_raises(self, docs_index):
         import pytest as _pytest
 
