@@ -438,6 +438,36 @@ class TestHashEmbed:
             hash_embed(df, method="pandas")
 
 
+class TestHashEmbedEdges:
+    def test_dim_one_and_unnormalized(self, spark):
+        from sparksearchengine_spark.operators.classify import hash_embed
+
+        df = spark.createDataFrame(
+            [(1, "a b c")], "doc_id long, text string"
+        )
+        r = hash_embed(df, dim=1, normalize=False).collect()[0]
+        assert r["embedding"] == [3.0]  # all tokens hash into bucket 0
+
+    def test_arrow_unnormalized_counts(self, spark):
+        from sparksearchengine_spark.operators.classify import hash_embed
+
+        df = spark.createDataFrame(
+            [(1, "x x y"), (2, None)], "doc_id long, text string"
+        )
+        a = {
+            r["id"]: r["embedding"]
+            for r in hash_embed(df, dim=4, normalize=False).collect()
+        }
+        b = {
+            r["id"]: r["embedding"]
+            for r in hash_embed(
+                df, dim=4, normalize=False, method="arrow"
+            ).collect()
+        }
+        assert a == b
+        assert sum(a[1]) == 3.0 and a[2] == [0.0] * 4
+
+
 class TestClassifierVocab:
     def test_vocab_join_scores(self, spark):
         df = spark.createDataFrame(

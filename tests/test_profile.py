@@ -54,6 +54,29 @@ class TestProfileColumns:
         with pytest.raises(ValueError, match="non-empty"):
             profile_columns(df, [])
 
+    def test_decimal_column_profiles_as_numeric(self, spark):
+        from decimal import Decimal
+
+        from sparksearchengine_spark.operators.profile import profile_columns
+
+        df = spark.createDataFrame(
+            [(Decimal("1.50"),), (Decimal("2.25"),)], "v decimal(10,2)"
+        )
+        r = profile_columns(df).collect()[0]
+        assert r["dtype"] == "decimal(10,2)"
+        assert r["min_num"] == 1.5 and r["max_num"] == 2.25
+        assert r["sum_num"] == 3.75 and r["mean_num"] == 1.875
+
+    def test_unsupported_type_counts_only(self, spark):
+        from sparksearchengine_spark.operators.profile import profile_columns
+
+        df = spark.createDataFrame(
+            [([1, 2],), (None,)], "v array<int>"
+        )
+        r = profile_columns(df).collect()[0]
+        assert r["n_null"] == 1 and r["n_distinct"] == 1
+        assert r["min_num"] is None and r["min_str"] is None
+
     def test_timestamp_iso_format(self, spark):
         from sparksearchengine_spark.operators.profile import profile_columns
 
