@@ -1649,6 +1649,85 @@ def _select_budget(spark, sf):
     ).orderBy("doc_id")
 
 
+def _messy_url_expr() -> "F.Column":
+    """Deterministic messy-URL construction over `documents` — both
+    engines build the identical string from (doc_id, source), so every
+    normalizer rule (case, userinfo, non-default port, www., duplicate/
+    trailing slashes, tracking params, param order, fragment) fires on
+    real rows. The ccTLD branch (doc_id%2==0) also exercises the
+    registered-domain 3-label heuristic."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(d % 5 == 0, F.lit("HTTP://")).otherwise(
+            F.lit("HTTPS://User:Pw@")
+        ),
+        F.lit("WWW."),
+        F.upper(F.col("source")),
+        F.when(d % 2 == 0, F.lit(".Example.CO.UK:8443")).otherwise(
+            F.lit(".Example.COM")
+        ),
+        F.lit("/Docs//"),
+        d.cast("string"),
+        F.when(d % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 4 == 0, F.lit("?utm_source=x&fbclid=Z"))
+        .when(d % 4 == 1, F.lit(""))
+        .when(d % 4 == 2, F.lit("?b=2&utm_campaign=c&a=1"))
+        .otherwise(F.lit("?a=1&b=2")),
+        F.when(d % 7 == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+
+
+def _url_normalize(spark, sf):
+    """URL canonicalization + domain keys (operators/weburl.py::
+    with_url_keys): scan-stage regex/array exprs only — the DuckDB
+    oracle replicates each rule verbatim (shared RE2/Java regex
+    subset), so canonical keys are bit-identical across engines."""
+    from sparksearchengine_spark.operators.weburl import with_url_keys
+
+    docs = _read(spark, sf, "documents")
+    urls = docs.select("doc_id", _messy_url_expr().alias("url"))
+    return with_url_keys(urls, "url").select(
+        "doc_id", "url_norm", "url_host", "url_domain"
+    ).orderBy("doc_id")
+
+
+def _url_domain_block(spark, sf):
+    """Domain blocklist filter + per-host rollup (operators/weburl.py::
+    filter_domains): the literal blocklist compiles to a scan predicate
+    (no join, no shuffle before the rollup agg)."""
+    from sparksearchengine_spark.operators.weburl import (
+        filter_domains,
+        with_url_keys,
+    )
+
+    docs = _read(spark, sf, "documents")
+    urls = docs.select("doc_id", _messy_url_expr().alias("url"))
+    keyed = with_url_keys(urls, "url")
+    kept = filter_domains(keyed, "url_domain", ["example.co.uk"])
+    return (
+        kept.groupBy("url_host")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("url_host")
+    )
+
+
+def _url_latest(spark, sf):
+    """Latest-capture compaction (operators/weburl.py::latest_per_key):
+    newest event per (user_id, event_type), event_id tiebreak — the
+    WindowGroupLimit top-1 shape re-crawl dedup runs at 100 TB."""
+    from sparksearchengine_spark.operators.weburl import latest_per_key
+
+    ev = _read_events(spark, sf)
+    return latest_per_key(
+        ev.select("event_id", "user_id", "event_type", "ts", "value"),
+        ["user_id", "event_type"],
+        "ts",
+        tiebreak_col="event_id",
+    ).select("user_id", "event_type", "ts", "value", "event_id").orderBy(
+        "user_id", "event_type"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -1744,6 +1823,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_grouped": _search_grouped,
         "bigram_quality": _bigram_quality,
         "dedup_winnow_pairs": _dedup_winnow_pairs,
+        "url_normalize": _url_normalize,
+        "url_domain_block": _url_domain_block,
+        "url_latest": _url_latest,
     }
 
 
@@ -3718,4 +3800,90 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         WHERE round(CAST(p.n_shared AS DOUBLE)
                     / CAST(least(na.ns, nb.ns) AS DOUBLE), 6) >= 0.5
         ORDER BY p.id_a, p.id_b"""
+
+    # weburl family (operators/weburl.py): the messy-URL construction and
+    # every normalization rule are replicated verbatim; note DuckDB's
+    # regexp_replace needs the explicit 'g' flag where Spark replaces
+    # globally by default.
+    _URL_CTE = """
+        WITH u AS (
+          SELECT doc_id,
+                 (CASE WHEN doc_id % 5 = 0 THEN 'HTTP://'
+                       ELSE 'HTTPS://User:Pw@' END)
+                 || 'WWW.' || upper(source)
+                 || (CASE WHEN doc_id % 2 = 0 THEN '.Example.CO.UK:8443'
+                          ELSE '.Example.COM' END)
+                 || '/Docs//' || doc_id::VARCHAR
+                 || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+                 || (CASE doc_id % 4
+                       WHEN 0 THEN '?utm_source=x&fbclid=Z'
+                       WHEN 1 THEN ''
+                       WHEN 2 THEN '?b=2&utm_campaign=c&a=1'
+                       ELSE '?a=1&b=2' END)
+                 || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END)
+                   AS url
+          FROM documents
+        ),
+        parts AS (
+          SELECT doc_id,
+                 lower(regexp_extract(url,
+                   '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                 regexp_replace(regexp_replace(regexp_replace(
+                   lower(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+                   '^[^@]*@', ''), ':[0-9]*$', ''), '^www\\.', '') AS host,
+                 regexp_replace(regexp_replace(
+                   regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                   '//+', '/', 'g'), '/+$', '') AS path,
+                 -- DuckDB array_to_string([]) is NULL; Spark array_join
+                 -- of an empty array is '' — coalesce to match
+                 coalesce(array_to_string(list_sort(list_filter(
+                   string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                   x -> x <> '' AND NOT regexp_matches(x,
+                     '^(utm_[a-z0-9]+|fbclid|gclid|dclid|msclkid|mc_eid'
+                     || '|mc_cid|igshid|yclid|ref|ref_src|spm|_ga)(=.*)?$')
+                 )), '&'), '') AS q
+          FROM u
+        ),
+        keyed AS (
+          SELECT doc_id,
+                 scheme || '://' || host || path
+                 || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS url_norm,
+                 host AS url_host,
+                 CASE WHEN regexp_matches(host,
+                        '\\.(ac|co|com|edu|go|gov|mil|net|or|org)\\.[a-z]{2}$')
+                      THEN regexp_extract(host,
+                        '([^.]+\\.[^.]+\\.[^.]+)$', 1)
+                      ELSE CASE WHEN regexp_extract(host,
+                             '([^.]+\\.[^.]+)$', 1) = '' THEN host
+                           ELSE regexp_extract(host,
+                             '([^.]+\\.[^.]+)$', 1) END
+                 END AS url_domain
+          FROM parts
+        )
+    """
+    o["url_normalize"] = (
+        _URL_CTE
+        + "SELECT doc_id, url_norm, url_host, url_domain FROM keyed "
+        + "ORDER BY doc_id"
+    )
+    o["url_domain_block"] = (
+        _URL_CTE
+        + """
+        SELECT url_host, count(*) AS n_docs FROM keyed
+        WHERE url_domain <> 'example.co.uk'
+        GROUP BY url_host ORDER BY url_host"""
+    )
+    o["url_latest"] = """
+        WITH ranked AS (
+          SELECT user_id, event_type,
+                 CAST(epoch_ns(ts) AS BIGINT) AS ts, value, event_id,
+                 row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        )
+        SELECT user_id, event_type, ts, value, event_id
+        FROM ranked WHERE rn = 1 ORDER BY user_id, event_type"""
     return o

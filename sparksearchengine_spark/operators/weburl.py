@@ -1,0 +1,185 @@
+"""Web-crawl curation operators: URL canonicalization, domain rollups,
+latest-version compaction.
+
+Large-scale text corpora are crawl-derived (CommonCrawl / RefinedWeb /
+C4 lineage): the unit of provenance is a URL, and the first curation
+stages are URL-keyed — canonicalize so the same page crawled twice keys
+identically, group by registered domain for per-site quotas/blocklists,
+and keep only the newest capture of each page (crawls re-fetch pages;
+training wants one version). The reference engine has no web layer (its
+corpus sources are Wikipedia XML and object files, SURVEY §2.2) — this
+module is part of the training-data-pipeline extension surface.
+
+Scale notes:
+
+* ``normalize_url`` / ``registered_domain`` are pure scan-stage column
+  expressions (regex + array ops, no UDF, no shuffle): at 100 TB they
+  ride the first pass over the corpus for free and stay inside
+  whole-stage codegen.
+* ``latest_per_key`` is one rank window partitioned by the key — the
+  same WindowGroupLimit shape as ``sample_per_group``: per-key top-1
+  prunes partition-locally before the exchange, so the shuffle carries
+  ~1 row per key, not every capture.
+* ``filter_domains`` keeps the blocklist driver-side when it is a
+  literal list (an ``isin`` compiles to a scan predicate and can push
+  down); a DataFrame blocklist becomes a broadcast anti/semi join.
+
+Everything is engine-portable (shared RE2/Java regex subset, md-free):
+the DuckDB oracles in ``__spark_entry__.py`` replicate the expressions
+verbatim, so canonicalization is bit-identical across engines — the
+property that makes URL-keyed dedup reproducible when the corpus is
+re-processed elsewhere.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Query parameters that vary per click, not per page: advertising/session
+# trackers. Dropping them is standard crawl canonicalization (they never
+# change page content). Matched against the full "k=v" pair.
+TRACKING_PARAM_RE = (
+    "^(utm_[a-z0-9]+|fbclid|gclid|dclid|msclkid|mc_eid|mc_cid|igshid"
+    "|yclid|ref|ref_src|spm|_ga)(=.*)?$"
+)
+
+# Country-code second-level domains where the registrable name is three
+# labels (example.co.uk), not two. A deliberately small, documented
+# heuristic — the full public-suffix list is a data file, not logic; at
+# 100 TB you would broadcast-join the PSL instead (same plan shape as
+# filter_domains with a DataFrame blocklist).
+_SECOND_LEVEL_RE = r"\.(ac|co|com|edu|go|gov|mil|net|or|org)\.[a-z]{2}$"
+
+
+def url_scheme(url: Column) -> Column:
+    """Lower-cased scheme of ``url`` ('' when absent)."""
+    return F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+
+
+def url_host(url: Column) -> Column:
+    """Lower-cased host of ``url`` (port and userinfo stripped, leading
+    ``www.`` removed — the standard crawl canonicalization)."""
+    hostport = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.lower(F.regexp_replace(hostport, r"^[^@]*@", ""))
+    host = F.regexp_replace(host, r":[0-9]*$", "")
+    return F.regexp_replace(host, r"^www\.", "")
+
+
+def url_path(url: Column) -> Column:
+    """Path of ``url``, canonicalized: duplicate slashes collapsed,
+    trailing slash stripped, '' for the root."""
+    p = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    p = F.regexp_replace(p, r"//+", "/")
+    return F.regexp_replace(p, r"/+$", "")
+
+
+def url_query_canonical(url: Column) -> Column:
+    """Query string of ``url`` with tracking parameters dropped and the
+    survivors sorted ('' when nothing survives). Sorting makes
+    ``?b=2&a=1`` and ``?a=1&b=2`` key identically."""
+    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    parts = F.filter(
+        F.split(q, "&"),
+        lambda kv: (kv != "") & ~kv.rlike(TRACKING_PARAM_RE),
+    )
+    return F.array_join(F.sort_array(parts), "&")
+
+
+def normalize_url(url: Column) -> Column:
+    """Canonical form of ``url``: lower scheme+host, userinfo/port/www./
+    fragment stripped, path de-slashed, tracking params dropped, residual
+    params sorted. NULL in -> NULL out; a string with no ``scheme://``
+    yields '' host and survives as a degenerate-but-stable key.
+
+    Pure scan-stage expression — composes with any corpus read at zero
+    plan cost (no UDF, no shuffle, stays in codegen)."""
+    scheme, host, path = url_scheme(url), url_host(url), url_path(url)
+    q = url_query_canonical(url)
+    return F.when(url.isNull(), F.lit(None).cast("string")).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+        )
+    )
+
+
+def registered_domain(host: Column) -> Column:
+    """Registrable domain of a (normalized) host: last two labels, or
+    last three when the second level is a known ccTLD second-level
+    (example.co.uk). Hosts without a dot pass through unchanged."""
+    three = F.regexp_extract(host, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(host.rlike(_SECOND_LEVEL_RE), three).otherwise(
+        F.when(two == "", host).otherwise(two)
+    )
+
+
+def with_url_keys(
+    df: DataFrame, url_col: str, prefix: str = "url_"
+) -> DataFrame:
+    """df + ``{prefix}norm`` (canonical URL), ``{prefix}host``,
+    ``{prefix}domain`` — the three keys crawl curation groups and joins
+    on. One scan-stage projection."""
+    u = F.col(url_col)
+    host = url_host(u)
+    return df.withColumns(
+        {
+            f"{prefix}norm": normalize_url(u),
+            f"{prefix}host": host,
+            f"{prefix}domain": registered_domain(host),
+        }
+    )
+
+
+def latest_per_key(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Keep the newest row per key (re-crawl compaction / CDC
+    latest-wins): one rank window over ``key_cols`` ordered by ``ts_col``
+    DESC. Ties broken by ``tiebreak_col`` DESC when given (make it a
+    unique id for full determinism; without it equal-timestamp ties are
+    declared-ambiguous and any one row is kept).
+
+    WindowGroupLimit shape: rank ≤ 1 prunes partition-locally, so the
+    key shuffle moves ~1 row per key even when pages were captured
+    hundreds of times."""
+    order = [F.col(ts_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def filter_domains(
+    df: DataFrame,
+    domain_col: str,
+    blocklist: Iterable[str] | DataFrame,
+    mode: str = "block",
+) -> DataFrame:
+    """Drop (``mode='block'``) or keep (``'allow'``) rows whose
+    ``domain_col`` appears in the list. A literal list compiles to an
+    ``isin`` scan predicate (pushes down, no shuffle); a one-column
+    DataFrame becomes a broadcast anti/semi join (the 100 TB path for
+    real blocklists, which run to millions of domains)."""
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be block|allow, got {mode!r}")
+    if isinstance(blocklist, DataFrame):
+        bcol = blocklist.columns[0]
+        side = F.broadcast(blocklist.select(F.col(bcol).alias(domain_col)))
+        how = "left_anti" if mode == "block" else "left_semi"
+        return df.join(side, on=domain_col, how=how)
+    pred = F.col(domain_col).isin(list(blocklist))
+    return df.where(~pred if mode == "block" else pred)

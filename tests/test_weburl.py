@@ -1,0 +1,192 @@
+"""Web-curation operators: URL canonicalization, domain keys, latest-wins
+compaction, blocklist filtering (operators/weburl.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.operators.weburl import (
+    filter_domains,
+    latest_per_key,
+    normalize_url,
+    registered_domain,
+    url_host,
+    with_url_keys,
+)
+
+
+def _norm_one(spark, url: str | None) -> str | None:
+    df = spark.createDataFrame([(url,)], "u string")
+    return df.select(normalize_url(F.col("u")).alias("n")).first()["n"]
+
+
+class TestNormalizeUrl:
+    def test_lowercases_scheme_and_host_only(self, spark):
+        assert (
+            _norm_one(spark, "HTTPS://EXAMPLE.Com/Path/File")
+            == "https://example.com/Path/File"
+        )
+
+    def test_strips_www_port_userinfo_fragment(self, spark):
+        assert (
+            _norm_one(spark, "https://user:pw@www.example.com:8443/a#frag")
+            == "https://example.com/a"
+        )
+
+    def test_path_slash_canonicalization(self, spark):
+        assert _norm_one(spark, "http://e.com//a///b/") == "http://e.com/a/b"
+        # root collapses to the bare authority
+        assert _norm_one(spark, "http://e.com/") == "http://e.com"
+
+    def test_tracking_params_dropped_rest_sorted(self, spark):
+        assert (
+            _norm_one(
+                spark,
+                "http://e.com/p?b=2&utm_source=tw&a=1&fbclid=XYZ&gclid=1",
+            )
+            == "http://e.com/p?a=1&b=2"
+        )
+
+    def test_all_params_tracking_drops_question_mark(self, spark):
+        assert _norm_one(spark, "http://e.com/p?utm_medium=m") == "http://e.com/p"
+
+    def test_param_order_invariance(self, spark):
+        a = _norm_one(spark, "http://e.com/p?x=1&y=2")
+        b = _norm_one(spark, "http://e.com/p?y=2&x=1")
+        assert a == b == "http://e.com/p?x=1&y=2"
+
+    def test_null_and_schemeless(self, spark):
+        assert _norm_one(spark, None) is None
+        # no scheme -> degenerate-but-stable key, never a crash
+        assert _norm_one(spark, "not a url") == "://"
+
+
+class TestRegisteredDomain:
+    @pytest.mark.parametrize(
+        "host,want",
+        [
+            ("news.bbc.co.uk", "bbc.co.uk"),
+            ("a.b.example.com", "example.com"),
+            ("example.com", "example.com"),
+            ("localhost", "localhost"),
+            ("sub.example.ac.jp", "example.ac.jp"),
+        ],
+    )
+    def test_heuristic(self, spark, host, want):
+        df = spark.createDataFrame([(host,)], "h string")
+        got = df.select(registered_domain(F.col("h")).alias("d")).first()["d"]
+        assert got == want
+
+    def test_www_strip_does_not_change_domain(self, spark):
+        df = spark.createDataFrame(
+            [("https://www.example.com/x",), ("https://example.com/y",)],
+            "u string",
+        )
+        doms = {
+            r["d"]
+            for r in df.select(
+                registered_domain(url_host(F.col("u"))).alias("d")
+            ).collect()
+        }
+        assert doms == {"example.com"}
+
+
+class TestWithUrlKeys:
+    def test_adds_three_keys_scan_stage(self, spark):
+        df = spark.createDataFrame(
+            [(1, "HTTP://www.Example.co.uk:80/a/?utm_source=x&k=v")],
+            "id long, url string",
+        )
+        row = with_url_keys(df, "url").first()
+        assert row["url_norm"] == "http://example.co.uk/a?k=v"
+        assert row["url_host"] == "example.co.uk"
+        assert row["url_domain"] == "example.co.uk"
+        # pure projection: no exchange in the plan
+        plan = with_url_keys(df, "url")._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+class TestLatestPerKey:
+    def test_keeps_newest_with_tiebreak(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("u1", 10, 1, "old"),
+                ("u1", 20, 2, "new"),
+                ("u2", 5, 3, "only"),
+                ("u3", 7, 4, "tie-lo"),
+                ("u3", 7, 5, "tie-hi"),
+            ],
+            "url string, ts long, cap_id long, body string",
+        )
+        out = {
+            r["url"]: r["body"]
+            for r in latest_per_key(
+                df, ["url"], "ts", tiebreak_col="cap_id"
+            ).collect()
+        }
+        assert out == {"u1": "new", "u2": "only", "u3": "tie-hi"}
+
+    def test_multi_key(self, spark):
+        df = spark.createDataFrame(
+            [("a", "x", 1, 1), ("a", "x", 2, 2), ("a", "y", 1, 3)],
+            "k1 string, k2 string, ts long, id long",
+        )
+        assert latest_per_key(df, ["k1", "k2"], "ts", "id").count() == 2
+
+    def test_window_group_limit_in_plan(self, spark):
+        df = spark.createDataFrame(
+            [("u", i, i) for i in range(10)], "url string, ts long, id long"
+        )
+        plan = (
+            latest_per_key(df, ["url"], "ts", "id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # rank<=1 must prune partition-locally before the key exchange
+        assert "WindowGroupLimit" in plan
+
+
+class TestFilterDomains:
+    def test_literal_blocklist_is_scan_predicate(self, spark):
+        df = spark.createDataFrame(
+            [("example.com",), ("spam.biz",), ("ok.org",)], "domain string"
+        )
+        kept = {
+            r["domain"]
+            for r in filter_domains(df, "domain", ["spam.biz"]).collect()
+        }
+        assert kept == {"example.com", "ok.org"}
+        plan = (
+            filter_domains(df, "domain", ["spam.biz"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan and "Join" not in plan
+
+    def test_allowlist_mode(self, spark):
+        df = spark.createDataFrame(
+            [("a.com",), ("b.com",)], "domain string"
+        )
+        kept = {
+            r["domain"]
+            for r in filter_domains(df, "domain", ["a.com"], mode="allow").collect()
+        }
+        assert kept == {"a.com"}
+
+    def test_dataframe_blocklist_broadcast_anti_join(self, spark):
+        df = spark.createDataFrame(
+            [("a.com", 1), ("b.com", 2)], "domain string, id long"
+        )
+        bl = spark.createDataFrame([("b.com",)], "bad string")
+        out = filter_domains(df, "domain", bl)
+        assert {r["domain"] for r in out.collect()} == {"a.com"}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+    def test_bad_mode_raises(self, spark):
+        df = spark.createDataFrame([("a.com",)], "domain string")
+        with pytest.raises(ValueError):
+            filter_domains(df, "domain", ["x"], mode="nope")
