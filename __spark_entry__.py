@@ -1728,6 +1728,39 @@ def _url_latest(spark, sf):
     )
 
 
+DSIR_DIM = 1024
+
+
+def _dsir_target(spark, sf):
+    docs = _read(spark, sf, "documents")
+    return docs, docs.where(F.col("lang") == "en")
+
+
+def _dsir_weights(spark, sf):
+    """DSIR importance weights (operators/dsir.py::dsir_log_weights,
+    Xie et al. 2023): hashed unigram+bigram buckets, add-one-smoothed
+    target/raw log-ratio table (broadcast), per-doc decimal-exact sum.
+    Target domain = the English slice of the corpus."""
+    from sparksearchengine_spark.operators.dsir import dsir_log_weights
+
+    docs, target = _dsir_target(spark, sf)
+    return dsir_log_weights(docs, target, dim=DSIR_DIM).orderBy("doc_id")
+
+
+def _dsir_sample(spark, sf):
+    """Deterministic Gumbel-top-k resampling over the DSIR weights
+    (operators/dsir.py::dsir_sample): n draws without replacement
+    ∝ exp(weight), RNG-free via the md5-uniform, one TakeOrdered job."""
+    from sparksearchengine_spark.operators.dsir import (
+        dsir_log_weights,
+        dsir_sample,
+    )
+
+    docs, target = _dsir_target(spark, sf)
+    w = dsir_log_weights(docs, target, dim=DSIR_DIM)
+    return dsir_sample(w, 50).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -1826,6 +1859,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": _url_normalize,
         "url_domain_block": _url_domain_block,
         "url_latest": _url_latest,
+        "dsir_weights": _dsir_weights,
+        "dsir_sample": _dsir_sample,
     }
 
 
@@ -3886,4 +3921,77 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         )
         SELECT user_id, event_type, ts, value, event_id
         FROM ranked WHERE rn = 1 ORDER BY user_id, event_type"""
+
+    # DSIR (operators/dsir.py, Xie et al. 2023): hashed unigram+bigram
+    # features, add-one-smoothed log-ratio, decimal-exact per-doc sums.
+    # Raw corpus = all documents, so every scored bucket exists in the
+    # ratio table (the unseen-bucket default never fires here).
+    _DSIR_AGG = f"""
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                             '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, lang,
+                 toks || list_transform(
+                   range(1, greatest(len(toks) - 1, 0) + 1),
+                   i -> toks[i] || ' ' || toks[i + 1]) AS grams
+          FROM t
+        ),
+        f AS (
+          SELECT doc_id, lang,
+                 CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
+                   % {DSIR_DIM} AS bucket
+          FROM (SELECT doc_id, lang, unnest(grams) AS gram FROM g)
+        ),
+        rc AS (SELECT bucket, count(*) AS c_raw FROM f GROUP BY bucket),
+        tc AS (SELECT bucket, count(*) AS c_tgt FROM f
+               WHERE lang = 'en' GROUP BY bucket),
+        lr AS (
+          SELECT rc.bucket,
+                 round(
+                   ln((coalesce(tc.c_tgt, 0) + 1.0)
+                      / ((SELECT count(*) FROM f WHERE lang = 'en')
+                         + 1.0 * {DSIR_DIM}))
+                 - ln((rc.c_raw + 1.0)
+                      / ((SELECT count(*) FROM f) + 1.0 * {DSIR_DIM})),
+                 6) AS log_ratio
+          FROM rc LEFT JOIN tc ON rc.bucket = tc.bucket
+        ),
+        s AS (
+          SELECT f.doc_id,
+                 CAST(coalesce(lr.log_ratio, 0.0) AS DECIMAL(28,6)) AS lrv
+          FROM f LEFT JOIN lr ON f.bucket = lr.bucket
+        ),
+        agg AS (
+          SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+                 CAST(CAST(sum(lrv) AS DECIMAL(38,6)) AS DOUBLE)
+                   AS log_weight
+          FROM s GROUP BY doc_id
+        ),
+        w AS (
+          SELECT d.doc_id,
+                 coalesce(a.n_feats, 0) AS n_feats,
+                 coalesce(a.log_weight, 0.0) AS log_weight
+          FROM documents d LEFT JOIN agg a USING (doc_id)
+        )
+    """
+    o["dsir_weights"] = (
+        _DSIR_AGG + "SELECT * FROM w ORDER BY doc_id"
+    )
+    o["dsir_sample"] = (
+        _DSIR_AGG
+        + f"""
+        SELECT * FROM (
+          SELECT doc_id, n_feats, log_weight,
+                 round(log_weight - ln(-ln(
+                   (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                         AS BIGINT) % 1048576 + 0.5) / 1048576.0)),
+                 6) AS sample_key
+          FROM w
+          ORDER BY sample_key DESC, doc_id ASC LIMIT 50
+        ) ORDER BY doc_id"""
+    )
     return o

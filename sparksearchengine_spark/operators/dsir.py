@@ -1,0 +1,194 @@
+"""DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+arXiv:2302.03169) over hashed n-gram features.
+
+The standard recipe for "make my 100 TB raw crawl look like my curated
+target corpus": estimate two bag-of-hashed-ngram distributions (raw and
+target), weight every raw document by how much more likely its features
+are under the target, then sample proportionally to those importance
+weights. Everything here is the published construction re-expressed as
+DataFrame ops:
+
+* **Features** — unigrams + adjacent bigrams of the analyzed token
+  stream, each hashed into ``dim`` buckets with the repo-wide md5 bucket
+  rule (``operators/sampling.py::hash_bucket`` idiom), so features are
+  engine-portable and the DuckDB oracle replicates them exactly.
+* **Distributions** — one groupBy(bucket) count per corpus. ``dim`` is
+  small (paper uses 10k), so partial aggregation collapses the explode
+  map-side and the shuffle carries ≤ ``dim`` rows per partition.
+* **Log-ratio table** — ``ln p_target(b) − ln p_raw(b)`` with add-alpha
+  smoothing, materialized once as a ≤ ``dim``-row table and broadcast;
+  ratios are rounded to 6dp and carried as DECIMAL so per-doc sums are
+  bit-exact across engines and summation orders (the repo's stable-sum
+  idiom).
+* **Per-doc weight** — explode features, one broadcast join, one
+  groupBy(id) decimal sum: a single doc-keyed shuffle with map-side
+  partial aggregation. No collect of anything document-sized.
+* **Resampling** — deterministic Gumbel-top-k (Vieira 2014; Kool et al.
+  2019): ``key = log_weight/temperature + Gumbel(md5(id))`` and take the
+  global top n — equivalent in distribution to sampling n docs without
+  replacement ∝ softmax(weights/temperature), but RNG-free, so reruns
+  and engines agree row-for-row. The top-n is one TakeOrdered job.
+
+At 100 TB: two passes over the raw corpus (one to count buckets, one to
+score) plus one over the (much smaller) target; all joins against the
+bucket table are broadcast; the only wide shuffle keys on doc id.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.functions.analyzers import analyzer_expr
+from sparksearchengine_spark.operators.sampling import hash_bucket
+
+# buckets above this stop being "a small dim table" — fall back to a
+# shuffle join rather than broadcasting gigabytes
+BROADCAST_MAX_BUCKETS = 1_000_000
+
+
+def hashed_ngram_features(
+    text: Column, analyzer: str = "simple", dim: int = 10_000
+) -> Column:
+    """Array of hashed feature ids for ``text``: md5-bucket of every
+    unigram and every adjacent bigram (space-joined) of the analyzed
+    token stream. One scan-stage expression, no shuffle. Empty/NULL text
+    yields an empty array."""
+    toks = F.coalesce(
+        analyzer_expr(text, analyzer), F.array().cast("array<string>")
+    )
+    bigrams = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    # zip_with pads the shorter side with NULL -> concat_ws drops the
+    # NULL, leaving the bare last token; cut it off explicitly
+    bigrams = F.slice(bigrams, 1, F.greatest(F.size(toks) - 1, F.lit(0)))
+    grams = F.concat(toks, bigrams)
+    return F.transform(grams, lambda g: hash_bucket(g, dim))
+
+
+def _bucket_counts(
+    df: DataFrame, text_col: str, analyzer: str, dim: int, out: str
+) -> DataFrame:
+    feats = hashed_ngram_features(F.col(text_col), analyzer, dim)
+    return (
+        df.select(F.explode(feats).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias(out))
+    )
+
+
+def dsir_bucket_logratio(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    text_col: str = "text",
+    analyzer: str = "simple",
+    dim: int = 10_000,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """The ≤ ``dim``-row importance table: ``(bucket, log_ratio)`` where
+    ``log_ratio = round(ln p_t(b) − ln p_r(b), 6)`` under add-``alpha``
+    smoothing (``p(b) = (c_b + alpha) / (total + alpha·dim)``).
+
+    Buckets unseen in BOTH corpora are omitted — their ratio is the
+    constant ``ln(alpha/(T_t+alpha·dim)) − ln(alpha/(T_r+alpha·dim))``,
+    which scoring applies as the coalesce default, so the table stays
+    sparse. Rounding to 6dp here makes every downstream sum decimal-
+    exact across engines."""
+    rc = _bucket_counts(raw_df, text_col, analyzer, dim, "c_raw")
+    tc = _bucket_counts(target_df, text_col, analyzer, dim, "c_tgt")
+    # two scalar totals (dim-bounded aggregations)
+    t_raw = rc.agg(F.sum("c_raw")).collect()[0][0] or 0
+    t_tgt = tc.agg(F.sum("c_tgt")).collect()[0][0] or 0
+    denom_r = float(t_raw) + alpha * dim
+    denom_t = float(t_tgt) + alpha * dim
+    joined = rc.join(tc, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce(F.col("c_raw"), F.lit(0)).alias("c_raw"),
+        F.coalesce(F.col("c_tgt"), F.lit(0)).alias("c_tgt"),
+    )
+    ratio = F.round(
+        F.log((F.col("c_tgt") + F.lit(alpha)) / F.lit(denom_t))
+        - F.log((F.col("c_raw") + F.lit(alpha)) / F.lit(denom_r)),
+        6,
+    )
+    out = joined.select("bucket", ratio.alias("log_ratio"))
+    return out if dim > BROADCAST_MAX_BUCKETS else F.broadcast(out)
+
+
+def dsir_log_weights(
+    raw_df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "simple",
+    dim: int = 10_000,
+    alpha: float = 1.0,
+    logratio_df: DataFrame | None = None,
+) -> DataFrame:
+    """Per-raw-doc DSIR importance weight: ``(id, n_feats, log_weight)``
+    with ``log_weight = Σ_occurrences log_ratio(bucket)`` (feature
+    multiplicity counts, per the paper's product over the doc's hashed
+    n-grams). Docs with no features get weight 0.
+
+    Pass a precomputed ``logratio_df`` to score several corpora against
+    one fitted table (the fit is the expensive half). The sum is decimal
+    (each addend already rounded to 6dp by the table), so the result is
+    identical under any aggregation order — the property the DuckDB
+    oracle checks bitwise."""
+    if logratio_df is None:
+        logratio_df = dsir_bucket_logratio(
+            raw_df, target_df, text_col, analyzer, dim, alpha
+        )
+    feats = hashed_ngram_features(F.col(text_col), analyzer, dim)
+    exploded = raw_df.select(
+        F.col(id_col), F.explode_outer(feats).alias("bucket")
+    )
+    scored = exploded.join(logratio_df, "bucket", "left").select(
+        id_col,
+        F.when(F.col("bucket").isNull(), None)  # explode_outer pad row
+        .otherwise(
+            F.coalesce(F.col("log_ratio"), F.lit(0.0)).cast("decimal(28,6)")
+        )
+        .alias("_lr"),
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("_lr").cast("long").alias("n_feats"),
+        F.coalesce(F.sum("_lr"), F.lit(0))
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias("log_weight"),
+    )
+
+
+def gumbel_key(col: Column, weight: Column, temperature: float = 1.0) -> Column:
+    """Deterministic Gumbel perturbation: ``weight/temperature + g`` with
+    ``g = −ln(−ln(u))`` and ``u = (md5bucket(col) + 0.5) / 2^20`` — an
+    RNG-free uniform that any md5-capable engine reproduces. Rounded to
+    6dp so cross-engine ulp noise in ln cannot flip an ordering."""
+    u = (hash_bucket(col, 1 << 20) + F.lit(0.5)) / F.lit(float(1 << 20))
+    return F.round(weight / F.lit(float(temperature)) - F.log(-F.log(u)), 6)
+
+
+def dsir_sample(
+    weights_df: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    weight_col: str = "log_weight",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Gumbel-top-k resampling over ``dsir_log_weights`` output: the n
+    rows with the largest perturbed keys — distributionally, n draws
+    without replacement ∝ exp(weight/temperature), deterministically.
+    One global TakeOrdered (n ≪ corpus; no full sort materializes).
+    Adds ``sample_key`` for auditability."""
+    key = gumbel_key(F.col(id_col), F.col(weight_col), temperature)
+    return (
+        weights_df.withColumn("sample_key", key)
+        .orderBy(F.col("sample_key").desc(), F.col(id_col).asc())
+        .limit(n)
+    )
