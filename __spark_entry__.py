@@ -1761,6 +1761,27 @@ def _dsir_sample(spark, sf):
     return dsir_sample(w, 50).orderBy("doc_id")
 
 
+RP_OUT_DIM = 8
+
+
+def _emb_random_proj(spark, sf):
+    """Johnson-Lindenstrauss random projection (operators/similarity.py::
+    random_projection): deterministic md5-parity Rademacher matrix, one
+    sequential fold per output dim — zero shuffle, and the arrow method
+    is bit-identical (pinned in tests). Components rounded 6dp for the
+    cross-engine compare."""
+    from sparksearchengine_spark.operators.similarity import (
+        random_projection,
+    )
+
+    emb = _read(spark, sf, "embeddings")
+    out = random_projection(emb, out_dim=RP_OUT_DIM, in_dim=64)
+    return out.select(
+        "id",
+        F.transform(F.col("rp"), lambda v: F.round(v, 6)).alias("rp"),
+    ).orderBy("id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -1861,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_latest": _url_latest,
         "dsir_weights": _dsir_weights,
         "dsir_sample": _dsir_sample,
+        "emb_random_proj": _emb_random_proj,
     }
 
 
@@ -3994,4 +4016,21 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
           ORDER BY sample_key DESC, doc_id ASC LIMIT 50
         ) ORDER BY doc_id"""
     )
+
+    # JL random projection (operators/similarity.py::random_projection):
+    # md5-parity ±1 matrix, list_sum matches the Spark fold order, and
+    # * (1.0/sqrt(d)) is spelled as multiplication in both engines (a
+    # division would differ in the last ulp).
+    o["emb_random_proj"] = f"""
+        SELECT vec_id AS id,
+               list_transform(range(0, {RP_OUT_DIM}), j ->
+                 round(list_sum(list_transform(
+                   range(1, len(embedding) + 1),
+                   i -> CAST(embedding[i] AS DOUBLE)
+                        * (CASE WHEN CAST('0x' ||
+                               substr(md5('rp:' || j || ':' || (i - 1)),
+                                      1, 8) AS BIGINT) % 2 = 0
+                           THEN 1.0 ELSE -1.0 END)))
+                   * (1.0 / sqrt({RP_OUT_DIM}.0)), 6)) AS rp
+        FROM embeddings ORDER BY id"""
     return o

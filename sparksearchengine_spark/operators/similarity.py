@@ -20,6 +20,8 @@ for the DuckDB value-parity oracle.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -668,3 +670,110 @@ def embedding_neardup(
         .where(F.col("cos_sim") >= float(threshold))
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+# --------------------------------------------------------------------------
+# random projection (Johnson-Lindenstrauss dimensionality reduction)
+# --------------------------------------------------------------------------
+
+
+def _rp_sign(j: int, i: int) -> float:
+    """±1 Rademacher weight for output dim j / input dim i, from the
+    repo-wide md5 rule (parity of the first 8 hex chars of
+    ``md5("rp:j:i")``) — any md5-capable engine rebuilds the same
+    matrix, so projections are engine-portable without shipping one."""
+    import hashlib
+
+    h = int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    in_dim: int | None = None,
+    out_col: str = "rp",
+    method: str = "expr",
+) -> DataFrame:
+    """Johnson-Lindenstrauss reduction of ``emb_col`` to ``out_dim``
+    dims with a deterministic ±1/√out_dim Rademacher matrix (Achlioptas
+    2003): ``(id, out_col array<double>)``. Cuts every downstream
+    embedding operator's cost — ANN probes, SemDedup cells, k-means —
+    by in_dim/out_dim while preserving pairwise distances within the JL
+    bound.
+
+    Scale shape: the sign matrix is (out_dim × in_dim) literals baked
+    into the plan (no broadcast variable, no join); both methods are
+    per-row map work with ZERO shuffle.
+
+    * ``"expr"`` — one sequential ``aggregate`` fold per output dim:
+      interpreted HOFs, the engine-portable oracle form.
+    * ``"arrow"`` — numpy accumulation per Arrow batch, looped over
+      input dims IN INDEX ORDER so the float sum order matches the
+      expr fold exactly — the two methods are bit-identical, and the
+      100 TB path is plan-checkable against the oracle form.
+
+    ``in_dim``: width of the input vectors; probed from one row when
+    omitted (a 1-row job — pass it explicitly in pipelines).
+    """
+    if method not in ("expr", "arrow"):
+        raise ValueError(f"method must be expr|arrow, got {method!r}")
+    if out_dim <= 0:
+        raise ValueError("out_dim must be positive")
+    if in_dim is None:
+        probe = df.select(F.size(emb_col)).limit(1).collect()
+        if not probe:
+            in_dim = 0
+        else:
+            in_dim = probe[0][0]
+    signs = [
+        [_rp_sign(j, i) for i in range(in_dim)] for j in range(out_dim)
+    ]
+    inv_scale = 1.0 / math.sqrt(float(out_dim))
+
+    if method == "expr":
+        comps = []
+        for j in range(out_dim):
+            srow = F.array(*[F.lit(s) for s in signs[j]])
+            comps.append(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(emb_col),
+                        srow,
+                        lambda x, s: x.cast("double") * s,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                * F.lit(inv_scale)
+            )
+        return df.select(
+            F.col(id_col).alias("id"), F.array(*comps).alias(out_col)
+        )
+
+    import numpy as np
+    import pandas as pd
+
+    smat = np.array(signs, dtype=np.float64)  # (out_dim, in_dim)
+
+    def project(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.array([list(x) for x in pdf["_vec"]], dtype=np.float64)
+            acc = np.zeros((v.shape[0], out_dim), dtype=np.float64)
+            # accumulate input dims in index order: same left-to-right
+            # float addition order as the expr fold -> bit-identical
+            for i in range(min(v.shape[1], in_dim)):
+                acc += v[:, i : i + 1] * smat[None, :, i]
+            acc *= inv_scale
+            yield pd.DataFrame(
+                {"id": pdf["_id"].to_numpy(), "rp_": list(acc)}
+            )
+
+    out = df.select(
+        F.col(id_col).alias("_id"), F.col(emb_col).alias("_vec")
+    ).mapInPandas(project, schema="id long, rp_ array<double>")
+    return out.select("id", F.col("rp_").alias(out_col))

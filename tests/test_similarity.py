@@ -230,3 +230,96 @@ class TestQuantizedEmbeddings:
         )
         r = topk_recall(quant, exact).collect()[0]
         assert r["recall"] >= 0.9
+
+
+class TestRandomProjection:
+    def test_shape_and_determinism(self, spark):
+        from sparksearchengine_spark.operators.similarity import (
+            random_projection,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = random_projection(emb, out_dim=16, in_dim=64)
+        rows = out.collect()
+        assert len(rows) == emb.count()
+        assert all(len(r["rp"]) == 16 for r in rows)
+        again = {r["id"]: r["rp"] for r in random_projection(
+            emb, out_dim=16, in_dim=64).collect()}
+        assert all(again[r["id"]] == r["rp"] for r in rows)
+
+    def test_expr_arrow_bit_identical(self, spark):
+        from sparksearchengine_spark.operators.similarity import (
+            random_projection,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        a = {r["id"]: r["rp"] for r in random_projection(
+            emb, out_dim=8, in_dim=64, method="expr").collect()}
+        b = {r["id"]: r["rp"] for r in random_projection(
+            emb, out_dim=8, in_dim=64, method="arrow").collect()}
+        assert a == b  # exact doubles: same fold order by construction
+
+    def test_zero_vector_projects_to_zero(self, spark):
+        from sparksearchengine_spark.operators.similarity import (
+            random_projection,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0] * 8)], "vec_id long, embedding array<float>"
+        )
+        row = random_projection(df, out_dim=4, in_dim=8).first()
+        assert row["rp"] == [0.0, 0.0, 0.0, 0.0]
+
+    def test_norm_preservation_jl(self, spark):
+        import math
+
+        from sparksearchengine_spark.operators.similarity import (
+            norm_expr,
+            random_projection,
+        )
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        orig = {
+            r["vec_id"]: r["n"]
+            for r in emb.select(
+                "vec_id", norm_expr(F.col("embedding")).alias("n")
+            ).collect()
+        }
+        proj = {
+            r["id"]: math.sqrt(sum(v * v for v in r["rp"]))
+            for r in random_projection(emb, out_dim=32, in_dim=64).collect()
+        }
+        ratios = [proj[i] / orig[i] for i in orig if orig[i] > 0]
+        mean = sum(ratios) / len(ratios)
+        # E[||y||^2] = ||x||^2; at out_dim=32 the mean ratio concentrates
+        assert 0.8 < mean < 1.2
+
+    def test_expr_path_no_shuffle(self, spark):
+        from sparksearchengine_spark.operators.similarity import (
+            random_projection,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        plan = (
+            random_projection(emb, out_dim=4, in_dim=64)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
+
+    def test_bad_args_raise(self, spark):
+        import pytest
+
+        from sparksearchengine_spark.operators.similarity import (
+            random_projection,
+        )
+
+        df = spark.createDataFrame(
+            [(1, [0.0])], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError):
+            random_projection(df, out_dim=0)
+        with pytest.raises(ValueError):
+            random_projection(df, out_dim=4, method="nope")
