@@ -1782,6 +1782,24 @@ def _emb_random_proj(spark, sf):
     ).orderBy("id")
 
 
+def _sketch_profile(spark, sf):
+    """Sketch-accuracy harness (operators/profile.py::
+    sketch_accuracy_check — the recall-harness pattern for sketches):
+    HLL++ distinct estimates held to 3 rsd of exact, approx medians held
+    to their rank-error contract, tie-aware. The oracle pins the
+    expected verdicts; the measurement itself is Spark-side exact-vs-
+    sketch. approx_profile is the one-pass 100 TB profile these
+    sketches come from (plan-asserted single aggregate, no Expand)."""
+    from sparksearchengine_spark.operators.profile import (
+        sketch_accuracy_check,
+    )
+
+    li = _read(spark, sf, "lineitem")
+    return sketch_accuracy_check(
+        li, ["l_orderkey", "l_quantity", "l_extendedprice", "l_returnflag"]
+    ).orderBy("column")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -1883,6 +1901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _dsir_weights,
         "dsir_sample": _dsir_sample,
         "emb_random_proj": _emb_random_proj,
+        "sketch_profile": _sketch_profile,
     }
 
 
@@ -4033,4 +4052,16 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
                            THEN 1.0 ELSE -1.0 END)))
                    * (1.0 / sqrt({RP_OUT_DIM}.0)), 6)) AS rp
         FROM embeddings ORDER BY id"""
+
+    # sketch-accuracy harness: the oracle pins the expected verdicts
+    # (the measurement — HLL estimate vs exact distinct, approx-median
+    # rank interval — is computed Spark-side; DuckDB cannot rebuild
+    # Spark's HLL state, so this is the recall-harness pattern)
+    o["sketch_profile"] = """
+        SELECT 'l_extendedprice' AS "column", true AS distinct_ok,
+               true AS median_rank_ok
+        UNION ALL SELECT 'l_orderkey', true, true
+        UNION ALL SELECT 'l_quantity', true, true
+        UNION ALL SELECT 'l_returnflag', true, NULL
+        ORDER BY "column" """
     return o

@@ -129,3 +129,149 @@ def profile_columns(
     ).select("e.column", "e.dtype", "n_rows", "e.n_null", "e.n_distinct",
              "e.min_num", "e.max_num", "e.sum_num", "e.mean_num",
              "e.min_str", "e.max_str")
+
+
+def approx_profile(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    rsd: float = 0.05,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """The 100 TB profile: sketch-based statistics in one aggregate pass,
+    `(column, dtype, n_rows, n_null, approx_distinct, q_lo, q_med, q_hi)`.
+
+    `profile_columns` keeps EXACT distincts — at 100 TB that is an
+    expand whose shuffle carries every distinct value of every column.
+    This variant swaps in mergeable sketches whose aggregation state is
+    KB-sized per column no matter the data volume:
+
+    * ``approx_count_distinct`` — HyperLogLog++ at relative standard
+      deviation ``rsd``. The estimate is deterministic for a given
+      dataset (fixed hash; max-based merges are order-independent).
+    * ``percentile_approx`` — rank-error ≤ 1/``accuracy`` quantile
+      summaries for numeric columns (NULL for non-numerics).
+
+    Use :func:`sketch_accuracy_check` to hold the sketches to their
+    advertised error against the exact answers at test scale.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    if len(quantiles) != 3:
+        raise ValueError("quantiles must be (lo, med, hi)")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for c in cols:
+        dt = df.schema[c].dataType
+        aggs.append(F.sum(F.col(c).isNull().cast("long")).alias(f"_nl_{c}"))
+        aggs.append(
+            F.approx_count_distinct(F.col(c), rsd).alias(f"_ad_{c}")
+        )
+        if isinstance(dt, _NUMERIC):
+            aggs.append(
+                F.percentile_approx(
+                    F.col(c).cast("double"), list(quantiles), accuracy
+                ).alias(f"_q_{c}")
+            )
+    row = df.agg(*aggs)
+
+    def _entry(c: str):
+        dt = df.schema[c].dataType
+        is_num = isinstance(dt, _NUMERIC)
+        q = F.col(f"_q_{c}") if is_num else None
+        nd = F.lit(None).cast("double")
+        return F.struct(
+            F.lit(c).alias("column"),
+            F.lit(dt.simpleString()).alias("dtype"),
+            F.col(f"_nl_{c}").alias("n_null"),
+            F.col(f"_ad_{c}").alias("approx_distinct"),
+            (q.getItem(0) if is_num else nd).alias("q_lo"),
+            (q.getItem(1) if is_num else nd).alias("q_med"),
+            (q.getItem(2) if is_num else nd).alias("q_hi"),
+        )
+
+    entries = F.array(*[_entry(c) for c in cols])
+    return row.select(
+        F.col("_n").alias("n_rows"), F.explode(entries).alias("e")
+    ).select(
+        "e.column", "e.dtype", "n_rows", "e.n_null", "e.approx_distinct",
+        "e.q_lo", "e.q_med", "e.q_hi",
+    )
+
+
+def sketch_accuracy_check(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    rsd: float = 0.05,
+    accuracy: int = 1_000,
+    distinct_tol_rsds: float = 3.0,
+    rank_tol: float = 0.05,
+) -> DataFrame:
+    """Harness holding the sketches of :func:`approx_profile` to their
+    advertised error against exact answers (the recall-harness pattern —
+    approximate operators become *checked* rows, not hopes):
+
+    `(column, distinct_ok, median_rank_ok)` where
+
+    * ``distinct_ok`` — |HLL estimate − exact distinct| ≤
+      ``distinct_tol_rsds × rsd × exact`` (HLL++ error is ~Gaussian at
+      scale rsd, so 3 rsd is a ≥99.7% bound);
+    * ``median_rank_ok`` — the rank of the approximate median is within
+      ``0.5 ± (1/accuracy + rank_tol)`` of the true median rank (the
+      sketch's contract is rank error, not value error); NULL for
+      non-numeric columns.
+
+    Two jobs by construction: one combined exact+sketch aggregate, then
+    one rank-validation aggregate over the medians found.
+    """
+    cols = list(cols) if cols is not None else list(df.columns)
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    num_cols = [c for c in cols if isinstance(df.schema[c].dataType, _NUMERIC)]
+    aggs = []
+    for c in cols:
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_ed_{c}"))
+        aggs.append(F.approx_count_distinct(F.col(c), rsd).alias(f"_ad_{c}"))
+    for c in num_cols:
+        aggs.append(
+            F.percentile_approx(
+                F.col(c).cast("double"), 0.5, accuracy
+            ).alias(f"_m_{c}")
+        )
+        aggs.append(F.count(F.col(c)).alias(f"_nn_{c}"))
+    r1 = df.agg(*aggs).collect()[0]
+
+    rank_aggs = []
+    for c in num_cols:
+        if r1[f"_m_{c}"] is None:
+            continue
+        m = F.lit(r1[f"_m_{c}"])
+        # tie-aware rank interval [count(<m), count(<=m)]: a value with
+        # heavy ties legitimately covers a wide rank range
+        rank_aggs.append(
+            F.sum((F.col(c) < m).cast("long")).alias(f"_rlo_{c}")
+        )
+        rank_aggs.append(
+            F.sum((F.col(c) <= m).cast("long")).alias(f"_rhi_{c}")
+        )
+    r2 = df.agg(*rank_aggs).collect()[0] if rank_aggs else {}
+
+    eps = 1.0 / accuracy + rank_tol
+    out = []
+    for c in cols:
+        exact, apx = r1[f"_ed_{c}"], r1[f"_ad_{c}"]
+        d_ok = (
+            abs(apx - exact) <= distinct_tol_rsds * rsd * exact
+            if exact > 0
+            else apx == 0
+        )
+        m_ok = None
+        if c in num_cols and r1[f"_m_{c}"] is not None and r1[f"_nn_{c}"] > 0:
+            n = r1[f"_nn_{c}"]
+            lo, hi = r2[f"_rlo_{c}"] / n, r2[f"_rhi_{c}"] / n
+            # the estimate's rank interval must reach 0.5 within eps
+            m_ok = (lo <= 0.5 + eps) and (hi >= 0.5 - eps)
+        out.append((c, bool(d_ok), m_ok))
+    return df.sparkSession.createDataFrame(
+        out, "column string, distinct_ok boolean, median_rank_ok boolean"
+    )

@@ -88,3 +88,84 @@ class TestProfileColumns:
             r"\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}", r["min_str"]
         )
         assert r["min_str"] <= r["max_str"]
+
+
+class TestApproxProfile:
+    def test_one_pass_sketch_profile(self, spark):
+        from sparksearchengine_spark.operators.profile import approx_profile
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        out = approx_profile(
+            li, ["l_orderkey", "l_quantity", "l_returnflag"]
+        ).collect()
+        rows = {r["column"]: r for r in out}
+        assert set(rows) == {"l_orderkey", "l_quantity", "l_returnflag"}
+        # non-numeric columns carry no quantiles
+        assert rows["l_returnflag"]["q_med"] is None
+        assert rows["l_quantity"]["q_med"] is not None
+        # HLL estimate lands in the right order of magnitude
+        exact = li.select("l_orderkey").distinct().count()
+        apx = rows["l_orderkey"]["approx_distinct"]
+        assert abs(apx - exact) <= 0.2 * exact
+
+    def test_single_aggregate_job(self, spark):
+        from sparksearchengine_spark.operators.profile import approx_profile
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        plan = (
+            approx_profile(li, ["l_quantity", "l_tax"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # exactly one aggregation pair (partial+final), no expand: the
+        # sketch profile reads the table once
+        assert plan.count("HashAggregate") <= 2 and "Expand" not in plan
+
+    def test_determinism(self, spark):
+        from sparksearchengine_spark.operators.profile import approx_profile
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        a = approx_profile(li, ["l_orderkey"]).collect()
+        b = approx_profile(li, ["l_orderkey"]).collect()
+        assert a == b
+
+    def test_empty_cols_raise(self, spark):
+        import pytest
+
+        from sparksearchengine_spark.operators.profile import approx_profile
+
+        df = spark.createDataFrame([(1,)], "a long")
+        with pytest.raises(ValueError):
+            approx_profile(df, [])
+
+
+class TestSketchAccuracy:
+    def test_bounds_hold_on_lineitem(self, spark):
+        from sparksearchengine_spark.operators.profile import (
+            sketch_accuracy_check,
+        )
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        rows = {
+            r["column"]: r
+            for r in sketch_accuracy_check(
+                li, ["l_orderkey", "l_quantity", "l_returnflag"]
+            ).collect()
+        }
+        assert all(r["distinct_ok"] for r in rows.values())
+        assert rows["l_quantity"]["median_rank_ok"] is True
+        assert rows["l_returnflag"]["median_rank_ok"] is None
+
+    def test_tie_heavy_column_passes(self, spark):
+        from sparksearchengine_spark.operators.profile import (
+            sketch_accuracy_check,
+        )
+
+        # 90% of values are a single tie -> the median's rank interval is
+        # wide; the tie-aware check must not flag it
+        df = spark.createDataFrame(
+            [(7,)] * 90 + [(i,) for i in range(10)], "v long"
+        )
+        row = sketch_accuracy_check(df, ["v"]).first()
+        assert row["median_rank_ok"] is True
