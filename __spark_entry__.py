@@ -1800,6 +1800,28 @@ def _sketch_profile(spark, sf):
     ).orderBy("column")
 
 
+def _search_mmr(spark, sf):
+    """MMR diversified re-ranking (operators/similarity.py::mmr_rerank,
+    Carbonell & Goldstein 1998): top-20 cosine pool per query, then the
+    greedy lam·rel − (1−lam)·max-sim pick, k=3 at lam=0.5 —
+    applyInPandas per query group, scores rounded 6dp before every
+    argmax with id-asc ties so the DuckDB unrolled-greedy oracle picks
+    identically."""
+    from sparksearchengine_spark.operators.similarity import (
+        cosine_topk,
+        mmr_rerank,
+    )
+
+    emb = _read(spark, sf, "embeddings")
+    queries_df = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    pool = cosine_topk(emb, queries_df, k=20).join(
+        emb.select("vec_id", "embedding"), "vec_id"
+    )
+    return mmr_rerank(pool, k=3, lam=0.5).orderBy("query_id", "mmr_rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -1902,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": _dsir_sample,
         "emb_random_proj": _emb_random_proj,
         "sketch_profile": _sketch_profile,
+        "search_mmr": _search_mmr,
     }
 
 
@@ -4064,4 +4087,74 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         UNION ALL SELECT 'l_quantity', true, true
         UNION ALL SELECT 'l_returnflag', true, NULL
         ORDER BY "column" """
+
+    # MMR (operators/similarity.py::mmr_rerank): the k=3 greedy unrolled
+    # as three argmax CTE stages. Scores are rounded 6dp before each
+    # argmax with vec_id-asc ties in BOTH engines, so numpy-vs-list_sum
+    # ulp noise cannot flip a pick. lam = 0.5 so 1−lam is double-exact.
+    o["search_mmr"] = """
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < 5),
+        scored AS (
+          SELECT q.query_id, e.vec_id, e.embedding AS v,
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+                 AS c
+          FROM embeddings e CROSS JOIN q
+        ),
+        p AS (
+          SELECT query_id, vec_id, v, c FROM scored
+          QUALIFY row_number() OVER (PARTITION BY query_id
+                                     ORDER BY c DESC, vec_id) <= 20
+        ),
+        pn AS (
+          SELECT query_id, vec_id, c,
+                 list_transform(v, x -> CAST(x AS DOUBLE)
+                   / sqrt(list_sum(list_transform(v,
+                       y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS nv
+          FROM p
+        ),
+        s1 AS (
+          SELECT query_id, vec_id, nv, round(0.5 * c, 6) AS sc FROM pn
+          QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY round(0.5 * c, 6) DESC, vec_id) = 1
+        ),
+        m1 AS (
+          SELECT pn.query_id, pn.vec_id, pn.c, pn.nv,
+                 list_sum(list_transform(range(1, len(pn.nv) + 1),
+                   i -> pn.nv[i] * s1.nv[i])) AS ms
+          FROM pn JOIN s1 ON pn.query_id = s1.query_id
+          WHERE pn.vec_id <> s1.vec_id
+        ),
+        s2 AS (
+          SELECT query_id, vec_id, nv,
+                 round(0.5 * c - (1.0 - 0.5) * ms, 6) AS sc
+          FROM m1
+          QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY round(0.5 * c - (1.0 - 0.5) * ms, 6) DESC, vec_id) = 1
+        ),
+        m2 AS (
+          SELECT m1.query_id, m1.vec_id, m1.c,
+                 greatest(m1.ms,
+                   list_sum(list_transform(range(1, len(m1.nv) + 1),
+                     i -> m1.nv[i] * s2.nv[i]))) AS ms
+          FROM m1 JOIN s2 ON m1.query_id = s2.query_id
+          WHERE m1.vec_id <> s2.vec_id
+        ),
+        s3 AS (
+          SELECT query_id, vec_id,
+                 round(0.5 * c - (1.0 - 0.5) * ms, 6) AS sc
+          FROM m2
+          QUALIFY row_number() OVER (PARTITION BY query_id
+            ORDER BY round(0.5 * c - (1.0 - 0.5) * ms, 6) DESC, vec_id) = 1
+        )
+        SELECT query_id, vec_id, 1 AS mmr_rank, sc + 0.0 AS mmr_score
+        FROM s1
+        UNION ALL SELECT query_id, vec_id, 2, sc + 0.0 FROM s2
+        UNION ALL SELECT query_id, vec_id, 3, sc + 0.0 FROM s3
+        ORDER BY query_id, mmr_rank"""
     return o

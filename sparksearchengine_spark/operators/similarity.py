@@ -777,3 +777,89 @@ def random_projection(
         F.col(id_col).alias("_id"), F.col(emb_col).alias("_vec")
     ).mapInPandas(project, schema="id long, rp_ array<double>")
     return out.select("id", F.col("rp_").alias(out_col))
+
+
+# --------------------------------------------------------------------------
+# MMR diversified re-ranking
+# --------------------------------------------------------------------------
+
+
+def mmr_rerank(
+    pool: DataFrame,
+    k: int,
+    lam: float = 0.5,
+    group_col: str = "query_id",
+    id_col: str = "vec_id",
+    rel_col: str = "cos_sim",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998)
+    of a per-query candidate pool: greedily pick the candidate maximizing
+    ``lam·rel − (1−lam)·max_cos_sim_to_already_picked`` (the first pick's
+    diversity term is 0), k times. Returns
+    ``(group_col, id_col, mmr_rank, mmr_score)``.
+
+    Scale shape: MMR is inherently sequential *within* a query but the
+    pool is the top-N of a prior retrieval (N ≈ 10²) — so the operator
+    is ``applyInPandas`` over ``group_col``: one Arrow batch per query,
+    O(k·N) numpy inside, thousands of queries re-ranked in parallel.
+    Never collects; never materializes an N×N matrix bigger than the
+    one pool.
+
+    Determinism contract (what the DuckDB oracle unrolls): scores are
+    rounded to 6dp BEFORE each argmax and ties break by ``id_col`` asc,
+    so float-summation ulp noise cannot flip a pick across engines.
+    Zero-norm vectors contribute similarity 0 (direction-less).
+    """
+    if k <= 0:
+        raise ValueError("k must be positive")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    import numpy as np
+    import pandas as pd
+
+    def rerank(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n == 0:
+            return pd.DataFrame(
+                {group_col: [], id_col: [], "mmr_rank": [], "mmr_score": []}
+            )
+        ids = pdf[id_col].to_numpy()
+        rel = pdf[rel_col].to_numpy(dtype=np.float64)
+        v = np.array([list(x) for x in pdf[vec_col]], dtype=np.float64)
+        norms = np.linalg.norm(v, axis=1)
+        safe = np.where(norms > 0, norms, 1.0)
+        vn = v / safe[:, None]
+        vn[norms == 0] = 0.0  # zero-norm: sim 0 to everything
+        max_sim = np.zeros(n, dtype=np.float64)
+        picked = np.zeros(n, dtype=bool)
+        out_ids, out_scores = [], []
+        for _ in range(min(k, n)):
+            score = np.round(lam * rel - (1.0 - lam) * max_sim, 6)
+            score[picked] = -np.inf
+            # argmax with id-asc tiebreak: order by (-score, id)
+            order = np.lexsort((ids, -score))
+            best = order[0]
+            picked[best] = True
+            out_ids.append(ids[best])
+            # + 0.0 canonicalizes IEEE −0.0 to +0.0 (cross-engine parity)
+            out_scores.append(float(score[best]) + 0.0)
+            max_sim = np.maximum(max_sim, vn @ vn[best])
+        return pd.DataFrame(
+            {
+                group_col: pdf[group_col].iloc[0],
+                id_col: out_ids,
+                "mmr_rank": np.arange(1, len(out_ids) + 1),
+                "mmr_score": out_scores,
+            }
+        )
+
+    gtype = dict(pool.dtypes)[group_col]
+    itype = dict(pool.dtypes)[id_col]
+    return pool.groupBy(group_col).applyInPandas(
+        rerank,
+        schema=(
+            f"{group_col} {gtype}, {id_col} {itype}, "
+            "mmr_rank int, mmr_score double"
+        ),
+    )

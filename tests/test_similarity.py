@@ -323,3 +323,86 @@ class TestRandomProjection:
             random_projection(df, out_dim=0)
         with pytest.raises(ValueError):
             random_projection(df, out_dim=4, method="nope")
+
+
+class TestMmrRerank:
+    def _pool(self, spark):
+        # q1: two near-duplicate high-rel docs (1,2) + a diverse doc 3
+        rows = [
+            (1, 1, 0.99, [1.0, 0.0, 0.0]),
+            (1, 2, 0.98, [0.999, 0.01, 0.0]),
+            (1, 3, 0.80, [0.0, 1.0, 0.0]),
+            (2, 7, 0.5, [1.0, 1.0, 0.0]),
+        ]
+        return spark.createDataFrame(
+            rows,
+            "query_id long, vec_id long, cos_sim double, "
+            "embedding array<double>",
+        )
+
+    def test_lambda_one_recovers_relevance_order(self, spark):
+        from sparksearchengine_spark.operators.similarity import mmr_rerank
+
+        out = (
+            mmr_rerank(self._pool(spark), k=3, lam=1.0)
+            .where("query_id = 1")
+            .orderBy("mmr_rank")
+            .collect()
+        )
+        assert [r["vec_id"] for r in out] == [1, 2, 3]
+
+    def test_diversity_demotes_near_duplicate(self, spark):
+        from sparksearchengine_spark.operators.similarity import mmr_rerank
+
+        out = (
+            mmr_rerank(self._pool(spark), k=3, lam=0.5)
+            .where("query_id = 1")
+            .orderBy("mmr_rank")
+            .collect()
+        )
+        # doc 2 is a near-dup of the first pick: the diverse doc 3 must
+        # outrank it at lam=0.5
+        assert [r["vec_id"] for r in out] == [1, 3, 2]
+
+    def test_first_pick_score_is_lam_rel(self, spark):
+        from sparksearchengine_spark.operators.similarity import mmr_rerank
+
+        row = (
+            mmr_rerank(self._pool(spark), k=1, lam=0.5)
+            .where("query_id = 1")
+            .first()
+        )
+        assert row["mmr_score"] == round(0.5 * 0.99, 6)
+
+    def test_k_exceeding_pool_and_groups_independent(self, spark):
+        from sparksearchengine_spark.operators.similarity import mmr_rerank
+
+        out = mmr_rerank(self._pool(spark), k=10, lam=0.5).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], []).append(r)
+        assert len(by_q[1]) == 3 and len(by_q[2]) == 1
+
+    def test_zero_norm_candidate_safe(self, spark):
+        from sparksearchengine_spark.operators.similarity import mmr_rerank
+
+        df = spark.createDataFrame(
+            [
+                (1, 1, 0.9, [1.0, 0.0]),
+                (1, 2, 0.5, [0.0, 0.0]),
+            ],
+            "query_id long, vec_id long, cos_sim double, "
+            "embedding array<double>",
+        )
+        out = mmr_rerank(df, k=2, lam=0.5).orderBy("mmr_rank").collect()
+        assert [r["vec_id"] for r in out] == [1, 2]
+
+    def test_bad_args_raise(self, spark):
+        import pytest
+
+        from sparksearchengine_spark.operators.similarity import mmr_rerank
+
+        with pytest.raises(ValueError):
+            mmr_rerank(self._pool(spark), k=0)
+        with pytest.raises(ValueError):
+            mmr_rerank(self._pool(spark), k=1, lam=1.5)
