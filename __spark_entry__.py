@@ -1822,6 +1822,22 @@ def _search_mmr(spark, sf):
     return mmr_rerank(pool, k=3, lam=0.5).orderBy("query_id", "mmr_rank")
 
 
+def _search_facet_cube(spark, sf):
+    """Multi-dim facet drilldown in ONE aggregation (operators/search.py::
+    facet_cube): CUBE(lang, source) over the full match set, with
+    grouping_id disambiguating genuine NULL dim values from rollup rows
+    — a single Expand+HashAggregate where facet_counts unions one pass
+    per facet (plan-asserted in tests)."""
+    idx = _docs_index(spark, sf)
+    return idx.facet_cube(
+        Q.field("text").match_any(*QC10_TERMS), ["lang", "source"]
+    ).orderBy(
+        "grouping_id",
+        F.asc_nulls_last("lang"),
+        F.asc_nulls_last("source"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -1925,6 +1941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_random_proj": _emb_random_proj,
         "sketch_profile": _sketch_profile,
         "search_mmr": _search_mmr,
+        "search_facet_cube": _search_facet_cube,
     }
 
 
@@ -4157,4 +4174,19 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         UNION ALL SELECT query_id, vec_id, 2, sc + 0.0 FROM s2
         UNION ALL SELECT query_id, vec_id, 3, sc + 0.0 FROM s3
         ORDER BY query_id, mmr_rank"""
+
+    # facet_cube: GROUPING() carries the same ANSI bit convention as
+    # Spark's grouping_id (first dim = most significant bit)
+    o["search_facet_cube"] = _CTE + f"""
+        , matched AS (
+          SELECT DISTINCT p.doc_id FROM postings p
+          WHERE p.term IN {tuple(QC10_TERMS)!r}
+        )
+        SELECT CAST(d.lang AS VARCHAR) AS lang,
+               CAST(d.source AS VARCHAR) AS source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(GROUPING(d.lang, d.source) AS BIGINT) AS grouping_id
+        FROM matched m JOIN documents d USING (doc_id)
+        GROUP BY CUBE (d.lang, d.source)
+        ORDER BY grouping_id, lang NULLS LAST, source NULLS LAST"""
     return o

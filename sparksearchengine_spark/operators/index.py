@@ -383,6 +383,11 @@ class SearchIndex:
 
         return facet_counts(self, query, facet_cols, **kw)
 
+    def facet_cube(self, query, dims, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.search import facet_cube
+
+        return facet_cube(self, query, dims, **kw)
+
     def grouped_search(self, query, group_col: str, k: int = 10, **kw):  # type: ignore[no-untyped-def]
         from sparksearchengine_spark.operators.search import grouped_search
 

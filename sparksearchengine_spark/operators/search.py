@@ -789,3 +789,45 @@ def grouped_search(
         k=k,
         salt_buckets=salt_buckets,
     ).select("group", DOC_ID, F.round(SCORE, 6).alias(SCORE), "rank")
+
+
+def facet_cube(
+    index: "SearchIndex",
+    query: "Query",
+    dims: Iterable[str],
+    mode: str = "cube",
+) -> DataFrame:
+    """Multi-dimensional facet drilldown over a query's full match set in
+    ONE aggregation: every combination of ``dims`` (``mode='cube'``) or
+    every prefix (``'rollup'``) gets its matching-doc count —
+    ``(*dims, n_docs, grouping_id)``.
+
+    Where :func:`facet_counts` unions one grouping pass per facet,
+    this compiles to a single Expand + HashAggregate (plan-asserted):
+    the match set is scanned once and fanned to the grouping sets
+    map-side, so at 100 TB the cost is one shuffle of (match set ×
+    |grouping sets|) pre-aggregated partials, not |dims| jobs.
+
+    ``grouping_id`` disambiguates a genuine NULL dim value from the
+    "all values" rollup row (bit = 1 ⇒ the dim is aggregated away in
+    that row — same bit convention in Spark and DuckDB/ANSI GROUPING).
+    Dims render as strings, as in :func:`facet_counts`.
+    """
+    dims = list(dims)
+    if not dims:
+        raise ValueError("dims must be non-empty")
+    if mode not in ("cube", "rollup"):
+        raise ValueError(f"mode must be cube|rollup, got {mode!r}")
+    matched = index.compile(query).select(DOC_ID)
+    joined = matched.join(
+        index.corpus.df.select(
+            F.col(index.corpus.id_col).cast("long").alias(DOC_ID),
+            *[F.col(d).cast("string").alias(d) for d in dims],
+        ),
+        DOC_ID,
+    )
+    grouped = joined.cube(*dims) if mode == "cube" else joined.rollup(*dims)
+    return grouped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.grouping_id().cast("long").alias("grouping_id"),
+    )

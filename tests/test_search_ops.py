@@ -843,3 +843,72 @@ class TestMoreLikeThis:
             [1], "text", k=3, broadcast_keywords=False
         )._jdf.queryExecution().executedPlan().toString()
         assert "ShuffledHashJoin" in plan
+
+
+class TestFacetCube:
+    def test_cube_counts_and_grouping_id(self, tiny_index):
+        from sparksearchengine_spark import Q
+
+        out = tiny_index.facet_cube(
+            Q.field("text").match_term("a"), ["tag"]
+        ).collect()
+        # docs 1 (tag NULL) and 2 (tag 'x') match 'a'
+        rows = {(r["tag"], r["grouping_id"]): r["n_docs"] for r in out}
+        assert rows[(None, 0)] == 1  # genuine NULL bucket (doc 1)
+        assert rows[("x", 0)] == 1
+        assert rows[(None, 1)] == 2  # the all-values rollup row
+        assert len(rows) == 3
+
+    def test_rollup_mode_prefix_sets_only(self, tiny_index):
+        from sparksearchengine_spark import Q
+
+        cube = tiny_index.facet_cube(
+            Q.field("text").match_term("b"), ["tag", "views"], mode="cube"
+        ).count()
+        roll = tiny_index.facet_cube(
+            Q.field("text").match_term("b"), ["tag", "views"], mode="rollup"
+        ).count()
+        assert roll < cube  # rollup omits the (·, views) grouping set
+
+    def test_single_expand_aggregation(self, tiny_index):
+        from sparksearchengine_spark import Q
+
+        plan = (
+            tiny_index.facet_cube(
+                Q.field("text").match_term("a"), ["tag", "views"]
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # one Expand fans the grouping sets; no per-facet union of aggs
+        assert plan.count("Expand") == 1 and "Union" not in plan
+
+    def test_matches_facet_counts_on_base_cells(self, docs_index):
+        from sparksearchengine_spark import Q
+        from pyspark.sql import functions as F
+
+        q = Q.field("text").match_any("dup", "spark")
+        cube = {
+            r["lang"]: r["n_docs"]
+            for r in docs_index.facet_cube(q, ["lang"])
+            .where(F.col("grouping_id") == 0)
+            .collect()
+        }
+        union = {
+            r["value"]: r["n_docs"]
+            for r in docs_index.facet_counts(q, ["lang"]).collect()
+        }
+        assert cube == union
+
+    def test_bad_args_raise(self, tiny_index):
+        import pytest
+
+        from sparksearchengine_spark import Q
+
+        with pytest.raises(ValueError):
+            tiny_index.facet_cube(Q.field("text").match_term("a"), [])
+        with pytest.raises(ValueError):
+            tiny_index.facet_cube(
+                Q.field("text").match_term("a"), ["tag"], mode="nope"
+            )
