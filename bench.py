@@ -248,6 +248,38 @@ def main() -> None:
 
         remove_boilerplate_lines(docs).agg(F.sum("n_removed")).collect()
 
+    # 11. round-3 families (first values define their baseline): DSIR
+    # importance weighting (two hashed-ngram corpus passes + broadcast
+    # ratio join) and URL canonicalization (pure scan-stage regex/array).
+    # sf0.1 documents is ONE parquet file = one task under the default
+    # 128 MB split; 8 MB splits emulate the multi-file layout a 100 TB
+    # corpus actually has, scoped to these rows so the established
+    # baselines above keep their input shape.
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    docs_split = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with timed("dsir"):
+        from sparksearchengine_spark.operators.dsir import dsir_log_weights
+
+        target = docs_split.where(F.col("lang") == "en")
+        dsir_log_weights(docs_split, target, dim=10_000).agg(
+            F.sum("log_weight")
+        ).collect()
+
+    with timed("url_keys"):
+        from sparksearchengine_spark.operators.weburl import with_url_keys
+
+        urls = docs_split.select(
+            "doc_id",
+            F.concat(
+                F.lit("HTTPS://User:Pw@WWW."),
+                F.upper(F.col("source")),
+                F.lit(".Example.COM:8443/Docs//"),
+                F.col("doc_id").cast("string"),
+                F.lit("?b=2&utm_source=x&a=1#frag"),
+            ).alias("url"),
+        )
+        with_url_keys(urls, "url").groupBy("url_domain").count().collect()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
