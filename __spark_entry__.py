@@ -1838,6 +1838,28 @@ def _search_facet_cube(spark, sf):
     )
 
 
+def _search_bm25f(spark, sf):
+    """BM25F multi-field ranking (operators/search.py::bm25f_search,
+    Robertson/Zaragoza/Taylor 2004): field tfs length-normalized and
+    weight-blended BEFORE saturation, union docFreq idf. Two fields
+    (text w=1, source w=2), so the per-(term,doc) blend is
+    IEEE-commutative-exact; per-doc totals rounded 6dp."""
+    from sparksearchengine_spark import Corpus, TextOptions
+
+    docs = _read(spark, sf, "documents")
+    idx = Corpus(
+        docs,
+        id_col="doc_id",
+        text_cols={
+            "text": TextOptions(analyzer="simple", positions=False),
+            "source": TextOptions(analyzer="simple", positions=False),
+        },
+    ).build_index()
+    return idx.bm25f_search(
+        "dup spark src3", {"text": 1.0, "source": 2.0}, k=10
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -1942,6 +1964,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_profile": _sketch_profile,
         "search_mmr": _search_mmr,
         "search_facet_cube": _search_facet_cube,
+        "search_bm25f": _search_bm25f,
     }
 
 
@@ -4189,4 +4212,52 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         FROM matched m JOIN documents d USING (doc_id)
         GROUP BY CUBE (d.lang, d.source)
         ORDER BY grouping_id, lang NULLS LAST, source NULLS LAST"""
+
+    # BM25F (operators/search.py::bm25f_search): per-field normalized tf
+    # blended before saturation; union docFreq. Two fields -> the blend
+    # sum is commutative-exact; expression shapes mirror the Spark code
+    # associativity exactly (w*tf)/B, (b*dl)/avgdl.
+    o["search_bm25f"] = """
+        WITH tx AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                             t -> t <> '') AS toks
+          FROM documents
+        ),
+        e AS (SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM tx),
+        tp AS (SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+               FROM e GROUP BY doc_id, term),
+        ts AS (SELECT count(*) AS n, avg(dl) AS avgdl
+               FROM (SELECT DISTINCT doc_id, dl FROM tp)),
+        sp AS (SELECT doc_id, lower(source) AS term, 1 AS tf, 1 AS dl
+               FROM documents),
+        sps AS (SELECT avg(dl) AS avgdl FROM sp),
+        u AS (
+          SELECT term, doc_id,
+                 (1.0 * tf) / ((1.0 - 0.75)
+                   + (0.75 * dl) / (SELECT avgdl FROM ts)) AS wtf
+          FROM tp WHERE term IN ('dup', 'spark', 'src3')
+          UNION ALL
+          SELECT term, doc_id,
+                 (2.0 * tf) / ((1.0 - 0.75)
+                   + (0.75 * dl) / (SELECT avgdl FROM sps))
+          FROM sp WHERE term IN ('dup', 'spark', 'src3')
+        ),
+        tsum AS (SELECT term, doc_id, sum(wtf) AS wtf
+                 FROM u GROUP BY term, doc_id),
+        dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfv
+                FROM tsum GROUP BY term),
+        sc AS (
+          SELECT t.doc_id,
+                 ln(1.0 + (CAST((SELECT n FROM ts) AS DOUBLE) - d.dfv + 0.5)
+                          / (d.dfv + 0.5))
+                   * t.wtf / (1.2 + t.wtf) AS s
+          FROM tsum t JOIN dfc d USING (term)
+        ),
+        tot AS (SELECT doc_id, round(sum(s), 6) AS score
+                FROM sc GROUP BY doc_id)
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                 AS rank
+        FROM tot ORDER BY score DESC, doc_id LIMIT 10"""
     return o

@@ -388,6 +388,11 @@ class SearchIndex:
 
         return facet_cube(self, query, dims, **kw)
 
+    def bm25f_search(self, text, field_weights, k: int = 10, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.search import bm25f_search
+
+        return bm25f_search(self, text, field_weights, k=k, **kw)
+
     def grouped_search(self, query, group_col: str, k: int = 10, **kw):  # type: ignore[no-untyped-def]
         from sparksearchengine_spark.operators.search import grouped_search
 

@@ -831,3 +831,99 @@ def facet_cube(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.grouping_id().cast("long").alias("grouping_id"),
     )
+
+
+def bm25f_search(
+    index: "SearchIndex",
+    text: str,
+    field_weights: dict[str, float],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    analyzer: str | None = None,
+) -> DataFrame:
+    """BM25F ranked search across multiple weighted fields (Robertson,
+    Zaragoza & Taylor, CIKM 2004): per (term, doc) the field tfs are
+    length-normalized, field-weighted and SUMMED BEFORE saturation —
+
+        wtf(t,d) = Σ_f  w_f · tf_f / ((1−b) + b·dl_f/avgdl_f)
+        score(t,d) = idf(t) · wtf / (k1 + wtf)
+
+    — which is not expressible as a boolean combination of per-field
+    BM25 queries (those saturate per field first; the reference's only
+    multi-field device is query-level boosts, SURVEY §2.3 Q12).
+    ``idf`` uses the union docFreq: docs where t occurs in ANY scored
+    field. Returns ``(doc_id, score, rank)``, score rounded 6dp, ties
+    by doc_id.
+
+    Plan shape: the query's terms are driver-side literals, so each
+    per-field postings scan carries an ``isin`` pushdown (field +
+    term pruning at the scan); the union is one groupBy(term, doc_id)
+    partial-agg'd shuffle; the ≤|terms|-row docFreq table broadcasts;
+    the final doc rollup reuses the same doc_id keying. With two
+    fields the per-(term,doc) sum has ≤2 addends (IEEE-commutative,
+    engine-exact); at ≥3 fields cross-engine ulp drift is absorbed by
+    the 6dp rounding.
+
+    ``analyzer``: query-time tokenizer; defaults to the first scored
+    field's analyzer (BM25F assumes one token space across fields).
+    """
+    if not field_weights:
+        raise ValueError("field_weights must be non-empty")
+    for f in field_weights:
+        if f not in index.fieldstats:
+            raise ValueError(f"field {f!r} is not indexed")
+    first = next(iter(field_weights))
+    analyzer = analyzer or index.corpus.text_cols[first].analyzer
+    from sparksearchengine_spark.functions.analyzers import tokenize_py
+
+    terms = sorted(set(tokenize_py(text, analyzer)))
+    spark = index.postings.sparkSession
+    if not terms:
+        return spark.createDataFrame([], "doc_id long, score double, rank int")
+
+    parts = []
+    for f, w in field_weights.items():
+        fs = index.fieldstats[f]
+        avgdl = fs.avgdl if fs.avgdl else 1.0
+        bf = F.lit(1.0 - b) + F.lit(float(b)) * F.col("dl").cast(
+            "double"
+        ) / F.lit(float(avgdl))
+        parts.append(
+            index.postings.where(
+                (F.col("field") == f) & F.col("term").isin(terms)
+            ).select(
+                "term",
+                F.col(DOC_ID),
+                (F.lit(float(w)) * F.col("tf").cast("double") / bf).alias(
+                    "wtf"
+                ),
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    tfsum = allp.groupBy("term", DOC_ID).agg(F.sum("wtf").alias("wtf"))
+    dfc = tfsum.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    n_docs = float(index.fieldstats[first].doc_count or 1)
+    from sparksearchengine_spark.functions.scoring import idf_expr
+
+    scored = tfsum.join(F.broadcast(dfc), "term").select(
+        DOC_ID,
+        (
+            idf_expr(F.col("_df"), n_docs)
+            * F.col("wtf")
+            / (F.lit(float(k1)) + F.col("wtf"))
+        ).alias("_s"),
+    )
+    total = scored.groupBy(DOC_ID).agg(
+        F.round(F.sum("_s"), 6).alias(SCORE)
+    )
+    w = Window.orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc())
+    return (
+        total.orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )

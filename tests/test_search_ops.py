@@ -912,3 +912,84 @@ class TestFacetCube:
             tiny_index.facet_cube(
                 Q.field("text").match_term("a"), ["tag"], mode="nope"
             )
+
+
+class TestBm25fSearch:
+    @pytest.fixture(scope="class")
+    def f2_index(self, spark):
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        df = spark.createDataFrame(
+            [
+                (1, "apple", "apple banana"),
+                (2, "banana", "apple apple cherry"),
+                (3, "cherry", "banana"),
+            ],
+            "doc_id long, title string, body string",
+        )
+        return Corpus(
+            df,
+            id_col="doc_id",
+            text_cols={
+                "title": TextOptions(analyzer="simple", positions=False),
+                "body": TextOptions(analyzer="simple", positions=False),
+            },
+        ).build_index()
+
+    def test_heavier_field_wins(self, f2_index):
+        out = f2_index.bm25f_search(
+            "cherry", {"title": 2.0, "body": 1.0}, k=10
+        ).collect()
+        # doc 3 matches in the double-weighted short title; doc 2 only in
+        # its longer body
+        assert [r["doc_id"] for r in out] == [3, 2]
+        assert out[0]["rank"] == 1 and out[0]["score"] > out[1]["score"]
+
+    def test_single_field_ordering_matches_bm25(self, f2_index):
+        from sparksearchengine_spark import Q
+
+        # one field, one term: BM25F is a monotone transform of BM25's
+        # tf/B, so the ranking must agree with the per-field engine
+        ours = [
+            r["doc_id"]
+            for r in f2_index.bm25f_search("apple", {"body": 1.0}).collect()
+        ]
+        ref = [
+            r["doc_id"]
+            for r in f2_index.search(
+                Q.field("body").match_term("apple"), k=10
+            ).collect()
+        ]
+        assert ours == ref
+
+    def test_union_docfreq(self, f2_index):
+        # 'banana' occurs in title(2... doc3 body) — title of doc 2, body
+        # of docs 1 and 3 -> union df = 3 = every doc: idf is the floor
+        # for all matches; check all three docs return
+        out = f2_index.bm25f_search("banana", {"title": 1.0, "body": 1.0})
+        assert out.count() == 3
+
+    def test_blend_before_saturation_beats_boosted_or(self, f2_index):
+        # doc 1 has 'apple' in BOTH fields: BM25F must give it the top
+        # rank for the apple query at equal weights (its blended tf is
+        # highest), even though doc 2 has tf=2 in body alone
+        out = f2_index.bm25f_search(
+            "apple", {"title": 1.0, "body": 1.0}
+        ).collect()
+        assert out[0]["doc_id"] == 1
+
+    def test_empty_query_and_bad_field(self, f2_index):
+        import pytest as _pytest
+
+        assert f2_index.bm25f_search("", {"title": 1.0}).count() == 0
+        with _pytest.raises(ValueError):
+            f2_index.bm25f_search("x", {"nope": 1.0})
+        with _pytest.raises(ValueError):
+            f2_index.bm25f_search("x", {})
+
+    def test_k_truncates_with_rank(self, f2_index):
+        out = f2_index.bm25f_search(
+            "apple banana cherry", {"title": 1.0, "body": 1.0}, k=2
+        ).collect()
+        assert len(out) == 2
+        assert [r["rank"] for r in out] == [1, 2]
