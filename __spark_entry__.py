@@ -1860,6 +1860,26 @@ def _search_bm25f(spark, sf):
     )
 
 
+def _search_suggest(spark, sf):
+    """Did-you-mean suggestions (operators/stats.py::suggest_terms):
+    Levenshtein ≤ 2 candidates from the vocabulary, length-prefiltered,
+    ranked (dist, df desc, term) — one vocab pass + TakeOrdered."""
+    idx = _docs_index(spark, sf)
+    return idx.suggest_terms("sparkk", max_dist=2, k=5)
+
+
+def _search_prf(spark, sf):
+    """RM3 pseudo-relevance-feedback expansion (operators/search.py::
+    prf_expand_search, Lavrenko & Croft 2001): top-5 feedback docs →
+    decimal-exact feedback term distribution (top 8) → λ=0.5
+    interpolation with the original query → one broadcast re-score
+    against the scored-postings cache."""
+    idx = _docs_index(spark, sf)
+    return idx.prf_expand_search(
+        "dup spark", k=10, fb_docs=5, fb_terms=8, lam=0.5
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -1965,6 +1985,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_mmr": _search_mmr,
         "search_facet_cube": _search_facet_cube,
         "search_bm25f": _search_bm25f,
+        "search_suggest": _search_suggest,
+        "search_prf": _search_prf,
     }
 
 
@@ -4260,4 +4282,72 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
                  AS rank
         FROM tot ORDER BY score DESC, doc_id LIMIT 10"""
+
+    # did-you-mean: DuckDB's levenshtein is the same unit-cost edit
+    # distance as Spark's
+    o["search_suggest"] = _CTE + """
+        , cand AS (
+          SELECT term, CAST(df AS BIGINT) AS df_t,
+                 CAST(levenshtein(term, 'sparkk') AS INT) AS dist
+          FROM termstats
+          WHERE abs(length(term) - length('sparkk')) <= 2
+        )
+        SELECT term, df_t, dist,
+               CAST(row_number() OVER (
+                 ORDER BY dist, df_t DESC, term) AS INT) AS rank
+        FROM cand WHERE dist <= 2
+        ORDER BY dist, df_t DESC, term LIMIT 5"""
+
+    # RM3 PRF (operators/search.py::prf_expand_search): feedback
+    # contributions and final per-doc sums run through rounded DECIMALs
+    # (order-exact); the fb/term cuts order by those exact decimals.
+    o["search_prf"] = _CTE + f"""
+        , s1 AS (
+          SELECT p.doc_id, sum({_bm25_sql("p.tf", "p.dl", "t.df")}) AS s
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          WHERE p.term IN ('dup', 'spark')
+          GROUP BY p.doc_id
+        ),
+        fb AS (SELECT doc_id, s FROM s1 ORDER BY s DESC, doc_id LIMIT 5),
+        contrib AS (
+          SELECT p.term,
+                 CAST(round((CAST(p.tf AS DOUBLE) / CAST(p.dl AS DOUBLE))
+                            * fb.s, 6) AS DECIMAL(28,6)) AS c
+          FROM postings p JOIN fb USING (doc_id)
+        ),
+        wfb0 AS (
+          SELECT term, CAST(sum(c) AS DECIMAL(38,6)) AS w
+          FROM contrib GROUP BY term
+          ORDER BY w DESC, term LIMIT 8
+        ),
+        wfb AS (
+          SELECT term, CAST(w AS DOUBLE)
+                       / (SELECT CAST(sum(w) AS DOUBLE) FROM wfb0) AS wv
+          FROM wfb0
+        ),
+        orig AS (SELECT unnest(['dup', 'spark']) AS term, 0.5 AS porig),
+        wts AS (
+          SELECT coalesce(wfb.term, orig.term) AS term,
+                 0.5 * coalesce(orig.porig, 0.0)
+                 + 0.5 * coalesce(wfb.wv, 0.0) AS wt
+          FROM wfb FULL OUTER JOIN orig ON wfb.term = orig.term
+        ),
+        sc AS (
+          SELECT p.doc_id,
+                 CAST(round(w.wt * ({_bm25_sql("p.tf", "p.dl", "t.df")}), 6)
+                      AS DECIMAL(28,6)) AS cs
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          JOIN wts w ON w.term = p.term
+        ),
+        tot2 AS (
+          SELECT doc_id,
+                 CAST(CAST(sum(cs) AS DECIMAL(38,6)) AS DOUBLE) AS score
+          FROM sc GROUP BY doc_id
+        )
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
+                 AS rank
+        FROM tot2 ORDER BY score DESC, doc_id LIMIT 10"""
     return o

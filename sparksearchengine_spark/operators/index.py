@@ -393,6 +393,13 @@ class SearchIndex:
 
         return bm25f_search(self, text, field_weights, k=k, **kw)
 
+    def prf_expand_search(self, text, field: str = "text", k: int = 10, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.search import (
+            prf_expand_search,
+        )
+
+        return prf_expand_search(self, text, field=field, k=k, **kw)
+
     def grouped_search(self, query, group_col: str, k: int = 10, **kw):  # type: ignore[no-untyped-def]
         from sparksearchengine_spark.operators.search import grouped_search
 
@@ -402,6 +409,11 @@ class SearchIndex:
         from sparksearchengine_spark.operators.stats import explain_score
 
         return explain_score(self, query, doc_id)
+
+    def suggest_terms(self, term: str, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.stats import suggest_terms
+
+        return suggest_terms(self, term, **kw)
 
     def doc_counts(self) -> DataFrame:
         from sparksearchengine_spark.operators.stats import doc_counts

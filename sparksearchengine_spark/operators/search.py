@@ -927,3 +927,112 @@ def bm25f_search(
         .limit(k)
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+def prf_expand_search(
+    index: "SearchIndex",
+    text: str,
+    field: str = "text",
+    k: int = 10,
+    fb_docs: int = 10,
+    fb_terms: int = 10,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Pseudo-relevance-feedback expansion search (RM3 shape — Lavrenko
+    & Croft 2001 relevance models; Abdul-Jaleel et al. 2004 for the
+    λ-interpolation): run the BM25 query, estimate a feedback term
+    distribution from the top ``fb_docs`` hits, interpolate it with the
+    original query, re-score — `(doc_id, score, rank)`.
+
+        w_fb(t)    ∝ Σ_{d∈FB} (tf(t,d)/dl(d)) · s₁(d)
+        w_final(t) = λ·(1/|Q|)·[t∈Q] + (1−λ)·w_fb(t)/Σw_fb
+        s₂(d)      = Σ_t w_final(t) · bm25(t,d)
+
+    One composed lazy plan, no collect: the first-pass top-fb_docs is a
+    TakeOrdered (≤ fb_docs rows, broadcast into the postings join that
+    mines feedback terms), the feedback vocabulary reduces to
+    ``fb_terms`` rows (TakeOrdered again), and the second pass is one
+    broadcast join of that ≤ (fb_terms+|Q|)-row weight table against the
+    cached scored postings — the same physical shape as ``batch_search``
+    with exactly one query. At 100 TB the only corpus-wide work is the
+    two scored-postings passes.
+
+    Determinism contract for the DuckDB oracle: per-(term,doc) feedback
+    contributions are rounded 6dp and summed as DECIMAL (order-exact),
+    the fb_terms cut orders by that exact decimal (term-asc ties), and
+    the final score rounds 6dp with doc_id ties.
+    """
+    from sparksearchengine_spark.functions.analyzers import tokenize_py
+    from sparksearchengine_spark.plans.ast import Q as _Q
+
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    analyzer = index.corpus.text_cols[field].analyzer
+    qterms = sorted(set(tokenize_py(text, analyzer)))
+    spark = index.postings.sparkSession
+    if not qterms:
+        return spark.createDataFrame([], "doc_id long, score double, rank int")
+
+    fb = search(index, _Q.field(field).match_any(*qterms), k=fb_docs).select(
+        DOC_ID, F.col(SCORE).alias("_s1")
+    )
+    posts = index.postings.where(F.col("field") == field).select(
+        "term",
+        DOC_ID,
+        (F.col("tf").cast("double") / F.col("dl").cast("double")).alias("_tl"),
+    )
+    contrib = posts.join(F.broadcast(fb), DOC_ID).select(
+        "term",
+        F.round(F.col("_tl") * F.col("_s1"), 6)
+        .cast("decimal(28,6)")
+        .alias("_c"),
+    )
+    wfb = (
+        contrib.groupBy("term")
+        .agg(F.sum("_c").cast("decimal(38,6)").alias("_w"))
+        .orderBy(F.col("_w").desc(), F.col("term").asc())
+        .limit(fb_terms)
+    )
+    # total over the KEPT terms (the cut defines the distribution we
+    # interpolate — standard RM3 renormalizes after truncation)
+    wfb = wfb.crossJoin(
+        F.broadcast(
+            wfb.agg(F.sum("_w").cast("double").alias("_tot"))
+        )
+    ).select(
+        "term",
+        (F.col("_w").cast("double") / F.col("_tot")).alias("_wfb"),
+    )
+    orig = spark.createDataFrame(
+        [(t, 1.0 / len(qterms)) for t in qterms], "term string, _porig double"
+    )
+    weights = (
+        wfb.join(orig, "term", "full_outer")
+        .select(
+            "term",
+            (
+                F.lit(float(lam)) * F.coalesce(F.col("_porig"), F.lit(0.0))
+                + F.lit(1.0 - float(lam))
+                * F.coalesce(F.col("_wfb"), F.lit(0.0))
+            ).alias("_wt"),
+        )
+    )
+    scored = index.scored_postings(field).join(
+        F.broadcast(weights), "term"
+    )
+    # per-(term,doc) products rounded then summed as DECIMAL: the
+    # per-doc total is independent of aggregation order across engines
+    total = scored.groupBy(DOC_ID).agg(
+        F.sum(
+            F.round(F.col("_wt") * F.col("tscore"), 6).cast("decimal(28,6)")
+        )
+        .cast("decimal(38,6)")
+        .cast("double")
+        .alias(SCORE)
+    )
+    w = Window.orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc())
+    return (
+        total.orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )

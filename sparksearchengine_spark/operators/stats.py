@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import TYPE_CHECKING
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from sparksearchengine_spark.functions.scoring import idf_expr
@@ -212,3 +212,50 @@ def config_info(index: "SearchIndex") -> dict:
         "text_cols": index.corpus.text_cols,
         "id_col": index.corpus.id_col,
     }
+
+
+def suggest_terms(
+    index: "SearchIndex",
+    term: str,
+    field: str | None = None,
+    max_dist: int = 2,
+    k: int = 5,
+    min_df: int = 1,
+) -> DataFrame:
+    """Did-you-mean spelling suggestions: vocabulary terms within
+    ``max_dist`` Levenshtein edits of ``term``, ranked by (distance asc,
+    docFreq desc, term asc) — `(term, df_t, dist, rank)`.
+
+    Plan shape: one pass over ``termstats`` (the vocabulary — ≤ |V|
+    rows, orders of magnitude smaller than postings) with a codegen'd
+    ``levenshtein`` scalar; a cheap length pre-filter (|len(t) −
+    len(term)| ≤ max_dist, a lower bound on edit distance) prunes most
+    of the vocab before the O(len²) distance runs; then one TakeOrdered
+    for the top-k. No shuffle beyond the final ≤k-row reduction.
+    """
+    if max_dist < 0:
+        raise ValueError("max_dist must be >= 0")
+    ts = index.termstats
+    if field is not None:
+        ts = ts.where(F.col("field") == field)
+    else:
+        # same term in several fields: strongest df wins
+        ts = ts.groupBy("term").agg(F.max("df_t").alias("df_t"))
+    q = F.lit(term)
+    cand = ts.where(
+        F.abs(F.length(F.col("term")) - F.length(q)) <= max_dist
+    ).withColumn("dist", F.levenshtein(F.col("term"), q))
+    cand = cand.where(
+        (F.col("dist") <= max_dist) & (F.col("df_t") >= min_df)
+    )
+    w = Window.orderBy(
+        F.col("dist").asc(), F.col("df_t").desc(), F.col("term").asc()
+    )
+    return (
+        cand.orderBy(
+            F.col("dist").asc(), F.col("df_t").desc(), F.col("term").asc()
+        )
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+        .select("term", "df_t", "dist", "rank")
+    )

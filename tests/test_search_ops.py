@@ -993,3 +993,99 @@ class TestBm25fSearch:
         ).collect()
         assert len(out) == 2
         assert [r["rank"] for r in out] == [1, 2]
+
+
+class TestSuggestTerms:
+    def test_exact_term_first_then_neighbors(self, tiny_index):
+        # vocab: a, b, c — suggest for 'a' at dist<=1: 'a' (dist 0) then
+        # 'b','c' (dist 1, df ties broken by term asc)
+        out = tiny_index.suggest_terms("a", max_dist=1, k=5).collect()
+        assert [r["term"] for r in out] == ["a", "b", "c"]
+        assert [r["dist"] for r in out] == [0, 1, 1]
+        assert [r["rank"] for r in out] == [1, 2, 3]
+
+    def test_max_dist_zero_is_exact_lookup(self, tiny_index):
+        out = tiny_index.suggest_terms("a", max_dist=0).collect()
+        assert [r["term"] for r in out] == ["a"]
+
+    def test_no_match_empty(self, tiny_index):
+        assert tiny_index.suggest_terms("zzzzzz", max_dist=1).count() == 0
+
+    def test_df_ranks_real_vocab(self, docs_index):
+        # misspell a frequent corpus token by one edit; the true token
+        # must come back rank 1
+        top = (
+            docs_index.term_counts()
+            .orderBy(F.col("df_t").desc(), F.col("term").asc())
+            .first()["term"]
+        )
+        misspelled = top[:-1] + "zz"  # one substitution + one insert
+        out = docs_index.suggest_terms(misspelled, max_dist=2, k=3).collect()
+        assert out and out[0]["term"] == top
+
+    def test_bad_args(self, tiny_index):
+        with pytest.raises(ValueError):
+            tiny_index.suggest_terms("a", max_dist=-1)
+
+
+class TestPrfExpandSearch:
+    def test_lambda_one_ranks_like_original_query(self, docs_index):
+        # λ=1: the feedback distribution is weighted 0, so the scores are
+        # (1/|Q|)·BM25 — same ranking as the plain query
+        ours = [
+            r["doc_id"]
+            for r in docs_index.prf_expand_search(
+                "dup spark", k=10, lam=1.0
+            ).collect()
+        ]
+        ref = [
+            r["doc_id"]
+            for r in docs_index.search(
+                Q.field("text").match_any("dup", "spark"), k=10
+            ).collect()
+        ]
+        assert ours == ref
+
+    def test_expansion_recalls_docs_without_query_terms(self, spark):
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        # doc 3 never contains 'apple' but shares 'banana' with the
+        # feedback docs -> only the expanded query can rank it
+        df = spark.createDataFrame(
+            [
+                (1, "apple banana apple"),
+                (2, "apple banana"),
+                (3, "banana cherry"),
+                (4, "unrelated words here"),
+            ],
+            "doc_id long, text string",
+        )
+        idx = Corpus(
+            df, id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="simple")},
+        ).build_index()
+        plain = {
+            r["doc_id"]
+            for r in idx.search(
+                Q.field("text").match_term("apple"), k=10
+            ).collect()
+        }
+        expanded = {
+            r["doc_id"]
+            for r in idx.prf_expand_search(
+                "apple", k=10, fb_docs=2, fb_terms=5, lam=0.5
+            ).collect()
+        }
+        assert 3 not in plain and 3 in expanded
+
+    def test_empty_query_empty_result(self, docs_index):
+        assert docs_index.prf_expand_search("", k=5).count() == 0
+
+    def test_rank_column_and_k(self, docs_index):
+        out = docs_index.prf_expand_search("dup spark", k=4).collect()
+        assert len(out) == 4
+        assert [r["rank"] for r in out] == [1, 2, 3, 4]
+
+    def test_bad_lambda(self, docs_index):
+        with pytest.raises(ValueError):
+            docs_index.prf_expand_search("x", lam=2.0)
