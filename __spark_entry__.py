@@ -1880,6 +1880,17 @@ def _search_prf(spark, sf):
     )
 
 
+def _search_sigterms(spark, sf):
+    """Significant-terms aggregation (operators/stats.py::
+    significant_terms): JLH-scored overrepresentation of match-set
+    terms vs the corpus background — semi-join bounded by the match
+    set, broadcast termstats, TakeOrdered k."""
+    idx = _docs_index(spark, sf)
+    return idx.significant_terms(
+        Q.field("text").match_any(*QC10_TERMS), k=10, min_doc_count=2
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -1987,6 +1998,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_bm25f": _search_bm25f,
         "search_suggest": _search_suggest,
         "search_prf": _search_prf,
+        "search_sigterms": _search_sigterms,
     }
 
 
@@ -4350,4 +4362,34 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT)
                  AS rank
         FROM tot2 ORDER BY score DESC, doc_id LIMIT 10"""
+
+    # significant terms (JLH): all rates are exact-integer ratios cast
+    # to double in the same expression shapes as the Spark code
+    o["search_sigterms"] = _CTE + """
+        , matched AS (
+          SELECT DISTINCT doc_id FROM postings
+          WHERE term IN ('dup', 'spark')
+        ),
+        m AS (SELECT CAST(count(*) AS DOUBLE) AS msz FROM matched),
+        fg AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS fg_count
+          FROM postings JOIN matched USING (doc_id)
+          GROUP BY term HAVING count(*) >= 2
+        ),
+        sc AS (
+          SELECT fg.term, fg.fg_count, CAST(t.df AS BIGINT) AS bg_count,
+                 round(
+                   (CAST(fg.fg_count AS DOUBLE) / (SELECT msz FROM m)
+                    - CAST(t.df AS DOUBLE)
+                      / CAST((SELECT n FROM fieldstats) AS DOUBLE))
+                   * ((CAST(fg.fg_count AS DOUBLE) / (SELECT msz FROM m))
+                      / (CAST(t.df AS DOUBLE)
+                         / CAST((SELECT n FROM fieldstats) AS DOUBLE))),
+                 6) AS score
+          FROM fg JOIN termstats t USING (term)
+        )
+        SELECT term, fg_count, bg_count, score,
+               CAST(row_number() OVER (ORDER BY score DESC, term) AS INT)
+                 AS rank
+        FROM sc ORDER BY score DESC, term LIMIT 10"""
     return o

@@ -415,6 +415,13 @@ class SearchIndex:
 
         return suggest_terms(self, term, **kw)
 
+    def significant_terms(self, query, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.stats import (
+            significant_terms,
+        )
+
+        return significant_terms(self, query, **kw)
+
     def doc_counts(self) -> DataFrame:
         from sparksearchengine_spark.operators.stats import doc_counts
 

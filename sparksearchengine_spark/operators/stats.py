@@ -259,3 +259,72 @@ def suggest_terms(
         .withColumn("rank", F.row_number().over(w))
         .select("term", "df_t", "dist", "rank")
     )
+
+
+def significant_terms(
+    index: "SearchIndex",
+    query,  # type: ignore[no-untyped-def]
+    field: str = "text",
+    k: int = 10,
+    min_doc_count: int = 2,
+) -> DataFrame:
+    """Significant-terms aggregation over a query's match set (the
+    Elasticsearch aggregation of the same name): terms OVERREPRESENTED
+    in the matching docs relative to the whole corpus, scored with the
+    JLH heuristic —
+
+        score(t) = (fg − bg) · (fg / bg)
+
+    with ``fg = df_match(t)/|matches|`` and ``bg = df(t)/N`` — the
+    absolute lift times the relative lift, so both common-and-lifted and
+    rare-but-exclusive terms surface. Returns
+    ``(term, fg_count, bg_count, score, rank)``, score rounded 6dp,
+    term-asc ties.
+
+    Plan shape: compile the query once, semi-join its doc set into the
+    field's postings (the match set bounds the shuffle, not the corpus),
+    one groupBy(term) count, broadcast-join the ≤|V|-row termstats for
+    the background rates, TakeOrdered k. The match-set size rides along
+    as a broadcast 1-row aggregate — no driver collect."""
+    if k <= 0:
+        raise ValueError("k must be positive")
+    matched = index.compile(query).select("doc_id")
+    fg = (
+        index.postings.where(F.col("field") == field)
+        .join(matched, "doc_id", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("fg_count"))
+        .where(F.col("fg_count") >= min_doc_count)
+    )
+    msize = matched.agg(F.count(F.lit(1)).cast("double").alias("_m"))
+    ts = index.termstats.where(F.col("field") == field).select(
+        "term", F.col("df_t").cast("long").alias("bg_count")
+    )
+    fs = index.fieldstats[field]
+    n_docs = float(fs.doc_count or 1)
+    scored = (
+        fg.join(F.broadcast(ts), "term")
+        .crossJoin(F.broadcast(msize))
+        .select(
+            "term",
+            "fg_count",
+            "bg_count",
+            F.round(
+                (
+                    F.col("fg_count").cast("double") / F.col("_m")
+                    - F.col("bg_count").cast("double") / F.lit(n_docs)
+                )
+                * (
+                    (F.col("fg_count").cast("double") / F.col("_m"))
+                    / (F.col("bg_count").cast("double") / F.lit(n_docs))
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.orderBy(F.col("score").desc(), F.col("term").asc())
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )

@@ -1089,3 +1089,37 @@ class TestPrfExpandSearch:
     def test_bad_lambda(self, docs_index):
         with pytest.raises(ValueError):
             docs_index.prf_expand_search("x", lam=2.0)
+
+
+class TestSignificantTerms:
+    def test_jlh_hand_computed(self, tiny_index):
+        out = tiny_index.significant_terms(
+            Q.field("text").match_term("a"), min_doc_count=1, k=5
+        ).collect()
+        rows = {r["term"]: r for r in out}
+        # match set {1,2}: fg(a)=2/2=1, bg(a)=2/3:
+        # (1 - 2/3)*(1/(2/3)) = 0.5
+        assert rows["a"]["score"] == 0.5
+        assert rows["a"]["rank"] == 1
+        # b and c tie negative -> term-asc order
+        assert [r["term"] for r in out] == ["a", "b", "c"]
+        assert rows["b"]["score"] == rows["c"]["score"] < 0
+
+    def test_min_doc_count_filters(self, tiny_index):
+        out = tiny_index.significant_terms(
+            Q.field("text").match_term("a"), min_doc_count=2, k=5
+        ).collect()
+        # only 'a' appears in >= 2 matched docs
+        assert [r["term"] for r in out] == ["a"]
+
+    def test_query_term_surfaces_on_real_corpus(self, docs_index):
+        out = docs_index.significant_terms(
+            Q.field("text").match_term("dup"), k=5
+        ).collect()
+        assert out[0]["term"] == "dup" and out[0]["score"] > 0
+
+    def test_bad_k(self, tiny_index):
+        with pytest.raises(ValueError):
+            tiny_index.significant_terms(
+                Q.field("text").match_term("a"), k=0
+            )
