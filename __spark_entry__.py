@@ -1891,6 +1891,16 @@ def _search_sigterms(spark, sf):
     )
 
 
+def _table_histogram(spark, sf):
+    """Fixed-width numeric histogram (operators/profile.py::histogram):
+    floor-bin range facets over o_totalprice — one partial-agg'd
+    groupBy, bins bound the shuffle."""
+    from sparksearchengine_spark.operators.profile import histogram
+
+    orders = _read(spark, sf, "orders")
+    return histogram(orders, "o_totalprice", 50_000.0).orderBy("bin_start")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -1999,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_suggest": _search_suggest,
         "search_prf": _search_prf,
         "search_sigterms": _search_sigterms,
+        "table_histogram": _table_histogram,
     }
 
 
@@ -4392,4 +4403,14 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY score DESC, term) AS INT)
                  AS rank
         FROM sc ORDER BY score DESC, term LIMIT 10"""
+
+    # fixed-width histogram: floor(x/w)*w — Spark floor yields BIGINT
+    # then *w promotes to DOUBLE; DuckDB floor is DOUBLE throughout;
+    # the products are integral doubles either way
+    o["table_histogram"] = """
+        SELECT floor(CAST(o_totalprice AS DOUBLE) / 50000.0) * 50000.0
+                 AS bin_start,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders WHERE o_totalprice IS NOT NULL
+        GROUP BY 1 ORDER BY bin_start"""
     return o

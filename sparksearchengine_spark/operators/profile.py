@@ -275,3 +275,33 @@ def sketch_accuracy_check(
     return df.sparkSession.createDataFrame(
         out, "column string, distinct_ok boolean, median_rank_ok boolean"
     )
+
+
+def histogram(
+    df: DataFrame,
+    col: str,
+    width: float,
+    min_count: int = 0,
+) -> DataFrame:
+    """Fixed-width numeric histogram (the range-facet / distribution-
+    profile aggregation): ``(bin_start, n_rows)`` with
+    ``bin_start = floor(x/width)·width``. One partial-agg'd groupBy —
+    the shuffle carries ≤ |bins| rows per partition regardless of data
+    volume, so it is safe on any column of a 100 TB table. NULLs are
+    excluded (they are a null-rate statistic, not a bin). Empty bins
+    don't appear (dense ranges belong to the presentation layer).
+
+    ``min_count`` drops sparse bins (long-tail noise in UIs).
+    """
+    if width <= 0:
+        raise ValueError("width must be positive")
+    x = F.col(col).cast("double")
+    bin_start = F.floor(x / F.lit(float(width))) * F.lit(float(width))
+    out = (
+        df.where(x.isNotNull())
+        .groupBy(bin_start.alias("bin_start"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+    if min_count > 0:
+        out = out.where(F.col("n_rows") >= min_count)
+    return out

@@ -169,3 +169,48 @@ class TestSketchAccuracy:
         )
         row = sketch_accuracy_check(df, ["v"]).first()
         assert row["median_rank_ok"] is True
+
+
+class TestHistogram:
+    def test_hand_computed_bins(self, spark):
+        from sparksearchengine_spark.operators.profile import histogram
+
+        df = spark.createDataFrame(
+            [(0.5,), (1.5,), (1.9,), (-0.1,), (None,)], "v double"
+        )
+        out = {
+            r["bin_start"]: r["n_rows"]
+            for r in histogram(df, "v", 1.0).collect()
+        }
+        # floor semantics: -0.1 falls in the [-1, 0) bin; NULL excluded
+        assert out == {0.0: 1, 1.0: 2, -1.0: 1}
+
+    def test_min_count_prunes(self, spark):
+        from sparksearchengine_spark.operators.profile import histogram
+
+        df = spark.createDataFrame(
+            [(1.0,), (1.1,), (5.0,)], "v double"
+        )
+        out = histogram(df, "v", 1.0, min_count=2).collect()
+        assert len(out) == 1 and out[0]["bin_start"] == 1.0
+
+    def test_single_partial_agg_plan(self, spark):
+        from sparksearchengine_spark.operators.profile import histogram
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        plan = (
+            histogram(li, "l_extendedprice", 10000.0)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("HashAggregate") == 2  # partial + final
+
+    def test_bad_width(self, spark):
+        import pytest
+
+        from sparksearchengine_spark.operators.profile import histogram
+
+        df = spark.createDataFrame([(1.0,)], "v double")
+        with pytest.raises(ValueError):
+            histogram(df, "v", 0.0)
