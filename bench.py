@@ -280,6 +280,36 @@ def main() -> None:
         )
         with_url_keys(urls, "url").groupBy("url_domain").count().collect()
 
+    # 12. round-3 search extensions (first values define their baseline).
+    # bm25f gets its own two-field index; the build is untimed (the
+    # index_build row already prices builds), queries are the operator.
+    spark.conf.unset("spark.sql.files.maxPartitionBytes")
+    with timed("search_prf"):
+        idx.prf_expand_search(
+            "dup spark", k=10, fb_docs=5, fb_terms=8
+        ).collect()
+
+    with timed("search_sigterms"):
+        idx.significant_terms(
+            Q.field("text").match_any("dup", "spark"), k=10, min_doc_count=2
+        ).collect()
+
+    from sparksearchengine_spark import Corpus as _C
+
+    idx2 = _C(
+        docs,
+        id_col="doc_id",
+        text_cols={
+            "text": TextOptions(analyzer="simple", positions=False),
+            "source": TextOptions(analyzer="simple", positions=False),
+        },
+    ).build_index()
+    idx2.postings.count()  # materialize outside the timed block
+    with timed("search_bm25f"):
+        idx2.bm25f_search(
+            "dup spark src3", {"text": 1.0, "source": 2.0}, k=10
+        ).collect()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

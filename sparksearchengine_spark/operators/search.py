@@ -987,35 +987,42 @@ def prf_expand_search(
         .cast("decimal(28,6)")
         .alias("_c"),
     )
-    wfb = (
+    # The kept feedback vocabulary is ≤ fb_terms rows BY CONTRACT — the
+    # one place a driver collect is the right plan: leaving it lazy made
+    # Catalyst evaluate the whole feedback subtree (a corpus-postings
+    # pass) TWICE (once for the normalizer, once for the weights) plus a
+    # sort-merge full-outer against the query terms (r3 plan review).
+    # Exact DECIMAL weights survive the round-trip; float() is the same
+    # nearest-double conversion as the oracle's CAST(… AS DOUBLE).
+    wfb_rows = (
         contrib.groupBy("term")
         .agg(F.sum("_c").cast("decimal(38,6)").alias("_w"))
         .orderBy(F.col("_w").desc(), F.col("term").asc())
         .limit(fb_terms)
+        .collect()
     )
-    # total over the KEPT terms (the cut defines the distribution we
-    # interpolate — standard RM3 renormalizes after truncation)
-    wfb = wfb.crossJoin(
-        F.broadcast(
-            wfb.agg(F.sum("_w").cast("double").alias("_tot"))
-        )
-    ).select(
-        "term",
-        (F.col("_w").cast("double") / F.col("_tot")).alias("_wfb"),
+    from decimal import Decimal
+
+    tot = sum((r["_w"] for r in wfb_rows), Decimal(0))
+    wmap = (
+        {r["term"]: float(r["_w"]) / float(tot) for r in wfb_rows}
+        if tot > 0
+        else {}
     )
-    orig = spark.createDataFrame(
-        [(t, 1.0 / len(qterms)) for t in qterms], "term string, _porig double"
-    )
-    weights = (
-        wfb.join(orig, "term", "full_outer")
-        .select(
-            "term",
+    # standard RM3: renormalize after the fb_terms truncation, then
+    # λ-interpolate with the uniform original-query distribution
+    porig = 1.0 / len(qterms)
+    qset = set(qterms)
+    weights = spark.createDataFrame(
+        [
             (
-                F.lit(float(lam)) * F.coalesce(F.col("_porig"), F.lit(0.0))
-                + F.lit(1.0 - float(lam))
-                * F.coalesce(F.col("_wfb"), F.lit(0.0))
-            ).alias("_wt"),
-        )
+                t,
+                float(lam) * (porig if t in qset else 0.0)
+                + (1.0 - float(lam)) * wmap.get(t, 0.0),
+            )
+            for t in sorted(qset | set(wmap))
+        ],
+        "term string, _wt double",
     )
     scored = index.scored_postings(field).join(
         F.broadcast(weights), "term"

@@ -1123,3 +1123,84 @@ class TestSignificantTerms:
             tiny_index.significant_terms(
                 Q.field("text").match_term("a"), k=0
             )
+
+
+class TestNewOpPlanShapes:
+    """Physical-plan assertions for the round-3 search operators: the
+    small sides broadcast and nothing corpus-sized shuffles that needn't."""
+
+    def test_prf_weight_table_broadcasts(self, docs_index):
+        plan = (
+            docs_index.prf_expand_search("dup spark", k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the ≤(fb_terms+|Q|)-row weight table joins the scored postings
+        # via broadcast — the postings side must never be a build side
+        assert "BroadcastHashJoin" in plan
+        # final top-k is a TakeOrdered, not a global sort
+        assert "TakeOrderedAndProject" in plan and "Sort [" not in plan
+
+    def test_sigterms_termstats_broadcasts(self, docs_index):
+        plan = (
+            docs_index.significant_terms(
+                Q.field("text").match_term("dup"), k=5
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "TakeOrderedAndProject" in plan
+
+    def test_bm25f_docfreq_broadcasts_and_terms_prune(self, docs_index, spark):
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        idx = Corpus(
+            docs,
+            id_col="doc_id",
+            text_cols={
+                "text": TextOptions(analyzer="simple", positions=False),
+                "source": TextOptions(analyzer="simple", positions=False),
+            },
+        ).build_index()
+        plan = (
+            idx.bm25f_search("dup src3", {"text": 1.0, "source": 2.0})
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+        # driver-literal query terms reach the postings filter
+        assert "term#" in plan and " IN " in plan
+
+    def test_suggest_is_single_vocab_pass(self, docs_index):
+        plan = (
+            docs_index.suggest_terms("sparkk", max_dist=2, k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "TakeOrderedAndProject" in plan
+        assert "Join" not in plan  # vocab scan + filter only
+
+    def test_mmr_single_group_exchange(self, spark):
+        from sparksearchengine_spark.operators.similarity import mmr_rerank
+
+        pool = spark.createDataFrame(
+            [(1, i, 1.0 / (i + 1), [float(i), 1.0]) for i in range(20)],
+            "query_id long, vec_id long, cos_sim double, "
+            "embedding array<double>",
+        )
+        plan = (
+            mmr_rerank(pool, k=3)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # exactly one exchange: the groupBy(query_id) for applyInPandas
+        assert plan.count("Exchange") == 1
