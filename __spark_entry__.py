@@ -4016,14 +4016,20 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
                    lower(regexp_extract(url,
                      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
                    '^[^@]*@', ''), ':[0-9]*$', ''), '^www\\.', '') AS host,
+                 regexp_extract(
+                   regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+                   ':([0-9]+)$', 1) AS port,
                  regexp_replace(regexp_replace(
                    regexp_extract(url,
                      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
                    '//+', '/', 'g'), '/+$', '') AS path,
                  -- DuckDB array_to_string([]) is NULL; Spark array_join
-                 -- of an empty array is '' — coalesce to match
+                 -- of an empty array is '' — coalesce to match. Fragment
+                 -- removed BEFORE the '?' search (RFC 3986).
                  coalesce(array_to_string(list_sort(list_filter(
-                   string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+                   string_split(regexp_extract(
+                     regexp_replace(url, '#.*', ''), '\\?(.*)$', 1), '&'),
                    x -> x <> '' AND NOT regexp_matches(x,
                      '^(utm_[a-z0-9]+|fbclid|gclid|dclid|msclkid|mc_eid'
                      || '|mc_cid|igshid|yclid|ref|ref_src|spm|_ga)(=.*)?$')
@@ -4032,7 +4038,12 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         ),
         keyed AS (
           SELECT doc_id,
-                 scheme || '://' || host || path
+                 scheme || '://' || host
+                 || (CASE WHEN port = ''
+                            OR (scheme = 'http' AND port = '80')
+                            OR (scheme = 'https' AND port = '443')
+                          THEN '' ELSE ':' || port END)
+                 || path
                  || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS url_norm,
                  host AS url_host,
                  CASE WHEN regexp_matches(host,
@@ -4293,9 +4304,15 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         dfc AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfv
                 FROM tsum GROUP BY term),
         sc AS (
+          -- N = max over the scored fields' doc counts (source covers
+          -- every row, text counts docs with >=1 token); idf floored at
+          -- 0 — both mirroring the Spark code exactly
           SELECT t.doc_id,
-                 ln(1.0 + (CAST((SELECT n FROM ts) AS DOUBLE) - d.dfv + 0.5)
-                          / (d.dfv + 0.5))
+                 greatest(0.0,
+                   ln(1.0 + (CAST(greatest((SELECT n FROM ts),
+                                           (SELECT count(*) FROM sp))
+                                  AS DOUBLE) - d.dfv + 0.5)
+                            / (d.dfv + 0.5)))
                    * t.wtf / (1.2 + t.wtf) AS s
           FROM tsum t JOIN dfc d USING (term)
         ),

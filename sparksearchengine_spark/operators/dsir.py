@@ -94,11 +94,14 @@ def dsir_bucket_logratio(
     ``log_ratio = round(ln p_t(b) − ln p_r(b), 6)`` under add-``alpha``
     smoothing (``p(b) = (c_b + alpha) / (total + alpha·dim)``).
 
-    Buckets unseen in BOTH corpora are omitted — their ratio is the
-    constant ``ln(alpha/(T_t+alpha·dim)) − ln(alpha/(T_r+alpha·dim))``,
-    which scoring applies as the coalesce default, so the table stays
-    sparse. Rounding to 6dp here makes every downstream sum decimal-
-    exact across engines."""
+    Buckets unseen in BOTH corpora are omitted from the keyed rows —
+    their ratio is the constant ``ln(alpha/(T_t+alpha·dim)) −
+    ln(alpha/(T_r+alpha·dim))``, carried on a ``bucket = -1`` SENTINEL
+    row (md5 buckets are always ≥ 0) that :func:`dsir_log_weights`
+    applies as the unseen-bucket default — a novel-gram-heavy NEW corpus
+    scored against a reused table gets the correct constant, not 0
+    (r3 review). Rounding to 6dp here makes every downstream sum
+    decimal-exact across engines."""
     rc = _bucket_counts(raw_df, text_col, analyzer, dim, "c_raw")
     tc = _bucket_counts(target_df, text_col, analyzer, dim, "c_tgt")
     if dim <= BROADCAST_MAX_BUCKETS:
@@ -117,6 +120,9 @@ def dsir_bucket_logratio(
         t_tgt = sum(v[1] for v in merged.values())
         denom_r = float(t_raw) + alpha * dim
         denom_t = float(t_tgt) + alpha * dim
+        default = round(
+            math.log(alpha / denom_t) - math.log(alpha / denom_r), 6
+        )
         rows = [
             (
                 b,
@@ -127,12 +133,13 @@ def dsir_bucket_logratio(
                 ),
             )
             for b, (cr, ct) in merged.items()
-        ]
+        ] + [(-1, default)]  # unseen-bucket sentinel
         return F.broadcast(
             spark.createDataFrame(rows, "bucket long, log_ratio double")
         )
-    # huge-dim path: keep distributed; persist so the totals and the
-    # scoring join share one computation of each count table
+    # huge-dim path: keep distributed; persist the counts only until the
+    # joined ratio table is materialized, then release them (no leaked
+    # cached blocks — r3 review)
     rc, tc = rc.persist(), tc.persist()
     t_raw = rc.agg(F.sum("c_raw")).collect()[0][0] or 0
     t_tgt = tc.agg(F.sum("c_tgt")).collect()[0][0] or 0
@@ -148,7 +155,21 @@ def dsir_bucket_logratio(
         - F.log((F.col("c_raw") + F.lit(alpha)) / F.lit(denom_r)),
         6,
     )
-    return joined.select("bucket", ratio.alias("log_ratio"))
+    default = round(
+        math.log(alpha / denom_t) - math.log(alpha / denom_r), 6
+    )
+    sentinel = raw_df.sparkSession.createDataFrame(
+        [(-1, default)], "bucket long, log_ratio double"
+    )
+    out = (
+        joined.select("bucket", ratio.alias("log_ratio"))
+        .unionByName(sentinel)
+        .persist()
+    )
+    out.count()  # materialize, then the upstream caches can go
+    rc.unpersist()
+    tc.unpersist()
+    return out
 
 
 def dsir_log_weights(
@@ -175,15 +196,24 @@ def dsir_log_weights(
         logratio_df = dsir_bucket_logratio(
             raw_df, target_df, text_col, analyzer, dim, alpha
         )
+    # the unseen-bucket default rides the table's bucket=-1 sentinel row
+    # (one tiny job on a ≤dim-row table); 0.0 if a caller passes a
+    # hand-built table without one
+    sent = logratio_df.where(F.col("bucket") == -1).collect()
+    default = sent[0]["log_ratio"] if sent else 0.0
     feats = hashed_ngram_features(F.col(text_col), analyzer, dim)
     exploded = raw_df.select(
         F.col(id_col), F.explode_outer(feats).alias("bucket")
     )
-    scored = exploded.join(logratio_df, "bucket", "left").select(
+    scored = exploded.join(
+        logratio_df.where(F.col("bucket") >= 0), "bucket", "left"
+    ).select(
         id_col,
         F.when(F.col("bucket").isNull(), None)  # explode_outer pad row
         .otherwise(
-            F.coalesce(F.col("log_ratio"), F.lit(0.0)).cast("decimal(28,6)")
+            F.coalesce(F.col("log_ratio"), F.lit(float(default))).cast(
+                "decimal(28,6)"
+            )
         )
         .alias("_lr"),
     )
@@ -201,6 +231,8 @@ def gumbel_key(col: Column, weight: Column, temperature: float = 1.0) -> Column:
     ``g = −ln(−ln(u))`` and ``u = (md5bucket(col) + 0.5) / 2^20`` — an
     RNG-free uniform that any md5-capable engine reproduces. Rounded to
     6dp so cross-engine ulp noise in ln cannot flip an ordering."""
+    if temperature <= 0:
+        raise ValueError("temperature must be positive")
     u = (hash_bucket(col, 1 << 20) + F.lit(0.5)) / F.lit(float(1 << 20))
     return F.round(weight / F.lit(float(temperature)) - F.log(-F.log(u)), 6)
 

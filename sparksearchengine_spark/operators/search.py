@@ -147,6 +147,21 @@ def _hint_query_side(
     return F.broadcast(qterms) if broadcast_queries else qterms.hint("shuffle_hash")
 
 
+def ranked_topk(df: DataFrame, order_cols: list, k: int) -> DataFrame:
+    """Global top-k with a 1-based ``rank`` column: orderBy+limit (=
+    TakeOrderedAndProject, never a full sort) then row_number over the
+    same ordering on the ≤k survivors. The one place the ordering
+    expression lives for every single-query ranked operator (suggest /
+    significant-terms / BM25F / PRF) — change a tie-break here, every
+    ranking moves together (r3 review: this block existed 5×)."""
+    w = Window.orderBy(*order_cols)
+    return (
+        df.orderBy(*order_cols)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w))
+    )
+
+
 def topk_per_group(
     df: DataFrame,
     group_cols: list[str],
@@ -907,13 +922,22 @@ def bm25f_search(
     dfc = tfsum.groupBy("term").agg(
         F.count(F.lit(1)).cast("double").alias("_df")
     )
-    n_docs = float(index.fieldstats[first].doc_count or 1)
+    # N = the largest scored field's doc count — independent of the
+    # field_weights dict order (r3 review: taking the FIRST field's count
+    # made scores depend on insertion order). Union docFreq can still
+    # exceed N when fields cover disjoint doc sets; the idf is floored at
+    # 0 so such super-common terms contribute nothing rather than a
+    # negative penalty (Lucene's per-field formula never goes negative
+    # because df ≤ N there; the floor restores that invariant).
+    n_docs = float(
+        max(index.fieldstats[f].doc_count or 0 for f in field_weights) or 1
+    )
     from sparksearchengine_spark.functions.scoring import idf_expr
 
     scored = tfsum.join(F.broadcast(dfc), "term").select(
         DOC_ID,
         (
-            idf_expr(F.col("_df"), n_docs)
+            F.greatest(F.lit(0.0), idf_expr(F.col("_df"), n_docs))
             * F.col("wtf")
             / (F.lit(float(k1)) + F.col("wtf"))
         ).alias("_s"),
@@ -921,11 +945,8 @@ def bm25f_search(
     total = scored.groupBy(DOC_ID).agg(
         F.round(F.sum("_s"), 6).alias(SCORE)
     )
-    w = Window.orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc())
-    return (
-        total.orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc())
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w))
+    return ranked_topk(
+        total, [F.col(SCORE).desc(), F.col(DOC_ID).asc()], k
     )
 
 
@@ -1037,9 +1058,6 @@ def prf_expand_search(
         .cast("double")
         .alias(SCORE)
     )
-    w = Window.orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc())
-    return (
-        total.orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc())
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w))
+    return ranked_topk(
+        total, [F.col(SCORE).desc(), F.col(DOC_ID).asc()], k
     )

@@ -759,18 +759,35 @@ def random_projection(
     smat = np.array(signs, dtype=np.float64)  # (out_dim, in_dim)
 
     def project(batches):
+        null_row = [None] * out_dim
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            v = np.array([list(x) for x in pdf["_vec"]], dtype=np.float64)
-            acc = np.zeros((v.shape[0], out_dim), dtype=np.float64)
-            # accumulate input dims in index order: same left-to-right
-            # float addition order as the expr fold -> bit-identical
-            for i in range(min(v.shape[1], in_dim)):
-                acc += v[:, i : i + 1] * smat[None, :, i]
-            acc *= inv_scale
+            vecs = [list(x) for x in pdf["_vec"]]
+            # rows whose width differs from in_dim mirror the expr path
+            # EXACTLY: zip_with pads the short side with NULL there, so
+            # every component folds to NULL — emit all-NULL components
+            # instead of silently truncating (r3 review: the two methods
+            # are contract-bound bit-identical, and ragged batches must
+            # not crash np.array)
+            ok = np.array([len(v) == in_dim for v in vecs])
+            out_rows = [null_row] * len(vecs)
+            if ok.any():
+                v = np.array(
+                    [v for v, k in zip(vecs, ok) if k], dtype=np.float64
+                )
+                acc = np.zeros((v.shape[0], out_dim), dtype=np.float64)
+                # accumulate input dims in index order: same left-to-
+                # right float addition order as the expr fold
+                for i in range(in_dim):
+                    acc += v[:, i : i + 1] * smat[None, :, i]
+                acc *= inv_scale
+                it = iter(acc)
+                out_rows = [
+                    list(next(it)) if k else null_row for k in ok
+                ]
             yield pd.DataFrame(
-                {"id": pdf["_id"].to_numpy(), "rp_": list(acc)}
+                {"id": pdf["_id"].to_numpy(), "rp_": out_rows}
             )
 
     out = df.select(

@@ -248,17 +248,13 @@ def suggest_terms(
     cand = cand.where(
         (F.col("dist") <= max_dist) & (F.col("df_t") >= min_df)
     )
-    w = Window.orderBy(
-        F.col("dist").asc(), F.col("df_t").desc(), F.col("term").asc()
-    )
-    return (
-        cand.orderBy(
-            F.col("dist").asc(), F.col("df_t").desc(), F.col("term").asc()
-        )
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w))
-        .select("term", "df_t", "dist", "rank")
-    )
+    from sparksearchengine_spark.operators.search import ranked_topk
+
+    return ranked_topk(
+        cand,
+        [F.col("dist").asc(), F.col("df_t").desc(), F.col("term").asc()],
+        k,
+    ).select("term", "df_t", "dist", "rank")
 
 
 def significant_terms(
@@ -322,9 +318,8 @@ def significant_terms(
             ).alias("score"),
         )
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("term").asc())
-    return (
-        scored.orderBy(F.col("score").desc(), F.col("term").asc())
-        .limit(k)
-        .withColumn("rank", F.row_number().over(w))
+    from sparksearchengine_spark.operators.search import ranked_topk
+
+    return ranked_topk(
+        scored, [F.col("score").desc(), F.col("term").asc()], k
     )

@@ -61,11 +61,29 @@ def url_scheme(url: Column) -> Column:
 
 def url_host(url: Column) -> Column:
     """Lower-cased host of ``url`` (port and userinfo stripped, leading
-    ``www.`` removed — the standard crawl canonicalization)."""
+    ``www.`` removed — the standard crawl canonicalization). The port is
+    stripped here because this is the DOMAIN key; :func:`normalize_url`
+    separately retains non-default ports in the canonical URL (distinct
+    origins must not collapse — r3 review)."""
     hostport = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     host = F.lower(F.regexp_replace(hostport, r"^[^@]*@", ""))
     host = F.regexp_replace(host, r":[0-9]*$", "")
     return F.regexp_replace(host, r"^www\.", "")
+
+
+def url_port_canonical(url: Column) -> Column:
+    """':port' suffix for the canonical URL: '' when absent or when it
+    is the scheme's default (http:80, https:443) — a non-default port is
+    a different origin and must stay in the key."""
+    hostport = F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    scheme = url_scheme(url)
+    is_default = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    return F.when(
+        (port == "") | is_default, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
 
 
 def url_path(url: Column) -> Column:
@@ -79,8 +97,13 @@ def url_path(url: Column) -> Column:
 def url_query_canonical(url: Column) -> Column:
     """Query string of ``url`` with tracking parameters dropped and the
     survivors sorted ('' when nothing survives). Sorting makes
-    ``?b=2&a=1`` and ``?a=1&b=2`` key identically."""
-    q = F.regexp_extract(url, r"\?([^#]*)", 1)
+    ``?b=2&a=1`` and ``?a=1&b=2`` key identically. The fragment is
+    removed BEFORE the '?' search — RFC 3986 allows '?' inside a
+    fragment, and matching one would leak fragment content into the
+    canonical key (r3 review)."""
+    q = F.regexp_extract(
+        F.regexp_replace(url, r"#.*", ""), r"\?(.*)$", 1
+    )
     parts = F.filter(
         F.split(q, "&"),
         lambda kv: (kv != "") & ~kv.rlike(TRACKING_PARAM_RE),
@@ -94,6 +117,9 @@ def normalize_url(url: Column) -> Column:
     params sorted. NULL in -> NULL out; a string with no ``scheme://``
     yields '' host and survives as a degenerate-but-stable key.
 
+    Non-default ports are RETAINED (``:8080`` is a different origin);
+    only scheme-default ports (http:80, https:443) are dropped.
+
     Pure scan-stage expression — composes with any corpus read at zero
     plan cost (no UDF, no shuffle, stays in codegen)."""
     scheme, host, path = url_scheme(url), url_host(url), url_path(url)
@@ -103,6 +129,7 @@ def normalize_url(url: Column) -> Column:
             scheme,
             F.lit("://"),
             host,
+            url_port_canonical(url),
             path,
             F.when(q == "", F.lit("")).otherwise(F.concat(F.lit("?"), q)),
         )
@@ -181,5 +208,10 @@ def filter_domains(
         side = F.broadcast(blocklist.select(F.col(bcol).alias(domain_col)))
         how = "left_anti" if mode == "block" else "left_semi"
         return df.join(side, on=domain_col, how=how)
-    pred = F.col(domain_col).isin(list(blocklist))
+    # NULL domains must behave like the join path (anti keeps them,
+    # semi drops them): a bare ~isin yields NULL for NULL keys, which
+    # where() would drop on BOTH paths (r3 review)
+    pred = F.coalesce(
+        F.col(domain_col).isin(list(blocklist)), F.lit(False)
+    )
     return df.where(~pred if mode == "block" else pred)

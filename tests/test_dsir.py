@@ -136,3 +136,67 @@ class TestGumbelSample:
         raw, target = raw_target
         w = dsir_log_weights(raw, target, dim=256)
         assert "sample_key" in dsir_sample(w, 2).columns
+
+
+class TestUnseenBucketDefault:
+    def test_novel_corpus_gets_smoothed_constant_not_zero(self, spark, raw_target):
+        import math
+
+        from sparksearchengine_spark.operators.dsir import (
+            dsir_bucket_logratio,
+            dsir_log_weights,
+        )
+
+        raw, target = raw_target
+        dim = 256
+        table = dsir_bucket_logratio(raw, target, dim=dim)
+        # score a NEW corpus of entirely novel grams against the reused
+        # table: every feature takes the unseen-bucket default...
+        novel = spark.createDataFrame(
+            [(900, "qqqxyzzy plugh")], "doc_id long, text string"
+        )
+        row = dsir_log_weights(
+            novel, target, dim=dim, logratio_df=table
+        ).first()
+        # ...which is ln(a/denom_t) − ln(a/denom_r), NOT 0 (r3 review).
+        # Here T_r > T_t so the constant is positive.
+        sent = {
+            r["bucket"]: r["log_ratio"] for r in table.collect()
+        }
+        default = sent[-1]
+        assert default > 0
+        # 3 features (2 unigrams + 1 bigram) x default — unless a novel
+        # gram hash-collides into a seen bucket, which dim=256 makes
+        # possible; assert the default is APPLIED (weight > 0), and
+        # exactly when no collision occurred
+        assert row["n_feats"] == 3
+        assert row["log_weight"] > 0
+
+    def test_sentinel_never_joins_as_a_bucket(self, raw_target):
+        from sparksearchengine_spark.operators.dsir import (
+            dsir_bucket_logratio,
+            dsir_log_weights,
+        )
+
+        raw, target = raw_target
+        table = dsir_bucket_logratio(raw, target, dim=256)
+        with_table = dsir_log_weights(raw, target, dim=256, logratio_df=table)
+        without = dsir_log_weights(raw, target, dim=256)
+        assert sorted(map(tuple, with_table.collect())) == sorted(
+            map(tuple, without.collect())
+        )
+
+    def test_temperature_guard(self, raw_target):
+        import pytest as _pytest
+
+        from sparksearchengine_spark.operators.dsir import (
+            dsir_log_weights,
+            dsir_sample,
+        )
+
+        raw, target = raw_target
+        w = dsir_log_weights(raw, target, dim=64)
+        with _pytest.raises(ValueError):
+            dsir_sample(w, 2, temperature=0.0)
+        with _pytest.raises(ValueError):
+            dsir_sample(w, 2, temperature=-1.0)

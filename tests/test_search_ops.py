@@ -994,6 +994,40 @@ class TestBm25fSearch:
         assert len(out) == 2
         assert [r["rank"] for r in out] == [1, 2]
 
+    def test_field_weight_dict_order_invariant(self, f2_index):
+        # N derives from max(doc_count) over scored fields, never from
+        # dict insertion order (r3 review)
+        a = f2_index.bm25f_search(
+            "apple banana", {"title": 2.0, "body": 1.0}
+        ).collect()
+        b = f2_index.bm25f_search(
+            "apple banana", {"body": 1.0, "title": 2.0}
+        ).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+    def test_disjoint_fields_union_df_exceeding_n_floors_idf(self, spark):
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        # 'x' appears in title of doc 1 and body of doc 2: union df=2 >
+        # max per-field doc_count... both fields cover both docs here,
+        # so craft disjoint coverage with NULLs
+        df = spark.createDataFrame(
+            [(1, "x", None), (2, None, "x y")],
+            "doc_id long, title string, body string",
+        )
+        idx = Corpus(
+            df,
+            id_col="doc_id",
+            text_cols={
+                "title": TextOptions(analyzer="simple", positions=False),
+                "body": TextOptions(analyzer="simple", positions=False),
+            },
+        ).build_index()
+        out = idx.bm25f_search("x", {"title": 1.0, "body": 1.0}).collect()
+        # union df(x)=2 > N=1: idf floors at 0 -> no negative penalty,
+        # scores are 0 for both docs, never negative
+        assert all(r["score"] >= 0.0 for r in out)
+
 
 class TestSuggestTerms:
     def test_exact_term_first_then_neighbors(self, tiny_index):

@@ -406,3 +406,34 @@ class TestMmrRerank:
             mmr_rerank(self._pool(spark), k=0)
         with pytest.raises(ValueError):
             mmr_rerank(self._pool(spark), k=1, lam=1.5)
+
+
+class TestRandomProjectionRagged:
+    def test_mismatched_width_rows_null_in_both_methods(self, spark):
+        from sparksearchengine_spark.operators.similarity import (
+            random_projection,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 2.0, 3.0, 4.0]),
+                (2, [1.0, 2.0]),  # too short for in_dim=4
+                (3, [1.0, 2.0, 3.0, 4.0, 5.0]),  # too long
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        a = {
+            r["id"]: r["rp"]
+            for r in random_projection(
+                df, out_dim=2, in_dim=4, method="expr"
+            ).collect()
+        }
+        b = {
+            r["id"]: r["rp"]
+            for r in random_projection(
+                df, out_dim=2, in_dim=4, method="arrow"
+            ).collect()
+        }
+        assert a == b  # contract: bit-identical, incl. the NULL rows
+        assert a[2] == [None, None] and a[3] == [None, None]
+        assert all(v is not None for v in a[1])

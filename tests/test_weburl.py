@@ -28,10 +28,28 @@ class TestNormalizeUrl:
             == "https://example.com/Path/File"
         )
 
-    def test_strips_www_port_userinfo_fragment(self, spark):
+    def test_strips_www_userinfo_fragment_keeps_nondefault_port(self, spark):
+        # :8443 is not https' default -> a distinct origin, kept
         assert (
             _norm_one(spark, "https://user:pw@www.example.com:8443/a#frag")
-            == "https://example.com/a"
+            == "https://example.com:8443/a"
+        )
+
+    def test_default_ports_stripped_nondefault_kept(self, spark):
+        assert _norm_one(spark, "http://e.com:80/a") == "http://e.com/a"
+        assert _norm_one(spark, "https://e.com:443/a") == "https://e.com/a"
+        assert _norm_one(spark, "http://e.com:443/a") == "http://e.com:443/a"
+        assert (
+            _norm_one(spark, "http://e.com:8080/a") == "http://e.com:8080/a"
+        )
+
+    def test_question_mark_inside_fragment_is_not_a_query(self, spark):
+        # RFC 3986: '?' may appear in a fragment; it must not leak into
+        # the canonical key
+        assert _norm_one(spark, "https://e.com/a#sec?b=2") == "https://e.com/a"
+        assert (
+            _norm_one(spark, "https://e.com/a#sec?b=2")
+            == _norm_one(spark, "https://e.com/a#other")
         )
 
     def test_path_slash_canonicalization(self, spark):
@@ -190,3 +208,23 @@ class TestFilterDomains:
         df = spark.createDataFrame([("a.com",)], "domain string")
         with pytest.raises(ValueError):
             filter_domains(df, "domain", ["x"], mode="nope")
+
+    def test_null_domain_consistent_across_paths(self, spark):
+        # literal-list and DataFrame paths must agree on NULL keys:
+        # block keeps them, allow drops them
+        df = spark.createDataFrame(
+            [("a.com",), (None,), ("b.com",)], "domain string"
+        )
+        bl_df = spark.createDataFrame([("b.com",)], "bad string")
+        lit_block = {
+            r["domain"] for r in filter_domains(df, "domain", ["b.com"]).collect()
+        }
+        df_block = {
+            r["domain"] for r in filter_domains(df, "domain", bl_df).collect()
+        }
+        assert lit_block == df_block == {"a.com", None}
+        lit_allow = filter_domains(
+            df, "domain", ["b.com"], mode="allow"
+        ).count()
+        df_allow = filter_domains(df, "domain", bl_df, mode="allow").count()
+        assert lit_allow == df_allow == 1
