@@ -1901,6 +1901,25 @@ def _table_histogram(spark, sf):
     return histogram(orders, "o_totalprice", 50_000.0).orderBy("bin_start")
 
 
+def _table_skew(spark, sf):
+    """Key-skew diagnosis (operators/profile.py::skew_report): hottest
+    suppliers in lineitem with row share — the should-I-salt-this-join
+    report; one partial-agg'd groupBy + broadcast total + TakeOrdered."""
+    from sparksearchengine_spark.operators.profile import skew_report
+
+    li = _read(spark, sf, "lineitem")
+    return skew_report(li, "l_suppkey", k=10)
+
+
+def _chunk_sentences(spark, sf):
+    """Sentence segmentation (operators/chunking.py::split_sentences):
+    RE2/Java-portable boundary marking, scan-stage posexplode."""
+    from sparksearchengine_spark.operators.chunking import split_sentences
+
+    docs = _read(spark, sf, "documents")
+    return split_sentences(docs).orderBy("doc_id", "sent_idx")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -2010,6 +2029,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_prf": _search_prf,
         "search_sigterms": _search_sigterms,
         "table_histogram": _table_histogram,
+        "table_skew": _table_skew,
+        "chunk_sentences": _chunk_sentences,
     }
 
 
@@ -4430,4 +4451,38 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_rows
         FROM orders WHERE o_totalprice IS NOT NULL
         GROUP BY 1 ORDER BY bin_start"""
+
+    # skew report: exact counts, share = n/total rounded 6dp, ties by
+    # key asc (nulls last)
+    o["table_skew"] = """
+        WITH c AS (
+          SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n_rows
+          FROM lineitem GROUP BY l_suppkey
+        ),
+        t AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM lineitem)
+        SELECT l_suppkey, n_rows,
+               round(n_rows / (SELECT tot FROM t), 6) AS share,
+               CAST(row_number() OVER (
+                 ORDER BY n_rows DESC, l_suppkey NULLS LAST) AS INT)
+                 AS rank
+        FROM c ORDER BY n_rows DESC, l_suppkey NULLS LAST LIMIT 10"""
+
+    # sentence segmentation: boundary marked with chr(30) via a
+    # capture-group rewrite (RE2 has no lookbehind), then split/trim/
+    # filter — identical to the Spark expression chain
+    o["chunk_sentences"] = """
+        WITH p AS (
+          SELECT doc_id,
+                 list_filter(list_transform(
+                   string_split(regexp_replace(text, '([.!?]+)\\s+',
+                                               '\\1' || chr(30), 'g'),
+                                chr(30)),
+                   x -> trim(x)),
+                   x -> length(x) >= 1) AS parts
+          FROM documents WHERE text IS NOT NULL
+        )
+        SELECT doc_id, CAST(i - 1 AS INT) AS sent_idx,
+               parts[i] AS sentence
+        FROM p, unnest(range(1, len(parts) + 1)) AS t(i)
+        ORDER BY doc_id, sent_idx"""
     return o

@@ -161,3 +161,48 @@ def chunk_documents(
             F.concat_ws(" ", "_ctoks").alias("chunk_text"),
         )
     )
+
+
+def split_sentences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Sentence segmentation: one row per sentence with its 0-based
+    position — ``(id_col, sent_idx, sentence)``. The RAG-chunking
+    primitive below token windows: retrieval passages split on sentence
+    boundaries keep answers intact where fixed token windows cut
+    mid-claim.
+
+    Boundary rule (deterministic, RE2/Java-portable — the same
+    ``[.!?]`` class ``c4_filters`` counts sentences with): split AFTER
+    a run of ``.!?`` that is followed by whitespace; trailing/leading
+    whitespace trimmed; empties and fragments under ``min_chars``
+    dropped. No abbreviation list — like the C4 rule set this trades
+    "Mr. Smith" false splits for zero lookup state; at 100 TB the
+    regex rides the scan (posexplode, no shuffle).
+
+    RE2 (the oracle engine) has no lookbehind, so the boundary is
+    marked with a capture-group rewrite to the \\x1e record separator
+    and split on that — a literal \\x1e already in the text causes a
+    spurious split (run ``clean_text`` first; it strips control chars).
+
+    NULL text yields no rows (a doc with nothing to segment).
+    """
+    if min_chars < 1:
+        raise ValueError("min_chars must be >= 1")
+    # keep the terminator with its sentence: mark the boundary after
+    # [.!?]+ (dropping the following whitespace), then split on the mark
+    marked = F.regexp_replace(
+        F.col(text_col), r"([.!?]+)\s+", "$1\x1e"
+    )
+    parts = F.split(marked, "\x1e")
+    sents = F.filter(
+        F.transform(parts, lambda s: F.trim(s)),
+        lambda s: F.length(s) >= min_chars,
+    )
+    out = df.select(
+        F.col(id_col), F.posexplode(sents).alias("sent_idx", "sentence")
+    )
+    return out

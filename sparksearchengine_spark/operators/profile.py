@@ -305,3 +305,39 @@ def histogram(
     if min_count > 0:
         out = out.where(F.col("n_rows") >= min_count)
     return out
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str] | str,
+    k: int = 10,
+) -> DataFrame:
+    """Key-skew diagnosis for join/agg planning: the k hottest keys with
+    their row counts and share of the table —
+    ``(*key_cols, n_rows, share, rank)``, share rounded 6dp.
+
+    The operator behind every "should I salt this join?" decision: a
+    key with share ≫ 1/shuffle_partitions serializes one reducer at
+    100 TB (this repo's salted ``topk_per_group`` and AQE skew-join are
+    the mitigations — this tells you when to reach for them).
+
+    One groupBy(key) count (partial-agg'd: the shuffle carries ≤ |keys|
+    rows) + a broadcast 1-row total + TakeOrdered k. NULL keys count as
+    a real key — a NULL-heavy foreign key is the classic skew culprit.
+    """
+    from sparksearchengine_spark.operators.search import ranked_topk
+
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    if not keys or k <= 0:
+        raise ValueError("key_cols must be non-empty and k positive")
+    counts = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    total = df.agg(F.count(F.lit(1)).cast("double").alias("_t"))
+    scored = counts.crossJoin(F.broadcast(total)).select(
+        *keys,
+        "n_rows",
+        F.round(F.col("n_rows") / F.col("_t"), 6).alias("share"),
+    )
+    order = [F.col("n_rows").desc()] + [F.asc_nulls_last(c) for c in keys]
+    return ranked_topk(scored, order, k)

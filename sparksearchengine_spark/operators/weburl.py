@@ -215,3 +215,22 @@ def filter_domains(
         F.col(domain_col).isin(list(blocklist)), F.lit(False)
     )
     return df.where(~pred if mode == "block" else pred)
+
+
+def merge_latest(
+    base: DataFrame,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """CDC merge-upsert, latest-wins: rows in ``updates`` replace same-key
+    rows in ``base`` when newer, new keys insert, absent keys survive —
+    ``unionByName`` + :func:`latest_per_key`, so the whole merge is ONE
+    key shuffle with WindowGroupLimit pruning (no MERGE INTO engine
+    dependency, no per-key lookups). Ties at equal ``ts_col`` prefer the
+    row with the greater ``tiebreak_col``; pass a batch/sequence id there
+    so re-applying the same update batch is idempotent."""
+    return latest_per_key(
+        base.unionByName(updates), key_cols, ts_col, tiebreak_col
+    )

@@ -160,3 +160,65 @@ class TestPackChunks:
             F.max(F.col("offset") + F.col("n_tokens")).alias("m"),
         )
         assert all(r["s"] == r["m"] for r in agg.collect())
+
+
+class TestSplitSentences:
+    def test_basic_segmentation(self, spark):
+        from sparksearchengine_spark.operators.chunking import (
+            split_sentences,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "First one. Second two!  Third?No split here")],
+            "doc_id long, text string",
+        )
+        out = split_sentences(df).orderBy("sent_idx").collect()
+        # 'Third?No' has no whitespace after '?' -> stays one sentence
+        assert [(r["sent_idx"], r["sentence"]) for r in out] == [
+            (0, "First one."),
+            (1, "Second two!"),
+            (2, "Third?No split here"),
+        ]
+
+    def test_terminator_runs_and_trim(self, spark):
+        from sparksearchengine_spark.operators.chunking import (
+            split_sentences,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "Really?! Yes... done. ")], "doc_id long, text string"
+        )
+        out = [r["sentence"] for r in split_sentences(df).collect()]
+        assert out == ["Really?!", "Yes...", "done."]
+
+    def test_null_and_min_chars(self, spark):
+        from sparksearchengine_spark.operators.chunking import (
+            split_sentences,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "Ok. a. Fine.")], "doc_id long, text string"
+        )
+        out = split_sentences(df, min_chars=3).collect()
+        assert {r["doc_id"] for r in out} == {2}
+        assert [r["sentence"] for r in out] == ["Ok.", "Fine."]
+        import pytest
+
+        with pytest.raises(ValueError):
+            split_sentences(df, min_chars=0)
+
+    def test_scan_stage_no_exchange(self, spark):
+        from sparksearchengine_spark.operators.chunking import (
+            split_sentences,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = (
+            split_sentences(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan

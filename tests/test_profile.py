@@ -214,3 +214,47 @@ class TestHistogram:
         df = spark.createDataFrame([(1.0,)], "v double")
         with pytest.raises(ValueError):
             histogram(df, "v", 0.0)
+
+
+class TestSkewReport:
+    def test_hot_keys_and_shares(self, spark):
+        from sparksearchengine_spark.operators.profile import skew_report
+
+        df = spark.createDataFrame(
+            [("a",)] * 6 + [("b",)] * 3 + [(None,)] * 1, "k string"
+        )
+        out = skew_report(df, "k", k=2).collect()
+        assert [(r["k"], r["n_rows"], r["share"]) for r in out] == [
+            ("a", 6, 0.6),
+            ("b", 3, 0.3),
+        ]
+        assert [r["rank"] for r in out] == [1, 2]
+
+    def test_null_key_is_a_real_key(self, spark):
+        from sparksearchengine_spark.operators.profile import skew_report
+
+        df = spark.createDataFrame(
+            [(None,)] * 5 + [("x",)] * 2, "k string"
+        )
+        top = skew_report(df, "k", k=1).first()
+        assert top["k"] is None and top["n_rows"] == 5
+
+    def test_multi_key(self, spark):
+        from sparksearchengine_spark.operators.profile import skew_report
+
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 1), ("a", 2)], "k string, j long"
+        )
+        top = skew_report(df, ["k", "j"], k=1).first()
+        assert (top["k"], top["j"], top["n_rows"]) == ("a", 1, 2)
+
+    def test_bad_args(self, spark):
+        import pytest
+
+        from sparksearchengine_spark.operators.profile import skew_report
+
+        df = spark.createDataFrame([(1,)], "k long")
+        with pytest.raises(ValueError):
+            skew_report(df, [], k=1)
+        with pytest.raises(ValueError):
+            skew_report(df, "k", k=0)

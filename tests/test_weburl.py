@@ -228,3 +228,40 @@ class TestFilterDomains:
         ).count()
         df_allow = filter_domains(df, "domain", bl_df, mode="allow").count()
         assert lit_allow == df_allow == 1
+
+
+class TestMergeLatest:
+    def test_upsert_semantics(self, spark):
+        from sparksearchengine_spark.operators.weburl import merge_latest
+
+        base = spark.createDataFrame(
+            [("u1", 10, 1, "old"), ("u2", 10, 2, "keep")],
+            "url string, ts long, seq long, body string",
+        )
+        updates = spark.createDataFrame(
+            [("u1", 20, 3, "new"), ("u3", 5, 4, "insert")],
+            "url string, ts long, seq long, body string",
+        )
+        out = {
+            r["url"]: r["body"]
+            for r in merge_latest(base, updates, ["url"], "ts", "seq").collect()
+        }
+        assert out == {"u1": "new", "u2": "keep", "u3": "insert"}
+
+    def test_stale_update_ignored_and_idempotent(self, spark):
+        from sparksearchengine_spark.operators.weburl import merge_latest
+
+        base = spark.createDataFrame(
+            [("u1", 20, 5, "current")],
+            "url string, ts long, seq long, body string",
+        )
+        stale = spark.createDataFrame(
+            [("u1", 10, 6, "stale")],
+            "url string, ts long, seq long, body string",
+        )
+        once = merge_latest(base, stale, ["url"], "ts", "seq")
+        twice = merge_latest(once, stale, ["url"], "ts", "seq")
+        assert [tuple(r) for r in once.collect()] == [
+            tuple(r) for r in twice.collect()
+        ]
+        assert once.first()["body"] == "current"
