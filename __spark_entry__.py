@@ -1920,6 +1920,39 @@ def _chunk_sentences(spark, sf):
     return split_sentences(docs).orderBy("doc_id", "sent_idx")
 
 
+PERC_QUERIES = ((1, "dup spark"), (2, "zzz_nowhere"), (3, "the data"))
+
+
+def _percolate_match(spark, sf):
+    """Standing-query percolation verdicts (streaming/stream.py::
+    percolate_stream): the exact per-batch plan foreachBatch runs —
+    analyzed doc terms ⋈ broadcast standing-term table → per-(query,
+    doc) match counts. The incremental execution is pinned equal to
+    this batch form by TestPercolateStream."""
+    from sparksearchengine_spark.streaming.stream import (
+        prepare_percolator,
+    )
+    from sparksearchengine_spark.functions.analyzers import analyzer_expr
+
+    docs = _read(spark, sf, "documents")
+    qdf = spark.createDataFrame(
+        list(PERC_QUERIES), "query_id long, query_text string"
+    )
+    qterms = prepare_percolator(qdf)
+    dt = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(analyzer_expr(F.col("text"), "simple"))
+        ).alias("term"),
+    )
+    return (
+        dt.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+        .orderBy("query_id", "doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -2031,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_histogram": _table_histogram,
         "table_skew": _table_skew,
         "chunk_sentences": _chunk_sentences,
+        "percolate_match": _percolate_match,
     }
 
 
@@ -4485,4 +4519,28 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
                parts[i] AS sentence
         FROM p, unnest(range(1, len(parts) + 1)) AS t(i)
         ORDER BY doc_id, sent_idx"""
+
+    # percolation verdicts (batch form of the foreachBatch plan)
+    perc_vals = ", ".join(
+        f"({qid}, '{qtext}')" for qid, qtext in PERC_QUERIES
+    )
+    o["percolate_match"] = f"""
+        WITH q(query_id, query_text) AS (VALUES {perc_vals}),
+        qt AS (
+          SELECT query_id, unnest(list_distinct(list_filter(
+            string_split_regex(lower(coalesce(query_text, '')),
+                               '[^a-z0-9]+'), x -> x <> ''))) AS term
+          FROM q
+        ),
+        dt AS (
+          SELECT doc_id, unnest(list_distinct(list_filter(
+            string_split_regex(lower(coalesce(text, '')),
+                               '[^a-z0-9]+'), x -> x <> ''))) AS term
+          FROM documents
+        )
+        SELECT qt.query_id, dt.doc_id,
+               CAST(count(*) AS BIGINT) AS n_matched
+        FROM dt JOIN qt USING (term)
+        GROUP BY qt.query_id, dt.doc_id
+        ORDER BY query_id, doc_id"""
     return o

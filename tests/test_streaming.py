@@ -549,3 +549,103 @@ class TestStatelessCurationOnStreams:
         )
         assert got == want
         assert 0 < len(got) < raw.count()  # some rows were dropped
+
+
+class TestPercolateStream:
+    """Standing-query percolation: streamed verdicts must equal the same
+    match semantics computed in batch over the same docs."""
+
+    QUERIES = [
+        (1, "dup spark"),       # matchAny by default
+        (2, "zzz_nowhere"),     # matches nothing
+        (3, "the data"),
+    ]
+
+    def _run(self, spark, tmp_path, require_all=False, msm=1):
+        from sparksearchengine_spark.streaming.stream import (
+            percolate_stream,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        d = str(tmp_path / "perc_in")
+        docs.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        qdf = spark.createDataFrame(
+            self.QUERIES, "query_id long, query_text string"
+        )
+        out = str(tmp_path / f"perc_out_{require_all}_{msm}")
+        q = percolate_stream(
+            stream, qdf, out,
+            require_all=require_all, min_should_match=msm,
+            checkpoint=str(tmp_path / f"cp_{require_all}_{msm}"),
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).select(
+            "query_id", "doc_id", "n_matched"
+        )
+
+    def _batch(self, spark, require_all=False, msm=1):
+        from pyspark.sql import functions as F
+
+        from sparksearchengine_spark.functions.analyzers import (
+            analyzer_expr,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        qdf = spark.createDataFrame(
+            self.QUERIES, "query_id long, query_text string"
+        )
+        dt = docs.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(analyzer_expr(F.col("text"), "simple"))
+            ).alias("term"),
+        )
+        qt = qdf.select(
+            "query_id",
+            F.size(
+                F.array_distinct(
+                    analyzer_expr(F.col("query_text"), "simple")
+                )
+            ).alias("_nq"),
+            F.explode(
+                F.array_distinct(
+                    analyzer_expr(F.col("query_text"), "simple")
+                )
+            ).alias("term"),
+        )
+        agg = dt.join(qt, "term").groupBy("query_id", "doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.first("_nq").alias("_nq"),
+        )
+        if require_all:
+            agg = agg.where(F.col("n_matched") == F.col("_nq"))
+        elif msm > 1:
+            agg = agg.where(F.col("n_matched") >= msm)
+        return agg.select("query_id", "doc_id", "n_matched")
+
+    def test_streamed_equals_batch_match_any(self, spark, tmp_path):
+        got = sorted(map(tuple, self._run(spark, tmp_path).collect()))
+        want = sorted(map(tuple, self._batch(spark).collect()))
+        assert got == want and len(want) > 0
+
+    def test_require_all_semantics(self, spark, tmp_path):
+        got = sorted(
+            map(tuple, self._run(spark, tmp_path, require_all=True).collect())
+        )
+        want = sorted(
+            map(tuple, self._batch(spark, require_all=True).collect())
+        )
+        assert got == want
+        # matchAll is strictly narrower than matchAny here
+        assert len(got) < len(
+            sorted(map(tuple, self._batch(spark).collect()))
+        )
+
+    def test_no_match_query_absent(self, spark, tmp_path):
+        out = self._run(spark, tmp_path)
+        assert out.where("query_id = 2").count() == 0
