@@ -1953,6 +1953,18 @@ def _percolate_match(spark, sf):
     )
 
 
+def _table_profile_grouped(spark, sf):
+    """Per-group profiling (operators/profile.py::profile_columns with
+    group_by): one GROUPED aggregate job, a (group, column) stats row
+    each — the per-source quality dashboard shape."""
+    from sparksearchengine_spark.operators.profile import profile_columns
+
+    li = _read(spark, sf, "lineitem")
+    return profile_columns(
+        li, ["l_quantity", "l_extendedprice"], group_by=["l_returnflag"]
+    ).orderBy("l_returnflag", "column")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -2065,6 +2077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_skew": _table_skew,
         "chunk_sentences": _chunk_sentences,
         "percolate_match": _percolate_match,
+        "table_profile_grouped": _table_profile_grouped,
     }
 
 
@@ -4543,4 +4556,38 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         FROM dt JOIN qt USING (term)
         GROUP BY qt.query_id, dt.doc_id
         ORDER BY query_id, doc_id"""
+
+    # grouped profile: same expression shapes as table_profile, grouped
+    gp_branches = []
+    for c in ("l_quantity", "l_extendedprice"):
+        gp_branches.append(f"""
+          SELECT l_returnflag, '{c}' AS "column", 'double' AS dtype,
+                 n AS n_rows, nl_{c} AS n_null, nd_{c} AS n_distinct,
+                 mn_{c} AS min_num, mx_{c} AS max_num, sm_{c} AS sum_num,
+                 CASE WHEN n - nl_{c} > 0
+                      THEN sm_{c} / CAST(n - nl_{c} AS DOUBLE) END
+                   AS mean_num,
+                 CAST(NULL AS VARCHAR) AS min_str,
+                 CAST(NULL AS VARCHAR) AS max_str
+          FROM a""")
+    o["table_profile_grouped"] = (
+        """
+        WITH a AS (
+          SELECT l_returnflag, count(*) AS n,
+        """
+        + ", ".join(
+            f"""sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS nl_{c},
+                count(DISTINCT {c}) AS nd_{c},
+                CAST(min({c}) AS DOUBLE) AS mn_{c},
+                CAST(max({c}) AS DOUBLE) AS mx_{c},
+                CAST(sum(CAST({c} AS DECIMAL(28,6))) AS DOUBLE) AS sm_{c}"""
+            for c in ("l_quantity", "l_extendedprice")
+        )
+        + """
+          FROM lineitem GROUP BY l_returnflag
+        )
+        """
+        + " UNION ALL ".join(gp_branches)
+        + ' ORDER BY l_returnflag, "column"'
+    )
     return o

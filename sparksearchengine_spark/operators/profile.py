@@ -42,6 +42,7 @@ def profile_columns(
     df: DataFrame,
     cols: list[str] | None = None,
     sum_decimal: str = "decimal(28,6)",
+    group_by: list[str] | None = None,
 ) -> DataFrame:
     """Per-column statistics in one aggregate job:
 
@@ -57,10 +58,17 @@ def profile_columns(
       single job); swap for approx_count_distinct upstream if a profile
       of a 100 TB table may not afford the expand.
 
-    The unpivot is an array-of-structs explode of the one aggregated
-    row — scan-stage, no extra shuffle beyond the aggregation itself.
+    ``group_by``: profile per group instead of globally — one row per
+    (group, column), the group columns leading. Still ONE aggregate job
+    (grouped instead of global); the per-source / per-language quality
+    dashboards a curation pipeline actually reads.
+
+    The unpivot is an array-of-structs explode of the aggregated
+    rows — scan-stage, no extra shuffle beyond the aggregation itself.
     """
     cols = list(cols) if cols is not None else list(df.columns)
+    group_by = list(group_by) if group_by else []
+    cols = [c for c in cols if c not in group_by]
     if not cols:
         raise ValueError("cols must be non-empty")
     aggs = [F.count(F.lit(1)).alias("_n")]
@@ -89,7 +97,7 @@ def profile_columns(
                 F.date_format(F.max(F.col(c)), fmt).alias(f"_mxs_{c}")
             )
         # other types (arrays, structs, maps, binary): counts only
-    row = df.agg(*aggs)
+    row = df.groupBy(*group_by).agg(*aggs) if group_by else df.agg(*aggs)
 
     def _entry(c: str):
         dt = df.schema[c].dataType
@@ -125,8 +133,9 @@ def profile_columns(
 
     entries = F.array(*[_entry(c) for c in cols])
     return row.select(
-        F.col("_n").alias("n_rows"), F.explode(entries).alias("e")
-    ).select("e.column", "e.dtype", "n_rows", "e.n_null", "e.n_distinct",
+        *group_by, F.col("_n").alias("n_rows"), F.explode(entries).alias("e")
+    ).select(*group_by,
+             "e.column", "e.dtype", "n_rows", "e.n_null", "e.n_distinct",
              "e.min_num", "e.max_num", "e.sum_num", "e.mean_num",
              "e.min_str", "e.max_str")
 

@@ -258,3 +258,53 @@ class TestSkewReport:
             skew_report(df, [], k=1)
         with pytest.raises(ValueError):
             skew_report(df, "k", k=0)
+
+
+class TestGroupedProfile:
+    def test_per_group_stats(self, spark):
+        from sparksearchengine_spark.operators.profile import (
+            profile_columns,
+        )
+
+        df = spark.createDataFrame(
+            [("en", 1.0), ("en", 3.0), ("fr", 10.0), ("fr", None)],
+            "lang string, v double",
+        )
+        out = {
+            (r["lang"], r["column"]): r
+            for r in profile_columns(df, ["v"], group_by=["lang"]).collect()
+        }
+        assert out[("en", "v")]["n_rows"] == 2
+        assert out[("en", "v")]["sum_num"] == 4.0
+        assert out[("en", "v")]["mean_num"] == 2.0
+        assert out[("fr", "v")]["n_null"] == 1
+        assert out[("fr", "v")]["mean_num"] == 10.0
+
+    def test_group_cols_excluded_from_profiled(self, spark):
+        from sparksearchengine_spark.operators.profile import (
+            profile_columns,
+        )
+
+        df = spark.createDataFrame([("en", 1.0)], "lang string, v double")
+        cols = {
+            r["column"]
+            for r in profile_columns(df, group_by=["lang"]).collect()
+        }
+        assert cols == {"v"}
+
+    def test_still_single_aggregate(self, spark):
+        from sparksearchengine_spark.operators.profile import (
+            profile_columns,
+        )
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        plan = (
+            profile_columns(
+                li, ["l_quantity"], group_by=["l_returnflag"]
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # grouped: partial+final pair (count_distinct adds an Expand pair)
+        assert plan.count("HashAggregate") <= 4
