@@ -1965,6 +1965,16 @@ def _table_profile_grouped(spark, sf):
     ).orderBy("l_returnflag", "column")
 
 
+def _text_tfidf_embed(spark, sf):
+    """Idf-weighted feature-hashing embedding (operators/classify.py::
+    tfidf_hash_embed): per-bucket decimal-exact idf sums, shared md5
+    bucket rule, one-sqrt-one-fold L2 normalization."""
+    from sparksearchengine_spark.operators.classify import tfidf_hash_embed
+
+    docs = _read(spark, sf, "documents")
+    return tfidf_hash_embed(docs, dim=HASH_EMBED_DIM).orderBy("id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -2078,6 +2088,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_sentences": _chunk_sentences,
         "percolate_match": _percolate_match,
         "table_profile_grouped": _table_profile_grouped,
+        "text_tfidf_embed": _text_tfidf_embed,
     }
 
 
@@ -4590,4 +4601,56 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         + " UNION ALL ".join(gp_branches)
         + ' ORDER BY l_returnflag, "column"'
     )
+
+    # idf-weighted hash embedding: decimal-exact per-bucket idf sums,
+    # map assembly, shared fold-shape normalization
+    o["text_tfidf_embed"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                             '[^a-z0-9]+'), x -> x <> '') AS toks
+          FROM documents
+        ),
+        e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        v AS (SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS dfv
+              FROM e GROUP BY term),
+        nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        w AS (
+          SELECT e.doc_id,
+                 CAST('0x' || substr(md5(e.term), 1, 8) AS BIGINT)
+                   % {HASH_EMBED_DIM} AS b,
+                 CAST(round(ln(1.0 + ((SELECT n FROM nn) - v.dfv + 0.5)
+                                     / (v.dfv + 0.5)), 6)
+                      AS DECIMAL(28,6)) AS wv
+          FROM e JOIN v USING (term)
+        ),
+        s AS (
+          SELECT doc_id, b,
+                 CAST(CAST(sum(wv) AS DECIMAL(38,6)) AS DOUBLE) AS val
+          FROM w GROUP BY doc_id, b
+        ),
+        m AS (
+          SELECT doc_id,
+                 map_from_entries(list({{'k': b, 'v': val}})) AS mm
+          FROM s GROUP BY doc_id
+        ),
+        arr AS (
+          -- LEFT JOIN: a NULL map extracts NULL per slot -> coalesce 0,
+          -- so token-less docs get the zero vector with no correlated
+          -- subquery
+          SELECT d.doc_id,
+                 list_transform(range(0, {HASH_EMBED_DIM}),
+                                j -> coalesce(mm[j][1], 0.0)) AS raw
+          FROM documents d LEFT JOIN m USING (doc_id)
+        ),
+        nrm AS (
+          SELECT doc_id, raw,
+                 sqrt(list_sum(list_transform(raw, x -> x * x))) AS nv
+          FROM arr
+        )
+        SELECT doc_id AS id,
+               CASE WHEN nv > 0
+                    THEN list_transform(raw, x -> x / nv)
+                    ELSE raw END AS embedding
+        FROM nrm ORDER BY id"""
     return o

@@ -248,3 +248,112 @@ def classifier_score_vocab(
         )
     )
     return scored
+
+
+def tfidf_hash_embed(
+    df: DataFrame,
+    dim: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    analyzer: str = "simple",
+    normalize: bool = True,
+    df_table: DataFrame | None = None,
+) -> DataFrame:
+    """Idf-WEIGHTED feature-hashing embedding: per md5 bucket the sum of
+    the BM25-idf of each token occurrence (rare terms dominate the
+    vector instead of stopwords), L2-normalized — the tf-idf upgrade of
+    :func:`hash_embed` for SemDedup/k-means/ANN without an external
+    model. `(id, embedding array<double>)`.
+
+    ``df_table``: a precomputed ``(term, df_t)`` vocabulary (e.g.
+    ``SearchIndex.termstats`` or a foreign reference corpus); fitted
+    from ``df`` itself when omitted.
+
+    Engine-exactness: idf values are rounded 6dp and summed as DECIMAL
+    per bucket (order-independent); the normalization is the shared
+    one-sqrt-one-fold shape. Plan: one explode, one broadcast vocab
+    join, two id-keyed partial-agg'd shuffles (bucket sums, then the
+    map assembly) — unlike the count-based ``hash_embed`` this cannot
+    be zero-shuffle because the weight needs the corpus-global df.
+    """
+    if dim <= 0:
+        raise ValueError("dim must be positive")
+    from sparksearchengine_spark.functions.scoring import idf_expr
+
+    toks = F.coalesce(
+        analyzer_expr(F.col(text_col), analyzer),
+        F.array().cast("array<string>"),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode_outer(toks).alias("term")
+    )
+    if df_table is None:
+        df_table = (
+            exploded.where(F.col("term").isNotNull())
+            .select("id", "term")
+            .distinct()
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).cast("long").alias("df_t"))
+        )
+        n_docs = float(df.count())
+    else:
+        df_table = df_table.select("term", "df_t")
+        n_docs = float(df.count())
+    idf = F.round(
+        idf_expr(F.col("df_t").cast("double"), F.lit(n_docs)), 6
+    ).cast("decimal(28,6)")
+    weighted = (
+        exploded.join(F.broadcast(df_table), "term", "left")
+        .select(
+            "id",
+            # pad rows (NULL term) would hash to a NULL bucket, and a
+            # NULL map key is illegal: park them on -1, never looked up
+            F.coalesce(
+                hash_bucket_expr(F.col("term"), dim).cast("int"),
+                F.lit(-1),
+            ).alias("_b"),
+            # explode_outer pad rows and OOV terms (foreign df_table)
+            # contribute nothing
+            F.when(
+                F.col("term").isNull() | F.col("df_t").isNull(),
+                F.lit(0.0).cast("decimal(28,6)"),
+            )
+            .otherwise(idf)
+            .alias("_w"),
+        )
+    )
+    sums = weighted.groupBy("id", "_b").agg(
+        F.sum("_w").cast("decimal(38,6)").cast("double").alias("_v")
+    )
+    assembled = sums.groupBy("id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_v")))
+        ).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.coalesce(F.col("_m")[j.cast("int")], F.lit(0.0)),
+    )
+    staged = assembled.select("id", vec.alias("_raw"))
+    if normalize:
+        nrm = F.sqrt(
+            F.aggregate(
+                F.col("_raw"), F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        )
+        staged = staged.select(
+            "id",
+            nrm.alias("_n"),
+            F.col("_raw"),
+        ).select(
+            "id",
+            F.when(
+                F.col("_n") > 0,
+                F.transform(F.col("_raw"), lambda x: x / F.col("_n")),
+            )
+            .otherwise(F.col("_raw"))
+            .alias("embedding"),
+        )
+    else:
+        staged = staged.select("id", F.col("_raw").alias("embedding"))
+    return staged

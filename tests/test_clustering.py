@@ -495,3 +495,91 @@ class TestClassifierVocab:
             docs, w
         )._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan
+
+
+class TestTfidfHashEmbed:
+    def test_rare_terms_outweigh_common(self, spark):
+        from sparksearchengine_spark.operators.classify import (
+            tfidf_hash_embed,
+        )
+        import math
+
+        # 'common' in every doc (idf floor), 'rare' in one
+        df = spark.createDataFrame(
+            [(1, "common rare"), (2, "common"), (3, "common"), (4, "common")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["id"]: r["embedding"]
+            for r in tfidf_hash_embed(df, dim=32, normalize=False).collect()
+        }
+        # doc 1's vector mass concentrates on the rare bucket
+        v = out[1]
+        assert max(v) > 0
+        # idf('common') with df=4/N=4: ln(1 + 0.5/4.5); idf('rare')
+        # df=1: ln(1 + 3.5/1.5) — rare weight is larger
+        common_w = round(math.log(1 + 0.5 / 4.5), 6)
+        rare_w = round(math.log(1 + 3.5 / 1.5), 6)
+        assert sorted([x for x in v if x > 0]) == sorted(
+            [common_w, rare_w]
+        ) or sum(x > 0 for x in v) == 1  # (bucket collision fallback)
+
+    def test_empty_doc_zero_vector(self, spark):
+        from sparksearchengine_spark.operators.classify import (
+            tfidf_hash_embed,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, ""), (3, None)], "doc_id long, text string"
+        )
+        out = {
+            r["id"]: r["embedding"]
+            for r in tfidf_hash_embed(df, dim=8).collect()
+        }
+        assert out[2] == [0.0] * 8 and out[3] == [0.0] * 8
+        assert len(out) == 3  # every input doc gets a row
+
+    def test_normalized_unit_length(self, spark):
+        import math
+
+        from sparksearchengine_spark.operators.classify import (
+            tfidf_hash_embed,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        rows = tfidf_hash_embed(docs, dim=16).collect()
+        for r in rows[:20]:
+            n = math.sqrt(sum(x * x for x in r["embedding"]))
+            assert n == 0.0 or abs(n - 1.0) < 1e-9
+
+    def test_foreign_vocab_oov_ignored(self, spark):
+        from sparksearchengine_spark.operators.classify import (
+            tfidf_hash_embed,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "known unknown")], "doc_id long, text string"
+        )
+        vocab = spark.createDataFrame([("known", 1)], "term string, df_t long")
+        v = tfidf_hash_embed(
+            df, dim=8, normalize=False, df_table=vocab
+        ).first()["embedding"]
+        # only 'known' contributes
+        assert sum(x > 0 for x in v) == 1
+
+    def test_feeds_semdedup(self, spark):
+        from sparksearchengine_spark.operators.classify import (
+            tfidf_hash_embed,
+        )
+        from sparksearchengine_spark.operators.clustering import semdedup
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        emb = tfidf_hash_embed(docs, dim=16).select(
+            F.col("id").alias("vec_id"), F.col("embedding")
+        )
+        out = semdedup(emb, threshold=0.9, n_clusters=4)
+        assert out.count() == docs.count()
