@@ -1975,6 +1975,38 @@ def _text_tfidf_embed(spark, sf):
     return tfidf_hash_embed(docs, dim=HASH_EMBED_DIM).orderBy("id")
 
 
+def _search_complete(spark, sf):
+    """Prefix autocomplete (operators/stats.py::complete_prefix): vocab
+    StartsWith predicate + TakeOrdered by (df desc, term)."""
+    idx = _docs_index(spark, sf)
+    return idx.complete_prefix("th", k=10)
+
+
+def _search_merged_index(spark, sf):
+    """Shard-combine (operators/index.py::merge_indexes): two half-corpus
+    indexes merged with stats RECOMPUTED from the union — the flagship
+    query must hash-match the whole-corpus oracle (qc10's SQL verbatim),
+    proving merged BM25 is exact, not shard-stitched."""
+    from sparksearchengine_spark import Corpus, TextOptions
+    from sparksearchengine_spark.operators.index import merge_indexes
+
+    docs = _read(spark, sf, "documents")
+    opts = {"text": TextOptions(analyzer="simple", positions=True)}
+    lo = Corpus(
+        docs.where(F.col("doc_id") % 2 == 0), id_col="doc_id",
+        text_cols=opts,
+    ).build_index()
+    hi = Corpus(
+        docs.where(F.col("doc_id") % 2 == 1), id_col="doc_id",
+        text_cols=opts,
+    ).build_index()
+    merged = merge_indexes(lo, hi)
+    res = merged.search(Q.field("text").match_any(*QC10_TERMS), k=QC10_K)
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -2089,6 +2121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_match": _percolate_match,
         "table_profile_grouped": _table_profile_grouped,
         "text_tfidf_embed": _text_tfidf_embed,
+        "search_complete": _search_complete,
+        "search_merged_index": _search_merged_index,
     }
 
 
@@ -4416,6 +4450,21 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
                  ORDER BY dist, df_t DESC, term) AS INT) AS rank
         FROM cand WHERE dist <= 2
         ORDER BY dist, df_t DESC, term LIMIT 5"""
+
+    # prefix autocomplete
+    o["search_complete"] = _CTE + """
+        , cand AS (
+          SELECT term, CAST(df AS BIGINT) AS df_t FROM termstats
+          WHERE term LIKE 'th%'
+        )
+        SELECT term, df_t,
+               CAST(row_number() OVER (
+                 ORDER BY df_t DESC, term) AS INT) AS rank
+        FROM cand ORDER BY df_t DESC, term LIMIT 10"""
+
+    # merged-index flagship query: the whole-corpus top-k verbatim —
+    # merge_indexes recomputes global stats, so the answer is the same
+    o["search_merged_index"] = o["qc10_bm25_topk"]
 
     # RM3 PRF (operators/search.py::prf_expand_search): feedback
     # contributions and final per-doc sums run through rounded DECIMALs

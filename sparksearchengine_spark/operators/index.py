@@ -422,6 +422,14 @@ class SearchIndex:
 
         return significant_terms(self, query, **kw)
 
+    def complete_prefix(self, prefix: str, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.stats import complete_prefix
+
+        return complete_prefix(self, prefix, **kw)
+
+    def merge_with(self, other: "SearchIndex", **kw):  # type: ignore[no-untyped-def]
+        return merge_indexes(self, other, **kw)
+
     def doc_counts(self) -> DataFrame:
         from sparksearchengine_spark.operators.stats import doc_counts
 
@@ -589,3 +597,72 @@ class SearchIndex:
                 pass
         self._scored_cache.clear()
         self._phrase_caches.clear()
+
+
+def merge_indexes(
+    a: "SearchIndex", b: "SearchIndex", persist: bool = True
+) -> "SearchIndex":
+    """Merge two indexes over DISJOINT document sets into one queryable
+    index — the shard-combine operation (two crawls indexed separately,
+    regional shards, an incremental delta folded into the base) without
+    re-tokenizing either corpus.
+
+    Postings union as-is (they are already the per-doc tokenized rows);
+    the corpus-global statistics are RECOMPUTED from the union — df per
+    term and per-field (doc_count, avgdl) — so BM25 scores from the
+    merged index are bit-identical to an index built over the
+    concatenated corpus (pinned in tests), not an approximation stitched
+    from the shards' stats. Cost: one termstats aggregation + one
+    fieldstats job over the unioned postings — no text pass.
+
+    Doc-id disjointness is the CALLER's contract (the same contract the
+    incremental-index path documents): overlapping ids double-count df
+    and dl. Indexes must agree on id column, text fields, analyzers and
+    scoring; bucketed-save indexes should be merged before or re-saved
+    after (the merged postings carry no bucket column).
+    """
+    ca, cb = a.corpus, b.corpus
+    if ca.id_col != cb.id_col:
+        raise ValueError("indexes disagree on id_col")
+    if set(ca.text_cols) != set(cb.text_cols) or any(
+        ca.text_cols[f].analyzer != cb.text_cols[f].analyzer
+        for f in ca.text_cols
+    ):
+        raise ValueError("indexes disagree on text fields/analyzers")
+    if a.scoring != b.scoring:
+        raise ValueError("indexes disagree on scoring config")
+
+    merged_corpus = Corpus(
+        ca.df.unionByName(cb.df), id_col=ca.id_col, text_cols=ca.text_cols
+    )
+    postings = a.postings.unionByName(b.postings)
+    if persist:
+        postings = postings.persist()
+    termstats = postings.groupBy("field", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_t")
+    )
+    if persist:
+        termstats = termstats.persist()
+    stats_rows = (
+        postings.select("field", DOC_ID, "dl")
+        .distinct()
+        .groupBy("field")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.avg("dl").alias("avgdl"),
+        )
+        .collect()
+    )
+    fieldstats = {
+        r["field"]: FieldStats(int(r["doc_count"]), float(r["avgdl"]))
+        for r in stats_rows
+    }
+    for fname in ca.text_cols:
+        fieldstats.setdefault(fname, FieldStats(0, 0.0))
+    return SearchIndex(
+        corpus=merged_corpus,
+        postings=postings,
+        termstats=termstats,
+        fieldstats=fieldstats,
+        scoring=a.scoring,
+    )

@@ -323,3 +323,36 @@ def significant_terms(
     return ranked_topk(
         scored, [F.col("score").desc(), F.col("term").asc()], k
     )
+
+
+def complete_prefix(
+    index: "SearchIndex",
+    prefix: str,
+    field: str | None = None,
+    k: int = 10,
+    min_df: int = 1,
+) -> DataFrame:
+    """Prefix autocomplete from the vocabulary: terms starting with
+    ``prefix`` ranked by docFreq — `(term, df_t, rank)` (the search-box
+    suggest; pairs with :func:`suggest_terms` for the typo path).
+
+    One termstats pass: ``startswith`` compiles to a ``StartsWith``
+    scan predicate (pushes into a term-bucketed saved index's parquet
+    scan as a range filter), then a TakeOrdered k. Empty prefix is
+    rejected — that is "the whole vocabulary by df", ``vocab_stats``'
+    job."""
+    if not prefix:
+        raise ValueError("prefix must be non-empty")
+    ts = index.termstats
+    if field is not None:
+        ts = ts.where(F.col("field") == field)
+    else:
+        ts = ts.groupBy("term").agg(F.max("df_t").alias("df_t"))
+    cand = ts.where(
+        F.col("term").startswith(prefix) & (F.col("df_t") >= min_df)
+    )
+    from sparksearchengine_spark.operators.search import ranked_topk
+
+    return ranked_topk(
+        cand, [F.col("df_t").desc(), F.col("term").asc()], k
+    ).select("term", "df_t", "rank")

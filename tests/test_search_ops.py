@@ -1238,3 +1238,72 @@ class TestNewOpPlanShapes:
         )
         # exactly one exchange: the groupBy(query_id) for applyInPandas
         assert plan.count("Exchange") == 1
+
+
+class TestCompletePrefix:
+    def test_prefix_ranked_by_df(self, docs_index):
+        # take a real frequent term, complete on its first 3 chars: the
+        # term itself must appear, ordered by df desc
+        top = (
+            docs_index.term_counts()
+            .orderBy(F.col("df_t").desc(), F.col("term").asc())
+            .first()["term"]
+        )
+        out = docs_index.complete_prefix(top[:3], k=10).collect()
+        assert top in [r["term"] for r in out]
+        dfs = [r["df_t"] for r in out]
+        assert dfs == sorted(dfs, reverse=True)
+        assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+    def test_all_results_share_prefix(self, docs_index):
+        out = docs_index.complete_prefix("th", k=20).collect()
+        assert out and all(r["term"].startswith("th") for r in out)
+
+    def test_empty_prefix_rejected(self, docs_index):
+        with pytest.raises(ValueError):
+            docs_index.complete_prefix("")
+
+    def test_no_match_empty(self, tiny_index):
+        assert tiny_index.complete_prefix("zzz").count() == 0
+
+
+class TestMergeIndexes:
+    def test_merged_equals_full_build(self, spark, docs_df):
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        lo = docs_df.where(F.col("doc_id") < 250)
+        hi = docs_df.where(F.col("doc_id") >= 250)
+        opts = {"text": TextOptions(analyzer="simple", positions=True)}
+        ia = Corpus(lo, id_col="doc_id", text_cols=opts).build_index()
+        ib = Corpus(hi, id_col="doc_id", text_cols=opts).build_index()
+        merged = ia.merge_with(ib)
+        full = Corpus(
+            docs_df, id_col="doc_id", text_cols=opts
+        ).build_index()
+        q = Q.field("text").match_any("dup", "spark")
+        got = merged.search(q, k=10).collect()
+        want = full.search(q, k=10).collect()
+        # stats are recomputed from the union: scores bit-identical
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        # and the vocabulary-level stats agree too
+        g = {
+            (r["field"], r["term"]): r["df_t"]
+            for r in merged.termstats.collect()
+        }
+        w = {
+            (r["field"], r["term"]): r["df_t"]
+            for r in full.termstats.collect()
+        }
+        assert g == w
+        assert merged.fieldstats == full.fieldstats
+
+    def test_mismatched_configs_raise(self, spark, docs_df, docs_index):
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        other = Corpus(
+            docs_df.where(F.col("doc_id") >= 250),
+            id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="whitespace")},
+        ).build_index()
+        with pytest.raises(ValueError):
+            docs_index.merge_with(other)
