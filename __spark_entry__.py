@@ -2007,6 +2007,35 @@ def _search_merged_index(spark, sf):
     )
 
 
+HOUR_NS = 3_600_000_000_000
+
+
+def _events_resample(spark, sf):
+    """Fixed-interval resampling with gap fill (operators/events.py::
+    resample_gapfill): hourly per-event_type series with explicit zero
+    rows; long-exact bucketing, decimal-exact value sums."""
+    from sparksearchengine_spark.operators.events import resample_gapfill
+
+    ev = _read_events(spark, sf)
+    return resample_gapfill(
+        ev, HOUR_NS, key_col="event_type", value_col="value"
+    ).orderBy("event_type", "bucket_ts")
+
+
+def _table_corr(spark, sf):
+    """One-pass exact correlation matrix (operators/profile.py::
+    correlation_matrix): decimal sums make every Pearson r independent
+    of partitioning and bit-equal across engines."""
+    from sparksearchengine_spark.operators.profile import (
+        correlation_matrix,
+    )
+
+    li = _read(spark, sf, "lineitem")
+    return correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    ).orderBy("col_a", "col_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -2123,6 +2152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf_embed": _text_tfidf_embed,
         "search_complete": _search_complete,
         "search_merged_index": _search_merged_index,
+        "events_resample": _events_resample,
+        "table_corr": _table_corr,
     }
 
 
@@ -4465,6 +4496,82 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
     # merged-index flagship query: the whole-corpus top-k verbatim —
     # merge_indexes recomputes global stats, so the answer is the same
     o["search_merged_index"] = o["qc10_bm25_topk"]
+
+    # resampling with gap fill: long-exact bucketing (ts − ts % step),
+    # dense per-key grid via range(), decimal-exact value sums
+    o["events_resample"] = f"""
+        WITH e AS (
+          SELECT event_type, CAST(epoch_ns(ts) AS BIGINT) AS tsn, value
+          FROM events
+        ),
+        s AS (
+          SELECT event_type,
+                 tsn - (tsn % {HOUR_NS}) AS bucket_ts,
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE)
+                   AS sum_value
+          FROM e GROUP BY 1, 2
+        ),
+        sp AS (SELECT event_type, min(bucket_ts) AS lo,
+                      max(bucket_ts) AS hi
+               FROM s GROUP BY event_type),
+        g AS (
+          SELECT event_type, CAST(b AS BIGINT) AS bucket_ts
+          FROM sp, unnest(range(lo, hi + 1, {HOUR_NS})) AS t(b)
+        )
+        SELECT g.event_type, g.bucket_ts,
+               coalesce(s.n_events, 0) AS n_events,
+               coalesce(s.sum_value, 0.0) AS sum_value
+        FROM g LEFT JOIN s USING (event_type, bucket_ts)
+        ORDER BY event_type, bucket_ts"""
+
+    # correlation matrix: exact decimal sums, closed-form Pearson in
+    # doubles at the end — same expression shapes as the Spark code
+    corr_cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    # DuckDB evaluates DECIMAL(18,6) products in int64 and overflows;
+    # (28,6) forces int128 — still exact, so the values equal Spark's
+    # exact (18,6) products
+    cd = {c: f"CAST({c} AS DECIMAL(28,6))" for c in corr_cols}
+    corr_aggs = ["CAST(count(*) AS BIGINT) AS n"]
+    for c in corr_cols:
+        corr_aggs.append(f"sum({cd[c]}) AS s_{c}")
+        corr_aggs.append(f"sum({cd[c]} * {cd[c]}) AS ss_{c}")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(corr_cols)
+        for b in corr_cols[i + 1 :]
+    ]
+    for a, b in pairs:
+        corr_aggs.append(f"sum({cd[a]} * {cd[b]}) AS sp_{a}_{b}")
+    corr_branches = []
+    for a, b in pairs:
+        cov = (
+            f"(CAST(n AS DOUBLE) * CAST(sp_{a}_{b} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        va = (
+            f"(CAST(n AS DOUBLE) * CAST(ss_{a} AS DOUBLE)"
+            f" - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+        )
+        vb = (
+            f"(CAST(n AS DOUBLE) * CAST(ss_{b} AS DOUBLE)"
+            f" - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+        )
+        corr_branches.append(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, n,"
+            f" CASE WHEN {va} > 0 AND {vb} > 0"
+            f" THEN round({cov} / sqrt({va} * {vb}), 6) END AS corr"
+            f" FROM a"
+        )
+    where = " AND ".join(f"{c} IS NOT NULL" for c in corr_cols)
+    o["table_corr"] = (
+        "WITH a AS (SELECT "
+        + ", ".join(corr_aggs)
+        + f" FROM lineitem WHERE {where}) "
+        + " UNION ALL ".join(corr_branches)
+        + " ORDER BY col_a, col_b"
+    )
+    return o
 
     # RM3 PRF (operators/search.py::prf_expand_search): feedback
     # contributions and final per-doc sums run through rounded DECIMALs

@@ -350,3 +350,75 @@ def skew_report(
     )
     order = [F.col("n_rows").desc()] + [F.asc_nulls_last(c) for c in keys]
     return ranked_topk(scored, order, k)
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    in_decimal: str = "decimal(18,6)",
+) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns in ONE aggregate
+    pass — `(col_a, col_b, n, corr)` for every a < b pair, corr rounded
+    6dp.
+
+    Unlike ``F.corr`` (a streaming co-moment whose float accumulation
+    order varies with partitioning), every Σx, Σy, Σx², Σy², Σxy here is
+    an EXACT decimal sum of ``in_decimal``-cast values (products of two
+    18,6 decimals stay within decimal(38,12) exactly), and the closed
+    form
+
+        r = (n·Σxy − Σx·Σy) / sqrt((n·Σx² − Σx²ₜ)(n·Σy² − Σy²ₜ))
+
+    is evaluated once in doubles at the end — deterministic under any
+    partitioning and bit-reproducible in any exact-decimal engine (the
+    DuckDB oracle). Rows where ANY of ``cols`` is NULL are excluded
+    (complete-case, so all pairs share one n and one scan).
+    Zero-variance columns yield NULL corr. O(k²) sums but still one
+    scan and one KB-sized aggregation state.
+    """
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    cond = None
+    for c in cols:
+        nn = F.col(c).isNotNull()
+        cond = nn if cond is None else (cond & nn)
+    src = df.where(cond)
+    dec = {c: F.col(c).cast(in_decimal) for c in cols}
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for c in cols:
+        aggs.append(F.sum(dec[c]).alias(f"_s_{c}"))
+        aggs.append(F.sum(dec[c] * dec[c]).alias(f"_ss_{c}"))
+    for i, a in enumerate(cols):
+        for b in cols[i + 1 :]:
+            aggs.append(F.sum(dec[a] * dec[b]).alias(f"_sp_{a}_{b}"))
+    row = src.agg(*aggs)
+
+    def _pair(a: str, b: str):
+        n = F.col("_n").cast("double")
+        sa, sb = (
+            F.col(f"_s_{a}").cast("double"),
+            F.col(f"_s_{b}").cast("double"),
+        )
+        ssa, ssb = (
+            F.col(f"_ss_{a}").cast("double"),
+            F.col(f"_ss_{b}").cast("double"),
+        )
+        sp = F.col(f"_sp_{a}_{b}").cast("double")
+        cov = n * sp - sa * sb
+        va = n * ssa - sa * sa
+        vb = n * ssb - sb * sb
+        return F.struct(
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            F.when(
+                (va > 0) & (vb > 0),
+                F.round(cov / F.sqrt(va * vb), 6),
+            ).alias("corr"),
+        )
+
+    entries = F.array(
+        *[_pair(a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]]
+    )
+    return row.select(
+        F.col("_n").alias("n"), F.explode(entries).alias("e")
+    ).select("e.col_a", "e.col_b", "n", "e.corr")

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -70,3 +71,63 @@ class TestPropsRollup:
         assert len(out) > 0
         total = sum(r["n_events"] for r in out)
         assert total == ev.count()
+
+
+class TestResampleGapfill:
+    def test_gaps_become_zero_rows(self, spark):
+        from sparksearchengine_spark.operators.events import (
+            resample_gapfill,
+        )
+
+        # buckets 0 and 30 occupied, 10 and 20 empty
+        df = spark.createDataFrame(
+            [(1, 5, 2.0), (2, 7, 3.0), (3, 35, 1.5)],
+            "event_id long, ts long, value double",
+        )
+        out = {
+            r["bucket_ts"]: (r["n_events"], r["sum_value"])
+            for r in resample_gapfill(df, 10, value_col="value").collect()
+        }
+        assert out == {
+            0: (2, 5.0),
+            10: (0, 0.0),
+            20: (0, 0.0),
+            30: (1, 1.5),
+        }
+
+    def test_per_key_series_ranges_independent(self, spark):
+        from sparksearchengine_spark.operators.events import (
+            resample_gapfill,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 0), ("a", 25), ("b", 100)],
+            "k string, ts long",
+        )
+        out = resample_gapfill(df, 10, key_col="k").collect()
+        a = sorted(r["bucket_ts"] for r in out if r["k"] == "a")
+        b = sorted(r["bucket_ts"] for r in out if r["k"] == "b")
+        assert a == [0, 10, 20] and b == [100]
+
+    def test_budget_guard_fails_loudly(self, spark):
+        from py4j.protocol import Py4JJavaError
+
+        from sparksearchengine_spark.operators.events import (
+            resample_gapfill,
+        )
+
+        df = spark.createDataFrame(
+            [(0,), (10_000_000,)], "ts long"
+        )
+        with pytest.raises(Exception) as ei:
+            resample_gapfill(df, 1, max_buckets=100).collect()
+        assert "max_buckets" in str(ei.value)
+
+    def test_bad_interval(self, spark):
+        from sparksearchengine_spark.operators.events import (
+            resample_gapfill,
+        )
+
+        df = spark.createDataFrame([(0,)], "ts long")
+        with pytest.raises(ValueError):
+            resample_gapfill(df, 0)

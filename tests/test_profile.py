@@ -308,3 +308,87 @@ class TestGroupedProfile:
         )
         # grouped: partial+final pair (count_distinct adds an Expand pair)
         assert plan.count("HashAggregate") <= 4
+
+
+class TestCorrelationMatrix:
+    def test_hand_computed(self, spark):
+        from sparksearchengine_spark.operators.profile import (
+            correlation_matrix,
+        )
+
+        # y = 2x exactly -> corr 1; z anti-correlates with x -> -1
+        df = spark.createDataFrame(
+            [(1.0, 2.0, 3.0), (2.0, 4.0, 2.0), (3.0, 6.0, 1.0)],
+            "x double, y double, z double",
+        )
+        out = {
+            (r["col_a"], r["col_b"]): r["corr"]
+            for r in correlation_matrix(df, ["x", "y", "z"]).collect()
+        }
+        assert out[("x", "y")] == 1.0
+        assert out[("x", "z")] == -1.0
+        assert out[("y", "z")] == -1.0
+
+    def test_null_rows_complete_case(self, spark):
+        from sparksearchengine_spark.operators.profile import (
+            correlation_matrix,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0, 1.0), (2.0, 2.0), (None, 99.0), (3.0, 3.0)],
+            "x double, y double",
+        )
+        row = correlation_matrix(df, ["x", "y"]).first()
+        assert row["n"] == 3 and row["corr"] == 1.0
+
+    def test_zero_variance_null(self, spark):
+        from sparksearchengine_spark.operators.profile import (
+            correlation_matrix,
+        )
+
+        df = spark.createDataFrame(
+            [(1.0, 5.0), (2.0, 5.0)], "x double, c double"
+        )
+        assert correlation_matrix(df, ["x", "c"]).first()["corr"] is None
+
+    def test_partitioning_invariant(self, spark):
+        from sparksearchengine_spark.operators.profile import (
+            correlation_matrix,
+        )
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        cols = ["l_quantity", "l_extendedprice", "l_discount"]
+        a = sorted(map(tuple, correlation_matrix(li, cols).collect()))
+        b = sorted(
+            map(
+                tuple,
+                correlation_matrix(li.repartition(13), cols).collect(),
+            )
+        )
+        assert a == b  # exact decimal sums: byte-stable under any layout
+
+    def test_single_scan_plan(self, spark):
+        from sparksearchengine_spark.operators.profile import (
+            correlation_matrix,
+        )
+
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        plan = (
+            correlation_matrix(li, ["l_quantity", "l_tax"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Scan parquet") == 1
+        assert plan.count("HashAggregate") == 2
+
+    def test_bad_args(self, spark):
+        import pytest
+
+        from sparksearchengine_spark.operators.profile import (
+            correlation_matrix,
+        )
+
+        df = spark.createDataFrame([(1.0,)], "x double")
+        with pytest.raises(ValueError):
+            correlation_matrix(df, ["x"])
