@@ -2036,6 +2036,17 @@ def _table_corr(spark, sf):
     ).orderBy("col_a", "col_b")
 
 
+def _search_near(spark, sf):
+    """Unordered proximity query (plans/ast.py::MatchNear): every term
+    within ±5 positions of an anchor occurrence of the first, any
+    order; scored as matchAll (proximity gates membership)."""
+    idx = _docs_index(spark, sf)
+    res = idx.compile(Q.field("text").match_near("dup spark", window=5))
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score")
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "qc01_filter_eq": _qc01,
@@ -2154,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_merged_index": _search_merged_index,
         "events_resample": _events_resample,
         "table_corr": _table_corr,
+        "search_near": _search_near,
     }
 
 
@@ -4496,6 +4508,32 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
     # merged-index flagship query: the whole-corpus top-k verbatim —
     # merge_indexes recomputes global stats, so the answer is the same
     o["search_merged_index"] = o["qc10_bm25_topk"]
+
+    # unordered proximity: anchor-window membership over 0-based token
+    # positions, scored as matchAll (the same bm25 sum)
+    o["search_near"] = _CTE + f"""
+        , ex2 AS (
+          SELECT doc_id, unnest(toks) AS term,
+                 generate_subscripts(toks, 1) - 1 AS pos
+          FROM toks
+        ),
+        p1 AS (SELECT doc_id, list(pos) AS ps FROM ex2
+               WHERE term = 'dup' GROUP BY doc_id),
+        p2 AS (SELECT doc_id, list(pos) AS ps FROM ex2
+               WHERE term = 'spark' GROUP BY doc_id),
+        hits AS (
+          SELECT p1.doc_id FROM p1 JOIN p2 USING (doc_id)
+          WHERE len(list_filter(p1.ps,
+                  x -> len(list_filter(p2.ps,
+                         y -> abs(y - x) <= 5)) > 0)) > 0
+        )
+        SELECT p.doc_id,
+               round(sum({_bm25_sql("p.tf", "p.dl", "t.df")}), 6) AS score
+        FROM postings p JOIN termstats t USING (term)
+        CROSS JOIN fieldstats f
+        WHERE p.term IN ('dup', 'spark')
+          AND p.doc_id IN (SELECT doc_id FROM hits)
+        GROUP BY p.doc_id ORDER BY p.doc_id"""
 
     # resampling with gap fill: long-exact bucketing (ts − ts % step),
     # dense per-key grid via range(), decimal-exact value sums

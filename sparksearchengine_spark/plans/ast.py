@@ -111,6 +111,21 @@ class MatchPhrase(Query):
 
 
 @dataclass(frozen=True)
+class MatchNear(Query):
+    """Proximity match (unordered NEAR): every analyzed term occurs
+    within ``window`` positions of some single occurrence of the FIRST
+    term (the anchor), in any order — Lucene's unordered SpanNearQuery
+    shape with the anchor-window simplification (deterministic, and the
+    check is per-candidate-doc array work, not a positions cross-join).
+    Needs positions. Scored like matchAllText (sum of the terms' BM25
+    contributions — proximity gates membership, not the score)."""
+
+    field: str
+    text: str
+    window: int = 5
+
+
+@dataclass(frozen=True)
 class MatchWildcard(Query):
     """Q12 wildcard (`te*t`, `te?t` — Lucene WildcardQuery via the
     QueryParser, `dsl/DslQuery.scala:122-128`). Pattern is matched against
@@ -270,6 +285,9 @@ class FieldRef:
 
     def match_phrase(self, text: str, slop: int = 0) -> MatchPhrase:
         return MatchPhrase(self.name, text, slop=slop)
+
+    def match_near(self, text: str, window: int = 5) -> MatchNear:
+        return MatchNear(self.name, text, window=window)
 
 
 class Q:

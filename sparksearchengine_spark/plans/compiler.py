@@ -414,6 +414,8 @@ def _compile(q: ast.Query, index: "SearchIndex") -> DataFrame:
         )
     if isinstance(q, ast.MatchPhrase):
         return _phrase(index, q)
+    if isinstance(q, ast.MatchNear):
+        return _near(index, q)
     if isinstance(q, ast.MatchWildcard):
         return _compile_wildcard(q, index)
     if isinstance(q, ast.MatchFuzzy):
@@ -435,3 +437,54 @@ def _compile(q: ast.Query, index: "SearchIndex") -> DataFrame:
     if isinstance(q, ast.Filter):
         return _compile_filter(q, index)
     raise TypeError(f"unknown query node {type(q).__name__}")
+
+
+def _near(index: "SearchIndex", node: "ast.MatchNear") -> DataFrame:
+    """Unordered proximity (ast.MatchNear): same n-way doc_id join over
+    the phrase machinery's cached scored positions, but the positions
+    predicate is anchor-windowed instead of an ordered chain — exists
+    p in pos_0 such that every other term has an occurrence within
+    ±window of p. The interpreted HOF check runs only on docs
+    containing ALL terms (the join survivors), never the corpus."""
+    if node.window < 0:
+        raise ValueError("window must be >= 0")
+    analyzer = _field_analyzer(index, node.field)
+    opts = index.corpus.text_cols[node.field]
+    terms = list(dict.fromkeys(tokenize_py(node.text, analyzer)))
+    if not terms:
+        return _empty_result(index)
+    if len(terms) == 1:
+        return _term_set(index, node.field, (terms[0],), 1)
+    if not opts.positions:
+        raise ValueError(
+            f"proximity query on field {node.field!r} requires "
+            "positions=True"
+        )
+    scored = _scored_postings(index, node.field, sorted(set(terms))).persist()
+    index._phrase_caches.append(scored)
+    joined = None
+    for i, t in enumerate(terms):
+        side = scored.where(F.col("term") == t).select(
+            F.col(DOC_ID),
+            F.col("positions").alias(f"_pos{i}"),
+            F.col("tscore").alias(f"_ts{i}"),
+        )
+        joined = side if joined is None else joined.join(side, DOC_ID)
+    n = len(terms)
+    w = node.window
+
+    def _within(p0):  # type: ignore[no-untyped-def]
+        return lambda x: (x >= p0 - w) & (x <= p0 + w)
+
+    def matches(p0):  # type: ignore[no-untyped-def]
+        cond = F.lit(True)
+        for i in range(1, n):
+            cond = cond & F.exists(F.col(f"_pos{i}"), _within(p0))
+        return cond
+
+    return joined.where(F.exists(F.col("_pos0"), matches)).select(
+        DOC_ID,
+        reduce(
+            lambda a, b: a + b, [F.col(f"_ts{i}") for i in range(n)]
+        ).alias(SCORE),
+    )

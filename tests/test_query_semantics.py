@@ -244,3 +244,91 @@ class TestReviewRegressions:
             Q.parse("title:")
         with pytest.raises(ValueError):
             Q.parse("year:[2020 TO")
+
+
+class TestMatchNear:
+    @pytest.fixture(scope="class")
+    def near_index(self, spark):
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        df = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma"),          # alpha..gamma adjacent
+                (2, "alpha x x x x x x gamma"),   # gamma 7 after alpha
+                (3, "gamma x alpha"),             # reversed, within 2
+                (4, "alpha only here"),
+                (5, "gamma only here"),
+            ],
+            "doc_id long, text string",
+        )
+        return Corpus(
+            df, id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="simple", positions=True)},
+        ).build_index()
+
+    def test_window_gates_membership(self, near_index):
+        from sparksearchengine_spark import Q
+
+        hits = {
+            r["doc_id"]
+            for r in near_index.compile(
+                Q.field("text").match_near("alpha gamma", window=2)
+            ).collect()
+        }
+        # doc 1 (distance 2), doc 3 (reversed distance 2 — unordered);
+        # doc 2 is 7 apart; docs 4/5 lack a term
+        assert hits == {1, 3}
+
+    def test_wide_window_equals_match_all(self, near_index):
+        from sparksearchengine_spark import Q
+
+        near = {
+            r["doc_id"]
+            for r in near_index.compile(
+                Q.field("text").match_near("alpha gamma", window=100)
+            ).collect()
+        }
+        allm = {
+            r["doc_id"]
+            for r in near_index.compile(
+                Q.field("text").match_all("alpha", "gamma")
+            ).collect()
+        }
+        assert near == allm == {1, 2, 3}
+
+    def test_score_is_matchall_score(self, near_index):
+        from sparksearchengine_spark import Q
+
+        near = {
+            r["doc_id"]: r["score"]
+            for r in near_index.compile(
+                Q.field("text").match_near("alpha gamma", window=2)
+            ).collect()
+        }
+        allm = {
+            r["doc_id"]: r["score"]
+            for r in near_index.compile(
+                Q.field("text").match_all("alpha", "gamma")
+            ).collect()
+        }
+        for d, s in near.items():
+            assert abs(s - allm[d]) < 1e-12
+
+    def test_single_term_degenerates(self, near_index):
+        from sparksearchengine_spark import Q
+
+        hits = {
+            r["doc_id"]
+            for r in near_index.compile(
+                Q.field("text").match_near("alpha", window=1)
+            ).collect()
+        }
+        assert hits == {1, 2, 3, 4}
+
+    def test_bad_window(self, near_index):
+        from sparksearchengine_spark import Q
+
+        with pytest.raises(ValueError):
+            near_index.compile(
+                Q.field("text").match_near("a b", window=-1)
+            )
