@@ -310,6 +310,42 @@ def main() -> None:
             "dup spark src3", {"text": 1.0, "source": 2.0}, k=10
         ).collect()
 
+    # 13. late round-3 families (first values define their baseline)
+    with timed("facet_cube"):
+        idx.facet_cube(
+            Q.field("text").match_any("dup", "spark"), ["lang", "source"]
+        ).collect()
+
+    with timed("events_resample"):
+        from sparksearchengine_spark.operators.events import (
+            resample_gapfill,
+        )
+
+        # fresh read: section 8 may have rebound `ev` at MICROS
+        # resolution; normalize to long NANOS to match the hour interval
+        ev2 = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(ev2.dtypes)["ts"] != "bigint":
+            ev2 = ev2.withColumn(
+                "ts",
+                (
+                    F.unix_micros(F.col("ts").cast("timestamp"))
+                    * F.lit(1000)
+                ).cast("long"),
+            )
+        resample_gapfill(
+            ev2, 3_600_000_000_000, key_col="event_type", value_col="value"
+        ).count()
+
+    with timed("table_corr"):
+        from sparksearchengine_spark.operators.profile import (
+            correlation_matrix,
+        )
+
+        correlation_matrix(
+            lineitem,
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        ).collect()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
