@@ -2048,6 +2048,13 @@ def _search_near(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Ordering contract: the driver emits CORRECTNESS rows for the FIRST 50
+    # keys only.  Slots 1-27 are pinned to the SURVEY §2.10 qc suite; slots
+    # 28-50 rotate each round over entries that have never had a driver row
+    # (r4 rotation: the 8 oracles un-orphaned this round + the search/table/
+    # events/url/dsir/mixture families flagged in VERDICT r3 #2).  Entries
+    # past slot 50 are either green in a prior CORRECTNESS_r{N}.json or
+    # queued for the next rotation — see the section comments below.
     return {
         "qc01_filter_eq": _qc01,
         "qc02_filter_cmp": _qc02,
@@ -2076,6 +2083,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc25_raw_query": _qc25,
         "qc26_phrase_slop": _qc26,
         "qc27_doc_bucket_lookup": _qc27,
+        # --- slots 28-50: r4 rotation (never driver-checked before r4) ---
+        "search_prf": _search_prf,
+        "search_sigterms": _search_sigterms,
+        "table_histogram": _table_histogram,
+        "table_skew": _table_skew,
+        "chunk_sentences": _chunk_sentences,
+        "percolate_match": _percolate_match,
+        "table_profile_grouped": _table_profile_grouped,
+        "text_tfidf_embed": _text_tfidf_embed,
+        "search_bm25f": _search_bm25f,
+        "search_facet_cube": _search_facet_cube,
+        "search_mmr": _search_mmr,
+        "search_near": _search_near,
+        "search_merged_index": _search_merged_index,
+        "search_suggest": _search_suggest,
+        "search_complete": _search_complete,
+        "table_profile": _table_profile,
+        "table_corr": _table_corr,
+        "events_asof": _events_asof,
+        "events_resample": _events_resample,
+        "events_props": _events_props,
+        "url_normalize": _url_normalize,
+        "dsir_weights": _dsir_weights,
+        "mixture_sample": _mixture_sample,
+        # --- past the 50-row cutoff: green in CORRECTNESS_r01-r03 ---
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -2099,6 +2131,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_quality": _unigram_quality,
         "export_shard_assign": _export_shard_assign,
         "dedup_cross_ngram": _dedup_cross_ngram,
+        "mm_image_features": _mm_image_features,
+        # --- rotation backlog: queue for the r5 slots 28-50 ---
         "chunk_docs": _chunk_docs,
         "curation_report": _curation_report,
         "collocations_pmi": _collocations,
@@ -2110,13 +2144,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_quantize": _emb_quantize,
         "doc_fingerprint": _doc_fingerprint,
         "lang_id": _lang_id,
-        "events_asof": _events_asof,
         "events_hourly": _events_hourly,
         "events_hourly_windowed": _events_hourly_windowed,
         "events_trending": _events_trending,
         "token_stats": _token_stats,
         "doc_winnow": _doc_winnow,
-        "mm_image_features": _mm_image_features,
         "events_sessionize": _events_sessionize,
         "dedup_boilerplate": _dedup_boilerplate,
         "dedup_crossgram": _dedup_crossgram,
@@ -2128,44 +2160,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup_arrow": _emb_semdedup_arrow,
         "classifier_score": _classifier_score,
         "classifier_vocab": _classifier_vocab,
-        "mixture_sample": _mixture_sample,
         "mixture_repeats": _mixture_repeats,
         "select_budget": _select_budget,
         "text_hash_embed": _text_hash_embed,
         "text_hash_embed_arrow": _text_hash_embed_arrow,
         "strip_html": _strip_html,
-        "table_profile": _table_profile,
-        "events_props": _events_props,
         "search_highlight": _search_highlight,
         "search_facets": _search_facets,
         "search_paged": _search_paged,
         "search_grouped": _search_grouped,
         "bigram_quality": _bigram_quality,
         "dedup_winnow_pairs": _dedup_winnow_pairs,
-        "url_normalize": _url_normalize,
         "url_domain_block": _url_domain_block,
         "url_latest": _url_latest,
-        "dsir_weights": _dsir_weights,
         "dsir_sample": _dsir_sample,
         "emb_random_proj": _emb_random_proj,
         "sketch_profile": _sketch_profile,
-        "search_mmr": _search_mmr,
-        "search_facet_cube": _search_facet_cube,
-        "search_bm25f": _search_bm25f,
-        "search_suggest": _search_suggest,
-        "search_prf": _search_prf,
-        "search_sigterms": _search_sigterms,
-        "table_histogram": _table_histogram,
-        "table_skew": _table_skew,
-        "chunk_sentences": _chunk_sentences,
-        "percolate_match": _percolate_match,
-        "table_profile_grouped": _table_profile_grouped,
-        "text_tfidf_embed": _text_tfidf_embed,
-        "search_complete": _search_complete,
-        "search_merged_index": _search_merged_index,
-        "events_resample": _events_resample,
-        "table_corr": _table_corr,
-        "search_near": _search_near,
     }
 
 
@@ -4609,7 +4619,6 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         + " UNION ALL ".join(corr_branches)
         + " ORDER BY col_a, col_b"
     )
-    return o
 
     # RM3 PRF (operators/search.py::prf_expand_search): feedback
     # contributions and final per-doc sums run through rounded DECIMALs

@@ -29,9 +29,16 @@ DataFrame ops:
   replacement ∝ softmax(weights/temperature), but RNG-free, so reruns
   and engines agree row-for-row. The top-n is one TakeOrdered job.
 
-At 100 TB: two passes over the raw corpus (one to count buckets, one to
-score) plus one over the (much smaller) target; all joins against the
-bucket table are broadcast; the only wide shuffle keys on doc id.
+At 100 TB: ONE hashed-gram generation pass over the raw corpus — the
+exploded ``(id, bucket)`` features are persisted once and re-read by both
+the bucket-count aggregation and the scoring join — plus one pass over
+the (much smaller) target; all joins against the bucket table are
+broadcast; the only wide shuffle keys on doc id. The feature cache is
+(8+8) bytes per gram occurrence (≈16 B x token count, disk-backed via
+MEMORY_AND_DISK), far cheaper than re-running the analyzer + md5 over
+the raw text; callers at the extreme end can pass
+``cache_features=False`` to trade the disk for a second compute pass,
+and ``release_feature_caches()`` frees the blocks when done.
 """
 
 from __future__ import annotations
@@ -47,6 +54,22 @@ from sparksearchengine_spark.operators.sampling import hash_bucket
 # buckets above this stop being "a small dim table" — fall back to a
 # shuffle join rather than broadcasting gigabytes
 BROADCAST_MAX_BUCKETS = 1_000_000
+
+# persisted exploded-feature frames live here until released, mirroring
+# SearchIndex._phrase_caches (operators/index.py:301) — no silent leaked
+# cached blocks (ADVICE r3)
+_feature_caches: list[DataFrame] = []
+
+
+def release_feature_caches() -> None:
+    """Unpersist every exploded-feature cache created by
+    :func:`dsir_log_weights` fits in this session."""
+    for df in _feature_caches:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _feature_caches.clear()
 
 
 def hashed_ngram_features(
@@ -89,6 +112,7 @@ def dsir_bucket_logratio(
     analyzer: str = "simple",
     dim: int = 10_000,
     alpha: float = 1.0,
+    raw_exploded: DataFrame | None = None,
 ) -> DataFrame:
     """The ≤ ``dim``-row importance table: ``(bucket, log_ratio)`` where
     ``log_ratio = round(ln p_t(b) − ln p_r(b), 6)`` under add-``alpha``
@@ -101,8 +125,21 @@ def dsir_bucket_logratio(
     applies as the unseen-bucket default — a novel-gram-heavy NEW corpus
     scored against a reused table gets the correct constant, not 0
     (r3 review). Rounding to 6dp here makes every downstream sum
-    decimal-exact across engines."""
-    rc = _bucket_counts(raw_df, text_col, analyzer, dim, "c_raw")
+    decimal-exact across engines.
+
+    ``raw_exploded`` — a persisted ``(…, bucket)`` frame from an earlier
+    explode of the raw side (``explode_outer`` pad rows carry a NULL
+    bucket and are excluded) — lets :func:`dsir_log_weights` share ONE
+    hashed-gram generation pass between this count and its scoring join.
+    """
+    if raw_exploded is not None:
+        rc = (
+            raw_exploded.where(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("c_raw"))
+        )
+    else:
+        rc = _bucket_counts(raw_df, text_col, analyzer, dim, "c_raw")
     tc = _bucket_counts(target_df, text_col, analyzer, dim, "c_tgt")
     if dim <= BROADCAST_MAX_BUCKETS:
         # materialize the dim-bounded counts driver-side: ONE gram pass
@@ -181,6 +218,7 @@ def dsir_log_weights(
     dim: int = 10_000,
     alpha: float = 1.0,
     logratio_df: DataFrame | None = None,
+    cache_features: bool = True,
 ) -> DataFrame:
     """Per-raw-doc DSIR importance weight: ``(id, n_feats, log_weight)``
     with ``log_weight = Σ_occurrences log_ratio(bucket)`` (feature
@@ -191,20 +229,32 @@ def dsir_log_weights(
     one fitted table (the fit is the expensive half). The sum is decimal
     (each addend already rounded to 6dp by the table), so the result is
     identical under any aggregation order — the property the DuckDB
-    oracle checks bitwise."""
+    oracle checks bitwise.
+
+    When fitting here (``logratio_df is None``) the exploded raw-side
+    features are persisted and shared between the bucket-count pass and
+    the scoring join, so the raw corpus is analyzed + hashed exactly once
+    (r3 bench finding: the duplicated gram generation was the dominant
+    cost). The cache is registered in ``_feature_caches`` — call
+    :func:`release_feature_caches` to free it; ``cache_features=False``
+    skips it (two compute passes, zero storage)."""
+    feats = hashed_ngram_features(F.col(text_col), analyzer, dim)
+    exploded = raw_df.select(
+        F.col(id_col), F.explode_outer(feats).alias("bucket")
+    )
     if logratio_df is None:
+        if cache_features:
+            exploded = exploded.persist()
+            _feature_caches.append(exploded)
         logratio_df = dsir_bucket_logratio(
-            raw_df, target_df, text_col, analyzer, dim, alpha
+            raw_df, target_df, text_col, analyzer, dim, alpha,
+            raw_exploded=exploded,
         )
     # the unseen-bucket default rides the table's bucket=-1 sentinel row
     # (one tiny job on a ≤dim-row table); 0.0 if a caller passes a
     # hand-built table without one
     sent = logratio_df.where(F.col("bucket") == -1).collect()
     default = sent[0]["log_ratio"] if sent else 0.0
-    feats = hashed_ngram_features(F.col(text_col), analyzer, dim)
-    exploded = raw_df.select(
-        F.col(id_col), F.explode_outer(feats).alias("bucket")
-    )
     scored = exploded.join(
         logratio_df.where(F.col("bucket") >= 0), "bucket", "left"
     ).select(

@@ -27,6 +27,11 @@ from pyspark.sql import functions as F
 
 from sparksearchengine_spark.operators.search import topk_per_group
 
+# cosine_topk_arrow collects its query side to the driver (each row is an
+# id + a dim-length float vector); this cap keeps that collect at MBs, not
+# GBs, mirroring search.py's BROADCAST_MAX_QUERY_ROWS broadcast guard.
+COLLECT_MAX_QUERY_ROWS = 100_000
+
 
 def dot_expr(a: Column, b: Column) -> Column:
     """Sequential-fold dot product of two array<float/double> columns."""
@@ -218,11 +223,28 @@ def cosine_topk_arrow(
 
     Ties at the per-batch k boundary are broken by vec_id asc, matching the
     global ordering, so partial top-k is exact.
+
+    The query side is collected to the driver, so it is hard-capped at
+    ``COLLECT_MAX_QUERY_ROWS`` rows (the ``limit(cap+1)`` probe bounds the
+    driver fetch even when the input is huge). Above the cap this raises
+    rather than OOM-ing the driver — use :func:`lsh_cosine_topk` or
+    :func:`ivf_search` for corpus-scale query sides.
     """
     import numpy as np
     import pandas as pd
 
-    qrows = queries.select(query_id, query_vec).collect()
+    probe = queries.select(query_id, query_vec).limit(
+        COLLECT_MAX_QUERY_ROWS + 1
+    )
+    qrows = probe.collect()
+    if len(qrows) > COLLECT_MAX_QUERY_ROWS:
+        raise ValueError(
+            "cosine_topk_arrow collects the query side to the driver and "
+            f"got more than COLLECT_MAX_QUERY_ROWS={COLLECT_MAX_QUERY_ROWS} "
+            "query rows. For large query sides use the distributed scale "
+            "paths: lsh_cosine_topk (banded hyperplane LSH) or ivf_search "
+            "(cell-partitioned IVF), or cosine_topk (no driver collect)."
+        )
     spark = items.sparkSession
     if not qrows:  # empty query set -> empty result, same as the SQL path
         return spark.createDataFrame(

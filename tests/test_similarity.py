@@ -70,6 +70,19 @@ class TestArrowBruteForce:
         assert sorted((r["query_id"], r["rank"], r["vec_id"]) for r in exact) == \
             sorted((r["query_id"], r["rank"], r["vec_id"]) for r in arrow)
 
+    def test_oversized_query_side_raises(self, emb, monkeypatch):
+        """The driver-collect is hard-capped: above COLLECT_MAX_QUERY_ROWS
+        the op must refuse loudly and point at the distributed scale paths
+        instead of OOM-ing the driver (VERDICT r3 'What's wrong' #3)."""
+        from sparksearchengine_spark.operators import similarity
+
+        big_queries = emb.select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        monkeypatch.setattr(similarity, "COLLECT_MAX_QUERY_ROWS", 5)
+        with pytest.raises(ValueError, match="lsh_cosine_topk"):
+            similarity.cosine_topk_arrow(emb, big_queries, k=3)
+
 
 class TestIVF:
     def test_full_probe_equals_exact(self, emb, queries):
