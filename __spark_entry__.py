@@ -46,6 +46,7 @@ QC13_IDS = (3, 7, 11, 999999, 888888)
 QC14_TERM = "dup"
 QC14_IDS = (8, 26, 45)
 QC15_LO, QC15_HI, QC15_K = 100, 120, 5
+QC28_LO, QC28_HI = 132, 246  # both values occur in documents.n_chars
 EMB_NQ, EMB_K = 5, 10
 EMB_DUP_T = 0.4  # synthetic embeddings are near-orthogonal; max pair ~0.51
 NGRAM_N, NGRAM_T = 3, 0.8
@@ -980,6 +981,26 @@ def _qc27(spark, sf):
     return res.select("requested_id", "text", "n_chars").orderBy("requested_id")
 
 
+def _qc28(spark, sf):
+    """Q12 full Lucene range brackets (r4): `{a TO b}` / mixed `[a TO b}`
+    compile to strict CompareFilters (reference `dsl/DslQuery.scala:
+    122-128` accepts the full syntax). Bounds 132/246 both occur in the
+    data, so each bracket combination yields a distinct count."""
+    idx = _docs_index(spark, sf)
+    lo, hi = QC28_LO, QC28_HI
+
+    def cnt(qs, name):
+        return idx.compile(Q.parse(qs, default_field="text")).agg(
+            F.count(F.lit(1)).alias(f"n_{name}"),
+            F.sum("doc_id").cast("long").alias(f"sum_{name}"),
+        )
+
+    exc = cnt(f"n_chars:{{{lo} TO {hi}}}", "exc")
+    mixed = cnt(f"n_chars:[{lo} TO {hi}}}", "mixed")
+    inc = cnt(f"n_chars:[{lo} TO {hi}]", "inc")
+    return exc.crossJoin(mixed).crossJoin(inc)
+
+
 def _events_trending(spark, sf):
     """Trending rollup: top-3 event types per hour (rank over the
     windowed-counts rollup, not the raw events)."""
@@ -1509,7 +1530,7 @@ def _emb_semdedup(spark, sf):
 
     emb = _read(spark, sf, "embeddings")
     return semdedup(
-        emb, threshold=EMB_DUP_T, n_clusters=KMEANS_K
+        emb, threshold=EMB_DUP_T, n_clusters=KMEANS_K, method="expr"
     ).orderBy("id")
 
 
@@ -2083,7 +2104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc25_raw_query": _qc25,
         "qc26_phrase_slop": _qc26,
         "qc27_doc_bucket_lookup": _qc27,
-        # --- slots 28-50: r4 rotation (never driver-checked before r4) ---
+        "qc28_exclusive_range": _qc28,
+        # --- slots 29-50: r4 rotation (never driver-checked before r4) ---
         "search_prf": _search_prf,
         "search_sigterms": _search_sigterms,
         "table_histogram": _table_histogram,
@@ -2106,7 +2128,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props": _events_props,
         "url_normalize": _url_normalize,
         "dsir_weights": _dsir_weights,
-        "mixture_sample": _mixture_sample,
         # --- past the 50-row cutoff: green in CORRECTNESS_r01-r03 ---
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
@@ -2160,6 +2181,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semdedup_arrow": _emb_semdedup_arrow,
         "classifier_score": _classifier_score,
         "classifier_vocab": _classifier_vocab,
+        "mixture_sample": _mixture_sample,
         "mixture_repeats": _mixture_repeats,
         "select_budget": _select_budget,
         "text_hash_embed": _text_hash_embed,
@@ -2452,6 +2474,20 @@ def oracle_sql() -> dict[str, str]:
               (SELECT CAST(sum(doc_id) AS BIGINT) FROM wc) AS sum_wc,
               (SELECT count(*) FROM fz) AS n_fuzzy,
               (SELECT CAST(sum(doc_id) AS BIGINT) FROM fz) AS sum_fz""",
+        "qc28_exclusive_range": f"""
+            WITH exc AS (SELECT doc_id FROM documents
+                         WHERE n_chars > {QC28_LO} AND n_chars < {QC28_HI}),
+            mixed AS (SELECT doc_id FROM documents
+                      WHERE n_chars >= {QC28_LO} AND n_chars < {QC28_HI}),
+            inc AS (SELECT doc_id FROM documents
+                    WHERE n_chars >= {QC28_LO} AND n_chars <= {QC28_HI})
+            SELECT
+              (SELECT count(*) FROM exc) AS n_exc,
+              (SELECT CAST(sum(doc_id) AS BIGINT) FROM exc) AS sum_exc,
+              (SELECT count(*) FROM mixed) AS n_mixed,
+              (SELECT CAST(sum(doc_id) AS BIGINT) FROM mixed) AS sum_mixed,
+              (SELECT count(*) FROM inc) AS n_inc,
+              (SELECT CAST(sum(doc_id) AS BIGINT) FROM inc) AS sum_inc""",
         "dedup_exact": """
             SELECT doc_id,
                    min(doc_id) OVER (PARTITION BY md5(text)) AS canon_id

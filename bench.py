@@ -207,7 +207,11 @@ def main() -> None:
     with timed("semdedup"):
         from sparksearchengine_spark.operators.clustering import semdedup
 
-        semdedup(emb, threshold=0.4, n_clusters=16).where("NOT keep").count()
+        # method pinned: this row's baseline was measured on the expr
+        # path (the default moved to arrow in r4)
+        semdedup(
+            emb, threshold=0.4, n_clusters=16, method="expr"
+        ).where("NOT keep").count()
 
     with timed("semdedup_arrow"):
         semdedup(
@@ -258,12 +262,18 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
     docs_split = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with timed("dsir"):
-        from sparksearchengine_spark.operators.dsir import dsir_log_weights
+        from sparksearchengine_spark.operators.dsir import (
+            dsir_log_weights,
+            release_feature_caches,
+        )
 
         target = docs_split.where(F.col("lang") == "en")
         dsir_log_weights(docs_split, target, dim=10_000).agg(
             F.sum("log_weight")
         ).collect()
+    # free the exploded-feature cache so later sections don't compete
+    # with its blocks for executor memory
+    release_feature_caches()
 
     with timed("url_keys"):
         from sparksearchengine_spark.operators.weburl import with_url_keys

@@ -419,7 +419,22 @@ class TextOptions:
     positions=False is the analog of the reference's
     ``NoPositionsStringField`` (`NoPositionsTextField.java:42-46`): smaller
     postings, phrase queries unavailable on that column.
+
+    ``query_analyzer`` configures query-time analysis independently of the
+    index-time ``analyzer`` — the reference's separate index/query analyzer
+    pair (`impl/LuceneConfig.scala:110-123`, consumed at
+    `impl/LuceneIndex.scala:28-29,115-116`). ``None`` (the default) keeps
+    them symmetric. Query terms only MATCH postings tokens, so an
+    asymmetric pair is only useful when the query analyzer's output is a
+    subset-compatible normalization of the index analyzer's (e.g. index
+    with stemming, query without to require exact surface forms).
     """
 
     analyzer: str = "simple"
     positions: bool = True
+    query_analyzer: str | None = None
+
+    def query_time_analyzer(self) -> str:
+        """The analyzer for query text on this field (falls back to the
+        index-time analyzer when no override is configured)."""
+        return self.query_analyzer or self.analyzer

@@ -258,6 +258,7 @@ def tfidf_hash_embed(
     analyzer: str = "simple",
     normalize: bool = True,
     df_table: DataFrame | None = None,
+    n_docs: float | None = None,
 ) -> DataFrame:
     """Idf-WEIGHTED feature-hashing embedding: per md5 bucket the sum of
     the BM25-idf of each token occurrence (rare terms dominate the
@@ -267,7 +268,12 @@ def tfidf_hash_embed(
 
     ``df_table``: a precomputed ``(term, df_t)`` vocabulary (e.g.
     ``SearchIndex.termstats`` or a foreign reference corpus); fitted
-    from ``df`` itself when omitted.
+    from ``df`` itself when omitted. With a foreign ``df_table`` you
+    MUST pass ``n_docs`` — the doc count of the corpus the vocabulary
+    was fitted on: mixing a foreign ``df_t`` with the local corpus's N
+    yields negative idf whenever ``df_t > N`` (rare terms would be
+    penalized), and counting locally would also defeat the supplied
+    vocabulary's purpose of avoiding extra passes (ADVICE r3).
 
     Engine-exactness: idf values are rounded 6dp and summed as DECIMAL
     per bucket (order-independent); the normalization is the shared
@@ -295,10 +301,19 @@ def tfidf_hash_embed(
             .groupBy("term")
             .agg(F.count(F.lit(1)).cast("long").alias("df_t"))
         )
-        n_docs = float(df.count())
+        if n_docs is None:
+            n_docs = float(df.count())
     else:
         df_table = df_table.select("term", "df_t")
-        n_docs = float(df.count())
+        if n_docs is None:
+            raise ValueError(
+                "tfidf_hash_embed(df_table=...) needs n_docs: the doc "
+                "count of the corpus the vocabulary was fitted on. The "
+                "local corpus's count would make idf negative for any "
+                "term with df_t > local N (foreign vocabularies are "
+                "usually from a larger corpus)."
+            )
+    n_docs = float(n_docs)
     idf = F.round(
         idf_expr(F.col("df_t").cast("double"), F.lit(n_docs)), 6
     ).cast("decimal(28,6)")

@@ -520,7 +520,11 @@ class SearchIndex:
             "doc_buckets": doc_buckets,
             "id_col": self.corpus.id_col,
             "text_cols": {
-                f: {"analyzer": o.analyzer, "positions": o.positions}
+                f: {
+                    "analyzer": o.analyzer,
+                    "positions": o.positions,
+                    "query_analyzer": o.query_analyzer,
+                }
                 for f, o in self.corpus.text_cols.items()
             },
             "fieldstats": {
@@ -566,7 +570,12 @@ class SearchIndex:
             corpus_df,
             id_col=meta["id_col"],
             text_cols={
-                f: TextOptions(analyzer=o["analyzer"], positions=o["positions"])
+                f: TextOptions(
+                    analyzer=o["analyzer"],
+                    positions=o["positions"],
+                    # absent in pre-r4 saves -> symmetric analyzers
+                    query_analyzer=o.get("query_analyzer"),
+                )
                 for f, o in meta["text_cols"].items()
             },
         )
@@ -625,7 +634,7 @@ def merge_indexes(
     if ca.id_col != cb.id_col:
         raise ValueError("indexes disagree on id_col")
     if set(ca.text_cols) != set(cb.text_cols) or any(
-        ca.text_cols[f].analyzer != cb.text_cols[f].analyzer
+        ca.text_cols[f] != cb.text_cols[f]
         for f in ca.text_cols
     ):
         raise ValueError("indexes disagree on text fields/analyzers")

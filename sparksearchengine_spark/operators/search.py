@@ -295,7 +295,9 @@ def batch_search(
         if field_col
         else [field]
     )
-    analyzers = {f: index.corpus.text_cols[f].analyzer for f in fields}
+    analyzers = {
+        f: index.corpus.text_cols[f].query_time_analyzer() for f in fields
+    }
     if len(set(analyzers.values())) != 1:
         raise ValueError("batch over mixed-analyzer fields not supported")
     analyzer = next(iter(analyzers.values()))
@@ -474,7 +476,9 @@ def query_join(
     ``min_should_match``/``require_all`` mirror matchAny/matchMin/matchAll
     query generation.
     """
-    analyzer = index.corpus.text_cols[field].analyzer
+    # query-time analysis of the `other` side (query_analyzer override
+    # applies; index-time analysis already happened at build)
+    analyzer = index.corpus.text_cols[field].query_time_analyzer()
     qtoks = F.array_distinct(analyzer_expr(F.col(text_col), analyzer))
 
     # size the join policy off the frame as the CALLER passed it: after a
@@ -889,7 +893,7 @@ def bm25f_search(
         if f not in index.fieldstats:
             raise ValueError(f"field {f!r} is not indexed")
     first = next(iter(field_weights))
-    analyzer = analyzer or index.corpus.text_cols[first].analyzer
+    analyzer = analyzer or index.corpus.text_cols[first].query_time_analyzer()
     from sparksearchengine_spark.functions.analyzers import tokenize_py
 
     terms = sorted(set(tokenize_py(text, analyzer)))
@@ -988,7 +992,7 @@ def prf_expand_search(
 
     if not 0.0 <= lam <= 1.0:
         raise ValueError("lam must be in [0, 1]")
-    analyzer = index.corpus.text_cols[field].analyzer
+    analyzer = index.corpus.text_cols[field].query_time_analyzer()
     qterms = sorted(set(tokenize_py(text, analyzer)))
     spark = index.postings.sparkSession
     if not qterms:

@@ -138,7 +138,9 @@ def explain_score(
                 (q.field, t, boost) for t in dict.fromkeys(q.terms)
             )
         elif isinstance(q, (ast.MatchText, ast.MatchPhrase)):
-            analyzer = index.corpus.text_cols[q.field].analyzer
+            analyzer = index.corpus.text_cols[
+                q.field
+            ].query_time_analyzer()
             leaves.extend(
                 (q.field, t, boost)
                 for t in dict.fromkeys(tokenize_py(q.text, analyzer))
@@ -190,14 +192,75 @@ def explain_score(
     return rows
 
 
+# plan-stat sizes at/above this are Catalyst's "unknown" sentinel
+# (defaultSizeInBytes = Long.MaxValue) or a product of unknowns — not a
+# real measurement
+_SIZE_UNKNOWN = 1 << 60
+
+
+def _measured_size_bytes(df: DataFrame) -> int:
+    """Scan-measured byte estimate: per-row JSON octet length + row
+    overhead, summed. One pass over the frame — only used when the
+    planner has no estimate (RDD-backed frames, e.g. test corpora built
+    with createDataFrame); parquet-backed production frames never hit
+    this path."""
+    row = F.octet_length(F.to_json(F.struct(*df.columns))) + F.lit(16)
+    n = df.agg(F.sum(row)).collect()[0][0]
+    return int(n or 0)
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a DataFrame — the optimized plan's
+    ``stats.sizeInBytes``. For a parquet-backed frame (a saved index)
+    this is the actual file bytes; for an in-memory build it is the
+    optimizer's row-width x cardinality estimate. Either way it is the
+    number the engine itself plans with (broadcast decisions etc.), the
+    Spark analog of Lucene's on-disk segment bytes. Falls back to a
+    one-scan measured estimate when the planner reports its unknown
+    sentinel."""
+    try:
+        size = int(
+            str(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+    except Exception:
+        return -1  # connect-mode / API drift: size unavailable
+    if size >= _SIZE_UNKNOWN:
+        return _measured_size_bytes(df)
+    return size
+
+
 def indices_info(index: "SearchIndex") -> dict:
-    """M4/M5 — index shape metadata (reference `IndicesInfo.scala:6-34`)."""
+    """M4/M5 — index shape metadata (reference `IndicesInfo.scala:6-34`).
+
+    ``size_bytes`` mirrors the reference's ``sizeBytes`` (Lucene segment
+    bytes there): postings + termstats + corpus plan-stat sizes — parquet
+    bytes for a saved/loaded index, Catalyst estimates for an in-session
+    build (documented difference; both are the planner's own numbers)."""
     n_postings = index.postings.count()
     n_terms = index.termstats.count()
+    postings_bytes = _plan_size_bytes(index.postings)
+    termstats_bytes = _plan_size_bytes(index.termstats)
+    corpus_bytes = _plan_size_bytes(index.corpus.df)
     return {
         "num_partitions": index.postings.rdd.getNumPartitions(),
         "num_postings": n_postings,
         "num_terms": n_terms,
+        # all corpus docs, incl. ones with NULL text (fieldstats
+        # doc_count excludes those); parquet count-star is metadata-only
+        "num_documents": index.corpus.df.count(),
+        "postings_size_bytes": postings_bytes,
+        "termstats_size_bytes": termstats_bytes,
+        "corpus_size_bytes": corpus_bytes,
+        "size_bytes": (
+            -1
+            if -1 in (postings_bytes, termstats_bytes, corpus_bytes)
+            else postings_bytes + termstats_bytes + corpus_bytes
+        ),
         "fields": {
             f: {"doc_count": s.doc_count, "avgdl": s.avgdl}
             for f, s in index.fieldstats.items()
@@ -343,14 +406,17 @@ def complete_prefix(
     job."""
     if not prefix:
         raise ValueError("prefix must be non-empty")
-    ts = index.termstats
+    # prefix is stable under the cross-field max-df aggregation, so it
+    # filters BEFORE the groupBy — this is what lets it reach the scan
+    # as a StartsWith predicate on the default field=None path too
+    # (ADVICE r3), and shrinks the aggregation input to the prefix's
+    # terms
+    ts = index.termstats.where(F.col("term").startswith(prefix))
     if field is not None:
         ts = ts.where(F.col("field") == field)
     else:
         ts = ts.groupBy("term").agg(F.max("df_t").alias("df_t"))
-    cand = ts.where(
-        F.col("term").startswith(prefix) & (F.col("df_t") >= min_df)
-    )
+    cand = ts.where(F.col("df_t") >= min_df)
     from sparksearchengine_spark.operators.search import ranked_topk
 
     return ranked_topk(

@@ -70,13 +70,17 @@ def _all_docs(index: "SearchIndex") -> DataFrame:
 
 
 def _field_analyzer(index: "SearchIndex", field: str) -> str:
+    """QUERY-TIME analyzer for ``field`` — every compiler call site
+    tokenizes query text, never corpus text (index-time analysis happens
+    once, in operators/index.py), so the ``query_analyzer`` override
+    applies here (reference `impl/LuceneIndex.scala:115-116`)."""
     opts = index.corpus.text_cols.get(field)
     if opts is None:
         raise ValueError(
             f"field {field!r} is not a searchable text column "
             f"(declared: {sorted(index.corpus.text_cols)})"
         )
-    return opts.analyzer
+    return opts.query_time_analyzer()
 
 
 def _scored_postings(

@@ -10,6 +10,7 @@ parse a practical subset into the AST:
     field:"quoted phrase"     -> MatchPhrase(field, ...)
     field:(a b c)             -> MatchAny over the terms
     field:[a TO b]            -> RangeFilter (F6); * bound -> one-sided
+    field:{a TO b} / [a TO b} -> exclusive bounds -> strict CompareFilters
     a AND b, a OR b, NOT a    -> And / Or / Not (left-assoc, NOT > AND > OR)
     +term / -term             -> required / prohibited (inside one group)
     term^2, "phrase"^1.5      -> Boost (score multiplier)
@@ -20,10 +21,6 @@ parse a practical subset into the AST:
 
 Bare adjacency ("a b") means OR (SHOULD), matching Lucene's default
 operator; prohibited (-) operands in a group are hoisted to MUST_NOT.
-
-The one Lucene construct we deliberately do NOT implement raises an
-explicit ValueError instead of mis-parsing: exclusive range bounds
-(`{a TO b}` — use the inclusive `[a TO b]`).
 """
 
 from __future__ import annotations
@@ -163,12 +160,9 @@ def _parse_primary_inner(toks: _Tokens, field: str) -> ast.Query:
         toks.next()
         return q
     if kind == "lbracket":
-        return _parse_range(toks, field)
+        return _parse_range(toks, field, lo_incl=True)
     if kind == "lbrace":
-        raise ValueError(
-            "exclusive range bounds {a TO b} are not supported; "
-            "use an inclusive range [a TO b]"
-        )
+        return _parse_range(toks, field, lo_incl=False)
     if kind == "phrase":
         slop = 0
         nxt = toks.peek()
@@ -203,23 +197,40 @@ def _classify_term(field: str, val: str) -> ast.Query:
     return ast.MatchText(field, val, require_all=False)
 
 
-def _parse_range(toks: _Tokens, field: str) -> ast.Query:
-    """field:[a TO b] -> RangeFilter (F6); open bound * -> CompareFilter."""
+def _parse_range(toks: _Tokens, field: str, lo_incl: bool) -> ast.Query:
+    """Full Lucene range syntax (the reference's ``ParsedQuery`` accepts
+    it verbatim, `dsl/DslQuery.scala:122-128`): ``[a TO b]`` closed ->
+    RangeFilter (F6); ``{a TO b}`` / mixed ``[a TO b}`` exclusive bounds
+    -> the matching strict CompareFilters (F2/F4); open bound ``*`` ->
+    one-sided CompareFilter."""
     lo = _range_value(toks)
     kind, _ = toks.next()
     if kind != "to":
         raise ValueError("expected TO in range query")
     hi = _range_value(toks)
     closing = toks.next()
-    if closing[0] != "rbracket":
+    if closing[0] not in ("rbracket", "rbrace"):
         raise ValueError("unbalanced bracket in range query")
+    hi_incl = closing[0] == "rbracket"
     if lo is None and hi is None:
         return ast.ExistsFilter(field)
-    if lo is None:
-        return ast.CompareFilter(field, "<=", hi)
-    if hi is None:
-        return ast.CompareFilter(field, ">=", lo)
-    return ast.RangeFilter(field, lo, hi)
+    lo_f = (
+        None
+        if lo is None
+        else ast.CompareFilter(field, ">=" if lo_incl else ">", lo)
+    )
+    hi_f = (
+        None
+        if hi is None
+        else ast.CompareFilter(field, "<=" if hi_incl else "<", hi)
+    )
+    if lo_f is None:
+        return hi_f
+    if hi_f is None:
+        return lo_f
+    if lo_incl and hi_incl:
+        return ast.RangeFilter(field, lo, hi)
+    return ast.And((lo_f, hi_f))
 
 
 def _range_value(toks: _Tokens):  # type: ignore[no-untyped-def]

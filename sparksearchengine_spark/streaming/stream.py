@@ -30,6 +30,24 @@ from pyspark.sql.streaming import StreamingQuery
 
 from sparksearchengine_spark.functions.analyzers import analyzer_expr
 
+# standing-query term tables persisted by prepare_percolator, released by
+# release_percolator_caches() — mirrors SearchIndex._phrase_caches
+# (operators/index.py:301) so long sessions don't accumulate cached
+# blocks (ADVICE r3)
+_percolator_caches: list[DataFrame] = []
+
+
+def release_percolator_caches() -> None:
+    """Unpersist every standing-query table cached by
+    :func:`prepare_percolator` in this session. Call after the
+    percolation streaming query terminates."""
+    for df in _percolator_caches:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _percolator_caches.clear()
+
 
 def read_document_stream(
     spark, path: str, schema: str = "doc_id bigint, text string"
@@ -498,7 +516,9 @@ def prepare_percolator(
     ``(query_id, term, _nq)`` with ``_nq`` = the query's distinct term
     count (for match-all / min-should-match verdicts). Built ONCE and
     persisted — the registry side of percolation never rescales with
-    the stream."""
+    the stream. The cache is registered in ``_percolator_caches``; call
+    :func:`release_percolator_caches` once the streaming query
+    terminates."""
     toks = F.array_distinct(
         analyzer_expr(F.col(query_text_col), analyzer)
     )
@@ -510,6 +530,7 @@ def prepare_percolator(
         )
         .persist()
     )
+    _percolator_caches.append(out)
     return out
 
 

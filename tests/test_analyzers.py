@@ -337,3 +337,72 @@ class TestWhitespaceUnicodeParity:
             ).collect()
         ]
         assert got == [tokenize_py(s, "whitespace") for s in samples]
+
+
+class TestQueryTimeAnalyzer:
+    """Independent index-time / query-time analyzers (the reference's
+    LuceneConfig index/query analyzer pair, `impl/LuceneConfig.scala:
+    110-123` consumed at `impl/LuceneIndex.scala:28-29,115-116`)."""
+
+    @pytest.fixture(scope="class")
+    def stem_corpus(self, spark):
+        return spark.createDataFrame(
+            [(1, "running shoes"), (2, "run fast"), (3, "walking stick")],
+            "doc_id long, text string",
+        )
+
+    def test_asymmetric_changes_matches(self, stem_corpus):
+        from sparksearchengine_spark import Corpus, Q, TextOptions
+
+        # index-time english stems running->run / walking->walk;
+        # query-time simple leaves the query's surface form intact
+        asym = Corpus(
+            stem_corpus, id_col="doc_id",
+            text_cols={"text": TextOptions(
+                analyzer="english", query_analyzer="simple",
+            )},
+        ).build_index()
+        sym = Corpus(
+            stem_corpus, id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="english")},
+        ).build_index()
+
+        q = Q.field("text").match_text("running")
+        # symmetric: "running" stems to "run" -> matches docs 1 and 2
+        assert {r["doc_id"] for r in sym.search(q, k=10).collect()} == {1, 2}
+        # asymmetric: query keeps "running", which no postings token has
+        assert asym.search(q, k=10).count() == 0
+        # the stemmed surface form still matches both docs
+        q2 = Q.field("text").match_text("run")
+        assert {
+            r["doc_id"] for r in asym.search(q2, k=10).collect()
+        } == {1, 2}
+
+    def test_default_is_symmetric(self):
+        from sparksearchengine_spark import TextOptions
+
+        assert TextOptions(analyzer="english").query_time_analyzer() == "english"
+        assert TextOptions(
+            analyzer="english", query_analyzer="simple"
+        ).query_time_analyzer() == "simple"
+
+    def test_survives_save_load(self, stem_corpus, tmp_path):
+        from sparksearchengine_spark import Corpus, Q, TextOptions
+        from sparksearchengine_spark.operators.index import SearchIndex
+
+        idx = Corpus(
+            stem_corpus, id_col="doc_id",
+            text_cols={"text": TextOptions(
+                analyzer="english", query_analyzer="simple",
+            )},
+        ).build_index()
+        path = str(tmp_path / "qta_index")
+        idx.save(path)
+        loaded = SearchIndex.load(
+            stem_corpus.sparkSession, path, corpus_df=stem_corpus
+        )
+        opts = loaded.corpus.text_cols["text"]
+        assert opts.query_analyzer == "simple"
+        assert loaded.search(
+            Q.field("text").match_text("running"), k=10
+        ).count() == 0

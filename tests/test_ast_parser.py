@@ -174,6 +174,55 @@ def test_parser_ranges():
     assert isinstance(q, ast.And)
 
 
+def test_parser_exclusive_ranges():
+    """Full Lucene bracket syntax (reference `dsl/DslQuery.scala:122-128`):
+    `{`/`}` exclude their bound, mixed brackets allowed."""
+    q = parse_query("views:{1 TO 5}")
+    assert q == ast.And(
+        (
+            ast.CompareFilter("views", ">", 1),
+            ast.CompareFilter("views", "<", 5),
+        )
+    )
+    q = parse_query("views:[1 TO 5}")
+    assert q == ast.And(
+        (
+            ast.CompareFilter("views", ">=", 1),
+            ast.CompareFilter("views", "<", 5),
+        )
+    )
+    q = parse_query("views:{1 TO 5]")
+    assert q == ast.And(
+        (
+            ast.CompareFilter("views", ">", 1),
+            ast.CompareFilter("views", "<=", 5),
+        )
+    )
+    # open bounds take the strictness of their closing bracket
+    assert parse_query("views:{1 TO *}") == ast.CompareFilter(
+        "views", ">", 1
+    )
+    assert parse_query("views:{* TO 5}") == ast.CompareFilter(
+        "views", "<", 5
+    )
+    # both open -> exists, same as the inclusive form
+    assert parse_query("views:{* TO *}") == ast.ExistsFilter("views")
+
+
+def test_exclusive_range_semantics_on_index(tiny_index):
+    # tiny corpus views: 10, 20, 30
+    got = sorted(
+        r["doc_id"]
+        for r in tiny_index.compile(parse_query("views:{10 TO 30}")).collect()
+    )
+    assert got == [2]
+    got = sorted(
+        r["doc_id"]
+        for r in tiny_index.compile(parse_query("views:[10 TO 30}")).collect()
+    )
+    assert got == [1, 2]
+
+
 def test_parser_wildcard_and_fuzzy_nodes():
     assert parse_query("te*t") == ast.MatchWildcard("text", "te*t")
     assert parse_query("te?t") == ast.MatchWildcard("text", "te?t")
@@ -187,9 +236,9 @@ def test_parser_wildcard_and_fuzzy_nodes():
 
 def test_parser_unsupported_syntax_errors_not_misparses():
     with pytest.raises(ValueError):
-        parse_query("views:{1 TO 5}")  # exclusive range bounds
-    with pytest.raises(ValueError):
         parse_query("a~b~c")  # unparseable fuzzy
+    with pytest.raises(ValueError):
+        parse_query("views:{1 TO 5")  # unbalanced range bracket
 
 
 def test_wildcard_fuzzy_semantics_on_index(tiny_index):

@@ -269,7 +269,9 @@ class TestSemDedup:
         ]
         df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
         kw = dict(threshold=0.99, n_clusters=2)
-        expr_rows = sorted(map(tuple, semdedup(df, **kw).collect()))
+        expr_rows = sorted(
+            map(tuple, semdedup(df, method="expr", **kw).collect())
+        )
         arrow_rows = sorted(
             map(tuple, semdedup(df, method="arrow", **kw).collect())
         )
@@ -278,7 +280,7 @@ class TestSemDedup:
     def test_arrow_method_equals_expr_on_testdata(self, spark):
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         kw = dict(threshold=0.4, n_clusters=8)
-        a = sorted(map(tuple, semdedup(emb, **kw).collect()))
+        a = sorted(map(tuple, semdedup(emb, method="expr", **kw).collect()))
         b = sorted(
             map(tuple, semdedup(emb, method="arrow", **kw).collect())
         )
@@ -564,10 +566,16 @@ class TestTfidfHashEmbed:
         )
         vocab = spark.createDataFrame([("known", 1)], "term string, df_t long")
         v = tfidf_hash_embed(
-            df, dim=8, normalize=False, df_table=vocab
+            df, dim=8, normalize=False, df_table=vocab, n_docs=10
         ).first()["embedding"]
         # only 'known' contributes
         assert sum(x > 0 for x in v) == 1
+        # a foreign vocabulary without its corpus size must refuse:
+        # local N mixed with foreign df_t flips idf signs (ADVICE r3)
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="n_docs"):
+            tfidf_hash_embed(df, dim=8, df_table=vocab)
 
     def test_feeds_semdedup(self, spark):
         from sparksearchengine_spark.operators.classify import (

@@ -526,6 +526,50 @@ class TestStats:
         assert info["num_terms"] == 3
         assert info["num_postings"] == 6  # distinct (doc, term) pairs
         assert info["fields"]["text"]["doc_count"] == 3
+        assert info["num_documents"] == 3
+
+    def test_indices_info_size_bytes(self, spark, tiny_corpus, docs_df):
+        """Reference IndicesInfo.sizeBytes analog: positive plan-stat
+        sizes, monotone with corpus size, and the total is the sum of
+        the parts."""
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        small = Corpus(
+            tiny_corpus, id_col="doc_id",
+            text_cols={"text": TextOptions()},
+        ).build_index().indices_info()
+        big = Corpus(
+            docs_df, id_col="doc_id",
+            text_cols={"text": TextOptions()},
+        ).build_index().indices_info()
+        for info in (small, big):
+            assert info["postings_size_bytes"] > 0
+            assert info["termstats_size_bytes"] > 0
+            assert info["corpus_size_bytes"] > 0
+            assert info["size_bytes"] == (
+                info["postings_size_bytes"]
+                + info["termstats_size_bytes"]
+                + info["corpus_size_bytes"]
+            )
+        assert big["size_bytes"] > small["size_bytes"]
+
+    def test_indices_info_saved_reports_parquet_bytes(
+        self, tmp_path, tiny_corpus
+    ):
+        """A loaded (parquet-backed) index reports actual file bytes in
+        its plan stats — still positive and internally consistent."""
+        from sparksearchengine_spark import Corpus, SearchIndex, TextOptions
+
+        idx = Corpus(
+            tiny_corpus, id_col="doc_id",
+            text_cols={"text": TextOptions()},
+        ).build_index()
+        path = str(tmp_path / "sized")
+        idx.save(path)
+        loaded = SearchIndex.load(tiny_corpus.sparkSession, path, tiny_corpus)
+        info = loaded.indices_info()
+        assert info["postings_size_bytes"] > 0
+        assert info["size_bytes"] >= info["postings_size_bytes"]
 
 
 class TestPersistence:
@@ -1265,6 +1309,20 @@ class TestCompletePrefix:
 
     def test_no_match_empty(self, tiny_index):
         assert tiny_index.complete_prefix("zzz").count() == 0
+
+    def test_prefix_filters_before_aggregate(self, docs_index):
+        """On the default field=None path the StartsWith filter must sit
+        BELOW the cross-field max-df aggregation (prefix is stable under
+        it), so it reaches the scan instead of filtering aggregated
+        output (ADVICE r3)."""
+        plan = docs_index.complete_prefix("th", k=5)._jdf.queryExecution(
+        ).optimizedPlan().toString()
+        agg_pos = plan.find("Aggregate")
+        fil_pos = plan.find("StartsWith")
+        assert agg_pos != -1 and fil_pos != -1
+        # optimizedPlan prints parents first: a filter BELOW the
+        # aggregate appears AFTER it in the string
+        assert fil_pos > agg_pos
 
 
 class TestMergeIndexes:

@@ -576,12 +576,24 @@ class TestPercolateStream:
             self.QUERIES, "query_id long, query_text string"
         )
         out = str(tmp_path / f"perc_out_{require_all}_{msm}")
+        from sparksearchengine_spark.streaming.stream import (
+            _percolator_caches,
+            release_percolator_caches,
+        )
+
         q = percolate_stream(
             stream, qdf, out,
             require_all=require_all, min_should_match=msm,
             checkpoint=str(tmp_path / f"cp_{require_all}_{msm}"),
         )
         q.awaitTermination(120)
+        # the standing-term cache must be registered and releasable —
+        # no leaked cached blocks after the query terminates (ADVICE r3)
+        assert len(_percolator_caches) >= 1
+        cached = _percolator_caches[-1]
+        release_percolator_caches()
+        assert not _percolator_caches
+        assert cached.storageLevel.useMemory is False
         return spark.read.parquet(out).select(
             "query_id", "doc_id", "n_matched"
         )
