@@ -48,6 +48,7 @@ QC14_IDS = (8, 26, 45)
 QC15_LO, QC15_HI, QC15_K = 100, 120, 5
 QC28_LO, QC28_HI = 132, 246  # both values occur in documents.n_chars
 EMB_NQ, EMB_K = 5, 10
+DECON_EMB_NQ = 10  # eval-benchmark rows for embedding decontamination
 EMB_DUP_T = 0.4  # synthetic embeddings are near-orthogonal; max pair ~0.51
 NGRAM_N, NGRAM_T = 3, 0.8
 KMEANS_K = 8  # clustering cells; init = the KMEANS_K lowest vec_ids
@@ -583,6 +584,25 @@ def _decontam_ngram(spark, sf):
         F.col("n_hit_grams").cast("long").alias("n_hit_grams"),
         "contaminated",
     ).orderBy("doc_id")
+
+
+def _decontam_embedding(spark, sf):
+    """Embedding-space decontamination (operators/decontam.py::
+    embedding_decontam, r4): the first DECON_EMB_NQ vectors play the
+    eval benchmark; every embedding row reports its max eval cosine
+    (6dp-rounded before the max — engine-exact) and a keep verdict at
+    the EMB_DUP_T threshold. Self-pairs make the flag a live signal."""
+    from sparksearchengine_spark.operators.decontam import (
+        embedding_decontam,
+    )
+
+    emb = _read(spark, sf, "embeddings")
+    ev = emb.where(F.col("vec_id") < DECON_EMB_NQ).select(
+        F.col("vec_id").alias("eval_id"), "embedding"
+    )
+    return embedding_decontam(
+        emb, ev, threshold=EMB_DUP_T, train_id="vec_id"
+    ).orderBy("id")
 
 
 def _vocab_top(spark, sf):
@@ -2196,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_block": _url_domain_block,
         "url_latest": _url_latest,
         "dsir_sample": _dsir_sample,
+        "decontam_embedding": _decontam_embedding,
         "emb_random_proj": _emb_random_proj,
         "sketch_profile": _sketch_profile,
     }
@@ -2636,6 +2657,33 @@ def oracle_sql() -> dict[str, str]:
               FROM scored
             )
             SELECT * FROM ranked WHERE rank <= {EMB_K}""",
+        "decontam_embedding": f"""
+            WITH ev AS (SELECT vec_id AS eid, embedding AS ev
+                        FROM embeddings WHERE vec_id < {DECON_EMB_NQ}),
+            p AS (
+              SELECT e.vec_id AS id,
+                     round(CASE WHEN
+                         sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))) > 0
+                         AND
+                         sqrt(list_sum(list_transform(range(1, len(ev.ev) + 1),
+                           i -> CAST(ev.ev[i] AS DOUBLE) * CAST(ev.ev[i] AS DOUBLE)))) > 0
+                       THEN
+                         list_sum(list_transform(range(1, len(e.embedding) + 1),
+                           i -> CAST(e.embedding[i] AS DOUBLE) * CAST(ev.ev[i] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                            * sqrt(list_sum(list_transform(range(1, len(ev.ev) + 1),
+                              i -> CAST(ev.ev[i] AS DOUBLE) * CAST(ev.ev[i] AS DOUBLE)))))
+                       END, 6) AS c
+              FROM embeddings e LEFT JOIN ev ON TRUE
+            )
+            SELECT id, max(c) AS max_cos,
+                   coalesce(CAST(sum(CASE WHEN c >= {EMB_DUP_T} THEN 1 ELSE 0 END) AS BIGINT), 0)
+                     AS n_contaminated,
+                   coalesce(CAST(sum(CASE WHEN c >= {EMB_DUP_T} THEN 1 ELSE 0 END) AS BIGINT), 0) = 0
+                     AS keep
+            FROM p GROUP BY id ORDER BY id""",
         "text_quality": f"""
             WITH base AS (
               SELECT doc_id,

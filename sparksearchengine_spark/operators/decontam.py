@@ -368,3 +368,90 @@ def bigram_logprob(
         F.count("_nll").cast("long").alias("n_bigrams"),
         F.coalesce(F.avg("_nll"), F.lit(0.0)).alias("avg_nll"),
     )
+
+
+# the eval side of embedding decontamination broadcasts to every task;
+# benchmarks are thousands of rows — above this, the exact pass is the
+# wrong tool (see embedding_decontam's docstring for the scale path)
+MAX_EVAL_EMBED_ROWS = 100_000
+
+
+def embedding_decontam(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.95,
+    train_id: str = "doc_id",
+    train_vec: str = "embedding",
+    eval_id: str = "eval_id",
+    eval_vec: str = "embedding",
+    max_eval_rows: int = MAX_EVAL_EMBED_ROWS,
+) -> DataFrame:
+    """Embedding-space decontamination: flag train docs semantically
+    close to ANY eval-benchmark doc — the paraphrase-robust complement
+    of :func:`ngram_decontaminate` (verbatim-overlap misses reworded
+    eval questions; embedding cosine catches them).
+
+    Returns every train row as ``(id, max_cos, n_contaminated, keep)``:
+    ``max_cos`` = the largest eval cosine (NULL if the train vector has
+    zero norm or the eval set is empty), ``n_contaminated`` = how many
+    eval docs sit at ``cos >= threshold``, ``keep = n_contaminated ==
+    0``. Cosines are rounded to 6dp BEFORE the max/count (the repo's
+    engine-exact recipe), so the threshold compare is bitwise
+    reproducible in the DuckDB oracle.
+
+    Plan shape: the eval side (a benchmark — thousands of rows) is
+    broadcast; the train corpus streams through one scan-stage
+    nested-loop with the cosine fused in, then one partial-aggregated
+    groupBy(id). At 100 TB the corpus is never shuffled; the work is
+    |train| x |eval| fused dot products, which is exactly what the
+    procedure specifies (every pair must be examined for an EXACT
+    verdict). For eval sets beyond ``max_eval_rows`` this raises — at
+    that size pre-bucket with :func:`~sparksearchengine_spark.operators.
+    similarity.lsh_cosine_topk` / ``ivf_search`` and verify only the
+    candidate pairs.
+    """
+    from sparksearchengine_spark.operators.similarity import (
+        dot_expr,
+        norm_expr,
+    )
+
+    ev = eval_df.select(
+        F.col(eval_id).alias("_eid"),
+        F.col(eval_vec).alias("_ev"),
+        norm_expr(F.col(eval_vec)).alias("_en"),
+    )
+    # limit(cap+1).count() bounds the guard's work even on a huge frame
+    if ev.limit(max_eval_rows + 1).count() > max_eval_rows:
+        raise ValueError(
+            f"embedding_decontam broadcasts the eval side and got more "
+            f"than max_eval_rows={max_eval_rows} rows. Pre-bucket with "
+            "lsh_cosine_topk or ivf_search and verify candidates instead."
+        )
+    tr = train_df.select(
+        F.col(train_id).alias("id"),
+        F.col(train_vec).alias("_tv"),
+        norm_expr(F.col(train_vec)).alias("_tn"),
+    )
+    cos = F.round(
+        F.when(
+            (F.col("_tn") > 0) & (F.col("_en") > 0),
+            dot_expr(F.col("_tv"), F.col("_ev"))
+            / (F.col("_tn") * F.col("_en")),
+        ),
+        6,
+    )
+    # left join on TRUE, not crossJoin: an empty eval set must keep
+    # every train row (max_cos NULL), not drop the corpus
+    pairs = tr.join(F.broadcast(ev), F.lit(True), "left").select(
+        "id", cos.alias("_c")
+    )
+    return (
+        pairs.groupBy("id")
+        .agg(
+            F.max("_c").alias("max_cos"),
+            F.sum(F.when(F.col("_c") >= threshold, 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .withColumn("keep", F.col("n_contaminated") == 0)
+    )

@@ -255,3 +255,78 @@ class TestBigramLogprob:
         assert got[1] == __import__("pytest").approx(-math.log(9 / 10))
         assert got[10] == __import__("pytest").approx(-math.log(1 / 10))
         assert got[1] < got[10]
+
+
+class TestEmbeddingDecontam:
+    """Embedding-space decontamination (r4): cosine >= threshold vs any
+    eval doc flags a train doc; the paraphrase-robust complement of the
+    n-gram pass."""
+
+    def _frames(self, spark):
+        train = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]),     # identical to eval 100 -> flagged
+                (2, [0.0, 1.0]),     # orthogonal to both evals -> kept
+                (3, [0.9, 0.1]),     # cos vs eval 100 ~= 0.9939 -> flagged
+                (4, [0.0, 0.0]),     # zero norm -> NULL cosines, kept
+                (5, None),           # NULL vector -> NULL cosines, kept
+            ],
+            "doc_id long, embedding array<double>",
+        )
+        ev = spark.createDataFrame(
+            [(100, [1.0, 0.0]), (101, [-1.0, 0.0])],
+            "eval_id long, embedding array<double>",
+        )
+        return train, ev
+
+    def test_hand_computed_verdicts(self, spark):
+        from sparksearchengine_spark.operators.decontam import (
+            embedding_decontam,
+        )
+
+        train, ev = self._frames(spark)
+        got = {
+            r["id"]: (r["max_cos"], r["n_contaminated"], r["keep"])
+            for r in embedding_decontam(train, ev, threshold=0.95).collect()
+        }
+        assert set(got) == {1, 2, 3, 4, 5}  # every train row survives
+        assert got[1] == (1.0, 1, False)
+        assert got[2] == (0.0, 0, True)
+        mc, n, keep = got[3]
+        assert mc == pytest.approx(0.993884, abs=1e-6)
+        assert (n, keep) == (1, False)
+        assert got[4] == (None, 0, True)
+        assert got[5] == (None, 0, True)
+
+    def test_empty_eval_keeps_everything(self, spark):
+        from sparksearchengine_spark.operators.decontam import (
+            embedding_decontam,
+        )
+
+        train, ev = self._frames(spark)
+        got = embedding_decontam(
+            train, ev.where(F.lit(False)), threshold=0.5
+        ).collect()
+        assert len(got) == 5
+        assert all(r["keep"] and r["max_cos"] is None for r in got)
+
+    def test_oversized_eval_raises(self, spark):
+        from sparksearchengine_spark.operators.decontam import (
+            embedding_decontam,
+        )
+
+        train, ev = self._frames(spark)
+        with pytest.raises(ValueError, match="lsh_cosine_topk"):
+            embedding_decontam(train, ev, max_eval_rows=1)
+
+    def test_eval_side_is_broadcast(self, spark):
+        """The corpus must stream: the only join is a broadcast
+        nested-loop, no Exchange before the id-keyed aggregation."""
+        from sparksearchengine_spark.operators.decontam import (
+            embedding_decontam,
+        )
+
+        train, ev = self._frames(spark)
+        plan = embedding_decontam(train, ev)._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan
