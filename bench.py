@@ -204,15 +204,19 @@ def main() -> None:
 
     # 10. clustering + classifier families (first benched in round 3 —
     # first values define their baseline)
-    with timed("semdedup"):
+    # renamed r5 (VERDICT r4 #7): semdedup -> semdedup_expr_ref. The
+    # expr path is the oracle-parity REFERENCE row, not the production
+    # default (arrow, below) — the suffix keeps cross-round comparisons
+    # from mistaking it for the production cost. Baseline continuity:
+    # semdedup_expr_ref inherits the old "semdedup" history.
+    with timed("semdedup_expr_ref"):
         from sparksearchengine_spark.operators.clustering import semdedup
 
-        # method pinned: this row's baseline was measured on the expr
-        # path (the default moved to arrow in r4)
         semdedup(
             emb, threshold=0.4, n_clusters=16, method="expr"
         ).where("NOT keep").count()
 
+    # the production default (method="arrow" since r4)
     with timed("semdedup_arrow"):
         semdedup(
             emb, threshold=0.4, n_clusters=16, method="arrow"

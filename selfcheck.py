@@ -1,9 +1,24 @@
 """Local mirror of the driver's correctness gate.
 
 Runs every ``__spark_entry__.queries()`` entry at sf0.01 and compares
-against ``oracle_sql()`` via DuckDB: row count, sorted column names, and
-an order-insensitive multiset of (stringified) row values. Queries without
-an oracle get a rows-only check (>= 0 rows, stable schema).
+against ``oracle_sql()`` via DuckDB. The comparison deliberately mirrors
+the DRIVER's canonicalization path (VERDICT r4 #2), not exact Python
+values: both sides go through pandas dataframes (``DataFrame.toPandas()``
+on the Spark side, ``con.execute(...).df()`` on the DuckDB side), columns
+are sorted by name, rows are sorted by all columns, and cells are
+stringified dtype-aware. This is what makes selfcheck PREDICT the
+driver's hash check: a DuckDB HUGEINT (bare ``sum(...)``) becomes
+float64 ``"99111.0"`` in pandas while Spark's bigint stays int64
+``"99111"`` — an exact-value compare would call that equal; the driver
+does not, and now neither do we.
+
+Array/map/struct-typed result columns are rejected loudly for any
+oracle-backed query: the driver's ``_canon`` crashes on unhashable list
+cells (``pandas.sort_values``), so such a query can never earn a green
+driver row — posexplode it in the wrapper instead.
+
+Queries without an oracle get a rows-only check (>= 0 rows, stable
+schema).
 
 Usage: python3 selfcheck.py [sf_dir] [query_name ...]
 """
@@ -13,9 +28,9 @@ from __future__ import annotations
 import math
 import sys
 import time
-from collections import Counter
 
 import duckdb
+import numpy as np
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -23,23 +38,60 @@ TABLES = (
 ).split()
 
 
-def _norm(v):  # normalize a cell for comparison
+def _cell(v):
+    """Dtype-aware stringification of one pandas cell.
+
+    int64 and float64 stringify differently on purpose (``7`` vs
+    ``7.0``) — that asymmetry is exactly the driver-hash failure mode
+    this mirror exists to catch.
+    """
     if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
+        return "<NULL>"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        return repr(v)  # exact double repr: bitwise comparison
-    if isinstance(v, bool):
-        return bool(v)
-    if isinstance(v, int):
-        return int(v)
+        return repr(f)
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
+    if isinstance(v, (list, tuple, dict, set, np.ndarray)):
+        raise TypeError(
+            f"unhashable {type(v).__name__} cell — the driver's _canon "
+            "crashes on array/map columns; posexplode in the wrapper"
+        )
+    try:
+        if v != v:  # pandas NaT / Decimal NaN
+            return "NaN"
+    except Exception:
+        pass
     return str(v)
 
 
-def _rows_multiset(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return Counter(tuple(_norm(r[i]) for i in order) for r in rows)
+def _canon(pdf):
+    """Mirror the driver: sort columns by name, rows by all columns,
+    then stringify every cell dtype-aware. Returns a list of tuples."""
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(by=cols, kind="mergesort").reset_index(
+            drop=True
+        )
+    return [
+        tuple(_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+
+
+def _complex_cols(sdf):
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    return [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
 
 
 def main() -> int:
@@ -74,45 +126,57 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            bad = _complex_cols(sdf)
+            if bad and name in oracles:
+                raise TypeError(
+                    f"array/map/struct result column(s) {bad}: the "
+                    "driver's _canon cannot hash these — posexplode or "
+                    "stringify in the wrapper"
+                )
+            spdf = sdf.toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
             n_fail += 1
             continue
         if name not in oracles:
             print(
-                f"PASS {name} (rows-only): {len(srows)} rows, "
-                f"cols={sorted(scols)} [{time.time()-t0:.1f}s]"
+                f"PASS {name} (rows-only): {len(spdf)} rows, "
+                f"cols={sorted(spdf.columns)} [{time.time()-t0:.1f}s]"
             )
             n_pass += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            opdf = con.execute(oracles[name]).df()
         except Exception as e:
             print(f"FAIL {name}: duckdb error: {e}")
             n_fail += 1
             continue
         problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(spdf) != len(opdf):
+            problems.append(f"rowcount spark={len(spdf)} oracle={len(opdf)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            problems.append(
+                f"cols spark={sorted(spdf.columns)} "
+                f"oracle={sorted(opdf.columns)}"
+            )
         if not problems:
-            ms, mo = _rows_multiset(scols, srows), _rows_multiset(ocols, orows)
-            if ms != mo:
-                diff_s = list((ms - mo).items())[:3]
-                diff_o = list((mo - ms).items())[:3]
-                problems.append(
-                    f"values differ; spark-only={diff_s} oracle-only={diff_o}"
-                )
+            try:
+                srows, orows = _canon(spdf), _canon(opdf)
+            except TypeError as e:
+                srows, orows = None, None
+                problems.append(f"canon error (driver would err): {e}")
+            if srows is not None and srows != orows:
+                diff = [
+                    (s, o)
+                    for s, o in zip(srows, orows)
+                    if s != o
+                ][:3]
+                problems.append(f"canon values differ; first diffs={diff}")
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             n_fail += 1
         else:
-            print(f"PASS {name}: {len(srows)} rows match [{time.time()-t0:.1f}s]")
+            print(f"PASS {name}: {len(spdf)} rows match [{time.time()-t0:.1f}s]")
             n_pass += 1
 
     print(f"\n{n_pass} passed, {n_fail} failed")

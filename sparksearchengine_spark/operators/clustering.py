@@ -305,6 +305,20 @@ def semdedup(
     """
     if method not in ("expr", "arrow"):
         raise ValueError(f"method must be expr|arrow, got {method!r}")
+    if method == "arrow":
+        # fail up front with a clear route, not deep in an executor
+        # stack trace, when the Arrow stack is absent (ADVICE r4) —
+        # method="expr" is the engine-portable zero-dependency path
+        try:
+            import numpy  # noqa: F401
+            import pandas  # noqa: F401
+            import pyarrow  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "semdedup(method='arrow') needs numpy/pandas/pyarrow "
+                f"(missing: {e.name}); pass method='expr' for the "
+                "pure-SQL engine-portable path"
+            ) from e
     if centroids is None:
         centroids = default_centroids(items, n_clusters, item_id, item_vec)
     if method == "arrow":

@@ -236,14 +236,22 @@ def dsir_log_weights(
     the scoring join, so the raw corpus is analyzed + hashed exactly once
     (r3 bench finding: the duplicated gram generation was the dominant
     cost). The cache is registered in ``_feature_caches`` — call
-    :func:`release_feature_caches` to free it; ``cache_features=False``
-    skips it (two compute passes, zero storage)."""
+    :func:`release_feature_caches` to free it; a NEW fit auto-releases
+    the previous fit's cache first (stale caches are never reused, so
+    repeated fits stay bounded at one cached frame);
+    ``cache_features=False`` skips it (two compute passes, zero
+    storage)."""
     feats = hashed_ngram_features(F.col(text_col), analyzer, dim)
     exploded = raw_df.select(
         F.col(id_col), F.explode_outer(feats).alias("bucket")
     )
     if logratio_df is None:
         if cache_features:
+            # a stale fit's cache is never reused by a new fit (the
+            # exploded frame is per-call): auto-release the previous one
+            # so repeated fits can't accumulate corpus-token-scale blocks
+            # for the life of the session (ADVICE r4)
+            release_feature_caches()
             exploded = exploded.persist()
             _feature_caches.append(exploded)
         logratio_df = dsir_bucket_logratio(

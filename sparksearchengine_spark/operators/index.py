@@ -37,7 +37,7 @@ from __future__ import annotations
 import json
 import os
 import zlib
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -100,14 +100,20 @@ class Corpus:
         df: DataFrame,
         id_col: str = DOC_ID,
         text_cols: dict[str, TextOptions] | None = None,
+        validate: bool = True,
     ) -> None:
+        """``validate=False`` skips the column-resolvability check: a
+        reduced-payload save (``save(stored_cols=...)``, reference
+        `Indexable.scala:16-19` ``Storeable.getData``) may store FEWER
+        columns than were indexed, yet the analyzer metadata for the
+        indexed-only fields must survive the load for query compilation."""
         if text_cols is None:
             text_cols = {
                 f.name: TextOptions()
                 for f in df.schema.fields
                 if f.dataType.simpleString() == "string"
             }
-        for c in [id_col, *text_cols]:
+        for c in [id_col, *text_cols] if validate else [id_col]:
             # resolve, don't string-match: allows nested struct refs like
             # 'author.name' (the reference's dot-flattened Indexable
             # namespace, `Indexable.scala:27-38`, is native column access)
@@ -445,10 +451,14 @@ class SearchIndex:
 
         return term_idfs(self)
 
-    def indices_info(self) -> dict:
+    def indices_info(
+        self, per_partition: bool = False, measure_sizes: bool = False
+    ) -> dict:
         from sparksearchengine_spark.operators.stats import indices_info
 
-        return indices_info(self)
+        return indices_info(
+            self, per_partition=per_partition, measure_sizes=measure_sizes
+        )
 
     # -- placement / persistence ------------------------------------------
 
@@ -471,6 +481,7 @@ class SearchIndex:
         path: str,
         term_buckets: int | None = None,
         doc_buckets: int | None = None,
+        stored_cols: list[str] | None = None,
     ) -> None:
         """Persist the index as Parquet (replaces the reference's serialized
         RAMDirectory + Kryo machinery, `LuceneIndex.scala:92-118`).
@@ -489,7 +500,32 @@ class SearchIndex:
         same idea, durable). ``get_element(s)`` on the loaded index
         compute the bucket driver-side and prune the scan to that
         bucket's files instead of filtering the whole corpus.
+
+        ``stored_cols=[...]`` stores only the named corpus columns (the
+        id column is always included) — the analog of the reference's
+        ``Storeable.getData`` reduced payload (`Indexable.scala:16-19`,
+        `examples/StoreableExample.scala:36-45`): index the full fields,
+        persist a projection. At 100 TB this is the difference between
+        re-writing the whole corpus next to the index and writing only
+        what results need to carry. Passing ``stored_cols`` without
+        ``doc_buckets`` still stores the (unbucketed) projected corpus,
+        so the save is self-contained. Queries against indexed-but-
+        unstored fields keep working on the loaded index (the postings
+        carry the terms); only element payloads shrink.
         """
+        store_corpus = bool(doc_buckets) or stored_cols is not None
+        cdf = self.corpus.df
+        if stored_cols is not None:
+            keep = [self.corpus.id_col] + [
+                c for c in stored_cols if c != self.corpus.id_col
+            ]
+            missing = [c for c in keep if c not in cdf.columns]
+            if missing:
+                raise ValueError(
+                    f"stored_cols not in corpus: {missing} "
+                    f"(have {cdf.columns})"
+                )
+            cdf = cdf.select(*keep)
         pw = self.postings
         if term_buckets:
             pw = pw.withColumn(
@@ -507,7 +543,7 @@ class SearchIndex:
             os.path.join(path, "termstats")
         )
         if doc_buckets:
-            cw = self.corpus.df.withColumn(
+            cw = cdf.withColumn(
                 DOC_BUCKET,
                 doc_bucket_expr(F.col(self.corpus.id_col), doc_buckets),
             )
@@ -515,9 +551,13 @@ class SearchIndex:
             cw.write.mode("overwrite").partitionBy(DOC_BUCKET).parquet(
                 os.path.join(path, "corpus")
             )
+        elif store_corpus:
+            cdf.write.mode("overwrite").parquet(os.path.join(path, "corpus"))
         meta = {
             "term_buckets": term_buckets,
             "doc_buckets": doc_buckets,
+            "stored_corpus": store_corpus,
+            "stored_cols": stored_cols,
             "id_col": self.corpus.id_col,
             "text_cols": {
                 f: {
@@ -548,13 +588,21 @@ class SearchIndex:
         with open(os.path.join(path, "meta.json")) as fh:
             meta = json.load(fh)
         doc_buckets = meta.get("doc_buckets")
+        # pre-r5 saves have no flag: corpus present iff doc-bucketed
+        stored = meta.get("stored_corpus", bool(doc_buckets))
         corpus_store = None
-        if doc_buckets:
+        if stored:
             if corpus_df is None:
                 corpus_store = spark.read.parquet(
                     os.path.join(path, "corpus")
                 )
-                corpus_df = corpus_store.drop(DOC_BUCKET)
+                corpus_df = (
+                    corpus_store.drop(DOC_BUCKET)
+                    if doc_buckets
+                    else corpus_store
+                )
+                if not doc_buckets:
+                    corpus_store = None  # no bucket-pruned lookup path
             else:
                 # an explicitly passed corpus takes precedence EVERYWHERE,
                 # incl. point lookups — serving get_element(s) from the
@@ -564,7 +612,8 @@ class SearchIndex:
         if corpus_df is None:
             raise ValueError(
                 "corpus_df is required: this save carries no stored corpus "
-                "(write one with save(path, doc_buckets=n))"
+                "(write one with save(path, doc_buckets=n) or "
+                "save(path, stored_cols=[...]))"
             )
         corpus = Corpus(
             corpus_df,
@@ -578,6 +627,9 @@ class SearchIndex:
                 )
                 for f, o in meta["text_cols"].items()
             },
+            # a stored_cols projection may omit indexed text columns;
+            # analyzer metadata must survive anyway (Storeable contract)
+            validate=False,
         )
         return SearchIndex(
             corpus=corpus,
@@ -633,16 +685,36 @@ def merge_indexes(
     ca, cb = a.corpus, b.corpus
     if ca.id_col != cb.id_col:
         raise ValueError("indexes disagree on id_col")
+    # compare only the PHYSICAL layout fields (analyzer, positions):
+    # query_analyzer is a query-time-only setting — two physically
+    # identical indexes that differ there (e.g. a pre-r4 save loading
+    # with query_analyzer=None) merge fine, and the merged index must
+    # agree on one side's query analyzer only when both set one.
     if set(ca.text_cols) != set(cb.text_cols) or any(
-        ca.text_cols[f] != cb.text_cols[f]
+        (ca.text_cols[f].analyzer, ca.text_cols[f].positions)
+        != (cb.text_cols[f].analyzer, cb.text_cols[f].positions)
         for f in ca.text_cols
     ):
         raise ValueError("indexes disagree on text fields/analyzers")
+    merged_text_cols = {}
+    for f in ca.text_cols:
+        qa_a = ca.text_cols[f].query_analyzer
+        qa_b = cb.text_cols[f].query_analyzer
+        if qa_a is not None and qa_b is not None and qa_a != qa_b:
+            raise ValueError(
+                f"indexes disagree on query_analyzer for field {f!r} "
+                f"({qa_a!r} vs {qa_b!r}); align them before merging"
+            )
+        merged_text_cols[f] = replace(
+            ca.text_cols[f], query_analyzer=qa_a or qa_b
+        )
     if a.scoring != b.scoring:
         raise ValueError("indexes disagree on scoring config")
 
     merged_corpus = Corpus(
-        ca.df.unionByName(cb.df), id_col=ca.id_col, text_cols=ca.text_cols
+        ca.df.unionByName(cb.df),
+        id_col=ca.id_col,
+        text_cols=merged_text_cols,
     )
     postings = a.postings.unionByName(b.postings)
     if persist:

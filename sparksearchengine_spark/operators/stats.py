@@ -209,15 +209,18 @@ def _measured_size_bytes(df: DataFrame) -> int:
     return int(n or 0)
 
 
-def _plan_size_bytes(df: DataFrame) -> int:
+def _plan_size_bytes(df: DataFrame, measure: bool = False) -> int:
     """Catalyst's size estimate for a DataFrame — the optimized plan's
     ``stats.sizeInBytes``. For a parquet-backed frame (a saved index)
     this is the actual file bytes; for an in-memory build it is the
     optimizer's row-width x cardinality estimate. Either way it is the
     number the engine itself plans with (broadcast decisions etc.), the
-    Spark analog of Lucene's on-disk segment bytes. Falls back to a
-    one-scan measured estimate when the planner reports its unknown
-    sentinel."""
+    Spark analog of Lucene's on-disk segment bytes.
+
+    When the planner reports its unknown sentinel (RDD/createDataFrame-
+    backed frames): returns -1 unless ``measure=True``, which opts into
+    the one-scan measured estimate — a METADATA call must never cost
+    O(data) silently."""
     try:
         size = int(
             str(
@@ -230,23 +233,39 @@ def _plan_size_bytes(df: DataFrame) -> int:
     except Exception:
         return -1  # connect-mode / API drift: size unavailable
     if size >= _SIZE_UNKNOWN:
-        return _measured_size_bytes(df)
+        return _measured_size_bytes(df) if measure else -1
     return size
 
 
-def indices_info(index: "SearchIndex") -> dict:
-    """M4/M5 — index shape metadata (reference `IndicesInfo.scala:6-34`).
+def indices_info(
+    index: "SearchIndex",
+    per_partition: bool = False,
+    measure_sizes: bool = False,
+) -> dict:
+    """M4/M5 — index shape metadata (reference `IndicesInfo.scala:6-34`,
+    per-partition breakdown `PartitionsIndexLuceneRDD.scala:547-566`).
 
     ``size_bytes`` mirrors the reference's ``sizeBytes`` (Lucene segment
     bytes there): postings + termstats + corpus plan-stat sizes — parquet
     bytes for a saved/loaded index, Catalyst estimates for an in-session
-    build (documented difference; both are the planner's own numbers)."""
+    build (documented difference; both are the planner's own numbers).
+    When Catalyst reports its unknown-size sentinel (RDD-backed frames)
+    the byte fields are -1 unless ``measure_sizes=True`` opts into a
+    one-scan measured estimate — a metadata call never costs O(data)
+    silently.
+
+    ``per_partition=True`` adds a ``partitions`` list of
+    ``{partition, n_postings, bytes}`` rows (M5's per-partition
+    ``getDataAndIndicesInfo`` shape): one ``spark_partition_id()``
+    aggregation over the postings — an explicit scan, which is why it is
+    opt-in. ``bytes`` uses the row-measured estimator so the rows sum
+    exactly to a whole-frame measured total."""
     n_postings = index.postings.count()
     n_terms = index.termstats.count()
-    postings_bytes = _plan_size_bytes(index.postings)
-    termstats_bytes = _plan_size_bytes(index.termstats)
-    corpus_bytes = _plan_size_bytes(index.corpus.df)
-    return {
+    postings_bytes = _plan_size_bytes(index.postings, measure_sizes)
+    termstats_bytes = _plan_size_bytes(index.termstats, measure_sizes)
+    corpus_bytes = _plan_size_bytes(index.corpus.df, measure_sizes)
+    out = {
         "num_partitions": index.postings.rdd.getNumPartitions(),
         "num_postings": n_postings,
         "num_terms": n_terms,
@@ -266,6 +285,29 @@ def indices_info(index: "SearchIndex") -> dict:
             for f, s in index.fieldstats.items()
         },
     }
+    if per_partition:
+        p = index.postings
+        row_bytes = (
+            F.octet_length(F.to_json(F.struct(*p.columns))) + F.lit(16)
+        )
+        rows = (
+            p.groupBy(F.spark_partition_id().alias("partition"))
+            .agg(
+                F.count(F.lit(1)).alias("n_postings"),
+                F.sum(row_bytes).cast("long").alias("bytes"),
+            )
+            .orderBy("partition")
+            .collect()  # bounded: one row per partition
+        )
+        out["partitions"] = [
+            {
+                "partition": int(r["partition"]),
+                "n_postings": int(r["n_postings"]),
+                "bytes": int(r["bytes"]),
+            }
+            for r in rows
+        ]
+    return out
 
 
 def config_info(index: "SearchIndex") -> dict:

@@ -137,8 +137,37 @@ class MatchWildcard(Query):
     pattern: str
 
     def __post_init__(self) -> None:
-        if "*" not in self.pattern and "?" not in self.pattern:
+        # only UNESCAPED * / ? count — \* is a literal asterisk
+        i, found = 0, False
+        while i < len(self.pattern):
+            if self.pattern[i] == "\\":
+                i += 2
+                continue
+            if self.pattern[i] in "*?":
+                found = True
+                break
+            i += 1
+        if not found:
             raise ValueError("wildcard pattern needs * or ?")
+
+
+@dataclass(frozen=True)
+class MatchRegex(Query):
+    """Q12 regex term (`field:/re/` — Lucene RegexpQuery via the
+    QueryParser, `dsl/DslQuery.scala:122-128`). The pattern must match a
+    WHOLE indexed term (Lucene's implicit anchoring); evaluated against
+    the vocabulary (termstats) and never per-posting, then expanded like
+    any multi-term query — constant score 1.0 per doc. The dialect is
+    the engine's regex (Java on the JVM); the Lucene-compatible common
+    subset (literals, classes, alternation, quantifiers) behaves
+    identically."""
+
+    field: str
+    pattern: str
+
+    def __post_init__(self) -> None:
+        if not self.pattern:
+            raise ValueError("empty regex pattern")
 
 
 @dataclass(frozen=True)
@@ -289,6 +318,9 @@ class FieldRef:
     def match_near(self, text: str, window: int = 5) -> MatchNear:
         return MatchNear(self.name, text, window=window)
 
+    def match_regex(self, pattern: str) -> MatchRegex:
+        return MatchRegex(self.name, pattern)
+
 
 class Q:
     """Query builder namespace."""
@@ -313,9 +345,9 @@ class Q:
     def parse(query_string: str, default_field: str = "text") -> Query:
         """Q12 — parse a Lucene-ish query syntax subset (terms, quoted
         phrases, AND/OR/NOT, field:term, field:(a b c), +term, -term,
-        term^boost, field:[a TO b] ranges, te*t wildcards, term~n fuzzy).
-        Exclusive-range syntax ({a TO b}) raises an explicit error
-        instead of mis-parsing."""
+        term^boost, field:[a TO b] / {a TO b} ranges, te*t wildcards,
+        term~n fuzzy, field:/re/ regex terms, and backslash-escaped
+        specials per Lucene QueryParser rules)."""
         from sparksearchengine_spark.plans.parser import parse_query
 
         return parse_query(query_string, default_field)

@@ -249,9 +249,19 @@ def _phrase(index: "SearchIndex", node: ast.MatchPhrase) -> DataFrame:
 
 
 def _wildcard_to_like(pattern: str) -> str:
-    """Lucene wildcard -> SQL LIKE: * -> %, ? -> _, escape % _ literals."""
+    """Lucene wildcard -> SQL LIKE: * -> %, ? -> _, escape % _ literals.
+
+    A backslash escapes the next pattern character (Lucene WildcardQuery
+    semantics): ``\\*`` is a literal asterisk, not a wildcard."""
     out = []
-    for ch in pattern:
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            nxt = pattern[i + 1]
+            out.append("\\" + nxt if nxt in ("%", "_", "\\") else nxt)
+            i += 2
+            continue
         if ch == "*":
             out.append("%")
         elif ch == "?":
@@ -260,6 +270,7 @@ def _wildcard_to_like(pattern: str) -> str:
             out.append("\\" + ch)
         else:
             out.append(ch)
+        i += 1
     return "".join(out)
 
 
@@ -306,6 +317,20 @@ def _compile_wildcard(node: ast.MatchWildcard, index: "SearchIndex") -> DataFram
     ts = index.termstats.where(
         (F.col("field") == node.field)
         & F.col("term").like(_wildcard_to_like(pat))
+    )
+    return _multi_term_docs(index, node.field, ts)
+
+
+def _compile_regex(node: ast.MatchRegex, index: "SearchIndex") -> DataFrame:
+    """MatchRegex: whole-term anchored rlike on the VOCABULARY (termstats,
+    dictionary-sized) — never a per-posting regex — then the standard
+    broadcast multi-term expansion (Lucene RegexpQuery's term-dictionary
+    intersection, `dsl/DslQuery.scala:122-128`). The pattern is NOT
+    case-folded: regex metachars like \\W flip meaning under lower();
+    patterns match the indexed term bytes, as in Lucene."""
+    ts = index.termstats.where(
+        (F.col("field") == node.field)
+        & F.col("term").rlike(f"^(?:{node.pattern})$")
     )
     return _multi_term_docs(index, node.field, ts)
 
@@ -422,6 +447,8 @@ def _compile(q: ast.Query, index: "SearchIndex") -> DataFrame:
         return _near(index, q)
     if isinstance(q, ast.MatchWildcard):
         return _compile_wildcard(q, index)
+    if isinstance(q, ast.MatchRegex):
+        return _compile_regex(q, index)
     if isinstance(q, ast.MatchFuzzy):
         return _compile_fuzzy(q, index)
     if isinstance(q, ast.Boost):

@@ -1,4 +1,4 @@
-"""Mini query-string parser (reference Q12 `parseQuery`).
+r"""Mini query-string parser (reference Q12 `parseQuery`).
 
 The reference delegates to Lucene's QueryParser at search time
 (`dsl/DslQuery.scala:122-128`, noted expensive and non-thread-safe). We
@@ -17,10 +17,20 @@ parse a practical subset into the AST:
     te*t / te?t               -> MatchWildcard (constant-score)
     term~ / term~1            -> MatchFuzzy (Levenshtein <= n, default 2)
     "quoted phrase"~n         -> MatchPhrase(slop=n) (ordered sloppy)
+    field:/regex/             -> MatchRegex (whole-term match)
+    \x                        -> escaped special (literal x)
     parentheses               -> grouping
 
 Bare adjacency ("a b") means OR (SHOULD), matching Lucene's default
 operator; prohibited (-) operands in a group are hoisted to MUST_NOT.
+
+Escaping follows Lucene QueryParser (`dsl/DslQuery.scala:122-128`
+accepts the full syntax): a backslash makes the next character a
+literal term character, so ``c\+\+``, ``\-foo``, ``path\:x``, ``\[a\]``,
+``te\*t`` (literal asterisk, not a wildcard), ``\"quote\"`` and ``\\``
+all parse as plain terms. Inside quoted phrases ``\"`` and ``\\`` are
+unescaped; inside ``/regex/`` only ``\/`` is consumed (all other
+backslashes belong to the regex dialect).
 """
 
 from __future__ import annotations
@@ -44,12 +54,31 @@ _TOKEN_RE = re.compile(
       | (?P<plus>\+)
       | (?P<minus>-)
       | (?P<boost>\^\d+(?:\.\d+)?)
-      | (?P<phrase>"[^"]*")
+      | (?P<phrase>"(?:[^"\\]|\\.)*")
+      | (?P<regex>/(?:[^/\\]|\\.)+/)
       | (?P<fieldterm>[A-Za-z_][\w.]*:)
-      | (?P<term>[^\s()+\-"\[\]{}^][^\s()"\[\]{}^]*)
+      | (?P<term>(?:\\.|[^\s()+\-"\[\]{}^\\/])(?:\\.|[^\s()"\[\]{}^\\])*)
     )""",
     re.VERBOSE,
 )
+
+
+def _lex_chars(s: str) -> list[tuple[str, bool]]:
+    """Decode backslash escapes: ``[(char, was_escaped), ...]``."""
+    out: list[tuple[str, bool]] = []
+    i = 0
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            out.append((s[i + 1], True))
+            i += 2
+        else:
+            out.append((s[i], False))
+            i += 1
+    return out
+
+
+def _unescape(s: str) -> str:
+    return "".join(c for c, _ in _lex_chars(s))
 
 
 class _Tokens:
@@ -171,7 +200,11 @@ def _parse_primary_inner(toks: _Tokens, field: str) -> ast.Query:
             if m:
                 toks.next()
                 slop = int(m.group(1))
-        return ast.MatchPhrase(field, val.strip('"'), slop=slop)
+        return ast.MatchPhrase(field, _unescape(val[1:-1]), slop=slop)
+    if kind == "regex":
+        # Lucene RegexpQuery form field:/re/ — only \/ is consumed here;
+        # every other backslash belongs to the regex dialect
+        return ast.MatchRegex(field, val[1:-1].replace("\\/", "/"))
     if kind == "fieldterm":
         new_field = val[:-1]
         return _parse_primary_inner(toks, new_field)
@@ -183,18 +216,33 @@ def _parse_primary_inner(toks: _Tokens, field: str) -> ast.Query:
 def _classify_term(field: str, val: str) -> ast.Query:
     """Plain term, wildcard (te*t), or fuzzy (term~ / term~1) — the Lucene
     QueryParser constructs the reference accepts
-    (`dsl/DslQuery.scala:122-128`)."""
-    m = re.fullmatch(r"(.+)~(\d?)", val)
-    if m:
-        base, edits = m.group(1), m.group(2)
-        if "~" in base or "*" in base or "?" in base:
-            raise ValueError(f"cannot parse fuzzy term {val!r}")
-        return ast.MatchFuzzy(field, base, int(edits) if edits else 2)
-    if "~" in val:
-        raise ValueError(f"cannot parse fuzzy term {val!r}")
-    if "*" in val or "?" in val:
-        return ast.MatchWildcard(field, val)
-    return ast.MatchText(field, val, require_all=False)
+    (`dsl/DslQuery.scala:122-128`). Escape-aware: only UNESCAPED ~ * ?
+    trigger the fuzzy/wildcard forms; ``te\\*t`` is a plain term with a
+    literal asterisk."""
+    chars = _lex_chars(val)
+    for idx, (ch, esc) in enumerate(chars):
+        if ch == "~" and not esc:
+            tail = chars[idx + 1 :]
+            base = chars[:idx]
+            if (
+                not base
+                or len(tail) > 1
+                or (tail and (tail[0][1] or not tail[0][0].isdigit()))
+                or any(c in "*?" and not e for c, e in base)
+            ):
+                raise ValueError(f"cannot parse fuzzy term {val!r}")
+            edits = tail[0][0] if tail else ""
+            return ast.MatchFuzzy(
+                field,
+                "".join(c for c, _ in base),
+                int(edits) if edits else 2,
+            )
+    if any(c in "*?" and not e for c, e in chars):
+        # keep escape pairs: the compiler's LIKE translation treats \x
+        # as a literal, so \* survives as a literal asterisk
+        pattern = "".join(("\\" + c) if e else c for c, e in chars)
+        return ast.MatchWildcard(field, pattern)
+    return ast.MatchText(field, "".join(c for c, _ in chars), require_all=False)
 
 
 def _parse_range(toks: _Tokens, field: str, lo_incl: bool) -> ast.Query:
@@ -240,12 +288,12 @@ def _range_value(toks: _Tokens):  # type: ignore[no-untyped-def]
         neg = True
         kind, val = toks.next()
     if kind == "phrase":
-        return val.strip('"')
+        return _unescape(val[1:-1])
     if kind != "term":
         raise ValueError(f"bad range bound {val!r}")
     if val == "*" and not neg:
         return None  # open bound
-    return _coerce(("-" if neg else "") + val)
+    return _coerce(("-" if neg else "") + _unescape(val))
 
 
 def _coerce(s: str):  # type: ignore[no-untyped-def]

@@ -286,3 +286,98 @@ def test_query_constructor_pluggable():
         set_query_constructor(
             lambda s, f: ast.MatchText(f, s, require_all=False)
         )
+
+
+# ----------------------------------------------------------------------
+# escaping + regex terms (r5; reference accepts the full Lucene
+# QueryParser syntax, `dsl/DslQuery.scala:122-128`)
+# ----------------------------------------------------------------------
+
+
+def test_escaped_specials_parse_as_literal_terms():
+    assert parse_query(r"c\+\+") == ast.MatchText("text", "c++", False)
+    assert parse_query(r"\-foo") == ast.MatchText("text", "-foo", False)
+    assert parse_query(r"path\:x") == ast.MatchText("text", "path:x", False)
+    assert parse_query(r"\[tag\]") == ast.MatchText("text", "[tag]", False)
+    assert parse_query(r"\(x\)") == ast.MatchText("text", "(x)", False)
+    assert parse_query(r"a\\b") == ast.MatchText("text", "a\\b", False)
+    assert parse_query(r"up\^2") == ast.MatchText("text", "up^2", False)
+    assert parse_query(r"q\"x") == ast.MatchText("text", 'q"x', False)
+
+
+def test_escaped_wildcard_and_fuzzy_chars_are_literals():
+    # \* and \? never trigger the wildcard form
+    assert parse_query(r"te\*t") == ast.MatchText("text", "te*t", False)
+    assert parse_query(r"te\?t") == ast.MatchText("text", "te?t", False)
+    # \~ never triggers fuzzy
+    assert parse_query(r"x\~1") == ast.MatchText("text", "x~1", False)
+    # mixed: unescaped * still wins, escape pair preserved in pattern
+    q = parse_query(r"a\*b*c")
+    assert q == ast.MatchWildcard("text", r"a\*b*c")
+
+
+def test_escapes_inside_field_scoped_and_boolean_context():
+    q = parse_query(r"title:c\+\+ AND body:\-x")
+    assert q == ast.And(
+        (
+            ast.MatchText("title", "c++", False),
+            ast.MatchText("body", "-x", False),
+        )
+    )
+
+
+def test_escaped_quote_inside_phrase():
+    q = parse_query(r'"say \"hi\" now"')
+    assert q == ast.MatchPhrase("text", 'say "hi" now', slop=0)
+
+
+def test_regex_term_parses():
+    assert parse_query("text:/du[pm]/") == ast.MatchRegex("text", "du[pm]")
+    assert parse_query("/ab+c/") == ast.MatchRegex("text", "ab+c")
+    # \/ is the only escape consumed by the regex token
+    assert parse_query(r"text:/a\/b/") == ast.MatchRegex("text", "a/b")
+    # other backslashes pass through to the regex dialect
+    assert parse_query(r"text:/\d+/") == ast.MatchRegex("text", r"\d+")
+
+
+def test_regex_composes_with_booleans_and_boost():
+    # NOT operands in an OR group hoist to MUST_NOT (Lucene legalization)
+    q = parse_query("NOT /du[pm]/ OR title:/x?y/^2")
+    assert q == ast.And(
+        (
+            ast.Boost(ast.MatchRegex("title", "x?y"), 2.0),
+            ast.Not(ast.MatchRegex("text", "du[pm]")),
+        )
+    )
+    q2 = parse_query("/a+/ AND /b+/")
+    assert q2 == ast.And(
+        (ast.MatchRegex("text", "a+"), ast.MatchRegex("text", "b+"))
+    )
+
+
+def test_wildcard_constant_score_literal_star(tiny_index):
+    # escaped-star pattern: no term contains a literal '*', so no hits
+    from sparksearchengine_spark.plans.ast import MatchWildcard
+
+    res = tiny_index.compile(
+        ast.And((MatchWildcard("text", r"\*a*"),))
+    ).collect()
+    assert res == []
+
+
+def test_regex_semantics_on_index(docs_index):
+    import pyspark.sql.functions as F
+
+    got = docs_index.compile(parse_query("text:/dup[a-z]*/"))
+    n = got.count()
+    want = (
+        docs_index.corpus.df.where(
+            F.exists(
+                F.split(F.lower("text"), r"[^a-z0-9]+"),
+                lambda t: t.rlike("^dup[a-z]*$"),
+            )
+        ).count()
+    )
+    assert n == want and n > 0
+    res = got.collect()
+    assert all(r["score"] == 1.0 for r in res)

@@ -200,3 +200,21 @@ class TestUnseenBucketDefault:
             dsir_sample(w, 2, temperature=0.0)
         with _pytest.raises(ValueError):
             dsir_sample(w, 2, temperature=-1.0)
+
+    def test_repeated_fits_bound_feature_caches(self, raw_target):
+        """A new fit auto-releases the previous fit's cache (stale caches
+        are never reused) — repeated fits hold at most ONE cached
+        exploded-feature frame (ADVICE r4)."""
+        from sparksearchengine_spark.operators import dsir as dsir_mod
+        from sparksearchengine_spark.operators.dsir import (
+            dsir_log_weights,
+            release_feature_caches,
+        )
+
+        raw, target = raw_target
+        release_feature_caches()
+        for _ in range(3):
+            dsir_log_weights(raw, target, dim=64).collect()
+        assert len(dsir_mod._feature_caches) == 1
+        release_feature_caches()
+        assert len(dsir_mod._feature_caches) == 0

@@ -294,3 +294,29 @@ class TestClassifierLaws:
             for r in classifier_score(df, w, bias=0).collect()
         }
         assert got[0] == sum(got[i + 1] for i in range(len(doc)))
+
+
+class TestParserEscapeRoundTrip:
+    """Escaping any string per Lucene QueryParser rules must parse back
+    to a plain MatchText of the original string — the user-facing
+    contract of r5's escape support (reference `dsl/DslQuery.scala:
+    122-128` accepts the full syntax)."""
+
+    @given(
+        s=st.text(
+            alphabet=st.sampled_from(
+                list("abz09") + list('+-:"[]{}()^~*?\\/')
+            ),
+            min_size=1,
+            max_size=12,
+        )
+    )
+    @settings(**_SETTINGS)
+    def test_escape_roundtrip(self, s):
+        from sparksearchengine_spark.plans import ast
+        from sparksearchengine_spark.plans.parser import parse_query
+
+        specials = set('+-:"[]{}()^~*?\\/')
+        escaped = "".join(("\\" + c) if c in specials else c for c in s)
+        q = parse_query(escaped)
+        assert q == ast.MatchText("text", s, require_all=False)

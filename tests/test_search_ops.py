@@ -531,17 +531,18 @@ class TestStats:
     def test_indices_info_size_bytes(self, spark, tiny_corpus, docs_df):
         """Reference IndicesInfo.sizeBytes analog: positive plan-stat
         sizes, monotone with corpus size, and the total is the sum of
-        the parts."""
+        the parts. createDataFrame-backed corpora have no Catalyst size,
+        so these opt into the measured estimate."""
         from sparksearchengine_spark import Corpus, TextOptions
 
         small = Corpus(
             tiny_corpus, id_col="doc_id",
             text_cols={"text": TextOptions()},
-        ).build_index().indices_info()
+        ).build_index().indices_info(measure_sizes=True)
         big = Corpus(
             docs_df, id_col="doc_id",
             text_cols={"text": TextOptions()},
-        ).build_index().indices_info()
+        ).build_index().indices_info(measure_sizes=True)
         for info in (small, big):
             assert info["postings_size_bytes"] > 0
             assert info["termstats_size_bytes"] > 0
@@ -552,6 +553,34 @@ class TestStats:
                 + info["corpus_size_bytes"]
             )
         assert big["size_bytes"] > small["size_bytes"]
+
+    def test_indices_info_no_silent_scan(self, tiny_index):
+        """A metadata call must never cost O(data): without
+        measure_sizes=True an unknown Catalyst size reports -1 instead
+        of falling back to a full-frame measurement."""
+        info = tiny_index.indices_info()
+        # tiny_index is createDataFrame-backed -> unknown sentinel
+        assert info["corpus_size_bytes"] == -1
+        assert info["size_bytes"] == -1
+        # counts are still served (metadata / cheap aggregates)
+        assert info["num_postings"] == 6
+
+    def test_indices_info_per_partition(self, docs_index):
+        """M5 per-partition breakdown (reference
+        `PartitionsIndexLuceneRDD.scala:547-566`): rows sum to the
+        aggregate numbers."""
+        from sparksearchengine_spark.operators.stats import (
+            _measured_size_bytes,
+        )
+
+        info = docs_index.indices_info(per_partition=True)
+        parts = info["partitions"]
+        assert len(parts) >= 1
+        assert sum(p["n_postings"] for p in parts) == info["num_postings"]
+        assert all(p["bytes"] > 0 for p in parts)
+        assert sum(p["bytes"] for p in parts) == _measured_size_bytes(
+            docs_index.postings
+        )
 
     def test_indices_info_saved_reports_parquet_bytes(
         self, tmp_path, tiny_corpus
@@ -568,8 +597,16 @@ class TestStats:
         idx.save(path)
         loaded = SearchIndex.load(tiny_corpus.sparkSession, path, tiny_corpus)
         info = loaded.indices_info()
+        # parquet-backed parts report real file bytes with no scan...
         assert info["postings_size_bytes"] > 0
-        assert info["size_bytes"] >= info["postings_size_bytes"]
+        assert info["termstats_size_bytes"] > 0
+        # ...while the passed-in createDataFrame corpus has no Catalyst
+        # size, so the unmeasured total is honestly unknown
+        assert info["corpus_size_bytes"] == -1
+        assert info["size_bytes"] == -1
+        measured = loaded.indices_info(measure_sizes=True)
+        assert measured["corpus_size_bytes"] > 0
+        assert measured["size_bytes"] >= measured["postings_size_bytes"]
 
 
 class TestPersistence:
@@ -584,6 +621,64 @@ class TestPersistence:
         orig = tiny_index.search(Q.field("text").match_term("a"), k=5).collect()
         got = loaded.search(Q.field("text").match_term("a"), k=5).collect()
         assert sorted(map(tuple, orig)) == sorted(map(tuple, got))
+
+    def test_stored_cols_projection_save(self, tmp_path, spark, docs_df):
+        """Storeable reduced payload (reference `Indexable.scala:16-19`,
+        `StoreableExample.scala:36-45`): save(stored_cols=[...]) persists
+        only the named columns; the on-disk corpus lacks the rest, yet
+        queries on the indexed-but-unstored text field still work and
+        get_element serves the projection."""
+        from sparksearchengine_spark import (
+            Corpus,
+            SearchIndex,
+            TextOptions,
+        )
+
+        idx = Corpus(
+            docs_df,
+            id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="simple")},
+        ).build_index()
+        path = str(tmp_path / "idx_stored")
+        idx.save(path, stored_cols=["source"])
+
+        stored = spark.read.parquet(path + "/corpus")
+        assert sorted(stored.columns) == ["doc_id", "source"]
+        assert "text" not in stored.columns
+
+        loaded = SearchIndex.load(spark, path)
+        # search on the indexed-but-unstored field still answers
+        orig = idx.search(Q.field("text").match_term("dup"), k=5).collect()
+        got = loaded.search(Q.field("text").match_term("dup"), k=5).collect()
+        assert sorted(map(tuple, orig)) == sorted(map(tuple, got))
+        # element lookup serves the projected payload
+        some_id = orig[0]["doc_id"]
+        el = loaded.get_element(some_id)
+        assert el is not None and sorted(el.asDict()) == ["doc_id", "source"]
+
+    def test_stored_cols_with_doc_buckets(self, tmp_path, spark, docs_df):
+        from sparksearchengine_spark import (
+            Corpus,
+            SearchIndex,
+            TextOptions,
+        )
+
+        idx = Corpus(
+            docs_df,
+            id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="simple")},
+        ).build_index()
+        path = str(tmp_path / "idx_stored_bucketed")
+        idx.save(path, doc_buckets=4, stored_cols=["lang"])
+        loaded = SearchIndex.load(spark, path)
+        el = loaded.get_element(3)
+        assert el is not None and sorted(el.asDict()) == ["doc_id", "lang"]
+
+    def test_stored_cols_unknown_column_raises(self, tmp_path, tiny_index):
+        import pytest
+
+        with pytest.raises(ValueError, match="stored_cols"):
+            tiny_index.save(str(tmp_path / "bad"), stored_cols=["nope"])
 
     def test_phrase_cache_released_on_unpersist(self, spark, tiny_corpus):
         """Phrase queries persist a per-query postings scan; unpersist()
@@ -1365,3 +1460,51 @@ class TestMergeIndexes:
         ).build_index()
         with pytest.raises(ValueError):
             docs_index.merge_with(other)
+
+    def test_query_analyzer_only_diff_merges(self, spark, docs_df):
+        """query_analyzer is query-time-only: two physically identical
+        indexes that differ only there (e.g. a pre-r4 save loading with
+        query_analyzer=None) must merge, taking the non-None side."""
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        lo = docs_df.where(F.col("doc_id") < 250)
+        hi = docs_df.where(F.col("doc_id") >= 250)
+        ia = Corpus(
+            lo, id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="simple")},
+        ).build_index()
+        ib = Corpus(
+            hi, id_col="doc_id",
+            text_cols={
+                "text": TextOptions(
+                    analyzer="simple", query_analyzer="simple"
+                )
+            },
+        ).build_index()
+        merged = ia.merge_with(ib)
+        assert merged.corpus.text_cols["text"].query_analyzer == "simple"
+        assert merged.search(Q.field("text").match_term("dup"), k=3).count() > 0
+
+    def test_conflicting_query_analyzers_raise(self, spark, docs_df):
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        lo = docs_df.where(F.col("doc_id") < 250)
+        hi = docs_df.where(F.col("doc_id") >= 250)
+        ia = Corpus(
+            lo, id_col="doc_id",
+            text_cols={
+                "text": TextOptions(
+                    analyzer="simple", query_analyzer="whitespace"
+                )
+            },
+        ).build_index()
+        ib = Corpus(
+            hi, id_col="doc_id",
+            text_cols={
+                "text": TextOptions(
+                    analyzer="simple", query_analyzer="folding"
+                )
+            },
+        ).build_index()
+        with pytest.raises(ValueError, match="query_analyzer"):
+            ia.merge_with(ib)
