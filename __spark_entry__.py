@@ -586,6 +586,37 @@ def _decontam_ngram(spark, sf):
     ).orderBy("doc_id")
 
 
+BLOOM_MOD, BLOOM_N = 37, 8
+
+
+def _decontam_bloom(spark, sf):
+    """Bloom-filter decontamination (operators/decontam.py::
+    bloom_decontaminate, r5): the join-free scale path — eval grams
+    packed into a driver-built bitset (Kirsch-Mitzenmacher double
+    hashing off ONE md5), probed with codegen shift/mask scalars fused
+    into the corpus scan. The oracle REBUILDS the identical bitset in
+    SQL (same md5 recipe, same m sizing, same signed-64 packing), so
+    the compare is exact INCLUDING any false positives the filter
+    would emit."""
+    from sparksearchengine_spark.operators.decontam import (
+        bloom_decontaminate,
+        bloom_gram_filter,
+    )
+
+    docs = _read(spark, sf, "documents")
+    ev = docs.where(F.col("doc_id") % BLOOM_MOD == 0).select(
+        "doc_id", "text"
+    )
+    bloom = bloom_gram_filter(ev, n=BLOOM_N)
+    out = bloom_decontaminate(docs, bloom)
+    return out.select(
+        "doc_id",
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_hit_grams").cast("long").alias("n_hit_grams"),
+        "contaminated",
+    ).orderBy("doc_id")
+
+
 def _decontam_embedding(spark, sf):
     """Embedding-space decontamination (operators/decontam.py::
     embedding_decontam, r4): the first DECON_EMB_NQ vectors play the
@@ -2227,7 +2258,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": _dsir_sample,
         "text_gopher": _text_gopher,
         "text_c4": _text_c4,
-        "doc_fingerprint": _doc_fingerprint,
+        # slot 50: decontam_bloom is NEW code this round — new code
+        # outranks already-selfchecked backlog for a driver row
+        # (ADVICE r4 #5's principle); doc_fingerprint moved to the
+        # r6 queue
+        "decontam_bloom": _decontam_bloom,
         # --- past the 50-row cutoff: green in CORRECTNESS_r01-r04 ---
         "search_prf": _search_prf,
         "search_sigterms": _search_sigterms,
@@ -2282,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_per_group": _sample_per_group,
         "clean_text": _clean_text,
         "emb_quantize": _emb_quantize,
+        "doc_fingerprint": _doc_fingerprint,
         "lang_id": _lang_id,
         "events_hourly": _events_hourly,
         "events_hourly_windowed": _events_hourly_windowed,
@@ -3479,6 +3515,83 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_grams, n_hit_grams,
                    n_hit_grams >= 1 AS contaminated
             FROM hits ORDER BY doc_id""",
+        # Bloom decontamination: the oracle REBUILDS the bitset in SQL —
+        # same md5 h1/h2, same (h1 + i*h2) % m indexes, same m sizing,
+        # same signed-64 word packing (bit 63 via the MIN_BIGINT literal
+        # because DuckDB errors on 1<<63) — then probes with the same
+        # shift/mask arithmetic. Exact match INCLUDING false positives.
+        "decontam_bloom": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents
+            ),
+            g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(1, greatest(len(toks) - {BLOOM_N - 1}, 1) + 1),
+                       i -> array_to_string(toks[i:i+{BLOOM_N - 1}], ' ')))
+                       AS grams
+              FROM t
+            ),
+            eg AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+                   WHERE doc_id % {BLOOM_MOD} = 0),
+            mv AS (
+              SELECT ((greatest(64, 32 * greatest(count(*), 1)) + 63)
+                      // 64) * 64 AS m
+              FROM eg
+            ),
+            eidx AS (
+              -- h1/h2 reduced mod m, h2 forced odd (KM degenerate-step
+              -- guard) — identical to the Python build
+              SELECT DISTINCT
+                     ((CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
+                       % (SELECT m FROM mv))
+                      + i * ((CAST('0x' || substr(md5(gram), 9, 8)
+                                  AS BIGINT) % (SELECT m FROM mv)) | 1))
+                     % (SELECT m FROM mv) AS h
+              FROM eg, range(0, 16) r(i)
+            ),
+            wset AS (
+              SELECT h // 64 AS w,
+                     bit_or(CASE WHEN h % 64 = 63
+                                 THEN (-9223372036854775807 - 1)::BIGINT
+                                 ELSE 1::BIGINT << CAST(h % 64 AS INT)
+                            END) AS word
+              FROM eidx GROUP BY h // 64
+            ),
+            warr AS (
+              SELECT (SELECT map_from_entries(list({{'k': w, 'v': word}}))
+                      FROM wset) AS mm,
+                     (SELECT m FROM mv) AS m
+            ),
+            tg AS (
+              SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+                     unnest(grams) AS gram
+              FROM g
+            ),
+            th AS (
+              SELECT doc_id, n_grams,
+                     CAST('0x' || substr(md5(gram), 1, 8) AS BIGINT)
+                       % m AS h1,
+                     (CAST('0x' || substr(md5(gram), 9, 8) AS BIGINT)
+                       % m) | 1 AS h2,
+                     mm, m
+              FROM tg CROSS JOIN warr
+            ),
+            probe AS (
+              SELECT doc_id, n_grams,
+                     CASE WHEN len(list_filter(range(0, 16), i ->
+                       ((coalesce(mm[((h1 + i*h2) % m) // 64][1], 0)
+                         >> CAST(((h1 + i*h2) % m) % 64 AS INT)) & 1) = 1
+                     )) = 16 THEN 1 ELSE 0 END AS hit
+              FROM th
+            )
+            SELECT doc_id, any_value(n_grams) AS n_grams,
+                   CAST(sum(hit) AS BIGINT) AS n_hit_grams,
+                   sum(hit) >= 1 AS contaminated
+            FROM probe GROUP BY doc_id ORDER BY doc_id""",
         "vocab_top": f"""
             WITH t AS (
               SELECT doc_id,

@@ -249,6 +249,20 @@ def main() -> None:
 
         bigram_logprob(docs).agg(F.sum("n_bigrams")).collect()
 
+    # r5: Bloom-filter decontamination (join-free scale path) — first
+    # value defines its baseline. Same eval split as the driver row.
+    with timed("decontam_bloom"):
+        from sparksearchengine_spark.operators.decontam import (
+            bloom_decontaminate,
+            bloom_gram_filter,
+        )
+
+        ev = docs.where(F.col("doc_id") % 37 == 0).select("doc_id", "text")
+        bl = bloom_gram_filter(ev, n=8)
+        bloom_decontaminate(docs, bl).agg(
+            F.sum(F.col("contaminated").cast("int"))
+        ).collect()
+
     with timed("boilerplate"):
         from sparksearchengine_spark.operators.dedup import (
             remove_boilerplate_lines,

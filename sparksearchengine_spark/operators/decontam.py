@@ -29,6 +29,10 @@ Scale shapes (the part that must survive 100 TB):
 
 from __future__ import annotations
 
+import hashlib
+import math
+from dataclasses import dataclass
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -79,9 +83,8 @@ def ngram_decontaminate(
     one leaked gram 50× is one hit). Short docs (< n tokens) contribute
     their whole-token-sequence gram, matching ``dedup.token_ngrams``.
     """
-    toks = F.array_distinct(token_ngrams(
-        analyzer_expr(F.col(text_col), analyzer), n
-    ))
+    # token_ngrams already array_distincts its output
+    toks = token_ngrams(analyzer_expr(F.col(text_col), analyzer), n)
     eval_grams = _maybe_broadcast(
         _widen(eval_df)
         .select(F.explode(toks).alias("gram"))
@@ -454,4 +457,207 @@ def embedding_decontam(
             .alias("n_contaminated"),
         )
         .withColumn("keep", F.col("n_contaminated") == 0)
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter decontamination: the no-join scale path
+# --------------------------------------------------------------------------
+
+MAX_BLOOM_EVAL_GRAMS = 5_000_000
+
+
+@dataclass(frozen=True)
+class BloomGramFilter:
+    """A driver-built Bloom filter over an eval set's token n-grams.
+
+    ``words`` is the bitset packed into signed 64-bit words (Spark
+    LongType), bit ``i`` of the set = bit ``i % 64`` of
+    ``words[i // 64]``. Member hashes are Kirsch–Mitzenmacher double
+    hashing: ONE hash per gram yields ``h1`` and ``h2`` (md5 hex chars
+    1-8 / 9-16 by default), both reduced mod ``n_bits`` with ``h2``
+    forced ODD (an even-modulus zero step would collapse all k indexes
+    onto one bit), and the k indexes are ``(h1 + i*h2) % n_bits`` — so
+    k can be large (low fpp) at the cost of one hash plus k
+    codegen-cheap adds, and the recipe is byte-identical in Python
+    (build), Spark SQL (probe), and DuckDB (oracle): contamination
+    verdicts, INCLUDING the filter's false positives, are deterministic
+    and engine-exact.
+    """
+
+    words: tuple[int, ...]
+    n_bits: int
+    k: int
+    n: int
+    analyzer: str
+    n_grams: int
+
+    def fpp(self) -> float:
+        """Expected false-positive probability for the inserted count."""
+        if self.n_grams == 0:
+            return 0.0
+        return (
+            1.0 - math.exp(-self.k * self.n_grams / float(self.n_bits))
+        ) ** self.k
+
+
+def bloom_gram_filter(
+    eval_df: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    analyzer: str = "simple",
+    bits_per_gram: int = 32,
+    k: int = 16,
+    max_eval_grams: int = MAX_BLOOM_EVAL_GRAMS,
+) -> BloomGramFilter:
+    """Build a :class:`BloomGramFilter` from an eval/benchmark corpus.
+
+    The eval side is small by contract (a benchmark: thousands of docs);
+    its DISTINCT grams are collected driver-side under a hard cap with a
+    loud error — the same policy as :func:`embedding_decontam`. At
+    ``bits_per_gram=32, k=16`` the filter costs 4 bytes per eval gram
+    and false-positives per GRAM at ~3e-7 — sized so that a doc with
+    thousands of grams still has a sub-1e-3 chance of a spurious flag
+    (the per-doc rate is what matters at ``min_hit_grams=1``; false
+    positives drop a clean doc, never leak a contaminated one).
+
+    Why md5 and not the engine's xxhash64: measured on the 16-term
+    probe predicate, the md5 shape is ~2x FASTER — both h1 and h2
+    derive from ONE ``md5(gram)`` subexpression that codegen evaluates
+    once, while two ``xxhash64`` calls get re-evaluated across the k
+    bit tests after projection collapse. md5 is also the repo's
+    portable recipe, so the DuckDB oracle replicates verdicts
+    bit-for-bit.
+    """
+    grams_df = (
+        _widen(eval_df)
+        .select(
+            F.explode(
+                token_ngrams(analyzer_expr(F.col(text_col), analyzer), n)
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    rows = grams_df.limit(max_eval_grams + 1).collect()
+    if len(rows) > max_eval_grams:
+        raise ValueError(
+            f"bloom_gram_filter collects the eval grams driver-side "
+            f"and got more than max_eval_grams={max_eval_grams}. "
+            "Shard the eval set into several filters, or raise "
+            "bits_per_gram memory permitting and pass a bigger cap "
+            "explicitly."
+        )
+    n_grams = len(rows)
+    m = _bloom_bits(bits_per_gram, n_grams)
+    pairs = []
+    for r in rows:
+        hx = hashlib.md5(r["gram"].encode()).hexdigest()
+        # h2 forced ODD: an even m with h2 % m == 0 would collapse
+        # all k indexes onto one bit (that gram's fpp -> the whole
+        # filter's fill ratio, ~0.5); an odd step always walks k
+        # distinct bits
+        pairs.append((int(hx[:8], 16) % m, (int(hx[8:16], 16) % m) | 1))
+    words = [0] * (m // 64)
+    for h1, h2 in pairs:
+        for i in range(k):
+            h = (h1 + i * h2) % m
+            words[h // 64] |= 1 << (h % 64)
+    signed = tuple(w - (1 << 64) if w >= (1 << 63) else w for w in words)
+    return BloomGramFilter(
+        words=signed,
+        n_bits=m,
+        k=k,
+        n=n,
+        analyzer=analyzer,
+        n_grams=n_grams,
+    )
+
+
+def _bloom_bits(bits_per_gram: int, n_grams: int) -> int:
+    m = max(64, bits_per_gram * max(1, n_grams))
+    return ((m + 63) // 64) * 64  # whole 64-bit words
+
+
+def bloom_decontaminate(
+    train_df: DataFrame,
+    bloom: BloomGramFilter,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_hit_grams: int = 1,
+) -> DataFrame:
+    """Flag training docs whose token n-grams PROBABLY overlap the eval
+    set captured in ``bloom`` — the join-free scale path of
+    :func:`ngram_decontaminate`.
+
+    Same output contract: one row per exploded-gram doc,
+    ``(id_col, n_grams, n_hit_grams, contaminated)``. Unlike the exact
+    join, hits include the filter's false positives (rate
+    ``bloom.fpp()``, conservative direction) — run the exact join on the
+    flagged survivors when the drop budget is tight.
+
+    Plan shape — the part the exact join can't match at 100 TB: the
+    bitset rides ONE broadcast row (2 bytes/eval-gram vs the full gram
+    strings), and the probe is k codegen'd md5+shift scalars fused into
+    the corpus scan. No join build side, no gram strings in flight, and
+    the only shuffle is the per-doc partial-aggregated groupBy — the
+    corpus is never shuffled by content. (Spark's own
+    ``bloom_filter_agg`` is not in the public function registry, and a
+    driver-built filter is what makes the verdict engine-exact and
+    oracle-checkable anyway.)
+    """
+    spark = train_df.sparkSession
+    bf_df = spark.createDataFrame(
+        [(list(bloom.words),)], "_bf array<long>"
+    )
+    toks = token_ngrams(
+        analyzer_expr(F.col(text_col), bloom.analyzer), bloom.n
+    )
+    train_grams = (
+        _widen(train_df)
+        .select(F.col(id_col), toks.alias("_grams"))
+        .select(
+            id_col,
+            F.size("_grams").alias("n_grams"),
+            F.explode("_grams").alias("gram"),
+        )
+        .join(F.broadcast(bf_df), F.lit(True), "left")
+    )
+    # Kirsch-Mitzenmacher probe: one hash per gram, k derived indexes
+    # both hashes pre-reduced mod m (so _h1 + 15*_h2 stays far from
+    # long overflow — ANSI mode would throw on a wrap) and _h2 forced
+    # ODD, matching the build exactly (see bloom_gram_filter)
+    m = bloom.n_bits
+    md5c = F.md5(F.col("gram"))
+    train_grams = train_grams.withColumn(
+        "_h1",
+        F.pmod(
+            F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long"),
+            F.lit(m),
+        ),
+    ).withColumn(
+        "_h2",
+        F.pmod(
+            F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long"),
+            F.lit(m),
+        ).bitwiseOR(F.lit(1)),
+    )
+    hit_sql = " AND ".join(
+        f"((element_at(_bf, CAST(((_h1 + {i} * _h2) % {m}) DIV 64 AS INT)"
+        f" + 1) >> CAST((_h1 + {i} * _h2) % {m} % 64 AS INT)) & 1) = 1"
+        for i in range(bloom.k)
+    )
+    probed = train_grams.select(
+        id_col,
+        "n_grams",
+        F.expr(hit_sql).cast("int").alias("_hit"),
+    )
+    hits = probed.groupBy(id_col).agg(
+        F.first("n_grams").alias("n_grams"),
+        F.sum("_hit").cast("long").alias("n_hit_grams"),
+    )
+    return hits.select(
+        id_col,
+        "n_grams",
+        "n_hit_grams",
+        (F.col("n_hit_grams") >= F.lit(min_hit_grams)).alias("contaminated"),
     )

@@ -330,3 +330,92 @@ class TestEmbeddingDecontam:
         plan = embedding_decontam(train, ev)._jdf.queryExecution(
         ).executedPlan().toString()
         assert "BroadcastNestedLoopJoin" in plan
+
+
+class TestBloomDecontam:
+    """Bloom-filter decontamination (r5): the join-free scale path of
+    ngram_decontaminate. The filter is one-sided — it can only ADD
+    hits (false positives), never miss a true one — and at the default
+    sizing (32 bits/gram, k=16, per-gram fpp ~3e-7) it agrees with the
+    exact join bitwise on realistic corpora."""
+
+    def test_never_misses_and_matches_exact_join(self, spark, train_eval):
+        from sparksearchengine_spark.operators.decontam import (
+            bloom_decontaminate,
+            bloom_gram_filter,
+            ngram_decontaminate,
+        )
+
+        train, ev = train_eval
+        bloom = bloom_gram_filter(ev, n=3)
+        got = {
+            r["doc_id"]: (r["n_grams"], r["n_hit_grams"], r["contaminated"])
+            for r in bloom_decontaminate(train, bloom).collect()
+        }
+        want = {
+            r["doc_id"]: (r["n_grams"], r["n_hit_grams"], r["contaminated"])
+            for r in ngram_decontaminate(train, ev, n=3).collect()
+        }
+        assert set(got) == set(want)
+        # one-sided: never fewer hits than the exact join
+        for k in want:
+            assert got[k][1] >= want[k][1]
+        # at this sizing on this corpus: exact agreement
+        assert got == want
+
+    def test_fpp_and_sizing(self, spark, train_eval):
+        from sparksearchengine_spark.operators.decontam import (
+            bloom_gram_filter,
+        )
+
+        _, ev = train_eval
+        b = bloom_gram_filter(ev, n=3, bits_per_gram=32, k=16)
+        assert b.n_bits % 64 == 0
+        assert len(b.words) == b.n_bits // 64
+        assert b.n_grams == 2  # "alpha beta gamma", "beta gamma delta"
+        assert 0 < b.fpp() < 1e-5
+        # every word fits signed 64-bit (Spark LongType)
+        assert all(-(1 << 63) <= w < (1 << 63) for w in b.words)
+        # build is deterministic
+        assert b == bloom_gram_filter(ev, n=3, bits_per_gram=32, k=16)
+
+    def test_empty_eval_set_flags_nothing(self, spark, train_eval):
+        from sparksearchengine_spark.operators.decontam import (
+            bloom_decontaminate,
+            bloom_gram_filter,
+        )
+
+        train, ev = train_eval
+        empty = ev.where("doc_id < 0")
+        b = bloom_gram_filter(empty, n=3)
+        assert b.n_grams == 0 and b.fpp() == 0.0
+        res = bloom_decontaminate(train, b).collect()
+        assert len(res) == 3
+        assert all(not r["contaminated"] for r in res)
+        assert all(r["n_hit_grams"] == 0 for r in res)
+
+    def test_eval_cap_raises(self, spark, train_eval):
+        from sparksearchengine_spark.operators.decontam import (
+            bloom_gram_filter,
+        )
+
+        _, ev = train_eval
+        with pytest.raises(ValueError, match="max_eval_grams"):
+            bloom_gram_filter(ev, n=3, max_eval_grams=1)
+
+    def test_min_hit_grams_threshold(self, spark, train_eval):
+        from sparksearchengine_spark.operators.decontam import (
+            bloom_decontaminate,
+            bloom_gram_filter,
+        )
+
+        train, ev = train_eval
+        b = bloom_gram_filter(ev, n=3)
+        got = {
+            r["doc_id"]: r["contaminated"]
+            for r in bloom_decontaminate(
+                train, b, min_hit_grams=2
+            ).collect()
+        }
+        # doc 1 shares ONE 3-gram -> below threshold; doc 3 shares both
+        assert got == {1: False, 2: False, 3: True}
