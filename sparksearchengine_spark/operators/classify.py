@@ -372,3 +372,109 @@ def tfidf_hash_embed(
     else:
         staged = staged.select("id", F.col("_raw").alias("embedding"))
     return staged
+
+
+# --------------------------------------------------------------------------
+# classifier TRAINING: batch logistic regression over hashed features
+# --------------------------------------------------------------------------
+
+
+def classifier_fit(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    dim: int = 4096,
+    iters: int = 10,
+    lr: float = 0.5,
+    l2: float = 0.0,
+    analyzer: str = "simple",
+    persist: bool = True,
+) -> tuple[list[float], float, list[float]]:
+    """Fit the hashed linear quality classifier that
+    :func:`classifier_score` serves: batch-gradient logistic regression
+    over md5-bucket token counts. Returns ``(weights, bias,
+    loss_history)`` — ``weights``/``bias`` plug straight into
+    :func:`classifier_score` / :func:`hashed_score_expr` (training and
+    inference share the same feature map BY CONSTRUCTION: a token
+    occurrence contributes its bucket weight once in both).
+
+    This is the fastText-style quality-filter fit (CCNet / RefinedWeb /
+    DCLM train one against a small labeled seed set, then score the
+    whole corpus): training data is SMALL relative to the corpus, but
+    still big enough to want the cluster — so each iteration is plain
+    DataFrame work, the :func:`~sparksearchengine_spark.operators.
+    clustering.kmeans_fit` shape:
+
+    * tokens are analyzed ONCE into a persisted ``(label, tokens)``
+      frame (the analyzer — possibly a pandas UDF — never re-runs);
+    * margins fold the current weight literal inside the scan
+      (``hashed_score_expr``, WholeStageCodegen, no join);
+    * the gradient is one explode + one partial-aggregated
+      ``groupBy(bucket)`` whose shuffle carries ≤ dim rows per map
+      partition; the dim-bounded result (and the scalar loss row) are
+      the only driver-side state.
+
+    Loss is the margin-form log-loss ``softplus(z) - y*z`` (overflow-
+    safe: ``max(z,0) + log1p(exp(-|z|))``). Determinism matches
+    ``kmeans_fit``'s contract: FP partial-agg order — run-to-run stable
+    on the same partitioning; the exact cross-engine contract lives on
+    INFERENCE with pinned weights (that is what the driver oracle
+    checks; the fit is held to quality bars in tests).
+    """
+    if dim <= 0 or iters < 0:
+        raise ValueError("dim must be > 0 and iters >= 0")
+    toks = F.coalesce(
+        analyzer_expr(F.col(text_col), analyzer),
+        F.array().cast("array<string>"),
+    )
+    base = df.select(
+        F.col(label_col).cast("double").alias("_y"), toks.alias("_toks")
+    )
+    if persist:
+        base = base.persist()
+    n = base.count()
+    if n == 0:
+        raise ValueError("classifier_fit got an empty DataFrame")
+    w = [0.0] * dim
+    b = 0.0
+    history: list[float] = []
+    try:
+        for _ in range(iters):
+            z = hashed_score_expr(
+                F.lit(None).cast("string"),
+                w,
+                b,
+                analyzer,
+                tokens=F.col("_toks"),
+            )
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            r = (p - F.col("_y")).alias("_r")
+            logloss = (
+                F.greatest(z, F.lit(0.0))
+                + F.log1p(F.exp(-F.abs(z)))
+                - F.col("_y") * z
+            )
+            head = base.agg(
+                F.sum(logloss).alias("_loss"), F.sum(p - F.col("_y")).alias("_rb")
+            ).collect()[0]
+            history.append(float(head["_loss"]) / n)
+            grad_rows = (
+                base.select(r, F.explode("_toks").alias("_t"))
+                .select(
+                    hash_bucket_expr(F.col("_t"), dim).alias("_b"), "_r"
+                )
+                .groupBy("_b")
+                .agg(F.sum("_r").alias("_g"))
+                .collect()  # <= dim rows
+            )
+            for row in grad_rows:
+                bkt = int(row["_b"])
+                w[bkt] -= lr * (float(row["_g"]) / n + l2 * w[bkt])
+            b -= lr * float(head["_rb"]) / n
+    finally:
+        if persist:
+            try:
+                base.unpersist()
+            except Exception:
+                pass
+    return w, b, history

@@ -8,6 +8,8 @@ with pyspark.ml KMeans on separable data).
 
 from __future__ import annotations
 
+import math
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -591,3 +593,89 @@ class TestTfidfHashEmbed:
         )
         out = semdedup(emb, threshold=0.9, n_clusters=4)
         assert out.count() == docs.count()
+
+
+class TestClassifierFit:
+    """classifier_fit (r5): batch logistic regression over hashed token
+    counts — the fastText-style quality-filter training that feeds
+    classifier_score. Quality-bar contract (the kmeans_fit precedent):
+    exact cross-engine checks live on inference with pinned weights."""
+
+    @pytest.fixture(scope="class")
+    def labeled(self, spark):
+        # 'good'/'bad' carry the signal; filler tokens are shared noise
+        rows = []
+        for i in range(40):
+            noise = f"the quick fox {i % 7}"
+            if i % 2 == 0:
+                rows.append((i, f"good great {noise}", 1))
+            else:
+                rows.append((i, f"bad awful {noise}", 0))
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, label int"
+        ).coalesce(1)  # single partition -> deterministic FP fold order
+
+    def test_loss_decreases_and_separates(self, labeled):
+        from sparksearchengine_spark.operators.classify import (
+            classifier_fit,
+            classifier_score,
+        )
+
+        w, b, hist = classifier_fit(
+            labeled, "label", dim=256, iters=15, lr=1.0
+        )
+        assert len(hist) == 15
+        # monotone-ish: final loss way below the ln(2) start
+        assert hist[0] == pytest.approx(math.log(2.0), abs=1e-6)
+        assert hist[-1] < 0.25 * hist[0]
+        # fitted model separates the training set perfectly
+        scored = {
+            r["id"]: r["score"]
+            for r in classifier_score(labeled, w, bias=b).collect()
+        }
+        labels = {r["doc_id"]: r["label"] for r in labeled.collect()}
+        assert all(
+            (scored[i] > 0) == (labels[i] == 1) for i in scored
+        )
+
+    def test_deterministic_on_same_partitioning(self, labeled):
+        from sparksearchengine_spark.operators.classify import (
+            classifier_fit,
+        )
+
+        a = classifier_fit(labeled, "label", dim=64, iters=3, lr=0.5)
+        c = classifier_fit(labeled, "label", dim=64, iters=3, lr=0.5)
+        assert a == c
+
+    def test_l2_shrinks_weights(self, labeled):
+        from sparksearchengine_spark.operators.classify import (
+            classifier_fit,
+        )
+
+        w0, _, _ = classifier_fit(labeled, "label", dim=64, iters=5, lr=1.0)
+        w2, _, _ = classifier_fit(
+            labeled, "label", dim=64, iters=5, lr=1.0, l2=0.5
+        )
+        assert sum(x * x for x in w2) < sum(x * x for x in w0)
+
+    def test_empty_and_bad_args_raise(self, spark, labeled):
+        from sparksearchengine_spark.operators.classify import (
+            classifier_fit,
+        )
+
+        with pytest.raises(ValueError, match="empty"):
+            classifier_fit(labeled.where("doc_id < 0"), "label", iters=1)
+        with pytest.raises(ValueError):
+            classifier_fit(labeled, "label", dim=0)
+
+    def test_null_text_contributes_bias_only(self, spark):
+        from sparksearchengine_spark.operators.classify import (
+            classifier_fit,
+        )
+
+        df = spark.createDataFrame(
+            [(0, None, 1), (1, "bad", 0), (2, "good", 1)],
+            "doc_id long, text string, label int",
+        ).coalesce(1)
+        w, b, hist = classifier_fit(df, "label", dim=32, iters=3, lr=0.5)
+        assert len(hist) == 3 and all(x == x for x in hist)  # no NaN
