@@ -2190,6 +2190,125 @@ def _search_near(spark, sf):
     ).orderBy("doc_id")
 
 
+SEVAL_NL = 8  # synthetic judgments per query
+
+
+def _seval_frames(spark, sf):
+    """Shared by search_eval / search_eval_summary: the qc11 batch-search
+    run as the system under test, judged against a deterministic label
+    set with two components (both exactly reproducible in SQL):
+
+    * odd-rank hits from the run itself get grade 1 + rank % 3 — this
+      guarantees real retrieved-and-judged rows at known ranks, so the
+      DCG / MRR arithmetic is a live signal, not an all-zero row;
+    * synthetic pairs (q, (q*97 + j*13) % n_docs) with grade
+      1 + (q+j) % 3 for j in 1..SEVAL_NL — mostly unretrieved, so
+      recall denominators and ideal-DCG extend beyond the hit set.
+    """
+    from sparksearchengine_spark.functions.analyzers import analyzer_expr
+
+    idx = _docs_index(spark, sf)
+    docs = _read(spark, sf, "documents")
+    toks = analyzer_expr(F.col("text"), "simple")
+    qdf = docs.where(F.col("doc_id") < QC11_NQ).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("qtext"),
+    )
+    res = idx.batch_search(qdf, k=QC11_K, field="text")
+    n_docs = docs.count()
+    rank_labels = res.where(F.col("rank") % 2 == 1).select(
+        "query_id",
+        "doc_id",
+        (F.lit(1.0) + (F.col("rank") % 3).cast("double")).alias("grade"),
+    )
+    synth_labels = (
+        spark.range(QC11_NQ)
+        .select(F.col("id").alias("query_id"))
+        .select(
+            "query_id",
+            F.explode(
+                F.sequence(F.lit(1), F.lit(SEVAL_NL))
+            ).alias("j"),
+        )
+        .select(
+            "query_id",
+            (
+                (F.col("query_id") * 97 + F.col("j") * 13) % n_docs
+            ).alias("doc_id"),
+            (
+                F.lit(1.0)
+                + ((F.col("query_id") + F.col("j")) % 3).cast("double")
+            ).alias("grade"),
+        )
+    )
+    return res, rank_labels.unionByName(synth_labels)
+
+
+def _search_eval(spark, sf):
+    """Retrieval-quality metrics (operators/evaluate.py::
+    retrieval_metrics, r5): per-query nDCG@k / MRR / precision / recall
+    at k=QC11_K over the qc11 batch-search run. Ranks are trusted from
+    batch_search (rank_col); the DCG/IDCG sums run through the
+    DECIMAL(28,6) order-invariant recipe, so every metric is bit-stable
+    across partitionings and matches DuckDB exactly. The reference has
+    no eval harness at all (SURVEY §5) — this is the measurement loop a
+    curation pipeline needs before shipping a re-ranked index."""
+    from sparksearchengine_spark.operators.evaluate import retrieval_metrics
+
+    res, labels = _seval_frames(spark, sf)
+    return retrieval_metrics(
+        res, labels, k=QC11_K, rank_col="rank"
+    ).orderBy("query_id")
+
+
+def _search_eval_summary(spark, sf):
+    """Macro-averaged roll-up of search_eval (operators/evaluate.py::
+    retrieval_metrics_summary): one row of mean P/R, MRR, mean nDCG —
+    the number a nightly curation job alerts on."""
+    from sparksearchengine_spark.operators.evaluate import (
+        retrieval_metrics,
+        retrieval_metrics_summary,
+    )
+
+    res, labels = _seval_frames(spark, sf)
+    return retrieval_metrics_summary(
+        retrieval_metrics(res, labels, k=QC11_K, rank_col="rank")
+    )
+
+
+UPSERT_LO, UPSERT_HI = 350, 450
+UPSERT_DELS = (5, 10)
+
+
+def _index_upsert(spark, sf):
+    """Incremental index maintenance (operators/index.py::upsert_index,
+    r5): fold a CDC delta — 100 replaced/new docs with edited text plus
+    2 deletes — into a base index WITHOUT re-tokenizing the base corpus
+    (the reference's Lucene shards are rebuild-only,
+    `PartitionsIndexLuceneRDD.scala:588-593`). Global stats (df, dl,
+    avgdl) are recomputed from the merged postings, so the qc10-style
+    BM25 top-10 run here must hash-match DuckDB scoring the post-CDC
+    corpus built from scratch — the exactness claim, checked end-to-end."""
+    from sparksearchengine_spark.operators.index import upsert_index
+
+    docs = _read(spark, sf, "documents")
+    base = Corpus(
+        docs.where(F.col("doc_id") < 400),
+        id_col="doc_id",
+        text_cols={"text": TextOptions(analyzer="simple", positions=True)},
+    ).build_index(persist=False)
+    changes = docs.where(
+        (F.col("doc_id") >= UPSERT_LO) & (F.col("doc_id") < UPSERT_HI)
+    ).withColumn("text", F.concat(F.col("text"), F.lit(" upserted extra")))
+    up = upsert_index(
+        base, changes, deletes=list(UPSERT_DELS), persist=False
+    )
+    res = up.search(Q.field("text").match_any(*QC10_TERMS), k=QC10_K)
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver emits CORRECTNESS rows for the FIRST 50
     # keys only.  Slots 1-30 are pinned to the SURVEY §2.10 qc suite (qc29/
@@ -2338,6 +2457,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_grouped": _search_grouped,
         "bigram_quality": _bigram_quality,
         "url_domain_block": _url_domain_block,
+        # -- r5 additions past the cutoff: queued for the r6 rotation --
+        "search_eval": _search_eval,
+        "search_eval_summary": _search_eval_summary,
+        "index_upsert": _index_upsert,
     }
 
 
@@ -5182,4 +5305,111 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
                emb[CAST(j + 1 AS INT)] AS value
         FROM fin, range(0, {HASH_EMBED_DIM}) t(j)
         ORDER BY id, pos"""
+    # retrieval eval: qc11's ranked hits as the system under test, the
+    # deterministic synthetic label set rebuilt in SQL, and the exact
+    # graded-metric arithmetic (DECIMAL(28,6) DCG sums mirror the
+    # engine's order-invariant recipe; see operators/evaluate.py).
+    _seval_metrics = (
+        "WITH res AS (" + o["qc11_batch_search"] + f"""
+        ),
+        nd AS (SELECT count(*) AS n FROM documents),
+        labs AS (
+          SELECT query_id, doc_id,
+                 CAST(1.0 + (rank % 3) AS DOUBLE) AS grade
+          FROM res WHERE rank % 2 = 1
+          UNION ALL
+          SELECT t.q AS query_id,
+                 CAST((t.q * 97 + s.j * 13) % nd.n AS BIGINT) AS doc_id,
+                 CAST(1.0 + ((t.q + s.j) % 3) AS DOUBLE) AS grade
+          FROM range(0, {QC11_NQ}) t(q), range(1, {SEVAL_NL + 1}) s(j), nd
+        ),
+        gains AS (
+          SELECT query_id, doc_id, max(grade) AS g
+          FROM labs GROUP BY query_id, doc_id
+        ),
+        joined AS (
+          SELECT r.query_id, r.rank, coalesce(g.g, 0.0) AS gain
+          FROM res r LEFT JOIN gains g
+            ON g.query_id = r.query_id AND g.doc_id = r.doc_id
+        ),
+        perq AS (
+          SELECT query_id,
+                 CAST(sum(CAST(round((pow(2.0, gain) - 1.0)
+                                     / log2(rank + 1), 6)
+                               AS DECIMAL(28,6))) AS DOUBLE) AS dcg,
+                 CAST(sum(CASE WHEN gain >= 1.0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS hits,
+                 min(CASE WHEN gain >= 1.0 THEN rank END) AS first_rel
+          FROM joined GROUP BY query_id
+        ),
+        ideal AS (
+          SELECT query_id,
+                 CAST(sum(CAST(round((pow(2.0, g) - 1.0)
+                                     / log2(r + 1), 6)
+                               AS DECIMAL(28,6))) AS DOUBLE) AS idcg
+          FROM (
+            SELECT query_id, g,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY g DESC, doc_id) AS r
+            FROM gains WHERE g > 0
+          ) WHERE r <= {QC11_K} GROUP BY query_id
+        ),
+        base AS (
+          SELECT query_id,
+                 CAST(sum(CASE WHEN g >= 1.0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_rel
+          FROM gains GROUP BY query_id
+        )
+        SELECT b.query_id, b.n_rel,
+               CAST(coalesce(p.hits, 0) AS BIGINT) AS hits,
+               round(coalesce(p.hits, 0) / {float(QC11_K)}, 6)
+                 AS "precision",
+               round(CASE WHEN b.n_rel > 0
+                          THEN coalesce(p.hits, 0)
+                               / CAST(b.n_rel AS DOUBLE)
+                          ELSE 0.0 END, 6) AS recall,
+               round(CASE WHEN p.first_rel IS NOT NULL
+                          THEN 1.0 / p.first_rel
+                          ELSE 0.0 END, 6) AS rr,
+               round(CASE WHEN coalesce(i.idcg, 0.0) > 0
+                          THEN coalesce(p.dcg, 0.0) / i.idcg
+                          ELSE 0.0 END, 6) AS ndcg
+        FROM base b
+        LEFT JOIN perq p USING (query_id)
+        LEFT JOIN ideal i USING (query_id)"""
+    )
+    o["search_eval"] = _seval_metrics + " ORDER BY b.query_id"
+    o["search_eval_summary"] = (
+        "WITH m AS ("
+        + _seval_metrics
+        + """
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               round(CAST(sum(CAST("precision" AS DECIMAL(28,6)))
+                          AS DOUBLE) / count(*), 6) AS mean_precision,
+               round(CAST(sum(CAST(recall AS DECIMAL(28,6)))
+                          AS DOUBLE) / count(*), 6) AS mean_recall,
+               round(CAST(sum(CAST(rr AS DECIMAL(28,6)))
+                          AS DOUBLE) / count(*), 6) AS mrr,
+               round(CAST(sum(CAST(ndcg AS DECIMAL(28,6)))
+                          AS DOUBLE) / count(*), 6) AS mean_ndcg
+        FROM m"""
+    )
+    # incremental index upsert: the oracle scores the POST-CDC corpus
+    # rebuilt from scratch (newdocs = base minus deletes, texts >=
+    # UPSERT_LO edited, inserts to UPSERT_HI), so a hash match proves
+    # upsert_index's recomputed global stats are exact, not stitched.
+    # Replace toks' source FIRST (the newdocs body itself reads
+    # documents), then splice the CTE in.
+    _upsert_nd = f"""newdocs AS (
+      SELECT doc_id,
+             CASE WHEN doc_id >= {UPSERT_LO}
+                  THEN text || ' upserted extra' ELSE text END AS text
+      FROM documents
+      WHERE doc_id < {UPSERT_HI} AND doc_id NOT IN {UPSERT_DELS}
+    ),
+    toks AS ("""
+    o["index_upsert"] = o["qc10_bm25_topk"].replace(
+        "FROM documents", "FROM newdocs", 1
+    ).replace("WITH toks AS (", "WITH " + _upsert_nd, 1)
     return o

@@ -374,6 +374,59 @@ def main() -> None:
             ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
         ).collect()
 
+    # 14. r5: retrieval-quality eval — batch search 200 queries, judge
+    # against a synthetic label set, macro-roll-up (first value =
+    # baseline)
+    with timed("retrieval_eval"):
+        from sparksearchengine_spark.operators.evaluate import (
+            retrieval_metrics,
+            retrieval_metrics_summary,
+        )
+
+        toks14 = analyzer_expr(F.col("text"), "simple")
+        qdf14 = docs.where(F.col("doc_id") < 200).select(
+            F.col("doc_id").alias("query_id"),
+            F.concat_ws(" ", F.slice(toks14, 1, 2)).alias("qtext"),
+        )
+        res14 = idx.batch_search(qdf14, k=10, field="text")
+        labels14 = (
+            spark.range(200)
+            .select(F.col("id").alias("query_id"))
+            .select(
+                "query_id",
+                F.explode(F.sequence(F.lit(1), F.lit(8))).alias("j"),
+            )
+            .select(
+                "query_id",
+                (
+                    (F.col("query_id") * 97 + F.col("j") * 13) % 50_000
+                ).alias("doc_id"),
+                (
+                    F.lit(1.0)
+                    + ((F.col("query_id") + F.col("j")) % 3).cast(
+                        "double"
+                    )
+                ).alias("grade"),
+            )
+        )
+        retrieval_metrics_summary(
+            retrieval_metrics(res14, labels14, k=10, rank_col="rank")
+        ).collect()
+
+    # 15. r5: incremental index upsert — fold a 2% CDC delta into the
+    # main index without re-tokenizing the base corpus; compare against
+    # index_build (the full-rebuild alternative). First value = baseline.
+    with timed("index_upsert"):
+        from sparksearchengine_spark.operators.index import upsert_index
+
+        changes15 = docs.where(F.col("doc_id") % 50 == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" upserted"))
+        )
+        up15 = upsert_index(
+            idx, changes15, deletes=[1, 3, 7], persist=False
+        )
+        up15.postings.count()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

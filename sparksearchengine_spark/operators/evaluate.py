@@ -1,0 +1,209 @@
+"""Retrieval-quality evaluation: nDCG@k, MRR, precision/recall@k.
+
+The reference ships no evaluation harness — quality in its examples is
+checked by eyeballing printed hits (`examples/SearchableRDDExamples.scala`).
+For an engine curating training corpora at 100 TB, retrieval eval is a
+first-class operator: every re-rank / re-chunk / re-analyze decision is
+measured as a metric delta on a labeled query set before the new index
+ships.
+
+Scale design:
+
+* ranks come from :func:`~sparksearchengine_spark.operators.search.
+  topk_per_group` — the same skew-safe two-stage rank window every other
+  per-group top-k in the repo uses, so a hot query with millions of
+  candidate rows never serializes one reducer;
+* gains join on ``(query, doc)`` — a plain equi-join that co-partitions
+  with the rank shuffle, and the joined frame is already k-bounded per
+  query (≤ k·|queries| rows total) before any aggregation;
+* the DCG / IDCG sums run through the DECIMAL(28,6) order-invariant
+  recipe (round each addend to 6 dp → decimal sum → double), so metric
+  values are bit-identical across partitionings, retries, and cluster
+  sizes — the reproducibility contract the repo's scoring operators
+  already guarantee (see `operators/profile.py`, `operators/search.py`
+  BM25F weighting).
+
+Formulas (standard graded definitions):
+
+* ``DCG@k  = Σ_{r=1..k} (2^grade_r − 1) / log2(r + 1)`` over retrieved
+  ranks, unjudged docs gain 0;
+* ``IDCG@k`` = the same sum over the query's labels sorted by grade
+  descending (doc id ascending tie-break) — so ``nDCG = DCG / IDCG``;
+* ``RR`` = 1 / rank of the first retrieved doc with
+  ``grade ≥ rel_threshold`` (0 if none in the top k);
+* ``precision@k = hits / k``; ``recall@k = hits / n_relevant``.
+
+Queries are evaluated over the *labeled* set: a query with labels but no
+retrieved rows scores 0 everywhere (the regression you want to see); a
+retrieved query with no labels is excluded (nothing to measure).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sparksearchengine_spark.operators.search import topk_per_group
+
+_DEC_ADD = "decimal(28,6)"
+_DEC_SUM = "decimal(38,6)"
+
+
+def _dcg_term(gain, rank):
+    """One DCG addend, rounded to 6 dp and cast for order-invariant
+    summing: (2^gain − 1) / log2(rank + 1)."""
+    term = (F.pow(F.lit(2.0), gain) - F.lit(1.0)) / F.log2(rank + F.lit(1))
+    return F.round(term, 6).cast(_DEC_ADD)
+
+
+def _dec_sum(col):
+    return F.sum(col).cast(_DEC_SUM).cast("double")
+
+
+def retrieval_metrics(
+    results: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+    *,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    grade_col: str = "grade",
+    rank_col: str | None = None,
+    rel_threshold: float = 1.0,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Per-query retrieval metrics at cutoff ``k``.
+
+    Parameters
+    ----------
+    results : ranked retrieval output — ``(query_col, doc_col,
+        score_col)`` rows, e.g. from ``SearchIndex.batch_search``. If
+        ``rank_col`` is given it is trusted (rows with rank > k are
+        dropped); otherwise ranks are recomputed by score descending,
+        doc id ascending — the repo-wide deterministic tie-break.
+    labels : relevance judgments — ``(query_col, doc_col, grade_col)``.
+        Duplicate judgments collapse to their max grade. Grades are
+        graded-relevance reals; ``grade ≥ rel_threshold`` counts as
+        relevant for precision / recall / RR, and any ``grade > 0``
+        contributes gain to DCG.
+    salt_buckets : forwarded to the rank window when ranks are
+        recomputed (two-stage skew-safe top-k); irrelevant when
+        ``rank_col`` is supplied.
+
+    Returns one row per *labeled* query:
+    ``(query_col, n_rel, hits, precision, recall, rr, ndcg)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q, d = query_col, doc_col
+
+    gains = (
+        labels.select(q, d, F.col(grade_col).cast("double").alias("_g"))
+        .groupBy(q, d)
+        .agg(F.max("_g").alias("_g"))
+    )
+
+    if rank_col is not None:
+        ranked = results.select(
+            q, d, F.col(rank_col).cast("bigint").alias("rank")
+        ).where(F.col("rank") <= k)
+    else:
+        ranked = topk_per_group(
+            results.select(q, d, score_col),
+            [q],
+            [F.desc(score_col), F.asc(d)],
+            k,
+            salt_buckets=salt_buckets,
+            salt_col=d,
+        ).select(q, d, "rank")
+
+    hit = (F.col("_gain") >= F.lit(float(rel_threshold))).cast("int")
+    per_q = (
+        ranked.join(gains, on=[q, d], how="left")
+        .withColumn("_gain", F.coalesce(F.col("_g"), F.lit(0.0)))
+        .groupBy(q)
+        .agg(
+            _dec_sum(_dcg_term(F.col("_gain"), F.col("rank"))).alias("_dcg"),
+            F.sum(hit).alias("_hits"),
+            F.min(F.when(hit == 1, F.col("rank"))).alias("_first_rel"),
+        )
+    )
+
+    ideal = (
+        topk_per_group(
+            gains.where(F.col("_g") > 0),
+            [q],
+            [F.desc("_g"), F.asc(d)],
+            k,
+            salt_buckets=None,
+            salt_col=d,
+        )
+        .groupBy(q)
+        .agg(_dec_sum(_dcg_term(F.col("_g"), F.col("rank"))).alias("_idcg"))
+    )
+
+    base = gains.groupBy(q).agg(
+        F.sum(
+            (F.col("_g") >= F.lit(float(rel_threshold))).cast("bigint")
+        ).alias("n_rel")
+    )
+
+    return (
+        base.join(per_q, on=q, how="left")
+        .join(ideal, on=q, how="left")
+        .select(
+            q,
+            "n_rel",
+            F.coalesce(F.col("_hits"), F.lit(0)).cast("bigint").alias("hits"),
+            F.round(
+                F.coalesce(F.col("_hits"), F.lit(0)) / F.lit(float(k)), 6
+            ).alias("precision"),
+            F.round(
+                F.when(
+                    F.col("n_rel") > 0,
+                    F.coalesce(F.col("_hits"), F.lit(0))
+                    / F.col("n_rel").cast("double"),
+                ).otherwise(0.0),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("_first_rel").isNotNull(),
+                    F.lit(1.0) / F.col("_first_rel").cast("double"),
+                ).otherwise(0.0),
+                6,
+            ).alias("rr"),
+            F.round(
+                F.when(
+                    F.coalesce(F.col("_idcg"), F.lit(0.0)) > 0,
+                    F.coalesce(F.col("_dcg"), F.lit(0.0)) / F.col("_idcg"),
+                ).otherwise(0.0),
+                6,
+            ).alias("ndcg"),
+        )
+    )
+
+
+def retrieval_metrics_summary(metrics: DataFrame, query_col: str = "query_id") -> DataFrame:
+    """Macro-averaged single-row summary of :func:`retrieval_metrics`.
+
+    Means run through the same order-invariant decimal recipe (the
+    per-query values are already 6 dp), so the summary is bit-stable
+    across partitionings: ``(n_queries, mean_precision, mean_recall,
+    mrr, mean_ndcg)``. MRR is, by definition, the macro mean of RR.
+    """
+    n = F.count(F.lit(1))
+
+    def _mean(c):
+        return F.round(
+            _dec_sum(F.col(c).cast(_DEC_ADD)) / n.cast("double"), 6
+        )
+
+    return metrics.agg(
+        n.cast("bigint").alias("n_queries"),
+        _mean("precision").alias("mean_precision"),
+        _mean("recall").alias("mean_recall"),
+        _mean("rr").alias("mrr"),
+        _mean("ndcg").alias("mean_ndcg"),
+    )

@@ -38,6 +38,7 @@ import json
 import os
 import zlib
 from dataclasses import dataclass, replace
+from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -436,6 +437,9 @@ class SearchIndex:
     def merge_with(self, other: "SearchIndex", **kw):  # type: ignore[no-untyped-def]
         return merge_indexes(self, other, **kw)
 
+    def upsert(self, changes=None, deletes=None, **kw):  # type: ignore[no-untyped-def]
+        return upsert_index(self, changes, deletes=deletes, **kw)
+
     def doc_counts(self) -> DataFrame:
         from sparksearchengine_spark.operators.stats import doc_counts
 
@@ -746,4 +750,139 @@ def merge_indexes(
         termstats=termstats,
         fieldstats=fieldstats,
         scoring=a.scoring,
+    )
+
+
+def upsert_index(
+    base: "SearchIndex",
+    changes: DataFrame | None = None,
+    deletes: DataFrame | Iterable[int] | None = None,
+    persist: bool = True,
+) -> "SearchIndex":
+    """Fold a CDC delta (new / updated / deleted documents) into an
+    existing index WITHOUT re-tokenizing the base corpus — the
+    incremental-maintenance operation the reference cannot express (its
+    ``PartitionsIndexLuceneRDD`` is immutable once built; updating means
+    rebuilding every Lucene shard from scratch,
+    `PartitionsIndexLuceneRDD.scala:588-593`).
+
+    Semantics are exact REPLACE + DELETE: a doc id present in
+    ``changes`` replaces the base document wholesale; ids in ``deletes``
+    vanish. The result is bit-identical to ``build_index`` over the
+    post-CDC corpus (pinned in tests): corpus-global statistics — df per
+    term and per-field (doc_count, avgdl) — are RECOMPUTED from the
+    merged postings by aggregation, so BM25 scores cannot drift no
+    matter how many deltas have been folded.
+
+    Cost model at 100 TB: the analyzer runs ONLY over ``changes``
+    (the delta, typically ≪ 0.1 % of the corpus); the base postings
+    pass through one anti-join on the touched ids — broadcast when the
+    touched set is small (the common case, decided by the same
+    stats-probed policy every search join uses), shuffle-hash
+    otherwise — and one termstats aggregation. No text column of the
+    base corpus is ever read.
+
+    ``deletes`` accepts a DataFrame (first column = ids) or a plain id
+    iterable. Ids in ``deletes`` that never existed are no-ops; ids in
+    both ``changes`` and ``deletes`` end up deleted (delete wins, the
+    CDC convention matching `weburl.py::cdc_latest` tombstones).
+    """
+    from sparksearchengine_spark.operators.search import decide_broadcast
+
+    corpus = base.corpus
+    spark = corpus.df.sparkSession
+    if changes is None and deletes is None:
+        raise ValueError("upsert_index: need changes and/or deletes")
+
+    # private join-key name: corpus id_col is usually DOC_ID itself, so
+    # an equi-condition on same-named columns would be ambiguous
+    UID = "_upsert_id"
+    touched = None  # ids whose base rows must not survive
+    if changes is not None:
+        missing = [c for c in corpus.df.columns if c not in changes.columns]
+        if missing:
+            raise ValueError(
+                f"changes is missing corpus columns: {missing}"
+            )
+        touched = changes.select(
+            F.col(corpus.id_col).cast("long").alias(UID)
+        )
+    del_ids = None
+    if deletes is not None:
+        if isinstance(deletes, DataFrame):
+            del_ids = deletes.select(
+                F.col(deletes.columns[0]).cast("long").alias(UID)
+            )
+        else:
+            ids = [int(i) for i in deletes]
+            del_ids = spark.createDataFrame(
+                [(i,) for i in ids], f"{UID} long"
+            )
+        touched = del_ids if touched is None else touched.unionByName(del_ids)
+    touched = touched.distinct()
+    if decide_broadcast(touched, max_rows=5_000_000):
+        touched = F.broadcast(touched)
+
+    surviving = base.postings.join(
+        touched, F.col(DOC_ID) == F.col(UID), "left_anti"
+    )
+    surviving_corpus = corpus.df.join(
+        touched,
+        F.col(corpus.id_col).cast("long") == F.col(UID),
+        "left_anti",
+    )
+
+    if changes is not None:
+        live_changes = changes.select(*corpus.df.columns)
+        if del_ids is not None:
+            live_changes = live_changes.join(
+                F.broadcast(del_ids)
+                if isinstance(deletes, (list, tuple, set))
+                else del_ids,
+                F.col(corpus.id_col).cast("long") == F.col(UID),
+                "left_anti",
+            )
+        delta = Corpus(
+            live_changes, id_col=corpus.id_col, text_cols=corpus.text_cols
+        ).build_index(scoring=base.scoring, persist=False)
+        postings = surviving.unionByName(delta.postings)
+        new_corpus_df = surviving_corpus.unionByName(live_changes)
+    else:
+        postings = surviving
+        new_corpus_df = surviving_corpus
+
+    if persist:
+        postings = postings.persist()
+    termstats = postings.groupBy("field", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("df_t")
+    )
+    if persist:
+        termstats = termstats.persist()
+    stats_rows = (
+        postings.select("field", DOC_ID, "dl")
+        .distinct()
+        .groupBy("field")
+        .agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.avg("dl").alias("avgdl"),
+        )
+        .collect()
+    )
+    fieldstats = {
+        r["field"]: FieldStats(int(r["doc_count"]), float(r["avgdl"]))
+        for r in stats_rows
+    }
+    for fname in corpus.text_cols:
+        fieldstats.setdefault(fname, FieldStats(0, 0.0))
+    return SearchIndex(
+        corpus=Corpus(
+            new_corpus_df,
+            id_col=corpus.id_col,
+            text_cols=corpus.text_cols,
+            validate=False,
+        ),
+        postings=postings,
+        termstats=termstats,
+        fieldstats=fieldstats,
+        scoring=base.scoring,
     )

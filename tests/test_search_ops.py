@@ -1508,3 +1508,121 @@ class TestMergeIndexes:
         ).build_index()
         with pytest.raises(ValueError, match="query_analyzer"):
             ia.merge_with(ib)
+
+
+class TestUpsertIndex:
+    """CDC fold into an existing index (operators/index.py::upsert_index):
+    result must be bit-identical to a fresh build over the post-CDC
+    corpus — replaced docs, new docs, deletes, recomputed global stats."""
+
+    @staticmethod
+    def _opts():
+        from sparksearchengine_spark import TextOptions
+
+        return {"text": TextOptions(analyzer="simple", positions=True)}
+
+    def _assert_equals_fresh_build(self, upserted, final_df):
+        from sparksearchengine_spark import Corpus
+
+        full = Corpus(
+            final_df, id_col="doc_id", text_cols=self._opts()
+        ).build_index(persist=False)
+        q = Q.field("text").match_any("dup", "spark")
+        got = upserted.search(q, k=10).collect()
+        want = full.search(q, k=10).collect()
+        assert [tuple(r) for r in got] == [tuple(r) for r in want]
+        g = {
+            (r["field"], r["term"]): r["df_t"]
+            for r in upserted.termstats.collect()
+        }
+        w = {
+            (r["field"], r["term"]): r["df_t"]
+            for r in full.termstats.collect()
+        }
+        assert g == w
+        assert upserted.fieldstats == full.fieldstats
+
+    def test_replace_add_delete_equals_fresh_build(self, spark, docs_df):
+        from sparksearchengine_spark import Corpus
+        from sparksearchengine_spark.operators.index import upsert_index
+
+        base_df = docs_df.where(F.col("doc_id") < 400)
+        base = Corpus(
+            base_df, id_col="doc_id", text_cols=self._opts()
+        ).build_index(persist=False)
+        # updates (350-399 replaced with edited text) + inserts (400-449)
+        changes = docs_df.where(
+            (F.col("doc_id") >= 350) & (F.col("doc_id") < 450)
+        ).withColumn("text", F.concat(F.col("text"), F.lit(" upserted")))
+        deletes = [5, 10]
+        up = upsert_index(base, changes, deletes=deletes, persist=False)
+
+        final_df = (
+            base_df.where(F.col("doc_id") < 350)
+            .unionByName(changes)
+            .where(~F.col("doc_id").isin(*deletes))
+        )
+        self._assert_equals_fresh_build(up, final_df)
+        # corpus view reflects the CDC too
+        assert up.corpus.df.where(F.col("doc_id").isin(*deletes)).count() == 0
+        assert (
+            up.corpus.df.where(F.col("doc_id") == 420).count() == 1
+        )
+
+    def test_delete_only(self, spark, docs_df):
+        from sparksearchengine_spark import Corpus
+        from sparksearchengine_spark.operators.index import upsert_index
+
+        base = Corpus(
+            docs_df, id_col="doc_id", text_cols=self._opts()
+        ).build_index(persist=False)
+        up = upsert_index(base, deletes=[0, 1, 2, 999_999], persist=False)
+        final_df = docs_df.where(~F.col("doc_id").isin(0, 1, 2))
+        self._assert_equals_fresh_build(up, final_df)
+
+    def test_insert_only_dataframe_deletes(self, spark, docs_df):
+        from sparksearchengine_spark import Corpus
+        from sparksearchengine_spark.operators.index import upsert_index
+
+        base = Corpus(
+            docs_df.where(F.col("doc_id") < 100),
+            id_col="doc_id",
+            text_cols=self._opts(),
+        ).build_index(persist=False)
+        changes = docs_df.where(
+            (F.col("doc_id") >= 100) & (F.col("doc_id") < 150)
+        )
+        dels = spark.createDataFrame([(7,)], "doc_id long")
+        up = upsert_index(base, changes, deletes=dels, persist=False)
+        final_df = docs_df.where(
+            (F.col("doc_id") < 150) & (F.col("doc_id") != 7)
+        )
+        self._assert_equals_fresh_build(up, final_df)
+
+    def test_delete_wins_over_change(self, spark, docs_df):
+        from sparksearchengine_spark import Corpus
+        from sparksearchengine_spark.operators.index import upsert_index
+
+        base = Corpus(
+            docs_df.where(F.col("doc_id") < 50),
+            id_col="doc_id",
+            text_cols=self._opts(),
+        ).build_index(persist=False)
+        changes = docs_df.where(F.col("doc_id").isin(10, 60))
+        up = upsert_index(base, changes, deletes=[10], persist=False)
+        assert up.corpus.df.where(F.col("doc_id") == 10).count() == 0
+        assert (
+            up.postings.where(F.col("doc_id") == 10).count() == 0
+        )
+        assert up.corpus.df.where(F.col("doc_id") == 60).count() == 1
+
+    def test_bad_args_raise(self, spark, docs_df, docs_index):
+        from sparksearchengine_spark.operators.index import upsert_index
+
+        with pytest.raises(ValueError, match="changes and/or deletes"):
+            upsert_index(docs_index)
+        with pytest.raises(ValueError, match="missing corpus columns"):
+            upsert_index(
+                docs_index,
+                docs_df.select("doc_id", "text"),
+            )
