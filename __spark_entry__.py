@@ -2276,6 +2276,74 @@ def _search_eval_summary(spark, sf):
     )
 
 
+# PQ/ADC (operators/similarity.py::pq_*): the exact cross-engine check
+# runs with PINNED deterministic codebooks (the kmeans_fit-shaped
+# contract classifier_fit and kmeans use — training quality is a pytest
+# bar, inference arithmetic is the oracle). Formula-generated literals,
+# embedded identically in the Spark wrapper and the DuckDB SQL.
+PQ_M, PQ_KSUB, PQ_DSUB = 4, 8, 16  # dim 64 = 4 x 16
+PQ_NQ, PQ_K = 5, 10
+_PQ_CB = [
+    [
+        [
+            ((j * 131 + c * 31 + d * 17) % 23 - 11) / 10.0
+            for d in range(PQ_DSUB)
+        ]
+        for c in range(PQ_KSUB)
+    ]
+    for j in range(PQ_M)
+]
+
+
+def _emb_pq_topk(spark, sf):
+    """Product-quantization ADC top-k (operators/similarity.py::pq_topk,
+    r5): vectors encoded to PQ_M nearest-subcentroid codes, pairs scored
+    by m lookup-table reads — the 100 TB ANN format (m bytes/vector at
+    rest, no float vectors in flight). Pinned codebooks make the whole
+    pipeline (argmin encode, sub-inner-product LUT, ADC sum) exact
+    deterministic arithmetic; the oracle re-derives every code and
+    lookup in SQL and must hash-match."""
+    from sparksearchengine_spark.operators.similarity import pq_topk
+
+    emb = _read(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = pq_topk(emb, queries, _PQ_CB, k=PQ_K)
+    return res.select(
+        "query_id",
+        "vec_id",
+        F.round(F.col("score") + F.lit(0.0), 6).alias("score"),
+        "rank",
+    )
+
+
+def _pq_recall(spark, sf):
+    """Recall@k of trained PQ + exact re-rank vs exact cosine top-k,
+    thresholded like ann_recall (booleans so benign centroid-init
+    variance can't flip the oracle). Measured ~0.9+ at sf0.01 with
+    m=8, ksub=8, rerank=8."""
+    from sparksearchengine_spark.operators.recall import (
+        labeled_recall_ok,
+        topk_recall,
+    )
+    from sparksearchengine_spark.operators.similarity import (
+        cosine_topk,
+        pq_topk,
+        pq_train,
+    )
+
+    emb = _read(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < EMB_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=EMB_K)
+    cbs = pq_train(emb, m=8, ksub=8, iters=3)
+    approx = pq_topk(emb, queries, cbs, k=EMB_K, rerank=8)
+    rec = topk_recall(approx, exact)
+    return labeled_recall_ok("pq_topk", rec, 0.8)
+
+
 UPSERT_LO, UPSERT_HI = 350, 450
 UPSERT_DELS = (5, 10)
 
@@ -2461,6 +2529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_eval": _search_eval,
         "search_eval_summary": _search_eval_summary,
         "index_upsert": _index_upsert,
+        "emb_pq_topk": _emb_pq_topk,
+        "pq_recall": _pq_recall,
     }
 
 
@@ -5412,4 +5482,67 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
     o["index_upsert"] = o["qc10_bm25_topk"].replace(
         "FROM documents", "FROM newdocs", 1
     ).replace("WITH toks AS (", "WITH " + _upsert_nd, 1)
+    # PQ/ADC: re-derive every code (per-subspace argmin, same
+    # first-min tie-break as clustering.assign_cell_expr:
+    # list_indexof(d, list_min(d))), every LUT sub-inner-product, and
+    # the m-lookup ADC sum — pure deterministic arithmetic over the
+    # pinned codebooks, written once per big expression via nested
+    # SELECTs so the generated SQL stays readable.
+    def _pq_sq(j: int, c: int) -> str:
+        # sequential left-assoc sum of (x-w)^2 terms = the engine's
+        # F.aggregate fold order (0.0 + t0 == t0 bitwise)
+        return " + ".join(
+            f"(CAST(embedding[{j * PQ_DSUB + d + 1}] AS DOUBLE) - ({w}))"
+            f" * (CAST(embedding[{j * PQ_DSUB + d + 1}] AS DOUBLE) - ({w}))"
+            for d, w in enumerate(_PQ_CB[j][c])
+        )
+
+    def _pq_ip(j: int, c: int) -> str:
+        return " + ".join(
+            f"CAST(qv[{j * PQ_DSUB + d + 1}] AS DOUBLE) * ({w})"
+            for d, w in enumerate(_PQ_CB[j][c])
+        )
+
+    _pq_dls = ", ".join(
+        "["
+        + ", ".join(_pq_sq(j, c) for c in range(PQ_KSUB))
+        + f"] AS dl{j}"
+        for j in range(PQ_M)
+    )
+    _pq_luts = ", ".join(
+        "["
+        + ", ".join(_pq_ip(j, c) for c in range(PQ_KSUB))
+        + f"] AS lut{j}"
+        for j in range(PQ_M)
+    )
+    _pq_codes = ", ".join(
+        f"list_indexof(dl{j}, list_min(dl{j})) - 1 AS c{j}"
+        for j in range(PQ_M)
+    )
+    _pq_score = " + ".join(
+        f"q.lut{j}[c.c{j} + 1]" for j in range(PQ_M)
+    )
+    o["emb_pq_topk"] = f"""
+        WITH coded AS (
+          SELECT vec_id, {_pq_codes}
+          FROM (SELECT vec_id, {_pq_dls} FROM embeddings)
+        ),
+        q AS (
+          SELECT query_id, {_pq_luts}
+          FROM (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < {PQ_NQ})
+        ),
+        scored AS (
+          SELECT q.query_id, c.vec_id, {_pq_score} + 0.0 AS s
+          FROM coded c CROSS JOIN q
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, round(s, 6) AS score,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY s DESC, vec_id) AS BIGINT)
+                   AS rank
+          FROM scored
+        )
+        SELECT * FROM ranked WHERE rank <= {PQ_K}"""
+    o["pq_recall"] = "SELECT 'pq_topk' AS op, true AS recall_ok"
     return o

@@ -413,6 +413,33 @@ def main() -> None:
             retrieval_metrics(res14, labels14, k=10, rank_col="rank")
         ).collect()
 
+    # 15b. r5: PQ/ADC — encode the full embeddings table to 4-byte
+    # codes and answer 100 queries by lookup-table scoring (first
+    # value = baseline). Compare against emb_topk's float brute force.
+    with timed("pq_adc"):
+        from sparksearchengine_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+        )
+
+        cbs = [
+            [
+                [
+                    ((j * 131 + c * 31 + d * 17) % 23 - 11) / 10.0
+                    for d in range(16)
+                ]
+                for c in range(8)
+            ]
+            for j in range(4)
+        ]
+        coded = pq_encode(emb, cbs).persist()
+        coded.count()
+        q15 = emb.where(F.col("vec_id") < 100).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        pq_topk(coded, q15, cbs, k=10, codes_col="codes").count()
+        coded.unpersist()
+
     # 15. r5: incremental index upsert — fold a 2% CDC delta into the
     # main index without re-tokenizing the base corpus; compare against
     # index_build (the full-rebuild alternative). First value = baseline.

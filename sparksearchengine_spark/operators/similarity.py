@@ -902,3 +902,231 @@ def mmr_rerank(
             "mmr_rank int, mmr_score double"
         ),
     )
+
+
+# -- product quantization (PQ / ADC) ---------------------------------------
+#
+# The 100 TB ANN memory story beyond int8: split the d-dim embedding into
+# m subspaces, vector-quantize each against its own ksub-entry codebook,
+# and store only the m code ids (m bytes at ksub<=256) — a d*4/m-fold
+# compression of the candidate set. Query scoring is ADC (asymmetric
+# distance computation): ONE m*ksub lookup table of exact sub-inner-
+# products per query, then every candidate costs m array lookups — no
+# float vector is ever read for non-finalists; an exact re-rank touches
+# raw vectors only for the rerank*k survivors. The reference has no
+# vector surface at all; design follows Jegou et al., "Product
+# Quantization for Nearest Neighbor Search" (TPAMI 2011).
+
+
+def _pq_check(codebooks: list[list[list[float]]]) -> tuple[int, int, int]:
+    """(m, ksub, dsub) with shape validation."""
+    m = len(codebooks)
+    if m == 0:
+        raise ValueError("codebooks must have >= 1 subspace")
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    for j, cb in enumerate(codebooks):
+        if len(cb) != ksub or any(len(c) != dsub for c in cb):
+            raise ValueError(
+                f"codebook {j} is ragged: expected {ksub}x{dsub}"
+            )
+    return m, ksub, dsub
+
+
+def pq_train(
+    items: DataFrame,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 5,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    method: str = "expr",
+) -> list[list[list[float]]]:
+    """Train PQ codebooks: one k-means (``ksub`` centroids) per
+    subspace over the vector slices. Returns ``m x ksub x dsub`` floats
+    — driver-small by construction (the whole model is m*ksub*dsub
+    numbers).
+
+    Deterministic (no RNG): each subspace k-means seeds from the
+    lowest-id slice vectors (`clustering.default_centroids`). Training
+    cost is m sequential `kmeans_fit` runs — standard practice is to
+    train on a bounded SAMPLE (``items.limit(100_000)`` or
+    ``.where(id % s == 0)``); encode/search below are the full-corpus
+    scale paths, training never needs to be.
+    """
+    from sparksearchengine_spark.operators.clustering import kmeans_fit
+
+    dim_row = items.select(
+        F.size(F.col(item_vec)).alias("d")
+    ).where(F.col("d").isNotNull()).first()
+    if dim_row is None:
+        raise ValueError("no non-NULL vectors to train on")
+    dim = int(dim_row["d"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    codebooks = []
+    for j in range(m):
+        sliced = items.select(
+            F.col(item_id).alias("vec_id"),
+            F.slice(
+                F.col(item_vec).cast("array<double>"), j * dsub + 1, dsub
+            ).alias("embedding"),
+        )
+        cents, _ = kmeans_fit(sliced, ksub, iters=iters, method=method)
+        codebooks.append([[float(x) for x in c] for c in cents])
+    return codebooks
+
+
+def pq_encode_expr(vec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """``array<int>`` of m nearest-centroid code ids for one vector —
+    a bare Column (scan-stage, zero shuffle), composable like
+    `clustering.assign_cell_expr` (same argmin, same first-min
+    tie-break, so the DuckDB oracle mirrors it with
+    ``list_indexof(d, list_min(d))``). NULL vector -> NULL codes."""
+    from sparksearchengine_spark.operators.clustering import assign_cell_expr
+
+    m, _, dsub = _pq_check(codebooks)
+    v = vec.cast("array<double>")
+    return F.when(
+        vec.isNotNull(),
+        F.array(
+            *[
+                assign_cell_expr(F.slice(v, j * dsub + 1, dsub), codebooks[j])
+                for j in range(m)
+            ]
+        ),
+    )
+
+
+def pq_encode(
+    items: DataFrame,
+    codebooks: list[list[list[float]]],
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+) -> DataFrame:
+    """``(vec_id, codes)`` for the whole corpus — the at-rest ANN format
+    (persist THIS, m small ints per row, instead of the float vectors;
+    keep the raw vectors only where the exact re-rank reads them)."""
+    return items.select(
+        F.col(item_id).alias("vec_id"),
+        pq_encode_expr(F.col(item_vec), codebooks).alias("codes"),
+    )
+
+
+def pq_lut_expr(qvec: Column, codebooks: list[list[list[float]]]) -> Column:
+    """Flat ``array<double>`` of m*ksub exact sub-inner-products
+    ``<q_slice_j, codebook[j][c]>`` — the per-query ADC lookup table.
+    Laid out ``j*ksub + c`` so the pair score is m element_at lookups."""
+    m, ksub, dsub = _pq_check(codebooks)
+    v = qvec.cast("array<double>")
+    entries = []
+    for j in range(m):
+        sl = F.slice(v, j * dsub + 1, dsub)
+        for c in codebooks[j]:
+            lit = F.array(*[F.lit(float(x)) for x in c])
+            entries.append(
+                F.aggregate(
+                    F.zip_with(sl, lit, lambda x, w: x * w),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+    return F.array(*entries)
+
+
+def pq_topk(
+    items: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+    codes_col: str | None = None,
+    rerank: int = 0,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """ADC top-k: ``(query_id, vec_id, score, rank)``.
+
+    ``score`` approximates the inner product (pre-normalize vectors for
+    cosine semantics). With ``codes_col`` the items side is a precoded
+    ``(id, codes)`` frame (the scale path — per pair the score is m
+    array lookups fused into the scan; no HOF, no float vectors in
+    flight). Without it, codes are computed inline from ``item_vec``
+    (convenient, but pays the encode per call — persist `pq_encode`
+    output instead for repeated querying).
+
+    ``rerank=R`` keeps R*k ADC candidates per query, joins back to the
+    raw vectors, and exact-cosine re-scores ONLY those — `score` is then
+    the exact cosine. Queries are broadcast (ADC is a scan over items);
+    the same small-query contract as :func:`cosine_topk`.
+    """
+    m, ksub, _ = _pq_check(codebooks)
+    if rerank < 0:
+        raise ValueError(f"rerank must be >= 0, got {rerank}")
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_qvec"),
+        pq_lut_expr(F.col(query_vec), codebooks).alias("_lut"),
+    )
+    if codes_col is not None:
+        it = items.select(
+            F.col(item_id).alias("vec_id"), F.col(codes_col).alias("_codes")
+        )
+    else:
+        it = items.select(
+            F.col(item_id).alias("vec_id"),
+            pq_encode_expr(F.col(item_vec), codebooks).alias("_codes"),
+        )
+    score = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("_lut"),
+            (F.lit(j * ksub) + F.element_at(F.col("_codes"), j + 1) + 1).cast(
+                "int"
+            ),
+        )
+        score = term if score is None else score + term
+    scored = it.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "vec_id",
+        F.when(F.col("_codes").isNotNull(), score).alias("score"),
+    )
+    if rerank == 0:
+        return topk_per_group(
+            scored,
+            ["query_id"],
+            [F.col("score").desc(), F.col("vec_id").asc()],
+            k=k,
+            salt_buckets=salt_buckets,
+            salt_col="vec_id",
+        ).select("query_id", "vec_id", "score", "rank")
+    cand = topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("score").desc(), F.col("vec_id").asc()],
+        k=rerank * k,
+        salt_buckets=salt_buckets,
+        salt_col="vec_id",
+    ).select("query_id", "vec_id")
+    raw = items.select(
+        F.col(item_id).alias("vec_id"), F.col(item_vec).alias("_ivec")
+    )
+    qv = q.select("query_id", "_qvec")
+    exact = (
+        cand.join(raw, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_expr(F.col("_ivec"), F.col("_qvec")).alias("score"),
+        )
+    )
+    return topk_per_group(
+        exact,
+        ["query_id"],
+        [F.col("score").desc(), F.col("vec_id").asc()],
+        k=k,
+    ).select("query_id", "vec_id", "score", "rank")

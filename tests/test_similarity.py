@@ -450,3 +450,117 @@ class TestRandomProjectionRagged:
         assert a == b  # contract: bit-identical, incl. the NULL rows
         assert a[2] == [None, None] and a[3] == [None, None]
         assert all(v is not None for v in a[1])
+
+
+class TestProductQuantization:
+    """PQ/ADC (operators/similarity.py::pq_*): encode shape, ADC
+    exactness when items sit ON codebook points, train determinism +
+    quality, re-rank recall, precoded-path parity."""
+
+    @staticmethod
+    def _toy_codebooks():
+        # m=2 subspaces over dim 4, ksub=3 centroids each
+        return [
+            [[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]],
+            [[2.0, 0.0], [0.0, 2.0], [-1.0, 0.5]],
+        ]
+
+    def test_encode_shape_and_range(self, spark):
+        from sparksearchengine_spark.operators.similarity import pq_encode
+
+        cbs = self._toy_codebooks()
+        df = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0, 0.0, 2.0]),
+                (2, [0.9, 0.9, -1.0, 0.5]),
+                (3, None),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        rows = {r.vec_id: r.codes for r in pq_encode(df, cbs).collect()}
+        assert rows[1] == [0, 1]  # exact centroid hits
+        assert rows[2] == [2, 2]
+        assert rows[3] is None
+        for codes in (rows[1], rows[2]):
+            assert all(0 <= c < 3 for c in codes)
+
+    def test_adc_exact_on_codebook_points(self, spark):
+        """Items that ARE centroid concatenations reconstruct exactly,
+        so ADC == true inner product and the ranking matches a
+        hand-computed one."""
+        from sparksearchengine_spark.operators.similarity import pq_topk
+
+        cbs = self._toy_codebooks()
+        items = spark.createDataFrame(
+            [
+                (10, [1.0, 0.0, 2.0, 0.0]),   # codes (0,0)
+                (11, [0.0, 1.0, 0.0, 2.0]),   # codes (1,1)
+                (12, [1.0, 1.0, -1.0, 0.5]),  # codes (2,2)
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        queries = spark.createDataFrame(
+            [(0, [1.0, 0.0, 2.0, 0.0])],
+            "query_id long, embedding array<double>",
+        )
+        got = pq_topk(items, queries, cbs, k=3).collect()
+        # true IPs: item10 = 1+4=5, item11 = 0, item12 = 1-2=-1
+        by_rank = {r["rank"]: (r.vec_id, r.score) for r in got}
+        assert by_rank[1] == (10, 5.0)
+        assert by_rank[2] == (11, 0.0)
+        assert by_rank[3] == (12, -1.0)
+
+    def test_precoded_equals_inline(self, emb, queries):
+        from sparksearchengine_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        cbs = pq_train(emb.where(F.col("vec_id") < 200), m=4, ksub=4, iters=2)
+        inline = pq_topk(emb, queries, cbs, k=5).collect()
+        coded = pq_encode(emb, cbs)
+        pre = pq_topk(
+            coded, queries.join(emb, queries.query_id == emb.vec_id)
+            .select("query_id", queries.embedding),
+            cbs, k=5, codes_col="codes",
+        ).collect()
+        assert sorted(map(tuple, inline)) == sorted(map(tuple, pre))
+
+    def test_train_shape_and_determinism(self, emb):
+        from sparksearchengine_spark.operators.similarity import pq_train
+
+        a = pq_train(emb, m=4, ksub=4, iters=2)
+        b = pq_train(emb, m=4, ksub=4, iters=2)
+        assert len(a) == 4 and all(len(cb) == 4 for cb in a)
+        assert all(len(c) == 16 for cb in a for c in cb)  # dim 64 / m 4
+        assert a == b
+
+    def test_rerank_recall_vs_exact(self, emb, queries):
+        """Trained PQ + exact re-rank should recover most of the exact
+        top-k on the synthetic embeddings."""
+        from sparksearchengine_spark.operators.recall import topk_recall
+        from sparksearchengine_spark.operators.similarity import (
+            cosine_topk,
+            pq_topk,
+            pq_train,
+        )
+
+        cbs = pq_train(emb, m=8, ksub=8, iters=3)
+        exact = cosine_topk(emb, queries, k=5)
+        approx = pq_topk(emb, queries, cbs, k=5, rerank=8)
+        rec = topk_recall(approx, exact)
+        assert rec.collect()[0]["recall"] >= 0.8
+
+    def test_bad_args(self, spark, emb, queries):
+        from sparksearchengine_spark.operators.similarity import (
+            pq_topk,
+            pq_train,
+        )
+
+        with pytest.raises(ValueError, match="ragged"):
+            pq_topk(emb, queries, [[[1.0], [1.0, 2.0]]], k=3)
+        with pytest.raises(ValueError, match="not divisible"):
+            pq_train(emb, m=7)
+        with pytest.raises(ValueError, match="rerank"):
+            pq_topk(emb, queries, self._toy_codebooks(), k=3, rerank=-1)
