@@ -7,6 +7,10 @@ S2 object-file sink    -> parquet round-trip (`save_corpus`/`load_corpus`;
                           reference `WikipediaXmlDumpParser.scala:36`,
                           `examples/StoreableExample.scala:22-30`)
 S3 WARC                -> out of scope (vendored & unused in the reference)
+JSONL / CSV / raw text -> `read_jsonl_corpus` / `read_csv_corpus` /
+                          `read_text_corpus` (LLM-corpus interchange
+                          formats; corrupt-record capture, deterministic
+                          id synthesis)
 media blobs            -> `operators.multimodal.read_media_dir`
 streams                -> `streaming.stream.read_document_stream`
 """
@@ -91,10 +95,99 @@ def read_jsonl_corpus(
     return df
 
 
+def read_csv_corpus(
+    spark: SparkSession,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    schema: str | None = None,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV/TSV corpus source with the same contract hardening as
+    :func:`read_jsonl_corpus`: with ``schema`` given, malformed rows are
+    CAPTURED in ``_corrupt_record`` (PERMISSIVE + the column appended to
+    the schema — without it Spark silently yields all-NULL rows);
+    without one, an inference pass runs (exploration only — pass a
+    schema in production). Extra reader options (``sep='\\t'``,
+    ``multiLine='true'``, ``quote=...``) pass through. A missing
+    ``id_col`` is synthesized as ``xxhash64(text)`` — deterministic
+    across reruns; exact-duplicate texts collide by design (same doc to
+    every downstream dedup)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.types import _parse_datatype_string
+
+    reader = spark.read.option("header", str(bool(header)).lower())
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    if schema is not None:
+        st = (
+            _parse_datatype_string(schema)
+            if isinstance(schema, str)
+            else schema
+        )
+        corrupt_col = spark.conf.get(
+            "spark.sql.columnNameOfCorruptRecord", "_corrupt_record"
+        )
+        if isinstance(st, StructType) and corrupt_col not in st.names:
+            st = st.add(corrupt_col, StringType())
+        reader = reader.schema(st).option("mode", "PERMISSIVE")
+    df = reader.csv(path)
+    if text_col not in df.columns:
+        raise ValueError(
+            f"CSV at {path!r} has no {text_col!r} column; "
+            f"found {df.columns}"
+        )
+    if id_col not in df.columns:
+        df = df.withColumn(id_col, F.xxhash64(F.col(text_col)))
+    return df
+
+
+def read_text_corpus(
+    spark: SparkSession,
+    path: str,
+    mode: str = "file",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Raw-text corpus source: ``(doc_id, text, path)``.
+
+    ``mode="file"``: one document per FILE (``wholetext`` text scan —
+    the one-doc-per-file crawl layout); ``doc_id = xxhash64(path)``,
+    collision-free per distinct path, stable across reruns.
+    CAUTION at scale: a whole-file row is unsplittable — fine for the
+    many-small-files layout this mode exists for, wrong for one giant
+    file (use ``mode="line"``).
+
+    ``mode="line"``: one document per LINE (splittable scan);
+    ``doc_id = xxhash64(path, text)`` — stable across reruns and
+    partitionings, with the documented property that duplicate lines
+    WITHIN one file collide (identical docs to every downstream dedup).
+    """
+    from pyspark.sql import functions as F
+
+    if mode not in ("file", "line"):
+        raise ValueError(f"mode must be file|line, got {mode!r}")
+    # the kwarg, not .option("wholetext", ...): the .text() wrapper
+    # passes its own wholetext parameter and overrides a preset option
+    df = spark.read.text(path, wholetext=(mode == "file")).select(
+        F.col("value").alias(text_col),
+        F.col("_metadata.file_path").alias("path"),
+    )
+    if mode == "file":
+        did = F.xxhash64(F.col("path"))
+    else:
+        did = F.xxhash64(F.col("path"), F.col(text_col))
+    return df.select(did.alias(id_col), text_col, "path")
+
+
 __all__ = [
     "read_wikipedia_dump",
     "strip_wiki_markup",
     "save_corpus",
     "load_corpus",
     "read_jsonl_corpus",
+    "read_csv_corpus",
+    "read_text_corpus",
 ]

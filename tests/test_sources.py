@@ -246,3 +246,111 @@ class TestWikipediaCompressedFallback:
         ).collect()
         assert len(rows) == 1
         assert rows[0]["title"] == "T1" and rows[0]["text"] == "hello world"
+
+
+class TestCsvCorpus:
+    def test_roundtrip_with_header(self, spark, tmp_path):
+        from sparksearchengine_spark.sources import read_csv_corpus
+
+        p = tmp_path / "c.csv"
+        p.write_text("doc_id,text\n1,alpha beta\n2,gamma\n")
+        df = read_csv_corpus(
+            spark, str(p), schema="doc_id long, text string"
+        )
+        rows = {r.doc_id: r.text for r in df.collect()}
+        assert rows == {1: "alpha beta", 2: "gamma"}
+
+    def test_corrupt_rows_captured(self, spark, tmp_path):
+        from sparksearchengine_spark.sources import read_csv_corpus
+        from pyspark.sql import functions as F
+
+        p = tmp_path / "bad.csv"
+        # row 2 has a non-numeric id -> corrupt under the schema
+        p.write_text("doc_id,text\n1,ok\nnot_a_number,broken\n")
+        df = read_csv_corpus(
+            spark, str(p), schema="doc_id long, text string"
+        ).cache()
+        bad = df.where(F.col("_corrupt_record").isNotNull())
+        assert bad.count() == 1
+        assert df.where(F.col("doc_id") == 1).count() == 1
+        df.unpersist()
+
+    def test_tsv_option_passthrough_and_id_synthesis(self, spark, tmp_path):
+        from sparksearchengine_spark.sources import read_csv_corpus
+
+        p = tmp_path / "t.tsv"
+        p.write_text("text\thits\nalpha\t3\nbeta\t4\n")
+        df = read_csv_corpus(spark, str(p), sep="\t")
+        assert "doc_id" in df.columns
+        a = {r.text: r.doc_id for r in df.collect()}
+        b = {
+            r.text: r.doc_id
+            for r in read_csv_corpus(spark, str(p), sep="\t").collect()
+        }
+        assert a == b  # deterministic across reruns
+
+    def test_missing_text_col_raises(self, spark, tmp_path):
+        from sparksearchengine_spark.sources import read_csv_corpus
+
+        p = tmp_path / "n.csv"
+        p.write_text("a,b\n1,2\n")
+        with pytest.raises(ValueError, match="no 'text'"):
+            read_csv_corpus(spark, str(p))
+
+
+class TestTextCorpus:
+    def test_file_mode_one_doc_per_file(self, spark, tmp_path):
+        from sparksearchengine_spark.sources import read_text_corpus
+
+        d = tmp_path / "docs"
+        d.mkdir()
+        (d / "a.txt").write_text("line one\nline two\n")
+        (d / "b.txt").write_text("solo\n")
+        df = read_text_corpus(spark, str(d), mode="file")
+        rows = df.collect()
+        assert len(rows) == 2
+        texts = sorted(r.text for r in rows)
+        # file contents verbatim, incl. trailing newline — the source
+        # never mutates bytes; analyzers drop whitespace downstream
+        assert texts == ["line one\nline two\n", "solo\n"]
+        assert len({r.doc_id for r in rows}) == 2
+
+    def test_line_mode_splittable_ids_stable(self, spark, tmp_path):
+        from sparksearchengine_spark.sources import read_text_corpus
+
+        d = tmp_path / "lines"
+        d.mkdir()
+        (d / "a.txt").write_text("one\ntwo\nthree\n")
+        a = read_text_corpus(spark, str(d), mode="line")
+        assert a.count() == 3
+        ids1 = sorted(r.doc_id for r in a.collect())
+        ids2 = sorted(
+            r.doc_id
+            for r in read_text_corpus(spark, str(d), mode="line")
+            .repartition(3)
+            .collect()
+        )
+        assert ids1 == ids2
+
+    def test_indexable_end_to_end(self, spark, tmp_path):
+        from sparksearchengine_spark import Corpus, Q, TextOptions
+        from sparksearchengine_spark.sources import read_text_corpus
+
+        d = tmp_path / "ix"
+        d.mkdir()
+        (d / "a.txt").write_text("spark engine fast\n")
+        (d / "b.txt").write_text("slow snail\n")
+        corp = read_text_corpus(spark, str(d), mode="file")
+        idx = Corpus(
+            corp,
+            id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="simple")},
+        ).build_index(persist=False)
+        hits = idx.search(Q.field("text").match_term("spark"), k=5)
+        assert hits.count() == 1
+
+    def test_bad_mode_raises(self, spark, tmp_path):
+        from sparksearchengine_spark.sources import read_text_corpus
+
+        with pytest.raises(ValueError, match="file\\|line"):
+            read_text_corpus(spark, str(tmp_path), mode="word")
