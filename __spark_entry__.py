@@ -2344,6 +2344,42 @@ def _pq_recall(spark, sf):
     return labeled_recall_ok("pq_topk", rec, 0.8)
 
 
+def _ivfpq_recall(spark, sf):
+    """Recall@k of the durable residual IVF-PQ layout (similarity.py::
+    ivfpq_build/ivfpq_search, r5) vs exact cosine top-k — the composed
+    FAISS-IndexIVFPQ design: partition-pruned coarse probes + m-byte
+    residual codes + exact re-rank of the ADC survivors. Thresholded
+    boolean like ann_recall/pq_recall (training is deterministic but
+    recall depends on data geometry; the bar is the contract)."""
+    import tempfile
+
+    from sparksearchengine_spark.operators.recall import (
+        labeled_recall_ok,
+        topk_recall,
+    )
+    from sparksearchengine_spark.operators.similarity import (
+        cosine_topk,
+        ivfpq_build,
+        ivfpq_search,
+    )
+
+    emb = _read(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < EMB_NQ).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=EMB_K)
+    # small training budget on purpose (driver-slot wall-clock): the
+    # exact re-rank of 8*k ADC survivors carries the recall bar, so
+    # coarse codebooks are fine here; the pytest case runs the m=8 size
+    path = tempfile.mkdtemp(prefix="ivfpq_qc_")
+    ivfpq_build(emb, path, n_clusters=8, m=4, ksub=8, iters=2)
+    approx = ivfpq_search(
+        spark, path, queries, k=EMB_K, nprobe=4, rerank=8
+    )
+    rec = topk_recall(approx, exact)
+    return labeled_recall_ok("ivfpq_topk", rec, 0.8)
+
+
 UPSERT_LO, UPSERT_HI = 350, 450
 UPSERT_DELS = (5, 10)
 
@@ -2531,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_upsert": _index_upsert,
         "emb_pq_topk": _emb_pq_topk,
         "pq_recall": _pq_recall,
+        "ivfpq_recall": _ivfpq_recall,
     }
 
 
@@ -5545,4 +5582,5 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         )
         SELECT * FROM ranked WHERE rank <= {PQ_K}"""
     o["pq_recall"] = "SELECT 'pq_topk' AS op, true AS recall_ok"
+    o["ivfpq_recall"] = "SELECT 'ivfpq_topk' AS op, true AS recall_ok"
     return o

@@ -1014,10 +1014,20 @@ def pq_encode(
     )
 
 
-def pq_lut_expr(qvec: Column, codebooks: list[list[list[float]]]) -> Column:
-    """Flat ``array<double>`` of m*ksub exact sub-inner-products
-    ``<q_slice_j, codebook[j][c]>`` — the per-query ADC lookup table.
-    Laid out ``j*ksub + c`` so the pair score is m element_at lookups."""
+def pq_lut_expr(
+    qvec: Column,
+    codebooks: list[list[list[float]]],
+    metric: str = "ip",
+) -> Column:
+    """Flat ``array<double>`` of m*ksub per-query ADC lookup entries,
+    laid out ``j*ksub + c`` so the pair score is m element_at lookups.
+
+    ``metric="ip"``: sub-inner-products ``<q_slice_j, codebook[j][c]>``
+    (maximize). ``metric="l2"``: sub squared distances
+    ``||q_slice_j - codebook[j][c]||²`` (minimize) — the residual
+    IVF-PQ form."""
+    if metric not in ("ip", "l2"):
+        raise ValueError(f"metric must be ip|l2, got {metric!r}")
     m, ksub, dsub = _pq_check(codebooks)
     v = qvec.cast("array<double>")
     entries = []
@@ -1025,12 +1035,12 @@ def pq_lut_expr(qvec: Column, codebooks: list[list[list[float]]]) -> Column:
         sl = F.slice(v, j * dsub + 1, dsub)
         for c in codebooks[j]:
             lit = F.array(*[F.lit(float(x)) for x in c])
+            if metric == "ip":
+                zipped = F.zip_with(sl, lit, lambda x, w: x * w)
+            else:
+                zipped = F.zip_with(sl, lit, lambda x, w: (x - w) * (x - w))
             entries.append(
-                F.aggregate(
-                    F.zip_with(sl, lit, lambda x, w: x * w),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
+                F.aggregate(zipped, F.lit(0.0), lambda acc, x: acc + x)
             )
     return F.array(*entries)
 
@@ -1130,3 +1140,238 @@ def pq_topk(
         [F.col("score").desc(), F.col("vec_id").asc()],
         k=k,
     ).select("query_id", "vec_id", "score", "rank")
+
+
+def _centers_lit(centers: list[list[float]]) -> Column:
+    return F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centers]
+    )
+
+
+def ivfpq_build(
+    items: DataFrame,
+    path: str,
+    n_clusters: int = 8,
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 5,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    train: DataFrame | None = None,
+) -> None:
+    """Train and persist a residual IVF-PQ layout — the full FAISS
+    ``IndexIVFPQ`` design (Jegou et al. 2011) in DataFrame ops:
+
+    1. coarse quantizer: RNG-free `clustering.kmeans_fit` over the
+       vectors (deterministic — same data, same layout, every run);
+    2. residuals ``r = x − center[cell]`` computed inline (zip_with
+       against the cell's centroid, picked by ``element_at`` on the
+       literal center matrix — scan-stage, no join);
+    3. PQ codebooks trained ON THE RESIDUALS (``train`` bounds the
+       training frame — pass a sample at scale; encode always runs on
+       everything);
+    4. items written ``path/items/_cell=K/`` partitioned by coarse cell
+       carrying ``(vec_id, embedding, codes)`` — a search probes
+       nprobe/n_clusters of the directories (PartitionFilters) and
+       scores CODES; the raw vector column is read only by the exact
+       re-rank projection (Parquet column pruning does the rest).
+
+    ``path/meta/`` holds centers + codebooks (driver-small), written
+    through the Spark filesystem like `ivf_build` (works on s3/hdfs).
+    """
+    import json
+    import os
+
+    from sparksearchengine_spark.operators.clustering import (
+        assign_cell_expr,
+        kmeans_fit,
+    )
+
+    centers, _ = kmeans_fit(
+        items, n_clusters, iters=iters, item_id=item_id, item_vec=item_vec
+    )
+    vec_d = F.col(item_vec).cast("array<double>")
+    staged = items.select(
+        F.col(item_id).alias("vec_id"),
+        F.col(item_vec).alias("embedding"),
+        assign_cell_expr(F.col(item_vec), centers).alias("_cell"),
+    ).withColumn(
+        "_rvec",
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            F.element_at(_centers_lit(centers), F.col("_cell") + 1),
+            lambda x, c: x - c,
+        ),
+    )
+    if train is not None:
+        tr = train.select(
+            F.col(item_id).alias("vec_id"),
+            F.col(item_vec).alias("embedding"),
+            assign_cell_expr(F.col(item_vec), centers).alias("_cell"),
+        ).withColumn(
+            "_rvec",
+            F.zip_with(
+                F.col("embedding").cast("array<double>"),
+                F.element_at(_centers_lit(centers), F.col("_cell") + 1),
+                lambda x, c: x - c,
+            ),
+        )
+    else:
+        tr = staged
+    codebooks = pq_train(
+        tr.where(F.col("_rvec").isNotNull()),
+        m=m,
+        ksub=ksub,
+        iters=iters,
+        item_id="vec_id",
+        item_vec="_rvec",
+    )
+    out = staged.select(
+        "vec_id",
+        "embedding",
+        pq_encode_expr(F.col("_rvec"), codebooks).alias("codes"),
+        "_cell",
+    )
+    out.repartition(n_clusters, "_cell").write.mode("overwrite").partitionBy(
+        "_cell"
+    ).parquet(os.path.join(path, "items"))
+    meta = {
+        "n_clusters": n_clusters,
+        "m": m,
+        "ksub": ksub,
+        "centers": [[float(v) for v in c] for c in centers],
+        "codebooks": codebooks,
+    }
+    items.sparkSession.createDataFrame(
+        [(json.dumps(meta),)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(os.path.join(path, "meta"))
+
+
+def ivfpq_search(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int = 4,
+    query_id: str = "query_id",
+    query_vec: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against an :func:`ivfpq_build` layout:
+    ``(query_id, vec_id, cos_sim, rank)`` (or ``approx_dist`` ranked
+    ascending when ``rerank=0``).
+
+    Probe-cell selection and the per-(query, cell) RESIDUAL lookup
+    table both live on the tiny query side (nprobe rows per query, each
+    carrying its m*ksub L2 table for ``q − center[cell]``); the item
+    side reads ONLY the probed cell directories (PartitionFilters) and
+    ONLY the code column (column pruning) — every candidate costs m
+    array lookups. ``rerank=R`` exact-cosine re-scores the R·k ADC
+    survivors from the stored vectors; at 100 TB that is the only point
+    where float vectors leave disk.
+    """
+    import json
+    import os
+
+    if rerank < 0:
+        raise ValueError(f"rerank must be >= 0, got {rerank}")
+    meta = json.loads(
+        spark.read.text(os.path.join(path, "meta")).first()["value"]
+    )
+    centers, codebooks = meta["centers"], meta["codebooks"]
+    m, ksub = meta["m"], meta["ksub"]
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(v) for v in c]).alias("cvec"),
+            )
+            for i, c in enumerate(centers)
+        ]
+    )
+    qcells = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("_qvec"),
+        F.explode(cent_arr).alias("c"),
+    ).select(
+        "query_id",
+        "_qvec",
+        F.col("c.cell").alias("_cell"),
+        cosine_expr(F.col("_qvec"), F.col("c.cvec")).alias("_csim"),
+    )
+    qprobe = (
+        topk_per_group(
+            qcells,
+            ["query_id"],
+            [F.col("_csim").desc(), F.col("_cell").asc()],
+            k=nprobe,
+        )
+        .select("query_id", "_qvec", "_cell")
+        .withColumn(
+            "_rq",
+            F.zip_with(
+                F.col("_qvec").cast("array<double>"),
+                F.element_at(_centers_lit(centers), F.col("_cell") + 1),
+                lambda x, c: x - c,
+            ),
+        )
+        .withColumn("_lut", pq_lut_expr(F.col("_rq"), codebooks, metric="l2"))
+    )
+    cells = sorted(
+        r["_cell"] for r in qprobe.select("_cell").distinct().collect()
+    )
+    items = spark.read.parquet(os.path.join(path, "items")).where(
+        F.col("_cell").isin(cells)
+    )
+    dist = None
+    for j in range(m):
+        term = F.element_at(
+            F.col("_lut"),
+            (
+                F.lit(j * ksub) + F.element_at(F.col("codes"), j + 1) + 1
+            ).cast("int"),
+        )
+        dist = term if dist is None else dist + term
+    scored = (
+        items.select("vec_id", "codes", "_cell")
+        .join(F.broadcast(qprobe.select("query_id", "_cell", "_lut")), "_cell")
+        .select(
+            "query_id",
+            "vec_id",
+            F.when(F.col("codes").isNotNull(), dist).alias("approx_dist"),
+        )
+    )
+    if rerank == 0:
+        return topk_per_group(
+            scored,
+            ["query_id"],
+            [F.col("approx_dist").asc_nulls_last(), F.col("vec_id").asc()],
+            k=k,
+        ).select("query_id", "vec_id", "approx_dist", "rank")
+    cand = topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("approx_dist").asc_nulls_last(), F.col("vec_id").asc()],
+        k=rerank * k,
+    ).select("query_id", "vec_id")
+    raw = spark.read.parquet(os.path.join(path, "items")).where(
+        F.col("_cell").isin(cells)
+    ).select("vec_id", "embedding")
+    qv = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("_qvec")
+    )
+    exact = (
+        cand.join(raw, "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_expr(F.col("embedding"), F.col("_qvec")).alias("cos_sim"),
+        )
+    )
+    return topk_per_group(
+        exact,
+        ["query_id"],
+        [F.col("cos_sim").desc(), F.col("vec_id").asc()],
+        k=k,
+    ).select("query_id", "vec_id", "cos_sim", "rank")

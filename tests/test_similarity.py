@@ -564,3 +564,75 @@ class TestProductQuantization:
             pq_train(emb, m=7)
         with pytest.raises(ValueError, match="rerank"):
             pq_topk(emb, queries, self._toy_codebooks(), k=3, rerank=-1)
+
+
+class TestIVFPQ:
+    """Residual IVF-PQ durable layout (similarity.py::ivfpq_build/
+    ivfpq_search): partition-pruned probes, code-only ADC scoring,
+    exact re-rank recall, deterministic training."""
+
+    def test_build_search_pruning_and_recall(self, spark, tmp_path, emb, queries):
+        from sparksearchengine_spark.operators.recall import topk_recall
+        from sparksearchengine_spark.operators.similarity import (
+            cosine_topk,
+            ivfpq_build,
+            ivfpq_search,
+        )
+
+        path = str(tmp_path / "ivfpq")
+        ivfpq_build(emb, path, n_clusters=8, m=8, ksub=8, iters=3)
+        got = ivfpq_search(spark, path, queries, k=5, nprobe=4, rerank=8)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "_cell" in plan, plan
+        exact = cosine_topk(emb, queries, k=5)
+        rec = topk_recall(got, exact).collect()[0]["recall"]
+        assert rec >= 0.8, rec
+
+    def test_rerank_zero_returns_approx_dist(self, spark, tmp_path, emb, queries):
+        from sparksearchengine_spark.operators.similarity import (
+            ivfpq_build,
+            ivfpq_search,
+        )
+
+        path = str(tmp_path / "ivfpq0")
+        ivfpq_build(emb, path, n_clusters=4, m=4, ksub=4, iters=2)
+        got = ivfpq_search(spark, path, queries, k=3, nprobe=2, rerank=0)
+        assert got.columns == ["query_id", "vec_id", "approx_dist", "rank"]
+        rows = got.collect()
+        assert len(rows) > 0
+        # ascending distance within each query
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append((r.rank, r.approx_dist))
+        for pairs in by_q.values():
+            pairs.sort()
+            ds = [d for _, d in pairs]
+            assert ds == sorted(ds)
+
+    def test_build_deterministic(self, spark, tmp_path, emb):
+        import json
+        import os
+
+        from sparksearchengine_spark.operators.similarity import ivfpq_build
+
+        p1, p2 = str(tmp_path / "a"), str(tmp_path / "b")
+        ivfpq_build(emb, p1, n_clusters=4, m=4, ksub=4, iters=2)
+        ivfpq_build(emb, p2, n_clusters=4, m=4, ksub=4, iters=2)
+        m1 = json.loads(
+            spark.read.text(os.path.join(p1, "meta")).first()["value"]
+        )
+        m2 = json.loads(
+            spark.read.text(os.path.join(p2, "meta")).first()["value"]
+        )
+        assert m1 == m2
+
+    def test_bad_rerank_raises(self, spark, tmp_path, emb, queries):
+        from sparksearchengine_spark.operators.similarity import (
+            ivfpq_build,
+            ivfpq_search,
+        )
+
+        path = str(tmp_path / "ivfpq_bad")
+        ivfpq_build(emb, path, n_clusters=4, m=4, ksub=4, iters=1)
+        with pytest.raises(ValueError, match="rerank"):
+            ivfpq_search(spark, path, queries, k=3, rerank=-1)
