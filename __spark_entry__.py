@@ -2344,6 +2344,41 @@ def _pq_recall(spark, sf):
     return labeled_recall_ok("pq_topk", rec, 0.8)
 
 
+def _text_readability(spark, sf):
+    """Readability scores (operators/textstats.py::readability, r5):
+    Flesch / Flesch-Kincaid over the FIXTURES §0 tokenizer with the
+    vowel-group syllable heuristic — one scan-stage projection, exact
+    ratio arithmetic mirrored in SQL."""
+    from sparksearchengine_spark.operators.textstats import readability
+
+    docs = _read(spark, sf, "documents")
+    return readability(docs).orderBy("doc_id")
+
+
+HN_LO, HN_HI, HN_K = 0.1, 0.99, 5
+
+
+def _emb_hard_negatives(spark, sf):
+    """Hard-negative mining (similarity.py::hard_negatives, r5): per
+    anchor the top-k items with cosine in [HN_LO, HN_HI) — informative
+    negatives for contrastive training, near-dup band (and self at
+    cos 1) excluded. Brute-force path here (exact oracle); the scale
+    path plugs an ANN candidate frame."""
+    from sparksearchengine_spark.operators.similarity import hard_negatives
+
+    emb = _read(spark, sf, "embeddings")
+    anchors = emb.where(F.col("vec_id") < EMB_NQ).select(
+        F.col("vec_id").alias("anchor_id"), "embedding"
+    )
+    res = hard_negatives(emb, anchors, k=HN_K, lo=HN_LO, hi=HN_HI)
+    return res.select(
+        "anchor_id",
+        "vec_id",
+        F.round("cos_sim", 6).alias("cos_sim"),
+        "rank",
+    )
+
+
 def _ivfpq_recall(spark, sf):
     """Recall@k of the durable residual IVF-PQ layout (similarity.py::
     ivfpq_build/ivfpq_search, r5) vs exact cosine top-k — the composed
@@ -2568,6 +2603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_topk": _emb_pq_topk,
         "pq_recall": _pq_recall,
         "ivfpq_recall": _ivfpq_recall,
+        "emb_hard_negatives": _emb_hard_negatives,
+        "text_readability": _text_readability,
     }
 
 
@@ -5583,4 +5620,78 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         SELECT * FROM ranked WHERE rank <= {PQ_K}"""
     o["pq_recall"] = "SELECT 'pq_topk' AS op, true AS recall_ok"
     o["ivfpq_recall"] = "SELECT 'ivfpq_topk' AS op, true AS recall_ok"
+    # hard negatives: the emb_cosine_topk scoring CTE with the band
+    # filter applied BEFORE the rank window (unrounded cosine both
+    # sides; identical IEEE doubles make the band edges exact)
+    o["emb_hard_negatives"] = f"""
+        WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv
+                   FROM embeddings WHERE vec_id < {EMB_NQ}),
+        scored AS (
+          SELECT q.anchor_id, e.vec_id,
+                 list_sum(list_transform(range(1, len(e.embedding) + 1),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+                      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(range(1, len(q.qv) + 1),
+                      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+                 AS c
+          FROM embeddings e CROSS JOIN q
+        ),
+        banded AS (
+          SELECT * FROM scored WHERE c >= {HN_LO} AND c < {HN_HI}
+        ),
+        ranked AS (
+          SELECT anchor_id, vec_id, round(c, 6) AS cos_sim,
+                 CAST(row_number() OVER (PARTITION BY anchor_id
+                                         ORDER BY c DESC, vec_id) AS BIGINT)
+                   AS rank
+          FROM banded
+        )
+        SELECT * FROM ranked WHERE rank <= {HN_K}"""
+    # readability: same tokenizer as _CTE, vowel-group syllables with
+    # the >= 1 clamp, [.!?]+ sentence runs clamped >= 1; ratio and
+    # score arithmetic is single-division / literal-product doubles —
+    # bit-identical across engines at 6dp rounding
+    o["text_readability"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '[^a-z0-9]+'),
+                             x -> x <> '') AS toks,
+                 greatest(1, len(regexp_extract_all(coalesce(text, ''),
+                                                    '[.!?]+'))) AS n_sents
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id,
+                 CAST(n_sents AS BIGINT) AS n_sents,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 CAST(coalesce(list_sum(list_transform(toks,
+                        w -> greatest(1, len(regexp_extract_all(w,
+                               '[aeiouy]+'))))), 0) AS BIGINT)
+                   AS n_syllables
+          FROM t
+        )
+        SELECT doc_id, n_sents, n_words, n_syllables,
+               round(CASE WHEN n_words > 0 THEN
+                 CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE)
+               END, 6) AS words_per_sent,
+               round(CASE WHEN n_words > 0 THEN
+                 CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+               END, 6) AS syll_per_word,
+               round(CASE WHEN n_words > 0 THEN
+                 206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE)
+                            / CAST(n_sents AS DOUBLE))
+                 - 84.6 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE))
+               END, 6) AS flesch,
+               round(CASE WHEN n_words > 0 THEN
+                 0.39 * (CAST(n_words AS DOUBLE)
+                         / CAST(n_sents AS DOUBLE))
+                 + 11.8 * (CAST(n_syllables AS DOUBLE)
+                           / CAST(n_words AS DOUBLE))
+                 - 15.59
+               END, 6) AS fk_grade
+        FROM s ORDER BY doc_id"""
     return o

@@ -1375,3 +1375,70 @@ def ivfpq_search(
         [F.col("cos_sim").desc(), F.col("vec_id").asc()],
         k=k,
     ).select("query_id", "vec_id", "cos_sim", "rank")
+
+
+def hard_negatives(
+    items: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    lo: float = 0.5,
+    hi: float = 0.95,
+    item_id: str = "vec_id",
+    item_vec: str = "embedding",
+    anchor_id: str = "anchor_id",
+    anchor_vec: str = "embedding",
+    candidates: DataFrame | None = None,
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training:
+    per anchor, the top-k items whose cosine lands in ``[lo, hi)`` —
+    similar enough to be informative negatives, below the near-duplicate
+    band (``hi`` also drops the anchor itself at cos 1). Returns
+    ``(anchor_id, vec_id, cos_sim, rank)``.
+
+    The band filter runs BEFORE the top-k reduction, so the window only
+    ranks in-band rows. Default scoring is the brute-force broadcast
+    scan (exact, one pass over items — `cosine_topk`'s plan); at corpus
+    scale pass ``candidates`` = a pre-scored ``(anchor_id, vec_id,
+    cos_sim)`` frame from any ANN path (`lsh_cosine_topk` /
+    `ivf_search` / `ivfpq_search` with a large k) and only the band +
+    top-k logic runs here.
+    """
+    if not lo < hi:
+        raise ValueError(f"need lo < hi, got [{lo}, {hi})")
+    if candidates is not None:
+        scored = candidates.select(
+            F.col(anchor_id).alias("anchor_id"), "vec_id", "cos_sim"
+        )
+    else:
+        a = anchors.select(
+            F.col(anchor_id).alias("anchor_id"),
+            F.col(anchor_vec).alias("_qvec"),
+            norm_expr(F.col(anchor_vec)).alias("_qnorm"),
+        )
+        it = items.select(
+            F.col(item_id).alias("vec_id"),
+            F.col(item_vec).alias("_ivec"),
+            norm_expr(F.col(item_vec)).alias("_inorm"),
+        )
+        scored = it.crossJoin(F.broadcast(a)).select(
+            "anchor_id",
+            "vec_id",
+            F.when(
+                (F.col("_inorm") > 0) & (F.col("_qnorm") > 0),
+                dot_expr(F.col("_ivec"), F.col("_qvec"))
+                / (F.col("_inorm") * F.col("_qnorm")),
+            ).alias("cos_sim"),
+        )
+    banded = scored.where(
+        (F.col("cos_sim") >= F.lit(float(lo)))
+        & (F.col("cos_sim") < F.lit(float(hi)))
+    )
+    return topk_per_group(
+        banded,
+        ["anchor_id"],
+        [F.col("cos_sim").desc(), F.col("vec_id").asc()],
+        k=k,
+        salt_buckets=salt_buckets,
+        salt_col="vec_id",
+    ).select("anchor_id", "vec_id", "cos_sim", "rank")

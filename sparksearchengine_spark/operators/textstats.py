@@ -735,3 +735,92 @@ def c4_signal_exprs(
         "n_sentences": n_sentences,
         "c4_keep": F.coalesce(page_ok & raw.isNotNull(), F.lit(False)),
     }
+
+
+def readability(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Classic readability scores per document — a standard curation
+    signal next to the Gopher/C4 rules (too-hard and too-trivial text
+    both correlate with low training value):
+
+    ``(id, n_sents, n_words, n_syllables, words_per_sent,
+    syll_per_word, flesch, fk_grade)``
+
+    Explicit, engine-mirrorable definitions (no dictionary):
+
+    * words = the FIXTURES §0 tokenizer (lowercase, ``[^a-z0-9]+``
+      split) — same vocabulary every other text operator uses;
+    * syllables per word = number of ``[aeiouy]+`` vowel groups,
+      clamped to ≥ 1 (the standard heuristic, exact enough for a
+      corpus-level signal);
+    * sentences = ``[.!?]+`` runs in the RAW text, clamped to ≥ 1;
+    * Flesch reading ease = 206.835 − 1.015·(W/S) − 84.6·(Syl/W);
+      Flesch–Kincaid grade = 0.39·(W/S) + 11.8·(Syl/W) − 15.59.
+
+    Zero-word documents get NULL ratios/scores (nothing to measure).
+    One scan-stage projection — zero shuffles, rides the corpus scan at
+    any scale. The per-word syllable transform is an interpreted HOF,
+    O(words) per doc like the other textstats passes.
+    """
+    toks = analyzer_expr(F.col(text_col), "simple")
+    staged = df.select(
+        F.col(id_col),
+        F.coalesce(toks, F.array().cast("array<string>")).alias("_t"),
+        F.greatest(
+            F.lit(1),
+            F.size(
+                F.regexp_extract_all(
+                    F.coalesce(F.col(text_col), F.lit("")),
+                    F.lit(r"[.!?]+"),
+                    0,
+                )
+            ),
+        ).cast("long").alias("n_sents"),
+    ).select(
+        id_col,
+        "n_sents",
+        F.size("_t").cast("long").alias("n_words"),
+        F.aggregate(
+            F.transform(
+                F.col("_t"),
+                lambda w: F.greatest(
+                    F.lit(1),
+                    F.size(
+                        F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)
+                    ),
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sents").cast("double")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words").cast(
+        "double"
+    )
+    nonzero = F.col("n_words") > 0
+    return staged.select(
+        id_col,
+        "n_sents",
+        "n_words",
+        "n_syllables",
+        F.round(F.when(nonzero, wps), 6).alias("words_per_sent"),
+        F.round(F.when(nonzero, spw), 6).alias("syll_per_word"),
+        F.round(
+            F.when(
+                nonzero,
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+            ),
+            6,
+        ).alias("flesch"),
+        F.round(
+            F.when(
+                nonzero,
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
+            ),
+            6,
+        ).alias("fk_grade"),
+    )

@@ -636,3 +636,57 @@ class TestIVFPQ:
         ivfpq_build(emb, path, n_clusters=4, m=4, ksub=4, iters=1)
         with pytest.raises(ValueError, match="rerank"):
             ivfpq_search(spark, path, queries, k=3, rerank=-1)
+
+
+class TestHardNegatives:
+    def test_band_and_rank(self, spark):
+        from sparksearchengine_spark.operators.similarity import hard_negatives
+
+        # anchor along x; items at known cosines: 1.0 (self-dup, excluded
+        # by hi), ~0.894, ~0.707, ~0.447, 0.0 (below lo)
+        items = spark.createDataFrame(
+            [
+                (1, [1.0, 0.0]),
+                (2, [2.0, 1.0]),
+                (3, [1.0, 1.0]),
+                (4, [1.0, 2.0]),
+                (5, [0.0, 1.0]),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        anchors = spark.createDataFrame(
+            [(100, [1.0, 0.0])], "anchor_id long, embedding array<double>"
+        )
+        got = hard_negatives(items, anchors, k=5, lo=0.4, hi=0.95).collect()
+        assert [r.vec_id for r in sorted(got, key=lambda r: r.rank)] == [2, 3, 4]
+        assert all(0.4 <= r.cos_sim < 0.95 for r in got)
+
+    def test_candidates_path_equals_brute(self, emb, queries):
+        from sparksearchengine_spark.operators.similarity import (
+            cosine_topk,
+            hard_negatives,
+        )
+
+        anchors = queries.select(
+            F.col("query_id").alias("anchor_id"), "embedding"
+        )
+        brute = hard_negatives(emb, anchors, k=5, lo=0.1, hi=0.99)
+        # candidate frame = exact top-100, then band+topk only
+        cand = cosine_topk(emb, queries, k=100).select(
+            F.col("query_id").alias("anchor_id"), "vec_id", "cos_sim"
+        )
+        via_cand = hard_negatives(
+            emb, anchors, k=5, lo=0.1, hi=0.99, candidates=cand
+        )
+        assert sorted(map(tuple, brute.collect())) == sorted(
+            map(tuple, via_cand.collect())
+        )
+
+    def test_bad_band_raises(self, emb, queries):
+        from sparksearchengine_spark.operators.similarity import hard_negatives
+
+        anchors = queries.select(
+            F.col("query_id").alias("anchor_id"), "embedding"
+        )
+        with pytest.raises(ValueError, match="lo < hi"):
+            hard_negatives(emb, anchors, lo=0.9, hi=0.5)

@@ -237,3 +237,51 @@ class TestScanStagePlans:
         plan = self._plan(remove_boilerplate_lines(docs))
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestReadability:
+    def test_hand_computed(self, spark):
+        from sparksearchengine_spark.operators.textstats import readability
+
+        # "the cat sat. it ran!" -> 2 sentences, 5 words,
+        # syllables: the=1, cat=1, sat=1, it=1, ran=1 -> 5
+        df = spark.createDataFrame(
+            [(1, "the cat sat. it ran!")], "doc_id long, text string"
+        )
+        r = readability(df).collect()[0]
+        assert (r.n_sents, r.n_words, r.n_syllables) == (2, 5, 5)
+        assert r.words_per_sent == 2.5
+        assert r.syll_per_word == 1.0
+        assert r.flesch == round(206.835 - 1.015 * 2.5 - 84.6 * 1.0, 6)
+        assert r.fk_grade == round(0.39 * 2.5 + 11.8 * 1.0 - 15.59, 6)
+
+    def test_vowel_groups_and_clamp(self, spark):
+        from sparksearchengine_spark.operators.textstats import readability
+
+        # "beautiful" -> eau+i+u = 3 groups; "rhythm" has y -> 1;
+        # "xyz" -> y -> 1; "grr" -> 0 groups clamped to 1
+        df = spark.createDataFrame(
+            [(1, "beautiful rhythm xyz grr")], "doc_id long, text string"
+        )
+        r = readability(df).collect()[0]
+        assert r.n_syllables == 3 + 1 + 1 + 1
+
+    def test_empty_and_null_text(self, spark):
+        from sparksearchengine_spark.operators.textstats import readability
+
+        df = spark.createDataFrame(
+            [(1, ""), (2, None)], "doc_id long, text string"
+        )
+        rows = {r.doc_id: r for r in readability(df).collect()}
+        for r in rows.values():
+            assert r.n_words == 0 and r.n_sents == 1
+            assert r.flesch is None and r.fk_grade is None
+
+    def test_no_punctuation_is_one_sentence(self, spark):
+        from sparksearchengine_spark.operators.textstats import readability
+
+        df = spark.createDataFrame(
+            [(1, "no terminal punctuation here")],
+            "doc_id long, text string",
+        )
+        assert readability(df).collect()[0].n_sents == 1
