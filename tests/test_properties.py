@@ -320,3 +320,123 @@ class TestParserEscapeRoundTrip:
         escaped = "".join(("\\" + c) if c in specials else c for c in s)
         q = parse_query(escaped)
         assert q == ast.MatchText("text", s, require_all=False)
+
+
+class TestRetrievalMetricLaws:
+    """retrieval_metrics invariants + a pure-Python count oracle on
+    hypothesis-generated result/label sets."""
+
+    @settings(**_SETTINGS)
+    @given(
+        data=st.lists(  # (query, doc, score-rank seed, graded?)
+            st.tuples(
+                st.integers(0, 2),
+                st.integers(0, 9),
+                st.integers(0, 100),
+                st.integers(0, 3),
+            ),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_bounds_and_count_oracle(self, spark, data):
+        from sparksearchengine_spark.operators.evaluate import (
+            retrieval_metrics,
+        )
+
+        k = 3
+        res_rows = {}
+        lab_rows = {}
+        for q, d, s, g in data:
+            res_rows[(q, d)] = float(s)
+            if g > 0:
+                lab_rows[(q, d)] = float(g)
+        if not lab_rows:
+            lab_rows[(0, 0)] = 1.0
+        res = spark.createDataFrame(
+            [(q, d, s) for (q, d), s in res_rows.items()],
+            "query_id long, doc_id long, score double",
+        )
+        labs = spark.createDataFrame(
+            [(q, d, g) for (q, d), g in lab_rows.items()],
+            "query_id long, doc_id long, grade double",
+        )
+        out = {r.query_id: r for r in retrieval_metrics(res, labs, k=k).collect()}
+        # output covers exactly the labeled queries
+        assert set(out) == {q for q, _ in lab_rows}
+        for q, r in out.items():
+            assert 0.0 <= r.ndcg <= 1.0
+            assert 0.0 <= r.precision <= 1.0
+            assert 0.0 <= r.recall <= 1.0
+            assert 0.0 <= r.rr <= 1.0
+            assert r.hits <= min(k, r.n_rel)
+            # pure-Python oracle for the counting metrics
+            ranked = sorted(
+                ((s, d) for (qq, d), s in res_rows.items() if qq == q),
+                key=lambda t: (-t[0], t[1]),
+            )[:k]
+            topk = [d for _, d in ranked]
+            rel = {d for (qq, d) in lab_rows if qq == q}
+            hits = sum(1 for d in topk if d in rel)
+            assert r.n_rel == len(rel)
+            assert r.hits == hits
+            first = next(
+                (i + 1 for i, d in enumerate(topk) if d in rel), None
+            )
+            want_rr = round(1.0 / first, 6) if first else 0.0
+            assert r.rr == pytest.approx(want_rr, abs=1e-9)
+
+
+class TestPqLaws:
+    """PQ encode/ADC vs a pure-Python oracle on random vectors."""
+
+    @settings(**_SETTINGS)
+    @given(
+        vec=st.lists(
+            st.floats(-2, 2, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        qv=st.lists(
+            st.floats(-2, 2, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+    )
+    def test_codes_and_adc_match_python(self, spark, vec, qv):
+        from sparksearchengine_spark.operators.similarity import pq_topk
+
+        cbs = [
+            [[1.0, 0.0], [0.0, 1.0], [-1.0, -1.0]],
+            [[2.0, 0.5], [0.0, -2.0], [0.5, 0.5]],
+        ]
+        items = spark.createDataFrame(
+            [(1, [float(x) for x in vec])],
+            "vec_id long, embedding array<double>",
+        )
+        queries = spark.createDataFrame(
+            [(0, [float(x) for x in qv])],
+            "query_id long, embedding array<double>",
+        )
+        got = pq_topk(items, queries, cbs, k=1).collect()[0]
+
+        def sq(a, b):
+            acc = 0.0
+            for x, w in zip(a, b):
+                acc += (x - w) * (x - w)
+            return acc
+
+        codes = []
+        for j in range(2):
+            sl = [float(x) for x in vec][j * 2 : j * 2 + 2]
+            ds = [sq(sl, c) for c in cbs[j]]
+            codes.append(ds.index(min(ds)))
+        score = 0.0
+        for j in range(2):
+            qsl = [float(x) for x in qv][j * 2 : j * 2 + 2]
+            c = cbs[j][codes[j]]
+            acc = 0.0
+            for x, w in zip(qsl, c):
+                acc += x * w
+            score += acc
+        assert got.score == pytest.approx(score, abs=1e-9)
