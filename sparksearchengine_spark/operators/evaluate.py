@@ -185,7 +185,7 @@ def retrieval_metrics(
     )
 
 
-def retrieval_metrics_summary(metrics: DataFrame, query_col: str = "query_id") -> DataFrame:
+def retrieval_metrics_summary(metrics: DataFrame) -> DataFrame:
     """Macro-averaged single-row summary of :func:`retrieval_metrics`.
 
     Means run through the same order-invariant decimal recipe (the

@@ -758,6 +758,7 @@ def upsert_index(
     changes: DataFrame | None = None,
     deletes: DataFrame | Iterable[int] | None = None,
     persist: bool = True,
+    validate_unique: bool = True,
 ) -> "SearchIndex":
     """Fold a CDC delta (new / updated / deleted documents) into an
     existing index WITHOUT re-tokenizing the base corpus — the
@@ -786,6 +787,13 @@ def upsert_index(
     iterable. Ids in ``deletes`` that never existed are no-ops; ids in
     both ``changes`` and ``deletes`` end up deleted (delete wins, the
     CDC convention matching `weburl.py::cdc_latest` tombstones).
+
+    ``changes`` must carry ONE row per id — "replace wholesale" is
+    undefined for a multi-version delta, and silently indexing both
+    versions would inflate df/doc_count and double-return the doc
+    (r5 review finding). Checked eagerly (one aggregation over the
+    delta only); compact a raw CDC stream first (`weburl.cdc_latest`
+    latest-wins) or pass ``validate_unique=False`` after doing so.
     """
     from sparksearchengine_spark.operators.search import decide_broadcast
 
@@ -807,6 +815,21 @@ def upsert_index(
         touched = changes.select(
             F.col(corpus.id_col).cast("long").alias(UID)
         )
+        if validate_unique:
+            dup = (
+                touched.groupBy(UID)
+                .count()
+                .where(F.col("count") > 1)
+                .limit(1)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"changes has multiple rows for id {dup[0][UID]}; "
+                    "replace-wholesale needs one row per id — compact "
+                    "the delta first (weburl.cdc_latest latest-wins), "
+                    "then pass validate_unique=False to skip this check"
+                )
     del_ids = None
     if deletes is not None:
         if isinstance(deletes, DataFrame):

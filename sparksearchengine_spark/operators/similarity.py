@@ -965,9 +965,13 @@ def pq_train(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
+    # NULL vectors carry no training signal and would crash centroid
+    # seeding if one held a lowest id (default_centroids collects the
+    # k lowest-id rows verbatim)
+    nn = items.where(F.col(item_vec).isNotNull())
     codebooks = []
     for j in range(m):
-        sliced = items.select(
+        sliced = nn.select(
             F.col(item_id).alias("vec_id"),
             F.slice(
                 F.col(item_vec).cast("array<double>"), j * dsub + 1, dsub
@@ -1056,6 +1060,7 @@ def pq_topk(
     query_vec: str = "embedding",
     codes_col: str | None = None,
     rerank: int = 0,
+    rerank_items: DataFrame | None = None,
     salt_buckets: int | None = None,
 ) -> DataFrame:
     """ADC top-k: ``(query_id, vec_id, score, rank)``.
@@ -1070,12 +1075,23 @@ def pq_topk(
 
     ``rerank=R`` keeps R*k ADC candidates per query, joins back to the
     raw vectors, and exact-cosine re-scores ONLY those — `score` is then
-    the exact cosine. Queries are broadcast (ADC is a scan over items);
-    the same small-query contract as :func:`cosine_topk`.
+    the exact cosine. The vectors come from ``rerank_items`` (an
+    ``(item_id, item_vec)`` frame) when given, else from ``items`` —
+    required with a precoded ``codes_col`` frame, which carries no
+    vectors. Queries are broadcast (ADC is a scan over items); the
+    same small-query contract as :func:`cosine_topk`.
     """
     m, ksub, _ = _pq_check(codebooks)
     if rerank < 0:
         raise ValueError(f"rerank must be >= 0, got {rerank}")
+    vec_src = rerank_items if rerank_items is not None else items
+    if rerank > 0 and item_vec not in vec_src.columns:
+        raise ValueError(
+            f"rerank={rerank} needs raw vectors, but {item_vec!r} is not "
+            f"in {'rerank_items' if rerank_items is not None else 'items'} "
+            f"({vec_src.columns}); pass rerank_items=<(id, vec) frame> "
+            f"when scoring a precoded codes_col frame"
+        )
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("_qvec"),
@@ -1121,7 +1137,7 @@ def pq_topk(
         salt_buckets=salt_buckets,
         salt_col="vec_id",
     ).select("query_id", "vec_id")
-    raw = items.select(
+    raw = vec_src.select(
         F.col(item_id).alias("vec_id"), F.col(item_vec).alias("_ivec")
     )
     qv = q.select("query_id", "_qvec")
@@ -1218,6 +1234,13 @@ def ivfpq_build(
         )
     else:
         tr = staged
+    # persist: without it every k-means pass of every subspace (m*iters
+    # of them) plus the final write would re-evaluate the coarse argmin
+    # (n_clusters interpreted HOF distances per row) and the residual
+    # zip_with over the full corpus (r5 review finding)
+    staged = staged.persist()
+    if train is None:
+        tr = staged
     codebooks = pq_train(
         tr.where(F.col("_rvec").isNotNull()),
         m=m,
@@ -1235,6 +1258,7 @@ def ivfpq_build(
     out.repartition(n_clusters, "_cell").write.mode("overwrite").partitionBy(
         "_cell"
     ).parquet(os.path.join(path, "items"))
+    staged.unpersist()
     meta = {
         "n_clusters": n_clusters,
         "m": m,

@@ -89,7 +89,18 @@ class _Tokens:
             m = _TOKEN_RE.match(s, pos)
             if not m or m.end() == pos:
                 if s[pos:].strip():
-                    raise ValueError(f"cannot tokenize query at: {s[pos:]!r}")
+                    # Lucene semantics: '/' delimits a regex term, so a
+                    # bare slash with no closing '/' is unparseable —
+                    # point users at the escape instead of a mystery
+                    hint = (
+                        " ('/' starts a regex term /…/; escape literal "
+                        "slashes as \\/)"
+                        if s[pos:].lstrip().startswith("/")
+                        else ""
+                    )
+                    raise ValueError(
+                        f"cannot tokenize query at: {s[pos:]!r}{hint}"
+                    )
                 break
             pos = m.end()
             for name, val in m.groupdict().items():

@@ -381,3 +381,17 @@ def test_regex_semantics_on_index(docs_index):
     assert n == want and n > 0
     res = got.collect()
     assert all(r["score"] == 1.0 for r in res)
+
+
+class TestSlashHint:
+    def test_unterminated_regex_error_hints_escape(self):
+        from sparksearchengine_spark.plans.parser import parse_query
+
+        with pytest.raises(ValueError, match=r"escape literal slashes"):
+            parse_query("path:/usr")
+
+    def test_escaped_slashes_parse_as_term(self):
+        from sparksearchengine_spark.plans.parser import parse_query
+
+        q = parse_query(r"path:\/usr\/bin")
+        assert getattr(q, "text", None) == "/usr/bin"

@@ -1626,3 +1626,14 @@ class TestUpsertIndex:
                 docs_index,
                 docs_df.select("doc_id", "text"),
             )
+
+
+class TestUpsertDuplicateChanges:
+    def test_duplicate_change_ids_raise(self, spark, docs_df, docs_index):
+        from sparksearchengine_spark.operators.index import upsert_index
+
+        dup = docs_df.where(F.col("doc_id") == 3).unionByName(
+            docs_df.where(F.col("doc_id") == 3)
+        )
+        with pytest.raises(ValueError, match="multiple rows for id 3"):
+            upsert_index(docs_index, dup, persist=False)

@@ -690,3 +690,44 @@ class TestHardNegatives:
         )
         with pytest.raises(ValueError, match="lo < hi"):
             hard_negatives(emb, anchors, lo=0.9, hi=0.5)
+
+
+class TestReviewFixesR5:
+    """r5 review findings: precoded+rerank path, NULL-vec training."""
+
+    def test_precoded_rerank_needs_rerank_items(self, emb, queries):
+        from sparksearchengine_spark.operators.similarity import (
+            pq_encode,
+            pq_topk,
+            pq_train,
+        )
+
+        cbs = pq_train(emb.where(F.col("vec_id") < 200), m=4, ksub=4, iters=1)
+        coded = pq_encode(emb, cbs)
+        with pytest.raises(ValueError, match="rerank_items"):
+            pq_topk(coded, queries, cbs, k=3, codes_col="codes", rerank=2)
+        got = pq_topk(
+            coded,
+            queries,
+            cbs,
+            k=3,
+            codes_col="codes",
+            rerank=2,
+            rerank_items=emb,
+        )
+        inline = pq_topk(emb, queries, cbs, k=3, rerank=2)
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, inline.collect())
+        )
+
+    def test_pq_train_ignores_null_vectors(self, spark):
+        from sparksearchengine_spark.operators.similarity import pq_train
+
+        rows = [(0, None)] + [
+            (i, [float(i + d) for d in range(4)]) for i in range(1, 9)
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        cbs = pq_train(df, m=2, ksub=3, iters=1)
+        assert len(cbs) == 2 and all(len(cb) == 3 for cb in cbs)
