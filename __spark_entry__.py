@@ -3679,6 +3679,9 @@ def oracle_sql() -> dict[str, str]:
                    CAST(0 AS BIGINT) AS n_c4_fail,
                    CAST(sum(CASE WHEN NOT clf_ok THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_clf_fail,
+                   -- readability gate disabled in this entry -> constant
+                   -- True flag, zero fails (r5 schema addition)
+                   CAST(0 AS BIGINT) AS n_read_fail,
                    CAST(sum(CASE WHEN quality_ok AND NOT is_dup
                                       AND NOT contam AND gopher_ok
                                       AND clf_ok

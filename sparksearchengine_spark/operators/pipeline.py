@@ -45,18 +45,21 @@ def curation_flags(
     gopher: bool | dict = False,
     c4: bool | dict = False,
     classifier: dict | None = None,
+    readability: dict | None = None,
 ) -> DataFrame:
     """docs + (n_tokens, quality_ok, canon_id, is_exact_dup,
-    contaminated, gopher_ok, c4_ok, clf_ok, keep).
+    contaminated, gopher_ok, c4_ok, clf_ok, read_ok, keep).
 
     ``gopher``/``c4`` switch on the Gopher rule set / C4 page verdict as
     extra gates (pass a dict to override their thresholds);
     ``classifier`` enables the hashed linear quality model
     (`operators/classify.py`) — pass ``{"weights": [...], "bias": ...,
-    "threshold": ...}``. All three are INLINED scan-stage expressions —
-    enabling them adds zero joins and zero shuffles to the composed
-    plan. Disabled gates report ``True`` so the flag schema is stable
-    either way.
+    "threshold": ...}``; ``readability`` enables the Flesch/FK gate
+    (`textstats.readability_ok_expr`) — pass ``{"min_flesch": ...}``
+    and/or ``{"max_fk_grade": ...}``. All four are INLINED scan-stage
+    expressions — enabling them adds zero joins and zero shuffles to
+    the composed plan. Disabled gates report ``True`` so the flag
+    schema is stable either way.
     """
     from sparksearchengine_spark.operators.textstats import (
         c4_signal_exprs,
@@ -123,6 +126,19 @@ def curation_flags(
         )
     else:
         out = out.withColumn("clf_ok", F.lit(True))
+    if readability is not None:
+        from sparksearchengine_spark.operators.textstats import (
+            readability_ok_expr,
+        )
+
+        out = out.withColumn(
+            "read_ok",
+            readability_ok_expr(
+                F.col(text_col), analyzer=analyzer, **readability
+            ),
+        )
+    else:
+        out = out.withColumn("read_ok", F.lit(True))
     return out.withColumn(
         "keep",
         F.col("quality_ok")
@@ -130,7 +146,8 @@ def curation_flags(
         & ~F.col("contaminated")
         & F.col("gopher_ok")
         & F.col("c4_ok")
-        & F.col("clf_ok"),
+        & F.col("clf_ok")
+        & F.col("read_ok"),
     )
 
 
@@ -161,5 +178,6 @@ def curation_report(
         F.sum((~F.col("gopher_ok")).cast("long")).alias("n_gopher_fail"),
         F.sum((~F.col("c4_ok")).cast("long")).alias("n_c4_fail"),
         F.sum((~F.col("clf_ok")).cast("long")).alias("n_clf_fail"),
+        F.sum((~F.col("read_ok")).cast("long")).alias("n_read_fail"),
         F.sum(F.col("keep").cast("long")).alias("n_kept"),
     )

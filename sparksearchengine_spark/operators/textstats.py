@@ -824,3 +824,60 @@ def readability(
             6,
         ).alias("fk_grade"),
     )
+
+
+def readability_ok_expr(
+    col: Column,
+    min_flesch: float | None = None,
+    max_fk_grade: float | None = None,
+    analyzer: str = "simple",
+) -> Column:
+    """Boolean readability gate as a bare Column, for inlining into the
+    curation pipeline (`pipeline.curation_flags(readability=...)`) —
+    same formulas as :func:`readability`, computed in ONE analyzer pass:
+    a single fold accumulates (words, syllables) as a struct, so the
+    tokenizer chain runs once per row, not once per metric.
+
+    Zero-word documents FAIL the gate (their scores are undefined —
+    same convention as the pipeline's NULL-text quality_ok). With both
+    thresholds None the gate is constant True.
+    """
+    if min_flesch is None and max_fk_grade is None:
+        return F.lit(True)
+    toks = F.coalesce(
+        analyzer_expr(col, analyzer), F.array().cast("array<string>")
+    )
+    acc = F.aggregate(
+        toks,
+        F.struct(
+            F.lit(0).cast("long").alias("w"), F.lit(0).cast("long").alias("s")
+        ),
+        lambda a, t: F.struct(
+            (a["w"] + 1).alias("w"),
+            (
+                a["s"]
+                + F.greatest(
+                    F.lit(1),
+                    F.size(F.regexp_extract_all(t, F.lit("[aeiouy]+"), 0)),
+                )
+            ).alias("s"),
+        ),
+    )
+    sents = F.greatest(
+        F.lit(1),
+        F.size(
+            F.regexp_extract_all(
+                F.coalesce(col, F.lit("")), F.lit(r"[.!?]+"), 0
+            )
+        ),
+    ).cast("double")
+    wps = acc["w"].cast("double") / sents
+    spw = acc["s"].cast("double") / acc["w"].cast("double")
+    flesch = F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+    fk = F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)
+    ok = acc["w"] > 0
+    if min_flesch is not None:
+        ok = ok & (flesch >= F.lit(float(min_flesch)))
+    if max_fk_grade is not None:
+        ok = ok & (fk <= F.lit(float(max_fk_grade)))
+    return F.coalesce(ok, F.lit(False))

@@ -210,3 +210,55 @@ class TestRuleSetGates:
         )
         assert curation_flags(docs).collect()[0]["clf_ok"] is True
         assert curation_report(docs).collect()[0]["n_clf_fail"] == 0
+
+
+class TestReadabilityGate:
+    def test_gate_matches_metrics_operator(self, spark, docs_df):
+        from pyspark.sql import functions as F
+
+        from sparksearchengine_spark.operators.pipeline import curation_flags
+        from sparksearchengine_spark.operators.textstats import readability
+
+        docs = docs_df.limit(100)
+        flags = curation_flags(
+            docs, readability={"min_flesch": 50.0}
+        ).select("doc_id", "read_ok")
+        want = readability(docs).select(
+            "doc_id",
+            (
+                F.coalesce(F.col("flesch") >= 50.0, F.lit(False))
+            ).alias("want_ok"),
+        )
+        j = flags.join(want, "doc_id").collect()
+        assert len(j) == 100
+        # rounding: readability() rounds flesch to 6dp, the gate uses the
+        # unrounded value — equal verdicts except exactly-at-threshold
+        # rows, which the synthetic corpus doesn't produce
+        assert all(r.read_ok == r.want_ok for r in j)
+
+    def test_disabled_gate_is_true_and_report_has_column(self, spark, docs_df):
+        from sparksearchengine_spark.operators.pipeline import (
+            curation_flags,
+            curation_report,
+        )
+
+        docs = docs_df.limit(20)
+        flags = curation_flags(docs)
+        assert all(r.read_ok for r in flags.select("read_ok").collect())
+        rep = curation_report(docs).collect()[0]
+        assert rep["n_read_fail"] == 0
+
+    def test_zero_word_docs_fail_enabled_gate(self, spark):
+        from sparksearchengine_spark.operators.pipeline import curation_flags
+
+        docs = spark.createDataFrame(
+            [(1, ""), (2, None), (3, "a fine readable sentence.")],
+            "doc_id long, text string",
+        )
+        rows = {
+            r.doc_id: r.read_ok
+            for r in curation_flags(
+                docs, readability={"min_flesch": 0.0}
+            ).collect()
+        }
+        assert rows[1] is False and rows[2] is False and rows[3] is True
