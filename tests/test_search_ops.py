@@ -1637,3 +1637,15 @@ class TestUpsertDuplicateChanges:
         )
         with pytest.raises(ValueError, match="multiple rows for id 3"):
             upsert_index(docs_index, dup, persist=False)
+
+
+class TestUpsertPlanShape:
+    def test_small_delta_broadcast_anti_join(self, spark, docs_df, docs_index):
+        """A small CDC delta must anti-join the base postings via
+        broadcast — the base never shuffles for the fold."""
+        from sparksearchengine_spark.operators.index import upsert_index
+
+        changes = docs_df.where(F.col("doc_id") < 5)
+        up = upsert_index(docs_index, changes, persist=False)
+        plan = up.postings._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan

@@ -731,3 +731,42 @@ class TestReviewFixesR5:
         )
         cbs = pq_train(df, m=2, ksub=3, iters=1)
         assert len(cbs) == 2 and all(len(cb) == 3 for cb in cbs)
+
+
+class TestPlanShapeR5:
+    """Physical-plan guards for the r5 vector operators."""
+
+    def test_pq_adc_is_broadcast_nested_loop(self, emb, queries):
+        from sparksearchengine_spark.operators.similarity import pq_topk
+
+        cbs = [
+            [[0.1 * (j + c + d) for d in range(16)] for c in range(4)]
+            for j in range(4)
+        ]
+        plan = (
+            pq_topk(emb, queries, cbs, k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # queries (with LUT) broadcast; items never shuffle before top-k
+        assert "BroadcastNestedLoopJoin" in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_hard_negatives_band_below_window(self, emb, queries):
+        """The cosine band must filter BEFORE the rank window, so the
+        window only sorts in-band rows."""
+        from sparksearchengine_spark.operators.similarity import (
+            hard_negatives,
+        )
+
+        anchors = queries.select(
+            F.col("query_id").alias("anchor_id"), "embedding"
+        )
+        df = hard_negatives(emb, anchors, k=3, lo=0.2, hi=0.9)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        w = plan.find("Window")
+        f = plan.rfind("Filter")
+        # plan prints root-first: the band Filter appears BELOW (after)
+        # the Window operator in the tree dump
+        assert w != -1 and f != -1 and f > w, plan
