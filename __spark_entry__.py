@@ -2355,6 +2355,26 @@ def _text_readability(spark, sf):
     return readability(docs).orderBy("doc_id")
 
 
+HY_TERMS = ("merge", "filter")
+
+
+def _search_hybrid_rrf(spark, sf):
+    """Reciprocal-rank fusion (operators/search.py::rrf_fuse, r5): the
+    standard hybrid-search combiner — two ranked lists (BM25 top-10 for
+    two different term sets here; lexical+vector in production) fused by
+    sum of w/(k_rrf + rank), which needs no score calibration between
+    sources. Decimal-summed, so the fused scores are bit-stable and the
+    oracle reproduces them exactly."""
+    from sparksearchengine_spark.operators.search import rrf_fuse
+
+    idx = _docs_index(spark, sf)
+    r1 = idx.search(Q.field("text").match_any(*QC10_TERMS), k=QC10_K)
+    r2 = idx.search(Q.field("text").match_any(*HY_TERMS), k=QC10_K)
+    return rrf_fuse([r1, r2], k=QC10_K, k_rrf=60).select(
+        "doc_id", "rrf_score", "rank"
+    )
+
+
 HN_LO, HN_HI, HN_K = 0.1, 0.99, 5
 
 
@@ -2609,6 +2629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_recall": _ivfpq_recall,
         "emb_hard_negatives": _emb_hard_negatives,
         "text_readability": _text_readability,
+        "search_hybrid_rrf": _search_hybrid_rrf,
     }
 
 
@@ -5655,6 +5676,44 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
           FROM banded
         )
         SELECT * FROM ranked WHERE rank <= {HN_K}"""
+    # hybrid RRF: two full qc10-class BM25 pipelines as CTEs (the second
+    # derived by swapping the IN-list terms), fused by the decimal-
+    # summed 1/(60+rank) formula. Nested WITHs inside parenthesized
+    # subqueries are valid DuckDB.
+    _r2 = o["qc10_bm25_topk"].replace(
+        f"'{QC10_TERMS[0]}','{QC10_TERMS[1]}'",
+        f"'{HY_TERMS[0]}','{HY_TERMS[1]}'",
+        1,
+    )
+    o["search_hybrid_rrf"] = (
+        "WITH r1 AS ("
+        + o["qc10_bm25_topk"]
+        + "), r2 AS ("
+        + _r2
+        + f"""),
+        u AS (
+          SELECT doc_id,
+                 CAST(round(1.0 / (60 + rank), 6) AS DECIMAL(28,6)) AS c
+          FROM r1
+          UNION ALL
+          SELECT doc_id,
+                 CAST(round(1.0 / (60 + rank), 6) AS DECIMAL(28,6)) AS c
+          FROM r2
+        ),
+        f AS (
+          SELECT doc_id,
+                 CAST(CAST(sum(c) AS DECIMAL(38,6)) AS DOUBLE)
+                   AS rrf_score
+          FROM u GROUP BY doc_id
+        ),
+        ranked AS (
+          SELECT doc_id, rrf_score,
+                 CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                      AS BIGINT) AS rank
+          FROM f
+        )
+        SELECT * FROM ranked WHERE rank <= {QC10_K}"""
+    )
     # readability: same tokenizer as _CTE, vowel-group syllables with
     # the >= 1 clamp, [.!?]+ sentence runs clamped >= 1; ratio and
     # score arithmetic is single-division / literal-product doubles —

@@ -1065,3 +1065,76 @@ def prf_expand_search(
     return ranked_topk(
         total, [F.col(SCORE).desc(), F.col(DOC_ID).asc()], k
     )
+
+
+def rrf_fuse(
+    results: list[DataFrame],
+    k: int = 10,
+    k_rrf: int = 60,
+    id_col: str = DOC_ID,
+    rank_col: str = "rank",
+    group_cols: list[str] | None = None,
+    weights: list[float] | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked result sets — the standard
+    hybrid-search combiner (lexical BM25 + vector ANN, or any mix;
+    Cormack et al. 2009, the same formula Elasticsearch ships as RRF):
+
+    ``rrf_score(d) = Σ_i  w_i / (k_rrf + rank_i(d))``
+
+    over the lists where ``d`` appears. Rank-based, so the inputs'
+    score scales never need calibrating against each other — the whole
+    point of RRF. Returns ``(group_cols..., id_col, rrf_score, rank)``
+    top-k by fused score (ties: lower id).
+
+    ``group_cols`` fuses per query group (pass ``["query_id"]`` for
+    batch-search shaped inputs); each input must then carry those
+    columns. ``weights`` (default all 1.0) biases sources.
+
+    Scale: each input is already k-bounded per group (a top-k result),
+    so the union + one groupBy aggregation moves N·k rows per group —
+    eval-set-sized, never corpus-sized. The 1/(k+r) terms are exact
+    1-ulp doubles summed through the DECIMAL(28,6) order-invariant
+    recipe, so fused scores are bit-stable across partitionings and
+    engines.
+    """
+    if not results:
+        raise ValueError("need at least one result set")
+    if weights is None:
+        weights = [1.0] * len(results)
+    if len(weights) != len(results):
+        raise ValueError(
+            f"{len(weights)} weights for {len(results)} result sets"
+        )
+    gcols = list(group_cols or [])
+    parts = []
+    for df, w in zip(results, weights):
+        parts.append(
+            df.select(
+                *gcols,
+                F.col(id_col),
+                F.round(
+                    F.lit(float(w))
+                    / (F.lit(int(k_rrf)) + F.col(rank_col).cast("double")),
+                    6,
+                )
+                .cast("decimal(28,6)")
+                .alias("_c"),
+            )
+        )
+    allparts = parts[0]
+    for p in parts[1:]:
+        allparts = allparts.unionByName(p)
+    fused = allparts.groupBy(*gcols, id_col).agg(
+        F.sum("_c").cast("decimal(38,6)").cast("double").alias("rrf_score")
+    )
+    if gcols:
+        return topk_per_group(
+            fused,
+            gcols,
+            [F.col("rrf_score").desc(), F.col(id_col).asc()],
+            k=k,
+        ).select(*gcols, id_col, "rrf_score", "rank")
+    return ranked_topk(
+        fused, [F.col("rrf_score").desc(), F.col(id_col).asc()], k
+    ).select(id_col, "rrf_score", "rank")

@@ -1649,3 +1649,52 @@ class TestUpsertPlanShape:
         up = upsert_index(docs_index, changes, persist=False)
         plan = up.postings._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+
+
+class TestRrfFuse:
+    def test_hand_computed_fusion(self, spark):
+        from sparksearchengine_spark.operators.search import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(10, 1), (11, 2), (12, 3)], "doc_id long, rank long"
+        )
+        b = spark.createDataFrame(
+            [(11, 1), (13, 2)], "doc_id long, rank long"
+        )
+        got = {r.doc_id: r for r in rrf_fuse([a, b], k=4, k_rrf=60).collect()}
+        # doc 11 in both lists wins
+        assert got[11].rank == 1
+        want11 = round(round(1 / 62, 6) + round(1 / 61, 6), 6)
+        assert got[11].rrf_score == pytest.approx(want11, abs=1e-9)
+        assert got[10].rrf_score == pytest.approx(round(1 / 61, 6), abs=1e-9)
+        assert set(got) == {10, 11, 12, 13}
+
+    def test_grouped_and_weighted(self, spark):
+        from sparksearchengine_spark.operators.search import rrf_fuse
+
+        a = spark.createDataFrame(
+            [(1, 10, 1), (2, 20, 1)], "query_id long, doc_id long, rank long"
+        )
+        b = spark.createDataFrame(
+            [(1, 11, 1), (2, 20, 2)], "query_id long, doc_id long, rank long"
+        )
+        got = rrf_fuse(
+            [a, b], k=2, group_cols=["query_id"], weights=[1.0, 3.0]
+        ).collect()
+        by_q = {}
+        for r in got:
+            by_q.setdefault(r.query_id, {})[r.doc_id] = r
+        # q1: doc 11 (weight 3 source, rank 1) beats doc 10 (weight 1)
+        assert by_q[1][11].rank == 1 and by_q[1][10].rank == 2
+        # q2: doc 20 sums both sources
+        want20 = round(round(1 / 61, 6) + round(3 / 62, 6), 6)
+        assert by_q[2][20].rrf_score == pytest.approx(want20, abs=1e-9)
+
+    def test_bad_args(self, spark):
+        from sparksearchengine_spark.operators.search import rrf_fuse
+
+        with pytest.raises(ValueError, match="at least one"):
+            rrf_fuse([])
+        a = spark.createDataFrame([(1, 1)], "doc_id long, rank long")
+        with pytest.raises(ValueError, match="weights"):
+            rrf_fuse([a, a], weights=[1.0])
