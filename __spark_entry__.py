@@ -2355,6 +2355,20 @@ def _text_readability(spark, sf):
     return readability(docs).orderBy("doc_id")
 
 
+def _dedup_exact_prefer(spark, sf):
+    """Quality-preferring exact dedup (operators/dedup.py::exact_dedup
+    prefer=..., r5): the canonical row per duplicate group is the
+    LONGEST capture (n_chars desc, id tie-break) — the RefinedWeb
+    keep-the-best convention — instead of the min id. Same single
+    hash-window shuffle."""
+    from sparksearchengine_spark.operators.dedup import exact_dedup
+
+    docs = _read(spark, sf, "documents")
+    return exact_dedup(
+        docs, ["text"], prefer=[F.col("n_chars").desc()]
+    ).orderBy("doc_id")
+
+
 HY_TERMS = ("merge", "filter")
 
 
@@ -2630,6 +2644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_hard_negatives": _emb_hard_negatives,
         "text_readability": _text_readability,
         "search_hybrid_rrf": _search_hybrid_rrf,
+        "dedup_exact_prefer": _dedup_exact_prefer,
     }
 
 
@@ -5676,6 +5691,18 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
           FROM banded
         )
         SELECT * FROM ranked WHERE rank <= {HN_K}"""
+    # quality-preferring dedup canon: first row in (n_chars DESC, id)
+    # partition order — first_value's default frame starts at UNBOUNDED
+    # PRECEDING in both engines
+    o["dedup_exact_prefer"] = """
+        SELECT doc_id,
+               first_value(doc_id) OVER (
+                 PARTITION BY md5(text)
+                 ORDER BY n_chars DESC, doc_id) AS canon_id,
+               doc_id <> first_value(doc_id) OVER (
+                 PARTITION BY md5(text)
+                 ORDER BY n_chars DESC, doc_id) AS is_duplicate
+        FROM documents ORDER BY doc_id"""
     # hybrid RRF: two full qc10-class BM25 pipelines as CTEs (the second
     # derived by swapping the IN-list terms), fused by the decimal-
     # summed 1/(60+rank) formula. Nested WITHs inside parenthesized

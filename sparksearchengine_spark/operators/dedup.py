@@ -98,17 +98,33 @@ def exact_dedup(
     df: DataFrame,
     cols: list[str],
     id_col: str = "doc_id",
+    prefer: list | None = None,
 ) -> DataFrame:
     """Exact duplicate grouping: (id, canon_id, is_duplicate).
 
-    canon_id = min id among rows with identical content hash. One shuffle
-    (window over the hash); at 100 TB hash first, never shuffle raw text.
+    Default canon_id = min id among rows with identical content hash.
+    ``prefer=[ordering Columns]`` picks the canonical row by quality
+    instead — best first, id ascending as the final tie-break (e.g.
+    ``prefer=[F.col("n_chars").desc()]`` keeps the longest capture, the
+    RefinedWeb convention; ``[F.col("quality").desc()]`` keeps the
+    best-scored). Referenced columns must exist in ``df``.
+
+    One shuffle either way (window over the hash); at 100 TB hash
+    first, never shuffle raw text — with ``prefer`` the ordering
+    columns ride along (scalars, not text).
     """
     h = F.md5(_self_delimited(cols))
-    w = Window.partitionBy("_h")
+    staged = df.withColumn("_h", h)
+    if prefer:
+        w = Window.partitionBy("_h").orderBy(
+            *prefer, F.col(id_col).asc()
+        )
+        canon = F.first(id_col).over(w)
+    else:
+        staged = staged.select(F.col(id_col), "_h")
+        canon = F.min(id_col).over(Window.partitionBy("_h"))
     return (
-        df.select(F.col(id_col), h.alias("_h"))
-        .withColumn("canon_id", F.min(id_col).over(w))
+        staged.withColumn("canon_id", canon)
         .withColumn("is_duplicate", F.col(id_col) != F.col("canon_id"))
         .select(id_col, "canon_id", "is_duplicate")
     )

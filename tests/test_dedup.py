@@ -884,3 +884,57 @@ class TestWinnowOverlapPairs:
             df, min_overlap=0.3, max_hash_df=2
         ).count()
         assert uncapped > 0 and capped == 0
+
+
+class TestPreferCanon:
+    def test_prefer_keeps_best_not_min_id(self, spark):
+        from pyspark.sql import functions as F
+
+        from sparksearchengine_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [
+                (1, "same text", 10.0),
+                (2, "same text", 99.0),  # best quality -> canon
+                (3, "same text", 50.0),
+                (4, "other", 1.0),
+            ],
+            "doc_id long, text string, quality double",
+        )
+        got = {
+            r.doc_id: (r.canon_id, r.is_duplicate)
+            for r in exact_dedup(
+                df, ["text"], prefer=[F.col("quality").desc()]
+            ).collect()
+        }
+        assert got[1] == (2, True) and got[2] == (2, False)
+        assert got[3] == (2, True) and got[4] == (4, False)
+
+    def test_prefer_tie_breaks_on_id(self, spark):
+        from pyspark.sql import functions as F
+
+        from sparksearchengine_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [(9, "x", 1.0), (3, "x", 1.0)],
+            "doc_id long, text string, quality double",
+        )
+        got = {
+            r.doc_id: r.canon_id
+            for r in exact_dedup(
+                df, ["text"], prefer=[F.col("quality").desc()]
+            ).collect()
+        }
+        assert got == {3: 3, 9: 3}
+
+    def test_default_unchanged_min_id(self, spark):
+        from sparksearchengine_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [(5, "x"), (2, "x")], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.canon_id
+            for r in exact_dedup(df, ["text"]).collect()
+        }
+        assert got == {2: 2, 5: 2}
