@@ -2369,6 +2369,30 @@ def _dedup_exact_prefer(spark, sf):
     ).orderBy("doc_id")
 
 
+def _corpus_diff(spark, sf):
+    """Snapshot diff (operators/weburl.py::corpus_diff, r5): old = the
+    upsert entry's base corpus, new = its post-CDC corpus — the diff
+    must report exactly the delta that was applied (removed 5/10,
+    changed >= UPSERT_LO, added to UPSERT_HI). Hash-compare only; raw
+    text never joins."""
+    from sparksearchengine_spark.operators.weburl import corpus_diff
+
+    docs = _read(spark, sf, "documents")
+    old = docs.where(F.col("doc_id") < 400)
+    new = (
+        docs.where(F.col("doc_id") < UPSERT_HI)
+        .where(~F.col("doc_id").isin(*UPSERT_DELS))
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") >= UPSERT_LO,
+                F.concat(F.col("text"), F.lit(" upserted extra")),
+            ).otherwise(F.col("text")),
+        )
+    )
+    return corpus_diff(old, new, compare_cols=["text"]).orderBy("doc_id")
+
+
 HY_TERMS = ("merge", "filter")
 
 
@@ -2645,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_readability": _text_readability,
         "search_hybrid_rrf": _search_hybrid_rrf,
         "dedup_exact_prefer": _dedup_exact_prefer,
+        "corpus_diff": _corpus_diff,
     }
 
 
@@ -5691,6 +5716,32 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
           FROM banded
         )
         SELECT * FROM ranked WHERE rank <= {HN_K}"""
+    # snapshot diff: FULL OUTER over (id, content) with IS DISTINCT
+    # FROM mirroring the engine's NULL-safe hash compare
+    o["corpus_diff"] = f"""
+        WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+        n AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id >= {UPSERT_LO}
+                      THEN text || ' upserted extra' ELSE text END AS text
+          FROM documents
+          WHERE doc_id < {UPSERT_HI} AND doc_id NOT IN {UPSERT_DELS}
+        ),
+        j AS (
+          SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                 o.doc_id AS oid, n.doc_id AS nid,
+                 o.text AS ot, n.text AS nt
+          FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+        )
+        SELECT doc_id,
+               CASE WHEN oid IS NULL THEN 'added'
+                    WHEN nid IS NULL THEN 'removed'
+                    WHEN ot IS DISTINCT FROM nt THEN 'changed'
+                    ELSE 'unchanged' END AS change
+        FROM j
+        WHERE NOT (oid IS NOT NULL AND nid IS NOT NULL
+                   AND ot IS NOT DISTINCT FROM nt)
+        ORDER BY doc_id"""
     # quality-preferring dedup canon: first row in (n_chars DESC, id)
     # partition order — first_value's default frame starts at UNBOUNDED
     # PRECEDING in both engines

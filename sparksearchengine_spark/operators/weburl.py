@@ -234,3 +234,63 @@ def merge_latest(
     return latest_per_key(
         base.unionByName(updates), key_cols, ts_col, tiebreak_col
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    compare_cols: Sequence[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: ``(id, change)`` with
+    ``change ∈ {'added','removed','changed'[, 'unchanged']}`` — the op
+    that turns two crawls into the CDC delta `index.upsert_index`
+    consumes (changes = ``new`` rows whose id is added/changed, deletes
+    = removed ids) and the first number a pipeline report wants after a
+    re-crawl.
+
+    ``compare_cols`` defaults to every shared non-id column. Content
+    equality is hash-based (md5 over the delimited columns), so the
+    full-outer join moves ``(id, 16-byte hash)`` rows only — at 100 TB
+    the raw text never shuffles, same contract as `dedup.exact_dedup`.
+    NULL-vs-NULL compares equal (the hash delimiter encodes NULL
+    explicitly). Unchanged rows are dropped by default — at crawl scale
+    they are the overwhelming majority and downstream only wants the
+    delta.
+    """
+    from sparksearchengine_spark.operators.dedup import _self_delimited
+
+    if compare_cols is None:
+        compare_cols = [
+            c for c in old.columns if c != id_col and c in new.columns
+        ]
+        if not compare_cols:
+            raise ValueError("no shared columns to compare")
+    missing = [
+        c
+        for c in compare_cols
+        if c not in old.columns or c not in new.columns
+    ]
+    if missing:
+        raise ValueError(f"compare_cols not in both frames: {missing}")
+    cols = list(compare_cols)
+    o = old.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.md5(_self_delimited(cols)).alias("_ho"),
+    )
+    n = new.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.md5(_self_delimited(cols)).alias("_hn"),
+    )
+    j = o.join(n, "_id", "full_outer")
+    change = (
+        F.when(F.col("_ho").isNull(), F.lit("added"))
+        .when(F.col("_hn").isNull(), F.lit("removed"))
+        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(F.col("_id").alias(id_col), change.alias("change"))
+    if not include_unchanged:
+        out = out.where(F.col("change") != "unchanged")
+    return out

@@ -265,3 +265,84 @@ class TestMergeLatest:
             tuple(r) for r in twice.collect()
         ]
         assert once.first()["body"] == "current"
+
+
+class TestCorpusDiff:
+    def test_added_removed_changed(self, spark):
+        from sparksearchengine_spark.operators.weburl import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "C!"), (4, "d")], "doc_id long, text string"
+        )
+        got = {r.doc_id: r.change for r in corpus_diff(old, new).collect()}
+        assert got == {1: "removed", 3: "changed", 4: "added"}
+
+    def test_include_unchanged_and_null_equal(self, spark):
+        from sparksearchengine_spark.operators.weburl import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, None), (2, "x")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(1, None), (2, None)], "doc_id long, text string"
+        )
+        got = {
+            r.doc_id: r.change
+            for r in corpus_diff(old, new, include_unchanged=True).collect()
+        }
+        assert got == {1: "unchanged", 2: "changed"}
+
+    def test_feeds_upsert_roundtrip(self, spark, docs_df):
+        """diff(old, new) -> CDC delta -> upsert_index(old index) must
+        search identically to an index built over new directly."""
+        from sparksearchengine_spark import Corpus, Q, TextOptions
+        from sparksearchengine_spark.operators.index import upsert_index
+        from sparksearchengine_spark.operators.weburl import corpus_diff
+
+        old = docs_df.where(F.col("doc_id") < 120)
+        new = (
+            docs_df.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 140))
+            .withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") < 40,
+                    F.concat(F.col("text"), F.lit(" edited")),
+                ).otherwise(F.col("text")),
+            )
+        )
+        d = corpus_diff(old, new, compare_cols=["text"])
+        touched = [
+            r.doc_id
+            for r in d.where(F.col("change").isin("added", "changed")).collect()
+        ]
+        removed = [
+            r.doc_id for r in d.where(F.col("change") == "removed").collect()
+        ]
+        opts = {"text": TextOptions(analyzer="simple")}
+        base = Corpus(old, id_col="doc_id", text_cols=opts).build_index(
+            persist=False
+        )
+        up = upsert_index(
+            base,
+            new.where(F.col("doc_id").isin(touched)),
+            deletes=removed,
+            persist=False,
+        )
+        fresh = Corpus(new, id_col="doc_id", text_cols=opts).build_index(
+            persist=False
+        )
+        q = Q.field("text").match_any("dup", "spark")
+        assert [tuple(r) for r in up.search(q, k=10).collect()] == [
+            tuple(r) for r in fresh.search(q, k=10).collect()
+        ]
+
+    def test_no_shared_cols_raises(self, spark):
+        from sparksearchengine_spark.operators.weburl import corpus_diff
+
+        a = spark.createDataFrame([(1, "x")], "doc_id long, a string")
+        b = spark.createDataFrame([(1, "x")], "doc_id long, b string")
+        with pytest.raises(ValueError, match="no shared columns"):
+            corpus_diff(a, b)
