@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -2369,6 +2369,36 @@ def _dedup_exact_prefer(spark, sf):
     ).orderBy("doc_id")
 
 
+DECAY_SCALE = 30.0
+
+
+def _search_decay(spark, sf):
+    """Recency-decay re-ranking (functions/scoring.py::decay_expr, r5):
+    the function_score-style exp decay every search engine ships —
+    BM25 top-k multiplied by decay**(age/scale) and re-ranked. Age is
+    the deterministic doc_id % 100 (documents carry no timestamp);
+    products computed from the 6dp-rounded score on both sides so the
+    pow() arithmetic is bit-comparable."""
+    from sparksearchengine_spark.functions.scoring import decay_expr
+
+    idx = _docs_index(spark, sf)
+    res = idx.search(Q.field("text").match_any(*QC10_TERMS), k=QC10_K)
+    aged = res.select(
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        (F.col("doc_id") % 100).cast("double").alias("_age"),
+    )
+    d = F.round(
+        F.col("score") * decay_expr(F.col("_age"), DECAY_SCALE), 6
+    )
+    w = Window.orderBy(F.desc("dscore"), F.asc("doc_id"))
+    return (
+        aged.withColumn("dscore", d)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "score", "dscore", "rank")
+    )
+
+
 def _corpus_diff(spark, sf):
     """Snapshot diff (operators/weburl.py::corpus_diff, r5): old = the
     upsert entry's base corpus, new = its post-CDC corpus — the diff
@@ -2672,6 +2702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_hybrid_rrf": _search_hybrid_rrf,
         "dedup_exact_prefer": _dedup_exact_prefer,
         "corpus_diff": _corpus_diff,
+        "search_decay": _search_decay,
     }
 
 
@@ -5718,6 +5749,21 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
           FROM banded
         )
         SELECT * FROM ranked WHERE rank <= {HN_K}"""
+    # recency decay over the qc10 hits: product of the ROUNDED score
+    # and pow(decay, age/scale), re-rounded and re-ranked — pow()
+    # parity holds at 6dp like ln (FIXTURES §0 note)
+    _dk = (
+        f"round(score * pow(0.5, (doc_id % 100) / {DECAY_SCALE}), 6)"
+    )
+    o["search_decay"] = (
+        "WITH hits AS ("
+        + o["qc10_bm25_topk"]
+        + f""")
+        SELECT doc_id, score, {_dk} AS dscore,
+               CAST(row_number() OVER (ORDER BY {_dk} DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM hits"""
+    )
     # snapshot diff: FULL OUTER over (id, content) with IS DISTINCT
     # FROM mirroring the engine's NULL-safe hash compare
     o["corpus_diff"] = f"""

@@ -128,3 +128,50 @@ class ScoringConfig:
                 tf, dl, df_t, doc_count, avgdl, k1=self.k1, b=self.b
             )
         return get_scorer(self.similarity)(tf, dl, df_t, doc_count, avgdl)
+
+
+def decay_expr(
+    age: Column,
+    scale: float,
+    kind: str = "exp",
+    offset: float = 0.0,
+    decay: float = 0.5,
+) -> Column:
+    """Recency/distance decay multiplier in (0, 1] — the
+    function_score-style decay every search engine ships (Elasticsearch
+    exp/gauss/linear): a document at ``age == offset + scale`` scores
+    ``decay``; closer scores more, farther less.
+
+    ``age`` is any non-negative numeric distance column (seconds since
+    publish, meters, …). Ages within ``offset`` decay nothing. All three
+    kinds are pure codegen column expressions:
+
+    * ``exp``:    ``decay ** (max(0, age - offset) / scale)``
+    * ``gauss``:  ``decay ** ((max(0, age - offset) / scale) ** 2)``
+    * ``linear``: ``max(0, 1 - (1 - decay) * (age - offset) / scale)``
+      (reaches exactly 0 at the far end, unlike exp/gauss)
+
+    Compose multiplicatively with any relevance score:
+    ``results.withColumn("score", F.col("score") * decay_expr(...))``
+    then re-rank — the idiom `operators/search.py` result transformers
+    expect. NULL age -> NULL multiplier (carry or coalesce per use).
+    """
+    if kind not in ("exp", "gauss", "linear"):
+        raise ValueError(f"kind must be exp|gauss|linear, got {kind!r}")
+    if scale <= 0:
+        raise ValueError(f"scale must be > 0, got {scale}")
+    if not 0.0 < decay < 1.0:
+        raise ValueError(f"decay must be in (0, 1), got {decay}")
+    # greatest() SKIPS NULLs in Spark (greatest(0.0, NULL) = 0.0), so
+    # the NULL-age -> NULL contract needs an explicit guard
+    d = F.greatest(F.lit(0.0), age.cast("double") - F.lit(float(offset)))
+    n = d / F.lit(float(scale))
+    if kind == "exp":
+        out = F.pow(F.lit(float(decay)), n)
+    elif kind == "gauss":
+        out = F.pow(F.lit(float(decay)), n * n)
+    else:
+        out = F.greatest(
+            F.lit(0.0), F.lit(1.0) - F.lit(1.0 - float(decay)) * n
+        )
+    return F.when(age.isNotNull(), out)

@@ -154,3 +154,53 @@ class TestExplainSiblingDuplicates:
         assert total == pytest.approx(hits[1])
         # 'a' appears as TWO leaves (one per subtree), 'b' as one
         assert sorted(r["term"] for r in rows) == ["a", "a", "b"]
+
+
+class TestDecayExpr:
+    def _vals(self, spark, kind, **kw):
+        from pyspark.sql import functions as F
+
+        from sparksearchengine_spark.functions.scoring import decay_expr
+
+        df = spark.createDataFrame(
+            [(0.0,), (5.0,), (10.0,), (20.0,), (None,)], "age double"
+        )
+        return {
+            r.age: r.m
+            for r in df.select(
+                "age", decay_expr(F.col("age"), 10.0, kind=kind, **kw).alias("m")
+            ).collect()
+        }
+
+    def test_half_life_at_scale(self, spark):
+        for kind in ("exp", "gauss", "linear"):
+            vals = self._vals(spark, kind)
+            assert vals[0.0] == pytest.approx(1.0)
+            assert vals[10.0] == pytest.approx(0.5)  # age == scale -> decay
+            assert vals[None] is None
+
+    def test_shapes_differ_correctly(self, spark):
+        e = self._vals(spark, "exp")
+        g = self._vals(spark, "gauss")
+        l = self._vals(spark, "linear")
+        # gauss decays slower than exp before scale, faster after
+        assert g[5.0] > e[5.0] and g[20.0] < e[20.0]
+        # linear hits exactly zero at the far end
+        assert l[20.0] == 0.0 and e[20.0] > 0.0
+
+    def test_offset_grace_period(self, spark):
+        vals = self._vals(spark, "exp", offset=5.0)
+        assert vals[0.0] == 1.0 and vals[5.0] == 1.0
+        assert vals[10.0] == pytest.approx(0.5 ** 0.5)
+
+    def test_bad_args(self, spark):
+        from pyspark.sql import functions as F
+
+        from sparksearchengine_spark.functions.scoring import decay_expr
+
+        with pytest.raises(ValueError, match="kind"):
+            decay_expr(F.col("x"), 1.0, kind="step")
+        with pytest.raises(ValueError, match="scale"):
+            decay_expr(F.col("x"), 0.0)
+        with pytest.raises(ValueError, match="decay"):
+            decay_expr(F.col("x"), 1.0, decay=1.5)
