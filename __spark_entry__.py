@@ -2369,6 +2369,42 @@ def _dedup_exact_prefer(spark, sf):
     ).orderBy("doc_id")
 
 
+MAXP_POOL = 50
+
+
+def _search_maxp(spark, sf):
+    """maxP long-document retrieval (operators/search.py::
+    passage_to_doc, r5): documents chunked (`chunk_documents`, the
+    driver-green chunking), a fresh BM25 index built over the CHUNKS
+    (composite id doc*1000+chunk), top-MAXP_POOL passages retrieved,
+    then each parent doc scored by its best passage — the BERT-maxP
+    convention. The oracle rebuilds the whole chunk index in SQL."""
+    from sparksearchengine_spark.operators.chunking import chunk_documents
+    from sparksearchengine_spark.operators.search import passage_to_doc
+
+    docs = _read(spark, sf, "documents")
+    ch = chunk_documents(
+        docs, max_tokens=CHUNK_MAX, overlap=CHUNK_OVERLAP
+    )
+    chunks = ch.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("cid"),
+        "chunk_text",
+    )
+    idx = Corpus(
+        chunks,
+        id_col="cid",
+        text_cols={"chunk_text": TextOptions(analyzer="simple")},
+    ).build_index(persist=False)
+    res = idx.search(
+        Q.field("chunk_text").match_any(*QC10_TERMS), k=MAXP_POOL
+    )
+    hits = res.select(
+        F.col("doc_id").alias("cid"),  # index id col = the composite cid
+        F.round("score", 6).alias("score"),
+    ).withColumn("doc_id", F.floor(F.col("cid") / 1000).cast("long"))
+    return passage_to_doc(hits, k=QC10_K)
+
+
 DECAY_SCALE = 30.0
 
 
@@ -2703,6 +2739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_prefer": _dedup_exact_prefer,
         "corpus_diff": _corpus_diff,
         "search_decay": _search_decay,
+        "search_maxp": _search_maxp,
     }
 
 
@@ -5749,6 +5786,73 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
           FROM banded
         )
         SELECT * FROM ranked WHERE rank <= {HN_K}"""
+    # maxP: the chunk_docs slicing CTE extended into a full chunk-level
+    # BM25 index (postings/stats over composite cid), top-pool
+    # passages, then max-rounded-score per parent doc
+    _stride = CHUNK_MAX - CHUNK_OVERLAP
+    _mx_score = _bm25_sql("p.tf", "p.dl", "t.df")
+    o["search_maxp"] = f"""
+        WITH t0 AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        nz AS (SELECT * FROM t0 WHERE len(toks) > 0),
+        c AS (
+          SELECT doc_id, toks,
+                 unnest(range(0,
+                   1 + CAST(ceil(greatest(len(toks) - {CHUNK_MAX}, 0)
+                                 / {_stride}.0) AS INT))) AS chunk_id
+          FROM nz
+        ),
+        ch AS (
+          SELECT doc_id, chunk_id,
+                 toks[chunk_id*{_stride}+1 :
+                      chunk_id*{_stride}+{CHUNK_MAX}] AS ctoks
+          FROM c
+        ),
+        ex AS (
+          SELECT doc_id * 1000 + chunk_id AS cid, doc_id,
+                 len(ctoks) AS dl, unnest(ctoks) AS term
+          FROM ch
+        ),
+        postings AS (
+          SELECT cid, any_value(doc_id) AS doc_id, term,
+                 count(*) AS tf, any_value(dl) AS dl
+          FROM ex GROUP BY cid, term
+        ),
+        fieldstats AS (
+          SELECT count(*) AS n, avg(dl) AS avgdl
+          FROM (SELECT cid, any_value(dl) AS dl FROM postings GROUP BY cid)
+        ),
+        termstats AS (
+          SELECT term, count(*) AS df FROM postings GROUP BY term
+        ),
+        scored AS (
+          SELECT p.doc_id, p.cid, sum({_mx_score}) AS s
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          WHERE p.term IN ('{QC10_TERMS[0]}','{QC10_TERMS[1]}')
+          GROUP BY p.doc_id, p.cid
+        ),
+        pool AS (
+          SELECT doc_id, round(s, 6) AS score,
+                 row_number() OVER (ORDER BY s DESC, cid) AS r
+          FROM scored
+        ),
+        mp AS (
+          SELECT doc_id, max(score) AS doc_score
+          FROM pool WHERE r <= {MAXP_POOL} GROUP BY doc_id
+        ),
+        ranked AS (
+          SELECT doc_id, doc_score,
+                 CAST(row_number() OVER (ORDER BY doc_score DESC, doc_id)
+                      AS BIGINT) AS rank
+          FROM mp
+        )
+        SELECT * FROM ranked WHERE rank <= {QC10_K}"""
     # recency decay over the qc10 hits: product of the ROUNDED score
     # and pow(decay, age/scale), re-rounded and re-ranked — pow()
     # parity holds at 6dp like ln (FIXTURES §0 note)

@@ -1138,3 +1138,60 @@ def rrf_fuse(
     return ranked_topk(
         fused, [F.col("rrf_score").desc(), F.col(id_col).asc()], k
     ).select(id_col, "rrf_score", "rank")
+
+
+def passage_to_doc(
+    results: DataFrame,
+    k: int = 10,
+    doc_col: str = "doc_id",
+    score_col: str = "score",
+    group_cols: list[str] | None = None,
+    agg: str = "max",
+    top_p: int = 3,
+) -> DataFrame:
+    """Aggregate passage/chunk-level retrieval scores to document level —
+    the maxP/sumP pattern for long-document retrieval over a chunked
+    index (`chunking.chunk_documents` carries the parent ``doc_id``
+    lineage this consumes): score each doc by its best passage (``agg="max"``,
+    the BERT-maxP convention) or by the decimal-exact sum of its top
+    ``top_p`` passages (``agg="sum_top"``, rewarding multi-passage
+    support). Returns ``(group_cols..., doc_col, doc_score, rank)``
+    top-k docs.
+
+    Scale: input is passage-level hits (already k-bounded per query for
+    batch shapes); one groupBy on (group, doc) + the shared skew-safe
+    top-k. The sum_top path pre-prunes to each doc's top_p passages
+    with the same rank window before summing.
+    """
+    if agg not in ("max", "sum_top"):
+        raise ValueError(f"agg must be max|sum_top, got {agg!r}")
+    gcols = list(group_cols or [])
+    if agg == "max":
+        fused = results.groupBy(*gcols, doc_col).agg(
+            F.max(score_col).alias("doc_score")
+        )
+    else:
+        pruned = topk_per_group(
+            results.select(*gcols, doc_col, score_col),
+            [*gcols, doc_col],
+            [F.desc(score_col)],
+            k=top_p,
+        )
+        fused = pruned.groupBy(*gcols, doc_col).agg(
+            F.sum(
+                F.round(F.col(score_col), 6).cast("decimal(28,6)")
+            )
+            .cast("decimal(38,6)")
+            .cast("double")
+            .alias("doc_score")
+        )
+    if gcols:
+        return topk_per_group(
+            fused,
+            gcols,
+            [F.col("doc_score").desc(), F.col(doc_col).asc()],
+            k=k,
+        ).select(*gcols, doc_col, "doc_score", "rank")
+    return ranked_topk(
+        fused, [F.col("doc_score").desc(), F.col(doc_col).asc()], k
+    ).select(doc_col, "doc_score", "rank")

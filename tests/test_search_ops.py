@@ -1698,3 +1698,60 @@ class TestRrfFuse:
         a = spark.createDataFrame([(1, 1)], "doc_id long, rank long")
         with pytest.raises(ValueError, match="weights"):
             rrf_fuse([a, a], weights=[1.0])
+
+
+class TestPassageToDoc:
+    def test_maxp_hand_computed(self, spark):
+        from sparksearchengine_spark.operators.search import passage_to_doc
+
+        hits = spark.createDataFrame(
+            [
+                (100, 0.9),  # doc 100 best passage
+                (100, 0.3),
+                (200, 0.7),
+                (300, 0.8),
+            ],
+            "doc_id long, score double",
+        )
+        got = {r.doc_id: r for r in passage_to_doc(hits, k=3).collect()}
+        assert got[100].rank == 1 and got[100].doc_score == 0.9
+        assert got[300].rank == 2 and got[200].rank == 3
+
+    def test_sum_top_rewards_multi_passage(self, spark):
+        from sparksearchengine_spark.operators.search import passage_to_doc
+
+        hits = spark.createDataFrame(
+            [(1, 0.5), (1, 0.5), (1, 0.5), (1, 0.5), (2, 0.9)],
+            "doc_id long, score double",
+        )
+        got = {
+            r.doc_id: r
+            for r in passage_to_doc(
+                hits, k=2, agg="sum_top", top_p=3
+            ).collect()
+        }
+        # doc 1: top-3 of four 0.5 passages = 1.5 > doc 2's single 0.9
+        assert got[1].doc_score == pytest.approx(1.5)
+        assert got[1].rank == 1 and got[2].rank == 2
+
+    def test_grouped_per_query(self, spark):
+        from sparksearchengine_spark.operators.search import passage_to_doc
+
+        hits = spark.createDataFrame(
+            [(1, 10, 0.9), (1, 20, 0.5), (2, 10, 0.2), (2, 20, 0.8)],
+            "query_id long, doc_id long, score double",
+        )
+        got = {
+            (r.query_id, r.rank): r.doc_id
+            for r in passage_to_doc(
+                hits, k=2, group_cols=["query_id"]
+            ).collect()
+        }
+        assert got[(1, 1)] == 10 and got[(2, 1)] == 20
+
+    def test_bad_agg(self, spark):
+        from sparksearchengine_spark.operators.search import passage_to_doc
+
+        df = spark.createDataFrame([(1, 0.1)], "doc_id long, score double")
+        with pytest.raises(ValueError, match="max\\|sum_top"):
+            passage_to_doc(df, agg="mean")
