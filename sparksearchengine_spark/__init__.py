@@ -30,7 +30,12 @@ from sparksearchengine_spark.functions.analyzers import (
     tokenize_py,
 )
 from sparksearchengine_spark.plans.ast import F_, Q, Query
-from sparksearchengine_spark.operators.index import Corpus, SearchIndex
+from sparksearchengine_spark.operators.index import (
+    Corpus,
+    SearchIndex,
+    merge_indexes,
+    upsert_index,
+)
 
 __all__ = [
     "Corpus",
@@ -43,6 +48,8 @@ __all__ = [
     "get_analyzer",
     "register_analyzer",
     "tokenize_py",
+    "merge_indexes",
+    "upsert_index",
 ]
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"

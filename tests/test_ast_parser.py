@@ -395,3 +395,45 @@ class TestSlashHint:
 
         q = parse_query(r"path:\/usr\/bin")
         assert getattr(q, "text", None) == "/usr/bin"
+
+
+class TestParserTotality:
+    """parse_query over arbitrary input must either return a Query or
+    raise ValueError — never any other exception (the user-facing
+    contract for free-typed query strings)."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=40))
+    def test_total_over_random_text(self, s):
+        from sparksearchengine_spark.plans.ast import Query
+        from sparksearchengine_spark.plans.parser import parse_query
+
+        try:
+            q = parse_query(s)
+        except ValueError:
+            return
+        assert isinstance(q, Query)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.sampled_from(
+                ["field:", "a", "b*", "c~1", '"p q"', "(", ")", "AND",
+                 "OR", "NOT", "+", "-", "[1 TO 2]", "{1 TO 2}", "/re/",
+                 "\\+", "^2", " "]
+            ),
+            max_size=8,
+        )
+    )
+    def test_total_over_token_soup(self, parts):
+        from sparksearchengine_spark.plans.ast import Query
+        from sparksearchengine_spark.plans.parser import parse_query
+
+        try:
+            q = parse_query("".join(parts))
+        except ValueError:
+            return
+        assert isinstance(q, Query)
