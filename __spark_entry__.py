@@ -2369,6 +2369,29 @@ def _dedup_exact_prefer(spark, sf):
     ).orderBy("doc_id")
 
 
+COLLAPSE_K = 5
+
+
+def _search_collapse(spark, sf):
+    """Field collapsing (operators/search.py::collapse_results, r5):
+    Elasticsearch-collapse semantics — best hit per source over the
+    qc10 BM25 pool (LIMIT 50), then global top-COLLAPSE_K re-ranked.
+    Rounded scores order both sides."""
+    from sparksearchengine_spark.operators.search import collapse_results
+
+    idx = _docs_index(spark, sf)
+    res = idx.search(
+        Q.field("text").match_any(*QC10_TERMS),
+        k=50,
+        with_elements=True,
+        select_cols=["source"],
+    )
+    hits = res.select(
+        "doc_id", "source", F.round("score", 6).alias("score")
+    )
+    return collapse_results(hits, "source", k=COLLAPSE_K)
+
+
 MAXP_POOL = 50
 
 
@@ -2740,6 +2763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_diff": _corpus_diff,
         "search_decay": _search_decay,
         "search_maxp": _search_maxp,
+        "search_collapse": _search_collapse,
     }
 
 
@@ -5786,6 +5810,30 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
           FROM banded
         )
         SELECT * FROM ranked WHERE rank <= {HN_K}"""
+    # field collapsing: qc10 pool widened to 50, best-per-source via a
+    # partitioned row_number, global re-rank of the survivors
+    o["search_collapse"] = (
+        "WITH hits AS ("
+        + o["qc10_bm25_topk"].replace(f"LIMIT {QC10_K}", "LIMIT 50", 1)
+        + f"""),
+        j AS (
+          SELECT h.doc_id, d.source, h.score
+          FROM hits h JOIN documents d USING (doc_id)
+        ),
+        b AS (
+          SELECT doc_id, source, score,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY score DESC, doc_id) AS pr
+          FROM j
+        ),
+        ranked AS (
+          SELECT doc_id, source, score,
+                 CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                      AS BIGINT) AS rank
+          FROM b WHERE pr = 1
+        )
+        SELECT * FROM ranked WHERE rank <= {COLLAPSE_K}"""
+    )
     # maxP: the chunk_docs slicing CTE extended into a full chunk-level
     # BM25 index (postings/stats over composite cid), top-pool
     # passages, then max-rounded-score per parent doc

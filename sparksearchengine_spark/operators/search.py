@@ -1195,3 +1195,40 @@ def passage_to_doc(
     return ranked_topk(
         fused, [F.col("doc_score").desc(), F.col(doc_col).asc()], k
     ).select(doc_col, "doc_score", "rank")
+
+
+def collapse_results(
+    results: DataFrame,
+    collapse_col: str,
+    k: int = 10,
+    id_col: str = DOC_ID,
+    score_col: str = SCORE,
+    group_cols: list[str] | None = None,
+    per_group: int = 1,
+) -> DataFrame:
+    """Field collapsing (Elasticsearch ``collapse`` / Lucene grouping):
+    keep the best ``per_group`` hits per ``collapse_col`` value (one
+    result per domain / source / author — SERP diversity), then the
+    global top-k of the survivors, re-ranked. Returns the input columns
+    plus a fresh ``rank``.
+
+    ``group_cols`` scopes the collapse per query for batch-shaped
+    inputs. NULL collapse keys form their own single group (matching
+    Elasticsearch). Two skew-safe rank windows over already-k-bounded
+    hit lists — eval-sized work, corpus never touched.
+    """
+    gcols = list(group_cols or [])
+    order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    best = topk_per_group(
+        results.drop("rank"),
+        [*gcols, collapse_col],
+        order,
+        k=per_group,
+    ).drop("rank")
+    if gcols:
+        return topk_per_group(best, gcols, order, k=k)
+    return (
+        best.orderBy(*order)
+        .limit(k)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
+    )

@@ -1755,3 +1755,45 @@ class TestPassageToDoc:
         df = spark.createDataFrame([(1, 0.1)], "doc_id long, score double")
         with pytest.raises(ValueError, match="max\\|sum_top"):
             passage_to_doc(df, agg="mean")
+
+
+class TestCollapseResults:
+    def test_one_per_source(self, spark):
+        from sparksearchengine_spark.operators.search import collapse_results
+
+        hits = spark.createDataFrame(
+            [
+                (1, "a.com", 0.9),
+                (2, "a.com", 0.8),
+                (3, "b.com", 0.7),
+                (4, None, 0.6),
+                (5, None, 0.5),
+            ],
+            "doc_id long, source string, score double",
+        )
+        got = collapse_results(hits, "source", k=5).collect()
+        ids = {r.doc_id for r in got}
+        # best per source survives; NULLs are one group
+        assert ids == {1, 3, 4}
+        by_rank = {r.rank: r.doc_id for r in got}
+        assert by_rank[1] == 1 and by_rank[2] == 3 and by_rank[3] == 4
+
+    def test_per_group_two_and_batch_scope(self, spark):
+        from sparksearchengine_spark.operators.search import collapse_results
+
+        hits = spark.createDataFrame(
+            [
+                (7, 1, "a", 0.9),
+                (7, 2, "a", 0.8),
+                (7, 3, "a", 0.7),
+                (7, 4, "b", 0.6),
+                (8, 3, "a", 0.9),
+            ],
+            "query_id long, doc_id long, source string, score double",
+        )
+        got = collapse_results(
+            hits, "source", k=3, group_cols=["query_id"], per_group=2
+        ).collect()
+        q7 = sorted(r.doc_id for r in got if r.query_id == 7)
+        assert q7 == [1, 2, 4]  # top-2 of source a + source b
+        assert [r.doc_id for r in got if r.query_id == 8] == [3]
