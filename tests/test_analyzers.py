@@ -406,3 +406,22 @@ class TestQueryTimeAnalyzer:
         assert loaded.search(
             Q.field("text").match_text("running"), k=10
         ).count() == 0
+
+
+class TestAnalyzerTotality:
+    """tokenize_py over arbitrary unicode must return a list of
+    non-empty strings for every shipped analyzer — never raise."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(max_size=60))
+    def test_total_over_unicode(self, s):
+        from sparksearchengine_spark.functions.analyzers import tokenize_py
+
+        for analyzer in ("simple", "whitespace", "english", "italian",
+                         "folding", "cjk_bigram"):
+            toks = tokenize_py(s, analyzer)
+            assert isinstance(toks, list)
+            assert all(isinstance(t, str) and t for t in toks)
