@@ -2409,8 +2409,21 @@ def _search_maxp(spark, sf):
     ch = chunk_documents(
         docs, max_tokens=CHUNK_MAX, overlap=CHUNK_OVERLAP
     )
+    # composite id: runtime guard against >=1000 chunks/doc, where
+    # d*1000+1000 would collide with doc d+1's chunk 0 (r5 review) —
+    # impossible at our doc lengths, loud if the data ever changes
     chunks = ch.select(
-        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("cid"),
+        F.when(
+            F.col("chunk_id") < 1000,
+            F.col("doc_id") * 1000 + F.col("chunk_id"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.lit("search_maxp: >=1000 chunks in one doc; widen the "
+                      "composite-id multiplier")
+            ).cast("long")
+        )
+        .alias("cid"),
         "chunk_text",
     )
     idx = Corpus(

@@ -146,9 +146,12 @@ def decay_expr(
     publish, meters, …). Ages within ``offset`` decay nothing. All three
     kinds are pure codegen column expressions:
 
-    * ``exp``:    ``decay ** (max(0, age - offset) / scale)``
-    * ``gauss``:  ``decay ** ((max(0, age - offset) / scale) ** 2)``
-    * ``linear``: ``max(0, 1 - (1 - decay) * (age - offset) / scale)``
+    With ``d = max(0, age - offset) / scale`` (the clamp applies to ALL
+    three kinds — in-grace ages always score exactly 1):
+
+    * ``exp``:    ``decay ** d``
+    * ``gauss``:  ``decay ** (d ** 2)``
+    * ``linear``: ``max(0, 1 - (1 - decay) * d)``
       (reaches exactly 0 at the far end, unlike exp/gauss)
 
     Compose multiplicatively with any relevance score:

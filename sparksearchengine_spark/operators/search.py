@@ -1227,8 +1227,4 @@ def collapse_results(
     ).drop("rank")
     if gcols:
         return topk_per_group(best, gcols, order, k=k)
-    return (
-        best.orderBy(*order)
-        .limit(k)
-        .withColumn("rank", F.row_number().over(Window.orderBy(*order)))
-    )
+    return ranked_topk(best, order, k)

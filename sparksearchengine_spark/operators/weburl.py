@@ -275,12 +275,15 @@ def corpus_diff(
     if missing:
         raise ValueError(f"compare_cols not in both frames: {missing}")
     cols = list(compare_cols)
+    # ids pass through UNCAST: corpus keys may be strings (URLs) — a
+    # long cast would NULL them and misreport every row as
+    # added+removed (r5 review finding)
     o = old.select(
-        F.col(id_col).cast("long").alias("_id"),
+        F.col(id_col).alias("_id"),
         F.md5(_self_delimited(cols)).alias("_ho"),
     )
     n = new.select(
-        F.col(id_col).cast("long").alias("_id"),
+        F.col(id_col).alias("_id"),
         F.md5(_self_delimited(cols)).alias("_hn"),
     )
     j = o.join(n, "_id", "full_outer")

@@ -346,3 +346,23 @@ class TestCorpusDiff:
         b = spark.createDataFrame([(1, "x")], "doc_id long, b string")
         with pytest.raises(ValueError, match="no shared columns"):
             corpus_diff(a, b)
+
+
+class TestCorpusDiffStringIds:
+    def test_url_keys_survive(self, spark):
+        """r5 review: string ids must not be cast to long (which NULLs
+        them and misreports everything as added+removed)."""
+        from sparksearchengine_spark.operators.weburl import corpus_diff
+
+        old = spark.createDataFrame(
+            [("http://a", "x"), ("http://b", "y")], "url string, text string"
+        )
+        new = spark.createDataFrame(
+            [("http://a", "x"), ("http://b", "Y"), ("http://c", "z")],
+            "url string, text string",
+        )
+        got = {
+            r.url: r.change
+            for r in corpus_diff(old, new, id_col="url").collect()
+        }
+        assert got == {"http://b": "changed", "http://c": "added"}
