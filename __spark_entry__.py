@@ -2369,6 +2369,41 @@ def _dedup_exact_prefer(spark, sf):
     ).orderBy("doc_id")
 
 
+TV_DOC = 7
+MLT_TEXT = "dup dup spark merge filter"
+MLT_NT = 3
+
+
+def _term_vector(spark, sf):
+    """Per-doc term vector (operators/stats.py::term_vector, r5) —
+    Lucene getTermVector: one postings filter, no text re-analysis.
+    Positions excluded from the driver row (array column; the canon
+    rejects them) — exercised in pytest instead."""
+    from sparksearchengine_spark.operators.stats import term_vector
+
+    idx = _docs_index(spark, sf)
+    return term_vector(idx, TV_DOC, field="text").select(
+        "field", "term", "tf", "dl"
+    )
+
+
+def _search_mlt_text(spark, sf):
+    """MoreLikeThis over free text (operators/search.py::
+    more_like_this_text, r5): analyze the like-text, keep its MLT_NT
+    top tf-idf terms against corpus stats (6dp-rounded, term-asc
+    tie-break — reproducible cross-engine), match_any BM25 top-10. The
+    oracle recomputes the keyword selection AND the search in SQL."""
+    from sparksearchengine_spark.operators.search import more_like_this_text
+
+    idx = _docs_index(spark, sf)
+    res = more_like_this_text(
+        idx, MLT_TEXT, "text", k=QC10_K, num_terms=MLT_NT
+    )
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 COLLAPSE_K = 5
 
 
@@ -2778,6 +2813,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_decay": _search_decay,
         "search_maxp": _search_maxp,
         "search_collapse": _search_collapse,
+        "term_vector": _term_vector,
+        "search_mlt_text": _search_mlt_text,
     }
 
 
@@ -5824,6 +5861,46 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
           FROM banded
         )
         SELECT * FROM ranked WHERE rank <= {HN_K}"""
+    # term vector: the _CTE postings filtered to one doc
+    o["term_vector"] = _CTE + f"""
+        SELECT 'text' AS field, term, CAST(tf AS BIGINT) AS tf,
+               CAST(dl AS BIGINT) AS dl
+        FROM postings WHERE doc_id = {TV_DOC}
+        ORDER BY field, term"""
+    # MLT over free text: tokenize the LITERAL like-text, rank its
+    # terms by tf * idf against corpus stats (6dp round, term-asc
+    # tie-break — mirrors the engine's driver-side selection), then the
+    # qc10-class BM25 scored join against the selected terms
+    _mlt_score = _bm25_sql("p.tf", "p.dl", "t.df")
+    o["search_mlt_text"] = _CTE + f"""
+        , qt AS (
+          SELECT t AS term, count(*) AS qtf
+          FROM unnest(list_filter(
+                 string_split_regex(lower('{MLT_TEXT}'), '[^a-z0-9]+'),
+                 x -> x <> '')) AS u(t)
+          GROUP BY t
+        ),
+        cand AS (
+          SELECT q.term,
+                 round(q.qtf * ln(1.0 + (f.n - t.df + 0.5)
+                                        / (t.df + 0.5)), 6) AS tfidf
+          FROM qt q JOIN termstats t USING (term) CROSS JOIN fieldstats f
+        ),
+        top AS (
+          SELECT term FROM cand ORDER BY tfidf DESC, term LIMIT {MLT_NT}
+        ),
+        scored AS (
+          SELECT p.doc_id, sum({_mlt_score}) AS s
+          FROM postings p
+          JOIN top USING (term)
+          JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          GROUP BY p.doc_id
+        )
+        SELECT doc_id, round(s, 6) AS score,
+               CAST(row_number() OVER (ORDER BY s DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM scored ORDER BY s DESC, doc_id LIMIT {QC10_K}"""
     # field collapsing: qc10 pool widened to 50, best-per-source via a
     # partitioned row_number, global re-rank of the survivors
     o["search_collapse"] = (

@@ -1228,3 +1228,57 @@ def collapse_results(
     if gcols:
         return topk_per_group(best, gcols, order, k=k)
     return ranked_topk(best, order, k)
+
+
+def more_like_this_text(
+    index: "SearchIndex",
+    text: str,
+    field: str,
+    k: int = 10,
+    num_terms: int = 5,
+) -> DataFrame:
+    """Lucene MoreLikeThis over FREE TEXT (``like_text`` — no source doc
+    needed): analyze the text with the field's query-time analyzer,
+    pick its ``num_terms`` highest tf·idf terms against the CORPUS
+    statistics (idf from the index, 6dp-rounded with a term-asc
+    tie-break so selection is engine-reproducible), then run the
+    standard ``match_any`` BM25 search over them. Returns
+    ``(doc_id, score, rank)``.
+
+    Driver cost: one tokenize of the literal text + one idf lookup
+    bounded by its distinct terms — everything else is the ordinary
+    search plan.
+    """
+    from collections import Counter
+
+    from sparksearchengine_spark.functions.analyzers import tokenize_py
+    from sparksearchengine_spark.operators.stats import term_idfs
+    from sparksearchengine_spark.plans.ast import Q
+
+    opts = index.corpus.text_cols.get(field)
+    if opts is None:
+        raise ValueError(
+            f"field {field!r} is not indexed ({list(index.corpus.text_cols)})"
+        )
+    analyzer = opts.query_analyzer or opts.analyzer
+    tf = Counter(tokenize_py(text, analyzer))
+    if not tf:
+        raise ValueError("like-text analyzed to zero terms")
+    idf_rows = (
+        term_idfs(index)
+        .where((F.col("field") == field) & F.col("term").isin(*tf))
+        .select("term", "idf")
+        .collect()
+    )
+    scored = sorted(
+        (
+            (-round(tf[r["term"]] * r["idf"], 6), r["term"])
+            for r in idf_rows
+        ),
+    )[:num_terms]
+    if not scored:
+        raise ValueError(
+            "no like-text term occurs in the index; nothing to match"
+        )
+    terms = [t for _, t in scored]
+    return search(index, Q.field(field).match_any(*terms), k=k)

@@ -464,3 +464,20 @@ def complete_prefix(
     return ranked_topk(
         cand, [F.col("df_t").desc(), F.col("term").asc()], k
     ).select("term", "df_t", "rank")
+
+
+def term_vector(
+    index: "SearchIndex", doc_id: int, field: str | None = None
+) -> DataFrame:
+    """One document's term vector: ``(field, term, tf, dl, positions)``
+    — Lucene's ``IndexReader.getTermVector`` (the reference exposes it
+    through each partition's reader; here it is a postings filter that
+    a doc-bucketed durable layout answers with a pruned scan, and an
+    in-session index answers from the persisted postings without any
+    text re-analysis). ``field=None`` returns every indexed field."""
+    p = index.postings.where(F.col("doc_id") == int(doc_id))
+    if field is not None:
+        p = p.where(F.col("field") == field)
+    return p.select("field", "term", "tf", "dl", "positions").orderBy(
+        "field", "term"
+    )

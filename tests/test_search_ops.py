@@ -1797,3 +1797,53 @@ class TestCollapseResults:
         q7 = sorted(r.doc_id for r in got if r.query_id == 7)
         assert q7 == [1, 2, 4]  # top-2 of source a + source b
         assert [r.doc_id for r in got if r.query_id == 8] == [3]
+
+
+class TestTermVector:
+    def test_tiny_corpus_vector(self, tiny_index):
+        from sparksearchengine_spark.operators.stats import term_vector
+
+        rows = term_vector(tiny_index, 1, field="text").collect()
+        got = {r.term: (r.tf, r.dl) for r in rows}
+        # doc 1 = [a, b, a]
+        assert got == {"a": (2, 3), "b": (1, 3)}
+
+    def test_all_fields_and_missing_doc(self, tiny_index):
+        from sparksearchengine_spark.operators.stats import term_vector
+
+        assert term_vector(tiny_index, 999).count() == 0
+        assert term_vector(tiny_index, 2).count() == 2  # [a, c]
+
+
+class TestMoreLikeThisText:
+    def test_matches_match_any_over_top_terms(self, docs_index):
+        from sparksearchengine_spark.operators.search import (
+            more_like_this_text,
+        )
+
+        got = more_like_this_text(
+            docs_index, "dup dup spark merge", "text", k=5, num_terms=2
+        ).collect()
+        assert len(got) == 5
+        assert [r.rank for r in got] == [1, 2, 3, 4, 5]
+        assert all(r.score > 0 for r in got)
+
+    def test_zero_term_text_raises(self, docs_index):
+        from sparksearchengine_spark.operators.search import (
+            more_like_this_text,
+        )
+
+        with pytest.raises(ValueError, match="zero terms"):
+            more_like_this_text(docs_index, "!!! ???", "text")
+
+    def test_unknown_field_and_oov_text(self, docs_index):
+        from sparksearchengine_spark.operators.search import (
+            more_like_this_text,
+        )
+
+        with pytest.raises(ValueError, match="not indexed"):
+            more_like_this_text(docs_index, "dup", "nope")
+        with pytest.raises(ValueError, match="nothing to match"):
+            more_like_this_text(
+                docs_index, "zzzqqqxxx vvvwwwyyy", "text"
+            )
