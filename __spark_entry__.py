@@ -2657,13 +2657,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # backlog entries are queued for r6 and already selfcheck-green.
     # Entries past slot 50 are either green in a prior CORRECTNESS_r{N}
     # .json or queued for the next rotation — see the section comments.
-    # r6 queue = those 11 + the 14 new r5 entries at the dict tail
+    # r6 queue = those 11 + the 16 new r5 entries at the dict tail
     # (search_eval(+summary), index_upsert, emb_pq_topk, pq_recall,
     # ivfpq_recall, emb_hard_negatives, text_readability,
     # search_hybrid_rrf, dedup_exact_prefer, corpus_diff, search_decay,
-    # search_maxp, search_collapse) = 25 for 20 slots; prioritize the
-    # 14 new-code entries (ADVICE r4 #5 principle), all selfcheck-green
-    # at sf0.01.
+    # search_maxp, search_collapse, term_vector, search_mlt_text) = 27
+    # for 20 slots; prioritize the 16 new-code entries (ADVICE r4 #5
+    # principle), all selfcheck-green at sf0.01.
     return {
         "qc01_filter_eq": _qc01,
         "qc02_filter_cmp": _qc02,
