@@ -1,0 +1,35 @@
+"""The examples/ scripts must run end-to-end on the sf0.001 tables —
+they are the reference-parity artifacts a switching user runs first
+(mirroring SearchableRDDExamples.scala / StoreableExample.scala)."""
+
+from __future__ import annotations
+
+import runpy
+import sys
+
+
+def _run(path, argv):
+    old = sys.argv
+    sys.argv = [path, *argv]
+    try:
+        runpy.run_path(path, run_name="__main__")
+    finally:
+        sys.argv = old
+
+
+class TestExamples:
+    def test_searchable_examples(self, spark, capsys):
+        _run("examples/searchable_examples.py", [])
+        out = capsys.readouterr().out
+        assert "Number of docs: 500" in out
+        assert "Top 10 terms:" in out
+        assert "Query join sample:" in out
+
+    def test_storeable_example(self, spark, tmp_path, capsys):
+        _run(
+            "examples/storeable_example.py",
+            ["/root/testdata/sf0.001/documents.parquet", str(tmp_path / "ix")],
+        )
+        out = capsys.readouterr().out
+        assert "stored payload" in out
+        assert "num_postings" in out
