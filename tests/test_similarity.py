@@ -770,3 +770,42 @@ class TestPlanShapeR5:
         # plan prints root-first: the band Filter appears BELOW (after)
         # the Window operator in the tree dump
         assert w != -1 and f != -1 and f > w, plan
+
+
+class TestPqPersistence:
+    def test_save_load_roundtrip_and_rerank(self, spark, tmp_path, emb, queries):
+        from sparksearchengine_spark.operators.similarity import (
+            pq_load,
+            pq_save,
+            pq_topk,
+            pq_train,
+        )
+
+        cbs = pq_train(emb.where(F.col("vec_id") < 200), m=4, ksub=4, iters=1)
+        path = str(tmp_path / "pq")
+        pq_save(emb, path, cbs, store_vectors=True)
+        codes, loaded_cbs, vectors = pq_load(spark, path)
+        assert loaded_cbs == cbs and vectors is not None
+        got = pq_topk(
+            codes, queries, loaded_cbs, k=5, codes_col="codes",
+            rerank=2, rerank_items=vectors,
+        ).collect()
+        want = pq_topk(emb, queries, cbs, k=5, rerank=2).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    def test_save_without_vectors(self, spark, tmp_path, emb, queries):
+        from sparksearchengine_spark.operators.similarity import (
+            pq_load,
+            pq_save,
+            pq_topk,
+            pq_train,
+        )
+
+        cbs = pq_train(emb.where(F.col("vec_id") < 200), m=4, ksub=4, iters=1)
+        path = str(tmp_path / "pq2")
+        pq_save(emb, path, cbs)
+        codes, loaded_cbs, vectors = pq_load(spark, path)
+        assert vectors is None
+        assert pq_topk(
+            codes, queries, loaded_cbs, k=3, codes_col="codes"
+        ).count() > 0
