@@ -82,6 +82,7 @@ def main(path: str = "/root/testdata/sf0.001/documents.parquet") -> None:
     for r in joined.limit(10).collect():
         print(f"  src {r['doc_id']} -> {r['match_doc_id']} ({r['score']:.3f})")
 
+    docs.unpersist()
     if owns_session:
         spark.stop()
 

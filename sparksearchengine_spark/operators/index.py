@@ -380,6 +380,16 @@ class SearchIndex:
 
         return get_elements(self, ids)
 
+    def more_like_this_text(self, text: str, field: str, k: int = 10, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.search import more_like_this_text
+
+        return more_like_this_text(self, text, field, k=k, **kw)
+
+    def term_vector(self, doc_id, field: str | None = None):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.stats import term_vector
+
+        return term_vector(self, doc_id, field=field)
+
     def more_like_this(self, source_ids, field: str, k: int = 10, **kw):  # type: ignore[no-untyped-def]
         from sparksearchengine_spark.operators.search import more_like_this
 

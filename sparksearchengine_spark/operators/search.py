@@ -1255,12 +1255,14 @@ def more_like_this_text(
     from sparksearchengine_spark.operators.stats import term_idfs
     from sparksearchengine_spark.plans.ast import Q
 
+    if num_terms < 1:
+        raise ValueError(f"num_terms must be >= 1, got {num_terms}")
     opts = index.corpus.text_cols.get(field)
     if opts is None:
         raise ValueError(
             f"field {field!r} is not indexed ({list(index.corpus.text_cols)})"
         )
-    analyzer = opts.query_analyzer or opts.analyzer
+    analyzer = opts.query_time_analyzer()
     tf = Counter(tokenize_py(text, analyzer))
     if not tf:
         raise ValueError("like-text analyzed to zero terms")

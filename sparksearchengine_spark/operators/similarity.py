@@ -476,6 +476,37 @@ def ivf_cosine_topk(
     ).select("query_id", "vec_id", "cos_sim", "rank")
 
 
+def _write_meta(df_session_src: DataFrame, path: str, meta: dict) -> None:
+    """Persist driver-small JSON metadata through the Spark filesystem
+    (works on s3://, hdfs://, file:// alike — a local open() would not;
+    r3 review). Shared by every durable layout in this module."""
+    import json
+    import os
+
+    df_session_src.sparkSession.createDataFrame(
+        [(json.dumps(meta),)], "value string"
+    ).coalesce(1).write.mode("overwrite").text(os.path.join(path, "meta"))
+
+
+def _read_meta(spark, path: str, legacy_file: str | None = None) -> dict:
+    """Read `_write_meta` output; ``legacy_file`` names a pre-directory
+    single-file layout to fall back to (ivf_build wrote meta.json before
+    the Spark-FS meta/ directory existed)."""
+    import json
+    import os
+
+    try:
+        return json.loads(
+            spark.read.text(os.path.join(path, "meta")).first()["value"]
+        )
+    except Exception:
+        if legacy_file is None:
+            raise
+        return json.loads(
+            spark.read.text(os.path.join(path, legacy_file)).first()["value"]
+        )
+
+
 def ivf_build(
     items: DataFrame,
     path: str,
@@ -518,12 +549,7 @@ def ivf_build(
         "n_clusters": n_clusters,
         "centers": [list(map(float, c)) for c in model.clusterCenters()],
     }
-    # write meta through the SAME filesystem as the items (Spark text
-    # write -> Hadoop FS): a local open() would break every non-local
-    # path (s3://, hdfs://) the durable layout exists for (r3 review)
-    items.sparkSession.createDataFrame(
-        [(json.dumps(meta),)], "value string"
-    ).coalesce(1).write.mode("overwrite").text(os.path.join(path, "meta"))
+    _write_meta(items, path, meta)
 
 
 def ivf_search(
@@ -542,16 +568,9 @@ def ivf_search(
     import json
     import os
 
-    try:
-        meta = json.loads(
-            spark.read.text(os.path.join(path, "meta")).first()["value"]
-        )
-    except Exception:
-        # layouts written before the Spark-FS meta/ directory stored a
-        # single meta.json file — keep them searchable (r3 review)
-        meta = json.loads(
-            spark.read.text(os.path.join(path, "meta.json")).first()["value"]
-        )
+    # meta.json fallback: layouts written before the Spark-FS meta/
+    # directory stored a single file — keep them searchable (r3 review)
+    meta = _read_meta(spark, path, legacy_file="meta.json")
     centers = meta["centers"]
     cent_arr = F.array(
         *[
@@ -1266,9 +1285,7 @@ def ivfpq_build(
         "centers": [[float(v) for v in c] for c in centers],
         "codebooks": codebooks,
     }
-    items.sparkSession.createDataFrame(
-        [(json.dumps(meta),)], "value string"
-    ).coalesce(1).write.mode("overwrite").text(os.path.join(path, "meta"))
+    _write_meta(items, path, meta)
 
 
 def ivfpq_search(
@@ -1299,9 +1316,7 @@ def ivfpq_search(
 
     if rerank < 0:
         raise ValueError(f"rerank must be >= 0, got {rerank}")
-    meta = json.loads(
-        spark.read.text(os.path.join(path, "meta")).first()["value"]
-    )
+    meta = _read_meta(spark, path)
     centers, codebooks = meta["centers"], meta["codebooks"]
     m, ksub = meta["m"], meta["ksub"]
     cent_arr = F.array(
@@ -1495,9 +1510,7 @@ def pq_save(
             F.col(item_id).alias("vec_id"), F.col(item_vec).alias("embedding")
         ).write.mode("overwrite").parquet(os.path.join(path, "vectors"))
     meta = {"codebooks": codebooks, "has_vectors": bool(store_vectors)}
-    items.sparkSession.createDataFrame(
-        [(json.dumps(meta),)], "value string"
-    ).coalesce(1).write.mode("overwrite").text(os.path.join(path, "meta"))
+    _write_meta(items, path, meta)
 
 
 def pq_load(
@@ -1509,9 +1522,7 @@ def pq_load(
     import json
     import os
 
-    meta = json.loads(
-        spark.read.text(os.path.join(path, "meta")).first()["value"]
-    )
+    meta = _read_meta(spark, path)
     codes = spark.read.parquet(os.path.join(path, "codes"))
     vectors = (
         spark.read.parquet(os.path.join(path, "vectors"))

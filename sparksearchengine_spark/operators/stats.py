@@ -471,10 +471,12 @@ def term_vector(
 ) -> DataFrame:
     """One document's term vector: ``(field, term, tf, dl, positions)``
     — Lucene's ``IndexReader.getTermVector`` (the reference exposes it
-    through each partition's reader; here it is a postings filter that
-    a doc-bucketed durable layout answers with a pruned scan, and an
-    in-session index answers from the persisted postings without any
-    text re-analysis). ``field=None`` returns every indexed field."""
+    through each partition's reader; here it is a plain postings filter
+    — the persisted/loaded postings answer it without any text
+    re-analysis; note a term-bucketed save partitions postings by TERM,
+    which a doc_id predicate cannot prune, so on durable layouts this
+    is a postings scan, not a point lookup). ``field=None`` returns
+    every indexed field."""
     p = index.postings.where(F.col("doc_id") == int(doc_id))
     if field is not None:
         p = p.where(F.col("field") == field)

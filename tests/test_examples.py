@@ -6,6 +6,9 @@ from __future__ import annotations
 
 import runpy
 import sys
+from pathlib import Path
+
+_EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
 
 
 def _run(path, argv):
@@ -19,7 +22,7 @@ def _run(path, argv):
 
 class TestExamples:
     def test_searchable_examples(self, spark, capsys):
-        _run("examples/searchable_examples.py", [])
+        _run(str(_EXAMPLES / "searchable_examples.py"), [])
         out = capsys.readouterr().out
         assert "Number of docs: 500" in out
         assert "Top 10 terms:" in out
@@ -27,7 +30,7 @@ class TestExamples:
 
     def test_storeable_example(self, spark, tmp_path, capsys):
         _run(
-            "examples/storeable_example.py",
+            str(_EXAMPLES / "storeable_example.py"),
             ["/root/testdata/sf0.001/documents.parquet", str(tmp_path / "ix")],
         )
         out = capsys.readouterr().out
