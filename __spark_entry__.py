@@ -2369,6 +2369,25 @@ def _dedup_exact_prefer(spark, sf):
     ).orderBy("doc_id")
 
 
+def _search_synonyms(spark, sf):
+    """Query-time synonym expansion (plans/ast.py::expand_synonyms,
+    r5): matchTerm('dup') under the mapping dup->spark rewrites to
+    exactly qc10's matchAny(dup, spark), so the oracle IS qc10's SQL —
+    a hash match proves the rewrite is execution-equivalent to the
+    hand-written query, scores included."""
+    from sparksearchengine_spark.plans.ast import expand_synonyms
+
+    idx = _docs_index(spark, sf)
+    q = expand_synonyms(
+        Q.field("text").match_term(QC10_TERMS[0]),
+        {QC10_TERMS[0]: [QC10_TERMS[1]]},
+    )
+    res = idx.search(q, k=QC10_K)
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 TV_DOC = 7
 MLT_TEXT = "dup dup spark merge filter"
 MLT_NT = 3
@@ -2657,13 +2676,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # backlog entries are queued for r6 and already selfcheck-green.
     # Entries past slot 50 are either green in a prior CORRECTNESS_r{N}
     # .json or queued for the next rotation — see the section comments.
-    # r6 queue = those 11 + the 16 new r5 entries at the dict tail
+    # r6 queue = those 11 + the 17 new r5 entries at the dict tail
     # (search_eval(+summary), index_upsert, emb_pq_topk, pq_recall,
     # ivfpq_recall, emb_hard_negatives, text_readability,
     # search_hybrid_rrf, dedup_exact_prefer, corpus_diff, search_decay,
-    # search_maxp, search_collapse, term_vector, search_mlt_text) = 27
-    # for 20 slots; prioritize the 16 new-code entries (ADVICE r4 #5
-    # principle), all selfcheck-green at sf0.01.
+    # search_maxp, search_collapse, term_vector, search_mlt_text,
+    # search_synonyms) = 28 for 20 slots; prioritize the 17 new-code
+    # entries (ADVICE r4 #5 principle), all selfcheck-green at sf0.01.
     return {
         "qc01_filter_eq": _qc01,
         "qc02_filter_cmp": _qc02,
@@ -2815,6 +2834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_collapse": _search_collapse,
         "term_vector": _term_vector,
         "search_mlt_text": _search_mlt_text,
+        "search_synonyms": _search_synonyms,
     }
 
 
@@ -5861,6 +5881,9 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
           FROM banded
         )
         SELECT * FROM ranked WHERE rank <= {HN_K}"""
+    # synonym expansion rewrites matchTerm(dup) into exactly qc10's
+    # matchAny(dup, spark): the oracle is qc10's SQL verbatim
+    o["search_synonyms"] = o["qc10_bm25_topk"]
     # term vector: the _CTE postings filtered to one doc
     o["term_vector"] = _CTE + f"""
         SELECT 'text' AS field, term, CAST(tf AS BIGINT) AS tf,

@@ -406,3 +406,103 @@ class F_:
     @staticmethod
     def missing(field: str) -> MissingFilter:
         return MissingFilter(field)
+
+
+def expand_synonyms(query: Query, synonyms: dict[str, "list[str] | tuple[str, ...]"]) -> Query:
+    """Query-time synonym expansion (Lucene SynonymGraphFilter / ES
+    search-time synonyms) as a PURE AST rewrite — the index never
+    changes, so synonym dictionaries can evolve without a re-index:
+
+    * ``MatchTerm(t)``         -> OR over {t} ∪ synonyms[t]
+    * ``MatchTermSet``         -> matchAny expands its term set in
+      place (flat union); matchAll rewrites each term to a nested
+      matchAny (term OR its synonyms) AND'd together; matchMin with
+      1 < n < k is REFUSED (an exact n-of-k-groups count is not
+      expressible without exponential blowup — restructure instead);
+    * ``MatchText``            -> each whitespace token with a synonym
+      group gains the alternatives (require_all preserved: every
+      original token must still match via itself or a synonym);
+    * boolean operators / boosts / filters recurse; phrase, near,
+      wildcard, regex, fuzzy and filters pass through UNCHANGED
+      (position and pattern semantics do not compose with word-level
+      alternatives — Lucene's graph filter has the same carve-outs).
+
+    Scoring note: an expanded term scores with ITS OWN statistics (a
+    rare synonym scores higher than a common original) — the standard
+    query-expansion behavior, same as Lucene's SynonymQuery-less
+    rewrite. Deterministic: alternatives keep dictionary order after
+    the original term.
+    """
+    syn = {k: tuple(v) for k, v in synonyms.items()}
+
+    def alts(term: str) -> tuple[str, ...]:
+        extra = tuple(s for s in syn.get(term, ()) if s != term)
+        return (term, *extra)
+
+    def rewrite(q: Query) -> Query:
+        if isinstance(q, MatchTerm):
+            a = alts(q.term)
+            if len(a) == 1:
+                return q
+            return MatchTermSet(q.field, a, min_match=1)
+        if isinstance(q, MatchTermSet):
+            groups = [alts(t) for t in q.terms]
+            if all(len(g) == 1 for g in groups):
+                return q
+            if q.min_match == 1:  # matchAny: flat union keeps semantics
+                flat: list[str] = []
+                for g in groups:
+                    for t in g:
+                        if t not in flat:
+                            flat.append(t)
+                return MatchTermSet(q.field, tuple(flat), min_match=1)
+            # matchAll / matchMin n: each original term satisfied by any
+            # of its alternatives; n-of-k semantics preserved via
+            # per-term any-groups
+            per_term = tuple(
+                MatchTerm(q.field, g[0])
+                if len(g) == 1
+                else MatchTermSet(q.field, g, min_match=1)
+                for g in groups
+            )
+            if q.min_match == len(q.terms):
+                return And(per_term)
+            # matchMin 1 < n < k with synonym groups would need an
+            # n-of-k-GROUPS count the AST cannot express without an
+            # exponential OR-of-combinations; refuse loudly rather
+            # than silently change semantics
+            raise ValueError(
+                "expand_synonyms: matchMin with 1 < min_match < "
+                "len(terms) cannot be synonym-expanded exactly; "
+                "restructure as matchAny/matchAll or expand terms "
+                "manually"
+            )
+        if isinstance(q, MatchText):
+            toks = q.text.split()
+            expanded = [alts(t) for t in toks]
+            if all(len(g) == 1 for g in expanded):
+                return q
+            per_tok = tuple(
+                MatchText(q.field, g[0], require_all=False)
+                if len(g) == 1
+                else Or(
+                    tuple(
+                        MatchText(q.field, t, require_all=False) for t in g
+                    )
+                )
+                for g in expanded
+            )
+            if q.require_all:
+                return And(per_tok)
+            return Or(per_tok)
+        if isinstance(q, And):
+            return And(tuple(rewrite(o) for o in q.operands))
+        if isinstance(q, Or):
+            return Or(tuple(rewrite(o) for o in q.operands))
+        if isinstance(q, Not):
+            return Not(rewrite(q.operand))
+        if isinstance(q, Boost):
+            return Boost(rewrite(q.operand), q.factor)
+        return q
+
+    return rewrite(query)

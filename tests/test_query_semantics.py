@@ -332,3 +332,71 @@ class TestMatchNear:
             near_index.compile(
                 Q.field("text").match_near("a b", window=-1)
             )
+
+
+class TestSynonymExpansion:
+    """Query-time synonym expansion (plans/ast.py::expand_synonyms):
+    pure AST rewrite, doc-set semantics pinned on the tiny corpus."""
+
+    SYN = {"a": ["c"], "zz": ["b"]}
+
+    def _docs(self, index, q):
+        return {r["doc_id"] for r in index.compile(q).collect()}
+
+    def test_term_gains_alternatives(self, tiny_index):
+        from sparksearchengine_spark.plans.ast import Q, expand_synonyms
+
+        # corpus: d1=[a,b,a] d2=[a,c] d3=[b,b,c,c]
+        base = Q.field("text").match_term("a")
+        exp = expand_synonyms(base, self.SYN)
+        assert self._docs(tiny_index, base) == {1, 2}
+        assert self._docs(tiny_index, exp) == {1, 2, 3}  # + c matches
+
+    def test_match_all_per_group(self, tiny_index):
+        from sparksearchengine_spark.plans.ast import Q, expand_synonyms
+
+        # matchAll(a, zz): no doc has zz; with zz->b, docs need
+        # (a or c) AND (zz or b) -> d1 (a,b), d2 (a? has a,c: needs b/zz
+        # -> no), d3 (c + b) -> {1, 3}
+        base = Q.field("text").match_all("a", "zz")
+        exp = expand_synonyms(base, self.SYN)
+        assert self._docs(tiny_index, base) == set()
+        assert self._docs(tiny_index, exp) == {1, 3}
+
+    def test_match_text_require_all(self, tiny_index):
+        from sparksearchengine_spark.plans.ast import Q, expand_synonyms
+
+        base = Q.field("text").match_all_text("a zz")
+        exp = expand_synonyms(base, self.SYN)
+        assert self._docs(tiny_index, exp) == {1, 3}
+
+    def test_recursion_and_passthrough(self, tiny_index):
+        from sparksearchengine_spark.plans.ast import (
+            MatchPhrase,
+            Q,
+            expand_synonyms,
+        )
+
+        base = ~Q.field("text").match_term("a") & Q.field("text").match_term("b")
+        exp = expand_synonyms(base, self.SYN)
+        # not(a|c) & b -> only docs with b but neither a nor c -> none
+        # (d1 has a, d3 has c) ... d3 has c -> excluded; d1 has a.
+        assert self._docs(tiny_index, exp) == set()
+        ph = MatchPhrase("text", "a b")
+        assert expand_synonyms(ph, self.SYN) is ph  # unchanged
+
+    def test_min_match_refused(self):
+        from sparksearchengine_spark.plans.ast import Q, expand_synonyms
+
+        import pytest as _pytest
+
+        base = Q.field("text").match_min(2, "a", "b", "zz")
+        with _pytest.raises(ValueError, match="matchMin"):
+            expand_synonyms(base, self.SYN)
+
+    def test_no_mapping_is_identity(self):
+        from sparksearchengine_spark.plans.ast import Q, expand_synonyms
+
+        q = Q.field("text").match_any("a", "b")
+        assert expand_synonyms(q, {}) is not None
+        assert expand_synonyms(q, {"other": ["x"]}) == q
