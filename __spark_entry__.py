@@ -2369,6 +2369,22 @@ def _dedup_exact_prefer(spark, sf):
     ).orderBy("doc_id")
 
 
+def _dedup_edit_join(spark, sf):
+    """Exact edit-distance similarity join (operators/dedup.py::
+    edit_distance_join, r5): q-gram prefix filtering + short-string
+    path + levenshtein verify over the distinct source tags (id = min
+    doc_id per tag). The oracle is the brute-force all-pairs
+    levenshtein — a hash match proves the filter lost no pair."""
+    from sparksearchengine_spark.operators.dedup import edit_distance_join
+
+    docs = _read(spark, sf, "documents")
+    vals = docs.groupBy("source").agg(F.min("doc_id").alias("doc_id"))
+    res = edit_distance_join(vals, "source", threshold=1)
+    return res.select(
+        "id_a", "id_b", F.col("dist").cast("long").alias("dist")
+    ).orderBy("id_a", "id_b")
+
+
 def _search_synonyms(spark, sf):
     """Query-time synonym expansion (plans/ast.py::expand_synonyms,
     r5): matchTerm('dup') under the mapping dup->spark rewrites to
@@ -2676,13 +2692,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # backlog entries are queued for r6 and already selfcheck-green.
     # Entries past slot 50 are either green in a prior CORRECTNESS_r{N}
     # .json or queued for the next rotation — see the section comments.
-    # r6 queue = those 11 + the 17 new r5 entries at the dict tail
+    # r6 queue = those 11 + the 18 new r5 entries at the dict tail
     # (search_eval(+summary), index_upsert, emb_pq_topk, pq_recall,
     # ivfpq_recall, emb_hard_negatives, text_readability,
     # search_hybrid_rrf, dedup_exact_prefer, corpus_diff, search_decay,
     # search_maxp, search_collapse, term_vector, search_mlt_text,
-    # search_synonyms) = 28 for 20 slots; prioritize the 17 new-code
-    # entries (ADVICE r4 #5 principle), all selfcheck-green at sf0.01.
+    # search_synonyms, dedup_edit_join) = 29 for 20 slots; prioritize
+    # the 18 new-code entries (ADVICE r4 #5 principle), all
+    # selfcheck-green at sf0.01.
     return {
         "qc01_filter_eq": _qc01,
         "qc02_filter_cmp": _qc02,
@@ -2835,6 +2852,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vector": _term_vector,
         "search_mlt_text": _search_mlt_text,
         "search_synonyms": _search_synonyms,
+        "dedup_edit_join": _dedup_edit_join,
     }
 
 
@@ -5881,6 +5899,17 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
           FROM banded
         )
         SELECT * FROM ranked WHERE rank <= {HN_K}"""
+    # edit-distance join: brute-force all-pairs levenshtein IS the
+    # oracle — proving the engine's prefix filter is lossless
+    o["dedup_edit_join"] = """
+        WITH v AS (
+          SELECT source, min(doc_id) AS did FROM documents GROUP BY source
+        )
+        SELECT a.did AS id_a, b.did AS id_b,
+               CAST(levenshtein(a.source, b.source) AS BIGINT) AS dist
+        FROM v a JOIN v b ON a.did < b.did
+        WHERE levenshtein(a.source, b.source) <= 1
+        ORDER BY id_a, id_b"""
     # synonym expansion rewrites matchTerm(dup) into exactly qc10's
     # matchAny(dup, spark): the oracle is qc10's SQL verbatim
     o["search_synonyms"] = o["qc10_bm25_topk"]

@@ -1117,3 +1117,124 @@ def winnow_overlap_pairs(
         )
         .where(F.col("overlap") >= float(min_overlap))
     )
+
+
+def edit_distance_join(
+    df: DataFrame,
+    col: str,
+    threshold: int = 1,
+    id_col: str = "doc_id",
+    q: int = 2,
+    other: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT edit-distance similarity self-join (or join against
+    ``other``): pairs ``(id_a, id_b, dist)`` with
+    ``levenshtein(s_a, s_b) <= threshold`` — entity resolution over
+    short strings (titles, names, source tags), the ED-join of the
+    string-similarity literature (prefix filtering over rarity-sorted
+    character q-grams; ICDE'22-class designs refine the same bound).
+
+    Exactness argument: one edit destroys at most ``q`` q-grams, so two
+    strings within distance t share all but ``q*t`` grams — any pair
+    must share at least one of each side's ``q*t + 1`` RAREST grams
+    (the prefix). Candidates come from joining only those prefixes;
+    every candidate is verified with the true ``levenshtein``. Strings
+    carrying ≤ ``q*t`` grams (shorter than ~``q*(t+1)`` chars) can
+    dodge the bound entirely, so they take a separate short-string path
+    joined against everything within the length window — both sides of
+    that join are bounded-length strings, and the length filter
+    ``|len_a − len_b| <= t`` prunes first.
+
+    At 100 TB: grams/hashes in the shuffle, never the long tail of
+    pairs — candidate count is bounded by prefix-gram collisions (the
+    rarity sort minimizes them), not |corpus|². NULL strings never
+    match. Self-join emits each unordered pair once (``id_a < id_b``);
+    with ``other`` the pair is (left id, right id).
+    """
+    if threshold < 0:
+        raise ValueError(f"threshold must be >= 0, got {threshold}")
+    if q < 1:
+        raise ValueError(f"q must be >= 1, got {q}")
+    pref = q * threshold + 1
+
+    def prep(frame: DataFrame, tag: str) -> DataFrame:
+        s = F.col(col)
+        # strings shorter than q carry their whole self as the one gram
+        grams = F.when(F.length(s) < q, F.array(s)).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - (q - 1)),
+                lambda i: s.substr(i, F.lit(q)),
+            )
+        )
+        return frame.where(s.isNotNull()).select(
+            F.col(id_col).alias(f"id_{tag}"),
+            s.alias(f"s_{tag}"),
+            F.length(s).alias(f"len_{tag}"),
+            F.array_distinct(grams).alias(f"g_{tag}"),
+        )
+
+    a = prep(df, "a").persist()
+    b = prep(other, "b") if other is not None else (
+        a.select(
+            F.col("id_a").alias("id_b"),
+            F.col("s_a").alias("s_b"),
+            F.col("len_a").alias("len_b"),
+            F.col("g_a").alias("g_b"),
+        )
+    )
+
+    # global gram rarity over BOTH sides -> rarity-sorted prefixes
+    ga = a.select(F.explode("g_a").alias("gram"))
+    gb = b.select(F.explode("g_b").alias("gram"))
+    freq = (
+        ga.unionByName(gb)
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+    def prefixes(side: DataFrame, tag: str) -> DataFrame:
+        ex = side.select(f"id_{tag}", F.explode(f"g_{tag}").alias("gram"))
+        ranked = ex.join(freq, "gram").withColumn(
+            "_r",
+            F.row_number().over(
+                Window.partitionBy(f"id_{tag}").orderBy("freq", "gram")
+            ),
+        )
+        return ranked.where(F.col("_r") <= pref).select(f"id_{tag}", "gram")
+
+    pa, pb = prefixes(a, "a"), prefixes(b, "b")
+    cand = pa.join(pb, "gram").select("id_a", "id_b").distinct()
+
+    # short strings (<= q*t grams) can share zero grams with a true
+    # match: pair them against everything in the length window instead.
+    # Both union branches are EMPTY frames when no short strings exist —
+    # no driver probe needed, the plan prunes them
+    short_a = a.where(F.size("g_a") <= q * threshold).select("id_a", "len_a")
+    short_b = b.where(F.size("g_b") <= q * threshold).select("id_b", "len_b")
+    extra_a = short_a.join(
+        b.select("id_b", "len_b"),
+        F.abs(F.col("len_a") - F.col("len_b")) <= threshold,
+    ).select("id_a", "id_b")
+    extra_b = a.select("id_a", "len_a").join(
+        short_b,
+        F.abs(F.col("len_a") - F.col("len_b")) <= threshold,
+    ).select("id_a", "id_b")
+    cand = cand.unionByName(extra_a).unionByName(extra_b).distinct()
+
+    verified = (
+        cand.join(a.select("id_a", "s_a", "len_a"), "id_a")
+        .join(b.select("id_b", "s_b", "len_b"), "id_b")
+        .where(F.abs(F.col("len_a") - F.col("len_b")) <= threshold)
+        .where(
+            F.levenshtein(F.col("s_a"), F.col("s_b")) <= threshold
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein(F.col("s_a"), F.col("s_b")).alias("dist"),
+        )
+    )
+    if other is None:
+        verified = verified.where(F.col("id_a") < F.col("id_b"))
+    a.unpersist()
+    return verified

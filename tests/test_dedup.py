@@ -938,3 +938,83 @@ class TestPreferCanon:
             for r in exact_dedup(df, ["text"]).collect()
         }
         assert got == {2: 2, 5: 2}
+
+
+class TestEditDistanceJoin:
+    def test_exact_vs_brute_force(self, spark):
+        """Prefix-filtered result must equal all-pairs levenshtein."""
+        from pyspark.sql import functions as F
+
+        from sparksearchengine_spark.operators.dedup import (
+            edit_distance_join,
+        )
+
+        names = [
+            (1, "smith"), (2, "smyth"), (3, "smithe"), (4, "jones"),
+            (5, "jonas"), (6, "ab"), (7, "cd"), (8, "abc"),
+            (9, None), (10, "smith"),
+        ]
+        df = spark.createDataFrame(names, "doc_id long, name string")
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_join(
+                df, "name", threshold=2, id_col="doc_id"
+            ).collect()
+        }
+        a = df.select(F.col("doc_id").alias("ia"), F.col("name").alias("na"))
+        b = df.select(F.col("doc_id").alias("ib"), F.col("name").alias("nb"))
+        want = {
+            (r.ia, r.ib, r.d)
+            for r in a.crossJoin(b)
+            .where(F.col("ia") < F.col("ib"))
+            .withColumn("d", F.levenshtein("na", "nb"))
+            .where(F.col("d") <= 2)
+            .collect()
+        }
+        assert got == want
+        assert (6, 7, 2) in got  # zero-shared-gram short-string pair
+
+    def test_two_table_join(self, spark):
+        from sparksearchengine_spark.operators.dedup import (
+            edit_distance_join,
+        )
+
+        a = spark.createDataFrame(
+            [(1, "hello"), (2, "world")], "doc_id long, s string"
+        )
+        b = spark.createDataFrame(
+            [(10, "helo"), (11, "word"), (12, "zzz")],
+            "doc_id long, s string",
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in edit_distance_join(
+                a, "s", threshold=1, other=b
+            ).collect()
+        }
+        assert got == {(1, 10), (2, 11)}
+
+    def test_threshold_zero_is_exact_match(self, spark):
+        from sparksearchengine_spark.operators.dedup import (
+            edit_distance_join,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "x y"), (2, "x y"), (3, "xy")], "doc_id long, s string"
+        )
+        got = {
+            (r.id_a, r.id_b)
+            for r in edit_distance_join(df, "s", threshold=0).collect()
+        }
+        assert got == {(1, 2)}
+
+    def test_bad_args(self, spark):
+        from sparksearchengine_spark.operators.dedup import (
+            edit_distance_join,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, s string")
+        with pytest.raises(ValueError, match="threshold"):
+            edit_distance_join(df, "s", threshold=-1)
+        with pytest.raises(ValueError, match="q must"):
+            edit_distance_join(df, "s", q=0)
