@@ -2680,26 +2680,19 @@ def _index_upsert(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver emits CORRECTNESS rows for the FIRST 50
-    # keys only.  Slots 1-30 are pinned to the SURVEY §2.10 qc suite (qc29/
-    # qc30 join in r5: escape handling + regex terms, new code this round);
+    # keys only.  Slots 1-30 are pinned to the SURVEY §2.10 qc suite;
     # slots 31-50 rotate each round over entries that have never had a
-    # driver row.  r5 rotation = the 4 canon-fix re-checks from VERDICT r4
-    # #1 (oracle/wrapper edits only — engine verified correct locally) + 16
-    # backlog entries, every one pre-validated with the driver-mirroring
-    # selfcheck (VERDICT r4 #2).  Note the slot arithmetic: 28 qc pins + 2
-    # new qc + 4 re-checks leaves 16 slots, so the verdict's ">=20 backlog"
-    # target cannot coexist with the pins in one round; the remaining 11
-    # backlog entries are queued for r6 and already selfcheck-green.
-    # Entries past slot 50 are either green in a prior CORRECTNESS_r{N}
-    # .json or queued for the next rotation — see the section comments.
-    # r6 queue = those 11 + the 18 new r5 entries at the dict tail
-    # (search_eval(+summary), index_upsert, emb_pq_topk, pq_recall,
-    # ivfpq_recall, emb_hard_negatives, text_readability,
-    # search_hybrid_rrf, dedup_exact_prefer, corpus_diff, search_decay,
-    # search_maxp, search_collapse, term_vector, search_mlt_text,
-    # search_synonyms, dedup_edit_join) = 29 for 20 slots; prioritize
-    # the 18 new-code entries (ADVICE r4 #5 principle), all
-    # selfcheck-green at sf0.01.
+    # driver row.  r6 rotation = the 18 r5-built entries that missed the
+    # r5 cutoff (VERDICT r5 "What's wrong" #2: new-code-first) plus
+    # doc_winnow and lang_id, whose only driver rows predate their oracles
+    # (r1 `no_oracle`).  Every rotated entry is selfcheck-green under the
+    # driver-mirroring canon.  The r5 rotation rows (table_profile ...
+    # decontam_bloom, all green in CORRECTNESS_r05) move past the cutoff.
+    # Remaining r7 queue (~25): the 11-entry older backlog (chunk_docs,
+    # curation_report, collocations_pmi, doc_keywords, more_like_this,
+    # pack_chunks, sample_per_group, clean_text, emb_quantize,
+    # doc_fingerprint, mm_image_features-re-row) + entries 104-122 never
+    # yet rotated + whatever r6 builds past its own slots.
     return {
         "qc01_filter_eq": _qc01,
         "qc02_filter_cmp": _qc02,
@@ -2731,14 +2724,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc28_exclusive_range": _qc28,
         "qc29_escaped_term": _qc29,
         "qc30_regex_term": _qc30,
-        # --- slots 31-34: r4's 4 canon-red rows, re-checked after the
-        # oracle/wrapper fixes (VERDICT r4 #1; engine untouched) ---
+        # --- slots 31-48: r6 rotation — the 18 r5-built entries that
+        # missed the r5 cutoff (new-code-first; all selfcheck-green) ---
+        "search_eval": _search_eval,
+        "search_eval_summary": _search_eval_summary,
+        "index_upsert": _index_upsert,
+        "emb_pq_topk": _emb_pq_topk,
+        "pq_recall": _pq_recall,
+        "ivfpq_recall": _ivfpq_recall,
+        "emb_hard_negatives": _emb_hard_negatives,
+        "text_readability": _text_readability,
+        "search_hybrid_rrf": _search_hybrid_rrf,
+        "dedup_exact_prefer": _dedup_exact_prefer,
+        "corpus_diff": _corpus_diff,
+        "search_decay": _search_decay,
+        "search_maxp": _search_maxp,
+        "search_collapse": _search_collapse,
+        "term_vector": _term_vector,
+        "search_mlt_text": _search_mlt_text,
+        "search_synonyms": _search_synonyms,
+        "dedup_edit_join": _dedup_edit_join,
+        # --- slots 49-50: r1-era `no_oracle` rows whose oracles landed
+        # later but never earned a driver re-row (VERDICT r5) ---
+        "doc_winnow": _doc_winnow,
+        "lang_id": _lang_id,
+        # --- past the 50-row cutoff: green in CORRECTNESS_r01-r05 ---
         "table_profile": _table_profile,
         "table_profile_grouped": _table_profile_grouped,
         "events_props": _events_props,
         "text_tfidf_embed": _text_tfidf_embed,
-        # --- slots 35-50: r5 rotation (never driver-checked; all
-        # pre-validated by the driver-mirroring selfcheck) ---
         "decontam_embedding": _decontam_embedding,
         "dedup_boilerplate": _dedup_boilerplate,
         "dedup_spans": _dedup_spans,
@@ -2754,12 +2768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_sample": _dsir_sample,
         "text_gopher": _text_gopher,
         "text_c4": _text_c4,
-        # slot 50: decontam_bloom is NEW code this round — new code
-        # outranks already-selfchecked backlog for a driver row
-        # (ADVICE r4 #5's principle); doc_fingerprint moved to the
-        # r6 queue
         "decontam_bloom": _decontam_bloom,
-        # --- past the 50-row cutoff: green in CORRECTNESS_r01-r04 ---
         "search_prf": _search_prf,
         "search_sigterms": _search_sigterms,
         "table_histogram": _table_histogram,
@@ -2814,12 +2823,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_text": _clean_text,
         "emb_quantize": _emb_quantize,
         "doc_fingerprint": _doc_fingerprint,
-        "lang_id": _lang_id,
         "events_hourly": _events_hourly,
         "events_hourly_windowed": _events_hourly_windowed,
         "events_trending": _events_trending,
         "token_stats": _token_stats,
-        "doc_winnow": _doc_winnow,
         "dedup_crossgram": _dedup_crossgram,
         "emb_semdedup": _emb_semdedup,
         "classifier_score": _classifier_score,
@@ -2834,25 +2841,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_grouped": _search_grouped,
         "bigram_quality": _bigram_quality,
         "url_domain_block": _url_domain_block,
-        # -- r5 additions past the cutoff: queued for the r6 rotation --
-        "search_eval": _search_eval,
-        "search_eval_summary": _search_eval_summary,
-        "index_upsert": _index_upsert,
-        "emb_pq_topk": _emb_pq_topk,
-        "pq_recall": _pq_recall,
-        "ivfpq_recall": _ivfpq_recall,
-        "emb_hard_negatives": _emb_hard_negatives,
-        "text_readability": _text_readability,
-        "search_hybrid_rrf": _search_hybrid_rrf,
-        "dedup_exact_prefer": _dedup_exact_prefer,
-        "corpus_diff": _corpus_diff,
-        "search_decay": _search_decay,
-        "search_maxp": _search_maxp,
-        "search_collapse": _search_collapse,
-        "term_vector": _term_vector,
-        "search_mlt_text": _search_mlt_text,
-        "search_synonyms": _search_synonyms,
-        "dedup_edit_join": _dedup_edit_join,
     }
 
 
