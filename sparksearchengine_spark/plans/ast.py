@@ -432,21 +432,51 @@ def expand_synonyms(query: Query, synonyms: dict[str, "list[str] | tuple[str, ..
     query-expansion behavior, same as Lucene's SynonymQuery-less
     rewrite. Deterministic: alternatives keep dictionary order after
     the original term.
+
+    Multi-word entries: dictionary KEYS must be single tokens (lookup
+    is per-token; a space-containing key could never fire and is
+    rejected up front). A multi-word VALUE ("usa" -> "united states")
+    is rejected in the MatchTerm/MatchTermSet paths — those operate on
+    vocabulary tokens, where a space-containing term is a silent
+    no-match — and rewritten to a ``MatchPhrase`` (consecutive words)
+    in the MatchText path, the same contraction Lucene's
+    SynonymGraphFilter models as a multi-token side path.
     """
     syn = {k: tuple(v) for k, v in synonyms.items()}
+    for k in syn:
+        if len(k.split()) != 1:
+            raise ValueError(
+                "expand_synonyms: synonym keys must be single tokens "
+                f"(lookup is per-token); got key {k!r}"
+            )
 
     def alts(term: str) -> tuple[str, ...]:
         extra = tuple(s for s in syn.get(term, ()) if s != term)
         return (term, *extra)
 
+    def token_alts(term: str) -> tuple[str, ...]:
+        """Alternatives for a TOKEN context (MatchTerm/MatchTermSet):
+        multi-word values cannot match the tokenized vocabulary."""
+        a = alts(term)
+        bad = [s for s in a if len(s.split()) != 1]
+        if bad:
+            raise ValueError(
+                "expand_synonyms: multi-word synonym value(s) "
+                f"{bad!r} for term {term!r} cannot be applied to a "
+                "term-level query (terms are single vocabulary "
+                "tokens); use matchText, or expand to a phrase "
+                "manually"
+            )
+        return a
+
     def rewrite(q: Query) -> Query:
         if isinstance(q, MatchTerm):
-            a = alts(q.term)
+            a = token_alts(q.term)
             if len(a) == 1:
                 return q
             return MatchTermSet(q.field, a, min_match=1)
         if isinstance(q, MatchTermSet):
-            groups = [alts(t) for t in q.terms]
+            groups = [token_alts(t) for t in q.terms]
             if all(len(g) == 1 for g in groups):
                 return q
             if q.min_match == 1:  # matchAny: flat union keeps semantics
@@ -482,14 +512,19 @@ def expand_synonyms(query: Query, synonyms: dict[str, "list[str] | tuple[str, ..
             expanded = [alts(t) for t in toks]
             if all(len(g) == 1 for g in expanded):
                 return q
+            def text_alt(t: str) -> Query:
+                # A multi-word alternative must match as consecutive
+                # words (phrase), not as an OR over its words — else
+                # "usa" -> "united states" would match docs containing
+                # only "united".
+                if len(t.split()) > 1:
+                    return MatchPhrase(q.field, t)
+                return MatchText(q.field, t, require_all=False)
+
             per_tok = tuple(
                 MatchText(q.field, g[0], require_all=False)
                 if len(g) == 1
-                else Or(
-                    tuple(
-                        MatchText(q.field, t, require_all=False) for t in g
-                    )
-                )
+                else Or(tuple(text_alt(t) for t in g))
                 for g in expanded
             )
             if q.require_all:
