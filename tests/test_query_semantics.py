@@ -400,3 +400,51 @@ class TestSynonymExpansion:
         q = Q.field("text").match_any("a", "b")
         assert expand_synonyms(q, {}) is not None
         assert expand_synonyms(q, {"other": ["x"]}) == q
+
+    def test_multiword_value_rejected_in_term_paths(self):
+        from sparksearchengine_spark.plans.ast import Q, expand_synonyms
+
+        import pytest as _pytest
+
+        mw = {"a": ["c d"]}
+        with _pytest.raises(ValueError, match="multi-word"):
+            expand_synonyms(Q.field("text").match_term("a"), mw)
+        with _pytest.raises(ValueError, match="multi-word"):
+            expand_synonyms(Q.field("text").match_any("a", "b"), mw)
+
+    def test_multiword_key_rejected(self):
+        from sparksearchengine_spark.plans.ast import Q, expand_synonyms
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="single tokens"):
+            expand_synonyms(
+                Q.field("text").match_term("a"), {"c d": ["a"]}
+            )
+
+    def test_multiword_value_becomes_phrase_in_text_path(self, tiny_index):
+        from sparksearchengine_spark.plans.ast import (
+            MatchPhrase,
+            Or,
+            Q,
+            expand_synonyms,
+        )
+
+        # corpus: d1=[a,b,a] d2=[a,c] d3=[b,b,c,c]. zz -> "b c": only a
+        # doc with CONSECUTIVE b c may match the alternative — d3 has
+        # [b,b,c,c] with b immediately before c at positions 2,3.
+        exp = expand_synonyms(
+            Q.field("text").match_text("zz"), {"zz": ["b c"]}
+        )
+        def flat(q):
+            if isinstance(q, Or):
+                for o in q.operands:
+                    yield from flat(o)
+            else:
+                yield q
+
+        assert isinstance(exp, Or)
+        assert any(isinstance(o, MatchPhrase) for o in flat(exp))
+        assert self._docs(tiny_index, exp) == {3}
+        # and NOT the or-over-words broadening: d1 has b without c
+        assert 1 not in self._docs(tiny_index, exp)
