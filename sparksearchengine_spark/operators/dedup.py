@@ -1119,6 +1119,25 @@ def winnow_overlap_pairs(
     )
 
 
+# prepared frames persisted by edit_distance_join live here until the
+# caller releases them — the result DataFrame is lazy, so the operator
+# cannot know when its cache stops being useful (same pattern as
+# dsir._feature_caches and SearchIndex._phrase_caches)
+_edit_join_caches: list[DataFrame] = []
+
+
+def release_edit_join_caches() -> None:
+    """Unpersist every prepared frame cached by
+    :func:`edit_distance_join` in this session; call after the joined
+    result has been materialized (written / collected)."""
+    for frame in _edit_join_caches:
+        try:
+            frame.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _edit_join_caches.clear()
+
+
 def edit_distance_join(
     df: DataFrame,
     col: str,
@@ -1150,6 +1169,12 @@ def edit_distance_join(
     rarity sort minimizes them), not |corpus|². NULL strings never
     match. Self-join emits each unordered pair once (``id_a < id_b``);
     with ``other`` the pair is (left id, right id).
+
+    Caching: the prepared left frame is persisted (it feeds gram
+    frequencies, prefixes, the short-string branches AND the final
+    verify join) and stays cached until the caller runs
+    :func:`release_edit_join_caches` — unpersisting before the result
+    materializes would recompute the prep four times (ADVICE r5).
     """
     if threshold < 0:
         raise ValueError(f"threshold must be >= 0, got {threshold}")
@@ -1205,20 +1230,55 @@ def edit_distance_join(
     pa, pb = prefixes(a, "a"), prefixes(b, "b")
     cand = pa.join(pb, "gram").select("id_a", "id_b").distinct()
 
-    # short strings (<= q*t grams) can share zero grams with a true
-    # match: pair them against everything in the length window instead.
-    # Both union branches are EMPTY frames when no short strings exist —
-    # no driver probe needed, the plan prunes them
-    short_a = a.where(F.size("g_a") <= q * threshold).select("id_a", "len_a")
-    short_b = b.where(F.size("g_b") <= q * threshold).select("id_b", "len_b")
-    extra_a = short_a.join(
-        b.select("id_b", "len_b"),
-        F.abs(F.col("len_a") - F.col("len_b")) <= threshold,
-    ).select("id_a", "id_b")
-    extra_b = a.select("id_a", "len_a").join(
-        short_b,
-        F.abs(F.col("len_a") - F.col("len_b")) <= threshold,
-    ).select("id_a", "id_b")
+    # short strings (<= q*t DISTINCT grams — includes long repetitive
+    # strings like "aaaa…", so no length bound holds on this set) can
+    # share zero grams with a true match: pair them against everything
+    # in the |len_a - len_b| <= t window instead. The window is joined
+    # as an EQUI join on length bands of width t+1 — the short side
+    # explodes into the (<= 3) bands overlapping [len-t, len+t], the
+    # full side keeps its single band — a hash join, not the
+    # broadcast-nested-loop a raw non-equi |len diff| predicate
+    # compiles to (ADVICE r5). Both union branches are EMPTY frames
+    # when no short strings exist — the plan prunes them.
+    bw = threshold + 1
+
+    def _bands(length: Column) -> Column:
+        return F.explode(
+            F.array_distinct(
+                F.sequence(
+                    F.floor((length - threshold) / bw).cast("long"),
+                    F.floor((length + threshold) / bw).cast("long"),
+                )
+            )
+        )
+
+    def _band(length: Column) -> Column:
+        return F.floor(length / bw).cast("long")
+
+    short_a = (
+        a.where(F.size("g_a") <= q * threshold)
+        .select("id_a", "len_a")
+        .withColumn("_band", _bands(F.col("len_a")))
+    )
+    short_b = (
+        b.where(F.size("g_b") <= q * threshold)
+        .select("id_b", "len_b")
+        .withColumn("_band", _bands(F.col("len_b")))
+    )
+    extra_a = (
+        short_a.join(
+            b.select("id_b", F.col("len_b"), _band(F.col("len_b")).alias("_band")),
+            "_band",
+        )
+        .where(F.abs(F.col("len_a") - F.col("len_b")) <= threshold)
+        .select("id_a", "id_b")
+    )
+    extra_b = (
+        a.select("id_a", F.col("len_a"), _band(F.col("len_a")).alias("_band"))
+        .join(short_b, "_band")
+        .where(F.abs(F.col("len_a") - F.col("len_b")) <= threshold)
+        .select("id_a", "id_b")
+    )
     cand = cand.unionByName(extra_a).unionByName(extra_b).distinct()
 
     verified = (
@@ -1236,5 +1296,8 @@ def edit_distance_join(
     )
     if other is None:
         verified = verified.where(F.col("id_a") < F.col("id_b"))
-    a.unpersist()
+    # keep `a` cached — it is re-read when the RETURNED frame finally
+    # materializes (the verify join); eager unpersist here would undo
+    # every reuse. Caller releases via release_edit_join_caches().
+    _edit_join_caches.append(a)
     return verified

@@ -1018,3 +1018,36 @@ class TestEditDistanceJoin:
             edit_distance_join(df, "s", threshold=-1)
         with pytest.raises(ValueError, match="q must"):
             edit_distance_join(df, "s", q=0)
+
+    def test_no_nested_loop_join_in_plan(self, spark):
+        """The short-string branches must compile to hash equi-joins on
+        length bands — never BroadcastNestedLoopJoin / CartesianProduct
+        (ADVICE r5: a raw non-equi |len diff| predicate is a
+        |short|x|corpus| nested loop)."""
+        from sparksearchengine_spark.operators.dedup import (
+            edit_distance_join,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "ab"), (2, "cd"), (3, "smith"), (4, "smyth")],
+            "doc_id long, s string",
+        )
+        plan = edit_distance_join(
+            df, "s", threshold=2
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_cache_release(self, spark):
+        from sparksearchengine_spark.operators import dedup as d
+
+        df = spark.createDataFrame(
+            [(1, "ab"), (2, "ac")], "doc_id long, s string"
+        )
+        before = len(d._edit_join_caches)
+        res = d.edit_distance_join(df, "s", threshold=1)
+        assert len(d._edit_join_caches) == before + 1
+        res.collect()
+        assert d._edit_join_caches[-1].is_cached
+        d.release_edit_join_caches()
+        assert not d._edit_join_caches
