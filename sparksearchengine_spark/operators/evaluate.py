@@ -82,6 +82,8 @@ def retrieval_metrics(
         ``rank_col`` is given it is trusted (rows with rank > k are
         dropped); otherwise ranks are recomputed by score descending,
         doc id ascending — the repo-wide deterministic tie-break.
+        Duplicate ``(query, doc)`` rows collapse to their best rank
+        before judging, so a doc can contribute at most once per query.
     labels : relevance judgments — ``(query_col, doc_col, grade_col)``.
         Duplicate judgments collapse to their max grade. Grades are
         graded-relevance reals; ``grade ≥ rel_threshold`` counts as
@@ -117,6 +119,12 @@ def retrieval_metrics(
             salt_buckets=salt_buckets,
             salt_col=d,
         ).select(q, d, "rank")
+    # a doc retrieved twice for the same query (trusted rank_col with
+    # repeats, or a fused/unioned result frame) must count ONCE — keep
+    # its best rank, else hits/precision/recall inflate past their
+    # definitions (ADVICE r5). k-bounded per query, so the groupBy is
+    # tiny.
+    ranked = ranked.groupBy(q, d).agg(F.min("rank").alias("rank"))
 
     hit = (F.col("_gain") >= F.lit(float(rel_threshold))).cast("int")
     per_q = (

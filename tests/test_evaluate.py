@@ -143,6 +143,31 @@ class TestRetrievalMetrics:
         with pytest.raises(ValueError, match="k must be"):
             retrieval_metrics(results, labels, k=0)
 
+    def test_duplicate_result_rows_count_once(self, spark):
+        """A doc retrieved twice for the same query (trusted rank_col
+        with repeats / fused result frames) contributes one hit at its
+        best rank — not one per occurrence (ADVICE r5)."""
+        dup = spark.createDataFrame(
+            [(1, 10, 1, 2.0), (1, 10, 3, 1.0), (1, 20, 2, 1.5)],
+            "query_id long, doc_id long, rank long, score double",
+        )
+        labels = spark.createDataFrame(
+            [(1, 10, 1.0)], "query_id long, doc_id long, grade double"
+        )
+        row = retrieval_metrics(
+            dup, labels, k=3, rank_col="rank"
+        ).collect()[0]
+        assert row.hits == 1
+        assert row.recall == 1.0
+        assert row.rr == 1.0  # best rank (1), not the repeat at 3
+        # recomputed-rank path with a literally duplicated input row
+        fused = spark.createDataFrame(
+            [(1, 10, 2.0), (1, 10, 2.0), (1, 20, 1.5)],
+            "query_id long, doc_id long, score double",
+        )
+        row2 = retrieval_metrics(fused, labels, k=3).collect()[0]
+        assert row2.hits == 1 and row2.rr == 1.0
+
 
 class TestRetrievalSummary:
     def test_macro_means(self, eval_frames):
