@@ -1111,11 +1111,16 @@ def pq_topk(
             f"({vec_src.columns}); pass rerank_items=<(id, vec) frame> "
             f"when scoring a precoded codes_col frame"
         )
-    q = queries.select(
+    # pure-ADC (rerank=0) only ever reads the LUT — keep the raw float
+    # query vectors out of the broadcast frame entirely in that path
+    # (ADVICE r5); the rerank path needs them for exact re-scoring.
+    q_cols = [
         F.col(query_id).alias("query_id"),
-        F.col(query_vec).alias("_qvec"),
         pq_lut_expr(F.col(query_vec), codebooks).alias("_lut"),
-    )
+    ]
+    if rerank > 0:
+        q_cols.insert(1, F.col(query_vec).alias("_qvec"))
+    q = queries.select(*q_cols)
     if codes_col is not None:
         it = items.select(
             F.col(item_id).alias("vec_id"), F.col(codes_col).alias("_codes")
@@ -1437,11 +1442,14 @@ def hard_negatives(
 
     The band filter runs BEFORE the top-k reduction, so the window only
     ranks in-band rows. Default scoring is the brute-force broadcast
-    scan (exact, one pass over items — `cosine_topk`'s plan); at corpus
-    scale pass ``candidates`` = a pre-scored ``(anchor_id, vec_id,
-    cos_sim)`` frame from any ANN path (`lsh_cosine_topk` /
+    scan (exact, one pass over items — `cosine_topk`'s plan), so the
+    anchors frame is hard-capped at ``COLLECT_MAX_QUERY_ROWS`` rows —
+    a corpus-scale anchors frame raises loudly instead of OOM-ing the
+    broadcast (the ``limit(cap+1)`` probe bounds the check itself). At
+    corpus scale pass ``candidates`` = a pre-scored ``(anchor_id,
+    vec_id, cos_sim)`` frame from any ANN path (`lsh_cosine_topk` /
     `ivf_search` / `ivfpq_search` with a large k) and only the band +
-    top-k logic runs here.
+    top-k logic runs here, fully distributed.
     """
     if not lo < hi:
         raise ValueError(f"need lo < hi, got [{lo}, {hi})")
@@ -1450,6 +1458,20 @@ def hard_negatives(
             F.col(anchor_id).alias("anchor_id"), "vec_id", "cos_sim"
         )
     else:
+        n_probe = (
+            anchors.select(anchor_id)
+            .limit(COLLECT_MAX_QUERY_ROWS + 1)
+            .count()
+        )
+        if n_probe > COLLECT_MAX_QUERY_ROWS:
+            raise ValueError(
+                "hard_negatives' default path broadcasts the anchors "
+                "frame and got more than "
+                f"COLLECT_MAX_QUERY_ROWS={COLLECT_MAX_QUERY_ROWS} anchor "
+                "rows. For corpus-scale anchors pre-score with an ANN "
+                "path (lsh_cosine_topk / ivf_search / ivfpq_search with "
+                "a large k) and pass it as candidates=."
+            )
         a = anchors.select(
             F.col(anchor_id).alias("anchor_id"),
             F.col(anchor_vec).alias("_qvec"),
