@@ -298,9 +298,6 @@ def batch_search(
     analyzers = {
         f: index.corpus.text_cols[f].query_time_analyzer() for f in fields
     }
-    if len(set(analyzers.values())) != 1:
-        raise ValueError("batch over mixed-analyzer fields not supported")
-    analyzer = next(iter(analyzers.values()))
 
     window_k = k
     if k_col:  # window cutoff must cover the LARGEST per-query k
@@ -308,14 +305,32 @@ def batch_search(
         window_k = int(max_k) if max_k is not None else k
 
     kexpr = F.col(k_col) if k_col else F.lit(k)
-    qterms = queries_df.select(
-        F.col(query_id_col).alias("query_id"),
-        fexpr.alias("field"),
-        kexpr.alias("_k"),
-        F.explode(
-            F.array_distinct(analyzer_expr(F.col(text_col), analyzer))
-        ).alias("term"),
-    )
+
+    # mixed-analyzer fields: one analysis branch per distinct analyzer
+    # (the reference's per-index loop trivially serves these —
+    # `LuceneIndex.scala:54-60`); each branch filters to its fields,
+    # analyzes with ITS analyzer, and the exploded term frames union
+    # into the one shared join/agg/top-k plan.
+    by_analyzer: dict[str, list[str]] = {}
+    for f in fields:
+        by_analyzer.setdefault(analyzers[f], []).append(f)
+
+    qterms = None
+    for an, fs in by_analyzer.items():
+        sub = (
+            queries_df.where(fexpr.isin(fs))
+            if len(by_analyzer) > 1
+            else queries_df
+        )
+        branch = sub.select(
+            F.col(query_id_col).alias("query_id"),
+            fexpr.alias("field"),
+            kexpr.alias("_k"),
+            F.explode(
+                F.array_distinct(analyzer_expr(F.col(text_col), an))
+            ).alias("term"),
+        )
+        qterms = branch if qterms is None else qterms.unionByName(branch)
 
     # per-posting scores are precomputed once per field and cached
     # (SearchIndex.scored_postings); stats differences between fields are
