@@ -2385,6 +2385,35 @@ def _dedup_edit_join(spark, sf):
     ).orderBy("id_a", "id_b")
 
 
+BDSL_K = 5
+
+
+def _batch_dsl_mixed(spark, sf):
+    """Heterogeneous per-query DSL batch (operators/search.py::
+    batch_search_dsl, r6) — the reference's batchSearch accepts ANY
+    DslQuery per id (`SearchableRDD.scala:194-197`): here a term, a
+    matchAll set, a phrase, and a boolean-with-negation run in ONE
+    batch. Term-class queries collapse into a single data-driven
+    postings join; the phrase and the boolean compile once each and
+    union into the shared per-query rank window. The oracle recomputes
+    each query independently in SQL and applies the same window."""
+    idx = _docs_index(spark, sf)
+    f = Q.field("text")
+    queries = [
+        (1, f.match_term(QC06_TERM)),
+        (2, f.match_all(*QC10_TERMS)),
+        (3, f.match_phrase(f"{QC09_W1} {QC09_W2}")),
+        (4, f.match_term(QC08_T1) & ~f.match_term(QC08_T2)),
+    ]
+    res = idx.batch_search_dsl(queries, k=BDSL_K)
+    return res.select(
+        "query_id",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
 def _search_synonyms(spark, sf):
     """Query-time synonym expansion (plans/ast.py::expand_synonyms,
     r5): matchTerm('dup') under the mapping dup->spark rewrites to
@@ -2744,11 +2773,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_mlt_text": _search_mlt_text,
         "search_synonyms": _search_synonyms,
         "dedup_edit_join": _dedup_edit_join,
-        # --- slots 49-50: r1-era `no_oracle` rows whose oracles landed
-        # later but never earned a driver re-row (VERDICT r5) ---
+        # --- slot 49: NEW r6 code (new-code-first) ---
+        "batch_dsl_mixed": _batch_dsl_mixed,
+        # --- slot 50: r1-era `no_oracle` row whose oracle landed later
+        # but never earned a driver re-row (VERDICT r5); lang_id (same
+        # class) moved to the r7 queue for the slot ---
         "doc_winnow": _doc_winnow,
-        "lang_id": _lang_id,
         # --- past the 50-row cutoff: green in CORRECTNESS_r01-r05 ---
+        "lang_id": _lang_id,
         "table_profile": _table_profile,
         "table_profile_grouped": _table_profile_grouped,
         "events_props": _events_props,
@@ -5901,6 +5933,65 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
     # synonym expansion rewrites matchTerm(dup) into exactly qc10's
     # matchAny(dup, spark): the oracle is qc10's SQL verbatim
     o["search_synonyms"] = o["qc10_bm25_topk"]
+    # heterogeneous DSL batch: each query recomputed independently in
+    # SQL (term / matchAll-with-count / bigram-phrase / and-not), then
+    # the same per-query rank window. Every per-doc score is a sum of
+    # <= 2 BM25 addends — IEEE-commutative-safe without the decimal
+    # recipe.
+    _bdsl_bm = _bm25_sql("p.tf", "p.dl", "t.df")
+    _q10_in = ",".join(f"'{t}'" for t in QC10_TERMS)
+    o["batch_dsl_mixed"] = _CTE + f"""
+        , s1 AS (
+          SELECT doc_id, sum({_bdsl_bm}) AS s
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          WHERE p.term = '{QC06_TERM}' GROUP BY doc_id
+        ),
+        s2 AS (
+          SELECT doc_id, sum({_bdsl_bm}) AS s
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          WHERE p.term IN ({_q10_in}) GROUP BY doc_id
+          HAVING count(*) >= {len(QC10_TERMS)}
+        ),
+        ph AS (
+          SELECT doc_id FROM toks
+          WHERE list_contains(
+            list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1]),
+            '{QC09_W1} {QC09_W2}')
+        ),
+        s3 AS (
+          SELECT p.doc_id, sum({_bdsl_bm}) AS s
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          JOIN ph ON ph.doc_id = p.doc_id
+          WHERE p.term IN ('{QC09_W1}','{QC09_W2}') GROUP BY p.doc_id
+        ),
+        s4 AS (
+          SELECT doc_id, sum({_bdsl_bm}) AS s
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          WHERE p.term = '{QC08_T1}'
+            AND doc_id NOT IN
+                (SELECT doc_id FROM postings WHERE term = '{QC08_T2}')
+          GROUP BY doc_id
+        ),
+        u AS (
+          SELECT CAST(1 AS BIGINT) AS query_id, doc_id, s FROM s1
+          UNION ALL SELECT 2, doc_id, s FROM s2
+          UNION ALL SELECT 3, doc_id, s FROM s3
+          UNION ALL SELECT 4, doc_id, s FROM s4
+        ),
+        r AS (
+          SELECT query_id, doc_id, round(s, 6) AS score,
+                 CAST(row_number() OVER
+                      (PARTITION BY query_id
+                       ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+          FROM u
+        )
+        SELECT * FROM r WHERE rank <= {BDSL_K}
+        ORDER BY query_id, rank"""
     # term vector: the _CTE postings filtered to one doc
     o["term_vector"] = _CTE + f"""
         SELECT 'text' AS field, term, CAST(tf AS BIGINT) AS tf,

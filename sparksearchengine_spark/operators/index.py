@@ -365,6 +365,11 @@ class SearchIndex:
 
         return batch_search(self, queries_df, k=k, **kw)
 
+    def batch_search_dsl(self, queries, k: int = 10, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.search import batch_search_dsl
+
+        return batch_search_dsl(self, queries, k=k, **kw)
+
     def query_join(self, other: DataFrame, text_col: str, field: str, k: int = 10, **kw):  # type: ignore[no-untyped-def]
         from sparksearchengine_spark.operators.search import query_join
 

@@ -359,6 +359,154 @@ def batch_search(
     return ranked.select("query_id", DOC_ID, SCORE, "rank")
 
 
+def batch_search_dsl(
+    index: "SearchIndex",
+    queries: "Iterable[tuple[int, Query]]",
+    k: int = 10,
+    salt_buckets: int | None = None,
+    max_plans: int = 64,
+) -> DataFrame:
+    """E5 generalized — many ARBITRARY DSL query trees in one pass.
+
+    The reference's ``batchSearch(Iterable[(Long, DslQuery)])`` accepts
+    any query per id — phrases, booleans, filters included
+    (`SearchableRDD.scala:194-197`; executed as a per-index loop,
+    `impl/LuceneIndex.scala:54-60`). This is that API with the loop
+    replaced by shape-grouped plans:
+
+    * **term-class queries** (matchTerm / matchAll / matchAny /
+      matchMin / matchText) become DATA — one shared plan: literal
+      ``(query_id, field, term, min_match)`` rows joined to the cached
+      scored postings, ``groupBy(query_id, doc_id)`` partial agg, a
+      matched-clause count filter, one per-query rank window. A
+      thousand term-class queries cost ONE join, exactly like
+      :func:`batch_search`.
+    * **every other shape** (phrase, near, wildcard, regex, fuzzy,
+      booleans, filters, boosts, raw) compiles through the standard
+      single-query compiler ONCE PER DISTINCT AST — duplicate queries
+      share a plan via a broadcast id-attach join — and the k-bounded
+      results union into the same final top-k window. Plan count is
+      bounded by ``max_plans`` distinct non-term shapes (loud error
+      beyond: split the batch, or precompile saved searches with the
+      percolator for corpus-scale standing-query sets).
+
+    Scores are bit-identical to per-query ``search()`` — term-class
+    batching reuses the same cached per-posting floats and the same
+    distinct-term sum + min_match threshold as the compiler's
+    ``_term_set``; term sets carrying DUPLICATE clauses (min_match
+    weighting differs) route to the compiler path for exactness.
+
+    Returns ``(query_id, doc_id, score, rank)``; queries with no hits
+    contribute no rows (same contract as `batch_search`).
+    """
+    from sparksearchengine_spark.functions.analyzers import tokenize_py
+    from sparksearchengine_spark.plans import ast
+
+    qlist = list(queries)
+    ids = [qid for qid, _ in qlist]
+    if len(set(ids)) != len(ids):
+        raise ValueError("duplicate query ids in batch")
+    spark = index.postings.sparkSession
+    if not qlist:
+        return spark.createDataFrame(
+            [], f"query_id long, {DOC_ID} long, {SCORE} double, rank int"
+        )
+
+    def _as_termset(q) -> "tuple[str, tuple[str, ...], int] | None":
+        """(field, distinct_terms, min_match) when the query is
+        term-class with distinct clauses, else None."""
+        if isinstance(
+            q, (ast.MatchTerm, ast.MatchTermSet, ast.MatchText)
+        ) and q.field not in index.corpus.text_cols:
+            raise ValueError(
+                f"field {q.field!r} is not a searchable text column "
+                f"(declared: {sorted(index.corpus.text_cols)})"
+            )
+        if isinstance(q, ast.MatchTerm):
+            return q.field, (q.term,), 1
+        if isinstance(q, ast.MatchTermSet):
+            if len(set(q.terms)) != len(q.terms):
+                return None  # duplicate clauses: weighted threshold
+            return q.field, tuple(sorted(q.terms)), q.min_match
+        if isinstance(q, ast.MatchText):
+            analyzer = index.corpus.text_cols[
+                q.field
+            ].query_time_analyzer()
+            terms = tuple(sorted(set(tokenize_py(q.text, analyzer))))
+            if not terms:
+                return q.field, (), 0  # analyzes to nothing: no hits
+            return (
+                q.field,
+                terms,
+                len(terms) if q.require_all else 1,
+            )
+        return None
+
+    term_rows: list[tuple[int, str, str, int]] = []
+    general: dict = {}  # ast -> [query_ids] (frozen dataclasses hash)
+    for qid, q in qlist:
+        ts = _as_termset(q)
+        if ts is not None:
+            field, terms, min_match = ts
+            for t in terms:
+                term_rows.append((qid, field, t, min_match))
+        else:
+            general.setdefault(q, []).append(qid)
+
+    if len(general) > max_plans:
+        raise ValueError(
+            f"batch has {len(general)} distinct non-term-class query "
+            f"shapes (> max_plans={max_plans}); each costs a compiled "
+            "plan. Split the batch, raise max_plans, or move standing "
+            "query sets to streaming.prepare_percolator."
+        )
+
+    branches: list[DataFrame] = []
+    if term_rows:
+        qterms = spark.createDataFrame(
+            term_rows, "query_id long, field string, term string, _minm int"
+        )
+        fields = sorted({r[1] for r in term_rows})
+        sp = None
+        for f in fields:
+            one = index.scored_postings(f).withColumn("field", F.lit(f))
+            sp = one if sp is None else sp.unionByName(one)
+        # the query side is a driver-built literal bounded by the
+        # caller's Iterable — always broadcast, postings never shuffle
+        scored = sp.join(F.broadcast(qterms), ["field", "term"])
+        agg = scored.groupBy("query_id", DOC_ID).agg(
+            F.sum("tscore").alias(SCORE),
+            F.count(F.lit(1)).alias("_nm"),  # distinct terms per query
+            F.first("_minm").alias("_minm"),
+        )
+        branches.append(
+            agg.where(F.col("_nm") >= F.col("_minm")).select(
+                "query_id", DOC_ID, SCORE
+            )
+        )
+    for q, qids in general.items():
+        compiled = index.compile(q)
+        id_frame = spark.createDataFrame(
+            [(int(i),) for i in qids], "query_id long"
+        )
+        branches.append(
+            compiled.crossJoin(F.broadcast(id_frame)).select(
+                "query_id", DOC_ID, SCORE
+            )
+        )
+
+    unioned = branches[0]
+    for b in branches[1:]:
+        unioned = unioned.unionByName(b)
+    return topk_per_group(
+        unioned,
+        ["query_id"],
+        [F.col(SCORE).desc(), F.col(DOC_ID).asc()],
+        k=k,
+        salt_buckets=salt_buckets,
+    ).select("query_id", DOC_ID, SCORE, "rank")
+
+
 # -- E7-E10: query join ----------------------------------------------------
 
 
