@@ -2388,6 +2388,38 @@ def _dedup_edit_join(spark, sf):
 BDSL_K = 5
 
 
+def _query_join_filters(spark, sf):
+    """queryGenerator-style per-row filters in the query join
+    (operators/search.py::query_join row_filters, r6; reference
+    `SearchableRDD.scala:259-269` generates an arbitrary DslQuery per
+    row): each query row of the qc15 slice additionally requires its
+    matches to satisfy n_chars <= ITS OWN n_chars — the filter is a
+    data join on the candidate aggregate, zero score contribution,
+    applied before the rank window."""
+    from sparksearchengine_spark.operators.search import query_join
+
+    idx = _docs_index(spark, sf)
+    docs = _read(spark, sf, "documents")
+    other = docs.where(
+        (F.col("doc_id") >= QC15_LO) & (F.col("doc_id") < QC15_HI)
+    ).select("doc_id", "text", "n_chars")
+    res = query_join(
+        idx,
+        other,
+        text_col="text",
+        field="text",
+        k=QC15_K,
+        other_id_col="doc_id",
+        row_filters=[("n_chars", "<=", "n_chars")],
+    )
+    return res.select(
+        F.col("doc_id").alias("query_id"),
+        "match_doc_id",
+        F.round("score", 6).alias("score"),
+        "rank",
+    )
+
+
 def _batch_dsl_mixed(spark, sf):
     """Heterogeneous per-query DSL batch (operators/search.py::
     batch_search_dsl, r6) — the reference's batchSearch accepts ANY
@@ -2773,13 +2805,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_mlt_text": _search_mlt_text,
         "search_synonyms": _search_synonyms,
         "dedup_edit_join": _dedup_edit_join,
-        # --- slot 49: NEW r6 code (new-code-first) ---
+        # --- slots 49-50: NEW r6 code (new-code-first; doc_winnow and
+        # lang_id, the r1-era no_oracle re-checks, yield their slots to
+        # the r7 queue) ---
         "batch_dsl_mixed": _batch_dsl_mixed,
-        # --- slot 50: r1-era `no_oracle` row whose oracle landed later
-        # but never earned a driver re-row (VERDICT r5); lang_id (same
-        # class) moved to the r7 queue for the slot ---
+        "query_join_filters": _query_join_filters,
+        # --- past the 50-row cutoff: green in CORRECTNESS_r01-r05,
+        # or queued for r7 ---
         "doc_winnow": _doc_winnow,
-        # --- past the 50-row cutoff: green in CORRECTNESS_r01-r05 ---
         "lang_id": _lang_id,
         "table_profile": _table_profile,
         "table_profile_grouped": _table_profile_grouped,
@@ -5940,6 +5973,39 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
     # recipe.
     _bdsl_bm = _bm25_sql("p.tf", "p.dl", "t.df")
     _q10_in = ",".join(f"'{t}'" for t in QC10_TERMS)
+    # query join with a per-row attribute filter: qc15's join, candidates
+    # additionally restricted to d.n_chars <= the QUERY row's n_chars
+    # before the rank window (zero score contribution)
+    o["query_join_filters"] = _CTE + f"""
+        , q AS (
+          SELECT t.doc_id AS query_id, list_distinct(t.toks) AS qt,
+                 d.n_chars AS qnc
+          FROM toks t JOIN documents d USING (doc_id)
+          WHERE t.doc_id >= {QC15_LO} AND t.doc_id < {QC15_HI}
+        ),
+        qterms AS (SELECT query_id, unnest(qt) AS term FROM q),
+        scored AS (
+          SELECT qt.query_id, p.doc_id, sum({_bdsl_bm}) AS s
+          FROM qterms qt
+          JOIN postings p USING (term)
+          JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          GROUP BY qt.query_id, p.doc_id
+        ),
+        filt AS (
+          SELECT s.query_id, s.doc_id, s.s
+          FROM scored s
+          JOIN documents d ON d.doc_id = s.doc_id
+          JOIN q ON q.query_id = s.query_id
+          WHERE d.n_chars <= q.qnc
+        ),
+        ranked AS (
+          SELECT query_id, doc_id AS match_doc_id, round(s, 6) AS score,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+          FROM filt
+        )
+        SELECT * FROM ranked WHERE rank <= {QC15_K}"""
     o["batch_dsl_mixed"] = _CTE + f"""
         , s1 AS (
           SELECT doc_id, sum({_bdsl_bm}) AS s

@@ -606,9 +606,24 @@ def query_join(
     salt_buckets: int | None = None,
     broadcast_queries: bool | None = None,
     dedup_queries: bool = False,
+    row_filters: "list[tuple[str, str, str]] | None" = None,
 ) -> DataFrame:
     """E7 — the flagship similarity join: for each row of ``other``, run the
     query generated from its ``text_col`` against the index, keep top-k.
+
+    ``row_filters`` widens the generated query toward the reference's
+    fully general ``queryGenerator: U => DslQuery``
+    (`SearchableRDD.scala:259-269`): each ``(doc_field, op, other_col)``
+    triple ANDs the per-row filter ``F_.op(doc_field, row[other_col])``
+    into that row's query — e.g. ``[("views", ">=", "min_views"),
+    ("lang", "=", "qlang")]`` keeps only matches whose corpus
+    attributes satisfy the QUERY ROW's values. Filters follow the DSL's
+    Occur.FILTER contract: they restrict the candidate set BEFORE the
+    top-k window and contribute zero score. Ops: = != > >= < <=.
+    Executed as data — one doc-attribute join plus one query-values
+    join on the candidate aggregate, never a per-row plan. (Per-row
+    queries with differing STRUCTURE have no data-driven plan; map rows
+    to ASTs driver-side and use `batch_search_dsl` for bounded sets.)
 
     Returns other.* + (match_doc_id, score, rank) flat rows (the
     reference's RDD[(U, Array[(T,score)])] re-expressed relationally; use
@@ -639,6 +654,25 @@ def query_join(
     ``min_should_match``/``require_all`` mirror matchAny/matchMin/matchAll
     query generation.
     """
+    _FILTER_OPS = {
+        "=": lambda a, b: a == b,
+        "!=": lambda a, b: a != b,
+        ">": lambda a, b: a > b,
+        ">=": lambda a, b: a >= b,
+        "<": lambda a, b: a < b,
+        "<=": lambda a, b: a <= b,
+    }
+    row_filters = list(row_filters or [])
+    for fld, op, col in row_filters:
+        if op not in _FILTER_OPS:
+            raise ValueError(
+                f"row_filters op {op!r} not in {sorted(_FILTER_OPS)}"
+            )
+        if col not in other.columns:
+            raise ValueError(
+                f"row_filters column {col!r} not in other ({other.columns})"
+            )
+
     # query-time analysis of the `other` side (query_analyzer override
     # applies; index-time analysis already happened at build)
     analyzer = index.corpus.text_cols[field].query_time_analyzer()
@@ -671,8 +705,19 @@ def query_join(
         # the hash. NULL/empty text hashes but explodes to no terms ->
         # no ranked rows -> left join yields null match columns, same as
         # the id path.
+        # with row_filters the execution key must ALSO distinguish rows
+        # by their filter values: same term set + different thresholds
+        # are different queries
+        hash_src = (
+            F.struct(
+                F.col("_qkey"),
+                *[F.col(c) for _, _, c in row_filters],
+            )
+            if row_filters
+            else F.col("_qkey")
+        )
         other = other.withColumn("_qkey", F.sort_array(qtoks)).withColumn(
-            "_qh", F.md5(F.to_json(F.col("_qkey")))
+            "_qh", F.md5(F.to_json(hash_src))
         )
         qterms = (
             other.select(
@@ -717,6 +762,39 @@ def query_join(
         agg = agg.where(F.col("_nmatched") == F.col("_nq"))
     elif min_should_match > 1:
         agg = agg.where(F.col("_nmatched") >= min_should_match)
+    if row_filters:
+        # Occur.FILTER semantics: restrict candidates BEFORE the rank
+        # window, zero score contribution. Doc attributes come from one
+        # corpus join on doc_id; the query row's comparison values from
+        # one join on the query key (broadcast under the same policy as
+        # the term side).
+        c = index.corpus
+        attrs = c.df.select(
+            F.col(c.id_col).cast("long").alias(DOC_ID),
+            *[
+                F.col(fld).alias(f"_doc_{i}")
+                for i, (fld, _, _) in enumerate(row_filters)
+            ],
+        )
+        qv_key = "_qh" if dedup_queries else other_id_col
+        qvals = other.select(
+            F.col(qv_key).alias(key),
+            *[
+                F.col(col).alias(f"_qv_{i}")
+                for i, (_, _, col) in enumerate(row_filters)
+            ],
+        ).dropDuplicates([key])
+        agg = agg.join(attrs, DOC_ID).join(
+            _hint_query_side(qvals, size_src, broadcast_queries), key
+        )
+        for i, (fld, op, col) in enumerate(row_filters):
+            agg = agg.where(
+                _FILTER_OPS[op](F.col(f"_doc_{i}"), F.col(f"_qv_{i}"))
+            )
+        agg = agg.drop(
+            *[f"_doc_{i}" for i in range(len(row_filters))],
+            *[f"_qv_{i}" for i in range(len(row_filters))],
+        )
     ranked = topk_per_group(
         agg,
         [key],

@@ -329,6 +329,81 @@ class TestQueryJoin:
         assert [m["match_doc_id"] for m in nested[0]["matches"]] == [1, 2]
 
 
+class TestQueryJoinRowFilters:
+    """row_filters: the queryGenerator-style per-row filter AND
+    (reference `SearchableRDD.scala:259-269` generates arbitrary
+    DslQuery per row; attribute constraints execute here as data)."""
+
+    def test_equals_per_row_search(self, spark, tiny_index):
+        from sparksearchengine_spark import F_, Q
+
+        # corpus views: d1=10 d2=20 d3=30
+        other = spark.createDataFrame(
+            [(1, "a b c", 5), (2, "a b c", 15), (3, "a b c", 25)],
+            "id long, t string, min_views int",
+        )
+        res = tiny_index.query_join(
+            other,
+            text_col="t",
+            field="text",
+            k=5,
+            other_id_col="id",
+            row_filters=[("views", ">", "min_views")],
+        )
+        got: dict = {}
+        for r in res.collect():
+            if r["match_doc_id"] is not None:
+                got.setdefault(r["id"], set()).add(
+                    (r["match_doc_id"], round(r["score"], 6))
+                )
+        for qid, mv in [(1, 5), (2, 15), (3, 25)]:
+            q = Q.field("text").match_text("a b c") & F_.gt("views", mv)
+            want = {
+                (r.doc_id, round(r.score, 6))
+                for r in tiny_index.search(q, k=5).collect()
+            }
+            assert got.get(qid, set()) == want, f"row {qid}"
+
+    def test_dedup_path_distinguishes_filter_values(self, spark, tiny_index):
+        # same text, different thresholds: must NOT collapse to one query
+        other = spark.createDataFrame(
+            [(1, "a b c", 5), (2, "a b c", 25)],
+            "id long, t string, min_views int",
+        )
+        plain = tiny_index.query_join(
+            other, text_col="t", field="text", k=5, other_id_col="id",
+            row_filters=[("views", ">", "min_views")],
+        )
+        dedup = tiny_index.query_join(
+            other, text_col="t", field="text", k=5,
+            row_filters=[("views", ">", "min_views")], dedup_queries=True,
+        )
+        canon = lambda df: sorted(
+            (r["id"], r["match_doc_id"], r["rank"])
+            for r in df.collect()
+        )
+        assert canon(plain) == canon(dedup)
+        # and row 1 really sees more matches than row 2
+        n1 = len([r for r in plain.collect() if r["id"] == 1 and r["match_doc_id"] is not None])
+        n2 = len([r for r in plain.collect() if r["id"] == 2 and r["match_doc_id"] is not None])
+        assert n1 > n2
+
+    def test_bad_filter_args_raise(self, spark, tiny_index):
+        other = spark.createDataFrame(
+            [(1, "a", 5)], "id long, t string, mv int"
+        )
+        with pytest.raises(ValueError, match="row_filters op"):
+            tiny_index.query_join(
+                other, text_col="t", field="text", other_id_col="id",
+                row_filters=[("views", "~", "mv")],
+            )
+        with pytest.raises(ValueError, match="row_filters column"):
+            tiny_index.query_join(
+                other, text_col="t", field="text", other_id_col="id",
+                row_filters=[("views", ">", "nope")],
+            )
+
+
 class TestQueryJoinDedup:
     """dedup_queries=True must be a pure optimization: row-for-row equal
     to the id path, including on duplicate-heavy inputs where the
