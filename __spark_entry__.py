@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from sparksearchengine_spark import Corpus, Q, TextOptions
+from sparksearchengine_spark import Corpus, F_, Q, TextOptions
 from sparksearchengine_spark.functions.scoring import bm25_term_score, idf_expr
 from sparksearchengine_spark.operators.textstats import LANG_STOPWORDS
 
@@ -2436,6 +2436,12 @@ def _batch_dsl_mixed(spark, sf):
         (2, f.match_all(*QC10_TERMS)),
         (3, f.match_phrase(f"{QC09_W1} {QC09_W2}")),
         (4, f.match_term(QC08_T1) & ~f.match_term(QC08_T2)),
+        (
+            5,
+            f.match_term(QC06_TERM)
+            & F_.ge("n_chars", QC28_LO)
+            & F_.lt("n_chars", QC28_HI),
+        ),
     ]
     res = idx.batch_search_dsl(queries, k=BDSL_K)
     return res.select(
@@ -6043,11 +6049,17 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
                 (SELECT doc_id FROM postings WHERE term = '{QC08_T2}')
           GROUP BY doc_id
         ),
+        s5 AS (
+          SELECT s1.doc_id, s1.s
+          FROM s1 JOIN documents d USING (doc_id)
+          WHERE d.n_chars >= {QC28_LO} AND d.n_chars < {QC28_HI}
+        ),
         u AS (
           SELECT CAST(1 AS BIGINT) AS query_id, doc_id, s FROM s1
           UNION ALL SELECT 2, doc_id, s FROM s2
           UNION ALL SELECT 3, doc_id, s FROM s3
           UNION ALL SELECT 4, doc_id, s FROM s4
+          UNION ALL SELECT 5, doc_id, s FROM s5
         ),
         r AS (
           SELECT query_id, doc_id, round(s, 6) AS score,
