@@ -29,7 +29,6 @@ Scale shapes (the part that must survive 100 TB):
 
 from __future__ import annotations
 
-import hashlib
 import math
 from dataclasses import dataclass
 
@@ -537,34 +536,66 @@ def bloom_gram_filter(
             ).alias("gram")
         )
         .distinct()
+        .persist()
     )
-    rows = grams_df.limit(max_eval_grams + 1).collect()
-    if len(rows) > max_eval_grams:
-        raise ValueError(
-            f"bloom_gram_filter collects the eval grams driver-side "
-            f"and got more than max_eval_grams={max_eval_grams}. "
-            "Shard the eval set into several filters, or raise "
-            "bits_per_gram memory permitting and pass a bigger cap "
-            "explicitly."
-        )
-    n_grams = len(rows)
-    m = _bloom_bits(bits_per_gram, n_grams)
-    pairs = []
-    for r in rows:
-        hx = hashlib.md5(r["gram"].encode()).hexdigest()
-        # h2 forced ODD: an even m with h2 % m == 0 would collapse
-        # all k indexes onto one bit (that gram's fpp -> the whole
-        # filter's fill ratio, ~0.5); an odd step always walks k
-        # distinct bits
-        pairs.append((int(hx[:8], 16) % m, (int(hx[8:16], 16) % m) | 1))
-    words = [0] * (m // 64)
-    for h1, h2 in pairs:
-        for i in range(k):
-            h = (h1 + i * h2) % m
-            words[h // 64] |= 1 << (h % 64)
-    signed = tuple(w - (1 << 64) if w >= (1 << 63) else w for w in words)
+    try:
+        n_grams = grams_df.limit(max_eval_grams + 1).count()
+        if n_grams > max_eval_grams:
+            raise ValueError(
+                f"bloom_gram_filter got more than "
+                f"max_eval_grams={max_eval_grams} distinct eval grams "
+                f"(the packed bitset broadcast would exceed "
+                f"{4 * max_eval_grams >> 20} MB). Shard the eval set "
+                "into several filters, or raise the cap explicitly "
+                "memory permitting."
+            )
+        m = _bloom_bits(bits_per_gram, n_grams)
+        words = [0] * (m // 64)
+        if n_grams:
+            # the bitset is PACKED ON THE EXECUTORS (r6; VERDICT r5 #6):
+            # grams hash with the exact probe-side md5 recipe, explode
+            # to their k bit positions, and a bit_or aggregation packs
+            # 64-bit words — only the ~4-bytes-per-gram word rows reach
+            # the driver, never the gram strings. h2 forced ODD: an
+            # even m with h2 % m == 0 would collapse all k indexes onto
+            # one bit (that gram's fpp -> the whole filter's fill
+            # ratio, ~0.5); an odd step always walks k distinct bits.
+            hx = F.md5(F.col("gram"))
+            h1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % m
+            h2 = (
+                F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % m
+            ).bitwiseOR(F.lit(1))
+            packed = (
+                grams_df.select(h1.alias("_h1"), h2.alias("_h2"))
+                .select(
+                    "_h1",
+                    "_h2",
+                    F.explode(
+                        F.sequence(F.lit(0), F.lit(k - 1))
+                    ).alias("_i"),
+                )
+                .select(
+                    (
+                        (F.col("_h1") + F.col("_i") * F.col("_h2")) % m
+                    ).alias("_h")
+                )
+                .select(
+                    F.shiftright("_h", 6).alias("_w"),
+                    F.expr(
+                        "shiftleft(CAST(1 AS BIGINT), "
+                        "CAST(_h % 64 AS INT))"
+                    ).alias("_b"),
+                )
+                .groupBy("_w")
+                .agg(F.bit_or("_b").alias("_word"))
+                .collect()
+            )
+            for r in packed:
+                words[r["_w"]] = r["_word"]
+    finally:
+        grams_df.unpersist()
     return BloomGramFilter(
-        words=signed,
+        words=tuple(words),
         n_bits=m,
         k=k,
         n=n,

@@ -403,6 +403,50 @@ class TestBloomDecontam:
         with pytest.raises(ValueError, match="max_eval_grams"):
             bloom_gram_filter(ev, n=3, max_eval_grams=1)
 
+    def test_executor_pack_bit_identical_to_driver_reference(
+        self, spark, train_eval
+    ):
+        """The distributed bitset pack (r6: grams hash + bit_or on the
+        executors, only packed words reach the driver) must reproduce
+        the original driver-side Python loop bit for bit."""
+        import hashlib
+
+        from pyspark.sql import functions as F
+
+        from sparksearchengine_spark.functions.analyzers import (
+            analyzer_expr,
+        )
+        from sparksearchengine_spark.operators.dedup import token_ngrams
+        from sparksearchengine_spark.operators.decontam import (
+            bloom_gram_filter,
+        )
+
+        _, ev = train_eval
+        b = bloom_gram_filter(ev, n=3, bits_per_gram=32, k=16)
+        grams = [
+            r["gram"]
+            for r in ev.select(
+                F.explode(
+                    token_ngrams(analyzer_expr(F.col("text"), "simple"), 3)
+                ).alias("gram")
+            )
+            .distinct()
+            .collect()
+        ]
+        assert b.n_grams == len(grams) > 0
+        m = b.n_bits
+        words = [0] * (m // 64)
+        for g in grams:
+            hx = hashlib.md5(g.encode()).hexdigest()
+            h1, h2 = int(hx[:8], 16) % m, (int(hx[8:16], 16) % m) | 1
+            for i in range(16):
+                h = (h1 + i * h2) % m
+                words[h // 64] |= 1 << (h % 64)
+        signed = tuple(
+            w - (1 << 64) if w >= (1 << 63) else w for w in words
+        )
+        assert b.words == signed
+
     def test_min_hit_grams_threshold(self, spark, train_eval):
         from sparksearchengine_spark.operators.decontam import (
             bloom_decontaminate,
