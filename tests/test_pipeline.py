@@ -189,6 +189,54 @@ class TestRuleSetGates:
         rep = curation_report(docs, classifier=clf).collect()[0]
         assert rep["n_clf_fail"] == 1
 
+    def test_trained_classifier_feeds_curation_gate(self, spark):
+        """End-to-end fastText-style flow (VERDICT r5 #7): fit the
+        hashed classifier on a labeled seed slice, feed the LEARNED
+        weights into curation_flags' classifier gate, and the flags
+        must agree with classifier_score at the same threshold."""
+        from sparksearchengine_spark.operators.classify import (
+            classifier_fit,
+            classifier_score,
+        )
+        from sparksearchengine_spark.operators.pipeline import (
+            curation_flags,
+            curation_report,
+        )
+
+        rows = []
+        for i in range(40):
+            noise = f"the quick fox {i % 7}"
+            if i % 2 == 0:
+                rows.append((i, f"good great {noise}", 1))
+            else:
+                rows.append((i, f"bad awful {noise}", 0))
+        labeled = spark.createDataFrame(
+            rows, "doc_id long, text string, label int"
+        ).coalesce(1)
+
+        w, b, _ = classifier_fit(labeled, "label", dim=256, iters=15, lr=1.0)
+        # score the (here: same) corpus through the pipeline gate with
+        # the learned model, threshold at the decision boundary 0
+        clf = {"weights": w, "bias": b, "threshold": 0}
+        flags = {
+            r["doc_id"]: r["clf_ok"]
+            for r in curation_flags(
+                labeled.select("doc_id", "text"), classifier=clf
+            ).collect()
+        }
+        scored = {
+            r["id"]: r["score"] > 0
+            for r in classifier_score(labeled, w, bias=b).collect()
+        }
+        assert flags == scored
+        # the trained gate separates the seed set: all positives kept
+        labels = {i: lab for i, _, lab in rows}
+        assert all(flags[i] == (labels[i] == 1) for i in flags)
+        rep = curation_report(
+            labeled.select("doc_id", "text"), classifier=clf
+        ).collect()[0]
+        assert rep["n_clf_fail"] == 20
+
     def test_empty_dict_enables_gate_with_defaults(self, spark):
         # gopher={} is 'enable with default thresholds', not 'off'
         from sparksearchengine_spark.operators.pipeline import curation_flags
