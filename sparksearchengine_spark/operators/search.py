@@ -381,14 +381,22 @@ def batch_search_dsl(
       matched-clause count filter, one per-query rank window. A
       thousand term-class queries cost ONE join, exactly like
       :func:`batch_search`.
-    * **every other shape** (phrase, near, wildcard, regex, fuzzy,
-      booleans, filters, boosts, raw) compiles through the standard
-      single-query compiler ONCE PER DISTINCT AST — duplicate queries
-      share a plan via a broadcast id-attach join — and the k-bounded
-      results union into the same final top-k window. Plan count is
-      bounded by ``max_plans`` distinct non-term shapes (loud error
-      beyond: split the batch, or precompile saved searches with the
-      percolator for corpus-scale standing-query sets).
+    * **exact phrases** (slop=0) are ALSO data — one shared plan for
+      any number of distinct phrases: literal ``(query_id, qpos,
+      term)`` rows join the positions-carrying scored postings, docs
+      matching every phrase position survive a count filter, and one
+      positions HOF verifies the adjacency chain per (query, doc) —
+      exactly the single-query plan's shape, with the per-position
+      offsets as data instead of literals. The HOF runs on survivors
+      only (docs containing ALL the phrase's terms), never the corpus.
+    * **every other shape** (sloppy phrase, near, wildcard, regex,
+      fuzzy, booleans, filters, boosts, raw) compiles through the
+      standard single-query compiler ONCE PER DISTINCT AST — duplicate
+      queries share a plan via a broadcast id-attach join — and the
+      k-bounded results union into the same final top-k window. Plan
+      count is bounded by ``max_plans`` distinct non-term shapes (loud
+      error beyond: split the batch, or precompile saved searches with
+      the percolator for corpus-scale standing-query sets).
 
     Scores are bit-identical to per-query ``search()`` — term-class
     batching reuses the same cached per-posting floats and the same
@@ -443,8 +451,32 @@ def batch_search_dsl(
         return None
 
     term_rows: list[tuple[int, str, str, int]] = []
+    # (query_id, field, n_positions, qpos, term) — exact phrases as data
+    phrase_rows: list[tuple[int, str, int, int, str]] = []
     general: dict = {}  # ast -> [query_ids] (frozen dataclasses hash)
     for qid, q in qlist:
+        if isinstance(q, ast.MatchPhrase) and q.slop == 0:
+            opts = index.corpus.text_cols.get(q.field)
+            if opts is None:
+                raise ValueError(
+                    f"field {q.field!r} is not a searchable text column "
+                    f"(declared: {sorted(index.corpus.text_cols)})"
+                )
+            terms = tokenize_py(q.text, opts.query_time_analyzer())
+            if not terms:
+                continue  # analyzes to nothing: no hits
+            if len(terms) == 1:
+                term_rows.append((qid, q.field, terms[0], 1))
+                continue
+            if not opts.positions:
+                raise ValueError(
+                    f"phrase query on field {q.field!r} requires "
+                    "positions=True (column was indexed with "
+                    "TextOptions(positions=False))"
+                )
+            for i, t in enumerate(terms):
+                phrase_rows.append((qid, q.field, len(terms), i, t))
+            continue
         ts = _as_termset(q)
         if ts is not None:
             field, terms, min_match = ts
@@ -482,6 +514,68 @@ def batch_search_dsl(
         branches.append(
             agg.where(F.col("_nm") >= F.col("_minm")).select(
                 "query_id", DOC_ID, SCORE
+            )
+        )
+    if phrase_rows:
+        from sparksearchengine_spark.plans.compiler import (
+            _scored_postings,
+        )
+
+        pq = spark.createDataFrame(
+            phrase_rows,
+            "query_id long, field string, _n int, qpos int, term string",
+        )
+        # one positions-carrying scan per field, restricted to the
+        # union of that field's phrase terms (driver-known literals —
+        # the same bucket-pruned scan the single-query plan uses)
+        by_field: dict[str, set] = {}
+        for _, f, _, _, t in phrase_rows:
+            by_field.setdefault(f, set()).add(t)
+        pp = None
+        for f, ts in by_field.items():
+            one = _scored_postings(index, f, sorted(ts)).withColumn(
+                "field", F.lit(f)
+            )
+            pp = one if pp is None else pp.unionByName(one)
+        joined = pp.join(F.broadcast(pq), ["field", "term"])
+        cand = (
+            joined.groupBy("query_id", DOC_ID)
+            .agg(
+                F.count_distinct("qpos").alias("_nm"),
+                F.first("_n").alias("_n"),
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("qpos", "positions", "tscore")
+                    )
+                ).alias("_pairs"),
+            )
+            # survivors: every phrase position matched in this doc
+            .where(F.col("_nm") == F.col("_n"))
+        )
+        # adjacency: exists p in positions(qpos=0) with p + qpos in
+        # positions(qpos) for EVERY pair — the single-query plan's
+        # check with the offsets as data. Interpreted HOF, but only on
+        # the count-filter survivors.
+        ok = F.exists(
+            F.element_at("_pairs", 1)["positions"],
+            lambda p: F.forall(
+                F.col("_pairs"),
+                lambda pr: F.array_contains(
+                    pr["positions"], p + pr["qpos"]
+                ),
+            ),
+        )
+        # score: left fold in qpos order — 0.0+t0 == t0, then +t1 ... ,
+        # bit-identical to the compiler's reduce(add) chain. Duplicate
+        # terms contribute once per occurrence, as in the compiler.
+        score_fold = F.aggregate(
+            "_pairs",
+            F.lit(0.0),
+            lambda acc, pr: acc + pr["tscore"],
+        )
+        branches.append(
+            cand.where(ok).select(
+                "query_id", DOC_ID, score_fold.alias(SCORE)
             )
         )
     for q, qids in general.items():

@@ -231,6 +231,40 @@ class TestBatchSearchDsl:
         # scored-postings cache
         assert "Union" not in plan
 
+    def test_many_phrases_one_plan_and_exact(self, tiny_index):
+        """Distinct exact phrases execute as DATA in one shared plan
+        (r6) — results must equal per-query search(), including a
+        duplicate-term phrase, and the plan must carry exactly ONE
+        positions-HOF filter regardless of phrase count."""
+        from sparksearchengine_spark import Q
+
+        # corpus: d1=[a,b,a] d2=[a,c] d3=[b,b,c,c]
+        phrases = [
+            (1, Q.field("text").match_phrase("b c")),   # d3
+            (2, Q.field("text").match_phrase("b a")),   # d1
+            (3, Q.field("text").match_phrase("b b")),   # d3 (dup term)
+            (4, Q.field("text").match_phrase("c a")),   # none
+        ]
+        res = tiny_index.batch_search_dsl(phrases, k=5)
+        got: dict = {}
+        for r in res.collect():
+            got.setdefault(r.query_id, set()).add(
+                (r.doc_id, round(r.score, 6), r.rank)
+            )
+        for qid, q in phrases:
+            want = {
+                (r.doc_id, round(r.score, 6), r.rank)
+                for r in tiny_index.search(q, k=5).collect()
+            }
+            assert got.get(qid, set()) == want, f"phrase query {qid}"
+        plan = (
+            res._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert plan.count("exists(") == 1
+
     def test_duplicate_ids_raise(self, tiny_index):
         from sparksearchengine_spark import Q
 
