@@ -407,18 +407,70 @@ def batch_search_dsl(
     Returns ``(query_id, doc_id, score, rank)``; queries with no hits
     contribute no rows (same contract as `batch_search`).
     """
-    from sparksearchengine_spark.functions.analyzers import tokenize_py
-    from sparksearchengine_spark.plans import ast
-
     qlist = list(queries)
     ids = [qid for qid, _ in qlist]
     if len(set(ids)) != len(ids):
         raise ValueError("duplicate query ids in batch")
     spark = index.postings.sparkSession
-    if not qlist:
+    unioned = _dsl_scored_union(index, qlist, max_plans)
+    if unioned is None:
         return spark.createDataFrame(
             [], f"query_id long, {DOC_ID} long, {SCORE} double, rank int"
         )
+    return topk_per_group(
+        unioned,
+        ["query_id"],
+        [F.col(SCORE).desc(), F.col(DOC_ID).asc()],
+        k=k,
+        salt_buckets=salt_buckets,
+    ).select("query_id", DOC_ID, SCORE, "rank")
+
+
+def percolate_dsl(
+    index: "SearchIndex",
+    queries: "Iterable[tuple[int, Query]]",
+    max_plans: int = 64,
+) -> DataFrame:
+    """Percolation over the FULL query DSL: every ``(query_id, doc_id,
+    score)`` match of every registered query — no top-k window, because
+    percolation asks "which standing queries fire for these docs", not
+    "which docs rank best" (the Elasticsearch percolator contract,
+    arbitrary query DSL included).
+
+    Same shape-grouped execution as :func:`batch_search_dsl` — term
+    classes and exact phrases run as data in shared plans, other shapes
+    once per distinct AST — so a registry of thousands of saved
+    searches (alerting, routing-by-topic) matches a document batch in a
+    bounded number of joins. Run it over a micro-batch index inside
+    ``foreachBatch`` for streams (`streaming.percolate_stream_dsl`),
+    or over any corpus slice for backfills.
+    """
+    qlist = list(queries)
+    ids = [qid for qid, _ in qlist]
+    if len(set(ids)) != len(ids):
+        raise ValueError("duplicate query ids in batch")
+    spark = index.postings.sparkSession
+    unioned = _dsl_scored_union(index, qlist, max_plans)
+    if unioned is None:
+        return spark.createDataFrame(
+            [], f"query_id long, {DOC_ID} long, {SCORE} double"
+        )
+    return unioned
+
+
+def _dsl_scored_union(
+    index: "SearchIndex",
+    qlist: "list[tuple[int, Query]]",
+    max_plans: int,
+) -> DataFrame | None:
+    """(query_id, doc_id, score) matches for a list of (id, AST) pairs,
+    shape-grouped (see `batch_search_dsl`); None for an empty list."""
+    from sparksearchengine_spark.functions.analyzers import tokenize_py
+    from sparksearchengine_spark.plans import ast
+
+    spark = index.postings.sparkSession
+    if not qlist:
+        return None
 
     def _as_termset(q) -> "tuple[str, tuple[str, ...], int] | None":
         """(field, distinct_terms, min_match) when the query is
@@ -589,16 +641,15 @@ def batch_search_dsl(
             )
         )
 
+    if not branches:
+        # every query analyzed to nothing
+        return spark.createDataFrame(
+            [], f"query_id long, {DOC_ID} long, {SCORE} double"
+        )
     unioned = branches[0]
     for b in branches[1:]:
         unioned = unioned.unionByName(b)
-    return topk_per_group(
-        unioned,
-        ["query_id"],
-        [F.col(SCORE).desc(), F.col(DOC_ID).asc()],
-        k=k,
-        salt_buckets=salt_buckets,
-    ).select("query_id", DOC_ID, SCORE, "rank")
+    return unioned
 
 
 # -- E7-E10: query join ----------------------------------------------------

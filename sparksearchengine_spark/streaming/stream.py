@@ -600,3 +600,56 @@ def percolate_stream(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def percolate_stream_dsl(
+    docs_stream: DataFrame,
+    queries: "list[tuple[int, object]]",
+    out_path: str,
+    id_col: str = "doc_id",
+    text_cols: dict | None = None,
+    max_plans: int = 64,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """Percolation over the FULL query DSL (r6): standing queries are
+    arbitrary ASTs — phrases, booleans, attribute filters, wildcards —
+    not just term sets. Each micro-batch is indexed in place (a
+    micro-batch is small; `Corpus.build_index` over it is a few
+    aggregations) and matched against every registered query through
+    the shape-grouped `operators.search.percolate_dsl` — term classes
+    and exact phrases as data in shared plans, other shapes once per
+    distinct AST. Matches land at ``out_path/batch_id=N`` as
+    ``(query_id, doc_id, score)`` rows (idempotent per-batch overwrite,
+    the module's exactly-once pattern).
+
+    ``text_cols``: the `Corpus` text-column declaration for the batch
+    index (default ``{"text": TextOptions()}``) — it must cover every
+    field the standing queries reference, including ``positions=True``
+    for phrase queries. The batch index's caches are released after
+    every batch (no leaked blocks across micro-batches).
+    """
+    from sparksearchengine_spark.operators.index import (
+        Corpus,
+        TextOptions,
+    )
+    from sparksearchengine_spark.operators.search import percolate_dsl
+
+    qlist = list(queries)
+    tc = text_cols or {"text": TextOptions()}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        idx = Corpus(batch_df, id_col=id_col, text_cols=tc).build_index()
+        try:
+            percolate_dsl(idx, qlist, max_plans=max_plans).write.mode(
+                "overwrite"
+            ).parquet(f"{out_path}/batch_id={batch_id}")
+        finally:
+            idx.unpersist()
+
+    writer = docs_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint or f"{out_path}/_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -661,3 +661,74 @@ class TestPercolateStream:
     def test_no_match_query_absent(self, spark, tmp_path):
         out = self._run(spark, tmp_path)
         assert out.where("query_id = 2").count() == 0
+
+
+class TestPercolateDsl:
+    """Full-DSL percolation (r6): standing queries are arbitrary ASTs;
+    matches = the per-query compiled match set, scores included."""
+
+    def _queries(self):
+        from sparksearchengine_spark import F_, Q
+
+        f = Q.field("text")
+        return [
+            (1, f.match_term("dup")),
+            (2, f.match_phrase("table hash")),
+            (3, f.match_all("dup", "spark") & F_.gt("doc_id", 100)),
+            (4, f.match_term("zzz_nowhere")),
+        ]
+
+    def test_matches_per_query_compile(self, spark):
+        from sparksearchengine_spark import Corpus, TextOptions
+        from sparksearchengine_spark.operators.search import percolate_dsl
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        idx = Corpus(
+            docs, id_col="doc_id",
+            text_cols={"text": TextOptions(positions=True)},
+        ).build_index()
+        got: dict = {}
+        for r in percolate_dsl(idx, self._queries()).collect():
+            got.setdefault(r.query_id, set()).add(
+                (r.doc_id, round(r.score, 6))
+            )
+        for qid, q in self._queries():
+            want = {
+                (r.doc_id, round(r.score, 6))
+                for r in idx.compile(q).collect()
+            }
+            assert got.get(qid, set()) == want, f"query {qid}"
+        assert 4 not in got  # no-match query contributes no rows
+
+    def test_streamed_equals_batch(self, spark, tmp_path):
+        from sparksearchengine_spark import Corpus, TextOptions
+        from sparksearchengine_spark.operators.search import percolate_dsl
+        from sparksearchengine_spark.streaming.stream import (
+            percolate_stream_dsl,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        d = str(tmp_path / "pdsl_in")
+        docs.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        out = str(tmp_path / "pdsl_out")
+        tc = {"text": TextOptions(positions=True)}
+        q = percolate_stream_dsl(
+            stream, self._queries(), out, text_cols=tc,
+            checkpoint=str(tmp_path / "pdsl_cp"),
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.query_id, r.doc_id, round(r.score, 6))
+            for r in spark.read.parquet(out).collect()
+        )
+        idx = Corpus(docs, id_col="doc_id", text_cols=tc).build_index()
+        want = sorted(
+            (r.query_id, r.doc_id, round(r.score, 6))
+            for r in percolate_dsl(idx, self._queries()).collect()
+        )
+        assert got == want and len(want) > 0
