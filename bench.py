@@ -454,6 +454,48 @@ def main() -> None:
         )
         up15.postings.count()
 
+    # 16. r6: heterogeneous DSL batch — 60 term-class + 8 exact phrases
+    # + 4 boolean/filtered shapes in ONE call; term classes and phrases
+    # run as data (two shared plans), the booleans compile once each.
+    # First value = baseline.
+    from sparksearchengine_spark import F_
+
+    f16 = Q.field("text")
+    # query prep (corpus token frequencies) is not the measured operator
+    toks16 = [
+        r[0]
+        for r in docs.select(
+            F.explode(analyzer_expr(F.col("text"), "simple"))
+        )
+        .groupBy("col")
+        .count()
+        .orderBy(F.desc("count"))
+        .limit(24)
+        .collect()
+    ]
+    with timed("batch_dsl"):
+        qs16 = []
+        for i in range(60):  # term class: matchAny pairs
+            qs16.append(
+                (i, f16.match_any(toks16[i % 24], toks16[(i + 7) % 24]))
+            )
+        for i in range(8):  # exact phrases over frequent bigrams
+            qs16.append(
+                (
+                    100 + i,
+                    f16.match_phrase(
+                        f"{toks16[i % 24]} {toks16[(i + 1) % 24]}"
+                    ),
+                )
+            )
+        qs16 += [
+            (200, f16.match_term(toks16[0]) & ~f16.match_term(toks16[1])),
+            (201, f16.match_text(" ".join(toks16[:3])) & F_.gt("n_chars", 200)),
+            (202, f16.match_all(toks16[2], toks16[3]) | f16.match_term(toks16[4])),
+            (203, ~f16.match_term(toks16[5])),
+        ]
+        idx.batch_search_dsl(qs16, k=10).count()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -404,12 +404,17 @@ class TestBloomDecontam:
             bloom_gram_filter(ev, n=3, max_eval_grams=1)
 
     def test_executor_pack_bit_identical_to_driver_reference(
-        self, spark, train_eval
+        self, spark, train_eval, monkeypatch
     ):
-        """The distributed bitset pack (r6: grams hash + bit_or on the
-        executors, only packed words reach the driver) must reproduce
-        the original driver-side Python loop bit for bit."""
+        """The distributed bitset pack (r6: above DRIVER_PACK_MAX_GRAMS
+        grams hash + bit_or on the executors, only packed words reach
+        the driver) must reproduce the driver-side Python loop bit for
+        bit. Forced onto the executor path by zeroing the threshold."""
         import hashlib
+
+        from sparksearchengine_spark.operators import decontam as dmod
+
+        monkeypatch.setattr(dmod, "DRIVER_PACK_MAX_GRAMS", 0)
 
         from pyspark.sql import functions as F
 
