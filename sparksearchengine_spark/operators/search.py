@@ -503,11 +503,12 @@ def _dsl_scored_union(
         return None
 
     term_rows: list[tuple[int, str, str, int]] = []
-    # (query_id, field, n_positions, qpos, term) — exact phrases as data
-    phrase_rows: list[tuple[int, str, int, int, str]] = []
+    # (query_id, field, n_positions, max_span, qpos, term) — phrases
+    # (exact AND sloppy: slop rides as the per-query span bound) as data
+    phrase_rows: list[tuple[int, str, int, int, int, str]] = []
     general: dict = {}  # ast -> [query_ids] (frozen dataclasses hash)
     for qid, q in qlist:
-        if isinstance(q, ast.MatchPhrase) and q.slop == 0:
+        if isinstance(q, ast.MatchPhrase):
             opts = index.corpus.text_cols.get(q.field)
             if opts is None:
                 raise ValueError(
@@ -526,8 +527,11 @@ def _dsl_scored_union(
                     "positions=True (column was indexed with "
                     "TextOptions(positions=False))"
                 )
+            max_span = q.slop + len(terms) - 1
             for i, t in enumerate(terms):
-                phrase_rows.append((qid, q.field, len(terms), i, t))
+                phrase_rows.append(
+                    (qid, q.field, len(terms), max_span, i, t)
+                )
             continue
         ts = _as_termset(q)
         if ts is not None:
@@ -575,13 +579,14 @@ def _dsl_scored_union(
 
         pq = spark.createDataFrame(
             phrase_rows,
-            "query_id long, field string, _n int, qpos int, term string",
+            "query_id long, field string, _n int, _maxspan int,"
+            " qpos int, term string",
         )
         # one positions-carrying scan per field, restricted to the
         # union of that field's phrase terms (driver-known literals —
         # the same bucket-pruned scan the single-query plan uses)
         by_field: dict[str, set] = {}
-        for _, f, _, _, t in phrase_rows:
+        for _, f, _, _, _, t in phrase_rows:
             by_field.setdefault(f, set()).add(t)
         pp = None
         for f, ts in by_field.items():
@@ -595,6 +600,7 @@ def _dsl_scored_union(
             .agg(
                 F.count_distinct("qpos").alias("_nm"),
                 F.first("_n").alias("_n"),
+                F.first("_maxspan").alias("_maxspan"),
                 F.array_sort(
                     F.collect_list(
                         F.struct("qpos", "positions", "tscore")
@@ -604,18 +610,35 @@ def _dsl_scored_union(
             # survivors: every phrase position matched in this doc
             .where(F.col("_nm") == F.col("_n"))
         )
-        # adjacency: exists p in positions(qpos=0) with p + qpos in
-        # positions(qpos) for EVERY pair — the single-query plan's
-        # check with the offsets as data. Interpreted HOF, but only on
-        # the count-filter survivors.
+        # ordered greedy position chain with the span bound as DATA —
+        # exists p0 in positions(qpos=0): fold over the remaining
+        # pairs picking the smallest position > previous, then require
+        # chain_end - p0 <= max_span (= slop + n - 1). Greedy
+        # minimizes the chain end, so one pass per start is exact (the
+        # compiler's sloppy-phrase argument); at slop=0 the strictly-
+        # increasing chain hitting span n-1 forces exact adjacency, so
+        # ONE predicate serves exact and sloppy phrases alike. A
+        # broken chain folds to NULL -> the comparison is NULL -> no
+        # match. Interpreted HOF, but only on count-filter survivors.
+        def _chain_end(p0):  # type: ignore[no-untyped-def]
+            return F.aggregate(
+                F.slice(
+                    F.col("_pairs"), F.lit(2), F.size("_pairs") - 1
+                ),
+                p0,
+                lambda acc, pr: F.array_min(
+                    F.filter(pr["positions"], _after(acc))
+                ),
+            )
+
+        def _after(prev):  # type: ignore[no-untyped-def]
+            # single-arg lambda: a 2-arg lambda would be interpreted
+            # by F.filter as (element, index) (compiler._phrase note)
+            return lambda x: x > prev
+
         ok = F.exists(
             F.element_at("_pairs", 1)["positions"],
-            lambda p: F.forall(
-                F.col("_pairs"),
-                lambda pr: F.array_contains(
-                    pr["positions"], p + pr["qpos"]
-                ),
-            ),
+            lambda p0: (_chain_end(p0) - p0) <= F.col("_maxspan"),
         )
         # score: left fold in qpos order — 0.0+t0 == t0, then +t1 ... ,
         # bit-identical to the compiler's reduce(add) chain. Duplicate

@@ -244,6 +244,8 @@ class TestBatchSearchDsl:
             (2, Q.field("text").match_phrase("b a")),   # d1
             (3, Q.field("text").match_phrase("b b")),   # d3 (dup term)
             (4, Q.field("text").match_phrase("c a")),   # none
+            (5, Q.field("text").match_phrase("a c", slop=1)),  # sloppy
+            (6, Q.field("text").match_phrase("b c", slop=2)),  # sloppy
         ]
         res = tiny_index.batch_search_dsl(phrases, k=5)
         got: dict = {}
