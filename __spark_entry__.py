@@ -2375,14 +2375,23 @@ def _dedup_edit_join(spark, sf):
     path + levenshtein verify over the distinct source tags (id = min
     doc_id per tag). The oracle is the brute-force all-pairs
     levenshtein — a hash match proves the filter lost no pair."""
-    from sparksearchengine_spark.operators.dedup import edit_distance_join
+    from sparksearchengine_spark.operators.dedup import (
+        edit_distance_join,
+        release_edit_join_caches,
+    )
 
     docs = _read(spark, sf, "documents")
     vals = docs.groupBy("source").agg(F.min("doc_id").alias("doc_id"))
     res = edit_distance_join(vals, "source", threshold=1)
-    return res.select(
+    # materialize the (small: pairs among distinct source tags) result,
+    # then release the operator's prep cache — this wrapper runs in one
+    # session with 140+ other registry queries and must not leak
+    # cached blocks (r6 review)
+    rows = res.select(
         "id_a", "id_b", F.col("dist").cast("long").alias("dist")
-    ).orderBy("id_a", "id_b")
+    ).orderBy("id_a", "id_b").collect()
+    release_edit_join_caches()
+    return spark.createDataFrame(rows, "id_a long, id_b long, dist long")
 
 
 BDSL_K = 5
@@ -2785,16 +2794,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # keys only.  Slots 1-30 are pinned to the SURVEY §2.10 qc suite;
     # slots 31-50 rotate each round over entries that have never had a
     # driver row.  r6 rotation = the 18 r5-built entries that missed the
-    # r5 cutoff (VERDICT r5 "What's wrong" #2: new-code-first) plus
-    # doc_winnow and lang_id, whose only driver rows predate their oracles
-    # (r1 `no_oracle`).  Every rotated entry is selfcheck-green under the
-    # driver-mirroring canon.  The r5 rotation rows (table_profile ...
-    # decontam_bloom, all green in CORRECTNESS_r05) move past the cutoff.
-    # Remaining r7 queue (~25): the 11-entry older backlog (chunk_docs,
-    # curation_report, collocations_pmi, doc_keywords, more_like_this,
-    # pack_chunks, sample_per_group, clean_text, emb_quantize,
-    # doc_fingerprint, mm_image_features-re-row) + entries 104-122 never
-    # yet rotated + whatever r6 builds past its own slots.
+    # r5 cutoff (VERDICT r5 "What's wrong" #2) plus the two NEW r6
+    # entries batch_dsl_mixed / query_join_filters (new code outranks
+    # backlog for a slot).  Every rotated entry is selfcheck-green under
+    # the driver-mirroring canon.  The r5 rotation rows (table_profile
+    # ... decontam_bloom, all green in CORRECTNESS_r05) move past the
+    # cutoff.  Remaining r7 queue (~27): doc_winnow / lang_id /
+    # mm_image_features (their only driver rows predate their oracles —
+    # r1 `no_oracle`; they did NOT get r6 slots), batch_mixed_analyzer
+    # (new r6 code at the dict tail), the 10-entry older backlog
+    # (chunk_docs, curation_report, collocations_pmi, doc_keywords,
+    # more_like_this, pack_chunks, sample_per_group, clean_text,
+    # emb_quantize, doc_fingerprint) + entries ~104-122 never yet
+    # rotated.
     return {
         "qc01_filter_eq": _qc01,
         "qc02_filter_cmp": _qc02,

@@ -541,17 +541,22 @@ def bloom_gram_filter(
             ).alias("gram")
         )
         .distinct()
-        .persist()
     )
+    persisted = False
     try:
         # one bounded probe serves BOTH the small-set pack and the size
-        # check: <= ~10 MB of strings at the driver-pack threshold
+        # check: <= ~10 MB of strings at the driver-pack threshold. On
+        # this (common) path the frame is consumed exactly once, so it
+        # is NOT persisted; only the large path, which reads it twice
+        # (count + executor pack), caches it.
         small_cap = min(max_eval_grams, DRIVER_PACK_MAX_GRAMS)
         probe = grams_df.limit(small_cap + 1).collect()
         if len(probe) <= small_cap:
             n_grams = len(probe)
         else:
             probe = None  # too many for the driver path: exact count
+            grams_df = grams_df.persist()
+            persisted = True
             n_grams = grams_df.count()
             if n_grams > max_eval_grams:
                 raise ValueError(
@@ -591,11 +596,7 @@ def bloom_gram_filter(
             # ~4-bytes-per-gram word rows reach the driver, never the
             # gram strings (a parity test pins both paths
             # bit-identical).
-            hx = F.md5(F.col("gram"))
-            h1 = F.conv(F.substring(hx, 1, 8), 16, 10).cast("long") % m
-            h2 = (
-                F.conv(F.substring(hx, 9, 8), 16, 10).cast("long") % m
-            ).bitwiseOR(F.lit(1))
+            h1, h2 = _km_hash_cols(F.col("gram"), m)
             packed = (
                 grams_df.select(h1.alias("_h1"), h2.alias("_h2"))
                 .select(
@@ -624,7 +625,8 @@ def bloom_gram_filter(
             for r in packed:
                 words[r["_w"]] = r["_word"]
     finally:
-        grams_df.unpersist()
+        if persisted:
+            grams_df.unpersist()
     return BloomGramFilter(
         words=tuple(words),
         n_bits=m,
@@ -638,6 +640,26 @@ def bloom_gram_filter(
 def _bloom_bits(bits_per_gram: int, n_grams: int) -> int:
     m = max(64, bits_per_gram * max(1, n_grams))
     return ((m + 63) // 64) * 64  # whole 64-bit words
+
+
+def _km_hash_cols(gram: "Column", m: int) -> "tuple[Column, Column]":
+    """The ONE Kirsch–Mitzenmacher hash recipe (h1, h2) as Columns —
+    shared by the executor-side pack and the probe so the two Spark
+    paths cannot drift (the filter's whole value is bit-exact
+    build/probe/oracle parity; r6 review). md5 hex chars 1-8 / 9-16,
+    both pre-reduced mod ``m`` (keeps ``h1 + (k-1)*h2`` far from long
+    overflow under ANSI mode), ``h2`` forced ODD (an even-modulus zero
+    step would collapse all k indexes onto one bit). Inputs are
+    non-negative 32-bit values, so ``pmod`` == ``%`` here; pmod keeps
+    the intent explicit."""
+    md5c = F.md5(gram)
+    h1 = F.pmod(
+        F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long"), F.lit(m)
+    )
+    h2 = F.pmod(
+        F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long"), F.lit(m)
+    ).bitwiseOR(F.lit(1))
+    return h1, h2
 
 
 def bloom_decontaminate(
@@ -684,24 +706,13 @@ def bloom_decontaminate(
         )
         .join(F.broadcast(bf_df), F.lit(True), "left")
     )
-    # Kirsch-Mitzenmacher probe: one hash per gram, k derived indexes
-    # both hashes pre-reduced mod m (so _h1 + 15*_h2 stays far from
-    # long overflow — ANSI mode would throw on a wrap) and _h2 forced
-    # ODD, matching the build exactly (see bloom_gram_filter)
+    # Kirsch-Mitzenmacher probe: one hash per gram, k derived indexes —
+    # the (h1, h2) recipe is the SAME _km_hash_cols the executor-side
+    # pack uses, so build and probe cannot drift
     m = bloom.n_bits
-    md5c = F.md5(F.col("gram"))
-    train_grams = train_grams.withColumn(
-        "_h1",
-        F.pmod(
-            F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long"),
-            F.lit(m),
-        ),
-    ).withColumn(
-        "_h2",
-        F.pmod(
-            F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long"),
-            F.lit(m),
-        ).bitwiseOR(F.lit(1)),
+    h1c, h2c = _km_hash_cols(F.col("gram"), m)
+    train_grams = train_grams.withColumn("_h1", h1c).withColumn(
+        "_h2", h2c
     )
     hit_sql = " AND ".join(
         f"((element_at(_bf, CAST(((_h1 + {i} * _h2) % {m}) DIV 64 AS INT)"

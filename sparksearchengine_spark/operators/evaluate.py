@@ -106,25 +106,34 @@ def retrieval_metrics(
         .agg(F.max("_g").alias("_g"))
     )
 
+    # a doc retrieved twice for the same query (trusted rank_col with
+    # repeats, or a fused/unioned result frame) must count ONCE, and
+    # must not consume two of the k rank slots (ADVICE r5; r6 review):
+    # with recomputed ranks, duplicates collapse to their best score
+    # BEFORE the rank window, so distinct docs are never pushed past
+    # the cutoff and ranks stay gap-free; with a TRUSTED rank_col the
+    # caller's ranking is kept as-is and repeats collapse to their best
+    # (minimum) rank.
     if rank_col is not None:
-        ranked = results.select(
-            q, d, F.col(rank_col).cast("bigint").alias("rank")
-        ).where(F.col("rank") <= k)
+        ranked = (
+            results.select(
+                q, d, F.col(rank_col).cast("bigint").alias("rank")
+            )
+            .where(F.col("rank") <= k)
+            .groupBy(q, d)
+            .agg(F.min("rank").alias("rank"))
+        )
     else:
         ranked = topk_per_group(
-            results.select(q, d, score_col),
+            results.select(q, d, score_col)
+            .groupBy(q, d)
+            .agg(F.max(score_col).alias(score_col)),
             [q],
             [F.desc(score_col), F.asc(d)],
             k,
             salt_buckets=salt_buckets,
             salt_col=d,
         ).select(q, d, "rank")
-    # a doc retrieved twice for the same query (trusted rank_col with
-    # repeats, or a fused/unioned result frame) must count ONCE — keep
-    # its best rank, else hits/precision/recall inflate past their
-    # definitions (ADVICE r5). k-bounded per query, so the groupBy is
-    # tiny.
-    ranked = ranked.groupBy(q, d).agg(F.min("rank").alias("rank"))
 
     hit = (F.col("_gain") >= F.lit(float(rel_threshold))).cast("int")
     per_q = (

@@ -381,16 +381,18 @@ def batch_search_dsl(
       matched-clause count filter, one per-query rank window. A
       thousand term-class queries cost ONE join, exactly like
       :func:`batch_search`.
-    * **exact phrases** (slop=0) are ALSO data — one shared plan for
-      any number of distinct phrases: literal ``(query_id, qpos,
-      term)`` rows join the positions-carrying scored postings, docs
+    * **phrases — exact AND sloppy — are ALSO data** — one shared plan
+      for any number of distinct phrases: literal ``(query_id, qpos,
+      term)`` rows (with the per-query span bound ``slop + n - 1`` as
+      a column) join the positions-carrying scored postings, docs
       matching every phrase position survive a count filter, and one
-      positions HOF verifies the adjacency chain per (query, doc) —
-      exactly the single-query plan's shape, with the per-position
-      offsets as data instead of literals. The HOF runs on survivors
+      ordered greedy position-chain HOF verifies per (query, doc) —
+      exactly the single-query plan's shape, with the offsets and span
+      bound as data instead of literals. The HOF runs on survivors
       only (docs containing ALL the phrase's terms), never the corpus.
-    * **every other shape** (sloppy phrase, near, wildcard, regex,
-      fuzzy, booleans, filters, boosts, raw) compiles through the
+      Phrases do NOT count toward ``max_plans``.
+    * **every other shape** (near, wildcard, regex, fuzzy, booleans,
+      filters, boosts, raw) compiles through the
       standard single-query compiler ONCE PER DISTINCT AST — duplicate
       queries share a plan via a broadcast id-attach join — and the
       k-bounded results union into the same final top-k window. Plan
@@ -839,6 +841,11 @@ def query_join(
         if col not in other.columns:
             raise ValueError(
                 f"row_filters column {col!r} not in other ({other.columns})"
+            )
+        if fld not in index.corpus.df.columns:
+            raise ValueError(
+                f"row_filters doc field {fld!r} not in the corpus "
+                f"({index.corpus.df.columns})"
             )
 
     # query-time analysis of the `other` side (query_analyzer override

@@ -168,6 +168,24 @@ class TestRetrievalMetrics:
         row2 = retrieval_metrics(fused, labels, k=3).collect()[0]
         assert row2.hits == 1 and row2.rr == 1.0
 
+    def test_duplicates_do_not_consume_rank_slots(self, spark):
+        """r6 review: with recomputed ranks, a duplicated result row
+        must not occupy two of the k slots and push a distinct doc
+        past the cutoff — duplicates collapse BEFORE the window."""
+        fused = spark.createDataFrame(
+            [(1, 10, 2.0), (1, 10, 2.0), (1, 20, 1.5)],
+            "query_id long, doc_id long, score double",
+        )
+        labels = spark.createDataFrame(
+            [(1, 10, 1.0), (1, 20, 1.0)],
+            "query_id long, doc_id long, grade double",
+        )
+        row = retrieval_metrics(fused, labels, k=2).collect()[0]
+        # doc 10 @ rank 1, doc 20 @ rank 2 — both inside k=2
+        assert row.hits == 2
+        assert row.recall == 1.0
+        assert row.ndcg == 1.0
+
 
 class TestRetrievalSummary:
     def test_macro_means(self, eval_frames):
