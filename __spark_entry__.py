@@ -2429,6 +2429,29 @@ def _query_join_filters(spark, sf):
     )
 
 
+def _percolate_dsl(spark, sf):
+    """Full-DSL percolation (operators/search.py::percolate_dsl, r6):
+    which standing queries fire for which docs — ALL (query_id,
+    doc_id, score) matches, no top-k window. The registry mixes a
+    term, a phrase, and a filtered boolean; the oracle recomputes each
+    query's complete match set in SQL and unions."""
+    from sparksearchengine_spark.operators.search import percolate_dsl
+
+    idx = _docs_index(spark, sf)
+    f = Q.field("text")
+    queries = [
+        (1, f.match_term(QC06_TERM)),
+        (2, f.match_phrase(f"{QC09_W1} {QC09_W2}")),
+        (3, f.match_all(*QC10_TERMS) & F_.gt("doc_id", 100)),
+    ]
+    res = percolate_dsl(idx, queries)
+    return res.select(
+        "query_id",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+    ).orderBy("query_id", "doc_id")
+
+
 def _batch_mixed_analyzer(spark, sf):
     """Mixed-analyzer batch search (operators/search.py::batch_search,
     r6; VERDICT r5 'What's missing' #2): one batch spans a
@@ -2961,6 +2984,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_block": _url_domain_block,
         # -- NEW r6 code past the cutoff: queued for the r7 rotation --
         "batch_mixed_analyzer": _batch_mixed_analyzer,
+        "percolate_dsl": _percolate_dsl,
     }
 
 
@@ -6028,6 +6052,43 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
     # recipe.
     _bdsl_bm = _bm25_sql("p.tf", "p.dl", "t.df")
     _q10_in = ",".join(f"'{t}'" for t in QC10_TERMS)
+    # full-DSL percolation: the batch_dsl CTE shapes WITHOUT the rank
+    # window — complete match sets per standing query
+    o["percolate_dsl"] = _CTE + f"""
+        , p1 AS (
+          SELECT doc_id, sum({_bm25_sql("p.tf", "p.dl", "t.df")}) AS s
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          WHERE p.term = '{QC06_TERM}' GROUP BY doc_id
+        ),
+        pph AS (
+          SELECT doc_id FROM toks
+          WHERE list_contains(
+            list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1]),
+            '{QC09_W1} {QC09_W2}')
+        ),
+        p2 AS (
+          SELECT p.doc_id, sum({_bm25_sql("p.tf", "p.dl", "t.df")}) AS s
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          JOIN pph ON pph.doc_id = p.doc_id
+          WHERE p.term IN ('{QC09_W1}','{QC09_W2}') GROUP BY p.doc_id
+        ),
+        p3 AS (
+          SELECT doc_id, sum({_bm25_sql("p.tf", "p.dl", "t.df")}) AS s
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          WHERE p.term IN ({_q10_in}) AND doc_id > 100
+          GROUP BY doc_id HAVING count(*) >= {len(QC10_TERMS)}
+        ),
+        pu AS (
+          SELECT CAST(1 AS BIGINT) AS query_id, doc_id, s FROM p1
+          UNION ALL SELECT 2, doc_id, s FROM p2
+          UNION ALL SELECT 3, doc_id, s FROM p3
+        )
+        SELECT query_id, doc_id, round(s, 6) AS score FROM pu
+        ORDER BY query_id, doc_id"""
     # mixed-analyzer batch: the text field reuses the _CTE pipeline
     # (simple tokenizer); the source field gets its OWN pipeline with
     # the whitespace tokenizer (case/punctuation preserved) and its own
