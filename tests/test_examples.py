@@ -28,6 +28,13 @@ class TestExamples:
         assert "Top 10 terms:" in out
         assert "Query join sample:" in out
 
+    def test_saved_searches_example(self, spark, capsys):
+        _run(str(_EXAMPLES / "saved_searches_example.py"), [])
+        out = capsys.readouterr().out
+        assert "Saved-search top-3 per query:" in out
+        assert "Percolation (all matches per standing query):" in out
+        assert "q1:" in out
+
     def test_storeable_example(self, spark, tmp_path, capsys):
         _run(
             str(_EXAMPLES / "storeable_example.py"),
