@@ -440,3 +440,63 @@ class TestPqLaws:
                 acc += x * w
             score += acc
         assert got.score == pytest.approx(score, abs=1e-9)
+
+
+# --------------------------------------------------------------------------
+# (e) r6: heterogeneous DSL batch == per-query search, on RANDOM query
+# trees — the strongest net over batch_search_dsl's three execution
+# classes (term-data / phrase-data / per-AST compile): whatever shape
+# hypothesis builds, the batched rows must equal the single-query path
+# bit-for-bit (6dp) including ranks.
+# --------------------------------------------------------------------------
+
+_leaf = st.one_of(
+    _terms.map(lambda ts: Q.field("text").match_any(*ts)),
+    _terms.map(lambda ts: Q.field("text").match_all(*ts)),
+    st.sampled_from(_VOCAB).map(lambda t: Q.field("text").match_term(t)),
+    st.tuples(
+        st.lists(st.sampled_from(_VOCAB), min_size=2, max_size=3),
+        st.integers(0, 2),
+    ).map(lambda p: Q.field("text").match_phrase(" ".join(p[0]), slop=p[1])),
+    st.integers(0, 12).map(
+        lambda n: Q.field("text").match_term("a") & _F_gt_doc_id(n)
+    ),
+)
+
+
+def _F_gt_doc_id(n):
+    from sparksearchengine_spark.plans.ast import F_
+
+    return F_.gt("doc_id", n)
+
+
+_query = st.recursive(
+    _leaf,
+    lambda inner: st.one_of(
+        st.tuples(inner, inner).map(lambda p: p[0] & p[1]),
+        st.tuples(inner, inner).map(lambda p: p[0] | p[1]),
+        st.tuples(inner, inner).map(lambda p: p[0] & ~p[1]),
+    ),
+    max_leaves=3,
+)
+
+
+class TestBatchDslEqualsSearch:
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(corpus=_corpus,
+           queries=st.lists(_query, min_size=1, max_size=4))
+    def test_batch_matches_per_query(self, spark, corpus, queries):
+        index = _index_of(spark, corpus)
+        batch = [(i, q) for i, q in enumerate(queries)]
+        got: dict = {}
+        for r in index.batch_search_dsl(batch, k=4).collect():
+            got.setdefault(r["query_id"], set()).add(
+                (r["doc_id"], round(r["score"], 6), r["rank"])
+            )
+        for qid, q in batch:
+            want = {
+                (r["doc_id"], round(r["score"], 6), r["rank"])
+                for r in index.search(q, k=4).collect()
+            }
+            assert got.get(qid, set()) == want, f"query {qid}: {q}"
