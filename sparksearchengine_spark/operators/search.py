@@ -365,6 +365,8 @@ def batch_search_dsl(
     k: int = 10,
     salt_buckets: int | None = None,
     max_plans: int = 64,
+    with_elements: bool = False,
+    select_cols: "list[str] | None" = None,
 ) -> DataFrame:
     """E5 generalized — many ARBITRARY DSL query trees in one pass.
 
@@ -408,6 +410,10 @@ def batch_search_dsl(
 
     Returns ``(query_id, doc_id, score, rank)``; queries with no hits
     contribute no rows (same contract as `batch_search`).
+    ``with_elements`` / ``select_cols`` join the corpus payload back
+    onto the k-bounded hits (the E6 raw/transformer variants): the
+    hits side is broadcast — bounded by |queries|·k — so the join is a
+    map-side lookup at any corpus size, same as `search()`.
     """
     qlist = list(queries)
     ids = [qid for qid, _ in qlist]
@@ -419,13 +425,20 @@ def batch_search_dsl(
         return spark.createDataFrame(
             [], f"query_id long, {DOC_ID} long, {SCORE} double, rank int"
         )
-    return topk_per_group(
+    ranked = topk_per_group(
         unioned,
         ["query_id"],
         [F.col(SCORE).desc(), F.col(DOC_ID).asc()],
         k=k,
         salt_buckets=salt_buckets,
     ).select("query_id", DOC_ID, SCORE, "rank")
+    if with_elements or select_cols:
+        c = index.corpus
+        elems = c.df.withColumn(DOC_ID, F.col(c.id_col).cast("long"))
+        if select_cols:
+            elems = elems.select(DOC_ID, *select_cols)
+        ranked = F.broadcast(ranked).join(elems, DOC_ID)
+    return ranked
 
 
 def percolate_dsl(

@@ -314,6 +314,26 @@ class TestBatchSearchDsl:
                 [(1, Q.field("nope").match_term("a"))]
             )
 
+    def test_with_elements_and_select_cols(self, tiny_index):
+        from sparksearchengine_spark import Q
+
+        res = tiny_index.batch_search_dsl(
+            [(1, Q.field("text").match_term("a"))],
+            k=5,
+            select_cols=["views"],
+        )
+        rows = res.collect()
+        assert set(res.columns) == {
+            "query_id", "doc_id", "score", "rank", "views",
+        }
+        # corpus views: d1=10 d2=20; both contain 'a'
+        assert {(r.doc_id, r.views) for r in rows} == {(1, 10), (2, 20)}
+        full = tiny_index.batch_search_dsl(
+            [(1, Q.field("text").match_term("a"))], k=5,
+            with_elements=True,
+        )
+        assert "text" in full.columns and "tag" in full.columns
+
 
 class TestQueryJoin:
     def test_self_join_finds_self(self, docs_df, docs_index):
