@@ -370,6 +370,11 @@ class SearchIndex:
 
         return batch_search_dsl(self, queries, k=k, **kw)
 
+    def percolate_dsl(self, queries, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.search import percolate_dsl
+
+        return percolate_dsl(self, queries, **kw)
+
     def query_join(self, other: DataFrame, text_col: str, field: str, k: int = 10, **kw):  # type: ignore[no-untyped-def]
         from sparksearchengine_spark.operators.search import query_join
 
