@@ -441,6 +441,31 @@ def batch_search_dsl(
     return ranked
 
 
+def batch_search_parsed(
+    index: "SearchIndex",
+    queries: "Iterable[tuple[int, str]]",
+    k: int = 10,
+    default_field: str = "text",
+    **kw,
+) -> DataFrame:
+    """`batch_search_dsl` over SAVED QUERY STRINGS — each ``(id,
+    "lucene-ish string")`` parses through `plans.parser.parse_query`
+    (terms, phrases incl. slop, booleans, field:, boosts, ranges,
+    wildcards, fuzzy, regex) and the resulting ASTs batch through the
+    shape-grouped executor. The saved-search registry a reference user
+    keeps as RawQuery strings (`QueryConstructor.scala`) runs in one
+    call; parse errors raise up front naming the offending id."""
+    from sparksearchengine_spark.plans.parser import parse_query
+
+    parsed = []
+    for qid, s in queries:
+        try:
+            parsed.append((qid, parse_query(s, default_field)))
+        except ValueError as e:
+            raise ValueError(f"query id {qid}: {e}") from e
+    return batch_search_dsl(index, parsed, k=k, **kw)
+
+
 def percolate_dsl(
     index: "SearchIndex",
     queries: "Iterable[tuple[int, Query]]",

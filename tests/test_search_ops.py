@@ -314,6 +314,34 @@ class TestBatchSearchDsl:
                 [(1, Q.field("nope").match_term("a"))]
             )
 
+    def test_parsed_string_batch(self, tiny_index):
+        """Saved query STRINGS batch through parse_query ->
+        batch_search_dsl; results equal parsing + searching singly."""
+        from sparksearchengine_spark.operators.search import (
+            batch_search_parsed,
+        )
+        from sparksearchengine_spark.plans.parser import parse_query
+
+        saved = [
+            (1, "a"),
+            (2, '"b c"'),
+            (3, "a AND NOT c"),
+            (4, "b^2 OR zz"),
+        ]
+        got: dict = {}
+        for r in batch_search_parsed(tiny_index, saved, k=5).collect():
+            got.setdefault(r.query_id, set()).add(
+                (r.doc_id, round(r.score, 6))
+            )
+        for qid, s in saved:
+            want = {
+                (r.doc_id, round(r.score, 6))
+                for r in tiny_index.search(parse_query(s), k=5).collect()
+            }
+            assert got.get(qid, set()) == want, f"string query {qid}"
+        with pytest.raises(ValueError, match="query id 9"):
+            batch_search_parsed(tiny_index, [(9, 'a AND (')], k=5)
+
     def test_with_elements_and_select_cols(self, tiny_index):
         from sparksearchengine_spark import Q
 
