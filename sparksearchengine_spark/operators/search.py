@@ -402,10 +402,17 @@ def batch_search_dsl(
       error beyond: split the batch, or precompile saved searches with
       the percolator for corpus-scale standing-query sets).
 
-    Scores are bit-identical to per-query ``search()`` — term-class
-    batching reuses the same cached per-posting floats and the same
-    distinct-term sum + min_match threshold as the compiler's
-    ``_term_set``; term sets carrying DUPLICATE clauses (min_match
+    Scores are bit-identical to per-query ``search()`` for plain term
+    classes and phrases — term-class batching reuses the same cached
+    per-posting floats and the same distinct-term sum + min_match
+    threshold as the compiler's ``_term_set``, phrase scores left-fold
+    in qpos order like the compiler's chain. ``Boost`` over a term
+    class and ``Or`` trees whose operands all normalize with
+    min_match == 1 ALSO run as data (per-term weights, accumulated
+    across Or operands — the parsed ``foo bar^2 baz`` shape costs no
+    compiled plan); their scores equal ``search()`` at the engine's
+    6-dp results contract (``sum(ts)·w`` vs ``sum(ts·w)`` differ only
+    in the last ulp). Term sets carrying DUPLICATE clauses (min_match
     weighting differs) route to the compiler path for exactness.
 
     Returns ``(query_id, doc_id, score, rank)``; queries with no hits
@@ -512,9 +519,23 @@ def _dsl_scored_union(
     if not qlist:
         return None
 
-    def _as_termset(q) -> "tuple[str, tuple[str, ...], int] | None":
-        """(field, distinct_terms, min_match) when the query is
-        term-class with distinct clauses, else None."""
+    def _as_weighted(
+        q,
+    ) -> "tuple[list[tuple[str, str, float]], int] | None":
+        """(rows [(field, term, weight)], min_match) when the query
+        normalizes to a weighted-term plan, else None.
+
+        Beyond bare term classes this folds (r6):
+        * ``Boost(term-class)`` — the factor scales every term weight
+          (score = factor · sum, so per-term scaling is exact);
+        * ``Or`` whose operands ALL normalize with min_match == 1 —
+          the compiled Or is union + groupBy sum, which equals one
+          weighted matchAny with per-term weights ACCUMULATED across
+          operands (a term contributed by two operands scores twice);
+          operands may span different fields (field rides per row).
+        The classic parsed saved-search shape ``foo bar^2 baz`` thus
+        joins the one data-driven plan instead of compiling its own.
+        """
         if isinstance(
             q, (ast.MatchTerm, ast.MatchTermSet, ast.MatchText)
         ) and q.field not in index.corpus.text_cols:
@@ -523,26 +544,43 @@ def _dsl_scored_union(
                 f"(declared: {sorted(index.corpus.text_cols)})"
             )
         if isinstance(q, ast.MatchTerm):
-            return q.field, (q.term,), 1
+            return [(q.field, q.term, 1.0)], 1
         if isinstance(q, ast.MatchTermSet):
             if len(set(q.terms)) != len(q.terms):
                 return None  # duplicate clauses: weighted threshold
-            return q.field, tuple(sorted(q.terms)), q.min_match
+            return [
+                (q.field, t, 1.0) for t in sorted(q.terms)
+            ], q.min_match
         if isinstance(q, ast.MatchText):
             analyzer = index.corpus.text_cols[
                 q.field
             ].query_time_analyzer()
             terms = tuple(sorted(set(tokenize_py(q.text, analyzer))))
-            if not terms:
-                return q.field, (), 0  # analyzes to nothing: no hits
-            return (
-                q.field,
-                terms,
-                len(terms) if q.require_all else 1,
+            return [(q.field, t, 1.0) for t in terms], (
+                len(terms) if q.require_all and terms else 1
             )
+        if isinstance(q, ast.Boost):
+            inner = _as_weighted(q.operand)
+            if inner is None:
+                return None
+            rows, mm = inner
+            fac = float(q.factor)
+            return [(f, t, w * fac) for f, t, w in rows], mm
+        if isinstance(q, ast.Or):
+            parts = [_as_weighted(o) for o in q.operands]
+            if any(p is None or p[1] != 1 for p in parts):
+                return None
+            merged: dict[tuple[str, str], float] = {}
+            for rows, _ in parts:
+                for f, t, w in rows:
+                    merged[(f, t)] = merged.get((f, t), 0.0) + w
+            return [
+                (f, t, w) for (f, t), w in sorted(merged.items())
+            ], 1
         return None
 
-    term_rows: list[tuple[int, str, str, int]] = []
+    # (query_id, field, term, weight, min_match)
+    term_rows: list[tuple[int, str, str, float, int]] = []
     # (query_id, field, n_positions, max_span, qpos, term) — phrases
     # (exact AND sloppy: slop rides as the per-query span bound) as data
     phrase_rows: list[tuple[int, str, int, int, int, str]] = []
@@ -559,7 +597,7 @@ def _dsl_scored_union(
             if not terms:
                 continue  # analyzes to nothing: no hits
             if len(terms) == 1:
-                term_rows.append((qid, q.field, terms[0], 1))
+                term_rows.append((qid, q.field, terms[0], 1.0, 1))
                 continue
             if not opts.positions:
                 raise ValueError(
@@ -573,11 +611,11 @@ def _dsl_scored_union(
                     (qid, q.field, len(terms), max_span, i, t)
                 )
             continue
-        ts = _as_termset(q)
+        ts = _as_weighted(q)
         if ts is not None:
-            field, terms, min_match = ts
-            for t in terms:
-                term_rows.append((qid, field, t, min_match))
+            rows, min_match = ts
+            for field, t, w in rows:
+                term_rows.append((qid, field, t, w, min_match))
         else:
             general.setdefault(q, []).append(qid)
 
@@ -592,7 +630,9 @@ def _dsl_scored_union(
     branches: list[DataFrame] = []
     if term_rows:
         qterms = spark.createDataFrame(
-            term_rows, "query_id long, field string, term string, _minm int"
+            term_rows,
+            "query_id long, field string, term string, _w double,"
+            " _minm int",
         )
         fields = sorted({r[1] for r in term_rows})
         sp = None
@@ -603,7 +643,7 @@ def _dsl_scored_union(
         # caller's Iterable — always broadcast, postings never shuffle
         scored = sp.join(F.broadcast(qterms), ["field", "term"])
         agg = scored.groupBy("query_id", DOC_ID).agg(
-            F.sum("tscore").alias(SCORE),
+            F.sum(F.col("tscore") * F.col("_w")).alias(SCORE),
             F.count(F.lit(1)).alias("_nm"),  # distinct terms per query
             F.first("_minm").alias("_minm"),
         )

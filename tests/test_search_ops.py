@@ -314,6 +314,56 @@ class TestBatchSearchDsl:
                 [(1, Q.field("nope").match_term("a"))]
             )
 
+    def test_boost_and_or_fold_into_data_plan(self, tiny_index):
+        """Boost(term-class) and Or-of-term-classes normalize into the
+        weighted data plan (r6): no per-AST compile, no Union in the
+        physical plan, scores == search() at 6dp."""
+        from sparksearchengine_spark import Q
+
+        f = Q.field("text")
+        qs = [
+            (1, f.match_term("a").boost(2.5)),
+            (2, f.match_term("a") | f.match_any("b", "c").boost(3.0)),
+            (3, f.match_term("b") | f.match_term("b")),  # weight accumulates
+            (4, f.match_text("a zz") | f.match_term("c")),
+        ]
+        res = tiny_index.batch_search_dsl(qs, k=5)
+        plan = (
+            res._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+            .split("== Initial Plan ==")[0]
+        )
+        assert "Union" not in plan  # everything folded into ONE plan
+        got: dict = {}
+        for r in res.collect():
+            got.setdefault(r.query_id, set()).add(
+                (r.doc_id, round(r.score, 6), r.rank)
+            )
+        for qid, q in qs:
+            want = {
+                (r.doc_id, round(r.score, 6), r.rank)
+                for r in tiny_index.search(q, k=5).collect()
+            }
+            assert got.get(qid, set()) == want, f"query {qid}"
+
+    def test_or_with_matchall_operand_stays_general(self, tiny_index):
+        """Or with a min_match>1 operand cannot flatten (threshold
+        semantics) — must still be correct via the compiled path."""
+        from sparksearchengine_spark import Q
+
+        f = Q.field("text")
+        q = f.match_all("a", "b") | f.match_term("c")
+        got = {
+            (r.doc_id, round(r.score, 6))
+            for r in tiny_index.batch_search_dsl([(1, q)], k=5).collect()
+        }
+        want = {
+            (r.doc_id, round(r.score, 6))
+            for r in tiny_index.search(q, k=5).collect()
+        }
+        assert got == want
+
     def test_parsed_string_batch(self, tiny_index):
         """Saved query STRINGS batch through parse_query ->
         batch_search_dsl; results equal parsing + searching singly."""
