@@ -231,15 +231,36 @@ def search(
     hits = hits.withColumn("rank", F.row_number().over(w))  # ≤ k+offset rows
     if offset:
         hits = hits.where(F.col("rank") > offset)
-    if with_elements or select_cols:
-        c = index.corpus
-        elems = c.df.withColumn(DOC_ID, F.col(c.id_col).cast("long"))
-        if select_cols:  # E4 resultsTransformer = projection pushdown
-            elems = elems.select(DOC_ID, *select_cols)
-        # hits is the ≤ k-row side — broadcast IT, never the corpus, so
-        # this join stays a map-side lookup at any corpus size.
-        hits = F.broadcast(hits).join(elems, DOC_ID)
-    return hits
+    return _join_elements(index, hits, with_elements, select_cols)
+
+
+def _join_elements(
+    index: "SearchIndex",
+    hits: DataFrame,
+    with_elements: bool,
+    select_cols: "list[str] | None",
+) -> DataFrame:
+    """E4/E6 element join shared by `search` and `batch_search_dsl`:
+    corpus payload joined onto the k-bounded hits. hits is the small
+    side — broadcast IT, never the corpus, so the join stays a
+    map-side lookup at any corpus size. Corpus columns that collide
+    with the result columns (score/rank/query_id) raise loudly instead
+    of silently producing ambiguous duplicates (r6 review); project or
+    alias them via ``select_cols``."""
+    if not (with_elements or select_cols):
+        return hits
+    c = index.corpus
+    elems = c.df.withColumn(DOC_ID, F.col(c.id_col).cast("long"))
+    if select_cols:  # E4 resultsTransformer = projection pushdown
+        elems = elems.select(DOC_ID, *select_cols)
+    clash = (set(elems.columns) - {DOC_ID}) & set(hits.columns)
+    if clash:
+        raise ValueError(
+            f"element column(s) {sorted(clash)} collide with result "
+            "columns; rename them in the corpus or project/alias via "
+            "select_cols"
+        )
+    return F.broadcast(hits).join(elems, DOC_ID)
 
 
 def aggregating_search(
@@ -422,30 +443,21 @@ def batch_search_dsl(
     hits side is broadcast — bounded by |queries|·k — so the join is a
     map-side lookup at any corpus size, same as `search()`.
     """
-    qlist = list(queries)
-    ids = [qid for qid, _ in qlist]
-    if len(set(ids)) != len(ids):
-        raise ValueError("duplicate query ids in batch")
     spark = index.postings.sparkSession
-    unioned = _dsl_scored_union(index, qlist, max_plans)
+    unioned = _dsl_scored_union(index, list(queries), max_plans)
     if unioned is None:
-        return spark.createDataFrame(
+        ranked = spark.createDataFrame(
             [], f"query_id long, {DOC_ID} long, {SCORE} double, rank int"
         )
-    ranked = topk_per_group(
-        unioned,
-        ["query_id"],
-        [F.col(SCORE).desc(), F.col(DOC_ID).asc()],
-        k=k,
-        salt_buckets=salt_buckets,
-    ).select("query_id", DOC_ID, SCORE, "rank")
-    if with_elements or select_cols:
-        c = index.corpus
-        elems = c.df.withColumn(DOC_ID, F.col(c.id_col).cast("long"))
-        if select_cols:
-            elems = elems.select(DOC_ID, *select_cols)
-        ranked = F.broadcast(ranked).join(elems, DOC_ID)
-    return ranked
+    else:
+        ranked = topk_per_group(
+            unioned,
+            ["query_id"],
+            [F.col(SCORE).desc(), F.col(DOC_ID).asc()],
+            k=k,
+            salt_buckets=salt_buckets,
+        ).select("query_id", DOC_ID, SCORE, "rank")
+    return _join_elements(index, ranked, with_elements, select_cols)
 
 
 def batch_search_parsed(
@@ -492,12 +504,8 @@ def percolate_dsl(
     ``foreachBatch`` for streams (`streaming.percolate_stream_dsl`),
     or over any corpus slice for backfills.
     """
-    qlist = list(queries)
-    ids = [qid for qid, _ in qlist]
-    if len(set(ids)) != len(ids):
-        raise ValueError("duplicate query ids in batch")
     spark = index.postings.sparkSession
-    unioned = _dsl_scored_union(index, qlist, max_plans)
+    unioned = _dsl_scored_union(index, list(queries), max_plans)
     if unioned is None:
         return spark.createDataFrame(
             [], f"query_id long, {DOC_ID} long, {SCORE} double"
@@ -511,10 +519,15 @@ def _dsl_scored_union(
     max_plans: int,
 ) -> DataFrame | None:
     """(query_id, doc_id, score) matches for a list of (id, AST) pairs,
-    shape-grouped (see `batch_search_dsl`); None for an empty list."""
+    shape-grouped (see `batch_search_dsl`); None for an empty list.
+    Validates id uniqueness — the one contract both DSL surfaces
+    (`batch_search_dsl`, `percolate_dsl`) share."""
     from sparksearchengine_spark.functions.analyzers import tokenize_py
     from sparksearchengine_spark.plans import ast
 
+    ids = [qid for qid, _ in qlist]
+    if len(set(ids)) != len(ids):
+        raise ValueError("duplicate query ids in batch")
     spark = index.postings.sparkSession
     if not qlist:
         return None

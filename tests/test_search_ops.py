@@ -289,6 +289,30 @@ class TestBatchSearchDsl:
         res = tiny_index.batch_search_dsl([], k=3)
         assert res.count() == 0
         assert res.columns == ["query_id", "doc_id", "score", "rank"]
+        # empty input must produce the SAME schema as non-empty calls
+        # when element columns are requested (r6 review)
+        res2 = tiny_index.batch_search_dsl([], k=3, select_cols=["views"])
+        assert res2.count() == 0
+        assert "views" in res2.columns
+
+    def test_element_column_collision_raises(self, spark):
+        from sparksearchengine_spark import Corpus, Q, TextOptions
+
+        df = spark.createDataFrame(
+            [(1, "a b", 0.5)], "doc_id long, text string, score double"
+        )
+        idx = Corpus(
+            df, id_col="doc_id", text_cols={"text": TextOptions()}
+        ).build_index()
+        with pytest.raises(ValueError, match="collide"):
+            idx.search(
+                Q.field("text").match_term("a"), k=3, with_elements=True
+            )
+        # projecting the non-colliding columns still works
+        ok = idx.search(
+            Q.field("text").match_term("a"), k=3, select_cols=["text"]
+        )
+        assert "text" in ok.columns
 
     def test_duplicate_clause_termset_routes_to_compiler(self, tiny_index):
         from sparksearchengine_spark import Q
