@@ -380,6 +380,17 @@ def batch_search(
     return ranked.select("query_id", DOC_ID, SCORE, "rank")
 
 
+# comparison ops shared by the DSL batch's data-driven filter slots —
+# the same operator set as plans.compiler._filter_pred
+_DSL_FILTER_OPS = {
+    "=": lambda a, b: a == b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+}
+
+
 def batch_search_dsl(
     index: "SearchIndex",
     queries: "Iterable[tuple[int, Query]]",
@@ -414,8 +425,18 @@ def batch_search_dsl(
       bound as data instead of literals. The HOF runs on survivors
       only (docs containing ALL the phrase's terms), never the corpus.
       Phrases do NOT count toward ``max_plans``.
-    * **every other shape** (near, wildcard, regex, fuzzy, booleans,
-      filters, boosts, raw) compiles through the
+    * **And(term-class, simple filters) is ALSO data** — filters
+      group by STRUCTURAL SIGNATURE (field / op / value type, value
+      abstracted): the term rows join the one shared plan and each
+      signature group applies its per-query comparison VALUES via one
+      doc-attribute join + one broadcast values join — a registry of
+      thousands of per-user "match X where attr op value" standing
+      queries costs one plan per distinct signature, not per query.
+      Signatures count toward ``max_plans``; filters with None/mixed-
+      type values, unknown fields, or negative operands fall back to
+      the compiled path.
+    * **every other shape** (near, wildcard, regex, fuzzy, other
+      booleans, raw) compiles through the
       standard single-query compiler ONCE PER DISTINCT AST — duplicate
       queries share a plan via a broadcast id-attach join — and the
       k-bounded results union into the same final top-k window. Plan
@@ -592,8 +613,43 @@ def _dsl_scored_union(
             ], 1
         return None
 
+    def _slot_sig(f) -> "tuple | None":
+        """Structural signature of one filter — field, op, and VALUE
+        TYPE with the value itself abstracted — or None when the
+        filter cannot ride the data path (unknown corpus field,
+        None/mixed-type values)."""
+        fields = index.corpus.df.columns
+        if isinstance(f, ast.CompareFilter):
+            if f.field not in fields or f.value is None:
+                return None
+            return ("cmp", f.field, f.op, type(f.value).__name__)
+        if isinstance(f, ast.RangeFilter):
+            if f.field not in fields or f.lo is None or f.hi is None:
+                return None
+            return (
+                "range",
+                f.field,
+                type(f.lo).__name__,
+                type(f.hi).__name__,
+            )
+        if isinstance(f, ast.InSetFilter):
+            tns = {type(v).__name__ for v in f.values}
+            if f.field not in fields or len(tns) != 1 or None in f.values:
+                return None
+            return ("in", f.field, next(iter(tns)))
+        if isinstance(f, ast.ExistsFilter):
+            return ("exists", f.field) if f.field in fields else None
+        if isinstance(f, ast.MissingFilter):
+            return ("missing", f.field) if f.field in fields else None
+        return None
+
     # (query_id, field, term, weight, min_match)
     term_rows: list[tuple[int, str, str, float, int]] = []
+    # filter-signature -> [(query_id, filters sorted by slot sig)];
+    # queries here ALSO contribute term_rows — their candidates come
+    # from the one shared term plan, then the group's filters apply
+    filtered_groups: "dict[tuple, list[tuple[int, list]]]" = {}
+    filtered_ids: set = set()
     # (query_id, field, n_positions, max_span, qpos, term) — phrases
     # (exact AND sloppy: slop rides as the per-query span bound) as data
     phrase_rows: list[tuple[int, str, int, int, int, str]] = []
@@ -624,6 +680,39 @@ def _dsl_scored_union(
                     (qid, q.field, len(terms), max_span, i, t)
                 )
             continue
+        if isinstance(q, ast.And):
+            # And(ONE term-class positive, simple filters) runs as
+            # data too (r6): the term rows join the one shared plan,
+            # the filters group by STRUCTURAL SIGNATURE (field/op/value
+            # type, value abstracted) — a registry of thousands of
+            # per-user "match X where attr op value" standing queries
+            # costs one plan per distinct signature, not per query.
+            from sparksearchengine_spark.plans.compiler import _flatten
+
+            ops = _flatten(ast.And, q.operands)
+            filts = [o for o in ops if isinstance(o, ast.Filter)]
+            poss = [
+                o
+                for o in ops
+                if not isinstance(o, (ast.Filter, ast.Not))
+            ]
+            negs = [o for o in ops if isinstance(o, ast.Not)]
+            if len(poss) == 1 and filts and not negs:
+                tw = _as_weighted(poss[0])
+                sigs = [_slot_sig(fl) for fl in filts]
+                if tw is not None and tw[0] and None not in sigs:
+                    rows, min_match = tw
+                    for field, t, w in rows:
+                        term_rows.append((qid, field, t, w, min_match))
+                    ordered = sorted(
+                        zip(sigs, filts), key=lambda p: p[0]
+                    )
+                    sig = tuple(s for s, _ in ordered)
+                    filtered_groups.setdefault(sig, []).append(
+                        (qid, [fl for _, fl in ordered])
+                    )
+                    filtered_ids.add(qid)
+                    continue
         ts = _as_weighted(q)
         if ts is not None:
             rows, min_match = ts
@@ -632,11 +721,12 @@ def _dsl_scored_union(
         else:
             general.setdefault(q, []).append(qid)
 
-    if len(general) > max_plans:
+    if len(general) + len(filtered_groups) > max_plans:
         raise ValueError(
             f"batch has {len(general)} distinct non-term-class query "
-            f"shapes (> max_plans={max_plans}); each costs a compiled "
-            "plan. Split the batch, raise max_plans, or move standing "
+            f"shapes + {len(filtered_groups)} filter signatures "
+            f"(> max_plans={max_plans}); each costs a plan branch. "
+            "Split the batch, raise max_plans, or move standing "
             "query sets to streaming.prepare_percolator."
         )
 
@@ -660,11 +750,77 @@ def _dsl_scored_union(
             F.count(F.lit(1)).alias("_nm"),  # distinct terms per query
             F.first("_minm").alias("_minm"),
         )
-        branches.append(
-            agg.where(F.col("_nm") >= F.col("_minm")).select(
-                "query_id", DOC_ID, SCORE
-            )
+        tmatch = agg.where(F.col("_nm") >= F.col("_minm")).select(
+            "query_id", DOC_ID, SCORE
         )
+        if filtered_ids:
+            branches.append(
+                tmatch.where(
+                    ~F.col("query_id").isin(sorted(filtered_ids))
+                )
+            )
+            c = index.corpus
+            for sig, members in filtered_groups.items():
+                gids = sorted(m[0] for m in members)
+                fields = sorted({s[1] for s in sig})
+                attrs = c.df.select(
+                    F.col(c.id_col).cast("long").alias(DOC_ID),
+                    *[F.col(f).alias(f"_a_{f}") for f in fields],
+                )
+                # per-query comparison values, one frame per
+                # signature: slot i's columns are typed by the
+                # signature (same value types across members by
+                # construction)
+                names: list[str] = ["query_id"]
+                for i, s in enumerate(sig):
+                    if s[0] == "cmp":
+                        names.append(f"_s{i}_v")
+                    elif s[0] == "range":
+                        names += [f"_s{i}_lo", f"_s{i}_hi"]
+                    elif s[0] == "in":
+                        names.append(f"_s{i}_set")
+                vrows = []
+                for qid, filts in members:
+                    row: list = [qid]
+                    for fl in filts:
+                        if isinstance(fl, ast.CompareFilter):
+                            row.append(fl.value)
+                        elif isinstance(fl, ast.RangeFilter):
+                            row += [fl.lo, fl.hi]
+                        elif isinstance(fl, ast.InSetFilter):
+                            row.append(list(fl.values))
+                    vrows.append(tuple(row))
+                vals = spark.createDataFrame(vrows, names)
+                sub = (
+                    tmatch.where(F.col("query_id").isin(gids))
+                    .join(attrs, DOC_ID)
+                    .join(F.broadcast(vals), "query_id")
+                )
+                for i, s in enumerate(sig):
+                    att = F.col(f"_a_{s[1]}")
+                    if s[0] == "cmp":
+                        sub = sub.where(
+                            _DSL_FILTER_OPS[s[2]](
+                                att, F.col(f"_s{i}_v")
+                            )
+                        )
+                    elif s[0] == "range":
+                        sub = sub.where(
+                            att.between(
+                                F.col(f"_s{i}_lo"), F.col(f"_s{i}_hi")
+                            )
+                        )
+                    elif s[0] == "in":
+                        sub = sub.where(
+                            F.array_contains(F.col(f"_s{i}_set"), att)
+                        )
+                    elif s[0] == "exists":
+                        sub = sub.where(att.isNotNull())
+                    else:  # missing
+                        sub = sub.where(att.isNull())
+                branches.append(sub.select("query_id", DOC_ID, SCORE))
+        else:
+            branches.append(tmatch)
     if phrase_rows:
         from sparksearchengine_spark.plans.compiler import (
             _scored_postings,

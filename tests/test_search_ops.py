@@ -371,6 +371,82 @@ class TestBatchSearchDsl:
             }
             assert got.get(qid, set()) == want, f"query {qid}"
 
+    def test_filtered_queries_share_signature_plan(self, tiny_index):
+        """And(term-class, filters) runs as data grouped by filter
+        SIGNATURE (r6): N same-shaped queries with different values
+        cost one plan — max_plans=1 must accept 10 of them — and each
+        query's rows equal its single search()."""
+        from sparksearchengine_spark import F_, Q
+
+        f = Q.field("text")
+        qs = [
+            (i, f.match_any("a", "b", "c") & F_.gt("views", 5 * i))
+            for i in range(10)
+        ]
+        res = tiny_index.batch_search_dsl(qs, k=5, max_plans=1)
+        got: dict = {}
+        for r in res.collect():
+            got.setdefault(r.query_id, set()).add(
+                (r.doc_id, round(r.score, 6), r.rank)
+            )
+        for qid, q in qs:
+            want = {
+                (r.doc_id, round(r.score, 6), r.rank)
+                for r in tiny_index.search(q, k=5).collect()
+            }
+            assert got.get(qid, set()) == want, f"query {qid}"
+        # views thresholds really bite: higher thresholds, fewer docs
+        assert len(got.get(0, set())) > len(got.get(5, set()))
+
+    def test_filter_kinds_as_data(self, tiny_index):
+        """range / in-set / exists / missing filters all ride the
+        signature data path with per-query values; parity vs search().
+        A mixed bag of signatures in one batch stays correct."""
+        from sparksearchengine_spark import F_, Q
+
+        f = Q.field("text")
+        qs = [
+            (1, f.match_term("a") & F_.between("views", 5, 25)),
+            (2, f.match_term("a") & F_.isin("views", 10, 30)),
+            (3, f.match_any("a", "b") & F_.exists("tag")),
+            (4, f.match_any("a", "b") & F_.missing("tag")),
+            (5, f.match_term("c") & F_.eq("tag", "y")),
+        ]
+        got: dict = {}
+        for r in tiny_index.batch_search_dsl(qs, k=5).collect():
+            got.setdefault(r.query_id, set()).add(
+                (r.doc_id, round(r.score, 6))
+            )
+        for qid, q in qs:
+            want = {
+                (r.doc_id, round(r.score, 6))
+                for r in tiny_index.search(q, k=5).collect()
+            }
+            assert got.get(qid, set()) == want, f"query {qid}"
+
+    def test_unsupported_filters_fall_back_to_compiler(self, tiny_index):
+        """None values and negative operands can't ride the data path
+        but must still answer correctly via the compiled branch."""
+        from sparksearchengine_spark import F_, Q
+        from sparksearchengine_spark.plans.ast import CompareFilter
+
+        f = Q.field("text")
+        qs = [
+            (1, f.match_term("a") & CompareFilter("tag", "=", None)),
+            (2, f.match_term("a") & F_.gt("views", 5) & ~f.match_term("c")),
+        ]
+        got: dict = {}
+        for r in tiny_index.batch_search_dsl(qs, k=5).collect():
+            got.setdefault(r.query_id, set()).add(
+                (r.doc_id, round(r.score, 6))
+            )
+        for qid, q in qs:
+            want = {
+                (r.doc_id, round(r.score, 6))
+                for r in tiny_index.search(q, k=5).collect()
+            }
+            assert got.get(qid, set()) == want, f"query {qid}"
+
     def test_or_with_matchall_operand_stays_general(self, tiny_index):
         """Or with a min_match>1 operand cannot flatten (threshold
         semantics) — must still be correct via the compiled path."""
