@@ -914,6 +914,23 @@ def _search_paged(spark, sf):
     ).orderBy("rank")
 
 
+def _search_after_page(spark, sf):
+    """Cursor pagination (operators/search.py::search search_after=):
+    page 2 of the flagship query via the (score, doc_id) cursor of page
+    1's last hit — the deep-paging shape whose cost does NOT grow with
+    depth (the cursor predicate drops prior rows before the TakeOrdered
+    heap). Cursor carries the engine's full-precision double; ranks are
+    page-local (restart at 1), so the oracle re-ranks its rank>5 slice."""
+    idx = _docs_index(spark, sf)
+    q = Q.field("text").match_any(*QC10_TERMS)
+    page1 = idx.search(q, k=5).orderBy("rank").collect()
+    cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+    res = idx.search(q, k=5, search_after=cursor)
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    ).orderBy("rank")
+
+
 def _search_grouped(spark, sf):
     """Diversified per-group top-k (operators/search.py::grouped_search):
     the best 3 matches per lang over the FULL match set — a global top-k
@@ -2985,6 +3002,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- NEW r6 code past the cutoff: queued for the r7 rotation --
         "batch_mixed_analyzer": _batch_mixed_analyzer,
         "percolate_dsl": _percolate_dsl,
+        "search_after_page": _search_after_page,
     }
 
 
@@ -5019,6 +5037,14 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
     o["search_paged"] = (
         "WITH h AS (" + o["qc10_bm25_topk"] + ") "
         "SELECT doc_id, score, rank FROM h WHERE rank > 5 ORDER BY rank"
+    )
+    # cursor pagination: same rank>5 slice, but ranks are page-local
+    # (search_after restarts row_number per page)
+    o["search_after_page"] = (
+        "WITH h AS (" + o["qc10_bm25_topk"] + ") "
+        "SELECT doc_id, score, "
+        "CAST(row_number() OVER (ORDER BY rank) AS BIGINT) AS rank "
+        "FROM h WHERE rank > 5 ORDER BY rank"
     )
     o["search_grouped"] = _CTE + f"""
         , scored AS (

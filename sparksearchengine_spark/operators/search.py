@@ -205,6 +205,7 @@ def search(
     with_elements: bool = False,
     select_cols: list[str] | None = None,
     offset: int = 0,
+    search_after: "tuple[float, int] | None" = None,
 ) -> DataFrame:
     """Lazy top-k: DataFrame(doc_id, score, rank [, element columns]).
 
@@ -217,15 +218,35 @@ def search(
     (Lucene searchAfter shape): ranks (offset, offset+k] — executed as
     one TakeOrdered of offset+k rows then a rank filter, so page N costs
     one job and the deep-paging cost grows with offset exactly as it
-    must (cap offsets in serving layers; at depth use a cursor on
-    (score, doc_id) instead).
+    must (cap offsets in serving layers).
+
+    ``search_after=(score, doc_id)`` is the cursor form (Lucene/ES
+    ``searchAfter``): pass the LAST hit of the previous page and get the
+    next k rows strictly after it in (score desc, doc_id asc) order.
+    Unlike ``offset``, page N costs the same as page 1 — the cursor
+    predicate drops prior rows BEFORE the TakeOrdered heap, so the heap
+    holds k rows no matter how deep the page. This is the only
+    deep-paging shape that survives scale; ``rank`` restarts at 1 per
+    page (page-local). The cursor score must be the engine's full-
+    precision double (``res.collect()[-1]``), not a rounded display
+    value — a rounded cursor can skip or repeat boundary ties.
     """
     if offset < 0:
         raise ValueError("offset must be >= 0")
-    hits = (
-        index.compile(query)
-        .orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc())
-        .limit(k + offset)
+    if search_after is not None and offset:
+        raise ValueError("pass either offset or search_after, not both")
+    hits = index.compile(query)
+    if search_after is not None:
+        s, d = search_after
+        hits = hits.where(
+            (F.col(SCORE) < F.lit(float(s)))
+            | (
+                (F.col(SCORE) == F.lit(float(s)))
+                & (F.col(DOC_ID) > F.lit(int(d)))
+            )
+        )
+    hits = hits.orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc()).limit(
+        k + offset
     )
     w = Window.orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc())
     hits = hits.withColumn("rank", F.row_number().over(w))  # ≤ k+offset rows

@@ -866,6 +866,57 @@ class TestPlanShape:
                 _Q.field("text").match_term("dup"), k=5, offset=-1
             )
 
+    def test_search_after_cursor_paginates(self, docs_index):
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        q = _Q.field("text").match_any("dup", "spark")
+        full = docs_index.search(q, k=10).orderBy("rank").collect()
+        cursor = (full[4]["score"], full[4]["doc_id"])
+        page2 = (
+            docs_index.search(q, k=5, search_after=cursor)
+            .orderBy("rank")
+            .collect()
+        )
+        assert [r["doc_id"] for r in page2] == [
+            r["doc_id"] for r in full[5:10]
+        ]
+        # cursor pages are page-local: rank restarts at 1
+        assert [r["rank"] for r in page2] == [1, 2, 3, 4, 5]
+
+    def test_search_after_walks_whole_result_set(self, docs_index):
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        q = _Q.field("text").match_term("dup")
+        total = docs_index.compile(q).count()
+        full = docs_index.search(q, k=total).orderBy("rank").collect()
+        walked, cursor, k = [], None, 7
+        while True:
+            page = (
+                docs_index.search(q, k=k, search_after=cursor)
+                .orderBy("rank")
+                .collect()
+            )
+            if not page:
+                break
+            walked.extend(page)
+            cursor = (page[-1]["score"], page[-1]["doc_id"])
+        assert [r["doc_id"] for r in walked] == [
+            r["doc_id"] for r in full
+        ]
+
+    def test_search_after_with_offset_raises(self, docs_index):
+        import pytest as _pytest
+
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        with _pytest.raises(ValueError, match="search_after"):
+            docs_index.search(
+                _Q.field("text").match_term("dup"),
+                k=5,
+                offset=5,
+                search_after=(1.0, 0),
+            )
+
     def test_grouped_search_caps_per_group(self, docs_index):
         from sparksearchengine_spark.plans.ast import Q as _Q
 
