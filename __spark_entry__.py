@@ -931,6 +931,32 @@ def _search_after_page(spark, sf):
     ).orderBy("rank")
 
 
+def _text_ppl_buckets(spark, sf):
+    """CCNet head/middle/tail bucketing (operators/decontam.py::
+    perplexity_buckets): per-LANG percent_rank over the 6dp-rounded
+    unigram avg_nll; head = lowest-perplexity third of its language.
+    exact=True is the pinned oracle-parity path (percent_rank window);
+    the production default is the one-pass percentile_approx sketch +
+    broadcast-cutoff join (no sort anywhere — plan-asserted in
+    TestPerplexityBuckets::test_approx_plan_has_no_sort)."""
+    from sparksearchengine_spark.operators.decontam import (
+        perplexity_buckets,
+        unigram_logprob,
+    )
+
+    docs = _read(spark, sf, "documents")
+    nll = unigram_logprob(docs).select(
+        "doc_id", F.round("avg_nll", 6).alias("avg_nll")
+    )
+    scored = nll.join(docs.select("doc_id", "lang"), "doc_id")
+    out = perplexity_buckets(
+        scored, ppl_col="avg_nll", group_col="lang", exact=True
+    )
+    return out.select("doc_id", "lang", "avg_nll", "bucket").orderBy(
+        "doc_id"
+    )
+
+
 def _search_grouped(spark, sf):
     """Diversified per-group top-k (operators/search.py::grouped_search):
     the best 3 matches per lang over the FULL match set — a global top-k
@@ -3003,6 +3029,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_mixed_analyzer": _batch_mixed_analyzer,
         "percolate_dsl": _percolate_dsl,
         "search_after_page": _search_after_page,
+        "text_ppl_buckets": _text_ppl_buckets,
     }
 
 
@@ -5045,6 +5072,24 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         "SELECT doc_id, score, "
         "CAST(row_number() OVER (ORDER BY rank) AS BIGINT) AS rank "
         "FROM h WHERE rank > 5 ORDER BY rank"
+    )
+    # CCNet bucketing: percent_rank per lang over the rounded unigram
+    # avg_nll (the unigram_quality oracle nested whole, memory-pattern
+    # "oracle composition"); cut literals 1.0/3.0 and 2.0/3.0 are the
+    # same IEEE doubles Spark's F.lit(1/3) produces
+    o["text_ppl_buckets"] = (
+        "WITH u AS (" + o["unigram_quality"] + "), "
+        "nll AS (SELECT u.doc_id, d.lang, u.avg_nll "
+        "        FROM u JOIN documents d USING (doc_id)), "
+        "pr AS (SELECT doc_id, lang, avg_nll, "
+        "         percent_rank() OVER (PARTITION BY lang "
+        "                              ORDER BY avg_nll) AS p "
+        "       FROM nll) "
+        "SELECT doc_id, lang, avg_nll, "
+        "  CASE WHEN p < 1.0/3.0 THEN 'head' "
+        "       WHEN p < 2.0/3.0 THEN 'middle' "
+        "       ELSE 'tail' END AS bucket "
+        "FROM pr ORDER BY doc_id"
     )
     o["search_grouped"] = _CTE + f"""
         , scored AS (

@@ -734,3 +734,98 @@ def bloom_decontaminate(
         "n_hit_grams",
         (F.col("n_hit_grams") >= F.lit(min_hit_grams)).alias("contaminated"),
     )
+
+
+def perplexity_buckets(
+    scores: DataFrame,
+    ppl_col: str = "avg_nll",
+    group_col: str | None = None,
+    cuts: "tuple[float, float]" = (1.0 / 3.0, 2.0 / 3.0),
+    exact: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing over a perplexity column:
+    the input frame plus a ``bucket`` string column, per-``group_col``
+    (per-language in CCNet) so a doc competes only against its own
+    group's distribution.
+
+    ``head`` = the lowest-perplexity ``cuts[0]`` fraction (closest to
+    the LM, kept whole in CCNet), ``middle`` = up to ``cuts[1]``,
+    ``tail`` = the rest (dropped or down-sampled). Feed it the output of
+    :func:`unigram_logprob` / :func:`bigram_logprob` (or any per-doc
+    score — KenLM perplexities imported as a column work the same).
+
+    Two physical paths:
+
+    * default (``exact=False``) — the 100 TB shape: ONE
+      ``percentile_approx`` aggregation per group (partial-aggregated
+      sketch, no sort), cutoff VALUES broadcast back (two doubles per
+      group), bucket assigned in the scan stage. Docs exactly on a
+      cutoff value land in the lower bucket (``<=``).
+    * ``exact=True`` — the pinned/oracle-parity path: ``percent_rank``
+      per group (a per-group sort; fine at test scale, and still
+      one range-partitioned shuffle at cluster scale — use it when
+      bucket PROPORTIONS must honor ``cuts`` exactly up to ties).
+      Tie groups share a rank, so equal scores always share a bucket.
+
+    NULL scores are rejected loudly — a NULL would silently sort into
+    ``head`` under Spark's nulls-first default while DuckDB/most SQL
+    engines put it in ``tail`` (nulls-last); the caller decides, not the
+    engine. The guard is a ``raise_error`` branch fused into the bucket
+    expression (no extra validation pass over the data).
+    """
+    lo, hi = float(cuts[0]), float(cuts[1])
+    if not (0.0 < lo < hi < 1.0):
+        raise ValueError(
+            f"cuts must satisfy 0 < lo < hi < 1, got {cuts!r}"
+        )
+    null_guard = F.raise_error(
+        F.lit(
+            f"perplexity_buckets: NULL in {ppl_col!r} — filter or impute"
+            " first (NULL has no place in a rank ordering)"
+        )
+    ).cast("string")
+    if exact:
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy(group_col) if group_col else Window.partitionBy()
+        ).orderBy(F.col(ppl_col).asc())
+        pr = F.percent_rank().over(w)
+        bucket = (
+            F.when(F.col(ppl_col).isNull(), null_guard)
+            .when(pr < F.lit(lo), F.lit("head"))
+            .when(pr < F.lit(hi), F.lit("middle"))
+            .otherwise(F.lit("tail"))
+        )
+        return scores.withColumn("bucket", bucket)
+    gcols = [group_col] if group_col else []
+    q = (
+        scores.groupBy(*gcols)
+        .agg(
+            F.percentile_approx(
+                ppl_col, F.array(F.lit(lo), F.lit(hi)), F.lit(accuracy)
+            ).alias("_q")
+        )
+        .select(
+            *gcols,
+            F.element_at("_q", 1).alias("_q1"),
+            F.element_at("_q", 2).alias("_q2"),
+        )
+    )
+    if gcols:
+        # null-safe equality: a NULL group is a group of its own (a bare
+        # equi-join would silently DROP null-group rows)
+        qa = q.withColumnRenamed(group_col, "_g")
+        joined = scores.join(
+            F.broadcast(qa), F.col(group_col).eqNullSafe(F.col("_g"))
+        ).drop("_g")
+    else:
+        joined = scores.crossJoin(F.broadcast(q))
+    bucket = (
+        F.when(F.col(ppl_col).isNull(), null_guard)
+        .when(F.col(ppl_col) <= F.col("_q1"), F.lit("head"))
+        .when(F.col(ppl_col) <= F.col("_q2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return joined.withColumn("bucket", bucket).drop("_q1", "_q2")

@@ -468,3 +468,118 @@ class TestBloomDecontam:
         }
         # doc 1 shares ONE 3-gram -> below threshold; doc 3 shares both
         assert got == {1: False, 2: False, 3: True}
+
+
+class TestPerplexityBuckets:
+    """CCNet head/middle/tail bucketing (decontam.py::perplexity_buckets)."""
+
+    @pytest.fixture(scope="class")
+    def scored(self, spark):
+        # 24 docs, nll == doc_id, three groups incl. a NULL group of 6
+        rows = [
+            (i, float(i), "a" if i < 12 else ("b" if i < 18 else None))
+            for i in range(24)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, nll double, lang string"
+        )
+
+    def test_exact_proportions_per_group(self, scored):
+        from sparksearchengine_spark.operators.decontam import (
+            perplexity_buckets,
+        )
+
+        out = perplexity_buckets(
+            scored, ppl_col="nll", group_col="lang", exact=True
+        )
+        counts = {
+            (r["lang"], r["bucket"]): r["count"]
+            for r in out.groupBy("lang", "bucket").count().collect()
+        }
+        # 12/6/6 per group, thirds each — incl. the NULL group
+        for g, n in ((None, 2), ("a", 4), ("b", 2)):
+            for b in ("head", "middle", "tail"):
+                assert counts[(g, b)] == n
+
+    def test_head_is_lowest_perplexity(self, scored):
+        from sparksearchengine_spark.operators.decontam import (
+            perplexity_buckets,
+        )
+
+        out = perplexity_buckets(
+            scored, ppl_col="nll", group_col="lang", exact=True
+        ).collect()
+        by_doc = {r["doc_id"]: r["bucket"] for r in out}
+        # group a = docs 0..11 ascending nll: 0-3 head, 4-7 middle, 8-11 tail
+        assert [by_doc[i] for i in (0, 4, 8)] == ["head", "middle", "tail"]
+
+    def test_approx_matches_exact_on_distinct_values(self, scored):
+        from sparksearchengine_spark.operators.decontam import (
+            perplexity_buckets,
+        )
+
+        ex = {
+            r["doc_id"]: r["bucket"]
+            for r in perplexity_buckets(
+                scored, ppl_col="nll", group_col="lang", exact=True
+            ).collect()
+        }
+        ap = {
+            r["doc_id"]: r["bucket"]
+            for r in perplexity_buckets(
+                scored, ppl_col="nll", group_col="lang"
+            ).collect()
+        }
+        # all-distinct values, exact sketch at this size: identical
+        assert ap == ex
+        # and no rows were dropped (NULL group rides the null-safe join)
+        assert len(ap) == 24
+
+    def test_ungrouped_and_tie_sharing(self, spark):
+        from sparksearchengine_spark.operators.decontam import (
+            perplexity_buckets,
+        )
+
+        df = spark.createDataFrame(
+            [(i, 1.0 if i < 6 else 9.0) for i in range(9)],
+            "doc_id long, nll double",
+        )
+        out = perplexity_buckets(df, ppl_col="nll", exact=True).collect()
+        buckets = {r["doc_id"]: r["bucket"] for r in out}
+        # 6 tied lows share percent_rank 0 -> all head; 3 highs -> tail
+        assert all(buckets[i] == "head" for i in range(6))
+        assert all(buckets[i] == "tail" for i in range(6, 9))
+
+    def test_null_score_raises(self, spark):
+        from sparksearchengine_spark.operators.decontam import (
+            perplexity_buckets,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, 2.0)], "doc_id long, nll double"
+        )
+        for exact in (False, True):
+            with pytest.raises(Exception, match="NULL"):
+                perplexity_buckets(
+                    df, ppl_col="nll", exact=exact
+                ).collect()
+
+    def test_bad_cuts_raise(self, scored):
+        from sparksearchengine_spark.operators.decontam import (
+            perplexity_buckets,
+        )
+
+        for cuts in ((0.5, 0.4), (0.0, 0.5), (0.3, 1.0)):
+            with pytest.raises(ValueError, match="cuts"):
+                perplexity_buckets(scored, ppl_col="nll", cuts=cuts)
+
+    def test_approx_plan_has_no_sort(self, scored):
+        from sparksearchengine_spark.operators.decontam import (
+            perplexity_buckets,
+        )
+
+        plan = perplexity_buckets(
+            scored, ppl_col="nll", group_col="lang"
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "Sort" not in plan  # sketch agg + broadcast join, no sort
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
