@@ -957,6 +957,30 @@ def _text_ppl_buckets(spark, sf):
     )
 
 
+def _search_explain(spark, sf):
+    """Lucene-explain analog (operators/search.py::explain_scores): the
+    full per-(doc, term) BM25 breakdown behind the flagship query —
+    idf, tfNorm, per-term contribution, per-doc total. tf_norm rides as
+    tscore/idf in BOTH engines (same expression shape => same doubles);
+    the 2-term per-doc sum is IEEE-commutative-safe unrounded."""
+    idx = _docs_index(spark, sf)
+    q = Q.field("text").match_any(*QC10_TERMS)
+    ex = idx.explain(q)
+    return ex.select(
+        "doc_id",
+        "term",
+        "weight",
+        "tf",
+        "dl",
+        "df_t",
+        F.round("idf", 6).alias("idf"),
+        F.round("tf_norm", 6).alias("tf_norm"),
+        F.round("tscore", 6).alias("tscore"),
+        "n_matched",
+        F.round("score", 6).alias("score"),
+    ).orderBy("doc_id", "term")
+
+
 def _search_grouped(spark, sf):
     """Diversified per-group top-k (operators/search.py::grouped_search):
     the best 3 matches per lang over the FULL match set — a global top-k
@@ -3030,6 +3054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate_dsl": _percolate_dsl,
         "search_after_page": _search_after_page,
         "text_ppl_buckets": _text_ppl_buckets,
+        "search_explain": _search_explain,
     }
 
 
@@ -5091,6 +5116,27 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         "       ELSE 'tail' END AS bucket "
         "FROM pr ORDER BY doc_id"
     )
+    # Lucene-explain breakdown: the qc10 CTE's postings scored per term,
+    # tf_norm = tsc/idf in the same shape Spark divides (bit-equal)
+    o["search_explain"] = _CTE + f"""
+        , m AS (
+          SELECT p.doc_id, p.term, p.tf, p.dl, t.df,
+                 ln(1.0 + (f.n - t.df + 0.5) / (t.df + 0.5)) AS idf,
+                 {_bm25_sql("p.tf", "p.dl", "t.df")} AS tsc
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          WHERE p.term IN ('{QC10_TERMS[0]}','{QC10_TERMS[1]}')
+        )
+        SELECT doc_id, term, 1.0 AS weight,
+               CAST(tf AS BIGINT) AS tf, CAST(dl AS BIGINT) AS dl,
+               CAST(df AS BIGINT) AS df_t,
+               round(idf, 6) AS idf,
+               round(tsc / idf, 6) AS tf_norm,
+               round(tsc, 6) AS tscore,
+               CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT)
+                 AS n_matched,
+               round(sum(tsc) OVER (PARTITION BY doc_id), 6) AS score
+        FROM m ORDER BY doc_id, term"""
     o["search_grouped"] = _CTE + f"""
         , scored AS (
           SELECT p.doc_id, sum({_bm25_sql("p.tf", "p.dl", "t.df")}) AS s

@@ -400,6 +400,11 @@ class SearchIndex:
 
         return term_vector(self, doc_id, field=field)
 
+    def explain(self, query, doc_ids=None):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.search import explain_scores
+
+        return explain_scores(self, query, doc_ids=doc_ids)
+
     def more_like_this(self, source_ids, field: str, k: int = 10, **kw):  # type: ignore[no-untyped-def]
         from sparksearchengine_spark.operators.search import more_like_this
 

@@ -555,6 +555,69 @@ def percolate_dsl(
     return unioned
 
 
+def weighted_terms(
+    index: "SearchIndex", q
+) -> "tuple[list[tuple[str, str, float]], int] | None":
+    """(rows [(field, term, weight)], min_match) when ``q`` normalizes
+    to a weighted-term plan, else None.
+
+    Beyond bare term classes this folds (r6):
+    * ``Boost(term-class)`` — the factor scales every term weight
+      (score = factor · sum, so per-term scaling is exact);
+    * ``Or`` whose operands ALL normalize with min_match == 1 —
+      the compiled Or is union + groupBy sum, which equals one
+      weighted matchAny with per-term weights ACCUMULATED across
+      operands (a term contributed by two operands scores twice);
+      operands may span different fields (field rides per row).
+    The classic parsed saved-search shape ``foo bar^2 baz`` thus
+    joins the one data-driven plan instead of compiling its own.
+    Shared by the DSL batch executor and :func:`explain_scores`.
+    """
+    from sparksearchengine_spark.functions.analyzers import tokenize_py
+    from sparksearchengine_spark.plans import ast
+
+    if isinstance(
+        q, (ast.MatchTerm, ast.MatchTermSet, ast.MatchText)
+    ) and q.field not in index.corpus.text_cols:
+        raise ValueError(
+            f"field {q.field!r} is not a searchable text column "
+            f"(declared: {sorted(index.corpus.text_cols)})"
+        )
+    if isinstance(q, ast.MatchTerm):
+        return [(q.field, q.term, 1.0)], 1
+    if isinstance(q, ast.MatchTermSet):
+        if len(set(q.terms)) != len(q.terms):
+            return None  # duplicate clauses: weighted threshold
+        return [
+            (q.field, t, 1.0) for t in sorted(q.terms)
+        ], q.min_match
+    if isinstance(q, ast.MatchText):
+        analyzer = index.corpus.text_cols[q.field].query_time_analyzer()
+        terms = tuple(sorted(set(tokenize_py(q.text, analyzer))))
+        return [(q.field, t, 1.0) for t in terms], (
+            len(terms) if q.require_all and terms else 1
+        )
+    if isinstance(q, ast.Boost):
+        inner = weighted_terms(index, q.operand)
+        if inner is None:
+            return None
+        rows, mm = inner
+        fac = float(q.factor)
+        return [(f, t, w * fac) for f, t, w in rows], mm
+    if isinstance(q, ast.Or):
+        parts = [weighted_terms(index, o) for o in q.operands]
+        if any(p is None or p[1] != 1 for p in parts):
+            return None
+        merged: dict[tuple[str, str], float] = {}
+        for rows, _ in parts:
+            for f, t, w in rows:
+                merged[(f, t)] = merged.get((f, t), 0.0) + w
+        return [
+            (f, t, w) for (f, t), w in sorted(merged.items())
+        ], 1
+    return None
+
+
 def _dsl_scored_union(
     index: "SearchIndex",
     qlist: "list[tuple[int, Query]]",
@@ -574,65 +637,8 @@ def _dsl_scored_union(
     if not qlist:
         return None
 
-    def _as_weighted(
-        q,
-    ) -> "tuple[list[tuple[str, str, float]], int] | None":
-        """(rows [(field, term, weight)], min_match) when the query
-        normalizes to a weighted-term plan, else None.
-
-        Beyond bare term classes this folds (r6):
-        * ``Boost(term-class)`` — the factor scales every term weight
-          (score = factor · sum, so per-term scaling is exact);
-        * ``Or`` whose operands ALL normalize with min_match == 1 —
-          the compiled Or is union + groupBy sum, which equals one
-          weighted matchAny with per-term weights ACCUMULATED across
-          operands (a term contributed by two operands scores twice);
-          operands may span different fields (field rides per row).
-        The classic parsed saved-search shape ``foo bar^2 baz`` thus
-        joins the one data-driven plan instead of compiling its own.
-        """
-        if isinstance(
-            q, (ast.MatchTerm, ast.MatchTermSet, ast.MatchText)
-        ) and q.field not in index.corpus.text_cols:
-            raise ValueError(
-                f"field {q.field!r} is not a searchable text column "
-                f"(declared: {sorted(index.corpus.text_cols)})"
-            )
-        if isinstance(q, ast.MatchTerm):
-            return [(q.field, q.term, 1.0)], 1
-        if isinstance(q, ast.MatchTermSet):
-            if len(set(q.terms)) != len(q.terms):
-                return None  # duplicate clauses: weighted threshold
-            return [
-                (q.field, t, 1.0) for t in sorted(q.terms)
-            ], q.min_match
-        if isinstance(q, ast.MatchText):
-            analyzer = index.corpus.text_cols[
-                q.field
-            ].query_time_analyzer()
-            terms = tuple(sorted(set(tokenize_py(q.text, analyzer))))
-            return [(q.field, t, 1.0) for t in terms], (
-                len(terms) if q.require_all and terms else 1
-            )
-        if isinstance(q, ast.Boost):
-            inner = _as_weighted(q.operand)
-            if inner is None:
-                return None
-            rows, mm = inner
-            fac = float(q.factor)
-            return [(f, t, w * fac) for f, t, w in rows], mm
-        if isinstance(q, ast.Or):
-            parts = [_as_weighted(o) for o in q.operands]
-            if any(p is None or p[1] != 1 for p in parts):
-                return None
-            merged: dict[tuple[str, str], float] = {}
-            for rows, _ in parts:
-                for f, t, w in rows:
-                    merged[(f, t)] = merged.get((f, t), 0.0) + w
-            return [
-                (f, t, w) for (f, t), w in sorted(merged.items())
-            ], 1
-        return None
+    def _as_weighted(q):  # type: ignore[no-untyped-def]
+        return weighted_terms(index, q)
 
     def _slot_sig(f) -> "tuple | None":
         """Structural signature of one filter — field, op, and VALUE
@@ -1968,3 +1974,102 @@ def more_like_this_text(
         )
     terms = [t for _, t in scored]
     return search(index, Q.field(field).match_any(*terms), k=k)
+
+
+def explain_scores(
+    index: "SearchIndex",
+    query,
+    doc_ids: "Iterable[int] | None" = None,
+) -> DataFrame:
+    """Lucene ``IndexSearcher.explain`` analog: the per-(doc, term) score
+    breakdown behind :func:`search`'s totals, as a DataFrame.
+
+    One row per matched posting:
+    ``(doc_id, field, term, weight, tf, dl, df_t, idf, tf_norm, tscore,
+    n_matched, score)`` where ``idf`` is the similarity's idf factor,
+    ``tf_norm = tscore_unweighted / idf`` (for BM25 exactly Lucene's
+    tfNorm ``tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``), ``tscore =
+    weight · idf · tf_norm`` is the row's contribution, ``n_matched``
+    counts the doc's matched query terms, and ``score`` is the per-doc
+    total — identical to what :func:`search` reports for the same doc
+    (docs failing the query's min_match are excluded, mirroring it).
+
+    Supports every query that normalizes to a weighted term set
+    (:func:`weighted_terms`: term / term-set / analyzed text, ``Boost``
+    and min_match-1 ``Or`` compositions — fields may differ per row);
+    other shapes (phrases, filters, ``Not``) raise — their match logic
+    has no per-term additive decomposition to explain.
+
+    Plan shape: the query terms + per-field corpus scalars ride ONE
+    broadcast literal frame; df_t attaches by scanning termstats against
+    that broadcast (output ≤ |query terms| rows) and the result
+    broadcast-joins the postings scan, so the corpus side never
+    shuffles. ``doc_ids`` (bounded id list) prunes the postings scan
+    up front — the classic "why did doc X rank there?" call is a few
+    partition-pruned lookups, not a corpus pass.
+    """
+    spark = index.postings.sparkSession
+    norm = weighted_terms(index, query)
+    if norm is None:
+        raise ValueError(
+            "explain_scores supports queries that normalize to a weighted"
+            " term set (match_term / match_any / match_min / match_text,"
+            " Boost / Or compositions); phrases, filters and Not have no"
+            f" per-term additive breakdown — got {type(query).__name__}"
+        )
+    rows, min_match = norm
+    fs = index.fieldstats
+    lit_rows = [
+        (
+            f,
+            t,
+            float(w),
+            float(fs[f].doc_count) if fs[f].doc_count else 1.0,
+            float(fs[f].avgdl) if fs[f].avgdl else 1.0,
+        )
+        for f, t, w in rows
+    ]
+    qdf = spark.createDataFrame(
+        lit_rows,
+        "field string, term string, weight double, _n double, _avgdl double",
+    )
+    # df_t rides the broadcast: termstats scanned once against the tiny
+    # query frame, never materialized corpus-wide
+    qts = index.termstats.select("field", "term", "df_t").join(
+        F.broadcast(qdf), ["field", "term"]
+    )
+    p = index.postings
+    if doc_ids is not None:
+        ids = [int(i) for i in doc_ids]
+        p = p.where(F.col(DOC_ID).isin(ids))
+    j = p.join(F.broadcast(qts), ["field", "term"])
+    from sparksearchengine_spark.functions.scoring import idf_expr
+
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    dfd = F.col("df_t").cast("double")
+    idf = idf_expr(dfd, F.col("_n"))
+    tsc_unweighted = index.scoring.term_score(
+        tfd, dld, dfd, F.col("_n"), F.col("_avgdl")
+    )
+    out = j.select(
+        F.col(DOC_ID),
+        "field",
+        "term",
+        "weight",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("dl").cast("long").alias("dl"),
+        F.col("df_t").cast("long").alias("df_t"),
+        idf.alias("idf"),
+        (tsc_unweighted / idf).alias("tf_norm"),
+        (F.col("weight") * tsc_unweighted).alias("tscore"),
+    )
+    w = Window.partitionBy(DOC_ID)
+    out = (
+        out.withColumn(
+            "n_matched", F.count(F.lit(1)).over(w).cast("long")
+        )
+        .withColumn("score", F.sum("tscore").over(w))
+        .where(F.col("n_matched") >= F.lit(int(min_match)))
+    )
+    return out

@@ -2386,3 +2386,111 @@ class TestMoreLikeThisText:
             more_like_this_text(
                 docs_index, "zzzqqqxxx vvvwwwyyy", "text"
             )
+
+
+class TestExplainScores:
+    """Lucene-explain analog (search.py::explain_scores)."""
+
+    def test_totals_equal_search(self, docs_index):
+        import math
+
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        q = _Q.field("text").match_any("dup", "spark")
+        s = {
+            r["doc_id"]: r["score"]
+            for r in docs_index.search(q, k=1000).collect()
+        }
+        e = {
+            r["doc_id"]: r["score"]
+            for r in docs_index.explain(q)
+            .select("doc_id", "score")
+            .distinct()
+            .collect()
+        }
+        assert set(s) == set(e)
+        assert all(math.isclose(s[d], e[d], rel_tol=1e-12) for d in s)
+
+    def test_components_multiply_out(self, docs_index):
+        import math
+
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        rows = docs_index.explain(
+            _Q.field("text").match_term("dup")
+        ).collect()
+        assert rows
+        for r in rows:
+            assert math.isclose(
+                r["tscore"],
+                r["weight"] * r["idf"] * r["tf_norm"],
+                rel_tol=1e-12,
+            )
+            # BM25 tfNorm recomputed from raw stats
+            fs = docs_index.fieldstats["text"]
+            tfn = (r["tf"] * 2.2) / (
+                r["tf"] + 1.2 * (0.25 + 0.75 * r["dl"] / fs.avgdl)
+            )
+            assert math.isclose(r["tf_norm"], tfn, rel_tol=1e-9)
+
+    def test_boost_scales_weight_and_tscore(self, docs_index):
+        import math
+
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        base = {
+            (r["doc_id"], r["term"]): r
+            for r in docs_index.explain(
+                _Q.field("text").match_term("dup")
+            ).collect()
+        }
+        boosted = {
+            (r["doc_id"], r["term"]): r
+            for r in docs_index.explain(
+                _Q.field("text").match_term("dup").boost(3.0)
+            ).collect()
+        }
+        assert set(base) == set(boosted)
+        for k, b in boosted.items():
+            assert b["weight"] == 3.0
+            assert math.isclose(
+                b["tscore"], 3.0 * base[k]["tscore"], rel_tol=1e-12
+            )
+
+    def test_min_match_mirrors_search(self, docs_index):
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        q = _Q.field("text").match_all("dup", "merge")
+        s = {r["doc_id"] for r in docs_index.search(q, k=1000).collect()}
+        e = {
+            r["doc_id"]
+            for r in docs_index.explain(q).select("doc_id").collect()
+        }
+        assert s == e and s
+
+    def test_doc_ids_prune(self, docs_index):
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        q = _Q.field("text").match_term("dup")
+        all_ids = sorted(
+            r["doc_id"]
+            for r in docs_index.explain(q).select("doc_id").collect()
+        )
+        some = all_ids[:2]
+        got = {
+            r["doc_id"]
+            for r in docs_index.explain(q, doc_ids=some).collect()
+        }
+        assert got == set(some)
+
+    def test_unsupported_shapes_raise(self, docs_index):
+        import pytest as _pytest
+
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        for bad in (
+            _Q.field("text").match_phrase("dup merge"),
+            ~_Q.field("text").match_term("dup"),
+        ):
+            with _pytest.raises(ValueError, match="explain_scores"):
+                docs_index.explain(bad)
