@@ -957,6 +957,23 @@ def _text_ppl_buckets(spark, sf):
     )
 
 
+def _search_rescore(spark, sf):
+    """Two-pass rescoring (operators/search.py::rescore_search): the
+    flagship match_any top-30 window re-scored with the qc09 phrase at
+    2x weight (ES rescore, score_mode=total), top-10 re-ranked. The
+    phrase's n-way join runs on a postings view left-semi-filtered by
+    the broadcast window ids (plan-asserted in TestRescoreSearch)."""
+    idx = _docs_index(spark, sf)
+    base_q = Q.field("text").match_any(*QC10_TERMS)
+    ph = Q.field("text").match_phrase(f"{QC09_W1} {QC09_W2}")
+    res = idx.rescore_search(
+        base_q, ph, k=10, window=30, rescore_weight=2.0
+    )
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    ).orderBy("rank")
+
+
 def _search_explain(spark, sf):
     """Lucene-explain analog (operators/search.py::explain_scores): the
     full per-(doc, term) BM25 breakdown behind the flagship query —
@@ -3055,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_after_page": _search_after_page,
         "text_ppl_buckets": _text_ppl_buckets,
         "search_explain": _search_explain,
+        "search_rescore": _search_rescore,
     }
 
 
@@ -5116,6 +5134,44 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         "       ELSE 'tail' END AS bucket "
         "FROM pr ORDER BY doc_id"
     )
+    # ES-style rescore: qc10's top-30 window, qc09's phrase at 2x, re-rank.
+    # Phrase score = sum of the 2 phrase terms' BM25 (IEEE-commutative-
+    # safe pair); fused = 1.0*s + 2.0*ps mirrors the Spark shape.
+    o["search_rescore"] = _CTE + f"""
+        , scored AS (
+          SELECT p.doc_id, sum({_bm25_sql("p.tf", "p.dl", "t.df")}) AS s
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          WHERE p.term IN ('{QC10_TERMS[0]}','{QC10_TERMS[1]}')
+          GROUP BY p.doc_id
+        ),
+        win AS (SELECT doc_id, s FROM scored ORDER BY s DESC, doc_id
+                LIMIT 30),
+        phdocs AS (
+          SELECT doc_id FROM toks
+          WHERE list_contains(
+            list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1]),
+            '{QC09_W1} {QC09_W2}')
+        ),
+        ph AS (
+          SELECT p.doc_id, sum({_bm25_sql("p.tf", "p.dl", "t.df")}) AS ps
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          WHERE p.term IN ('{QC09_W1}','{QC09_W2}')
+            AND p.doc_id IN (SELECT doc_id FROM phdocs)
+          GROUP BY p.doc_id
+        ),
+        fused AS (
+          SELECT w.doc_id,
+                 CASE WHEN ph.doc_id IS NULL THEN 1.0 * w.s
+                      ELSE 1.0 * w.s + 2.0 * ph.ps END AS fs
+          FROM win w LEFT JOIN ph USING (doc_id)
+        )
+        SELECT doc_id, round(fs, 6) AS score,
+               CAST(row_number() OVER (ORDER BY fs DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM fused ORDER BY fs DESC, doc_id LIMIT 10"""
     # Lucene-explain breakdown: the qc10 CTE's postings scored per term,
     # tf_norm = tsc/idf in the same shape Spark divides (bit-equal)
     o["search_explain"] = _CTE + f"""

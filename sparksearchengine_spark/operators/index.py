@@ -405,6 +405,11 @@ class SearchIndex:
 
         return explain_scores(self, query, doc_ids=doc_ids)
 
+    def rescore_search(self, query, rescore_query, k: int = 10, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.search import rescore_search
+
+        return rescore_search(self, query, rescore_query, k=k, **kw)
+
     def more_like_this(self, source_ids, field: str, k: int = 10, **kw):  # type: ignore[no-untyped-def]
         from sparksearchengine_spark.operators.search import more_like_this
 

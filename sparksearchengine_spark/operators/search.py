@@ -2073,3 +2073,103 @@ def explain_scores(
         .where(F.col("n_matched") >= F.lit(int(min_match)))
     )
     return out
+
+
+# rescore windows are collected to the driver (one bounded row list, the
+# get_elements/_lookup_frame pattern); this cap keeps "window=" honest
+RESCORE_MAX_WINDOW = 100_000
+
+
+def rescore_search(
+    index: "SearchIndex",
+    query,
+    rescore_query,
+    k: int = 10,
+    window: int = 100,
+    query_weight: float = 1.0,
+    rescore_weight: float = 1.0,
+    score_mode: str = "total",
+) -> DataFrame:
+    """Two-pass rescoring (Lucene ``QueryRescorer`` / Elasticsearch
+    ``rescore``): run the cheap ``query`` for the top ``window`` docs,
+    re-score ONLY those with the expensive ``rescore_query`` (typically
+    a phrase/proximity query), then re-rank and return the top ``k`` as
+    ``(doc_id, score, rank)``.
+
+    ``score = query_weight·q ∘ rescore_weight·r`` for docs the rescore
+    query matches (``score_mode``: total | multiply | avg | max | min —
+    the ES modes), and ``query_weight·q`` alone for window docs it does
+    not match. Docs outside the window never move — the ES contract.
+
+    Scale shape: the window ids are ONE bounded driver collect (≤
+    ``window`` rows, capped loudly at ``RESCORE_MAX_WINDOW``); the
+    rescore query compiles against a postings view left-semi-filtered
+    by the broadcast window ids, so its n-way phrase join and the
+    interpreted positions HOF run on at most ``window`` docs' postings
+    — never the corpus. This is exactly why rescore exists: the
+    expensive query's cost is bounded by the window, not the match set.
+    """
+    if k < 1 or window < k:
+        raise ValueError(
+            f"need 1 <= k <= window, got k={k} window={window}"
+        )
+    if window > RESCORE_MAX_WINDOW:
+        raise ValueError(
+            f"window={window} exceeds RESCORE_MAX_WINDOW="
+            f"{RESCORE_MAX_WINDOW}; deep rescoring belongs in the base"
+            " ranking (or raise the cap knowingly)"
+        )
+    modes = {"total", "multiply", "avg", "max", "min"}
+    if score_mode not in modes:
+        raise ValueError(
+            f"score_mode must be one of {sorted(modes)}, got {score_mode!r}"
+        )
+    spark = index.postings.sparkSession
+    base_rows = (
+        search(index, query, k=window)
+        .select(DOC_ID, F.col(SCORE).alias("_qs"))
+        .collect()
+    )
+    base = spark.createDataFrame(
+        [(int(r[DOC_ID]), float(r["_qs"])) for r in base_rows],
+        f"{DOC_ID} long, _qs double",
+    )
+    # restricted postings view: the rescore plan sees only window docs
+    import copy
+
+    from sparksearchengine_spark.plans.compiler import compile_query
+
+    sub = copy.copy(index)
+    sub.postings = index.postings.join(
+        F.broadcast(base.select(DOC_ID)), DOC_ID, "left_semi"
+    )
+    sub._scored_cache = {}
+    # shared list: phrase persists registered by the sub-compile are
+    # released by the ORIGINAL index's unpersist()
+    sub._phrase_caches = index._phrase_caches
+    resc = compile_query(rescore_query, sub).select(
+        DOC_ID, F.col(SCORE).alias("_rs")
+    )
+    q = F.lit(float(query_weight)) * F.col("_qs")
+    r = F.lit(float(rescore_weight)) * F.col("_rs")
+    combined = {
+        "total": q + r,
+        "multiply": q * r,
+        "avg": (q + r) / F.lit(2.0),
+        "max": F.greatest(q, r),
+        "min": F.least(q, r),
+    }[score_mode]
+    fused = (
+        base.join(resc, DOC_ID, "left")
+        .select(
+            DOC_ID,
+            F.when(F.col("_rs").isNull(), q)
+            .otherwise(combined)
+            .alias(SCORE),
+        )
+    )
+    w = Window.orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

@@ -2494,3 +2494,114 @@ class TestExplainScores:
         ):
             with _pytest.raises(ValueError, match="explain_scores"):
                 docs_index.explain(bad)
+
+
+class TestRescoreSearch:
+    """Two-pass rescoring (search.py::rescore_search)."""
+
+    def test_total_mode_matches_manual_fusion(self, docs_index):
+        import math
+
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        base_q = _Q.field("text").match_any("dup", "spark")
+        ph = _Q.field("text").match_phrase("dup merge")
+        b = {
+            r["doc_id"]: r["score"]
+            for r in docs_index.search(base_q, k=20).collect()
+        }
+        p = {
+            r["doc_id"]: r["score"]
+            for r in docs_index.compile(ph).collect()
+        }
+        got = {
+            r["doc_id"]: r["score"]
+            for r in docs_index.rescore_search(
+                base_q, ph, k=20, window=20, rescore_weight=2.0
+            ).collect()
+        }
+        want = {
+            d: b[d] + 2.0 * p[d] if d in p else b[d] for d in b
+        }
+        assert set(got) == set(want)
+        assert all(
+            math.isclose(got[d], want[d], rel_tol=1e-12) for d in got
+        )
+
+    def test_window_containment(self, docs_index):
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        base_q = _Q.field("text").match_any("dup", "spark")
+        ph = _Q.field("text").match_phrase("dup merge")
+        win = {
+            r["doc_id"] for r in docs_index.search(base_q, k=15).collect()
+        }
+        got = {
+            r["doc_id"]
+            for r in docs_index.rescore_search(
+                base_q, ph, k=15, window=15, rescore_weight=100.0
+            ).collect()
+        }
+        assert got <= win
+
+    def test_unmatched_docs_keep_weighted_base(self, docs_index):
+        import math
+
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        base_q = _Q.field("text").match_term("spark")
+        ph = _Q.field("text").match_phrase("zzznope qqqnever")
+        b = {
+            r["doc_id"]: r["score"]
+            for r in docs_index.search(base_q, k=10).collect()
+        }
+        got = {
+            r["doc_id"]: r["score"]
+            for r in docs_index.rescore_search(
+                base_q, ph, k=10, window=10, query_weight=0.5
+            ).collect()
+        }
+        assert all(
+            math.isclose(got[d], 0.5 * b[d], rel_tol=1e-12) for d in got
+        )
+
+    def test_score_modes_and_guards(self, docs_index):
+        import pytest as _pytest
+
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        base_q = _Q.field("text").match_term("dup")
+        ph = _Q.field("text").match_phrase("dup merge")
+        for mode in ("multiply", "avg", "max", "min"):
+            assert (
+                docs_index.rescore_search(
+                    base_q, ph, k=3, window=5, score_mode=mode
+                ).count()
+                == 3
+            )
+        with _pytest.raises(ValueError, match="score_mode"):
+            docs_index.rescore_search(
+                base_q, ph, k=3, window=5, score_mode="sum"
+            )
+        with _pytest.raises(ValueError, match="window"):
+            docs_index.rescore_search(base_q, ph, k=10, window=5)
+        with _pytest.raises(ValueError, match="RESCORE_MAX_WINDOW"):
+            docs_index.rescore_search(
+                base_q, ph, k=10, window=200_000
+            )
+
+    def test_rescore_plan_semi_filtered(self, docs_index):
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        plan = (
+            docs_index.rescore_search(
+                _Q.field("text").match_term("dup"),
+                _Q.field("text").match_phrase("dup merge"),
+                k=3,
+                window=5,
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "LeftSemi" in plan
