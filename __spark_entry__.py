@@ -2581,8 +2581,21 @@ def _batch_dsl_mixed(spark, sf):
     union into the shared per-query rank window. The oracle recomputes
     each query independently in SQL and applies the same window."""
     idx = _docs_index(spark, sf)
+    res = idx.batch_search_dsl(_bdsl_queries(), k=BDSL_K)
+    return res.select(
+        "query_id",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
+def _bdsl_queries():
+    """The 5-shape heterogeneous batch shared by the batch_dsl_mixed and
+    batch_dsl_per_k entries: term, matchAll, phrase, boolean-with-
+    negation, range-filtered term."""
     f = Q.field("text")
-    queries = [
+    return [
         (1, f.match_term(QC06_TERM)),
         (2, f.match_all(*QC10_TERMS)),
         (3, f.match_phrase(f"{QC09_W1} {QC09_W2}")),
@@ -2594,7 +2607,25 @@ def _batch_dsl_mixed(spark, sf):
             & F_.lt("n_chars", QC28_HI),
         ),
     ]
-    res = idx.batch_search_dsl(queries, k=BDSL_K)
+
+
+# per-query result depths for the batch_dsl_per_k entry (ids absent
+# from the map ride the global k=BDSL_K)
+BDSL_PER_K = {1: 3, 3: 1, 5: 8}
+
+
+def _batch_dsl_per_k(spark, sf):
+    """Per-query k in the DSL batch (operators/search.py::
+    batch_search_dsl k_by_query=, the batch_search k_col analog for
+    arbitrary ASTs): the same 5-shape batch as batch_dsl_mixed with
+    three queries at their own depths. One rank window runs at the max
+    depth; per-query limits apply as a broadcast map join on the
+    k-bounded rows. Oracle = batch_dsl_mixed's SQL with the rank limit
+    swapped for the matching CASE."""
+    idx = _docs_index(spark, sf)
+    res = idx.batch_search_dsl(
+        _bdsl_queries(), k=BDSL_K, k_by_query=BDSL_PER_K
+    )
     return res.select(
         "query_id",
         "doc_id",
@@ -3073,6 +3104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ppl_buckets": _text_ppl_buckets,
         "search_explain": _search_explain,
         "search_rescore": _search_rescore,
+        "batch_dsl_per_k": _batch_dsl_per_k,
     }
 
 
@@ -6407,6 +6439,16 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         )
         SELECT * FROM r WHERE rank <= {BDSL_K}
         ORDER BY query_id, rank"""
+    # per-query k: batch_dsl_mixed's SQL with the final rank limit
+    # swapped for the BDSL_PER_K CASE (ids absent keep the global k)
+    _case = " ".join(
+        f"WHEN {q} THEN {v}" for q, v in sorted(BDSL_PER_K.items())
+    )
+    o["batch_dsl_per_k"] = o["batch_dsl_mixed"].replace(
+        f"WHERE rank <= {BDSL_K}",
+        f"WHERE rank <= CASE query_id {_case} ELSE {BDSL_K} END",
+        1,
+    )
     # term vector: the _CTE postings filtered to one doc
     o["term_vector"] = _CTE + f"""
         SELECT 'text' AS field, term, CAST(tf AS BIGINT) AS tf,

@@ -420,6 +420,7 @@ def batch_search_dsl(
     max_plans: int = 64,
     with_elements: bool = False,
     select_cols: "list[str] | None" = None,
+    k_by_query: "dict[int, int] | None" = None,
 ) -> DataFrame:
     """E5 generalized — many ARBITRARY DSL query trees in one pass.
 
@@ -484,9 +485,26 @@ def batch_search_dsl(
     onto the k-bounded hits (the E6 raw/transformer variants): the
     hits side is broadcast — bounded by |queries|·k — so the join is a
     map-side lookup at any corpus size, same as `search()`.
+
+    ``k_by_query`` gives individual queries their own k (ids absent
+    from the map use ``k``) — the `batch_search` ``k_col`` analog for
+    the DSL surface. One rank window runs at ``max(k, k_by_query
+    values)``; per-query limits apply as a broadcast map join on the
+    already-k-bounded rows, so heterogeneous depths cost nothing extra.
     """
     spark = index.postings.sparkSession
-    unioned = _dsl_scored_union(index, list(queries), max_plans)
+    qlist = list(queries)
+    if k_by_query:
+        bad = {q: v for q, v in k_by_query.items() if int(v) < 1}
+        if bad:
+            raise ValueError(f"k_by_query values must be >= 1: {bad}")
+        unknown = set(k_by_query) - {qid for qid, _ in qlist}
+        if unknown:
+            raise ValueError(
+                f"k_by_query ids not in the batch: {sorted(unknown)}"
+            )
+    kmax = max([k, *map(int, (k_by_query or {}).values())])
+    unioned = _dsl_scored_union(index, qlist, max_plans)
     if unioned is None:
         ranked = spark.createDataFrame(
             [], f"query_id long, {DOC_ID} long, {SCORE} double, rank int"
@@ -496,9 +514,19 @@ def batch_search_dsl(
             unioned,
             ["query_id"],
             [F.col(SCORE).desc(), F.col(DOC_ID).asc()],
-            k=k,
+            k=kmax,
             salt_buckets=salt_buckets,
         ).select("query_id", DOC_ID, SCORE, "rank")
+        if k_by_query:
+            kdf = spark.createDataFrame(
+                [(int(q), int(v)) for q, v in k_by_query.items()],
+                "query_id long, _k int",
+            )
+            ranked = (
+                ranked.join(F.broadcast(kdf), "query_id", "left")
+                .where(F.col("rank") <= F.coalesce(F.col("_k"), F.lit(k)))
+                .drop("_k")
+            )
     return _join_elements(index, ranked, with_elements, select_cols)
 
 

@@ -2605,3 +2605,39 @@ class TestRescoreSearch:
             .toString()
         )
         assert "LeftSemi" in plan
+
+
+class TestDslBatchPerQueryK:
+    def test_per_query_k_matches_single_search(self, docs_index):
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        qs = [
+            (1, _Q.field("text").match_any("dup", "spark")),
+            (2, _Q.field("text").match_term("merge")),
+            (3, _Q.field("text").match_phrase("dup merge")),
+        ]
+        res = docs_index.batch_search_dsl(
+            qs, k=2, k_by_query={1: 5, 3: 1}
+        ).collect()
+        got = {}
+        for r in res:
+            got.setdefault(r["query_id"], []).append(
+                (r["rank"], r["doc_id"], r["score"])
+            )
+        for qid, q, kk in ((1, qs[0][1], 5), (2, qs[1][1], 2), (3, qs[2][1], 1)):
+            want = [
+                (r["rank"], r["doc_id"], r["score"])
+                for r in docs_index.search(q, k=kk).orderBy("rank").collect()
+            ]
+            assert sorted(got.get(qid, [])) == sorted(want), qid
+
+    def test_k_by_query_validation(self, docs_index):
+        import pytest as _pytest
+
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        qs = [(1, _Q.field("text").match_term("dup"))]
+        with _pytest.raises(ValueError, match=">= 1"):
+            docs_index.batch_search_dsl(qs, k_by_query={1: 0})
+        with _pytest.raises(ValueError, match="not in the batch"):
+            docs_index.batch_search_dsl(qs, k_by_query={9: 3})
