@@ -957,6 +957,27 @@ def _text_ppl_buckets(spark, sf):
     )
 
 
+def _search_facet_metrics(spark, sf):
+    """Query-scoped metric aggregations (operators/search.py::
+    facet_metrics, the ES terms-bucket + metric-sub-agg shape):
+    n_chars statistics per lang over the flagship query's FULL match
+    set. Ints sum exactly as doubles (< 2^53) so only avg needs the
+    6dp round."""
+    from sparksearchengine_spark.operators.search import facet_metrics
+
+    idx = _docs_index(spark, sf)
+    q = Q.field("text").match_any(*QC10_TERMS)
+    out = facet_metrics(idx, q, "lang", "n_chars")
+    return out.select(
+        "value",
+        "n_docs",
+        "sum_n_chars",
+        F.round("avg_n_chars", 6).alias("avg_n_chars"),
+        "min_n_chars",
+        "max_n_chars",
+    ).orderBy("value")
+
+
 def _search_rescore(spark, sf):
     """Two-pass rescoring (operators/search.py::rescore_search): the
     flagship match_any top-30 window re-scored with the qc09 phrase at
@@ -3105,6 +3126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_explain": _search_explain,
         "search_rescore": _search_rescore,
         "batch_dsl_per_k": _batch_dsl_per_k,
+        "search_facet_metrics": _search_facet_metrics,
     }
 
 
@@ -5166,6 +5188,24 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         "       ELSE 'tail' END AS bucket "
         "FROM pr ORDER BY doc_id"
     )
+    # query-scoped metric aggs: n_chars stats per lang over the qc10
+    # match set (any-of-terms distinct docs)
+    o["search_facet_metrics"] = _CTE + f"""
+        , m AS (
+          SELECT DISTINCT doc_id FROM postings
+          WHERE term IN ('{QC10_TERMS[0]}','{QC10_TERMS[1]}')
+        ),
+        j AS (
+          SELECT d.lang, CAST(d.n_chars AS DOUBLE) AS v
+          FROM m JOIN documents d USING (doc_id)
+        )
+        SELECT CAST(lang AS VARCHAR) AS value,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               sum(v) AS sum_n_chars,
+               round(avg(v), 6) AS avg_n_chars,
+               min(v) AS min_n_chars,
+               max(v) AS max_n_chars
+        FROM j GROUP BY lang ORDER BY value"""
     # ES-style rescore: qc10's top-30 window, qc09's phrase at 2x, re-rank.
     # Phrase score = sum of the 2 phrase terms' BM25 (IEEE-commutative-
     # safe pair); fused = 1.0*s + 2.0*ps mirrors the Spark shape.

@@ -1494,6 +1494,74 @@ def facet_counts(
     return out
 
 
+def facet_metrics(
+    index: "SearchIndex",
+    query: "Query",
+    facet_col: str,
+    value_col: str,
+    metrics: "Iterable[str]" = ("count", "sum", "avg", "min", "max"),
+    percentiles: "Iterable[float] | None" = None,
+) -> DataFrame:
+    """Metric aggregations scoped to a query's match set (the ES
+    ``aggs`` shape: terms bucket + metric sub-aggregations): per
+    ``facet_col`` value, numeric statistics of ``value_col`` over the
+    MATCHING documents — ``(value, n_docs, sum_<col>, avg_<col>, ...)``.
+
+    ``metrics`` ⊆ {count, sum, avg, min, max}; ``percentiles`` adds
+    ``p<q>_<col>`` columns via ``percentile_approx`` (one-pass sketch —
+    approximate by design, like ES's t-digest percentiles).
+
+    Plan: compiled doc-set join to the corpus projection, ONE partial-
+    aggregated groupBy — the match set, not the corpus, bounds the
+    shuffle (the :func:`facet_counts` shape with metric payloads).
+    NULL ``value_col`` rows count toward ``n_docs`` but are ignored by
+    the numeric aggregates (SQL semantics); NULL facet values bucket
+    as their own "(missing)" row like `facet_counts`.
+    """
+    allowed = {"count", "sum", "avg", "min", "max"}
+    metrics = list(metrics)
+    bad = [m for m in metrics if m not in allowed]
+    if bad:
+        raise ValueError(f"unknown metrics {bad}; allowed: {sorted(allowed)}")
+    if not metrics and not percentiles:
+        raise ValueError("need at least one metric or percentile")
+    matched = index.compile(query).select(DOC_ID)
+    joined = matched.join(
+        index.corpus.df.select(
+            F.col(index.corpus.id_col).cast("long").alias(DOC_ID),
+            facet_col,
+            value_col,
+        ),
+        DOC_ID,
+    )
+    v = F.col(value_col).cast("double")
+    aggs = []
+    for m in metrics:
+        if m == "count":
+            aggs.append(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        elif m == "sum":
+            aggs.append(F.sum(v).alias(f"sum_{value_col}"))
+        elif m == "avg":
+            aggs.append(F.avg(v).alias(f"avg_{value_col}"))
+        elif m == "min":
+            aggs.append(F.min(v).alias(f"min_{value_col}"))
+        elif m == "max":
+            aggs.append(F.max(v).alias(f"max_{value_col}"))
+    for q in percentiles or ():
+        qf = float(q)
+        if not (0.0 <= qf <= 1.0):
+            raise ValueError(f"percentile {q} outside [0, 1]")
+        tag = str(qf).replace("0.", "").rstrip("0") or "0"
+        aggs.append(
+            F.percentile_approx(v, F.lit(qf), F.lit(10_000)).alias(
+                f"p{tag}_{value_col}"
+            )
+        )
+    return joined.groupBy(
+        F.col(facet_col).cast("string").alias("value")
+    ).agg(*aggs)
+
+
 def grouped_search(
     index: "SearchIndex",
     query: "Query",

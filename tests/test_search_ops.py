@@ -2641,3 +2641,59 @@ class TestDslBatchPerQueryK:
             docs_index.batch_search_dsl(qs, k_by_query={1: 0})
         with _pytest.raises(ValueError, match="not in the batch"):
             docs_index.batch_search_dsl(qs, k_by_query={9: 3})
+
+
+class TestFacetMetrics:
+    def test_metrics_match_manual_agg(self, spark, docs_index, docs_df):
+        from sparksearchengine_spark.operators.search import facet_metrics
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        q = _Q.field("text").match_term("dup")
+        out = {
+            r["value"]: r
+            for r in facet_metrics(
+                docs_index, q, "lang", "n_chars"
+            ).collect()
+        }
+        ids = {
+            r["doc_id"] for r in docs_index.compile(q).collect()
+        }
+        rows = [
+            r
+            for r in docs_df.select("doc_id", "lang", "n_chars").collect()
+            if r["doc_id"] in ids
+        ]
+        import collections
+
+        want = collections.defaultdict(list)
+        for r in rows:
+            want[r["lang"]].append(r["n_chars"])
+        assert set(out) == {str(k) for k in want}
+        for lang, vals in want.items():
+            o = out[str(lang)]
+            assert o["n_docs"] == len(vals)
+            assert o["sum_n_chars"] == float(sum(vals))
+            assert o["min_n_chars"] == float(min(vals))
+            assert o["max_n_chars"] == float(max(vals))
+            assert abs(o["avg_n_chars"] - sum(vals) / len(vals)) < 1e-9
+
+    def test_percentiles_and_validation(self, docs_index):
+        import pytest as _pytest
+
+        from sparksearchengine_spark.operators.search import facet_metrics
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        q = _Q.field("text").match_term("dup")
+        out = facet_metrics(
+            docs_index, q, "lang", "n_chars",
+            metrics=("count",), percentiles=(0.5,),
+        )
+        assert "p5_n_chars" in out.columns  # 0.5 -> p5 tag
+        rows = out.collect()
+        assert rows and all(r["p5_n_chars"] is not None for r in rows)
+        with _pytest.raises(ValueError, match="unknown metrics"):
+            facet_metrics(docs_index, q, "lang", "n_chars", metrics=("stdev",))
+        with _pytest.raises(ValueError, match="percentile"):
+            facet_metrics(
+                docs_index, q, "lang", "n_chars", percentiles=(1.5,)
+            )
