@@ -957,6 +957,26 @@ def _text_ppl_buckets(spark, sf):
     )
 
 
+def _text_entropy(spark, sf):
+    """Token-distribution quality signals (operators/textstats.py::
+    token_entropy): Shannon entropy in the shuffle-friendly
+    ln(n) - sum(tf*ln tf)/n form, type-token ratio, normalized
+    entropy — the skewed-unigram-mass complement to the Gopher n-gram
+    repetition signals. norm_entropy divides the UNROUNDED entropy."""
+    from sparksearchengine_spark.operators.textstats import token_entropy
+
+    docs = _read(spark, sf, "documents")
+    out = token_entropy(docs)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round("ttr", 6).alias("ttr"),
+        F.round("entropy", 6).alias("entropy"),
+        F.round("norm_entropy", 6).alias("norm_entropy"),
+    ).orderBy("doc_id")
+
+
 def _search_facet_metrics(spark, sf):
     """Query-scoped metric aggregations (operators/search.py::
     facet_metrics, the ES terms-bucket + metric-sub-agg shape):
@@ -3127,6 +3147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_rescore": _search_rescore,
         "batch_dsl_per_k": _batch_dsl_per_k,
         "search_facet_metrics": _search_facet_metrics,
+        "text_entropy": _text_entropy,
     }
 
 
@@ -5188,6 +5209,42 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         "       ELSE 'tail' END AS bucket "
         "FROM pr ORDER BY doc_id"
     )
+    # token entropy: same ln(n) - sum(tf ln tf)/n shape as the Spark op;
+    # norm_entropy divides the UNROUNDED entropy, rounding only at output
+    o["text_entropy"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        e AS (SELECT doc_id, unnest(toks) AS term FROM t),
+        tf AS (SELECT doc_id, term, count(*) AS tf
+               FROM e GROUP BY doc_id, term),
+        agg AS (
+          SELECT doc_id,
+                 CAST(sum(tf) AS BIGINT) AS n_tokens,
+                 CAST(count(*) AS BIGINT) AS n_types,
+                 ln(CAST(sum(tf) AS DOUBLE))
+                   - sum(CAST(tf AS DOUBLE) * ln(CAST(tf AS DOUBLE)))
+                     / CAST(sum(tf) AS DOUBLE) AS entropy
+          FROM tf GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               coalesce(a.n_types, 0) AS n_types,
+               round(CASE WHEN coalesce(a.n_tokens, 0) > 0
+                          THEN CAST(a.n_types AS DOUBLE)
+                               / CAST(a.n_tokens AS DOUBLE)
+                          ELSE 0.0 END, 6) AS ttr,
+               round(coalesce(a.entropy, 0.0), 6) AS entropy,
+               round(CASE WHEN coalesce(a.n_types, 0) > 1
+                          THEN a.entropy
+                               / ln(CAST(a.n_types AS DOUBLE))
+                          ELSE 0.0 END, 6) AS norm_entropy
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        ORDER BY d.doc_id"""
     # query-scoped metric aggs: n_chars stats per lang over the qc10
     # match set (any-of-terms distinct docs)
     o["search_facet_metrics"] = _CTE + f"""

@@ -881,3 +881,69 @@ def readability_ok_expr(
     if max_fk_grade is not None:
         ok = ok & (fk <= F.lit(float(max_fk_grade)))
     return F.coalesce(ok, F.lit(False))
+
+
+def token_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    analyzer: str = "simple",
+) -> DataFrame:
+    """Per-doc token-distribution signals:
+    ``(id, n_tokens, n_types, ttr, entropy, norm_entropy)``.
+
+    * ``entropy`` — Shannon entropy of the doc's token distribution in
+      nats, computed in the shuffle-friendly form
+      ``ln(n) − Σ tf·ln(tf) / n`` (algebraically equal to
+      ``−Σ (tf/n)·ln(tf/n)``), so the per-doc aggregation needs only
+      two partial-agg'd sums — no window, no second pass.
+    * ``norm_entropy`` — entropy / ln(n_types) ∈ [0, 1] (0 when the doc
+      has ≤ 1 distinct token): 1 = perfectly uniform usage, → 0 =
+      dominated by one token.
+    * ``ttr`` — type-token ratio n_types / n_tokens (lexical diversity).
+
+    Low entropy / low ttr flag degenerate repetition; the complement of
+    :func:`repetition_metrics`' n-gram signals (those catch structured
+    repeats, entropy catches skewed unigram mass). Empty docs return
+    all-zero rows, never NULL.
+
+    Plan: one tokenize + explode, ONE groupBy(id, term) partial agg,
+    ONE groupBy(id) roll-up — both shuffles keyed on (or prefixed by)
+    ``id_col``, no corpus-wide fan-in at any scale.
+    """
+    from sparksearchengine_spark.operators.dedup import _widen
+
+    toks = analyzer_expr(F.col(text_col), analyzer)
+    e = _widen(df).select(
+        F.col(id_col), F.explode_outer(toks).alias("term")
+    )
+    tf = e.groupBy(id_col, "term").agg(
+        F.count("term").cast("long").alias("tf")  # null pad row -> 0
+    )
+    n = F.sum("tf").cast("double")
+    s = F.sum(F.col("tf").cast("double") * F.log(F.col("tf").cast("double")))
+    n_types = F.sum((F.col("tf") > 0).cast("long"))
+    agg = tf.groupBy(id_col).agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        n_types.alias("n_types"),
+        F.when(n > 0, F.log(n) - s / n).otherwise(F.lit(0.0)).alias(
+            "entropy"
+        ),
+    )
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_types",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.col("n_types").cast("double")
+            / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ttr"),
+        "entropy",
+        F.when(
+            F.col("n_types") > 1,
+            F.col("entropy") / F.log(F.col("n_types").cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )

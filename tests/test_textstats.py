@@ -285,3 +285,52 @@ class TestReadability:
             "doc_id long, text string",
         )
         assert readability(df).collect()[0].n_sents == 1
+
+
+class TestTokenEntropy:
+    def test_hand_computed(self, spark):
+        import math
+
+        import pytest
+
+        from sparksearchengine_spark.operators.textstats import (
+            token_entropy,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a a a a"),            # one type: entropy 0
+                (2, "a b a b"),            # uniform 2 types: ln 2
+                (3, "a a a b"),            # skewed: -(3/4)ln(3/4)-(1/4)ln(1/4)
+                (4, ""),                   # empty: all zeros
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in token_entropy(df).collect()}
+        assert rows[1]["entropy"] == pytest.approx(0.0)
+        assert rows[1]["norm_entropy"] == 0.0
+        assert rows[2]["entropy"] == pytest.approx(math.log(2))
+        assert rows[2]["norm_entropy"] == pytest.approx(1.0)
+        want3 = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+        assert rows[3]["entropy"] == pytest.approx(want3)
+        assert rows[3]["ttr"] == pytest.approx(0.5)
+        assert rows[4]["n_tokens"] == 0
+        assert rows[4]["entropy"] == 0.0
+        assert rows[4]["ttr"] == 0.0
+
+    def test_row_count_and_bounds(self, spark):
+        import math
+
+        from sparksearchengine_spark.operators.textstats import (
+            token_entropy,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        out = token_entropy(docs).collect()
+        assert len(out) == docs.count()
+        for r in out:
+            assert 0.0 <= r["norm_entropy"] <= 1.0 + 1e-12
+            if r["n_types"] > 1:
+                assert r["entropy"] <= math.log(r["n_types"]) + 1e-9
