@@ -957,6 +957,19 @@ def _text_ppl_buckets(spark, sf):
     )
 
 
+def _text_dedup_lines(spark, sf):
+    """Within-doc duplicate-line removal (operators/textstats.py::
+    dedup_lines, the CCNet/C4 repeated-line page step): first occurrence
+    of each exact line kept in order, scan-stage array_distinct. Oracle
+    keeps list elements whose first list_position equals their index —
+    the same first-occurrence contract."""
+    from sparksearchengine_spark.operators.textstats import dedup_lines
+
+    docs = _read(spark, sf, "documents")
+    out = dedup_lines(docs.select("doc_id", "text"))
+    return out.select("doc_id", "text", "n_dup_lines").orderBy("doc_id")
+
+
 def _text_entropy(spark, sf):
     """Token-distribution quality signals (operators/textstats.py::
     token_entropy): Shannon entropy in the shuffle-friendly
@@ -3148,6 +3161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_dsl_per_k": _batch_dsl_per_k,
         "search_facet_metrics": _search_facet_metrics,
         "text_entropy": _text_entropy,
+        "text_dedup_lines": _text_dedup_lines,
     }
 
 
@@ -5209,6 +5223,23 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         "       ELSE 'tail' END AS bucket "
         "FROM pr ORDER BY doc_id"
     )
+    # within-doc line dedup: first-occurrence filter via (x, i) lambda;
+    # Spark's array_join on NULL text is guarded to NULL in both
+    o["text_dedup_lines"] = r"""
+        WITH l AS (
+          SELECT doc_id, text,
+                 string_split_regex(coalesce(text, ''), '\r?\n') AS ls
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE array_to_string(
+                      list_filter(ls, (x, i) -> list_position(ls, x) = i),
+                      chr(10)) END AS text,
+               CAST(len(ls) - len(list_filter(ls,
+                      (x, i) -> list_position(ls, x) = i)) AS BIGINT)
+                 AS n_dup_lines
+        FROM l ORDER BY doc_id"""
     # token entropy: same ln(n) - sum(tf ln tf)/n shape as the Spark op;
     # norm_entropy divides the UNROUNDED entropy, rounding only at output
     o["text_entropy"] = """

@@ -947,3 +947,39 @@ def token_entropy(
         .otherwise(F.lit(0.0))
         .alias("norm_entropy"),
     )
+
+
+def dedup_lines_expr(raw: Column) -> "dict[str, Column]":
+    """Within-document duplicate-line removal as named column
+    expressions: ``text`` (first occurrence of each exact line kept, in
+    order), ``n_dup_lines`` (lines dropped). The CCNet/C4 "remove
+    repeated lines within the page" step — the WITHIN-doc complement of
+    the cross-doc :func:`~sparksearchengine_spark.operators.dedup.
+    boilerplate_lines` pass. Lines compare verbatim (no trim/casefold —
+    normalization is :func:`clean_text`'s job, run it first if wanted).
+    ``array_distinct`` keeps first-occurrence order; everything is one
+    per-row expression — no explode, no shuffle, codegen."""
+    text = F.coalesce(raw, F.lit(""))
+    lines = F.split(text, r"\r?\n")
+    uniq = F.array_distinct(lines)
+    return {
+        "text": F.when(raw.isNull(), F.lit(None).cast("string")).otherwise(
+            F.array_join(uniq, "\n")
+        ),
+        "n_dup_lines": (F.size(lines) - F.size(uniq)).cast("long"),
+    }
+
+
+def dedup_lines(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Apply :func:`dedup_lines_expr`: input columns with ``text_col``
+    rewritten (exact duplicate lines dropped, first kept) plus
+    ``n_dup_lines``. NULL text stays NULL with a zero count."""
+    sig = dedup_lines_expr(F.col(text_col))
+    out_cols = [c for c in df.columns if c != text_col]
+    return df.select(
+        *out_cols,
+        sig["text"].alias(text_col),
+        sig["n_dup_lines"].alias("n_dup_lines"),
+    )

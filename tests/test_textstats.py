@@ -334,3 +334,41 @@ class TestTokenEntropy:
             assert 0.0 <= r["norm_entropy"] <= 1.0 + 1e-12
             if r["n_types"] > 1:
                 assert r["entropy"] <= math.log(r["n_types"]) + 1e-9
+
+
+class TestDedupLines:
+    def test_first_occurrence_kept_in_order(self, spark):
+        from sparksearchengine_spark.operators.textstats import dedup_lines
+
+        df = spark.createDataFrame(
+            [
+                (1, "b\na\nb\nc\na"),
+                (2, "x\r\nx\r\ny"),   # CRLF split
+                (3, None),
+                (4, ""),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r["doc_id"]: r for r in dedup_lines(df).collect()}
+        assert rows[1]["text"] == "b\na\nc"
+        assert rows[1]["n_dup_lines"] == 2
+        assert rows[2]["text"] == "x\ny"
+        assert rows[2]["n_dup_lines"] == 1
+        assert rows[3]["text"] is None
+        assert rows[3]["n_dup_lines"] == 0
+        assert rows[4]["text"] == ""
+        assert rows[4]["n_dup_lines"] == 0
+
+    def test_no_shuffle_plan(self, spark):
+        from sparksearchengine_spark.operators.textstats import dedup_lines
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        plan = (
+            dedup_lines(docs)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan
