@@ -957,6 +957,24 @@ def _text_ppl_buckets(spark, sf):
     )
 
 
+def _text_compress_ratio(spark, sf):
+    """zlib compression-ratio redundancy signal (operators/textstats.py
+    ::compression_ratio): Arrow-batched pandas UDF, scan-stage. No
+    DuckDB zlib — rows-only driver check; the value thresholds are
+    pytest-pinned (TestCompressionRatio)."""
+    from sparksearchengine_spark.operators.textstats import (
+        compression_ratio,
+    )
+
+    docs = _read(spark, sf, "documents")
+    out = compression_ratio(docs)
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        F.round("compress_ratio", 6).alias("compress_ratio"),
+    ).orderBy("doc_id")
+
+
 def _text_dedup_lines(spark, sf):
     """Within-doc duplicate-line removal (operators/textstats.py::
     dedup_lines, the CCNet/C4 repeated-line page step): first occurrence
@@ -3162,6 +3180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facet_metrics": _search_facet_metrics,
         "text_entropy": _text_entropy,
         "text_dedup_lines": _text_dedup_lines,
+        "text_compress_ratio": _text_compress_ratio,
     }
 
 

@@ -983,3 +983,56 @@ def dedup_lines(
         sig["text"].alias(text_col),
         sig["n_dup_lines"].alias("n_dup_lines"),
     )
+
+
+def compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+) -> DataFrame:
+    """Per-doc zlib compression ratio ``(id, n_bytes, compress_ratio)``
+    — ``len(zlib(text)) / len(text)`` over UTF-8 bytes.
+
+    The classic cheap redundancy detector (used alongside the Gopher
+    rules in web-corpus cleaning): highly repetitive or templated text
+    compresses far below prose (≈0.3–0.4 for English), so BOTH tails
+    cut — very low = degenerate repetition, ≈1+ = random/binary soup.
+    Complements :func:`token_entropy` (which sees only unigram mass,
+    not structure).
+
+    Arrow-batched pandas UDF (zlib is C-speed; the UDF is one
+    ``Series.map`` per batch) over a :func:`~sparksearchengine_spark.
+    operators.dedup._widen`-ed scan — no shuffle. NULL text → NULL
+    ratio; empty text → 1.0 by convention (nothing to compress). The
+    ratio is implementation-stable for a fixed zlib ``level`` but NOT a
+    cross-engine invariant — registry checks are rows-only, thresholds
+    belong in pytest.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    from sparksearchengine_spark.operators.dedup import _widen
+
+    lvl = int(level)
+    if not (0 <= lvl <= 9):
+        raise ValueError(f"zlib level must be in [0, 9], got {level}")
+
+    @pandas_udf("double")
+    def _ratio(s):  # type: ignore[no-untyped-def]
+        import zlib
+
+        def one(t):  # type: ignore[no-untyped-def]
+            if t is None:
+                return None
+            b = t.encode("utf-8")
+            if not b:
+                return 1.0
+            return len(zlib.compress(b, lvl)) / len(b)
+
+        return s.map(one)
+
+    return _widen(df).select(
+        F.col(id_col),
+        F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+        _ratio(F.col(text_col)).alias("compress_ratio"),
+    )

@@ -372,3 +372,52 @@ class TestDedupLines:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestCompressionRatio:
+    def test_orders_repetitive_below_prose_below_random(self, spark):
+        from sparksearchengine_spark.operators.textstats import (
+            compression_ratio,
+        )
+
+        import random
+
+        rng = random.Random(7)
+        rand = "".join(
+            chr(rng.randrange(0x21, 0x7E)) for _ in range(2000)
+        )
+        df = spark.createDataFrame(
+            [
+                (1, "spam " * 400),
+                (2, ("the quick brown fox jumps over the lazy dog and "
+                     "keeps running through fields of data ") * 25),
+                (3, rand),
+                (4, None),
+                (5, ""),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {
+            r["doc_id"]: r for r in compression_ratio(df).collect()
+        }
+        assert rows[1]["compress_ratio"] < rows[2]["compress_ratio"]
+        assert rows[2]["compress_ratio"] < rows[3]["compress_ratio"]
+        assert rows[1]["compress_ratio"] < 0.05  # pure repetition
+        assert rows[3]["compress_ratio"] > 0.7   # near-random
+        assert rows[4]["compress_ratio"] is None
+        assert rows[5]["compress_ratio"] == 1.0
+        assert rows[2]["n_bytes"] == len(
+            ("the quick brown fox jumps over the lazy dog and "
+             "keeps running through fields of data ") * 25
+        )
+
+    def test_level_validation(self, spark):
+        import pytest
+
+        from sparksearchengine_spark.operators.textstats import (
+            compression_ratio,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="zlib level"):
+            compression_ratio(df, level=11)
