@@ -957,6 +957,33 @@ def _text_ppl_buckets(spark, sf):
     )
 
 
+def _search_multi_match(spark, sf):
+    """ES multi_match best_fields (operators/search.py::
+    multi_match_search): 'dup spark src3' against text AND source,
+    each field BM25-scored with ITS OWN stats, combined as
+    best + 0.3*(sum - best). Source is a 1-token field (tf=dl=avgdl=1)
+    so its per-term score reduces to idf — the oracle keeps the full
+    expression shape anyway for bit parity."""
+    from sparksearchengine_spark import Corpus, TextOptions
+    from sparksearchengine_spark.operators.search import multi_match_search
+
+    docs = _read(spark, sf, "documents")
+    idx = Corpus(
+        docs,
+        id_col="doc_id",
+        text_cols={
+            "text": TextOptions(analyzer="simple", positions=False),
+            "source": TextOptions(analyzer="simple", positions=False),
+        },
+    ).build_index()
+    out = multi_match_search(
+        idx, "dup spark src3", ["text", "source"], k=10, tie_breaker=0.3
+    )
+    return out.select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    ).orderBy("rank")
+
+
 def _text_compress_ratio(spark, sf):
     """zlib compression-ratio redundancy signal (operators/textstats.py
     ::compression_ratio): Arrow-batched pandas UDF, scan-stage. No
@@ -3181,6 +3208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_entropy": _text_entropy,
         "text_dedup_lines": _text_dedup_lines,
         "text_compress_ratio": _text_compress_ratio,
+        "search_multi_match": _search_multi_match,
     }
 
 
@@ -5242,6 +5270,39 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         "       ELSE 'tail' END AS bucket "
         "FROM pr ORDER BY doc_id"
     )
+    # ES multi_match best_fields: per-field BM25 with per-field stats
+    # (text = the _CTE family; source = 1-token field), combined
+    # best + 0.3*(sum - best)
+    _mm_terms = "'dup','spark','src3'"
+    o["search_multi_match"] = _CTE + f"""
+        , s_text AS (
+          SELECT p.doc_id, sum({_bm25_sql("p.tf", "p.dl", "t.df")}) AS s
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          WHERE p.term IN ({_mm_terms}) GROUP BY p.doc_id
+        ),
+        sp AS (SELECT doc_id, lower(source) AS term FROM documents),
+        sdf AS (SELECT term, count(*) AS df FROM sp GROUP BY term),
+        sfs AS (SELECT count(*) AS n, 1.0 AS avgdl FROM sp),
+        s_src AS (
+          SELECT p.doc_id,
+                 sum({_bm25_sql("1", "1", "d.df", "f2.n", "f2.avgdl")}) AS s
+          FROM sp p JOIN sdf d USING (term) CROSS JOIN sfs f2
+          WHERE p.term IN ({_mm_terms}) GROUP BY p.doc_id
+        ),
+        u AS (
+          SELECT doc_id, s FROM s_text
+          UNION ALL SELECT doc_id, s FROM s_src
+        ),
+        agg AS (
+          SELECT doc_id, max(s) AS mx, sum(s) AS sm
+          FROM u GROUP BY doc_id
+        )
+        SELECT doc_id, round(mx + 0.3 * (sm - mx), 6) AS score,
+               CAST(row_number() OVER (
+                 ORDER BY (mx + 0.3 * (sm - mx)) DESC, doc_id)
+                 AS BIGINT) AS rank
+        FROM agg ORDER BY 3 LIMIT 10"""
     # within-doc line dedup: first-occurrence filter via (x, i) lambda;
     # Spark's array_join on NULL text is guarded to NULL in both
     o["text_dedup_lines"] = r"""

@@ -410,6 +410,13 @@ class SearchIndex:
 
         return rescore_search(self, query, rescore_query, k=k, **kw)
 
+    def multi_match_search(self, text: str, fields, k: int = 10, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.search import (
+            multi_match_search,
+        )
+
+        return multi_match_search(self, text, fields, k=k, **kw)
+
     def more_like_this(self, source_ids, field: str, k: int = 10, **kw):  # type: ignore[no-untyped-def]
         from sparksearchengine_spark.operators.search import more_like_this
 

@@ -2269,3 +2269,74 @@ def rescore_search(
         fused.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+def multi_match_search(
+    index: "SearchIndex",
+    text: str,
+    fields: "Iterable[str] | dict[str, float]",
+    k: int = 10,
+    match_type: str = "best_fields",
+    tie_breaker: float = 0.0,
+) -> DataFrame:
+    """Elasticsearch ``multi_match`` (best_fields / most_fields): one
+    query string against several indexed text fields, each analyzed and
+    BM25-scored with ITS OWN field statistics, then combined per doc —
+    ``(doc_id, score, rank)``.
+
+    * ``best_fields`` (default, ES dis_max): ``score = best +
+      tie_breaker · (sum − best)`` — the winning field dominates,
+      other matching fields contribute ``tie_breaker`` ∈ [0, 1] each.
+    * ``most_fields``: plain sum across fields.
+
+    ``fields`` may be a dict ``{field: boost}`` (the ES ``"title^2"``
+    form; the boost scales that field's score before combining).
+
+    :func:`bm25f_search` is the principled cross-field alternative
+    (blends tf BEFORE saturation, union docFreq); multi_match is the
+    per-field-score composition every ES user reaches for first.
+
+    Plan: one compiled match_text sub-plan per field (each the standard
+    qc10 postings join), a union + ONE groupBy(doc_id) partial agg, one
+    TakeOrdered — shuffle keyed on doc_id, bounded by the per-field
+    match sets.
+    """
+    from sparksearchengine_spark.plans.ast import Q
+
+    if match_type not in ("best_fields", "most_fields"):
+        raise ValueError(
+            "match_type must be best_fields or most_fields, got"
+            f" {match_type!r}"
+        )
+    if not (0.0 <= float(tie_breaker) <= 1.0):
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
+    boosts = (
+        dict(fields)
+        if isinstance(fields, dict)
+        else {f: 1.0 for f in fields}
+    )
+    if not boosts:
+        raise ValueError("fields must be non-empty")
+    parts = []
+    for f, w in boosts.items():
+        c = index.compile(Q.field(f).match_text(text)).select(
+            DOC_ID, (F.col(SCORE) * F.lit(float(w))).alias("_s")
+        )
+        parts.append(c)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    agg = u.groupBy(DOC_ID).agg(
+        F.max("_s").alias("_mx"), F.sum("_s").alias("_sm")
+    )
+    if match_type == "most_fields":
+        score = F.col("_sm")
+    else:
+        score = F.col("_mx") + F.lit(float(tie_breaker)) * (
+            F.col("_sm") - F.col("_mx")
+        )
+    return ranked_topk(
+        agg.select(DOC_ID, score.alias(SCORE)),
+        [F.col(SCORE).desc(), F.col(DOC_ID).asc()],
+        k,
+    )

@@ -2697,3 +2697,76 @@ class TestFacetMetrics:
             facet_metrics(
                 docs_index, q, "lang", "n_chars", percentiles=(1.5,)
             )
+
+
+class TestMultiMatchSearch:
+    @pytest.fixture(scope="class")
+    def mm_index(self, spark):
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        df = spark.createDataFrame(
+            [
+                (1, "apple", "apple banana"),
+                (2, "banana", "apple apple cherry"),
+                (3, "cherry", "banana"),
+            ],
+            "doc_id long, title string, body string",
+        )
+        return Corpus(
+            df,
+            id_col="doc_id",
+            text_cols={
+                "title": TextOptions(analyzer="simple", positions=False),
+                "body": TextOptions(analyzer="simple", positions=False),
+            },
+        ).build_index()
+
+    def _field_scores(self, idx, text):
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        out = {}
+        for f in ("title", "body"):
+            for r in idx.compile(_Q.field(f).match_text(text)).collect():
+                out.setdefault(r["doc_id"], {})[f] = r["score"]
+        return out
+
+    def test_best_fields_is_max_plus_tiebreak(self, mm_index):
+        import math
+
+        per = self._field_scores(mm_index, "apple banana")
+        got = {
+            r["doc_id"]: r["score"]
+            for r in mm_index.multi_match_search(
+                "apple banana", ["title", "body"], tie_breaker=0.3
+            ).collect()
+        }
+        assert set(got) == set(per)
+        for d, fs in per.items():
+            vals = list(fs.values())
+            want = max(vals) + 0.3 * (sum(vals) - max(vals))
+            assert math.isclose(got[d], want, rel_tol=1e-12), d
+
+    def test_most_fields_is_sum_and_boost_scales(self, mm_index):
+        import math
+
+        per = self._field_scores(mm_index, "banana")
+        got = {
+            r["doc_id"]: r["score"]
+            for r in mm_index.multi_match_search(
+                "banana", {"title": 2.0, "body": 1.0},
+                match_type="most_fields",
+            ).collect()
+        }
+        for d, fs in per.items():
+            want = 2.0 * fs.get("title", 0.0) + fs.get("body", 0.0)
+            assert math.isclose(got[d], want, rel_tol=1e-12), d
+
+    def test_validation(self, mm_index):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="match_type"):
+            mm_index.multi_match_search("x", ["title"], match_type="x")
+        with _pytest.raises(ValueError, match="tie_breaker"):
+            mm_index.multi_match_search("x", ["title"], tie_breaker=2.0)
+        with _pytest.raises(ValueError, match="non-empty"):
+            mm_index.multi_match_search("x", [])
