@@ -496,6 +496,22 @@ def main() -> None:
         ]
         idx.batch_search_dsl(qs16, k=10).count()
 
+    # 17. two-pass rescoring (first benched in round 6): cheap matchAny
+    # window of 200, phrase rescore compiled against the semi-filtered
+    # postings view, re-rank top-10. The expensive pass's cost must be
+    # window-bounded, not match-set-bounded.
+    with timed("rescore"):
+        from sparksearchengine_spark.operators.search import rescore_search
+
+        rescore_search(
+            idx,
+            Q.field("text").match_any("dup", "spark"),
+            Q.field("text").match_phrase("table hash"),
+            k=10,
+            window=200,
+            rescore_weight=2.0,
+        ).count()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
