@@ -957,6 +957,48 @@ def _text_ppl_buckets(spark, sf):
     )
 
 
+def _mixture_temperature(spark, sf):
+    """Temperature-smoothed mixture weights (operators/sampling.py::
+    temperature_weights, the XLM-R exponential-smoothing recipe at
+    alpha=0.5) + the resulting keep rates: one row per lang with its
+    token total, normalized sqrt weight, and min(1, budget*w/sw/t)
+    rate. sqrt is IEEE-correctly-rounded (engine-portable); both
+    normalization sums run in lang-sorted order; 6dp rounds applied
+    Spark-side (F.round, matching DuckDB round at these magnitudes)."""
+    from sparksearchengine_spark.operators.sampling import (
+        mixture_rates,
+        temperature_weights,
+    )
+    from sparksearchengine_spark.operators.textstats import token_count_expr
+
+    docs = _read(spark, sf, "documents")
+    d = docs.select(
+        "lang",
+        F.coalesce(
+            token_count_expr(F.col("text"), "simple").cast("long"), F.lit(0)
+        ).alias("n_tokens"),
+    )
+    w = temperature_weights(d, "lang", "n_tokens", alpha=0.5)
+    rates = mixture_rates(d, "lang", w, MIX_BUDGET, "n_tokens")
+    totals = {
+        r["lang"]: r["t"]
+        for r in d.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    rows = [
+        (g, int(totals[g]), float(w[g]), float(rates.get(g, 0.0)))
+        for g in sorted(w)
+    ]
+    out = spark.createDataFrame(
+        rows, "lang string, total_tokens long, weight double, rate double"
+    )
+    return out.select(
+        "lang",
+        "total_tokens",
+        F.round("weight", 6).alias("weight"),
+        F.round("rate", 6).alias("rate"),
+    ).orderBy("lang")
+
+
 def _search_multi_match(spark, sf):
     """ES multi_match best_fields (operators/search.py::
     multi_match_search): 'dup spark src3' against text AND source,
@@ -3209,6 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_dedup_lines": _text_dedup_lines,
         "text_compress_ratio": _text_compress_ratio,
         "search_multi_match": _search_multi_match,
+        "mixture_temperature": _mixture_temperature,
     }
 
 
@@ -5270,6 +5313,31 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         "       ELSE 'tail' END AS bucket "
         "FROM pr ORDER BY doc_id"
     )
+    # temperature mixture: sqrt weights normalized with lang-ORDERED
+    # sums (mirrors the Python sorted-accumulation), one division per
+    # stage, same min-cap; rounds only at output
+    o["mixture_temperature"] = f"""
+        WITH tok AS (
+          SELECT lang,
+                 CAST(len(list_filter(string_split_regex(
+                   lower(coalesce(text, '')), '[^a-z0-9]+'),
+                   x -> x <> '')) AS BIGINT) AS n_tokens
+          FROM documents
+        ),
+        tot AS (SELECT lang, sum(n_tokens) AS t FROM tok GROUP BY lang),
+        p AS (
+          SELECT lang, CAST(t AS BIGINT) AS t,
+                 sqrt(CAST(t AS DOUBLE)) AS pw
+          FROM tot WHERE lang IS NOT NULL AND t > 0
+        ),
+        s AS (SELECT sum(pw ORDER BY lang) AS sp FROM p),
+        w AS (SELECT lang, t, pw / (SELECT sp FROM s) AS w FROM p),
+        sw AS (SELECT sum(w ORDER BY lang) AS sw FROM w)
+        SELECT lang, t AS total_tokens, round(w, 6) AS weight,
+               round(least(1.0,
+                 ({MIX_BUDGET} * (w / (SELECT sw FROM sw)))
+                   / CAST(t AS DOUBLE)), 6) AS rate
+        FROM w ORDER BY lang"""
     # ES multi_match best_fields: per-field BM25 with per-field stats
     # (text = the _CTE family; source = 1-token field), combined
     # best + 0.3*(sum - best)

@@ -252,3 +252,71 @@ def train_test_split(
     return df.withColumn(
         split_col, F.when(is_test, F.lit("test")).otherwise(F.lit("train"))
     )
+
+
+def temperature_weights(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    alpha: float = 0.5,
+) -> dict[str, float]:
+    """Data-derived mixture weights with temperature smoothing:
+    ``w_g ∝ tokens_g ** alpha``, normalized to sum 1 — the multilingual
+    sampling standard (XLM-R / mBERT exponential smoothing): ``alpha=1``
+    reproduces the natural distribution, ``alpha→0`` flattens toward
+    uniform, the usual 0.3–0.7 band up-weights low-resource groups
+    without drowning the head.
+
+    One tiny totals aggregation (|groups| rows, driver-small); feed the
+    result straight into :func:`mixture_rates` / :func:`mixture_sample`.
+    Groups with zero/NULL totals (or a NULL group key) are dropped —
+    they have nothing to contribute. ``alpha == 0.5`` uses ``sqrt``
+    (IEEE-correctly-rounded, hence engine-portable); other alphas use
+    ``pow``. Accumulation runs in sorted group order so the
+    normalization is deterministic.
+    """
+    import math
+
+    if not (0.0 < float(alpha) <= 1.0):
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    totals = {
+        r["g"]: r["t"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sum(F.col(token_col)).alias("t"))
+        .collect()
+    }
+    pw = {}
+    for g in sorted(k for k in totals if k is not None):
+        t = totals[g]
+        if not t:
+            continue
+        pw[g] = (
+            math.sqrt(float(t))
+            if float(alpha) == 0.5
+            else float(t) ** float(alpha)
+        )
+    s = 0.0
+    for g in pw:  # insertion order == sorted order
+        s += pw[g]
+    if s <= 0:
+        raise ValueError("no group has a positive token total")
+    return {g: p / s for g, p in pw.items()}
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    group_col: str,
+    budget_tokens: int,
+    key_col: str,
+    token_col: str,
+    alpha: float = 0.5,
+    **kw,
+) -> DataFrame:
+    """:func:`mixture_sample` with :func:`temperature_weights`-derived
+    weights — 'sample to this token budget, smoothing the group
+    distribution with temperature alpha' in one call."""
+    w = temperature_weights(df, group_col, token_col, alpha=alpha)
+    return mixture_sample(
+        df, group_col, w, budget_tokens,
+        key_col=key_col, token_col=token_col, **kw,
+    )

@@ -1051,3 +1051,74 @@ class TestEditDistanceJoin:
         assert d._edit_join_caches[-1].is_cached
         d.release_edit_join_caches()
         assert not d._edit_join_caches
+
+
+class TestTemperatureWeights:
+    def test_alpha_one_is_natural_half_flattens(self, spark):
+        import math
+
+        from sparksearchengine_spark.operators.sampling import (
+            temperature_weights,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "big" if i < 90 else "small", 10) for i in range(100)],
+            "doc_id long, lang string, n_tokens long",
+        )
+        w1 = temperature_weights(df, "lang", "n_tokens", alpha=1.0)
+        assert w1["big"] == pytest.approx(0.9)
+        w5 = temperature_weights(df, "lang", "n_tokens", alpha=0.5)
+        want_big = math.sqrt(900) / (math.sqrt(900) + math.sqrt(100))
+        assert w5["big"] == pytest.approx(want_big)
+        # smoothing strictly lifts the small group
+        assert w5["small"] > w1["small"]
+        assert sum(w5.values()) == pytest.approx(1.0)
+
+    def test_zero_and_null_groups_dropped(self, spark):
+        from sparksearchengine_spark.operators.sampling import (
+            temperature_weights,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 0), (3, None, 5)],
+            "doc_id long, lang string, n_tokens long",
+        )
+        w = temperature_weights(df, "lang", "n_tokens")
+        assert set(w) == {"a"}
+
+    def test_sampler_delegates(self, spark):
+        from sparksearchengine_spark.operators.sampling import (
+            mixture_sample,
+            temperature_mixture_sample,
+            temperature_weights,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (i, "x" if i % 3 else "y", 5 + (i % 7))
+                for i in range(60)
+            ],
+            "doc_id long, lang string, n_tokens long",
+        )
+        got = temperature_mixture_sample(
+            df, "lang", 100, key_col="doc_id", token_col="n_tokens"
+        ).collect()
+        w = temperature_weights(df, "lang", "n_tokens")
+        want = mixture_sample(
+            df, "lang", w, 100, key_col="doc_id", token_col="n_tokens"
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    def test_alpha_validation(self, spark):
+        import pytest as _pytest
+
+        from sparksearchengine_spark.operators.sampling import (
+            temperature_weights,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 10)], "doc_id long, lang string, n_tokens long"
+        )
+        for bad in (0.0, -1.0, 1.5):
+            with _pytest.raises(ValueError, match="alpha"):
+                temperature_weights(df, "lang", "n_tokens", alpha=bad)
