@@ -966,6 +966,7 @@ def _mixture_temperature(spark, sf):
     normalization sums run in lang-sorted order; 6dp rounds applied
     Spark-side (F.round, matching DuckDB round at these magnitudes)."""
     from sparksearchengine_spark.operators.sampling import (
+        group_token_totals,
         mixture_rates,
         temperature_weights,
     )
@@ -978,12 +979,11 @@ def _mixture_temperature(spark, sf):
             token_count_expr(F.col("text"), "simple").cast("long"), F.lit(0)
         ).alias("n_tokens"),
     )
-    w = temperature_weights(d, "lang", "n_tokens", alpha=0.5)
-    rates = mixture_rates(d, "lang", w, MIX_BUDGET, "n_tokens")
-    totals = {
-        r["lang"]: r["t"]
-        for r in d.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()
-    }
+    totals = group_token_totals(d, "lang", "n_tokens")
+    w = temperature_weights(d, "lang", "n_tokens", alpha=0.5, totals=totals)
+    rates = mixture_rates(
+        d, "lang", w, MIX_BUDGET, "n_tokens", totals=totals
+    )
     rows = [
         (g, int(totals[g]), float(w[g]), float(rates.get(g, 0.0)))
         for g in sorted(w)

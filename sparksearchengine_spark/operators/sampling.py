@@ -94,6 +94,7 @@ def mixture_rates(
     budget_tokens: int,
     token_col: str,
     cap_at_one: bool = True,
+    totals: "dict | None" = None,
 ) -> dict[str, float]:
     """Per-group keep fractions that realize a target token MIXTURE under
     a total token budget: rate(g) = min(1, budget * w_g / tokens_g) with
@@ -118,12 +119,8 @@ def mixture_rates(
     sw = float(sum(weights.values()))
     if sw <= 0:
         raise ValueError("weights must sum to > 0")
-    totals = {
-        r["g"]: r["t"]
-        for r in df.groupBy(F.col(group_col).alias("g"))
-        .agg(F.sum(F.col(token_col)).alias("t"))
-        .collect()
-    }
+    if totals is None:
+        totals = group_token_totals(df, group_col, token_col)
     rates: dict[str, float] = {}
     for g, t in totals.items():
         w = weights.get(g)
@@ -254,11 +251,27 @@ def train_test_split(
     )
 
 
+def group_token_totals(
+    df: DataFrame, group_col: str, token_col: str
+) -> dict:
+    """{group: total tokens} — the one tiny aggregation the mixture
+    family shares; compute once and pass via ``totals=`` when composing
+    :func:`temperature_weights` with :func:`mixture_rates` (saves
+    repeated scans of the token counts)."""
+    return {
+        r["g"]: r["t"]
+        for r in df.groupBy(F.col(group_col).alias("g"))
+        .agg(F.sum(F.col(token_col)).alias("t"))
+        .collect()
+    }
+
+
 def temperature_weights(
     df: DataFrame,
     group_col: str,
     token_col: str,
     alpha: float = 0.5,
+    totals: "dict | None" = None,
 ) -> dict[str, float]:
     """Data-derived mixture weights with temperature smoothing:
     ``w_g ∝ tokens_g ** alpha``, normalized to sum 1 — the multilingual
@@ -279,12 +292,8 @@ def temperature_weights(
 
     if not (0.0 < float(alpha) <= 1.0):
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
-    totals = {
-        r["g"]: r["t"]
-        for r in df.groupBy(F.col(group_col).alias("g"))
-        .agg(F.sum(F.col(token_col)).alias("t"))
-        .collect()
-    }
+    if totals is None:
+        totals = group_token_totals(df, group_col, token_col)
     pw = {}
     for g in sorted(k for k in totals if k is not None):
         t = totals[g]

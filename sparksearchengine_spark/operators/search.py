@@ -230,6 +230,15 @@ def search(
     page (page-local). The cursor score must be the engine's full-
     precision double (``res.collect()[-1]``), not a rounded display
     value — a rounded cursor can skip or repeat boundary ties.
+
+    Float-aggregation caveat: the equality arm compares the collected
+    cursor against a RE-EXECUTED aggregated score, and multi-partition
+    float sums are not bit-deterministic across jobs — a ≥3-term query
+    whose cursor doc's partial sums merge in a different order can
+    drift 1 ulp and misclassify a boundary TIE (skip or repeat that
+    one doc). In practice ties at the exact cursor score are the only
+    exposure; persist the compiled hits frame across pages (or page by
+    ``offset`` within one execution) when exact tie fidelity matters.
     """
     if offset < 0:
         raise ValueError("offset must be >= 0")
@@ -1446,6 +1455,25 @@ def highlight_snippets(
     )
 
 
+def _match_set_join(
+    index: "SearchIndex", query: "Query", cols: list[str],
+    with_score: bool = True,
+) -> DataFrame:
+    """Compiled match set joined to a corpus projection — the shared
+    scaffold of the facet family: ``(doc_id[, score], *cols)``. One
+    compiled doc-set join; the match set, not the corpus, bounds every
+    downstream shuffle."""
+    matched = index.compile(query).select(
+        DOC_ID, *( [SCORE] if with_score else [] )
+    )
+    return matched.join(
+        index.corpus.df.select(
+            F.col(index.corpus.id_col).cast("long").alias(DOC_ID), *cols
+        ),
+        DOC_ID,
+    )
+
+
 def facet_counts(
     index: "SearchIndex",
     query: "Query",
@@ -1466,13 +1494,7 @@ def facet_counts(
     facet_cols = list(facet_cols)
     if not facet_cols:
         raise ValueError("facet_cols must be non-empty")
-    matched = index.compile(query).select(DOC_ID, SCORE)
-    joined = matched.join(
-        index.corpus.df.select(
-            F.col(index.corpus.id_col).cast("long").alias(DOC_ID), *facet_cols
-        ),
-        DOC_ID,
-    )
+    joined = _match_set_join(index, query, facet_cols)
     parts = []
     for c in facet_cols:
         aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
@@ -1525,14 +1547,8 @@ def facet_metrics(
         raise ValueError(f"unknown metrics {bad}; allowed: {sorted(allowed)}")
     if not metrics and not percentiles:
         raise ValueError("need at least one metric or percentile")
-    matched = index.compile(query).select(DOC_ID)
-    joined = matched.join(
-        index.corpus.df.select(
-            F.col(index.corpus.id_col).cast("long").alias(DOC_ID),
-            facet_col,
-            value_col,
-        ),
-        DOC_ID,
+    joined = _match_set_join(
+        index, query, [facet_col, value_col], with_score=False
     )
     v = F.col(value_col).cast("double")
     aggs = []
@@ -1551,7 +1567,11 @@ def facet_metrics(
         qf = float(q)
         if not (0.0 <= qf <= 1.0):
             raise ValueError(f"percentile {q} outside [0, 1]")
-        tag = str(qf).replace("0.", "").rstrip("0") or "0"
+        # ES-style percent tag: 0.5 -> p50, 0.999 -> p99_9, 1.0 -> p100
+        # (fixed-point, never '.'/'-'/sci-notation in a column name)
+        tag = f"{qf * 100:.6f}".rstrip("0").rstrip(".").replace(
+            ".", "_"
+        ) or "0"
         aggs.append(
             F.percentile_approx(v, F.lit(qf), F.lit(10_000)).alias(
                 f"p{tag}_{value_col}"
@@ -2082,13 +2102,16 @@ def explain_scores(
 
     One row per matched posting:
     ``(doc_id, field, term, weight, tf, dl, df_t, idf, tf_norm, tscore,
-    n_matched, score)`` where ``idf`` is the similarity's idf factor,
-    ``tf_norm = tscore_unweighted / idf`` (for BM25 exactly Lucene's
-    tfNorm ``tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``), ``tscore =
-    weight · idf · tf_norm`` is the row's contribution, ``n_matched``
-    counts the doc's matched query terms, and ``score`` is the per-doc
-    total — identical to what :func:`search` reports for the same doc
-    (docs failing the query's min_match are excluded, mirroring it).
+    n_matched, score)`` where ``idf`` is the similarity's idf factor
+    (BM25: the Lucene idf; classic tfidf: idf² — so ``tf_norm`` comes
+    out as ``sqrt(tf)``; custom registered scorers: NULL, no known
+    decomposition), ``tf_norm = tscore_unweighted / idf`` (for BM25
+    exactly Lucene's tfNorm ``tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``),
+    ``tscore = weight · idf · tf_norm`` is the row's contribution,
+    ``n_matched`` counts the doc's matched query terms, and ``score``
+    is the per-doc total — identical to what :func:`search` reports for
+    the same doc (docs failing the query's min_match are excluded,
+    mirroring it).
 
     Supports every query that normalizes to a weighted term set
     (:func:`weighted_terms`: term / term-set / analyzed text, ``Boost``
@@ -2144,10 +2167,21 @@ def explain_scores(
     tfd = F.col("tf").cast("double")
     dld = F.col("dl").cast("double")
     dfd = F.col("df_t").cast("double")
-    idf = idf_expr(dfd, F.col("_n"))
     tsc_unweighted = index.scoring.term_score(
         tfd, dld, dfd, F.col("_n"), F.col("_avgdl")
     )
+    # idf factor per similarity: bm25 contributes idf once, classic
+    # tfidf squares it (score = sqrt(tf)·idf², so tf_norm = sqrt(tf)).
+    # Custom registered scorers have no known decomposition — idf and
+    # tf_norm are NULL there; tscore/score stay exact.
+    base_idf = idf_expr(dfd, F.col("_n"))
+    sim = index.scoring.similarity
+    if sim == "bm25":
+        idf = base_idf
+    elif sim == "tfidf":
+        idf = base_idf * base_idf
+    else:
+        idf = F.lit(None).cast("double")
     out = j.select(
         F.col(DOC_ID),
         "field",
@@ -2246,6 +2280,10 @@ def rescore_search(
     resc = compile_query(rescore_query, sub).select(
         DOC_ID, F.col(SCORE).alias("_rs")
     )
+    # non-phrase rescore queries persist scored postings into the
+    # throwaway sub-index's cache — hand those frames to the ORIGINAL
+    # index's release list too, or idx.unpersist() would leak them
+    index._phrase_caches.extend(sub._scored_cache.values())
     q = F.lit(float(query_weight)) * F.col("_qs")
     r = F.lit(float(rescore_weight)) * F.col("_rs")
     combined = {

@@ -970,9 +970,7 @@ def dedup_lines_expr(raw: Column) -> "dict[str, Column]":
     }
 
 
-def dedup_lines(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
+def dedup_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Apply :func:`dedup_lines_expr`: input columns with ``text_col``
     rewritten (exact duplicate lines dropped, first kept) plus
     ``n_dup_lines``. NULL text stays NULL with a zero count."""

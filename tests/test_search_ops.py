@@ -2495,6 +2495,43 @@ class TestExplainScores:
             with _pytest.raises(ValueError, match="explain_scores"):
                 docs_index.explain(bad)
 
+    def test_tfidf_decomposition_and_custom_nulls(self, spark, docs_df):
+        import math
+
+        from sparksearchengine_spark import Corpus, TextOptions
+        from sparksearchengine_spark.functions.scoring import (
+            ScoringConfig,
+            register_scorer,
+        )
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        q = _Q.field("text").match_term("dup")
+        tfidf_idx = Corpus(
+            docs_df, id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="simple")},
+        ).build_index(scoring=ScoringConfig(similarity="tfidf"))
+        rows = tfidf_idx.explain(q).collect()
+        assert rows
+        for r in rows:
+            # classic tfidf: score = sqrt(tf)·idf², so tf_norm = sqrt(tf)
+            assert math.isclose(
+                r["tf_norm"], math.sqrt(r["tf"]), rel_tol=1e-9
+            )
+            assert math.isclose(
+                r["tscore"], r["idf"] * r["tf_norm"], rel_tol=1e-12
+            )
+        register_scorer(
+            "ones", lambda tf, dl, df_t, n, avgdl: tf * 0 + 1.0
+        )
+        ones_idx = Corpus(
+            docs_df, id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="simple")},
+        ).build_index(scoring=ScoringConfig(similarity="ones"))
+        r = ones_idx.explain(q).collect()[0]
+        # custom scorer: no known decomposition -> NULL components
+        assert r["idf"] is None and r["tf_norm"] is None
+        assert r["tscore"] == 1.0
+
 
 class TestRescoreSearch:
     """Two-pass rescoring (search.py::rescore_search)."""
@@ -2686,11 +2723,13 @@ class TestFacetMetrics:
         q = _Q.field("text").match_term("dup")
         out = facet_metrics(
             docs_index, q, "lang", "n_chars",
-            metrics=("count",), percentiles=(0.5,),
+            metrics=("count",), percentiles=(0.5, 0.999, 1.0),
         )
-        assert "p5_n_chars" in out.columns  # 0.5 -> p5 tag
+        # ES-style percent tags: fixed-point, no '.'/'-' in names
+        for c in ("p50_n_chars", "p99_9_n_chars", "p100_n_chars"):
+            assert c in out.columns, out.columns
         rows = out.collect()
-        assert rows and all(r["p5_n_chars"] is not None for r in rows)
+        assert rows and all(r["p50_n_chars"] is not None for r in rows)
         with _pytest.raises(ValueError, match="unknown metrics"):
             facet_metrics(docs_index, q, "lang", "n_chars", metrics=("stdev",))
         with _pytest.raises(ValueError, match="percentile"):
