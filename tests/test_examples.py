@@ -43,3 +43,14 @@ class TestExamples:
         out = capsys.readouterr().out
         assert "stored payload" in out
         assert "num_postings" in out
+
+    def test_pretraining_pipeline_example(self, spark, tmp_path, capsys):
+        _run(
+            str(_EXAMPLES / "pretraining_pipeline_example.py"),
+            ["/root/testdata/sf0.001/documents.parquet", str(tmp_path)],
+        )
+        out = capsys.readouterr().out
+        assert "[0] corpus: 500 docs" in out
+        assert "[3] perplexity head+middle kept" in out
+        assert "[5] decontamination kept" in out
+        assert "pipeline complete" in out
