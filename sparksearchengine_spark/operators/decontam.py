@@ -504,6 +504,41 @@ class BloomGramFilter:
             1.0 - math.exp(-self.k * self.n_grams / float(self.n_bits))
         ) ** self.k
 
+    def union(self, other: "BloomGramFilter") -> "BloomGramFilter":
+        """Merge two filters built with IDENTICAL parameters (same
+        n_bits/k/n/analyzer) into one whose member set is the union —
+        a bitwise OR of the word arrays.
+
+        This is how eval sets too large for one driver-side build
+        shard: build a filter per benchmark slice (each under
+        ``max_eval_grams``), union the filters, decontaminate once.
+        ``n_grams`` adds (an upper bound on distinct insertions, so
+        :meth:`fpp` stays conservative). Raises on any parameter
+        mismatch — ORing incompatible bitsets would silently corrupt
+        membership.
+        """
+        same = (
+            self.n_bits == other.n_bits
+            and self.k == other.k
+            and self.n == other.n
+            and self.analyzer == other.analyzer
+        )
+        if not same:
+            raise ValueError(
+                "BloomGramFilter.union: parameter mismatch "
+                f"(n_bits {self.n_bits}/{other.n_bits}, k {self.k}/"
+                f"{other.k}, n {self.n}/{other.n}, analyzer "
+                f"{self.analyzer!r}/{other.analyzer!r})"
+            )
+        return BloomGramFilter(
+            words=tuple(a | b for a, b in zip(self.words, other.words)),
+            n_bits=self.n_bits,
+            k=self.k,
+            n=self.n,
+            analyzer=self.analyzer,
+            n_grams=self.n_grams + other.n_grams,
+        )
+
 
 def bloom_gram_filter(
     eval_df: DataFrame,
@@ -513,8 +548,15 @@ def bloom_gram_filter(
     bits_per_gram: int = 32,
     k: int = 16,
     max_eval_grams: int = MAX_BLOOM_EVAL_GRAMS,
+    n_bits: int | None = None,
 ) -> BloomGramFilter:
     """Build a :class:`BloomGramFilter` from an eval/benchmark corpus.
+
+    ``n_bits`` pins the bitset size explicitly (normally sized as
+    ``bits_per_gram * n_grams``) — REQUIRED when building shard filters
+    meant for :meth:`BloomGramFilter.union`, which only accepts
+    identically-parameterized filters: size for the UNION's total gram
+    count, not the shard's.
 
     The eval side is small by contract (a benchmark: thousands of docs);
     its DISTINCT grams are collected driver-side under a hard cap with a
@@ -567,7 +609,14 @@ def bloom_gram_filter(
                     "set into several filters, or raise the cap "
                     "explicitly memory permitting."
                 )
-        m = _bloom_bits(bits_per_gram, n_grams)
+        if n_bits is not None:
+            if n_bits < 64 or n_bits % 64:
+                raise ValueError(
+                    f"n_bits must be a positive multiple of 64, got {n_bits}"
+                )
+            m = int(n_bits)
+        else:
+            m = _bloom_bits(bits_per_gram, n_grams)
         words = [0] * (m // 64)
         if n_grams and probe is not None:
             # small eval sets (the common case: a benchmark) pack

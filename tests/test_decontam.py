@@ -583,3 +583,58 @@ class TestPerplexityBuckets:
         )._jdf.queryExecution().executedPlan().toString()
         assert "Sort" not in plan  # sketch agg + broadcast join, no sort
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+class TestBloomUnion:
+    def test_union_equals_joint_build(self, spark):
+        from sparksearchengine_spark.operators.decontam import (
+            bloom_decontaminate,
+            bloom_gram_filter,
+        )
+
+        a = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        )
+        b = spark.createDataFrame(
+            [(2, "one two three four five six seven eight")],
+            "doc_id long, text string",
+        )
+        both = a.unionByName(b)
+        # shard filters must pin n_bits to the UNION's size — the
+        # default sizes by the shard's own gram count
+        f_joint = bloom_gram_filter(both, n=4)
+        m = f_joint.n_bits
+        f_union = bloom_gram_filter(a, n=4, n_bits=m).union(
+            bloom_gram_filter(b, n=4, n_bits=m)
+        )
+        # identical params + same inserted grams -> identical bitset
+        assert f_union.words == f_joint.words
+        assert f_union.n_grams == f_joint.n_grams
+        # and identical verdicts on a probe corpus
+        train = spark.createDataFrame(
+            [
+                (10, "alpha beta gamma delta epsilon zeta eta theta x"),
+                (11, "totally different words that never overlap here"),
+                (12, "one two three four five six seven eight y"),
+            ],
+            "doc_id long, text string",
+        )
+        vu = {
+            r["doc_id"]: r["contaminated"]
+            for r in bloom_decontaminate(train, f_union).collect()
+        }
+        assert vu == {10: True, 11: False, 12: True}
+
+    def test_union_rejects_mismatched_params(self, spark):
+        from sparksearchengine_spark.operators.decontam import (
+            bloom_gram_filter,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f g h")], "doc_id long, text string"
+        )
+        f1 = bloom_gram_filter(df, n=4)
+        f2 = bloom_gram_filter(df, n=3)
+        with pytest.raises(ValueError, match="parameter mismatch"):
+            f1.union(f2)
