@@ -957,6 +957,29 @@ def _text_ppl_buckets(spark, sf):
     )
 
 
+def _batch_dsl_multiterm(spark, sf):
+    """Multi-term queries as DATA in the DSL batch (operators/search.py
+    ::batch_search_dsl, late r6): a wildcard, a regex, and a fuzzy
+    query share ONE vocabulary scan (broadcast pattern frame joined to
+    termstats — the batched Lucene term-dictionary intersection), then
+    one postings hash-join; constant score 1.0, single-query parity
+    pytest-pinned (TestDslBatchMultiTerm)."""
+    idx = _docs_index(spark, sf)
+    f = Q.field("text")
+    queries = [
+        (1, f.match_wildcard("du*")),
+        (2, f.match_regex("sp[a-z]rk")),
+        (3, f.match_fuzzy("sparc", max_edits=1)),
+    ]
+    res = idx.batch_search_dsl(queries, k=MT_K)
+    return res.select(
+        "query_id",
+        "doc_id",
+        F.round("score", 6).alias("score"),
+        "rank",
+    ).orderBy("query_id", "rank")
+
+
 def _mixture_temperature(spark, sf):
     """Temperature-smoothed mixture weights (operators/sampling.py::
     temperature_weights, the XLM-R exponential-smoothing recipe at
@@ -2620,6 +2643,7 @@ def _dedup_edit_join(spark, sf):
 
 
 BDSL_K = 5
+MT_K = 10  # batch_dsl_multiterm per-query depth
 
 
 def _query_join_filters(spark, sf):
@@ -3252,6 +3276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_compress_ratio": _text_compress_ratio,
         "search_multi_match": _search_multi_match,
         "mixture_temperature": _mixture_temperature,
+        "batch_dsl_multiterm": _batch_dsl_multiterm,
     }
 
 
@@ -5313,6 +5338,39 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         "       ELSE 'tail' END AS bucket "
         "FROM pr ORDER BY doc_id"
     )
+    # multi-term DSL batch: the pattern table expands against the _CTE
+    # vocabulary (LIKE / anchored regexp / levenshtein — same unit-cost
+    # edit distance as Spark), matched terms join postings, constant
+    # score 1.0, rank by doc_id (score ties)
+    o["batch_dsl_multiterm"] = _CTE + f"""
+        , pats AS (
+          SELECT * FROM (VALUES
+            (1, 'like', 'du%', 0),
+            (2, 're', '^(?:sp[a-z]rk)$', 0),
+            (3, 'fz', 'sparc', 1)
+          ) AS t(query_id, kind, pat, edits)
+        ),
+        m AS (
+          SELECT p.query_id, ts.term
+          FROM termstats ts CROSS JOIN pats p
+          WHERE (p.kind = 'like' AND ts.term LIKE p.pat)
+             OR (p.kind = 're' AND regexp_matches(ts.term, p.pat))
+             OR (p.kind = 'fz'
+                 AND abs(length(ts.term) - length(p.pat)) <= p.edits
+                 AND levenshtein(ts.term, p.pat) <= p.edits)
+        ),
+        d AS (
+          SELECT DISTINCT m.query_id, p.doc_id
+          FROM m JOIN postings p USING (term)
+        ),
+        r AS (
+          SELECT query_id, doc_id, 1.0 AS score,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY doc_id) AS BIGINT) AS rank
+          FROM d
+        )
+        SELECT * FROM r WHERE rank <= {MT_K}
+        ORDER BY query_id, rank"""
     # temperature mixture: sqrt weights normalized with lang-ORDERED
     # sums (mirrors the Python sorted-accumulation), one division per
     # stage, same min-cap; rounds only at output

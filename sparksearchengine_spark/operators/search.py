@@ -466,8 +466,17 @@ def batch_search_dsl(
       Signatures count toward ``max_plans``; filters with None/mixed-
       type values, unknown fields, or negative operands fall back to
       the compiled path.
-    * **every other shape** (near, wildcard, regex, fuzzy, other
-      booleans, raw) compiles through the
+    * **multi-term queries (wildcard / regex / fuzzy) are ALSO data** —
+      the patterns broadcast into ONE vocabulary scan (the Lucene
+      term-dictionary intersection, batched: LIKE / anchored-rlike /
+      levenshtein evaluate on termstats rows, never postings), the
+      matched (query_id, term) pairs hash-join the shared scored
+      postings, and docs dedupe to the single-query path's constant
+      score 1.0. A registry of 100 saved wildcard alerts costs one
+      dictionary pass, not 100. They do NOT count toward
+      ``max_plans``.
+    * **every other shape** (near, other booleans, raw) compiles
+      through the
       standard single-query compiler ONCE PER DISTINCT AST — duplicate
       queries share a plan via a broadcast id-attach join — and the
       k-bounded results union into the same final top-k window. Plan
@@ -717,6 +726,10 @@ def _dsl_scored_union(
     # (query_id, field, n_positions, max_span, qpos, term) — phrases
     # (exact AND sloppy: slop rides as the per-query span bound) as data
     phrase_rows: list[tuple[int, str, int, int, int, str]] = []
+    # (query_id, field, kind, pattern, edits) — multi-term queries
+    # (wildcard/regex/fuzzy) as data: ONE vocabulary scan expands every
+    # pattern (Lucene's term-dictionary intersection, batched)
+    mt_rows: list[tuple[int, str, str, str, int]] = []
     general: dict = {}  # ast -> [query_ids] (frozen dataclasses hash)
     for qid, q in qlist:
         if isinstance(q, ast.MatchPhrase):
@@ -743,6 +756,38 @@ def _dsl_scored_union(
                 phrase_rows.append(
                     (qid, q.field, len(terms), max_span, i, t)
                 )
+            continue
+        if isinstance(
+            q, (ast.MatchWildcard, ast.MatchRegex, ast.MatchFuzzy)
+        ):
+            if q.field not in index.corpus.text_cols:
+                raise ValueError(
+                    f"field {q.field!r} is not a searchable text column"
+                    f" (declared: {sorted(index.corpus.text_cols)})"
+                )
+            from sparksearchengine_spark.plans.compiler import (
+                _folds_case,
+                _wildcard_to_like,
+            )
+
+            analyzer = index.corpus.text_cols[
+                q.field
+            ].query_time_analyzer()
+            folds = _folds_case(analyzer)
+            if isinstance(q, ast.MatchWildcard):
+                pat = q.pattern.lower() if folds else q.pattern
+                mt_rows.append(
+                    (qid, q.field, "like", _wildcard_to_like(pat), 0)
+                )
+            elif isinstance(q, ast.MatchRegex):
+                # NOT case-folded — regex metachars flip meaning under
+                # lower(); same contract as the single-query compiler
+                mt_rows.append(
+                    (qid, q.field, "re", f"^(?:{q.pattern})$", 0)
+                )
+            else:
+                t = q.term.lower() if folds else q.term
+                mt_rows.append((qid, q.field, "fz", t, q.max_edits))
             continue
         if isinstance(q, ast.And):
             # And(ONE term-class positive, simple filters) runs as
@@ -965,6 +1010,49 @@ def _dsl_scored_union(
             cand.where(ok).select(
                 "query_id", DOC_ID, score_fold.alias(SCORE)
             )
+        )
+    if mt_rows:
+        # multi-term queries as data: ONE vocabulary scan serves every
+        # wildcard/regex/fuzzy pattern in the batch. The pattern frame
+        # broadcasts into a nested-loop join against TERMSTATS
+        # (dictionary-sized — the Lucene MultiTermQuery contract: the
+        # postings side never evaluates a LIKE/regex/levenshtein), then
+        # the matched (query_id, term) pairs hash-join the shared
+        # scored-postings scan; docs dedupe to constant score 1.0,
+        # exactly the single-query `_multi_term_docs` semantics.
+        mtq = spark.createDataFrame(
+            mt_rows,
+            "query_id long, field string, kind string, pat string,"
+            " edits int",
+        )
+        mt_fields = sorted({r[1] for r in mt_rows})
+        vocab = index.termstats.where(
+            F.col("field").isin(mt_fields)
+        ).select("field", "term")
+        hit = (
+            (F.col("kind") == "like") & F.expr("term like pat")
+        ) | (
+            (F.col("kind") == "re") & F.expr("term rlike pat")
+        ) | (
+            (F.col("kind") == "fz")
+            & F.length("term").between(
+                F.length("pat") - F.col("edits"),
+                F.length("pat") + F.col("edits"),
+            )
+            & (F.levenshtein(F.col("term"), F.col("pat")) <= F.col("edits"))
+        )
+        matched = vocab.join(
+            F.broadcast(mtq), ["field"]
+        ).where(hit).select("query_id", "field", "term")
+        msp = None
+        for f in mt_fields:
+            one = index.scored_postings(f).withColumn("field", F.lit(f))
+            msp = one if msp is None else msp.unionByName(one)
+        branches.append(
+            msp.join(F.broadcast(matched), ["field", "term"])
+            .select("query_id", DOC_ID)
+            .distinct()
+            .select("query_id", DOC_ID, F.lit(1.0).alias(SCORE))
         )
     for q, qids in general.items():
         compiled = index.compile(q)

@@ -321,6 +321,12 @@ class FieldRef:
     def match_regex(self, pattern: str) -> MatchRegex:
         return MatchRegex(self.name, pattern)
 
+    def match_wildcard(self, pattern: str) -> MatchWildcard:
+        return MatchWildcard(self.name, pattern)
+
+    def match_fuzzy(self, term: str, max_edits: int = 2) -> MatchFuzzy:
+        return MatchFuzzy(self.name, term, max_edits=max_edits)
+
 
 class Q:
     """Query builder namespace."""

@@ -2809,3 +2809,71 @@ class TestMultiMatchSearch:
             mm_index.multi_match_search("x", ["title"], tie_breaker=2.0)
         with _pytest.raises(ValueError, match="non-empty"):
             mm_index.multi_match_search("x", [])
+
+
+class TestDslBatchMultiTerm:
+    def test_multiterm_batch_equals_single_search(self, docs_index):
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        f = _Q.field("text")
+        qs = [
+            (1, f.match_wildcard("du*")),
+            (2, f.match_regex("sp[a-z]rk")),
+            (3, f.match_fuzzy("sparc", max_edits=1)),
+            (4, f.match_term("merge")),          # term rides its plan
+            (5, f.match_phrase("dup merge")),    # phrase rides its plan
+        ]
+        res = docs_index.batch_search_dsl(qs, k=50).collect()
+        got = {}
+        for r in res:
+            got.setdefault(r["query_id"], set()).add(
+                (r["doc_id"], round(r["score"], 9))
+            )
+        for qid, q in qs:
+            want = {
+                (r["doc_id"], round(r["score"], 9))
+                for r in docs_index.search(q, k=50).collect()
+            }
+            assert got.get(qid, set()) == want, qid
+
+    def test_multiterm_does_not_count_toward_max_plans(self, docs_index):
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        f = _Q.field("text")
+        # 5 distinct multi-term queries under max_plans=1: must not raise
+        qs = [
+            (i, f.match_wildcard(p))
+            for i, p in enumerate(["du*", "sp*", "me*", "ta*", "ha*"])
+        ]
+        out = docs_index.batch_search_dsl(qs, k=3, max_plans=1)
+        assert out.count() > 0
+
+    def test_one_vocab_scan_for_all_patterns(self, docs_index):
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        f = _Q.field("text")
+        qs = [
+            (1, f.match_wildcard("du*")),
+            (2, f.match_regex("me.*ge")),
+            (3, f.match_fuzzy("sparc", max_edits=1)),
+        ]
+        plan = (
+            docs_index.batch_search_dsl(qs, k=5)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the three patterns share ONE dictionary-side join (broadcast
+        # pattern frame), not one sub-plan each
+        assert plan.count("LIKE") + plan.count("like") >= 1
+        assert plan.count("levenshtein") == 1
+
+    def test_unknown_field_raises(self, docs_index):
+        import pytest as _pytest
+
+        from sparksearchengine_spark.plans.ast import Q as _Q
+
+        with _pytest.raises(ValueError, match="searchable text column"):
+            docs_index.batch_search_dsl(
+                [(1, _Q.field("nope").match_wildcard("a*"))], k=3
+            )
