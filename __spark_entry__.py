@@ -1110,7 +1110,10 @@ def _search_facet_metrics(spark, sf):
 
     idx = _docs_index(spark, sf)
     q = Q.field("text").match_any(*QC10_TERMS)
-    out = facet_metrics(idx, q, "lang", "n_chars")
+    out = facet_metrics(
+        idx, q, "lang", "n_chars",
+        metrics=("count", "sum", "avg", "min", "max", "distinct"),
+    )
     return out.select(
         "value",
         "n_docs",
@@ -1118,6 +1121,7 @@ def _search_facet_metrics(spark, sf):
         F.round("avg_n_chars", 6).alias("avg_n_chars"),
         "min_n_chars",
         "max_n_chars",
+        "distinct_n_chars",
     ).orderBy("value")
 
 
@@ -5498,7 +5502,8 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
                sum(v) AS sum_n_chars,
                round(avg(v), 6) AS avg_n_chars,
                min(v) AS min_n_chars,
-               max(v) AS max_n_chars
+               max(v) AS max_n_chars,
+               CAST(count(DISTINCT v) AS BIGINT) AS distinct_n_chars
         FROM j GROUP BY lang ORDER BY value"""
     # ES-style rescore: qc10's top-30 window, qc09's phrase at 2x, re-rank.
     # Phrase score = sum of the 2 phrase terms' BM25 (IEEE-commutative-

@@ -1617,7 +1617,9 @@ def facet_metrics(
     ``facet_col`` value, numeric statistics of ``value_col`` over the
     MATCHING documents — ``(value, n_docs, sum_<col>, avg_<col>, ...)``.
 
-    ``metrics`` ⊆ {count, sum, avg, min, max}; ``percentiles`` adds
+    ``metrics`` ⊆ {count, sum, avg, min, max, distinct} (``distinct`` =
+    exact count-distinct of ``value_col``, the ES cardinality agg — use
+    sketch profiling for the approximate form); ``percentiles`` adds
     ``p<q>_<col>`` columns via ``percentile_approx`` (one-pass sketch —
     approximate by design, like ES's t-digest percentiles).
 
@@ -1628,7 +1630,7 @@ def facet_metrics(
     the numeric aggregates (SQL semantics); NULL facet values bucket
     as their own "(missing)" row like `facet_counts`.
     """
-    allowed = {"count", "sum", "avg", "min", "max"}
+    allowed = {"count", "sum", "avg", "min", "max", "distinct"}
     metrics = list(metrics)
     bad = [m for m in metrics if m not in allowed]
     if bad:
@@ -1651,6 +1653,12 @@ def facet_metrics(
             aggs.append(F.min(v).alias(f"min_{value_col}"))
         elif m == "max":
             aggs.append(F.max(v).alias(f"max_{value_col}"))
+        elif m == "distinct":
+            aggs.append(
+                F.countDistinct(F.col(value_col))
+                .cast("long")
+                .alias(f"distinct_{value_col}")
+            )
     for q in percentiles or ():
         qf = float(q)
         if not (0.0 <= qf <= 1.0):

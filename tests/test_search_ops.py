@@ -2689,7 +2689,9 @@ class TestFacetMetrics:
         out = {
             r["value"]: r
             for r in facet_metrics(
-                docs_index, q, "lang", "n_chars"
+                docs_index, q, "lang", "n_chars",
+                metrics=("count", "sum", "avg", "min", "max",
+                         "distinct"),
             ).collect()
         }
         ids = {
@@ -2712,6 +2714,7 @@ class TestFacetMetrics:
             assert o["sum_n_chars"] == float(sum(vals))
             assert o["min_n_chars"] == float(min(vals))
             assert o["max_n_chars"] == float(max(vals))
+            assert o["distinct_n_chars"] == len(set(vals))
             assert abs(o["avg_n_chars"] - sum(vals) / len(vals)) < 1e-9
 
     def test_percentiles_and_validation(self, docs_index):
