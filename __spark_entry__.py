@@ -957,6 +957,28 @@ def _text_ppl_buckets(spark, sf):
     )
 
 
+def _text_dict_tag(spark, sf):
+    """Gazetteer tagging (operators/textstats.py::dictionary_tag, the
+    FlashText job Spark-shaped): a 3-entry dictionary (two unigrams +
+    the qc09 bigram) matched token-exactly over every doc in ONE scan —
+    per-length n-grams flatten into one explode, the dictionary
+    broadcasts, occurrences count per (doc, phrase)."""
+    from sparksearchengine_spark.operators.textstats import dictionary_tag
+
+    docs = _read(spark, sf, "documents")
+    out = dictionary_tag(
+        docs,
+        {
+            QC06_TERM: "topic_a",
+            f"{QC09_W1} {QC09_W2}": "bigram",
+            "spark": "topic_b",
+        },
+    )
+    return out.select("doc_id", "tag", "phrase", "n_hits").orderBy(
+        "doc_id", "tag", "phrase"
+    )
+
+
 def _batch_dsl_multiterm(spark, sf):
     """Multi-term queries as DATA in the DSL batch (operators/search.py
     ::batch_search_dsl, late r6): a wildcard, a regex, and a fuzzy
@@ -3281,6 +3303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_multi_match": _search_multi_match,
         "mixture_temperature": _mixture_temperature,
         "batch_dsl_multiterm": _batch_dsl_multiterm,
+        "text_dict_tag": _text_dict_tag,
     }
 
 
@@ -5342,6 +5365,33 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         "       ELSE 'tail' END AS bucket "
         "FROM pr ORDER BY doc_id"
     )
+    # gazetteer tagging: all-occurrence unigrams + qc09-shape bigrams in
+    # one union, VALUES dictionary join, per-(doc, phrase) counts
+    o["text_dict_tag"] = f"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(coalesce(text, '')),
+                                                '[^a-z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        g1 AS (SELECT doc_id, unnest(toks) AS gram FROM t),
+        g2 AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS gram
+          FROM t WHERE len(toks) >= 2
+        ),
+        g AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2),
+        dict(gram, tag, phrase) AS (VALUES
+          ('{QC06_TERM}', 'topic_a', '{QC06_TERM}'),
+          ('{QC09_W1} {QC09_W2}', 'bigram', '{QC09_W1} {QC09_W2}'),
+          ('spark', 'topic_b', 'spark'))
+        SELECT g.doc_id, d.tag, d.phrase,
+               CAST(count(*) AS BIGINT) AS n_hits
+        FROM g JOIN dict d USING (gram)
+        GROUP BY g.doc_id, d.tag, d.phrase
+        ORDER BY doc_id, tag, phrase"""
     # multi-term DSL batch: the pattern table expands against the _CTE
     # vocabulary (LIKE / anchored regexp / levenshtein — same unit-cost
     # edit distance as Spark), matched terms join postings, constant

@@ -1034,3 +1034,93 @@ def compression_ratio(
         F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
         _ratio(F.col(text_col)).alias("compress_ratio"),
     )
+
+
+# dictionaries are driver-built literal frames; this bounds the
+# broadcast like the search-side query caps (loud, not silent)
+DICTIONARY_MAX_PHRASES = 1_000_000
+
+
+def dictionary_tag(
+    df: DataFrame,
+    phrases,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    analyzer: str = "simple",
+) -> DataFrame:
+    """Dictionary / gazetteer tagging at corpus scale (the FlashText /
+    Aho-Corasick job, Spark-shaped): match a phrase dictionary against
+    every document, ``(id_col, tag, phrase, n_hits)`` per matched
+    phrase with occurrence counts.
+
+    ``phrases`` is a ``{phrase: tag}`` dict (PII lexicons, topic
+    gazetteers, blocklists — many phrases per tag is fine) or a plain
+    iterable (tag = phrase). Phrases are analyzed with the FIELD's
+    analyzer so matching is token-exact, never substring ("art" does
+    not fire inside "cart"); multi-word phrases match as contiguous
+    token n-grams.
+
+    Plan shape: ONE corpus scan builds the token n-grams for every
+    distinct phrase LENGTH in the dictionary (one flatten-explode, no
+    per-phrase work), the dictionary broadcasts into a single hash
+    join, and the per-(doc, phrase) count is a partial agg keyed on
+    the doc — dictionary size bounds the broadcast
+    (``DICTIONARY_MAX_PHRASES`` loud cap), corpus size bounds nothing
+    but the scan. Overlapping occurrences each count (position-sliding
+    grams).
+    """
+    from sparksearchengine_spark.functions.analyzers import tokenize_py
+    from sparksearchengine_spark.operators.dedup import _widen
+
+    items = (
+        list(phrases.items())
+        if isinstance(phrases, dict)
+        else [(p, p) for p in phrases]
+    )
+    if not items:
+        raise ValueError("empty phrase dictionary")
+    if len(items) > DICTIONARY_MAX_PHRASES:
+        raise ValueError(
+            f"{len(items)} phrases exceeds DICTIONARY_MAX_PHRASES="
+            f"{DICTIONARY_MAX_PHRASES} (the dictionary broadcasts to"
+            " every task); shard the dictionary and union the outputs"
+        )
+    rows = []
+    for phrase, tag in items:
+        toks = tokenize_py(phrase, analyzer)
+        if not toks:
+            raise ValueError(
+                f"phrase {phrase!r} analyzes to zero tokens under"
+                f" {analyzer!r}"
+            )
+        rows.append((" ".join(toks), phrase, str(tag), len(toks)))
+    lengths = sorted({r[3] for r in rows})
+    spark = df.sparkSession
+    ddf = spark.createDataFrame(
+        rows, "gram string, phrase string, tag string, n int"
+    ).select("gram", "phrase", "tag")
+
+    def _occ_grams(tokens, n):  # type: ignore[no-untyped-def]
+        # occurrence-preserving (no distinct) and STRICT length (no
+        # whole-doc fallback — a phrase only matches n-token windows)
+        return F.when(
+            F.size(tokens) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i, n)),
+            ),
+        ).otherwise(F.expr("array()").cast("array<string>"))
+
+    base = _widen(df).select(
+        F.col(id_col),
+        analyzer_expr(F.col(text_col), analyzer).alias("_t"),
+    )
+    grams = F.flatten(
+        F.array(*[_occ_grams(F.col("_t"), n) for n in lengths])
+    )
+    e = base.select(id_col, F.explode(grams).alias("gram"))
+    return (
+        e.join(F.broadcast(ddf), "gram")
+        .groupBy(id_col, "tag", "phrase")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )

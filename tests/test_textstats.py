@@ -421,3 +421,64 @@ class TestCompressionRatio:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError, match="zlib level"):
             compression_ratio(df, level=11)
+
+
+class TestDictionaryTag:
+    def test_tags_and_counts(self, spark):
+        from sparksearchengine_spark.operators.textstats import (
+            dictionary_tag,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "New York is big. I love new york!"),
+                (2, "york alone, and newer yorkshire"),
+                (3, "apple pie and apple"),
+            ],
+            "doc_id long, text string",
+        )
+        out = dictionary_tag(
+            df, {"new york": "city", "apple": "fruit"}
+        ).collect()
+        got = {(r["doc_id"], r["tag"]): r["n_hits"] for r in out}
+        # token-exact: 'yorkshire' and bare 'york' never fire 'new york'
+        assert got == {(1, "city"): 2, (3, "fruit"): 2}
+        phrases = {r["phrase"] for r in out}
+        assert phrases == {"new york", "apple"}
+
+    def test_overlapping_occurrences_count(self, spark):
+        from sparksearchengine_spark.operators.textstats import (
+            dictionary_tag,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a a a")], "doc_id long, text string"
+        )
+        out = dictionary_tag(df, ["a a"]).collect()
+        assert out[0]["n_hits"] == 2  # sliding windows overlap
+
+    def test_validation(self, spark):
+        import pytest
+
+        from sparksearchengine_spark.operators.textstats import (
+            dictionary_tag,
+        )
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="empty"):
+            dictionary_tag(df, [])
+        with pytest.raises(ValueError, match="zero tokens"):
+            dictionary_tag(df, ["!!!"])
+
+    def test_short_docs_never_whole_doc_match(self, spark):
+        from sparksearchengine_spark.operators.textstats import (
+            dictionary_tag,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "new york")], "doc_id long, text string"
+        )
+        # a 3-token phrase cannot match a 2-token doc
+        assert (
+            dictionary_tag(df, ["new york city"]).count() == 0
+        )
