@@ -461,6 +461,17 @@ _leaf = st.one_of(
     st.integers(0, 12).map(
         lambda n: Q.field("text").match_term("a") & _F_gt_doc_id(n)
     ),
+    # multi-term leaves (late r6: batched as data at top level,
+    # compiled inside booleans — both must equal single-query search)
+    st.sampled_from(_VOCAB).map(
+        lambda t: Q.field("text").match_wildcard(t[0] + "*")
+    ),
+    st.sampled_from(_VOCAB).map(
+        lambda t: Q.field("text").match_fuzzy(t, max_edits=1)
+    ),
+    st.sampled_from(_VOCAB).map(
+        lambda t: Q.field("text").match_regex(t[0] + "[a-z0-9]*")
+    ),
 )
 
 
