@@ -454,6 +454,11 @@ class SearchIndex:
 
         return explain_score(self, query, doc_id)
 
+    def validate(self):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.stats import validate_index
+
+        return validate_index(self)
+
     def suggest_terms(self, term: str, **kw):  # type: ignore[no-untyped-def]
         from sparksearchengine_spark.operators.stats import suggest_terms
 

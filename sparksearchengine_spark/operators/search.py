@@ -2213,7 +2213,10 @@ def explain_scores(
     (:func:`weighted_terms`: term / term-set / analyzed text, ``Boost``
     and min_match-1 ``Or`` compositions — fields may differ per row);
     other shapes (phrases, filters, ``Not``) raise — their match logic
-    has no per-term additive decomposition to explain.
+    has no per-term additive decomposition to explain. For a SINGLE
+    doc under an arbitrary AST (phrases and boost trees included, but
+    without the idf/tfNorm component labels) use the complementary
+    :func:`~sparksearchengine_spark.operators.stats.explain_score`.
 
     Plan shape: the query terms + per-field corpus scalars ride ONE
     broadcast literal frame; df_t attaches by scanning termstats against

@@ -119,6 +119,11 @@ def explain_score(
     anti-joined branches never add score. Terms absent from the doc
     yield no row — an empty result means "matched by filters only or
     not at all".
+
+    For the WHOLE match set with Lucene component labels (idf, tfNorm,
+    n_matched, per-doc totals == search()) over weighted-term-set
+    queries, use the complementary
+    :func:`~sparksearchengine_spark.operators.search.explain_scores`.
     """
     from sparksearchengine_spark.functions.analyzers import tokenize_py
     from sparksearchengine_spark.plans import ast
@@ -482,4 +487,86 @@ def term_vector(
         p = p.where(F.col("field") == field)
     return p.select("field", "term", "tf", "dl", "positions").orderBy(
         "field", "term"
+    )
+
+
+def validate_index(index: "SearchIndex") -> DataFrame:
+    """Index integrity audit — run it after ``load`` / ``merge_indexes``
+    / ``upsert_index`` (or any hand-surgery on saved postings) to prove
+    the DERIVED statistics still agree with the postings they were
+    derived from. One row per invariant:
+    ``(check, field, expected, actual, ok)``.
+
+    Checks:
+
+    * ``postings_unique`` — no duplicate (field, term, doc) posting (a
+      broken shard merge shows up here first);
+    * ``termstats_df`` — every stored ``df_t`` equals the docFreq
+      recomputed from postings (actual = number of disagreeing terms,
+      full-outer so missing/extra termstats rows count too);
+    * ``doc_count[field]`` / ``avgdl[field]`` — fieldstats scalars vs a
+      recount (avgdl compared at 6dp, the results contract);
+    * ``dl_consistent`` — every (field, doc) carries ONE dl across its
+      postings (the denormalization invariant scoring relies on).
+
+    Driver cost: a handful of aggregation jobs over postings — this is
+    an AUDIT tool, not a query-path op; at 100 TB run it on the saved
+    index's parquet after maintenance, not per query.
+    """
+    from sparksearchengine_spark.operators.index import DOC_ID as _DID
+
+    p = index.postings
+    rows: list[tuple] = []
+    total = p.count()
+    distinct = (
+        p.select("field", "term", _DID).distinct().count()
+    )
+    rows.append(
+        ("postings_unique", "", float(total), float(distinct),
+         total == distinct)
+    )
+    rec = p.groupBy("field", "term").agg(
+        F.count_distinct(_DID).alias("_df")
+    )
+    bad_df = (
+        rec.join(
+            index.termstats.select("field", "term", "df_t"),
+            ["field", "term"],
+            "full",
+        )
+        .where(~F.col("_df").eqNullSafe(F.col("df_t")))
+        .count()
+    )
+    rows.append(("termstats_df", "", 0.0, float(bad_df), bad_df == 0))
+    bad_dl = (
+        p.groupBy("field", _DID)
+        .agg(F.count_distinct("dl").alias("_ndl"))
+        .where(F.col("_ndl") > 1)
+        .count()
+    )
+    rows.append(("dl_consistent", "", 0.0, float(bad_dl), bad_dl == 0))
+    for f in sorted(index.fieldstats):
+        fs = index.fieldstats[f]
+        agg = (
+            p.where(F.col("field") == f)
+            .select(_DID, "dl")
+            .dropDuplicates([_DID])
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.avg("dl").alias("a"),
+            )
+            .collect()[0]
+        )
+        n, a = int(agg["n"] or 0), float(agg["a"] or 0.0)
+        rows.append(
+            (f"doc_count[{f}]", f, float(fs.doc_count), float(n),
+             fs.doc_count == n)
+        )
+        rows.append(
+            (f"avgdl[{f}]", f, round(float(fs.avgdl), 6), round(a, 6),
+             round(float(fs.avgdl), 6) == round(a, 6))
+        )
+    return index.postings.sparkSession.createDataFrame(
+        rows, "check string, field string, expected double,"
+              " actual double, ok boolean"
     )

@@ -2880,3 +2880,57 @@ class TestDslBatchMultiTerm:
             docs_index.batch_search_dsl(
                 [(1, _Q.field("nope").match_wildcard("a*"))], k=3
             )
+
+
+class TestValidateIndex:
+    def test_fresh_index_all_ok(self, docs_index):
+        rows = docs_index.validate().collect()
+        assert rows and all(r["ok"] for r in rows), [
+            tuple(r) for r in rows if not r["ok"]
+        ]
+        checks = {r["check"] for r in rows}
+        assert {"postings_unique", "termstats_df", "dl_consistent"} <= checks
+        assert any(c.startswith("doc_count[") for c in checks)
+        assert any(c.startswith("avgdl[") for c in checks)
+
+    def test_upserted_index_validates(self, spark, docs_df):
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        base = Corpus(
+            docs_df.where(F.col("doc_id") < 400),
+            id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="simple")},
+        ).build_index(persist=False)
+        changes = docs_df.where(
+            (F.col("doc_id") >= 390) & (F.col("doc_id") < 420)
+        )
+        up = base.upsert(changes, deletes=[1, 2, 3])
+        rows = up.validate().collect()
+        assert all(r["ok"] for r in rows), [
+            tuple(r) for r in rows if not r["ok"]
+        ]
+
+    def test_corrupted_stats_detected(self, spark, docs_df):
+        import dataclasses
+
+        from sparksearchengine_spark import Corpus, TextOptions
+        from sparksearchengine_spark.operators.index import FieldStats
+
+        idx = Corpus(
+            docs_df.where(F.col("doc_id") < 50),
+            id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="simple")},
+        ).build_index(persist=False)
+        # sabotage the derived stats: wrong doc_count, wrong df_t
+        idx.fieldstats = {
+            "text": FieldStats(
+                doc_count=idx.fieldstats["text"].doc_count + 7,
+                avgdl=idx.fieldstats["text"].avgdl,
+            )
+        }
+        idx.termstats = idx.termstats.withColumn(
+            "df_t", F.col("df_t") + F.lit(1)
+        )
+        bad = {r["check"]: r for r in idx.validate().collect() if not r["ok"]}
+        assert "doc_count[text]" in bad
+        assert "termstats_df" in bad and bad["termstats_df"]["actual"] > 0
