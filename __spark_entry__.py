@@ -3118,6 +3118,41 @@ def _index_upsert(spark, sf):
     )
 
 
+def _lm_index(spark, sf, similarity: str):
+    """LM-similarity index over documents.text (not the shared BM25
+    cache — the scoring config differs)."""
+    from sparksearchengine_spark.functions.scoring import ScoringConfig
+
+    docs = _read(spark, sf, "documents")
+    return Corpus(
+        docs, id_col="doc_id",
+        text_cols={"text": TextOptions(analyzer="simple", positions=True)},
+    ).build_index(scoring=ScoringConfig(similarity=similarity))
+
+
+def _search_lmd(spark, sf):
+    """LM-Dirichlet top-k (functions/scoring.py::lmd_term_score, Lucene
+    LMDirichletSimilarity semantics: +1-smoothed collection probability,
+    clamp-at-zero). Exercises the lazily-built collection_stats (cf_t)
+    join in SearchIndex.scored_postings. Reference analog: any Lucene
+    Similarity is configurable (`LuceneConfig.scala:131-144`)."""
+    idx = _lm_index(spark, sf, "lmd")
+    res = idx.search(Q.field("text").match_any(*QC10_TERMS), k=QC10_K)
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
+def _search_lmjm(spark, sf):
+    """LM Jelinek-Mercer top-k (functions/scoring.py::lmjm_term_score,
+    Lucene LMJelinekMercerSimilarity, lambda=0.7)."""
+    idx = _lm_index(spark, sf, "lmjm")
+    res = idx.search(Q.field("text").match_any(*QC10_TERMS), k=QC10_K)
+    return res.select(
+        "doc_id", F.round("score", 6).alias("score"), "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver emits CORRECTNESS rows for the FIRST 50
     # keys only.  Slots 1-30 are pinned to the SURVEY §2.10 qc suite;
@@ -3304,6 +3339,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_temperature": _mixture_temperature,
         "batch_dsl_multiterm": _batch_dsl_multiterm,
         "text_dict_tag": _text_dict_tag,
+        # -- session-3 additions (r7 queue, selfcheck-green) --
+        "search_lmd": _search_lmd,
+        "search_lmjm": _search_lmjm,
     }
 
 
@@ -7106,4 +7144,41 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
                  - 15.59
                END, 6) AS fk_grade
         FROM s ORDER BY doc_id"""
+
+    # LM similarities: collection term frequency (cf) and total field
+    # tokens (n * avgdl — the same two stats scoring.py derives them
+    # from, so the double product round-trips bit-exactly). Expression
+    # shapes mirror functions/scoring.py::lmd_term_score/lmjm_term_score
+    # literal-for-literal; the per-term clamp (lmd) applies INSIDE the
+    # sum, exactly like the Spark column expression.
+    _lm_terms = f"('{QC10_TERMS[0]}','{QC10_TERMS[1]}')"
+    o["search_lmd"] = _CTE + f"""
+        , collstats AS (SELECT term, sum(tf) AS cf FROM postings GROUP BY term)
+        , scored AS (
+          SELECT p.doc_id,
+                 sum(greatest(
+                   ln(1.0 + p.tf / (2000.0 *
+                        ((c.cf + 1.0) / (f.n * f.avgdl + 1.0))))
+                   + ln(2000.0 / (p.dl + 2000.0)),
+                   0.0)) AS s
+          FROM postings p JOIN collstats c USING (term) CROSS JOIN fieldstats f
+          WHERE p.term IN {_lm_terms}
+          GROUP BY p.doc_id
+        )
+        SELECT doc_id, round(s, 6) AS score,
+               CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+        FROM scored ORDER BY s DESC, doc_id LIMIT {QC10_K}"""
+    o["search_lmjm"] = _CTE + f"""
+        , collstats AS (SELECT term, sum(tf) AS cf FROM postings GROUP BY term)
+        , scored AS (
+          SELECT p.doc_id,
+                 sum(ln(1.0 + ((1.0 - 0.7) * p.tf / p.dl)
+                        / (0.7 * ((c.cf + 1.0) / (f.n * f.avgdl + 1.0))))) AS s
+          FROM postings p JOIN collstats c USING (term) CROSS JOIN fieldstats f
+          WHERE p.term IN {_lm_terms}
+          GROUP BY p.doc_id
+        )
+        SELECT doc_id, round(s, 6) AS score,
+               CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+        FROM scored ORDER BY s DESC, doc_id LIMIT {QC10_K}"""
     return o

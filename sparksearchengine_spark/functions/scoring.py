@@ -82,6 +82,62 @@ def tfidf_term_score(
     return F.sqrt(tf) * F.pow(idf_expr(df_t, doc_count), F.lit(2.0))
 
 
+LMD_MU = 2000.0
+LMJM_LAMBDA = 0.7
+
+# Similarities that need collection term frequency (cf_t = total
+# occurrences of the term in the field, not docFreq). The reference can
+# configure any Lucene Similarity (`LuceneConfig.scala:131-144`);
+# LMDirichlet / LMJelinekMercer are the standard language-model family.
+COLLECTION_SIMILARITIES = ("lmd", "lmjm")
+
+
+def lmd_term_score(
+    tf: Column,
+    dl: Column,
+    cf_t: Column,
+    total_tokens,  # scalar or Column
+    mu: float = LMD_MU,
+) -> Column:
+    """LM with Dirichlet smoothing (Lucene ``LMDirichletSimilarity``):
+
+        p(t|C) = (cf_t + 1) / (total_tokens + 1)
+        score  = max(0, ln(1 + tf / (mu * p)) + ln(mu / (dl + mu)))
+
+    The +1 smoothing and the clamp-at-zero mirror Lucene's ``LMStats
+    .collectionProbability`` and ``LMDirichletSimilarity.score``. Pure
+    codegen column expression, reproducible in any SQL engine.
+    """
+    p = (cf_t + F.lit(1.0)) / (_as_col(total_tokens) + F.lit(1.0))
+    s = F.log(F.lit(1.0) + tf / (F.lit(float(mu)) * p)) + F.log(
+        F.lit(float(mu)) / (dl + F.lit(float(mu)))
+    )
+    return F.greatest(s, F.lit(0.0))
+
+
+def lmjm_term_score(
+    tf: Column,
+    dl: Column,
+    cf_t: Column,
+    total_tokens,  # scalar or Column
+    lam: float = LMJM_LAMBDA,
+) -> Column:
+    """LM with Jelinek-Mercer smoothing (Lucene
+    ``LMJelinekMercerSimilarity``):
+
+        p(t|C) = (cf_t + 1) / (total_tokens + 1)
+        score  = ln(1 + ((1 - lambda) * tf / dl) / (lambda * p))
+
+    Always positive (the log argument is > 1 whenever tf > 0), so no
+    clamp is needed.
+    """
+    p = (cf_t + F.lit(1.0)) / (_as_col(total_tokens) + F.lit(1.0))
+    return F.log(
+        F.lit(1.0)
+        + (F.lit(1.0 - float(lam)) * tf / dl) / (F.lit(float(lam)) * p)
+    )
+
+
 # scorer signature: (tf, dl, df_t, doc_count, avgdl) -> Column
 Scorer = Callable[[Column, Column, Column, float, float], Column]
 
@@ -109,11 +165,24 @@ def get_scorer(name: str) -> Scorer:
 
 @dataclass(frozen=True)
 class ScoringConfig:
-    """Engine-level scoring configuration (reference: `LuceneConfig`)."""
+    """Engine-level scoring configuration (reference: `LuceneConfig`).
+
+    ``mu`` / ``lam`` only apply to the language-model similarities
+    (``lmd`` / ``lmjm``); those also need the collection term frequency,
+    which call sites provide via ``cf_t`` (see :attr:`needs_cf`).
+    """
 
     similarity: str = "bm25"
     k1: float = BM25_K1
     b: float = BM25_B
+    mu: float = LMD_MU
+    lam: float = LMJM_LAMBDA
+
+    @property
+    def needs_cf(self) -> bool:
+        """True when :meth:`term_score` requires the ``cf_t`` column
+        (collection term frequency) — the LM similarity family."""
+        return self.similarity in COLLECTION_SIMILARITIES
 
     def term_score(
         self,
@@ -122,11 +191,29 @@ class ScoringConfig:
         df_t: Column,
         doc_count: float,
         avgdl: float,
+        cf_t: Column | None = None,
     ) -> Column:
         if self.similarity == "bm25":
             return bm25_term_score(
                 tf, dl, df_t, doc_count, avgdl, k1=self.k1, b=self.b
             )
+        if self.similarity in COLLECTION_SIMILARITIES:
+            if cf_t is None:
+                raise ValueError(
+                    f"similarity {self.similarity!r} needs the collection "
+                    "term frequency; pass cf_t= (SearchIndex call sites "
+                    "join index.collection_stats(field) automatically)"
+                )
+            # total field tokens from the two stats every call site has:
+            # doc_count * avgdl == sum(dl) exactly (avgdl is sum/count in
+            # double in BOTH engines, so the product round-trips)
+            if isinstance(doc_count, Column) or isinstance(avgdl, Column):
+                tot = _as_col(doc_count) * _as_col(avgdl)
+            else:
+                tot = float(doc_count) * float(avgdl)
+            if self.similarity == "lmd":
+                return lmd_term_score(tf, dl, cf_t, tot, mu=self.mu)
+            return lmjm_term_score(tf, dl, cf_t, tot, lam=self.lam)
         return get_scorer(self.similarity)(tf, dl, df_t, doc_count, avgdl)
 
 

@@ -302,10 +302,31 @@ class SearchIndex:
         self.doc_buckets = doc_buckets
         self.corpus_store = corpus_store
         self._scored_cache: dict[str, DataFrame] = {}
+        # (term, cf_t) per field, built lazily — only the LM similarity
+        # family (ScoringConfig.needs_cf) ever touches it
+        self._collstats_cache: dict[str, DataFrame] = {}
         # per-phrase-query persisted scans, registered by the compiler so
         # unpersist() can release them (no leaked cached blocks in a
         # long-lived session)
         self._phrase_caches: list[DataFrame] = []
+
+    def collection_stats(self, field: str) -> DataFrame:
+        """(term, cf_t) — collection term frequency (total occurrences of
+        the term in the field, Lucene ``totalTermFreq``). Built lazily
+        from one postings aggregation, persisted, and cached per field;
+        only the LM similarities (lmd / lmjm) need it, so indexes scoring
+        with BM25 / TF-IDF never pay the aggregation. ≤ |vocab| rows —
+        the same broadcast-size class as termstats.
+        """
+        if field not in self._collstats_cache:
+            cf = (
+                self.postings.where(F.col("field") == field)
+                .groupBy("term")
+                .agg(F.sum("tf").cast("long").alias("cf_t"))
+                .persist()
+            )
+            self._collstats_cache[field] = cf
+        return self._collstats_cache[field]
 
     def scored_postings(self, field: str) -> DataFrame:
         """(term, doc_id, tscore) with the per-posting score precomputed.
@@ -325,6 +346,9 @@ class SearchIndex:
             ts = self.termstats.where(F.col("field") == field).select(
                 "term", "df_t"
             )
+            if self.scoring.needs_cf:
+                # LM similarities: ride cf_t on the same ≤|V| broadcast
+                ts = ts.join(self.collection_stats(field), "term")
             scored = (
                 p.join(F.broadcast(ts), "term")
                 .select(
@@ -336,6 +360,11 @@ class SearchIndex:
                         F.col("df_t").cast("double"),
                         float(fs.doc_count) if fs.doc_count else 1.0,
                         fs.avgdl if fs.avgdl else 1.0,
+                        cf_t=(
+                            F.col("cf_t").cast("double")
+                            if self.scoring.needs_cf
+                            else None
+                        ),
                     ).alias("tscore"),
                 )
                 .persist()
@@ -621,6 +650,8 @@ class SearchIndex:
                 "similarity": self.scoring.similarity,
                 "k1": self.scoring.k1,
                 "b": self.scoring.b,
+                "mu": self.scoring.mu,
+                "lam": self.scoring.lam,
             },
         }
         os.makedirs(path, exist_ok=True)
@@ -696,6 +727,7 @@ class SearchIndex:
             self.postings,
             self.termstats,
             *self._scored_cache.values(),
+            *self._collstats_cache.values(),
             *self._phrase_caches,
         ):
             try:
@@ -703,6 +735,7 @@ class SearchIndex:
             except Exception:
                 pass
         self._scored_cache.clear()
+        self._collstats_cache.clear()
         self._phrase_caches.clear()
 
 

@@ -2256,6 +2256,17 @@ def explain_scores(
     qts = index.termstats.select("field", "term", "df_t").join(
         F.broadcast(qdf), ["field", "term"]
     )
+    if index.scoring.needs_cf:
+        # LM similarities: collection term frequency for the query terms
+        # only — one agg over the broadcast-pruned postings rows
+        cfs = (
+            index.postings.join(
+                F.broadcast(qdf.select("field", "term")), ["field", "term"]
+            )
+            .groupBy("field", "term")
+            .agg(F.sum("tf").cast("double").alias("cf_t"))
+        )
+        qts = qts.join(F.broadcast(cfs), ["field", "term"])
     p = index.postings
     if doc_ids is not None:
         ids = [int(i) for i in doc_ids]
@@ -2267,12 +2278,17 @@ def explain_scores(
     dld = F.col("dl").cast("double")
     dfd = F.col("df_t").cast("double")
     tsc_unweighted = index.scoring.term_score(
-        tfd, dld, dfd, F.col("_n"), F.col("_avgdl")
+        tfd,
+        dld,
+        dfd,
+        F.col("_n"),
+        F.col("_avgdl"),
+        cf_t=(F.col("cf_t") if index.scoring.needs_cf else None),
     )
     # idf factor per similarity: bm25 contributes idf once, classic
     # tfidf squares it (score = sqrt(tf)·idf², so tf_norm = sqrt(tf)).
-    # Custom registered scorers have no known decomposition — idf and
-    # tf_norm are NULL there; tscore/score stay exact.
+    # Custom registered scorers and the LM family have no idf-style
+    # decomposition — idf and tf_norm are NULL there; tscore/score exact.
     base_idf = idf_expr(dfd, F.col("_n"))
     sim = index.scoring.similarity
     if sim == "bm25":

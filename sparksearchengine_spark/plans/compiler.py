@@ -115,6 +115,13 @@ def _scored_postings(
     ts = index.termstats.where(
         (F.col("field") == field) & F.col("term").isin(terms)
     ).select("term", "df_t")
+    if index.scoring.needs_cf:
+        # LM similarities: collection term frequency rides the same
+        # ≤|terms|-row broadcast (filtered to the query terms first)
+        ts = ts.join(
+            index.collection_stats(field).where(F.col("term").isin(terms)),
+            "term",
+        )
     scored = p.join(F.broadcast(ts), "term").select(
         F.col(DOC_ID),
         F.col("term"),
@@ -125,6 +132,11 @@ def _scored_postings(
             F.col("df_t").cast("double"),
             float(fs.doc_count),
             fs.avgdl,
+            cf_t=(
+                F.col("cf_t").cast("double")
+                if index.scoring.needs_cf
+                else None
+            ),
         ).alias("tscore"),
     )
     return scored

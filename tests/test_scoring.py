@@ -204,3 +204,121 @@ class TestDecayExpr:
             decay_expr(F.col("x"), 0.0)
         with pytest.raises(ValueError, match="decay"):
             decay_expr(F.col("x"), 1.0, decay=1.5)
+
+
+class TestLMSimilarities:
+    """LM-Dirichlet / LM-Jelinek-Mercer (Lucene LMDirichletSimilarity /
+    LMJelinekMercerSimilarity; the reference can configure any Lucene
+    Similarity — `LuceneConfig.scala:131-144`).
+
+    Tiny-corpus collection stats: total tokens = 9,
+    cf(a)=3, cf(b)=3, cf(c)=3; p(t|C) = (cf+1)/(9+1) = 0.4 for all.
+    """
+
+    @staticmethod
+    def _lmd(tf, dl, cf, tot=9.0, mu=2000.0):
+        p = (cf + 1.0) / (tot + 1.0)
+        s = math.log(1.0 + tf / (mu * p)) + math.log(mu / (dl + mu))
+        return max(s, 0.0)
+
+    @staticmethod
+    def _lmjm(tf, dl, cf, tot=9.0, lam=0.7):
+        p = (cf + 1.0) / (tot + 1.0)
+        return math.log(1.0 + ((1.0 - lam) * tf / dl) / (lam * p))
+
+    def _index(self, tiny_corpus, **scoring_kw):
+        from sparksearchengine_spark import Corpus, TextOptions
+        from sparksearchengine_spark.functions.scoring import ScoringConfig
+
+        return Corpus(
+            tiny_corpus, id_col="doc_id", text_cols={"text": TextOptions()}
+        ).build_index(scoring=ScoringConfig(**scoring_kw))
+
+    def test_lmd_values(self, tiny_corpus):
+        idx = self._index(tiny_corpus, similarity="lmd")
+        got = scores(idx, Q.field("text").match_term("a"))
+        assert got[1] == pytest.approx(self._lmd(tf=2, dl=3, cf=3), abs=1e-12)
+        assert got[2] == pytest.approx(self._lmd(tf=1, dl=2, cf=3), abs=1e-12)
+        idx.unpersist()
+
+    def test_lmd_multi_term_sums(self, tiny_corpus):
+        idx = self._index(tiny_corpus, similarity="lmd", mu=50.0)
+        got = scores(idx, Q.field("text").match_any("b", "c"))
+        assert got[3] == pytest.approx(
+            self._lmd(2, 4, 3, mu=50.0) + self._lmd(2, 4, 3, mu=50.0),
+            abs=1e-12,
+        )
+        idx.unpersist()
+
+    def test_lmjm_values(self, tiny_corpus):
+        idx = self._index(tiny_corpus, similarity="lmjm", lam=0.5)
+        got = scores(idx, Q.field("text").match_any("a", "c"))
+        assert got[2] == pytest.approx(
+            self._lmjm(1, 2, 3, lam=0.5) + self._lmjm(1, 2, 3, lam=0.5),
+            abs=1e-12,
+        )
+        idx.unpersist()
+
+    def test_lmd_clamps_negative_to_zero(self, spark):
+        # overwhelmingly common term + long doc: raw score is negative,
+        # Lucene clamps at 0 — so do we
+        from pyspark.sql import functions as F
+
+        from sparksearchengine_spark.functions.scoring import lmd_term_score
+
+        row = spark.range(1).select(
+            lmd_term_score(
+                F.lit(1.0), F.lit(100.0), F.lit(1e6), 1e6, mu=2000.0
+            ).alias("s")
+        ).collect()[0]
+        assert row["s"] == 0.0
+
+    def test_phrase_path_scores_with_lm(self, tiny_corpus):
+        # phrases compile through plans/compiler._scored_postings — the
+        # second cf_t join site
+        idx = self._index(tiny_corpus, similarity="lmjm")
+        got = scores(idx, Q.field("text").match_phrase("b a"))
+        assert set(got) == {1}
+        assert got[1] == pytest.approx(
+            self._lmjm(2, 3, 3) + self._lmjm(1, 3, 3), abs=1e-12
+        )
+        idx.unpersist()
+
+    def test_explain_matches_search_and_nulls_decomposition(
+        self, tiny_corpus
+    ):
+        idx = self._index(tiny_corpus, similarity="lmd", mu=50.0)
+        q = Q.field("text").match_any("a", "b")
+        hits = {r["doc_id"]: r["score"]
+                for r in idx.search(q, k=10).collect()}
+        rows = idx.explain(q).collect()
+        assert rows, "explain returned nothing"
+        for r in rows:
+            assert r["idf"] is None and r["tf_norm"] is None
+            assert r["score"] == pytest.approx(hits[r["doc_id"]], abs=1e-12)
+        idx.unpersist()
+
+    def test_save_load_keeps_lm_config(self, tiny_corpus, tmp_path):
+        from sparksearchengine_spark.operators.index import SearchIndex
+
+        idx = self._index(tiny_corpus, similarity="lmd", mu=123.0)
+        path = str(tmp_path / "lmidx")
+        idx.save(path, stored_cols=["text"])
+        loaded = SearchIndex.load(tiny_corpus.sparkSession, path)
+        assert loaded.scoring == idx.scoring
+        a = scores(idx, Q.field("text").match_term("a"))
+        b = scores(loaded, Q.field("text").match_term("a"))
+        assert a == b
+        idx.unpersist()
+        loaded.unpersist()
+
+    def test_needs_cf_raises_without_cf(self):
+        from pyspark.sql import functions as F
+
+        from sparksearchengine_spark.functions.scoring import ScoringConfig
+
+        cfg = ScoringConfig(similarity="lmd")
+        with pytest.raises(ValueError, match="cf_t"):
+            cfg.term_score(
+                F.lit(1.0), F.lit(1.0), F.lit(1.0), 1.0, 1.0
+            )
