@@ -3153,6 +3153,48 @@ def _search_lmjm(spark, sf):
     )
 
 
+SPELL_NQ = 25  # queries = docs 0..24 with >= 3 tokens
+SPELL_C = 5    # candidates per position
+import math as _math
+
+SPELL_EDITP = _math.log(0.05)
+
+
+def _spell_correct(spark, sf):
+    """Batch noisy-channel spelling correction (operators/spelling.py::
+    correct_queries — ES phrase-suggester / Lucene DirectSpellChecker
+    analog as a distributed Viterbi). Queries: the first 3 tokens of
+    each document (doc_id < SPELL_NQ, >= 3 tokens) with the middle
+    token mangled by an appended 'x' (one deterministic edit); the
+    corrector must undo it from vocabulary + bigram context."""
+    idx = _docs_index(spark, sf)
+    from sparksearchengine_spark.functions.analyzers import analyzer_expr
+    from sparksearchengine_spark.operators.spelling import correct_queries
+
+    docs = _read(spark, sf, "documents")
+    toks = analyzer_expr(F.col("text"), "simple")
+    qdf = (
+        docs.where(F.col("doc_id") < SPELL_NQ)
+        .select(F.col("doc_id").alias("query_id"), toks.alias("_t"))
+        .where(F.size("_t") >= 3)
+        .select(
+            "query_id",
+            F.concat_ws(
+                " ",
+                F.element_at("_t", 1),
+                F.concat(F.element_at("_t", 2), F.lit("x")),
+                F.element_at("_t", 3),
+            ).alias("qtext"),
+        )
+    )
+    out = correct_queries(
+        idx, qdf, max_dist=1, max_candidates=SPELL_C, k=1
+    )
+    return out.select(
+        "query_id", "corrected", "score", "n_edits", "changed"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver emits CORRECTNESS rows for the FIRST 50
     # keys only.  Slots 1-30 are pinned to the SURVEY §2.10 qc suite;
@@ -3342,6 +3384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- session-3 additions (r7 queue, selfcheck-green) --
         "search_lmd": _search_lmd,
         "search_lmjm": _search_lmjm,
+        "spell_correct": _spell_correct,
     }
 
 
@@ -7181,4 +7224,89 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         SELECT doc_id, round(s, 6) AS score,
                CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS BIGINT) AS rank
         FROM scored ORDER BY s DESC, doc_id LIMIT {QC10_K}"""
+
+    # spell correction: full noisy-channel enumeration over the 3-token
+    # queries (Viterbi == global argmax for additive scores, so the SQL
+    # path product reproduces the Spark recursion exactly). Every
+    # expression shape mirrors operators/spelling.py literal-for-literal;
+    # score addition order is the Viterbi's left-to-right fold.
+    o["spell_correct"] = _CTE + f"""
+        , collstats AS (SELECT term, sum(tf) AS cf FROM postings GROUP BY term),
+        q AS (
+          SELECT doc_id AS query_id,
+                 toks[1] AS t0, toks[2] || 'x' AS t1, toks[3] AS t2
+          FROM toks WHERE doc_id < {SPELL_NQ} AND len(toks) >= 3
+        ),
+        qt AS (
+          SELECT query_id, 0 AS pos, t0 AS tok FROM q
+          UNION ALL SELECT query_id, 1, t1 FROM q
+          UNION ALL SELECT query_id, 2, t2 FROM q
+        ),
+        cand0 AS (
+          SELECT qt.query_id, qt.pos, qt.tok, c.term,
+                 levenshtein(c.term, qt.tok) AS dist, c.cf
+          FROM qt JOIN collstats c
+            ON abs(length(c.term) - length(qt.tok)) <= 1
+           AND levenshtein(c.term, qt.tok) <= 1
+        ),
+        cand AS (
+          SELECT query_id, pos, term, dist, cf FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id, pos
+                      ORDER BY dist ASC, cf DESC, term ASC) AS cr
+            FROM cand0) WHERE cr <= {SPELL_C}
+        ),
+        missing AS (
+          SELECT qt.query_id, qt.pos, qt.tok AS term, 0 AS dist,
+                 CAST(NULL AS BIGINT) AS cf
+          FROM qt
+          WHERE NOT EXISTS (SELECT 1 FROM cand c
+                            WHERE c.query_id = qt.query_id
+                              AND c.pos = qt.pos)
+        ),
+        cands AS (
+          SELECT query_id, pos, term, dist,
+                 coalesce(cf / (f.n * f.avgdl),
+                          1.0 / (f.n * f.avgdl + 1.0)) AS p_uni
+          FROM (SELECT query_id, pos, term, dist, cf FROM cand
+                UNION ALL SELECT * FROM missing)
+          CROSS JOIN fieldstats f
+        ),
+        bi0 AS (
+          SELECT unnest(list_transform(range(1, len(toks)),
+                 i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS pr
+          FROM toks WHERE len(toks) >= 2
+        ),
+        bi AS (SELECT pr.w1 AS w1, pr.w2 AS w2 FROM bi0),
+        c12 AS (SELECT w1, w2, CAST(count(*) AS DOUBLE) AS c12
+                FROM bi GROUP BY w1, w2),
+        c1 AS (SELECT w1, CAST(count(*) AS DOUBLE) AS c1
+               FROM bi GROUP BY w1),
+        trans AS (SELECT c12.w1, c12.w2, ln(c12.c12 / c1.c1) AS lp
+                  FROM c12 JOIN c1 USING (w1)),
+        paths AS (
+          SELECT a.query_id,
+                 a.term || ' ' || b.term || ' ' || c.term AS path,
+                 ln(a.p_uni) + a.dist * ({SPELL_EDITP!r})
+                 + coalesce(tab.lp, ln(0.4 * b.p_uni))
+                 + b.dist * ({SPELL_EDITP!r})
+                 + coalesce(tbc.lp, ln(0.4 * c.p_uni))
+                 + c.dist * ({SPELL_EDITP!r}) AS s,
+                 a.dist + b.dist + c.dist AS n_edits
+          FROM cands a
+          JOIN cands b ON b.query_id = a.query_id AND b.pos = 1
+          JOIN cands c ON c.query_id = a.query_id AND c.pos = 2
+          LEFT JOIN trans tab ON tab.w1 = a.term AND tab.w2 = b.term
+          LEFT JOIN trans tbc ON tbc.w1 = b.term AND tbc.w2 = c.term
+          WHERE a.pos = 0
+        ),
+        best AS (
+          SELECT query_id, path, round(s, 6) AS score, n_edits,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY s DESC, path ASC) AS rn
+          FROM paths
+        )
+        SELECT b.query_id, b.path AS corrected, b.score,
+               CAST(b.n_edits AS BIGINT) AS n_edits,
+               (b.path <> (q.t0 || ' ' || q.t1 || ' ' || q.t2)) AS changed
+        FROM best b JOIN q USING (query_id) WHERE rn = 1"""
     return o

@@ -1,0 +1,165 @@
+"""Batch noisy-channel spelling correction (operators/spelling.py).
+
+Hand-checkable corpus: bigram context must pick different corrections
+for the same misspelled token ("ber" -> beer|bear) depending on the
+following word.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+EDITP = math.log(0.05)
+
+
+@pytest.fixture(scope="module")
+def spell_index(spark):
+    from sparksearchengine_spark import Corpus, TextOptions
+
+    docs = spark.createDataFrame(
+        [
+            (1, "beer mug beer mug beer mug"),
+            (2, "bear cub bear cub bear cub"),
+            (3, "green tea is great green tea"),
+            (4, "spark engine runs fast"),
+            (5, "the grain harvest was poor"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = Corpus(
+        docs,
+        id_col="doc_id",
+        text_cols={"text": TextOptions(analyzer="simple", positions=True)},
+    ).build_index()
+    yield idx
+    idx.unpersist()
+
+
+def _correct(idx, spark, pairs, **kw):
+    from sparksearchengine_spark.operators.spelling import correct_queries
+
+    qs = spark.createDataFrame(pairs, "query_id long, qtext string")
+    out = correct_queries(idx, qs, **kw)
+    rows = out.collect()
+    return {(r["query_id"], r["rank"]): r for r in rows}
+
+
+class TestCorrectQueries:
+    def test_bigram_context_disambiguates(self, spark, spell_index):
+        # same typo "ber", two different right answers by context
+        got = _correct(
+            spell_index,
+            spark,
+            [(1, "ber mug"), (2, "ber cub")],
+            max_dist=1,
+        )
+        assert got[(1, 1)]["corrected"] == "beer mug"
+        assert got[(2, 1)]["corrected"] == "bear cub"
+        assert got[(1, 1)]["n_edits"] == 1 and got[(1, 1)]["changed"]
+
+    def test_exact_query_unchanged(self, spark, spell_index):
+        got = _correct(spell_index, spark, [(1, "green tea")])
+        r = got[(1, 1)]
+        assert r["corrected"] == "green tea"
+        assert r["n_edits"] == 0 and not r["changed"]
+
+    def test_single_token_query(self, spark, spell_index):
+        got = _correct(spell_index, spark, [(1, "sparkk")])
+        assert got[(1, 1)]["corrected"] == "spark"
+
+    def test_oov_token_falls_back_to_itself(self, spark, spell_index):
+        got = _correct(spell_index, spark, [(1, "zzzqqq tea")])
+        r = got[(1, 1)]
+        assert r["corrected"] == "zzzqqq tea"
+        assert r["n_edits"] == 0 and not r["changed"]
+
+    def test_variable_lengths_one_batch(self, spark, spell_index):
+        got = _correct(
+            spell_index,
+            spark,
+            [(1, "sparkk"), (2, "ber mug"), (3, "green tea is grean")],
+        )
+        assert got[(1, 1)]["corrected"] == "spark"
+        assert got[(2, 1)]["corrected"] == "beer mug"
+        # "grean" is 1 edit from BOTH "green" and "great"; the corpus
+        # bigram (is, great) — doc 3 — decides it
+        assert got[(3, 1)]["corrected"] == "green tea is great"
+
+    def test_k_returns_ranked_alternatives(self, spark, spell_index):
+        got = _correct(
+            spell_index, spark, [(1, "ber")], k=3, max_candidates=8
+        )
+        ranks = sorted(r for (_q, r) in got)
+        assert ranks == list(range(1, len(ranks) + 1))
+        # both in-vocabulary dist-1 candidates surface
+        suggested = {got[(1, r)]["corrected"] for r in ranks}
+        assert {"beer", "bear"} <= suggested
+        scores = [got[(1, r)]["score"] for r in ranks]
+        assert scores == sorted(scores, reverse=True)
+
+    def test_viterbi_score_matches_hand_formula(self, spark, spell_index):
+        # "ber mug" -> beer mug: total tokens = 6+6+6+4+5 = 27,
+        # cf(beer)=3, p_uni=3/27; bigram c(beer,mug)=3, c(beer,*)=3
+        got = _correct(spell_index, spark, [(1, "ber mug")])
+        total = 27.0
+        expected = (
+            (math.log(3.0 / total) + 1 * EDITP)  # beer, dist 1
+            + math.log(3.0 / 3.0)  # p(mug|beer) = 1
+            + 0 * EDITP
+        )
+        assert got[(1, 1)]["score"] == pytest.approx(
+            round(expected, 6), abs=5e-7
+        )
+
+    def test_empty_and_zero_token_queries_drop(self, spark, spell_index):
+        got = _correct(
+            spell_index, spark, [(1, "...!!!"), (2, "green tea")]
+        )
+        assert set(q for (q, _r) in got) == {2}
+
+    def test_deterministic_across_runs(self, spark, spell_index):
+        a = _correct(spell_index, spark, [(1, "ber mug"), (2, "grean tea")])
+        b = _correct(spell_index, spark, [(1, "ber mug"), (2, "grean tea")])
+        assert {
+            k: (v["corrected"], v["score"]) for k, v in a.items()
+        } == {k: (v["corrected"], v["score"]) for k, v in b.items()}
+
+    def test_validation_errors(self, spark, spell_index):
+        from sparksearchengine_spark.operators.spelling import (
+            MAX_SPELL_POSITIONS,
+            correct_queries,
+        )
+
+        qs = spark.createDataFrame(
+            [(1, "a b")], "query_id long, qtext string"
+        )
+        with pytest.raises(ValueError, match="max_dist"):
+            correct_queries(spell_index, qs, max_dist=-1)
+        with pytest.raises(ValueError, match="k cannot exceed"):
+            correct_queries(spell_index, qs, k=9, max_candidates=8)
+        with pytest.raises(ValueError, match="edit_logp"):
+            correct_queries(spell_index, qs, edit_logp=0.5)
+        with pytest.raises(ValueError, match="backoff"):
+            correct_queries(spell_index, qs, backoff=1.5)
+        with pytest.raises(ValueError, match="not a searchable"):
+            correct_queries(spell_index, qs, field="nope")
+        long_q = spark.createDataFrame(
+            [(1, " ".join(["w"] * (MAX_SPELL_POSITIONS + 1)))],
+            "query_id long, qtext string",
+        )
+        with pytest.raises(ValueError, match="MAX_SPELL_POSITIONS"):
+            correct_queries(spell_index, long_q).collect()
+
+    def test_empty_query_frame(self, spark, spell_index):
+        from sparksearchengine_spark.operators.spelling import (
+            correct_queries,
+        )
+
+        qs = spark.createDataFrame([], "query_id long, qtext string")
+        out = correct_queries(spell_index, qs)
+        assert out.count() == 0
+        assert set(out.columns) == {
+            "query_id", "rank", "corrected", "score", "n_edits", "changed",
+        }
