@@ -865,6 +865,103 @@ def remove_boilerplate_lines(
     return out
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    keep_blank: bool = True,
+) -> DataFrame:
+    """Cross-document paragraph dedup, FIRST occurrence kept (the
+    Dolma / RefinedWeb paragraph-dedup step — the complement of
+    :func:`remove_boilerplate_lines`, which drops an over-threshold
+    line from EVERY document; here each duplicate paragraph survives in
+    exactly one place).
+
+    Paragraphs are blank-line-separated spans (``\\n{2,}``, CRLF
+    normalized). "First" is the smallest ``(id_col, position)`` — a
+    deterministic total order, so reruns keep the same copy. A
+    paragraph repeated WITHIN one document also keeps only its first
+    occurrence. Whitespace-only paragraphs are exempt by default
+    (``keep_blank``) — they carry layout, not content.
+
+    Returns the input columns with ``text_col`` rewritten (survivors
+    re-joined with ``\\n\\n``), plus ``n_paragraphs`` (original) and
+    ``n_removed``. NULL text passes through.
+
+    Scale shape: paragraphs are md5-hashed at the scan (raw paragraph
+    text shuffles only once, partitioned by doc for the rebuild); the
+    keep-first decision is ONE aggregation keyed on the 16-byte hash
+    computing ``min(struct(id, pos))`` plus one join back on the hash —
+    no window over the corpus, no broadcast assumption (the duplicate
+    set is unbounded), no driver state.
+    """
+    spark_cols = [c for c in df.columns]
+    paras = (
+        _widen(df)
+        .select(
+            F.col(id_col).alias("_bid"),
+            F.posexplode_outer(
+                F.split(
+                    F.regexp_replace(
+                        F.coalesce(F.col(text_col), F.lit("")),
+                        r"\r\n",
+                        "\n",
+                    ),
+                    r"\n{2,}",
+                )
+            ).alias("_pos", "_para"),
+        )
+        .withColumn("_ph", F.md5(F.col("_para")))
+    )
+    winners = paras.groupBy("_ph").agg(
+        F.min(F.struct("_bid", "_pos")).alias("_w")
+    )
+    kept = (
+        paras.join(winners, "_ph")
+        .where(
+            ((F.col("_w._bid") == F.col("_bid"))
+             & (F.col("_w._pos") == F.col("_pos")))
+            | (F.lit(keep_blank) & (F.trim(F.col("_para")) == ""))
+        )
+        .select("_bid", "_pos", "_para")
+    )
+    rebuilt = kept.groupBy("_bid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "_para"))),
+                lambda s: s["_para"],
+            ),
+            "\n\n",
+        ).alias("_new_text"),
+        F.count(F.lit(1)).alias("_n_kept"),
+    )
+    n_paras = F.size(
+        F.split(
+            F.regexp_replace(
+                F.coalesce(F.col(text_col), F.lit("")), r"\r\n", "\n"
+            ),
+            r"\n{2,}",
+        )
+    )
+    return (
+        df.withColumn("_n_paras", n_paras)
+        .join(rebuilt, F.col(id_col) == F.col("_bid"), "left")
+        .withColumn(
+            text_col,
+            F.when(
+                F.col(text_col).isNull(), F.lit(None).cast("string")
+            ).otherwise(F.coalesce(F.col("_new_text"), F.lit(""))),
+        )
+        .withColumn(
+            "n_removed",
+            (F.col("_n_paras") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("int"),
+        )
+        .withColumn("n_paragraphs", F.col("_n_paras").cast("int"))
+        .select(*spark_cols, "n_paragraphs", "n_removed")
+    )
+
+
 def token_ngram_windows(tokens: Column, n: int) -> Column:
     """ALL space-joined n-gram windows (with multiplicity, unlike
     ``token_ngrams``); docs shorter than n tokens yield their single
