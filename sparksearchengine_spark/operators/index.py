@@ -722,6 +722,31 @@ class SearchIndex:
             corpus_store=corpus_store,
         )
 
+    def register_cache(self, df: DataFrame) -> DataFrame:
+        """Register a persisted DataFrame derived from this index so
+        :meth:`unpersist` releases it — the public face of the
+        ``_phrase_caches`` list the phrase compiler uses internally.
+        Operators that persist intermediate frames tied to the index's
+        lifetime (phrase scans, spelling candidate/transition tables)
+        call this instead of reaching into private state. Returns ``df``
+        for chaining.
+        """
+        self._phrase_caches.append(df)
+        return df
+
+    def release_caches(self) -> None:
+        """Unpersist ONLY the registered derived caches (phrase scans,
+        spelling tables), leaving the index's own postings/termstats
+        persisted — for long-lived sessions that run many batch calls
+        against one index and want to free per-call blocks between them.
+        """
+        for df in self._phrase_caches:
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self._phrase_caches.clear()
+
     def unpersist(self) -> None:
         for df in (
             self.postings,

@@ -16,10 +16,12 @@ terms, so each step is a tiny join — never a path enumeration.
 
 Scale shape (the part that must survive 100 TB):
 
-* Candidate generation is ONE vocabulary scan: the distinct query
-  tokens broadcast against ``termstats`` with a length-window prefilter
-  before the O(len²) ``levenshtein`` — the same batched
-  term-dictionary pattern as ``batch_search_dsl``'s fuzzy terms. The
+* Candidate generation is ONE vocabulary scan: each distinct query
+  token explodes to its ``2*max_dist+1`` admissible candidate lengths
+  and broadcast-HASH-joins the vocabulary on ``length(term)`` before
+  the O(len²) ``levenshtein`` — the same length-bucket equi-join as
+  ``dedup.py::edit_similarity_join`` (a non-equi length window would
+  plan a BroadcastNestedLoopJoin: |vocab| × |tokens| comparisons). The
   corpus/postings never participate.
 * The bigram transition table is built from ONE corpus scan and
   immediately semi-joined down to candidate terms on both sides —
@@ -132,12 +134,20 @@ def correct_queries(
     maxpos_row = qlen.agg(F.max("_n").alias("m")).collect()
     maxpos = int(maxpos_row[0]["m"]) if maxpos_row and maxpos_row[0]["m"] is not None else 0
     if maxpos == 0:
-        spark = queries_df.sparkSession
-        return spark.createDataFrame(
-            [],
-            "query_id long, rank long, corrected string, score double, "
-            "n_edits long, changed boolean",
-        ).withColumnRenamed("query_id", query_id_col)
+        # empty frame with the CALLER's query-id type (string ids must
+        # round-trip the same schema as the non-empty path)
+        return (
+            queries_df.select(F.col(query_id_col))
+            .limit(0)
+            .select(
+                query_id_col,
+                F.lit(None).cast("long").alias("rank"),
+                F.lit(None).cast("string").alias("corrected"),
+                F.lit(None).cast("double").alias("score"),
+                F.lit(None).cast("long").alias("n_edits"),
+                F.lit(None).cast("boolean").alias("changed"),
+            )
+        )
     if maxpos > MAX_SPELL_POSITIONS:
         raise ValueError(
             f"a query analyzed to {maxpos} tokens — above "
@@ -153,14 +163,30 @@ def correct_queries(
         )
 
     # -- candidate generation: ONE vocabulary scan ------------------------
-    # cf_t doubles as the unigram numerator and the candidate ranking key
+    # cf_t doubles as the unigram numerator and the candidate ranking key.
+    # Equi-join on a LENGTH key, not a |len(term)-len(tok)|<=d window:
+    # each distinct token explodes into its 2*max_dist+1 admissible
+    # candidate lengths, so Spark plans a broadcast HASH join against the
+    # vocabulary (a non-equi length window would execute as
+    # BroadcastNestedLoopJoin — |vocab| x |tokens| comparisons; at a
+    # 100 TB corpus vocabulary that's the whole job). Same result set:
+    # levenshtein(a,b) <= d implies |len(a)-len(b)| <= d.
     vocab = index.collection_stats(field)
-    cand0 = (
-        vocab.join(
-            F.broadcast(dtoks),
-            F.abs(F.length(F.col("term")) - F.length(F.col("_tok")))
-            <= max_dist,
+    tok_lens = F.broadcast(
+        dtoks.select(
+            "_tok",
+            F.explode(
+                F.sequence(
+                    F.greatest(
+                        F.length("_tok") - max_dist, F.lit(1)
+                    ),
+                    F.length("_tok") + max_dist,
+                )
+            ).alias("_tlen"),
         )
+    )
+    cand0 = (
+        vocab.join(tok_lens, F.length(F.col("term")) == F.col("_tlen"))
         .withColumn("_dist", F.levenshtein(F.col("term"), F.col("_tok")))
         .where(F.col("_dist") <= max_dist)
         .select("_tok", "term", "_dist", "cf_t")
@@ -198,10 +224,9 @@ def correct_queries(
         .join(qlen, "_qid")
         .persist()
     )
-    # register with the index's cache-release list so unpersist() frees
-    # them (the _phrase_caches pattern — no leaked blocks in a
-    # long-lived session)
-    index._phrase_caches.append(cands)
+    # register so index.unpersist()/release_caches() frees the block —
+    # no leaked cached frames in a long-lived session
+    index.register_cache(cands)
 
     # -- bigram transitions, pruned to candidate terms --------------------
     # one corpus scan; c1 (the conditional's denominator) is counted over
@@ -240,7 +265,7 @@ def correct_queries(
         .select("w1", "w2", F.log(F.col("_c12") / F.col("_c1")).alias("_lp_big"))
         .persist()
     )
-    index._phrase_caches.append(trans)
+    index.register_cache(trans)
 
     # -- distributed Viterbi ----------------------------------------------
     state = cands.where(F.col("_pos") == 0).select(
@@ -296,6 +321,12 @@ def correct_queries(
                 (F.col("_edits") + F.col("_ndist").cast("long")).alias("_edits"),
             )
         )
+        # cut the lineage every few steps: at maxpos=16 the chained
+        # join+window tree otherwise deepens past what the optimizer
+        # re-plans cheaply (state is tiny — <= |queries| * candidates
+        # rows — so materializing it is the cheap side of the trade)
+        if i % 4 == 0 and i < maxpos - 1:
+            state = state.localCheckpoint(eager=True)
     finals.append(state)
     allf = finals[0]
     for f_ in finals[1:]:

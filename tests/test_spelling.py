@@ -163,3 +163,79 @@ class TestCorrectQueries:
         assert set(out.columns) == {
             "query_id", "rank", "corrected", "score", "n_edits", "changed",
         }
+
+    def test_empty_frame_preserves_id_type(self, spark, spell_index):
+        # string query ids: the zero-token early return must carry the
+        # SAME schema as the non-empty path (unions/checks downstream)
+        from sparksearchengine_spark.operators.spelling import (
+            correct_queries,
+        )
+
+        empty = correct_queries(
+            spell_index,
+            spark.createDataFrame([], "query_id string, qtext string"),
+        )
+        full = correct_queries(
+            spell_index,
+            spark.createDataFrame(
+                [("a", "ber mug")], "query_id string, qtext string"
+            ),
+        )
+        assert [f.dataType for f in empty.schema.fields] == [
+            f.dataType for f in full.schema.fields
+        ]
+        assert empty.columns == full.columns
+        # and they union cleanly
+        assert full.unionByName(empty).count() == 1
+
+    def test_candidate_join_is_hash_not_nested_loop(self, spark, spell_index):
+        # the vocabulary x query-token candidate join must be a length-
+        # bucket equi-join (BroadcastHashJoin), never the non-equi
+        # length-window BroadcastNestedLoopJoin: |vocab| x |tokens|
+        # comparisons is the 100x-scale killer
+        from sparksearchengine_spark.operators.spelling import (
+            correct_queries,
+        )
+
+        qs = spark.createDataFrame(
+            [(1, "ber mug")], "query_id long, qtext string"
+        )
+        out = correct_queries(spell_index, qs)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_caches_release_via_public_api(self, spark, spell_index):
+        # correct_queries registers its persisted candidate/transition
+        # frames through SearchIndex.register_cache; release_caches()
+        # frees them without touching postings/termstats
+        from sparksearchengine_spark.operators.spelling import (
+            correct_queries,
+        )
+
+        before = len(spell_index._phrase_caches)
+        qs = spark.createDataFrame(
+            [(1, "ber mug")], "query_id long, qtext string"
+        )
+        correct_queries(spell_index, qs).collect()
+        assert len(spell_index._phrase_caches) == before + 2
+        registered = spell_index._phrase_caches[-2:]
+        spell_index.release_caches()
+        assert spell_index._phrase_caches == []
+        for df in registered:
+            assert df.storageLevel.useMemory is False
+        # index's own frames stay persisted
+        assert spell_index.postings.storageLevel.useMemory
+
+    def test_long_query_checkpointed_viterbi(self, spark, spell_index):
+        # >4 positions crosses the lineage-checkpoint boundary; results
+        # must be identical in shape and exactness
+        got = _correct(
+            spell_index,
+            spark,
+            [(1, "the grain harvest was poor green tea is great")],
+        )
+        r = got[(1, 1)]
+        assert r["corrected"] == "the grain harvest was poor green tea is great"
+        assert r["n_edits"] == 0 and not r["changed"]
