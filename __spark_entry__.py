@@ -2704,6 +2704,93 @@ def _query_join_filters(spark, sf):
     )
 
 
+QJD_LO2, QJD_HI2 = 100, 200
+
+
+def _query_join_dsl(spark, sf):
+    """Fully general E7 (operators/joindsl.py::query_join_dsl, r7;
+    reference `SearchableRDD.scala:259-269` queryGenerator: U =>
+    DslQuery): each row of `other` carries its OWN serialized query
+    tree (plans/serde.py), shape-grouped EXECUTOR-side — six rows with
+    structurally different queries (term, phrase, filtered matchAll,
+    boolean-with-negation, same-filter-signature-different-values, and
+    a wildcard) run in one call. The oracle recomputes each row's
+    query independently in SQL and applies the same per-row rank
+    window."""
+    from sparksearchengine_spark.plans.serde import query_to_json
+
+    idx = _docs_index(spark, sf)
+    f = Q.field("text")
+    queries = [
+        (1, f.match_term(QC06_TERM)),
+        (2, f.match_phrase(f"{QC09_W1} {QC09_W2}")),
+        (
+            3,
+            f.match_all(*QC10_TERMS)
+            & F_.ge("n_chars", QC28_LO)
+            & F_.lt("n_chars", QC28_HI),
+        ),
+        (4, f.match_term(QC08_T1) & ~f.match_term(QC08_T2)),
+        (
+            5,
+            f.match_term(QC06_TERM)
+            & F_.ge("n_chars", QJD_LO2)
+            & F_.lt("n_chars", QJD_HI2),
+        ),
+        (6, f.match_wildcard("du*")),
+    ]
+    qdf = spark.createDataFrame(
+        [(i, query_to_json(q)) for i, q in queries],
+        "query_id long, qjson string",
+    )
+    res = idx.query_join_dsl(
+        qdf, "qjson", k=BDSL_K, other_id_col="query_id"
+    )
+    return (
+        res.where(F.col("match_doc_id").isNotNull())
+        .select(
+            "query_id",
+            F.col("match_doc_id").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+def _dedup_paragraphs(spark, sf):
+    """Dolma-style cross-document paragraph dedup (operators/dedup.py::
+    dedup_paragraphs, r6): first occurrence (min (doc, pos)) of each
+    paragraph survives, whitespace-only paragraphs exempt, NULL text
+    passes through. The documents table is single-paragraph, so the
+    entry synthesizes a deterministic 3-paragraph layout per doc — a
+    text prefix, a bucket-shared middle paragraph ('shared <id%7>',
+    blank every 11th doc, the whole text NULL every 97th), and the
+    SAME prefix again (within-doc dup). The oracle replays winner
+    selection (min bid*2^32+pos per md5) and the ordered rebuild."""
+    from sparksearchengine_spark.operators.dedup import dedup_paragraphs
+
+    docs = _read(spark, sf, "documents")
+    sep = "\n\n"
+    p1 = F.substring("text", 1, 40)
+    p2 = F.when(F.col("doc_id") % 11 == 0, F.lit(" ")).otherwise(
+        F.concat(F.lit("shared "), (F.col("doc_id") % 7).cast("string"))
+    )
+    src = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat_ws(sep, p1, p2, p1))
+        .alias("text"),
+    )
+    out = dedup_paragraphs(src, id_col="doc_id", text_col="text")
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        "n_paragraphs",
+        "n_removed",
+    ).orderBy("doc_id")
+
+
 def _percolate_dsl(spark, sf):
     """Full-DSL percolation (operators/search.py::percolate_dsl, r6):
     which standing queries fire for which docs — ALL (query_id,
@@ -3199,20 +3286,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver emits CORRECTNESS rows for the FIRST 50
     # keys only.  Slots 1-30 are pinned to the SURVEY §2.10 qc suite;
     # slots 31-50 rotate each round over entries that have never had a
-    # driver row.  r6 rotation = the 18 r5-built entries that missed the
-    # r5 cutoff (VERDICT r5 "What's wrong" #2) plus the two NEW r6
-    # entries batch_dsl_mixed / query_join_filters (new code outranks
-    # backlog for a slot).  Every rotated entry is selfcheck-green under
-    # the driver-mirroring canon.  The r5 rotation rows (table_profile
-    # ... decontam_bloom, all green in CORRECTNESS_r05) move past the
-    # cutoff.  Remaining r7 queue (~27): doc_winnow / lang_id /
-    # mm_image_features (their only driver rows predate their oracles —
-    # r1 `no_oracle`; they did NOT get r6 slots), batch_mixed_analyzer
-    # (new r6 code at the dict tail), the 10-entry older backlog
-    # (chunk_docs, curation_report, collocations_pmi, doc_keywords,
-    # more_like_this, pack_chunks, sample_per_group, clean_text,
-    # emb_quantize, doc_fingerprint) + entries ~104-122 never yet
-    # rotated.
+    # driver row.  r7 rotation (VERDICT r6 "Next round" #1 — registry
+    # FROZEN this round except query_join_dsl and dedup_paragraphs,
+    # both verdict-named): query_join_dsl (NEW r7 code, new-code-first),
+    # then doc_winnow / lang_id / mm_image_features (their only driver
+    # rows predate their oracles — r1 `no_oracle`), then the r6-built
+    # backlog in the order written last round, ending with spell_correct
+    # (its candidate join changed this round — the driver row verifies
+    # the BNLJ->hash-join fix).  Every rotated entry is selfcheck-green
+    # under the driver-mirroring canon (`selfcheck.py --queue`).  The
+    # r6 rotation rows (search_eval ... query_join_filters, all green
+    # in CORRECTNESS_r06) move past the cutoff.  Remaining r8 queue:
+    # search_lmd, search_lmjm (r6 code, yielded slots to older waiters),
+    # dedup_paragraphs (NEW r7 entry for the r6 operator), and the
+    # 10-entry older backlog (chunk_docs ... doc_fingerprint) + the
+    # never-rotated tail.
     return {
         "qc01_filter_eq": _qc01,
         "qc02_filter_cmp": _qc02,
@@ -3244,8 +3332,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc28_exclusive_range": _qc28,
         "qc29_escaped_term": _qc29,
         "qc30_regex_term": _qc30,
-        # --- slots 31-48: r6 rotation — the 18 r5-built entries that
-        # missed the r5 cutoff (new-code-first; all selfcheck-green) ---
+        # --- slots 31-50: r7 rotation (see ordering contract above) ---
+        "query_join_dsl": _query_join_dsl,
+        "doc_winnow": _doc_winnow,
+        "lang_id": _lang_id,
+        "mm_image_features": _mm_image_features,
+        "batch_mixed_analyzer": _batch_mixed_analyzer,
+        "percolate_dsl": _percolate_dsl,
+        "search_after_page": _search_after_page,
+        "text_ppl_buckets": _text_ppl_buckets,
+        "search_explain": _search_explain,
+        "search_rescore": _search_rescore,
+        "batch_dsl_per_k": _batch_dsl_per_k,
+        "search_facet_metrics": _search_facet_metrics,
+        "text_entropy": _text_entropy,
+        "text_dedup_lines": _text_dedup_lines,
+        "text_compress_ratio": _text_compress_ratio,
+        "search_multi_match": _search_multi_match,
+        "mixture_temperature": _mixture_temperature,
+        "batch_dsl_multiterm": _batch_dsl_multiterm,
+        "text_dict_tag": _text_dict_tag,
+        "spell_correct": _spell_correct,
+        # --- past the 50-row cutoff: green in CORRECTNESS_r01-r06,
+        # or queued for r8 ---
         "search_eval": _search_eval,
         "search_eval_summary": _search_eval_summary,
         "index_upsert": _index_upsert,
@@ -3264,15 +3373,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_mlt_text": _search_mlt_text,
         "search_synonyms": _search_synonyms,
         "dedup_edit_join": _dedup_edit_join,
-        # --- slots 49-50: NEW r6 code (new-code-first; doc_winnow and
-        # lang_id, the r1-era no_oracle re-checks, yield their slots to
-        # the r7 queue) ---
         "batch_dsl_mixed": _batch_dsl_mixed,
         "query_join_filters": _query_join_filters,
-        # --- past the 50-row cutoff: green in CORRECTNESS_r01-r05,
-        # or queued for r7 ---
-        "doc_winnow": _doc_winnow,
-        "lang_id": _lang_id,
         "table_profile": _table_profile,
         "table_profile_grouped": _table_profile_grouped,
         "events_props": _events_props,
@@ -3334,9 +3436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_quality": _unigram_quality,
         "export_shard_assign": _export_shard_assign,
         "dedup_cross_ngram": _dedup_cross_ngram,
-        "mm_image_features": _mm_image_features,
-        # --- rotation backlog: queue for the r6 slots (all selfcheck-
-        # green under the driver-mirroring canon as of r5) ---
+        # --- rotation backlog: queue for the r8 slots (all selfcheck-
+        # green under the driver-mirroring canon) ---
         "chunk_docs": _chunk_docs,
         "curation_report": _curation_report,
         "collocations_pmi": _collocations,
@@ -3365,26 +3466,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_grouped": _search_grouped,
         "bigram_quality": _bigram_quality,
         "url_domain_block": _url_domain_block,
-        # -- NEW r6 code past the cutoff: queued for the r7 rotation --
-        "batch_mixed_analyzer": _batch_mixed_analyzer,
-        "percolate_dsl": _percolate_dsl,
-        "search_after_page": _search_after_page,
-        "text_ppl_buckets": _text_ppl_buckets,
-        "search_explain": _search_explain,
-        "search_rescore": _search_rescore,
-        "batch_dsl_per_k": _batch_dsl_per_k,
-        "search_facet_metrics": _search_facet_metrics,
-        "text_entropy": _text_entropy,
-        "text_dedup_lines": _text_dedup_lines,
-        "text_compress_ratio": _text_compress_ratio,
-        "search_multi_match": _search_multi_match,
-        "mixture_temperature": _mixture_temperature,
-        "batch_dsl_multiterm": _batch_dsl_multiterm,
-        "text_dict_tag": _text_dict_tag,
-        # -- session-3 additions (r7 queue, selfcheck-green) --
+        # -- r8 queue: r6 code that yielded its slot to older waiters,
+        # plus the NEW r7 entry for the r6 paragraph-dedup operator --
         "search_lmd": _search_lmd,
         "search_lmjm": _search_lmjm,
-        "spell_correct": _spell_correct,
+        "dedup_paragraphs": _dedup_paragraphs,
     }
 
 
@@ -6919,6 +7005,135 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         f"WHERE rank <= CASE query_id {_case} ELSE {BDSL_K} END",
         1,
     )
+    # query_join_dsl: six structurally different per-row queries — each
+    # recomputed independently (same CTE scaffolding as batch_dsl_mixed;
+    # rows 3 and 5 share a filter signature with different values, row 6
+    # is the constant-score wildcard expansion)
+    o["query_join_dsl"] = _CTE + f"""
+        , j1 AS (
+          SELECT doc_id, sum({_bdsl_bm}) AS s
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          WHERE p.term = '{QC06_TERM}' GROUP BY doc_id
+        ),
+        jph AS (
+          SELECT doc_id FROM toks
+          WHERE list_contains(
+            list_transform(range(1, len(toks)),
+                           i -> toks[i] || ' ' || toks[i+1]),
+            '{QC09_W1} {QC09_W2}')
+        ),
+        j2 AS (
+          SELECT p.doc_id, sum({_bdsl_bm}) AS s
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          JOIN jph ON jph.doc_id = p.doc_id
+          WHERE p.term IN ('{QC09_W1}','{QC09_W2}') GROUP BY p.doc_id
+        ),
+        j3a AS (
+          SELECT doc_id, sum({_bdsl_bm}) AS s
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          WHERE p.term IN ({_q10_in}) GROUP BY doc_id
+          HAVING count(*) >= {len(QC10_TERMS)}
+        ),
+        j3 AS (
+          SELECT j3a.doc_id, j3a.s
+          FROM j3a JOIN documents d USING (doc_id)
+          WHERE d.n_chars >= {QC28_LO} AND d.n_chars < {QC28_HI}
+        ),
+        j4 AS (
+          SELECT doc_id, sum({_bdsl_bm}) AS s
+          FROM postings p JOIN termstats t USING (term)
+          CROSS JOIN fieldstats f
+          WHERE p.term = '{QC08_T1}'
+            AND doc_id NOT IN
+                (SELECT doc_id FROM postings WHERE term = '{QC08_T2}')
+          GROUP BY doc_id
+        ),
+        j5 AS (
+          SELECT j1.doc_id, j1.s
+          FROM j1 JOIN documents d USING (doc_id)
+          WHERE d.n_chars >= {QJD_LO2} AND d.n_chars < {QJD_HI2}
+        ),
+        j6 AS (
+          SELECT DISTINCT doc_id, 1.0 AS s
+          FROM postings WHERE term LIKE 'du%'
+        ),
+        ju AS (
+          SELECT CAST(1 AS BIGINT) AS query_id, doc_id, s FROM j1
+          UNION ALL SELECT 2, doc_id, s FROM j2
+          UNION ALL SELECT 3, doc_id, s FROM j3
+          UNION ALL SELECT 4, doc_id, s FROM j4
+          UNION ALL SELECT 5, doc_id, s FROM j5
+          UNION ALL SELECT 6, doc_id, s FROM j6
+        ),
+        jr AS (
+          SELECT query_id, doc_id, round(s, 6) AS score,
+                 CAST(row_number() OVER
+                      (PARTITION BY query_id
+                       ORDER BY s DESC, doc_id) AS BIGINT) AS rank
+          FROM ju
+        )
+        SELECT * FROM jr WHERE rank <= {BDSL_K}
+        ORDER BY query_id, rank"""
+    # dedup_paragraphs: replay the synthetic 3-paragraph layout, the
+    # min(bid, pos) winner per paragraph md5 (keyed bid*2^32+pos — pos
+    # is bounded far below 2^32), the whitespace exemption, and the
+    # ordered rebuild; NULL text passes through (md5(NULL) IS NULL on
+    # both engines)
+    o["dedup_paragraphs"] = """
+        WITH src AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 97 = 0 THEN NULL
+                      ELSE substr(text, 1, 40)
+                           || chr(10) || chr(10)
+                           || CASE WHEN doc_id % 11 = 0 THEN ' '
+                                   ELSE 'shared ' || CAST(doc_id % 7 AS VARCHAR)
+                              END
+                           || chr(10) || chr(10)
+                           || substr(text, 1, 40)
+                 END AS text
+          FROM documents
+        ),
+        lists AS (
+          SELECT doc_id,
+                 string_split_regex(
+                   regexp_replace(coalesce(text, ''),
+                                  chr(13) || chr(10), chr(10), 'g'),
+                   chr(10) || '{2,}') AS ps
+          FROM src
+        ),
+        paras AS (
+          SELECT doc_id AS _bid, i - 1 AS _pos, ps[i] AS _para,
+                 md5(ps[i]) AS _ph
+          FROM lists, LATERAL unnest(range(1, len(ps) + 1)) AS r(i)
+        ),
+        winners AS (
+          SELECT _ph, min(_bid * 4294967296 + _pos) AS wk
+          FROM paras GROUP BY _ph
+        ),
+        kept AS (
+          SELECT p._bid, p._pos, p._para
+          FROM paras p JOIN winners w ON p._ph = w._ph
+          WHERE p._bid * 4294967296 + p._pos = w.wk
+             OR trim(p._para) = ''
+        ),
+        rebuilt AS (
+          SELECT _bid,
+                 string_agg(_para, chr(10) || chr(10) ORDER BY _pos) AS nt,
+                 count(*) AS nk
+          FROM kept GROUP BY _bid
+        )
+        SELECT s.doc_id,
+               md5(CASE WHEN s.text IS NULL THEN NULL
+                        ELSE coalesce(r.nt, '') END) AS text_md5,
+               CAST(len(l.ps) AS INT) AS n_paragraphs,
+               CAST(len(l.ps) - coalesce(r.nk, 0) AS INT) AS n_removed
+        FROM src s
+        JOIN lists l USING (doc_id)
+        LEFT JOIN rebuilt r ON r._bid = s.doc_id
+        ORDER BY s.doc_id"""
     # term vector: the _CTE postings filtered to one doc
     o["term_vector"] = _CTE + f"""
         SELECT 'text' AS field, term, CAST(tf AS BIGINT) AS tf,

@@ -512,6 +512,53 @@ def main() -> None:
             rescore_weight=2.0,
         ).count()
 
+    # 18. fully general query join (first benched in round 7): 2,000
+    # rows each carrying their OWN serialized query tree — mostly
+    # data-tier shapes (terms / phrases / filtered) plus two repeated
+    # general shapes sharing compiled plans. Executor-side shape
+    # grouping: driver sees only distinct signatures/canons.
+    with timed("query_join_dsl"):
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+        from sparksearchengine_spark.plans.ast import F_ as _F
+        from sparksearchengine_spark.plans.serde import query_to_json
+
+        f18 = Q.field("text")
+        shapes = []
+        for i in range(2000):
+            t1, t2 = toks16[i % 24], toks16[(i + 5) % 24]
+            m = i % 5
+            if m == 0:
+                q = f18.match_term(t1)
+            elif m == 1:
+                q = f18.match_any(t1, t2)
+            elif m == 2:
+                q = f18.match_phrase(f"{t1} {t2}")
+            elif m == 3:
+                q = f18.match_term(t1) & _F.ge("n_chars", 100 + (i % 7) * 50)
+            else:
+                # general tier: 4 DISTINCT canons across 400 rows — the
+                # realistic registry shape (many rows, few plans); a
+                # canon-per-row stress test belongs in pytest, not the
+                # headline suite
+                ga, gb = toks16[i % 4], toks16[(i % 4) + 6]
+                q = f18.match_term(ga) & ~f18.match_term(gb)
+            shapes.append((i, query_to_json(q)))
+        qdf18 = spark.createDataFrame(shapes, "rid long, qjson string")
+        query_join_dsl(idx, qdf18, "qjson", k=5, other_id_col="rid").count()
+
+    # 19. cross-doc paragraph dedup (first benched in round 7): the
+    # Dolma paragraph step over synthesized 3-paragraph docs — one
+    # hash agg + one hash join on the md5, no corpus window.
+    with timed("dedup_paragraphs"):
+        from sparksearchengine_spark.operators.dedup import dedup_paragraphs
+
+        p1 = F.substring("text", 1, 60)
+        p2 = F.concat(F.lit("shared "), (F.col("doc_id") % 50).cast("string"))
+        src19 = docs.select(
+            "doc_id", F.concat_ws("\n\n", p1, p2, p1).alias("text")
+        )
+        dedup_paragraphs(src19).count()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -21,6 +21,12 @@ Queries without an oracle get a rows-only check (>= 0 rows, stable
 schema).
 
 Usage: python3 selfcheck.py [sf_dir] [query_name ...]
+       python3 selfcheck.py --queue [sf_dir]
+
+``--queue`` runs exactly the CURRENT ROTATION QUEUE — registry slots
+31-50, the entries the next driver run will check for the first time —
+so pre-driver validation of the rotation is one command and its green
+list can land in COVERAGE verbatim (VERDICT r6 #8).
 """
 
 from __future__ import annotations
@@ -95,8 +101,12 @@ def _complex_cols(sdf):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    queue_mode = "--queue" in args
+    if queue_mode:
+        args = [a for a in args if a != "--queue"]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from pyspark.sql import SparkSession
 
@@ -118,6 +128,11 @@ def main() -> int:
     import __spark_entry__ as entry
 
     qs = entry.queries()
+    if queue_mode:
+        # the rotation queue = registry slots 31-50 (slots 1-30 are the
+        # pinned qc suite; the driver checks the first 50 keys)
+        only = set(list(qs)[30:50])
+        print(f"rotation queue ({len(only)}): {sorted(only)}\n")
     oracles = entry.oracle_sql()
     n_pass = n_fail = 0
     for name, fn in qs.items():

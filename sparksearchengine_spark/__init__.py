@@ -30,6 +30,7 @@ from sparksearchengine_spark.functions.analyzers import (
     tokenize_py,
 )
 from sparksearchengine_spark.plans.ast import F_, Q, Query
+from sparksearchengine_spark.plans.serde import query_from_json, query_to_json
 from sparksearchengine_spark.operators.index import (
     Corpus,
     SearchIndex,
@@ -50,6 +51,8 @@ __all__ = [
     "tokenize_py",
     "merge_indexes",
     "upsert_index",
+    "query_from_json",
+    "query_to_json",
 ]
 
 __version__ = "0.4.0"

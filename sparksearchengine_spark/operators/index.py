@@ -409,6 +409,11 @@ class SearchIndex:
 
         return query_join(self, other, text_col=text_col, field=field, k=k, **kw)
 
+    def query_join_dsl(self, other: DataFrame, query_col: str, k: int = 10, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+
+        return query_join_dsl(self, other, query_col, k=k, **kw)
+
     def get_element(self, doc_id):  # type: ignore[no-untyped-def]
         from sparksearchengine_spark.operators.search import get_element
 

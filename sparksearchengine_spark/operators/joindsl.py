@@ -1,0 +1,669 @@
+"""E7 fully general — ``query_join_dsl``: per-row query ASTs as a COLUMN.
+
+The reference's ``queryJoin(other, queryGenerator: U => DslQuery, k)``
+(`SearchableRDD.scala:259-269`) accepts an arbitrary function producing a
+STRUCTURALLY DIFFERENT query per row of ``other``. `search.query_join`
+covers the dominant shape (analyzed text + per-row attribute filters as
+data); this module closes the rest: each row of ``other`` carries its
+whole query tree, serialized by `plans.serde.query_to_json`, and the
+executor shape-groups the trees exactly like `batch_search_dsl` groups a
+driver-side list — except the grouping happens ON THE CLUSTER, so a
+100 M-row ``other`` never ships its queries to the driver.
+
+Execution tiers (same families as `search._dsl_scored_union`):
+
+* **weighted-term shapes** (matchTerm / matchAll / matchAny / matchMin /
+  matchText / Boost / Or-of-those) — normalized per row by an Arrow
+  pandas UDF running the SAME `weighted_terms_cfg` logic the batch
+  executor uses, then ONE join of the exploded (query_id, field, term,
+  weight) rows against the cached scored postings + a min_match count
+  filter. Unbounded rows, zero driver involvement.
+* **And(term-class, simple filters)** — the term rows ride the shared
+  plan above; filters group by STRUCTURAL SIGNATURE (field/op/value
+  class, value abstracted into data columns). Only the ≤ ``max_plans``
+  DISTINCT signatures reach the driver; per-row comparison VALUES stay
+  a column. Numeric values compare as double (exact for |v| < 2^53),
+  string values in their natural type; other value types (bool, date,
+  Decimal, in-set) route to the compiled tier.
+* **phrases (exact + sloppy)** — per-row tokenization in the UDF emits
+  (qpos, term) rows + the span bound as data; the shared
+  positions-carrying postings join and the greedy-chain verifier are
+  `search._phrase_verify_branch` — the same physical plan as the batch
+  path. Unbounded rows. (Term-bucket pruning needs driver-known terms,
+  so this scan is bucket-unpruned — the one delta vs the driver-listed
+  path.)
+* **multi-term (wildcard / regex / fuzzy)** — DISTINCT patterns (probed
+  ≤ ``max_patterns``, loud error beyond) intersect the vocabulary in
+  ONE scan, then fan matched terms back to query rows by pattern key.
+* **everything else** (Not, nested booleans, near, in-set filters, raw)
+  — grouped by the CANONICAL serialized form: N rows carrying equal
+  trees share one compiled plan, attached back by one join on the
+  canon string. Only ≤ ``max_plans`` distinct canons may exist (loud
+  error: restructure toward the data tiers or batch driver-side).
+
+Scores are identical to `batch_search_dsl` / `search` for every tier
+(same cached per-posting floats, same fold shapes).
+
+Reference parity: `SearchableRDD.scala:259-269` (queryJoin with
+queryGenerator), `PartitionsIndexLuceneRDD.scala:273` (the cartesian
+this design avoids).
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from sparksearchengine_spark.operators.search import (
+    DOC_ID,
+    SCORE,
+    _DSL_FILTER_OPS,
+    _hint_query_side,
+    _phrase_verify_branch,
+    topk_per_group,
+    weighted_terms_cfg,
+)
+
+if TYPE_CHECKING:
+    from sparksearchengine_spark.operators.index import SearchIndex
+
+__all__ = ["query_join_dsl"]
+
+# distinct wildcard/regex/fuzzy patterns allowed per call: each pattern
+# evaluates against every vocabulary term in the one shared scan, so the
+# scan cost is |vocab| x |patterns| predicate evaluations
+MAX_DISTINCT_PATTERNS = 10_000
+
+_NORM_SCHEMA = (
+    "shape string, err string,"
+    " terms array<struct<field:string,term:string,w:double>>,"
+    " min_match int,"
+    " ph_field string, ph_terms array<string>, ph_n int, ph_maxspan int,"
+    " mt_field string, mt_kind string, mt_pat string, mt_edits int,"
+    " fsig string,"
+    " fvals array<struct<v_num:double,v_str:string,lo_num:double,"
+    "hi_num:double,lo_str:string,hi_str:string>>,"
+    " canon string"
+)
+
+_EMPTY_NORM = {
+    "shape": None,
+    "err": None,
+    "terms": None,
+    "min_match": None,
+    "ph_field": None,
+    "ph_terms": None,
+    "ph_n": None,
+    "ph_maxspan": None,
+    "mt_field": None,
+    "mt_kind": None,
+    "mt_pat": None,
+    "mt_edits": None,
+    "fsig": None,
+    "fvals": None,
+    "canon": None,
+}
+
+_NOVAL = {
+    "v_num": None,
+    "v_str": None,
+    "lo_num": None,
+    "hi_num": None,
+    "lo_str": None,
+    "hi_str": None,
+}
+
+
+def _num(v) -> bool:
+    # bool is an int subclass — a boolean value must NOT ride the
+    # numeric compare path (True == 1 would change semantics)
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def _filter_slot(f, corpus_cols: "set[str]"):
+    """(sig_string, value_dict) for one filter, or None when the filter
+    cannot ride the data path — mirrors `search._dsl_scored_union`'s
+    `_slot_sig`, with the value CLASS (num/str) in the signature so the
+    driver can build a typed predicate per signature while values stay
+    data. Fields containing the sig separators route to the compiled
+    tier (signature strings must parse unambiguously)."""
+    from sparksearchengine_spark.plans import ast
+
+    def _ok_field(name: str) -> bool:
+        return name in corpus_cols and ":" not in name and "|" not in name
+
+    if isinstance(f, ast.CompareFilter):
+        if not _ok_field(f.field) or f.value is None:
+            return None
+        if _num(f.value):
+            return f"cmp:{f.field}:{f.op}:num", {
+                **_NOVAL, "v_num": float(f.value)
+            }
+        if isinstance(f.value, str):
+            return f"cmp:{f.field}:{f.op}:str", {
+                **_NOVAL, "v_str": f.value
+            }
+        return None
+    if isinstance(f, ast.RangeFilter):
+        if not _ok_field(f.field):
+            return None
+        if _num(f.lo) and _num(f.hi):
+            return f"range:{f.field}:num", {
+                **_NOVAL, "lo_num": float(f.lo), "hi_num": float(f.hi)
+            }
+        if isinstance(f.lo, str) and isinstance(f.hi, str):
+            return f"range:{f.field}:str", {
+                **_NOVAL, "lo_str": f.lo, "hi_str": f.hi
+            }
+        return None
+    if isinstance(f, ast.ExistsFilter):
+        return (f"exists:{f.field}", dict(_NOVAL)) if _ok_field(f.field) else None
+    if isinstance(f, ast.MissingFilter):
+        return (f"missing:{f.field}", dict(_NOVAL)) if _ok_field(f.field) else None
+    return None
+
+
+def _normalize_one(
+    js: "str | None",
+    text_cols: dict,
+    corpus_cols: "set[str]",
+) -> dict:
+    """Shape-classify ONE serialized query — the per-row normalization
+    the Arrow UDF maps over the query column. Pure function of small
+    driver-shipped config; returns a record matching `_NORM_SCHEMA`."""
+    from sparksearchengine_spark.functions.analyzers import tokenize_py
+    from sparksearchengine_spark.plans import ast
+    from sparksearchengine_spark.plans.compiler import (
+        _flatten,
+        _folds_case,
+        _wildcard_to_like,
+    )
+    from sparksearchengine_spark.plans.serde import (
+        query_from_json,
+        query_to_json,
+    )
+
+    out = dict(_EMPTY_NORM)
+    if js is None:
+        out["shape"] = "empty"
+        return out
+    try:
+        q = query_from_json(js)
+    except ValueError as e:
+        out["shape"] = "error"
+        out["err"] = str(e)
+        return out
+
+    def _general() -> dict:
+        out["shape"] = "general"
+        out["canon"] = query_to_json(q)
+        return out
+
+    def _terms(rows, mm, fsig="", fvals=None) -> dict:
+        if not rows:
+            out["shape"] = "empty"
+            return out
+        out["shape"] = "terms"
+        out["terms"] = [
+            {"field": f, "term": t, "w": float(w)} for f, t, w in rows
+        ]
+        out["min_match"] = int(mm)
+        out["fsig"] = fsig
+        out["fvals"] = fvals
+        return out
+
+    try:
+        if isinstance(q, ast.MatchPhrase):
+            opts = text_cols.get(q.field)
+            if opts is None:
+                raise ValueError(
+                    f"field {q.field!r} is not a searchable text column "
+                    f"(declared: {sorted(text_cols)})"
+                )
+            terms = tokenize_py(q.text, opts.query_time_analyzer())
+            if not terms:
+                out["shape"] = "empty"
+                return out
+            if len(terms) == 1:
+                return _terms([(q.field, terms[0], 1.0)], 1)
+            if not opts.positions:
+                raise ValueError(
+                    f"phrase query on field {q.field!r} requires "
+                    "positions=True (column was indexed with "
+                    "TextOptions(positions=False))"
+                )
+            out["shape"] = "phrase"
+            out["ph_field"] = q.field
+            out["ph_terms"] = list(terms)
+            out["ph_n"] = len(terms)
+            out["ph_maxspan"] = q.slop + len(terms) - 1
+            return out
+        if isinstance(
+            q, (ast.MatchWildcard, ast.MatchRegex, ast.MatchFuzzy)
+        ):
+            if q.field not in text_cols:
+                raise ValueError(
+                    f"field {q.field!r} is not a searchable text column"
+                    f" (declared: {sorted(text_cols)})"
+                )
+            folds = _folds_case(text_cols[q.field].query_time_analyzer())
+            out["shape"] = "mt"
+            out["mt_field"] = q.field
+            if isinstance(q, ast.MatchWildcard):
+                pat = q.pattern.lower() if folds else q.pattern
+                out["mt_kind"], out["mt_pat"], out["mt_edits"] = (
+                    "like", _wildcard_to_like(pat), 0,
+                )
+            elif isinstance(q, ast.MatchRegex):
+                # NOT case-folded — regex metachars flip meaning under
+                # lower(); same contract as the single-query compiler
+                out["mt_kind"], out["mt_pat"], out["mt_edits"] = (
+                    "re", f"^(?:{q.pattern})$", 0,
+                )
+            else:
+                t = q.term.lower() if folds else q.term
+                out["mt_kind"], out["mt_pat"], out["mt_edits"] = (
+                    "fz", t, q.max_edits,
+                )
+            return out
+        if isinstance(q, ast.And):
+            ops = _flatten(ast.And, q.operands)
+            filts = [o for o in ops if isinstance(o, ast.Filter)]
+            poss = [
+                o for o in ops
+                if not isinstance(o, (ast.Filter, ast.Not))
+            ]
+            negs = [o for o in ops if isinstance(o, ast.Not)]
+            if len(poss) == 1 and filts and not negs:
+                tw = weighted_terms_cfg(text_cols, poss[0])
+                slots = [_filter_slot(fl, corpus_cols) for fl in filts]
+                if tw is not None and tw[0] and None not in slots:
+                    rows, mm = tw
+                    ordered = sorted(slots, key=lambda s: s[0])
+                    return _terms(
+                        rows,
+                        mm,
+                        fsig="|".join(s for s, _ in ordered),
+                        fvals=[v for _, v in ordered],
+                    )
+            return _general()
+        tw = weighted_terms_cfg(text_cols, q)
+        if tw is not None:
+            return _terms(tw[0], tw[1])
+        return _general()
+    except ValueError as e:
+        out = dict(_EMPTY_NORM)
+        out["shape"] = "error"
+        out["err"] = str(e)
+        return out
+
+
+def _positions_scored(index: "SearchIndex", field: str) -> DataFrame:
+    """(doc_id, term, positions, tscore) for EVERY term of ``field`` —
+    `plans.compiler._scored_postings` without the driver-known term
+    restriction (the phrase terms here are data, not literals). The
+    termstats side is dictionary-sized and broadcasts; the postings
+    side never shuffles for this join."""
+    fs = index.fieldstats[field]
+    spark = index.postings.sparkSession
+    if fs.doc_count == 0:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, term string, positions array<int>,"
+            " tscore double",
+        )
+    p = index.postings
+    if index.term_buckets:
+        from sparksearchengine_spark.operators.index import TERM_BUCKET
+
+        p = p.drop(TERM_BUCKET)
+    p = p.where(F.col("field") == field)
+    ts = index.termstats.where(F.col("field") == field).select(
+        "term", "df_t"
+    )
+    if index.scoring.needs_cf:
+        ts = ts.join(index.collection_stats(field), "term")
+    return p.join(F.broadcast(ts), "term").select(
+        F.col(DOC_ID),
+        F.col("term"),
+        F.col("positions"),
+        index.scoring.term_score(
+            F.col("tf").cast("double"),
+            F.col("dl").cast("double"),
+            F.col("df_t").cast("double"),
+            float(fs.doc_count),
+            fs.avgdl,
+            cf_t=(
+                F.col("cf_t").cast("double")
+                if index.scoring.needs_cf
+                else None
+            ),
+        ).alias("tscore"),
+    )
+
+
+def _sig_predicates(sub: DataFrame, sig: str) -> DataFrame:
+    """Apply one signature group's filter slots: slot i's typed values
+    live at fvals[i] (the UDF sorted slots by signature string, so the
+    order is deterministic). The field/op/class are FIXED per signature
+    — only the comparison values are data."""
+    for i, slot in enumerate(sig.split("|")):
+        parts = slot.split(":")
+        kind, fld = parts[0], parts[1]
+        att = F.col(f"_a_{fld}")
+        val = F.element_at(F.col("fvals"), i + 1)
+        if kind == "cmp":
+            op, cls = parts[2], parts[3]
+            v = val["v_num"] if cls == "num" else val["v_str"]
+            a = att.cast("double") if cls == "num" else att
+            sub = sub.where(_DSL_FILTER_OPS[op](a, v))
+        elif kind == "range":
+            cls = parts[2]
+            if cls == "num":
+                sub = sub.where(
+                    att.cast("double").between(
+                        val["lo_num"], val["hi_num"]
+                    )
+                )
+            else:
+                sub = sub.where(att.between(val["lo_str"], val["hi_str"]))
+        elif kind == "exists":
+            sub = sub.where(att.isNotNull())
+        else:  # missing
+            sub = sub.where(att.isNull())
+    return sub
+
+
+def query_join_dsl(
+    index: "SearchIndex",
+    other: DataFrame,
+    query_col: str,
+    k: int = 10,
+    other_id_col: "str | None" = None,
+    max_plans: int = 64,
+    max_patterns: int = MAX_DISTINCT_PATTERNS,
+    with_elements: bool = False,
+    salt_buckets: "int | None" = None,
+    broadcast_queries: "bool | None" = None,
+) -> DataFrame:
+    """E7 with a fully general query generator: each row of ``other``
+    carries its OWN query tree in ``query_col`` (canonical or any valid
+    JSON from `plans.serde.query_to_json`), and structurally different
+    rows execute in the same call — row 1 a term, row 2 a phrase, row 3
+    a filtered boolean.
+
+    Returns ``other.* + (match_doc_id, score, rank)`` flat rows, top-k
+    per row, left join (rows whose query matches nothing — or whose
+    query analyzes to nothing, or is NULL — keep NULL match columns);
+    the `search.query_join` contract. ``with_elements`` joins the match
+    payload back (broadcast — bounded by |other|·k hits only when the
+    hits side is small; at corpus-scale ``other`` the join shuffles on
+    match_doc_id as usual).
+
+    Invalid rows (malformed JSON, unknown fields, phrase on a
+    positions=False column) raise a driver-side ``ValueError`` naming
+    the first failure — detected by a bounded probe on the normalized
+    frame, not a task crash.
+
+    The normalized per-row shape frame is persisted for the branch fan-
+    out and registered on the index (`SearchIndex.register_cache`);
+    call ``index.release_caches()`` to free it in long-lived sessions.
+    """
+    if query_col not in other.columns:
+        raise ValueError(
+            f"query_col {query_col!r} not in other ({other.columns})"
+        )
+    if max_plans < 1 or max_patterns < 1:
+        raise ValueError("max_plans and max_patterns must be >= 1")
+    spark = other.sparkSession
+    c = index.corpus
+    text_cols = dict(c.text_cols)
+    corpus_cols = set(c.df.columns)
+
+    if other_id_col is None:
+        # same determinism note as query_join: the id-stamped frame is
+        # referenced by several plan branches, so pin the nondeterministic
+        # ids with a lazy localCheckpoint
+        other = other.withColumn(
+            "_qid", F.monotonically_increasing_id()
+        ).localCheckpoint(eager=False)
+        other_id_col = "_qid"
+        synthesized = True
+    else:
+        synthesized = False
+
+    @pandas_udf(_NORM_SCHEMA)
+    def _norm(js: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [_normalize_one(v, text_cols, corpus_cols) for v in js]
+        )
+
+    nz = (
+        other.select(
+            F.col(other_id_col).alias("query_id"),
+            _norm(F.col(query_col).cast("string")).alias("_nz"),
+        )
+        .select("query_id", "_nz.*")
+        .persist()
+    )
+    index.register_cache(nz)
+
+    # -- bounded probes: first error, distinct signatures, distinct canons
+    bad = nz.where(F.col("shape") == "error").select("err").limit(1).collect()
+    if bad:
+        raise ValueError(f"query_join_dsl: {bad[0]['err']}")
+    sigs = [
+        r["fsig"]
+        for r in nz.where(
+            (F.col("shape") == "terms") & (F.col("fsig") != "")
+        )
+        .select("fsig")
+        .distinct()
+        .limit(max_plans + 1)
+        .collect()
+    ]
+    canons = [
+        r["canon"]
+        for r in nz.where(F.col("shape") == "general")
+        .select("canon")
+        .distinct()
+        .limit(max_plans + 1)
+        .collect()
+    ]
+    if len(sigs) + len(canons) > max_plans:
+        raise ValueError(
+            f"query column carries >{max_plans} plan-costing shapes "
+            f"({len(sigs)}+ filter signatures, {len(canons)}+ distinct "
+            "non-data query trees); each costs a plan branch. Raise "
+            "max_plans, restructure queries toward the data tiers "
+            "(term classes, phrases, patterns, simple filters), or "
+            "batch driver-side with batch_search_dsl."
+        )
+
+    branches: "list[DataFrame]" = []
+
+    # -- tier 1: weighted terms (+ per-signature filters) ------------------
+    tq = nz.where(F.col("shape") == "terms").select(
+        "query_id",
+        F.col("min_match").alias("_minm"),
+        F.explode("terms").alias("_tr"),
+    ).select(
+        "query_id",
+        "_minm",
+        F.col("_tr.field").alias("field"),
+        F.col("_tr.term").alias("term"),
+        F.col("_tr.w").alias("_w"),
+    )
+    sp = None
+    for f in sorted(text_cols):
+        one = index.scored_postings(f).withColumn("field", F.lit(f))
+        sp = one if sp is None else sp.unionByName(one)
+    qside = _hint_query_side(tq, other, broadcast_queries)
+    agg = (
+        sp.join(qside, ["field", "term"])
+        .groupBy("query_id", DOC_ID)
+        .agg(
+            F.sum(F.col("tscore") * F.col("_w")).alias(SCORE),
+            F.count(F.lit(1)).alias("_nm"),
+            F.first("_minm").alias("_minm"),
+        )
+    )
+    tmatch = agg.where(F.col("_nm") >= F.col("_minm")).select(
+        "query_id", DOC_ID, SCORE
+    )
+    sigmap = nz.where(F.col("shape") == "terms").select(
+        "query_id", "fsig", "fvals"
+    )
+    tm = tmatch.join(
+        _hint_query_side(sigmap, other, broadcast_queries), "query_id"
+    )
+    branches.append(
+        tm.where(F.col("fsig") == "").select("query_id", DOC_ID, SCORE)
+    )
+    for sig in sigs:
+        fields = sorted(
+            {slot.split(":")[1] for slot in sig.split("|")}
+        )
+        attrs = c.df.select(
+            F.col(c.id_col).cast("long").alias(DOC_ID),
+            *[F.col(f).alias(f"_a_{f}") for f in fields],
+        )
+        sub = tm.where(F.col("fsig") == sig).join(attrs, DOC_ID)
+        branches.append(
+            _sig_predicates(sub, sig).select("query_id", DOC_ID, SCORE)
+        )
+
+    # -- tier 2: phrases as data -------------------------------------------
+    pq = nz.where(F.col("shape") == "phrase").select(
+        "query_id",
+        F.col("ph_field").alias("field"),
+        F.col("ph_n").alias("_n"),
+        F.col("ph_maxspan").alias("_maxspan"),
+        F.posexplode("ph_terms").alias("qpos", "term"),
+    )
+    ph_fields = sorted(
+        f for f, o in text_cols.items() if o.positions
+    )
+    if ph_fields:
+        pp = None
+        for f in ph_fields:
+            one = _positions_scored(index, f).withColumn(
+                "field", F.lit(f)
+            )
+            pp = one if pp is None else pp.unionByName(one)
+        joined = pp.join(
+            _hint_query_side(pq, other, broadcast_queries),
+            ["field", "term"],
+        )
+        branches.append(_phrase_verify_branch(joined))
+
+    # -- tier 3: multi-term patterns, deduped, one vocabulary scan ---------
+    mtq = nz.where(F.col("shape") == "mt").select(
+        "query_id",
+        F.col("mt_field").alias("field"),
+        F.col("mt_kind").alias("kind"),
+        F.col("mt_pat").alias("pat"),
+        F.col("mt_edits").alias("edits"),
+    )
+    pats = mtq.select("field", "kind", "pat", "edits").distinct()
+    npats = pats.limit(max_patterns + 1).count()
+    if npats > max_patterns:
+        raise ValueError(
+            f"more than max_patterns={max_patterns} distinct "
+            "wildcard/regex/fuzzy patterns — each evaluates against "
+            "every vocabulary term; dedupe the query rows or split."
+        )
+    if npats:
+        vocab = index.termstats.select("field", "term")
+        hit = (
+            (F.col("kind") == "like") & F.expr("term like pat")
+        ) | (
+            (F.col("kind") == "re") & F.expr("term rlike pat")
+        ) | (
+            (F.col("kind") == "fz")
+            & F.length("term").between(
+                F.length("pat") - F.col("edits"),
+                F.length("pat") + F.col("edits"),
+            )
+            & (F.levenshtein(F.col("term"), F.col("pat")) <= F.col("edits"))
+        )
+        matched = (
+            vocab.join(F.broadcast(pats), ["field"])
+            .where(hit)
+            .select("field", "kind", "pat", "edits", "term")
+        )
+        # fan matched terms back to the query rows by pattern key, then
+        # ONE postings join; docs dedupe to constant score 1.0 (the
+        # single-query multi-term contract)
+        qterm = mtq.join(
+            F.broadcast(matched), ["field", "kind", "pat", "edits"]
+        ).select("query_id", "field", "term")
+        msp = None
+        for f in sorted(text_cols):
+            one = index.scored_postings(f).withColumn("field", F.lit(f))
+            msp = one if msp is None else msp.unionByName(one)
+        branches.append(
+            msp.join(
+                _hint_query_side(qterm, other, broadcast_queries),
+                ["field", "term"],
+            )
+            .select("query_id", DOC_ID)
+            .distinct()
+            .select("query_id", DOC_ID, F.lit(1.0).alias(SCORE))
+        )
+
+    # -- tier 4: general shapes, one compiled plan per DISTINCT canon ------
+    if canons:
+        from sparksearchengine_spark.plans.serde import query_from_json
+
+        cp = None
+        for canon in canons:
+            compiled = index.compile(query_from_json(canon)).withColumn(
+                "_canon", F.lit(canon)
+            )
+            cp = compiled if cp is None else cp.unionByName(compiled)
+        gids = nz.where(F.col("shape") == "general").select(
+            "query_id", F.col("canon").alias("_canon")
+        )
+        branches.append(
+            cp.join(
+                _hint_query_side(gids, other, broadcast_queries),
+                "_canon",
+            ).select("query_id", DOC_ID, SCORE)
+        )
+
+    unioned = branches[0]
+    for b in branches[1:]:
+        unioned = unioned.unionByName(b)
+    ranked = topk_per_group(
+        unioned,
+        ["query_id"],
+        [F.col(SCORE).desc(), F.col(DOC_ID).asc()],
+        k=k,
+        salt_buckets=salt_buckets,
+    ).select(
+        "query_id", F.col(DOC_ID).alias("match_doc_id"), SCORE, "rank"
+    )
+
+    # drop the RANKED side's key by reference — a caller id column
+    # itself named "query_id" must survive the join
+    out = other.join(
+        ranked, other[other_id_col] == ranked["query_id"], "left"
+    ).drop(ranked["query_id"])
+    if synthesized:
+        out = out.drop("_qid")
+    if with_elements:
+        elems = c.df.select(
+            F.col(c.id_col).cast("long").alias("match_doc_id"),
+            *[
+                F.col(x).alias(f"match_{x}")
+                for x in c.df.columns
+                if x != c.id_col
+            ],
+        )
+        out = out.join(elems, "match_doc_id", "left")
+    return out

@@ -619,15 +619,26 @@ def weighted_terms(
     joins the one data-driven plan instead of compiling its own.
     Shared by the DSL batch executor and :func:`explain_scores`.
     """
+    return weighted_terms_cfg(index.corpus.text_cols, q)
+
+
+def weighted_terms_cfg(
+    text_cols: dict, q
+) -> "tuple[list[tuple[str, str, float]], int] | None":
+    """:func:`weighted_terms` against a bare ``{field: TextOptions}``
+    config instead of a live index — the part of the normalization that
+    needs no Spark state, so `joindsl.query_join_dsl`'s executor-side
+    Arrow UDF can run the SAME logic per row (single source of truth
+    for what counts as a weighted-term plan)."""
     from sparksearchengine_spark.functions.analyzers import tokenize_py
     from sparksearchengine_spark.plans import ast
 
     if isinstance(
         q, (ast.MatchTerm, ast.MatchTermSet, ast.MatchText)
-    ) and q.field not in index.corpus.text_cols:
+    ) and q.field not in text_cols:
         raise ValueError(
             f"field {q.field!r} is not a searchable text column "
-            f"(declared: {sorted(index.corpus.text_cols)})"
+            f"(declared: {sorted(text_cols)})"
         )
     if isinstance(q, ast.MatchTerm):
         return [(q.field, q.term, 1.0)], 1
@@ -638,20 +649,20 @@ def weighted_terms(
             (q.field, t, 1.0) for t in sorted(q.terms)
         ], q.min_match
     if isinstance(q, ast.MatchText):
-        analyzer = index.corpus.text_cols[q.field].query_time_analyzer()
+        analyzer = text_cols[q.field].query_time_analyzer()
         terms = tuple(sorted(set(tokenize_py(q.text, analyzer))))
         return [(q.field, t, 1.0) for t in terms], (
             len(terms) if q.require_all and terms else 1
         )
     if isinstance(q, ast.Boost):
-        inner = weighted_terms(index, q.operand)
+        inner = weighted_terms_cfg(text_cols, q.operand)
         if inner is None:
             return None
         rows, mm = inner
         fac = float(q.factor)
         return [(f, t, w * fac) for f, t, w in rows], mm
     if isinstance(q, ast.Or):
-        parts = [weighted_terms(index, o) for o in q.operands]
+        parts = [weighted_terms_cfg(text_cols, o) for o in q.operands]
         if any(p is None or p[1] != 1 for p in parts):
             return None
         merged: dict[tuple[str, str], float] = {}
@@ -662,6 +673,71 @@ def weighted_terms(
             (f, t, w) for (f, t), w in sorted(merged.items())
         ], 1
     return None
+
+
+def _phrase_verify_branch(joined: DataFrame) -> DataFrame:
+    """Phrase verification with per-query offsets and span bound as DATA
+    — shared by `_dsl_scored_union` (driver-listed phrases) and
+    `joindsl.query_join_dsl` (phrases extracted from a query COLUMN).
+
+    ``joined`` carries (query_id, doc_id, qpos, positions, tscore, _n,
+    _maxspan) — one row per (query phrase position × matching posting).
+    Survivors of the every-position-matched count filter run an ordered
+    greedy position chain: exists p0 in positions(qpos=0) such that
+    folding over the remaining qpos picks the smallest position >
+    previous and chain_end - p0 <= max_span (= slop + n - 1). Greedy
+    minimizes the chain end, so one pass per start is exact (the
+    compiler's sloppy-phrase argument); at slop=0 the strictly-
+    increasing chain hitting span n-1 forces exact adjacency, so ONE
+    predicate serves exact and sloppy phrases alike. A broken chain
+    folds to NULL -> the comparison is NULL -> no match. Interpreted
+    HOF, but only on count-filter survivors. Score: left fold of
+    tscore in qpos order — bit-identical to the compiler's
+    reduce(add) chain."""
+    cand = (
+        joined.groupBy("query_id", DOC_ID)
+        .agg(
+            F.count_distinct("qpos").alias("_nm"),
+            F.first("_n").alias("_n"),
+            F.first("_maxspan").alias("_maxspan"),
+            F.array_sort(
+                F.collect_list(
+                    F.struct("qpos", "positions", "tscore")
+                )
+            ).alias("_pairs"),
+        )
+        # survivors: every phrase position matched in this doc
+        .where(F.col("_nm") == F.col("_n"))
+    )
+
+    def _chain_end(p0):  # type: ignore[no-untyped-def]
+        return F.aggregate(
+            F.slice(
+                F.col("_pairs"), F.lit(2), F.size("_pairs") - 1
+            ),
+            p0,
+            lambda acc, pr: F.array_min(
+                F.filter(pr["positions"], _after(acc))
+            ),
+        )
+
+    def _after(prev):  # type: ignore[no-untyped-def]
+        # single-arg lambda: a 2-arg lambda would be interpreted
+        # by F.filter as (element, index) (compiler._phrase note)
+        return lambda x: x > prev
+
+    ok = F.exists(
+        F.element_at("_pairs", 1)["positions"],
+        lambda p0: (_chain_end(p0) - p0) <= F.col("_maxspan"),
+    )
+    score_fold = F.aggregate(
+        "_pairs",
+        F.lit(0.0),
+        lambda acc, pr: acc + pr["tscore"],
+    )
+    return cand.where(ok).select(
+        "query_id", DOC_ID, score_fold.alias(SCORE)
+    )
 
 
 def _dsl_scored_union(
@@ -953,64 +1029,7 @@ def _dsl_scored_union(
             )
             pp = one if pp is None else pp.unionByName(one)
         joined = pp.join(F.broadcast(pq), ["field", "term"])
-        cand = (
-            joined.groupBy("query_id", DOC_ID)
-            .agg(
-                F.count_distinct("qpos").alias("_nm"),
-                F.first("_n").alias("_n"),
-                F.first("_maxspan").alias("_maxspan"),
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("qpos", "positions", "tscore")
-                    )
-                ).alias("_pairs"),
-            )
-            # survivors: every phrase position matched in this doc
-            .where(F.col("_nm") == F.col("_n"))
-        )
-        # ordered greedy position chain with the span bound as DATA —
-        # exists p0 in positions(qpos=0): fold over the remaining
-        # pairs picking the smallest position > previous, then require
-        # chain_end - p0 <= max_span (= slop + n - 1). Greedy
-        # minimizes the chain end, so one pass per start is exact (the
-        # compiler's sloppy-phrase argument); at slop=0 the strictly-
-        # increasing chain hitting span n-1 forces exact adjacency, so
-        # ONE predicate serves exact and sloppy phrases alike. A
-        # broken chain folds to NULL -> the comparison is NULL -> no
-        # match. Interpreted HOF, but only on count-filter survivors.
-        def _chain_end(p0):  # type: ignore[no-untyped-def]
-            return F.aggregate(
-                F.slice(
-                    F.col("_pairs"), F.lit(2), F.size("_pairs") - 1
-                ),
-                p0,
-                lambda acc, pr: F.array_min(
-                    F.filter(pr["positions"], _after(acc))
-                ),
-            )
-
-        def _after(prev):  # type: ignore[no-untyped-def]
-            # single-arg lambda: a 2-arg lambda would be interpreted
-            # by F.filter as (element, index) (compiler._phrase note)
-            return lambda x: x > prev
-
-        ok = F.exists(
-            F.element_at("_pairs", 1)["positions"],
-            lambda p0: (_chain_end(p0) - p0) <= F.col("_maxspan"),
-        )
-        # score: left fold in qpos order — 0.0+t0 == t0, then +t1 ... ,
-        # bit-identical to the compiler's reduce(add) chain. Duplicate
-        # terms contribute once per occurrence, as in the compiler.
-        score_fold = F.aggregate(
-            "_pairs",
-            F.lit(0.0),
-            lambda acc, pr: acc + pr["tscore"],
-        )
-        branches.append(
-            cand.where(ok).select(
-                "query_id", DOC_ID, score_fold.alias(SCORE)
-            )
-        )
+        branches.append(_phrase_verify_branch(joined))
     if mt_rows:
         # multi-term queries as data: ONE vocabulary scan serves every
         # wildcard/regex/fuzzy pattern in the batch. The pattern frame

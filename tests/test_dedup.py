@@ -1122,3 +1122,96 @@ class TestTemperatureWeights:
         for bad in (0.0, -1.0, 1.5):
             with _pytest.raises(ValueError, match="alpha"):
                 temperature_weights(df, "lang", "n_tokens", alpha=bad)
+
+
+class TestDedupParagraphs:
+    """Cross-document paragraph dedup (dedup_paragraphs) — Dolma's
+    paragraph-level step: first (doc, pos) occurrence of each exact
+    paragraph survives, whitespace-only paragraphs exempt by default,
+    NULL text passes through."""
+
+    def _run(self, spark, rows, **kw):
+        from sparksearchengine_spark.operators.dedup import (
+            dedup_paragraphs,
+        )
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = dedup_paragraphs(df, **kw)
+        return {r["doc_id"]: r for r in out.collect()}
+
+    def test_cross_doc_first_occurrence_wins(self, spark):
+        got = self._run(
+            spark,
+            [
+                (1, "alpha\n\nshared para\n\nbeta"),
+                (2, "shared para\n\ngamma"),
+            ],
+        )
+        assert got[1]["text"] == "alpha\n\nshared para\n\nbeta"
+        assert got[1]["n_paragraphs"] == 3 and got[1]["n_removed"] == 0
+        assert got[2]["text"] == "gamma"
+        assert got[2]["n_paragraphs"] == 2 and got[2]["n_removed"] == 1
+
+    def test_within_doc_dup_keeps_first(self, spark):
+        got = self._run(spark, [(1, "p1\n\np2\n\np1")])
+        assert got[1]["text"] == "p1\n\np2"
+        assert got[1]["n_paragraphs"] == 3 and got[1]["n_removed"] == 1
+
+    def test_keep_blank_default_exempts_whitespace(self, spark):
+        got = self._run(
+            spark,
+            [(1, "a\n\n \n\nb"), (2, "c\n\n \n\nd")],
+        )
+        # the whitespace paragraph survives in BOTH docs
+        assert got[1]["text"] == "a\n\n \n\nb"
+        assert got[2]["text"] == "c\n\n \n\nd"
+        assert got[1]["n_removed"] == 0 and got[2]["n_removed"] == 0
+
+    def test_keep_blank_false_dedups_whitespace(self, spark):
+        got = self._run(
+            spark,
+            [(1, "a\n\n \n\nb"), (2, "c\n\n \n\nd")],
+            keep_blank=False,
+        )
+        # exactly one doc keeps the whitespace paragraph (the min
+        # (doc, pos) winner — doc 1)
+        assert got[1]["text"] == "a\n\n \n\nb"
+        assert got[2]["text"] == "c\n\nd"
+        assert got[2]["n_removed"] == 1
+
+    def test_null_text_passes_through(self, spark):
+        got = self._run(spark, [(1, None), (2, "x\n\ny")])
+        assert got[1]["text"] is None
+        assert got[2]["text"] == "x\n\ny"
+
+    def test_all_paragraphs_removed_yields_empty(self, spark):
+        got = self._run(
+            spark,
+            [(1, "only para"), (2, "only para")],
+            keep_blank=False,
+        )
+        assert got[1]["text"] == "only para"
+        assert got[2]["text"] == ""
+        assert got[2]["n_removed"] == 1
+
+    def test_crlf_normalized_and_order_preserved(self, spark):
+        got = self._run(spark, [(1, "a\r\n\r\nb\r\n\r\nc")])
+        assert got[1]["text"] == "a\n\nb\n\nc"
+        assert got[1]["n_paragraphs"] == 3
+
+    def test_plan_no_corpus_window_or_nested_loop(self, spark):
+        from sparksearchengine_spark.operators.dedup import (
+            dedup_paragraphs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a\n\nb"), (2, "b\n\nc")], "doc_id long, text string"
+        )
+        out = dedup_paragraphs(df)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # winner selection is a hash agg + hash join on the md5 — no
+        # window over the corpus, no nested loop, no broadcast of the
+        # (unbounded) duplicate set required for correctness
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "Window" not in plan

@@ -1,0 +1,304 @@
+"""query_join_dsl (operators/joindsl.py) + plans/serde.py.
+
+The fully general E7: per-row query ASTs as a serialized column, shape-
+grouped EXECUTOR-side. Ground truth per row = the single-query
+`search()` result for the same AST (scores must match exactly for data
+tiers; at the engine's 6-dp contract for weighted Or folds).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparksearchengine_spark.plans.ast import F_, Q
+
+
+def _ser(q) -> str:
+    from sparksearchengine_spark.plans.serde import query_to_json
+
+    return query_to_json(q)
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "spark engine fast scan", 10, "en"),
+            (2, "fast spark joins beat slow scans", 25, "en"),
+            (3, "lucene index segment merge", 40, "it"),
+            (4, "merge fast segment spark engine", 5, "it"),
+            (5, "engine oil and fast cars", 60, "en"),
+            (6, None, 70, "en"),
+        ],
+        "doc_id long, text string, views int, lang string",
+    )
+
+
+@pytest.fixture(scope="module")
+def jidx(corpus_df):
+    from sparksearchengine_spark import Corpus, TextOptions
+
+    idx = Corpus(
+        corpus_df,
+        id_col="doc_id",
+        text_cols={"text": TextOptions(analyzer="simple", positions=True)},
+    ).build_index()
+    yield idx
+    idx.unpersist()
+
+
+def _run(jidx, spark, rows, **kw):
+    """rows: list[(id, Query)] -> {id: [(doc, score, rank)...]}"""
+    from sparksearchengine_spark.operators.joindsl import query_join_dsl
+
+    df = spark.createDataFrame(
+        [(i, _ser(q)) for i, q in rows], "rid long, qjson string"
+    )
+    out = query_join_dsl(
+        jidx, df, "qjson", k=kw.pop("k", 10), other_id_col="rid", **kw
+    )
+    got: dict = {}
+    for r in out.collect():
+        got.setdefault(r["rid"], [])
+        if r["match_doc_id"] is not None:
+            got[r["rid"]].append(
+                (r["match_doc_id"], round(r["score"], 6), r["rank"])
+            )
+    return {k_: sorted(v) for k_, v in got.items()}
+
+
+def _single(jidx, q, k=10):
+    from sparksearchengine_spark.operators.search import search
+
+    return sorted(
+        (r["doc_id"], round(r["score"], 6), r["rank"])
+        for r in search(jidx, q, k=k).collect()
+    )
+
+
+class TestSerde:
+    def test_roundtrip_every_node(self):
+        import datetime as dt
+        from decimal import Decimal
+
+        from sparksearchengine_spark.plans.serde import (
+            query_from_json,
+            query_to_json,
+        )
+
+        qs = [
+            Q.all(),
+            Q.field("text").match_term("a"),
+            Q.field("text").match_min(2, "a", "b", "c"),
+            Q.field("text").match_text("x y"),
+            Q.field("text").match_all_text("x y"),
+            Q.field("text").match_phrase("a b", slop=2),
+            Q.field("text").match_near("a b", window=3),
+            Q.field("text").match_wildcard("te*t"),
+            Q.field("text").match_regex("ab+"),
+            Q.field("text").match_fuzzy("term", max_edits=1),
+            (Q.field("text").match_term("a") & F_.ge("views", 10)),
+            (Q.field("text").match_term("a") | Q.field("text").match_term("b")),
+            Q.field("text").match_term("a").boost(2.5),
+            ~Q.field("text").match_term("a"),
+            F_.eq("lang", "en"),
+            F_.between("views", 1, 5),
+            F_.isin("views", 1, 2),
+            F_.exists("lang"),
+            F_.missing("lang"),
+            F_.eq("day", dt.date(2024, 3, 1)),
+            F_.eq("ts", dt.datetime(2024, 3, 1, 12, 30)),
+            F_.eq("price", Decimal("1.25")),
+        ]
+        for q in qs:
+            s = query_to_json(q)
+            assert query_from_json(s) == q, q
+            # canonical: re-serialization is byte-identical
+            assert query_to_json(query_from_json(s)) == s
+
+    def test_canonical_grouping_key(self):
+        from sparksearchengine_spark.plans.serde import query_to_json
+
+        a = Q.field("text").match_all("x", "y") & F_.ge("views", 3)
+        b = Q.field("text").match_all("x", "y") & F_.ge("views", 3)
+        assert query_to_json(a) == query_to_json(b)
+
+    def test_malformed_raises(self):
+        from sparksearchengine_spark.plans.serde import query_from_json
+
+        with pytest.raises(ValueError, match="malformed"):
+            query_from_json("{nope")
+        with pytest.raises(ValueError, match="unknown query node"):
+            query_from_json('{"t":"NoSuchNode"}')
+
+
+class TestQueryJoinDsl:
+    def test_structurally_mixed_rows_match_single_query(self, spark, jidx):
+        rows = [
+            (1, Q.field("text").match_term("spark")),
+            (2, Q.field("text").match_phrase("fast spark")),
+            (3, Q.field("text").match_text("engine fast") & F_.ge("views", 10)),
+            (4, Q.field("text").match_wildcard("seg*")),
+            (5, ~Q.field("text").match_term("spark")),
+            (6, Q.field("text").match_phrase("spark engine", slop=2)),
+            (7, Q.field("text").match_min(2, "fast", "engine", "oil")),
+        ]
+        got = _run(jidx, spark, rows)
+        for rid, q in rows:
+            assert got[rid] == _single(jidx, q), f"row {rid}: {q}"
+
+    def test_same_tree_rows_compile_one_plan(self, spark, jidx, monkeypatch):
+        # 5 rows carrying the SAME general-shape tree must compile once;
+        # 2 distinct trees -> exactly 2 compile calls
+        import sparksearchengine_spark.operators.index as index_mod
+
+        calls: list = []
+        orig = index_mod.SearchIndex.compile
+
+        def spy(self, q):  # type: ignore[no-untyped-def]
+            calls.append(q)
+            return orig(self, q)
+
+        monkeypatch.setattr(index_mod.SearchIndex, "compile", spy)
+        qa = ~Q.field("text").match_term("spark")
+        qb = ~Q.field("text").match_term("merge")
+        rows = [(i, qa) for i in range(5)] + [(9, qb)]
+        got = _run(jidx, spark, rows)
+        assert len(calls) == 2
+        single_a = _single(jidx, qa)
+        for i in range(5):
+            assert got[i] == single_a
+        assert got[9] == _single(jidx, qb)
+
+    def test_filter_values_are_data_one_signature(self, spark, jidx):
+        # same signature (views >= num), different per-row values
+        rows = [
+            (1, Q.field("text").match_term("fast") & F_.ge("views", 10)),
+            (2, Q.field("text").match_term("fast") & F_.ge("views", 30)),
+            (3, Q.field("text").match_term("fast") & F_.ge("views", 1000)),
+        ]
+        got = _run(jidx, spark, rows)
+        for rid, q in rows:
+            assert got[rid] == _single(jidx, q), f"row {rid}"
+        assert got[3] == []  # nothing that popular
+
+    def test_string_and_range_and_exists_filters(self, spark, jidx):
+        rows = [
+            (1, Q.field("text").match_term("engine") & F_.eq("lang", "en")),
+            (2, Q.field("text").match_term("engine") & F_.between("views", 1, 20)),
+            (3, Q.field("text").match_term("engine") & F_.exists("lang")),
+        ]
+        got = _run(jidx, spark, rows)
+        for rid, q in rows:
+            assert got[rid] == _single(jidx, q), f"row {rid}"
+
+    def test_null_and_empty_queries_keep_row(self, spark, jidx):
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+
+        df = spark.createDataFrame(
+            [
+                (1, _ser(Q.field("text").match_term("spark"))),
+                (2, None),
+                (3, _ser(Q.field("text").match_text("zzz qqq"))),
+            ],
+            "rid long, qjson string",
+        )
+        out = query_join_dsl(jidx, df, "qjson", other_id_col="rid")
+        rows = out.collect()
+        by_rid: dict = {}
+        for r in rows:
+            by_rid.setdefault(r["rid"], []).append(r["match_doc_id"])
+        assert by_rid[2] == [None]  # NULL query -> row kept, no match
+        assert by_rid[3] == [None]  # analyzes to nothing in-vocab? no: OOV terms
+        assert set(x for x in by_rid[1] if x) != set()
+
+    def test_invalid_rows_raise_driver_side(self, spark, jidx):
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+
+        bad = spark.createDataFrame(
+            [(1, "{not json")], "rid long, qjson string"
+        )
+        with pytest.raises(ValueError, match="malformed"):
+            query_join_dsl(jidx, bad, "qjson", other_id_col="rid")
+        unknown = spark.createDataFrame(
+            [(1, _ser(Q.field("nope").match_term("x")))],
+            "rid long, qjson string",
+        )
+        with pytest.raises(ValueError, match="not a searchable"):
+            query_join_dsl(jidx, unknown, "qjson", other_id_col="rid")
+
+    def test_max_plans_loud_error(self, spark, jidx):
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+
+        rows = [
+            (i, _ser(~Q.field("text").match_term(f"t{i}")))
+            for i in range(5)
+        ]
+        df = spark.createDataFrame(rows, "rid long, qjson string")
+        with pytest.raises(ValueError, match="max_plans"):
+            query_join_dsl(jidx, df, "qjson", other_id_col="rid", max_plans=3)
+
+    def test_synthesized_id_and_k(self, spark, jidx):
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+
+        df = spark.createDataFrame(
+            [(_ser(Q.field("text").match_text("fast engine")),)],
+            "qjson string",
+        )
+        out = query_join_dsl(jidx, df, "qjson", k=2)
+        rows = out.collect()
+        assert len(rows) == 2
+        assert {r["rank"] for r in rows} == {1, 2}
+        assert "_qid" not in out.columns
+
+    def test_with_elements_payload(self, spark, jidx):
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+
+        df = spark.createDataFrame(
+            [(1, _ser(Q.field("text").match_term("merge")))],
+            "rid long, qjson string",
+        )
+        out = query_join_dsl(
+            jidx, df, "qjson", other_id_col="rid", with_elements=True
+        )
+        rows = out.collect()
+        assert all(r["match_text"] is not None for r in rows)
+        assert {"match_views", "match_lang"} <= set(out.columns)
+
+    def test_plan_no_nested_loop_without_patterns(self, spark, jidx):
+        # data tiers only (terms/phrase/filtered): the executed plan must
+        # be hash/sort-merge joins — no BroadcastNestedLoopJoin, no
+        # CartesianProduct. (The multi-term tier's vocabulary theta-join
+        # is the documented Lucene term-dictionary exception.)
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+
+        df = spark.createDataFrame(
+            [
+                (1, _ser(Q.field("text").match_term("spark"))),
+                (2, _ser(Q.field("text").match_phrase("fast spark"))),
+                (3, _ser(Q.field("text").match_term("fast") & F_.ge("views", 10))),
+            ],
+            "rid long, qjson string",
+        )
+        out = query_join_dsl(jidx, df, "qjson", other_id_col="rid")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
+
+    def test_fuzzy_and_regex_rows(self, spark, jidx):
+        rows = [
+            (1, Q.field("text").match_fuzzy("sprak", max_edits=2)),
+            (2, Q.field("text").match_regex("s(can|cans)")),
+        ]
+        got = _run(jidx, spark, rows)
+        for rid, q in rows:
+            assert got[rid] == _single(jidx, q), f"row {rid}"
+
+    def test_duplicate_or_boost_shapes_ride_terms_tier(self, spark, jidx):
+        rows = [
+            (1, Q.field("text").match_term("fast").boost(2.0)),
+            (2, Q.field("text").match_term("fast") | Q.field("text").match_term("oil")),
+        ]
+        got = _run(jidx, spark, rows)
+        for rid, q in rows:
+            assert got[rid] == _single(jidx, q), f"row {rid}"
