@@ -346,6 +346,23 @@ def _positions_scored(index: "SearchIndex", field: str) -> DataFrame:
     )
 
 
+def _attach_elements(out: DataFrame, c, with_elements: bool) -> DataFrame:
+    """Join the match payload back onto the flat result rows (the E6
+    raw/transformer variants' shape), prefixing corpus columns with
+    ``match_``; no-op when ``with_elements`` is False."""
+    if not with_elements:
+        return out
+    elems = c.df.select(
+        F.col(c.id_col).cast("long").alias("match_doc_id"),
+        *[
+            F.col(x).alias(f"match_{x}")
+            for x in c.df.columns
+            if x != c.id_col
+        ],
+    )
+    return out.join(elems, "match_doc_id", "left")
+
+
 def _sig_predicates(sub: DataFrame, sig: str) -> DataFrame:
     """Apply one signature group's filter slots: slot i's typed values
     live at fvals[i] (the UDF sorted slots by signature string, so the
@@ -452,29 +469,33 @@ def query_join_dsl(
     )
     index.register_cache(nz)
 
-    # -- bounded probes: first error, distinct signatures, distinct canons
-    bad = nz.where(F.col("shape") == "error").select("err").limit(1).collect()
-    if bad:
-        raise ValueError(f"query_join_dsl: {bad[0]['err']}")
-    sigs = [
-        r["fsig"]
-        for r in nz.where(
-            (F.col("shape") == "terms") & (F.col("fsig") != "")
-        )
-        .select("fsig")
-        .distinct()
-        .limit(max_plans + 1)
+    # -- ONE bounded probe: shape presence, first error, distinct filter
+    # signatures, distinct general canons. Group count is bounded when
+    # the batch is within budget (sigs + canons <= max_plans plus <= 5
+    # singleton shape groups), so hitting the cap means over budget.
+    probe_cap = 2 * max_plans + 8
+    groups = (
+        nz.groupBy("shape", "fsig", "canon")
+        .agg(F.first("err", ignorenulls=True).alias("err"))
+        .limit(probe_cap)
         .collect()
-    ]
-    canons = [
-        r["canon"]
-        for r in nz.where(F.col("shape") == "general")
-        .select("canon")
-        .distinct()
-        .limit(max_plans + 1)
-        .collect()
-    ]
-    if len(sigs) + len(canons) > max_plans:
+    )
+    over_budget = len(groups) >= probe_cap
+    if not over_budget:
+        for g in groups:
+            if g["shape"] == "error":
+                raise ValueError(f"query_join_dsl: {g['err']}")
+    sigs = sorted(
+        {g["fsig"] for g in groups if g["shape"] == "terms" and g["fsig"]}
+    )
+    canons = sorted(
+        {g["canon"] for g in groups if g["shape"] == "general"}
+    )
+    shapes_present = {g["shape"] for g in groups}
+    has_plain_terms = any(
+        g["shape"] == "terms" and g["fsig"] == "" for g in groups
+    )
+    if over_budget or len(sigs) + len(canons) > max_plans:
         raise ValueError(
             f"query column carries >{max_plans} plan-costing shapes "
             f"({len(sigs)}+ filter signatures, {len(canons)}+ distinct "
@@ -487,68 +508,79 @@ def query_join_dsl(
     branches: "list[DataFrame]" = []
 
     # -- tier 1: weighted terms (+ per-signature filters) ------------------
-    tq = nz.where(F.col("shape") == "terms").select(
-        "query_id",
-        F.col("min_match").alias("_minm"),
-        F.explode("terms").alias("_tr"),
-    ).select(
-        "query_id",
-        "_minm",
-        F.col("_tr.field").alias("field"),
-        F.col("_tr.term").alias("term"),
-        F.col("_tr.w").alias("_w"),
-    )
-    sp = None
-    for f in sorted(text_cols):
-        one = index.scored_postings(f).withColumn("field", F.lit(f))
-        sp = one if sp is None else sp.unionByName(one)
-    qside = _hint_query_side(tq, other, broadcast_queries)
-    agg = (
-        sp.join(qside, ["field", "term"])
-        .groupBy("query_id", DOC_ID)
-        .agg(
-            F.sum(F.col("tscore") * F.col("_w")).alias(SCORE),
-            F.count(F.lit(1)).alias("_nm"),
-            F.first("_minm").alias("_minm"),
+    if has_plain_terms or sigs:
+        tq = nz.where(F.col("shape") == "terms").select(
+            "query_id",
+            F.col("min_match").alias("_minm"),
+            F.explode("terms").alias("_tr"),
+        ).select(
+            "query_id",
+            "_minm",
+            F.col("_tr.field").alias("field"),
+            F.col("_tr.term").alias("term"),
+            F.col("_tr.w").alias("_w"),
         )
-    )
-    tmatch = agg.where(F.col("_nm") >= F.col("_minm")).select(
-        "query_id", DOC_ID, SCORE
-    )
-    sigmap = nz.where(F.col("shape") == "terms").select(
-        "query_id", "fsig", "fvals"
-    )
-    tm = tmatch.join(
-        _hint_query_side(sigmap, other, broadcast_queries), "query_id"
-    )
-    branches.append(
-        tm.where(F.col("fsig") == "").select("query_id", DOC_ID, SCORE)
-    )
-    for sig in sigs:
-        fields = sorted(
-            {slot.split(":")[1] for slot in sig.split("|")}
+        sp = None
+        for f in sorted(text_cols):
+            one = index.scored_postings(f).withColumn("field", F.lit(f))
+            sp = one if sp is None else sp.unionByName(one)
+        qside = _hint_query_side(tq, other, broadcast_queries)
+        agg = (
+            sp.join(qside, ["field", "term"])
+            .groupBy("query_id", DOC_ID)
+            .agg(
+                F.sum(F.col("tscore") * F.col("_w")).alias(SCORE),
+                F.count(F.lit(1)).alias("_nm"),
+                F.first("_minm").alias("_minm"),
+            )
         )
-        attrs = c.df.select(
-            F.col(c.id_col).cast("long").alias(DOC_ID),
-            *[F.col(f).alias(f"_a_{f}") for f in fields],
+        tmatch = agg.where(F.col("_nm") >= F.col("_minm")).select(
+            "query_id", DOC_ID, SCORE
         )
-        sub = tm.where(F.col("fsig") == sig).join(attrs, DOC_ID)
-        branches.append(
-            _sig_predicates(sub, sig).select("query_id", DOC_ID, SCORE)
-        )
+        if not sigs:
+            # every terms row is unfiltered: no signature join at all
+            branches.append(tmatch)
+        else:
+            sigmap = nz.where(F.col("shape") == "terms").select(
+                "query_id", "fsig", "fvals"
+            )
+            tm = tmatch.join(
+                _hint_query_side(sigmap, other, broadcast_queries),
+                "query_id",
+            )
+            if has_plain_terms:
+                branches.append(
+                    tm.where(F.col("fsig") == "").select(
+                        "query_id", DOC_ID, SCORE
+                    )
+                )
+            for sig in sigs:
+                fields = sorted(
+                    {slot.split(":")[1] for slot in sig.split("|")}
+                )
+                attrs = c.df.select(
+                    F.col(c.id_col).cast("long").alias(DOC_ID),
+                    *[F.col(f).alias(f"_a_{f}") for f in fields],
+                )
+                sub = tm.where(F.col("fsig") == sig).join(attrs, DOC_ID)
+                branches.append(
+                    _sig_predicates(sub, sig).select(
+                        "query_id", DOC_ID, SCORE
+                    )
+                )
 
     # -- tier 2: phrases as data -------------------------------------------
-    pq = nz.where(F.col("shape") == "phrase").select(
-        "query_id",
-        F.col("ph_field").alias("field"),
-        F.col("ph_n").alias("_n"),
-        F.col("ph_maxspan").alias("_maxspan"),
-        F.posexplode("ph_terms").alias("qpos", "term"),
-    )
     ph_fields = sorted(
         f for f, o in text_cols.items() if o.positions
     )
-    if ph_fields:
+    if "phrase" in shapes_present and ph_fields:
+        pq = nz.where(F.col("shape") == "phrase").select(
+            "query_id",
+            F.col("ph_field").alias("field"),
+            F.col("ph_n").alias("_n"),
+            F.col("ph_maxspan").alias("_maxspan"),
+            F.posexplode("ph_terms").alias("qpos", "term"),
+        )
         pp = None
         for f in ph_fields:
             one = _positions_scored(index, f).withColumn(
@@ -562,22 +594,22 @@ def query_join_dsl(
         branches.append(_phrase_verify_branch(joined))
 
     # -- tier 3: multi-term patterns, deduped, one vocabulary scan ---------
-    mtq = nz.where(F.col("shape") == "mt").select(
-        "query_id",
-        F.col("mt_field").alias("field"),
-        F.col("mt_kind").alias("kind"),
-        F.col("mt_pat").alias("pat"),
-        F.col("mt_edits").alias("edits"),
-    )
-    pats = mtq.select("field", "kind", "pat", "edits").distinct()
-    npats = pats.limit(max_patterns + 1).count()
-    if npats > max_patterns:
-        raise ValueError(
-            f"more than max_patterns={max_patterns} distinct "
-            "wildcard/regex/fuzzy patterns — each evaluates against "
-            "every vocabulary term; dedupe the query rows or split."
+    if "mt" in shapes_present:
+        mtq = nz.where(F.col("shape") == "mt").select(
+            "query_id",
+            F.col("mt_field").alias("field"),
+            F.col("mt_kind").alias("kind"),
+            F.col("mt_pat").alias("pat"),
+            F.col("mt_edits").alias("edits"),
         )
-    if npats:
+        pats = mtq.select("field", "kind", "pat", "edits").distinct()
+        npats = pats.limit(max_patterns + 1).count()
+        if npats > max_patterns:
+            raise ValueError(
+                f"more than max_patterns={max_patterns} distinct "
+                "wildcard/regex/fuzzy patterns — each evaluates against "
+                "every vocabulary term; dedupe the query rows or split."
+            )
         vocab = index.termstats.select("field", "term")
         hit = (
             (F.col("kind") == "like") & F.expr("term like pat")
@@ -636,6 +668,25 @@ def query_join_dsl(
             ).select("query_id", DOC_ID, SCORE)
         )
 
+    if not branches:
+        # every query NULL / analyzed-to-nothing: a type-correct empty
+        # ranked frame so the left join yields all-NULL match columns
+        ranked = (
+            nz.select("query_id")
+            .limit(0)
+            .select(
+                "query_id",
+                F.lit(None).cast("long").alias("match_doc_id"),
+                F.lit(None).cast("double").alias(SCORE),
+                F.lit(None).cast("int").alias("rank"),
+            )
+        )
+        out = other.join(
+            ranked, other[other_id_col] == ranked["query_id"], "left"
+        ).drop(ranked["query_id"])
+        if synthesized:
+            out = out.drop("_qid")
+        return _attach_elements(out, c, with_elements)
     unioned = branches[0]
     for b in branches[1:]:
         unioned = unioned.unionByName(b)
@@ -656,14 +707,4 @@ def query_join_dsl(
     ).drop(ranked["query_id"])
     if synthesized:
         out = out.drop("_qid")
-    if with_elements:
-        elems = c.df.select(
-            F.col(c.id_col).cast("long").alias("match_doc_id"),
-            *[
-                F.col(x).alias(f"match_{x}")
-                for x in c.df.columns
-                if x != c.id_col
-            ],
-        )
-        out = out.join(elems, "match_doc_id", "left")
-    return out
+    return _attach_elements(out, c, with_elements)

@@ -212,6 +212,22 @@ class TestQueryJoinDsl:
         assert by_rid[3] == [None]  # analyzes to nothing in-vocab? no: OOV terms
         assert set(x for x in by_rid[1] if x) != set()
 
+    def test_all_null_queries_no_branches(self, spark, jidx):
+        # every row NULL: no execution tier exists — rows still come
+        # back with type-correct NULL match columns
+        from sparksearchengine_spark.operators.joindsl import (
+            query_join_dsl,
+        )
+
+        df = spark.createDataFrame(
+            [(1, None), (2, None)], "rid long, qjson string"
+        )
+        out = query_join_dsl(jidx, df, "qjson", other_id_col="rid")
+        rows = sorted(out.collect(), key=lambda r: r["rid"])
+        assert [r["rid"] for r in rows] == [1, 2]
+        assert all(r["match_doc_id"] is None for r in rows)
+        assert {"match_doc_id", "score", "rank"} <= set(out.columns)
+
     def test_invalid_rows_raise_driver_side(self, spark, jidx):
         from sparksearchengine_spark.operators.joindsl import query_join_dsl
 
