@@ -82,6 +82,31 @@ def main(path: str = "/root/testdata/sf0.001/documents.parquet") -> None:
     for r in joined.limit(10).collect():
         print(f"  src {r['doc_id']} -> {r['match_doc_id']} ({r['score']:.3f})")
 
+    # reference: queryJoin with an arbitrary queryGenerator
+    # (`SearchableRDD.scala:259-269`) — here each row CARRIES its own
+    # query tree as data (plans/serde), structurally different per row
+    from sparksearchengine_spark import F_, query_to_json
+
+    per_row = spark.createDataFrame(
+        [
+            (1, query_to_json(Q.field("text").match_term("dup"))),
+            (2, query_to_json(Q.field("text").match_phrase("table hash"))),
+            (
+                3,
+                query_to_json(
+                    Q.field("text").match_text("merge scan")
+                    & F_.ge("n_chars", 150)
+                ),
+            ),
+        ],
+        "rid long, qjson string",
+    )
+    gen = index.query_join_dsl(per_row, "qjson", k=3, other_id_col="rid")
+    print("Generalized (per-row DSL) query join sample:")
+    for r in gen.orderBy("rid", "rank").collect():
+        if r["match_doc_id"] is not None:
+            print(f"  q{r['rid']} -> {r['match_doc_id']} ({r['score']:.3f})")
+
     docs.unpersist()
     if owns_session:
         spark.stop()
