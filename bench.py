@@ -512,11 +512,17 @@ def main() -> None:
             rescore_weight=2.0,
         ).count()
 
-    # 18. fully general query join (first benched in round 7): 2,000
-    # rows each carrying their OWN serialized query tree — mostly
-    # data-tier shapes (terms / phrases / filtered) plus two repeated
-    # general shapes sharing compiled plans. Executor-side shape
-    # grouping: driver sees only distinct signatures/canons.
+    # 18. fully general query join (first benched in round 7): 150 rows
+    # each carrying their OWN serialized query tree — data-tier shapes
+    # (terms / phrases / filtered) plus four repeated general shapes
+    # sharing compiled plans. Executor-side shape grouping: the driver
+    # sees only distinct signatures/canons. Sizing note: the synthetic
+    # corpus has a 31-term vocabulary, so EVERY query term is hot and
+    # each query's candidate set is ~half the corpus — cost is
+    # match-volume-bound (|queries| x |matching docs| agg rows, linear
+    # in the row count; measured 0.06-0.08 s/query at sf0.1, the same
+    # per-query class as batch_dsl). 150 rows keeps the row about the
+    # executor, not corpus degeneracy.
     with timed("query_join_dsl"):
         from sparksearchengine_spark.operators.joindsl import query_join_dsl
         from sparksearchengine_spark.plans.ast import F_ as _F
@@ -524,7 +530,7 @@ def main() -> None:
 
         f18 = Q.field("text")
         shapes = []
-        for i in range(2000):
+        for i in range(150):
             t1, t2 = toks16[i % 24], toks16[(i + 5) % 24]
             m = i % 5
             if m == 0:
