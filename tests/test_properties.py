@@ -511,3 +511,60 @@ class TestBatchDslEqualsSearch:
                 for r in index.search(q, k=4).collect()
             }
             assert got.get(qid, set()) == want, f"query {qid}: {q}"
+
+
+# --------------------------------------------------------------------------
+# (f) r7: serde round-trip + generalized query join == per-query search,
+# on RANDOM query trees — the same net as (e) stretched over the
+# serialized-column path: whatever tree hypothesis builds must survive
+# JSON round-trip EXACTLY (node equality) and, carried as a column
+# through query_join_dsl's executor-side shape grouping, must match the
+# single-query path bit-for-bit (6dp) including ranks.
+# --------------------------------------------------------------------------
+
+
+class TestSerdeRoundTrip:
+    @settings(max_examples=50, deadline=None)
+    @given(q=_query)
+    def test_roundtrip_exact_and_canonical(self, q):
+        from sparksearchengine_spark.plans.serde import (
+            query_from_json,
+            query_to_json,
+        )
+
+        s = query_to_json(q)
+        back = query_from_json(s)
+        assert back == q
+        # canonical: serializing the round-tripped tree is byte-stable
+        assert query_to_json(back) == s
+
+
+class TestQueryJoinDslEqualsSearch:
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(corpus=_corpus,
+           queries=st.lists(_query, min_size=1, max_size=3))
+    def test_column_queries_match_per_query(self, spark, corpus, queries):
+        from sparksearchengine_spark.operators.joindsl import (
+            query_join_dsl,
+        )
+        from sparksearchengine_spark.plans.serde import query_to_json
+
+        index = _index_of(spark, corpus)
+        qdf = spark.createDataFrame(
+            [(i, query_to_json(q)) for i, q in enumerate(queries)],
+            "rid long, qjson string",
+        )
+        out = query_join_dsl(index, qdf, "qjson", k=4, other_id_col="rid")
+        got: dict = {}
+        for r in out.collect():
+            if r["match_doc_id"] is not None:
+                got.setdefault(r["rid"], set()).add(
+                    (r["match_doc_id"], round(r["score"], 6), r["rank"])
+                )
+        for qid, q in enumerate(queries):
+            want = {
+                (r["doc_id"], round(r["score"], 6), r["rank"])
+                for r in index.search(q, k=4).collect()
+            }
+            assert got.get(qid, set()) == want, f"row {qid}: {q}"
