@@ -414,6 +414,11 @@ class SearchIndex:
 
         return query_join_dsl(self, other, query_col, k=k, **kw)
 
+    def percolate_dsl_df(self, queries_df: DataFrame, query_col: str, id_col: str, **kw):  # type: ignore[no-untyped-def]
+        from sparksearchengine_spark.operators.joindsl import percolate_dsl_df
+
+        return percolate_dsl_df(self, queries_df, query_col, id_col, **kw)
+
     def get_element(self, doc_id):  # type: ignore[no-untyped-def]
         from sparksearchengine_spark.operators.search import get_element
 

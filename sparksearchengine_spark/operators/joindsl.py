@@ -71,7 +71,7 @@ from sparksearchengine_spark.operators.search import (
 if TYPE_CHECKING:
     from sparksearchengine_spark.operators.index import SearchIndex
 
-__all__ = ["query_join_dsl"]
+__all__ = ["query_join_dsl", "percolate_dsl_df"]
 
 # distinct wildcard/regex/fuzzy patterns allowed per call: each pattern
 # evaluates against every vocabulary term in the one shared scan, so the
@@ -434,13 +434,6 @@ def query_join_dsl(
         raise ValueError(
             f"query_col {query_col!r} not in other ({other.columns})"
         )
-    if max_plans < 1 or max_patterns < 1:
-        raise ValueError("max_plans and max_patterns must be >= 1")
-    spark = other.sparkSession
-    c = index.corpus
-    text_cols = dict(c.text_cols)
-    corpus_cols = set(c.df.columns)
-
     if other_id_col is None:
         # same determinism note as query_join: the id-stamped frame is
         # referenced by several plan branches, so pin the nondeterministic
@@ -452,6 +445,123 @@ def query_join_dsl(
         synthesized = True
     else:
         synthesized = False
+    c = index.corpus
+    nz, unioned = _dsl_column_scored_union(
+        index,
+        other,
+        query_col,
+        other_id_col,
+        max_plans=max_plans,
+        max_patterns=max_patterns,
+        broadcast_queries=broadcast_queries,
+    )
+
+    if unioned is None:
+        # every query NULL / analyzed-to-nothing: a type-correct empty
+        # ranked frame so the left join yields all-NULL match columns
+        ranked = (
+            nz.select("query_id")
+            .limit(0)
+            .select(
+                "query_id",
+                F.lit(None).cast("long").alias("match_doc_id"),
+                F.lit(None).cast("double").alias(SCORE),
+                F.lit(None).cast("int").alias("rank"),
+            )
+        )
+    else:
+        ranked = topk_per_group(
+            unioned,
+            ["query_id"],
+            [F.col(SCORE).desc(), F.col(DOC_ID).asc()],
+            k=k,
+            salt_buckets=salt_buckets,
+        ).select(
+            "query_id", F.col(DOC_ID).alias("match_doc_id"), SCORE, "rank"
+        )
+
+    # drop the RANKED side's key by reference — a caller id column
+    # itself named "query_id" must survive the join
+    out = other.join(
+        ranked, other[other_id_col] == ranked["query_id"], "left"
+    ).drop(ranked["query_id"])
+    if synthesized:
+        out = out.drop("_qid")
+    return _attach_elements(out, c, with_elements)
+
+
+def percolate_dsl_df(
+    index: "SearchIndex",
+    queries_df: DataFrame,
+    query_col: str,
+    id_col: str,
+    max_plans: int = 64,
+    max_patterns: int = MAX_DISTINCT_PATTERNS,
+    broadcast_queries: "bool | None" = None,
+) -> DataFrame:
+    """Percolation over a standing-query TABLE: the registered queries
+    live in ``queries_df`` as a serialized column (the Elasticsearch
+    percolator stores queries as documents; `search.percolate_dsl` takes
+    a driver-side list — this is the same contract with the registry as
+    DATA, so a million standing queries never visit the driver). Returns
+    EVERY ``(query_id, doc_id, score)`` match of every registered query
+    — no top-k window (percolation asks "which queries fire", not
+    "which docs rank best"). Queries with no matches, NULL trees, or
+    empty analyzed text contribute no rows.
+
+    Same executor-side shape grouping as :func:`query_join_dsl`; same
+    bounded-probe error/plan-budget contracts; same cache registration
+    (`SearchIndex.release_caches` frees the normalized frame).
+    """
+    if id_col not in queries_df.columns:
+        raise ValueError(
+            f"id_col {id_col!r} not in queries_df ({queries_df.columns})"
+        )
+    _, unioned = _dsl_column_scored_union(
+        index,
+        queries_df,
+        query_col,
+        id_col,
+        max_plans=max_plans,
+        max_patterns=max_patterns,
+        broadcast_queries=broadcast_queries,
+    )
+    if unioned is None:
+        return (
+            queries_df.select(F.col(id_col).alias("query_id"))
+            .limit(0)
+            .select(
+                "query_id",
+                F.lit(None).cast("long").alias(DOC_ID),
+                F.lit(None).cast("double").alias(SCORE),
+            )
+        )
+    return unioned
+
+
+def _dsl_column_scored_union(
+    index: "SearchIndex",
+    other: DataFrame,
+    query_col: str,
+    other_id_col: str,
+    max_plans: int,
+    max_patterns: int,
+    broadcast_queries: "bool | None",
+):
+    """(normalized frame, (query_id, doc_id, score) union-or-None) for a
+    frame carrying serialized query trees — the shared core of
+    `query_join_dsl` (top-k join-back) and `percolate_dsl_df` (all
+    matches). The normalized frame is persisted and registered on the
+    index; the union is None when no execution tier has any rows."""
+    if query_col not in other.columns:
+        raise ValueError(
+            f"query_col {query_col!r} not in other ({other.columns})"
+        )
+    if max_plans < 1 or max_patterns < 1:
+        raise ValueError("max_plans and max_patterns must be >= 1")
+    c = index.corpus
+    text_cols = dict(c.text_cols)
+    corpus_cols = set(c.df.columns)
 
     @pandas_udf(_NORM_SCHEMA)
     def _norm(js: pd.Series) -> pd.DataFrame:
@@ -669,42 +779,8 @@ def query_join_dsl(
         )
 
     if not branches:
-        # every query NULL / analyzed-to-nothing: a type-correct empty
-        # ranked frame so the left join yields all-NULL match columns
-        ranked = (
-            nz.select("query_id")
-            .limit(0)
-            .select(
-                "query_id",
-                F.lit(None).cast("long").alias("match_doc_id"),
-                F.lit(None).cast("double").alias(SCORE),
-                F.lit(None).cast("int").alias("rank"),
-            )
-        )
-        out = other.join(
-            ranked, other[other_id_col] == ranked["query_id"], "left"
-        ).drop(ranked["query_id"])
-        if synthesized:
-            out = out.drop("_qid")
-        return _attach_elements(out, c, with_elements)
+        return nz, None
     unioned = branches[0]
     for b in branches[1:]:
         unioned = unioned.unionByName(b)
-    ranked = topk_per_group(
-        unioned,
-        ["query_id"],
-        [F.col(SCORE).desc(), F.col(DOC_ID).asc()],
-        k=k,
-        salt_buckets=salt_buckets,
-    ).select(
-        "query_id", F.col(DOC_ID).alias("match_doc_id"), SCORE, "rank"
-    )
-
-    # drop the RANKED side's key by reference — a caller id column
-    # itself named "query_id" must survive the join
-    out = other.join(
-        ranked, other[other_id_col] == ranked["query_id"], "left"
-    ).drop(ranked["query_id"])
-    if synthesized:
-        out = out.drop("_qid")
-    return _attach_elements(out, c, with_elements)
+    return nz, unioned

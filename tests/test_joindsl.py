@@ -301,6 +301,45 @@ class TestQueryJoinDsl:
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
 
+    def test_percolate_df_equals_driver_list(self, spark, jidx):
+        # the table-registry percolator must produce EXACTLY the rows of
+        # the driver-list percolator for the same standing queries —
+        # every (query_id, doc_id, score) match, no top-k window
+        from sparksearchengine_spark.operators.joindsl import (
+            percolate_dsl_df,
+        )
+        from sparksearchengine_spark.operators.search import percolate_dsl
+
+        queries = [
+            (1, Q.field("text").match_term("spark")),
+            (2, Q.field("text").match_phrase("fast spark")),
+            (3, Q.field("text").match_term("engine") & F_.ge("views", 10)),
+            (4, ~Q.field("text").match_term("spark")),
+            (5, Q.field("text").match_wildcard("seg*")),
+        ]
+        want = sorted(
+            (r["query_id"], r["doc_id"], round(r["score"], 6))
+            for r in percolate_dsl(jidx, queries).collect()
+        )
+        qdf = spark.createDataFrame(
+            [(i, _ser(q)) for i, q in queries], "qid long, qjson string"
+        )
+        got = sorted(
+            (r["query_id"], r["doc_id"], round(r["score"], 6))
+            for r in percolate_dsl_df(jidx, qdf, "qjson", "qid").collect()
+        )
+        assert got == want
+
+    def test_percolate_df_empty_registry(self, spark, jidx):
+        from sparksearchengine_spark.operators.joindsl import (
+            percolate_dsl_df,
+        )
+
+        qdf = spark.createDataFrame([], "qid long, qjson string")
+        out = percolate_dsl_df(jidx, qdf, "qjson", "qid")
+        assert out.count() == 0
+        assert out.columns == ["query_id", "doc_id", "score"]
+
     def test_fuzzy_and_regex_rows(self, spark, jidx):
         rows = [
             (1, Q.field("text").match_fuzzy("sprak", max_edits=2)),
