@@ -171,10 +171,15 @@ def _normalize_one(
     js: "str | None",
     text_cols: dict,
     corpus_cols: "set[str]",
+    syntax: str = "json",
+    default_field: str = "text",
 ) -> dict:
     """Shape-classify ONE serialized query — the per-row normalization
     the Arrow UDF maps over the query column. Pure function of small
-    driver-shipped config; returns a record matching `_NORM_SCHEMA`."""
+    driver-shipped config; returns a record matching `_NORM_SCHEMA`.
+    ``syntax='json'`` decodes `plans.serde` trees; ``syntax='lucene'``
+    parses Lucene-ish saved-search strings via `plans.parser` (the Q12
+    grammar), per row, on the executors."""
     from sparksearchengine_spark.functions.analyzers import tokenize_py
     from sparksearchengine_spark.plans import ast
     from sparksearchengine_spark.plans.compiler import (
@@ -192,7 +197,12 @@ def _normalize_one(
         out["shape"] = "empty"
         return out
     try:
-        q = query_from_json(js)
+        if syntax == "lucene":
+            from sparksearchengine_spark.plans.parser import parse_query
+
+            q = parse_query(js, default_field)
+        else:
+            q = query_from_json(js)
     except ValueError as e:
         out["shape"] = "error"
         out["err"] = str(e)
@@ -406,6 +416,8 @@ def query_join_dsl(
     with_elements: bool = False,
     salt_buckets: "int | None" = None,
     broadcast_queries: "bool | None" = None,
+    syntax: str = "json",
+    default_field: str = "text",
 ) -> DataFrame:
     """E7 with a fully general query generator: each row of ``other``
     carries its OWN query tree in ``query_col`` (canonical or any valid
@@ -454,6 +466,8 @@ def query_join_dsl(
         max_plans=max_plans,
         max_patterns=max_patterns,
         broadcast_queries=broadcast_queries,
+        syntax=syntax,
+        default_field=default_field,
     )
 
     if unioned is None:
@@ -498,6 +512,8 @@ def percolate_dsl_df(
     max_plans: int = 64,
     max_patterns: int = MAX_DISTINCT_PATTERNS,
     broadcast_queries: "bool | None" = None,
+    syntax: str = "json",
+    default_field: str = "text",
 ) -> DataFrame:
     """Percolation over a standing-query TABLE: the registered queries
     live in ``queries_df`` as a serialized column (the Elasticsearch
@@ -525,6 +541,8 @@ def percolate_dsl_df(
         max_plans=max_plans,
         max_patterns=max_patterns,
         broadcast_queries=broadcast_queries,
+        syntax=syntax,
+        default_field=default_field,
     )
     if unioned is None:
         return (
@@ -547,6 +565,8 @@ def _dsl_column_scored_union(
     max_plans: int,
     max_patterns: int,
     broadcast_queries: "bool | None",
+    syntax: str = "json",
+    default_field: str = "text",
 ):
     """(normalized frame, (query_id, doc_id, score) union-or-None) for a
     frame carrying serialized query trees — the shared core of
@@ -563,10 +583,20 @@ def _dsl_column_scored_union(
     text_cols = dict(c.text_cols)
     corpus_cols = set(c.df.columns)
 
+    if syntax not in ("json", "lucene"):
+        raise ValueError(
+            f"syntax must be 'json' or 'lucene', got {syntax!r}"
+        )
+
     @pandas_udf(_NORM_SCHEMA)
     def _norm(js: pd.Series) -> pd.DataFrame:
         return pd.DataFrame(
-            [_normalize_one(v, text_cols, corpus_cols) for v in js]
+            [
+                _normalize_one(
+                    v, text_cols, corpus_cols, syntax, default_field
+                )
+                for v in js
+            ]
         )
 
     nz = (

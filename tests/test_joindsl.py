@@ -301,6 +301,53 @@ class TestQueryJoinDsl:
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
 
+    def test_lucene_syntax_rows_match_parse(self, spark, jidx):
+        # saved-search STRINGS as the column: each row parses through
+        # the Q12 grammar on the executors and must equal the
+        # driver-side Q.parse + search() result
+        from sparksearchengine_spark.operators.joindsl import (
+            query_join_dsl,
+        )
+
+        strings = [
+            (1, "spark"),
+            (2, '"fast spark"'),
+            (3, "engine AND NOT spark"),
+            (4, "fast^2 oil"),
+            (5, "seg*"),
+        ]
+        df = spark.createDataFrame(strings, "rid long, qs string")
+        out = query_join_dsl(
+            jidx, df, "qs", other_id_col="rid", syntax="lucene"
+        )
+        got: dict = {}
+        for r in out.collect():
+            got.setdefault(r["rid"], [])
+            if r["match_doc_id"] is not None:
+                got[r["rid"]].append(
+                    (r["match_doc_id"], round(r["score"], 6), r["rank"])
+                )
+        for rid, qs in strings:
+            want = _single(jidx, Q.parse(qs))
+            assert sorted(got[rid]) == want, f"row {rid}: {qs}"
+
+    def test_lucene_syntax_parse_error_raises(self, spark, jidx):
+        from sparksearchengine_spark.operators.joindsl import (
+            query_join_dsl,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 'text:[3 TO')], "rid long, qs string"
+        )
+        with pytest.raises(ValueError, match="query_join_dsl"):
+            query_join_dsl(
+                jidx, df, "qs", other_id_col="rid", syntax="lucene"
+            )
+        with pytest.raises(ValueError, match="syntax"):
+            query_join_dsl(
+                jidx, df, "qs", other_id_col="rid", syntax="sql"
+            )
+
     def test_percolate_df_equals_driver_list(self, spark, jidx):
         # the table-registry percolator must produce EXACTLY the rows of
         # the driver-list percolator for the same standing queries —
