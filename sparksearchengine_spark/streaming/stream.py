@@ -653,3 +653,63 @@ def percolate_stream_dsl(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def percolate_stream_registry(
+    docs_stream: DataFrame,
+    registry_df: DataFrame,
+    out_path: str,
+    query_col: str = "query",
+    qid_col: str = "query_id",
+    syntax: str = "json",
+    default_field: str = "text",
+    id_col: str = "doc_id",
+    text_cols: dict | None = None,
+    max_plans: int = 64,
+    checkpoint: str | None = None,
+    trigger_available_now: bool = True,
+) -> StreamingQuery:
+    """`percolate_stream_dsl` with the standing-query registry as a
+    TABLE (r7): ``registry_df`` is a STATIC DataFrame whose rows carry
+    serialized query trees (`plans.serde` JSON, or Lucene-ish strings
+    with ``syntax='lucene'``) — the Elasticsearch queries-as-documents
+    shape. Each micro-batch is indexed in place and matched through
+    `operators.joindsl.percolate_dsl_df`, so a registry far too large to
+    enumerate driver-side (the `percolate_stream_dsl` list) percolates
+    with only its distinct filter signatures / general shapes touching
+    the driver. Output contract identical: ``(query_id, doc_id, score)``
+    rows at ``out_path/batch_id=N``, idempotent per-batch overwrite;
+    every per-batch cache (index + normalized registry) is released in
+    the ``finally``.
+    """
+    from sparksearchengine_spark.operators.index import (
+        Corpus,
+        TextOptions,
+    )
+    from sparksearchengine_spark.operators.joindsl import percolate_dsl_df
+
+    tc = text_cols or {"text": TextOptions()}
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        idx = Corpus(batch_df, id_col=id_col, text_cols=tc).build_index()
+        try:
+            percolate_dsl_df(
+                idx,
+                registry_df,
+                query_col,
+                qid_col,
+                max_plans=max_plans,
+                syntax=syntax,
+                default_field=default_field,
+            ).write.mode("overwrite").parquet(
+                f"{out_path}/batch_id={batch_id}"
+            )
+        finally:
+            idx.unpersist()
+
+    writer = docs_stream.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint or f"{out_path}/_checkpoint"
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -732,3 +732,41 @@ class TestPercolateDsl:
             for r in percolate_dsl(idx, self._queries()).collect()
         )
         assert got == want and len(want) > 0
+
+    def test_registry_table_stream_equals_list(self, spark, tmp_path):
+        # r7: the standing-query registry as a TABLE of serialized
+        # trees — streamed matches must equal the driver-list stream's
+        from sparksearchengine_spark import Corpus, TextOptions
+        from sparksearchengine_spark.operators.search import percolate_dsl
+        from sparksearchengine_spark.plans.serde import query_to_json
+        from sparksearchengine_spark.streaming.stream import (
+            percolate_stream_registry,
+        )
+
+        docs = spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        d = str(tmp_path / "preg_in")
+        docs.write.mode("overwrite").parquet(d)
+        stream = spark.readStream.schema(docs.schema).parquet(d)
+        out = str(tmp_path / "preg_out")
+        tc = {"text": TextOptions(positions=True)}
+        reg = spark.createDataFrame(
+            [(i, query_to_json(q)) for i, q in self._queries()],
+            "query_id long, query string",
+        )
+        q = percolate_stream_registry(
+            stream, reg, out, text_cols=tc,
+            checkpoint=str(tmp_path / "preg_cp"),
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            (r.query_id, r.doc_id, round(r.score, 6))
+            for r in spark.read.parquet(out).collect()
+        )
+        idx = Corpus(docs, id_col="doc_id", text_cols=tc).build_index()
+        want = sorted(
+            (r.query_id, r.doc_id, round(r.score, 6))
+            for r in percolate_dsl(idx, self._queries()).collect()
+        )
+        assert got == want and len(want) > 0
