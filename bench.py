@@ -542,10 +542,10 @@ def main() -> None:
             elif m == 3:
                 q = f18.match_term(t1) & _F.ge("n_chars", 100 + (i % 7) * 50)
             else:
-                # general tier: 4 DISTINCT canons across 400 rows — the
-                # realistic registry shape (many rows, few plans); a
-                # canon-per-row stress test belongs in pytest, not the
-                # headline suite
+                # general tier: 4 DISTINCT canons across the 30
+                # general rows — the realistic registry shape (many
+                # rows, few plans); a canon-per-row stress test
+                # belongs in pytest, not the headline suite
                 ga, gb = toks16[i % 4], toks16[(i % 4) + 6]
                 q = f18.match_term(ga) & ~f18.match_term(gb)
             shapes.append((i, query_to_json(q)))

@@ -543,6 +543,7 @@ def percolate_dsl_df(
         broadcast_queries=broadcast_queries,
         syntax=syntax,
         default_field=default_field,
+        op_name="percolate_dsl_df",
     )
     if unioned is None:
         return (
@@ -567,6 +568,7 @@ def _dsl_column_scored_union(
     broadcast_queries: "bool | None",
     syntax: str = "json",
     default_field: str = "text",
+    op_name: str = "query_join_dsl",
 ):
     """(normalized frame, (query_id, doc_id, score) union-or-None) for a
     frame carrying serialized query trees — the shared core of
@@ -624,7 +626,7 @@ def _dsl_column_scored_union(
     if not over_budget:
         for g in groups:
             if g["shape"] == "error":
-                raise ValueError(f"query_join_dsl: {g['err']}")
+                raise ValueError(f"{op_name}: {g['err']}")
     sigs = sorted(
         {g["fsig"] for g in groups if g["shape"] == "terms" and g["fsig"]}
     )
@@ -647,6 +649,23 @@ def _dsl_column_scored_union(
 
     branches: "list[DataFrame]" = []
 
+    def _scored_union() -> DataFrame:
+        # ONE union of every text field's cached scored postings,
+        # built lazily and shared by the terms and multi-term tiers
+        # (the join key `field` is data, so Catalyst cannot prune
+        # union branches — build it once, not once per tier)
+        if "_sp" not in shared:
+            sp = None
+            for f in sorted(text_cols):
+                one = index.scored_postings(f).withColumn(
+                    "field", F.lit(f)
+                )
+                sp = one if sp is None else sp.unionByName(one)
+            shared["_sp"] = sp
+        return shared["_sp"]
+
+    shared: dict = {}
+
     # -- tier 1: weighted terms (+ per-signature filters) ------------------
     if has_plain_terms or sigs:
         tq = nz.where(F.col("shape") == "terms").select(
@@ -660,13 +679,9 @@ def _dsl_column_scored_union(
             F.col("_tr.term").alias("term"),
             F.col("_tr.w").alias("_w"),
         )
-        sp = None
-        for f in sorted(text_cols):
-            one = index.scored_postings(f).withColumn("field", F.lit(f))
-            sp = one if sp is None else sp.unionByName(one)
         qside = _hint_query_side(tq, other, broadcast_queries)
         agg = (
-            sp.join(qside, ["field", "term"])
+            _scored_union().join(qside, ["field", "term"])
             .groupBy("query_id", DOC_ID)
             .agg(
                 F.sum(F.col("tscore") * F.col("_w")).alias(SCORE),
@@ -774,12 +789,8 @@ def _dsl_column_scored_union(
         qterm = mtq.join(
             F.broadcast(matched), ["field", "kind", "pat", "edits"]
         ).select("query_id", "field", "term")
-        msp = None
-        for f in sorted(text_cols):
-            one = index.scored_postings(f).withColumn("field", F.lit(f))
-            msp = one if msp is None else msp.unionByName(one)
         branches.append(
-            msp.join(
+            _scored_union().join(
                 _hint_query_side(qterm, other, broadcast_queries),
                 ["field", "term"],
             )

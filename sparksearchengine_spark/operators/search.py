@@ -1502,23 +1502,37 @@ def get_elements(index: "SearchIndex", ids: Iterable[int]) -> DataFrame:
 
 
 
-# -- extension families (round-7 split): re-export for stable imports -------
-# `search_ext` imports core helpers from THIS module; the import sits at
-# the end so every name it needs is already bound (no circularity).
-from sparksearchengine_spark.operators.search_ext import (  # noqa: E402
-    _match_set_join,
-    bm25f_search,
-    collapse_results,
-    explain_scores,
-    facet_counts,
-    facet_cube,
-    facet_metrics,
-    grouped_search,
-    highlight_snippets,
-    more_like_this_text,
-    multi_match_search,
-    passage_to_doc,
-    prf_expand_search,
-    rescore_search,
-    rrf_fuse,
-)
+# -- extension families (round-7 split): LAZY re-export (PEP 562) ----------
+# `search_ext` imports core helpers from THIS module at ITS import time,
+# so an eager end-of-module import here would deadlock the cycle when
+# search_ext is the first module touched (search.py would re-enter the
+# partially initialized search_ext). Module __getattr__ resolves the
+# names on first access instead — `from operators.search import
+# rescore_search` keeps working from either import order.
+_EXT_NAMES = frozenset({
+    "_match_set_join",
+    "bm25f_search",
+    "collapse_results",
+    "explain_scores",
+    "facet_counts",
+    "facet_cube",
+    "facet_metrics",
+    "grouped_search",
+    "highlight_snippets",
+    "more_like_this_text",
+    "multi_match_search",
+    "passage_to_doc",
+    "prf_expand_search",
+    "rescore_search",
+    "rrf_fuse",
+})
+
+
+def __getattr__(name: str):  # noqa: N807 — PEP 562 module hook
+    if name in _EXT_NAMES:
+        from sparksearchengine_spark.operators import search_ext
+
+        return getattr(search_ext, name)
+    raise AttributeError(
+        f"module {__name__!r} has no attribute {name!r}"
+    )

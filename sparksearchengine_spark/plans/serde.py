@@ -211,10 +211,22 @@ def query_to_json(q: "ast.Query") -> str:
 
 
 def query_from_json(s: str) -> "ast.Query":
-    """Inverse of :func:`query_to_json`; validates node tags and raises
-    ``ValueError`` on malformed input (naming the payload)."""
+    """Inverse of :func:`query_to_json`; raises ``ValueError`` (naming
+    the payload) on ANY malformed input — unparseable JSON, unknown
+    node tags, and structurally broken nodes (missing fields, wrong
+    child types, out-of-range dataclass values) alike, so callers and
+    the `joindsl` executor UDF need exactly one exception contract."""
     try:
         d = json.loads(s)
     except (TypeError, json.JSONDecodeError) as e:
         raise ValueError(f"malformed query JSON {s!r}: {e}") from e
-    return _dec(d)
+    try:
+        return _dec(d)
+    except ValueError:
+        raise
+    except (KeyError, TypeError) as e:
+        # a well-formed JSON object that is not a valid node encoding
+        # (e.g. {"t":"MatchTerm"} with no "term", operands: null)
+        raise ValueError(
+            f"invalid query node encoding {s!r}: {type(e).__name__}: {e}"
+        ) from e

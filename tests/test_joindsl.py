@@ -131,6 +131,21 @@ class TestSerde:
         with pytest.raises(ValueError, match="unknown query node"):
             query_from_json('{"t":"NoSuchNode"}')
 
+    def test_structurally_broken_nodes_raise_valueerror(self):
+        # well-formed JSON that is not a valid node encoding must raise
+        # ValueError too (one exception contract for the executor UDF —
+        # never a KeyError/TypeError task crash)
+        from sparksearchengine_spark.plans.serde import query_from_json
+
+        for bad in (
+            '{"t":"MatchTerm","field":"text"}',  # missing term
+            '{"t":"And","operands":null}',  # wrong child type
+            '{"t":"Boost","operand":{"t":"AllDocs"}}',  # missing factor
+            '{"t":"MatchTermSet","field":"f","terms":[],"min_match":1}',
+        ):
+            with pytest.raises(ValueError):
+                query_from_json(bad)
+
 
 class TestQueryJoinDsl:
     def test_structurally_mixed_rows_match_single_query(self, spark, jidx):
@@ -376,6 +391,19 @@ class TestQueryJoinDsl:
             for r in percolate_dsl_df(jidx, qdf, "qjson", "qid").collect()
         )
         assert got == want
+
+    def test_percolate_df_error_names_itself(self, spark, jidx):
+        # probe failures through the percolator must name the operator
+        # the user called, not query_join_dsl
+        from sparksearchengine_spark.operators.joindsl import (
+            percolate_dsl_df,
+        )
+
+        bad = spark.createDataFrame(
+            [(1, "{nope")], "qid long, qjson string"
+        )
+        with pytest.raises(ValueError, match="percolate_dsl_df"):
+            percolate_dsl_df(jidx, bad, "qjson", "qid")
 
     def test_percolate_df_empty_registry(self, spark, jidx):
         from sparksearchengine_spark.operators.joindsl import (
