@@ -360,3 +360,95 @@ def correct_queries(
     )
 
 
+def batch_search_corrected(
+    index: "SearchIndex",
+    queries_df: DataFrame,
+    query_id_col: str = "query_id",
+    text_col: str = "qtext",
+    field: str = "text",
+    k: int = 10,
+    min_hits: int = 1,
+    max_dist: int = 1,
+    max_candidates: int = 8,
+    **spell_kw,
+) -> DataFrame:
+    """Did-you-mean retry for a query-log batch — the Elasticsearch
+    `suggest` + client-retry flow as ONE operator: run the batch, find
+    the queries with fewer than ``min_hits`` results, correct ONLY
+    those through :func:`correct_queries` (best suggestion, and only
+    when it actually ``changed``), re-run the corrected subset, and
+    union. Queries whose original text already satisfies ``min_hits``
+    — and short queries with NO accepted suggestion — keep their
+    original results untouched (bit-identical — the same rows, not
+    re-scored).
+
+    Returns ``(query_id, doc_id, score, rank, used_query, corrected)``
+    — ``used_query`` is the text that produced the row (original or
+    suggestion), ``corrected`` whether the retry path produced it.
+    Queries with no hits under either text contribute no rows (the
+    `batch_search` contract).
+
+    Scale shape: one batch pass + one bounded correction (the
+    under-``min_hits`` id set rides a join, never the driver) + one
+    batch pass over ONLY the corrected queries. No per-query jobs; the
+    only driver action is Spark's own on the final collect.
+    """
+    from sparksearchengine_spark.operators.search import batch_search
+
+    qsel = queries_df.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(text_col).alias("qtext"),
+    )
+    first = batch_search(index, qsel, k=k, field=field)
+    hit_counts = first.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("_nhits")
+    )
+    # queries under the hit floor: zero-hit ids (anti join) + ids whose
+    # count is below min_hits
+    short = (
+        qsel.join(hit_counts, "query_id", "left")
+        .where(F.coalesce(F.col("_nhits"), F.lit(0)) < min_hits)
+        .select("query_id", "qtext")
+    )
+    sugg = correct_queries(
+        index,
+        short,
+        query_id_col="query_id",
+        text_col="qtext",
+        field=field,
+        max_dist=max_dist,
+        max_candidates=max_candidates,
+        k=1,
+        **spell_kw,
+    ).where(F.col("changed"))
+    retry_q = sugg.select(
+        "query_id", F.col("corrected").alias("qtext")
+    )
+    second = batch_search(index, retry_q, k=k, field=field)
+    # originals stay for (a) queries at/over the hit floor and (b) short
+    # queries with NO accepted suggestion — a partial result beats
+    # losing it because nothing in the vocabulary was close enough
+    replaced = retry_q.select("query_id")
+    kept = (
+        first.join(replaced, "query_id", "left_anti")
+        .join(qsel, "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "score",
+            "rank",
+            F.col("qtext").alias("used_query"),
+            F.lit(False).alias("corrected"),
+        )
+    )
+    retried = second.join(retry_q, "query_id").select(
+        "query_id",
+        "doc_id",
+        "score",
+        "rank",
+        F.col("qtext").alias("used_query"),
+        F.lit(True).alias("corrected"),
+    )
+    return kept.unionByName(retried)
+
+

@@ -239,3 +239,77 @@ class TestCorrectQueries:
         r = got[(1, 1)]
         assert r["corrected"] == "the grain harvest was poor green tea is great"
         assert r["n_edits"] == 0 and not r["changed"]
+
+
+class TestBatchSearchCorrected:
+    """Did-you-mean retry flow (batch_search_corrected): misspelled
+    queries get the suggestion's results, healthy queries keep their
+    original rows bit-identical, uncorrectable queries fall back."""
+
+    def _run(self, spark, spell_index, pairs, **kw):
+        from sparksearchengine_spark.operators.spelling import (
+            batch_search_corrected,
+        )
+
+        qs = spark.createDataFrame(pairs, "query_id long, qtext string")
+        rows = batch_search_corrected(spell_index, qs, **kw).collect()
+        out: dict = {}
+        for r in rows:
+            out.setdefault(r["query_id"], []).append(r)
+        return out
+
+    def test_misspelled_query_retries_with_suggestion(
+        self, spark, spell_index
+    ):
+        got = self._run(
+            spark, spell_index, [(1, "sparkk"), (2, "beer")], k=3
+        )
+        # query 1 found nothing as-typed; the suggestion drives results
+        assert got[1][0]["used_query"] == "spark"
+        assert all(r["corrected"] for r in got[1])
+        assert {r["doc_id"] for r in got[1]} == {4}
+        # query 2 was healthy: original rows, corrected=False
+        assert all(not r["corrected"] for r in got[2])
+        assert got[2][0]["used_query"] == "beer"
+
+    def test_healthy_rows_bit_identical_to_batch_search(
+        self, spark, spell_index
+    ):
+        from sparksearchengine_spark.operators.search import batch_search
+
+        got = self._run(spark, spell_index, [(1, "beer mug")], k=5)
+        qs = spark.createDataFrame(
+            [(1, "beer mug")], "query_id long, qtext string"
+        )
+        want = {
+            (r["doc_id"], r["score"], r["rank"])
+            for r in batch_search(
+                spell_index, qs, k=5, field="text"
+            ).collect()
+        }
+        assert {
+            (r["doc_id"], r["score"], r["rank"]) for r in got[1]
+        } == want
+
+    def test_uncorrectable_query_keeps_partial_hits(
+        self, spark, spell_index
+    ):
+        # "zzzqqq beer": one OOV token + one hot token -> SOME hits but
+        # (with min_hits high) still "short"; no in-vocabulary
+        # suggestion changes it, so the original partial hits survive
+        got = self._run(
+            spark,
+            spell_index,
+            [(1, "zzzqqq beer")],
+            k=5,
+            min_hits=4,
+        )
+        assert 1 in got
+        assert all(not r["corrected"] for r in got[1])
+        assert {r["doc_id"] for r in got[1]} == {1}
+
+    def test_no_hits_either_way_contributes_no_rows(
+        self, spark, spell_index
+    ):
+        got = self._run(spark, spell_index, [(1, "zzzqqq xxxyyy")], k=3)
+        assert got == {}
