@@ -87,7 +87,7 @@ _NORM_SCHEMA = (
     " fsig string,"
     " fvals array<struct<v_num:double,v_str:string,lo_num:double,"
     "hi_num:double,lo_str:string,hi_str:string>>,"
-    " canon string"
+    " canon string, xkey string"
 )
 
 _EMPTY_NORM = {
@@ -106,6 +106,7 @@ _EMPTY_NORM = {
     "fsig": None,
     "fvals": None,
     "canon": None,
+    "xkey": None,
 }
 
 _NOVAL = {
@@ -192,6 +193,8 @@ def _normalize_one(
         query_to_json,
     )
 
+    import hashlib
+
     out = dict(_EMPTY_NORM)
     if js is None:
         out["shape"] = "empty"
@@ -207,6 +210,14 @@ def _normalize_one(
         out["shape"] = "error"
         out["err"] = str(e)
         return out
+
+    # execution key: md5 of the canonical tree — rows carrying EQUAL
+    # trees share it, so dedup_queries can execute once per distinct
+    # query (a zipfian log's hot query costs one execution, not one
+    # per occurrence)
+    out["xkey"] = hashlib.md5(
+        query_to_json(q).encode("utf-8")
+    ).hexdigest()
 
     def _general() -> dict:
         out["shape"] = "general"
@@ -418,6 +429,7 @@ def query_join_dsl(
     broadcast_queries: "bool | None" = None,
     syntax: str = "json",
     default_field: str = "text",
+    dedup_queries: bool = False,
 ) -> DataFrame:
     """E7 with a fully general query generator: each row of ``other``
     carries its OWN query tree in ``query_col`` (canonical or any valid
@@ -441,6 +453,14 @@ def query_join_dsl(
     The normalized per-row shape frame is persisted for the branch fan-
     out and registered on the index (`SearchIndex.register_cache`);
     call ``index.release_caches()`` to free it in long-lived sessions.
+
+    ``dedup_queries`` (default OFF, mirroring `search.query_join`):
+    rows carrying EQUAL query trees execute ONCE — tiers run per
+    distinct canonical tree, the top-k window runs per distinct tree,
+    and only the k-bounded results fan back to the original rows by
+    the md5 execution key. Turn it on for duplicate-heavy (zipfian)
+    query logs; on all-distinct inputs the extra dropDuplicates
+    shuffle and fan-back join buy nothing.
     """
     if query_col not in other.columns:
         raise ValueError(
@@ -468,6 +488,7 @@ def query_join_dsl(
         broadcast_queries=broadcast_queries,
         syntax=syntax,
         default_field=default_field,
+        dedup_queries=dedup_queries,
     )
 
     if unioned is None:
@@ -493,6 +514,10 @@ def query_join_dsl(
         ).select(
             "query_id", F.col(DOC_ID).alias("match_doc_id"), SCORE, "rank"
         )
+        if dedup_queries:
+            # the window ran per DISTINCT tree; fan the k-bounded rows
+            # back to every original row sharing the execution key
+            ranked = _fan_back(ranked, nz)
 
     # drop the RANKED side's key by reference — a caller id column
     # itself named "query_id" must survive the join
@@ -514,6 +539,7 @@ def percolate_dsl_df(
     broadcast_queries: "bool | None" = None,
     syntax: str = "json",
     default_field: str = "text",
+    dedup_queries: bool = False,
 ) -> DataFrame:
     """Percolation over a standing-query TABLE: the registered queries
     live in ``queries_df`` as a serialized column (the Elasticsearch
@@ -533,7 +559,7 @@ def percolate_dsl_df(
         raise ValueError(
             f"id_col {id_col!r} not in queries_df ({queries_df.columns})"
         )
-    _, unioned = _dsl_column_scored_union(
+    nz, unioned = _dsl_column_scored_union(
         index,
         queries_df,
         query_col,
@@ -544,7 +570,10 @@ def percolate_dsl_df(
         syntax=syntax,
         default_field=default_field,
         op_name="percolate_dsl_df",
+        dedup_queries=dedup_queries,
     )
+    if dedup_queries and unioned is not None:
+        unioned = _fan_back(unioned, nz)
     if unioned is None:
         return (
             queries_df.select(F.col(id_col).alias("query_id"))
@@ -558,6 +587,20 @@ def percolate_dsl_df(
     return unioned
 
 
+def _fan_back(keyed: DataFrame, nz: DataFrame) -> DataFrame:
+    """Map execution-keyed result rows back to every original query row
+    sharing the tree: keyed.query_id carries the md5 execution key, the
+    normalized frame carries (original query_id, xkey)."""
+    mapping = nz.where(F.col("xkey").isNotNull()).select(
+        F.col("query_id").alias("_oid"), "xkey"
+    )
+    cols = [c for c in keyed.columns if c != "query_id"]
+    return (
+        keyed.join(mapping, keyed["query_id"] == mapping["xkey"])
+        .select(F.col("_oid").alias("query_id"), *cols)
+    )
+
+
 def _dsl_column_scored_union(
     index: "SearchIndex",
     other: DataFrame,
@@ -569,12 +612,20 @@ def _dsl_column_scored_union(
     syntax: str = "json",
     default_field: str = "text",
     op_name: str = "query_join_dsl",
+    dedup_queries: bool = False,
 ):
     """(normalized frame, (query_id, doc_id, score) union-or-None) for a
     frame carrying serialized query trees — the shared core of
     `query_join_dsl` (top-k join-back) and `percolate_dsl_df` (all
     matches). The normalized frame is persisted and registered on the
-    index; the union is None when no execution tier has any rows."""
+    index; the union is None when no execution tier has any rows.
+
+    ``dedup_queries``: execute once per DISTINCT canonical tree — the
+    union's query_id column then carries the md5 execution key (the
+    normalized frame's ``xkey``), and the caller fans results back to
+    original ids via ``nz.select(query_id, xkey)``. Opt-in, for
+    duplicate-heavy (zipfian) query logs: the hot query's join/agg
+    volume is paid once, not once per occurrence."""
     if query_col not in other.columns:
         raise ValueError(
             f"query_col {query_col!r} not in other ({other.columns})"
@@ -610,6 +661,20 @@ def _dsl_column_scored_union(
         .persist()
     )
     index.register_cache(nz)
+    if dedup_queries:
+        # execute per distinct tree: re-key the tier input on xkey, one
+        # row per distinct query. NULL-xkey rows (error/empty shapes)
+        # feed no tier, so they are excluded here — the probe below
+        # still reads the FULL nz, so errors keep raising. All tiers
+        # read `exe` through the same column names; their plans are
+        # untouched (query_id is just string-typed in this mode).
+        exe = (
+            nz.where(F.col("xkey").isNotNull())
+            .withColumn("query_id", F.col("xkey"))
+            .dropDuplicates(["query_id"])
+        )
+    else:
+        exe = nz
 
     # -- ONE bounded probe: shape presence, first error, distinct filter
     # signatures, distinct general canons. Group count is bounded when
@@ -668,7 +733,7 @@ def _dsl_column_scored_union(
 
     # -- tier 1: weighted terms (+ per-signature filters) ------------------
     if has_plain_terms or sigs:
-        tq = nz.where(F.col("shape") == "terms").select(
+        tq = exe.where(F.col("shape") == "terms").select(
             "query_id",
             F.col("min_match").alias("_minm"),
             F.explode("terms").alias("_tr"),
@@ -696,7 +761,7 @@ def _dsl_column_scored_union(
             # every terms row is unfiltered: no signature join at all
             branches.append(tmatch)
         else:
-            sigmap = nz.where(F.col("shape") == "terms").select(
+            sigmap = exe.where(F.col("shape") == "terms").select(
                 "query_id", "fsig", "fvals"
             )
             tm = tmatch.join(
@@ -729,7 +794,7 @@ def _dsl_column_scored_union(
         f for f, o in text_cols.items() if o.positions
     )
     if "phrase" in shapes_present and ph_fields:
-        pq = nz.where(F.col("shape") == "phrase").select(
+        pq = exe.where(F.col("shape") == "phrase").select(
             "query_id",
             F.col("ph_field").alias("field"),
             F.col("ph_n").alias("_n"),
@@ -750,7 +815,7 @@ def _dsl_column_scored_union(
 
     # -- tier 3: multi-term patterns, deduped, one vocabulary scan ---------
     if "mt" in shapes_present:
-        mtq = nz.where(F.col("shape") == "mt").select(
+        mtq = exe.where(F.col("shape") == "mt").select(
             "query_id",
             F.col("mt_field").alias("field"),
             F.col("mt_kind").alias("kind"),
@@ -809,7 +874,7 @@ def _dsl_column_scored_union(
                 "_canon", F.lit(canon)
             )
             cp = compiled if cp is None else cp.unionByName(compiled)
-        gids = nz.where(F.col("shape") == "general").select(
+        gids = exe.where(F.col("shape") == "general").select(
             "query_id", F.col("canon").alias("_canon")
         )
         branches.append(

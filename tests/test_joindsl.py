@@ -432,3 +432,67 @@ class TestQueryJoinDsl:
         got = _run(jidx, spark, rows)
         for rid, q in rows:
             assert got[rid] == _single(jidx, q), f"row {rid}"
+
+
+class TestDedupQueries:
+    """dedup_queries=True: equal trees execute once (compile-spied for
+    general shapes) and results equal the non-dedup path exactly."""
+
+    def test_results_equal_and_one_execution(self, spark, jidx, monkeypatch):
+        import sparksearchengine_spark.operators.index as index_mod
+        from sparksearchengine_spark.operators.joindsl import (
+            query_join_dsl,
+        )
+
+        qa = ~Q.field("text").match_term("spark")  # general shape
+        qt = Q.field("text").match_text("fast engine")  # terms shape
+        rows = (
+            [(i, _ser(qa)) for i in range(6)]
+            + [(10 + i, _ser(qt)) for i in range(4)]
+        )
+        df = spark.createDataFrame(rows, "rid long, qjson string")
+
+        calls: list = []
+        orig = index_mod.SearchIndex.compile
+
+        def spy(self, q):  # type: ignore[no-untyped-def]
+            calls.append(q)
+            return orig(self, q)
+
+        monkeypatch.setattr(index_mod.SearchIndex, "compile", spy)
+        plain = query_join_dsl(jidx, df, "qjson", k=3, other_id_col="rid")
+        deduped = query_join_dsl(
+            jidx, df, "qjson", k=3, other_id_col="rid", dedup_queries=True
+        )
+
+        def canon(out):
+            return sorted(
+                (r["rid"], r["match_doc_id"], round(r["score"], 6), r["rank"])
+                for r in out.collect()
+                if r["match_doc_id"] is not None
+            )
+
+        assert canon(deduped) == canon(plain)
+        # general shapes compile once per distinct tree on BOTH paths
+        assert len(calls) == 2
+
+    def test_percolate_dedup_equal(self, spark, jidx):
+        from sparksearchengine_spark.operators.joindsl import (
+            percolate_dsl_df,
+        )
+
+        q = Q.field("text").match_phrase("fast spark")
+        df = spark.createDataFrame(
+            [(i, _ser(q)) for i in range(5)], "qid long, qjson string"
+        )
+        a = sorted(
+            (r["query_id"], r["doc_id"], round(r["score"], 6))
+            for r in percolate_dsl_df(jidx, df, "qjson", "qid").collect()
+        )
+        b = sorted(
+            (r["query_id"], r["doc_id"], round(r["score"], 6))
+            for r in percolate_dsl_df(
+                jidx, df, "qjson", "qid", dedup_queries=True
+            ).collect()
+        )
+        assert a == b and len(a) > 0
