@@ -7,7 +7,7 @@ The full 100 TB recipe, stage by stage, each op the scale-shaped one
 2. quality      — Gopher rules + token entropy + zlib compression ratio
 3. perplexity   — unigram-LM NLL -> CCNet head/middle/tail per lang
                   (drop the tail bucket)
-4. dedup        — exact (hash groupBy) then MinHash-LSH near-dup canon
+4. dedup        — paragraph (Dolma), exact (hash groupBy), MinHash-LSH canon
 5. decontam     — Bloom-filter n-gram overlap vs a held-out eval slice
 6. mixture      — temperature-smoothed (alpha=0.5) token-budget sample
 7. pack         — token-window chunks packed to a fixed budget
@@ -109,7 +109,11 @@ def main() -> None:
     n3 = docs.count()
     print(f"[3] perplexity head+middle kept {n3}/{n2}")
 
-    # 4. dedup: exact first (cheap), then MinHash-LSH near-dup canon
+    # 4. dedup: paragraph-level first (Dolma-style — rewrites text, so
+    # it runs BEFORE whole-doc hashing), then exact, then MinHash-LSH
+    from sparksearchengine_spark.operators.dedup import dedup_paragraphs
+
+    docs = dedup_paragraphs(docs).drop("n_paragraphs", "n_removed")
     ex = exact_dedup(docs, ["text"])
     docs = docs.join(
         ex.where(~F.col("is_duplicate")).select("doc_id"), "doc_id"
