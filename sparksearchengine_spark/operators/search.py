@@ -1033,8 +1033,10 @@ def _dsl_scored_union(
     if mt_rows:
         # multi-term queries as data: ONE vocabulary scan serves every
         # wildcard/regex/fuzzy pattern in the batch. The pattern frame
-        # broadcasts into a nested-loop join against TERMSTATS
-        # (dictionary-sized — the Lucene MultiTermQuery contract: the
+        # broadcasts into a hash join on `field` against TERMSTATS with
+        # the generic like/rlike/levenshtein OR-condition as the ONE
+        # post-join filter (plan-asserted in TestPlanShapeRound2 —
+        # dictionary-sized, the Lucene MultiTermQuery contract: the
         # postings side never evaluates a LIKE/regex/levenshtein), then
         # the matched (query_id, term) pairs hash-join the shared
         # scored-postings scan; docs dedupe to constant score 1.0,
