@@ -433,9 +433,11 @@ def query_join_dsl(
 ) -> DataFrame:
     """E7 with a fully general query generator: each row of ``other``
     carries its OWN query tree in ``query_col`` (canonical or any valid
-    JSON from `plans.serde.query_to_json`), and structurally different
-    rows execute in the same call — row 1 a term, row 2 a phrase, row 3
-    a filtered boolean.
+    JSON from `plans.serde.query_to_json`; or, with
+    ``syntax="lucene"``, a Lucene-ish saved-search STRING parsed per
+    row through the Q12 grammar with ``default_field``), and
+    structurally different rows execute in the same call — row 1 a
+    term, row 2 a phrase, row 3 a filtered boolean.
 
     Returns ``other.* + (match_doc_id, score, rank)`` flat rows, top-k
     per row, left join (rows whose query matches nothing — or whose
