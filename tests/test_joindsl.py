@@ -434,6 +434,40 @@ class TestQueryJoinDsl:
             assert got[rid] == _single(jidx, q), f"row {rid}"
 
 
+class TestShuffleHashPath:
+    def test_no_broadcast_path_same_results(self, spark, jidx):
+        # broadcast_queries=False forces the corpus-scale plan (shuffle
+        # on the join keys instead of broadcasting the query side);
+        # results must equal the broadcast plan's exactly
+        from sparksearchengine_spark.operators.joindsl import (
+            query_join_dsl,
+        )
+
+        rows = [
+            (1, _ser(Q.field("text").match_term("spark"))),
+            (2, _ser(Q.field("text").match_phrase("fast spark"))),
+            (3, _ser(Q.field("text").match_term("fast") & F_.ge("views", 10))),
+        ]
+        df = spark.createDataFrame(rows, "rid long, qjson string")
+
+        def canon(out):
+            return sorted(
+                (r["rid"], r["match_doc_id"], round(r["score"], 6), r["rank"])
+                for r in out.collect()
+                if r["match_doc_id"] is not None
+            )
+
+        bc = query_join_dsl(
+            jidx, df, "qjson", other_id_col="rid", broadcast_queries=True
+        )
+        sh = query_join_dsl(
+            jidx, df, "qjson", other_id_col="rid", broadcast_queries=False
+        )
+        plan = sh._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, plan
+        assert canon(bc) == canon(sh)
+
+
 class TestDedupQueries:
     """dedup_queries=True: equal trees execute once (compile-spied for
     general shapes) and results equal the non-dedup path exactly."""
