@@ -568,3 +568,41 @@ class TestQueryJoinDslEqualsSearch:
                 for r in index.search(q, k=4).collect()
             }
             assert got.get(qid, set()) == want, f"row {qid}: {q}"
+
+
+class TestDedupQueriesLaw:
+    """dedup_queries=True is a pure execution-strategy switch: on any
+    random tree multiset (duplicates injected by construction), results
+    equal the non-dedup path bit-for-bit including ranks."""
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(corpus=_corpus,
+           queries=st.lists(_query, min_size=1, max_size=2))
+    def test_dedup_path_equals_plain(self, spark, corpus, queries):
+        from sparksearchengine_spark.operators.joindsl import (
+            query_join_dsl,
+        )
+        from sparksearchengine_spark.plans.serde import query_to_json
+
+        index = _index_of(spark, corpus)
+        # duplicate every tree 3x under distinct row ids
+        rows = [
+            (i * 10 + rep, query_to_json(q))
+            for i, q in enumerate(queries)
+            for rep in range(3)
+        ]
+        qdf = spark.createDataFrame(rows, "rid long, qjson string")
+
+        def canon(out):
+            return sorted(
+                (r["rid"], r["match_doc_id"], round(r["score"], 6), r["rank"])
+                for r in out.collect()
+                if r["match_doc_id"] is not None
+            )
+
+        plain = query_join_dsl(index, qdf, "qjson", k=4, other_id_col="rid")
+        dedup = query_join_dsl(
+            index, qdf, "qjson", k=4, other_id_col="rid", dedup_queries=True
+        )
+        assert canon(dedup) == canon(plain)
