@@ -315,6 +315,9 @@ class TestQueryJoinDsl:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastNestedLoopJoin" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+        # per-query top-k prunes partition-locally BEFORE the exchange
+        # (the same TakeOrdered-per-group contract as batch search)
+        assert "WindowGroupLimit" in plan, plan
 
     def test_lucene_syntax_rows_match_parse(self, spark, jidx):
         # saved-search STRINGS as the column: each row parses through
