@@ -320,6 +320,8 @@ def batch_search(
     k_col: str | None = None,
     salt_buckets: int | None = None,
     broadcast_queries: bool | None = None,
+    after_score_col: str | None = None,
+    after_doc_col: str | None = None,
 ) -> DataFrame:
     """E5 — many queries in one pass. queries_df: (query_id, qtext[, field, k]).
 
@@ -336,9 +338,23 @@ def batch_search(
     The reference executes this as a per-index loop over queries
     (`LuceneIndex.scala:54-60`) + aggregateByKey merge; a join *is* that
     loop, minus the cartesian and with map-side combine.
+
+    ``after_score_col`` + ``after_doc_col`` page the whole batch by
+    CURSOR (the per-query `search_after` analog, as data): each query
+    row carries the full-precision (score, doc_id) of ITS previous
+    page's last hit, and gets the next k rows strictly after it in
+    (score desc, doc_id asc) order. NULL cursors mean page 1. The
+    predicate drops prior rows BEFORE the rank window, so page N costs
+    page 1 — per query, in one batch job. Ranks restart at 1 per page
+    (page-local), same as the single-query cursor. The single-query
+    float-reaggregation tie caveat (see `search`) applies per query.
     """
     if field is None and field_col is None:
         raise ValueError("pass field= or field_col=")
+    if (after_score_col is None) != (after_doc_col is None):
+        raise ValueError(
+            "pass BOTH after_score_col and after_doc_col (or neither)"
+        )
     fexpr = F.col(field_col) if field_col else F.lit(field)
 
     fields = (
@@ -377,6 +393,16 @@ def batch_search(
             F.col(query_id_col).alias("query_id"),
             fexpr.alias("field"),
             kexpr.alias("_k"),
+            (
+                F.col(after_score_col).cast("double")
+                if after_score_col
+                else F.lit(None).cast("double")
+            ).alias("_as"),
+            (
+                F.col(after_doc_col).cast("long")
+                if after_doc_col
+                else F.lit(None).cast("long")
+            ).alias("_ad"),
             F.explode(
                 F.array_distinct(analyzer_expr(F.col(text_col), an))
             ).alias("term"),
@@ -393,11 +419,26 @@ def batch_search(
 
     qside = _hint_query_side(qterms, queries_df, broadcast_queries)
     scored = sp.join(qside, ["field", "term"]).select(
-        "query_id", "_k", F.col(DOC_ID), "tscore"
+        "query_id", "_k", "_as", "_ad", F.col(DOC_ID), "tscore"
     )
     agg = scored.groupBy("query_id", DOC_ID).agg(
-        F.sum("tscore").alias(SCORE), F.first("_k").alias("_k")
+        F.sum("tscore").alias(SCORE),
+        F.first("_k").alias("_k"),
+        F.first("_as").alias("_as"),
+        F.first("_ad").alias("_ad"),
     )
+    if after_score_col:
+        # cursor as data: strictly after (score desc, doc_id asc) —
+        # applied BEFORE the window so the rank heap never holds prior
+        # pages' rows (NULL cursor = page 1, no filter for that query)
+        agg = agg.where(
+            F.col("_as").isNull()
+            | (F.col(SCORE) < F.col("_as"))
+            | (
+                (F.col(SCORE) == F.col("_as"))
+                & (F.col(DOC_ID) > F.col("_ad"))
+            )
+        )
     ranked = topk_per_group(
         agg,
         ["query_id"],

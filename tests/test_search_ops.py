@@ -2979,3 +2979,92 @@ class TestValidateIndex:
         bad = {r["check"]: r for r in idx.validate().collect() if not r["ok"]}
         assert "doc_count[text]" in bad
         assert "termstats_df" in bad and bad["termstats_df"]["actual"] > 0
+
+
+class TestBatchCursorPaging:
+    """batch_search after_score_col/after_doc_col: per-query cursor
+    paging as data — page 2 of the whole batch in one job, rows equal
+    the single-query search_after path per query."""
+
+    def test_batch_page2_equals_single_query_cursor(
+        self, spark, docs_index
+    ):
+        from sparksearchengine_spark.operators.search import (
+            batch_search,
+            search,
+        )
+        from sparksearchengine_spark.plans.ast import Q
+
+        texts = {1: "dup spark", 2: "table hash", 3: "merge scan"}
+        qdf = spark.createDataFrame(
+            [(i, t) for i, t in texts.items()],
+            "query_id long, qtext string",
+        )
+        page1 = batch_search(docs_index, qdf, k=3, field="text")
+        cursors = {
+            r["query_id"]: (r["score"], r["doc_id"])
+            for r in page1.where(F.col("rank") == 3).collect()
+        }
+        assert set(cursors) == {1, 2, 3}
+        q2 = spark.createDataFrame(
+            [
+                (i, t, cursors[i][0], cursors[i][1])
+                for i, t in texts.items()
+            ],
+            "query_id long, qtext string, a_s double, a_d long",
+        )
+        page2 = batch_search(
+            docs_index, q2, k=3, field="text",
+            after_score_col="a_s", after_doc_col="a_d",
+        )
+        got = {}
+        for r in page2.collect():
+            got.setdefault(r["query_id"], []).append(
+                (r["doc_id"], round(r["score"], 6), r["rank"])
+            )
+        for i, t in texts.items():
+            want = [
+                (r["doc_id"], round(r["score"], 6), r["rank"])
+                for r in search(
+                    docs_index,
+                    Q.field("text").match_text(t),
+                    k=3,
+                    search_after=cursors[i],
+                ).collect()
+            ]
+            assert sorted(got.get(i, [])) == sorted(want), f"query {i}"
+        # page-local ranks restart at 1
+        assert all(r[2] >= 1 for rows in got.values() for r in rows)
+
+    def test_null_cursor_is_page_one(self, spark, docs_index):
+        from sparksearchengine_spark.operators.search import batch_search
+
+        qdf = spark.createDataFrame(
+            [(1, "dup spark", None, None), (2, "table hash", None, None)],
+            "query_id long, qtext string, a_s double, a_d long",
+        )
+        paged = batch_search(
+            docs_index, qdf, k=3, field="text",
+            after_score_col="a_s", after_doc_col="a_d",
+        )
+        plain = batch_search(
+            docs_index,
+            qdf.select("query_id", "qtext"),
+            k=3,
+            field="text",
+        )
+        assert sorted(map(tuple, paged.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+
+    def test_cursor_cols_must_pair(self, spark, docs_index):
+        from sparksearchengine_spark.operators.search import batch_search
+
+        qdf = spark.createDataFrame(
+            [(1, "dup", 1.0, 1)],
+            "query_id long, qtext string, a_s double, a_d long",
+        )
+        with pytest.raises(ValueError, match="BOTH"):
+            batch_search(
+                docs_index, qdf, k=3, field="text", after_score_col="a_s"
+            )
