@@ -11,9 +11,10 @@ relations that Catalyst treats like any other table:
     fieldstats: {field: (doc_count, avgdl)}            # 1 row/field, driver
 
 ``dl`` (document length) is **denormalized into postings** so scoring needs
-no doclen join at query time; ``termstats`` is small (≤ |vocab|) and
-broadcast into query joins; ``fieldstats`` is two scalars per field,
-resolved at compile time into literals.
+no doclen join at query time; ``termstats`` is vocab-sized (≤ |vocab|) —
+broadcast into query joins only when a probe proves it small, else it is
+the shuffle-hash BUILD side (``hint_vocab_side``); ``fieldstats`` is two
+scalars per field, resolved at compile time into literals.
 
 Placement strategies map as (SURVEY §4.2): partition-co-located postings =
 the default DataFrame partitioning; k decoupled indexes = repartition /
@@ -49,6 +50,14 @@ from sparksearchengine_spark.functions.scoring import ScoringConfig
 
 DOC_ID = "doc_id"  # reserved result column (reference reserves "$id")
 TERM_BUCKET = "_tbucket"  # partition column of a term-bucketed saved index
+
+# Vocabulary rows (term + a stat or two, ~50 bytes each) safely broadcast
+# up to ~1M rows (~50 MB build side). Past that — Heaps' law puts a 100-TB
+# web corpus field at O(10^8-10^9) distinct terms — an unconditional
+# broadcast OOMs every executor, so the scored-postings join falls back to
+# shuffle_hash with the vocabulary as the build side (postings, the
+# orders-of-magnitude-larger relation, is NEVER the build side).
+VOCAB_BROADCAST_MAX_ROWS = 1_000_000
 
 
 def term_bucket(term: str, n: int) -> int:
@@ -302,6 +311,14 @@ class SearchIndex:
         self.doc_buckets = doc_buckets
         self.corpus_store = corpus_store
         self._scored_cache: dict[str, DataFrame] = {}
+        # join strategy for the full-vocabulary termstats side of the
+        # scored-postings joins: None = probe the vocab row count once
+        # per field (decide_broadcast ladder, trust_bytes=False — an
+        # aggregate's size stats lie about its cardinality), True/False
+        # force the direction (tests; callers who know their vocab).
+        # Set BEFORE the first scored_postings() call — decisions bake
+        # into the per-field cache.
+        self.broadcast_vocab: bool | None = None
         # (term, cf_t) per field, built lazily — only the LM similarity
         # family (ScoringConfig.needs_cf) ever touches it
         self._collstats_cache: dict[str, DataFrame] = {}
@@ -328,6 +345,29 @@ class SearchIndex:
             self._collstats_cache[field] = cf
         return self._collstats_cache[field]
 
+    def hint_vocab_side(self, ts: DataFrame) -> DataFrame:
+        """Join-strategy hint for a full-vocabulary (termstats-shaped)
+        side of a postings join. Broadcast only when the vocab is
+        provably small (``decide_broadcast`` ladder — exact bounded
+        probe, memoized per plan, ``trust_bytes=False`` because an
+        aggregate's Catalyst size stats don't model its cardinality);
+        otherwise shuffle_hash with the VOCAB as build side, so the
+        postings relation never builds a hash table and a 100-TB-corpus
+        vocabulary (O(10^8-10^9) terms by Heaps' law) cannot OOM the
+        executors. ``self.broadcast_vocab`` short-circuits the probe.
+        """
+        if self.broadcast_vocab is None:
+            from sparksearchengine_spark.operators.search import (
+                decide_broadcast,
+            )
+
+            bc = decide_broadcast(
+                ts, VOCAB_BROADCAST_MAX_ROWS, trust_bytes=False
+            )
+        else:
+            bc = self.broadcast_vocab
+        return F.broadcast(ts) if bc else ts.hint("shuffle_hash")
+
     def scored_postings(self, field: str) -> DataFrame:
         """(term, doc_id, tscore) with the per-posting score precomputed.
 
@@ -347,10 +387,10 @@ class SearchIndex:
                 "term", "df_t"
             )
             if self.scoring.needs_cf:
-                # LM similarities: ride cf_t on the same ≤|V| broadcast
+                # LM similarities: ride cf_t on the same vocab-sized side
                 ts = ts.join(self.collection_stats(field), "term")
             scored = (
-                p.join(F.broadcast(ts), "term")
+                p.join(self.hint_vocab_side(ts), "term")
                 .select(
                     "term",
                     DOC_ID,

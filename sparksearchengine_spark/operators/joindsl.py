@@ -327,8 +327,9 @@ def _positions_scored(index: "SearchIndex", field: str) -> DataFrame:
     """(doc_id, term, positions, tscore) for EVERY term of ``field`` —
     `plans.compiler._scored_postings` without the driver-known term
     restriction (the phrase terms here are data, not literals). The
-    termstats side is dictionary-sized and broadcasts; the postings
-    side never shuffles for this join."""
+    termstats side broadcasts only when the vocab probe proves it small
+    (`SearchIndex.hint_vocab_side`), else shuffle_hash with the vocab as
+    build side — the postings side is never the build side."""
     fs = index.fieldstats[field]
     spark = index.postings.sparkSession
     if fs.doc_count == 0:
@@ -348,7 +349,7 @@ def _positions_scored(index: "SearchIndex", field: str) -> DataFrame:
     )
     if index.scoring.needs_cf:
         ts = ts.join(index.collection_stats(field), "term")
-    return p.join(F.broadcast(ts), "term").select(
+    return p.join(index.hint_vocab_side(ts), "term").select(
         F.col(DOC_ID),
         F.col("term"),
         F.col("positions"),

@@ -409,7 +409,7 @@ def significant_terms(
     fs = index.fieldstats[field]
     n_docs = float(fs.doc_count or 1)
     scored = (
-        fg.join(F.broadcast(ts), "term")
+        fg.join(index.hint_vocab_side(ts), "term")
         .crossJoin(F.broadcast(msize))
         .select(
             "term",

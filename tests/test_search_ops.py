@@ -3068,3 +3068,104 @@ class TestBatchCursorPaging:
             batch_search(
                 docs_index, qdf, k=3, field="text", after_score_col="a_s"
             )
+
+
+class TestVocabBroadcastProbe:
+    """The full-vocabulary termstats side of the scored-postings joins
+    must be probed, not broadcast unconditionally: at a 100-TB web
+    corpus Heaps' law puts |vocab| at O(1e8-1e9) — a multi-GB broadcast.
+    Small vocab -> BroadcastHashJoin; large (forced) -> ShuffledHashJoin
+    with the vocab as build side (postings is never the build side).
+    Each test uses DISTINCT corpus literals: Spark's cache manager
+    reuses a semantically-equal persisted plan, so a same-data index
+    would silently inherit the other direction's cached join."""
+
+    def _mk(self, spark, tag, broadcast_vocab):
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        df = spark.createDataFrame(
+            [
+                (1, f"alpha{tag} beta{tag} alpha{tag}"),
+                (2, f"alpha{tag} gamma{tag}"),
+                (3, f"beta{tag} beta{tag} gamma{tag}"),
+            ],
+            "doc_id long, text string",
+        )
+        idx = Corpus(
+            df,
+            id_col="doc_id",
+            text_cols={"text": TextOptions(analyzer="simple", positions=True)},
+        ).build_index()
+        idx.broadcast_vocab = broadcast_vocab
+        return idx
+
+    def test_small_vocab_probes_to_broadcast(self, spark):
+        idx = self._mk(spark, "vbp1", None)  # probe path
+        plan = (
+            idx.scored_postings("text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+        idx.unpersist()
+
+    def test_forced_large_vocab_shuffle_hash(self, spark):
+        idx = self._mk(spark, "vbp2", False)
+        plan = (
+            idx.scored_postings("text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ShuffledHashJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        idx.unpersist()
+
+    def test_both_directions_equal_results(self, spark):
+        a = self._mk(spark, "vbp3", True)
+        b = self._mk(spark, "vbp4", False)
+        rows_a = sorted(
+            (r["term"].replace("vbp3", ""), r["doc_id"], round(r["tscore"], 9))
+            for r in a.scored_postings("text").collect()
+        )
+        rows_b = sorted(
+            (r["term"].replace("vbp4", ""), r["doc_id"], round(r["tscore"], 9))
+            for r in b.scored_postings("text").collect()
+        )
+        assert rows_a == rows_b
+        a.unpersist()
+        b.unpersist()
+
+    def test_positions_scored_forced_shuffle_hash(self, spark):
+        from sparksearchengine_spark.operators.joindsl import (
+            _positions_scored,
+        )
+
+        idx = self._mk(spark, "vbp5", False)
+        plan = (
+            _positions_scored(idx, "text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ShuffledHashJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        idx.unpersist()
+
+    def test_positions_scored_small_vocab_broadcasts(self, spark):
+        from sparksearchengine_spark.operators.joindsl import (
+            _positions_scored,
+        )
+
+        idx = self._mk(spark, "vbp6", None)  # probe path
+        plan = (
+            _positions_scored(idx, "text")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        idx.unpersist()
