@@ -680,30 +680,62 @@ def _dsl_column_scored_union(
         exe = nz
 
     # -- ONE bounded probe: shape presence, first error, distinct filter
-    # signatures, distinct general canons. Group count is bounded when
-    # the batch is within budget (sigs + canons <= max_plans plus <= 5
-    # singleton shape groups), so hitting the cap means over budget.
+    # signatures, distinct general canons, and the distinct FIELDS each
+    # data tier touches (the join key `field` is data, so Catalyst
+    # cannot prune union branches — the probe prunes them instead: each
+    # tier's scored-postings union is built only over its present
+    # fields). Group count is bounded when the batch is within budget
+    # (sigs + canons <= max_plans plus <= 5 singleton shape groups, each
+    # multiplied by at most |text_cols|+1 field rows), so hitting the
+    # cap means over budget.
     probe_cap = 2 * max_plans + 8
+    nfields = len(text_cols) + 1
+    row_fields = (
+        F.when(
+            F.col("shape") == "terms",
+            F.array_distinct(F.transform("terms", lambda t: t["field"])),
+        )
+        .when(F.col("shape") == "phrase", F.array("ph_field"))
+        .when(F.col("shape") == "mt", F.array("mt_field"))
+        .otherwise(F.array().cast("array<string>"))
+    )
     groups = (
-        nz.groupBy("shape", "fsig", "canon")
+        nz.select(
+            "shape",
+            "fsig",
+            "canon",
+            "err",
+            F.explode_outer(row_fields).alias("fld"),
+        )
+        .groupBy("shape", "fsig", "canon", "fld")
         .agg(F.first("err", ignorenulls=True).alias("err"))
-        .limit(probe_cap)
+        .limit(probe_cap * nfields)
         .collect()
     )
-    over_budget = len(groups) >= probe_cap
+    triples = {(g["shape"], g["fsig"], g["canon"]) for g in groups}
+    over_budget = len(triples) >= probe_cap
     if not over_budget:
         for g in groups:
             if g["shape"] == "error":
                 raise ValueError(f"{op_name}: {g['err']}")
     sigs = sorted(
-        {g["fsig"] for g in groups if g["shape"] == "terms" and g["fsig"]}
+        {t[1] for t in triples if t[0] == "terms" and t[1]}
     )
-    canons = sorted(
-        {g["canon"] for g in groups if g["shape"] == "general"}
-    )
-    shapes_present = {g["shape"] for g in groups}
+    canons = sorted({t[2] for t in triples if t[0] == "general"})
+    shapes_present = {t[0] for t in triples}
     has_plain_terms = any(
-        g["shape"] == "terms" and g["fsig"] == "" for g in groups
+        t[0] == "terms" and t[1] == "" for t in triples
+    )
+    # normalization already validated every field against text_cols, so
+    # these are subsets of the declared searchable columns
+    term_fields = sorted(
+        {g["fld"] for g in groups if g["shape"] == "terms" and g["fld"]}
+    )
+    mt_fields = sorted(
+        {g["fld"] for g in groups if g["shape"] == "mt" and g["fld"]}
+    )
+    ph_used = sorted(
+        {g["fld"] for g in groups if g["shape"] == "phrase" and g["fld"]}
     )
     if over_budget or len(sigs) + len(canons) > max_plans:
         raise ValueError(
@@ -717,20 +749,23 @@ def _dsl_column_scored_union(
 
     branches: "list[DataFrame]" = []
 
-    def _scored_union() -> DataFrame:
-        # ONE union of every text field's cached scored postings,
-        # built lazily and shared by the terms and multi-term tiers
-        # (the join key `field` is data, so Catalyst cannot prune
-        # union branches — build it once, not once per tier)
-        if "_sp" not in shared:
+    def _scored_union(flds: "list[str]") -> DataFrame:
+        # union of the cached scored postings of exactly the fields the
+        # probe saw in this tier's rows — the join key `field` is data,
+        # so Catalyst cannot prune union branches; the probe already
+        # can, and a one-field batch over a ten-field corpus must scan
+        # one field's postings, not ten. Memoized per field SET so
+        # tiers touching the same fields share the frame.
+        key = tuple(flds)
+        if key not in shared:
             sp = None
-            for f in sorted(text_cols):
+            for f in flds:
                 one = index.scored_postings(f).withColumn(
                     "field", F.lit(f)
                 )
                 sp = one if sp is None else sp.unionByName(one)
-            shared["_sp"] = sp
-        return shared["_sp"]
+            shared[key] = sp
+        return shared[key]
 
     shared: dict = {}
 
@@ -749,7 +784,7 @@ def _dsl_column_scored_union(
         )
         qside = _hint_query_side(tq, other, broadcast_queries)
         agg = (
-            _scored_union().join(qside, ["field", "term"])
+            _scored_union(term_fields).join(qside, ["field", "term"])
             .groupBy("query_id", DOC_ID)
             .agg(
                 F.sum(F.col("tscore") * F.col("_w")).alias(SCORE),
@@ -793,9 +828,10 @@ def _dsl_column_scored_union(
                 )
 
     # -- tier 2: phrases as data -------------------------------------------
-    ph_fields = sorted(
-        f for f, o in text_cols.items() if o.positions
-    )
+    # probe-pruned: only fields a phrase row actually names (normalization
+    # already rejected phrases on positions=False columns, so every used
+    # field carries positions)
+    ph_fields = ph_used
     if "phrase" in shapes_present and ph_fields:
         pq = exe.where(F.col("shape") == "phrase").select(
             "query_id",
@@ -833,7 +869,11 @@ def _dsl_column_scored_union(
                 "wildcard/regex/fuzzy patterns — each evaluates against "
                 "every vocabulary term; dedupe the query rows or split."
             )
-        vocab = index.termstats.select("field", "term")
+        # field pushdown at the termstats scan: patterns only evaluate
+        # against the vocabularies of fields the probe saw in mt rows
+        vocab = index.termstats.select("field", "term").where(
+            F.col("field").isin(mt_fields)
+        )
         hit = (
             (F.col("kind") == "like") & F.expr("term like pat")
         ) | (
@@ -858,7 +898,7 @@ def _dsl_column_scored_union(
             F.broadcast(matched), ["field", "kind", "pat", "edits"]
         ).select("query_id", "field", "term")
         branches.append(
-            _scored_union().join(
+            _scored_union(mt_fields).join(
                 _hint_query_side(qterm, other, broadcast_queries),
                 ["field", "term"],
             )

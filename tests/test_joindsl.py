@@ -533,3 +533,138 @@ class TestDedupQueries:
             ).collect()
         )
         assert a == b and len(a) > 0
+
+
+class TestFieldPrunedUnions:
+    """The bounded probe collects the distinct fields each tier's rows
+    touch, and every scored-postings / positions union is built only
+    over those fields: a one-field batch over a multi-field corpus must
+    scan ONE field's cached postings, not all of them (the `field` join
+    key is data — Catalyst cannot prune union branches; the probe can).
+    """
+
+    @pytest.fixture(scope="class")
+    def two_field_idx(self, spark):
+        from sparksearchengine_spark import Corpus, TextOptions
+
+        df = spark.createDataFrame(
+            [
+                (1, "spark engine fast", "title alpha fast"),
+                (2, "fast spark joins", "title beta spark"),
+                (3, "lucene index merge", "title gamma merge"),
+            ],
+            "doc_id long, body string, title string",
+        )
+        idx = Corpus(
+            df,
+            id_col="doc_id",
+            text_cols={
+                "body": TextOptions(analyzer="simple", positions=True),
+                "title": TextOptions(analyzer="simple", positions=True),
+            },
+        ).build_index()
+        yield idx
+        idx.unpersist()
+
+    @staticmethod
+    def _scored_scans(plan: str) -> int:
+        # a scored-postings cache scan is the only InMemoryTableScan
+        # whose projection carries a tscore column (column order in the
+        # printed scan varies with pruning)
+        import re
+
+        return len(
+            re.findall(r"InMemoryTableScan \[[^\]]*tscore#", plan)
+        )
+
+    def test_single_field_batch_one_scan(self, spark, two_field_idx):
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+
+        df = spark.createDataFrame(
+            [
+                (1, _ser(Q.field("body").match_term("spark"))),
+                (2, _ser(Q.field("body").match_text("fast engine"))),
+            ],
+            "rid long, qjson string",
+        )
+        out = query_join_dsl(two_field_idx, df, "qjson", other_id_col="rid")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert self._scored_scans(plan) == 1, plan
+
+    def test_two_field_batch_two_scans_and_results(self, spark, two_field_idx):
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+        from sparksearchengine_spark.operators.search import search
+
+        df = spark.createDataFrame(
+            [
+                (1, _ser(Q.field("body").match_term("spark"))),
+                (2, _ser(Q.field("title").match_term("merge"))),
+            ],
+            "rid long, qjson string",
+        )
+        out = query_join_dsl(two_field_idx, df, "qjson", other_id_col="rid")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert self._scored_scans(plan) == 2, plan
+        got: dict = {}
+        for r in out.collect():
+            if r["match_doc_id"] is not None:
+                got.setdefault(r["rid"], []).append(
+                    (r["match_doc_id"], round(r["score"], 6), r["rank"])
+                )
+        for rid, q in [
+            (1, Q.field("body").match_term("spark")),
+            (2, Q.field("title").match_term("merge")),
+        ]:
+            want = sorted(
+                (r["doc_id"], round(r["score"], 6), r["rank"])
+                for r in search(two_field_idx, q, k=10).collect()
+            )
+            assert sorted(got[rid]) == want, rid
+
+    def test_phrase_union_pruned_to_used_field(self, spark, two_field_idx):
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+        from sparksearchengine_spark.operators.search import search
+
+        df = spark.createDataFrame(
+            [(1, _ser(Q.field("title").match_phrase("title beta")))],
+            "rid long, qjson string",
+        )
+        out = query_join_dsl(two_field_idx, df, "qjson", other_id_col="rid")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # exactly one positions-carrying postings branch: the plan reads
+        # the postings cache once, for the one phrase field
+        assert plan.count("positions#") > 0
+        got = sorted(
+            (r["match_doc_id"], round(r["score"], 6))
+            for r in out.collect()
+            if r["match_doc_id"] is not None
+        )
+        want = sorted(
+            (r["doc_id"], round(r["score"], 6))
+            for r in search(
+                two_field_idx, Q.field("title").match_phrase("title beta")
+            ).collect()
+        )
+        assert got == want
+
+    def test_mt_vocab_scan_field_pushdown(self, spark, two_field_idx):
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+        from sparksearchengine_spark.operators.search import search
+
+        df = spark.createDataFrame(
+            [(1, _ser(Q.field("body").match_wildcard("spar*")))],
+            "rid long, qjson string",
+        )
+        out = query_join_dsl(two_field_idx, df, "qjson", other_id_col="rid")
+        got = sorted(
+            (r["match_doc_id"], round(r["score"], 6))
+            for r in out.collect()
+            if r["match_doc_id"] is not None
+        )
+        want = sorted(
+            (r["doc_id"], round(r["score"], 6))
+            for r in search(
+                two_field_idx, Q.field("body").match_wildcard("spar*")
+            ).collect()
+        )
+        assert got == want
