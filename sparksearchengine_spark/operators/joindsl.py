@@ -22,7 +22,8 @@ Execution tiers (same families as `search._dsl_scored_union`):
   plan above; filters group by STRUCTURAL SIGNATURE (field/op/value
   class, value abstracted into data columns). Only the ≤ ``max_plans``
   DISTINCT signatures reach the driver; per-row comparison VALUES stay
-  a column. Numeric values compare as double (exact for |v| < 2^53),
+  a column. Numeric values compare as double (ints outside the exact-
+  double range ±2^53 route to the compiled tier, enforced in `_num`),
   string values in their natural type; other value types (bool, date,
   Decimal, in-set) route to the compiled tier.
 * **phrases (exact + sloppy)** — per-row tokenization in the UDF emits
@@ -121,8 +122,14 @@ _NOVAL = {
 
 def _num(v) -> bool:
     # bool is an int subclass — a boolean value must NOT ride the
-    # numeric compare path (True == 1 would change semantics)
-    return isinstance(v, (int, float)) and not isinstance(v, bool)
+    # numeric compare path (True == 1 would change semantics). Ints
+    # outside the exact-double range route to the compiled tier: the
+    # data path casts both sides to double, so |v| > 2^53 would compare
+    # differently there than in the compiled plan (which keeps the
+    # literal's own type) — tier selection must never change semantics.
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return False
+    return not isinstance(v, int) or -(2**53) <= v <= 2**53
 
 
 def _filter_slot(f, corpus_cols: "set[str]"):
@@ -211,11 +218,14 @@ def _normalize_one(
         out["err"] = str(e)
         return out
 
-    # execution key: md5 of the canonical tree — rows carrying EQUAL
+    # execution key: sha256 of the canonical tree — rows carrying EQUAL
     # trees share it, so dedup_queries can execute once per distinct
-    # query (a zipfian log's hot query costs one execution, not one
-    # per occurrence)
-    out["xkey"] = hashlib.md5(
+    # query (a zipfian log's hot query costs one execution, not one per
+    # occurrence). Collision-resistant on purpose: a hash collision
+    # between two distinct trees would silently merge their results,
+    # and the canonical string is already computed per row so the
+    # stronger hash costs nothing extra.
+    out["xkey"] = hashlib.sha256(
         query_to_json(q).encode("utf-8")
     ).hexdigest()
 
@@ -461,7 +471,7 @@ def query_join_dsl(
     rows carrying EQUAL query trees execute ONCE — tiers run per
     distinct canonical tree, the top-k window runs per distinct tree,
     and only the k-bounded results fan back to the original rows by
-    the md5 execution key. Turn it on for duplicate-heavy (zipfian)
+    the sha256 execution key. Turn it on for duplicate-heavy (zipfian)
     query logs; on all-distinct inputs the extra dropDuplicates
     shuffle and fan-back join buy nothing.
     """
@@ -592,7 +602,7 @@ def percolate_dsl_df(
 
 def _fan_back(keyed: DataFrame, nz: DataFrame) -> DataFrame:
     """Map execution-keyed result rows back to every original query row
-    sharing the tree: keyed.query_id carries the md5 execution key, the
+    sharing the tree: keyed.query_id carries the sha256 execution key, the
     normalized frame carries (original query_id, xkey)."""
     mapping = nz.where(F.col("xkey").isNotNull()).select(
         F.col("query_id").alias("_oid"), "xkey"
@@ -624,7 +634,7 @@ def _dsl_column_scored_union(
     index; the union is None when no execution tier has any rows.
 
     ``dedup_queries``: execute once per DISTINCT canonical tree — the
-    union's query_id column then carries the md5 execution key (the
+    union's query_id column then carries the sha256 execution key (the
     normalized frame's ``xkey``), and the caller fans results back to
     original ids via ``nz.select(query_id, xkey)``. Opt-in, for
     duplicate-heavy (zipfian) query logs: the hot query's join/agg

@@ -227,18 +227,19 @@ def search(
     predicate drops prior rows BEFORE the TakeOrdered heap, so the heap
     holds k rows no matter how deep the page. This is the only
     deep-paging shape that survives scale; ``rank`` restarts at 1 per
-    page (page-local). The cursor score must be the engine's full-
-    precision double (``res.collect()[-1]``), not a rounded display
-    value — a rounded cursor can skip or repeat boundary ties.
+    page (page-local).
 
-    Float-aggregation caveat: the equality arm compares the collected
-    cursor against a RE-EXECUTED aggregated score, and multi-partition
-    float sums are not bit-deterministic across jobs — a ≥3-term query
-    whose cursor doc's partial sums merge in a different order can
-    drift 1 ulp and misclassify a boundary TIE (skip or repeat that
-    one doc). In practice ties at the exact cursor score are the only
-    exposure; persist the compiled hits frame across pages (or page by
-    ``offset`` within one execution) when exact tie fidelity matters.
+    Boundary matching compares 6dp-ROUNDED scores on both sides (the
+    engine's score-equality contract everywhere else): the equality arm
+    compares the collected cursor against a RE-EXECUTED aggregated
+    score, and multi-partition float sums are not bit-deterministic
+    across jobs — a ≥3-term query whose cursor doc's partial sums merge
+    in a different order can drift 1 ulp, and EXACT equality would then
+    misclassify the boundary tie (skip or repeat that one doc). The
+    rounding absorbs the drift; distinct scores within 5e-7 of the
+    cursor are consequently treated as boundary ties and disambiguated
+    by doc_id. Persist the compiled hits frame across pages (or page by
+    ``offset`` within one execution) when sub-6dp tie fidelity matters.
     """
     if offset < 0:
         raise ValueError("offset must be >= 0")
@@ -246,13 +247,16 @@ def search(
         raise ValueError("pass either offset or search_after, not both")
     hits = index.compile(query)
     if search_after is not None:
+        # boundary matching on 6dp-ROUNDED scores (the engine's score-
+        # equality contract): a recomputed float sum can drift an ulp
+        # between the page-1 and page-2 runs, and exact equality would
+        # then skip or repeat the boundary doc
         s, d = search_after
+        # the cursor literal rounds through Spark's own HALF_UP round
+        # (constant-folded), not Python's banker's rounding
+        rs, ra = F.round(F.col(SCORE), 6), F.round(F.lit(float(s)), 6)
         hits = hits.where(
-            (F.col(SCORE) < F.lit(float(s)))
-            | (
-                (F.col(SCORE) == F.lit(float(s)))
-                & (F.col(DOC_ID) > F.lit(int(d)))
-            )
+            (rs < ra) | ((rs == ra) & (F.col(DOC_ID) > F.lit(int(d))))
         )
     hits = hits.orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc()).limit(
         k + offset
@@ -346,8 +350,10 @@ def batch_search(
     (score desc, doc_id asc) order. NULL cursors mean page 1. The
     predicate drops prior rows BEFORE the rank window, so page N costs
     page 1 — per query, in one batch job. Ranks restart at 1 per page
-    (page-local), same as the single-query cursor. The single-query
-    float-reaggregation tie caveat (see `search`) applies per query.
+    (page-local), same as the single-query cursor. Boundary matching
+    compares 6dp-ROUNDED scores on both sides, so an ulp of float-
+    reaggregation drift between page runs cannot skip or repeat the
+    boundary doc (same contract as the single-query `search_after`).
     """
     if field is None and field_col is None:
         raise ValueError("pass field= or field_col=")
@@ -430,14 +436,20 @@ def batch_search(
     if after_score_col:
         # cursor as data: strictly after (score desc, doc_id asc) —
         # applied BEFORE the window so the rank heap never holds prior
-        # pages' rows (NULL cursor = page 1, no filter for that query)
+        # pages' rows (NULL cursor = page 1, no filter for that query).
+        # The boundary compares 6dp-ROUNDED scores on both sides (the
+        # engine's score-equality contract everywhere else): a
+        # re-aggregated float sum can drift an ulp between the page-1
+        # run and the page-2 run with different partition order, and
+        # exact equality would then skip or repeat the boundary doc.
+        # Scores within 5e-7 of each other are treated as tied and
+        # disambiguated by doc_id, matching how the 6dp contract orders
+        # them for oracle comparison.
+        rs, ra = F.round(F.col(SCORE), 6), F.round(F.col("_as"), 6)
         agg = agg.where(
             F.col("_as").isNull()
-            | (F.col(SCORE) < F.col("_as"))
-            | (
-                (F.col(SCORE) == F.col("_as"))
-                & (F.col(DOC_ID) > F.col("_ad"))
-            )
+            | (rs < ra)
+            | ((rs == ra) & (F.col(DOC_ID) > F.col("_ad")))
         )
     ranked = topk_per_group(
         agg,

@@ -425,10 +425,12 @@ def batch_search_corrected(
         "query_id", F.col("corrected").alias("qtext")
     )
     second = batch_search(index, retry_q, k=k, field=field)
-    # originals stay for (a) queries at/over the hit floor and (b) short
-    # queries with NO accepted suggestion — a partial result beats
-    # losing it because nothing in the vocabulary was close enough
-    replaced = retry_q.select("query_id")
+    # originals stay for (a) queries at/over the hit floor, (b) short
+    # queries with NO accepted suggestion, and (c) retried queries whose
+    # corrected text STILL returned zero rows — a partial result beats
+    # losing it (dropping originals keyed on retry_q would erase a
+    # 1-hit query's real hit whenever min_hits>1 and the retry whiffed)
+    replaced = second.select("query_id").distinct()
     kept = (
         first.join(replaced, "query_id", "left_anti")
         .join(qsel, "query_id")

@@ -668,3 +668,109 @@ class TestFieldPrunedUnions:
             ).collect()
         )
         assert got == want
+
+
+class TestDedupPlanContract:
+    def test_window_input_is_deduped_frame(self, spark, jidx, monkeypatch):
+        # the rank window must run over the DEDUPED frame (one row set
+        # per distinct tree, keyed by the sha256 execution key) — never
+        # per original row; the fan-back join is k-bounded per key
+        import sparksearchengine_spark.operators.joindsl as jd
+
+        seen: list = []
+        orig = jd.topk_per_group
+
+        def spy(df, group_cols, order_cols, k, **kw):
+            seen.append(df)
+            return orig(df, group_cols, order_cols, k, **kw)
+
+        monkeypatch.setattr(jd, "topk_per_group", spy)
+        qa = Q.field("text").match_term("spark")
+        qb = Q.field("text").match_text("fast engine")
+        rows = [(i, _ser(qa)) for i in range(20)] + [
+            (100 + i, _ser(qb)) for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "rid long, qjson string")
+        out = jd.query_join_dsl(
+            jidx, df, "qjson", k=2, other_id_col="rid", dedup_queries=True
+        )
+        collected = out.collect()
+        assert len(seen) == 1
+        keys = [
+            r["query_id"]
+            for r in seen[0].select("query_id").distinct().collect()
+        ]
+        # exactly the 2 distinct trees reach the window, as sha256 keys
+        assert len(keys) == 2
+        assert all(
+            isinstance(x, str)
+            and len(x) == 64
+            and set(x) <= set("0123456789abcdef")
+            for x in keys
+        )
+        # fan-back is k-bounded per original row
+        per_rid: dict = {}
+        for r in collected:
+            if r["match_doc_id"] is not None:
+                per_rid.setdefault(r["rid"], []).append(r)
+        assert len(per_rid) == 40
+        assert all(len(v) <= 2 for v in per_rid.values())
+
+
+class TestHugeIntFilterRouting:
+    def test_int_past_2_53_routes_to_compiled_tier(
+        self, spark, jidx, monkeypatch
+    ):
+        # |v| > 2^53: the data path's double cast could compare
+        # differently than the compiled plan's typed literal, so the
+        # row must route to the compiled (general) tier — observed via
+        # a compile() spy — and still return the single-query result
+        import sparksearchengine_spark.operators.index as index_mod
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+        from sparksearchengine_spark.operators.search import search
+
+        big = 2**53 + 1
+        q = Q.field("text").match_term("fast") & F_.le("views", big)
+        df = spark.createDataFrame(
+            [(1, _ser(q))], "rid long, qjson string"
+        )
+        calls: list = []
+        orig = index_mod.SearchIndex.compile
+
+        def spy(self, qq):  # type: ignore[no-untyped-def]
+            calls.append(qq)
+            return orig(self, qq)
+
+        monkeypatch.setattr(index_mod.SearchIndex, "compile", spy)
+        out = query_join_dsl(jidx, df, "qjson", other_id_col="rid")
+        got = sorted(
+            (r["match_doc_id"], round(r["score"], 6))
+            for r in out.collect()
+            if r["match_doc_id"] is not None
+        )
+        assert len(calls) == 1  # general tier compiled it
+        want = sorted(
+            (r["doc_id"], round(r["score"], 6))
+            for r in search(jidx, q, k=10).collect()
+        )
+        assert got == want
+
+    def test_in_range_int_stays_on_data_path(self, spark, jidx, monkeypatch):
+        import sparksearchengine_spark.operators.index as index_mod
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+
+        q = Q.field("text").match_term("fast") & F_.le("views", 40)
+        df = spark.createDataFrame(
+            [(1, _ser(q))], "rid long, qjson string"
+        )
+        calls: list = []
+        orig = index_mod.SearchIndex.compile
+
+        def spy(self, qq):  # type: ignore[no-untyped-def]
+            calls.append(qq)
+            return orig(self, qq)
+
+        monkeypatch.setattr(index_mod.SearchIndex, "compile", spy)
+        out = query_join_dsl(jidx, df, "qjson", other_id_col="rid")
+        out.collect()
+        assert not calls  # terms tier with a signature slot, no compile

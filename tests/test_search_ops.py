@@ -3169,3 +3169,61 @@ class TestVocabBroadcastProbe:
         )
         assert "BroadcastHashJoin" in plan, plan
         idx.unpersist()
+
+
+class TestCursorUlpDrift:
+    """Boundary matching is 6dp-rounded on BOTH sides: a cursor that
+    drifted an ulp from the recomputed score (multi-partition float sums
+    are not bit-deterministic across jobs) must still match the boundary
+    — neither skipping nor repeating the boundary doc."""
+
+    def test_single_query_drifted_cursor_same_page(self, docs_index):
+        import math
+
+        from sparksearchengine_spark.operators.search import search
+        from sparksearchengine_spark.plans.ast import Q
+
+        q = Q.field("text").match_text("dup spark merge")
+        page1 = search(docs_index, q, k=3).orderBy("rank").collect()
+        s, d = page1[-1]["score"], page1[-1]["doc_id"]
+        exact = sorted(
+            (r["doc_id"], round(r["score"], 6), r["rank"])
+            for r in search(docs_index, q, k=3, search_after=(s, d)).collect()
+        )
+        for drift in (math.ulp(s), -math.ulp(s)):
+            got = sorted(
+                (r["doc_id"], round(r["score"], 6), r["rank"])
+                for r in search(
+                    docs_index, q, k=3, search_after=(s + drift, d)
+                ).collect()
+            )
+            assert got == exact, drift
+
+    def test_batch_drifted_cursor_same_page(self, spark, docs_index):
+        import math
+
+        from sparksearchengine_spark.operators.search import batch_search
+
+        qdf = spark.createDataFrame(
+            [(1, "dup spark merge")], "query_id long, qtext string"
+        )
+        page1 = batch_search(docs_index, qdf, k=3, field="text")
+        last = page1.where(F.col("rank") == 3).collect()[0]
+        s, d = last["score"], last["doc_id"]
+
+        def page2(sc):
+            q2 = spark.createDataFrame(
+                [(1, "dup spark merge", sc, d)],
+                "query_id long, qtext string, a_s double, a_d long",
+            )
+            return sorted(
+                (r["doc_id"], round(r["score"], 6), r["rank"])
+                for r in batch_search(
+                    docs_index, q2, k=3, field="text",
+                    after_score_col="a_s", after_doc_col="a_d",
+                ).collect()
+            )
+
+        exact = page2(s)
+        assert page2(s + math.ulp(s)) == exact
+        assert page2(s - math.ulp(s)) == exact

@@ -10,6 +10,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 EDITP = math.log(0.05)
 
@@ -313,3 +314,34 @@ class TestBatchSearchCorrected:
     ):
         got = self._run(spark, spell_index, [(1, "zzzqqq xxxyyy")], k=3)
         assert got == {}
+
+
+class TestRetryWhiffKeepsOriginals:
+    def test_zero_hit_retry_keeps_partial_hits(
+        self, spark, spell_index, monkeypatch
+    ):
+        # a query with 1 real hit and min_hits=2 goes to the corrector;
+        # force an accepted suggestion whose retry finds NOTHING — the
+        # original partial hit must survive (the pre-fix left_anti on
+        # retry_q erased it unconditionally)
+        import sparksearchengine_spark.operators.spelling as sp
+
+        def fake_correct(index, short, **kw):
+            return short.select(
+                "query_id",
+                F.lit("zzzqq xxyyz").alias("corrected"),
+                F.lit(0.0).alias("score"),
+                F.lit(2).alias("n_edits"),
+                F.lit(True).alias("changed"),
+            )
+
+        monkeypatch.setattr(sp, "correct_queries", fake_correct)
+        qs = spark.createDataFrame(
+            [(1, "beer zzzqqq")], "query_id long, qtext string"
+        )
+        rows = sp.batch_search_corrected(
+            spell_index, qs, k=5, min_hits=50
+        ).collect()
+        assert rows, "partial hits were dropped on a zero-hit retry"
+        assert all(not r["corrected"] for r in rows)
+        assert all(r["used_query"] == "beer zzzqqq" for r in rows)
