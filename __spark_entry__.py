@@ -2758,6 +2758,52 @@ def _query_join_dsl(spark, sf):
     )
 
 
+def _query_join_lucene(spark, sf):
+    """The Lucene-syntax COLUMN path of the fully general E7
+    (operators/joindsl.py::query_join_dsl syntax="lucene": per-row
+    saved-search STRINGS parsed through the Q12 grammar ON THE
+    EXECUTORS — reference `dsl/DslQuery.scala:122-128` QueryParser
+    semantics, applied per data row instead of per driver call). Same
+    six structurally different queries as `query_join_dsl`, expressed
+    as query strings (bare term, quoted phrase, AND + mixed-bracket
+    range, NOT, shared-signature range, wildcard), so the two entries
+    share one oracle — pinning that executor-side parsing (escapes,
+    default-field routing, bracket semantics on data) changes nothing
+    about the results."""
+    idx = _docs_index(spark, sf)
+    strings = [
+        (1, QC06_TERM),
+        (2, f'"{QC09_W1} {QC09_W2}"'),
+        (
+            3,
+            " AND ".join(QC10_TERMS)
+            + f" AND n_chars:[{QC28_LO} TO {QC28_HI}}}",
+        ),
+        (4, f"{QC08_T1} AND NOT {QC08_T2}"),
+        (5, f"{QC06_TERM} AND n_chars:[{QJD_LO2} TO {QJD_HI2}}}"),
+        (6, "du*"),
+    ]
+    qdf = spark.createDataFrame(strings, "query_id long, qstr string")
+    res = idx.query_join_dsl(
+        qdf,
+        "qstr",
+        k=BDSL_K,
+        other_id_col="query_id",
+        syntax="lucene",
+        default_field="text",
+    )
+    return (
+        res.where(F.col("match_doc_id").isNotNull())
+        .select(
+            "query_id",
+            F.col("match_doc_id").alias("doc_id"),
+            F.round("score", 6).alias("score"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
 def _dedup_paragraphs(spark, sf):
     """Dolma-style cross-document paragraph dedup (operators/dedup.py::
     dedup_paragraphs, r6): first occurrence (min (doc, pos)) of each
@@ -3286,21 +3332,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver emits CORRECTNESS rows for the FIRST 50
     # keys only.  Slots 1-30 are pinned to the SURVEY §2.10 qc suite;
     # slots 31-50 rotate each round over entries that have never had a
-    # driver row.  r7 rotation (VERDICT r6 "Next round" #1 — registry
-    # FROZEN this round except query_join_dsl and dedup_paragraphs,
-    # both verdict-named): query_join_dsl (NEW r7 code, new-code-first),
-    # then doc_winnow / lang_id / mm_image_features (their only driver
-    # rows predate their oracles — r1 `no_oracle`), then the r6-built
-    # backlog in the order written last round, ending with spell_correct
-    # (its candidate join changed this round — the driver row verifies
-    # the BNLJ->hash-join fix).  Every rotated entry is selfcheck-green
-    # under the driver-mirroring canon (`selfcheck.py --queue`).  The
-    # r6 rotation rows (search_eval ... query_join_filters, all green
-    # in CORRECTNESS_r06) move past the cutoff.  Remaining r8 queue:
-    # search_lmd, search_lmjm (r6 code, yielded slots to older waiters),
-    # dedup_paragraphs (NEW r7 entry for the r6 operator), and the
-    # 10-entry older backlog (chunk_docs ... doc_fingerprint) + the
-    # never-rotated tail.
+    # driver row.  r8 rotation (VERDICT r7 "Next round" #2/#3/#6 —
+    # registry FROZEN except query_join_lucene, verdict-named):
+    # query_join_lucene (NEW r8 code, new-code-first: the executor-side
+    # Lucene-string parse against the query_join_dsl oracle), then
+    # search_lmd / search_lmjm / dedup_paragraphs (the queue written
+    # last round), then the 16 oldest never-driver-checked entries in
+    # registry order (curation_report ... text_hash_embed).  Every
+    # rotated entry is selfcheck-green under the driver-mirroring canon
+    # (`selfcheck.py --queue`).  The r7 rotation rows (query_join_dsl
+    # ... spell_correct, all green in CORRECTNESS_r07) move past the
+    # cutoff.  text_compress_ratio is parked PERMANENTLY at the very
+    # end of the registry (VERDICT r7 #3): it can never hash-match (no
+    # DuckDB zlib — rows-only by design, thresholds pytest-pinned), so
+    # giving it a window slot costs a drainable entry its driver row.
+    # Remaining r9 queue (8): text_hash_embed_arrow, strip_html,
+    # search_highlight, search_facets, search_paged, search_grouped,
+    # bigram_quality, url_domain_block.
     return {
         "qc01_filter_eq": _qc01,
         "qc02_filter_cmp": _qc02,
@@ -3332,7 +3380,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc28_exclusive_range": _qc28,
         "qc29_escaped_term": _qc29,
         "qc30_regex_term": _qc30,
-        # --- slots 31-50: r7 rotation (see ordering contract above) ---
+        "query_join_lucene": _query_join_lucene,
+        "search_lmd": _search_lmd,
+        "search_lmjm": _search_lmjm,
+        "dedup_paragraphs": _dedup_paragraphs,
+        "curation_report": _curation_report,
+        "collocations_pmi": _collocations,
+        "doc_keywords": _doc_keywords,
+        "more_like_this": _more_like_this,
+        "pack_chunks": _pack_chunks,
+        "sample_per_group": _sample_per_group,
+        "clean_text": _clean_text,
+        "emb_quantize": _emb_quantize,
+        "events_hourly_windowed": _events_hourly_windowed,
+        "events_trending": _events_trending,
+        "dedup_crossgram": _dedup_crossgram,
+        "emb_semdedup": _emb_semdedup,
+        "classifier_score": _classifier_score,
+        "classifier_vocab": _classifier_vocab,
+        "mixture_repeats": _mixture_repeats,
+        "text_hash_embed": _text_hash_embed,
         "query_join_dsl": _query_join_dsl,
         "doc_winnow": _doc_winnow,
         "lang_id": _lang_id,
@@ -3347,14 +3414,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_facet_metrics": _search_facet_metrics,
         "text_entropy": _text_entropy,
         "text_dedup_lines": _text_dedup_lines,
-        "text_compress_ratio": _text_compress_ratio,
         "search_multi_match": _search_multi_match,
         "mixture_temperature": _mixture_temperature,
         "batch_dsl_multiterm": _batch_dsl_multiterm,
         "text_dict_tag": _text_dict_tag,
         "spell_correct": _spell_correct,
-        # --- past the 50-row cutoff: green in CORRECTNESS_r01-r06,
-        # or queued for r8 ---
         "search_eval": _search_eval,
         "search_eval_summary": _search_eval_summary,
         "index_upsert": _index_upsert,
@@ -3436,28 +3500,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_quality": _unigram_quality,
         "export_shard_assign": _export_shard_assign,
         "dedup_cross_ngram": _dedup_cross_ngram,
-        # --- rotation backlog: queue for the r8 slots (all selfcheck-
-        # green under the driver-mirroring canon) ---
         "chunk_docs": _chunk_docs,
-        "curation_report": _curation_report,
-        "collocations_pmi": _collocations,
-        "doc_keywords": _doc_keywords,
-        "more_like_this": _more_like_this,
-        "pack_chunks": _pack_chunks,
-        "sample_per_group": _sample_per_group,
-        "clean_text": _clean_text,
-        "emb_quantize": _emb_quantize,
         "doc_fingerprint": _doc_fingerprint,
         "events_hourly": _events_hourly,
-        "events_hourly_windowed": _events_hourly_windowed,
-        "events_trending": _events_trending,
         "token_stats": _token_stats,
-        "dedup_crossgram": _dedup_crossgram,
-        "emb_semdedup": _emb_semdedup,
-        "classifier_score": _classifier_score,
-        "classifier_vocab": _classifier_vocab,
-        "mixture_repeats": _mixture_repeats,
-        "text_hash_embed": _text_hash_embed,
         "text_hash_embed_arrow": _text_hash_embed_arrow,
         "strip_html": _strip_html,
         "search_highlight": _search_highlight,
@@ -3466,11 +3512,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_grouped": _search_grouped,
         "bigram_quality": _bigram_quality,
         "url_domain_block": _url_domain_block,
-        # -- r8 queue: r6 code that yielded its slot to older waiters,
-        # plus the NEW r7 entry for the r6 paragraph-dedup operator --
-        "search_lmd": _search_lmd,
-        "search_lmjm": _search_lmjm,
-        "dedup_paragraphs": _dedup_paragraphs,
+        "text_compress_ratio": _text_compress_ratio,
     }
 
 
@@ -7077,6 +7119,10 @@ def _derived_oracles(o: dict[str, str]) -> dict[str, str]:
         )
         SELECT * FROM jr WHERE rank <= {BDSL_K}
         ORDER BY query_id, rank"""
+    # query_join_lucene: the SAME six queries arrive as Lucene-syntax
+    # strings parsed per row on the executors — results must be
+    # identical, so the oracle is shared verbatim
+    o["query_join_lucene"] = o["query_join_dsl"]
     # dedup_paragraphs: replay the synthetic 3-paragraph layout, the
     # min(bid, pos) winner per paragraph md5 (keyed bid*2^32+pos — pos
     # is bounded far below 2^32), the whitespace exemption, and the
