@@ -565,6 +565,51 @@ def main() -> None:
         )
         dedup_paragraphs(src19).count()
 
+    # 20. table-registry percolation (first benched in round 8): 10,000
+    # standing queries live as a serialized COLUMN (the "a million
+    # standing queries never visit the driver" claim, benched) and
+    # percolate against an INCOMING DOCUMENT BATCH (docs sampled 1-in-10
+    # and indexed outside the timer) — the real percolation shape: the
+    # registry is large, the batch is small, matches = which alerts
+    # fire. Mixed shapes: 50% 3-term conjunctions, 25% terms + range
+    # guard (one shared filter signature, values as data), 15% exact
+    # phrases, 10% general trees sharing 4 compiled canons. Registry
+    # construction (query prep) is not the measured operator. NOT run
+    # against the full corpus on purpose: the synthetic 31-term
+    # vocabulary makes every standing query match ~half the corpus, so
+    # a full-corpus row measures degenerate match volume (26M+ rows),
+    # not the operator.
+    from sparksearchengine_spark.operators.joindsl import percolate_dsl_df
+    from sparksearchengine_spark.plans.serde import query_to_json as _ser20
+
+    batch20 = docs.where(F.col("doc_id") % 10 == 0)
+    bidx20 = Corpus(
+        batch20,
+        id_col="doc_id",
+        text_cols={"text": TextOptions(analyzer="simple", positions=True)},
+    ).build_index()
+    bidx20.postings.count()
+    bidx20.scored_postings("text").count()
+    f20 = Q.field("text")
+    regs20 = []
+    for i in range(10_000):
+        t1, t2, t3 = toks16[i % 24], toks16[(i + 7) % 24], toks16[(i + 13) % 24]
+        m = i % 20
+        if m < 10:
+            q = f20.match_all(t1, t2, t3)
+        elif m < 15:
+            lo = 60 + (i % 430)
+            q = f20.match_all(t1, t2) & _F.between("n_chars", lo, lo + 25)
+        elif m < 18:
+            q = f20.match_phrase(f"{t1} {t2}")
+        else:
+            q = f20.match_term("dup") & ~f20.match_term(toks16[i % 4])
+        regs20.append((i, _ser20(q)))
+    qdf20 = spark.createDataFrame(regs20, "qid long, qjson string")
+    with timed("percolate_registry"):
+        percolate_dsl_df(bidx20, qdf20, "qjson", "qid").count()
+    bidx20.unpersist()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

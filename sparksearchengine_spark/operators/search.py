@@ -750,7 +750,13 @@ def _phrase_verify_branch(joined: DataFrame) -> DataFrame:
     cand = (
         joined.groupBy("query_id", DOC_ID)
         .agg(
-            F.count_distinct("qpos").alias("_nm"),
+            # plain count, NOT count_distinct: per (query_id, doc_id)
+            # each qpos joins at most ONE posting row ((query_id, qpos)
+            # is unique on the query side, (field, term, doc_id) on the
+            # postings side), so row count == matched-qpos count — and
+            # a distinct aggregate alongside collect_list would force an
+            # Expand that doubles the aggregation input volume
+            F.count(F.lit(1)).alias("_nm"),
             F.first("_n").alias("_n"),
             F.first("_maxspan").alias("_maxspan"),
             F.array_sort(
@@ -779,10 +785,34 @@ def _phrase_verify_branch(joined: DataFrame) -> DataFrame:
         # by F.filter as (element, index) (compiler._phrase note)
         return lambda x: x > prev
 
-    ok = F.exists(
+    # exact phrases (maxspan == n-1: the greedy chain forces strict
+    # adjacency) take a far cheaper EXACT path: fold the first term's
+    # positions through array_intersect(positions+1, next positions) —
+    # one builtin array op per phrase term instead of an interpreted
+    # exists x aggregate x filter loop PER START POSITION. At 10k hot-
+    # term phrase queries this is the difference between the HOF
+    # dominating the whole percolation and a scan-cost branch (the
+    # bench's percolate row was 6x slower without it). Sloppy phrases
+    # (maxspan > n-1) keep the greedy chain.
+    exact_ok = (
+        F.size(
+            F.aggregate(
+                F.slice(F.col("_pairs"), F.lit(2), F.size("_pairs") - 1),
+                F.element_at("_pairs", 1)["positions"],
+                lambda acc, pr: F.array_intersect(
+                    F.transform(acc, lambda p: p + 1), pr["positions"]
+                ),
+            )
+        )
+        > 0
+    )
+    greedy_ok = F.exists(
         F.element_at("_pairs", 1)["positions"],
         lambda p0: (_chain_end(p0) - p0) <= F.col("_maxspan"),
     )
+    ok = F.when(
+        F.col("_maxspan") == F.col("_n") - 1, exact_ok
+    ).otherwise(greedy_ok)
     score_fold = F.aggregate(
         "_pairs",
         F.lit(0.0),
