@@ -63,6 +63,7 @@ from sparksearchengine_spark.operators.search import (
     DOC_ID,
     SCORE,
     _DSL_FILTER_OPS,
+    _hint_data_side,
     _hint_query_side,
     _phrase_verify_branch,
     topk_per_group,
@@ -903,9 +904,12 @@ def _dsl_column_scored_union(
         )
         # fan matched terms back to the query rows by pattern key, then
         # ONE postings join; docs dedupe to constant score 1.0 (the
-        # single-query multi-term contract)
+        # single-query multi-term contract). matched cardinality is
+        # data-dependent (patterns x vocabulary) — probed broadcast
+        # with a shuffle_hash fallback, same ladder as every other
+        # unbounded side
         qterm = mtq.join(
-            F.broadcast(matched), ["field", "kind", "pat", "edits"]
+            _hint_data_side(matched), ["field", "kind", "pat", "edits"]
         ).select("query_id", "field", "term")
         branches.append(
             _scored_union(mt_fields).join(

@@ -147,6 +147,22 @@ def _hint_query_side(
     return F.broadcast(qterms) if broadcast_queries else qterms.hint("shuffle_hash")
 
 
+def _hint_data_side(
+    df: DataFrame, max_rows: int = BROADCAST_MAX_QUERY_ROWS
+) -> DataFrame:
+    """Join hint for a DERIVED data-dependent side whose cardinality is
+    unknowable driver-side (e.g. the vocabulary terms matching a batch
+    of wildcard patterns: 'a*' on a 100-TB corpus vocabulary can match
+    1e8 terms). Broadcast only when the probe proves it small
+    (``trust_bytes=False`` — a join+filter's Catalyst size stats don't
+    model its output), else shuffle_hash with THIS side as build side.
+    The probe is one bounded early-exit job, memoized per plan per
+    session (the register-once / percolate-many economics)."""
+    if decide_broadcast(df, max_rows, trust_bytes=False):
+        return F.broadcast(df)
+    return df.hint("shuffle_hash")
+
+
 def ranked_topk(df: DataFrame, order_cols: list, k: int) -> DataFrame:
     """Global top-k with a 1-based ``rank`` column: orderBy+limit (=
     TakeOrderedAndProject, never a full sort) then row_number over the
@@ -1152,8 +1168,11 @@ def _dsl_scored_union(
         for f in mt_fields:
             one = index.scored_postings(f).withColumn("field", F.lit(f))
             msp = one if msp is None else msp.unionByName(one)
+        # matched cardinality is data-dependent (patterns x vocabulary):
+        # probed broadcast, shuffle_hash fallback — never assume a
+        # pattern's expansion fits on the executors
         branches.append(
-            msp.join(F.broadcast(matched), ["field", "term"])
+            msp.join(_hint_data_side(matched), ["field", "term"])
             .select("query_id", DOC_ID)
             .distinct()
             .select("query_id", DOC_ID, F.lit(1.0).alias(SCORE))

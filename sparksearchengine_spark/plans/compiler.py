@@ -292,13 +292,18 @@ def _multi_term_docs(
     """Docs containing ≥1 of the matched terms, constant score 1.0.
 
     The term predicate is evaluated on TERMSTATS (vocabulary-sized) and
-    the matched set broadcast into a postings hash-join — the postings
+    the matched set joined into a postings hash-join — the postings
     side never evaluates a LIKE/levenshtein per row. That's the Spark
     analog of Lucene expanding a MultiTermQuery against the term
-    dictionary, not the postings.
+    dictionary, not the postings. The matched set's cardinality is
+    data-dependent ('a*' on a web-corpus vocabulary can expand to 1e8
+    terms), so the broadcast is probed with a shuffle_hash fallback —
+    matched terms the build side, never the postings.
     """
+    from sparksearchengine_spark.operators.search import _hint_data_side
+
     p = index.postings.where(F.col("field") == field).join(
-        F.broadcast(matched_terms.select("term")), "term"
+        _hint_data_side(matched_terms.select("term")), "term"
     )
     return (
         p.select(DOC_ID)

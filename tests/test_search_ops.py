@@ -3227,3 +3227,41 @@ class TestCursorUlpDrift:
         exact = page2(s)
         assert page2(s + math.ulp(s)) == exact
         assert page2(s - math.ulp(s)) == exact
+
+
+class TestMatchedTermsProbe:
+    """The multi-term expansion (vocabulary terms matching a pattern
+    batch) has data-dependent cardinality — 'a*' on a web-corpus
+    vocabulary can expand to 1e8 terms — so its join side is probed,
+    never broadcast unconditionally."""
+
+    def test_hint_data_side_directions(self, spark):
+        from sparksearchengine_spark.operators.search import (
+            _hint_data_side,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"t{i}") for i in range(50)], "id long, term string"
+        )
+        big = spark.range(10).select(
+            F.col("id"), F.concat(F.lit("x"), F.col("id")).alias("term")
+        )
+        small_joined = big.join(_hint_data_side(df, max_rows=1000), "id")
+        plan = small_joined._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        forced = big.join(_hint_data_side(df, max_rows=10), "id")
+        plan2 = forced._jdf.queryExecution().executedPlan().toString()
+        assert "ShuffledHashJoin" in plan2, plan2
+        assert "BroadcastHashJoin" not in plan2, plan2
+
+    def test_wildcard_results_unchanged(self, tiny_index):
+        # the probed path returns the same docs as ever
+        from sparksearchengine_spark.plans.ast import Q
+
+        got = sorted(
+            r["doc_id"]
+            for r in tiny_index.search(
+                Q.field("text").match_wildcard("a*"), k=10
+            ).collect()
+        )
+        assert got == [1, 2]
