@@ -448,3 +448,23 @@ class TestSynonymExpansion:
         assert self._docs(tiny_index, exp) == {3}
         # and NOT the or-over-words broadening: d1 has b without c
         assert 1 not in self._docs(tiny_index, exp)
+
+
+class TestPhraseAggNoExpand:
+    def test_phrase_verify_has_no_expand(self, tiny_index):
+        # regression guard for the r8 fix: count_distinct(qpos) next to
+        # collect_list forced an Expand that doubled the phrase
+        # aggregation input; plain count(*) is provably identical
+        # ((query_id, qpos) unique x (term, doc) unique postings)
+        from sparksearchengine_spark.operators.search import (
+            batch_search_dsl,
+        )
+        from sparksearchengine_spark.plans.ast import Q
+
+        out = batch_search_dsl(
+            tiny_index,
+            [(1, Q.field("text").match_phrase("a b"))],
+            k=5,
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan, plan
