@@ -556,11 +556,13 @@ def percolate_stream(
 
     Per micro-batch (foreachBatch, exactly-once via the idempotent
     per-batch_id overwrite, same pattern as ``incremental_index``):
-    analyze the batch's text, distinct (doc, term), one BROADCAST join
-    against the prepared standing-term table, one groupBy verdict. Work
-    is proportional to the BATCH × query-registry overlap — the
-    registry (thousands of queries, tiny) broadcasts; nothing
-    corpus-sized shuffles, no per-query loop.
+    analyze the batch's text, distinct (doc, term), one PROBED join
+    against the prepared standing-term table (broadcast while the
+    registry is provably small; shuffle-hash with the registry as
+    build side past the bound — a million-query registry's exploded
+    term table must not be assumed executor-resident), one groupBy
+    verdict. Work is proportional to the BATCH × query-registry
+    overlap; nothing corpus-sized shuffles, no per-query loop.
 
     Match semantics: ``require_all`` = every query term must occur
     (matchAllText); else ``min_should_match`` of them (matchAny at the
@@ -578,8 +580,12 @@ def percolate_stream(
         doc_terms = batch_df.select(
             F.col(id_col).alias("doc_id"), F.explode(toks).alias("term")
         )
+        from sparksearchengine_spark.operators.search import (
+            _hint_data_side,
+        )
+
         agg = (
-            doc_terms.join(F.broadcast(qterms), "term")
+            doc_terms.join(_hint_data_side(qterms), "term")
             .groupBy("query_id", "doc_id")
             .agg(
                 F.count(F.lit(1)).cast("long").alias("n_matched"),
