@@ -60,12 +60,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from sparksearchengine_spark.operators.search import (
+    BROADCAST_MAX_QUERY_ROWS,
     DOC_ID,
     SCORE,
     _DSL_FILTER_OPS,
     _hint_data_side,
     _hint_query_side,
     _phrase_verify_branch,
+    decide_broadcast,
     topk_per_group,
     weighted_terms_cfg,
 )
@@ -925,21 +927,50 @@ def _dsl_column_scored_union(
     if canons:
         from sparksearchengine_spark.plans.serde import query_from_json
 
-        cp = None
-        for canon in canons:
-            compiled = index.compile(query_from_json(canon)).withColumn(
-                "_canon", F.lit(canon)
-            )
-            cp = compiled if cp is None else cp.unionByName(compiled)
         gids = exe.where(F.col("shape") == "general").select(
             "query_id", F.col("canon").alias("_canon")
         )
-        branches.append(
-            cp.join(
-                _hint_query_side(gids, other, broadcast_queries),
-                "_canon",
-            ).select("query_id", DOC_ID, SCORE)
-        )
+        if len(canons) == 1:
+            # single distinct canon: the per-branch `_canon` literal
+            # would constant-fold the equi-join away and Catalyst then
+            # plans a BroadcastNestedLoopJoin with the QUERY-ID side as
+            # build side — registry-scale when a million general rows
+            # share one tree. The output here is inherently hits x
+            # sharing-rows, so attach ids with an explicit crossJoin:
+            # broadcast the id frame only when the probe proves it
+            # small, else a shuffle-based CartesianProduct (safe at any
+            # registry size; the volume IS the result — the
+            # shuffle_replicate_nl hint is the cross-join analog of
+            # shuffle_hash, since a hash hint has no key to apply to).
+            gq = gids.select("query_id")
+            bc = (
+                decide_broadcast(other, BROADCAST_MAX_QUERY_ROWS)
+                if broadcast_queries is None
+                else broadcast_queries
+            )
+            side = (
+                F.broadcast(gq)
+                if bc
+                else gq.hint("shuffle_replicate_nl")
+            )
+            branches.append(
+                index.compile(query_from_json(canons[0]))
+                .crossJoin(side)
+                .select("query_id", DOC_ID, SCORE)
+            )
+        else:
+            cp = None
+            for canon in canons:
+                compiled = index.compile(
+                    query_from_json(canon)
+                ).withColumn("_canon", F.lit(canon))
+                cp = compiled if cp is None else cp.unionByName(compiled)
+            branches.append(
+                cp.join(
+                    _hint_query_side(gids, other, broadcast_queries),
+                    "_canon",
+                ).select("query_id", DOC_ID, SCORE)
+            )
 
     if not branches:
         return nz, None

@@ -774,3 +774,54 @@ class TestHugeIntFilterRouting:
         out = query_join_dsl(jidx, df, "qjson", other_id_col="rid")
         out.collect()
         assert not calls  # terms tier with a signature slot, no compile
+
+
+class TestSingleCanonJoinShape:
+    """One distinct general canon: the per-branch literal would fold the
+    equi-join into a BNLJ with the query-id side as build side
+    (registry-scale at a million rows sharing one tree). The explicit
+    path broadcasts the id frame only when probed small, else forces a
+    shuffle-based CartesianProduct."""
+
+    def _rows(self, spark, n):
+        q = ~Q.field("text").match_term("spark")
+        return spark.createDataFrame(
+            [(i, _ser(q)) for i in range(n)], "rid long, qjson string"
+        )
+
+    def test_small_broadcasts_and_matches_search(self, spark, jidx):
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+
+        df = self._rows(spark, 7)
+        out = query_join_dsl(jidx, df, "qjson", other_id_col="rid")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+        got: dict = {}
+        for r in out.collect():
+            if r["match_doc_id"] is not None:
+                got.setdefault(r["rid"], []).append(
+                    (r["match_doc_id"], round(r["score"], 6), r["rank"])
+                )
+        want = _single(jidx, ~Q.field("text").match_term("spark"))
+        assert len(got) == 7
+        for rid in range(7):
+            assert sorted(got[rid]) == want
+
+    def test_forced_large_is_shuffle_cartesian(self, spark, jidx):
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+
+        df = self._rows(spark, 7)
+        out = query_join_dsl(
+            jidx, df, "qjson", other_id_col="rid", broadcast_queries=False
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # forced non-broadcast: the id side must NOT be a nested-loop
+        # build side — shuffle-replicated cartesian instead
+        assert "CartesianProduct" in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        n = sum(
+            1 for r in out.collect() if r["match_doc_id"] is not None
+        )
+        assert n == 7 * len(
+            _single(jidx, ~Q.field("text").match_term("spark"))
+        )
