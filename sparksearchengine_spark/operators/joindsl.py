@@ -398,11 +398,14 @@ def _attach_elements(out: DataFrame, c, with_elements: bool) -> DataFrame:
     return out.join(elems, "match_doc_id", "left")
 
 
-def _sig_predicates(sub: DataFrame, sig: str) -> DataFrame:
-    """Apply one signature group's filter slots: slot i's typed values
-    live at fvals[i] (the UDF sorted slots by signature string, so the
-    order is deterministic). The field/op/class are FIXED per signature
-    — only the comparison values are data."""
+def _sig_predicate_expr(sig: str):  # type: ignore[no-untyped-def]
+    """One signature group's filter slots as a single Column predicate:
+    slot i's typed values live at fvals[i] (the UDF sorted slots by
+    signature string, so the order is deterministic). The
+    field/op/class are FIXED per signature — only the comparison values
+    are data. Expression form (not sequential .where) so signatures
+    can dispatch per row inside ONE branch via fsig equality."""
+    conds = []
     for i, slot in enumerate(sig.split("|")):
         parts = slot.split(":")
         kind, fld = parts[0], parts[1]
@@ -412,22 +415,25 @@ def _sig_predicates(sub: DataFrame, sig: str) -> DataFrame:
             op, cls = parts[2], parts[3]
             v = val["v_num"] if cls == "num" else val["v_str"]
             a = att.cast("double") if cls == "num" else att
-            sub = sub.where(_DSL_FILTER_OPS[op](a, v))
+            conds.append(_DSL_FILTER_OPS[op](a, v))
         elif kind == "range":
             cls = parts[2]
             if cls == "num":
-                sub = sub.where(
+                conds.append(
                     att.cast("double").between(
                         val["lo_num"], val["hi_num"]
                     )
                 )
             else:
-                sub = sub.where(att.between(val["lo_str"], val["hi_str"]))
+                conds.append(att.between(val["lo_str"], val["hi_str"]))
         elif kind == "exists":
-            sub = sub.where(att.isNotNull())
+            conds.append(att.isNotNull())
         else:  # missing
-            sub = sub.where(att.isNull())
-    return sub
+            conds.append(att.isNull())
+    out = conds[0]
+    for cnd in conds[1:]:
+        out = out & cnd
+    return out
 
 
 def query_join_dsl(
@@ -812,6 +818,13 @@ def _dsl_column_scored_union(
             # every terms row is unfiltered: no signature join at all
             branches.append(tmatch)
         else:
+            # ONE branch for plain + every signature: a branch per sig
+            # would re-run the score aggregation above once per branch
+            # (Catalyst does not reliably reuse the exchange across
+            # union arms — measured as a doubled scored-postings scan),
+            # and that join+agg is the hottest plan in the engine. One
+            # broadcast sigmap join, one attrs join over the union of
+            # the sigs' fields, and a per-row fsig-dispatched predicate.
             sigmap = exe.where(F.col("shape") == "terms").select(
                 "query_id", "fsig", "fvals"
             )
@@ -819,26 +832,30 @@ def _dsl_column_scored_union(
                 _hint_query_side(sigmap, other, broadcast_queries),
                 "query_id",
             )
-            if has_plain_terms:
-                branches.append(
-                    tm.where(F.col("fsig") == "").select(
-                        "query_id", DOC_ID, SCORE
-                    )
-                )
+            all_fields = sorted(
+                {
+                    slot.split(":")[1]
+                    for sig in sigs
+                    for slot in sig.split("|")
+                }
+            )
+            attrs = c.df.select(
+                F.col(c.id_col).cast("long").alias(DOC_ID),
+                *[F.col(f).alias(f"_a_{f}") for f in all_fields],
+            )
+            sub = tm.join(attrs, DOC_ID)
+            pred = (
+                F.col("fsig") == ""
+                if has_plain_terms
+                else F.lit(False)
+            )
             for sig in sigs:
-                fields = sorted(
-                    {slot.split(":")[1] for slot in sig.split("|")}
+                pred = pred | (
+                    (F.col("fsig") == sig) & _sig_predicate_expr(sig)
                 )
-                attrs = c.df.select(
-                    F.col(c.id_col).cast("long").alias(DOC_ID),
-                    *[F.col(f).alias(f"_a_{f}") for f in fields],
-                )
-                sub = tm.where(F.col("fsig") == sig).join(attrs, DOC_ID)
-                branches.append(
-                    _sig_predicates(sub, sig).select(
-                        "query_id", DOC_ID, SCORE
-                    )
-                )
+            branches.append(
+                sub.where(pred).select("query_id", DOC_ID, SCORE)
+            )
 
     # -- tier 2: phrases as data -------------------------------------------
     # probe-pruned: only fields a phrase row actually names (normalization

@@ -825,3 +825,39 @@ class TestSingleCanonJoinShape:
         assert n == 7 * len(
             _single(jidx, ~Q.field("text").match_term("spark"))
         )
+
+
+class TestSigTierOneAgg:
+    def test_mixed_plain_and_sigs_one_scored_scan(self, spark, jidx):
+        # plain terms + two signatures in one batch: the terms tier must
+        # evaluate its score aggregation ONCE (one scored-postings scan),
+        # not once per union branch — signatures dispatch per row on
+        # fsig inside a single branch
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+
+        rows = [
+            (1, _ser(Q.field("text").match_term("fast"))),
+            (2, _ser(Q.field("text").match_term("fast") & F_.ge("views", 10))),
+            (3, _ser(Q.field("text").match_term("fast") & F_.between("views", 5, 30))),
+            (4, _ser(Q.field("text").match_term("spark") & F_.ge("views", 20))),
+        ]
+        df = spark.createDataFrame(rows, "rid long, qjson string")
+        out = query_join_dsl(jidx, df, "qjson", other_id_col="rid")
+        import re
+
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        scans = len(
+            re.findall(r"InMemoryTableScan \[[^\]]*tscore#", plan)
+        )
+        assert scans == 1, plan
+        got: dict = {}
+        for r in out.collect():
+            if r["match_doc_id"] is not None:
+                got.setdefault(r["rid"], []).append(
+                    (r["match_doc_id"], round(r["score"], 6), r["rank"])
+                )
+        for rid, qjson in rows:
+            from sparksearchengine_spark.plans.serde import query_from_json
+
+            want = _single(jidx, query_from_json(qjson))
+            assert sorted(got.get(rid, [])) == want, rid
