@@ -1038,6 +1038,18 @@ def _dsl_scored_union(
             "query_id", DOC_ID, SCORE
         )
         if filtered_ids:
+            # the plain branch + every signature branch read tmatch,
+            # and Catalyst does not reliably reuse the exchange across
+            # union arms — without this persist the corpus-wide
+            # score aggregation (the hottest join in the engine) would
+            # re-run once per signature (≤ max_plans times). Registered
+            # on the index so release_caches() frees it. (The column
+            # path avoids the fan-out structurally — one fsig-dispatched
+            # branch — but here slot values keep their NATIVE types
+            # per signature (date/Decimal/in-set), which a single
+            # shared frame cannot carry.)
+            tmatch = tmatch.persist()
+            index.register_cache(tmatch)
             branches.append(
                 tmatch.where(
                     ~F.col("query_id").isin(sorted(filtered_ids))
