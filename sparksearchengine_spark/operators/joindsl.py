@@ -127,12 +127,15 @@ def _num(v) -> bool:
     # bool is an int subclass — a boolean value must NOT ride the
     # numeric compare path (True == 1 would change semantics). Ints
     # outside the exact-double range route to the compiled tier: the
-    # data path casts both sides to double, so |v| > 2^53 would compare
+    # data path casts both sides to double, so |v| >= 2^53 would compare
     # differently there than in the compiled plan (which keeps the
     # literal's own type) — tier selection must never change semantics.
+    # STRICT bound: exactly ±2^53 must route compiled too, because the
+    # neighboring long 2^53+1 casts to the identical double and would
+    # falsely match =, <=, and range-hi compares on the data tier.
     if isinstance(v, bool) or not isinstance(v, (int, float)):
         return False
-    return not isinstance(v, int) or -(2**53) <= v <= 2**53
+    return not isinstance(v, int) or -(2**53) < v < 2**53
 
 
 def _filter_slot(f, corpus_cols: "set[str]"):
@@ -410,7 +413,12 @@ def _sig_predicate_expr(sig: str):  # type: ignore[no-untyped-def]
         parts = slot.split(":")
         kind, fld = parts[0], parts[1]
         att = F.col(f"_a_{fld}")
-        val = F.element_at(F.col("fvals"), i + 1)
+        # F.get (0-indexed) returns NULL out of bounds regardless of
+        # ANSI mode: rows of OTHER signatures sharing the branch can
+        # carry shorter fvals arrays, and element_at would throw under
+        # Spark 4's default ANSI before the fsig guard short-circuits
+        # (AND evaluation order is not guaranteed)
+        val = F.get(F.col("fvals"), i)
         if kind == "cmp":
             op, cls = parts[2], parts[3]
             v = val["v_num"] if cls == "num" else val["v_str"]
@@ -960,8 +968,11 @@ def _dsl_column_scored_union(
             # shuffle_replicate_nl hint is the cross-join analog of
             # shuffle_hash, since a hash hint has no key to apply to).
             gq = gids.select("query_id")
+            # probe the frame actually cross-joined (the general-shape,
+            # post-dedup id subset), not the full mixed batch — a large
+            # batch with few general rows should still broadcast
             bc = (
-                decide_broadcast(other, BROADCAST_MAX_QUERY_ROWS)
+                decide_broadcast(gq, BROADCAST_MAX_QUERY_ROWS)
                 if broadcast_queries is None
                 else broadcast_queries
             )

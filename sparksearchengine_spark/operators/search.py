@@ -253,9 +253,13 @@ def search(
     in a different order can drift 1 ulp, and EXACT equality would then
     misclassify the boundary tie (skip or repeat that one doc). The
     rounding absorbs the drift; distinct scores within 5e-7 of the
-    cursor are consequently treated as boundary ties and disambiguated
-    by doc_id. Persist the compiled hits frame across pages (or page by
-    ``offset`` within one execution) when sub-6dp tie fidelity matters.
+    cursor are treated as boundary ties and disambiguated by doc_id —
+    and the SORT implements the same contract: pages rank by
+    ``(round(score, 6) DESC, doc_id ASC)``, so the cursor predicate and
+    the page order agree on which docs are "after" the cursor (ranking
+    by full precision while comparing rounded would deterministically
+    skip or repeat sub-6dp-distinct docs straddling a page boundary).
+    ``score`` in the output stays full precision.
     """
     if offset < 0:
         raise ValueError("offset must be >= 0")
@@ -274,10 +278,12 @@ def search(
         hits = hits.where(
             (rs < ra) | ((rs == ra) & (F.col(DOC_ID) > F.lit(int(d))))
         )
-    hits = hits.orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc()).limit(
-        k + offset
-    )
-    w = Window.orderBy(F.col(SCORE).desc(), F.col(DOC_ID).asc())
+    # rank by the SAME rounded score the cursor predicate compares —
+    # sub-6dp-distinct docs are ties everywhere, never page stragglers
+    hits = hits.orderBy(
+        F.round(F.col(SCORE), 6).desc(), F.col(DOC_ID).asc()
+    ).limit(k + offset)
+    w = Window.orderBy(F.round(F.col(SCORE), 6).desc(), F.col(DOC_ID).asc())
     hits = hits.withColumn("rank", F.row_number().over(w))  # ≤ k+offset rows
     if offset:
         hits = hits.where(F.col("rank") > offset)
@@ -467,10 +473,13 @@ def batch_search(
             | (rs < ra)
             | ((rs == ra) & (F.col(DOC_ID) > F.col("_ad")))
         )
+    # rank by the SAME rounded score the cursor predicate compares (the
+    # 6dp contract): ranking full-precision while the boundary compares
+    # rounded would skip/repeat sub-6dp-distinct docs across pages
     ranked = topk_per_group(
         agg,
         ["query_id"],
-        [F.col(SCORE).desc(), F.col(DOC_ID).asc()],
+        [F.round(F.col(SCORE), 6).desc(), F.col(DOC_ID).asc()],
         k=window_k,
         salt_buckets=salt_buckets,
     )
@@ -1265,7 +1274,10 @@ def more_like_this(
     idfs = term_idfs(index).where(F.col("field") == field).select(
         "term", "idf"
     )
-    scored_kw = p_src.join(F.broadcast(idfs), "term").select(
+    # the idf side is the FULL field vocabulary — unbounded at corpus
+    # scale — so it takes the same probed ladder as scored_postings:
+    # broadcast only when provably small, else shuffle_hash build side
+    scored_kw = p_src.join(index.hint_vocab_side(idfs), "term").select(
         F.col(DOC_ID).alias("src_id"),
         "term",
         (F.col("tf").cast("double") * F.col("idf")).alias("tfidf"),

@@ -77,10 +77,13 @@ def doc_keywords(
     curation pipeline (keywords come straight off the postings table, no
     re-tokenization).
 
-    Shape: postings ⋈ broadcast(idf) then a rank window PARTITIONED BY
-    doc_id — postings are already doc_id-partitioned out of the build, so
-    Spark plans a WindowGroupLimit with no extra exchange. Ties broken by
-    term asc for determinism.
+    Shape: postings ⋈ idf (probed broadcast ladder — the idf side is the
+    FULL field vocabulary, O(10^8-10^9) rows at 100 TB by Heaps' law, so
+    it rides ``index.hint_vocab_side``: broadcast only when provably
+    small, else shuffle_hash with the vocab as build side) then a rank
+    window PARTITIONED BY doc_id — postings are already doc_id-partitioned
+    out of the build, so Spark plans a WindowGroupLimit with no extra
+    exchange. Ties broken by term asc for determinism.
     """
     idfs = term_idfs(index).where(F.col("field") == field).select(
         "term", "idf"
@@ -89,7 +92,7 @@ def doc_keywords(
 
     scored = (
         index.postings.where(F.col("field") == field)
-        .join(F.broadcast(idfs), "term")
+        .join(index.hint_vocab_side(idfs), "term")
         .select(
             "doc_id", "term",
             (F.col("tf").cast("double") * F.col("idf")).alias("tfidf"),

@@ -755,6 +755,32 @@ class TestHugeIntFilterRouting:
         )
         assert got == want
 
+    def test_exactly_2_53_routes_to_compiled_tier(
+        self, spark, jidx, monkeypatch
+    ):
+        # STRICT bound (r8 advice): a literal of EXACTLY ±2^53 must ride
+        # the compiled tier too — the neighboring long 2^53+1 casts to
+        # the identical double, so the data tier would falsely match
+        # =, <=, and range-hi compares against such attributes
+        import sparksearchengine_spark.operators.index as index_mod
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+
+        calls: list = []
+        orig = index_mod.SearchIndex.compile
+
+        def spy(self, qq):  # type: ignore[no-untyped-def]
+            calls.append(qq)
+            return orig(self, qq)
+
+        monkeypatch.setattr(index_mod.SearchIndex, "compile", spy)
+        for v in (2**53, -(2**53)):
+            q = Q.field("text").match_term("fast") & F_.le("views", v)
+            df = spark.createDataFrame(
+                [(1, _ser(q))], "rid long, qjson string"
+            )
+            query_join_dsl(jidx, df, "qjson", other_id_col="rid").collect()
+        assert len(calls) == 2  # both compiled, neither on the data tier
+
     def test_in_range_int_stays_on_data_path(self, spark, jidx, monkeypatch):
         import sparksearchengine_spark.operators.index as index_mod
         from sparksearchengine_spark.operators.joindsl import query_join_dsl
@@ -807,6 +833,33 @@ class TestSingleCanonJoinShape:
         for rid in range(7):
             assert sorted(got[rid]) == want
 
+    def test_probe_sizes_general_subset_not_full_batch(
+        self, spark, jidx, monkeypatch
+    ):
+        # r8 advice: the broadcast decision must probe the general-shape
+        # id subset actually cross-joined, not the full mixed batch — a
+        # large batch with FEW general rows still broadcasts. Shrink the
+        # budget so the 12-row batch fails the probe but the 2 general
+        # rows pass; the plan must be a broadcast, not a CartesianProduct.
+        import sparksearchengine_spark.operators.joindsl as jmod
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+
+        monkeypatch.setattr(jmod, "BROADCAST_MAX_QUERY_ROWS", 5)
+        gq = ~Q.field("text").match_term("spark")
+        rows = [(i, _ser(Q.field("text").match_term("fast")))
+                for i in range(10)]
+        rows += [(100, _ser(gq)), (101, _ser(gq))]
+        df = spark.createDataFrame(rows, "rid long, qjson string")
+        out = query_join_dsl(jidx, df, "qjson", other_id_col="rid")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, plan
+        got = {
+            r["rid"]
+            for r in out.collect()
+            if r["match_doc_id"] is not None and r["rid"] >= 100
+        }
+        assert got == {100, 101}
+
     def test_forced_large_is_shuffle_cartesian(self, spark, jidx):
         from sparksearchengine_spark.operators.joindsl import query_join_dsl
 
@@ -825,6 +878,41 @@ class TestSingleCanonJoinShape:
         assert n == 7 * len(
             _single(jidx, ~Q.field("text").match_term("spark"))
         )
+
+
+class TestSigSlotCountMismatch:
+    """Signatures with DIFFERENT slot counts share the one terms-tier
+    branch; the fused predicate indexes fvals with F.get (0-indexed,
+    NULL out of bounds) because rows of a shorter signature would make
+    element_at throw under Spark 4's default ANSI mode before the fsig
+    AND-guard short-circuits (evaluation order is not guaranteed)."""
+
+    def test_mixed_slot_counts_one_batch(self, spark, jidx):
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+        from sparksearchengine_spark.plans.serde import query_from_json
+
+        rows = [
+            # 2 filter slots
+            (1, _ser(
+                Q.field("text").match_term("fast")
+                & F_.ge("views", 10) & F_.le("views", 100)
+            )),
+            # 1 filter slot — its fvals array is SHORTER
+            (2, _ser(Q.field("text").match_term("fast") & F_.ge("views", 10))),
+            # 0 filter slots (plain) in the same branch
+            (3, _ser(Q.field("text").match_term("fast"))),
+        ]
+        df = spark.createDataFrame(rows, "rid long, qjson string")
+        out = query_join_dsl(jidx, df, "qjson", other_id_col="rid")
+        got: dict = {}
+        for r in out.collect():
+            if r["match_doc_id"] is not None:
+                got.setdefault(r["rid"], []).append(
+                    (r["match_doc_id"], round(r["score"], 6), r["rank"])
+                )
+        for rid, qjson in rows:
+            want = _single(jidx, query_from_json(qjson))
+            assert sorted(got.get(rid, [])) == want, rid
 
 
 class TestSigTierOneAgg:

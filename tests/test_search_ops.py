@@ -3170,6 +3170,95 @@ class TestVocabBroadcastProbe:
         assert "BroadcastHashJoin" in plan, plan
         idx.unpersist()
 
+    def test_doc_keywords_forced_shuffle_hash(self, spark):
+        # r8 verdict #1: doc_keywords joined postings to the FULL field
+        # IDF table via unconditional F.broadcast — same OOM-at-100-TB
+        # pattern scored_postings fixed. Must ride hint_vocab_side.
+        from sparksearchengine_spark.operators.stats import doc_keywords
+
+        idx = self._mk(spark, "vbp7", False)
+        plan = (
+            doc_keywords(idx, "text", k=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ShuffledHashJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        idx.unpersist()
+
+    def test_doc_keywords_small_vocab_broadcasts(self, spark):
+        from sparksearchengine_spark.operators.stats import doc_keywords
+
+        idx = self._mk(spark, "vbp8", None)  # probe path
+        plan = (
+            doc_keywords(idx, "text", k=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+        idx.unpersist()
+
+    def test_more_like_this_forced_shuffle_hash(self, spark):
+        # The source side was probed but the vocab side two joins later
+        # was broadcast unconditionally; with BOTH policies forced off,
+        # no broadcast of any kind may remain in the plan.
+        from sparksearchengine_spark.operators.search import more_like_this
+
+        idx = self._mk(spark, "vbp9", False)
+        plan = (
+            more_like_this(
+                idx, [1], "text", k=2, num_terms=2,
+                broadcast_keywords=False,
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "ShuffledHashJoin" in plan, plan
+        assert "BroadcastHashJoin" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        idx.unpersist()
+
+    def test_more_like_this_small_vocab_broadcasts(self, spark):
+        from sparksearchengine_spark.operators.search import more_like_this
+
+        idx = self._mk(spark, "vbp10", None)  # probe path
+        plan = (
+            more_like_this(idx, [1], "text", k=2, num_terms=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan, plan
+        assert "ShuffledHashJoin" not in plan, plan
+        idx.unpersist()
+
+    def test_more_like_this_both_directions_equal_results(self, spark):
+        from sparksearchengine_spark.operators.search import more_like_this
+
+        a = self._mk(spark, "vbp11", True)
+        b = self._mk(spark, "vbp12", False)
+        rows_a = sorted(
+            (r["src_id"], r["match_doc_id"], round(r["score"], 9), r["rank"])
+            for r in more_like_this(
+                a, [1, 2, 3], "text", k=3, num_terms=2
+            ).collect()
+        )
+        rows_b = sorted(
+            (r["src_id"], r["match_doc_id"], round(r["score"], 9), r["rank"])
+            for r in more_like_this(
+                b, [1, 2, 3], "text", k=3, num_terms=2,
+                broadcast_keywords=False,
+            ).collect()
+        )
+        assert rows_a == rows_b
+        a.unpersist()
+        b.unpersist()
+
 
 class TestCursorUlpDrift:
     """Boundary matching is 6dp-rounded on BOTH sides: a cursor that
@@ -3227,6 +3316,73 @@ class TestCursorUlpDrift:
         exact = page2(s)
         assert page2(s + math.ulp(s)) == exact
         assert page2(s - math.ulp(s)) == exact
+
+
+class TestCursorRoundedSort:
+    """r8 ADVICE (medium): the cursor predicate compares 6dp-ROUNDED
+    scores, so the page SORT must rank by the same rounded score —
+    ranking full-precision while comparing rounded deterministically
+    skips (or repeats) docs whose distinct scores sit within 5e-7 of
+    the cursor and straddle a page boundary. Scores are injected via a
+    crafted compiled-hits frame: doc 2's full-precision score is HIGHER
+    than doc 1's but both round to 1.0 at 6dp, so a full-precision sort
+    would emit doc 2 on page 1 and the rounded cursor would then drop
+    doc 1 forever."""
+
+    def _paged_union(self, spark, scores, k):
+        from types import SimpleNamespace
+
+        from sparksearchengine_spark.operators.search import search
+
+        hits = spark.createDataFrame(scores, "doc_id long, score double")
+        idx = SimpleNamespace(compile=lambda q: hits)
+        out, cursor, pages = [], None, 0
+        while pages < 10:
+            page = [
+                (r["doc_id"], r["score"])
+                for r in search(idx, None, k=k, search_after=cursor)
+                .orderBy("rank")
+                .collect()
+            ]
+            if not page:
+                break
+            out.extend(page)
+            cursor = (page[-1][1], page[-1][0])
+            pages += 1
+        return out
+
+    def test_sub6dp_boundary_neither_skipped_nor_repeated(self, spark):
+        scores = [(1, 1.0000001), (2, 1.0000004), (3, 0.5)]
+        got = self._paged_union(spark, scores, k=1)
+        # every doc exactly once, in (round(score,6) desc, doc_id asc)
+        assert got == [(1, 1.0000001), (2, 1.0000004), (3, 0.5)]
+
+    def test_rounded_tie_block_larger_than_page(self, spark):
+        # five docs all rounding to the same 6dp score, page size 2:
+        # the cursor must walk the tie block by doc_id without loss
+        scores = [(i, 2.0 + i * 1e-8) for i in range(1, 6)] + [(9, 1.0)]
+        got = self._paged_union(spark, scores, k=2)
+        assert [d for d, _ in got] == [1, 2, 3, 4, 5, 9]
+        assert len(got) == len(set(got))
+
+    def test_batch_cursor_sub6dp_boundary(self, spark, docs_index):
+        # batch path: same contract via the rank window — page-1 ranks
+        # must follow (rounded score, doc_id) so a recomputed page 2
+        # starting from page 1's last row never skips a rounded tie
+        from sparksearchengine_spark.operators.search import batch_search
+
+        qdf = spark.createDataFrame(
+            [(1, "dup spark merge")], "query_id long, qtext string"
+        )
+        all_rows = [
+            (r["doc_id"], round(r["score"], 6), r["rank"])
+            for r in batch_search(docs_index, qdf, k=100, field="text")
+            .orderBy("rank")
+            .collect()
+        ]
+        # the window order must agree with (rounded desc, doc_id asc)
+        expect = sorted(all_rows, key=lambda t: (-t[1], t[0]))
+        assert [t[0] for t in all_rows] == [t[0] for t in expect]
 
 
 class TestMatchedTermsProbe:
