@@ -219,23 +219,32 @@ def classifier_score_vocab(
     term_col: str = "term",
     weight_col: str = "weight",
 ) -> DataFrame:
-    """Vocabulary linear model: explode tokens, broadcast-join the
-    `(term, weight)` table (vocab << corpus by construction — a fastText
-    vocab is millions of rows, the corpus is billions), sum per doc.
+    """Vocabulary linear model: explode tokens, join the `(term,
+    weight)` table (vocab << corpus by construction — a fastText vocab
+    is millions of rows, the corpus is billions), sum per doc. The
+    weights table is USER-SUPPLIED with no driver-known bound, so the
+    join strategy is probed: broadcast only when provably ≤ the vocab
+    budget, else shuffle_hash with the weights as build side.
 
     OOV tokens contribute 0 (left join + coalesce). One shuffle (the
     per-doc re-aggregation, partial-agg'd map-side). Returns
     `(id, n_tokens, score)`; rows with no tokens score exactly ``bias``.
     """
+    from sparksearchengine_spark.operators.index import (
+        VOCAB_BROADCAST_MAX_ROWS,
+    )
+    from sparksearchengine_spark.operators.search import _hint_data_side
+
     toks = analyzer_expr(F.col(text_col), analyzer)
     base = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
     exploded = base.select(
         "id", F.explode_outer(F.col("_toks")).alias("_t")
     )
-    w = F.broadcast(
+    w = _hint_data_side(
         weights_df.select(
             F.col(term_col).alias("_t"), F.col(weight_col).alias("_w")
-        )
+        ),
+        max_rows=VOCAB_BROADCAST_MAX_ROWS,
     )
     scored = (
         exploded.join(w, "_t", "left")
@@ -277,14 +286,23 @@ def tfidf_hash_embed(
 
     Engine-exactness: idf values are rounded 6dp and summed as DECIMAL
     per bucket (order-independent); the normalization is the shared
-    one-sqrt-one-fold shape. Plan: one explode, one broadcast vocab
-    join, two id-keyed partial-agg'd shuffles (bucket sums, then the
-    map assembly) — unlike the count-based ``hash_embed`` this cannot
-    be zero-shuffle because the weight needs the corpus-global df.
+    one-sqrt-one-fold shape. Plan: one explode, one PROBED vocab join
+    (the vocabulary — fitted from the corpus or user-supplied — is
+    unbounded at 100 TB by Heaps' law, so it broadcasts only when
+    provably small, else shuffle_hash with the vocab as build side),
+    two id-keyed partial-agg'd shuffles (bucket sums, then the map
+    assembly) — unlike the count-based ``hash_embed`` this cannot be
+    zero-shuffle because the weight needs the corpus-global df.
     """
     if dim <= 0:
         raise ValueError("dim must be positive")
     from sparksearchengine_spark.functions.scoring import idf_expr
+    from sparksearchengine_spark.operators.index import (
+        VOCAB_BROADCAST_MAX_ROWS as _VMAX,
+    )
+    from sparksearchengine_spark.operators.search import (
+        _hint_data_side as _hds,
+    )
 
     toks = F.coalesce(
         analyzer_expr(F.col(text_col), analyzer),
@@ -318,7 +336,7 @@ def tfidf_hash_embed(
         idf_expr(F.col("df_t").cast("double"), F.lit(n_docs)), 6
     ).cast("decimal(28,6)")
     weighted = (
-        exploded.join(F.broadcast(df_table), "term", "left")
+        exploded.join(_hds(df_table, max_rows=_VMAX), "term", "left")
         .select(
             "id",
             # pad rows (NULL term) would hash to a NULL bucket, and a

@@ -199,13 +199,24 @@ def filter_domains(
     """Drop (``mode='block'``) or keep (``'allow'``) rows whose
     ``domain_col`` appears in the list. A literal list compiles to an
     ``isin`` scan predicate (pushes down, no shuffle); a one-column
-    DataFrame becomes a broadcast anti/semi join (the 100 TB path for
-    real blocklists, which run to millions of domains)."""
+    DataFrame becomes an anti/semi join whose strategy is PROBED (the
+    100 TB path): real blocklists run to millions of domains and a
+    user-supplied frame has no driver-known bound, so it broadcasts
+    only when provably ≤ the vocab budget, else shuffle_hash with the
+    blocklist as build side (the corpus is never the build side)."""
     if mode not in ("block", "allow"):
         raise ValueError(f"mode must be block|allow, got {mode!r}")
     if isinstance(blocklist, DataFrame):
+        from sparksearchengine_spark.operators.index import (
+            VOCAB_BROADCAST_MAX_ROWS,
+        )
+        from sparksearchengine_spark.operators.search import _hint_data_side
+
         bcol = blocklist.columns[0]
-        side = F.broadcast(blocklist.select(F.col(bcol).alias(domain_col)))
+        side = _hint_data_side(
+            blocklist.select(F.col(bcol).alias(domain_col)),
+            max_rows=VOCAB_BROADCAST_MAX_ROWS,
+        )
         how = "left_anti" if mode == "block" else "left_semi"
         return df.join(side, on=domain_col, how=how)
     # NULL domains must behave like the join path (anti keeps them,
