@@ -606,3 +606,127 @@ class TestDedupQueriesLaw:
             index, qdf, "qjson", k=4, other_id_col="rid", dedup_queries=True
         )
         assert canon(dedup) == canon(plain)
+
+
+class TestPhraseFoldLaws:
+    """r8 rewrote exact-phrase verification as an array_intersect fold
+    (`operators/search.py::_phrase_verify_branch`); these laws pin its
+    equivalence the way the serde/dedup laws are pinned:
+
+      (e) exact fold == greedy chain at maxspan = n-1 == brute force
+      (f) greedy chain == brute-force sloppy match at any maxspan
+
+    The mirrors below are line-for-line translations of the Column
+    expressions; `test_verify_branch_matches_python` then pins the real
+    Spark function against the same brute force on a seeded batch, so
+    the pure-Python laws transfer to the SQL expressions."""
+
+    # positions arrays as the index produces them: non-empty, sorted,
+    # distinct (one row per (term, doc) with its position list)
+    _poslist = st.lists(
+        st.integers(0, 24), min_size=1, max_size=5, unique=True
+    ).map(sorted)
+    _poslists = st.lists(_poslist, min_size=1, max_size=4)
+
+    @staticmethod
+    def _brute(poslists, maxspan):
+        # exists a strictly increasing chain p0 < p1 < ... with
+        # p_i in poslists[i] and chain_end - p0 <= maxspan
+        def rec(i, prev, p0):
+            if i == len(poslists):
+                return prev - p0 <= maxspan
+            return any(
+                rec(i + 1, x, p0) for x in poslists[i] if x > prev
+            )
+
+        return any(rec(1, p0, p0) for p0 in poslists[0])
+
+    @staticmethod
+    def _fold_exact(poslists):
+        # array_intersect(transform(acc, p -> p+1), positions) fold
+        acc = list(poslists[0])
+        for nxt in poslists[1:]:
+            s = set(nxt)
+            acc = [p + 1 for p in acc if p + 1 in s]
+        return len(acc) > 0
+
+    @staticmethod
+    def _greedy(poslists, maxspan):
+        # exists p0: fold picking min(position > prev) each step, and
+        # chain_end - p0 <= maxspan (a broken chain folds to None)
+        for p0 in poslists[0]:
+            prev = p0
+            for nxt in poslists[1:]:
+                cands = [x for x in nxt if x > prev]
+                if not cands:
+                    prev = None
+                    break
+                prev = min(cands)
+            if prev is not None and prev - p0 <= maxspan:
+                return True
+        return False
+
+    @given(poslists=_poslists)
+    @settings(max_examples=300, deadline=None)
+    def test_exact_fold_equals_greedy_equals_brute(self, poslists):
+        n = len(poslists)
+        want = self._brute(poslists, n - 1)
+        assert self._fold_exact(poslists) == want
+        assert self._greedy(poslists, n - 1) == want
+
+    @given(poslists=_poslists, extra=st.integers(0, 8))
+    @settings(max_examples=300, deadline=None)
+    def test_greedy_equals_brute_sloppy(self, poslists, extra):
+        maxspan = len(poslists) - 1 + extra
+        assert self._greedy(poslists, maxspan) == self._brute(
+            poslists, maxspan
+        )
+
+    def test_verify_branch_matches_python(self, spark):
+        # the REAL Column expressions on a seeded batch: one joined
+        # frame, one pass through _phrase_verify_branch, verdicts and
+        # scores compared against the brute-force mirror per case
+        import random
+
+        from pyspark.sql import functions as F
+
+        from sparksearchengine_spark.operators.search import (
+            _phrase_verify_branch,
+        )
+
+        rng = random.Random(20250815)
+        cases = []
+        for qid in range(80):
+            n = rng.randint(1, 4)
+            poslists = [
+                sorted(
+                    rng.sample(range(0, 25), rng.randint(1, 5))
+                )
+                for _ in range(n)
+            ]
+            extra = rng.choice([0, 0, 0, 1, 2, 5])  # mostly exact
+            cases.append((qid, poslists, n - 1 + extra))
+        rows = []
+        for qid, poslists, maxspan in cases:
+            for qpos, positions in enumerate(poslists):
+                rows.append(
+                    (qid, 1, qpos, positions, 0.5 + qpos, len(poslists),
+                     maxspan)
+                )
+        joined = spark.createDataFrame(
+            rows,
+            "query_id long, doc_id long, qpos int, "
+            "positions array<int>, tscore double, _n int, _maxspan int",
+        )
+        got = {
+            r["query_id"]: r["score"]
+            for r in _phrase_verify_branch(joined).collect()
+        }
+        for qid, poslists, maxspan in cases:
+            want = self._brute(poslists, maxspan)
+            assert (qid in got) == want, (qid, poslists, maxspan)
+            if want:  # score = fold of tscores in qpos order
+                n = len(poslists)
+                assert got[qid] == pytest.approx(
+                    sum(0.5 + i for i in range(n))
+                )
