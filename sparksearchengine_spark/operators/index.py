@@ -368,7 +368,66 @@ class SearchIndex:
             bc = self.broadcast_vocab
         return F.broadcast(ts) if bc else ts.hint("shuffle_hash")
 
-    def scored_postings(self, field: str) -> DataFrame:
+    def prune_term_buckets(
+        self, p: DataFrame, prune_terms: "DataFrame | None"
+    ) -> DataFrame:
+        """Term-bucket pruning for terms-AS-DATA plans (query_join_dsl /
+        percolate_dsl_df): the query terms live in a column, so the
+        compiler's driver-side ``isin(buckets)`` partition predicate
+        cannot apply — but the bucket key is computable FROM the data.
+        Derive ``crc32(term) % n`` on the query side (≤ ``term_buckets``
+        distinct rows — fixed-dim, always broadcastable) and LEFT SEMI
+        join it against the ``_tbucket`` partition column; Spark's
+        dynamic partition pruning turns the broadcast into a runtime
+        PartitionFilter on the parquet scan, so a 10k-term registry over
+        a 100-TB bucketed postings layout reads only the buckets it
+        touches instead of all ``n``. No-op (bucket column dropped) when
+        the index isn't term-bucketed or no prune frame is given.
+
+        ``prune_terms``: one column named ``term``."""
+        if not self.term_buckets or TERM_BUCKET not in p.columns:
+            return p
+        if prune_terms is None:
+            return p.drop(TERM_BUCKET)
+        qb = prune_terms.select(
+            term_bucket_expr(F.col("term"), self.term_buckets).alias(
+                TERM_BUCKET
+            )
+        ).distinct()
+        return p.join(F.broadcast(qb), TERM_BUCKET, "left_semi").drop(
+            TERM_BUCKET
+        )
+
+    def _score_postings_frame(self, field: str, p: DataFrame) -> DataFrame:
+        """tscore computation over a given postings frame — shared by the
+        cached full-field path and the bucket-pruned terms-as-data path."""
+        fs = self.fieldstats[field]
+        ts = self.termstats.where(F.col("field") == field).select(
+            "term", "df_t"
+        )
+        if self.scoring.needs_cf:
+            # LM similarities: ride cf_t on the same vocab-sized side
+            ts = ts.join(self.collection_stats(field), "term")
+        return p.join(self.hint_vocab_side(ts), "term").select(
+            "term",
+            DOC_ID,
+            self.scoring.term_score(
+                F.col("tf").cast("double"),
+                F.col("dl").cast("double"),
+                F.col("df_t").cast("double"),
+                float(fs.doc_count) if fs.doc_count else 1.0,
+                fs.avgdl if fs.avgdl else 1.0,
+                cf_t=(
+                    F.col("cf_t").cast("double")
+                    if self.scoring.needs_cf
+                    else None
+                ),
+            ).alias("tscore"),
+        )
+
+    def scored_postings(
+        self, field: str, prune_terms: "DataFrame | None" = None
+    ) -> DataFrame:
         """(term, doc_id, tscore) with the per-posting score precomputed.
 
         A posting's score contribution depends only on (tf, dl, df_t,
@@ -379,36 +438,23 @@ class SearchIndex:
         posting across many queries, so this is a big constant-factor win
         (measured 4x on the sf0.1 query-join). Narrow 3-column layout keeps
         the cache small; doc_id partitioning is inherited from postings.
+
+        On a term-bucketed saved index, ``prune_terms`` (a one-column
+        ``term`` frame, e.g. a percolation registry's exploded terms)
+        switches to an UNCACHED bucket-pruned scan via
+        :meth:`prune_term_buckets` — caching would materialize every
+        bucket and defeat the pruning a 100-TB layout exists for.
         """
+        if self.term_buckets and prune_terms is not None:
+            return self._score_postings_frame(
+                field,
+                self.prune_term_buckets(
+                    self.postings, prune_terms
+                ).where(F.col("field") == field),
+            )
         if field not in self._scored_cache:
-            fs = self.fieldstats[field]
             p = self.postings.where(F.col("field") == field)
-            ts = self.termstats.where(F.col("field") == field).select(
-                "term", "df_t"
-            )
-            if self.scoring.needs_cf:
-                # LM similarities: ride cf_t on the same vocab-sized side
-                ts = ts.join(self.collection_stats(field), "term")
-            scored = (
-                p.join(self.hint_vocab_side(ts), "term")
-                .select(
-                    "term",
-                    DOC_ID,
-                    self.scoring.term_score(
-                        F.col("tf").cast("double"),
-                        F.col("dl").cast("double"),
-                        F.col("df_t").cast("double"),
-                        float(fs.doc_count) if fs.doc_count else 1.0,
-                        fs.avgdl if fs.avgdl else 1.0,
-                        cf_t=(
-                            F.col("cf_t").cast("double")
-                            if self.scoring.needs_cf
-                            else None
-                        ),
-                    ).alias("tscore"),
-                )
-                .persist()
-            )
+            scored = self._score_postings_frame(field, p).persist()
             self._scored_cache[field] = scored
         return self._scored_cache[field]
 

@@ -339,13 +339,24 @@ def _normalize_one(
         return out
 
 
-def _positions_scored(index: "SearchIndex", field: str) -> DataFrame:
+def _positions_scored(
+    index: "SearchIndex",
+    field: str,
+    prune_terms: "DataFrame | None" = None,
+) -> DataFrame:
     """(doc_id, term, positions, tscore) for EVERY term of ``field`` —
     `plans.compiler._scored_postings` without the driver-known term
     restriction (the phrase terms here are data, not literals). The
     termstats side broadcasts only when the vocab probe proves it small
     (`SearchIndex.hint_vocab_side`), else shuffle_hash with the vocab as
-    build side — the postings side is never the build side."""
+    build side — the postings side is never the build side.
+
+    ``prune_terms`` (one ``term`` column, e.g. the phrase tier's
+    exploded terms): on a term-bucketed saved index, derives the query
+    side's bucket set and semi-joins it against the ``_tbucket``
+    partition column (`SearchIndex.prune_term_buckets`) so the scan
+    prunes to the touched buckets — terms-as-data no longer forfeits
+    the bucketed layout."""
     fs = index.fieldstats[field]
     spark = index.postings.sparkSession
     if fs.doc_count == 0:
@@ -354,11 +365,7 @@ def _positions_scored(index: "SearchIndex", field: str) -> DataFrame:
             "doc_id long, term string, positions array<int>,"
             " tscore double",
         )
-    p = index.postings
-    if index.term_buckets:
-        from sparksearchengine_spark.operators.index import TERM_BUCKET
-
-        p = p.drop(TERM_BUCKET)
+    p = index.prune_term_buckets(index.postings, prune_terms)
     p = p.where(F.col("field") == field)
     ts = index.termstats.where(F.col("field") == field).select(
         "term", "df_t"
@@ -776,18 +783,33 @@ def _dsl_column_scored_union(
 
     branches: "list[DataFrame]" = []
 
-    def _scored_union(flds: "list[str]") -> DataFrame:
+    def _scored_union(
+        flds: "list[str]",
+        prune_terms: "DataFrame | None" = None,
+        tier: str = "",
+    ) -> DataFrame:
         # union of the cached scored postings of exactly the fields the
         # probe saw in this tier's rows — the join key `field` is data,
         # so Catalyst cannot prune union branches; the probe already
         # can, and a one-field batch over a ten-field corpus must scan
-        # one field's postings, not ten. Memoized per field SET so
-        # tiers touching the same fields share the frame.
-        key = tuple(flds)
+        # one field's postings, not ten. Memoized per (field SET, tier)
+        # so tiers touching the same fields share the frame.
+        # ``prune_terms`` (a (field, term) frame — this tier's query
+        # terms): on a term-bucketed saved index the per-field scan
+        # semi-joins the query side's derived bucket set against the
+        # _tbucket partition column (DPP) instead of reading all
+        # buckets; that path is uncached by design
+        # (SearchIndex.scored_postings), hence the tier tag in the key.
+        key = (tuple(flds), tier if prune_terms is not None else "")
         if key not in shared:
             sp = None
             for f in flds:
-                one = index.scored_postings(f).withColumn(
+                pt = (
+                    prune_terms.where(F.col("field") == f).select("term")
+                    if prune_terms is not None and index.term_buckets
+                    else None
+                )
+                one = index.scored_postings(f, prune_terms=pt).withColumn(
                     "field", F.lit(f)
                 )
                 sp = one if sp is None else sp.unionByName(one)
@@ -811,7 +833,11 @@ def _dsl_column_scored_union(
         )
         qside = _hint_query_side(tq, other, broadcast_queries)
         agg = (
-            _scored_union(term_fields).join(qside, ["field", "term"])
+            _scored_union(
+                term_fields,
+                prune_terms=tq.select("field", "term"),
+                tier="terms",
+            ).join(qside, ["field", "term"])
             .groupBy("query_id", DOC_ID)
             .agg(
                 F.sum(F.col("tscore") * F.col("_w")).alias(SCORE),
@@ -880,9 +906,11 @@ def _dsl_column_scored_union(
         )
         pp = None
         for f in ph_fields:
-            one = _positions_scored(index, f).withColumn(
-                "field", F.lit(f)
-            )
+            one = _positions_scored(
+                index,
+                f,
+                prune_terms=pq.where(F.col("field") == f).select("term"),
+            ).withColumn("field", F.lit(f))
             pp = one if pp is None else pp.unionByName(one)
         joined = pp.join(
             _hint_query_side(pq, other, broadcast_queries),
@@ -939,7 +967,11 @@ def _dsl_column_scored_union(
             _hint_data_side(matched), ["field", "kind", "pat", "edits"]
         ).select("query_id", "field", "term")
         branches.append(
-            _scored_union(mt_fields).join(
+            _scored_union(
+                mt_fields,
+                prune_terms=matched.select("field", "term"),
+                tier="mt",
+            ).join(
                 _hint_query_side(qterm, other, broadcast_queries),
                 ["field", "term"],
             )

@@ -53,6 +53,9 @@ ALLOWLIST = {
     ("operators/index.py", "SearchIndex.hint_vocab_side", "broadcast"):
         (1, "probed: THE vocab ladder — broadcast iff "
             "<= VOCAB_BROADCAST_MAX_ROWS, else shuffle_hash build side"),
+    ("operators/index.py", "SearchIndex.prune_term_buckets", "broadcast"):
+        (1, "fixed-dim: distinct bucket ids, <= term_buckets rows "
+            "(the DPP semi-join side)"),
     ("operators/index.py", "upsert_index", "broadcast"):
         (2, "probed (touched ids, decide_broadcast 5M budget) + "
             "driver-literal (deletes list form only)"),

@@ -949,3 +949,95 @@ class TestSigTierOneAgg:
 
             want = _single(jidx, query_from_json(qjson))
             assert sorted(got.get(rid, [])) == want, rid
+
+
+class TestTermBucketPruningAsData:
+    """r8 verdict #4: on a save(term_buckets=n) layout, the terms-as-
+    data tiers must prune the postings scan too — the bucket key is
+    computable FROM the data (crc32(term) % n on the query side,
+    semi-joined against the _tbucket partition column), so Spark's
+    dynamic partition pruning reads only the touched buckets instead
+    of all n. Driver-literal queries already pruned (qc19/qc20); this
+    closes the delta for query_join_dsl / percolate_dsl_df."""
+
+    @pytest.fixture(scope="class")
+    def bucketed(self, jidx, corpus_df, tmp_path_factory):
+        from sparksearchengine_spark import SearchIndex
+
+        path = str(tmp_path_factory.mktemp("tbp") / "bidx")
+        jidx.save(path, term_buckets=8)
+        return SearchIndex.load(corpus_df.sparkSession, path, corpus_df)
+
+    def _regs(self, spark):
+        rows = [
+            (1, _ser(Q.field("text").match_any("fast", "spark"))),
+            (2, _ser(Q.field("text").match_phrase("segment merge"))),
+            (3, _ser(
+                Q.field("text").match_term("engine") & F_.ge("views", 10)
+            )),
+        ]
+        return spark.createDataFrame(rows, "rid long, qjson string")
+
+    def test_dpp_partition_filters_in_plan(self, spark, bucketed):
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+
+        out = query_join_dsl(
+            bucketed, self._regs(spark), "qjson", k=5, other_id_col="rid"
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the bucketed postings scans carry a runtime partition filter
+        # fed by the query side's derived bucket set
+        assert "dynamicpruning" in plan, plan
+        assert "_tbucket" in plan, plan
+        # both data tiers (terms join + phrase positions join) prune
+        assert plan.count("dynamicpruning#") >= 2, plan
+
+    def test_results_match_unbucketed(self, spark, jidx, bucketed):
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+
+        def rows(ix):
+            return sorted(
+                (r["rid"], r["match_doc_id"], round(r["score"], 6),
+                 r["rank"])
+                for r in query_join_dsl(
+                    ix, self._regs(spark), "qjson", k=5, other_id_col="rid"
+                ).collect()
+                if r["match_doc_id"] is not None
+            )
+
+        got, want = rows(bucketed), rows(jidx)
+        assert got == want and got
+
+    def test_percolate_matches_too(self, spark, jidx, bucketed):
+        from sparksearchengine_spark.operators.joindsl import (
+            percolate_dsl_df,
+        )
+
+        def rows(ix):
+            return sorted(
+                (r["query_id"], r["doc_id"], round(r["score"], 6))
+                for r in percolate_dsl_df(
+                    ix, self._regs(spark), "qjson", "rid"
+                ).collect()
+            )
+
+        got, want = rows(bucketed), rows(jidx)
+        assert got == want and got
+
+    def test_pattern_tier_prunes_via_matched_terms(self, spark, bucketed):
+        # wildcard terms are matched against the vocabulary first; the
+        # postings join then prunes buckets from the MATCHED terms
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+        from sparksearchengine_spark.plans.parser import parse_query
+
+        rows = [(1, _ser(parse_query("fas*", "text")))]
+        qdf = spark.createDataFrame(rows, "rid long, qjson string")
+        out = query_join_dsl(bucketed, qdf, "qjson", k=5, other_id_col="rid")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan, plan
+        got = sorted(
+            r["match_doc_id"]
+            for r in out.collect()
+            if r["match_doc_id"] is not None
+        )
+        assert got == [1, 2, 4, 5]
