@@ -3332,23 +3332,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver emits CORRECTNESS rows for the FIRST 50
     # keys only.  Slots 1-30 are pinned to the SURVEY §2.10 qc suite;
     # slots 31-50 rotate each round over entries that have never had a
-    # driver row.  r8 rotation (VERDICT r7 "Next round" #2/#3/#6 —
-    # registry FROZEN except query_join_lucene, verdict-named):
-    # query_join_lucene (NEW r8 code, new-code-first: the executor-side
-    # Lucene-string parse against the query_join_dsl oracle), then
-    # search_lmd / search_lmjm / dedup_paragraphs (the queue written
-    # last round), then the 16 oldest never-driver-checked entries in
-    # registry order (curation_report ... text_hash_embed).  Every
-    # rotated entry is selfcheck-green under the driver-mirroring canon
-    # (`selfcheck.py --queue`).  The r7 rotation rows (query_join_dsl
-    # ... spell_correct, all green in CORRECTNESS_r07) move past the
-    # cutoff.  text_compress_ratio is parked PERMANENTLY at the very
-    # end of the registry (VERDICT r7 #3): it can never hash-match (no
-    # DuckDB zlib — rows-only by design, thresholds pytest-pinned), so
-    # giving it a window slot costs a drainable entry its driver row.
-    # Remaining r9 queue (8): text_hash_embed_arrow, strip_html,
-    # search_highlight, search_facets, search_paged, search_grouped,
-    # bigram_quality, url_domain_block.
+    # driver row.  r9 rotation (VERDICT r8 "Next round" #2 — registry
+    # FROZEN, zero new entries): slots 31-38 drain the FINAL
+    # never-driver-checked tail, exactly the queue the r8 verdict named
+    # (text_hash_embed_arrow, strip_html, search_highlight,
+    # search_facets, search_paged, search_grouped, bigram_quality,
+    # url_domain_block) — after this round the all-time driver-green
+    # union covers EVERY oracle-capable entry; the only registry keys
+    # without a hash row are the 6 that cannot have one by design
+    # (text_compress_ratio — no DuckDB zlib — and the 5 probabilistic
+    # LSH/ANN entries whose correctness story is the driver-green
+    # dedup_recall/ann_recall/pq_recall/ivfpq_recall gates).  Slots
+    # 39-50 re-verify the entries this round's code touched:
+    # doc_keywords / more_like_this (vocab-broadcast probe),
+    # query_join_dsl / percolate_dsl / percolate_match (term-bucket DPP
+    # pruning, F.get signature slots, strict 2^53 bound, gq probe),
+    # search_after_page / batch_mixed_analyzer (cursor pages rank by
+    # the rounded score), classifier_score / classifier_vocab /
+    # text_hash_embed / text_tfidf_embed (probed user-supplied weight
+    # and vocabulary sides), batch_dsl_mixed (shared DSL union).  The
+    # r8 rotation rows (query_join_lucene ... text_hash_embed's old
+    # window, all green in CORRECTNESS_r08) move past the cutoff.
+    # text_compress_ratio stays parked PERMANENTLY at the very end
+    # (VERDICT r7 #3): it can never hash-match — rows-only by design,
+    # thresholds pytest-pinned.
     return {
         "qc01_filter_eq": _qc01,
         "qc02_filter_cmp": _qc02,
@@ -3380,14 +3387,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc28_exclusive_range": _qc28,
         "qc29_escaped_term": _qc29,
         "qc30_regex_term": _qc30,
+        "text_hash_embed_arrow": _text_hash_embed_arrow,
+        "strip_html": _strip_html,
+        "search_highlight": _search_highlight,
+        "search_facets": _search_facets,
+        "search_paged": _search_paged,
+        "search_grouped": _search_grouped,
+        "bigram_quality": _bigram_quality,
+        "url_domain_block": _url_domain_block,
+        "doc_keywords": _doc_keywords,
+        "more_like_this": _more_like_this,
+        "query_join_dsl": _query_join_dsl,
+        "percolate_dsl": _percolate_dsl,
+        "percolate_match": _percolate_match,
+        "search_after_page": _search_after_page,
+        "batch_mixed_analyzer": _batch_mixed_analyzer,
+        "classifier_score": _classifier_score,
+        "classifier_vocab": _classifier_vocab,
+        "text_hash_embed": _text_hash_embed,
+        "text_tfidf_embed": _text_tfidf_embed,
+        "batch_dsl_mixed": _batch_dsl_mixed,
         "query_join_lucene": _query_join_lucene,
         "search_lmd": _search_lmd,
         "search_lmjm": _search_lmjm,
         "dedup_paragraphs": _dedup_paragraphs,
         "curation_report": _curation_report,
         "collocations_pmi": _collocations,
-        "doc_keywords": _doc_keywords,
-        "more_like_this": _more_like_this,
         "pack_chunks": _pack_chunks,
         "sample_per_group": _sample_per_group,
         "clean_text": _clean_text,
@@ -3396,17 +3421,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_trending": _events_trending,
         "dedup_crossgram": _dedup_crossgram,
         "emb_semdedup": _emb_semdedup,
-        "classifier_score": _classifier_score,
-        "classifier_vocab": _classifier_vocab,
         "mixture_repeats": _mixture_repeats,
-        "text_hash_embed": _text_hash_embed,
-        "query_join_dsl": _query_join_dsl,
         "doc_winnow": _doc_winnow,
         "lang_id": _lang_id,
         "mm_image_features": _mm_image_features,
-        "batch_mixed_analyzer": _batch_mixed_analyzer,
-        "percolate_dsl": _percolate_dsl,
-        "search_after_page": _search_after_page,
         "text_ppl_buckets": _text_ppl_buckets,
         "search_explain": _search_explain,
         "search_rescore": _search_rescore,
@@ -3437,12 +3455,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_mlt_text": _search_mlt_text,
         "search_synonyms": _search_synonyms,
         "dedup_edit_join": _dedup_edit_join,
-        "batch_dsl_mixed": _batch_dsl_mixed,
         "query_join_filters": _query_join_filters,
         "table_profile": _table_profile,
         "table_profile_grouped": _table_profile_grouped,
         "events_props": _events_props,
-        "text_tfidf_embed": _text_tfidf_embed,
         "decontam_embedding": _decontam_embedding,
         "dedup_boilerplate": _dedup_boilerplate,
         "dedup_spans": _dedup_spans,
@@ -3464,7 +3480,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_histogram": _table_histogram,
         "table_skew": _table_skew,
         "chunk_sentences": _chunk_sentences,
-        "percolate_match": _percolate_match,
         "search_bm25f": _search_bm25f,
         "search_facet_cube": _search_facet_cube,
         "search_mmr": _search_mmr,
@@ -3504,14 +3519,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _doc_fingerprint,
         "events_hourly": _events_hourly,
         "token_stats": _token_stats,
-        "text_hash_embed_arrow": _text_hash_embed_arrow,
-        "strip_html": _strip_html,
-        "search_highlight": _search_highlight,
-        "search_facets": _search_facets,
-        "search_paged": _search_paged,
-        "search_grouped": _search_grouped,
-        "bigram_quality": _bigram_quality,
-        "url_domain_block": _url_domain_block,
         "text_compress_ratio": _text_compress_ratio,
     }
 

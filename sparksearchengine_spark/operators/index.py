@@ -369,7 +369,7 @@ class SearchIndex:
         return F.broadcast(ts) if bc else ts.hint("shuffle_hash")
 
     def prune_term_buckets(
-        self, p: DataFrame, prune_terms: "DataFrame | None"
+        self, p: DataFrame, prune_terms: "DataFrame | list | set | None"
     ) -> DataFrame:
         """Term-bucket pruning for terms-AS-DATA plans (query_join_dsl /
         percolate_dsl_df): the query terms live in a column, so the
@@ -384,11 +384,20 @@ class SearchIndex:
         touches instead of all ``n``. No-op (bucket column dropped) when
         the index isn't term-bucketed or no prune frame is given.
 
-        ``prune_terms``: one column named ``term``."""
+        ``prune_terms``: a one-column ``term`` DataFrame (terms as data
+        — runtime DPP semi-join), or a driver-side iterable of term
+        strings (driver literals — a STATIC ``isin`` partition
+        predicate, pruned at plan time like the compiler's single-query
+        path)."""
         if not self.term_buckets or TERM_BUCKET not in p.columns:
             return p
         if prune_terms is None:
             return p.drop(TERM_BUCKET)
+        if not isinstance(prune_terms, DataFrame):
+            bks = sorted(
+                {term_bucket(t, self.term_buckets) for t in prune_terms}
+            )
+            return p.where(F.col(TERM_BUCKET).isin(bks)).drop(TERM_BUCKET)
         qb = prune_terms.select(
             term_bucket_expr(F.col("term"), self.term_buckets).alias(
                 TERM_BUCKET
@@ -426,7 +435,9 @@ class SearchIndex:
         )
 
     def scored_postings(
-        self, field: str, prune_terms: "DataFrame | None" = None
+        self,
+        field: str,
+        prune_terms: "DataFrame | list | set | None" = None,
     ) -> DataFrame:
         """(term, doc_id, tscore) with the per-posting score precomputed.
 

@@ -30,9 +30,13 @@ Execution tiers (same families as `search._dsl_scored_union`):
   (qpos, term) rows + the span bound as data; the shared
   positions-carrying postings join and the greedy-chain verifier are
   `search._phrase_verify_branch` — the same physical plan as the batch
-  path. Unbounded rows. (Term-bucket pruning needs driver-known terms,
-  so this scan is bucket-unpruned — the one delta vs the driver-listed
-  path.)
+  path. Unbounded rows. On a ``save(term_buckets=n)`` layout every data
+  tier (terms, phrases, patterns) prunes the postings scan to the
+  buckets its terms touch: ``crc32(term) % n`` is derived on the QUERY
+  side and semi-joined against the ``_tbucket`` partition column, which
+  Spark's dynamic partition pruning turns into a runtime
+  PartitionFilter (`SearchIndex.prune_term_buckets`) — terms-as-data no
+  longer forfeits the bucketed layout.
 * **multi-term (wildcard / regex / fuzzy)** — DISTINCT patterns (probed
   ≤ ``max_patterns``, loud error beyond) intersect the vocabulary in
   ONE scan, then fan matched terms back to query rows by pattern key.

@@ -442,7 +442,16 @@ def batch_search(
     # baked into the cached floats, so no per-row map lookup is needed
     sp = None
     for f in fields:
-        one = index.scored_postings(f).withColumn("field", F.lit(f))
+        # bucketed saved layout: prune each field's postings scan to the
+        # buckets this batch's terms touch (DPP — terms are data here)
+        one = index.scored_postings(
+            f,
+            prune_terms=(
+                qterms.where(F.col("field") == f).select("term")
+                if index.term_buckets
+                else None
+            ),
+        ).withColumn("field", F.lit(f))
         sp = one if sp is None else sp.unionByName(one)
 
     qside = _hint_query_side(qterms, queries_df, broadcast_queries)
@@ -1033,7 +1042,16 @@ def _dsl_scored_union(
         fields = sorted({r[1] for r in term_rows})
         sp = None
         for f in fields:
-            one = index.scored_postings(f).withColumn("field", F.lit(f))
+            # driver-literal terms: static bucket isin, pruned at plan
+            # time exactly like the compiler's single-query path
+            one = index.scored_postings(
+                f,
+                prune_terms=(
+                    {r[2] for r in term_rows if r[1] == f}
+                    if index.term_buckets
+                    else None
+                ),
+            ).withColumn("field", F.lit(f))
             sp = one if sp is None else sp.unionByName(one)
         # the query side is a driver-built literal bounded by the
         # caller's Iterable — always broadcast, postings never shuffle
@@ -1187,7 +1205,15 @@ def _dsl_scored_union(
         ).where(hit).select("query_id", "field", "term")
         msp = None
         for f in mt_fields:
-            one = index.scored_postings(f).withColumn("field", F.lit(f))
+            # matched terms are data (patterns x vocabulary): DPP prune
+            one = index.scored_postings(
+                f,
+                prune_terms=(
+                    matched.where(F.col("field") == f).select("term")
+                    if index.term_buckets
+                    else None
+                ),
+            ).withColumn("field", F.lit(f))
             msp = one if msp is None else msp.unionByName(one)
         # matched cardinality is data-dependent (patterns x vocabulary):
         # probed broadcast, shuffle_hash fallback — never assume a
@@ -1294,7 +1320,12 @@ def more_like_this(
     # path (AQE skew-splits hot keyword terms there)
     kws = _hint_query_side(kws, kws, bc_kws)
     matches = (
-        index.scored_postings(field)
+        index.scored_postings(
+            field,
+            prune_terms=(
+                kws.select("term") if index.term_buckets else None
+            ),
+        )
         .join(kws, "term")
         .where(F.col(DOC_ID) != F.col("src_id"))
         .groupBy("src_id", DOC_ID)
@@ -1470,7 +1501,12 @@ def query_join(
     # (accurate) scan estimate.
     qside = _hint_query_side(qterms, size_src, broadcast_queries)
     scored = (
-        index.scored_postings(field)
+        index.scored_postings(
+            field,
+            prune_terms=(
+                qterms.select("term") if index.term_buckets else None
+            ),
+        )
         .join(qside, "term")
         .select(key, "_nq", F.col(DOC_ID), "tscore")
     )

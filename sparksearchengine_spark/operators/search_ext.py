@@ -500,9 +500,14 @@ def prf_expand_search(
         ],
         "term string, _wt double",
     )
-    scored = index.scored_postings(field).join(
-        F.broadcast(weights), "term"
-    )
+    # expanded terms are driver literals: static bucket prune on a
+    # term-bucketed saved layout, like the compiler's single-query path
+    scored = index.scored_postings(
+        field,
+        prune_terms=(
+            sorted(qset | set(wmap)) if index.term_buckets else None
+        ),
+    ).join(F.broadcast(weights), "term")
     # per-(term,doc) products rounded then summed as DECIMAL: the
     # per-doc total is independent of aggregation order across engines
     total = scored.groupBy(DOC_ID).agg(

@@ -1041,3 +1041,74 @@ class TestTermBucketPruningAsData:
             if r["match_doc_id"] is not None
         )
         assert got == [1, 2, 4, 5]
+
+    def test_batch_and_join_surfaces_prune_and_match(
+        self, spark, jidx, bucketed
+    ):
+        # every other postings consumer rides the same prune: batch
+        # search (terms as data -> DPP), driver-literal DSL batch
+        # (static isin), more_like_this (derived keywords -> DPP),
+        # query_join (tokenized text -> DPP), PRF (driver literals)
+        from sparksearchengine_spark.operators.search import (
+            batch_search,
+            batch_search_dsl,
+            more_like_this,
+            query_join,
+        )
+
+        qdf = spark.createDataFrame(
+            [(1, "fast spark"), (2, "segment merge")],
+            "query_id long, qtext string",
+        )
+
+        def canon(df, cols):
+            return sorted(
+                tuple(
+                    round(r[c], 6) if isinstance(r[c], float) else r[c]
+                    for c in cols
+                )
+                for r in df.collect()
+            )
+
+        for fn, cols in [
+            (
+                lambda ix: batch_search(ix, qdf, k=5, field="text"),
+                ["query_id", "doc_id", "score", "rank"],
+            ),
+            (
+                lambda ix: batch_search_dsl(
+                    ix,
+                    [(1, Q.field("text").match_any("fast", "spark"))],
+                    k=5,
+                ),
+                ["query_id", "doc_id", "score", "rank"],
+            ),
+            (
+                lambda ix: more_like_this(ix, [1, 3], "text", k=3,
+                                          num_terms=2),
+                ["src_id", "match_doc_id", "score", "rank"],
+            ),
+            (
+                lambda ix: query_join(
+                    ix,
+                    spark.createDataFrame(
+                        [(1, "fast spark engine")], "rid long, qt string"
+                    ),
+                    text_col="qt", field="text", k=5, other_id_col="rid",
+                ),
+                ["rid", "match_doc_id", "score", "rank"],
+            ),
+            (
+                lambda ix: ix.prf_expand_search(
+                    "fast spark", k=5, fb_docs=2, fb_terms=3
+                ),
+                ["doc_id", "score", "rank"],
+            ),
+        ]:
+            got, want = fn(bucketed), fn(jidx)
+            assert canon(got, cols) == canon(want, cols), cols
+            plan = got._jdf.queryExecution().executedPlan().toString()
+            assert (
+                "dynamicpruning" in plan
+                or "_tbucket#" in plan  # static isin partition filter
+            ), (cols, plan[:2000])
