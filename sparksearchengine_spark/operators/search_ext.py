@@ -821,7 +821,11 @@ def explain_scores(
             .agg(F.sum("tf").cast("double").alias("cf_t"))
         )
         qts = qts.join(F.broadcast(cfs), ["field", "term"])
-    p = index.postings
+    # driver-literal query terms: static bucket prune on a term-bucketed
+    # saved layout (and drops the partition column either way)
+    p = index.prune_term_buckets(
+        index.postings, [t for _, t, *_ in lit_rows]
+    )
     if doc_ids is not None:
         ids = [int(i) for i in doc_ids]
         p = p.where(F.col(DOC_ID).isin(ids))

@@ -1112,3 +1112,22 @@ class TestTermBucketPruningAsData:
                 "dynamicpruning" in plan
                 or "_tbucket#" in plan  # static isin partition filter
             ), (cols, plan[:2000])
+
+    def test_explain_scores_bucketed(self, spark, jidx, bucketed):
+        from sparksearchengine_spark.operators.search_ext import (
+            explain_scores,
+        )
+
+        q = Q.field("text").match_any("fast", "spark")
+
+        def canon(ix):
+            return sorted(
+                (r["doc_id"], r["term"], round(r["tscore"], 6))
+                for r in explain_scores(ix, q).collect()
+            )
+
+        got, want = canon(bucketed), canon(jidx)
+        assert got == want and got
+        # static isin partition prune, and no bucket column leaks out
+        out = explain_scores(bucketed, q)
+        assert "_tbucket" not in out.columns
