@@ -1053,7 +1053,14 @@ def upsert_index(
     if decide_broadcast(touched, max_rows=5_000_000):
         touched = F.broadcast(touched)
 
-    surviving = base.postings.join(
+    # a loaded term-bucketed save carries the _tbucket partition column;
+    # the delta's freshly-built postings don't — drop it before the
+    # union (the upserted index is in-memory and unbucketed until the
+    # caller re-saves it with term_buckets)
+    base_postings = base.postings
+    if TERM_BUCKET in base_postings.columns:
+        base_postings = base_postings.drop(TERM_BUCKET)
+    surviving = base_postings.join(
         touched, F.col(DOC_ID) == F.col(UID), "left_anti"
     )
     surviving_corpus = corpus.df.join(

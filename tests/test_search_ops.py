@@ -2212,6 +2212,34 @@ class TestUpsertIndex:
             )
 
 
+class TestUpsertOnBucketedSave:
+    def test_upsert_loaded_term_bucketed_index(
+        self, tmp_path, spark, docs_df, docs_index
+    ):
+        # r9 fix: a loaded term-bucketed save carries the _tbucket
+        # partition column, and the delta's fresh postings don't — the
+        # union used to throw 'Cannot resolve column name _tbucket'.
+        # Upsert must work and match the in-memory upsert's results.
+        from sparksearchengine_spark import SearchIndex
+        from sparksearchengine_spark.operators.index import upsert_index
+
+        path = str(tmp_path / "ubidx")
+        docs_index.save(path, term_buckets=4)
+        loaded = SearchIndex.load(spark, path, docs_df)
+        changes = docs_df.where(F.col("doc_id") % 100 == 7).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" upserted"))
+        )
+        up = upsert_index(loaded, changes, deletes=[1, 3], persist=False)
+        up0 = upsert_index(
+            docs_index, changes, deletes=[1, 3], persist=False
+        )
+        q = Q.field("text").match_term("upserted")
+        a = sorted(map(tuple, up.search(q, k=10).collect()))
+        b = sorted(map(tuple, up0.search(q, k=10).collect()))
+        assert a == b and a
+        assert "_tbucket" not in up.postings.columns
+
+
 class TestUpsertDuplicateChanges:
     def test_duplicate_change_ids_raise(self, spark, docs_df, docs_index):
         from sparksearchengine_spark.operators.index import upsert_index
