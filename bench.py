@@ -38,6 +38,11 @@ def main() -> None:
     import sys
 
     argv = sys.argv[1:]
+    if "--list" in argv:
+        # row names, in suite order, without starting Spark
+        rows = re.findall(r'with timed\("([^"]+)"\)', open(__file__).read())
+        print("\n".join(dict.fromkeys(rows)))
+        return
     only: set[str] = set()
     if "--only" in argv:
         only = {

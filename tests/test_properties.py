@@ -730,3 +730,54 @@ class TestPhraseFoldLaws:
                 assert got[qid] == pytest.approx(
                     sum(0.5 + i for i in range(n))
                 )
+
+
+class TestCursorPaginationLaw:
+    """Pagination completeness over the 6dp contract (r9 cursor-sort
+    fix, generalized): for ANY score frame — including scores whose
+    full-precision values are distinct but 6dp-equal — walking
+    search()'s cursor pages must enumerate exactly the global result
+    set, each doc once, in (round(score,6) desc, doc_id asc) order."""
+
+    _frame = st.lists(
+        st.tuples(
+            st.integers(1, 40),  # doc_id (dedup below)
+            st.floats(
+                min_value=0.0, max_value=4.0,
+                allow_nan=False, allow_infinity=False,
+            ),
+            # sub-6dp jitter so rounded ties with distinct full values
+            # are COMMON, not lucky
+            st.integers(0, 9),
+        ),
+        min_size=1, max_size=12,
+    )
+
+    @given(frame=_frame, k=st.integers(1, 4))
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def test_pages_enumerate_exactly_once_in_order(self, spark, frame, k):
+        from types import SimpleNamespace
+
+        from sparksearchengine_spark.operators.search import search
+
+        rows = {}
+        for d, s, j in frame:
+            rows[d] = round(s, 5) + j * 1e-8
+        data = sorted(rows.items())
+        hits = spark.createDataFrame(data, "doc_id long, score double")
+        idx = SimpleNamespace(compile=lambda q: hits)
+        got, cursor = [], None
+        for _ in range(len(data) + 2):
+            page = [
+                (r["doc_id"], r["score"])
+                for r in search(idx, None, k=k, search_after=cursor)
+                .orderBy("rank")
+                .collect()
+            ]
+            if not page:
+                break
+            got.extend(page)
+            cursor = (page[-1][1], page[-1][0])
+        want = sorted(data, key=lambda t: (-round(t[1], 6), t[0]))
+        assert got == want
