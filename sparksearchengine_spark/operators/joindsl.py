@@ -469,6 +469,7 @@ def query_join_dsl(
     syntax: str = "json",
     default_field: str = "text",
     dedup_queries: bool = False,
+    prepared: "DataFrame | None" = None,
 ) -> DataFrame:
     """E7 with a fully general query generator: each row of ``other``
     carries its OWN query tree in ``query_col`` (canonical or any valid
@@ -502,12 +503,22 @@ def query_join_dsl(
     the sha256 execution key. Turn it on for duplicate-heavy (zipfian)
     query logs; on all-distinct inputs the extra dropDuplicates
     shuffle and fan-back join buy nothing.
+
+    ``prepared``: a frame from :func:`prepare_dsl_queries` — skips the
+    per-call pandas-UDF normalization (repeated joins of one standing
+    registry). Must have been prepared from THIS ``other`` frame with
+    the same id/query columns; caller owns its cache.
     """
     if query_col not in other.columns:
         raise ValueError(
             f"query_col {query_col!r} not in other ({other.columns})"
         )
     if other_id_col is None:
+        if prepared is not None:
+            raise ValueError(
+                "prepared requires an explicit other_id_col — a "
+                "synthesized id cannot match the prepared frame's ids"
+            )
         # same determinism note as query_join: the id-stamped frame is
         # referenced by several plan branches, so pin the nondeterministic
         # ids with a lazy localCheckpoint
@@ -530,6 +541,7 @@ def query_join_dsl(
         syntax=syntax,
         default_field=default_field,
         dedup_queries=dedup_queries,
+        prepared=prepared,
     )
 
     if unioned is None:
@@ -581,6 +593,7 @@ def percolate_dsl_df(
     syntax: str = "json",
     default_field: str = "text",
     dedup_queries: bool = False,
+    prepared: "DataFrame | None" = None,
 ) -> DataFrame:
     """Percolation over a standing-query TABLE: the registered queries
     live in ``queries_df`` as a serialized column (the Elasticsearch
@@ -595,6 +608,12 @@ def percolate_dsl_df(
     Same executor-side shape grouping as :func:`query_join_dsl`; same
     bounded-probe error/plan-budget contracts; same cache registration
     (`SearchIndex.release_caches` frees the normalized frame).
+
+    ``prepared`` (from :func:`prepare_dsl_queries`) skips the per-call
+    pandas-UDF normalization — THE percolation economics lever: a
+    standing registry is normalized once at registration time, not once
+    per document batch (`streaming.percolate_stream_registry` does this
+    automatically per stream).
     """
     if id_col not in queries_df.columns:
         raise ValueError(
@@ -612,6 +631,7 @@ def percolate_dsl_df(
         default_field=default_field,
         op_name="percolate_dsl_df",
         dedup_queries=dedup_queries,
+        prepared=prepared,
     )
     if dedup_queries and unioned is not None:
         unioned = _fan_back(unioned, nz)
@@ -642,6 +662,100 @@ def _fan_back(keyed: DataFrame, nz: DataFrame) -> DataFrame:
     )
 
 
+def _normalized_frame(
+    other: DataFrame,
+    query_col: str,
+    other_id_col: str,
+    text_cols: dict,
+    corpus_cols: set,
+    syntax: str,
+    default_field: str,
+) -> DataFrame:
+    """The executor-side normalization plan for a serialized-query
+    column: one pandas-UDF pass emitting the `_NORM_SCHEMA` shape
+    record per row. Un-persisted — callers decide the cache economics
+    (`_dsl_column_scored_union` persists per call and registers on the
+    index; `prepare_dsl_queries` persists once for reuse)."""
+    if syntax not in ("json", "lucene"):
+        raise ValueError(
+            f"syntax must be 'json' or 'lucene', got {syntax!r}"
+        )
+
+    @pandas_udf(_NORM_SCHEMA)
+    def _norm(js: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame(
+            [
+                _normalize_one(
+                    v, text_cols, corpus_cols, syntax, default_field
+                )
+                for v in js
+            ]
+        )
+
+    return other.select(
+        F.col(other_id_col).alias("query_id"),
+        _norm(F.col(query_col).cast("string")).alias("_nz"),
+    ).select("query_id", "_nz.*")
+
+
+def prepare_dsl_queries(
+    index: "SearchIndex | None",
+    queries_df: DataFrame,
+    query_col: str,
+    id_col: str,
+    syntax: str = "json",
+    default_field: str = "text",
+    text_cols: "dict | None" = None,
+    corpus_cols: "set | list | None" = None,
+) -> DataFrame:
+    """Normalize a standing-query frame ONCE and persist it for reuse:
+    pass the result as ``prepared=`` to :func:`percolate_dsl_df` /
+    :func:`query_join_dsl` and the per-call pandas-UDF normalization is
+    skipped. The win is streaming percolation economics: a registry of
+    a million standing queries is normalized once at stream start, not
+    once per micro-batch (`streaming.percolate_stream_registry` does
+    this automatically). The frame is tied to the CORPUS SCHEMA (field
+    validation against ``index.corpus``), not to the index's data, so
+    one prepared registry serves every batch index over the same
+    schema.
+
+    Caller owns the cache: release with ``.unpersist()`` (streaming's
+    ``release_percolator_caches`` covers the registry it prepares);
+    the per-call path still registers its own frame on the index.
+
+    Pass ``index=None`` with explicit ``text_cols``/``corpus_cols``
+    when preparing BEFORE any index exists (the streaming case: the
+    per-batch index is built inside foreachBatch, but the schema is
+    known up front)."""
+    if id_col not in queries_df.columns:
+        raise ValueError(
+            f"id_col {id_col!r} not in queries_df ({queries_df.columns})"
+        )
+    if query_col not in queries_df.columns:
+        raise ValueError(
+            f"query_col {query_col!r} not in queries_df "
+            f"({queries_df.columns})"
+        )
+    if index is not None:
+        c = index.corpus
+        text_cols = dict(c.text_cols)
+        corpus_cols = set(c.df.columns)
+    elif text_cols is None or corpus_cols is None:
+        raise ValueError(
+            "prepare_dsl_queries needs an index, or explicit text_cols"
+            " AND corpus_cols (the streaming case)"
+        )
+    return _normalized_frame(
+        queries_df,
+        query_col,
+        id_col,
+        dict(text_cols),
+        set(corpus_cols),
+        syntax,
+        default_field,
+    ).persist()
+
+
 def _dsl_column_scored_union(
     index: "SearchIndex",
     other: DataFrame,
@@ -654,6 +768,7 @@ def _dsl_column_scored_union(
     default_field: str = "text",
     op_name: str = "query_join_dsl",
     dedup_queries: bool = False,
+    prepared: "DataFrame | None" = None,
 ):
     """(normalized frame, (query_id, doc_id, score) union-or-None) for a
     frame carrying serialized query trees — the shared core of
@@ -675,33 +790,23 @@ def _dsl_column_scored_union(
         raise ValueError("max_plans and max_patterns must be >= 1")
     c = index.corpus
     text_cols = dict(c.text_cols)
-    corpus_cols = set(c.df.columns)
 
-    if syntax not in ("json", "lucene"):
-        raise ValueError(
-            f"syntax must be 'json' or 'lucene', got {syntax!r}"
-        )
-
-    @pandas_udf(_NORM_SCHEMA)
-    def _norm(js: pd.Series) -> pd.DataFrame:
-        return pd.DataFrame(
-            [
-                _normalize_one(
-                    v, text_cols, corpus_cols, syntax, default_field
-                )
-                for v in js
-            ]
-        )
-
-    nz = (
-        other.select(
-            F.col(other_id_col).alias("query_id"),
-            _norm(F.col(query_col).cast("string")).alias("_nz"),
-        )
-        .select("query_id", "_nz.*")
-        .persist()
-    )
-    index.register_cache(nz)
+    if prepared is not None:
+        # caller-owned normalized frame (prepare_dsl_queries): reused
+        # across calls/micro-batches, so it is NOT registered on this
+        # index — index.unpersist()/release_caches() must not free it
+        nz = prepared
+    else:
+        nz = _normalized_frame(
+            other,
+            query_col,
+            other_id_col,
+            dict(c.text_cols),
+            set(c.df.columns),
+            syntax,
+            default_field,
+        ).persist()
+        index.register_cache(nz)
     if dedup_queries:
         # execute per distinct tree: re-key the tier input on xkey, one
         # row per distinct query. NULL-xkey rows (error/empty shapes)

@@ -684,17 +684,40 @@ def percolate_stream_registry(
     enumerate driver-side (the `percolate_stream_dsl` list) percolates
     with only its distinct filter signatures / general shapes touching
     the driver. Output contract identical: ``(query_id, doc_id, score)``
-    rows at ``out_path/batch_id=N``, idempotent per-batch overwrite;
-    every per-batch cache (index + normalized registry) is released in
-    the ``finally``.
+    rows at ``out_path/batch_id=N``, idempotent per-batch overwrite.
+    The registry is NORMALIZED ONCE at stream start
+    (`joindsl.prepare_dsl_queries`) and reused by every micro-batch —
+    freed by :func:`release_percolator_caches` after the query
+    terminates; the per-batch index is released in the ``finally``.
     """
     from sparksearchengine_spark.operators.index import (
         Corpus,
         TextOptions,
     )
-    from sparksearchengine_spark.operators.joindsl import percolate_dsl_df
+    from sparksearchengine_spark.operators.joindsl import (
+        percolate_dsl_df,
+        prepare_dsl_queries,
+    )
 
     tc = text_cols or {"text": TextOptions()}
+
+    # normalize the registry ONCE at stream start (r9): the standing
+    # queries are static while documents flow, so the pandas-UDF
+    # normalization pass must not repeat per micro-batch — a million-
+    # query registry costs one Arrow pass for the whole stream. The
+    # schema inputs come from the stream (no index exists yet); the
+    # cache is registry-owned and freed by release_percolator_caches.
+    prepared = prepare_dsl_queries(
+        None,
+        registry_df,
+        query_col,
+        qid_col,
+        syntax=syntax,
+        default_field=default_field,
+        text_cols=tc,
+        corpus_cols=list(docs_stream.columns),
+    )
+    _percolator_caches.append(prepared)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         idx = Corpus(batch_df, id_col=id_col, text_cols=tc).build_index()
@@ -707,6 +730,7 @@ def percolate_stream_registry(
                 max_plans=max_plans,
                 syntax=syntax,
                 default_field=default_field,
+                prepared=prepared,
             ).write.mode("overwrite").parquet(
                 f"{out_path}/batch_id={batch_id}"
             )

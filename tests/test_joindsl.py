@@ -1131,3 +1131,99 @@ class TestTermBucketPruningAsData:
         # static isin partition prune, and no bucket column leaks out
         out = explain_scores(bucketed, q)
         assert "_tbucket" not in out.columns
+
+
+class TestPreparedRegistry:
+    """prepare_dsl_queries: the standing registry is normalized ONCE
+    (one pandas-UDF pass) and reused across percolations/micro-batches
+    — results identical to the per-call path, and the per-call path's
+    normalization plan is never rebuilt when `prepared=` is given."""
+
+    def _regs(self, spark):
+        rows = [
+            (1, _ser(Q.field("text").match_any("fast", "spark"))),
+            (2, _ser(Q.field("text").match_phrase("segment merge"))),
+            (3, _ser(
+                Q.field("text").match_term("engine") & F_.ge("views", 10)
+            )),
+            (4, _ser(~Q.field("text").match_term("spark"))),
+        ]
+        return spark.createDataFrame(rows, "rid long, qjson string")
+
+    def test_prepared_matches_per_call(self, spark, jidx, monkeypatch):
+        import sparksearchengine_spark.operators.joindsl as jmod
+        from sparksearchengine_spark.operators.joindsl import (
+            percolate_dsl_df,
+            prepare_dsl_queries,
+            query_join_dsl,
+        )
+
+        regs = self._regs(spark)
+        want_p = sorted(
+            (r["query_id"], r["doc_id"], round(r["score"], 6))
+            for r in percolate_dsl_df(jidx, regs, "qjson", "rid").collect()
+        )
+        want_j = sorted(
+            (r["rid"], r["match_doc_id"],
+             round(r["score"], 6) if r["score"] is not None else None)
+            for r in query_join_dsl(
+                jidx, regs, "qjson", k=5, other_id_col="rid"
+            ).collect()
+        )
+
+        prepared = prepare_dsl_queries(jidx, regs, "qjson", "rid")
+        calls: list = []
+        orig = jmod._normalized_frame
+
+        def spy(*a, **kw):  # type: ignore[no-untyped-def]
+            calls.append(1)
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(jmod, "_normalized_frame", spy)
+        got_p = sorted(
+            (r["query_id"], r["doc_id"], round(r["score"], 6))
+            for r in percolate_dsl_df(
+                jidx, regs, "qjson", "rid", prepared=prepared
+            ).collect()
+        )
+        got_j = sorted(
+            (r["rid"], r["match_doc_id"],
+             round(r["score"], 6) if r["score"] is not None else None)
+            for r in query_join_dsl(
+                jidx, regs, "qjson", k=5, other_id_col="rid",
+                prepared=prepared,
+            ).collect()
+        )
+        assert got_p == want_p and got_p
+        assert got_j == want_j and got_j
+        assert not calls  # normalization never rebuilt with prepared=
+        prepared.unpersist()
+
+    def test_prepared_needs_explicit_id(self, spark, jidx):
+        from sparksearchengine_spark.operators.joindsl import (
+            prepare_dsl_queries,
+            query_join_dsl,
+        )
+
+        regs = self._regs(spark)
+        prepared = prepare_dsl_queries(jidx, regs, "qjson", "rid")
+        with pytest.raises(ValueError, match="other_id_col"):
+            query_join_dsl(jidx, regs, "qjson", k=5, prepared=prepared)
+        prepared.unpersist()
+
+    def test_prepare_without_index_needs_schema(self, spark, jidx):
+        from sparksearchengine_spark.operators.joindsl import (
+            prepare_dsl_queries,
+        )
+
+        regs = self._regs(spark)
+        with pytest.raises(ValueError, match="text_cols"):
+            prepare_dsl_queries(None, regs, "qjson", "rid")
+        # the streaming form: schema inputs instead of an index
+        prepared = prepare_dsl_queries(
+            None, regs, "qjson", "rid",
+            text_cols=dict(jidx.corpus.text_cols),
+            corpus_cols=list(jidx.corpus.df.columns),
+        )
+        assert "shape" in prepared.columns
+        prepared.unpersist()
