@@ -1227,3 +1227,75 @@ class TestPreparedRegistry:
         )
         assert "shape" in prepared.columns
         prepared.unpersist()
+
+
+class TestRandomAstEquivalence:
+    """Seeded random-AST fuzz of the tier dispatcher: EVERY generated
+    tree must produce identical (doc, score, rank) results through
+    query_join_dsl (shape-grouped executor tiers) and search() (the
+    compiler) — one batch call, per-row comparison. Covers the routing
+    seams the hand-written cases bracket: nested booleans around data-
+    tier shapes, filters with every value class, boosts, slop phrases,
+    patterns, OOV terms."""
+
+    def _gen(self, rng, depth=0):
+        from sparksearchengine_spark.plans.ast import F_, Q
+
+        f = Q.field("text")
+        vocab = ["spark", "engine", "fast", "scan", "merge", "segment",
+                 "lucene", "oil", "cars", "zzz_oov"]
+        t = lambda: rng.choice(vocab)
+        leaf_makers = [
+            lambda: f.match_term(t()),
+            lambda: f.match_any(t(), t()),
+            lambda: f.match_all(t(), t()),
+            lambda: f.match_min(2, t(), t(), t()),
+            lambda: f.match_text(f"{t()} {t()}"),
+            lambda: f.match_phrase(f"{t()} {t()}", slop=rng.choice([0, 1, 2])),
+            lambda: f.match_wildcard(rng.choice(["fa*", "s*k", "me?ge"])),
+            lambda: f.match_fuzzy(rng.choice(["sparc", "engin"]), max_edits=1),
+            lambda: F_.ge("views", rng.randint(0, 60)),
+            lambda: F_.between("views", rng.randint(0, 20), rng.randint(30, 70)),
+            lambda: F_.eq("lang", rng.choice(["en", "it", "xx"])),
+            lambda: F_.isin("views", 10, 25, 40),
+            lambda: F_.exists("lang"),
+        ]
+        if depth >= 2:
+            return rng.choice(leaf_makers)()
+        r = rng.random()
+        if r < 0.45:
+            return rng.choice(leaf_makers)()
+        if r < 0.65:
+            return self._gen(rng, depth + 1) & self._gen(rng, depth + 1)
+        if r < 0.80:
+            return self._gen(rng, depth + 1) | self._gen(rng, depth + 1)
+        if r < 0.90:
+            return ~self._gen(rng, depth + 1)
+        return self._gen(rng, depth + 1).boost(rng.choice([0.5, 2.0]))
+
+    def test_forty_random_trees_match_search(self, spark, jidx):
+        import random
+
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+        from sparksearchengine_spark.plans.serde import query_from_json
+
+        rng = random.Random(20260815)
+        rows = []
+        while len(rows) < 40:
+            q = self._gen(rng)
+            try:
+                rows.append((len(rows), _ser(q)))
+            except ValueError:
+                continue  # e.g. a filter-only tree the DSL rejects
+        df = spark.createDataFrame(rows, "rid long, qjson string")
+        out = query_join_dsl(jidx, df, "qjson", k=10, other_id_col="rid")
+        got: dict = {}
+        for r in out.collect():
+            got.setdefault(r["rid"], [])
+            if r["match_doc_id"] is not None:
+                got[r["rid"]].append(
+                    (r["match_doc_id"], round(r["score"], 6), r["rank"])
+                )
+        for rid, qjson in rows:
+            want = _single(jidx, query_from_json(qjson))
+            assert sorted(got[rid]) == want, (rid, qjson)
