@@ -1299,3 +1299,60 @@ class TestRandomAstEquivalence:
         for rid, qjson in rows:
             want = _single(jidx, query_from_json(qjson))
             assert sorted(got[rid]) == want, (rid, qjson)
+
+
+class TestBucketedMultiField:
+    """Two searchable fields on a term-bucketed save: the per-field
+    prune frames (`prune_terms.where(field == f)`) must route each
+    field's buckets to ITS scan — results identical to in-memory."""
+
+    def test_two_field_batch(self, spark, tmp_path):
+        from sparksearchengine_spark import (
+            Corpus,
+            SearchIndex,
+            TextOptions,
+        )
+        from sparksearchengine_spark.operators.joindsl import query_join_dsl
+
+        df = spark.createDataFrame(
+            [
+                (1, "spark engine fast", "alpha beta"),
+                (2, "fast merge scan", "beta gamma"),
+                (3, "lucene segment merge", "alpha gamma delta"),
+                (4, "engine oil fast spark", "delta beta"),
+            ],
+            "doc_id long, text string, title string",
+        )
+        tc = {
+            "text": TextOptions(analyzer="simple", positions=True),
+            "title": TextOptions(analyzer="simple", positions=True),
+        }
+        idx = Corpus(df, id_col="doc_id", text_cols=tc).build_index()
+        path = str(tmp_path / "mf")
+        idx.save(path, term_buckets=8)
+        loaded = SearchIndex.load(spark, path, df)
+
+        rows = [
+            (1, _ser(Q.field("text").match_term("fast"))),
+            (2, _ser(Q.field("title").match_term("beta"))),
+            (3, _ser(
+                Q.field("text").match_any("spark", "merge")
+                & Q.field("title").match_term("gamma")
+            )),
+            (4, _ser(Q.field("title").match_phrase("alpha beta"))),
+        ]
+        qdf = spark.createDataFrame(rows, "rid long, qjson string")
+
+        def canon(ix):
+            return sorted(
+                (r["rid"], r["match_doc_id"], round(r["score"], 6))
+                for r in query_join_dsl(
+                    ix, qdf, "qjson", k=5, other_id_col="rid"
+                ).collect()
+                if r["match_doc_id"] is not None
+            )
+
+        got, want = canon(loaded), canon(idx)
+        assert got == want and got
+        idx.unpersist()
+        loaded.unpersist()
