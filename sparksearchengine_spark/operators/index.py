@@ -927,7 +927,15 @@ def merge_indexes(
         id_col=ca.id_col,
         text_cols=merged_text_cols,
     )
-    postings = a.postings.unionByName(b.postings)
+    # a loaded term-bucketed save carries the _tbucket partition column
+    # and an in-memory side doesn't — strip it so the union resolves
+    # (the docstring's "merged postings carry no bucket column" contract)
+    pa, pb = a.postings, b.postings
+    if TERM_BUCKET in pa.columns:
+        pa = pa.drop(TERM_BUCKET)
+    if TERM_BUCKET in pb.columns:
+        pb = pb.drop(TERM_BUCKET)
+    postings = pa.unionByName(pb)
     if persist:
         postings = postings.persist()
     termstats = postings.groupBy("field", "term").agg(

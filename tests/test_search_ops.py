@@ -2240,6 +2240,40 @@ class TestUpsertOnBucketedSave:
         assert "_tbucket" not in up.postings.columns
 
 
+class TestMergeOnBucketedSave:
+    def test_merge_loaded_term_bucketed_index(
+        self, tmp_path, spark, docs_df
+    ):
+        # r9 fix (same family as the upsert one): merging a LOADED
+        # term-bucketed shard with an in-memory shard used to throw
+        # 'Cannot resolve column name _tbucket' — the docstring already
+        # promised 'merged postings carry no bucket column'.
+        from sparksearchengine_spark import (
+            Corpus,
+            SearchIndex,
+            TextOptions,
+        )
+        from sparksearchengine_spark.operators.index import merge_indexes
+
+        tc = {"text": TextOptions(analyzer="simple", positions=True)}
+        a_df = docs_df.where(F.col("doc_id") < 250)
+        b_df = docs_df.where(F.col("doc_id") >= 250)
+        a = Corpus(a_df, id_col="doc_id", text_cols=tc).build_index()
+        b = Corpus(b_df, id_col="doc_id", text_cols=tc).build_index()
+        path = str(tmp_path / "ms")
+        a.save(path, term_buckets=4)
+        loaded = SearchIndex.load(spark, path, a_df)
+        q = Q.field("text").match_any("dup", "spark")
+        got = merge_indexes(loaded, b, persist=False)
+        want = merge_indexes(a, b, persist=False)
+        assert "_tbucket" not in got.postings.columns
+        assert sorted(map(tuple, got.search(q, k=5).collect())) == sorted(
+            map(tuple, want.search(q, k=5).collect())
+        )
+        a.unpersist()
+        b.unpersist()
+
+
 class TestUpsertDuplicateChanges:
     def test_duplicate_change_ids_raise(self, spark, docs_df, docs_index):
         from sparksearchengine_spark.operators.index import upsert_index
