@@ -709,6 +709,11 @@ class SearchIndex:
                 )
             cdf = cdf.select(*keep)
         pw = self.postings
+        if TERM_BUCKET in pw.columns:
+            # re-saving a LOADED bucketed index: the old partition column
+            # must not leak into the new layout as a data column (and a
+            # different term_buckets below derives a fresh one)
+            pw = pw.drop(TERM_BUCKET)
         if term_buckets:
             pw = pw.withColumn(
                 TERM_BUCKET, term_bucket_expr(F.col("term"), term_buckets)

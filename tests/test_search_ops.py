@@ -2274,6 +2274,34 @@ class TestMergeOnBucketedSave:
         b.unpersist()
 
 
+class TestResaveBucketedIndex:
+    def test_resave_flat_and_rebucket(self, tmp_path, spark, docs_df,
+                                      docs_index):
+        # re-saving a LOADED bucketed index must not leak the old
+        # _tbucket partition column into the new layout as a data
+        # column (flat re-save), and a different term_buckets must
+        # derive a fresh bucket key
+        from sparksearchengine_spark import SearchIndex
+
+        q = Q.field("text").match_any("dup", "spark")
+        base = sorted(map(tuple, docs_index.search(q, k=5).collect()))
+        p1 = str(tmp_path / "b8")
+        docs_index.save(p1, term_buckets=8)
+        loaded = SearchIndex.load(spark, p1, docs_df)
+
+        p2 = str(tmp_path / "flat")
+        loaded.save(p2)
+        flat = SearchIndex.load(spark, p2, docs_df)
+        assert "_tbucket" not in flat.postings.columns
+        assert sorted(map(tuple, flat.search(q, k=5).collect())) == base
+
+        p3 = str(tmp_path / "b4")
+        loaded.save(p3, term_buckets=4)
+        reb = SearchIndex.load(spark, p3, docs_df)
+        assert reb.term_buckets == 4
+        assert sorted(map(tuple, reb.search(q, k=5).collect())) == base
+
+
 class TestUpsertDuplicateChanges:
     def test_duplicate_change_ids_raise(self, spark, docs_df, docs_index):
         from sparksearchengine_spark.operators.index import upsert_index
