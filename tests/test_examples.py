@@ -54,3 +54,14 @@ class TestExamples:
         assert "[3] perplexity head+middle kept" in out
         assert "[5] decontamination kept" in out
         assert "pipeline complete" in out
+
+    def test_durable_registry_example(self, spark, tmp_path, capsys):
+        _run(
+            str(_EXAMPLES / "durable_registry_example.py"),
+            ["/root/testdata/sf0.001/documents.parquet", str(tmp_path)],
+        )
+        out = capsys.readouterr().out
+        assert "term_buckets=8 doc_buckets=8" in out
+        assert "morning batch fired:" in out
+        assert "scan bucket-pruned: True" in out
+        assert "payload rows: 3" in out
