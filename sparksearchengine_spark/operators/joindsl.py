@@ -86,6 +86,13 @@ __all__ = ["query_join_dsl", "percolate_dsl_df"]
 # scan cost is |vocab| x |patterns| predicate evaluations
 MAX_DISTINCT_PATTERNS = 10_000
 
+# shape-probe results for PREPARED (persisted, caller-declared-static)
+# registries, keyed by (normalized-plan semanticHash, max_plans) — a
+# streaming percolation probes its registry once, not once per batch.
+# Bounded; cleared wholesale on overflow (same policy as
+# search._PROBE_CACHE, which documents the no-TTL contract).
+_PREPARED_PROBE_CACHE: dict = {}
+
 _NORM_SCHEMA = (
     "shape string, err string,"
     " terms array<struct<field:string,term:string,w:double>>,"
@@ -842,19 +849,37 @@ def _dsl_column_scored_union(
         .when(F.col("shape") == "mt", F.array("mt_field"))
         .otherwise(F.array().cast("array<string>"))
     )
-    groups = (
-        nz.select(
-            "shape",
-            "fsig",
-            "canon",
-            "err",
-            F.explode_outer(row_fields).alias("fld"),
+    # for a PREPARED registry the probe result is memoized per plan:
+    # the caller declared the frame static by persisting it, so the
+    # bounded collect runs once per registry, not once per document
+    # batch (per-call frames are NOT memoized — a plan-equal re-read of
+    # a mutated source must re-probe)
+    pkey = None
+    if prepared is not None:
+        pkey = (
+            int(str(nz._jdf.queryExecution().analyzed().semanticHash())),
+            max_plans,
         )
-        .groupBy("shape", "fsig", "canon", "fld")
-        .agg(F.first("err", ignorenulls=True).alias("err"))
-        .limit(probe_cap * nfields)
-        .collect()
-    )
+    if pkey is not None and pkey in _PREPARED_PROBE_CACHE:
+        groups = _PREPARED_PROBE_CACHE[pkey]
+    else:
+        groups = (
+            nz.select(
+                "shape",
+                "fsig",
+                "canon",
+                "err",
+                F.explode_outer(row_fields).alias("fld"),
+            )
+            .groupBy("shape", "fsig", "canon", "fld")
+            .agg(F.first("err", ignorenulls=True).alias("err"))
+            .limit(probe_cap * nfields)
+            .collect()
+        )
+        if pkey is not None:
+            if len(_PREPARED_PROBE_CACHE) >= 256:
+                _PREPARED_PROBE_CACHE.clear()
+            _PREPARED_PROBE_CACHE[pkey] = groups
     triples = {(g["shape"], g["fsig"], g["canon"]) for g in groups}
     over_budget = len(triples) >= probe_cap
     if not over_budget:

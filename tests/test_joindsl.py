@@ -1199,6 +1199,36 @@ class TestPreparedRegistry:
         assert not calls  # normalization never rebuilt with prepared=
         prepared.unpersist()
 
+    def test_prepared_probe_memoized(self, spark, jidx, monkeypatch):
+        # the bounded shape-probe collect must run ONCE per prepared
+        # registry across repeated percolations (streaming: once per
+        # stream, not once per micro-batch)
+        import sparksearchengine_spark.operators.joindsl as jmod
+        from sparksearchengine_spark.operators.joindsl import (
+            percolate_dsl_df,
+            prepare_dsl_queries,
+        )
+
+        regs = self._regs(spark)
+        prepared = prepare_dsl_queries(jidx, regs, "qjson", "rid")
+        jmod._PREPARED_PROBE_CACHE.clear()
+        n1 = percolate_dsl_df(
+            jidx, regs, "qjson", "rid", prepared=prepared
+        ).count()
+        assert len(jmod._PREPARED_PROBE_CACHE) == 1
+        cached = next(iter(jmod._PREPARED_PROBE_CACHE.values()))
+        # second call: same plan -> cache hit (same list object reused)
+        n2 = percolate_dsl_df(
+            jidx, regs, "qjson", "rid", prepared=prepared
+        ).count()
+        assert n1 == n2 > 0
+        assert next(iter(jmod._PREPARED_PROBE_CACHE.values())) is cached
+        # per-call (unprepared) frames are NOT memoized
+        jmod._PREPARED_PROBE_CACHE.clear()
+        percolate_dsl_df(jidx, regs, "qjson", "rid").count()
+        assert not jmod._PREPARED_PROBE_CACHE
+        prepared.unpersist()
+
     def test_prepared_needs_explicit_id(self, spark, jidx):
         from sparksearchengine_spark.operators.joindsl import (
             prepare_dsl_queries,
@@ -1356,3 +1386,4 @@ class TestBucketedMultiField:
         assert got == want and got
         idx.unpersist()
         loaded.unpersist()
+
