@@ -86,13 +86,6 @@ __all__ = ["query_join_dsl", "percolate_dsl_df"]
 # scan cost is |vocab| x |patterns| predicate evaluations
 MAX_DISTINCT_PATTERNS = 10_000
 
-# shape-probe results for PREPARED (persisted, caller-declared-static)
-# registries, keyed by (normalized-plan semanticHash, max_plans) — a
-# streaming percolation probes its registry once, not once per batch.
-# Bounded; cleared wholesale on overflow (same policy as
-# search._PROBE_CACHE, which documents the no-TTL contract).
-_PREPARED_PROBE_CACHE: dict = {}
-
 _NORM_SCHEMA = (
     "shape string, err string,"
     " terms array<struct<field:string,term:string,w:double>>,"
@@ -849,19 +842,20 @@ def _dsl_column_scored_union(
         .when(F.col("shape") == "mt", F.array("mt_field"))
         .otherwise(F.array().cast("array<string>"))
     )
-    # for a PREPARED registry the probe result is memoized per plan:
-    # the caller declared the frame static by persisting it, so the
-    # bounded collect runs once per registry, not once per document
-    # batch (per-call frames are NOT memoized — a plan-equal re-read of
-    # a mutated source must re-probe)
-    pkey = None
-    if prepared is not None:
-        pkey = (
-            int(str(nz._jdf.queryExecution().analyzed().semanticHash())),
-            max_plans,
-        )
-    if pkey is not None and pkey in _PREPARED_PROBE_CACHE:
-        groups = _PREPARED_PROBE_CACHE[pkey]
+    # for a PREPARED registry the probe result is memoized ON the frame
+    # object itself: the caller declared the frame static by persisting
+    # it, so the bounded collect runs once per registry, not once per
+    # document batch. Per-object (not plan-hash-keyed): exact, no
+    # collision, garbage-collected with the frame. Per-call frames are
+    # NOT memoized — a plan-equal re-read of a mutated source must
+    # re-probe.
+    cached = (
+        getattr(prepared, "_ssq_probe_cache", None)
+        if prepared is not None
+        else None
+    )
+    if cached is not None and cached[0] == max_plans:
+        groups = cached[1]
     else:
         groups = (
             nz.select(
@@ -876,10 +870,8 @@ def _dsl_column_scored_union(
             .limit(probe_cap * nfields)
             .collect()
         )
-        if pkey is not None:
-            if len(_PREPARED_PROBE_CACHE) >= 256:
-                _PREPARED_PROBE_CACHE.clear()
-            _PREPARED_PROBE_CACHE[pkey] = groups
+        if prepared is not None:
+            prepared._ssq_probe_cache = (max_plans, groups)
     triples = {(g["shape"], g["fsig"], g["canon"]) for g in groups}
     over_budget = len(triples) >= probe_cap
     if not over_budget:

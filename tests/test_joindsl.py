@@ -1199,11 +1199,11 @@ class TestPreparedRegistry:
         assert not calls  # normalization never rebuilt with prepared=
         prepared.unpersist()
 
-    def test_prepared_probe_memoized(self, spark, jidx, monkeypatch):
+    def test_prepared_probe_memoized(self, spark, jidx):
         # the bounded shape-probe collect must run ONCE per prepared
         # registry across repeated percolations (streaming: once per
-        # stream, not once per micro-batch)
-        import sparksearchengine_spark.operators.joindsl as jmod
+        # stream, not once per micro-batch); cached ON the frame object
+        # — exact, no plan-hash collisions, GC'd with the frame
         from sparksearchengine_spark.operators.joindsl import (
             percolate_dsl_df,
             prepare_dsl_queries,
@@ -1211,22 +1211,22 @@ class TestPreparedRegistry:
 
         regs = self._regs(spark)
         prepared = prepare_dsl_queries(jidx, regs, "qjson", "rid")
-        jmod._PREPARED_PROBE_CACHE.clear()
+        assert not hasattr(prepared, "_ssq_probe_cache")
         n1 = percolate_dsl_df(
             jidx, regs, "qjson", "rid", prepared=prepared
         ).count()
-        assert len(jmod._PREPARED_PROBE_CACHE) == 1
-        cached = next(iter(jmod._PREPARED_PROBE_CACHE.values()))
-        # second call: same plan -> cache hit (same list object reused)
+        cached = prepared._ssq_probe_cache
         n2 = percolate_dsl_df(
             jidx, regs, "qjson", "rid", prepared=prepared
         ).count()
         assert n1 == n2 > 0
-        assert next(iter(jmod._PREPARED_PROBE_CACHE.values())) is cached
-        # per-call (unprepared) frames are NOT memoized
-        jmod._PREPARED_PROBE_CACHE.clear()
-        percolate_dsl_df(jidx, regs, "qjson", "rid").count()
-        assert not jmod._PREPARED_PROBE_CACHE
+        assert prepared._ssq_probe_cache is cached  # reused, not rebuilt
+        # a different max_plans re-probes (the cap bounds the collect)
+        n3 = percolate_dsl_df(
+            jidx, regs, "qjson", "rid", prepared=prepared, max_plans=32
+        ).count()
+        assert n3 == n1
+        assert prepared._ssq_probe_cache[0] == 32
         prepared.unpersist()
 
     def test_prepared_needs_explicit_id(self, spark, jidx):
