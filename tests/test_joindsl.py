@@ -1229,6 +1229,35 @@ class TestPreparedRegistry:
         assert prepared._ssq_probe_cache[0] == 32
         prepared.unpersist()
 
+    def test_prepared_with_dedup_queries(self, spark, jidx):
+        # composition: prepared registry + execute-per-distinct-tree —
+        # the dedup path re-keys on the prepared frame's xkey and fans
+        # results back to every original row
+        from sparksearchengine_spark.operators.joindsl import (
+            percolate_dsl_df,
+            prepare_dsl_queries,
+        )
+
+        q = Q.field("text").match_term("fast")
+        rows = [(i, _ser(q)) for i in range(5)] + [
+            (9, _ser(Q.field("text").match_term("merge")))
+        ]
+        regs = spark.createDataFrame(rows, "rid long, qjson string")
+        prepared = prepare_dsl_queries(jidx, regs, "qjson", "rid")
+        want = sorted(
+            (r["query_id"], r["doc_id"], round(r["score"], 6))
+            for r in percolate_dsl_df(jidx, regs, "qjson", "rid").collect()
+        )
+        got = sorted(
+            (r["query_id"], r["doc_id"], round(r["score"], 6))
+            for r in percolate_dsl_df(
+                jidx, regs, "qjson", "rid",
+                prepared=prepared, dedup_queries=True,
+            ).collect()
+        )
+        assert got == want and got
+        prepared.unpersist()
+
     def test_prepared_needs_explicit_id(self, spark, jidx):
         from sparksearchengine_spark.operators.joindsl import (
             prepare_dsl_queries,
