@@ -6,7 +6,9 @@ S2 object-file sink    -> parquet round-trip (`save_corpus`/`load_corpus`;
                           the reference's saveAsObjectFile/objectFile,
                           reference `WikipediaXmlDumpParser.scala:36`,
                           `examples/StoreableExample.scala:22-30`)
-S3 WARC                -> out of scope (vendored & unused in the reference)
+S3 WARC / WET / WAT    -> `warc.read_warc` / `warc.read_wet_text` (+ HTML
+                          response split, outlink extraction — the full
+                          CMU-Lemur reader surface, Spark-first)
 JSONL / CSV / raw text -> `read_jsonl_corpus` / `read_csv_corpus` /
                           `read_text_corpus` (LLM-corpus interchange
                           formats; corrupt-record capture, deterministic
@@ -22,6 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 from sparksearchengine_spark.sources.wikipedia import (
     read_wikipedia_dump,
     strip_wiki_markup,
+)
+from sparksearchengine_spark.sources.warc import (
+    read_warc,
+    read_wet_text,
+    warc_html_responses,
+    warc_outlinks,
 )
 
 
@@ -185,6 +193,10 @@ def read_text_corpus(
 __all__ = [
     "read_wikipedia_dump",
     "strip_wiki_markup",
+    "read_warc",
+    "read_wet_text",
+    "warc_html_responses",
+    "warc_outlinks",
     "save_corpus",
     "load_corpus",
     "read_jsonl_corpus",
