@@ -27,6 +27,7 @@ from sparksearchengine_spark.sources.wikipedia import (
 )
 from sparksearchengine_spark.sources.warc import (
     read_warc,
+    read_wat_metadata,
     read_wet_text,
     warc_html_responses,
     warc_outlinks,
@@ -194,6 +195,7 @@ __all__ = [
     "read_wikipedia_dump",
     "strip_wiki_markup",
     "read_warc",
+    "read_wat_metadata",
     "read_wet_text",
     "warc_html_responses",
     "warc_outlinks",

@@ -359,6 +359,22 @@ def warc_outlinks(
     )
 
 
+def _utf8_udf():  # type: ignore[no-untyped-def]
+    """Total binary→string decode (errors=replace — a crawl always has
+    mojibake; ``F.decode`` would throw under Spark 4 ANSI)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _utf8(payload):  # type: ignore[no-untyped-def]
+        import pandas as pd
+
+        return pd.Series(
+            [(b or b"").decode("utf-8", errors="replace") for b in payload]
+        )
+
+    return _utf8
+
+
 def read_wet_text(
     spark: SparkSession,
     path: str,
@@ -371,21 +387,33 @@ def read_wet_text(
     textstats / dedup / sampling operators. Only conversion records
     cross the Arrow boundary."""
     recs = read_warc(spark, path, record_types=["conversion"], **kwargs)
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("string")
-    def _utf8(payload):  # type: ignore[no-untyped-def]
-        import pandas as pd
-
-        return pd.Series(
-            [(b or b"").decode("utf-8", errors="replace") for b in payload]
-        )
-
     return recs.select(
         "doc_id",
-        _utf8(F.col("payload")).alias(text_col),
+        _utf8_udf()(F.col("payload")).alias(text_col),
         F.col("target_uri").alias("url"),
         "date",
+        "path",
+    )
+
+
+def read_wat_metadata(
+    spark: SparkSession,
+    path: str,
+    **kwargs: Any,
+) -> DataFrame:
+    """WAT entry point: ``metadata`` records (Common Crawl's per-page
+    JSON envelopes — HTTP headers, detected links, title) as
+    ``(doc_id, url, date, metadata, path)`` where ``metadata`` is a
+    Spark 4 VARIANT (``try_parse_json`` — malformed envelopes become
+    NULL, never a failed job). Shred fields with
+    ``variant_get(metadata, '$.Envelope.WARC-Header-Metadata', ...)``;
+    Catalyst prunes the shredding into the scan-side projection."""
+    recs = read_warc(spark, path, record_types=["metadata"], **kwargs)
+    return recs.select(
+        "doc_id",
+        F.col("target_uri").alias("url"),
+        "date",
+        F.try_parse_json(_utf8_udf()(F.col("payload"))).alias("metadata"),
         "path",
     )
 
@@ -398,4 +426,5 @@ __all__ = [
     "warc_outlinks",
     "extract_outlinks",
     "read_wet_text",
+    "read_wat_metadata",
 ]

@@ -18,6 +18,7 @@ from sparksearchengine_spark.sources.warc import (
     extract_outlinks,
     iter_warc_records,
     read_warc,
+    read_wat_metadata,
     read_wet_text,
     warc_html_responses,
     warc_outlinks,
@@ -71,6 +72,11 @@ def _records() -> list[bytes]:
                 b"GET /page HTTP/1.1\r\nHost: base.example\r\n\r\n", "req-1"),
         _record("conversion", "http://base.example/page",
                 "extracted plain text é中".encode("utf-8"), "conv-1"),
+        # WAT-style JSON envelope (metadata record)
+        _record("metadata", "http://base.example/page",
+                b'{"Envelope":{"WARC-Header-Length":"210",'
+                b'"Payload-Metadata":{"Trailing-Slop-Length":"4"}}}',
+                "wat-1"),
         # ClueWeb pins WARC/0.18 (WarcRecord.java:70) — must still parse
         _record("metadata", "http://base.example/page",
                 b"fetchTimeMs: 12\r\n", "meta-1", version="0.18"),
@@ -97,6 +103,7 @@ class TestIterWarcRecords:
         recs = list(iter_warc_records(io.BytesIO(b"".join(_records()))))
         assert [r["record_type"] for r in recs] == [
             "warcinfo", "response", "request", "conversion", "metadata",
+            "metadata",
         ]
         resp = recs[1]
         assert resp["target_uri"] == "http://base.example/page"
@@ -105,7 +112,7 @@ class TestIterWarcRecords:
         assert resp["content_length"] == len(_http_response(HTML))
         # offsets are record starts, strictly increasing
         offs = [r["offset"] for r in recs]
-        assert offs == sorted(offs) and len(set(offs)) == 5
+        assert offs == sorted(offs) and len(set(offs)) == 6
         assert not any(r["truncated"] for r in recs)
 
     def test_leading_junk_and_inter_record_damage_resync(self):
@@ -139,12 +146,12 @@ class TestIterWarcRecords:
         assert out[0]["payload"] == _http_response(HTML)[:10]
         # records AFTER the capped one still frame correctly
         out2 = list(iter_warc_records(io.BytesIO(blob), max_payload_bytes=10))
-        assert len(out2) == 5
+        assert len(out2) == 6
 
     def test_multimember_gzip_stream(self):
         gz = b"".join(gzip.compress(r) for r in _records())
         out = list(iter_warc_records(gzip.GzipFile(fileobj=io.BytesIO(gz))))
-        assert len(out) == 5
+        assert len(out) == 6
 
 
 # ------------------------------------------------------------- outlinks
@@ -177,7 +184,7 @@ class TestReadWarc:
     def test_plain_and_gzip_agree(self, spark, warc_dir):
         df = read_warc(spark, warc_dir)
         rows = df.collect()
-        assert len(rows) == 10  # 5 records × 2 files
+        assert len(rows) == 12  # 6 records × 2 files
         by_file: dict[str, list] = {}
         for r in rows:
             by_file.setdefault(os.path.basename(r.path).split(".")[0], []).append(r)
@@ -189,7 +196,7 @@ class TestReadWarc:
             )
         # doc_id deterministic across reruns, unique per record
         again = {r.doc_id for r in read_warc(spark, warc_dir).collect()}
-        assert again == {r.doc_id for r in rows} and len(again) == 10
+        assert again == {r.doc_id for r in rows} and len(again) == 12
 
     def test_type_filter_pre_arrow(self, spark, warc_dir):
         df = read_warc(spark, warc_dir, record_types=["conversion"])
@@ -218,6 +225,20 @@ class TestReadWarc:
                 "http://frames.example/f",
                 "http://iframes.example/i",
             ]
+
+    def test_wat_metadata_variant(self, spark, warc_dir):
+        from pyspark.sql import functions as F
+
+        wat = read_wat_metadata(spark, warc_dir)
+        rows = wat.withColumn(
+            "hlen",
+            F.variant_get("metadata", "$.Envelope.WARC-Header-Length", "int"),
+        ).collect()
+        # 2 files × 2 metadata records; the JSON envelope shreds, the
+        # non-JSON (warc-fields) one is NULL via try_parse_json
+        assert len(rows) == 4
+        hlens = sorted((r.hlen for r in rows), key=lambda x: (x is None, x))
+        assert hlens == [210, 210, None, None]
 
     def test_wet_text(self, spark, warc_dir):
         wet = read_wet_text(spark, warc_dir)
