@@ -1,0 +1,203 @@
+"""Link-graph quality priors over crawl outlink edges.
+
+The missing step between ``sources.warc.warc_outlinks`` (the web-graph
+edge list) and the curation gate: CCNet / RefinedWeb-class pipelines
+rank pages or domains by link centrality and use the score as a quality
+prior for sampling and filtering. This module implements PageRank as an
+iterative DataFrame computation — no GraphX, no RDDs.
+
+Scale design (a Common Crawl snapshot is ~10^9 nodes / 10^10 edges):
+
+* the edge list is hash-partitioned by ``src`` ONCE and persisted; the
+  per-iteration ``ranks ⋈ edges`` join then reuses that partitioning
+  (ranks are bucketed the same way), so each iteration is one shuffle
+  (the groupBy dst), not two.
+* lineage is truncated every iteration (``localCheckpoint``) —
+  otherwise 20 iterations of join/agg build a plan Catalyst chokes on
+  and a failure replays the entire history.
+* dangling mass (pages with no outlinks — most of a crawl frontier) is
+  redistributed exactly, via a 1-row aggregate, not a node-expansion.
+* ``domain_pagerank`` collapses URLs to registered domains first — the
+  standard 100×-smaller graph that web-quality pipelines actually rank.
+
+Convergence: power iteration on the damped Google matrix contracts at
+rate ``damping`` per step (public result; Brin & Page 1998), so
+``iterations=20`` at d=0.85 is ~0.85^20 ≈ 4% of the initial error and
+``tol`` usually stops earlier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "domain_pagerank", "degree_stats"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 20,
+    tol: float | None = 1e-6,
+    partitions: int | None = None,
+    dedup_edges: bool = True,
+) -> DataFrame:
+    """PageRank over a directed edge list -> ``(node, rank)``.
+
+    Ranks sum to 1.0 over all nodes (both link sources and pure sinks).
+    Dangling-node mass is redistributed uniformly each iteration (the
+    standard stochastic-matrix completion), so the result matches the
+    textbook power iteration exactly — ``tests/test_linkgraph.py`` pins
+    it against a pure-Python reference on hand-built graphs.
+
+    ``tol``: early-stop when the L1 delta between successive rank
+    vectors drops below it (one extra co-partitioned join + 1-row agg
+    per iteration; pass ``None`` to skip and run exactly
+    ``iterations``).
+    """
+    if not (0.0 < damping < 1.0):
+        raise ValueError(f"damping must be in (0,1), got {damping}")
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    spark = edges.sparkSession
+    n_part = partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).where(
+        F.col("_s").isNotNull() & F.col("_d").isNotNull()
+    )
+    if dedup_edges:
+        # parallel edges double-count influence; crawl outlink lists are
+        # already deduped per page, but cross-page edge lists are not
+        e = e.distinct()
+
+    # out-degree folded onto the edge so the hot loop never re-joins it;
+    # partitioned by _s once, reused by every iteration's join
+    deg_w = Window.partitionBy("_s")
+    e = (
+        e.withColumn("_deg", F.count(F.lit(1)).over(deg_w))
+        .repartition(n_part, "_s")
+        .persist()
+    )
+
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .repartition(n_part, "node")
+        .persist()
+    )
+    n_nodes = nodes.count()  # 1-row action; also materializes the persists
+    if n_nodes == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.select("node", F.lit(1.0).alias("rank")).limit(0)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+
+    for _ in range(iterations):
+        contribs = (
+            ranks.join(e, ranks["node"] == e["_s"], "inner")
+            .select(F.col("_d").alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+            .persist()
+        )
+        # a linker's rank distributes FULLY across its out-edges, so the
+        # flowed mass is exactly sum(contribs) — dangling mass needs no
+        # second join, just the 1-row aggregate of the frame we already
+        # have (persisted: one computation serves both the sum and the
+        # new-rank join)
+        flowed = contribs.agg(F.sum("_in")).collect()[0][0] or 0.0
+        dangling = 1.0 - flowed
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .repartition(n_part, "node")
+            .localCheckpoint(eager=True)  # truncate the iteration lineage
+        )
+        contribs.unpersist()
+        if tol is not None:
+            delta = (
+                new_ranks.alias("n")
+                .join(ranks.alias("o"), "node")
+                .agg(F.sum(F.abs(F.col("n.rank") - F.col("o.rank"))))
+                .collect()[0][0]
+                or 0.0
+            )
+            ranks = new_ranks
+            if delta < tol:
+                break
+        else:
+            ranks = new_ranks
+
+    e.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def domain_pagerank(
+    outlinks: DataFrame,
+    src_url: str = "target_uri",
+    dst_url: str = "outlink",
+    **kwargs,
+) -> DataFrame:
+    """PageRank on the registered-DOMAIN graph -> ``(domain, rank)``.
+
+    Collapses page URLs to registered domains (``weburl.registered_
+    domain``) and drops intra-domain self-loops BEFORE ranking — the
+    graph the big crawl-quality pipelines actually rank (orders of
+    magnitude smaller than the page graph, and the score transfers to
+    every page of the domain via a broadcast-sized join)."""
+    from sparksearchengine_spark.operators.weburl import (
+        registered_domain,
+        url_host,
+    )
+
+    edges = (
+        outlinks.select(
+            registered_domain(url_host(F.col(src_url))).alias("src"),
+            registered_domain(url_host(F.col(dst_url))).alias("dst"),
+        )
+        .where(
+            F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & (F.col("src") != F.col("dst"))
+        )
+        .distinct()
+    )
+    out = pagerank(edges, src="src", dst="dst", **kwargs)
+    return out.select(F.col("node").alias("domain"), "rank")
+
+
+def degree_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node ``(node, out_degree, in_degree)`` — the cheap prior when
+    a full PageRank is overkill (single shuffle per direction; in-degree
+    alone is a serviceable spam signal at crawl scale)."""
+    outd = (
+        edges.groupBy(F.col(src).alias("node"))
+        .agg(F.count(F.lit(1)).alias("out_degree"))
+    )
+    ind = (
+        edges.groupBy(F.col(dst).alias("node"))
+        .agg(F.count(F.lit(1)).alias("in_degree"))
+    )
+    return (
+        outd.join(ind, "node", "full")
+        .select(
+            "node",
+            F.coalesce("out_degree", F.lit(0)).alias("out_degree"),
+            F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
+        )
+    )

@@ -70,6 +70,9 @@ ALLOWLIST = {
     ("operators/joindsl.py", "_dsl_column_scored_union"):
         (1, "probed: bounded shape probe (limit(cap+1), loud error), "
             "memoized on the frame object"),
+    ("operators/linkgraph.py", "pagerank"):
+        (2, "1-row: dangling-mass aggregate and L1-delta aggregate "
+            "(one each per iteration)"),
     ("operators/profile.py", "sketch_accuracy_check"):
         (2, "1-row: exact vs sketch aggregate frames"),
     ("operators/sampling.py", "group_token_totals"):

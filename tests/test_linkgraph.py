@@ -1,0 +1,128 @@
+"""PageRank / link-graph prior tests.
+
+The Spark iteration is pinned against a pure-Python textbook power
+iteration (damped Google matrix with uniform dangling redistribution)
+on hand-built graphs — exact semantics, not just sum-to-one.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparksearchengine_spark.operators.linkgraph import (
+    degree_stats,
+    domain_pagerank,
+    pagerank,
+)
+
+
+def _reference_pagerank(edges, damping=0.85, iterations=20):
+    """Textbook power iteration on an adjacency dict (deduped edges)."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    out = {}
+    for s, d in set(edges):
+        out.setdefault(s, set()).add(d)
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        new = {v: 0.0 for v in nodes}
+        dangling = sum(rank[v] for v in nodes if v not in out)
+        for s, ds in out.items():
+            share = rank[s] / len(ds)
+            for d in ds:
+                new[d] += share
+        base = (1 - damping) / n + damping * dangling / n
+        rank = {v: base + damping * new[v] for v in nodes}
+    return rank
+
+
+EDGES_DIAMOND = [  # a->{b,c}, b->d, c->d, d->a  (strongly connected)
+    ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "a"),
+]
+EDGES_DANGLING = [  # c is a pure sink (most of a crawl frontier)
+    ("a", "b"), ("b", "a"), ("a", "c"), ("b", "c"),
+]
+EDGES_STAR = [("hub", f"leaf{i}") for i in range(5)] + [
+    (f"leaf{i}", "hub") for i in range(5)
+]
+
+
+class TestPagerank:
+    @pytest.mark.parametrize(
+        "edges", [EDGES_DIAMOND, EDGES_DANGLING, EDGES_STAR],
+        ids=["diamond", "dangling-sink", "star"],
+    )
+    def test_matches_reference_power_iteration(self, spark, edges):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r.node: r.rank
+            for r in pagerank(df, iterations=15, tol=None).collect()
+        }
+        want = _reference_pagerank(edges, iterations=15)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-9), v
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_early_stop_tolerance(self, spark):
+        df = spark.createDataFrame(EDGES_DIAMOND, "src string, dst string")
+        loose = pagerank(df, iterations=50, tol=1e-3).collect()
+        tight = {
+            r.node: r.rank
+            for r in pagerank(df, iterations=50, tol=1e-12).collect()
+        }
+        # both converge to the same fixed point within the loose tol
+        for r in loose:
+            assert r.rank == pytest.approx(tight[r.node], abs=1e-2)
+        assert sum(tight.values()) == pytest.approx(1.0, abs=1e-9)
+
+    def test_parallel_edges_deduped_nulls_dropped(self, spark):
+        df = spark.createDataFrame(
+            EDGES_DIAMOND + [("a", "b"), ("a", None), (None, "b")],
+            "src string, dst string",
+        )
+        got = {
+            r.node: r.rank
+            for r in pagerank(df, iterations=15, tol=None).collect()
+        }
+        want = _reference_pagerank(EDGES_DIAMOND, iterations=15)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-9)
+
+    def test_empty_graph(self, spark):
+        df = spark.createDataFrame([], "src string, dst string")
+        assert pagerank(df, iterations=2).count() == 0
+
+    def test_validation(self, spark):
+        df = spark.createDataFrame(EDGES_DIAMOND, "src string, dst string")
+        with pytest.raises(ValueError):
+            pagerank(df, damping=1.5)
+        with pytest.raises(ValueError):
+            pagerank(df, iterations=0)
+
+
+class TestDomainPagerank:
+    def test_collapses_to_registered_domains(self, spark):
+        rows = [
+            ("http://www.a.example.com/p1", "http://b.example.org/x"),
+            ("http://a.example.com/p2", "http://b.example.org/y"),
+            ("http://b.example.org/x", "http://a.example.com/"),
+            # intra-domain self-loop must be dropped
+            ("http://a.example.com/p1", "http://sub.a.example.com/p9"),
+        ]
+        df = spark.createDataFrame(rows, "target_uri string, outlink string")
+        got = {r.domain: r.rank for r in domain_pagerank(df, iterations=15).collect()}
+        want = _reference_pagerank(
+            [("example.com", "example.org"), ("example.org", "example.com")],
+            iterations=15,
+        )
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d] == pytest.approx(want[d], abs=1e-9)
+
+
+class TestDegreeStats:
+    def test_degrees(self, spark):
+        df = spark.createDataFrame(EDGES_DANGLING, "src string, dst string")
+        got = {r.node: (r.out_degree, r.in_degree) for r in degree_stats(df).collect()}
+        assert got == {"a": (2, 1), "b": (2, 1), "c": (0, 2)}
