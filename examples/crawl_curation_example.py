@@ -1,0 +1,163 @@
+"""The crawl-to-corpus recipe end to end: WARC in, curated text out.
+
+This is the front half of a pretraining data pipeline — the part that
+runs BEFORE `pretraining_pipeline_example.py`'s dedup/decontam stages —
+demonstrated on a synthetic Common-Crawl-style snapshot built in a temp
+dir (WARC is the raw input format; there is no parquet yet at this
+stage):
+
+1. ingest      — ``read_warc``: one task per ``.warc.gz`` file (gzip is
+                 the parallelism unit), streaming bounded-memory parse.
+2. link graph  — ``warc_html_responses`` → ``warc_outlinks`` →
+                 ``domain_pagerank``: the registered-domain PageRank
+                 quality prior (exact dangling redistribution, one
+                 shuffle per iteration).
+3. text        — ``read_wet_text``: conversion records as a documents
+                 frame (only they cross the Arrow boundary).
+4. curate      — per-doc quality signals (``token_stats``, Gopher
+                 rules) joined with the per-domain prior; the prior is
+                 domain-count-sized, i.e. broadcast-sized by
+                 construction.
+
+Run: ``python examples/crawl_curation_example.py [outdir]``
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import sys
+import tempfile
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _record(rtype: str, uri: str, payload: bytes) -> bytes:
+    hdr = (
+        f"WARC/1.0\r\nWARC-Type: {rtype}\r\nWARC-Target-URI: {uri}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rtype}-{uri}>\r\n"
+        f"Content-Type: application/http\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode()
+    return hdr + payload + b"\r\n\r\n"
+
+
+def _page(uri: str, links: list[str], text: str) -> list[bytes]:
+    anchors = "".join(f'<a href="{u}">x</a>' for u in links)
+    body = f"<html><body>{anchors}<p>{text}</p></body></html>".encode()
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    return [
+        _record("response", uri, http),
+        _record("conversion", uri, text.encode()),
+    ]
+
+
+GOOD = (
+    "The archive keeps a full copy of every page it fetches, and the "
+    "extraction step records where each paragraph came from so that "
+    "later stages can trace a training document back to its source."
+)
+SPAM = "click here buy now 100% #1 !!!"
+
+
+def main(out: str | None = None) -> None:
+    owns_session = SparkSession.getActiveSession() is None
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .appName("crawl curation example")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    out = out or tempfile.mkdtemp()
+
+    # --- 0. synthesize the snapshot: 3 domains; hub.example is linked
+    # by everyone, spam.example by no one -------------------------------
+    crawl = os.path.join(out, "crawl")
+    os.makedirs(crawl, exist_ok=True)
+    pages = []
+    for i in range(4):
+        pages += _page(
+            f"http://hub.example/p{i}",
+            [f"http://news.example/a{i}"],
+            f"{GOOD} Page {i} of the hub.",
+        )
+        pages += _page(
+            f"http://news.example/a{i}",
+            ["http://hub.example/p0", f"http://hub.example/p{i}"],
+            f"{GOOD} Article {i} from the newsroom.",
+        )
+        pages += _page(
+            f"http://spam.example/s{i}",
+            ["http://hub.example/p0"],
+            f"{SPAM} {i}",
+        )
+    with open(os.path.join(crawl, "part-0.warc.gz"), "wb") as f:
+        for r in pages:
+            f.write(gzip.compress(r))
+
+    from sparksearchengine_spark.operators.linkgraph import domain_pagerank
+    from sparksearchengine_spark.operators.textstats import (
+        gopher_signal_exprs,
+        token_stats,
+    )
+    from sparksearchengine_spark.operators.weburl import (
+        registered_domain,
+        url_host,
+    )
+    from sparksearchengine_spark.sources import (
+        read_warc,
+        read_wet_text,
+        warc_html_responses,
+        warc_outlinks,
+    )
+
+    # --- 1. ingest ------------------------------------------------------
+    records = read_warc(spark, crawl)
+    print(f"[1] warc records: {records.count()}")
+
+    # --- 2. link-graph prior --------------------------------------------
+    links = warc_outlinks(warc_html_responses(records))
+    prior = domain_pagerank(links, iterations=20)
+    print("[2] domain prior (rank desc):")
+    for r in prior.orderBy(F.desc("rank")).collect():
+        print(f"    {r.domain}: {r.rank:.4f}")
+
+    # --- 3. text ----------------------------------------------------------
+    wet = read_wet_text(spark, crawl)
+
+    # --- 4. curate: per-doc quality x per-domain prior -------------------
+    sig = gopher_signal_exprs(F.col("text"))
+    docs = (
+        wet.withColumn("domain", registered_domain(url_host(F.col("url"))))
+        .withColumn("alpha_frac", sig["alpha_word_frac"])
+        .join(token_stats(wet, text_col="text"), "doc_id")
+    )
+    # the prior frame has one row per registered domain — broadcast-sized
+    # by construction (bounded by the web's domain count, not the corpus)
+    curated = (
+        docs.join(F.broadcast(prior), "domain")
+        .where((F.col("n_tokens") >= 12) & (F.col("alpha_frac") >= 0.8))
+        # drop never-linked domains: their rank stays at the damped
+        # floor (1-d)/N plus the dangling share — 2x the floor is the
+        # usual cheap cut
+        .where(F.col("rank") >= 0.1)
+    )
+    kept = curated.select("domain").groupBy("domain").count().collect()
+    print("[4] curated docs per domain:")
+    for r in sorted(kept, key=lambda r: r["domain"]):
+        print(f"    {r.domain}: {r['count']}")
+    total = sum(r["count"] for r in kept)
+    print(f"crawl curation complete: kept {total} of {wet.count()} docs")
+
+    if owns_session:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main(*(sys.argv[1:2] or [None]))

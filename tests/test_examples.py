@@ -65,3 +65,14 @@ class TestExamples:
         assert "morning batch fired:" in out
         assert "scan bucket-pruned: True" in out
         assert "payload rows: 3" in out
+
+    def test_crawl_curation_example(self, spark, tmp_path, capsys):
+        _run(str(_EXAMPLES / "crawl_curation_example.py"), [str(tmp_path)])
+        out = capsys.readouterr().out
+        assert "[1] warc records: 24" in out
+        # the never-linked spam domain sits at the damped floor...
+        assert "spam.example: 0.05" in out
+        # ...and is dropped by the prior cut; quality pages survive
+        assert "hub.example: 4" in out
+        assert "news.example: 4" in out
+        assert "kept 8 of 12 docs" in out
