@@ -154,6 +154,63 @@ class TestIterWarcRecords:
         assert len(out) == 6
 
 
+class TestWarcFramingLaws:
+    """Hypothesis round-trip: serialize random records per ISO 28500,
+    parse, compare. The adversarial part: payloads that CONTAIN the
+    ``WARC/`` magic, bare CR/LF, or full fake record headers — framing
+    is by Content-Length, so none of that may trigger a resync."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _payloads = st.binary(min_size=0, max_size=300)
+    _adversarial = st.sampled_from([
+        b"WARC/1.0\r\nWARC-Type: response\r\n",
+        b"\r\n\r\nWARC/0.18\r\n",
+        b"Content-Length: 999\r\n\r\n",
+        b"\r\n" * 10,
+        b"\x00\xff" * 50,
+    ])
+    _types = st.sampled_from(["response", "request", "conversion",
+                              "metadata", "warcinfo"])
+
+    @staticmethod
+    def _serialize(recs):
+        out = []
+        for i, (rtype, payload) in enumerate(recs):
+            out.append(
+                f"WARC/1.0\r\nWARC-Type: {rtype}\r\n"
+                f"WARC-Record-ID: <urn:uuid:{i}>\r\n"
+                f"Content-Length: {len(payload)}\r\n\r\n".encode()
+                + payload + b"\r\n\r\n"
+            )
+        return b"".join(out)
+
+    @given(recs=st.lists(
+        st.tuples(_types, st.one_of(_payloads, _adversarial)),
+        min_size=0, max_size=8,
+    ))
+    @settings(max_examples=200, deadline=None)
+    def test_roundtrip(self, recs):
+        parsed = list(iter_warc_records(io.BytesIO(self._serialize(recs))))
+        assert [(r["record_type"], r["payload"]) for r in parsed] == recs
+        offs = [r["offset"] for r in parsed]
+        assert offs == sorted(offs) and len(set(offs)) == len(offs)
+
+    @given(
+        recs=st.lists(st.tuples(_types, _payloads), min_size=1, max_size=4),
+        cut=st.integers(min_value=1, max_value=10_000),
+    )
+    @settings(max_examples=200, deadline=None)
+    def test_truncation_never_yields_partial_payload(self, recs, cut):
+        blob = self._serialize(recs)
+        parsed = list(iter_warc_records(io.BytesIO(blob[: max(0, len(blob) - cut)])))
+        # every parsed record is a byte-exact prefix of the true sequence
+        assert len(parsed) <= len(recs)
+        for got, want in zip(parsed, recs):
+            assert (got["record_type"], got["payload"]) == want
+
+
 # ------------------------------------------------------------- outlinks
 
 
