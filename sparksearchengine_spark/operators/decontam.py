@@ -136,10 +136,17 @@ def vocab_stats(
     text" number a tokenizer budget is sized from).
 
     ``top_k`` bounds the output AFTER ranking (ranks/cum_frac are still
-    computed against the full vocabulary). The rank window is a single
-    global sort of the VOCAB — |V| rows, not corpus rows; at 100 TB the
-    vocab is millions of terms and this stays a one-partition window by
-    design (documented, bounded)."""
+    computed against the full vocabulary).
+
+    The ranking is DISTRIBUTED (r9): a web-scale vocabulary is 10^8-10^9
+    terms (typos/URLs/numbers), too big for the single-partition global
+    window this used to be. Classic two-pass prefix sums instead:
+    range-partition on the exact sort key, rank/cum-sum WITHIN each
+    partition, then add per-partition prefix offsets (one driver pass,
+    one row per partition). (tf desc, term asc) is a total order (terms
+    are unique post-groupBy), so the result is rank-for-rank identical
+    to the global window; the running tf sums are longs — exact under
+    any regrouping — so ``cum_frac`` is bit-identical too."""
     toks = analyzer_expr(F.col(text_col), analyzer)
     exploded = _widen(df).select(
         F.col(id_col), F.explode(toks).alias("term")
@@ -151,13 +158,60 @@ def vocab_stats(
     total = vocab.agg(F.sum("tf")).collect()[0][0] or 1
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("tf").desc(), F.col("term").asc())
-    ranked = vocab.select(
+    order = [F.col("tf").desc(), F.col("term").asc()]
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    part = (
+        vocab.repartitionByRange(n_part, *order)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    wloc = Window.partitionBy("_pid").orderBy(*order)
+    local = part.select(
         "term",
         "tf",
         "df_t",
-        F.row_number().over(w).cast("long").alias("rank"),
-        (F.sum("tf").over(w) / F.lit(float(total))).alias("cum_frac"),
+        "_pid",
+        F.row_number().over(wloc).cast("long").alias("_lrank"),
+        F.sum("tf").over(wloc).alias("_lcum"),
+    )
+    # per-partition (count, tf) totals -> prefix offsets; one row per
+    # partition, driver-bounded by construction
+    totals = sorted(
+        part.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("tf").alias("_tf"))
+        .collect(),
+        key=lambda r: r["_pid"],
+    )
+    rank_off, tf_off, run_n, run_tf = {}, {}, 0, 0
+    for r in totals:
+        rank_off[r["_pid"]], tf_off[r["_pid"]] = run_n, run_tf
+        run_n += r["_n"]
+        run_tf += r["_tf"]
+    # part stays persisted until evicted — the returned frame is lazy
+    # and reads it again (same lifecycle as collocations' uni cache)
+    if not totals:
+        off_rank = F.lit(0).cast("long")
+        off_tf = F.lit(0).cast("long")
+    else:
+        off_rank = F.element_at(
+            F.create_map(
+                *[F.lit(x) for p in rank_off for x in (p, rank_off[p])]
+            ),
+            F.col("_pid"),
+        ).cast("long")
+        off_tf = F.element_at(
+            F.create_map(
+                *[F.lit(x) for p in tf_off for x in (p, tf_off[p])]
+            ),
+            F.col("_pid"),
+        ).cast("long")
+    ranked = local.select(
+        "term",
+        "tf",
+        "df_t",
+        (F.col("_lrank") + off_rank).alias("rank"),
+        ((F.col("_lcum") + off_tf) / F.lit(float(total))).alias("cum_frac"),
     )
     if top_k is not None:
         ranked = ranked.where(F.col("rank") <= top_k)
@@ -241,16 +295,15 @@ def collocations(
         )
     )
     if top_k is not None:
-        from pyspark.sql import Window
-
-        w = Window.orderBy(
+        # orderBy+limit = TakeOrderedAndProject (distributed per-
+        # partition top-k), NOT a single-partition row_number window
+        # over every surviving bigram — at web scale the bigram table
+        # is billions of rows and the global window was the one
+        # serial task in the plan. The (pmi, pair) order is total
+        # (pairs are unique), so this is rank-for-rank identical.
+        scored = scored.orderBy(
             F.col("pmi").desc(), F.col("term_a").asc(), F.col("term_b").asc()
-        )
-        scored = (
-            scored.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") <= top_k)
-            .drop("_r")
-        )
+        ).limit(top_k)
     return scored
 
 
