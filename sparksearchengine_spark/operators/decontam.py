@@ -864,11 +864,15 @@ def perplexity_buckets(
       sketch, no sort), cutoff VALUES broadcast back (two doubles per
       group), bucket assigned in the scan stage. Docs exactly on a
       cutoff value land in the lower bucket (``<=``).
-    * ``exact=True`` — the pinned/oracle-parity path: ``percent_rank``
-      per group (a per-group sort; fine at test scale, and still
-      one range-partitioned shuffle at cluster scale — use it when
-      bucket PROPORTIONS must honor ``cuts`` exactly up to ties).
-      Tie groups share a rank, so equal scores always share a bucket.
+    * ``exact=True`` — the pinned/oracle-parity path: exact
+      ``percent_rank`` per group, computed DISTRIBUTED (r9): range-
+      partition on (group, score), rank within each partition, add
+      per-(partition, group) prefix offsets (a broadcast-sized frame —
+      at most partitions x groups rows). Identical values share a full
+      sort key, so the range partitioner co-locates every tie class and
+      the two-pass rank equals the global one exactly; equal scores
+      always share a bucket. No single-task sort anywhere — a 100-TB
+      single-language group used to be ONE window task.
 
     NULL scores are rejected loudly — a NULL would silently sort into
     ``head`` under Spark's nulls-first default while DuckDB/most SQL
@@ -890,17 +894,68 @@ def perplexity_buckets(
     if exact:
         from pyspark.sql import Window
 
-        w = (
-            Window.partitionBy(group_col) if group_col else Window.partitionBy()
-        ).orderBy(F.col(ppl_col).asc())
-        pr = F.percent_rank().over(w)
+        gcols = [group_col] if group_col else []
+        spark = scores.sparkSession
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        order = [F.col(c).asc() for c in gcols] + [F.col(ppl_col).asc()]
+        part = scores.repartitionByRange(n_part, *order).withColumn(
+            "_pb_pid", F.spark_partition_id()
+        )
+        # ranks within a partition; ties share a rank, and because the
+        # full sort key (group, score) is total on tie classes, the
+        # range partitioner never splits one across partitions
+        wloc = Window.partitionBy("_pb_pid", *gcols).orderBy(
+            F.col(ppl_col).asc()
+        )
+        loc = part.withColumn("_pb_lrank", F.rank().over(wloc))
+        # prefix offsets: one row per (partition, group) — bounded by
+        # partitions x groups, independent of corpus size. The windows
+        # below run over THAT tiny frame, not the data.
+        cnt = part.groupBy("_pb_pid", *gcols).agg(
+            F.count(F.lit(1)).alias("_pb_n")
+        )
+        wgrp = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
+        offs = cnt.select(
+            "_pb_pid",
+            *gcols,
+            F.coalesce(
+                F.sum("_pb_n").over(
+                    wgrp.orderBy("_pb_pid").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("_pb_off"),
+            F.sum("_pb_n")
+            .over(
+                wgrp.orderBy("_pb_pid").rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias("_pb_ng"),
+        )
+        cond = loc["_pb_pid"] == offs["_pb_pid"]
+        for c in gcols:
+            # null-safe: a NULL group is a group of its own
+            cond = cond & loc[c].eqNullSafe(offs[c])
+        joined = loc.join(F.broadcast(offs), cond).drop(offs["_pb_pid"])
+        for c in gcols:
+            joined = joined.drop(offs[c])
+        pr = F.when(
+            F.col("_pb_ng") > 1,
+            (F.col("_pb_lrank") + F.col("_pb_off") - 1)
+            / (F.col("_pb_ng") - 1),
+        ).otherwise(F.lit(0.0))
         bucket = (
             F.when(F.col(ppl_col).isNull(), null_guard)
             .when(pr < F.lit(lo), F.lit("head"))
             .when(pr < F.lit(hi), F.lit("middle"))
             .otherwise(F.lit("tail"))
         )
-        return scores.withColumn("bucket", bucket)
+        return (
+            joined.withColumn("bucket", bucket)
+            .drop("_pb_pid", "_pb_lrank", "_pb_off", "_pb_ng")
+        )
     gcols = [group_col] if group_col else []
     q = (
         scores.groupBy(*gcols)

@@ -44,7 +44,9 @@ ALLOWLIST = {
     ("operators/decontam.py", "embedding_decontam", "broadcast"):
         (1, "cap: eval set hard-capped at MAX_EVAL_EMBED_ROWS"),
     ("operators/decontam.py", "perplexity_buckets", "broadcast"):
-        (2, "1-row-per-group: quantile frame, one row per group key"),
+        (3, "1-row-per-group: quantile frame, one row per group key; "
+            "fixed-dim: exact-path prefix offsets, <= partitions x "
+            "groups rows"),
     ("operators/decontam.py", "perplexity_buckets", "crossJoin"):
         (1, "1-row: global quantile frame"),
     ("operators/dsir.py", "dsir_bucket_logratio", "broadcast"):
