@@ -140,13 +140,12 @@ def vocab_stats(
 
     The ranking is DISTRIBUTED (r9): a web-scale vocabulary is 10^8-10^9
     terms (typos/URLs/numbers), too big for the single-partition global
-    window this used to be. Classic two-pass prefix sums instead:
-    range-partition on the exact sort key, rank/cum-sum WITHIN each
-    partition, then add per-partition prefix offsets (one driver pass,
-    one row per partition). (tf desc, term asc) is a total order (terms
-    are unique post-groupBy), so the result is rank-for-rank identical
-    to the global window; the running tf sums are longs — exact under
-    any regrouping — so ``cum_frac`` is bit-identical too."""
+    window this used to be. ``distributed_prefix`` (two-pass prefix
+    sums) replaces it: (tf desc, term asc) is a total order (terms are
+    unique post-groupBy), so rank and the long-summed cumulative tf are
+    bit-identical to the global window's."""
+    from sparksearchengine_spark.operators.prefix import distributed_prefix
+
     toks = analyzer_expr(F.col(text_col), analyzer)
     exploded = _widen(df).select(
         F.col(id_col), F.explode(toks).alias("term")
@@ -156,62 +155,17 @@ def vocab_stats(
         F.count_distinct(id_col).cast("long").alias("df_t"),
     )
     total = vocab.agg(F.sum("tf")).collect()[0][0] or 1
-    from pyspark.sql import Window
-
-    order = [F.col("tf").desc(), F.col("term").asc()]
-    spark = df.sparkSession
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    part = (
-        vocab.repartitionByRange(n_part, *order)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist()
-    )
-    wloc = Window.partitionBy("_pid").orderBy(*order)
-    local = part.select(
+    ranked = distributed_prefix(
+        vocab,
+        order=[F.col("tf").desc(), F.col("term").asc()],
+        sum_cols={"tf": "_cum_tf"},
+        rank_col="rank",
+    ).select(
         "term",
         "tf",
         "df_t",
-        "_pid",
-        F.row_number().over(wloc).cast("long").alias("_lrank"),
-        F.sum("tf").over(wloc).alias("_lcum"),
-    )
-    # per-partition (count, tf) totals -> prefix offsets; one row per
-    # partition, driver-bounded by construction
-    totals = sorted(
-        part.groupBy("_pid")
-        .agg(F.count(F.lit(1)).alias("_n"), F.sum("tf").alias("_tf"))
-        .collect(),
-        key=lambda r: r["_pid"],
-    )
-    rank_off, tf_off, run_n, run_tf = {}, {}, 0, 0
-    for r in totals:
-        rank_off[r["_pid"]], tf_off[r["_pid"]] = run_n, run_tf
-        run_n += r["_n"]
-        run_tf += r["_tf"]
-    # part stays persisted until evicted — the returned frame is lazy
-    # and reads it again (same lifecycle as collocations' uni cache)
-    if not totals:
-        off_rank = F.lit(0).cast("long")
-        off_tf = F.lit(0).cast("long")
-    else:
-        off_rank = F.element_at(
-            F.create_map(
-                *[F.lit(x) for p in rank_off for x in (p, rank_off[p])]
-            ),
-            F.col("_pid"),
-        ).cast("long")
-        off_tf = F.element_at(
-            F.create_map(
-                *[F.lit(x) for p in tf_off for x in (p, tf_off[p])]
-            ),
-            F.col("_pid"),
-        ).cast("long")
-    ranked = local.select(
-        "term",
-        "tf",
-        "df_t",
-        (F.col("_lrank") + off_rank).alias("rank"),
-        ((F.col("_lcum") + off_tf) / F.lit(float(total))).alias("cum_frac"),
+        "rank",
+        (F.col("_cum_tf") / F.lit(float(total))).alias("cum_frac"),
     )
     if top_k is not None:
         ranked = ranked.where(F.col("rank") <= top_k)
@@ -892,59 +846,22 @@ def perplexity_buckets(
         )
     ).cast("string")
     if exact:
-        from pyspark.sql import Window
+        from sparksearchengine_spark.operators.prefix import (
+            distributed_prefix,
+        )
 
         gcols = [group_col] if group_col else []
-        spark = scores.sparkSession
-        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-        order = [F.col(c).asc() for c in gcols] + [F.col(ppl_col).asc()]
-        part = scores.repartitionByRange(n_part, *order).withColumn(
-            "_pb_pid", F.spark_partition_id()
+        ranked = distributed_prefix(
+            scores,
+            order=[F.col(ppl_col).asc()],
+            groups=gcols,
+            rank_col="_pb_rank",
+            group_count_col="_pb_ng",
         )
-        # ranks within a partition; ties share a rank, and because the
-        # full sort key (group, score) is total on tie classes, the
-        # range partitioner never splits one across partitions
-        wloc = Window.partitionBy("_pb_pid", *gcols).orderBy(
-            F.col(ppl_col).asc()
-        )
-        loc = part.withColumn("_pb_lrank", F.rank().over(wloc))
-        # prefix offsets: one row per (partition, group) — bounded by
-        # partitions x groups, independent of corpus size. The windows
-        # below run over THAT tiny frame, not the data.
-        cnt = part.groupBy("_pb_pid", *gcols).agg(
-            F.count(F.lit(1)).alias("_pb_n")
-        )
-        wgrp = Window.partitionBy(*gcols) if gcols else Window.partitionBy()
-        offs = cnt.select(
-            "_pb_pid",
-            *gcols,
-            F.coalesce(
-                F.sum("_pb_n").over(
-                    wgrp.orderBy("_pb_pid").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ).alias("_pb_off"),
-            F.sum("_pb_n")
-            .over(
-                wgrp.orderBy("_pb_pid").rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            )
-            .alias("_pb_ng"),
-        )
-        cond = loc["_pb_pid"] == offs["_pb_pid"]
-        for c in gcols:
-            # null-safe: a NULL group is a group of its own
-            cond = cond & loc[c].eqNullSafe(offs[c])
-        joined = loc.join(F.broadcast(offs), cond).drop(offs["_pb_pid"])
-        for c in gcols:
-            joined = joined.drop(offs[c])
+        # percent_rank == (rank - 1) / (n - 1), 0.0 for the n == 1 group
         pr = F.when(
             F.col("_pb_ng") > 1,
-            (F.col("_pb_lrank") + F.col("_pb_off") - 1)
-            / (F.col("_pb_ng") - 1),
+            (F.col("_pb_rank") - 1) / (F.col("_pb_ng") - 1),
         ).otherwise(F.lit(0.0))
         bucket = (
             F.when(F.col(ppl_col).isNull(), null_guard)
@@ -952,9 +869,8 @@ def perplexity_buckets(
             .when(pr < F.lit(hi), F.lit("middle"))
             .otherwise(F.lit("tail"))
         )
-        return (
-            joined.withColumn("bucket", bucket)
-            .drop("_pb_pid", "_pb_lrank", "_pb_off", "_pb_ng")
+        return ranked.withColumn("bucket", bucket).drop(
+            "_pb_rank", "_pb_ng"
         )
     gcols = [group_col] if group_col else []
     q = (

@@ -208,23 +208,29 @@ def select_top_by_budget(
     answer a pure window expression and the quality ordering strict.
     Groups absent from ``budgets`` keep nothing.
 
-    Scale: one shuffle (the per-group window). A giant group serializes
-    its own sort only; budgets are driver literals. Integer cumsums —
-    engine-exact.
+    Scale: DISTRIBUTED cumsum (r9, ``distributed_prefix``) — the old
+    per-group window put a giant group's entire sort in ONE task; now
+    it is one range shuffle + parallel per-partition sums + broadcast
+    prefix offsets. (score desc, key asc) is a total order, and the
+    token cumsum is a long sum — engine-exact under the regrouping.
+    Budgets are driver literals.
     """
+    from sparksearchengine_spark.operators.prefix import distributed_prefix
+
     pairs: list[Column] = []
     for g, b in sorted(budgets.items()):
         pairs += [F.lit(g), F.lit(int(b)).cast("long")]
     budget = F.create_map(*pairs)[F.col(group_col)] if pairs else F.lit(None)
-    w = (
-        Window.partitionBy(group_col)
-        .orderBy(F.col(score_col).desc(), F.col(key_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum_col = "_sb_cum"
+    out = distributed_prefix(
+        df,
+        order=[F.col(score_col).desc(), F.col(key_col).asc()],
+        groups=[group_col],
+        sum_cols={token_col: cum_col},
     )
-    cum = F.sum(F.col(token_col).cast("long")).over(w)
-    return df.withColumn(
-        keep_col, F.coalesce(cum <= budget, F.lit(False))
-    )
+    return out.withColumn(
+        keep_col, F.coalesce(F.col(cum_col) <= budget, F.lit(False))
+    ).drop(cum_col)
 
 
 def train_test_split(

@@ -44,9 +44,10 @@ ALLOWLIST = {
     ("operators/decontam.py", "embedding_decontam", "broadcast"):
         (1, "cap: eval set hard-capped at MAX_EVAL_EMBED_ROWS"),
     ("operators/decontam.py", "perplexity_buckets", "broadcast"):
-        (3, "1-row-per-group: quantile frame, one row per group key; "
-            "fixed-dim: exact-path prefix offsets, <= partitions x "
-            "groups rows"),
+        (2, "1-row-per-group: quantile frame, one row per group key"),
+    ("operators/prefix.py", "distributed_prefix", "broadcast"):
+        (1, "fixed-dim: prefix-offset frame, <= partitions x groups "
+            "rows by construction"),
     ("operators/decontam.py", "perplexity_buckets", "crossJoin"):
         (1, "1-row: global quantile frame"),
     ("operators/dsir.py", "dsir_bucket_logratio", "broadcast"):

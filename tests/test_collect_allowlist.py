@@ -54,8 +54,7 @@ ALLOWLIST = {
     ("operators/decontam.py", "unigram_logprob"):
         (1, "1-row: corpus token total"),
     ("operators/decontam.py", "vocab_stats"):
-        (2, "1-row: vocabulary total; per-partition: prefix-offset "
-            "totals for the distributed cum-sum"),
+        (1, "1-row: vocabulary total"),
     ("operators/dsir.py", "dsir_bucket_logratio"):
         (4, "fixed-dim: two hash-bucket count frames (<= dim rows); "
             "1-row: two totals"),
