@@ -49,17 +49,14 @@ def pack_chunks(
     given (each shard packs independently — the scale path: shards are
     the export unit, so packing parallelism = shard count and no global
     sort exists). With ``shard_col=None`` the GLOBAL running sum is
-    computed distributed, never on one reducer: range-partition by the
-    id order, per-partition running sums in parallel windows, then add
-    each partition's prefix total (a |partitions|-row driver merge,
-    broadcast back) — the textbook two-stage parallel prefix sum. The
-    range-partitioned frame is pinned with a lazy localCheckpoint
-    because two plan branches (the totals and the final join) must see
-    the SAME partition assignment (RangePartitioner samples its bounds,
-    so re-evaluation could split differently). The checkpoint's storage
-    blocks live until the returned DataFrame is garbage-collected; a
+    computed distributed, never on one reducer, via
+    ``prefix.distributed_prefix`` (range-partition on the id order,
+    parallel per-partition running sums, prefix offsets added back --
+    the textbook two-stage parallel prefix sum; the helper pins the
+    partition assignment with a lazy localCheckpoint, whose storage
+    blocks live until the returned DataFrame is garbage-collected). A
     long-lived session packing many frames globally should prefer
-    ``shard_col`` (the scale path — no checkpoint at all) or drop
+    ``shard_col`` (the scale path -- no checkpoint at all) or drop
     references to finished results promptly.
     """
     order = [F.col(c).asc() for c in id_cols]
@@ -70,51 +67,19 @@ def pack_chunks(
             (F.sum(n_tokens_col).over(w) - F.col(n_tokens_col)).cast("long"),
         )
     else:
-        clash = {"_pid", "_lcum", "_prefix"} & set(chunks.columns)
-        if clash:
-            raise ValueError(
-                f"pack_chunks reserves internal columns {sorted(clash)}; "
-                f"rename them in the input first"
-            )
-        data = (
-            chunks.repartitionByRange(*order)
-            .withColumn("_pid", F.spark_partition_id())
-            .localCheckpoint(eager=False)
+        from sparksearchengine_spark.operators.prefix import (
+            distributed_prefix,
         )
-        w = Window.partitionBy("_pid").orderBy(*order)
-        local = data.withColumn(
-            "_lcum", F.sum(F.col(n_tokens_col).cast("long")).over(w)
-        )
-        totals = (
-            data.groupBy("_pid")
-            .agg(F.sum(F.col(n_tokens_col).cast("long")).alias("_tot"))
-            .collect()
-        )
-        acc = 0
-        prefix = []
-        for r in sorted(totals, key=lambda r: r["_pid"]):
-            prefix.append((int(r["_pid"]), acc))
-            acc += int(r["_tot"] or 0)
-        # inline the per-partition prefix offsets as a literal map lookup
-        # instead of broadcast-joining a Python-local frame: an RDD-backed
-        # relation's broadcast spins up Python workers for |partitions|
-        # scalars, and the map expression stays in codegen
-        if not prefix:  # empty input: keep the map expression typed
-            prefix = [(0, 0)]
-        prefix_map = F.map_from_arrays(
-            F.array(*[F.lit(p) for p, _ in prefix]),
-            F.array(*[F.lit(o).cast("long") for _, o in prefix]),
-        )
+
         out = (
-            local.withColumn(
-                "offset",
-                (
-                    F.col("_lcum")
-                    - F.col(n_tokens_col)
-                    + F.element_at(prefix_map, F.col("_pid"))
-                ).cast("long"),
+            distributed_prefix(
+                chunks, order=order, sum_cols={n_tokens_col: "_cum"}
             )
-            .drop("_pid", "_lcum")
+            .withColumn(
+                "offset",
+                (F.col("_cum") - F.col(n_tokens_col)).cast("long"),
+            )
+            .drop("_cum")
         )
     return out.withColumn(
         "pack_id", (F.col("offset") / budget).cast("long")

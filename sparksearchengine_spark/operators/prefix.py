@@ -60,18 +60,35 @@ def distributed_prefix(
     ``rank_col``: 1-based rank over (groups-partitioned) ``order``.
     ``group_count_col``: total row count of the row's group (the ``n``
     of percent_rank); with no groups, the frame's row count.
+
+    The range-partitioned frame is pinned with a lazy ``localCheckpoint``
+    — the offsets branch and the data branch MUST see the same partition
+    assignment, and RangePartitioner samples its bounds, so two
+    independent evaluations could split differently (same hazard and
+    same fix as ``chunking.pack_chunks``). The checkpoint's storage
+    blocks live until the returned DataFrame is garbage-collected.
     """
     sum_cols = dict(sum_cols or {})
     if not sum_cols and rank_col is None and group_count_col is None:
         raise ValueError("nothing requested: pass sum_cols and/or rank_col")
+    clash = {_PID, _CNT} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"distributed_prefix reserves internal columns "
+            f"{sorted(clash)}; rename them in the input first"
+        )
     spark = df.sparkSession
     n_part = n_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
     gcols = list(groups)
-    part = df.repartitionByRange(
-        n_part, *[F.col(g).asc() for g in gcols], *order
-    ).withColumn(_PID, F.spark_partition_id())
+    part = (
+        df.repartitionByRange(
+            n_part, *[F.col(g).asc() for g in gcols], *order
+        )
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
 
     wloc = Window.partitionBy(_PID, *gcols).orderBy(*order)
     out = part

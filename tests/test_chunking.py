@@ -118,7 +118,16 @@ class TestPackChunks:
         )
         out = pack_chunks(chunks, budget=16)
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert "SinglePartition" not in plan, plan
+        # the DATA may never funnel through a single partition; the one
+        # allowed SinglePartition is distributed_prefix's offsets window
+        # over the per-partition totals frame (<= |partitions| rows,
+        # i.e. its child is the _dp_pid aggregate, not a data scan)
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            below = "\n".join(lines[i + 1 : i + 4])
+            assert "_dp_pid" in below and "HashAggregate" in below, plan
         # and the offsets are still the exact global running sum
         rows = sorted(
             out.select("doc_id", "n_tokens", "offset").collect(),

@@ -36,9 +36,6 @@ PKG = os.path.join(os.path.dirname(__file__), "..", "sparksearchengine_spark")
 
 # (relative path, enclosing qualname) -> (count, bound annotation)
 ALLOWLIST = {
-    ("operators/chunking.py", "pack_chunks"):
-        (1, "per-partition: one packed-total row per _pid the operator "
-            "itself repartitioned to"),
     ("operators/classify.py", "classifier_fit"):
         (2, "1-row: loss/count frame; fixed-dim: <= dim weight rows "
             "(training-set-bounded vocab)"),
