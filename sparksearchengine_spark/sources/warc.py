@@ -172,13 +172,32 @@ def iter_warc_records(
 def _default_opener(path: str) -> io.BufferedIOBase:
     """Open a listed path for sequential binary read. ``file:`` URIs and
     plain paths open directly; gzip by suffix (multi-member transparent
-    — the Common Crawl record-per-member layout). For object stores,
-    pass an ``opener`` (e.g. ``fsspec.open(path, 'rb').open``)."""
+    — the Common Crawl record-per-member layout); bz2 by suffix; zstd
+    (``.zst``, the newer Common Crawl layout) when the ``zstandard``
+    package is installed — gated import, loud error otherwise. For
+    object stores, pass an ``opener`` (e.g. ``fsspec.open(path,
+    'rb').open``)."""
     local = path
     if local.startswith("file:"):
         local = re.sub(r"^file:(//)?", "", local)
     if local.endswith(".gz"):
         return gzip.open(local, "rb")  # type: ignore[return-value]
+    if local.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(local, "rb")  # type: ignore[return-value]
+    if local.endswith(".zst"):
+        try:
+            import zstandard
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise ImportError(
+                "reading .warc.zst needs the 'zstandard' package "
+                "(pip install zstandard), or pass opener=..."
+            ) from e
+        fh = open(local, "rb")
+        return io.BufferedReader(
+            zstandard.ZstdDecompressor().stream_reader(fh)
+        )
     return open(local, "rb")
 
 

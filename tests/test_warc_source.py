@@ -283,6 +283,23 @@ class TestReadWarc:
                 "http://iframes.example/i",
             ]
 
+    def test_bz2_opener(self, spark, tmp_path):
+        import bz2 as _bz2
+
+        (tmp_path / "c.warc.bz2").write_bytes(
+            _bz2.compress(b"".join(_records()))
+        )
+        assert read_warc(spark, str(tmp_path)).count() == 6
+
+    def test_zst_errors_loudly_without_lib(self, spark, tmp_path):
+        (tmp_path / "d.warc.zst").write_bytes(b"\x28\xb5\x2f\xfd junk")
+        try:
+            import zstandard  # noqa: F401
+        except ImportError:
+            df = read_warc(spark, str(tmp_path))
+            with pytest.raises(Exception, match="zstandard"):
+                df.count()
+
     def test_wat_metadata_variant(self, spark, warc_dir):
         from pyspark.sql import functions as F
 
