@@ -35,11 +35,19 @@ def shard_assignments(
     key_col: str = "doc_id",
     num_shards: int = 64,
     shard_col: str = "shard",
+    shuffle_seed: int | None = None,
 ) -> DataFrame:
-    """df + a deterministic ``shard`` column in [0, num_shards)."""
-    return df.withColumn(
-        shard_col, hash_bucket(F.col(key_col), num_shards)
+    """df + a deterministic ``shard`` column in [0, num_shards).
+
+    With ``shuffle_seed`` set, membership follows ``xxhash64(seed, key)``
+    instead of the bare key — the epoch-shuffle contract (see
+    :func:`export_shards`)."""
+    key = (
+        F.xxhash64(F.lit(int(shuffle_seed)), F.col(key_col))
+        if shuffle_seed is not None
+        else F.col(key_col)
     )
+    return df.withColumn(shard_col, hash_bucket(key, num_shards))
 
 
 def export_shards(
@@ -49,6 +57,7 @@ def export_shards(
     num_shards: int = 64,
     max_records_per_file: int | None = None,
     file_format: str = "parquet",
+    shuffle_seed: int | None = None,
 ) -> None:
     """Write ``df`` as ``path/shard=N/...`` with deterministic membership
     and within-file ordering by ``key_col``.
@@ -56,11 +65,23 @@ def export_shards(
     ``partitionBy`` gives the shard-addressable layout; the explicit
     ``repartition(num_shards, shard)`` before it keeps the write at one
     task per shard instead of every task appending to every shard dir
-    (the small-files failure mode of naive partitionBy at scale)."""
-    out = (
-        shard_assignments(df, key_col, num_shards)
-        .repartition(num_shards, F.col("shard"))
-        .sortWithinPartitions(F.col("shard"), F.col(key_col))
+    (the small-files failure mode of naive partitionBy at scale).
+
+    ``shuffle_seed`` — epoch-shuffled training order: shard membership
+    AND within-shard order follow ``xxhash64(seed, key)``, so reading
+    shard 0..N-1 in file order yields a deterministic pseudo-random
+    permutation of the corpus — a different one per seed, the same one
+    on every re-run of a seed. This is the standard per-epoch global
+    shuffle WITHOUT a global sort: the permutation is realized by the
+    same one-shuffle-per-export plan (hash bucketing is the shuffle;
+    ``sortWithinPartitions`` orders each shard independently)."""
+    out = shard_assignments(df, key_col, num_shards, shuffle_seed=shuffle_seed)
+    if shuffle_seed is not None:
+        order = F.xxhash64(F.lit(int(shuffle_seed)), F.col(key_col))
+    else:
+        order = F.col(key_col)
+    out = out.repartition(num_shards, F.col("shard")).sortWithinPartitions(
+        F.col("shard"), order, F.col(key_col)
     )
     writer = out.write.mode("overwrite").partitionBy("shard")
     if max_records_per_file is not None:

@@ -70,6 +70,46 @@ class TestShardExport:
         assert ids == sorted(ids)
 
 
+class TestEpochShuffle:
+    def test_seeded_order_reproducible_and_seed_sensitive(
+        self, spark, tmp_path
+    ):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out1 = str(tmp_path / "e1")
+        out1b = str(tmp_path / "e1b")
+        out2 = str(tmp_path / "e2")
+        for p, seed in ((out1, 1), (out1b, 1), (out2, 2)):
+            export_shards(docs, p, num_shards=4, shuffle_seed=seed)
+
+        def order(path):
+            rows = spark.read.parquet(path).select("shard", "doc_id").collect()
+            by_shard: dict = {}
+            for r in rows:
+                by_shard.setdefault(r.shard, []).append(r.doc_id)
+            return [d for s in sorted(by_shard) for d in by_shard[s]]
+
+        o1, o1b, o2 = order(out1), order(out1b), order(out2)
+        assert o1 == o1b                      # same seed -> same permutation
+        assert sorted(o1) == sorted(o2)       # same membership...
+        assert o1 != o2                       # ...different order per seed
+        assert o1 != sorted(o1)               # and it IS shuffled
+
+    def test_seeded_membership_differs_from_unseeded(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        plain = {
+            (r.doc_id, r.shard)
+            for r in shard_assignments(docs, num_shards=8)
+            .select("doc_id", "shard").collect()
+        }
+        seeded = {
+            (r.doc_id, r.shard)
+            for r in shard_assignments(docs, num_shards=8, shuffle_seed=7)
+            .select("doc_id", "shard").collect()
+        }
+        assert plain != seeded
+        assert {d for d, _ in plain} == {d for d, _ in seeded}
+
+
 class TestManifestFormat:
     def test_json_export_manifests(self, spark, tmp_path):
         """r3 review: the manifest read must use the export's format."""
