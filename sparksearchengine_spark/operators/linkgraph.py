@@ -75,13 +75,14 @@ def pagerank(
         e = e.distinct()
 
     # out-degree folded onto the edge so the hot loop never re-joins it;
-    # partitioned by _s once, reused by every iteration's join
+    # the window's own hashpartitioning(_s) IS the layout every
+    # iteration's join reuses — repartition again only when the caller
+    # overrides the partition count (a second shuffle otherwise)
     deg_w = Window.partitionBy("_s")
-    e = (
-        e.withColumn("_deg", F.count(F.lit(1)).over(deg_w))
-        .repartition(n_part, "_s")
-        .persist()
-    )
+    e = e.withColumn("_deg", F.count(F.lit(1)).over(deg_w))
+    if partitions is not None:
+        e = e.repartition(n_part, "_s")
+    e = e.persist()
 
     nodes = (
         e.select(F.col("_s").alias("node"))
