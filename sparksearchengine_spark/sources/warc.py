@@ -276,17 +276,36 @@ def warc_html_responses(records: DataFrame, html_only: bool = True) -> DataFrame
     ``WARC-TREC-ID``, reference ``WarcHTMLResponseRecord.java:112``),
     ``date``, ``http_status``, ``http_headers``, ``html``.
 
-    The HTTP split + charset decode runs in ONE Arrow pass (bytes are
-    decoded latin-1 — total, byte-preserving; real charset sniffing is a
-    corpus-policy decision layered above). ``html_only`` keeps rows
-    whose HTTP Content-Type mentions html (reference keeps every
-    response; pass False for that).
+    The HTTP split + charset decode runs in ONE Arrow pass. Charset: the
+    HTTP ``Content-Type: ...; charset=X`` header when present and known
+    to Python, else UTF-8 if the body decodes cleanly, else latin-1
+    (total, byte-preserving) — always ``errors="replace"``, a crawl
+    always has mojibake. ``html_only`` keeps rows whose HTTP
+    Content-Type mentions html (reference keeps every response; pass
+    False for that).
     """
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("http_status int, http_headers string, html string")
     def _split(payload):  # type: ignore[no-untyped-def]
+        import codecs
+
         import pandas as pd
+
+        charset_re = re.compile(r"charset\s*=\s*[\"']?([\w.:-]+)", re.I)
+
+        def decode_body(body, htext):
+            m = charset_re.search(htext)
+            if m:
+                try:
+                    codecs.lookup(m.group(1))
+                    return body.decode(m.group(1), errors="replace")
+                except LookupError:
+                    pass
+            try:
+                return body.decode("utf-8")
+            except UnicodeDecodeError:
+                return body.decode("latin-1", errors="replace")
 
         statuses, hdrs, bodies = [], [], []
         for raw in payload:
@@ -301,7 +320,7 @@ def warc_html_responses(records: DataFrame, html_only: bool = True) -> DataFrame
             m = re.match(r"HTTP/\d\.\d\s+(\d{3})", htext)
             statuses.append(int(m.group(1)) if m else None)
             hdrs.append(htext)
-            bodies.append(body.decode("latin-1", errors="replace"))
+            bodies.append(decode_body(body, htext))
         return pd.DataFrame(
             {"http_status": statuses, "http_headers": hdrs, "html": bodies}
         )

@@ -314,6 +314,32 @@ class TestReadWarc:
         hlens = sorted((r.hlen for r in rows), key=lambda x: (x is None, x))
         assert hlens == [210, 210, None, None]
 
+    def test_charset_sniffing(self, spark, tmp_path):
+        """Body decode honors the HTTP charset header; falls back to
+        UTF-8 then latin-1, never throws."""
+        cases = [
+            # (uri, http content-type, body bytes, expected substring)
+            ("http://e.x/sjis", "text/html; charset=shift_jis",
+             "<html>日本語</html>".encode("shift_jis"), "日本語"),
+            ("http://e.x/utf8", "text/html",
+             "<html>héllo 中</html>".encode("utf-8"), "héllo 中"),
+            ("http://e.x/l1", "text/html; charset=not-a-charset",
+             b"<html>caf\xe9</html>", "caf\xe9"),  # invalid utf-8 -> latin-1
+        ]
+        recs = []
+        for uri, ct, body, _ in cases:
+            http = (f"HTTP/1.1 200 OK\r\nContent-Type: {ct}\r\n\r\n").encode() + body
+            recs.append(_record("response", uri, http, uri))
+        (tmp_path / "cs.warc").write_bytes(b"".join(recs))
+        got = {
+            r.target_uri: r.html
+            for r in warc_html_responses(
+                read_warc(spark, str(tmp_path))
+            ).collect()
+        }
+        for uri, _, _, want in cases:
+            assert want in got[uri], (uri, got[uri])
+
     def test_wet_text(self, spark, warc_dir):
         wet = read_wet_text(spark, warc_dir)
         rows = wet.collect()
