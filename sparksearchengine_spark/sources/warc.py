@@ -366,9 +366,16 @@ def extract_outlinks(html: str, base_uri: str) -> list[str]:
                 resolved = urljoin(base_uri or "", url)
             except ValueError:
                 resolved = url
-            if _HTTP_RE.match(resolved) and resolved != base_uri:
-                seen.setdefault(resolved, None)
-            break  # first pattern that matches this tag wins
+            if (
+                _HTTP_RE.match(resolved)
+                and resolved != base_uri
+                and resolved not in seen
+            ):
+                seen[resolved] = None
+                break  # reference's hasAdded: stop once a pattern ADDS;
+            # otherwise fall through to the next pattern on this tag
+            # (e.g. <frame href="bad" src="good"> — the a-href pattern
+            # matches first on the 'a' in "frame" but yields nothing)
     return list(seen)
 
 

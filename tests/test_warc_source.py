@@ -233,6 +233,15 @@ class TestExtractOutlinks:
         assert extract_outlinks("", "http://b.example/") == []
         assert extract_outlinks("<a href=''>x</a>", "http://b.example/") == []
 
+    def test_pattern_fallthrough_on_same_tag(self):
+        """Reference hasAdded semantics (WarcHTMLResponseRecord.java:
+        128-150): a pattern match that ADDS nothing (bad scheme, dup)
+        falls through to the next pattern on the same tag."""
+        html = '<frame href="javascript:void(0)" src="http://f.example/x">'
+        assert extract_outlinks(html, "http://b.example/") == [
+            "http://f.example/x"
+        ]
+
 
 # ----------------------------------------------------------- spark side
 
