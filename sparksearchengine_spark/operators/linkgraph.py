@@ -99,6 +99,19 @@ def pagerank(
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
 
+    # lineage truncation per iteration: reliable checkpoint when the
+    # session has a checkpoint dir (survives executor loss — the right
+    # choice for a 1000-executor run), else localCheckpoint (executor
+    # storage; fine for single-node and short jobs)
+    has_ckpt_dir = (
+        spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
+    )
+
+    def _pin(frame: DataFrame) -> DataFrame:
+        if has_ckpt_dir:
+            return frame.checkpoint(eager=True)
+        return frame.localCheckpoint(eager=True)
+
     for _ in range(iterations):
         contribs = (
             ranks.join(e, ranks["node"] == e["_s"], "inner")
@@ -123,9 +136,8 @@ def pagerank(
                     "rank"
                 ),
             )
-            .repartition(n_part, "node")
-            .localCheckpoint(eager=True)  # truncate the iteration lineage
         )
+        new_ranks = _pin(new_ranks.repartition(n_part, "node"))
         contribs.unpersist()
         if tol is not None:
             delta = (
