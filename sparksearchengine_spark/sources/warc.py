@@ -52,7 +52,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MAGIC = b"WARC/"
-_CRLF = b"\r\n"
 
 RECORD_SCHEMA = (
     "path string, offset long, record_id string, record_type string, "
