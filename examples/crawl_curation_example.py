@@ -18,6 +18,9 @@ stage):
                  rules) joined with the per-domain prior; the prior is
                  domain-count-sized, i.e. broadcast-sized by
                  construction.
+5. deliver     — ``export_shards(shuffle_seed=...)``: deterministic
+                 shards in epoch-shuffled training order (a seeded
+                 pseudo-random permutation, no global sort).
 
 Run: ``python examples/crawl_curation_example.py [outdir]``
 """
@@ -154,6 +157,24 @@ def main(out: str | None = None) -> None:
         print(f"    {r.domain}: {r['count']}")
     total = sum(r["count"] for r in kept)
     print(f"crawl curation complete: kept {total} of {wet.count()} docs")
+
+    # --- 5. deliver: epoch-shuffled shards ------------------------------
+    from sparksearchengine_spark.operators.export import (
+        export_shards,
+        shard_manifest,
+    )
+
+    shards = os.path.join(out, "shards")
+    export_shards(
+        curated.select("doc_id", "text", "domain"),
+        shards,
+        num_shards=4,
+        shuffle_seed=1,
+    )
+    man = shard_manifest(spark, shards).orderBy("shard").collect()
+    print("[5] delivered shards (epoch seed 1):")
+    for r in man:
+        print(f"    shard {r.shard}: {r.n_rows} rows")
 
     if owns_session:
         spark.stop()

@@ -76,3 +76,4 @@ class TestExamples:
         assert "hub.example: 4" in out
         assert "news.example: 4" in out
         assert "kept 8 of 12 docs" in out
+        assert "[5] delivered shards (epoch seed 1):" in out
