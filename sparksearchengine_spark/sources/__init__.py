@@ -31,6 +31,7 @@ from sparksearchengine_spark.sources.warc import (
     read_wet_text,
     warc_html_responses,
     warc_outlinks,
+    wat_outlinks,
 )
 
 
@@ -199,6 +200,7 @@ __all__ = [
     "read_wet_text",
     "warc_html_responses",
     "warc_outlinks",
+    "wat_outlinks",
     "save_corpus",
     "load_corpus",
     "read_jsonl_corpus",

@@ -419,6 +419,81 @@ def _utf8_udf():  # type: ignore[no-untyped-def]
     return _utf8
 
 
+def _normalize_links_udf():  # type: ignore[no-untyped-def]
+    """Arrow UDF applying the reference's outlink normalization (query
+    strip, resolve against base, http(s)-only, self-drop, ordered
+    dedup) to a pre-extracted URL array — shared contract with
+    :func:`extract_outlinks`, minus the tag regexes."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _norm(urls, base):  # type: ignore[no-untyped-def]
+        from urllib.parse import urljoin
+
+        import pandas as pd
+
+        out = []
+        for us, b in zip(urls, base):
+            seen: dict[str, None] = {}
+            for u in us if us is not None else []:
+                if not u:
+                    continue
+                q = u.find("?")
+                if q > 0:
+                    u = u[:q]
+                try:
+                    resolved = urljoin(b or "", u)
+                except ValueError:
+                    resolved = u
+                if _HTTP_RE.match(resolved) and resolved != b:
+                    seen.setdefault(resolved, None)
+            out.append(list(seen))
+        return pd.Series(out)
+
+    return _norm
+
+
+def wat_outlinks(
+    wat: DataFrame,
+    uri_col: str = "url",
+    metadata_col: str = "metadata",
+) -> DataFrame:
+    """Outlink edges from WAT envelopes: ``(doc_id, target_uri,
+    outlink)`` — the cheap path to the web graph (Common Crawl already
+    extracted the links; no HTML parse). Input is
+    :func:`read_wat_metadata` output; the ``Links`` array is shredded
+    JVM-side from the VARIANT (``$.Envelope.Payload-Metadata.
+    HTTP-Response-Metadata.HTML-Metadata.Links[*].url``), then
+    normalized with the SAME rules as :func:`warc_outlinks` (query
+    strip, resolve, http(s)-only, self-drop, ordered dedup) so the two
+    edge sources are interchangeable inputs to
+    ``operators.linkgraph``."""
+    links_path = (
+        "$.Envelope.Payload-Metadata.HTTP-Response-Metadata."
+        "HTML-Metadata.Links"
+    )
+    raw = wat.select(
+        "doc_id",
+        F.col(uri_col).alias("target_uri"),
+        F.transform(
+            F.coalesce(
+                F.try_variant_get(
+                    F.col(metadata_col), links_path, "array<variant>"
+                ),
+                F.array().cast("array<variant>"),
+            ),
+            lambda l: F.try_variant_get(l, "$.url", "string"),
+        ).alias("_urls"),
+    )
+    return raw.select(
+        "doc_id",
+        "target_uri",
+        F.explode(
+            _normalize_links_udf()(F.col("_urls"), F.col("target_uri"))
+        ).alias("outlink"),
+    )
+
+
 def read_wet_text(
     spark: SparkSession,
     path: str,
@@ -471,4 +546,5 @@ __all__ = [
     "extract_outlinks",
     "read_wet_text",
     "read_wat_metadata",
+    "wat_outlinks",
 ]

@@ -22,6 +22,7 @@ from sparksearchengine_spark.sources.warc import (
     read_wet_text,
     warc_html_responses,
     warc_outlinks,
+    wat_outlinks,
 )
 
 HTML = (
@@ -348,6 +349,48 @@ class TestReadWarc:
         }
         for uri, _, _, want in cases:
             assert want in got[uri], (uri, got[uri])
+
+    def test_wat_outlinks_match_html_rules(self, spark, tmp_path):
+        """WAT-envelope links normalize under the SAME rules as the
+        HTML path: relative resolve, query strip, http-only, self-drop,
+        dedup — the two edge sources must be interchangeable."""
+        import json as _json
+
+        env = {
+            "Envelope": {
+                "Payload-Metadata": {
+                    "HTTP-Response-Metadata": {
+                        "HTML-Metadata": {
+                            "Links": [
+                                {"url": "/rel/page.html", "path": "A@/href"},
+                                {"url": "http://other.example/x?track=1"},
+                                {"url": "http://other.example/x"},
+                                {"url": "mailto:x@example.com"},
+                                {"url": "http://base.example/page"},
+                                {"path": "no-url-key"},
+                            ]
+                        }
+                    }
+                }
+            }
+        }
+        rec = _record(
+            "metadata", "http://base.example/page",
+            _json.dumps(env).encode(), "wat-links-1",
+        )
+        (tmp_path / "w.warc").write_bytes(rec)
+        wat = read_wat_metadata(spark, str(tmp_path))
+        edges = wat_outlinks(wat).collect()
+        assert [e.outlink for e in edges] == [
+            "http://base.example/rel/page.html",
+            "http://other.example/x",
+        ]
+        # a WAT record with NO links yields zero edges, not a crash
+        rec2 = _record("metadata", "http://e.x/none", b"{}", "wat-links-2")
+        (tmp_path / "w2.warc").write_bytes(rec2)
+        assert (
+            wat_outlinks(read_wat_metadata(spark, str(tmp_path))).count() == 2
+        )
 
     def test_wet_text(self, spark, warc_dir):
         wet = read_wet_text(spark, warc_dir)
