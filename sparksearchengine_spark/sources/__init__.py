@@ -6,9 +6,11 @@ S2 object-file sink    -> parquet round-trip (`save_corpus`/`load_corpus`;
                           the reference's saveAsObjectFile/objectFile,
                           reference `WikipediaXmlDumpParser.scala:36`,
                           `examples/StoreableExample.scala:22-30`)
-S3 WARC / WET / WAT    -> `warc.read_warc` / `warc.read_wet_text` (+ HTML
-                          response split, outlink extraction — the full
-                          CMU-Lemur reader surface, Spark-first)
+S3 WARC / WET / WAT    -> `warc.read_warc` / `warc.read_wet_text` /
+                          `warc.read_wat_metadata` (+ HTML response
+                          split, outlink extraction from HTML or WAT
+                          envelopes — the full CMU-Lemur reader
+                          surface, Spark-first)
 JSONL / CSV / raw text -> `read_jsonl_corpus` / `read_csv_corpus` /
                           `read_text_corpus` (LLM-corpus interchange
                           formats; corrupt-record capture, deterministic
