@@ -278,6 +278,10 @@ def main() -> None:
     # the production default (method="arrow" since r4)
     if want("semdedup_arrow"):
         with timed("semdedup_arrow"):
+            # local import again: under --only semdedup_arrow the
+            # expr_ref block above never ran (r9 review finding)
+            from sparksearchengine_spark.operators.clustering import semdedup
+
             semdedup(
                 emb, threshold=0.4, n_clusters=16, method="arrow"
             ).where("NOT keep").count()

@@ -926,7 +926,12 @@ def _dsl_column_scored_union(
         # _tbucket partition column (DPP) instead of reading all
         # buckets; that path is uncached by design
         # (SearchIndex.scored_postings), hence the tier tag in the key.
-        key = (tuple(flds), tier if prune_terms is not None else "")
+        # the tier tag matters ONLY when bucket pruning will actually
+        # run (term-bucketed index + terms to prune with) — otherwise
+        # collapsing it lets every tier share one cached union instead
+        # of building identical plan branches (r9 review finding)
+        prunes = prune_terms is not None and bool(index.term_buckets)
+        key = (tuple(flds), tier if prunes else "")
         if key not in shared:
             sp = None
             for f in flds:

@@ -71,11 +71,23 @@ def distributed_prefix(
     sum_cols = dict(sum_cols or {})
     if not sum_cols and rank_col is None and group_count_col is None:
         raise ValueError("nothing requested: pass sum_cols and/or rank_col")
-    clash = {_PID, _CNT} & set(df.columns)
+    # the whole _dp_ namespace is reserved (pid/cnt/offsets), and the
+    # requested OUTPUT names must not overwrite existing input columns —
+    # withColumn would silently replace them and the final drop would
+    # delete user data (r9 review finding)
+    clash = sorted(c for c in df.columns if c.startswith("_dp_"))
     if clash:
         raise ValueError(
-            f"distributed_prefix reserves internal columns "
-            f"{sorted(clash)}; rename them in the input first"
+            f"distributed_prefix reserves the '_dp_' column namespace; "
+            f"rename {clash} in the input first"
+        )
+    outs = [c for c in (rank_col, group_count_col) if c is not None]
+    outs += list(sum_cols.values())
+    overwrite = sorted(set(outs) & set(df.columns))
+    if overwrite:
+        raise ValueError(
+            f"output column(s) {overwrite} already exist in the input; "
+            "pick different names (they would be silently overwritten)"
         )
     spark = df.sparkSession
     n_part = n_partitions or int(

@@ -236,9 +236,19 @@ def read_warc(
         return spark.createDataFrame([], RECORD_SCHEMA).withColumn(
             id_col, F.xxhash64("path", "offset")
         )
+    # exactly one file per partition: parallelize with an explicit slice
+    # count is collision-free, unlike repartition(n, "path") whose hash
+    # assignment leaves ~1/e of the tasks empty and stacks multi-file
+    # stragglers on others (balls-in-bins; r9 review finding) — the one
+    # RDD seam in the package, and precisely what numSlices exists for
     paths = spark.createDataFrame(
-        [(p,) for p in sorted(listed)], "path string"
-    ).repartition(len(listed), "path")
+        spark.sparkContext.parallelize(
+            [(p,) for p in sorted(listed)], numSlices=len(listed)
+        ),
+        "path string",
+    )
+    batch_bytes = 64 << 20  # flush by bytes too — rows near the payload
+    # cap must not stack batch_rows x cap in one Arrow batch
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -246,6 +256,7 @@ def read_warc(
         for pdf in batches:
             for p in pdf["path"]:
                 rows: list[dict[str, Any]] = []
+                acc = 0
                 with open_fn(p) as fh:
                     stream = (
                         fh
@@ -257,9 +268,10 @@ def read_warc(
                     ):
                         rec["path"] = p
                         rows.append(rec)
-                        if len(rows) >= batch_rows:
+                        acc += len(rec["payload"])
+                        if len(rows) >= batch_rows or acc >= batch_bytes:
                             yield pd.DataFrame(rows)
-                            rows = []
+                            rows, acc = [], 0
                 if rows:
                     yield pd.DataFrame(rows)
 
@@ -316,7 +328,9 @@ def warc_html_responses(records: DataFrame, html_only: bool = True) -> DataFrame
             else:
                 head, body = raw[:cut], raw[cut + 4 :]
             htext = head.decode("latin-1", errors="replace")
-            m = re.match(r"HTTP/\d\.\d\s+(\d{3})", htext)
+            # version may be dotless (HTTP/2, HTTP/3 status lines from
+            # modern crawlers) — r9 review finding
+            m = re.match(r"HTTP/\d(?:\.\d)?\s+(\d{3})", htext)
             statuses.append(int(m.group(1)) if m else None)
             hdrs.append(htext)
             bodies.append(decode_body(body, htext))
@@ -504,10 +518,12 @@ def read_wet_text(
     records (Common Crawl's extracted plain text) as
     ``(doc_id, text, url, date, path)`` — drop-in input for the
     textstats / dedup / sampling operators. Only conversion records
-    cross the Arrow boundary."""
+    cross the Arrow boundary. A custom ``id_col`` passed through
+    ``kwargs`` names the output id column too (r9 review finding)."""
+    id_col = kwargs.get("id_col", "doc_id")
     recs = read_warc(spark, path, record_types=["conversion"], **kwargs)
     return recs.select(
-        "doc_id",
+        id_col,
         _utf8_udf()(F.col("payload")).alias(text_col),
         F.col("target_uri").alias("url"),
         "date",
@@ -526,10 +542,12 @@ def read_wat_metadata(
     Spark 4 VARIANT (``try_parse_json`` — malformed envelopes become
     NULL, never a failed job). Shred fields with
     ``variant_get(metadata, '$.Envelope.WARC-Header-Metadata', ...)``;
-    Catalyst prunes the shredding into the scan-side projection."""
+    Catalyst prunes the shredding into the scan-side projection. A
+    custom ``id_col`` in ``kwargs`` names the output id column too."""
+    id_col = kwargs.get("id_col", "doc_id")
     recs = read_warc(spark, path, record_types=["metadata"], **kwargs)
     return recs.select(
-        "doc_id",
+        id_col,
         F.col("target_uri").alias("url"),
         "date",
         F.try_parse_json(_utf8_udf()(F.col("payload"))).alias("metadata"),

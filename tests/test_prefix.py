@@ -116,3 +116,21 @@ class TestDistributedPrefix:
         df = _frame(spark, seed=1, n=5)
         with pytest.raises(ValueError):
             distributed_prefix(df, order=[F.col("v").asc()])
+
+    def test_reserved_namespace_and_overwrite_guards(self, spark):
+        df = _frame(spark, seed=1, n=5)
+        with pytest.raises(ValueError, match="_dp_"):
+            distributed_prefix(
+                df.withColumn("_dp_off_x", F.lit(1)),
+                order=[F.col("v").asc()], rank_col="rk",
+            )
+        # an output name colliding with an input column must be loud,
+        # not a silent overwrite+drop of user data
+        with pytest.raises(ValueError, match="already exist"):
+            distributed_prefix(
+                df, order=[F.col("v").asc()], rank_col="tok",
+            )
+        with pytest.raises(ValueError, match="already exist"):
+            distributed_prefix(
+                df, order=[F.col("v").asc()], sum_cols={"tok": "id"},
+            )

@@ -399,6 +399,18 @@ class TestReadWarc:
         assert all(r.text == "extracted plain text é中" for r in rows)
         assert all(r.url == "http://base.example/page" for r in rows)
 
+    def test_wet_custom_id_col(self, spark, warc_dir):
+        wet = read_wet_text(spark, warc_dir, id_col="rec_id")
+        assert "rec_id" in wet.columns and wet.count() == 2
+
+    def test_http2_status_line(self, spark, tmp_path):
+        body = b"HTTP/2 200\r\ncontent-type: text/html\r\n\r\n<html>x</html>"
+        (tmp_path / "h2.warc").write_bytes(
+            _record("response", "http://e.x/h2", body, "h2-1")
+        )
+        rows = warc_html_responses(read_warc(spark, str(tmp_path))).collect()
+        assert len(rows) == 1 and rows[0].http_status == 200
+
     def test_feeds_downstream_pipeline(self, spark, warc_dir):
         """WET output is a drop-in documents frame: run a real textstats
         operator over it (the integration the source exists for)."""
