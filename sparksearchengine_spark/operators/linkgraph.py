@@ -103,9 +103,7 @@ def pagerank(
     # session has a checkpoint dir (survives executor loss — the right
     # choice for a 1000-executor run), else localCheckpoint (executor
     # storage; fine for single-node and short jobs)
-    has_ckpt_dir = (
-        spark.sparkContext._jsc.sc().getCheckpointDir().isDefined()
-    )
+    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
 
     def _pin(frame: DataFrame) -> DataFrame:
         if has_ckpt_dir:
