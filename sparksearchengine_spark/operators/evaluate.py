@@ -224,3 +224,134 @@ def retrieval_metrics_summary(metrics: DataFrame) -> DataFrame:
         _mean("rr").alias("mrr"),
         _mean("ndcg").alias("mean_ndcg"),
     )
+
+
+def classification_metrics(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Binary-classifier evaluation for the quality-filter training loop
+    (the companion to ``classify.classifier_fit`` / ``classifier_score``
+    — fastText-style curation classifiers are judged on exactly these):
+    one-row frame with confusion counts at ``threshold`` plus
+    threshold-free ROC-AUC and average precision.
+
+    Everything is DISTRIBUTED and tie-exact:
+
+    * confusion/accuracy/precision/recall/F1: one scalar aggregation.
+    * ``roc_auc``: the Mann-Whitney rank statistic with midrank tie
+      correction — scores are grouped by DISTINCT value (one shuffle;
+      the grouped frame is |distinct scores| rows, never corpus rows),
+      cumulative counts come from :func:`prefix.distributed_prefix`
+      (no serial window), and
+      ``AUC = (Σ pos_g · midrank_g − P(P+1)/2) / (P·N)``.
+    * ``pr_auc``: average precision over distinct-score thresholds
+      (descending), the step-function definition
+      ``Σ_g (pos_g / P) · (cumpos≥g / cumn≥g)`` — computed from the
+      SAME grouped cumulative frame.
+
+    Labels must be 0/1 (anything else raises in the aggregate via an
+    ANSI cast guard); NULL labels or scores are rejected loudly.
+    Degenerate sets (no positives or no negatives) yield NULL AUCs and
+    NULL recall/precision where the denominator is empty — never a
+    silent 0.0 that reads as "bad classifier".
+    """
+    from sparksearchengine_spark.operators.prefix import distributed_prefix
+
+    y = F.col(label_col)
+    s = F.col(score_col)
+    bad = (
+        y.isNull() | s.isNull() | ((y != 0) & (y != 1))
+    )
+    guard = F.when(
+        bad,
+        F.raise_error(
+            F.lit(
+                "classification_metrics: labels must be 0/1 and "
+                "scores non-NULL — filter or impute first"
+            )
+        ).cast("long"),
+    ).otherwise(y.cast("long"))
+
+    base = df.select(guard.alias("_y"), s.cast("double").alias("_s"))
+
+    # grouped by distinct score: |groups| << |rows| for real classifiers
+    grouped = base.groupBy("_s").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_y").alias("_p"),
+    )
+    cum = distributed_prefix(
+        grouped,
+        order=[F.col("_s").asc()],
+        sum_cols={"_n": "_cn", "_p": "_cp"},
+    )
+    # midrank of a tie group = ranks (cn - n + 1) .. cn averaged
+    midrank = F.col("_cn") - (F.col("_n") - F.lit(1)) / F.lit(2.0)
+    # AP's precision-at-threshold needs the TOTALS inside the row-wise
+    # expression; two passes over the tiny grouped frame (a 1-row
+    # totals collect, then one aggregate) — both driver-bounded
+    tot = grouped.agg(
+        F.count(F.lit(1)).alias("g"),
+        F.sum("_n").alias("T"),
+        F.sum("_p").alias("P"),
+    ).collect()[0]
+    T, P = int(tot["T"] or 0), int(tot["P"] or 0)
+    N = T - P
+    ap_terms = cum.select(
+        (
+            F.col("_p").cast("double")
+            * (
+                (F.lit(P) - (F.col("_cp") - F.col("_p"))).cast("double")
+                / (F.lit(T) - (F.col("_cn") - F.col("_n"))).cast("double")
+            )
+        ).alias("_apt"),
+        (F.col("_p") * midrank).alias("_rp"),
+    ).agg(F.sum("_apt").alias("_ap_num"), F.sum("_rp").alias("_rank_pos"))
+    row = ap_terms.collect()[0]
+    if P > 0 and N > 0:
+        roc_auc = (float(row["_rank_pos"]) - P * (P + 1) / 2.0) / (P * N)
+    else:
+        roc_auc = None
+    pr_auc = (float(row["_ap_num"]) / P) if P > 0 else None
+
+    pred = (s.cast("double") >= F.lit(float(threshold))).cast("long")
+    conf = df.select(guard.alias("_y"), pred.alias("_yh")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("_y")).alias("n_pos"),
+        F.sum((F.col("_y") == 1).cast("long") * F.col("_yh")).alias("tp"),
+        F.sum((F.col("_y") == 0).cast("long") * F.col("_yh")).alias("fp"),
+        F.sum(
+            (F.col("_y") == 1).cast("long") * (1 - F.col("_yh"))
+        ).alias("fn"),
+        F.sum(
+            (F.col("_y") == 0).cast("long") * (1 - F.col("_yh"))
+        ).alias("tn"),
+    ).collect()[0]
+    n, tp, fp, fn, tn = (
+        int(conf["n"]), int(conf["tp"]), int(conf["fp"]),
+        int(conf["fn"]), int(conf["tn"]),
+    )
+    prec = tp / (tp + fp) if (tp + fp) else None
+    rec = tp / (tp + fn) if (tp + fn) else None
+    f1 = (
+        2 * prec * rec / (prec + rec)
+        if prec is not None and rec is not None and (prec + rec)
+        else None
+    )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(
+            n, P, tp, fp, fn, tn,
+            round((tp + tn) / n, 6) if n else None,
+            round(prec, 6) if prec is not None else None,
+            round(rec, 6) if rec is not None else None,
+            round(f1, 6) if f1 is not None else None,
+            round(roc_auc, 6) if roc_auc is not None else None,
+            round(pr_auc, 6) if pr_auc is not None else None,
+        )],
+        "n long, n_pos long, tp long, fp long, fn long, tn long, "
+        "accuracy double, precision double, recall double, f1 double, "
+        "roc_auc double, pr_auc double",
+    )

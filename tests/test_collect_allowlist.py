@@ -67,6 +67,9 @@ ALLOWLIST = {
     ("operators/joindsl.py", "_dsl_column_scored_union"):
         (1, "probed: bounded shape probe (limit(cap+1), loud error), "
             "memoized on the frame object"),
+    ("operators/evaluate.py", "classification_metrics"):
+        (3, "1-row: grouped-score totals, AUC/AP aggregates, and the "
+            "confusion aggregate"),
     ("operators/linkgraph.py", "pagerank"):
         (2, "1-row: dangling-mass aggregate and L1-delta aggregate "
             "(one each per iteration)"),
