@@ -355,3 +355,61 @@ def classification_metrics(
         "accuracy double, precision double, recall double, f1 double, "
         "roc_auc double, pr_auc double",
     )
+
+
+def pr_curve(
+    df: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Threshold sweep for picking a quality-filter cutoff:
+    ``(threshold, n_kept, precision, recall, f1)`` — one row per
+    DISTINCT score, where ``threshold`` means "keep score >= this".
+
+    Built from the same grouped-cumulative shape as
+    :func:`classification_metrics` (one shuffle to group by score,
+    ``distributed_prefix`` for the cumulative counts — the curve frame
+    is |distinct scores| rows, never corpus rows), so sweeping a
+    100-TB scored corpus costs one aggregation pass. Rows are exact:
+    at threshold t, kept = all rows with score >= t.
+    """
+    from sparksearchengine_spark.operators.prefix import distributed_prefix
+
+    y = F.col(label_col)
+    s = F.col(score_col)
+    guard = F.when(
+        y.isNull() | s.isNull() | ((y != 0) & (y != 1)),
+        F.raise_error(
+            F.lit("pr_curve: labels must be 0/1 and scores non-NULL")
+        ).cast("long"),
+    ).otherwise(y.cast("long"))
+    grouped = (
+        df.select(guard.alias("_y"), s.cast("double").alias("_s"))
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_p"))
+    )
+    # DESCENDING cumulative = "kept at threshold >= this score"
+    cum = distributed_prefix(
+        grouped,
+        order=[F.col("_s").desc()],
+        sum_cols={"_n": "_kept", "_p": "_tp"},
+    )
+    # total positives: 1-row frame cross-joined broadcast — the same
+    # idiom as perplexity_buckets' quantile frame
+    totals = grouped.agg(F.sum("_p").alias("_tot_pos"))
+    out = cum.crossJoin(F.broadcast(totals))
+    prec = F.col("_tp").cast("double") / F.col("_kept").cast("double")
+    rec = F.when(
+        F.col("_tot_pos") > 0,
+        F.col("_tp").cast("double") / F.col("_tot_pos"),
+    )
+    f1 = F.when(
+        (prec + rec) > 0, 2 * prec * rec / (prec + rec)
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        F.col("_s").alias("threshold"),
+        F.col("_kept").alias("n_kept"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )

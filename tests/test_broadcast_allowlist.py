@@ -53,6 +53,10 @@ ALLOWLIST = {
     ("operators/dsir.py", "dsir_bucket_logratio", "broadcast"):
         (1, "fixed-dim: one row per hash bucket, driver-built, "
             "small-dim path only (huge dims stay distributed)"),
+    ("operators/evaluate.py", "pr_curve", "broadcast"):
+        (1, "1-row: total-positives frame"),
+    ("operators/evaluate.py", "pr_curve", "crossJoin"):
+        (1, "1-row: total-positives frame"),
     ("operators/index.py", "SearchIndex.hint_vocab_side", "broadcast"):
         (1, "probed: THE vocab ladder — broadcast iff "
             "<= VOCAB_BROADCAST_MAX_ROWS, else shuffle_hash build side"),

@@ -90,6 +90,27 @@ class TestClassificationMetrics:
         with pytest.raises(Exception, match="0/1"):
             classification_metrics(df).collect()
 
+    def test_pr_curve_matches_reference(self, spark):
+        from sparksearchengine_spark.operators.evaluate import pr_curve
+
+        rng = random.Random(5)
+        pairs = [
+            (rng.randint(0, 1), rng.choice([0.2, 0.4, 0.6, 0.8]))
+            for _ in range(200)
+        ]
+        df = spark.createDataFrame(pairs, "label int, score double")
+        got = {
+            r.threshold: (r.n_kept, r.precision, r.recall)
+            for r in pr_curve(df).collect()
+        }
+        P = sum(y for y, _ in pairs)
+        for t in (0.2, 0.4, 0.6, 0.8):
+            kept = [(y, s) for y, s in pairs if s >= t]
+            tp = sum(y for y, _ in kept)
+            assert got[t][0] == len(kept)
+            assert got[t][1] == pytest.approx(tp / len(kept), abs=1e-6)
+            assert got[t][2] == pytest.approx(tp / P, abs=1e-6)
+
     def test_closes_the_classifier_loop(self, spark):
         """Integration: fit -> score -> evaluate on a separable corpus."""
         from sparksearchengine_spark.operators.classify import (
