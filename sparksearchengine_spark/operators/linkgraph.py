@@ -43,14 +43,24 @@ def pagerank(
     tol: float | None = 1e-6,
     partitions: int | None = None,
     dedup_edges: bool = True,
+    seeds: "DataFrame | list | None" = None,
 ) -> DataFrame:
     """PageRank over a directed edge list -> ``(node, rank)``.
 
     Ranks sum to 1.0 over all nodes (both link sources and pure sinks).
-    Dangling-node mass is redistributed uniformly each iteration (the
-    standard stochastic-matrix completion), so the result matches the
-    textbook power iteration exactly — ``tests/test_linkgraph.py`` pins
-    it against a pure-Python reference on hand-built graphs.
+    Dangling-node mass is redistributed each iteration (the standard
+    stochastic-matrix completion), so the result matches the textbook
+    power iteration exactly — ``tests/test_linkgraph.py`` pins it
+    against a pure-Python reference on hand-built graphs.
+
+    ``seeds``: personalized PageRank / TrustRank (Gyongyi et al. 2004,
+    public result — the anti-spam prior crawl-quality pipelines layer
+    on top of plain centrality): teleportation and dangling mass go
+    UNIFORMLY OVER THE SEED SET instead of all nodes, so trust flows
+    outward from a curated whitelist and unreachable spam farms decay
+    toward zero. Pass a 1-column DataFrame or a driver list of node
+    ids; seeds absent from the graph are ignored (all absent raises).
+    ``seeds=None`` is the classic uniform teleport.
 
     ``tol``: early-stop when the L1 delta between successive rank
     vectors drops below it (one extra co-partitioned join + 1-row agg
@@ -84,20 +94,43 @@ def pagerank(
         e = e.repartition(n_part, "_s")
     e = e.persist()
 
-    nodes = (
+    bare = (
         e.select(F.col("_s").alias("node"))
         .union(e.select(F.col("_d").alias("node")))
         .distinct()
         .repartition(n_part, "node")
         .persist()
     )
-    n_nodes = nodes.count()  # 1-row action; also materializes the persists
+    n_nodes = bare.count()  # 1-row action; also materializes the persists
     if n_nodes == 0:
         e.unpersist()
-        nodes.unpersist()
-        return nodes.select("node", F.lit(1.0).alias("rank")).limit(0)
+        bare.unpersist()
+        return bare.select("node", F.lit(1.0).alias("rank")).limit(0)
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    # teleport vector _p: uniform over seeds (TrustRank) or all nodes
+    if seeds is None:
+        nodes = bare.withColumn("_p", F.lit(1.0 / n_nodes))
+    else:
+        if isinstance(seeds, DataFrame):
+            sd = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+        else:
+            sd = spark.createDataFrame(
+                [(x,) for x in set(seeds)],
+                bare.select("node").schema,
+            )
+        marked = bare.join(
+            sd.withColumn("_seed", F.lit(1.0)), "node", "left"
+        ).withColumn("_seed", F.coalesce("_seed", F.lit(0.0)))
+        n_seeds = marked.where(F.col("_seed") > 0).count()
+        if n_seeds == 0:
+            e.unpersist()
+            bare.unpersist()
+            raise ValueError("no seed node appears in the graph")
+        nodes = marked.select(
+            "node", (F.col("_seed") / F.lit(float(n_seeds))).alias("_p")
+        )
+    nodes = nodes.repartition(n_part, "node").persist()
+    ranks = nodes.select("node", F.col("_p").alias("rank"))
 
     # lineage truncation per iteration: reliable checkpoint when the
     # session has a checkpoint dir (survives executor loss — the right
@@ -125,14 +158,17 @@ def pagerank(
         # new-rank join)
         flowed = contribs.agg(F.sum("_in")).collect()[0][0] or 0.0
         dangling = 1.0 - flowed
-        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        # teleport (1-d) and dangling mass d*dangling both follow the
+        # teleport vector _p — uniform _p reduces to the classic form
         new_ranks = (
             nodes.join(contribs, "node", "left")
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    (F.lit(1.0 - damping) + F.lit(damping * dangling))
+                    * F.col("_p")
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
+                ).alias("rank"),
             )
         )
         new_ranks = _pin(new_ranks.repartition(n_part, "node"))
@@ -153,6 +189,7 @@ def pagerank(
 
     e.unpersist()
     nodes.unpersist()
+    bare.unpersist()
     return ranks
 
 

@@ -16,14 +16,19 @@ from sparksearchengine_spark.operators.linkgraph import (
 )
 
 
-def _reference_pagerank(edges, damping=0.85, iterations=20):
-    """Textbook power iteration on an adjacency dict (deduped edges)."""
+def _reference_pagerank(edges, damping=0.85, iterations=20, seeds=None):
+    """Textbook (personalized) power iteration on an adjacency dict."""
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     out = {}
     for s, d in set(edges):
         out.setdefault(s, set()).add(d)
     n = len(nodes)
-    rank = {v: 1.0 / n for v in nodes}
+    if seeds is None:
+        p = {v: 1.0 / n for v in nodes}
+    else:
+        sset = set(seeds) & set(nodes)
+        p = {v: (1.0 / len(sset) if v in sset else 0.0) for v in nodes}
+    rank = dict(p)
     for _ in range(iterations):
         new = {v: 0.0 for v in nodes}
         dangling = sum(rank[v] for v in nodes if v not in out)
@@ -31,8 +36,11 @@ def _reference_pagerank(edges, damping=0.85, iterations=20):
             share = rank[s] / len(ds)
             for d in ds:
                 new[d] += share
-        base = (1 - damping) / n + damping * dangling / n
-        rank = {v: base + damping * new[v] for v in nodes}
+        rank = {
+            v: (1 - damping) * p[v]
+            + damping * (new[v] + dangling * p[v])
+            for v in nodes
+        }
     return rank
 
 
@@ -92,6 +100,51 @@ class TestPagerank:
     def test_empty_graph(self, spark):
         df = spark.createDataFrame([], "src string, dst string")
         assert pagerank(df, iterations=2).count() == 0
+
+    @pytest.mark.parametrize("as_frame", [False, True])
+    def test_trustrank_personalization(self, spark, as_frame):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(EDGES_DANGLING, "src string, dst string")
+        seeds = (
+            spark.createDataFrame([("a",)], "node string") if as_frame
+            else ["a", "not-in-graph"]
+        )
+        got = {
+            r.node: r.rank
+            for r in pagerank(
+                df, iterations=15, tol=None, seeds=seeds
+            ).collect()
+        }
+        want = _reference_pagerank(
+            EDGES_DANGLING, iterations=15, seeds={"a"}
+        )
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-9), v
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+        # trust flows FROM the seed: the seed outranks the sink it and
+        # its neighbor both feed
+        assert got["a"] > got["c"]
+
+    def test_seeds_equal_all_nodes_is_classic(self, spark):
+        df = spark.createDataFrame(EDGES_DIAMOND, "src string, dst string")
+        classic = {
+            r.node: r.rank
+            for r in pagerank(df, iterations=12, tol=None).collect()
+        }
+        seeded = {
+            r.node: r.rank
+            for r in pagerank(
+                df, iterations=12, tol=None, seeds=["a", "b", "c", "d"]
+            ).collect()
+        }
+        for v in classic:
+            assert seeded[v] == pytest.approx(classic[v], abs=1e-12)
+
+    def test_no_seed_in_graph_raises(self, spark):
+        df = spark.createDataFrame(EDGES_DIAMOND, "src string, dst string")
+        with pytest.raises(ValueError, match="seed"):
+            pagerank(df, seeds=["zzz"])
 
     def test_validation(self, spark):
         df = spark.createDataFrame(EDGES_DIAMOND, "src string, dst string")
