@@ -31,7 +31,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "domain_pagerank", "degree_stats"]
+__all__ = [
+    "pagerank",
+    "domain_pagerank",
+    "degree_stats",
+    "weakly_connected_components",
+]
 
 
 def pagerank(
@@ -249,3 +254,54 @@ def degree_stats(
             F.coalesce("in_degree", F.lit(0)).alias("in_degree"),
         )
     )
+
+
+def weakly_connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """``(node, component)`` — undirected reachability over the edge
+    list, with the component labeled by a member node. The link-farm /
+    mirror-cluster detector: a spam farm is one big weak component of
+    mutually-linking domains; mirrors cluster the same way.
+
+    Reuses the dedup pipeline's pointer-jumping min-label propagation
+    (``dedup.connected_components`` — O(log diameter) rounds of keyed
+    joins, no driver-side graph). Arbitrary node types ride
+    ``xxhash64`` ids; a 64-bit collision would merge two components
+    (odds ~ n^2/2^65 — negligible below ~10^8 nodes, and harmless for
+    the detection use case), so the label is mapped BACK to a real
+    node value before returning.
+    """
+    from sparksearchengine_spark.operators.dedup import connected_components
+
+    e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b")).where(
+        F.col("_a").isNotNull() & F.col("_b").isNotNull()
+    )
+    ids = (
+        e.select(F.col("_a").alias("node"))
+        .union(e.select(F.col("_b").alias("node")))
+        .distinct()
+        .select("node", F.xxhash64("node").alias("_h"))
+        .persist()
+    )
+    pairs = (
+        e.join(ids.select(F.col("node").alias("_a"), F.col("_h").alias("id_a")), "_a")
+        .join(ids.select(F.col("node").alias("_b"), F.col("_h").alias("id_b")), "_b")
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    out = (
+        ids.join(comp, ids["_h"] == comp["id"], "left")
+        .select(
+            "node",
+            # isolated self-loops may drop out of the pair graph; a
+            # node is then its own component
+            F.coalesce(F.col("component"), ids["_h"]).alias("_comp_h"),
+        )
+        .join(
+            ids.select(F.col("_h").alias("_comp_h"), F.col("node").alias("component")),
+            "_comp_h",
+        )
+        .select("node", "component")
+    )
+    return out

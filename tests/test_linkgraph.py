@@ -174,6 +174,45 @@ class TestDomainPagerank:
             assert got[d] == pytest.approx(want[d], abs=1e-9)
 
 
+class TestWeakComponents:
+    def test_two_clusters_string_nodes(self, spark):
+        from sparksearchengine_spark.operators.linkgraph import (
+            weakly_connected_components,
+        )
+
+        edges = [
+            ("a.com", "b.com"), ("b.com", "c.com"),   # cluster 1 (chain)
+            ("x.org", "y.org"), ("y.org", "x.org"),   # cluster 2 (cycle)
+        ]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r.node: r.component
+            for r in weakly_connected_components(df).collect()
+        }
+        assert len(got) == 5
+        c1 = {got["a.com"], got["b.com"], got["c.com"]}
+        c2 = {got["x.org"], got["y.org"]}
+        assert len(c1) == 1 and len(c2) == 1 and c1 != c2
+        # the label is a real member node
+        assert c1.pop() in {"a.com", "b.com", "c.com"}
+        assert c2.pop() in {"x.org", "y.org"}
+
+    def test_direction_ignored_and_self_loop(self, spark):
+        from sparksearchengine_spark.operators.linkgraph import (
+            weakly_connected_components,
+        )
+
+        df = spark.createDataFrame(
+            [("p", "q"), ("r", "q"), ("s", "s")], "src string, dst string"
+        )
+        got = {
+            r.node: r.component
+            for r in weakly_connected_components(df).collect()
+        }
+        assert got["p"] == got["q"] == got["r"]
+        assert got["s"] == "s"  # self-loop: own component
+
+
 class TestDegreeStats:
     def test_degrees(self, spark):
         df = spark.createDataFrame(EDGES_DANGLING, "src string, dst string")
