@@ -277,11 +277,14 @@ def classification_metrics(
 
     base = df.select(guard.alias("_y"), s.cast("double").alias("_s"))
 
-    # grouped by distinct score: |groups| << |rows| for real classifiers
+    # grouped by distinct score: |groups| << |rows| for real
+    # classifiers. Persisted: EVERYTHING below (totals, AUC/AP, the
+    # threshold confusion) derives from this one frame, so the corpus
+    # is scanned exactly once.
     grouped = base.groupBy("_s").agg(
         F.count(F.lit(1)).alias("_n"),
         F.sum("_y").alias("_p"),
-    )
+    ).persist()
     cum = distributed_prefix(
         grouped,
         order=[F.col("_s").asc()],
@@ -316,23 +319,19 @@ def classification_metrics(
         roc_auc = None
     pr_auc = (float(row["_ap_num"]) / P) if P > 0 else None
 
-    pred = (s.cast("double") >= F.lit(float(threshold))).cast("long")
-    conf = df.select(guard.alias("_y"), pred.alias("_yh")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("_y")).alias("n_pos"),
-        F.sum((F.col("_y") == 1).cast("long") * F.col("_yh")).alias("tp"),
-        F.sum((F.col("_y") == 0).cast("long") * F.col("_yh")).alias("fp"),
+    # confusion at the threshold — from the SAME grouped frame (a
+    # predicted-positive is a whole tie group with _s >= threshold)
+    kept = F.col("_s") >= F.lit(float(threshold))
+    conf = grouped.agg(
+        F.sum(F.when(kept, F.col("_p")).otherwise(F.lit(0))).alias("tp"),
         F.sum(
-            (F.col("_y") == 1).cast("long") * (1 - F.col("_yh"))
-        ).alias("fn"),
-        F.sum(
-            (F.col("_y") == 0).cast("long") * (1 - F.col("_yh"))
-        ).alias("tn"),
+            F.when(kept, F.col("_n") - F.col("_p")).otherwise(F.lit(0))
+        ).alias("fp"),
     ).collect()[0]
-    n, tp, fp, fn, tn = (
-        int(conf["n"]), int(conf["tp"]), int(conf["fp"]),
-        int(conf["fn"]), int(conf["tn"]),
-    )
+    grouped.unpersist()
+    n = T
+    tp, fp = int(conf["tp"] or 0), int(conf["fp"] or 0)
+    fn, tn = P - tp, N - fp
     prec = tp / (tp + fp) if (tp + fp) else None
     rec = tp / (tp + fn) if (tp + fn) else None
     f1 = (
@@ -383,10 +382,14 @@ def pr_curve(
             F.lit("pr_curve: labels must be 0/1 and scores non-NULL")
         ).cast("long"),
     ).otherwise(y.cast("long"))
+    # persisted: the totals frame and the cumulative pass both read it,
+    # so the corpus is scanned once (stays cached for the returned lazy
+    # frame — same lifecycle as collocations' unigram cache)
     grouped = (
         df.select(guard.alias("_y"), s.cast("double").alias("_s"))
         .groupBy("_s")
         .agg(F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_p"))
+        .persist()
     )
     # DESCENDING cumulative = "kept at threshold >= this score"
     cum = distributed_prefix(
