@@ -36,6 +36,7 @@ __all__ = [
     "domain_pagerank",
     "degree_stats",
     "weakly_connected_components",
+    "hits",
 ]
 
 
@@ -305,3 +306,134 @@ def weakly_connected_components(
         .select("node", "component")
     )
     return out
+
+
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 20,
+    tol: float | None = 1e-6,
+    partitions: int | None = None,
+    dedup_edges: bool = True,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999, public result) ->
+    ``(node, hub, authority)``, L2-normalized each iteration (the
+    convergent formulation). Authorities are pages many good hubs point
+    AT; hubs point at many good authorities — the complementary signal
+    to PageRank for crawl-frontier prioritization and directory/spam
+    separation.
+
+    Same scale shape as :func:`pagerank`: the edge list is the reused
+    join layout, each half-iteration is one groupBy shuffle, the L2
+    norms are 1-row aggregates, lineage is truncated per iteration
+    (reliable checkpoint when the session has a checkpoint dir).
+    """
+    if iterations < 1:
+        raise ValueError(f"iterations must be >= 1, got {iterations}")
+    spark = edges.sparkSession
+    n_part = partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).where(
+        F.col("_s").isNotNull() & F.col("_d").isNotNull()
+    )
+    if dedup_edges:
+        e = e.distinct()
+    e = e.persist()
+    nodes = (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .repartition(n_part, "node")
+        .persist()
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.select(
+            "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
+        ).limit(0)
+
+    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
+
+    def _pin(frame: DataFrame) -> DataFrame:
+        return (
+            frame.checkpoint(eager=True)
+            if has_ckpt_dir
+            else frame.localCheckpoint(eager=True)
+        )
+
+    import math
+
+    init = 1.0 / math.sqrt(n_nodes)
+    hv = nodes.withColumn("hub", F.lit(init))
+
+    for _ in range(iterations):
+        # authority <- sum of in-neighbor hubs, then L2-normalize
+        auth_raw = (
+            hv.join(e, hv["node"] == e["_s"], "inner")
+            .select(F.col("_d").alias("node"), F.col("hub").alias("_h"))
+            .groupBy("node")
+            .agg(F.sum("_h").alias("_a"))
+            .persist()
+        )
+        a_norm = math.sqrt(
+            auth_raw.agg(F.sum(F.col("_a") * F.col("_a"))).collect()[0][0]
+            or 0.0
+        )
+        if a_norm == 0.0:
+            # no edges carried any mass (cannot happen with edges
+            # present and nonzero hubs, but keep the division total)
+            a_norm = 1.0
+        auth = nodes.join(auth_raw, "node", "left").select(
+            "node",
+            (F.coalesce(F.col("_a"), F.lit(0.0)) / F.lit(a_norm)).alias(
+                "authority"
+            ),
+        )
+        auth = _pin(auth.repartition(n_part, "node"))
+        auth_raw.unpersist()
+
+        # hub <- sum of out-neighbor authorities, then L2-normalize
+        hub_raw = (
+            auth.join(e, auth["node"] == e["_d"], "inner")
+            .select(F.col("_s").alias("node"), F.col("authority").alias("_x"))
+            .groupBy("node")
+            .agg(F.sum("_x").alias("_h"))
+            .persist()
+        )
+        h_norm = math.sqrt(
+            hub_raw.agg(F.sum(F.col("_h") * F.col("_h"))).collect()[0][0]
+            or 0.0
+        )
+        if h_norm == 0.0:
+            h_norm = 1.0
+        new_hv = nodes.join(hub_raw, "node", "left").select(
+            "node",
+            (F.coalesce(F.col("_h"), F.lit(0.0)) / F.lit(h_norm)).alias(
+                "hub"
+            ),
+        )
+        new_hv = _pin(new_hv.repartition(n_part, "node"))
+        hub_raw.unpersist()
+
+        if tol is not None:
+            delta = (
+                new_hv.alias("n")
+                .join(hv.alias("o"), "node")
+                .agg(F.sum(F.abs(F.col("n.hub") - F.col("o.hub"))))
+                .collect()[0][0]
+                or 0.0
+            )
+            hv = new_hv
+            if delta < tol:
+                break
+        else:
+            hv = new_hv
+
+    out = hv.join(auth, "node")
+    e.unpersist()
+    nodes.unpersist()
+    return out.select("node", "hub", "authority")

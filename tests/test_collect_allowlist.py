@@ -70,6 +70,9 @@ ALLOWLIST = {
     ("operators/evaluate.py", "classification_metrics"):
         (3, "1-row: grouped-score totals, AUC/AP aggregates, and the "
             "confusion aggregate"),
+    ("operators/linkgraph.py", "hits"):
+        (3, "1-row: the two L2-norm aggregates and the L1-delta "
+            "aggregate (per iteration)"),
     ("operators/linkgraph.py", "pagerank"):
         (2, "1-row: dangling-mass aggregate and L1-delta aggregate "
             "(one each per iteration)"),

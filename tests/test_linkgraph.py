@@ -174,6 +174,60 @@ class TestDomainPagerank:
             assert got[d] == pytest.approx(want[d], abs=1e-9)
 
 
+def _reference_hits(edges, iterations=20):
+    """Textbook HITS with per-step L2 normalization."""
+    import math
+
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    eset = set(edges)
+    n = len(nodes)
+    h = {v: 1.0 / math.sqrt(n) for v in nodes}
+    a = {v: 0.0 for v in nodes}
+    for _ in range(iterations):
+        a = {v: sum(h[s] for s, d in eset if d == v) for v in nodes}
+        na = math.sqrt(sum(x * x for x in a.values())) or 1.0
+        a = {v: x / na for v, x in a.items()}
+        h = {v: sum(a[d] for s, d in eset if s == v) for v in nodes}
+        nh = math.sqrt(sum(x * x for x in h.values())) or 1.0
+        h = {v: x / nh for v, x in h.items()}
+    return h, a
+
+
+class TestHits:
+    @pytest.mark.parametrize(
+        "edges", [EDGES_DIAMOND, EDGES_DANGLING, EDGES_STAR],
+        ids=["diamond", "dangling-sink", "star"],
+    )
+    def test_matches_reference(self, spark, edges):
+        from sparksearchengine_spark.operators.linkgraph import hits
+
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r.node: (r.hub, r.authority)
+            for r in hits(df, iterations=12, tol=None).collect()
+        }
+        h, a = _reference_hits(edges, iterations=12)
+        assert set(got) == set(h)
+        for v in h:
+            assert got[v][0] == pytest.approx(h[v], abs=1e-9), ("hub", v)
+            assert got[v][1] == pytest.approx(a[v], abs=1e-9), ("auth", v)
+
+    def test_pure_hub_and_authority(self, spark):
+        from sparksearchengine_spark.operators.linkgraph import hits
+
+        # hub -> {a1, a2, a3}: hub has max hub score, authorities split
+        df = spark.createDataFrame(
+            [("hub", f"a{i}") for i in range(3)], "src string, dst string"
+        )
+        got = {r.node: (r.hub, r.authority) for r in hits(df).collect()}
+        assert got["hub"][0] == pytest.approx(1.0, abs=1e-9)
+        assert got["hub"][1] == pytest.approx(0.0, abs=1e-9)
+        for i in range(3):
+            assert got[f"a{i}"][1] == pytest.approx(
+                1.0 / 3 ** 0.5, abs=1e-9
+            )
+
+
 class TestWeakComponents:
     def test_two_clusters_string_nodes(self, spark):
         from sparksearchengine_spark.operators.linkgraph import (
