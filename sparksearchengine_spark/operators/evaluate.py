@@ -302,6 +302,14 @@ def classification_metrics(
     ).collect()[0]
     T, P = int(tot["T"] or 0), int(tot["P"] or 0)
     N = T - P
+    # order-invariant sums (module reproducibility contract): each
+    # double addend casts to a fixed-scale decimal (deterministic
+    # per-value truncation at 1e-18 — far below the 6 dp the result
+    # rounds to), and decimal addition is exact, so partial-aggregate
+    # combine order cannot flip a rounded digit across partitionings or
+    # retries. (_p * midrank is integer+half — exact in double — but
+    # rides the same recipe for uniformity.)
+    _dec18 = "decimal(38,18)"
     ap_terms = cum.select(
         (
             F.col("_p").cast("double")
@@ -309,9 +317,12 @@ def classification_metrics(
                 (F.lit(P) - (F.col("_cp") - F.col("_p"))).cast("double")
                 / (F.lit(T) - (F.col("_cn") - F.col("_n"))).cast("double")
             )
-        ).alias("_apt"),
-        (F.col("_p") * midrank).alias("_rp"),
-    ).agg(F.sum("_apt").alias("_ap_num"), F.sum("_rp").alias("_rank_pos"))
+        ).cast(_dec18).alias("_apt"),
+        (F.col("_p") * midrank).cast(_dec18).alias("_rp"),
+    ).agg(
+        F.sum("_apt").cast("double").alias("_ap_num"),
+        F.sum("_rp").cast("double").alias("_rank_pos"),
+    )
     row = ap_terms.collect()[0]
     if P > 0 and N > 0:
         roc_auc = (float(row["_rank_pos"]) - P * (P + 1) / 2.0) / (P * N)
@@ -406,9 +417,14 @@ def pr_curve(
         F.col("_tot_pos") > 0,
         F.col("_tp").cast("double") / F.col("_tot_pos"),
     )
-    f1 = F.when(
-        (prec + rec) > 0, 2 * prec * rec / (prec + rec)
-    ).otherwise(F.lit(0.0))
+    # NULL recall (no positives anywhere) must yield NULL f1, never a
+    # silent 0.0 that reads as "bad classifier" — same contract as
+    # classification_metrics' degenerate path
+    f1 = (
+        F.when(rec.isNull(), F.lit(None).cast("double"))
+        .when((prec + rec) > 0, 2 * prec * rec / (prec + rec))
+        .otherwise(F.lit(0.0))
+    )
     return out.select(
         F.col("_s").alias("threshold"),
         F.col("_kept").alias("n_kept"),

@@ -40,6 +40,52 @@ __all__ = [
 ]
 
 
+def _n_partitions(spark, partitions):
+    return partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+
+
+def _project_edges(edges, src, dst, dedup_edges):
+    """(_s, _d) projection, null-filtered, optionally deduped — the
+    shared front door of every iterative operator here."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).where(
+        F.col("_s").isNotNull() & F.col("_d").isNotNull()
+    )
+    if dedup_edges:
+        # parallel edges double-count influence; crawl outlink lists are
+        # already deduped per page, but cross-page edge lists are not
+        e = e.distinct()
+    return e
+
+
+def _derive_nodes(e, n_part):
+    return (
+        e.select(F.col("_s").alias("node"))
+        .union(e.select(F.col("_d").alias("node")))
+        .distinct()
+        .repartition(n_part, "node")
+        .persist()
+    )
+
+
+def _make_pin(spark):
+    """Per-iteration lineage truncation: reliable checkpoint when the
+    session has a checkpoint dir (survives executor loss — the right
+    choice for a 1000-executor run), else localCheckpoint (executor
+    storage; fine for single-node and short jobs)."""
+    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
+
+    def _pin(frame):
+        return (
+            frame.checkpoint(eager=True)
+            if has_ckpt_dir
+            else frame.localCheckpoint(eager=True)
+        )
+
+    return _pin
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",
@@ -78,18 +124,9 @@ def pagerank(
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     spark = edges.sparkSession
-    n_part = partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n_part = _n_partitions(spark, partitions)
 
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).where(
-        F.col("_s").isNotNull() & F.col("_d").isNotNull()
-    )
-    if dedup_edges:
-        # parallel edges double-count influence; crawl outlink lists are
-        # already deduped per page, but cross-page edge lists are not
-        e = e.distinct()
-
+    e = _project_edges(edges, src, dst, dedup_edges)
     # out-degree folded onto the edge so the hot loop never re-joins it;
     # the window's own hashpartitioning(_s) IS the layout every
     # iteration's join reuses — repartition again only when the caller
@@ -100,22 +137,24 @@ def pagerank(
         e = e.repartition(n_part, "_s")
     e = e.persist()
 
-    bare = (
-        e.select(F.col("_s").alias("node"))
-        .union(e.select(F.col("_d").alias("node")))
-        .distinct()
-        .repartition(n_part, "node")
-        .persist()
-    )
+    bare = _derive_nodes(e, n_part)
     n_nodes = bare.count()  # 1-row action; also materializes the persists
     if n_nodes == 0:
         e.unpersist()
         bare.unpersist()
+        if seeds is not None:
+            # docstring contract: seeds with nothing to match is a loud
+            # misconfiguration, empty graph included
+            raise ValueError("no seed node appears in the graph (empty)")
         return bare.select("node", F.lit(1.0).alias("rank")).limit(0)
 
-    # teleport vector _p: uniform over seeds (TrustRank) or all nodes
+    # teleport vector _p: uniform over seeds (TrustRank) or all nodes.
+    # seeds=None rides the already-persisted bare frame (a constant
+    # column adds no shuffle and shares its cache); the seeded path
+    # caches its own joined frame and releases bare once materialized.
     if seeds is None:
         nodes = bare.withColumn("_p", F.lit(1.0 / n_nodes))
+        seeded = False
     else:
         if isinstance(seeds, DataFrame):
             sd = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
@@ -132,22 +171,19 @@ def pagerank(
             e.unpersist()
             bare.unpersist()
             raise ValueError("no seed node appears in the graph")
-        nodes = marked.select(
-            "node", (F.col("_seed") / F.lit(float(n_seeds))).alias("_p")
+        nodes = (
+            marked.select(
+                "node", (F.col("_seed") / F.lit(float(n_seeds))).alias("_p")
+            )
+            .repartition(n_part, "node")
+            .persist()
         )
-    nodes = nodes.repartition(n_part, "node").persist()
+        nodes.count()  # materialize, then release the bare cache
+        bare.unpersist()
+        seeded = True
     ranks = nodes.select("node", F.col("_p").alias("rank"))
 
-    # lineage truncation per iteration: reliable checkpoint when the
-    # session has a checkpoint dir (survives executor loss — the right
-    # choice for a 1000-executor run), else localCheckpoint (executor
-    # storage; fine for single-node and short jobs)
-    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
-
-    def _pin(frame: DataFrame) -> DataFrame:
-        if has_ckpt_dir:
-            return frame.checkpoint(eager=True)
-        return frame.localCheckpoint(eager=True)
+    _pin = _make_pin(spark)
 
     for _ in range(iterations):
         contribs = (
@@ -194,8 +230,10 @@ def pagerank(
             ranks = new_ranks
 
     e.unpersist()
-    nodes.unpersist()
-    bare.unpersist()
+    if seeded:
+        nodes.unpersist()
+    else:
+        bare.unpersist()
     return ranks
 
 
@@ -283,6 +321,10 @@ def weakly_connected_components(
         .union(e.select(F.col("_b").alias("node")))
         .distinct()
         .select("node", F.xxhash64("node").alias("_h"))
+        # deliberately retained: the RETURNED lazy frame reads this map
+        # in three branches (pair build, label join, label->node remap);
+        # blocks free on GC of the result, same lifecycle note as
+        # pr_curve's grouped cache
         .persist()
     )
     pairs = (
@@ -324,46 +366,32 @@ def hits(
     to PageRank for crawl-frontier prioritization and directory/spam
     separation.
 
-    Same scale shape as :func:`pagerank`: the edge list is the reused
-    join layout, each half-iteration is one groupBy shuffle, the L2
-    norms are 1-row aggregates, lineage is truncated per iteration
+    Scale shape: HITS joins the edge list on BOTH endpoints (hubs by
+    ``_s``, authorities by ``_d``), so the edges are cached TWICE, once
+    per join layout — 2x edge storage buys zero per-iteration edge
+    re-shuffles (the alternative is a full-edge Exchange every half-
+    iteration). Each half-iteration is then one groupBy shuffle; the L2
+    norms are 1-row aggregates; lineage is truncated per iteration
     (reliable checkpoint when the session has a checkpoint dir).
     """
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     spark = edges.sparkSession
-    n_part = partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
-    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d")).where(
-        F.col("_s").isNotNull() & F.col("_d").isNotNull()
-    )
-    if dedup_edges:
-        e = e.distinct()
-    e = e.persist()
-    nodes = (
-        e.select(F.col("_s").alias("node"))
-        .union(e.select(F.col("_d").alias("node")))
-        .distinct()
-        .repartition(n_part, "node")
-        .persist()
-    )
+    n_part = _n_partitions(spark, partitions)
+    e = _project_edges(edges, src, dst, dedup_edges)
+    e_s = e.repartition(n_part, "_s").persist()
+    e_d = e.repartition(n_part, "_d").persist()
+    nodes = _derive_nodes(e_s, n_part)
     n_nodes = nodes.count()
     if n_nodes == 0:
-        e.unpersist()
+        e_s.unpersist()
+        e_d.unpersist()
         nodes.unpersist()
         return nodes.select(
             "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
         ).limit(0)
 
-    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
-
-    def _pin(frame: DataFrame) -> DataFrame:
-        return (
-            frame.checkpoint(eager=True)
-            if has_ckpt_dir
-            else frame.localCheckpoint(eager=True)
-        )
+    _pin = _make_pin(spark)
 
     import math
 
@@ -373,7 +401,7 @@ def hits(
     for _ in range(iterations):
         # authority <- sum of in-neighbor hubs, then L2-normalize
         auth_raw = (
-            hv.join(e, hv["node"] == e["_s"], "inner")
+            hv.join(e_s, hv["node"] == e_s["_s"], "inner")
             .select(F.col("_d").alias("node"), F.col("hub").alias("_h"))
             .groupBy("node")
             .agg(F.sum("_h").alias("_a"))
@@ -398,7 +426,7 @@ def hits(
 
         # hub <- sum of out-neighbor authorities, then L2-normalize
         hub_raw = (
-            auth.join(e, auth["node"] == e["_d"], "inner")
+            auth.join(e_d, auth["node"] == e_d["_d"], "inner")
             .select(F.col("_s").alias("node"), F.col("authority").alias("_x"))
             .groupBy("node")
             .agg(F.sum("_x").alias("_h"))
@@ -434,6 +462,7 @@ def hits(
             hv = new_hv
 
     out = hv.join(auth, "node")
-    e.unpersist()
+    e_s.unpersist()
+    e_d.unpersist()
     nodes.unpersist()
     return out.select("node", "hub", "authority")

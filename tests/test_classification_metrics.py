@@ -111,6 +111,19 @@ class TestClassificationMetrics:
             assert got[t][1] == pytest.approx(tp / len(kept), abs=1e-6)
             assert got[t][2] == pytest.approx(tp / P, abs=1e-6)
 
+    def test_pr_curve_no_positives_null_not_zero(self, spark):
+        """No positive labels: recall and f1 are NULL on every row —
+        never a silent 0.0 (r9 review finding)."""
+        from sparksearchengine_spark.operators.evaluate import pr_curve
+
+        df = spark.createDataFrame(
+            [(0, 0.3), (0, 0.7)], "label int, score double"
+        )
+        rows = pr_curve(df).collect()
+        assert rows and all(
+            r.recall is None and r.f1 is None for r in rows
+        )
+
     def test_closes_the_classifier_loop(self, spark):
         """Integration: fit -> score -> evaluate on a separable corpus."""
         from sparksearchengine_spark.operators.classify import (

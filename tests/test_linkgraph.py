@@ -145,6 +145,11 @@ class TestPagerank:
         df = spark.createDataFrame(EDGES_DIAMOND, "src string, dst string")
         with pytest.raises(ValueError, match="seed"):
             pagerank(df, seeds=["zzz"])
+        # empty graph + seeds is the same misconfiguration, not an
+        # empty result (r9 review finding)
+        empty = spark.createDataFrame([], "src string, dst string")
+        with pytest.raises(ValueError, match="seed"):
+            pagerank(empty, seeds=["zzz"])
 
     def test_validation(self, spark):
         df = spark.createDataFrame(EDGES_DIAMOND, "src string, dst string")
