@@ -366,3 +366,89 @@ class TestCorpusDiffStringIds:
             for r in corpus_diff(old, new, id_col="url").collect()
         }
         assert got == {"http://b": "changed", "http://c": "added"}
+
+
+class TestUrllibParity:
+    """weburl's scan-stage URL pieces vs Python's urllib on 300 seeded
+    generated URLs (userinfo, ports, empty paths, duplicate slashes,
+    tracking params, fragments with '?', mixed case). The regex
+    extractors are intentionally canonicalizing, so each piece is
+    compared against urllib PLUS the documented canonicalization."""
+
+    @staticmethod
+    def _gen_urls(seed, n=300):
+        import random
+
+        rng = random.Random(seed)
+        schemes = ["http", "HTTPS", "ftp", "Http"]
+        hosts = ["Example.COM", "www.Sub.example.org", "a.b.co.uk",
+                 "localhost", "xn--bcher-kva.example"]
+        users = ["", "user@", "u:p@"]
+        ports = ["", ":80", ":443", ":8080", ":1"]
+        paths = ["", "/", "/a/b", "//dup//slash/", "/trail/", "/%7Euser"]
+        queries = ["", "?b=2&a=1", "?utm_source=x&a=1", "?ref=z",
+                   "?a=1&fbclid=Y&c=3", "?lone"]
+        frags = ["", "#f", "#frag?not=query"]
+        out = []
+        for _ in range(n):
+            out.append(
+                rng.choice(schemes) + "://" + rng.choice(users)
+                + rng.choice(hosts) + rng.choice(ports)
+                + rng.choice(paths) + rng.choice(queries)
+                + rng.choice(frags)
+            )
+        return out
+
+    def test_pieces_match_urllib(self, spark):
+        import re
+        from urllib.parse import urlsplit
+
+        from pyspark.sql import functions as F
+
+        from sparksearchengine_spark.operators.weburl import (
+            TRACKING_PARAM_RE,
+            url_host,
+            url_path,
+            url_port_canonical,
+            url_query_canonical,
+            url_scheme,
+        )
+
+        urls = self._gen_urls(seed=42)
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        got = {
+            r.url: (r.s, r.h, r.p, r.pt, r.q)
+            for r in df.select(
+                "url",
+                url_scheme(F.col("url")).alias("s"),
+                url_host(F.col("url")).alias("h"),
+                url_path(F.col("url")).alias("p"),
+                url_port_canonical(F.col("url")).alias("pt"),
+                url_query_canonical(F.col("url")).alias("q"),
+            ).collect()
+        }
+        track = re.compile(TRACKING_PARAM_RE)
+        for u in urls:
+            sp = urlsplit(u)
+            want_scheme = sp.scheme.lower()
+            want_host = re.sub(r"^www\.", "", (sp.hostname or ""))
+            want_path = re.sub(r"/+$", "", re.sub(r"//+", "/", sp.path))
+            port = sp.port
+            if port is None or (want_scheme, port) in (
+                ("http", 80), ("https", 443)
+            ):
+                want_port = ""
+            else:
+                want_port = f":{port}"
+            want_q = "&".join(
+                sorted(
+                    kv for kv in sp.query.split("&")
+                    if kv and not track.match(kv)
+                )
+            )
+            s, h, p, pt, q = got[u]
+            assert s == want_scheme, (u, s, want_scheme)
+            assert h == want_host, (u, h, want_host)
+            assert p == want_path, (u, p, want_path)
+            assert pt == want_port, (u, pt, want_port)
+            assert q == want_q, (u, q, want_q)
