@@ -102,3 +102,53 @@ class TestAsofJoin:
         )
         got = asof_join(left, right, on="k").collect()
         assert got[0]["r_attrs"] == {"a": "x"}
+
+
+class TestPandasMergeAsofParity:
+    """asof_join vs pandas.merge_asof on seeded random frames — an
+    independent engine for the same public contract. Right timestamps
+    are unique per key so tie semantics (which differ positionally in
+    pandas) cannot muddy the comparison."""
+
+    @staticmethod
+    def _frames(seed, n_left=120, n_right=80):
+        import random
+
+        rng = random.Random(seed)
+        keys = ["k1", "k2", "k3"]
+        left = [
+            (rng.choice(keys), rng.randint(0, 1000), i)
+            for i in range(n_left)
+        ]
+        right_ts = {k: rng.sample(range(0, 1000), n_right // 2) for k in keys}
+        right = [
+            (k, t, f"{k}:{t}") for k in keys for t in right_ts[k]
+        ]
+        return left, right
+
+    @pytest.mark.parametrize("direction", ["backward", "forward"])
+    @pytest.mark.parametrize("tolerance", [None, 50])
+    def test_matches_pandas(self, spark, direction, tolerance):
+        import pandas as pd
+
+        from sparksearchengine_spark.operators.asof import asof_join
+
+        left_rows, right_rows = self._frames(seed=13)
+        left = spark.createDataFrame(left_rows, "k string, ts long, lid long")
+        right = spark.createDataFrame(right_rows, "k string, ts long, val string")
+        out = asof_join(
+            left, right, on="k", direction=direction, tolerance=tolerance
+        )
+        got = {r.lid: r.r_val for r in out.collect()}
+
+        lp = pd.DataFrame(left_rows, columns=["k", "ts", "lid"]).sort_values("ts")
+        rp = pd.DataFrame(right_rows, columns=["k", "ts", "val"]).sort_values("ts")
+        want_df = pd.merge_asof(
+            lp, rp, on="ts", by="k", direction=direction,
+            tolerance=tolerance,
+        )
+        want = {
+            int(r.lid): (None if pd.isna(r.val) else r.val)
+            for r in want_df.itertuples()
+        }
+        assert got == want
