@@ -307,9 +307,13 @@ def classification_metrics(
     # per-value truncation at 1e-18 — far below the 6 dp the result
     # rounds to), and decimal addition is exact, so partial-aggregate
     # combine order cannot flip a rounded digit across partitionings or
-    # retries. (_p * midrank is integer+half — exact in double — but
-    # rides the same recipe for uniformity.)
+    # retries. _rp rides a WIDER integer part: its addends are exact at
+    # .5 granularity (p integer x midrank half-integer), so scale 6
+    # loses nothing while Σ _p·midrank ≈ P·T — which exceeds the 20
+    # integer digits of decimal(38,18) already at ~1e10 rows —
+    # stays representable up to ~1e16 rows per class (r9 ADVICE).
     _dec18 = "decimal(38,18)"
+    _dec6 = "decimal(38,6)"
     ap_terms = cum.select(
         (
             F.col("_p").cast("double")
@@ -318,7 +322,7 @@ def classification_metrics(
                 / (F.lit(T) - (F.col("_cn") - F.col("_n"))).cast("double")
             )
         ).cast(_dec18).alias("_apt"),
-        (F.col("_p") * midrank).cast(_dec18).alias("_rp"),
+        (F.col("_p") * midrank).cast(_dec6).alias("_rp"),
     ).agg(
         F.sum("_apt").cast("double").alias("_ap_num"),
         F.sum("_rp").cast("double").alias("_rank_pos"),
@@ -382,6 +386,14 @@ def pr_curve(
     is |distinct scores| rows, never corpus rows), so sweeping a
     100-TB scored corpus costs one aggregation pass. Rows are exact:
     at threshold t, kept = all rows with score >= t.
+
+    Holds NO cache of its own (r9 ADVICE): total positives are read off
+    the cumulative frame itself (``max(_tp)`` — the lowest-score row's
+    descending cumsum), so both branches ride the single pinned scan
+    ``distributed_prefix`` already maintains. The only storage blocks
+    are that pin's, with its documented lifecycle (freed when the
+    returned frame is garbage-collected); repeated sweeps in a
+    long-lived session accumulate nothing else.
     """
     from sparksearchengine_spark.operators.prefix import distributed_prefix
 
@@ -393,14 +405,13 @@ def pr_curve(
             F.lit("pr_curve: labels must be 0/1 and scores non-NULL")
         ).cast("long"),
     ).otherwise(y.cast("long"))
-    # persisted: the totals frame and the cumulative pass both read it,
-    # so the corpus is scanned once (stays cached for the returned lazy
-    # frame — same lifecycle as collocations' unigram cache)
+    # NOT persisted: distributed_prefix pins its range-partitioned form
+    # with a lazy localCheckpoint, and every consumer below reads THAT —
+    # a second cache here would only duplicate it (r9 ADVICE)
     grouped = (
         df.select(guard.alias("_y"), s.cast("double").alias("_s"))
         .groupBy("_s")
         .agg(F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_p"))
-        .persist()
     )
     # DESCENDING cumulative = "kept at threshold >= this score"
     cum = distributed_prefix(
@@ -408,9 +419,11 @@ def pr_curve(
         order=[F.col("_s").desc()],
         sum_cols={"_n": "_kept", "_p": "_tp"},
     )
-    # total positives: 1-row frame cross-joined broadcast — the same
-    # idiom as perplexity_buckets' quantile frame
-    totals = grouped.agg(F.sum("_p").alias("_tot_pos"))
+    # total positives = the final (lowest-score) row's cumulative _tp:
+    # a 1-row aggregate over the pinned cum frame, cross-joined
+    # broadcast — the same idiom as perplexity_buckets' quantile frame,
+    # and no second scan of the corpus
+    totals = cum.agg(F.max("_tp").alias("_tot_pos"))
     out = cum.crossJoin(F.broadcast(totals))
     prec = F.col("_tp").cast("double") / F.col("_kept").cast("double")
     rec = F.when(

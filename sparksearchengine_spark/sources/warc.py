@@ -362,9 +362,14 @@ def extract_outlinks(html: str, base_uri: str) -> list[str]:
     matching pattern wins per tag, strip the query string, resolve
     against the base URI, keep absolute http(s) only, drop self-links,
     set-dedup (insertion-ordered — deterministic, unlike the
-    reference's HashSet iteration)."""
+    reference's HashSet iteration). A falsy ``base_uri`` yields no
+    outlinks, matching the reference (``getURLOutlinks`` builds every
+    candidate through ``URL(new URL(uri), link)`` and a null/empty
+    record URI fails that constructor for every tag)."""
     from urllib.parse import urljoin
 
+    if not base_uri:
+        return []
     seen: dict[str, None] = {}
     for tag in _TAG_RE.findall(html or ""):
         for pat in _LINK_RES:
@@ -449,7 +454,9 @@ def _normalize_links_udf():  # type: ignore[no-untyped-def]
         out = []
         for us, b in zip(urls, base):
             seen: dict[str, None] = {}
-            for u in us if us is not None else []:
+            # falsy base -> no outlinks, same contract as
+            # extract_outlinks (reference parity)
+            for u in (us if us is not None and b else []):
                 if not u:
                     continue
                 q = u.find("?")
@@ -520,6 +527,11 @@ def read_wet_text(
     textstats / dedup / sampling operators. Only conversion records
     cross the Arrow boundary. A custom ``id_col`` passed through
     ``kwargs`` names the output id column too (r9 review finding)."""
+    if "record_types" in kwargs:
+        raise TypeError(
+            "read_wet_text selects record_types='conversion' by "
+            "definition — use read_warc for other record types"
+        )
     id_col = kwargs.get("id_col", "doc_id")
     recs = read_warc(spark, path, record_types=["conversion"], **kwargs)
     return recs.select(
@@ -544,6 +556,11 @@ def read_wat_metadata(
     ``variant_get(metadata, '$.Envelope.WARC-Header-Metadata', ...)``;
     Catalyst prunes the shredding into the scan-side projection. A
     custom ``id_col`` in ``kwargs`` names the output id column too."""
+    if "record_types" in kwargs:
+        raise TypeError(
+            "read_wat_metadata selects record_types='metadata' by "
+            "definition — use read_warc for other record types"
+        )
     id_col = kwargs.get("id_col", "doc_id")
     recs = read_warc(spark, path, record_types=["metadata"], **kwargs)
     return recs.select(

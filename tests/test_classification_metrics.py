@@ -111,6 +111,26 @@ class TestClassificationMetrics:
             assert got[t][1] == pytest.approx(tp / len(kept), abs=1e-6)
             assert got[t][2] == pytest.approx(tp / P, abs=1e-6)
 
+    def test_pr_curve_holds_no_cache_of_its_own(self, spark):
+        """pr_curve must not persist the grouped frame (r9 ADVICE): the
+        only storage blocks after a full sweep are the single
+        distributed_prefix pin (lazy localCheckpoint), never a second
+        corpus-scan cache — repeated sweeps accumulate at most one
+        GC-scoped pin each, not two."""
+        from sparksearchengine_spark.operators.evaluate import pr_curve
+
+        df = spark.createDataFrame(
+            [(i % 2, (i % 7) / 7.0) for i in range(50)],
+            "label int, score double",
+        )
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        curve = pr_curve(df)
+        assert curve.count() > 0
+        # only the prefix pin (registered at plan build), never
+        # pin + a second grouped cache
+        assert jsc.getPersistentRDDs().size() <= before + 1
+
     def test_pr_curve_no_positives_null_not_zero(self, spark):
         """No positive labels: recall and f1 are NULL on every row —
         never a silent 0.0 (r9 review finding)."""

@@ -234,6 +234,14 @@ class TestExtractOutlinks:
         assert extract_outlinks("", "http://b.example/") == []
         assert extract_outlinks("<a href=''>x</a>", "http://b.example/") == []
 
+    def test_falsy_base_uri_yields_nothing(self):
+        """Reference parity (r9 ADVICE): getURLOutlinks builds every
+        candidate via URL(new URL(uri), link) — a null/empty record URI
+        fails that constructor, so NO outlinks, not even absolute ones."""
+        html = '<a href="http://abs.example/x">x</a>'
+        assert extract_outlinks(html, "") == []
+        assert extract_outlinks(html, None) == []
+
     def test_pattern_fallthrough_on_same_tag(self):
         """Reference hasAdded semantics (WarcHTMLResponseRecord.java:
         128-150): a pattern match that ADDS nothing (bad scheme, dup)
@@ -402,6 +410,17 @@ class TestReadWarc:
     def test_wet_custom_id_col(self, spark, warc_dir):
         wet = read_wet_text(spark, warc_dir, id_col="rec_id")
         assert "rec_id" in wet.columns and wet.count() == 2
+
+    def test_wet_wat_reject_record_types_kwarg(self, spark, warc_dir):
+        """Both entry points hardcode their record type; forwarding a
+        caller's record_types used to die as an opaque 'multiple values
+        for argument' TypeError (r9 ADVICE) — now a clear message."""
+        import pytest
+
+        with pytest.raises(TypeError, match="read_wet_text selects"):
+            read_wet_text(spark, warc_dir, record_types=["response"])
+        with pytest.raises(TypeError, match="read_wat_metadata selects"):
+            read_wat_metadata(spark, warc_dir, record_types=["response"])
 
     def test_http2_status_line(self, spark, tmp_path):
         body = b"HTTP/2 200\r\ncontent-type: text/html\r\n\r\n<html>x</html>"
