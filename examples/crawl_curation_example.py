@@ -141,14 +141,16 @@ def main(out: str | None = None) -> None:
         .withColumn("alpha_frac", sig["alpha_word_frac"])
         .join(token_stats(wet, text_col="text"), "doc_id")
     )
-    # the prior frame has one row per registered domain — broadcast-sized
-    # by construction (bounded by the web's domain count, not the corpus)
+    # rank_pages transfers the domain prior onto every page through the
+    # probed broadcast ladder (never an unbounded hand-rolled broadcast)
+    from sparksearchengine_spark.operators.linkgraph import rank_pages
+
     curated = (
-        docs.join(F.broadcast(prior), "domain")
+        rank_pages(docs, prior, url_col="url", out_col="rank")
         .where((F.col("n_tokens") >= 12) & (F.col("alpha_frac") >= 0.8))
         # drop never-linked domains: their rank stays at the damped
         # floor (1-d)/N plus the dangling share — 2x the floor is the
-        # usual cheap cut
+        # usual cheap cut (unranked domains have NULL rank and drop too)
         .where(F.col("rank") >= 0.1)
     )
     kept = curated.select("domain").groupBy("domain").count().collect()

@@ -28,12 +28,13 @@ rate ``damping`` per step (public result; Brin & Page 1998), so
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
     "pagerank",
     "domain_pagerank",
+    "rank_pages",
     "degree_stats",
     "weakly_connected_components",
     "hits",
@@ -57,6 +58,23 @@ def _project_edges(edges, src, dst, dedup_edges):
         # already deduped per page, but cross-page edge lists are not
         e = e.distinct()
     return e
+
+
+def _with_out_degree(e):
+    """Fold each edge's source out-degree onto the edge as ``_deg`` —
+    via partial ``groupBy(_s)`` aggregation joined back on the same key,
+    NEVER ``Window.partitionBy(_s)``: a window puts ALL edges of one
+    source in one task, and on the domain graph a mega-hub (link
+    directory, tag farm) carries 10^6-10^7 out-edges — one hot task per
+    build. The two-stage count map-side-combines, and AQE can
+    skew-split the join (it cannot split a window partition). The join
+    plans its OWN exchanges (ENSURE_REQUIREMENTS — the kind AQE's
+    OptimizeSkewedJoin is allowed to split; an explicit repartition here
+    would be REPARTITION_BY_COL and block it), and its output keeps
+    hashpartitioning(_s) — the layout every iteration's
+    ``ranks ⋈ edges`` join reuses (r9 verdict advisory #1)."""
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    return e.join(deg, "_s")
 
 
 def _derive_nodes(e, n_part):
@@ -128,11 +146,10 @@ def pagerank(
 
     e = _project_edges(edges, src, dst, dedup_edges)
     # out-degree folded onto the edge so the hot loop never re-joins it;
-    # the window's own hashpartitioning(_s) IS the layout every
+    # the join's own hashpartitioning(_s) IS the layout every
     # iteration's join reuses — repartition again only when the caller
     # overrides the partition count (a second shuffle otherwise)
-    deg_w = Window.partitionBy("_s")
-    e = e.withColumn("_deg", F.count(F.lit(1)).over(deg_w))
+    e = _with_out_degree(e)
     if partitions is not None:
         e = e.repartition(n_part, "_s")
     e = e.persist()
@@ -248,8 +265,8 @@ def domain_pagerank(
     Collapses page URLs to registered domains (``weburl.registered_
     domain``) and drops intra-domain self-loops BEFORE ranking — the
     graph the big crawl-quality pipelines actually rank (orders of
-    magnitude smaller than the page graph, and the score transfers to
-    every page of the domain via a broadcast-sized join)."""
+    magnitude smaller than the page graph; :func:`rank_pages` transfers
+    the score to every page of the domain via a probed join)."""
     from sparksearchengine_spark.operators.weburl import (
         registered_domain,
         url_host,
@@ -269,6 +286,69 @@ def domain_pagerank(
     )
     out = pagerank(edges, src="src", dst="dst", **kwargs)
     return out.select(F.col("node").alias("domain"), "rank")
+
+
+def rank_pages(
+    corpus: DataFrame,
+    domain_ranks: DataFrame,
+    url_col: str = "url",
+    out_col: str = "domain_rank",
+    default_rank: float | None = None,
+    broadcast: bool | None = None,
+) -> DataFrame:
+    """Transfer a :func:`domain_pagerank` prior onto every PAGE of the
+    corpus: ``corpus`` + an ``out_col`` double column holding the rank
+    of the page's registered domain (r9 verdict #6 — the join pipelines
+    were hand-rolling, now an operator with a bounded strategy).
+
+    ``domain_ranks`` is ``(domain, rank)`` — the shape
+    ``domain_pagerank`` returns. Pages whose domain is absent from the
+    rank table (never linked) or whose URL has no parseable host get
+    ``default_rank`` (``None`` -> NULL — distinguishable from a real
+    low rank; pass ``0.0`` to treat unranked as rank-less).
+
+    Join strategy: the rank side is one row per registered domain —
+    usually broadcast-sized, but NOT provably (a full web snapshot has
+    O(10^8) domains), so it rides the probed ladder
+    (``decide_broadcast``, exact bounded probe): broadcast only when
+    proven small, else shuffle_hash with the RANK side as build side —
+    the corpus relation never builds a hash table. ``broadcast``
+    short-circuits the probe.
+    """
+    missing = {"domain", "rank"} - set(domain_ranks.columns)
+    if missing:
+        raise ValueError(
+            f"domain_ranks must have (domain, rank) columns "
+            f"(domain_pagerank output); missing {sorted(missing)}"
+        )
+    if out_col in corpus.columns:
+        raise ValueError(
+            f"output column {out_col!r} already exists in the corpus; "
+            "pick a different out_col"
+        )
+    from sparksearchengine_spark.operators.search import decide_broadcast
+    from sparksearchengine_spark.operators.weburl import (
+        registered_domain,
+        url_host,
+    )
+
+    ranks = domain_ranks.select(
+        F.col("domain").alias("_lg_domain"),
+        F.col("rank").cast("double").alias(out_col),
+    )
+    if broadcast is None:
+        bc = decide_broadcast(ranks, 1_000_000, trust_bytes=False)
+    else:
+        bc = broadcast
+    side = F.broadcast(ranks) if bc else ranks.hint("shuffle_hash")
+    out = corpus.withColumn(
+        "_lg_domain", registered_domain(url_host(F.col(url_col)))
+    ).join(side, "_lg_domain", "left")
+    if default_rank is not None:
+        out = out.withColumn(
+            out_col, F.coalesce(F.col(out_col), F.lit(float(default_rank)))
+        )
+    return out.drop("_lg_domain")
 
 
 def degree_stats(

@@ -57,6 +57,9 @@ ALLOWLIST = {
         (1, "1-row: total-positives frame"),
     ("operators/evaluate.py", "pr_curve", "crossJoin"):
         (1, "1-row: total-positives frame"),
+    ("operators/linkgraph.py", "rank_pages", "broadcast"):
+        (1, "probed: decide_broadcast ladder on the one-row-per-domain "
+            "rank side, shuffle_hash with that side as build otherwise"),
     ("operators/index.py", "SearchIndex.hint_vocab_side", "broadcast"):
         (1, "probed: THE vocab ladder — broadcast iff "
             "<= VOCAB_BROADCAST_MAX_ROWS, else shuffle_hash build side"),

@@ -101,6 +101,52 @@ class TestPagerank:
         df = spark.createDataFrame([], "src string, dst string")
         assert pagerank(df, iterations=2).count() == 0
 
+    def test_skewed_hub_no_window_and_correct(self, spark):
+        """r9 verdict advisory #1: a domain-graph mega-hub (one source
+        with ~1e5 out-edges) must not funnel through a single-partition
+        window. The out-degree now comes from a partial-agg groupBy
+        joined back (AQE-skew-splittable); ranks stay pinned to the
+        pure-Python reference at 1e-9."""
+        from pyspark.sql import functions as F
+
+        from sparksearchengine_spark.operators.linkgraph import (
+            _project_edges,
+            _with_out_degree,
+        )
+
+        hub_edges = [("hub", f"n{i}") for i in range(100_000)]
+        ring = [(f"n{i}", f"n{i+1}") for i in range(20)] + [("n20", "hub")]
+        df = spark.createDataFrame(
+            hub_edges + ring, "src string, dst string"
+        )
+
+        # plan shape: the degree build contains NO Window operator over
+        # the edge frame (the skew ceiling the advisory flagged)
+        e = _project_edges(df, "src", "dst", dedup_edges=True)
+        plan = (
+            _with_out_degree(e)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Window" not in plan
+        # the hub's degree is right on every edge row
+        deg = (
+            _with_out_degree(e)
+            .where(F.col("_s") == "hub")
+            .select("_deg")
+            .distinct()
+            .collect()
+        )
+        assert [r._deg for r in deg] == [100_000]
+
+        got = {
+            r.node: r.rank
+            for r in pagerank(df, iterations=5, tol=None).collect()
+        }
+        want = _reference_pagerank(hub_edges + ring, iterations=5)
+        assert set(got) == set(want)
+        for v in ("hub", "n0", "n10", "n20", "n50000"):
+            assert got[v] == pytest.approx(want[v], abs=1e-9), v
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
     @pytest.mark.parametrize("as_frame", [False, True])
     def test_trustrank_personalization(self, spark, as_frame):
         from pyspark.sql import functions as F
@@ -177,6 +223,84 @@ class TestDomainPagerank:
         assert set(got) == set(want)
         for d in want:
             assert got[d] == pytest.approx(want[d], abs=1e-9)
+
+
+class TestRankPages:
+    def _corpus(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "http://www.a.example.com/p1"),
+                (2, "http://a.example.com/p2?q=1"),
+                (3, "http://b.example.org/x"),
+                (4, "http://never-linked.example.net/y"),
+                (5, "not a url"),
+            ],
+            "doc_id long, url string",
+        )
+
+    def _ranks(self, spark):
+        return spark.createDataFrame(
+            [("example.com", 0.6), ("example.org", 0.4)],
+            "domain string, rank double",
+        )
+
+    def test_transfers_domain_rank_to_pages(self, spark):
+        from sparksearchengine_spark.operators.linkgraph import rank_pages
+
+        out = rank_pages(self._corpus(spark), self._ranks(spark))
+        got = {r.doc_id: r.domain_rank for r in out.collect()}
+        assert got[1] == pytest.approx(0.6)  # www. stripped
+        assert got[2] == pytest.approx(0.6)
+        assert got[3] == pytest.approx(0.4)
+        assert got[4] is None  # unranked -> NULL, not silent 0
+        assert got[5] is None  # unparseable URL
+        assert set(out.columns) == {"doc_id", "url", "domain_rank"}
+
+    def test_default_rank_and_explicit_broadcast(self, spark):
+        from sparksearchengine_spark.operators.linkgraph import rank_pages
+
+        out = rank_pages(
+            self._corpus(spark), self._ranks(spark),
+            default_rank=0.0, broadcast=True,
+        )
+        got = {r.doc_id: r.domain_rank for r in out.collect()}
+        assert got[4] == 0.0 and got[5] == 0.0 and got[1] == pytest.approx(0.6)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+
+    def test_shuffle_hash_fallback_builds_rank_side(self, spark):
+        """broadcast=False: the rank side is the shuffle-hash BUILD side
+        — the corpus relation never builds a hash table."""
+        from sparksearchengine_spark.operators.linkgraph import rank_pages
+
+        out = rank_pages(
+            self._corpus(spark), self._ranks(spark), broadcast=False
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+        assert "ShuffledHashJoin" in plan
+        got = {r.doc_id: r.domain_rank for r in out.collect()}
+        assert got[1] == pytest.approx(0.6) and got[4] is None
+
+    def test_validation(self, spark):
+        from sparksearchengine_spark.operators.linkgraph import rank_pages
+
+        with pytest.raises(ValueError, match="domain_ranks"):
+            rank_pages(
+                self._corpus(spark),
+                spark.createDataFrame([("x",)], "domain string"),
+            )
+        with pytest.raises(ValueError, match="already exists"):
+            rank_pages(
+                self._corpus(spark).withColumn("domain_rank", F_lit0()),
+                self._ranks(spark),
+            )
+
+
+def F_lit0():
+    from pyspark.sql import functions as F
+
+    return F.lit(0.0)
 
 
 def _reference_hits(edges, iterations=20):
