@@ -30,20 +30,44 @@ from pyspark.sql import functions as F
 from sparksearchengine_spark.operators.sampling import hash_bucket
 
 
+def _seeded_key(key_col: str, shuffle_seed: int, seed_hash: str):
+    """The seeded shuffle key as a Column: ``xxhash64(seed, key)``
+    (fast, JVM-side, but engine-specific), or the PORTABLE md5 fold
+    ``'{seed}:{key}'`` — other engines (the DuckDB oracle included) can
+    reproduce the md5 path byte-for-byte, so it is the cross-engine
+    contract; xxhash64 stays the default for speed."""
+    if seed_hash == "xxhash64":
+        return F.xxhash64(F.lit(int(shuffle_seed)), F.col(key_col))
+    if seed_hash == "md5":
+        return F.concat_ws(
+            ":",
+            F.lit(str(int(shuffle_seed))),
+            F.col(key_col).cast("string"),
+        )
+    raise ValueError(
+        f"seed_hash must be 'xxhash64' or 'md5', got {seed_hash!r}"
+    )
+
+
 def shard_assignments(
     df: DataFrame,
     key_col: str = "doc_id",
     num_shards: int = 64,
     shard_col: str = "shard",
     shuffle_seed: int | None = None,
+    seed_hash: str = "xxhash64",
 ) -> DataFrame:
     """df + a deterministic ``shard`` column in [0, num_shards).
 
-    With ``shuffle_seed`` set, membership follows ``xxhash64(seed, key)``
-    instead of the bare key — the epoch-shuffle contract (see
-    :func:`export_shards`)."""
+    With ``shuffle_seed`` set, membership follows a seeded hash of the
+    key instead of the bare key — the epoch-shuffle contract (see
+    :func:`export_shards`). ``seed_hash`` picks the seeded function:
+    ``xxhash64(seed, key)`` (default, fastest) or ``md5`` of
+    ``'{seed}:{key}'`` — the portable form any engine can replicate
+    (the md5-bucket idiom the unseeded path already uses, with the
+    seed folded into the key string)."""
     key = (
-        F.xxhash64(F.lit(int(shuffle_seed)), F.col(key_col))
+        _seeded_key(key_col, shuffle_seed, seed_hash)
         if shuffle_seed is not None
         else F.col(key_col)
     )
@@ -58,6 +82,7 @@ def export_shards(
     max_records_per_file: int | None = None,
     file_format: str = "parquet",
     shuffle_seed: int | None = None,
+    seed_hash: str = "xxhash64",
 ) -> None:
     """Write ``df`` as ``path/shard=N/...`` with deterministic membership
     and within-file ordering by ``key_col``.
@@ -74,10 +99,17 @@ def export_shards(
     on every re-run of a seed. This is the standard per-epoch global
     shuffle WITHOUT a global sort: the permutation is realized by the
     same one-shuffle-per-export plan (hash bucketing is the shuffle;
-    ``sortWithinPartitions`` orders each shard independently)."""
-    out = shard_assignments(df, key_col, num_shards, shuffle_seed=shuffle_seed)
+    ``sortWithinPartitions`` orders each shard independently).
+    ``seed_hash='md5'`` makes membership AND order portable across
+    engines (see :func:`shard_assignments`); within-shard order then
+    follows the md5 hex of the seeded key."""
+    out = shard_assignments(
+        df, key_col, num_shards,
+        shuffle_seed=shuffle_seed, seed_hash=seed_hash,
+    )
     if shuffle_seed is not None:
-        order = F.xxhash64(F.lit(int(shuffle_seed)), F.col(key_col))
+        k = _seeded_key(key_col, shuffle_seed, seed_hash)
+        order = k if seed_hash == "xxhash64" else F.md5(k)
     else:
         order = F.col(key_col)
     out = out.repartition(num_shards, F.col("shard")).sortWithinPartitions(

@@ -94,6 +94,54 @@ class TestEpochShuffle:
         assert o1 != o2                       # ...different order per seed
         assert o1 != sorted(o1)               # and it IS shuffled
 
+    def test_md5_seed_hash_portable_contract(self, spark):
+        """seed_hash='md5' (r9 verdict #1): membership is the md5-bucket
+        idiom with the seed folded into the key string — pinned here
+        against pure-Python hashlib, the same contract the DuckDB
+        oracle replicates. Different seeds still shuffle."""
+        import hashlib
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        got = {
+            r.doc_id: r.shard
+            for r in shard_assignments(
+                docs, num_shards=8, shuffle_seed=7, seed_hash="md5"
+            ).select("doc_id", "shard").collect()
+        }
+
+        def want(doc_id):
+            h = hashlib.md5(f"7:{doc_id}".encode()).hexdigest()[:8]
+            return int(h, 16) % 8
+
+        assert got and all(s == want(d) for d, s in got.items())
+        other = {
+            r.doc_id: r.shard
+            for r in shard_assignments(
+                docs, num_shards=8, shuffle_seed=8, seed_hash="md5"
+            ).select("doc_id", "shard").collect()
+        }
+        assert other != got and set(other) == set(got)
+
+    def test_md5_seeded_export_order_follows_md5(self, spark, tmp_path):
+        import hashlib
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = str(tmp_path / "md5shards")
+        export_shards(
+            docs, out, num_shards=4, shuffle_seed=3, seed_hash="md5"
+        )
+        one = spark.read.parquet(out).where(F.col("shard") == 0)
+        ids = [r.doc_id for r in one.select("doc_id").collect()]
+        key = lambda d: hashlib.md5(f"3:{d}".encode()).hexdigest()  # noqa: E731
+        assert ids == sorted(ids, key=key) and ids != sorted(ids)
+
+    def test_bad_seed_hash_raises(self, spark):
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        with pytest.raises(ValueError, match="seed_hash"):
+            shard_assignments(
+                docs, shuffle_seed=1, seed_hash="sha1"
+            ).collect()
+
     def test_seeded_membership_differs_from_unseeded(self, spark):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         plain = {

@@ -438,3 +438,59 @@ class TestReadWarc:
         wet = read_wet_text(spark, warc_dir)
         out = token_stats(wet, text_col="text").collect()
         assert len(out) == 2 and all(r.n_tokens >= 3 for r in out)
+
+
+# ------------------------------------------------------- scale contracts
+
+
+class TestWarcScale:
+    """r9 verdict #5: the one-file-per-task contract and the payload
+    byte bound, exercised at a realistic fan-out instead of 2 fixtures."""
+
+    def test_one_task_per_file_at_200_files(self, spark, tmp_path):
+        """parallelize(numSlices=len(paths)) must give EXACTLY one task
+        per .warc.gz (the Common Crawl layout: gzip is unsplittable, so
+        a task IS a file) — no empty tasks, no multi-file stragglers."""
+        from pyspark.sql import functions as F
+
+        d = tmp_path / "many"
+        d.mkdir()
+        n = 200
+        for i in range(n):
+            (d / f"f{i:03d}.warc.gz").write_bytes(
+                gzip.compress(
+                    _record(
+                        "conversion", f"http://e.x/{i}", b"tiny", f"c-{i}"
+                    )
+                )
+            )
+        df = read_warc(spark, str(d))
+        rows = df.select(
+            F.spark_partition_id().alias("pid"), "path"
+        ).collect()
+        assert len(rows) == n
+        by_pid: dict[int, set[str]] = {}
+        for r in rows:
+            by_pid.setdefault(r.pid, set()).add(r.path)
+        # task count == file count, and each task read exactly one file
+        assert len(by_pid) == n
+        assert all(len(paths) == 1 for paths in by_pid.values())
+
+    def test_oversized_record_truncated_not_inflated(self, spark, tmp_path):
+        """A record past max_payload_bytes crosses the Arrow boundary
+        CAPPED (truncated=true, payload == exactly the cap, original
+        content_length preserved) — it must not inflate a batch — and
+        the parser resyncs so the NEXT record still parses."""
+        big = b"x" * (1 << 20)
+        blob = _record("conversion", "http://e.x/big", big, "big-1")
+        blob += _record("conversion", "http://e.x/after", b"small", "s-1")
+        (tmp_path / "big.warc").write_bytes(blob)
+        df = read_warc(spark, str(tmp_path), max_payload_bytes=1024)
+        rows = {r.target_uri: r for r in df.collect()}
+        assert set(rows) == {"http://e.x/big", "http://e.x/after"}
+        b = rows["http://e.x/big"]
+        assert b.truncated is True
+        assert len(b.payload) == 1024
+        assert b.content_length == len(big)
+        a = rows["http://e.x/after"]
+        assert a.truncated is False and bytes(a.payload) == b"small"
