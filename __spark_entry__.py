@@ -3328,31 +3328,168 @@ def _spell_correct(spark, sf):
     )
 
 
+# --------------------------------------------------------------------------
+# r10 driver oracles for the r9-new operator families (VERDICT r9 #1 —
+# the registry freeze is verdict-lifted for exactly these entries)
+# --------------------------------------------------------------------------
+
+# events-derived modular link graph: 40 nodes, ~1.5k distinct edges at
+# sf0.01 — small enough that double sums stay ~1e-14 of each other
+# across engines (safe at the 6dp rounding), large enough to exercise
+# dangling mass and every join in the iteration. The WCC variant keeps
+# only equal-residue-mod-4 edges, guaranteeing >= 4 components.
+LG_N = 40
+LG_ITER = 5
+LG_DAMP = 0.85
+# synthetic deterministic classifier columns over documents: label from
+# doc_id parity, score = ((n_chars % 50) + 25*label) / 100 — overlapping
+# classes, ~74 distinct scores (plenty of ties for the midrank path)
+CLS_THRESH = 0.5
+EXPORT_SEED = 7  # epoch-shuffle seed for the portable md5 shard oracle
+
+
+def _lg_edges_df(spark, sf, wcc: bool = False):
+    ev = _read_events(spark, sf)
+    e = ev.select(
+        (F.col("user_id") % LG_N).alias("src"),
+        ((F.col("user_id") * 7 + F.col("event_id")) % LG_N).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    if wcc:
+        e = e.where((F.col("src") % 4) == (F.col("dst") % 4))
+    return e.distinct()
+
+
+def _pagerank(spark, sf):
+    """PageRank (operators/linkgraph.py::pagerank, r9) at a FIXED
+    iteration count with tol=None so the oracle (an unrolled 5-step
+    power iteration in DuckDB) computes the identical damped/dangling
+    recursion; ranks rounded to 6dp on both sides."""
+    from sparksearchengine_spark.operators.linkgraph import pagerank
+
+    e = _lg_edges_df(spark, sf)
+    r = pagerank(
+        e, damping=LG_DAMP, iterations=LG_ITER, tol=None, dedup_edges=False
+    )
+    return r.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+def _hits(spark, sf):
+    """HITS hubs/authorities (operators/linkgraph.py::hits, r9), fixed
+    5 iterations with per-step L2 normalization — oracle unrolls the
+    same recursion (sqrt/sum/coalesce in the same expression shapes)."""
+    from sparksearchengine_spark.operators.linkgraph import hits
+
+    e = _lg_edges_df(spark, sf)
+    h = hits(e, iterations=LG_ITER, tol=None, dedup_edges=False)
+    return h.select(
+        "node",
+        F.round("hub", 6).alias("hub"),
+        F.round("authority", 6).alias("authority"),
+    ).orderBy("node")
+
+
+def _weak_components(spark, sf):
+    """Weakly connected components (operators/linkgraph.py::
+    weakly_connected_components, r9 — pointer-jumping min-label CC over
+    xxhash64 ids). The component label is an ARBITRARY member node
+    (min-hash order is engine-specific), so the wrapper canonicalizes
+    to min(node) per component — the same labeling the DuckDB
+    recursive-CTE reachability oracle produces directly."""
+    from sparksearchengine_spark.operators.linkgraph import (
+        weakly_connected_components,
+    )
+
+    e = _lg_edges_df(spark, sf, wcc=True)
+    comp = weakly_connected_components(e, "src", "dst")
+    canon = comp.groupBy("component").agg(F.min("node").alias("_lbl"))
+    return (
+        comp.join(canon, "component")
+        .select("node", F.col("_lbl").alias("component"))
+        .orderBy("node")
+    )
+
+
+def _cls_frame(spark, sf):
+    docs = _read(spark, sf, "documents")
+    return docs.select(
+        (F.col("doc_id") % 2).cast("int").alias("label"),
+        (
+            ((F.col("n_chars") % 50) + F.lit(25) * (F.col("doc_id") % 2))
+            .cast("double") / F.lit(100.0)
+        ).alias("score"),
+    )
+
+
+def _classification_metrics(spark, sf):
+    """Binary-classifier eval (operators/evaluate.py::
+    classification_metrics, r9): confusion at 0.5 plus tie-exact
+    midrank ROC-AUC and step-function average precision, all from one
+    distinct-score grouped pass — the oracle replicates the grouped
+    cumulative shape with window SQL and the same decimal-summed
+    accumulators."""
+    from sparksearchengine_spark.operators.evaluate import (
+        classification_metrics,
+    )
+
+    return classification_metrics(_cls_frame(spark, sf), threshold=CLS_THRESH)
+
+
+def _pr_curve(spark, sf):
+    """Threshold sweep (operators/evaluate.py::pr_curve, r9): one row
+    per distinct score with kept/precision/recall/f1 — the descending
+    cumulative mirror of classification_metrics' grouped frame."""
+    from sparksearchengine_spark.operators.evaluate import pr_curve
+
+    return pr_curve(_cls_frame(spark, sf)).orderBy("threshold")
+
+
+def _export_shard_shuffle(spark, sf):
+    """Epoch-shuffled shard assignment (operators/export.py::
+    shard_assignments(shuffle_seed=, seed_hash='md5'), r9/r10): the
+    portable md5-bucket idiom with the seed folded into the key string
+    — byte-reproducible in DuckDB (xxhash64 mode has no DuckDB twin and
+    stays covered by the determinism pytest)."""
+    from sparksearchengine_spark.operators.export import shard_assignments
+
+    docs = _read(spark, sf, "documents")
+    return (
+        shard_assignments(
+            docs,
+            num_shards=EXPORT_SHARDS,
+            shuffle_seed=EXPORT_SEED,
+            seed_hash="md5",
+        )
+        .select("doc_id", "shard")
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver emits CORRECTNESS rows for the FIRST 50
     # keys only.  Slots 1-30 are pinned to the SURVEY §2.10 qc suite;
-    # slots 31-50 rotate each round over entries that have never had a
-    # driver row.  r9 rotation (VERDICT r8 "Next round" #2 — registry
-    # FROZEN, zero new entries): slots 31-38 drain the FINAL
-    # never-driver-checked tail, exactly the queue the r8 verdict named
-    # (text_hash_embed_arrow, strip_html, search_highlight,
-    # search_facets, search_paged, search_grouped, bigram_quality,
-    # url_domain_block) — after this round the all-time driver-green
-    # union covers EVERY oracle-capable entry; the only registry keys
-    # without a hash row are the 6 that cannot have one by design
-    # (text_compress_ratio — no DuckDB zlib — and the 5 probabilistic
-    # LSH/ANN entries whose correctness story is the driver-green
-    # dedup_recall/ann_recall/pq_recall/ivfpq_recall gates).  Slots
-    # 39-50 re-verify the entries this round's code touched:
-    # doc_keywords / more_like_this (vocab-broadcast probe),
-    # query_join_dsl / percolate_dsl / percolate_match (term-bucket DPP
-    # pruning, F.get signature slots, strict 2^53 bound, gq probe),
-    # search_after_page / batch_mixed_analyzer (cursor pages rank by
-    # the rounded score), classifier_score / classifier_vocab /
-    # text_hash_embed / text_tfidf_embed (probed user-supplied weight
-    # and vocabulary sides), batch_dsl_mixed (shared DSL union).  The
-    # r8 rotation rows (query_join_lucene ... text_hash_embed's old
-    # window, all green in CORRECTNESS_r08) move past the cutoff.
+    # slots 31-50 rotate each round.  r10 rotation (VERDICT r9 "Next
+    # round" #1 — the freeze is verdict-lifted for EXACTLY the r9-new
+    # operator families, zero other new entries): slots 31-36 are the
+    # six NEW entries giving those families their first driver rows —
+    # classification_metrics / pr_curve (tie-exact midrank AUC + step
+    # AP via window SQL), pagerank / hits (fixed-iteration unrolled
+    # power-iteration oracles, 6dp ranks), weakly_connected_components
+    # (recursive-CTE reachability, min-node canonical labels), and
+    # export_shard_shuffle (seeded md5-bucket idiom).  Slots 37-50
+    # re-verify entries this round's code touched plus the
+    # heavy-machinery set the r9 judge re-ran: search_eval /
+    # search_eval_summary (evaluate.py decimal-headroom change),
+    # export_shard_assign (export.py seed_hash param), then
+    # query_join_dsl / percolate_dsl / percolate_match / doc_keywords /
+    # more_like_this / text_ppl_buckets / select_budget / pack_chunks /
+    # vocab_top / collocations_pmi / dedup_edit_join (distributed_prefix
+    # + probed-broadcast riders, per the standing rotation-hygiene
+    # discipline).  The r9 rotation rows (text_hash_embed_arrow ...
+    # batch_dsl_mixed, all green in CORRECTNESS_r09) move past the
+    # cutoff.  The only registry keys without an all-time hash row are
+    # the 6 that cannot have one by design (text_compress_ratio — no
+    # DuckDB zlib — and the 5 probabilistic LSH/ANN entries whose
+    # correctness story is the driver-green recall gates).
     # text_compress_ratio stays parked PERMANENTLY at the very end
     # (VERDICT r7 #3): it can never hash-match — rows-only by design,
     # thresholds pytest-pinned.
@@ -3387,6 +3524,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc28_exclusive_range": _qc28,
         "qc29_escaped_term": _qc29,
         "qc30_regex_term": _qc30,
+        # ---- slots 31-36: NEW r10 entries (freeze lifted, VERDICT r9 #1)
+        "classification_metrics": _classification_metrics,
+        "pr_curve": _pr_curve,
+        "pagerank": _pagerank,
+        "hits": _hits,
+        "weakly_connected_components": _weak_components,
+        "export_shard_shuffle": _export_shard_shuffle,
+        # ---- slots 37-50: re-verification rotation
+        "search_eval": _search_eval,
+        "search_eval_summary": _search_eval_summary,
+        "export_shard_assign": _export_shard_assign,
+        "query_join_dsl": _query_join_dsl,
+        "percolate_dsl": _percolate_dsl,
+        "percolate_match": _percolate_match,
+        "doc_keywords": _doc_keywords,
+        "more_like_this": _more_like_this,
+        "text_ppl_buckets": _text_ppl_buckets,
+        "select_budget": _select_budget,
+        "pack_chunks": _pack_chunks,
+        "vocab_top": _vocab_top,
+        "collocations_pmi": _collocations,
+        "dedup_edit_join": _dedup_edit_join,
+        # ---- past the driver cutoff (all driver-green in r8/r9)
         "text_hash_embed_arrow": _text_hash_embed_arrow,
         "strip_html": _strip_html,
         "search_highlight": _search_highlight,
@@ -3395,11 +3555,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_grouped": _search_grouped,
         "bigram_quality": _bigram_quality,
         "url_domain_block": _url_domain_block,
-        "doc_keywords": _doc_keywords,
-        "more_like_this": _more_like_this,
-        "query_join_dsl": _query_join_dsl,
-        "percolate_dsl": _percolate_dsl,
-        "percolate_match": _percolate_match,
         "search_after_page": _search_after_page,
         "batch_mixed_analyzer": _batch_mixed_analyzer,
         "classifier_score": _classifier_score,
@@ -3412,8 +3567,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_lmjm": _search_lmjm,
         "dedup_paragraphs": _dedup_paragraphs,
         "curation_report": _curation_report,
-        "collocations_pmi": _collocations,
-        "pack_chunks": _pack_chunks,
         "sample_per_group": _sample_per_group,
         "clean_text": _clean_text,
         "emb_quantize": _emb_quantize,
@@ -3425,7 +3578,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow": _doc_winnow,
         "lang_id": _lang_id,
         "mm_image_features": _mm_image_features,
-        "text_ppl_buckets": _text_ppl_buckets,
         "search_explain": _search_explain,
         "search_rescore": _search_rescore,
         "batch_dsl_per_k": _batch_dsl_per_k,
@@ -3437,8 +3589,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_dsl_multiterm": _batch_dsl_multiterm,
         "text_dict_tag": _text_dict_tag,
         "spell_correct": _spell_correct,
-        "search_eval": _search_eval,
-        "search_eval_summary": _search_eval_summary,
         "index_upsert": _index_upsert,
         "emb_pq_topk": _emb_pq_topk,
         "pq_recall": _pq_recall,
@@ -3454,7 +3604,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_vector": _term_vector,
         "search_mlt_text": _search_mlt_text,
         "search_synonyms": _search_synonyms,
-        "dedup_edit_join": _dedup_edit_join,
         "query_join_filters": _query_join_filters,
         "table_profile": _table_profile,
         "table_profile_grouped": _table_profile_grouped,
@@ -3466,7 +3615,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_kmeans_assign": _emb_kmeans_assign,
         "emb_semdedup_arrow": _emb_semdedup_arrow,
         "mixture_sample": _mixture_sample,
-        "select_budget": _select_budget,
         "emb_random_proj": _emb_random_proj,
         "sketch_profile": _sketch_profile,
         "events_sessionize": _events_sessionize,
@@ -3511,9 +3659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": _sample_stratified,
         "train_test_split": _train_test_split,
         "decontam_ngram": _decontam_ngram,
-        "vocab_top": _vocab_top,
         "unigram_quality": _unigram_quality,
-        "export_shard_assign": _export_shard_assign,
         "dedup_cross_ngram": _dedup_cross_ngram,
         "chunk_docs": _chunk_docs,
         "doc_fingerprint": _doc_fingerprint,
@@ -3583,6 +3729,218 @@ def _profile_oracle_sql() -> str:
         + " UNION ALL ".join(branches)
         + ' ORDER BY "column"'
     )
+
+
+# shared edge derivations for the link-graph oracles — identical
+# modular arithmetic on both engines (int64 %, sign of dividend; all
+# values non-negative here)
+_LG_EDGE_SQL = (
+    f"SELECT DISTINCT user_id % {LG_N} AS src, "
+    f"(user_id * 7 + event_id) % {LG_N} AS dst FROM events "
+    f"WHERE user_id % {LG_N} != (user_id * 7 + event_id) % {LG_N}"
+)
+_LG_WCC_EDGE_SQL = (
+    _LG_EDGE_SQL
+    + f" AND (user_id % {LG_N}) % 4 = ((user_id * 7 + event_id) % {LG_N}) % 4"
+)
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled LG_ITER-step damped power iteration, expression-shape
+    parity with operators/linkgraph.py::pagerank: contributions
+    rank/deg summed per dst, flowed mass via one aggregate, dangling =
+    1 - flowed redistributed along the uniform teleport 1/n, new rank =
+    ((1-d) + d*dangling)*(1/n) + d*coalesce(in, 0). Literals are
+    written as (1.0 - d) / d so both engines derive the same doubles."""
+    d = LG_DAMP
+    parts = [
+        f"WITH e AS MATERIALIZED ({_LG_EDGE_SQL}),",
+        "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),",
+        "r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),",
+    ]
+    for k in range(1, LG_ITER + 1):
+        p, c, r = f"r{k - 1}", f"c{k}", f"r{k}"
+        parts.append(
+            f"{c} AS MATERIALIZED (SELECT e.dst AS node, sum(r.rank / deg.deg) AS cin "
+            f"FROM e JOIN {p} r ON r.node = e.src "
+            f"JOIN deg ON deg.src = e.src GROUP BY e.dst),"
+        )
+        parts.append(
+            f"{r} AS MATERIALIZED (SELECT nodes.node, "
+            f"((1.0 - {d}) + {d} * (1.0 - "
+            f"(SELECT coalesce(sum(cin), 0.0) FROM {c}))) "
+            f"* (1.0 / (SELECT n FROM nn)) "
+            f"+ {d} * coalesce({c}.cin, 0.0) AS rank "
+            f"FROM nodes LEFT JOIN {c} ON {c}.node = nodes.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT node, round(rank, 6) AS rank FROM r{LG_ITER} ORDER BY node"
+    )
+    return "\n".join(parts)
+
+
+def _hits_oracle_sql() -> str:
+    """Unrolled LG_ITER-step HITS with per-step L2 normalization,
+    expression-shape parity with operators/linkgraph.py::hits
+    (authority from in-neighbor hubs then hub from out-neighbor
+    authorities, sqrt-sum-of-squares norms with the 0 -> 1 guard,
+    coalesce(·, 0) for nodes missing from the raw aggregate).
+    Every CTE is AS MATERIALIZED (DuckDB planner hint): the unrolled
+    recursion references each step from several places, and inlining
+    re-evaluates the whole prefix per reference — exponential in the
+    iteration count (the un-hinted form timed out at 570s; hinted runs
+    in ~0.4s)."""
+    parts = [
+        f"WITH e AS MATERIALIZED ({_LG_EDGE_SQL}),",
+        "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),",
+        "h0 AS MATERIALIZED (SELECT node, 1.0 / sqrt((SELECT n FROM nn)) AS hub "
+        "FROM nodes),",
+    ]
+
+    def norm_cte(name: str, raw: str) -> str:
+        return (
+            f"{name} AS MATERIALIZED (SELECT CASE WHEN coalesce(sqrt(sum(v * v)), 0.0) "
+            f"= 0.0 THEN 1.0 ELSE sqrt(sum(v * v)) END AS nrm FROM {raw}),"
+        )
+
+    for k in range(1, LG_ITER + 1):
+        hp = f"h{k - 1}"
+        parts.append(
+            f"a{k}raw AS MATERIALIZED (SELECT e.dst AS node, sum(h.hub) AS v "
+            f"FROM e JOIN {hp} h ON h.node = e.src GROUP BY e.dst),"
+        )
+        parts.append(norm_cte(f"a{k}n", f"a{k}raw"))
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT nodes.node, coalesce(a{k}raw.v, 0.0) / "
+            f"(SELECT nrm FROM a{k}n) AS authority "
+            f"FROM nodes LEFT JOIN a{k}raw ON a{k}raw.node = nodes.node),"
+        )
+        parts.append(
+            f"h{k}raw AS MATERIALIZED (SELECT e.src AS node, sum(a.authority) AS v "
+            f"FROM e JOIN a{k} a ON a.node = e.dst GROUP BY e.src),"
+        )
+        parts.append(norm_cte(f"h{k}n", f"h{k}raw"))
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT nodes.node, coalesce(h{k}raw.v, 0.0) / "
+            f"(SELECT nrm FROM h{k}n) AS hub "
+            f"FROM nodes LEFT JOIN h{k}raw ON h{k}raw.node = nodes.node),"
+        )
+    parts[-1] = parts[-1].rstrip(",")
+    parts.append(
+        f"SELECT h.node, round(h.hub, 6) AS hub, "
+        f"round(a.authority, 6) AS authority "
+        f"FROM h{LG_ITER} h JOIN a{LG_ITER} a ON a.node = h.node "
+        f"ORDER BY h.node"
+    )
+    return "\n".join(parts)
+
+
+# synthetic classifier frame shared by the classification oracles —
+# must mirror _cls_frame exactly (integer expression, ONE double
+# division at the end)
+_CLS_BASE_SQL = (
+    "SELECT CAST(doc_id % 2 AS INT) AS y, "
+    "CAST((n_chars % 50) + 25 * (doc_id % 2) AS DOUBLE) / 100.0 AS s "
+    "FROM documents"
+)
+
+
+def _classification_metrics_oracle_sql() -> str:
+    """operators/evaluate.py::classification_metrics in window SQL:
+    distinct-score grouped frame, ascending cumulative counts, midrank
+    AUC with the decimal(38,6) rank-sum and decimal(38,18) AP-term
+    accumulators (same per-addend double expressions, same casts), and
+    the >= threshold confusion from the same grouped frame."""
+    t = CLS_THRESH
+    return f"""
+        WITH b AS ({_CLS_BASE_SQL}),
+        g AS (SELECT s, count(*) AS n, sum(y) AS p FROM b GROUP BY s),
+        c AS (SELECT s, n, p,
+                     sum(n) OVER (ORDER BY s) AS cn,
+                     sum(p) OVER (ORDER BY s) AS cp FROM g),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS T,
+                       CAST(sum(p) AS BIGINT) AS P FROM g),
+        agg AS (SELECT
+            sum(CAST(p * (cn - (n - 1) / 2.0) AS DECIMAL(38,6)))
+                AS rank_pos,
+            sum(CAST(CAST(p AS DOUBLE) *
+                (CAST((SELECT P FROM tot) - (cp - p) AS DOUBLE)
+                 / CAST((SELECT T FROM tot) - (cn - n) AS DOUBLE))
+                AS DECIMAL(38,18))) AS ap_num
+          FROM c),
+        conf AS (SELECT
+            CAST(sum(CASE WHEN s >= {t} THEN p ELSE 0 END) AS BIGINT)
+                AS tp,
+            CAST(sum(CASE WHEN s >= {t} THEN n - p ELSE 0 END) AS BIGINT)
+                AS fp
+          FROM g),
+        m AS (SELECT T, P, tp, fp, P - tp AS fn, (T - P) - fp AS tn,
+                     CAST(tp AS DOUBLE) / (tp + fp) AS prec,
+                     CAST(tp AS DOUBLE) / (tp + (P - tp)) AS rec,
+                     CAST(rank_pos AS DOUBLE) AS rank_pos,
+                     CAST(ap_num AS DOUBLE) AS ap_num
+              FROM tot, conf, agg)
+        SELECT T AS n, P AS n_pos, tp, fp, fn, tn,
+               round(CAST(tp + tn AS DOUBLE) / T, 6) AS accuracy,
+               round(prec, 6) AS precision,
+               round(rec, 6) AS recall,
+               round(2 * prec * rec / (prec + rec), 6) AS f1,
+               round((rank_pos - P * (P + 1) / 2.0) / (P * (T - P)), 6)
+                   AS roc_auc,
+               round(ap_num / P, 6) AS pr_auc
+        FROM m"""
+
+
+def _pr_curve_oracle_sql() -> str:
+    """operators/evaluate.py::pr_curve in window SQL: descending
+    cumulative kept/tp per distinct score, total positives = the
+    deepest cumulative, f1 from the UNROUNDED precision/recall with
+    the NULL-recall guard."""
+    return f"""
+        WITH b AS ({_CLS_BASE_SQL}),
+        g AS (SELECT s, count(*) AS n, sum(y) AS p FROM b GROUP BY s),
+        c AS (SELECT s,
+                     sum(n) OVER (ORDER BY s DESC) AS kept,
+                     sum(p) OVER (ORDER BY s DESC) AS tp FROM g),
+        tot AS (SELECT max(tp) AS tot_pos FROM c),
+        m AS (SELECT s, kept, tp,
+                     CAST(tp AS DOUBLE) / CAST(kept AS DOUBLE) AS prec,
+                     CASE WHEN (SELECT tot_pos FROM tot) > 0
+                          THEN CAST(tp AS DOUBLE)
+                               / (SELECT tot_pos FROM tot) END AS rec
+              FROM c)
+        SELECT s AS threshold, CAST(kept AS BIGINT) AS n_kept,
+               round(prec, 6) AS precision,
+               round(rec, 6) AS recall,
+               round(CASE WHEN rec IS NULL THEN NULL
+                          WHEN (prec + rec) > 0
+                          THEN 2 * prec * rec / (prec + rec)
+                          ELSE 0.0 END, 6) AS f1
+        FROM m ORDER BY threshold"""
+
+
+def _wcc_oracle_sql() -> str:
+    """Undirected reachability via a recursive CTE: every node's label
+    is the MIN node reachable through undirected edges — exactly the
+    canonical labeling the Spark wrapper derives from
+    weakly_connected_components' arbitrary member labels."""
+    return f"""
+        WITH RECURSIVE e AS ({_LG_WCC_EDGE_SQL}),
+        ue AS (SELECT src AS a, dst AS b FROM e
+               UNION SELECT dst, src FROM e),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        reach AS (
+            SELECT node, node AS lbl FROM nodes
+            UNION
+            SELECT ue.b AS node, reach.lbl
+            FROM reach JOIN ue ON ue.a = reach.node
+        )
+        SELECT node, CAST(min(lbl) AS BIGINT) AS component
+        FROM reach GROUP BY node ORDER BY node"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4668,6 +5026,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
                         AS BIGINT) % {EXPORT_SHARDS} AS shard
             FROM documents ORDER BY doc_id""",
+        # epoch-shuffled shard assignment, portable md5 mode (r10):
+        # seed folded into the md5 key string
+        "export_shard_shuffle": f"""
+            SELECT doc_id,
+                   CAST('0x' || substr(md5('{EXPORT_SEED}:' ||
+                        CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % {EXPORT_SHARDS} AS shard
+            FROM documents ORDER BY doc_id""",
+        # link-graph toolkit (operators/linkgraph.py, r10 oracles)
+        "pagerank": _pagerank_oracle_sql(),
+        "hits": _hits_oracle_sql(),
+        "weakly_connected_components": _wcc_oracle_sql(),
+        # classifier evaluation (operators/evaluate.py, r10 oracles)
+        "classification_metrics": _classification_metrics_oracle_sql(),
+        "pr_curve": _pr_curve_oracle_sql(),
         # benchmark decontamination / vocab / unigram LM
         # (operators/decontam.py)
         "decontam_ngram": f"""

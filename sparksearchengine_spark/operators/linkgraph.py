@@ -144,18 +144,25 @@ def pagerank(
     spark = edges.sparkSession
     n_part = _n_partitions(spark, partitions)
 
-    e = _project_edges(edges, src, dst, dedup_edges)
+    # the slim (_s,_d) projection is cached FIRST: the degree build
+    # reads it from two plan branches (the groupBy and the join probe),
+    # and an un-cached source would be recomputed per branch — for an
+    # expensive upstream (a WARC parse feeding domain_pagerank) that is
+    # 2x the whole ingest. Released below once the degree-joined edge
+    # cache is materialized.
+    e0 = _project_edges(edges, src, dst, dedup_edges).persist()
     # out-degree folded onto the edge so the hot loop never re-joins it;
     # the join's own hashpartitioning(_s) IS the layout every
     # iteration's join reuses — repartition again only when the caller
     # overrides the partition count (a second shuffle otherwise)
-    e = _with_out_degree(e)
+    e = _with_out_degree(e0)
     if partitions is not None:
         e = e.repartition(n_part, "_s")
     e = e.persist()
 
     bare = _derive_nodes(e, n_part)
     n_nodes = bare.count()  # 1-row action; also materializes the persists
+    e0.unpersist()
     if n_nodes == 0:
         e.unpersist()
         bare.unpersist()
@@ -284,6 +291,9 @@ def domain_pagerank(
         )
         .distinct()
     )
+    # the projection above already deduped; a second distinct inside
+    # pagerank would be a wasted shuffle (caller kwargs still win)
+    kwargs.setdefault("dedup_edges", False)
     out = pagerank(edges, src="src", dst="dst", **kwargs)
     return out.select(F.col("node").alias("domain"), "rank")
 
@@ -458,11 +468,15 @@ def hits(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     spark = edges.sparkSession
     n_part = _n_partitions(spark, partitions)
-    e = _project_edges(edges, src, dst, dedup_edges)
-    e_s = e.repartition(n_part, "_s").persist()
-    e_d = e.repartition(n_part, "_d").persist()
+    # slim projection cached first: e_s and e_d each re-read the source
+    # otherwise (2x an expensive upstream — same fix as pagerank's)
+    e0 = _project_edges(edges, src, dst, dedup_edges).persist()
+    e_s = e0.repartition(n_part, "_s").persist()
+    e_d = e0.repartition(n_part, "_d").persist()
     nodes = _derive_nodes(e_s, n_part)
-    n_nodes = nodes.count()
+    n_nodes = nodes.count()  # materializes e_s (via nodes) and its cache
+    e_d.count()  # materialize the second layout, then drop the source
+    e0.unpersist()
     if n_nodes == 0:
         e_s.unpersist()
         e_d.unpersist()
