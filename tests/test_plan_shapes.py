@@ -33,6 +33,8 @@ SAMPLE = [
     "search_decay",         # global top-k (LocalLimit merge)
     "curation_report",      # curation gate scalar aggregates
     "table_corr",           # decimal-cast correlation aggregates
+    "pr_curve",             # r10: grouped-cumulative eval family
+    "pagerank",             # r10: iterative link-graph family
 ]
 
 _BENIGN_CHILD = re.compile(
