@@ -144,13 +144,17 @@ def pagerank(
     spark = edges.sparkSession
     n_part = _n_partitions(spark, partitions)
 
-    # the slim (_s,_d) projection is cached FIRST: the degree build
-    # reads it from two plan branches (the groupBy and the join probe),
-    # and an un-cached source would be recomputed per branch — for an
-    # expensive upstream (a WARC parse feeding domain_pagerank) that is
-    # 2x the whole ingest. Released below once the degree-joined edge
-    # cache is materialized.
+    # the slim (_s,_d) projection is cached AND MATERIALIZED first: the
+    # degree build reads it from two plan branches (the groupBy and the
+    # join probe) and the node derivation from two more (the union) —
+    # those stages are independent, the scheduler runs them
+    # CONCURRENTLY, and a not-yet-materialized cache gives each racer
+    # its own full recompute of the upstream (measured: a WARC parse
+    # feeding domain_pagerank re-ran 1-3x per invocation before the
+    # count). One deliberate pass here makes every later read a cache
+    # hit. Released below once the degree-joined edge cache exists.
     e0 = _project_edges(edges, src, dst, dedup_edges).persist()
+    e0.count()
     # out-degree folded onto the edge so the hot loop never re-joins it;
     # the join's own hashpartitioning(_s) IS the layout every
     # iteration's join reuses — repartition again only when the caller
@@ -468,9 +472,12 @@ def hits(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     spark = edges.sparkSession
     n_part = _n_partitions(spark, partitions)
-    # slim projection cached first: e_s and e_d each re-read the source
-    # otherwise (2x an expensive upstream — same fix as pagerank's)
+    # slim projection cached AND MATERIALIZED first: e_s/e_d and the
+    # node union read it from independent stages that the scheduler
+    # runs concurrently — before the cache exists each racer recomputes
+    # the upstream in full (same stage-race fix as pagerank's)
     e0 = _project_edges(edges, src, dst, dedup_edges).persist()
+    e0.count()
     e_s = e0.repartition(n_part, "_s").persist()
     e_d = e0.repartition(n_part, "_d").persist()
     nodes = _derive_nodes(e_s, n_part)
