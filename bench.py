@@ -787,6 +787,9 @@ def main() -> None:
                 warc_html_responses(read_warc(spark, wdir))
             )
             domain_pagerank(links_df, iterations=5, tol=None).count()
+        import shutil as _shutil
+
+        _shutil.rmtree(wdir, ignore_errors=True)
 
     if only:
         # isolation mode: report ONLY the requested rows (the shared

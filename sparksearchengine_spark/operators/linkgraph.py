@@ -164,8 +164,15 @@ def pagerank(
         e = e.repartition(n_part, "_s")
     e = e.persist()
 
-    bare = _derive_nodes(e, n_part)
-    n_nodes = bare.count()  # 1-row action; also materializes the persists
+    # nodes derive from the MATERIALIZED e0, not from e: _derive_nodes'
+    # union is two more independent stages, and pointing them at the
+    # not-yet-cached degree-joined frame would re-run the degree build
+    # per branch — the same race as above, one level up (r10 review).
+    bare = _derive_nodes(e0, n_part)
+    n_nodes = bare.count()
+    e.count()  # single-consumer materialization of the degree-joined
+    # cache (its deg + probe branches read the e0 cache), THEN the
+    # projection can be released
     e0.unpersist()
     if n_nodes == 0:
         e.unpersist()
@@ -340,6 +347,14 @@ def rank_pages(
             f"output column {out_col!r} already exists in the corpus; "
             "pick a different out_col"
         )
+    if "_lg_domain" in corpus.columns:
+        # reserved join key: withColumn would silently REPLACE and the
+        # final drop would delete user data (the distributed_prefix
+        # '_dp_' precedent; r10 review)
+        raise ValueError(
+            "rank_pages reserves the '_lg_domain' column name; rename "
+            "it in the corpus first"
+        )
     from sparksearchengine_spark.operators.search import decide_broadcast
     from sparksearchengine_spark.operators.weburl import (
         registered_domain,
@@ -480,9 +495,13 @@ def hits(
     e0.count()
     e_s = e0.repartition(n_part, "_s").persist()
     e_d = e0.repartition(n_part, "_d").persist()
-    nodes = _derive_nodes(e_s, n_part)
-    n_nodes = nodes.count()  # materializes e_s (via nodes) and its cache
-    e_d.count()  # materialize the second layout, then drop the source
+    # nodes from the MATERIALIZED e0 (same rows as e_s): _derive_nodes'
+    # two union branches over a not-yet-cached e_s would re-run its
+    # shuffle per branch (r10 review — same race as pagerank's)
+    nodes = _derive_nodes(e0, n_part)
+    n_nodes = nodes.count()
+    e_s.count()  # single-consumer materialization of each layout from
+    e_d.count()  # the e0 cache, then the projection can be released
     e0.unpersist()
     if n_nodes == 0:
         e_s.unpersist()

@@ -295,6 +295,13 @@ class TestRankPages:
                 self._corpus(spark).withColumn("domain_rank", F_lit0()),
                 self._ranks(spark),
             )
+        # reserved join key: silently replacing + dropping a user's
+        # _lg_domain column would be data loss (r10 review)
+        with pytest.raises(ValueError, match="_lg_domain"):
+            rank_pages(
+                self._corpus(spark).withColumn("_lg_domain", F_lit0()),
+                self._ranks(spark),
+            )
 
 
 def F_lit0():
