@@ -782,14 +782,16 @@ def main() -> None:
                         f"Content-Length: {len(body)}\r\n\r\n"
                     ).encode()
                     fh.write(_gzip.compress(hdr + body + b"\r\n\r\n"))
-        with timed("crawl_ingest"):
-            links_df = warc_outlinks(
-                warc_html_responses(read_warc(spark, wdir))
-            )
-            domain_pagerank(links_df, iterations=5, tol=None).count()
         import shutil as _shutil
 
-        _shutil.rmtree(wdir, ignore_errors=True)
+        try:
+            with timed("crawl_ingest"):
+                links_df = warc_outlinks(
+                    warc_html_responses(read_warc(spark, wdir))
+                )
+                domain_pagerank(links_df, iterations=5, tol=None).count()
+        finally:
+            _shutil.rmtree(wdir, ignore_errors=True)
 
     if only:
         # isolation mode: report ONLY the requested rows (the shared

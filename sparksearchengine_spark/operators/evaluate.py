@@ -310,12 +310,14 @@ def classification_metrics(
     # retries. _rp rides a WIDER integer part: this lifts the OVERFLOW
     # bound — Σ _p·midrank ≈ P·T exceeded decimal(38,18)'s 20 integer
     # digits already at ~1e10 rows; at scale 6 the sum stays
-    # representable to ~1e32 (r9 ADVICE). Addend exactness (.5
-    # granularity: p integer x midrank half-integer) additionally holds
-    # while p·midrank < 2^53 — beyond that the DOUBLE product rounds
-    # BEFORE the cast; both engines compute the identical double, so
-    # determinism and oracle parity survive, and the ~1e-16 relative
-    # error is invisible at the 6dp the result rounds to.
+    # representable up to ~1e16 rows per class (sum ≈ P·T < 1e32; r9
+    # ADVICE). Addend exactness (.5 granularity: p integer x midrank
+    # half-integer) additionally holds while p·midrank < 2^52 (doubles
+    # have unit spacing from 2^52, so x.5 rounds there) — beyond that
+    # the DOUBLE product rounds BEFORE the cast; both engines compute
+    # the identical double, so determinism and oracle parity survive,
+    # and the ~1e-16 relative error is invisible at the 6dp the result
+    # rounds to.
     _dec18 = "decimal(38,18)"
     _dec6 = "decimal(38,6)"
     ap_terms = cum.select(

@@ -347,13 +347,14 @@ def rank_pages(
             f"output column {out_col!r} already exists in the corpus; "
             "pick a different out_col"
         )
-    if "_lg_domain" in corpus.columns:
-        # reserved join key: withColumn would silently REPLACE and the
-        # final drop would delete user data (the distributed_prefix
-        # '_dp_' precedent; r10 review)
+    if "_lg_domain" in corpus.columns or out_col == "_lg_domain":
+        # reserved join key: a corpus column would be silently REPLACED
+        # then dropped (the distributed_prefix '_dp_' precedent), and
+        # out_col='_lg_domain' would alias two rank-side columns the
+        # same and die as an opaque AMBIGUOUS_REFERENCE (r10 review)
         raise ValueError(
             "rank_pages reserves the '_lg_domain' column name; rename "
-            "it in the corpus first"
+            "it in the corpus / pick a different out_col"
         )
     from sparksearchengine_spark.operators.search import decide_broadcast
     from sparksearchengine_spark.operators.weburl import (
@@ -422,9 +423,15 @@ def weakly_connected_components(
     """
     from sparksearchengine_spark.operators.dedup import connected_components
 
+    # projection cached AND MATERIALIZED before anything fans out: the
+    # ids union reads it from two concurrent stages, and the pair build
+    # + connected_components' internal union re-read it — an un-cached
+    # frame would recompute an expensive upstream per racer/round (the
+    # same stage-race class fixed in pagerank/hits; r10 review pass 2)
     e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b")).where(
         F.col("_a").isNotNull() & F.col("_b").isNotNull()
-    )
+    ).persist()
+    e.count()
     ids = (
         e.select(F.col("_a").alias("node"))
         .union(e.select(F.col("_b").alias("node")))
@@ -436,12 +443,17 @@ def weakly_connected_components(
         # pr_curve's grouped cache
         .persist()
     )
+    ids.count()  # materialize before the multi-branch consumers race
     pairs = (
         e.join(ids.select(F.col("node").alias("_a"), F.col("_h").alias("id_a")), "_a")
         .join(ids.select(F.col("node").alias("_b"), F.col("_h").alias("id_b")), "_b")
         .select("id_a", "id_b")
     )
     comp = connected_components(pairs)
+    # connected_components checkpoints its result per round and caches
+    # its own edge layout, so neither comp nor the returned frame reads
+    # e anymore — only the retained ids cache
+    e.unpersist()
     out = (
         ids.join(comp, ids["_h"] == comp["id"], "left")
         .select(
