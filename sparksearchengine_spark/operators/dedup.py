@@ -28,6 +28,8 @@ import math
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
+
+from sparksearchengine_spark.operators.cache import materialize
 from pyspark.sql import functions as F
 
 from sparksearchengine_spark.functions.analyzers import analyzer_expr
@@ -147,9 +149,11 @@ def ngram_jaccard_join(
     those prefixes; each candidate is then verified with the true Jaccard,
     so the result is exact (no LSH false negatives).
     """
-    ga = _gram_arrays(
+    # materialized, not just persisted: grams/sizes/verify read this
+    # from independent stages of one job (stage-race guard, r10)
+    ga = materialize(_gram_arrays(
         _widen(df), id_col, text_col, n, analyzer
-    ).persist()
+    ))
     grams = ga.select("id", F.explode("gs").alias("gram"))
     sizes = ga.select("id", F.size("gs").alias("sz"))
 
@@ -250,8 +254,10 @@ def ngram_jaccard_join_cross(
     id_b`` constraint, and a doc appearing in both corpora matches
     itself, which is exactly the answer the ingestion question wants.
     """
-    gl = _gram_arrays(_widen(left), id_col, text_col, n, analyzer).persist()
-    gr = _gram_arrays(_widen(right), id_col, text_col, n, analyzer).persist()
+    # materialized: freq/prefixes/verify fan out over both gram
+    # tables in one job (stage-race guard, r10)
+    gl = materialize(_gram_arrays(_widen(left), id_col, text_col, n, analyzer))
+    gr = materialize(_gram_arrays(_widen(right), id_col, text_col, n, analyzer))
     grams_l = gl.select("id", F.explode("gs").alias("gram"))
     grams_r = gr.select("id", F.explode("gs").alias("gram"))
 
@@ -320,7 +326,9 @@ def minhash_lsh_join(
             f"bands={bands} must divide num_hashes={num_hashes} "
             "(trailing hashes would be silently ignored)"
         )
-    gl = _gram_arrays(_widen(left), id_col, text_col, n, analyzer).persist()
+    # materialized: band table + Jaccard verify read gl from two
+    # branches of one job (stage-race guard, r10)
+    gl = materialize(_gram_arrays(_widen(left), id_col, text_col, n, analyzer))
     corp = prepare_lsh_corpus(
         right, id_col=id_col, text_col=text_col, n=n,
         num_hashes=num_hashes, bands=bands, analyzer=analyzer,
@@ -390,10 +398,12 @@ def prepare_lsh_corpus(
             f"bands={bands} must divide num_hashes={num_hashes} "
             "(trailing hashes would be silently ignored)"
         )
-    gr = _gram_arrays(_widen(df), id_col, text_col, n, analyzer).persist()
+    # both materialized: a percolating/joining consumer reads the
+    # band table AND the gram table in one job (stage-race guard, r10)
+    gr = materialize(_gram_arrays(_widen(df), id_col, text_col, n, analyzer))
     return LshCorpus(
         grams=gr,
-        bands_df=_band_table(gr, num_hashes, bands).persist(),
+        bands_df=materialize(_band_table(gr, num_hashes, bands)),
         n=n, num_hashes=num_hashes, bands=bands, analyzer=analyzer,
     )
 
@@ -526,9 +536,11 @@ def minhash_lsh_dedup(
     Jaccard ≥ threshold. The scale path for 100 TB (signatures are
     num_hashes longs per doc; raw grams never pair-joined beyond
     candidates)."""
-    ga = _gram_arrays(
+    # materialized: the candidate build and the Jaccard verify read
+    # ga from independent stages of one job (stage-race guard, r10)
+    ga = materialize(_gram_arrays(
         _widen(df), id_col, text_col, n, analyzer
-    ).persist()
+    ))
     sigs = _signatures_from_grams(ga, num_hashes)
     cand = minhash_lsh_candidates(sigs, num_hashes, bands)
     return _verify_jaccard(cand, ga, threshold)
@@ -553,17 +565,21 @@ def connected_components(
     doubles each round), and convergence is detected by counting changed
     labels.
     """
-    edges = pairs.select(
+    # the un-flipped half is materialized FIRST: the undirected union
+    # reads it from two branches, and an un-cached caller pipeline
+    # (band joins, gram verifies) would be recomputed per branch
+    # (stage-race guard, r10); released once edges are materialized
+    half = materialize(pairs.select(
         F.col(id_a).cast("long").alias("src"),
         F.col(id_b).cast("long").alias("dst"),
-    )
-    edges = (
-        edges.unionByName(
-            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ))
+    edges = materialize(
+        half.unionByName(
+            half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
         .distinct()
-        .persist()
     )
+    half.unpersist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -749,7 +765,9 @@ def simhash_dedup(
     """
     if max_hamming > 3:
         raise ValueError("block scheme supports max_hamming <= 3 (4 blocks)")
-    sh = simhash(df, id_col, text_col, 64, analyzer).persist()
+    # materialized: 8 self-join arms + the Hamming verify read sh in
+    # one job (stage-race guard, r10)
+    sh = materialize(simhash(df, id_col, text_col, 64, analyzer))
     cands = None
     for blk in range(4):
         a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
@@ -1167,15 +1185,16 @@ def winnow_overlap_pairs(
     # re-evaluates on the pre-shuffle side, which is ONE task for a
     # single-split input (measured 180s vs 3s at sf0.1). The outer
     # variant infers nothing; its NULL row dies in the sentinel filter.
-    e = sel.select("id", F.explode_outer("sel").alias("h")).where(
+    e = materialize(sel.select("id", F.explode_outer("sel").alias("h")).where(
         # an empty/whitespace doc's selection is [md5('')] — a sentinel,
         # not content: without this filter every empty doc pairs with
         # every other at overlap 1.0 (r3 review), and quadratically so
         F.col("h") != F.md5(F.lit(""))
-    ).persist()
-    # ^ persisted: the fingerprint table feeds several plan branches (df
-    # cap, both join sides, sizes); (id, hash) rows only — raw text
-    # never cached. Session-lived, matching ngram_jaccard_join's cache.
+    ))
+    # ^ persisted + materialized (stage-race guard, r10): the
+    # fingerprint table feeds several plan branches of one job (df cap,
+    # both join sides, sizes); (id, hash) rows only — raw text never
+    # cached. Session-lived, matching ngram_jaccard_join's cache.
     if max_hash_df is not None:
         hd = (
             e.groupBy("h")
@@ -1295,7 +1314,9 @@ def edit_distance_join(
             F.array_distinct(grams).alias(f"g_{tag}"),
         )
 
-    a = prep(df, "a").persist()
+    # materialized: freq/prefix/verify read the prepared side from
+    # independent stages of one job (stage-race guard, r10)
+    a = materialize(prep(df, "a"))
     b = prep(other, "b") if other is not None else (
         a.select(
             F.col("id_a").alias("id_b"),

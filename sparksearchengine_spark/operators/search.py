@@ -1076,6 +1076,11 @@ def _dsl_scored_union(
             # per signature (date/Decimal/in-set), which a single
             # shared frame cannot carry.)
             tmatch = tmatch.persist()
+            tmatch.count()  # materialize BEFORE the per-signature
+            # branches fan out: they read this from independent stages
+            # of one job, and a cold cache re-runs the corpus-wide
+            # score aggregation once per signature — exactly what this
+            # persist exists to avoid (stage-race guard, r10)
             index.register_cache(tmatch)
             branches.append(
                 tmatch.where(

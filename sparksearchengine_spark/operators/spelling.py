@@ -224,6 +224,9 @@ def correct_queries(
         .join(qlen, "_qid")
         .persist()
     )
+    cands.count()  # materialize: the broadcast candidate-term set, the
+    # transition builds, and the per-position Viterbi joins read this
+    # from independent stages (stage-race guard, r10)
     # register so index.unpersist()/release_caches() frees the block —
     # no leaked cached frames in a long-lived session
     index.register_cache(cands)
@@ -265,6 +268,9 @@ def correct_queries(
         .select("w1", "w2", F.log(F.col("_c12") / F.col("_c1")).alias("_lp_big"))
         .persist()
     )
+    trans.count()  # materialize: every Viterbi position joins this —
+    # a cold cache would re-run the corpus bigram scan once per
+    # position in the first job (stage-race guard, r10)
     index.register_cache(trans)
 
     # -- distributed Viterbi ----------------------------------------------

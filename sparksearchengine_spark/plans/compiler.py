@@ -40,6 +40,7 @@ from typing import TYPE_CHECKING
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sparksearchengine_spark.operators.cache import materialize
 from sparksearchengine_spark.functions.analyzers import tokenize_py
 from sparksearchengine_spark.plans import ast
 
@@ -207,8 +208,14 @@ def _phrase(index: "SearchIndex", node: ast.MatchPhrase) -> DataFrame:
         )
     # one scan of postings for all phrase terms, then n-way self-join on
     # doc_id; adjacency: exists p in pos_0 with p+i in pos_i for all i.
-    scored = _scored_postings(index, node.field, sorted(set(terms))).persist()
-    index._phrase_caches.append(scored)  # released by SearchIndex.unpersist()
+    # materialized, not just persisted: the n per-term join sides read
+    # this from independent stages of ONE job, and a cold cache would
+    # re-run the postings-x-termstats scoring join once per term
+    # (stage-race guard, r10); released by SearchIndex.unpersist()
+    scored = materialize(
+        _scored_postings(index, node.field, sorted(set(terms)))
+    )
+    index._phrase_caches.append(scored)
     joined = None
     for i, t in enumerate(terms):
         side = scored.where(F.col("term") == t).select(
@@ -508,7 +515,10 @@ def _near(index: "SearchIndex", node: "ast.MatchNear") -> DataFrame:
             f"proximity query on field {node.field!r} requires "
             "positions=True"
         )
-    scored = _scored_postings(index, node.field, sorted(set(terms))).persist()
+    # materialized: same n-branch stage-race guard as the phrase path
+    scored = materialize(
+        _scored_postings(index, node.field, sorted(set(terms)))
+    )
     index._phrase_caches.append(scored)
     joined = None
     for i, t in enumerate(terms):

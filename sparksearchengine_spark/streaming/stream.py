@@ -285,6 +285,10 @@ def neardup_filter_stream(
         gl = _gram_arrays(
             _widen(batch_df), id_col, text_col, n, analyzer
         ).persist()
+        gl.count()  # materialize: the band table and the Jaccard
+        # verify read gl from independent stages of the batch job —
+        # a cold cache tokenizes the micro-batch once per branch
+        # (stage-race guard, r10)
         try:
             matches = (
                 lsh_join_prepared(gl, corp, threshold)
@@ -530,6 +534,8 @@ def prepare_percolator(
         )
         .persist()
     )
+    out.count()  # materialize: each micro-batch's match job reads the
+    # registry from more than one stage (stage-race guard, r10)
     _percolator_caches.append(out)
     return out
 
