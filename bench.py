@@ -708,8 +708,16 @@ def main() -> None:
                 q = f20.match_term("dup") & ~f20.match_term(toks16[i % 4])
             regs20.append((i, _ser20(q)))
         qdf20 = spark.createDataFrame(regs20, "qid long, qjson string")
-        with timed("percolate_registry"):
-            percolate_dsl_df(bidx20, qdf20, "qjson", "qid").count()
+        # min-of-3 by construction (r10 verdict #4): this row's cost is
+        # dominated by Python-worker + registry-prep startup that swings
+        # with VM load; BASELINE.md's fastest-of-N adjudication rule is
+        # baked into the reported value.
+        runs20 = []
+        for _ in range(3):
+            with timed("percolate_registry"):
+                percolate_dsl_df(bidx20, qdf20, "qjson", "qid").count()
+            runs20.append(timings["percolate_registry"])
+        timings["percolate_registry"] = min(runs20)
         bidx20.unpersist()
 
     # 38. PageRank over a synthetic ~1M-edge graph (r9 verdict #2):
@@ -739,57 +747,59 @@ def main() -> None:
     # 39. end-to-end crawl ingest (r9 verdict #2): generated
     # multi-record .warc.gz fixtures (32 files x 64 HTML responses x 8
     # outlinks over 200 domains, one gzip member per record — the
-    # Common Crawl layout) -> read_warc -> warc_html_responses ->
-    # warc_outlinks -> domain_pagerank. Fixture WRITE is outside the
-    # timer (it is the dependency); the timed span is the whole parse +
-    # HTML split + outlink extraction + domain ranking pipeline.
+    # Common Crawl layout) -> warc_outlink_edges (the r11 FUSED path:
+    # parse + HTTP split + outlink extraction in ONE Arrow pass; the
+    # html payload never crosses Arrow) -> domain_pagerank. Fixture
+    # WRITE is untimed (it is the dependency) but INSIDE the try so an
+    # exception cannot leak the temp dir (r10 ADVICE). The row is
+    # min-of-3 BY CONSTRUCTION (r10 verdict #4): its wall clock swings
+    # ~3x with Python-worker spawn jitter on a loaded VM, and
+    # BASELINE.md's standing adjudication rule for it is fastest-of-N —
+    # now baked into the reported value.
     if want("crawl_ingest"):
         import gzip as _gzip
+        import shutil as _shutil
         import tempfile as _tempfile
 
         from sparksearchengine_spark.operators.linkgraph import (
             domain_pagerank,
         )
-        from sparksearchengine_spark.sources.warc import (
-            read_warc,
-            warc_html_responses,
-            warc_outlinks,
-        )
+        from sparksearchengine_spark.sources.warc import warc_outlink_edges
 
         wdir = _tempfile.mkdtemp(prefix="bench_crawl_")
-        n_files, per_file, n_dom = 32, 64, 200
-        for fi in range(n_files):
-            with open(f"{wdir}/f{fi:02d}.warc.gz", "wb") as fh:
-                for pi in range(per_file):
-                    g = fi * per_file + pi
-                    dom = g % n_dom
-                    links = "".join(
-                        f'<a href="http://d{(dom * 7 + j * 13 + g) % n_dom}'
-                        f'.example/p{j}">x</a>'
-                        for j in range(8)
-                    )
-                    html = f"<html><body>{links}</body></html>".encode()
-                    body = (
-                        b"HTTP/1.1 200 OK\r\n"
-                        b"Content-Type: text/html\r\n\r\n" + html
-                    )
-                    hdr = (
-                        "WARC/1.0\r\nWARC-Type: response\r\n"
-                        f"WARC-Target-URI: http://d{dom}.example/page{g}\r\n"
-                        "WARC-Date: 2026-01-01T00:00:00Z\r\n"
-                        f"WARC-Record-ID: <urn:uuid:{g}>\r\n"
-                        "Content-Type: application/http; msgtype=response\r\n"
-                        f"Content-Length: {len(body)}\r\n\r\n"
-                    ).encode()
-                    fh.write(_gzip.compress(hdr + body + b"\r\n\r\n"))
-        import shutil as _shutil
-
         try:
-            with timed("crawl_ingest"):
-                links_df = warc_outlinks(
-                    warc_html_responses(read_warc(spark, wdir))
-                )
-                domain_pagerank(links_df, iterations=5, tol=None).count()
+            n_files, per_file, n_dom = 32, 64, 200
+            for fi in range(n_files):
+                with open(f"{wdir}/f{fi:02d}.warc.gz", "wb") as fh:
+                    for pi in range(per_file):
+                        g = fi * per_file + pi
+                        dom = g % n_dom
+                        links = "".join(
+                            f'<a href="http://d{(dom * 7 + j * 13 + g) % n_dom}'
+                            f'.example/p{j}">x</a>'
+                            for j in range(8)
+                        )
+                        html = f"<html><body>{links}</body></html>".encode()
+                        body = (
+                            b"HTTP/1.1 200 OK\r\n"
+                            b"Content-Type: text/html\r\n\r\n" + html
+                        )
+                        hdr = (
+                            "WARC/1.0\r\nWARC-Type: response\r\n"
+                            f"WARC-Target-URI: http://d{dom}.example/page{g}\r\n"
+                            "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                            f"WARC-Record-ID: <urn:uuid:{g}>\r\n"
+                            "Content-Type: application/http; msgtype=response\r\n"
+                            f"Content-Length: {len(body)}\r\n\r\n"
+                        ).encode()
+                        fh.write(_gzip.compress(hdr + body + b"\r\n\r\n"))
+            runs = []
+            for _ in range(3):
+                with timed("crawl_ingest"):
+                    links_df = warc_outlink_edges(spark, wdir)
+                    domain_pagerank(links_df, iterations=5, tol=None).count()
+                runs.append(timings["crawl_ingest"])
+            timings["crawl_ingest"] = min(runs)
         finally:
             _shutil.rmtree(wdir, ignore_errors=True)
 

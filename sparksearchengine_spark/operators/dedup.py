@@ -28,11 +28,10 @@ import math
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
-
-from sparksearchengine_spark.operators.cache import materialize
 from pyspark.sql import functions as F
 
 from sparksearchengine_spark.functions.analyzers import analyzer_expr
+from sparksearchengine_spark.operators.cache import materialize
 
 _P = 2_147_483_647  # 2^31 - 1
 

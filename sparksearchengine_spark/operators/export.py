@@ -35,13 +35,26 @@ def _seeded_key(key_col: str, shuffle_seed: int, seed_hash: str):
     (fast, JVM-side, but engine-specific), or the PORTABLE md5 fold
     ``'{seed}:{key}'`` — other engines (the DuckDB oracle included) can
     reproduce the md5 path byte-for-byte, so it is the cross-engine
-    contract; xxhash64 stays the default for speed."""
+    contract; xxhash64 stays the default for speed.
+
+    NULL keys: both md5 paths (seeded and unseeded) yield a NULL shard
+    — NULL-key rows are visibly unassigned, never silently bucketed.
+    The xxhash64 path differs by Spark semantics (hash functions SKIP
+    null arguments, so ``xxhash64(seed, NULL) == xxhash64(seed)``, a
+    constant): NULL keys all land in one valid shard. Pinned in
+    ``tests/test_export.py``; pass non-null keys if the distinction
+    matters."""
     if seed_hash == "xxhash64":
         return F.xxhash64(F.lit(int(shuffle_seed)), F.col(key_col))
     if seed_hash == "md5":
-        return F.concat_ws(
-            ":",
-            F.lit(str(int(shuffle_seed))),
+        # F.concat (not concat_ws): a NULL key must yield a NULL seeded
+        # key, matching the unseeded md5(NULL) -> NULL path, the
+        # xxhash64 path, and the DuckDB '{seed}:' || NULL -> NULL
+        # oracle — concat_ws SKIPS NULLs and would hash every NULL-key
+        # row into the one shard of the constant '{seed}' string
+        # (r10 ADVICE).
+        return F.concat(
+            F.lit(f"{int(shuffle_seed)}:"),
             F.col(key_col).cast("string"),
         )
     raise ValueError(

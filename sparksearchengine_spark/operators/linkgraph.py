@@ -367,6 +367,16 @@ def rank_pages(
         F.col("rank").cast("double").alias(out_col),
     )
     if broadcast is None:
+        # the probe (limit(n+1).count()) and the join itself are two
+        # independent evaluations of a possibly-expensive derived rank
+        # frame — persist+materialize so the probe's pass is the only
+        # one (r10 ADVICE; domain_pagerank output is checkpointed, but
+        # arbitrary caller frames are not). Deliberately retained: the
+        # RETURNED lazy frame reads this cache; blocks free on GC of
+        # the result (same lifecycle note as wcc's ids cache).
+        from sparksearchengine_spark.operators.cache import materialize
+
+        ranks = materialize(ranks)
         bc = decide_broadcast(ranks, 1_000_000, trust_bytes=False)
     else:
         bc = broadcast

@@ -71,6 +71,61 @@ _LINK_RES = (
 )
 _HTTP_RE = re.compile(r"^https?://", re.I)
 
+# HTTP response split + decode (shared by warc_html_responses' Arrow UDF
+# and the fused warc_outlink_edges pass — ONE implementation, so the
+# fused path is parity-by-construction with the composed pipeline)
+_STATUS_RE = re.compile(r"HTTP/\d(?:\.\d)?\s+(\d{3})")
+_CHARSET_RE = re.compile(r"charset\s*=\s*[\"']?([\w.:-]+)", re.I)
+_CT_HTML_RE = re.compile(r"content-type:[^\n]*html")
+_HTML_TAG_RE = re.compile(r"(?i)<html")
+
+
+def _split_http(raw: bytes | None) -> tuple[int | None, str, bytes]:
+    """(status, header_text, body_bytes) from a raw HTTP response
+    payload. Header/body cut on the first blank line (CRLF or bare LF);
+    no header block at all -> the whole payload is body. The status
+    line's version may be dotless (HTTP/2, HTTP/3 status lines from
+    modern crawlers — r9 review finding)."""
+    raw = raw or b""
+    cut = raw.find(b"\r\n\r\n")
+    if cut < 0:
+        cut = raw.find(b"\n\n")
+        head, body = (raw[:cut], raw[cut + 2 :]) if cut >= 0 else (b"", raw)
+    else:
+        head, body = raw[:cut], raw[cut + 4 :]
+    htext = head.decode("latin-1", errors="replace")
+    m = _STATUS_RE.match(htext)
+    return (int(m.group(1)) if m else None), htext, body
+
+
+def _decode_http_body(body: bytes, htext: str) -> str:
+    """Charset-aware total decode: the HTTP ``charset=`` header when
+    present and known to Python, else UTF-8 if clean, else latin-1
+    (total, byte-preserving) — always ``errors="replace"``, a crawl
+    always has mojibake."""
+    import codecs
+
+    m = _CHARSET_RE.search(htext)
+    if m:
+        try:
+            codecs.lookup(m.group(1))
+            return body.decode(m.group(1), errors="replace")
+        except LookupError:
+            pass
+    try:
+        return body.decode("utf-8")
+    except UnicodeDecodeError:
+        return body.decode("latin-1", errors="replace")
+
+
+def _is_htmlish(htext: str, html: str) -> bool:
+    """The ``html_only`` predicate, Python side — same two clauses as
+    the composed pipeline's Spark filter (Content-Type mentions html,
+    or the body carries an ``<html`` tag)."""
+    return bool(
+        _CT_HTML_RE.search(htext.lower()) or _HTML_TAG_RE.search(html)
+    )
+
 
 def _read_line(stream: io.BufferedIOBase) -> bytes:
     """One header line (file-object ``readline`` — unbounded only by
@@ -200,6 +255,32 @@ def _default_opener(path: str) -> io.BufferedIOBase:
     return open(local, "rb")
 
 
+def _paths_frame(spark: SparkSession, path: str) -> DataFrame | None:
+    """One-row-per-file frame over a Hadoop-FS glob, one PARTITION per
+    file, or ``None`` when the glob lists nothing.
+
+    Driver-side listing via the binaryFile source (same glob semantics
+    as every Spark path); selecting only ``path`` prunes the content
+    column, so nothing is read here but metadata. Exactly one file per
+    partition: parallelize with an explicit slice count is
+    collision-free, unlike ``repartition(n, "path")`` whose hash
+    assignment leaves ~1/e of the tasks empty and stacks multi-file
+    stragglers on others (balls-in-bins; r9 review finding) — the one
+    RDD seam in the package, and precisely what numSlices exists for."""
+    listed = [
+        r.path
+        for r in spark.read.format("binaryFile").load(path).select("path").collect()
+    ]
+    if not listed:
+        return None
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(p,) for p in sorted(listed)], numSlices=len(listed)
+        ),
+        "path string",
+    )
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -225,28 +306,11 @@ def read_warc(
     open_fn = opener or _default_opener
     cap = max_payload_bytes
 
-    # Driver-side listing via the binaryFile source (same Hadoop-FS glob
-    # semantics as every Spark path); selecting only `path` prunes the
-    # content column, so nothing is read here but metadata.
-    listed = [
-        r.path
-        for r in spark.read.format("binaryFile").load(path).select("path").collect()
-    ]
-    if not listed:
+    paths = _paths_frame(spark, path)
+    if paths is None:
         return spark.createDataFrame([], RECORD_SCHEMA).withColumn(
             id_col, F.xxhash64("path", "offset")
         )
-    # exactly one file per partition: parallelize with an explicit slice
-    # count is collision-free, unlike repartition(n, "path") whose hash
-    # assignment leaves ~1/e of the tasks empty and stacks multi-file
-    # stragglers on others (balls-in-bins; r9 review finding) — the one
-    # RDD seam in the package, and precisely what numSlices exists for
-    paths = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-            [(p,) for p in sorted(listed)], numSlices=len(listed)
-        ),
-        "path string",
-    )
     batch_bytes = 64 << 20  # flush by bytes too — rows near the payload
     # cap must not stack batch_rows x cap in one Arrow batch
 
@@ -299,41 +363,14 @@ def warc_html_responses(records: DataFrame, html_only: bool = True) -> DataFrame
 
     @pandas_udf("http_status int, http_headers string, html string")
     def _split(payload):  # type: ignore[no-untyped-def]
-        import codecs
-
         import pandas as pd
-
-        charset_re = re.compile(r"charset\s*=\s*[\"']?([\w.:-]+)", re.I)
-
-        def decode_body(body, htext):
-            m = charset_re.search(htext)
-            if m:
-                try:
-                    codecs.lookup(m.group(1))
-                    return body.decode(m.group(1), errors="replace")
-                except LookupError:
-                    pass
-            try:
-                return body.decode("utf-8")
-            except UnicodeDecodeError:
-                return body.decode("latin-1", errors="replace")
 
         statuses, hdrs, bodies = [], [], []
         for raw in payload:
-            raw = raw or b""
-            cut = raw.find(b"\r\n\r\n")
-            if cut < 0:
-                cut = raw.find(b"\n\n")
-                head, body = (raw[:cut], raw[cut + 2 :]) if cut >= 0 else (b"", raw)
-            else:
-                head, body = raw[:cut], raw[cut + 4 :]
-            htext = head.decode("latin-1", errors="replace")
-            # version may be dotless (HTTP/2, HTTP/3 status lines from
-            # modern crawlers) — r9 review finding
-            m = re.match(r"HTTP/\d(?:\.\d)?\s+(\d{3})", htext)
-            statuses.append(int(m.group(1)) if m else None)
+            status, htext, body = _split_http(raw)
+            statuses.append(status)
             hdrs.append(htext)
-            bodies.append(decode_body(body, htext))
+            bodies.append(_decode_http_body(body, htext))
         return pd.DataFrame(
             {"http_status": statuses, "http_headers": hdrs, "html": bodies}
         )
@@ -419,6 +456,105 @@ def warc_outlinks(
         "doc_id",
         F.col(uri_col).alias("target_uri"),
         F.explode(_links(F.col(html_col), F.col(uri_col))).alias("outlink"),
+    )
+
+
+def warc_outlink_edges(
+    spark: SparkSession,
+    path: str,
+    html_only: bool = True,
+    max_payload_bytes: int | None = 64 << 20,
+    batch_rows: int = 4096,
+    opener: Callable[[str], io.BufferedIOBase] | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """FUSED crawl-graph entry point: ``read_warc`` ->
+    ``warc_html_responses`` -> ``warc_outlinks`` collapsed into ONE
+    ``mapInPandas`` pass — record framing, HTTP split, charset decode,
+    ``html_only`` filter, and outlink extraction all run in the same
+    Python worker loop, and only the tiny edge rows ``(doc_id,
+    target_uri, outlink)`` ever cross Arrow.
+
+    Why this exists (r10 verdict #1): the composed pipeline is three
+    Python-worker stages, and the bulky ``html`` column crosses Arrow
+    TWICE (emitted by the HTTP-split UDF, re-ingested by the outlink
+    UDF) — at 100 TB that is 2x the whole crawl payload serialized for
+    nothing. The fused path shares every helper with the composed one
+    (``iter_warc_records``, ``_split_http``, ``_decode_http_body``,
+    ``_is_htmlish``, ``extract_outlinks`` — the reference-parity mirror
+    of ``WarcHTMLResponseRecord.java:168``), so the edge set is
+    parity-by-construction; ``tests/test_warc_source.py`` pins
+    fused == composed on multi-record fixtures. The composed operators
+    stay as the general surface (when the html itself is the product —
+    text extraction, boilerplate stripping — it must cross Arrow once
+    anyway and the fused path buys nothing).
+
+    Scale shape: identical to ``read_warc`` — one task per unsplittable
+    ``.warc.gz``, bounded-memory streaming parse, ``response`` records
+    only; the per-record html is DROPPED after extraction, so worker
+    memory holds one payload at a time and the Arrow batches are
+    small-string edges (``batch_rows`` bounds them by row count; no
+    byte accounting needed — edges are ~100 B).
+
+    ``doc_id`` is ``xxhash64(path, offset)``, the same key ``read_warc``
+    assigns, so fused edges join back to any record-level frame.
+    """
+    open_fn = opener or _default_opener
+    cap = max_payload_bytes
+    edge_schema = (
+        "path string, offset long, target_uri string, outlink string"
+    )
+
+    paths = _paths_frame(spark, path)
+    if paths is None:
+        return (
+            spark.createDataFrame([], edge_schema)
+            .withColumn(id_col, F.xxhash64("path", "offset"))
+            .select(id_col, "target_uri", "outlink")
+        )
+
+    def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        for pdf in batches:
+            for p in pdf["path"]:
+                rows: list[tuple[str, int, str, str]] = []
+                with open_fn(p) as fh:
+                    stream = (
+                        fh
+                        if isinstance(fh, io.BufferedIOBase)
+                        else io.BufferedReader(fh)  # type: ignore[arg-type]
+                    )
+                    for rec in iter_warc_records(
+                        stream,
+                        record_types=frozenset({"response"}),
+                        max_payload_bytes=cap,
+                    ):
+                        _status, htext, body = _split_http(rec["payload"])
+                        html = _decode_http_body(body, htext)
+                        if html_only and not _is_htmlish(htext, html):
+                            continue
+                        uri = rec["target_uri"]
+                        off = rec["offset"]
+                        for link in extract_outlinks(html, uri):
+                            rows.append((p, off, uri, link))
+                        if len(rows) >= batch_rows:
+                            yield pd.DataFrame(
+                                rows,
+                                columns=[
+                                    "path", "offset", "target_uri", "outlink"
+                                ],
+                            )
+                            rows = []
+                if rows:
+                    yield pd.DataFrame(
+                        rows,
+                        columns=["path", "offset", "target_uri", "outlink"],
+                    )
+
+    out = paths.mapInPandas(parse, edge_schema)
+    return out.withColumn(id_col, F.xxhash64("path", "offset")).select(
+        id_col, "target_uri", "outlink"
     )
 
 
@@ -578,6 +714,7 @@ __all__ = [
     "read_warc",
     "warc_html_responses",
     "warc_outlinks",
+    "warc_outlink_edges",
     "extract_outlinks",
     "read_wet_text",
     "read_wat_metadata",

@@ -115,9 +115,10 @@ ALLOWLIST = {
             "contract (reference getIndicesInfo)"),
     ("operators/stats.py", "validate_index"):
         (1, "1-row: integrity-audit aggregate frame"),
-    ("sources/warc.py", "read_warc"):
+    ("sources/warc.py", "_paths_frame"):
         (1, "file-listing: one path row per WARC file (driver metadata "
-            "pass; gzip files are the parallelism unit)"),
+            "pass; gzip files are the parallelism unit — shared by "
+            "read_warc and the fused warc_outlink_edges)"),
     ("streaming/stream.py", "_index_over_postings"):
         (1, "per-field: doc_count/avgdl stats per text field"),
 }

@@ -142,6 +142,35 @@ class TestEpochShuffle:
                 docs, shuffle_seed=1, seed_hash="sha1"
             ).collect()
 
+    def test_null_key_shard_contract(self, spark):
+        """r10 ADVICE: a NULL key must NOT be silently bucketed by the
+        portable paths. Unseeded md5 and seeded md5 both yield a NULL
+        shard (md5(NULL) -> NULL; the seeded fold uses F.concat so NULL
+        propagates — concat_ws would have collapsed it to the constant
+        '{seed}' string). xxhash64 differs by Spark hash semantics
+        (null args are SKIPPED): NULL keys land in ONE valid constant
+        shard — pinned here so the divergence is documented behavior."""
+        df = spark.createDataFrame(
+            [("a",), ("b",), (None,), (None,)], "k string"
+        )
+        plain = shard_assignments(df, key_col="k", num_shards=8)
+        md5 = shard_assignments(
+            df, key_col="k", num_shards=8, shuffle_seed=7, seed_hash="md5"
+        )
+        for out in (plain, md5):
+            rows = {r.k: r.shard for r in out.collect()}
+            assert rows["a"] is not None and rows["b"] is not None
+            null_shards = [
+                r.shard for r in out.collect() if r.k is None
+            ]
+            assert null_shards == [None, None]
+        xx = shard_assignments(
+            df, key_col="k", num_shards=8, shuffle_seed=7,
+            seed_hash="xxhash64",
+        )
+        null_xx = {r.shard for r in xx.collect() if r.k is None}
+        assert len(null_xx) == 1 and None not in null_xx
+
     def test_seeded_membership_differs_from_unseeded(self, spark):
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         plain = {

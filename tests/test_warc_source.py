@@ -21,6 +21,7 @@ from sparksearchengine_spark.sources.warc import (
     read_wat_metadata,
     read_wet_text,
     warc_html_responses,
+    warc_outlink_edges,
     warc_outlinks,
     wat_outlinks,
 )
@@ -441,6 +442,144 @@ class TestReadWarc:
 
 
 # ------------------------------------------------------- scale contracts
+
+
+class TestFusedOutlinkEdges:
+    """r10 verdict #1: the fused single-Arrow-pass crawl-graph path
+    must produce EXACTLY the composed read_warc -> warc_html_responses
+    -> warc_outlinks edge set (parity-by-construction via the shared
+    helpers, pinned here on real fixtures)."""
+
+    @staticmethod
+    def _edge_set(df):
+        return {
+            (r.doc_id, r.target_uri, r.outlink)
+            for r in df.select("doc_id", "target_uri", "outlink").collect()
+        }
+
+    def test_fused_equals_composed(self, spark, warc_dir):
+        composed = warc_outlinks(
+            warc_html_responses(read_warc(spark, warc_dir))
+        )
+        fused = warc_outlink_edges(spark, warc_dir)
+        assert self._edge_set(fused) == self._edge_set(composed)
+        assert len(self._edge_set(fused)) == 10  # 2 docs x 5 outlinks
+
+    def test_fused_equals_composed_mixed_corpus(self, spark, tmp_path):
+        """Mixed fixture: html with charset, NON-html response (json),
+        headerless-body html, empty-body response — parity on both
+        html_only settings, including the content-type-vs-<html filter
+        clauses."""
+        recs = [
+            _record(
+                "response", "http://a.example/1",
+                _http_response(
+                    '<html><a href="/x">é</a></html>'.encode("iso-8859-1"),
+                    ctype="text/html; charset=ISO-8859-1",
+                ),
+                "r-1",
+            ),
+            _record(
+                "response", "http://a.example/2",
+                _http_response(b'{"a": 1}', ctype="application/json"),
+                "r-2",
+            ),
+            # no HTTP header block at all: whole payload is body, kept
+            # by the <html clause only
+            _record(
+                "response", "http://a.example/3",
+                b'<HTML><a href="http://b.example/y">y</a></HTML>',
+                "r-3",
+            ),
+            _record(
+                "response", "http://a.example/4",
+                _http_response(b"", ctype="text/plain"),
+                "r-4",
+            ),
+            # json body that still LOOKS like html (regex clause fires)
+            _record(
+                "response", "http://a.example/5",
+                _http_response(
+                    b'x <html> <a href="http://c.example/z?q=1#f">z</a>',
+                    ctype="application/octet-stream",
+                ),
+                "r-5",
+            ),
+        ]
+        with open(tmp_path / "m.warc.gz", "wb") as f:
+            for r in recs:
+                f.write(gzip.compress(r))
+        for html_only in (True, False):
+            composed = warc_outlinks(
+                warc_html_responses(
+                    read_warc(spark, str(tmp_path)), html_only=html_only
+                )
+            )
+            fused = warc_outlink_edges(
+                spark, str(tmp_path), html_only=html_only
+            )
+            assert self._edge_set(fused) == self._edge_set(composed), (
+                f"html_only={html_only}"
+            )
+        # the html_only=True set is the 3 htmlish docs' edges
+        uris = {u for _, u, _ in self._edge_set(
+            warc_outlink_edges(spark, str(tmp_path))
+        )}
+        assert uris == {
+            "http://a.example/1", "http://a.example/3", "http://a.example/5"
+        }
+
+    def test_fused_doc_ids_join_back_to_records(self, spark, warc_dir):
+        """doc_id is xxhash64(path, offset) in BOTH paths — fused edges
+        must join back onto the read_warc record frame losslessly."""
+        recs = read_warc(spark, warc_dir).select("doc_id", "record_type")
+        fused = warc_outlink_edges(spark, warc_dir)
+        joined = fused.join(recs, "doc_id", "inner")
+        assert joined.count() == fused.count()
+        assert {
+            r.record_type for r in joined.select("record_type").distinct().collect()
+        } == {"response"}
+
+    def test_empty_glob(self, spark, tmp_path):
+        (tmp_path / "empty").mkdir()
+        out = warc_outlink_edges(spark, str(tmp_path / "empty"))
+        assert out.columns == ["doc_id", "target_uri", "outlink"]
+        assert out.count() == 0
+
+    def test_counting_opener_one_open_per_file(self, spark, tmp_path):
+        """The opener= seam (object-store injection point, r10 verdict
+        #6): a counting opener sees EXACTLY one open per listed file —
+        the fused path adds no extra passes over the bytes. The counter
+        is file-system-based because the opener runs in Python worker
+        PROCESSES, not the driver."""
+        d = tmp_path / "w"
+        d.mkdir()
+        for i in range(3):
+            (d / f"f{i}.warc.gz").write_bytes(
+                gzip.compress(
+                    _record(
+                        "response", f"http://e.x/{i}",
+                        _http_response(HTML), f"r-{i}",
+                    )
+                )
+            )
+        marks = tmp_path / "opened"
+        marks.mkdir()
+
+        def counting_opener(path):
+            base = os.path.basename(path)
+            n = len(list(marks.glob(f"{base}.*")))
+            (marks / f"{base}.{n}").touch()
+            return gzip.open(path.replace("file:", ""), "rb")
+
+        edges = warc_outlink_edges(spark, str(d), opener=counting_opener)
+        # 6 per doc: the fixture's base.example "self" link is not a
+        # self-link under these target URIs
+        assert edges.count() == 3 * 6
+        opened = sorted(p.name for p in marks.glob("*"))
+        assert opened == [
+            "f0.warc.gz.0", "f1.warc.gz.0", "f2.warc.gz.0"
+        ]
 
 
 class TestWarcScale:
