@@ -3409,6 +3409,65 @@ def _weak_components(spark, sf):
     )
 
 
+def _domain_pagerank(spark, sf):
+    """Domain-collapsed PageRank (operators/linkgraph.py::
+    domain_pagerank, r10; first driver oracle r11): page-level outlink
+    URLs built deterministically from events (several pages per
+    domain, so the registered-domain collapse + domain-pair dedup do
+    real work: ~10k URL edges -> <=1.5k domain edges over 40 domains),
+    then the same fixed-iteration recursion as the `pagerank` entry —
+    the oracle reconstructs the domain directly from the same integer
+    arithmetic and reuses the unrolled power-iteration SQL with
+    string-domain nodes."""
+    from sparksearchengine_spark.operators.linkgraph import domain_pagerank
+
+    ev = _read_events(spark, sf)
+    d = F.col("user_id") % LG_N
+    o = (F.col("user_id") * 7 + F.col("event_id")) % LG_N
+    links = ev.select(
+        F.concat(
+            F.lit("http://d"), d.cast("string"), F.lit(".example/p"),
+            (F.col("event_id") % 5).cast("string"),
+        ).alias("target_uri"),
+        F.concat(
+            F.lit("http://d"), o.cast("string"), F.lit(".example/q"),
+            (F.col("event_id") % 3).cast("string"),
+        ).alias("outlink"),
+    )
+    r = domain_pagerank(links, damping=LG_DAMP, iterations=LG_ITER, tol=None)
+    return r.select(
+        "domain", F.round("rank", 6).alias("rank")
+    ).orderBy("domain")
+
+
+def _rank_pages(spark, sf):
+    """Page-level rank transfer (operators/linkgraph.py::rank_pages,
+    r10; first driver oracle r11): messy page URLs (upper scheme, www.,
+    default port — the url_host strip rules all fire) collapse to
+    's<doc_id%7>.example', left-joined against a 5-domain rank table on
+    the probed broadcast ladder; unranked domains take default_rank.
+    The oracle reconstructs the registered domain from the same doc_id
+    arithmetic and joins a VALUES table (ranks are exact binary
+    fractions, so the doubles are bit-identical across engines)."""
+    from sparksearchengine_spark.operators.linkgraph import rank_pages
+
+    docs = _read(spark, sf, "documents")
+    corpus = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTP://WWW.h"), (F.col("doc_id") % 25).cast("string"),
+            F.lit(".s"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".Example:80/p"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    ranks = spark.createDataFrame(
+        [(f"s{i}.example", (i + 1) / 8.0) for i in range(5)],
+        "domain string, rank double",
+    )
+    out = rank_pages(corpus, ranks, url_col="url", default_rank=0.0)
+    return out.select("doc_id", "domain_rank").orderBy("doc_id")
+
+
 def _cls_frame(spark, sf):
     docs = _read(spark, sf, "documents")
     return docs.select(
@@ -3467,32 +3526,30 @@ def _export_shard_shuffle(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordering contract: the driver emits CORRECTNESS rows for the FIRST 50
     # keys only.  Slots 1-30 are pinned to the SURVEY §2.10 qc suite;
-    # slots 31-50 rotate each round.  r10 rotation (VERDICT r9 "Next
-    # round" #1 — the freeze is verdict-lifted for EXACTLY the r9-new
-    # operator families, zero other new entries): slots 31-36 are the
-    # six NEW entries giving those families their first driver rows —
-    # classification_metrics / pr_curve (tie-exact midrank AUC + step
-    # AP via window SQL), pagerank / hits (fixed-iteration unrolled
-    # power-iteration oracles, 6dp ranks), weakly_connected_components
-    # (recursive-CTE reachability, min-node canonical labels), and
-    # export_shard_shuffle (seeded md5-bucket idiom).  Slots 37-50
-    # re-verify entries this round's code touched plus the
-    # heavy-machinery set the r9 judge re-ran: search_eval /
-    # search_eval_summary (evaluate.py decimal-headroom change),
-    # export_shard_assign (export.py seed_hash param), then
-    # query_join_dsl / percolate_dsl / percolate_match / doc_keywords /
-    # more_like_this / text_ppl_buckets / select_budget / pack_chunks /
-    # vocab_top / collocations_pmi / dedup_edit_join (distributed_prefix
-    # + probed-broadcast riders, per the standing rotation-hygiene
-    # discipline).  The r9 rotation rows (text_hash_embed_arrow ...
-    # batch_dsl_mixed, all green in CORRECTNESS_r09) move past the
-    # cutoff.  The only registry keys without an all-time hash row are
-    # the 6 that cannot have one by design (text_compress_ratio — no
-    # DuckDB zlib — and the 5 probabilistic LSH/ANN entries whose
-    # correctness story is the driver-green recall gates).
-    # text_compress_ratio stays parked PERMANENTLY at the very end
-    # (VERDICT r7 #3): it can never hash-match — rows-only by design,
-    # thresholds pytest-pinned.
+    # slots 31-50 rotate each round.  r11 rotation (VERDICT r10 "Next
+    # round" #3 — the freeze is verdict-lifted for EXACTLY the two
+    # named r10-new operators, zero other new entries): slots 31-32 are
+    # rank_pages / domain_pagerank, giving the last two linkgraph
+    # operators their first driver rows (registered-domain VALUES-join
+    # oracle; string-domain unrolled power-iteration oracle).  Slots
+    # 33-50 re-verify what r11 code touched plus the standing
+    # heavy-machinery riders: pagerank / hits /
+    # weakly_connected_components (linkgraph.py rank_pages-materialize
+    # change), export_shard_shuffle / export_shard_assign (export.py
+    # NULL-key seeded-hash fix), dedup_edit_join (dedup.py import
+    # regroup), then classification_metrics / pr_curve / query_join_dsl
+    # / percolate_dsl / percolate_match / doc_keywords / more_like_this
+    # / search_eval / search_eval_summary / select_budget / pack_chunks
+    # / vocab_top (distributed_prefix + probed-broadcast riders, per
+    # the standing rotation-hygiene discipline).  The displaced r10
+    # rotation rows (text_ppl_buckets, collocations_pmi — both green in
+    # CORRECTNESS_r10) move past the cutoff.  The only registry keys
+    # without an all-time hash row are the 6 that cannot have one by
+    # design (text_compress_ratio — no DuckDB zlib — and the 5
+    # probabilistic LSH/ANN entries whose correctness story is the
+    # driver-green recall gates).  text_compress_ratio stays parked
+    # PERMANENTLY at the very end (VERDICT r7 #3): it can never
+    # hash-match — rows-only by design, thresholds pytest-pinned.
     return {
         "qc01_filter_eq": _qc01,
         "qc02_filter_cmp": _qc02,
@@ -3524,29 +3581,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc28_exclusive_range": _qc28,
         "qc29_escaped_term": _qc29,
         "qc30_regex_term": _qc30,
-        # ---- slots 31-36: NEW r10 entries (freeze lifted, VERDICT r9 #1)
-        "classification_metrics": _classification_metrics,
-        "pr_curve": _pr_curve,
+        # ---- slots 31-32: NEW r11 entries (freeze lifted, VERDICT r10 #3)
+        "rank_pages": _rank_pages,
+        "domain_pagerank": _domain_pagerank,
+        # ---- slots 33-50: re-verification rotation (r11-touched + riders)
         "pagerank": _pagerank,
         "hits": _hits,
         "weakly_connected_components": _weak_components,
         "export_shard_shuffle": _export_shard_shuffle,
-        # ---- slots 37-50: re-verification rotation
-        "search_eval": _search_eval,
-        "search_eval_summary": _search_eval_summary,
         "export_shard_assign": _export_shard_assign,
+        "dedup_edit_join": _dedup_edit_join,
+        "classification_metrics": _classification_metrics,
+        "pr_curve": _pr_curve,
         "query_join_dsl": _query_join_dsl,
         "percolate_dsl": _percolate_dsl,
         "percolate_match": _percolate_match,
         "doc_keywords": _doc_keywords,
         "more_like_this": _more_like_this,
-        "text_ppl_buckets": _text_ppl_buckets,
+        "search_eval": _search_eval,
+        "search_eval_summary": _search_eval_summary,
         "select_budget": _select_budget,
         "pack_chunks": _pack_chunks,
         "vocab_top": _vocab_top,
+        # ---- past the driver cutoff (all driver-green in r8/r9/r10)
+        "text_ppl_buckets": _text_ppl_buckets,
         "collocations_pmi": _collocations,
-        "dedup_edit_join": _dedup_edit_join,
-        # ---- past the driver cutoff (all driver-green in r8/r9)
         "text_hash_embed_arrow": _text_hash_embed_arrow,
         "strip_html": _strip_html,
         "search_highlight": _search_highlight,
@@ -3743,18 +3802,33 @@ _LG_WCC_EDGE_SQL = (
     _LG_EDGE_SQL
     + f" AND (user_id % {LG_N}) % 4 = ((user_id * 7 + event_id) % {LG_N}) % 4"
 )
+# domain_pagerank entry (r11): the registered-domain collapse of the
+# deterministic page URLs `_domain_pagerank` builds — reconstructed
+# from the SAME integer arithmetic, so the oracle never parses a URL
+_DPR_EDGE_SQL = (
+    f"SELECT DISTINCT 'd' || CAST(user_id % {LG_N} AS VARCHAR) "
+    f"|| '.example' AS src, "
+    f"'d' || CAST((user_id * 7 + event_id) % {LG_N} AS VARCHAR) "
+    f"|| '.example' AS dst FROM events "
+    f"WHERE user_id % {LG_N} != (user_id * 7 + event_id) % {LG_N}"
+)
 
 
-def _pagerank_oracle_sql() -> str:
+def _pagerank_oracle_sql(
+    edge_sql: str = None, out_col: str = "node"
+) -> str:
     """Unrolled LG_ITER-step damped power iteration, expression-shape
     parity with operators/linkgraph.py::pagerank: contributions
     rank/deg summed per dst, flowed mass via one aggregate, dangling =
     1 - flowed redistributed along the uniform teleport 1/n, new rank =
     ((1-d) + d*dangling)*(1/n) + d*coalesce(in, 0). Literals are
-    written as (1.0 - d) / d so both engines derive the same doubles."""
+    written as (1.0 - d) / d so both engines derive the same doubles.
+    Parameterized over the edge CTE and the output node-column name so
+    the domain_pagerank entry (string-domain nodes) reuses the same
+    recursion (r11)."""
     d = LG_DAMP
     parts = [
-        f"WITH e AS MATERIALIZED ({_LG_EDGE_SQL}),",
+        f"WITH e AS MATERIALIZED ({edge_sql or _LG_EDGE_SQL}),",
         "deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM e GROUP BY src),",
         "nodes AS MATERIALIZED (SELECT src AS node FROM e UNION SELECT dst FROM e),",
         "nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),",
@@ -3777,7 +3851,8 @@ def _pagerank_oracle_sql() -> str:
         )
     parts[-1] = parts[-1].rstrip(",")
     parts.append(
-        f"SELECT node, round(rank, 6) AS rank FROM r{LG_ITER} ORDER BY node"
+        f"SELECT node AS {out_col}, round(rank, 6) AS rank "
+        f"FROM r{LG_ITER} ORDER BY {out_col}"
     )
     return "\n".join(parts)
 
@@ -5034,10 +5109,25 @@ def oracle_sql() -> dict[str, str]:
                         CAST(doc_id AS VARCHAR)), 1, 8)
                         AS BIGINT) % {EXPORT_SHARDS} AS shard
             FROM documents ORDER BY doc_id""",
-        # link-graph toolkit (operators/linkgraph.py, r10 oracles)
+        # link-graph toolkit (operators/linkgraph.py, r10 oracles;
+        # domain_pagerank/rank_pages r11)
         "pagerank": _pagerank_oracle_sql(),
         "hits": _hits_oracle_sql(),
         "weakly_connected_components": _wcc_oracle_sql(),
+        "domain_pagerank": _pagerank_oracle_sql(
+            edge_sql=_DPR_EDGE_SQL, out_col="domain"
+        ),
+        "rank_pages": f"""
+            SELECT d.doc_id, coalesce(r.rank, 0.0) AS domain_rank
+            FROM documents d
+            LEFT JOIN (VALUES
+                ('s0.example', 0.125), ('s1.example', 0.25),
+                ('s2.example', 0.375), ('s3.example', 0.5),
+                ('s4.example', 0.625)
+            ) AS r(domain, rank)
+              ON r.domain = 's' || CAST(d.doc_id % 7 AS VARCHAR)
+                 || '.example'
+            ORDER BY d.doc_id""",
         # classifier evaluation (operators/evaluate.py, r10 oracles)
         "classification_metrics": _classification_metrics_oracle_sql(),
         "pr_curve": _pr_curve_oracle_sql(),
