@@ -8,10 +8,14 @@ stage):
 
 1. ingest      — ``read_warc``: one task per ``.warc.gz`` file (gzip is
                  the parallelism unit), streaming bounded-memory parse.
-2. link graph  — ``warc_html_responses`` → ``warc_outlinks`` →
-                 ``domain_pagerank``: the registered-domain PageRank
-                 quality prior (exact dangling redistribution, one
-                 shuffle per iteration).
+2. link graph  — ``warc_outlink_edges`` → ``domain_pagerank``: the
+                 FUSED graph path (HTTP split + outlink extraction in
+                 one Arrow pass; the html payload never crosses Arrow —
+                 use the composed ``warc_html_responses`` →
+                 ``warc_outlinks`` instead when the html itself is the
+                 product), then the registered-domain PageRank quality
+                 prior (exact dangling redistribution, one shuffle per
+                 iteration).
 3. text        — ``read_wet_text``: conversion records as a documents
                  frame (only they cross the Arrow boundary).
 4. curate      — per-doc quality signals (``token_stats``, Gopher
@@ -116,16 +120,31 @@ def main(out: str | None = None) -> None:
     from sparksearchengine_spark.sources import (
         read_warc,
         read_wet_text,
-        warc_html_responses,
-        warc_outlinks,
+        warc_outlink_edges,
     )
 
     # --- 1. ingest ------------------------------------------------------
-    records = read_warc(spark, crawl)
+    # The ``opener=`` seam is the object-store injection point: every
+    # worker-side byte read goes through it, so pointing the pipeline at
+    # s3://... is ONE argument, no code change — e.g. with fsspec:
+    #
+    #     import fsspec
+    #     def s3_opener(path):
+    #         return fsspec.open(path, "rb", anon=False).open()
+    #     records = read_warc(spark, "s3://bucket/crawl/*.warc.gz",
+    #                         opener=s3_opener)
+    #
+    # Demonstrated here with a local stand-in of the same shape (any
+    # callable path -> binary stream works; the default opener handles
+    # local .gz/.bz2/.zst):
+    def local_opener(path):
+        return gzip.open(path.replace("file:", ""), "rb")
+
+    records = read_warc(spark, crawl, opener=local_opener)
     print(f"[1] warc records: {records.count()}")
 
-    # --- 2. link-graph prior --------------------------------------------
-    links = warc_outlinks(warc_html_responses(records))
+    # --- 2. link-graph prior (fused: html never re-crosses Arrow) -------
+    links = warc_outlink_edges(spark, crawl, opener=local_opener)
     prior = domain_pagerank(links, iterations=20)
     print("[2] domain prior (rank desc):")
     for r in prior.orderBy(F.desc("rank")).collect():

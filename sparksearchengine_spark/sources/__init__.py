@@ -32,6 +32,7 @@ from sparksearchengine_spark.sources.warc import (
     read_wat_metadata,
     read_wet_text,
     warc_html_responses,
+    warc_outlink_edges,
     warc_outlinks,
     wat_outlinks,
 )
@@ -201,6 +202,7 @@ __all__ = [
     "read_wat_metadata",
     "read_wet_text",
     "warc_html_responses",
+    "warc_outlink_edges",
     "warc_outlinks",
     "wat_outlinks",
     "save_corpus",

@@ -408,3 +408,131 @@ class TestDegreeStats:
         df = spark.createDataFrame(EDGES_DANGLING, "src string, dst string")
         got = {r.node: (r.out_degree, r.in_degree) for r in degree_stats(df).collect()}
         assert got == {"a": (2, 1), "b": (2, 1), "c": (0, 2)}
+
+
+# -------------------------------------------- randomized-graph fuzz
+
+
+def _reference_wcc_min_labels(edges):
+    """Union-find with union-by-min: label = min node per component —
+    the same canonical labeling the driver oracle uses."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        ra, rb = find(s), find(d)
+        if ra != rb:
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {v: find(v) for v in parent}
+
+
+class TestRandomGraphProperties:
+    """r10 verdict #5: hypothesis fuzz on random digraphs (<= 30
+    nodes, self-loops and parallel edges included) vs the pure-Python
+    references above — the same discipline the phrase verifier has.
+    Hand-built graphs pin known shapes; these pin the shapes nobody
+    thought to build."""
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _EDGES = st.lists(
+        st.tuples(st.integers(0, 29), st.integers(0, 29)),
+        min_size=1,
+        max_size=60,
+    )
+    _FUZZ = dict(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+
+    @given(edges=_EDGES)
+    @settings(**_FUZZ)
+    def test_pagerank_matches_reference_and_sums_to_one(self, spark, edges):
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.rank
+            for r in pagerank(df, iterations=4, tol=None).collect()
+        }
+        want = _reference_pagerank(edges, iterations=4)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-9), v
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+    @given(edges=_EDGES)
+    @settings(**_FUZZ)
+    def test_hits_matches_reference(self, spark, edges):
+        from sparksearchengine_spark.operators.linkgraph import hits
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: (r.hub, r.authority)
+            for r in hits(df, iterations=3, tol=None).collect()
+        }
+        h, a = _reference_hits(edges, iterations=3)
+        assert set(got) == set(h)
+        for v in h:
+            assert got[v][0] == pytest.approx(h[v], abs=1e-9), ("hub", v)
+            assert got[v][1] == pytest.approx(a[v], abs=1e-9), ("auth", v)
+
+    @given(edges=_EDGES)
+    @settings(**_FUZZ)
+    def test_wcc_labels_are_min_node_per_component(self, spark, edges):
+        from pyspark.sql import functions as F
+        from sparksearchengine_spark.operators.linkgraph import (
+            weakly_connected_components,
+        )
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        comp = weakly_connected_components(df)
+        canon = comp.groupBy("component").agg(F.min("node").alias("_lbl"))
+        got = {
+            r.node: r._lbl
+            for r in comp.join(canon, "component").collect()
+        }
+        assert got == _reference_wcc_min_labels(edges)
+
+    @pytest.mark.parametrize("n", [2, 7, 30])
+    def test_regular_graphs_rank_uniform(self, spark, n):
+        """Closed-form invariant: on an out-regular, in-regular graph
+        (directed cycle; complete digraph) the stationary vector is
+        exactly uniform at EVERY iteration, so ranks = 1/n regardless
+        of damping or iteration count."""
+        cycle = [(i, (i + 1) % n) for i in range(n)]
+        complete = [(i, j) for i in range(n) for j in range(n) if i != j]
+        for edges in (cycle, complete):
+            df = spark.createDataFrame(edges, "src long, dst long")
+            got = pagerank(df, iterations=3, tol=None).collect()
+            assert len(got) == n
+            for r in got:
+                assert r.rank == pytest.approx(1.0 / n, abs=1e-12)
+
+    def test_all_dangling_mass_redistributes_uniformly(self, spark):
+        """Sink-heavy invariant: in a perfect matching i -> n+i every
+        target is dangling; sources and sinks each form a symmetry
+        class, ranks sum to 1, and every sink outranks every source
+        (it gets teleport + inflow + its dangling share)."""
+        n = 6
+        edges = [(i, n + i) for i in range(n)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r.node: r.rank
+            for r in pagerank(df, iterations=5, tol=None).collect()
+        }
+        want = _reference_pagerank(edges, iterations=5)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-9)
+        src_ranks = {got[i] for i in range(n)}
+        dst_ranks = {got[n + i] for i in range(n)}
+        assert len(src_ranks) == 1 and len(dst_ranks) == 1
+        assert dst_ranks.pop() > src_ranks.pop()
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
