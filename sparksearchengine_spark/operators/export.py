@@ -48,11 +48,11 @@ def _seeded_key(key_col: str, shuffle_seed: int, seed_hash: str):
         return F.xxhash64(F.lit(int(shuffle_seed)), F.col(key_col))
     if seed_hash == "md5":
         # F.concat (not concat_ws): a NULL key must yield a NULL seeded
-        # key, matching the unseeded md5(NULL) -> NULL path, the
-        # xxhash64 path, and the DuckDB '{seed}:' || NULL -> NULL
-        # oracle — concat_ws SKIPS NULLs and would hash every NULL-key
-        # row into the one shard of the constant '{seed}' string
-        # (r10 ADVICE).
+        # key, matching the unseeded md5(NULL) -> NULL path and the
+        # DuckDB '{seed}:' || NULL -> NULL oracle — concat_ws SKIPS
+        # NULLs and would hash every NULL-key row into the one shard of
+        # the constant '{seed}' string (r10 ADVICE; the xxhash64 path
+        # keeps Spark's skip-null semantics, see docstring).
         return F.concat(
             F.lit(f"{int(shuffle_seed)}:"),
             F.col(key_col).cast("string"),

@@ -181,11 +181,25 @@ def _decode_audio_bytes(content: bytes, codec: str) -> tuple[int, int, list[floa
 _IMG_DECODE_SCHEMA = "doc_id bigint, width int, height int, n_channels int, pixels array<float>"
 
 
+def _resize_pixels(px, w, h, c, out_w, out_h):
+    """Nearest-neighbor resize of one flat pixel row — the ONE
+    implementation behind both :func:`resize_images` and
+    ``decode_images(resize_to=...)``, so fused == composed by
+    construction."""
+    import numpy as np
+
+    arr = np.asarray(px, dtype=np.float32).reshape(int(h), int(w), int(c))
+    ys = (np.arange(out_h) * h // out_h).astype(int)
+    xs = (np.arange(out_w) * w // out_w).astype(int)
+    return arr[np.ix_(ys, xs)].ravel().tolist()
+
+
 def decode_images(
     df: DataFrame,
     content_col: str = "content",
     id_col: str = "doc_id",
     codec: str = "fake",
+    resize_to: "tuple[int, int] | None" = None,
 ) -> DataFrame:
     """Decode image bytes -> (doc_id, width, height, n_channels, pixels).
 
@@ -193,7 +207,22 @@ def decode_images(
     Python worker call; partitioning is inherited from the input (no
     shuffle). Flat ``pixels`` + dims rather than nested arrays keeps the
     Arrow transfer a single contiguous buffer per row.
+
+    ``resize_to=(width, height)`` FUSES the resize into the same pandas
+    pass (same Arrow-crossing economics as the crawl path's
+    ``warc_outlink_edges``, r11): a decoded native-resolution frame is
+    ~W*H*C floats per row, and the composed ``decode_images`` ->
+    ``resize_images`` pipeline ships that across Arrow once out and
+    once back in just to throw most of it away — at 100 TB of media
+    that is the dominant byte flow. Fused, only the target-size pixels
+    ever cross. ``resize_images`` stays as the general surface for
+    already-decoded frames; both call the same ``_resize_pixels``, so
+    fused == composed (pinned in tests).
     """
+    if resize_to is not None:
+        out_w, out_h = int(resize_to[0]), int(resize_to[1])
+        if out_w < 1 or out_h < 1:
+            raise ValueError(f"resize_to must be >= 1x1, got {resize_to}")
 
     def decode(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -202,6 +231,9 @@ def decode_images(
             rows = []
             for did, content in zip(pdf[id_col], pdf[content_col]):
                 w, h, c, px = _decode_image_bytes(bytes(content or b""), codec)
+                if resize_to is not None:
+                    px = _resize_pixels(px, w, h, c, out_w, out_h)
+                    w, h = out_w, out_h
                 rows.append((int(did), w, h, c, px))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "n_channels", "pixels"]
@@ -219,20 +251,16 @@ def resize_images(
     mapInPandas — no image library needed once pixels exist)."""
 
     def resize(batches: Iterator) -> Iterator:
-        import numpy as np
         import pandas as pd
 
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
                 c = int(r.n_channels)
-                arr = np.asarray(r.pixels, dtype=np.float32).reshape(
-                    int(r.height), int(r.width), c
+                out = _resize_pixels(
+                    r.pixels, r.width, r.height, c, width, height
                 )
-                ys = (np.arange(height) * r.height // height).astype(int)
-                xs = (np.arange(width) * r.width // width).astype(int)
-                out = arr[np.ix_(ys, xs)]
-                rows.append((int(r.doc_id), width, height, c, out.ravel().tolist()))
+                rows.append((int(r.doc_id), width, height, c, out))
             yield pd.DataFrame(
                 rows, columns=["doc_id", "width", "height", "n_channels", "pixels"]
             )

@@ -145,6 +145,35 @@ class TestResize:
             assert (r["width"], r["height"]) == (4, 2)
             assert len(r["pixels"]) == 4 * 2 * 3
 
+    def test_fused_resize_equals_composed(self, media_df):
+        """decode_images(resize_to=...) fuses the resize into the
+        decode pass (native-resolution pixels never cross Arrow — the
+        warc_outlink_edges economics, r11); the result must equal the
+        composed decode -> resize pipeline exactly (shared
+        _resize_pixels)."""
+        from sparksearchengine_spark.operators.multimodal import (
+            decode_images,
+            resize_images,
+        )
+
+        composed = {
+            r["doc_id"]: (r["width"], r["height"], r["n_channels"], r["pixels"])
+            for r in resize_images(
+                decode_images(media_df), width=4, height=2
+            ).collect()
+        }
+        fused = {
+            r["doc_id"]: (r["width"], r["height"], r["n_channels"], r["pixels"])
+            for r in decode_images(media_df, resize_to=(4, 2)).collect()
+        }
+        assert fused == composed
+
+    def test_fused_resize_validation(self, media_df):
+        from sparksearchengine_spark.operators.multimodal import decode_images
+
+        with pytest.raises(ValueError, match="resize_to"):
+            decode_images(media_df, resize_to=(0, 2))
+
 
 class TestFeatures:
     def test_image_features_dim_and_determinism(self, media_df):
