@@ -369,14 +369,18 @@ def rank_pages(
     if broadcast is None:
         # the probe (limit(n+1).count()) and the join itself are two
         # independent evaluations of a possibly-expensive derived rank
-        # frame — persist+materialize so the probe's pass is the only
-        # one (r10 ADVICE; domain_pagerank output is checkpointed, but
-        # arbitrary caller frames are not). Deliberately retained: the
-        # RETURNED lazy frame reads this cache; blocks free on GC of
-        # the result (same lifecycle note as wcc's ids cache).
-        from sparksearchengine_spark.operators.cache import materialize
-
-        ranks = materialize(ranks)
+        # frame (r10 ADVICE; domain_pagerank output is checkpoint-
+        # pinned, but arbitrary caller frames are not). Pin with an
+        # EAGER localCheckpoint rather than persist: the returned lazy
+        # frame still reads the pinned blocks, and — unlike a SQL-
+        # CacheManager persist, which only an explicit unpersist ever
+        # releases — the checkpoint RDD's blocks are freed by the
+        # ContextCleaner once the result is garbage-collected, so
+        # repeated calls in a long session cannot accumulate rank-table
+        # copies (r11 review). Executor-local storage is the
+        # distributed_prefix tradeoff: fine for a probe+join pinned
+        # within one call.
+        ranks = ranks.localCheckpoint(eager=True)
         bc = decide_broadcast(ranks, 1_000_000, trust_bytes=False)
     else:
         bc = broadcast
@@ -447,13 +451,16 @@ def weakly_connected_components(
         .union(e.select(F.col("_b").alias("node")))
         .distinct()
         .select("node", F.xxhash64("node").alias("_h"))
-        # deliberately retained: the RETURNED lazy frame reads this map
-        # in three branches (pair build, label join, label->node remap);
-        # blocks free on GC of the result, same lifecycle note as
-        # pr_curve's grouped cache
-        .persist()
+        # eager localCheckpoint, not persist: the RETURNED lazy frame
+        # reads this map in three branches (pair build, label join,
+        # label->node remap), so it cannot be unpersisted here — and a
+        # SQL-CacheManager persist is only ever freed by an explicit
+        # unpersist, never by GC. Checkpoint blocks ARE ContextCleaner-
+        # freed once the result is collected and dropped, so repeated
+        # wcc calls cannot accumulate node-map caches (r11 review);
+        # eagerness also closes the multi-branch stage race.
+        .localCheckpoint(eager=True)
     )
-    ids.count()  # materialize before the multi-branch consumers race
     pairs = (
         e.join(ids.select(F.col("node").alias("_a"), F.col("_h").alias("id_a")), "_a")
         .join(ids.select(F.col("node").alias("_b"), F.col("_h").alias("id_b")), "_b")

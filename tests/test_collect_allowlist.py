@@ -132,7 +132,10 @@ def _find_sites():
                 continue
             path = os.path.join(dirpath, fn)
             rel = os.path.relpath(path, PKG).replace(os.sep, "/")
-            tree = ast.parse(open(path).read())
+            # explicit utf-8: the locale default breaks on the package's
+            # non-ASCII docstrings under C/POSIX CI locales (r11 review)
+            with open(path, encoding="utf-8") as fh:
+                tree = ast.parse(fh.read())
 
             def walk(node, stack):
                 for child in ast.iter_child_nodes(node):

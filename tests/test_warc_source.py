@@ -567,10 +567,13 @@ class TestFusedOutlinkEdges:
         marks.mkdir()
 
         def counting_opener(path):
+            import re as _re
+
             base = os.path.basename(path)
             n = len(list(marks.glob(f"{base}.*")))
             (marks / f"{base}.{n}").touch()
-            return gzip.open(path.replace("file:", ""), "rb")
+            # anchored scheme strip, same rule as _default_opener
+            return gzip.open(_re.sub(r"^file:(//)?", "", path), "rb")
 
         edges = warc_outlink_edges(spark, str(d), opener=counting_opener)
         # 6 per doc: the fixture's base.example "self" link is not a
