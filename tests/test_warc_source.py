@@ -567,11 +567,14 @@ class TestFusedOutlinkEdges:
         marks.mkdir()
 
         def counting_opener(path):
+            import os as _os
             import re as _re
+            import uuid as _uuid
 
             base = os.path.basename(path)
-            n = len(list(marks.glob(f"{base}.*")))
-            (marks / f"{base}.{n}").touch()
+            # collision-proof marker (pid + uuid): two concurrent opens
+            # of the SAME file must leave two markers, not overwrite one
+            (marks / f"{base}.{_os.getpid()}.{_uuid.uuid4().hex}").touch()
             # anchored scheme strip, same rule as _default_opener
             return gzip.open(_re.sub(r"^file:(//)?", "", path), "rb")
 
@@ -579,10 +582,13 @@ class TestFusedOutlinkEdges:
         # 6 per doc: the fixture's base.example "self" link is not a
         # self-link under these target URIs
         assert edges.count() == 3 * 6
-        opened = sorted(p.name for p in marks.glob("*"))
-        assert opened == [
-            "f0.warc.gz.0", "f1.warc.gz.0", "f2.warc.gz.0"
-        ]
+        opens_per_file = {
+            f"f{i}.warc.gz": len(list(marks.glob(f"f{i}.warc.gz.*")))
+            for i in range(3)
+        }
+        assert opens_per_file == {
+            "f0.warc.gz": 1, "f1.warc.gz": 1, "f2.warc.gz": 1
+        }
 
 
 class TestWarcScale:
@@ -617,6 +623,39 @@ class TestWarcScale:
         # task count == file count, and each task read exactly one file
         assert len(by_pid) == n
         assert all(len(paths) == 1 for paths in by_pid.values())
+
+    def test_fused_path_keeps_one_task_per_file(self, spark, tmp_path):
+        """warc_outlink_edges inherits read_warc's parallelism contract
+        (shared _paths_frame): at 60 files, every file's edges come
+        from its own task — no empty tasks, no multi-file stragglers."""
+        from pyspark.sql import functions as F
+
+        d = tmp_path / "fused_many"
+        d.mkdir()
+        n = 60
+        for i in range(n):
+            (d / f"f{i:03d}.warc.gz").write_bytes(
+                gzip.compress(
+                    _record(
+                        "response", f"http://h{i}.x/p",
+                        _http_response(
+                            f'<html><a href="http://t{i}.x/q">l</a>'
+                            f"</html>".encode()
+                        ),
+                        f"r-{i}",
+                    )
+                )
+            )
+        edges = warc_outlink_edges(spark, str(d))
+        rows = edges.select(
+            F.spark_partition_id().alias("pid"), "target_uri"
+        ).collect()
+        assert len(rows) == n  # one outlink per file
+        by_pid: dict[int, set[str]] = {}
+        for r in rows:
+            by_pid.setdefault(r.pid, set()).add(r.target_uri)
+        assert len(by_pid) == n
+        assert all(len(uris) == 1 for uris in by_pid.values())
 
     def test_oversized_record_truncated_not_inflated(self, spark, tmp_path):
         """A record past max_payload_bytes crosses the Arrow boundary
