@@ -35,6 +35,7 @@ SAMPLE = [
     "table_corr",           # decimal-cast correlation aggregates
     "pr_curve",             # r10: grouped-cumulative eval family
     "pagerank",             # r10: iterative link-graph family
+    "rank_pages",           # r11: probed broadcast rank-transfer join
 ]
 
 _BENIGN_CHILD = re.compile(
