@@ -137,12 +137,11 @@ def main(out: str | None = None) -> None:
     # Demonstrated here with a local stand-in of the same shape (any
     # callable path -> binary stream works; the default opener handles
     # local .gz/.bz2/.zst). The listing yields file: URIs — strip the
-    # scheme ANCHORED (same rule as the package's default opener; an
-    # unanchored replace would corrupt paths containing 'file:'):
-    import re
+    # scheme with the package's own rule, never a hand-rolled replace:
+    from sparksearchengine_spark.sources.warc import strip_file_scheme
 
     def local_opener(path):
-        return gzip.open(re.sub(r"^file:(//)?", "", path), "rb")
+        return gzip.open(strip_file_scheme(path), "rb")
 
     records = read_warc(spark, crawl, opener=local_opener)
     print(f"[1] warc records: {records.count()}")

@@ -367,21 +367,31 @@ def rank_pages(
         F.col("rank").cast("double").alias(out_col),
     )
     if broadcast is None:
-        # the probe (limit(n+1).count()) and the join itself are two
-        # independent evaluations of a possibly-expensive derived rank
-        # frame (r10 ADVICE; domain_pagerank output is checkpoint-
-        # pinned, but arbitrary caller frames are not). Pin with an
-        # EAGER localCheckpoint rather than persist: the returned lazy
-        # frame still reads the pinned blocks, and — unlike a SQL-
-        # CacheManager persist, which only an explicit unpersist ever
-        # releases — the checkpoint RDD's blocks are freed by the
-        # ContextCleaner once the result is garbage-collected, so
-        # repeated calls in a long session cannot accumulate rank-table
-        # copies (r11 review). Executor-local storage is the
-        # distributed_prefix tradeoff: fine for a probe+join pinned
-        # within one call.
-        ranks = ranks.localCheckpoint(eager=True)
-        bc = decide_broadcast(ranks, 1_000_000, trust_bytes=False)
+        from sparksearchengine_spark.operators.search import _plan_stats
+
+        rows_stat, _ = _plan_stats(ranks)
+        if rows_stat is not None:
+            # exact Catalyst rowCount (local relations, limits): the
+            # decision is free and NO pin is needed — the join is then
+            # the frame's only evaluation (r11 review pass 2: pinning
+            # here would force an eager job on e.g. a 5-row
+            # driver-literal rank table)
+            bc = rows_stat <= 1_000_000
+        else:
+            # derived frame with no exact stats: the probe
+            # (limit(n+1).count()) and the join would be two
+            # independent evaluations (r10 ADVICE) — pin ONCE first.
+            # _make_pin, not persist: a SQL-CacheManager persist is
+            # only freed by an explicit unpersist (never GC), so
+            # retaining it for the returned lazy frame would
+            # accumulate rank-table copies across calls; the pin's
+            # blocks are reliable-checkpoint files when the session
+            # has a checkpoint dir (survives executor loss — the
+            # cluster path) else ContextCleaner-freed localCheckpoint
+            # blocks (single-node path; executor-local storage is the
+            # distributed_prefix tradeoff). r11 review, both passes.
+            ranks = _make_pin(domain_ranks.sparkSession)(ranks)
+            bc = decide_broadcast(ranks, 1_000_000, trust_bytes=False)
     else:
         bc = broadcast
     side = F.broadcast(ranks) if bc else ranks.hint("shuffle_hash")
@@ -445,32 +455,39 @@ def weakly_connected_components(
     e = edges.select(F.col(src).alias("_a"), F.col(dst).alias("_b")).where(
         F.col("_a").isNotNull() & F.col("_b").isNotNull()
     ).persist()
-    e.count()
-    ids = (
-        e.select(F.col("_a").alias("node"))
-        .union(e.select(F.col("_b").alias("node")))
-        .distinct()
-        .select("node", F.xxhash64("node").alias("_h"))
-        # eager localCheckpoint, not persist: the RETURNED lazy frame
-        # reads this map in three branches (pair build, label join,
-        # label->node remap), so it cannot be unpersisted here — and a
+    try:
+        e.count()
+        ids = (
+            e.select(F.col("_a").alias("node"))
+            .union(e.select(F.col("_b").alias("node")))
+            .distinct()
+            .select("node", F.xxhash64("node").alias("_h"))
+        )
+        # eager pin, not persist: the RETURNED lazy frame reads this
+        # map in three branches (pair build, label join, label->node
+        # remap), so it cannot be unpersisted here — and a
         # SQL-CacheManager persist is only ever freed by an explicit
-        # unpersist, never by GC. Checkpoint blocks ARE ContextCleaner-
-        # freed once the result is collected and dropped, so repeated
-        # wcc calls cannot accumulate node-map caches (r11 review);
-        # eagerness also closes the multi-branch stage race.
-        .localCheckpoint(eager=True)
-    )
-    pairs = (
-        e.join(ids.select(F.col("node").alias("_a"), F.col("_h").alias("id_a")), "_a")
-        .join(ids.select(F.col("node").alias("_b"), F.col("_h").alias("id_b")), "_b")
-        .select("id_a", "id_b")
-    )
-    comp = connected_components(pairs)
-    # connected_components checkpoints its result per round and caches
-    # its own edge layout, so neither comp nor the returned frame reads
-    # e anymore — only the retained ids cache
-    e.unpersist()
+        # unpersist, never by GC (repeated wcc calls would accumulate
+        # node-map caches). The pin is a reliable checkpoint when the
+        # session has a checkpoint dir (survives executor loss for the
+        # long-lived returned frame) else a ContextCleaner-freed
+        # localCheckpoint; eagerness also closes the multi-branch
+        # stage race. r11 review, both passes.
+        ids = _make_pin(edges.sparkSession)(ids)
+        pairs = (
+            e.join(ids.select(F.col("node").alias("_a"), F.col("_h").alias("id_a")), "_a")
+            .join(ids.select(F.col("node").alias("_b"), F.col("_h").alias("id_b")), "_b")
+            .select("id_a", "id_b")
+        )
+        comp = connected_components(pairs)
+        # connected_components checkpoints its result per round and
+        # caches its own edge layout, so neither comp nor the returned
+        # frame reads e anymore — only the pinned ids blocks
+    finally:
+        # unpersist in finally: an analysis error in the pair build or
+        # a failure inside connected_components must not leak the edge
+        # cache for the session (r11 review pass 2)
+        e.unpersist()
     out = (
         ids.join(comp, ids["_h"] == comp["id"], "left")
         .select(

@@ -223,6 +223,14 @@ def iter_warc_records(
         }
 
 
+def strip_file_scheme(path: str) -> str:
+    """Anchored ``file:`` / ``file://`` scheme strip — THE rule the
+    default opener applies to listed URIs. Custom openers should call
+    this instead of hand-rolling it (an unanchored ``str.replace``
+    corrupts paths that merely contain ``'file:'``)."""
+    return re.sub(r"^file:(//)?", "", path)
+
+
 def _default_opener(path: str) -> io.BufferedIOBase:
     """Open a listed path for sequential binary read. ``file:`` URIs and
     plain paths open directly; gzip by suffix (multi-member transparent
@@ -231,9 +239,7 @@ def _default_opener(path: str) -> io.BufferedIOBase:
     package is installed — gated import, loud error otherwise. For
     object stores, pass an ``opener`` (e.g. ``fsspec.open(path,
     'rb').open``)."""
-    local = path
-    if local.startswith("file:"):
-        local = re.sub(r"^file:(//)?", "", local)
+    local = strip_file_scheme(path)
     if local.endswith(".gz"):
         return gzip.open(local, "rb")  # type: ignore[return-value]
     if local.endswith(".bz2"):
@@ -710,6 +716,7 @@ def read_wat_metadata(
 
 __all__ = [
     "RECORD_SCHEMA",
+    "strip_file_scheme",
     "iter_warc_records",
     "read_warc",
     "warc_html_responses",

@@ -568,15 +568,17 @@ class TestFusedOutlinkEdges:
 
         def counting_opener(path):
             import os as _os
-            import re as _re
             import uuid as _uuid
+
+            from sparksearchengine_spark.sources.warc import (
+                strip_file_scheme,
+            )
 
             base = os.path.basename(path)
             # collision-proof marker (pid + uuid): two concurrent opens
             # of the SAME file must leave two markers, not overwrite one
             (marks / f"{base}.{_os.getpid()}.{_uuid.uuid4().hex}").touch()
-            # anchored scheme strip, same rule as _default_opener
-            return gzip.open(_re.sub(r"^file:(//)?", "", path), "rb")
+            return gzip.open(strip_file_scheme(path), "rb")
 
         edges = warc_outlink_edges(spark, str(d), opener=counting_opener)
         # 6 per doc: the fixture's base.example "self" link is not a
