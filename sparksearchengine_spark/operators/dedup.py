@@ -25,6 +25,7 @@ arithmetic is exact under Spark ANSI mode (no silent overflow).
 from __future__ import annotations
 
 import math
+import warnings
 from dataclasses import dataclass
 
 from pyspark.sql import Column, DataFrame, Window
@@ -310,6 +311,9 @@ def minhash_lsh_join(
     bands: int = 16,
     threshold: float = 0.8,
     analyzer: str = "simple",
+    max_bucket_size: int | None = 8192,
+    oversize: str = "star",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Approximate cross-corpus near-dup join — the 100 TB scale path for
     ``ngram_jaccard_join_cross``: MinHash signatures on both sides (SAME
@@ -317,7 +321,9 @@ def minhash_lsh_join(
     across corpora, candidates verified with the true Jaccard. Output
     (id_l, id_r, jaccard), exact above threshold among LSH candidates
     (false negatives only from banding recall, measured by the recall
-    harness)."""
+    harness). Oversized right-corpus buckets are capped at prepare time
+    (``max_bucket_size``/``oversize``/``stats_out`` — see
+    :func:`prepare_lsh_corpus`)."""
     # validate BEFORE the persists: raising after them would leak two
     # cached frames for the session (r3 review)
     if num_hashes % bands:
@@ -325,20 +331,25 @@ def minhash_lsh_join(
             f"bands={bands} must divide num_hashes={num_hashes} "
             "(trailing hashes would be silently ignored)"
         )
+    if max_bucket_size is not None:
+        _check_oversize_mode(oversize)
     # materialized: band table + Jaccard verify read gl from two
     # branches of one job (stage-race guard, r10)
     gl = materialize(_gram_arrays(_widen(left), id_col, text_col, n, analyzer))
     corp = prepare_lsh_corpus(
         right, id_col=id_col, text_col=text_col, n=n,
         num_hashes=num_hashes, bands=bands, analyzer=analyzer,
+        max_bucket_size=max_bucket_size, oversize=oversize,
+        stats_out=stats_out,
     )
     return lsh_join_prepared(gl, corp, threshold)
 
 
-def _band_table(ga: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """(id, band, bh) banded LSH keys from an (id, gs) gram table."""
+def _band_table_from_sigs(
+    sigs: DataFrame, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, band, bh) banded LSH keys from an (id, sig) signature table."""
     r = num_hashes // bands
-    sigs = _signatures_from_grams(ga, num_hashes)
     band_cols = F.explode(
         F.array(
             *[
@@ -361,6 +372,139 @@ def _band_table(ga: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     )
 
 
+def _band_table(ga: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bh) banded LSH keys from an (id, gs) gram table."""
+    return _band_table_from_sigs(
+        _signatures_from_grams(ga, num_hashes), num_hashes, bands
+    )
+
+
+def _check_oversize_mode(oversize: str) -> None:
+    if oversize not in ("star", "drop"):
+        raise ValueError(
+            f"oversize={oversize!r} must be 'star' (emit min-id star "
+            "edges for oversized buckets) or 'drop' (skip them)"
+        )
+
+
+def _oversized_buckets(
+    banded: DataFrame,
+    keys: list[str],
+    max_bucket_size: int,
+    stats_out: dict | None,
+    label: str,
+    id_col: str = "id",
+) -> DataFrame:
+    """Materialized ``(keys..., _bsz, _mid)`` table of LSH buckets with
+    more than ``max_bucket_size`` members — the giant-bucket guard's
+    shared core (r11 verdict #1).
+
+    Why this must exist: a banded-LSH candidate join is all-pairs
+    WITHIN a bucket, so a near-duplicate mega-cluster of m docs (SEO
+    boilerplate, templated pages — ubiquitous at crawl scale, and NOT
+    removed by exact-dedup-first since the members differ by a few
+    tokens) yields O(bands*m^2) candidate pairs; at m=10^6 that is
+    ~10^13 rows before verification. AQE skew splitting redistributes
+    the shuffle but cannot reduce the pair count — only a bucket-size
+    cap can. The cap is a CODE guard precisely because no fixed-SF
+    bench can see it: the blowup is data-dependent.
+
+    Never silent (the no-silent-caps rule): the oversized-bucket count
+    is computed EAGERLY here; when non-zero a ``RuntimeWarning`` names
+    the operator, the counts, and the largest bucket, and the numbers
+    are written into the caller-supplied ``stats_out`` dict
+    (``oversized_buckets`` / ``oversized_rows`` / ``largest_bucket`` /
+    ``max_bucket_size``). The frame is tiny (one row per oversized
+    bucket — at most |banded|/max_bucket_size rows) and stays persisted
+    for the candidate joins that consume it.
+    """
+    over = (
+        banded.groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("_bsz"),
+            F.min(id_col).alias("_mid"),
+        )
+        .where(F.col("_bsz") > int(max_bucket_size))
+        .persist()
+    )
+    n_over = over.count()
+    rows_over = largest = 0
+    if n_over:
+        agg = over.agg(
+            F.sum("_bsz").alias("rows"), F.max("_bsz").alias("mx")
+        ).first()
+        rows_over, largest = int(agg["rows"]), int(agg["mx"])
+        warnings.warn(
+            f"{label}: {n_over} LSH bucket(s) exceed max_bucket_size="
+            f"{max_bucket_size} ({rows_over} member rows, largest "
+            f"{largest}); oversized buckets are capped (star/drop), so "
+            "some candidate pairs are not enumerated — raise "
+            "max_bucket_size only if the all-pairs cost is acceptable",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    if stats_out is not None:
+        stats_out.update(
+            oversized_buckets=n_over,
+            oversized_rows=rows_over,
+            largest_bucket=largest,
+            max_bucket_size=int(max_bucket_size),
+        )
+    return over
+
+
+def _capped_self_pairs(
+    banded: DataFrame,
+    keys: list[str],
+    max_bucket_size: int | None,
+    oversize: str,
+    stats_out: dict | None,
+    label: str,
+) -> DataFrame:
+    """Distinct ``(id_a, id_b)`` self-join candidate pairs (``id_a <
+    id_b``) from a banded key table, with the giant-bucket guard.
+
+    Buckets at or under ``max_bucket_size`` pair all-pairs (the exact
+    LSH contract). Oversized buckets are handled per ``oversize``:
+
+    * ``"star"`` — emit only ``(min_id, member)`` edges: O(m) rows per
+      bucket instead of O(m^2), and exactly what connected-component
+      clustering needs (a verified star through the min id connects
+      the cluster; ``minhash_lsh_canon`` loses nothing when the bucket
+      really is one near-dup cluster). Pair-level consumers see reduced
+      recall INSIDE oversized buckets only — loudly reported.
+    * ``"drop"`` — skip the bucket entirely (no pairs).
+    """
+    if max_bucket_size is None:
+        a, b = banded.alias("a"), banded.alias("b")
+        cond = (F.col("a.id") < F.col("b.id"))
+        for k in keys:
+            cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+        return (
+            a.join(b, cond)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+    _check_oversize_mode(oversize)
+    over = _oversized_buckets(banded, keys, max_bucket_size, stats_out, label)
+    small = banded.join(over.select(*keys), keys, "left_anti")
+    a, b = small.alias("a"), small.alias("b")
+    cond = (F.col("a.id") < F.col("b.id"))
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    pairs = a.join(b, cond).select(
+        F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+    )
+    if oversize == "star":
+        star = (
+            banded.join(over.select(*keys, "_mid"), keys)
+            .where(F.col("id") != F.col("_mid"))
+            .select(F.col("_mid").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
+
+
 @dataclass(frozen=True)
 class LshCorpus:
     """A reference corpus prepared ONCE for repeated LSH joins: the gram
@@ -369,6 +513,11 @@ class LshCorpus:
     (and the streaming ingest filter, which would otherwise recompute
     the whole corpus' signatures every micro-batch and leak a pair of
     cached frames per batch — r3 review). ``unpersist()`` releases it.
+
+    ``over_keys``: the giant-bucket guard's oversized corpus buckets
+    ``(band, bh, _bsz, _mid)``, computed at prepare time (``None`` when
+    prepared uncapped); ``bands_df`` then holds ONLY the small-bucket
+    rows, so every join against the corpus is bounded per bucket.
     """
 
     grams: DataFrame
@@ -377,10 +526,14 @@ class LshCorpus:
     num_hashes: int
     bands: int
     analyzer: str
+    over_keys: DataFrame | None = None
+    oversize: str = "star"
 
     def unpersist(self) -> None:
         self.grams.unpersist()
         self.bands_df.unpersist()
+        if self.over_keys is not None:
+            self.over_keys.unpersist()
 
 
 def prepare_lsh_corpus(
@@ -391,7 +544,20 @@ def prepare_lsh_corpus(
     num_hashes: int = 64,
     bands: int = 16,
     analyzer: str = "simple",
+    max_bucket_size: int | None = 8192,
+    oversize: str = "star",
+    stats_out: dict | None = None,
 ) -> LshCorpus:
+    """Prepare a reference corpus for repeated LSH joins.
+
+    ``max_bucket_size`` (r11 verdict #1): corpus band buckets larger
+    than this are split out into ``over_keys`` at prepare time —
+    eagerly counted, warned about, and reported via ``stats_out``. A
+    fresh-side row landing in such a bucket joins ONE representative
+    (the bucket's min id, ``oversize="star"``) instead of every member,
+    or nothing (``"drop"``); either way a mega-bucket can no longer
+    make a per-batch join quadratic. ``None`` prepares uncapped.
+    """
     if num_hashes % bands:
         raise ValueError(
             f"bands={bands} must divide num_hashes={num_hashes} "
@@ -400,10 +566,29 @@ def prepare_lsh_corpus(
     # both materialized: a percolating/joining consumer reads the
     # band table AND the gram table in one job (stage-race guard, r10)
     gr = materialize(_gram_arrays(_widen(df), id_col, text_col, n, analyzer))
+    if max_bucket_size is None:
+        return LshCorpus(
+            grams=gr,
+            bands_df=materialize(_band_table(gr, num_hashes, bands)),
+            n=n, num_hashes=num_hashes, bands=bands, analyzer=analyzer,
+        )
+    _check_oversize_mode(oversize)
+    # full band table cached only for THIS prepare pass (the oversize
+    # scan + the small-bucket anti-join both read it), then released —
+    # everything derived from it is itself materialized, so nothing
+    # lazy references it afterwards
+    full = materialize(_band_table(gr, num_hashes, bands))
+    over = _oversized_buckets(
+        full, ["band", "bh"], max_bucket_size, stats_out,
+        "prepare_lsh_corpus",
+    )
+    small = materialize(
+        full.join(over.select("band", "bh"), ["band", "bh"], "left_anti")
+    )
+    full.unpersist()
     return LshCorpus(
-        grams=gr,
-        bands_df=materialize(_band_table(gr, num_hashes, bands)),
-        n=n, num_hashes=num_hashes, bands=bands, analyzer=analyzer,
+        grams=gr, bands_df=small, n=n, num_hashes=num_hashes,
+        bands=bands, analyzer=analyzer, over_keys=over, oversize=oversize,
     )
 
 
@@ -412,18 +597,28 @@ def lsh_join_prepared(
 ) -> DataFrame:
     """LSH join of a fresh (id, gs) gram table against a prepared
     corpus: banded candidates + exact-Jaccard verification,
-    (id_l, id_r, jaccard)."""
+    (id_l, id_r, jaccard).
+
+    When the corpus was prepared with a bucket cap, fresh rows hitting
+    an oversized corpus bucket pair with the bucket's min-id
+    representative only (star) or not at all (drop) — the verify step
+    still applies, so star matches are exact-Jaccard-true matches
+    against that representative."""
     a = _band_table(gl, corpus.num_hashes, corpus.bands).alias("a")
     b = corpus.bands_df.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bh") == F.col("b.bh")),
+    ).select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    if corpus.over_keys is not None and corpus.oversize == "star":
+        star = a.join(
+            corpus.over_keys.alias("o"),
+            (F.col("a.band") == F.col("o.band"))
+            & (F.col("a.bh") == F.col("o.bh")),
+        ).select(F.col("a.id").alias("id_a"), F.col("o._mid").alias("id_b"))
+        cand = cand.unionByName(star)
+    cand = cand.distinct()
     out = _verify_jaccard(cand, gl, threshold, gram_arrays_b=corpus.grams)
     return out.select(
         F.col("id_a").alias("id_l"), F.col("id_b").alias("id_r"), "jaccard"
@@ -479,45 +674,44 @@ def _signatures_from_grams(
 
 
 def minhash_lsh_candidates(
-    sigs: DataFrame, num_hashes: int = 64, bands: int = 16
+    sigs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    max_bucket_size: int | None = 8192,
+    oversize: str = "star",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Banded LSH: pairs sharing ≥1 band. rows_per_band = num_hashes/bands;
     P(candidate) = 1-(1-J^r)^b — with 64/16 the curve crosses ~0.5 at
     J≈0.55. Band hash is a single string concat; the join is keyed on
-    (band_idx, band_hash), so co-candidates co-locate in one shuffle."""
+    (band_idx, band_hash), so co-candidates co-locate in one shuffle.
+
+    ``max_bucket_size`` (r11 verdict #1): buckets with more members
+    pair as a min-id STAR (``oversize="star"``, O(m) edges — the
+    connectivity-preserving default for dedup clustering) or are
+    dropped (``oversize="drop"``); ``None`` restores the uncapped
+    all-pairs join. Oversized buckets are counted eagerly, warned
+    about, and reported via ``stats_out`` — never silent. With the cap
+    active ``sigs`` is materialized here (the bucket-size pass + both
+    join sides read it; without the cache each would recompute the
+    full signature aggregate — and the old uncapped plan already paid
+    that recompute twice, so the cap path is NOT slower).
+    """
     if num_hashes % bands:
         raise ValueError(
             f"bands={bands} must divide num_hashes={num_hashes} "
             "(trailing hashes would be silently ignored)"
         )
-    r = num_hashes // bands
-    band_cols = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.concat_ws(
-                        ",", *[F.col("sig")[i * r + j].cast("string") for j in range(r)]
-                    ).alias("bh"),
-                )
-                for i in range(bands)
-            ]
-        )
-    ).alias("bd")
-    banded = sigs.select("id", band_cols).select(
-        "id", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    if max_bucket_size is not None:
+        sigs = materialize(sigs)
+    banded = _band_table_from_sigs(sigs, num_hashes, bands)
+    return _capped_self_pairs(
+        banded,
+        ["band", "bh"],
+        max_bucket_size,
+        oversize,
+        stats_out,
+        "minhash_lsh_candidates",
     )
 
 
@@ -530,18 +724,30 @@ def minhash_lsh_dedup(
     bands: int = 16,
     threshold: float = 0.8,
     analyzer: str = "simple",
+    max_bucket_size: int | None = 8192,
+    oversize: str = "star",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs: LSH candidates verified with exact
     Jaccard ≥ threshold. The scale path for 100 TB (signatures are
     num_hashes longs per doc; raw grams never pair-joined beyond
-    candidates)."""
+    candidates). Oversized band buckets are star-capped by default
+    (``max_bucket_size``/``oversize``/``stats_out`` — see
+    :func:`minhash_lsh_candidates`); run :func:`exact_dedup` (or
+    ``dedup_paragraphs``) FIRST, as ``examples/pretraining_pipeline_example.py``
+    does, so byte-identical mass never reaches the LSH stage — the cap
+    then only fires on true near-dup mega-clusters."""
     # materialized: the candidate build and the Jaccard verify read
     # ga from independent stages of one job (stage-race guard, r10)
     ga = materialize(_gram_arrays(
         _widen(df), id_col, text_col, n, analyzer
     ))
     sigs = _signatures_from_grams(ga, num_hashes)
-    cand = minhash_lsh_candidates(sigs, num_hashes, bands)
+    cand = minhash_lsh_candidates(
+        sigs, num_hashes, bands,
+        max_bucket_size=max_bucket_size, oversize=oversize,
+        stats_out=stats_out,
+    )
     return _verify_jaccard(cand, ga, threshold)
 
 
@@ -667,15 +873,26 @@ def minhash_lsh_canon(
     bands: int = 16,
     threshold: float = 0.8,
     analyzer: str = "simple",
+    max_bucket_size: int | None = 8192,
+    oversize: str = "star",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup -> canonical assignment for EVERY row of
     ``df``: (id, canon_id, is_duplicate). The end-to-end 100 TB dedup:
     signatures -> banded candidates -> exact-Jaccard verify -> connected
-    components -> min-id canon."""
+    components -> min-id canon.
+
+    The default ``oversize="star"`` giant-bucket cap is LOSSLESS here
+    when an oversized bucket is one true near-dup cluster: the verified
+    star through the bucket's min id connects every member, which is
+    all connected components needs (O(m) edges, not O(m^2) — r11
+    verdict #1). Run exact dedup first (the documented pipeline order)
+    so identical-text mass never inflates LSH buckets."""
     pairs = minhash_lsh_dedup(
         df, id_col=id_col, text_col=text_col, n=n,
         num_hashes=num_hashes, bands=bands, threshold=threshold,
-        analyzer=analyzer,
+        analyzer=analyzer, max_bucket_size=max_bucket_size,
+        oversize=oversize, stats_out=stats_out,
     )
     return canonicalize_pairs(df, pairs, id_col=id_col)
 
@@ -755,42 +972,49 @@ def simhash_dedup(
     text_col: str = "text",
     max_hamming: int = 3,
     analyzer: str = "simple",
+    max_bucket_size: int | None = 8192,
+    oversize: str = "star",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-dup pairs with SimHash Hamming distance ≤ max_hamming.
 
-    Pigeonhole banding over the 4 16-bit blocks: distance ≤ 3 => at least
-    one block identical, so candidates come from 4 keyed equality joins
-    (union), then exact Hamming verification. No cross product.
+    Pigeonhole banding over the 4 16-bit blocks: distance ≤ 3 => at
+    least one block identical, so candidates come from keyed equality
+    joins on (block index, block value), then exact Hamming
+    verification. No cross product.
+
+    ``max_bucket_size`` (r11 verdict #1): a (block, value) bucket is
+    still all-pairs within itself — a mega-cluster of m near-identical
+    docs shares blocks and makes O(m^2) candidates. Oversized buckets
+    pair as a min-id star (``"star"`` — connectivity preserved for
+    clustering consumers; below the cap the pigeonhole recall-1
+    guarantee vs :func:`simhash_neardup_exact` is untouched) or are
+    skipped (``"drop"``); counts are eager, warned, and written to
+    ``stats_out``. ``None`` restores the uncapped join.
     """
     if max_hamming > 3:
         raise ValueError("block scheme supports max_hamming <= 3 (4 blocks)")
-    # materialized: 8 self-join arms + the Hamming verify read sh in
-    # one job (stage-race guard, r10)
+    # materialized: the bucket-size pass, both self-join arms, and the
+    # Hamming verify read sh in one job (stage-race guard, r10)
     sh = materialize(simhash(df, id_col, text_col, 64, analyzer))
-    cands = None
-    for blk in range(4):
-        a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
-        b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
-        c = a.join(
-            b,
-            (F.col("sh_a")[blk] == F.col("sh_b")[blk])
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.dropDuplicates(["id_a", "id_b"])
-
-    def _popcount16(x: Column) -> Column:
-        # Hamming weight of a 16-bit value via bit_count (Spark 3.3+)
-        return F.bit_count(x)
-
+    banded = sh.select(
+        "id", F.posexplode("simhash").alias("blk", "bv")
+    )
+    pairs = _capped_self_pairs(
+        banded, ["blk", "bv"], max_bucket_size, oversize, stats_out,
+        "simhash_dedup",
+    )
+    a = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"))
     ham = sum(
-        _popcount16(
-            F.col("sh_a")[i].bitwiseXOR(F.col("sh_b")[i])
-        )
+        # Hamming weight of a 16-bit block via bit_count (Spark 3.3+)
+        F.bit_count(F.col("sh_a")[i].bitwiseXOR(F.col("sh_b")[i]))
         for i in range(4)
     )
     return (
-        cands.withColumn("hamming", ham)
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("hamming", ham)
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )

@@ -330,6 +330,8 @@ def lsh_cosine_topk(
     num_planes: int = 16,
     bands: int = 4,
     dim: int | None = None,
+    max_bucket_size: int | None = 8192,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane LSH bucketing.
 
@@ -337,6 +339,15 @@ def lsh_cosine_topk(
     into `bands` blocks; items sharing ≥1 block with the query are
     candidates, re-ranked exactly. Recall < 1 by design (the scale path:
     each query touches only its buckets, not all N items).
+
+    ``max_bucket_size`` (r11 verdict #1): an item bucket with more
+    members pairs with EVERY query in that bucket — a degenerate
+    signature region (near-constant embeddings, zero-ish vectors) makes
+    the candidate join quadratic. Oversized item buckets are DROPPED
+    (star-sampling makes no sense for top-k retrieval), eagerly
+    counted, warned about, and reported via ``stats_out`` — affected
+    queries lose recall only for that bucket's items and still re-rank
+    their other buckets exactly. ``None`` restores the uncapped join.
     """
     if dim is None:
         sample = items.select(F.size(F.col(item_vec))).first()
@@ -374,6 +385,24 @@ def lsh_cosine_topk(
         )
 
     bi = banded(items, item_id, item_vec, "vec_id")
+    if max_bucket_size is not None:
+        from sparksearchengine_spark.operators.dedup import (
+            _oversized_buckets,
+        )
+
+        # the size pass reads only (band, bh) — Catalyst prunes the
+        # vector column, so this is a scan + partial agg, not a second
+        # full-width pass; the tiny oversized-key frame is persisted by
+        # the helper and anti-joined here
+        over = _oversized_buckets(
+            bi.select("vec_id", "band", "bh"),
+            ["band", "bh"],
+            max_bucket_size,
+            stats_out,
+            "lsh_cosine_topk",
+            id_col="vec_id",
+        )
+        bi = bi.join(over.select("band", "bh"), ["band", "bh"], "left_anti")
     bq = banded(queries, query_id, query_vec, "query_id")
     cand = (
         bi.join(F.broadcast(bq), ["band", "bh"])

@@ -239,6 +239,7 @@ def neardup_filter_stream(
     analyzer: str = "simple",
     checkpoint: str | None = None,
     trigger_available_now: bool = True,
+    max_bucket_size: int | None = 8192,
 ) -> StreamingQuery:
     """Curation-at-ingest near-dedup: drop incoming documents that are
     MinHash-LSH near-duplicates (Jaccard >= threshold) of a STATIC
@@ -276,9 +277,15 @@ def neardup_filter_stream(
         prepare_lsh_corpus,
     )
 
+    # oversize="star" (the default): this filter only needs EXISTENCE
+    # of a verified match, and a star representative of an oversized
+    # corpus bucket provides exactly that — without it, one mega-bucket
+    # in the reference corpus would make EVERY micro-batch quadratic
+    # (r11 verdict #1)
     corp = prepare_lsh_corpus(
         corpus_df, id_col=id_col, text_col=text_col, n=n,
         num_hashes=num_hashes, bands=bands, analyzer=analyzer,
+        max_bucket_size=max_bucket_size,
     )
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
