@@ -19,6 +19,82 @@ import re
 import time
 
 
+def _cpu_probe() -> float:
+    """Fixed single-thread CPU workload, ~0.25 s on an idle core.
+
+    Machine-state bracket (r11 verdict #6): the suite runs this probe
+    before Spark starts and again after the last row, and emits both
+    times plus 1-min load averages in the JSON. BASELINE.md's
+    interpretation rules (noise band, fastest-of-N) depend on knowing
+    whether a drifted row ran on a contended host — the bracket settles
+    that without a manual re-run: probe times well above the idle
+    anchor, or load far above the core count, mean the row values carry
+    contention noise and only isolated re-runs adjudicate.
+    """
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(4_000_000):
+        x += i * i
+    assert x  # keep the loop un-optimizable
+    return round(time.perf_counter() - t0, 3)
+
+
+def _machine_bracket(
+    probe_start: float,
+    load_start: float,
+    steal_start: int | None,
+    wall_start: float,
+    loads: list[float],
+) -> dict:
+    """The contention-evidence block for the one-line JSON (r11 verdict
+    #6). How to read it (BASELINE.md r12 section is the reference):
+
+    * ``probe_*_sec`` — fixed single-thread workload; idle anchor
+      ~0.25 s on this host. Probes well above it = contended endpoints.
+    * ``load_start`` — 1-min load BEFORE Spark starts: >~4 means the
+      suite began on a busy machine. ``load_max`` (sampled after every
+      row) includes Spark's own local[32] work, so mid-suite values up
+      to ~cpus are normal; it pins WHICH phase was hot, not whether
+      contention existed.
+    * ``steal_pct`` — host-steal CPU share over the whole run, from
+      /proc/stat: the direct "another tenant took our cores" measure
+      that load cannot give. >~5% = row values carry contention noise
+      and only isolated re-runs adjudicate drift.
+    """
+    steal_end = _steal_jiffies()
+    wall = max(time.time() - wall_start, 1e-9)
+    steal_pct = None
+    if steal_start is not None and steal_end is not None:
+        # jiffies are USER_HZ=100; normalize by wall x cores
+        steal_sec = (steal_end - steal_start) / 100.0
+        steal_pct = round(
+            100.0 * steal_sec / (wall * (os.cpu_count() or 1)), 2
+        )
+    return {
+        "probe_start_sec": probe_start,
+        "probe_end_sec": _cpu_probe(),
+        "load_start": load_start,
+        "load_end": round(os.getloadavg()[0], 2),
+        "load_max": round(max(loads), 2) if loads else None,
+        "steal_pct": steal_pct,
+        "cpus": os.cpu_count(),
+    }
+
+
+def _steal_jiffies() -> int | None:
+    """Cumulative host-steal jiffies (column 8 of /proc/stat's cpu
+    line) — the DIRECT signal for "another tenant took our cores".
+    Load average can't distinguish Spark's own local[32] work from
+    host contention; steal can. None where the file/column is absent
+    (non-Linux)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except (OSError, IndexError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -59,6 +135,11 @@ def main() -> None:
     def want(name: str) -> bool:
         return not only or name in only
 
+    probe_start = _cpu_probe()
+    load_start = round(os.getloadavg()[0], 2)
+    steal_start = _steal_jiffies()
+    wall_start = time.time()
+
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
@@ -76,6 +157,7 @@ def main() -> None:
     from sparksearchengine_spark.functions.analyzers import analyzer_expr
 
     timings: dict[str, float] = {}
+    loads: list[float] = []
 
     def timed(name: str):
         class _T:
@@ -84,6 +166,11 @@ def main() -> None:
 
             def __exit__(self, *a):
                 timings[name] = round(time.time() - self.t0, 3)
+                # per-row load sample: the start/end probes can miss a
+                # mid-suite host contention phase entirely (r12 found a
+                # 7.7x single-row outlier bracketed by idle probes);
+                # load_max in the JSON pins whether ANY row ran hot
+                loads.append(os.getloadavg()[0])
 
         return _T()
 
@@ -803,12 +890,65 @@ def main() -> None:
         finally:
             _shutil.rmtree(wdir, ignore_errors=True)
 
+    # 40. WET text ingest (r11 verdict #2): 32 generated .warc.gz x 16
+    # conversion records x ~220 KB plain text (~113 MB — big records,
+    # the payload-dominated 100 TB shape) -> read_wet_text (the FUSED
+    # decode path: text decoded inside the parser pass, crossing Arrow
+    # once) -> full-corpus length sum (forces every byte across).
+    # Fixture write untimed, inside the try (temp dir never leaks).
+    # Min-of-3 by construction — same Python-worker spawn jitter class
+    # as crawl_ingest (BASELINE.md adjudication rule).
+    if want("wet_ingest"):
+        import gzip as _gzip
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from sparksearchengine_spark.sources.warc import read_wet_text
+
+        wdir = _tempfile.mkdtemp(prefix="bench_wet_")
+        try:
+            n_files, per_file = 32, 16
+            filler = (
+                "lorem ipsum dolor sit amet consectetur adipiscing elit "
+                * 4000
+            )
+            for fi in range(n_files):
+                with open(f"{wdir}/f{fi:02d}.warc.gz", "wb") as fh:
+                    for pi in range(per_file):
+                        g = fi * per_file + pi
+                        body = (f"doc {g} " + filler).encode()
+                        hdr = (
+                            "WARC/1.0\r\nWARC-Type: conversion\r\n"
+                            f"WARC-Target-URI: http://d{g % 200}.example/p{g}\r\n"
+                            "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                            f"WARC-Record-ID: <urn:uuid:{g}>\r\n"
+                            "Content-Type: text/plain\r\n"
+                            f"Content-Length: {len(body)}\r\n\r\n"
+                        ).encode()
+                        fh.write(_gzip.compress(hdr + body + b"\r\n\r\n"))
+            runs = []
+            for _ in range(3):
+                with timed("wet_ingest"):
+                    read_wet_text(spark, wdir).select(
+                        F.sum(F.length("text"))
+                    ).collect()
+                runs.append(timings["wet_ingest"])
+            timings["wet_ingest"] = min(runs)
+        finally:
+            _shutil.rmtree(wdir, ignore_errors=True)
+
     if only:
         # isolation mode: report ONLY the requested rows (the shared
         # index build may have run as a dependency — it is not part of
         # the requested measurement)
         timings = {k: v for k, v in timings.items() if k in only}
     total = round(sum(timings.values()), 3)
+    # "value" sums the REPORTED row values; for the min-of-3 rows
+    # (crawl_ingest, percolate_registry, wet_ingest) that is the
+    # fastest repetition, not the wall clock spent — so since r11 the
+    # headline total is a sum-of-reported-rows metric, comparable
+    # r11-to-r12+ but NOT to r10-and-earlier single-shot totals
+    # (BASELINE.md r12 section documents this).
     print(
         json.dumps(
             {
@@ -817,6 +957,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # machine-state bracket (r11 verdict #6): fixed CPU
+                # probe + 1-min load, before Spark start / after the
+                # last row — see BASELINE.md for how to read it
+                "machine": _machine_bracket(
+                    probe_start, load_start, steal_start, wall_start,
+                    loads,
+                ),
             }
         )
     )

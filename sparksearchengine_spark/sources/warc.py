@@ -60,6 +60,13 @@ RECORD_SCHEMA = (
     "headers map<string,string>, payload binary"
 )
 
+# read_warc(decode="utf8"): payload decoded to text INSIDE the parser
+# pass, so the (100 TB) payload crosses Arrow exactly once — same
+# economics as the fused warc_outlink_edges path (r11 verdict #2)
+RECORD_TEXT_SCHEMA = RECORD_SCHEMA.replace(
+    "payload binary", "payload_text string"
+)
+
 # WarcHTMLResponseRecord.java:54-58 — the four outlink patterns, applied
 # per <...> tag; group(1) is the raw URL.
 _TAG_RE = re.compile(r"<(.*?)>", re.S)
@@ -125,6 +132,15 @@ def _is_htmlish(htext: str, html: str) -> bool:
     return bool(
         _CT_HTML_RE.search(htext.lower()) or _HTML_TAG_RE.search(html)
     )
+
+
+def _utf8_total(b: bytes | None) -> str:
+    """Total binary→string decode (``errors="replace"`` — a crawl
+    always has mojibake). THE decode rule, shared by the fused
+    ``read_warc(decode="utf8")`` parser pass and the composed
+    ``_utf8_udf`` Arrow UDF, so fused == composed holds by
+    construction."""
+    return (b or b"").decode("utf-8", errors="replace")
 
 
 def _read_line(stream: io.BufferedIOBase) -> bytes:
@@ -295,6 +311,7 @@ def read_warc(
     batch_rows: int = 256,
     opener: Callable[[str], io.BufferedIOBase] | None = None,
     id_col: str = "doc_id",
+    decode: str | None = None,
 ) -> DataFrame:
     """S3 source: WARC/WET/WAT files -> one row per record.
 
@@ -305,16 +322,32 @@ def read_warc(
     ``content_length``, ``truncated``, ``headers`` (full map),
     ``payload`` (binary).
 
+    ``decode="utf8"`` (r11 verdict #2): the payload is decoded to text
+    INSIDE the parser loop and emitted as ``payload_text`` (string)
+    instead of ``payload`` — for WET/WAT, where the payload IS the
+    product, this makes the text cross the Arrow boundary exactly once
+    instead of binary-out + string-back through a second pandas UDF
+    (at 100 TB the composed shape serializes the whole corpus twice).
+    The decode is :func:`_utf8_total`, the same rule ``_utf8_udf``
+    applies, so fused == composed by construction (pinned in
+    ``tests/test_warc_source.py``).
+
     One task per file (gzip is unsplittable); the parse is a bounded-
     memory generator; ``record_types`` filters before Arrow transfer.
     """
+    if decode not in (None, "utf8"):
+        raise ValueError(
+            f"decode={decode!r}: only 'utf8' (total, errors=replace) "
+            "or None (raw binary payload) are supported"
+        )
     want = frozenset(record_types) if record_types is not None else None
     open_fn = opener or _default_opener
     cap = max_payload_bytes
+    schema = RECORD_TEXT_SCHEMA if decode else RECORD_SCHEMA
 
     paths = _paths_frame(spark, path)
     if paths is None:
-        return spark.createDataFrame([], RECORD_SCHEMA).withColumn(
+        return spark.createDataFrame([], schema).withColumn(
             id_col, F.xxhash64("path", "offset")
         )
     batch_bytes = 64 << 20  # flush by bytes too — rows near the payload
@@ -337,15 +370,21 @@ def read_warc(
                         stream, record_types=want, max_payload_bytes=cap
                     ):
                         rec["path"] = p
+                        if decode:
+                            rec["payload_text"] = _utf8_total(
+                                rec.pop("payload")
+                            )
+                            acc += len(rec["payload_text"])
+                        else:
+                            acc += len(rec["payload"])
                         rows.append(rec)
-                        acc += len(rec["payload"])
                         if len(rows) >= batch_rows or acc >= batch_bytes:
                             yield pd.DataFrame(rows)
                             rows, acc = [], 0
                 if rows:
                     yield pd.DataFrame(rows)
 
-    out = paths.mapInPandas(parse, RECORD_SCHEMA)
+    out = paths.mapInPandas(parse, schema)
     return out.withColumn(id_col, F.xxhash64("path", "offset"))
 
 
@@ -565,17 +604,17 @@ def warc_outlink_edges(
 
 
 def _utf8_udf():  # type: ignore[no-untyped-def]
-    """Total binary→string decode (errors=replace — a crawl always has
-    mojibake; ``F.decode`` would throw under Spark 4 ANSI)."""
+    """Total binary→string decode as an Arrow UDF (``F.decode`` would
+    throw under Spark 4 ANSI). The composed counterpart of the fused
+    ``read_warc(decode="utf8")`` path — both apply :func:`_utf8_total`,
+    so they agree byte-for-byte."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
     def _utf8(payload):  # type: ignore[no-untyped-def]
         import pandas as pd
 
-        return pd.Series(
-            [(b or b"").decode("utf-8", errors="replace") for b in payload]
-        )
+        return pd.Series([_utf8_total(b) for b in payload])
 
     return _utf8
 
@@ -668,17 +707,28 @@ def read_wet_text(
     ``(doc_id, text, url, date, path)`` — drop-in input for the
     textstats / dedup / sampling operators. Only conversion records
     cross the Arrow boundary. A custom ``id_col`` passed through
-    ``kwargs`` names the output id column too (r9 review finding)."""
-    if "record_types" in kwargs:
+    ``kwargs`` names the output id column too (r9 review finding).
+
+    FUSED (r11 verdict #2): rides ``read_warc(decode="utf8")``, so the
+    text — which for WET IS the whole product — is decoded inside the
+    parser pass and crosses Arrow exactly once; the old shape shipped
+    the binary payload out and re-ingested it through a second pandas
+    UDF, serializing the full corpus twice. Same decode rule
+    (:func:`_utf8_total`), so output is byte-identical to the composed
+    expression (pinned in ``tests/test_warc_source.py``)."""
+    if "record_types" in kwargs or "decode" in kwargs:
         raise TypeError(
-            "read_wet_text selects record_types='conversion' by "
-            "definition — use read_warc for other record types"
+            "read_wet_text selects record_types='conversion' and "
+            "decode='utf8' by definition — use read_warc for other "
+            "record types or the raw binary payload"
         )
     id_col = kwargs.get("id_col", "doc_id")
-    recs = read_warc(spark, path, record_types=["conversion"], **kwargs)
+    recs = read_warc(
+        spark, path, record_types=["conversion"], decode="utf8", **kwargs
+    )
     return recs.select(
         id_col,
-        _utf8_udf()(F.col("payload")).alias(text_col),
+        F.col("payload_text").alias(text_col),
         F.col("target_uri").alias("url"),
         "date",
         "path",
@@ -697,25 +747,34 @@ def read_wat_metadata(
     NULL, never a failed job). Shred fields with
     ``variant_get(metadata, '$.Envelope.WARC-Header-Metadata', ...)``;
     Catalyst prunes the shredding into the scan-side projection. A
-    custom ``id_col`` in ``kwargs`` names the output id column too."""
-    if "record_types" in kwargs:
+    custom ``id_col`` in ``kwargs`` names the output id column too.
+
+    FUSED (r11 verdict #2): the JSON envelope is decoded inside the
+    parser pass (``read_warc(decode="utf8")``) and crosses Arrow once
+    as a string; ``try_parse_json`` then runs JVM-side — the old shape
+    round-tripped the payload through a second pandas UDF."""
+    if "record_types" in kwargs or "decode" in kwargs:
         raise TypeError(
-            "read_wat_metadata selects record_types='metadata' by "
-            "definition — use read_warc for other record types"
+            "read_wat_metadata selects record_types='metadata' and "
+            "decode='utf8' by definition — use read_warc for other "
+            "record types or the raw binary payload"
         )
     id_col = kwargs.get("id_col", "doc_id")
-    recs = read_warc(spark, path, record_types=["metadata"], **kwargs)
+    recs = read_warc(
+        spark, path, record_types=["metadata"], decode="utf8", **kwargs
+    )
     return recs.select(
         id_col,
         F.col("target_uri").alias("url"),
         "date",
-        F.try_parse_json(_utf8_udf()(F.col("payload"))).alias("metadata"),
+        F.try_parse_json(F.col("payload_text")).alias("metadata"),
         "path",
     )
 
 
 __all__ = [
     "RECORD_SCHEMA",
+    "RECORD_TEXT_SCHEMA",
     "strip_file_scheme",
     "iter_warc_records",
     "read_warc",
