@@ -31,6 +31,7 @@ from sparksearchengine_spark.functions.analyzers import (
 )
 from sparksearchengine_spark.plans.ast import F_, Q, Query
 from sparksearchengine_spark.plans.serde import query_from_json, query_to_json
+from sparksearchengine_spark.operators.cache import ensure_checkpoint_dir
 from sparksearchengine_spark.operators.index import (
     Corpus,
     SearchIndex,
@@ -40,6 +41,7 @@ from sparksearchengine_spark.operators.index import (
 
 __all__ = [
     "Corpus",
+    "ensure_checkpoint_dir",
     "SearchIndex",
     "TextOptions",
     "Q",

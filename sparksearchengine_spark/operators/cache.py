@@ -24,9 +24,9 @@ so nothing is lost that ``persist()`` had not already given up.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["materialize"]
+__all__ = ["materialize", "ensure_checkpoint_dir"]
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -35,3 +35,44 @@ def materialize(df: DataFrame) -> DataFrame:
     df = df.persist()
     df.count()
     return df
+
+
+def ensure_checkpoint_dir(spark: SparkSession, path: str) -> str:
+    """Set the session's reliable-checkpoint directory if none is set;
+    return the effective directory (r11 verdict #5 — the cluster
+    deployment surface for pinned frames).
+
+    Why this matters: the iterative operators (``pagerank``, ``hits``,
+    ``weakly_connected_components``) and the probe pin in
+    ``rank_pages`` truncate lineage with ``_make_pin``, which uses a
+    RELIABLE checkpoint (survives executor loss) only when the session
+    has a checkpoint dir — otherwise it falls back to
+    ``localCheckpoint``, whose blocks live in executor storage and die
+    with a decommissioned executor, with a truncated plan that CANNOT
+    recompute them. Fine on a single node; a latent job-killer on a
+    dynamic-allocation cluster. Call this once at session setup with a
+    fault-tolerant path (HDFS/object store) before running the graph
+    operators.
+
+    Lifecycle caveat (r11 ADVICE): reliable checkpoint files are
+    auto-deleted on GC of the checkpointed plan ONLY when
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` — a conf
+    that must be set BEFORE the SparkContext starts (the
+    ContextCleaner reads it at construction) and defaults to false, in
+    which case every pinned frame leaves files under the checkpoint
+    dir until the dir itself is cleaned. Long-running sessions that
+    call the graph operators repeatedly should either enable that conf
+    at launch or point the dir at a location with TTL/lifecycle rules.
+
+    An already-configured dir is NEVER overridden (the caller's
+    cluster setup wins); the existing dir is returned instead.
+    """
+    sc = spark.sparkContext
+    current = sc.getCheckpointDir()
+    if current is not None:
+        return current
+    sc.setCheckpointDir(path)
+    got = sc.getCheckpointDir()
+    if got is None:  # pragma: no cover - defensive
+        raise RuntimeError(f"setCheckpointDir({path!r}) did not stick")
+    return got

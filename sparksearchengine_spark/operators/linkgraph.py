@@ -87,12 +87,52 @@ def _derive_nodes(e, n_part):
     )
 
 
+_warned_no_ckpt_dir = False
+
+
 def _make_pin(spark):
-    """Per-iteration lineage truncation: reliable checkpoint when the
-    session has a checkpoint dir (survives executor loss — the right
-    choice for a 1000-executor run), else localCheckpoint (executor
-    storage; fine for single-node and short jobs)."""
+    """Per-iteration / pre-probe lineage truncation: reliable
+    checkpoint when the session has a checkpoint dir (survives
+    executor loss — the right choice for a 1000-executor run), else
+    localCheckpoint (executor storage; fine for single-node and short
+    jobs).
+
+    The localCheckpoint fallback is LOUD (one RuntimeWarning per
+    process): the returned frames of pagerank/wcc/rank_pages read the
+    pinned blocks, which on the fallback path die with a
+    decommissioned executor and — the plan being truncated — cannot be
+    recomputed. Cluster deployments should call
+    :func:`sparksearchengine_spark.operators.cache.ensure_checkpoint_dir`
+    at session setup (r11 verdict #5).
+
+    Lifecycle (r11 ADVICE): the localCheckpoint branch's blocks are
+    ContextCleaner-freed when the result drops; the RELIABLE branch's
+    files are auto-deleted only under
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set
+    before SparkContext start; default false) — otherwise repeated
+    graph-operator calls accumulate files under the checkpoint dir.
+    See ``ensure_checkpoint_dir``'s docstring for the deployment
+    guidance.
+    """
     has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
+    if not has_ckpt_dir:
+        global _warned_no_ckpt_dir
+        if not _warned_no_ckpt_dir:
+            _warned_no_ckpt_dir = True
+            import warnings
+
+            warnings.warn(
+                "no Spark checkpoint dir is set: graph-operator pins "
+                "(pagerank / weakly_connected_components / rank_pages) "
+                "fall back to localCheckpoint, whose blocks die with a "
+                "decommissioned executor and cannot be recomputed — "
+                "fine on a single node, a job-killer under dynamic "
+                "allocation. Call ensure_checkpoint_dir(spark, "
+                "'<fault-tolerant path>') at session setup for cluster "
+                "runs. (Warned once per process.)",
+                RuntimeWarning,
+                stacklevel=3,
+            )
 
     def _pin(frame):
         return (
@@ -102,6 +142,32 @@ def _make_pin(spark):
         )
 
     return _pin
+
+
+_PIN_MEMO: "dict[tuple[str, int], DataFrame]" = {}
+
+
+def _memo_pin(frame: DataFrame) -> DataFrame:
+    """Pin ``frame`` via :func:`_make_pin`, memoized per (application
+    id, analyzed-plan semanticHash) — same keying discipline as
+    ``decide_broadcast``'s probe memo, and the same caveat: the key is
+    the PLAN, not the data, so a rank table whose underlying files are
+    rewritten mid-session at a different scale should be passed with
+    an explicit ``broadcast=`` flag instead. Bounded like the probe
+    cache (cleared wholesale at 64 entries — each entry retains
+    pinned blocks, so the bound is deliberately small); memo-hit
+    returns the SAME pinned DataFrame, keeping its plan stable for
+    downstream memoized probes."""
+    spark = frame.sparkSession
+    key = (
+        spark.sparkContext.applicationId,
+        int(str(frame._jdf.queryExecution().analyzed().semanticHash())),
+    )
+    if key not in _PIN_MEMO:
+        if len(_PIN_MEMO) >= 64:
+            _PIN_MEMO.clear()
+        _PIN_MEMO[key] = _make_pin(spark)(frame)
+    return _PIN_MEMO[key]
 
 
 def pagerank(
@@ -390,7 +456,17 @@ def rank_pages(
             # cluster path) else ContextCleaner-freed localCheckpoint
             # blocks (single-node path; executor-local storage is the
             # distributed_prefix tradeoff). r11 review, both passes.
-            ranks = _make_pin(domain_ranks.sparkSession)(ranks)
+            # The pin is MEMOIZED per source-plan semanticHash (r11
+            # ADVICE): pinning replaces the plan with a fresh
+            # LogicalRDD each call, so without the memo a
+            # build-once/query-many caller would pay an eager
+            # materialization job AND a fresh limit(n+1).count()
+            # probe per call (the pin's new plan can never hit
+            # decide_broadcast's own memo). Memo-hit returns the SAME
+            # pinned frame, whose stable plan then hits the probe
+            # memo too — pin + probe run once per session per rank
+            # table, restoring the ladder's probe-once property.
+            ranks = _memo_pin(ranks)
             bc = decide_broadcast(ranks, 1_000_000, trust_bytes=False)
     else:
         bc = broadcast

@@ -536,3 +536,98 @@ class TestRandomGraphProperties:
         assert len(src_ranks) == 1 and len(dst_ranks) == 1
         assert dst_ranks.pop() > src_ranks.pop()
         assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+class TestCheckpointSurface:
+    """r11 verdict #5: ensure_checkpoint_dir + loud localCheckpoint
+    fallback + memoized rank_pages pin (r11 ADVICE)."""
+
+    def test_warns_once_without_dir(self, spark, monkeypatch):
+        import warnings
+
+        from sparksearchengine_spark.operators import linkgraph as lg
+
+        if spark.sparkContext.getCheckpointDir() is not None:
+            pytest.skip("session already has a checkpoint dir")
+        monkeypatch.setattr(lg, "_warned_no_ckpt_dir", False)
+        with pytest.warns(RuntimeWarning, match="ensure_checkpoint_dir"):
+            lg._make_pin(spark)
+        # once per process: the second call must be silent
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            lg._make_pin(spark)
+
+    def test_reliable_checkpoint_when_dir_set(self, spark, tmp_path,
+                                              monkeypatch):
+        import os
+        import warnings
+
+        from sparksearchengine_spark.operators import linkgraph as lg
+        from sparksearchengine_spark.operators.cache import (
+            ensure_checkpoint_dir,
+        )
+
+        sc = spark.sparkContext
+        if sc.getCheckpointDir() is not None:
+            pytest.skip("session already has a checkpoint dir")
+        ckpt = str(tmp_path / "ckpt")
+        try:
+            got = ensure_checkpoint_dir(spark, ckpt)
+            # Spark normalizes to a URI and appends a per-app UUID dir
+            assert "/ckpt/" in got + "/"
+            # an existing dir is never overridden
+            again = ensure_checkpoint_dir(spark, str(tmp_path / "other"))
+            assert again == got
+            # with the dir set, _make_pin is silent and writes RELIABLE
+            # checkpoint files under the dir
+            monkeypatch.setattr(lg, "_warned_no_ckpt_dir", False)
+            with warnings.catch_warnings():
+                warnings.simplefilter("error")
+                pin = lg._make_pin(spark)
+            df = spark.range(10).toDF("v")
+            out = pin(df)
+            assert out.count() == 10
+            files = [
+                os.path.join(r, f)
+                for r, _, fs in os.walk(ckpt)
+                for f in fs
+            ]
+            assert files, "no reliable checkpoint files written"
+        finally:
+            # scala-side reset: keep the session-scoped fixture's
+            # behavior unchanged for tests running after this one
+            getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+                sc._jvm.scala.Option.apply(None)
+            )
+            assert sc.getCheckpointDir() is None
+
+    def test_rank_pages_pin_memoized(self, spark):
+        from pyspark.sql import functions as F
+
+        from sparksearchengine_spark.operators import linkgraph as lg
+
+        corpus = spark.createDataFrame(
+            [(i, f"http://d{i % 3}.example/p{i}") for i in range(30)],
+            "doc_id long, url string",
+        )
+        # a derived (grouped) rank table: no exact Catalyst rowCount,
+        # so rank_pages takes the pin-then-probe path
+        ranks = (
+            spark.createDataFrame(
+                [(f"d{i % 3}.example", float(i)) for i in range(9)],
+                "domain string, rank double",
+            )
+            .groupBy("domain")
+            .agg(F.avg("rank").alias("rank"))
+        )
+        lg._PIN_MEMO.clear()
+        out1 = lg.rank_pages(corpus, ranks, out_col="dr").collect()
+        assert len(lg._PIN_MEMO) == 1
+        pinned_first = next(iter(lg._PIN_MEMO.values()))
+        out2 = lg.rank_pages(corpus, ranks, out_col="dr").collect()
+        # memo hit: same entry, same pinned frame object, same result
+        assert len(lg._PIN_MEMO) == 1
+        assert next(iter(lg._PIN_MEMO.values())) is pinned_first
+        key = lambda r: r["doc_id"]  # noqa: E731
+        assert sorted(out1, key=key) == sorted(out2, key=key)
+        lg._PIN_MEMO.clear()
