@@ -165,7 +165,20 @@ def _persist_sites(tree: ast.AST):
         sites: list[tuple[int, str | None]] = []
         counts: list[tuple[int, str]] = []
 
-        def target_of(assign: ast.Assign, call: ast.Call) -> str | None:
+        def target_of(assign: ast.AST, call: ast.Call) -> str | None:
+            # annotated ('e: DataFrame = df.persist()') and walrus
+            # ('(e := df.persist())') bindings count too (r11 ADVICE:
+            # treating them as unbound forced spurious allowlisting)
+            if isinstance(assign, ast.AnnAssign):
+                if assign.value is not None and call in ast.walk(
+                    assign.value
+                ):
+                    return ast.unparse(assign.target)
+                return None
+            if isinstance(assign, ast.NamedExpr):
+                if call in ast.walk(assign.value):
+                    return ast.unparse(assign.target)
+                return None
             if len(assign.targets) != 1:
                 return None
             t, v = assign.targets[0], assign.value
@@ -184,7 +197,13 @@ def _persist_sites(tree: ast.AST):
             for child in ast.iter_child_nodes(node):
                 if isinstance(child, (ast.FunctionDef, ast.AsyncFunctionDef)):
                     continue  # separate scope
-                ca = child if isinstance(child, ast.Assign) else cur_assign
+                ca = (
+                    child
+                    if isinstance(
+                        child, (ast.Assign, ast.AnnAssign, ast.NamedExpr)
+                    )
+                    else cur_assign
+                )
                 if isinstance(child, ast.Call) and isinstance(
                     child.func, ast.Attribute
                 ):
@@ -329,3 +348,28 @@ def test_analyzer_flags_unmaterialized_fanout_persist():
         "    return e.join(e, 'a')\n"
     )
     assert _persist_sites(synonym)["sneaky"] == [(2, False)]
+
+    # annotated and walrus bindings are bindings (r11 ADVICE)
+    ann = ast.parse(
+        "def typed(df):\n"
+        "    e: object = df.select('a').persist()\n"
+        "    e.count()\n"
+        "    return e.join(e, 'a')\n"
+    )
+    assert _persist_sites(ann)["typed"] == [(2, True)]
+
+    walrus = ast.parse(
+        "def wal(df):\n"
+        "    x = ((e := df.persist()), 1)\n"
+        "    e.count()\n"
+        "    return e\n"
+    )
+    assert _persist_sites(walrus)["wal"] == [(2, True)]
+
+    # an annotated binding with NO later count is still flagged
+    ann_bad = ast.parse(
+        "def typed_bad(df):\n"
+        "    e: object = df.persist()\n"
+        "    return e.join(e, 'a')\n"
+    )
+    assert _persist_sites(ann_bad)["typed_bad"] == [(2, False)]
