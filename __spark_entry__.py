@@ -1456,6 +1456,78 @@ def _dedup_minhash_canon(spark, sf):
     )
 
 
+def _dedup_bucket_cap(spark, sf):
+    """Giant-bucket guard metrics on a synthetic mega-bucket corpus
+    (r11 verdict #1 + #4's 'driver oracle for the capped candidate
+    count'). Corpus derived from the documents table: rows with
+    doc_id % 7 == 0 among doc_id < 260 get IDENTICAL text (one
+    near-dup mega-cluster whose identical MinHash signature lands in
+    the same bucket of EVERY band — bands oversized buckets of exactly
+    m members), the rest get pairwise token-disjoint synthetic text
+    (u-prefixed ids, Jaccard 0 between any two, so nothing else
+    survives verification). With max_bucket_size=20 < m the guard must
+    report exactly (bands, bands*m, m) and the star emission must
+    yield exactly m-1 verified pairs, all through min id 0 — and
+    minhash_lsh_canon must still collapse the whole cluster to canon 0
+    (connectivity through O(m) star edges). Every output is an
+    analytic function of m = COUNT(doc_id<260 AND doc_id%7=0), which
+    DuckDB computes exactly from the same parquet."""
+    from sparksearchengine_spark.operators.dedup import (
+        canonicalize_pairs,
+        minhash_lsh_dedup,
+    )
+
+    docs = _read(spark, sf, "documents").where(F.col("doc_id") < 260)
+    mega_text = (
+        "the quick brown fox jumps over the lazy dog again and again"
+    )
+    corpus = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(mega_text))
+        .otherwise(
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(F.lit("u"), (F.col("doc_id") * 10 + j))
+                    for j in range(10)
+                ],
+            )
+        )
+        .alias("text"),
+    )
+    st: dict = {}
+    pairs = minhash_lsh_dedup(
+        corpus, id_col="doc_id", text_col="text", n=NGRAM_N,
+        num_hashes=64, bands=16, threshold=NGRAM_T,
+        max_bucket_size=20, oversize="star", stats_out=st,
+    ).persist()
+    star = pairs.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.coalesce(F.sum(F.when(F.col("id_a") == 0, 1).otherwise(0)),
+                   F.lit(0)).alias("via0"),
+    ).first()
+    # canonicalize over the SAME verified pairs (what minhash_lsh_canon
+    # composes) instead of re-running the whole signature pipeline —
+    # the connectivity-through-star-edges property is what's under test
+    canon_dups = (
+        canonicalize_pairs(corpus, pairs, id_col="doc_id")
+        .where(F.col("is_duplicate") & (F.col("canon_id") == 0))
+        .count()
+    )
+    pairs.unpersist()
+    row = (
+        st["oversized_buckets"], st["oversized_rows"],
+        st["largest_bucket"], int(star["np"]), int(star["via0"]),
+        int(canon_dups),
+    )
+    return spark.createDataFrame(
+        [row],
+        "oversized_buckets long, oversized_rows long, "
+        "largest_bucket long, capped_pairs long, pairs_via_min_id long, "
+        "canon_dups long",
+    )
+
+
 def _dedup_recall(spark, sf):
     """Pair-recall of each approximate near-dup op vs its exact baseline,
     thresholded (op, recall_ok). minhash/emb_lsh measured 1.0 at sf0.01;
@@ -3581,21 +3653,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc28_exclusive_range": _qc28,
         "qc29_escaped_term": _qc29,
         "qc30_regex_term": _qc30,
-        # ---- slots 31-32: NEW r11 entries (freeze lifted, VERDICT r10 #3)
+        # ---- slot 31: NEW r12 entry (freeze lifted, VERDICT r11 #4 —
+        # the capped-candidate-count oracle on a synthetic mega-bucket
+        # corpus; closed-form DuckDB expectation from the cluster size)
+        "dedup_bucket_cap": _dedup_bucket_cap,
+        # ---- slots 32-50: re-verification rotation — r12 touched the
+        # LSH candidate builders (bucket cap: minhash/simhash/cross-
+        # corpus/emb paths) and linkgraph's pin machinery (_make_pin
+        # warning + rank_pages pin memo), so the dedup oracle family
+        # and the full linkgraph family re-verify, plus the standing
+        # heavy riders (query_join_dsl, percolator, index_upsert).
+        # Probabilistic dedup rows (dedup_minhash_lsh, dedup_simhash,
+        # emb LSH) stay gated by the dedup_recall/ann_recall rows here.
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash_canon": _dedup_minhash_canon,
+        "dedup_recall": _dedup_recall,
+        "ann_recall": _ann_recall,
+        "dedup_crossgram": _dedup_crossgram,
+        "dedup_cross_ngram": _dedup_cross_ngram,
+        "dedup_paragraphs": _dedup_paragraphs,
+        "dedup_edit_join": _dedup_edit_join,
+        "dedup_exact_prefer": _dedup_exact_prefer,
         "rank_pages": _rank_pages,
         "domain_pagerank": _domain_pagerank,
-        # ---- slots 33-50: re-verification rotation (r11-touched + riders)
         "pagerank": _pagerank,
         "hits": _hits,
         "weakly_connected_components": _weak_components,
-        "export_shard_shuffle": _export_shard_shuffle,
-        "export_shard_assign": _export_shard_assign,
-        "dedup_edit_join": _dedup_edit_join,
-        "classification_metrics": _classification_metrics,
-        "pr_curve": _pr_curve,
         "query_join_dsl": _query_join_dsl,
         "percolate_dsl": _percolate_dsl,
         "percolate_match": _percolate_match,
+        "index_upsert": _index_upsert,
+        # ---- past the driver cutoff (all driver-green in r8-r11;
+        # the r11 rotation rows displaced by r12's queue sit first)
+        "export_shard_shuffle": _export_shard_shuffle,
+        "export_shard_assign": _export_shard_assign,
+        "classification_metrics": _classification_metrics,
+        "pr_curve": _pr_curve,
         "doc_keywords": _doc_keywords,
         "more_like_this": _more_like_this,
         "search_eval": _search_eval,
@@ -3603,7 +3697,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "select_budget": _select_budget,
         "pack_chunks": _pack_chunks,
         "vocab_top": _vocab_top,
-        # ---- past the driver cutoff (all driver-green in r8/r9/r10)
         "text_ppl_buckets": _text_ppl_buckets,
         "collocations_pmi": _collocations,
         "text_hash_embed_arrow": _text_hash_embed_arrow,
@@ -3624,14 +3717,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_join_lucene": _query_join_lucene,
         "search_lmd": _search_lmd,
         "search_lmjm": _search_lmjm,
-        "dedup_paragraphs": _dedup_paragraphs,
         "curation_report": _curation_report,
         "sample_per_group": _sample_per_group,
         "clean_text": _clean_text,
         "emb_quantize": _emb_quantize,
         "events_hourly_windowed": _events_hourly_windowed,
         "events_trending": _events_trending,
-        "dedup_crossgram": _dedup_crossgram,
         "emb_semdedup": _emb_semdedup,
         "mixture_repeats": _mixture_repeats,
         "doc_winnow": _doc_winnow,
@@ -3648,14 +3739,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_dsl_multiterm": _batch_dsl_multiterm,
         "text_dict_tag": _text_dict_tag,
         "spell_correct": _spell_correct,
-        "index_upsert": _index_upsert,
         "emb_pq_topk": _emb_pq_topk,
         "pq_recall": _pq_recall,
         "ivfpq_recall": _ivfpq_recall,
         "emb_hard_negatives": _emb_hard_negatives,
         "text_readability": _text_readability,
         "search_hybrid_rrf": _search_hybrid_rrf,
-        "dedup_exact_prefer": _dedup_exact_prefer,
         "corpus_diff": _corpus_diff,
         "search_decay": _search_decay,
         "search_maxp": _search_maxp,
@@ -3699,12 +3788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": _events_resample,
         "url_normalize": _url_normalize,
         "dsir_weights": _dsir_weights,
-        "dedup_exact": _dedup_exact,
-        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
-        "dedup_minhash_canon": _dedup_minhash_canon,
-        "dedup_recall": _dedup_recall,
-        "ann_recall": _ann_recall,
         "dedup_simhash": _dedup_simhash,
         "dedup_emb_exact": _dedup_emb_exact,
         "dedup_emb_lsh": _dedup_emb_lsh,
@@ -3719,7 +3803,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_test_split": _train_test_split,
         "decontam_ngram": _decontam_ngram,
         "unigram_quality": _unigram_quality,
-        "dedup_cross_ngram": _dedup_cross_ngram,
         "chunk_docs": _chunk_docs,
         "doc_fingerprint": _doc_fingerprint,
         "events_hourly": _events_hourly,
@@ -5061,6 +5144,31 @@ def oracle_sql() -> dict[str, str]:
                           chunk_id*{CHUNK_MAX - CHUNK_OVERLAP}+{CHUNK_MAX}],
                      ' ') AS chunk_text
             FROM c ORDER BY doc_id, chunk_id""",
+        # giant-bucket guard metrics (operators/dedup.py, r11 verdict
+        # #1): every output is an analytic function of the mega-cluster
+        # size m — DuckDB counts m exactly from the same parquet; the
+        # guard's contract (bands oversized buckets of m members, m-1
+        # star pairs through min id 0, full canon collapse) supplies
+        # the closed forms. Below the cap (small sf) the join is
+        # uncapped all-pairs: m*(m-1)/2 identical-text pairs.
+        "dedup_bucket_cap": """
+            WITH m AS (
+              SELECT CAST(count(*) AS BIGINT) AS mm
+              FROM documents WHERE doc_id < 260 AND doc_id % 7 = 0
+            )
+            SELECT
+              CAST(CASE WHEN mm > 20 THEN 16 ELSE 0 END AS BIGINT)
+                AS oversized_buckets,
+              CAST(CASE WHEN mm > 20 THEN 16 * mm ELSE 0 END AS BIGINT)
+                AS oversized_rows,
+              CAST(CASE WHEN mm > 20 THEN mm ELSE 0 END AS BIGINT)
+                AS largest_bucket,
+              CAST(CASE WHEN mm > 20 THEN mm - 1
+                        ELSE mm * (mm - 1) / 2 END AS BIGINT)
+                AS capped_pairs,
+              CAST(GREATEST(mm - 1, 0) AS BIGINT) AS pairs_via_min_id,
+              CAST(GREATEST(mm - 1, 0) AS BIGINT) AS canon_dups
+            FROM m""",
         # cross-corpus exact near-dup join (operators/dedup.py)
         "dedup_cross_ngram": f"""
             WITH t AS (
