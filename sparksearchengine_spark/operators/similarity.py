@@ -689,9 +689,22 @@ def embedding_neardup(
     item_vec: str = "embedding",
     num_planes: int = 16,
     bands: int = 4,
+    max_bucket_size: int | None = 8192,
+    oversize: str = "star",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ threshold) via LSH
-    self-join + exact verification: (id_a < id_b, cos_sim)."""
+    self-join + exact verification: (id_a < id_b, cos_sim).
+
+    ``max_bucket_size`` (r11 verdict #1, same guard as the MinHash /
+    SimHash paths): a (band, bh) bucket is all-pairs within itself —
+    a cluster of m near-identical embeddings (a repeated stock image,
+    a boilerplate page embedded millions of times) makes O(bands*m^2)
+    candidates. Oversized buckets pair as a min-id star (``"star"`` —
+    O(m) verified edges, connectivity preserved for dedup-clustering
+    consumers) or are dropped (``"drop"``); counts are eager, warned,
+    and written to ``stats_out``. ``None`` restores the uncapped join.
+    """
     sample = items.select(F.size(F.col(item_vec))).first()
     planes = _hyperplanes(num_planes, int(sample[0]))
     if num_planes % bands:
@@ -715,26 +728,55 @@ def embedding_neardup(
             for i in range(bands)
         ]
     )
-    banded = d.select("id", "vec", F.explode(bandarr).alias("bd")).select(
-        "id", "vec", F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh")
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bh") == F.col("b.bh"))
-            & (F.col("a.id") < F.col("b.id")),
+    if max_bucket_size is not None:
+        from sparksearchengine_spark.operators.cache import materialize
+        from sparksearchengine_spark.operators.dedup import (
+            _capped_self_pairs,
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.vec").alias("va"),
-            F.col("b.vec").alias("vb"),
+
+        # materialized: the bucket-size pass, both self-join arms, and
+        # the two vector join-backs all read d in one job (stage-race
+        # guard, r10) — and the uncapped plan recomputed the signature
+        # projection per branch anyway
+        d = materialize(d)
+        banded = d.select("id", F.explode(bandarr).alias("bd")).select(
+            "id",
+            F.col("bd.band").alias("band"),
+            F.col("bd.bh").alias("bh"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        pairs = _capped_self_pairs(
+            banded, ["band", "bh"], max_bucket_size, oversize, stats_out,
+            "embedding_neardup",
+        )
+        cand = pairs.join(
+            d.select(F.col("id").alias("id_a"), F.col("vec").alias("va")),
+            "id_a",
+        ).join(
+            d.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")),
+            "id_b",
+        )
+    else:
+        banded = d.select("id", "vec", F.explode(bandarr).alias("bd")).select(
+            "id", "vec",
+            F.col("bd.band").alias("band"), F.col("bd.bh").alias("bh"),
+        )
+        a = banded.alias("a")
+        b = banded.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bh") == F.col("b.bh"))
+                & (F.col("a.id") < F.col("b.id")),
+            )
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.vec").alias("va"),
+                F.col("b.vec").alias("vb"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
     return (
         cand.withColumn("cos_sim", cosine_expr(F.col("va"), F.col("vb")))
         .where(F.col("cos_sim") >= float(threshold))

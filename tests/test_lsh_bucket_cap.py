@@ -251,6 +251,50 @@ class TestEmbeddingLshCap:
         q2 = [r for r in res if r["query_id"] == 2]
         assert len(q2) == 5 and all(r["vec_id"] >= 1000 for r in q2)
 
+    def test_neardup_star_bounds_pairs(self, spark):
+        from sparksearchengine_spark.operators.similarity import (
+            embedding_neardup,
+        )
+
+        items = self._emb(spark, n_mega=40, n_anti=5)
+        st: dict = {}
+        with pytest.warns(RuntimeWarning, match="embedding_neardup"):
+            pairs = embedding_neardup(
+                items, threshold=0.99, max_bucket_size=10, stats_out=st
+            ).collect()
+        assert st["oversized_buckets"] == 4
+        assert st["largest_bucket"] == 40
+        # star: m-1 verified pairs through min id 0, never 780 all-pairs
+        mega = [(r["id_a"], r["id_b"]) for r in pairs if r["id_b"] < 1000]
+        assert len(mega) == 39 and {a for a, _ in mega} == {0}
+        # the anti-cluster (5 < cap) still pairs all-pairs: C(5,2)=10
+        anti = [r for r in pairs if r["id_a"] >= 1000]
+        assert len(anti) == 10
+
+    def test_neardup_generous_cap_matches_uncapped(self, spark):
+        from sparksearchengine_spark.operators.similarity import (
+            embedding_neardup,
+        )
+
+        items = self._emb(spark, n_mega=6, n_anti=4)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            capped = sorted(
+                map(
+                    tuple,
+                    embedding_neardup(items, threshold=0.9).collect(),
+                )
+            )
+        uncapped = sorted(
+            map(
+                tuple,
+                embedding_neardup(
+                    items, threshold=0.9, max_bucket_size=None
+                ).collect(),
+            )
+        )
+        assert capped == uncapped and len(capped) == 15 + 6
+
     def test_generous_cap_keeps_everything(self, spark):
         from sparksearchengine_spark.operators.similarity import (
             lsh_cosine_topk,
