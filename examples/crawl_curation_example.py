@@ -147,6 +147,12 @@ def main(out: str | None = None) -> None:
     print(f"[1] warc records: {records.count()}")
 
     # --- 2. link-graph prior (fused: html never re-crosses Arrow) -------
+    # CLUSTER NOTE: on a real (dynamic-allocation) cluster, call
+    #   ensure_checkpoint_dir(spark, "hdfs://.../ckpt")
+    # (package-root export) BEFORE the graph operators — their lineage
+    # pins otherwise ride localCheckpoint, whose blocks die with a
+    # decommissioned executor. Single-process demo: fallback is fine
+    # (the engine warns once).
     links = warc_outlink_edges(spark, crawl, opener=local_opener)
     prior = domain_pagerank(links, iterations=20)
     print("[2] domain prior (rank desc):")

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["materialize", "ensure_checkpoint_dir"]
+__all__ = ["materialize", "ensure_checkpoint_dir", "make_pin"]
 
 
 def materialize(df: DataFrame) -> DataFrame:
@@ -76,3 +76,61 @@ def ensure_checkpoint_dir(spark: SparkSession, path: str) -> str:
     if got is None:  # pragma: no cover - defensive
         raise RuntimeError(f"setCheckpointDir({path!r}) did not stick")
     return got
+
+
+_warned_no_ckpt_dir = False
+
+
+def make_pin(spark: SparkSession):
+    """Per-iteration / pre-probe lineage-truncation factory: reliable
+    checkpoint when the session has a checkpoint dir (survives executor
+    loss — the right choice for a 1000-executor run), else
+    localCheckpoint (executor storage; fine for single-node and short
+    jobs). THE pin rule for every iterative operator (pagerank, hits,
+    weakly_connected_components, dedup connected components) and for
+    pre-probe pins whose blocks the RETURNED lazy frame reads
+    (rank_pages).
+
+    The localCheckpoint fallback is LOUD (one RuntimeWarning per
+    process): on the fallback path the pinned blocks die with a
+    decommissioned executor and — the plan being truncated — cannot be
+    recomputed. Cluster deployments call :func:`ensure_checkpoint_dir`
+    at session setup (r11 verdict #5).
+
+    Lifecycle (r11 ADVICE): the localCheckpoint branch's blocks are
+    ContextCleaner-freed when the result drops; the RELIABLE branch's
+    files are auto-deleted only under
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set
+    before SparkContext start; default false) — otherwise repeated
+    graph-operator calls accumulate files under the checkpoint dir.
+    See :func:`ensure_checkpoint_dir` for the deployment guidance.
+    """
+    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
+    if not has_ckpt_dir:
+        global _warned_no_ckpt_dir
+        if not _warned_no_ckpt_dir:
+            _warned_no_ckpt_dir = True
+            import warnings
+
+            warnings.warn(
+                "no Spark checkpoint dir is set: iterative-operator "
+                "pins (pagerank / weakly_connected_components / "
+                "connected_components / rank_pages) fall back to "
+                "localCheckpoint, whose blocks die with a "
+                "decommissioned executor and cannot be recomputed — "
+                "fine on a single node, a job-killer under dynamic "
+                "allocation. Call ensure_checkpoint_dir(spark, "
+                "'<fault-tolerant path>') at session setup for cluster "
+                "runs. (Warned once per process.)",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+
+    def _pin(frame: DataFrame) -> DataFrame:
+        return (
+            frame.checkpoint(eager=True)
+            if has_ckpt_dir
+            else frame.localCheckpoint(eager=True)
+        )
+
+    return _pin

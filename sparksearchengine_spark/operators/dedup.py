@@ -766,10 +766,17 @@ def connected_components(
     rounds (near-dup clusters are almost always cliques or short chains —
     2-3 rounds in practice). Everything is keyed joins + aggregates: no
     driver-side graph, no cartesian. Lineage is truncated per round with
-    localCheckpoint (mandatory for iterative plans — otherwise the plan
-    doubles each round), and convergence is detected by counting changed
-    labels.
+    the shared pin rule (mandatory for iterative plans — otherwise the
+    plan doubles each round): reliable checkpoint when the session has
+    a checkpoint dir (the returned labels read the LAST round's pin, so
+    on a dynamic-allocation cluster the blocks must survive executor
+    loss — ``operators/cache.py::make_pin``, r11 verdict #5), else
+    ContextCleaner-freed localCheckpoint. Convergence is detected by
+    counting changed labels.
     """
+    from sparksearchengine_spark.operators.cache import make_pin
+
+    _pin = make_pin(pairs.sparkSession)
     # the un-flipped half is materialized FIRST: the undirected union
     # reads it from two branches, and an un-cached caller pipeline
     # (band joins, gram verifies) would be recomputed per branch
@@ -785,11 +792,10 @@ def connected_components(
         .distinct()
     )
     half.unpersist()
-    labels = (
+    labels = _pin(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint()
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -810,7 +816,7 @@ def connected_components(
             ).alias("label"),
         )
         # pointer jumping: label <- label(label)
-        new = (
+        new = _pin(
             new.join(
                 new.select(
                     F.col("id").alias("label"), F.col("label").alias("_ll")
@@ -819,7 +825,6 @@ def connected_components(
                 "left",
             )
             .select("id", F.coalesce("_ll", F.col("label")).alias("label"))
-            .localCheckpoint()
         )
         changed = (
             new.alias("n")

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sparksearchengine_spark.operators.cache import make_pin
+
 __all__ = [
     "pagerank",
     "domain_pagerank",
@@ -87,61 +89,11 @@ def _derive_nodes(e, n_part):
     )
 
 
-_warned_no_ckpt_dir = False
-
-
-def _make_pin(spark):
-    """Per-iteration / pre-probe lineage truncation: reliable
-    checkpoint when the session has a checkpoint dir (survives
-    executor loss — the right choice for a 1000-executor run), else
-    localCheckpoint (executor storage; fine for single-node and short
-    jobs).
-
-    The localCheckpoint fallback is LOUD (one RuntimeWarning per
-    process): the returned frames of pagerank/wcc/rank_pages read the
-    pinned blocks, which on the fallback path die with a
-    decommissioned executor and — the plan being truncated — cannot be
-    recomputed. Cluster deployments should call
-    :func:`sparksearchengine_spark.operators.cache.ensure_checkpoint_dir`
-    at session setup (r11 verdict #5).
-
-    Lifecycle (r11 ADVICE): the localCheckpoint branch's blocks are
-    ContextCleaner-freed when the result drops; the RELIABLE branch's
-    files are auto-deleted only under
-    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (set
-    before SparkContext start; default false) — otherwise repeated
-    graph-operator calls accumulate files under the checkpoint dir.
-    See ``ensure_checkpoint_dir``'s docstring for the deployment
-    guidance.
-    """
-    has_ckpt_dir = spark.sparkContext.getCheckpointDir() is not None
-    if not has_ckpt_dir:
-        global _warned_no_ckpt_dir
-        if not _warned_no_ckpt_dir:
-            _warned_no_ckpt_dir = True
-            import warnings
-
-            warnings.warn(
-                "no Spark checkpoint dir is set: graph-operator pins "
-                "(pagerank / weakly_connected_components / rank_pages) "
-                "fall back to localCheckpoint, whose blocks die with a "
-                "decommissioned executor and cannot be recomputed — "
-                "fine on a single node, a job-killer under dynamic "
-                "allocation. Call ensure_checkpoint_dir(spark, "
-                "'<fault-tolerant path>') at session setup for cluster "
-                "runs. (Warned once per process.)",
-                RuntimeWarning,
-                stacklevel=3,
-            )
-
-    def _pin(frame):
-        return (
-            frame.checkpoint(eager=True)
-            if has_ckpt_dir
-            else frame.localCheckpoint(eager=True)
-        )
-
-    return _pin
+# the shared lineage-truncation rule (reliable checkpoint with a
+# session checkpoint dir, loud localCheckpoint fallback without —
+# docstring + deployment guidance in operators/cache.py); aliased so
+# every pin in this module reads as _make_pin at the call site
+_make_pin = make_pin
 
 
 _PIN_MEMO: "dict[tuple[str, int], DataFrame]" = {}

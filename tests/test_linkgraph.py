@@ -545,11 +545,12 @@ class TestCheckpointSurface:
     def test_warns_once_without_dir(self, spark, monkeypatch):
         import warnings
 
+        from sparksearchengine_spark.operators import cache
         from sparksearchengine_spark.operators import linkgraph as lg
 
         if spark.sparkContext.getCheckpointDir() is not None:
             pytest.skip("session already has a checkpoint dir")
-        monkeypatch.setattr(lg, "_warned_no_ckpt_dir", False)
+        monkeypatch.setattr(cache, "_warned_no_ckpt_dir", False)
         with pytest.warns(RuntimeWarning, match="ensure_checkpoint_dir"):
             lg._make_pin(spark)
         # once per process: the second call must be silent
@@ -580,7 +581,9 @@ class TestCheckpointSurface:
             assert again == got
             # with the dir set, _make_pin is silent and writes RELIABLE
             # checkpoint files under the dir
-            monkeypatch.setattr(lg, "_warned_no_ckpt_dir", False)
+            from sparksearchengine_spark.operators import cache
+
+            monkeypatch.setattr(cache, "_warned_no_ckpt_dir", False)
             with warnings.catch_warnings():
                 warnings.simplefilter("error")
                 pin = lg._make_pin(spark)
