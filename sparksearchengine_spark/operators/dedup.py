@@ -435,11 +435,12 @@ def _oversized_buckets(
         ).first()
         rows_over, largest = int(agg["rows"]), int(agg["mx"])
         warnings.warn(
-            f"{label}: {n_over} LSH bucket(s) exceed max_bucket_size="
-            f"{max_bucket_size} ({rows_over} member rows, largest "
-            f"{largest}); oversized buckets are capped (star/drop), so "
-            "some candidate pairs are not enumerated — raise "
-            "max_bucket_size only if the all-pairs cost is acceptable",
+            f"{label}: {n_over} candidate bucket(s) exceed the bucket "
+            f"cap max_bucket_size={max_bucket_size} ({rows_over} member "
+            f"rows, largest {largest}); oversized buckets are capped "
+            "(star/drop), so some candidate pairs are not enumerated — "
+            "raise the cap (max_bucket_size / winnow's max_hash_df) "
+            "only if the all-pairs cost is acceptable",
             RuntimeWarning,
             stacklevel=3,
         )
@@ -1383,8 +1384,9 @@ def winnow_overlap_pairs(
     min_overlap: float = 0.2,
     window: int = 4,
     n: int = 5,
-    max_hash_df: int | None = None,
+    max_hash_df: int | None = 8192,
     analyzer: str = "simple",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """MOSS-style plagiarism candidates: pairs sharing winnowing
     fingerprints — `(id_a < id_b, n_shared, overlap)` with
@@ -1397,9 +1399,14 @@ def winnow_overlap_pairs(
     actually sharing a fingerprint ever meet. ``max_hash_df`` drops
     fingerprints present in more than that many docs before the join
     (corpus-wide boilerplate phrases otherwise fan out quadratically —
-    the same stop-fingerprint cap MOSS applies). At 100 TB this is one
-    explode + one hash-keyed join + one pair aggregation; raw text never
-    shuffles.
+    the same stop-fingerprint cap MOSS applies). It is ON by default
+    (r12: a fingerprint posting is a candidate bucket like an LSH band
+    bucket, and the same mega-bucket blowup applies) and LOUD: dropped
+    fingerprints are counted eagerly, warned about, and reported via
+    ``stats_out`` (``_oversized_buckets`` keys); MOSS semantics are
+    preserved — sizes count only surviving fingerprints on BOTH sides.
+    ``None`` disables the cap. At 100 TB this is one explode + one
+    hash-keyed join + one pair aggregation; raw text never shuffles.
     """
     from sparksearchengine_spark.operators.textstats import winnow_selected
 
@@ -1424,13 +1431,10 @@ def winnow_overlap_pairs(
     # both join sides, sizes); (id, hash) rows only — raw text never
     # cached. Session-lived, matching ngram_jaccard_join's cache.
     if max_hash_df is not None:
-        hd = (
-            e.groupBy("h")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") <= max_hash_df)
-            .select("h")
+        over = _oversized_buckets(
+            e, ["h"], max_hash_df, stats_out, "winnow_overlap_pairs"
         )
-        e = e.join(hd, "h")
+        e = e.join(over.select("h"), "h", "left_anti")
     # selection sizes AFTER the sentinel/stop-fingerprint drops: MOSS
     # excludes stop fingerprints from BOTH sides — counting them in the
     # denominator only would underestimate boilerplate-heavy docs'

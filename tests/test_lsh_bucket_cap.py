@@ -319,3 +319,52 @@ class TestEmbeddingLshCap:
             )
         )
         assert capped == uncapped
+
+
+class TestWinnowStopFingerprintCap:
+    """r12: a winnowing fingerprint posting is a candidate bucket like
+    an LSH band bucket — the MOSS stop-fingerprint cap is now ON by
+    default and loud."""
+
+    def test_cap_is_loud_and_reported(self, spark):
+        from sparksearchengine_spark.operators.dedup import (
+            winnow_overlap_pairs,
+        )
+
+        boiler = "this exact shared boilerplate sentence repeats across docs"
+        df = spark.createDataFrame(
+            [(i, f"{boiler} unique tail {i} content {i}") for i in range(6)],
+            "doc_id long, text string",
+        )
+        st: dict = {}
+        with pytest.warns(RuntimeWarning, match="winnow_overlap_pairs"):
+            capped = winnow_overlap_pairs(
+                df, min_overlap=0.3, max_hash_df=2, stats_out=st
+            ).count()
+        assert capped == 0
+        assert st["oversized_buckets"] > 0
+        assert st["largest_bucket"] == 6  # the corpus-wide fingerprints
+        assert st["max_bucket_size"] == 2
+
+    def test_default_cap_silent_on_healthy_corpus(self, docs_df):
+        from sparksearchengine_spark.operators.dedup import (
+            winnow_overlap_pairs,
+        )
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            with_default = sorted(
+                map(
+                    tuple,
+                    winnow_overlap_pairs(docs_df, min_overlap=0.3).collect(),
+                )
+            )
+        uncapped = sorted(
+            map(
+                tuple,
+                winnow_overlap_pairs(
+                    docs_df, min_overlap=0.3, max_hash_df=None
+                ).collect(),
+            )
+        )
+        assert with_default == uncapped
