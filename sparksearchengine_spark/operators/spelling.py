@@ -330,9 +330,14 @@ def correct_queries(
         # cut the lineage every few steps: at maxpos=16 the chained
         # join+window tree otherwise deepens past what the optimizer
         # re-plans cheaply (state is tiny — <= |queries| * candidates
-        # rows — so materializing it is the cheap side of the trade)
+        # rows — so materializing it is the cheap side of the trade).
+        # Shared pin rule (operators/cache.py::make_pin, r12): the
+        # returned suggestions read the LAST pin, so it must survive
+        # executor loss when the session has a checkpoint dir.
         if i % 4 == 0 and i < maxpos - 1:
-            state = state.localCheckpoint(eager=True)
+            from sparksearchengine_spark.operators.cache import make_pin
+
+            state = make_pin(state.sparkSession)(state)
     finals.append(state)
     allf = finals[0]
     for f_ in finals[1:]:
