@@ -118,12 +118,19 @@ def main() -> None:
     docs = docs.join(
         ex.where(~F.col("is_duplicate")).select("doc_id"), "doc_id"
     )
-    near = minhash_lsh_canon(docs, threshold=0.8)
+    # stats_out surfaces the giant-bucket guard's counters: on a real
+    # crawl, oversized LSH buckets (near-dup mega-clusters the exact
+    # pass can't collapse) are star-capped — report them with the run
+    lsh_stats: dict = {}
+    near = minhash_lsh_canon(docs, threshold=0.8, stats_out=lsh_stats)
     docs = docs.join(
         near.where(~F.col("is_duplicate")).select("doc_id"), "doc_id"
     )
     n4 = docs.count()
-    print(f"[4] dedup kept {n4}/{n3}")
+    print(
+        f"[4] dedup kept {n4}/{n3} "
+        f"(oversized LSH buckets: {lsh_stats.get('oversized_buckets', 0)})"
+    )
 
     # 5. decontamination vs a held-out "benchmark" slice (first 20 ids)
     eval_df = spark.read.parquet(path).where(F.col("doc_id") < 20)
