@@ -593,6 +593,72 @@ def prepare_lsh_corpus(
     )
 
 
+def save_lsh_corpus(corpus: LshCorpus, path: str) -> None:
+    """Persist a prepared LSH corpus as Parquet — the durable version
+    of :func:`prepare_lsh_corpus`. A prepared corpus dies with the
+    session, so every restart of the streaming near-dup filter (and
+    every batch job joining fresh data against a reference crawl
+    snapshot) otherwise recomputes the full corpus' gram sets and
+    MinHash signatures — at 100 TB that is a whole-corpus pass paid
+    per restart for a result that never changed. Layout:
+    ``path/grams`` + ``path/bands`` (+ ``path/over`` when prepared
+    with a bucket cap) + ``path/meta`` (Spark-FS JSON via the shared
+    ``_write_meta`` rule, so s3://, hdfs:// and file:// all work).
+    Reload with :func:`load_lsh_corpus`."""
+    import os
+
+    from sparksearchengine_spark.operators.similarity import _write_meta
+
+    corpus.grams.write.mode("overwrite").parquet(
+        os.path.join(path, "grams")
+    )
+    corpus.bands_df.write.mode("overwrite").parquet(
+        os.path.join(path, "bands")
+    )
+    if corpus.over_keys is not None:
+        corpus.over_keys.write.mode("overwrite").parquet(
+            os.path.join(path, "over")
+        )
+    _write_meta(
+        corpus.grams, path,
+        {
+            "n": corpus.n,
+            "num_hashes": corpus.num_hashes,
+            "bands": corpus.bands,
+            "analyzer": corpus.analyzer,
+            "oversize": corpus.oversize,
+            "capped": corpus.over_keys is not None,
+        },
+    )
+
+
+def load_lsh_corpus(spark, path: str) -> LshCorpus:
+    """Load a :func:`save_lsh_corpus` layout back into a prepared
+    (materialized) :class:`LshCorpus` — signatures and band keys come
+    off Parquet; no text is re-tokenized and no hashes recomputed.
+    ``unpersist()`` releases the loaded caches as usual."""
+    import os
+
+    from sparksearchengine_spark.operators.similarity import _read_meta
+
+    meta = _read_meta(spark, path)
+    gr = materialize(spark.read.parquet(os.path.join(path, "grams")))
+    bands_df = materialize(
+        spark.read.parquet(os.path.join(path, "bands"))
+    )
+    over = (
+        materialize(spark.read.parquet(os.path.join(path, "over")))
+        if meta.get("capped")
+        else None
+    )
+    return LshCorpus(
+        grams=gr, bands_df=bands_df, n=int(meta["n"]),
+        num_hashes=int(meta["num_hashes"]), bands=int(meta["bands"]),
+        analyzer=meta["analyzer"], over_keys=over,
+        oversize=meta.get("oversize", "star"),
+    )
+
+
 def lsh_join_prepared(
     gl: DataFrame, corpus: LshCorpus, threshold: float = 0.8
 ) -> DataFrame:

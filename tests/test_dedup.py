@@ -1215,3 +1215,82 @@ class TestDedupParagraphs:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "Window" not in plan
+
+
+class TestDurableLshCorpus:
+    """save_lsh_corpus / load_lsh_corpus (r12): a prepared corpus
+    round-trips through Parquet so restarts never re-pay the
+    whole-corpus signature pass."""
+
+    def test_roundtrip_equals_fresh_prepare(self, spark, docs_df, tmp_path):
+        from sparksearchengine_spark.operators.dedup import (
+            _gram_arrays,
+            _widen,
+            load_lsh_corpus,
+            lsh_join_prepared,
+            prepare_lsh_corpus,
+            save_lsh_corpus,
+        )
+
+        corpus_side = docs_df.where("doc_id >= 30")
+        fresh_side = docs_df.where("doc_id < 30")
+        prepared = prepare_lsh_corpus(corpus_side)
+        save_lsh_corpus(prepared, str(tmp_path / "lshc"))
+        loaded = load_lsh_corpus(spark, str(tmp_path / "lshc"))
+        assert (loaded.n, loaded.num_hashes, loaded.bands,
+                loaded.analyzer) == (
+            prepared.n, prepared.num_hashes, prepared.bands,
+            prepared.analyzer,
+        )
+        gl = _gram_arrays(_widen(fresh_side), "doc_id", "text", 3, "simple")
+        gl = gl.persist()
+        gl.count()
+        try:
+            want = sorted(
+                map(tuple, lsh_join_prepared(gl, prepared, 0.8).collect())
+            )
+            got = sorted(
+                map(tuple, lsh_join_prepared(gl, loaded, 0.8).collect())
+            )
+        finally:
+            gl.unpersist()
+        assert got == want and len(got) > 0
+        prepared.unpersist()
+        loaded.unpersist()
+
+    def test_capped_corpus_roundtrips_over_keys(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from sparksearchengine_spark.operators.dedup import (
+            load_lsh_corpus,
+            minhash_lsh_join,
+            prepare_lsh_corpus,
+            save_lsh_corpus,
+        )
+        from tests.test_lsh_bucket_cap import MEGA_TEXT, _mega_corpus
+
+        corpus = _mega_corpus(spark, n_mega=50, n_unique=10)
+        with _pytest.warns(RuntimeWarning):
+            prepared = prepare_lsh_corpus(corpus, max_bucket_size=10)
+        save_lsh_corpus(prepared, str(tmp_path / "capped"))
+        loaded = load_lsh_corpus(spark, str(tmp_path / "capped"))
+        assert loaded.over_keys is not None
+        assert loaded.oversize == "star"
+        # the loaded corpus behaves exactly like the live one: a fresh
+        # near-dup meets ONE star representative (min id 0)
+        fresh = spark.createDataFrame(
+            [(7001, MEGA_TEXT)], "doc_id long, text string"
+        )
+        from sparksearchengine_spark.operators.dedup import (
+            _gram_arrays,
+            _widen,
+            lsh_join_prepared,
+        )
+
+        gl = _gram_arrays(_widen(fresh), "doc_id", "text", 3, "simple")
+        out = lsh_join_prepared(gl, loaded, 0.8).collect()
+        assert [(r["id_l"], r["id_r"], r["jaccard"]) for r in out] == [
+            (7001, 0, 1.0)
+        ]
+        prepared.unpersist()
+        loaded.unpersist()

@@ -770,3 +770,77 @@ class TestPercolateDsl:
             for r in percolate_dsl(idx, self._queries()).collect()
         )
         assert got == want and len(want) > 0
+
+
+class TestNeardupPreparedCorpus:
+    """r12: neardup_filter_stream(prepared=) — restart-cheap streaming
+    dedup off a saved/loaded LshCorpus."""
+
+    def test_prepared_equals_inline_prepare(self, spark, tmp_path):
+        import os
+
+        from sparksearchengine_spark.operators.dedup import (
+            load_lsh_corpus,
+            prepare_lsh_corpus,
+            save_lsh_corpus,
+        )
+        from sparksearchengine_spark.streaming import neardup_filter_stream
+
+        d = tmp_path / "docs_ndp_dir"
+        d.mkdir()
+        os.symlink(
+            "/root/testdata/sf0.001/documents.parquet",
+            str(d / "part-0.parquet"),
+        )
+        raw = spark.read.parquet(str(d))
+        corpus = raw.where("doc_id >= 250")
+        # the durable path: prepare -> save -> load (as a restarted
+        # job would) -> stream against the LOADED corpus
+        save_lsh_corpus(
+            prepare_lsh_corpus(corpus), str(tmp_path / "ndp_corpus")
+        )
+        loaded = load_lsh_corpus(spark, str(tmp_path / "ndp_corpus"))
+        stream = spark.readStream.schema(raw.schema).parquet(str(d))
+        out_p = str(tmp_path / "ndp_out_prepared")
+        q = neardup_filter_stream(
+            stream, None, out_p, threshold=0.8,
+            checkpoint=str(tmp_path / "ndp_ckpt1"), prepared=loaded,
+        )
+        q.awaitTermination(180)
+        stream2 = spark.readStream.schema(raw.schema).parquet(str(d))
+        out_i = str(tmp_path / "ndp_out_inline")
+        q2 = neardup_filter_stream(
+            stream2, corpus, out_i, threshold=0.8,
+            checkpoint=str(tmp_path / "ndp_ckpt2"),
+        )
+        q2.awaitTermination(180)
+        got = sorted(r["doc_id"] for r in spark.read.parquet(out_p).collect())
+        want = sorted(r["doc_id"] for r in spark.read.parquet(out_i).collect())
+        assert got == want and 0 < len(got) < raw.count()
+        loaded.unpersist()
+
+    def test_validation(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from sparksearchengine_spark.operators.dedup import (
+            prepare_lsh_corpus,
+        )
+        from sparksearchengine_spark.streaming import neardup_filter_stream
+
+        raw = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        stream = spark.readStream.schema(raw.schema).parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        )
+        with _pytest.raises(ValueError, match="corpus_df or prepared"):
+            neardup_filter_stream(stream, None, str(tmp_path / "x"))
+        with _pytest.raises(TypeError, match="LshCorpus"):
+            neardup_filter_stream(
+                stream, None, str(tmp_path / "x"), prepared=object()
+            )
+        corp = prepare_lsh_corpus(raw.limit(20), num_hashes=32, bands=8)
+        with _pytest.raises(ValueError, match="disjoint buckets"):
+            neardup_filter_stream(
+                stream, None, str(tmp_path / "x"), prepared=corp,
+                num_hashes=64, bands=16,
+            )
+        corp.unpersist()
