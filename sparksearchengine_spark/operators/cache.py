@@ -126,11 +126,19 @@ def make_pin(spark: SparkSession):
                 stacklevel=3,
             )
 
-    def _pin(frame: DataFrame) -> DataFrame:
-        return (
-            frame.checkpoint(eager=True)
-            if has_ckpt_dir
-            else frame.localCheckpoint(eager=True)
-        )
+    def _pin(frame: DataFrame, eager: bool = True) -> DataFrame:
+        # ``eager=False`` (r12): the pin materializes with the NEXT
+        # action that consumes the frame instead of paying its own job —
+        # right for in-loop pins whose very next step is an action over
+        # the pinned frame anyway (pagerank's per-iteration contribs
+        # aggregate), halving the loop's job count. Only honored on the
+        # localCheckpoint branch: a lazy RELIABLE checkpoint recomputes
+        # the frame a second time to write the checkpoint files (the
+        # classic uncached-rdd.checkpoint() double-compute), so with a
+        # checkpoint dir set the pin stays eager — correctness-first on
+        # the cluster path, the job saving is a single-node economics.
+        if has_ckpt_dir:
+            return frame.checkpoint(eager=True)
+        return frame.localCheckpoint(eager=eager)
 
     return _pin

@@ -81,9 +81,37 @@ def assign_cell_expr(vec: Column, centroids: list[list[float]]) -> Column:
     A NULL vector yields a NULL cell (it has no position in the space);
     consumers must either filter or carry it — `kmeans_fit` excludes
     NULL cells from the centroid update, `semdedup` keeps NULL-vec rows
-    (they can't be near anything)."""
+    (they can't be near anything).
+
+    Plan-size note (r12): as ONE composed Column this embeds the k x dim
+    distance tree TWICE (once under ``array_position``, once under
+    ``array_min`` — Catalyst does not CSE at the plan level), and every
+    consumer of the column re-embeds both copies. The operators in this
+    module therefore project the distance array as its own column first
+    and apply :func:`_argmin_cell` over the column reference
+    (``CollapseProject`` keeps a non-cheap alias referenced twice as a
+    separate projection) — measured on `semdedup(method="expr")` at
+    sf0.1/k=16/dim=64: the composed form evaluated the k-distance array
+    TWICE per row per consumer (6 embeds across the self-join plan,
+    272 KB physical plan); the two-step form evaluates it once per
+    consumer (3 embeds, 192 KB — the residue is the k x dim literal per
+    embed), ~25% wall on the expr path with identical rows. Keep using
+    this one-Column form for ad-hoc composition; use the two-step shape
+    in anything called per batch."""
     dists = F.array(*[_sqdist_expr(vec, c) for c in centroids])
+    return _argmin_cell(dists)
+
+
+def _argmin_cell(dists: Column) -> Column:
+    """argmin of a distance-array column: first minimal index, 0-based,
+    as int — apply to a PROJECTED column (see plan-size note above)."""
     return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _dists_expr(vec: Column, centroids: list[list[float]]) -> Column:
+    """The k squared-distance exprs as one array column (the two-step
+    projection's first step)."""
+    return F.array(*[_sqdist_expr(vec, c) for c in centroids])
 
 
 def kmeans_assign(
@@ -119,10 +147,12 @@ def kmeans_assign(
             F.col(item_id).alias("id"), F.col(item_vec).alias("_v")
         )
         return _arrow_assign(sel, centroids, keep_vec=False)
+    # two-step projection (see assign_cell_expr's plan-size note): the
+    # k x dim distance tree appears ONCE, the argmin references the column
     return items.select(
         F.col(item_id).alias("id"),
-        assign_cell_expr(F.col(item_vec), centroids).alias("cell"),
-    )
+        _dists_expr(F.col(item_vec), centroids).alias("_dists"),
+    ).select("id", _argmin_cell(F.col("_dists")).alias("cell"))
 
 
 def _arrow_assign(
@@ -217,10 +247,11 @@ def kmeans_fit(
                 keep_vec=True,
             ).select(F.col("vec").cast("array<double>").alias("_v"), "cell")
         else:
+            # two-step projection (assign_cell_expr's plan-size note)
             joined = items.select(
                 vec_d.alias("_v"),
-                assign_cell_expr(F.col(item_vec), centroids).alias("cell"),
-            )
+                _dists_expr(F.col(item_vec), centroids).alias("_dists"),
+            ).select("_v", _argmin_cell(F.col("_dists")).alias("cell"))
         joined = joined.where(F.col("cell").isNotNull())
         sums = (
             joined.groupBy("cell")
@@ -251,11 +282,15 @@ def cluster_summary(
     """Per-cluster cartography: `(cell, n_items, inertia)` — size and
     summed squared distance to the assigned centroid. One scan + one
     k-row aggregate."""
-    dists = F.array(*[_sqdist_expr(F.col(item_vec), c) for c in centroids])
+    # two-step projection (assign_cell_expr's plan-size note): one dists
+    # tree; cell and _d both reference the projected column
     assigned = items.select(
         F.col(item_id).alias("id"),
-        assign_cell_expr(F.col(item_vec), centroids).alias("cell"),
-        F.array_min(dists).alias("_d"),
+        _dists_expr(F.col(item_vec), centroids).alias("_dists"),
+    ).select(
+        "id",
+        _argmin_cell(F.col("_dists")).alias("cell"),
+        F.array_min("_dists").alias("_d"),
     )
     return assigned.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_items"), F.sum("_d").alias("inertia")
@@ -335,12 +370,18 @@ def semdedup(
         )
         return _semdedup_arrow_cells(assigned, float(threshold))
     # cell inline with the carried columns: ONE scan per join side (the
-    # join-back-on-id alternative scans the corpus 6x — measured)
+    # join-back-on-id alternative scans the corpus 6x — measured), via
+    # the two-step projection (assign_cell_expr's plan-size note): the
+    # composed form re-embedded the k x dim distance tree twice per
+    # consumer and this frame has three consumers — six k x dim embeds
+    # (272 KB physical plan at k=16/dim=64) vs three two-step, same rows
     assigned = items.select(
         F.col(item_id).cast("long").alias("id"),
         F.col(item_vec).alias("vec"),
         norm_expr(F.col(item_vec)).alias("nrm"),
-        assign_cell_expr(F.col(item_vec), centroids).alias("cell"),
+        _dists_expr(F.col(item_vec), centroids).alias("_dists"),
+    ).select(
+        "id", "vec", "nrm", _argmin_cell(F.col("_dists")).alias("cell")
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     # ids (higher side) having a lower-id neighbor >= threshold in-cell

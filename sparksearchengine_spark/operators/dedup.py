@@ -804,11 +804,15 @@ def minhash_lsh_dedup(
     ``dedup_paragraphs``) FIRST, as ``examples/pretraining_pipeline_example.py``
     does, so byte-identical mass never reaches the LSH stage — the cap
     then only fires on true near-dup mega-clusters."""
-    # materialized: the candidate build and the Jaccard verify read
-    # ga from independent stages of one job (stage-race guard, r10)
-    ga = materialize(_gram_arrays(
-        _widen(df), id_col, text_col, n, analyzer
-    ))
+    # the candidate build and the Jaccard verify read ga from
+    # independent stages of one job (stage-race guard, r10) — but on the
+    # default capped path, minhash_lsh_candidates materializes the
+    # SIGNATURE frame (single-consumer chain over ga) before anything
+    # fans out, and that pass populates ga's cache too, so ga's own
+    # count job is redundant there (r12: one job fewer per call).
+    # Uncapped, sigs are not materialized and ga must be.
+    ga = _gram_arrays(_widen(df), id_col, text_col, n, analyzer)
+    ga = ga.persist() if max_bucket_size is not None else materialize(ga)
     sigs = _signatures_from_grams(ga, num_hashes)
     cand = minhash_lsh_candidates(
         sigs, num_hashes, bands,

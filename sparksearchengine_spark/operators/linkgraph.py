@@ -237,8 +237,20 @@ def pagerank(
     ranks = nodes.select("node", F.col("_p").alias("rank"))
 
     _pin = _make_pin(spark)
+    # r12 job-count trim: with tol=None the per-iteration eager pin was
+    # a job whose ONLY later consumer is the next iteration's contribs
+    # aggregate — so the in-loop pins are LAZY (localCheckpoint
+    # materializes inside that next aggregate's job; lineage still
+    # truncates at every iteration) and only the RETURNED frame's pin is
+    # eager. Because a lazy pin keeps reading its iteration's contribs
+    # cache until materialized, each contribs unpersist is deferred by
+    # one iteration. Measured at the bench shape (1M edges, 5 iters):
+    # 2 jobs/iteration -> 1. With tol set the delta join consumes every
+    # pinned frame immediately, so that path keeps eager pins (and the
+    # reliable-checkpoint branch is always eager — see make_pin).
+    prev_contribs = None
 
-    for _ in range(iterations):
+    for it in range(iterations):
         contribs = (
             ranks.join(e, ranks["node"] == e["_s"], "inner")
             .select(F.col("_d").alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
@@ -250,8 +262,12 @@ def pagerank(
         # flowed mass is exactly sum(contribs) — dangling mass needs no
         # second join, just the 1-row aggregate of the frame we already
         # have (persisted: one computation serves both the sum and the
-        # new-rank join)
+        # new-rank join). This collect is also what materializes the
+        # PREVIOUS iteration's lazy pin (it computes through it).
         flowed = contribs.agg(F.sum("_in")).collect()[0][0] or 0.0
+        if prev_contribs is not None:
+            prev_contribs.unpersist()
+            prev_contribs = None
         dangling = 1.0 - flowed
         # teleport (1-d) and dangling mass d*dangling both follow the
         # teleport vector _p — uniform _p reduces to the classic form
@@ -266,9 +282,13 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        new_ranks = _pin(new_ranks.repartition(n_part, "node"))
-        contribs.unpersist()
+        last = it == iterations - 1
+        new_ranks = _pin(
+            new_ranks.repartition(n_part, "node"),
+            eager=last or tol is not None,
+        )
         if tol is not None:
+            contribs.unpersist()
             delta = (
                 new_ranks.alias("n")
                 .join(ranks.alias("o"), "node")
@@ -280,8 +300,11 @@ def pagerank(
             if delta < tol:
                 break
         else:
+            prev_contribs = contribs
             ranks = new_ranks
 
+    if prev_contribs is not None:
+        prev_contribs.unpersist()
     e.unpersist()
     if seeded:
         nodes.unpersist()

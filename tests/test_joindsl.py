@@ -514,6 +514,10 @@ class TestDedupQueries:
         assert len(calls) == 2
 
     def test_percolate_dedup_equal(self, spark, jidx):
+        """dedup_queries defaults ON for percolation since r12 (match
+        volume dominates, the xkey is free, registries are
+        duplicate-heavy); the default, the explicit-on, and the
+        explicit-off paths must produce identical row sets."""
         from sparksearchengine_spark.operators.joindsl import (
             percolate_dsl_df,
         )
@@ -522,17 +526,19 @@ class TestDedupQueries:
         df = spark.createDataFrame(
             [(i, _ser(q)) for i in range(5)], "qid long, qjson string"
         )
-        a = sorted(
-            (r["query_id"], r["doc_id"], round(r["score"], 6))
-            for r in percolate_dsl_df(jidx, df, "qjson", "qid").collect()
-        )
-        b = sorted(
-            (r["query_id"], r["doc_id"], round(r["score"], 6))
-            for r in percolate_dsl_df(
-                jidx, df, "qjson", "qid", dedup_queries=True
-            ).collect()
-        )
-        assert a == b and len(a) > 0
+
+        def canon(**kw):
+            return sorted(
+                (r["query_id"], r["doc_id"], round(r["score"], 6))
+                for r in percolate_dsl_df(
+                    jidx, df, "qjson", "qid", **kw
+                ).collect()
+            )
+
+        default = canon()
+        off = canon(dedup_queries=False)
+        on = canon(dedup_queries=True)
+        assert default == off == on and len(default) > 0
 
 
 class TestFieldPrunedUnions:

@@ -53,6 +53,21 @@ PKG = os.path.join(os.path.dirname(__file__), "..", "sparksearchengine_spark")
 
 # (relative path, enclosing qualname) -> (site count, justification)
 ALLOWLIST = {
+    ("operators/dedup.py", "minhash_lsh_dedup"): (
+        1,
+        "single-chain: on the default capped path "
+        "minhash_lsh_candidates' materialize(sigs) is the first action "
+        "over ga (signatures derive from it in one chain) and "
+        "populates ga's cache before the band/verify branches fan out; "
+        "the uncapped branch of the same site uses materialize()",
+    ),
+    ("operators/decontam.py", "unigram_logprob"): (
+        1,
+        "single-chain: the total tf-sum collect is the first action "
+        "over the exploded token frame (one chain through the freq "
+        "aggregate) and materializes its cache before the vocab build "
+        "and scoring-probe consumers fan out; lifecycle via _lm_caches",
+    ),
     ("operators/decontam.py", "collocations"): (
         1,
         "single-chain: the n_tokens/n_vocab stats agg collect is the "
