@@ -848,11 +848,23 @@ def connected_components(
     from sparksearchengine_spark.operators.cache import make_pin
 
     _pin = make_pin(pairs.sparkSession)
-    # the un-flipped half is materialized FIRST: the undirected union
-    # reads it from two branches, and an un-cached caller pipeline
-    # (band joins, gram verifies) would be recomputed per branch
-    # (stage-race guard, r10); released once edges are materialized
-    half = materialize(pairs.select(
+    # the un-flipped half is PINNED (not just materialized) FIRST: it
+    # both guards the stage race (the undirected union reads it from
+    # two branches — an un-cached caller pipeline would be recomputed
+    # per branch, r10) and TRUNCATES the caller's lineage before the
+    # loop. The truncation is load-bearing (r12): a caller like
+    # minhash_lsh_canon hands pairs whose plan nests the whole
+    # gram/signature/candidate pipeline — and every nested persisted
+    # frame re-prints its full cached plan at each reference in the
+    # explain strings AQE generates per plan update, so with edges
+    # referencing that lineage twice (union of two branches) and the
+    # loop re-printing it every iteration, plan-STRING generation grows
+    # multiplicatively and can OOM the driver on a deep caller pipeline
+    # (observed: 4g heap, examples/pretraining_pipeline_example.py).
+    # Pinning collapses everything downstream to a LogicalRDD scan.
+    # No unpersist: the pinned blocks ARE the data (ContextCleaner
+    # frees them when the result frames drop).
+    half = _pin(pairs.select(
         F.col(id_a).cast("long").alias("src"),
         F.col(id_b).cast("long").alias("dst"),
     ))
@@ -862,7 +874,6 @@ def connected_components(
         )
         .distinct()
     )
-    half.unpersist()
     labels = _pin(
         edges.select(F.col("src").alias("id"))
         .distinct()

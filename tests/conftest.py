@@ -21,6 +21,14 @@ def spark():
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
+        # Bound the explain strings AQE regenerates on every plan
+        # update: deeply-nested persisted lineage (each cached frame
+        # re-prints its full cached plan at every reference) makes
+        # plan-STRING generation multiplicative, and an uncapped string
+        # can eat minutes of driver CPU — or the whole 4g heap — on a
+        # long pipeline (observed r12: pretraining example OOM'd in
+        # StringConcat.toString). 1 MB keeps real diagnostics intact.
+        .config("spark.sql.maxPlanStringLength", str(1 << 20))
         .appName("sparksearchengine-tests")
         .getOrCreate()
     )
