@@ -31,6 +31,54 @@ class TestConnectedComponents:
             {r["component"] for r in comp.collect()} == {0}
         )
 
+    def test_truncates_deep_cached_caller_lineage(self, spark):
+        # r12 regression guard: connected_components PINS (checkpoints)
+        # the pair table at loop entry, truncating the caller's lineage
+        # before the iterative joins. Without the truncation, a caller
+        # pipeline with NESTED persisted frames made AQE's per-update
+        # explain strings grow multiplicatively (each cached frame
+        # re-prints its full cached plan at every reference) — plan-
+        # STRING generation alone OOM'd a 4g driver on
+        # examples/pretraining_pipeline_example.py. This reconstructs
+        # that shape small: two nested cache levels under a fan-out
+        # pair build, run under a tight plan-string budget, asserting
+        # both completion and correct components.
+        from sparksearchengine_spark.operators.dedup import (
+            connected_components,
+        )
+
+        old_cap = spark.conf.get("spark.sql.maxPlanStringLength")
+        spark.conf.set("spark.sql.maxPlanStringLength", str(64 * 1024))
+        l1 = l2 = None
+        try:
+            base = spark.range(0, 40).select(
+                F.col("id"), (F.col("id") % 4).alias("grp")
+            )
+            l1 = base.select(
+                "id", "grp", F.xxhash64("id").alias("h")
+            ).persist()
+            l1.count()
+            l2 = (
+                l1.join(l1.select(F.col("id").alias("id2"), "grp"), "grp")
+                .where(F.col("id") < F.col("id2"))
+                .persist()
+            )
+            l2.count()
+            pairs = l2.select(
+                F.col("id").alias("id_a"), F.col("id2").alias("id_b")
+            )
+            comp = {
+                r["id"]: r["component"]
+                for r in connected_components(pairs).collect()
+            }
+            # each grp is a clique; component = min id of the clique
+            assert comp == {i: i % 4 for i in range(40)}
+        finally:
+            spark.conf.set("spark.sql.maxPlanStringLength", old_cap)
+            for df in (l2, l1):
+                if df is not None:
+                    df.unpersist()
+
     def test_canonicalize_covers_all_rows(self, spark):
         from sparksearchengine_spark.operators.dedup import canonicalize_pairs
 
