@@ -188,13 +188,21 @@ def pagerank(
     # per branch — the same race as above, one level up (r10 review).
     bare = _derive_nodes(e0, n_part)
     n_nodes = bare.count()
-    e.count()  # single-consumer materialization of the degree-joined
-    # cache (its deg + probe branches read the e0 cache), THEN the
-    # projection can be released
-    e0.unpersist()
+    # e is NOT pre-counted (r12 job trim, the change-#5 class): every
+    # plan that reads it — each iteration's contribs join, the tol
+    # path's delta chain — references it exactly ONCE, so there is no
+    # fan-out race to guard, and iteration 1's flowed-mass collect both
+    # computes the degree join (its deg + probe branches read the
+    # MATERIALIZED e0 cache — no race there either) and populates e's
+    # cache in the same job. A pre-count would add one driver-gated job
+    # plus one full scan of the largest frame in the operator. The e0
+    # projection is released right after that first in-loop action
+    # (when e's cache is guaranteed populated); pre-loop exits release
+    # it on their own paths.
     if n_nodes == 0:
         e.unpersist()
         bare.unpersist()
+        e0.unpersist()
         if seeds is not None:
             # docstring contract: seeds with nothing to match is a loud
             # misconfiguration, empty graph included
@@ -223,6 +231,7 @@ def pagerank(
         if n_seeds == 0:
             e.unpersist()
             bare.unpersist()
+            e0.unpersist()
             raise ValueError("no seed node appears in the graph")
         nodes = (
             marked.select(
@@ -265,6 +274,12 @@ def pagerank(
         # new-rank join). This collect is also what materializes the
         # PREVIOUS iteration's lazy pin (it computes through it).
         flowed = contribs.agg(F.sum("_in")).collect()[0][0] or 0.0
+        if it == 0:
+            # this first action computed the degree join from the e0
+            # cache and populated e's cache in the same job — the slim
+            # projection can now be released (see the note at e's
+            # persist site)
+            e0.unpersist()
         if prev_contribs is not None:
             prev_contribs.unpersist()
             prev_contribs = None
@@ -597,13 +612,19 @@ def hits(
     # shuffle per branch (r10 review — same race as pagerank's)
     nodes = _derive_nodes(e0, n_part)
     n_nodes = nodes.count()
-    e_s.count()  # single-consumer materialization of each layout from
-    e_d.count()  # the e0 cache, then the projection can be released
-    e0.unpersist()
+    # e_s / e_d are NOT pre-counted (r12 job trim, same reasoning as
+    # pagerank's e): each is referenced exactly ONCE per consuming plan
+    # (e_s in auth_raw, e_d in hub_raw — one reference per iteration),
+    # so iteration 1's two norm collects populate both caches from the
+    # MATERIALIZED e0 with no fan-out race; two pre-counts would be two
+    # driver-gated jobs plus two full scans of the edge layouts. e0 is
+    # released after the first iteration's hub collect (both caches
+    # populated by then); the empty-graph exit releases it here.
     if n_nodes == 0:
         e_s.unpersist()
         e_d.unpersist()
         nodes.unpersist()
+        e0.unpersist()
         return nodes.select(
             "node", F.lit(1.0).alias("hub"), F.lit(1.0).alias("authority")
         ).limit(0)
@@ -615,7 +636,7 @@ def hits(
     init = 1.0 / math.sqrt(n_nodes)
     hv = nodes.withColumn("hub", F.lit(init))
 
-    for _ in range(iterations):
+    for it in range(iterations):
         # authority <- sum of in-neighbor hubs, then L2-normalize
         auth_raw = (
             hv.join(e_s, hv["node"] == e_s["_s"], "inner")
@@ -653,6 +674,11 @@ def hits(
             hub_raw.agg(F.sum(F.col("_h") * F.col("_h"))).collect()[0][0]
             or 0.0
         )
+        if it == 0:
+            # the two norm collects above computed e_s and e_d from the
+            # e0 cache and populated both layouts — the slim projection
+            # can now be released (see the note at their persist sites)
+            e0.unpersist()
         if h_norm == 0.0:
             h_norm = 1.0
         new_hv = nodes.join(hub_raw, "node", "left").select(

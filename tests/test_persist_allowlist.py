@@ -145,16 +145,26 @@ ALLOWLIST = {
         "immediately counts the returned node frame (n_nodes)",
     ),
     ("operators/linkgraph.py", "pagerank"): (
-        1,
+        2,
         "single-chain: the flowed-mass agg collect is the first "
         "action over contribs and materializes it before the "
-        "new-rank join",
+        "new-rank join; the degree-joined edge frame e is likewise "
+        "single-reference in every consuming plan (one contribs join "
+        "per iteration, its deg+probe branches read the MATERIALIZED "
+        "e0 cache), so iteration 1's collect populates e's cache "
+        "without a fan-out race and a pre-count would be one extra "
+        "job plus a full scan of the operator's largest frame",
     ),
     ("operators/linkgraph.py", "hits"): (
-        2,
+        4,
         "single-chain: the L2-norm agg collect is the first action "
         "over auth_raw/hub_raw and materializes each before the "
-        "normalize join",
+        "normalize join; the e_s/e_d edge layouts are each "
+        "single-reference per consuming plan (auth_raw / hub_raw, "
+        "one reference per iteration, built from the MATERIALIZED e0 "
+        "cache), so iteration 1's two norm collects populate both "
+        "without a fan-out race — pre-counts would be two extra jobs "
+        "plus two full edge-layout scans",
     ),
     ("operators/similarity.py", "ivfpq_build"): (
         1,
