@@ -115,6 +115,14 @@ def main() -> int:
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "8g")
+        # local-mode hardening (see tests/conftest.py): a block-removal
+        # failure makes BlockManagerMasterEndpoint look up the
+        # never-registered CoarseGrainedScheduler endpoint for the full
+        # lookup timeout (120s default) per retry; in a ~30-min
+        # single-JVM sweep that can starve the ask pool until executor
+        # heartbeats fail and the context dies. Failing the lookup fast
+        # loses nothing (it can never succeed in local mode).
+        .config("spark.rpc.lookupTimeout", "10s")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
