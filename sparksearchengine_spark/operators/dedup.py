@@ -759,10 +759,16 @@ def minhash_lsh_candidates(
     dropped (``oversize="drop"``); ``None`` restores the uncapped
     all-pairs join. Oversized buckets are counted eagerly, warned
     about, and reported via ``stats_out`` — never silent. With the cap
-    active ``sigs`` is materialized here (the bucket-size pass + both
+    active ``sigs`` is persisted here (the bucket-size pass + both
     join sides read it; without the cache each would recompute the
     full signature aggregate — and the old uncapped plan already paid
-    that recompute twice, so the cap path is NOT slower).
+    that recompute twice, so the cap path is NOT slower). It is NOT
+    separately counted (r13, the r12 change-#5 class): the guard's
+    eager oversized-bucket count is the first action and is a
+    single-consumer chain through the banded explode over ``sigs`` —
+    that one job materializes the cache with no fan-out race, and a
+    dedicated count would add a driver-gated job plus one full
+    signature-aggregate pass per call.
     """
     if num_hashes % bands:
         raise ValueError(
@@ -770,7 +776,7 @@ def minhash_lsh_candidates(
             "(trailing hashes would be silently ignored)"
         )
     if max_bucket_size is not None:
-        sigs = materialize(sigs)
+        sigs = sigs.persist()
     banded = _band_table_from_sigs(sigs, num_hashes, bands)
     return _capped_self_pairs(
         banded,

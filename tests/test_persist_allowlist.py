@@ -55,11 +55,20 @@ PKG = os.path.join(os.path.dirname(__file__), "..", "sparksearchengine_spark")
 ALLOWLIST = {
     ("operators/dedup.py", "minhash_lsh_dedup"): (
         1,
-        "single-chain: on the default capped path "
-        "minhash_lsh_candidates' materialize(sigs) is the first action "
-        "over ga (signatures derive from it in one chain) and "
+        "single-chain: on the default capped path the giant-bucket "
+        "guard's eager oversized-bucket count is the first action over "
+        "ga (grams -> signatures -> banded explode is one chain) and "
         "populates ga's cache before the band/verify branches fan out; "
         "the uncapped branch of the same site uses materialize()",
+    ),
+    ("operators/dedup.py", "minhash_lsh_candidates"): (
+        1,
+        "single-chain: the capped path's first action is the "
+        "giant-bucket guard's eager oversized-bucket count, whose "
+        "banded explode reads sigs in one chain and materializes the "
+        "cache before the candidate-join arms fan out (r13 — the r12 "
+        "change-#5 job trim, one level up); the uncapped path never "
+        "persists sigs",
     ),
     ("operators/decontam.py", "unigram_logprob"): (
         1,
@@ -146,25 +155,28 @@ ALLOWLIST = {
     ),
     ("operators/linkgraph.py", "pagerank"): (
         2,
-        "single-chain: the flowed-mass agg collect is the first "
-        "action over contribs and materializes it before the "
-        "new-rank join; the degree-joined edge frame e is likewise "
+        "single-chain: the degree-joined edge frame e is "
         "single-reference in every consuming plan (one contribs join "
         "per iteration, its deg+probe branches read the MATERIALIZED "
-        "e0 cache), so iteration 1's collect populates e's cache "
-        "without a fan-out race and a pre-count would be one extra "
-        "job plus a full scan of the operator's largest frame",
+        "e0 cache), so the first action over any iteration plan "
+        "populates e's cache without a fan-out race and a pre-count "
+        "would be one extra job plus a full scan of the operator's "
+        "largest frame. Since r13 contribs itself is NOT persisted: "
+        "its two consumers (dangling-mass scalar + new-rank join) "
+        "live in ONE physical plan, so ReuseExchange computes the "
+        "groupBy once — no cross-job fan-out exists to guard",
     ),
     ("operators/linkgraph.py", "hits"): (
         4,
-        "single-chain: the L2-norm agg collect is the first action "
-        "over auth_raw/hub_raw and materializes each before the "
-        "normalize join; the e_s/e_d edge layouts are each "
+        "single-chain: the e_s/e_d edge layouts are each "
         "single-reference per consuming plan (auth_raw / hub_raw, "
         "one reference per iteration, built from the MATERIALIZED e0 "
-        "cache), so iteration 1's two norm collects populate both "
+        "cache), so the first executed iteration populates both "
         "without a fan-out race — pre-counts would be two extra jobs "
-        "plus two full edge-layout scans",
+        "plus two full edge-layout scans. Since r13 auth_raw/hub_raw "
+        "are NOT persisted: each one's two consumers (L2-norm scalar "
+        "+ normalize join) live in ONE physical plan, so "
+        "ReuseExchange computes the groupBy once",
     ),
     ("operators/similarity.py", "ivfpq_build"): (
         1,
