@@ -137,19 +137,15 @@ class Corpus:
         self.id_col = id_col
         self.text_cols = dict(text_cols)
 
-    def build_index(
-        self,
-        scoring: ScoringConfig | None = None,
-        persist: bool = True,
-    ) -> "SearchIndex":
-        """Tokenize every searchable column and materialize the index tables.
-
-        Eager (runs two small jobs for stats), mirroring the reference's
-        index build being the expensive first action
-        (`PartitionsIndexLuceneRDD.scala:588-593`).
+    def _postings_frame(self) -> DataFrame:
+        """The lazy postings table (field, term, doc_id, tf, dl,
+        positions) over every searchable column — the tokenize+aggregate
+        core of :meth:`build_index`, exposed separately (r13) so
+        incremental consumers (``upsert_index``'s delta build) can get
+        postings WITHOUT paying build_index's eager fieldstats job:
+        upsert recomputes all stats from the merged postings anyway, so
+        the delta's own stats collect was a thrown-away tokenize pass.
         """
-        from pyspark.sql import Window
-
         spark = self.df.sparkSession
         per_field = []
         for fname, opts in self.text_cols.items():
@@ -246,6 +242,20 @@ class Corpus:
         postings = per_field[0]
         for pf in per_field[1:]:
             postings = postings.unionByName(pf)
+        return postings
+
+    def build_index(
+        self,
+        scoring: ScoringConfig | None = None,
+        persist: bool = True,
+    ) -> "SearchIndex":
+        """Tokenize every searchable column and materialize the index tables.
+
+        Eager (runs two small jobs for stats), mirroring the reference's
+        index build being the expensive first action
+        (`PartitionsIndexLuceneRDD.scala:588-593`).
+        """
+        postings = self._postings_frame()
         if persist:
             postings = postings.persist()
 
@@ -1092,10 +1102,15 @@ def upsert_index(
                 F.col(corpus.id_col).cast("long") == F.col(UID),
                 "left_anti",
             )
-        delta = Corpus(
+        # postings frame only (r13): build_index(persist=False) also ran
+        # its eager fieldstats collect — a full tokenize pass over the
+        # delta whose result upsert throws away (all stats are
+        # recomputed from the MERGED postings below). The lazy frame
+        # tokenizes the delta exactly once, inside the merged stats job.
+        delta_postings = Corpus(
             live_changes, id_col=corpus.id_col, text_cols=corpus.text_cols
-        ).build_index(scoring=base.scoring, persist=False)
-        postings = surviving.unionByName(delta.postings)
+        )._postings_frame()
+        postings = surviving.unionByName(delta_postings)
         new_corpus_df = surviving_corpus.unionByName(live_changes)
     else:
         postings = surviving
