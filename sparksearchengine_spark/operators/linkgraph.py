@@ -246,50 +246,52 @@ def pagerank(
     ranks = nodes.select("node", F.col("_p").alias("rank"))
 
     _pin = _make_pin(spark)
-    # r13 driver-barrier removal (r12 halved the loop's job count; this
-    # removes the rest): the per-iteration flowed-mass COLLECT is folded
-    # into the plan as a 1-row broadcast scalar, so the driver no longer
-    # gates any iteration. The dangling mass is sum(contribs) — a
-    # linker's rank distributes FULLY across its out-edges — and the
-    # 1-row aggregate rides the SAME shuffle exchange as the new-rank
-    # join (both consumers of `contribs` live in one physical plan, so
-    # ReuseExchange computes the groupBy once; contribs needs no persist
-    # and the old deferred-unpersist bookkeeping is gone). With tol=None
-    # the loop therefore submits NO job at all on the localCheckpoint
-    # path: the final iteration's EAGER pin executes every iteration's
-    # stages in ONE job (each in-loop lazy pin materializes — and
-    # truncates lineage — inside it). With tol set, each iteration still
-    # pays exactly one job (the delta collect; the flowed collect it
-    # used to pay on top is gone). The reliable-checkpoint branch stays
-    # eager per pin (make_pin), so cluster runs keep one pin job per
-    # iteration but likewise drop the flowed collect.
+    # r12 job-count trim: with tol=None the per-iteration eager pin was
+    # a job whose ONLY later consumer is the next iteration's contribs
+    # aggregate — so the in-loop pins are LAZY (localCheckpoint
+    # materializes inside that next aggregate's job; lineage still
+    # truncates at every iteration) and only the RETURNED frame's pin is
+    # eager. Because a lazy pin keeps reading its iteration's contribs
+    # cache until materialized, each contribs unpersist is deferred by
+    # one iteration. Measured at the bench shape (1M edges, 5 iters):
+    # 2 jobs/iteration -> 1. With tol set the delta join consumes every
+    # pinned frame immediately, so that path keeps eager pins (and the
+    # reliable-checkpoint branch is always eager — see make_pin).
+    prev_contribs = None
+
     for it in range(iterations):
         contribs = (
             ranks.join(e, ranks["node"] == e["_s"], "inner")
             .select(F.col("_d").alias("node"), (F.col("rank") / F.col("_deg")).alias("_c"))
             .groupBy("node")
             .agg(F.sum("_c").alias("_in"))
+            .persist()
         )
-        # 1-row frame; empty-input sum is NULL -> 0.0 (the collect
-        # path's `or 0.0`). Broadcast is provably bounded: a no-groupBy
-        # aggregate emits exactly one row.
-        flowed = contribs.agg(
-            F.coalesce(F.sum("_in"), F.lit(0.0)).alias("_flowed")
-        )
+        # a linker's rank distributes FULLY across its out-edges, so the
+        # flowed mass is exactly sum(contribs) — dangling mass needs no
+        # second join, just the 1-row aggregate of the frame we already
+        # have (persisted: one computation serves both the sum and the
+        # new-rank join). This collect is also what materializes the
+        # PREVIOUS iteration's lazy pin (it computes through it).
+        flowed = contribs.agg(F.sum("_in")).collect()[0][0] or 0.0
+        if it == 0:
+            # this first action computed the degree join from the e0
+            # cache and populated e's cache in the same job — the slim
+            # projection can now be released (see the note at e's
+            # persist site)
+            e0.unpersist()
+        if prev_contribs is not None:
+            prev_contribs.unpersist()
+            prev_contribs = None
+        dangling = 1.0 - flowed
         # teleport (1-d) and dangling mass d*dangling both follow the
-        # teleport vector _p — uniform _p reduces to the classic form.
-        # Same IEEE-double expression shape as the collected form:
-        # damping*(1-flowed) is one multiply of one subtract either way.
+        # teleport vector _p — uniform _p reduces to the classic form
         new_ranks = (
             nodes.join(contribs, "node", "left")
-            .crossJoin(F.broadcast(flowed))
             .select(
                 "node",
                 (
-                    (
-                        F.lit(1.0 - damping)
-                        + F.lit(damping) * (F.lit(1.0) - F.col("_flowed"))
-                    )
+                    (F.lit(1.0 - damping) + F.lit(damping * dangling))
                     * F.col("_p")
                     + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0))
                 ).alias("rank"),
@@ -301,6 +303,7 @@ def pagerank(
             eager=last or tol is not None,
         )
         if tol is not None:
+            contribs.unpersist()
             delta = (
                 new_ranks.alias("n")
                 .join(ranks.alias("o"), "node")
@@ -312,15 +315,11 @@ def pagerank(
             if delta < tol:
                 break
         else:
+            prev_contribs = contribs
             ranks = new_ranks
 
-    # e0 is released only now: with tol=None nothing executes until the
-    # final eager pin above, and an earlier release would re-expose the
-    # degree build's two e0-reading branches to the cold-cache race the
-    # materialized e0 exists to close (the slim 2-column projection is
-    # cheap to retain for the loop's duration; with tol set this merely
-    # defers the release from iteration 0 to function exit)
-    e0.unpersist()
+    if prev_contribs is not None:
+        prev_contribs.unpersist()
     e.unpersist()
     if seeded:
         nodes.unpersist()
@@ -637,59 +636,31 @@ def hits(
     init = 1.0 / math.sqrt(n_nodes)
     hv = nodes.withColumn("hub", F.lit(init))
 
-    # r13 driver-barrier removal (the pagerank change, applied to both
-    # half-iterations): each L2 norm is a 1-row broadcast scalar in the
-    # plan instead of a collect, so the driver no longer gates any
-    # half-iteration. The norm aggregate rides the SAME shuffle exchange
-    # as the normalize join (both consumers of auth_raw/hub_raw live in
-    # one physical plan — ReuseExchange computes the groupBy once; the
-    # raw frames need no persist). With tol=None the loop submits NO job
-    # on the localCheckpoint path: in-loop pins are lazy and the LAST
-    # half-iteration's eager pin executes every stage in one job (the
-    # returned hv⋈auth join then reads two materialized pinned RDDs).
-    # With tol set each iteration pays exactly one job (the delta
-    # collect; the two norm collects are gone) — that path keeps eager
-    # pins because the delta consumes each pin immediately. The
-    # reliable-checkpoint branch stays eager per pin (make_pin).
-    def _l2norm(raw, col):
-        # sqrt in SQL is the same IEEE-754 correctly-rounded sqrt the
-        # collected math.sqrt form used; empty/zero mass -> 1.0 keeps
-        # the division total (same guard as the collected form)
-        n = raw.agg(
-            F.sqrt(
-                F.coalesce(F.sum(F.col(col) * F.col(col)), F.lit(0.0))
-            ).alias("_n")
-        )
-        return n.select(
-            F.when(F.col("_n") == 0.0, F.lit(1.0))
-            .otherwise(F.col("_n"))
-            .alias("_norm")
-        )
-
     for it in range(iterations):
-        last = it == iterations - 1
         # authority <- sum of in-neighbor hubs, then L2-normalize
         auth_raw = (
             hv.join(e_s, hv["node"] == e_s["_s"], "inner")
             .select(F.col("_d").alias("node"), F.col("hub").alias("_h"))
             .groupBy("node")
             .agg(F.sum("_h").alias("_a"))
+            .persist()
         )
-        auth = (
-            nodes.join(auth_raw, "node", "left")
-            .crossJoin(F.broadcast(_l2norm(auth_raw, "_a")))
-            .select(
-                "node",
-                (F.coalesce(F.col("_a"), F.lit(0.0)) / F.col("_norm")).alias(
-                    "authority"
-                ),
-            )
+        a_norm = math.sqrt(
+            auth_raw.agg(F.sum(F.col("_a") * F.col("_a"))).collect()[0][0]
+            or 0.0
         )
-        # the last auth pin stays lazy even with tol=None: it
-        # materializes inside the last hub pin's eager job (new_hv
-        # computes through it), and the returned join then reads its
-        # stored blocks
-        auth = _pin(auth.repartition(n_part, "node"), eager=tol is not None)
+        if a_norm == 0.0:
+            # no edges carried any mass (cannot happen with edges
+            # present and nonzero hubs, but keep the division total)
+            a_norm = 1.0
+        auth = nodes.join(auth_raw, "node", "left").select(
+            "node",
+            (F.coalesce(F.col("_a"), F.lit(0.0)) / F.lit(a_norm)).alias(
+                "authority"
+            ),
+        )
+        auth = _pin(auth.repartition(n_part, "node"))
+        auth_raw.unpersist()
 
         # hub <- sum of out-neighbor authorities, then L2-normalize
         hub_raw = (
@@ -697,21 +668,27 @@ def hits(
             .select(F.col("_s").alias("node"), F.col("authority").alias("_x"))
             .groupBy("node")
             .agg(F.sum("_x").alias("_h"))
+            .persist()
         )
-        new_hv = (
-            nodes.join(hub_raw, "node", "left")
-            .crossJoin(F.broadcast(_l2norm(hub_raw, "_h")))
-            .select(
-                "node",
-                (F.coalesce(F.col("_h"), F.lit(0.0)) / F.col("_norm")).alias(
-                    "hub"
-                ),
-            )
+        h_norm = math.sqrt(
+            hub_raw.agg(F.sum(F.col("_h") * F.col("_h"))).collect()[0][0]
+            or 0.0
         )
-        new_hv = _pin(
-            new_hv.repartition(n_part, "node"),
-            eager=last or tol is not None,
+        if it == 0:
+            # the two norm collects above computed e_s and e_d from the
+            # e0 cache and populated both layouts — the slim projection
+            # can now be released (see the note at their persist sites)
+            e0.unpersist()
+        if h_norm == 0.0:
+            h_norm = 1.0
+        new_hv = nodes.join(hub_raw, "node", "left").select(
+            "node",
+            (F.coalesce(F.col("_h"), F.lit(0.0)) / F.lit(h_norm)).alias(
+                "hub"
+            ),
         )
+        new_hv = _pin(new_hv.repartition(n_part, "node"))
+        hub_raw.unpersist()
 
         if tol is not None:
             delta = (
@@ -728,11 +705,6 @@ def hits(
             hv = new_hv
 
     out = hv.join(auth, "node")
-    # released only now: with tol=None nothing executes until the final
-    # eager pin, and an earlier e0 release would re-expose the e_s/e_d
-    # builds' concurrent first reads to the cold-cache race the
-    # materialized e0 closes (same reasoning as pagerank's exit release)
-    e0.unpersist()
     e_s.unpersist()
     e_d.unpersist()
     nodes.unpersist()

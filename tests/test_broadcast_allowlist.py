@@ -60,18 +60,6 @@ ALLOWLIST = {
     ("operators/linkgraph.py", "rank_pages", "broadcast"):
         (1, "probed: decide_broadcast ladder on the one-row-per-domain "
             "rank side, shuffle_hash with that side as build otherwise"),
-    ("operators/linkgraph.py", "pagerank", "broadcast"):
-        (1, "1-row: dangling-mass scalar (no-groupBy aggregate emits "
-            "exactly one row; r13 in-plan fold of the per-iteration "
-            "collect)"),
-    ("operators/linkgraph.py", "pagerank", "crossJoin"):
-        (1, "1-row: dangling-mass scalar frame"),
-    ("operators/linkgraph.py", "hits", "broadcast"):
-        (2, "1-row: the two L2-norm scalars (no-groupBy aggregates "
-            "emit exactly one row each; r13 in-plan fold of the "
-            "per-half-iteration collects)"),
-    ("operators/linkgraph.py", "hits", "crossJoin"):
-        (2, "1-row: the two L2-norm scalar frames"),
     ("operators/index.py", "SearchIndex.hint_vocab_side", "broadcast"):
         (1, "probed: THE vocab ladder — broadcast iff "
             "<= VOCAB_BROADCAST_MAX_ROWS, else shuffle_hash build side"),

@@ -71,11 +71,11 @@ ALLOWLIST = {
         (3, "1-row: grouped-score totals, AUC/AP aggregates, and the "
             "confusion aggregate"),
     ("operators/linkgraph.py", "hits"):
-        (1, "1-row: the L1-delta aggregate (tol path only; the two "
-            "L2 norms are in-plan broadcast scalars since r13)"),
+        (3, "1-row: the two L2-norm aggregates and the L1-delta "
+            "aggregate (per iteration)"),
     ("operators/linkgraph.py", "pagerank"):
-        (1, "1-row: the L1-delta aggregate (tol path only; the "
-            "dangling-mass scalar is in-plan since r13)"),
+        (2, "1-row: dangling-mass aggregate and L1-delta aggregate "
+            "(one each per iteration)"),
     ("operators/profile.py", "sketch_accuracy_check"):
         (2, "1-row: exact vs sketch aggregate frames"),
     ("operators/sampling.py", "group_token_totals"):

@@ -155,28 +155,25 @@ ALLOWLIST = {
     ),
     ("operators/linkgraph.py", "pagerank"): (
         2,
-        "single-chain: the degree-joined edge frame e is "
+        "single-chain: the flowed-mass agg collect is the first "
+        "action over contribs and materializes it before the "
+        "new-rank join; the degree-joined edge frame e is likewise "
         "single-reference in every consuming plan (one contribs join "
         "per iteration, its deg+probe branches read the MATERIALIZED "
-        "e0 cache), so the first action over any iteration plan "
-        "populates e's cache without a fan-out race and a pre-count "
-        "would be one extra job plus a full scan of the operator's "
-        "largest frame. Since r13 contribs itself is NOT persisted: "
-        "its two consumers (dangling-mass scalar + new-rank join) "
-        "live in ONE physical plan, so ReuseExchange computes the "
-        "groupBy once — no cross-job fan-out exists to guard",
+        "e0 cache), so iteration 1's collect populates e's cache "
+        "without a fan-out race and a pre-count would be one extra "
+        "job plus a full scan of the operator's largest frame",
     ),
     ("operators/linkgraph.py", "hits"): (
         4,
-        "single-chain: the e_s/e_d edge layouts are each "
+        "single-chain: the L2-norm agg collect is the first action "
+        "over auth_raw/hub_raw and materializes each before the "
+        "normalize join; the e_s/e_d edge layouts are each "
         "single-reference per consuming plan (auth_raw / hub_raw, "
         "one reference per iteration, built from the MATERIALIZED e0 "
-        "cache), so the first executed iteration populates both "
+        "cache), so iteration 1's two norm collects populate both "
         "without a fan-out race — pre-counts would be two extra jobs "
-        "plus two full edge-layout scans. Since r13 auth_raw/hub_raw "
-        "are NOT persisted: each one's two consumers (L2-norm scalar "
-        "+ normalize join) live in ONE physical plan, so "
-        "ReuseExchange computes the groupBy once",
+        "plus two full edge-layout scans",
     ),
     ("operators/similarity.py", "ivfpq_build"): (
         1,
