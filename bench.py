@@ -78,6 +78,11 @@ def _machine_bracket(
         "load_max": round(max(loads), 2) if loads else None,
         "steal_pct": steal_pct,
         "cpus": os.cpu_count(),
+        # the CONFIGURED Spark core count (master local[N]) — distinct
+        # from the host's os.cpu_count() above, so a low-core replicate
+        # (SPARK_GRAFT_CPUS=8) carries its core-count provenance in the
+        # data instead of the filename (r12 ADVICE)
+        "spark_cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
     }
 
 
