@@ -383,10 +383,11 @@ def bigram_logprob(
         id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
     )
     # materialized (persist + count), not bare-persisted: the corpus
-    # tokenized+paired ONCE instead of once per consumer (the c12
-    # vocab-build read and the scoring-probe read are INDEPENDENT
-    # stages — the stage-race shape). Lifecycle: _lm_caches (previous
-    # call auto-released, release_lm_caches() frees).
+    # tokenized+paired ONCE instead of once per consumer (c12 and c1
+    # are two INDEPENDENT branches of the vocab-broadcast build job —
+    # the stage-race shape — and the scoring probe is a third read).
+    # Lifecycle: _lm_caches (previous call auto-released,
+    # release_lm_caches() frees).
     release_lm_caches()
     e = e.persist()
     e.count()
@@ -394,13 +395,9 @@ def bigram_logprob(
     c12 = e.where(F.col("w1").isNotNull()).groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("_c12")
     )
-    # c(w1,*) folded from the pair counts instead of a second pass over
-    # the exploded cache (r13): sum_w2 c12(w1,w2) == count of rows with
-    # that w1 — exactly c1, null-group semantics included — so the
-    # vocab build reads the corpus-sized cache ONCE and aggregates the
-    # vocab-sized c12 for the denominator (also removes the two-
-    # independent-branch read the materialize guarded against)
-    c1 = c12.groupBy("w1").agg(F.sum("_c12").alias("_c1"))
+    c1 = e.where(F.col("w1").isNotNull()).groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("_c1")
+    )
     vocab = _maybe_broadcast(
         c12.join(c1, "w1").select(
             "w1", "w2",
