@@ -1087,9 +1087,16 @@ def simhash_dedup(
     """
     if max_hamming > 3:
         raise ValueError("block scheme supports max_hamming <= 3 (4 blocks)")
-    # materialized: the bucket-size pass, both self-join arms, and the
-    # Hamming verify read sh in one job (stage-race guard, r10)
-    sh = materialize(simhash(df, id_col, text_col, 64, analyzer))
+    # cached: the bucket-size pass, both self-join arms, and the
+    # Hamming verify read sh in one job (stage-race guard, r10). On the
+    # default capped path the cache is NOT separately counted (r13,
+    # same as minhash_lsh_candidates): the giant-bucket guard's eager
+    # oversized-bucket count is the first action and a single-consumer
+    # chain through the banded posexplode over sh — that job
+    # materializes the cache before anything fans out. Uncapped there
+    # is no guard count, so the dedicated materialize pass stays.
+    sh = simhash(df, id_col, text_col, 64, analyzer)
+    sh = sh.persist() if max_bucket_size is not None else materialize(sh)
     banded = sh.select(
         "id", F.posexplode("simhash").alias("blk", "bv")
     )

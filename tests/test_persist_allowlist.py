@@ -61,6 +61,14 @@ ALLOWLIST = {
         "populates ga's cache before the band/verify branches fan out; "
         "the uncapped branch of the same site uses materialize()",
     ),
+    ("operators/dedup.py", "simhash_dedup"): (
+        1,
+        "single-chain: on the default capped path the giant-bucket "
+        "guard's eager oversized-bucket count is the first action over "
+        "sh (the banded posexplode is one chain) and materializes the "
+        "cache before the join arms / Hamming verify fan out (r13); "
+        "the uncapped branch of the same site uses materialize()",
+    ),
     ("operators/dedup.py", "minhash_lsh_candidates"): (
         1,
         "single-chain: the capped path's first action is the "
