@@ -1514,16 +1514,24 @@ def winnow_overlap_pairs(
     # re-evaluates on the pre-shuffle side, which is ONE task for a
     # single-split input (measured 180s vs 3s at sf0.1). The outer
     # variant infers nothing; its NULL row dies in the sentinel filter.
-    e = materialize(sel.select("id", F.explode_outer("sel").alias("h")).where(
+    e = sel.select("id", F.explode_outer("sel").alias("h")).where(
         # an empty/whitespace doc's selection is [md5('')] — a sentinel,
         # not content: without this filter every empty doc pairs with
         # every other at overlap 1.0 (r3 review), and quadratically so
         F.col("h") != F.md5(F.lit(""))
-    ))
-    # ^ persisted + materialized (stage-race guard, r10): the
-    # fingerprint table feeds several plan branches of one job (df cap,
-    # both join sides, sizes); (id, hash) rows only — raw text never
-    # cached. Session-lived, matching ngram_jaccard_join's cache.
+    )
+    # persisted (stage-race guard, r10): the fingerprint table feeds
+    # several plan branches of one job (df cap, both join sides, sizes);
+    # (id, hash) rows only — raw text never cached. Session-lived,
+    # matching ngram_jaccard_join's cache. On the default capped path
+    # the cache is NOT separately counted (r13, same as
+    # minhash_lsh_candidates/simhash_dedup): the stop-fingerprint
+    # guard's eager oversized-bucket count is the first action and a
+    # single-consumer chain through e — that one job evaluates the
+    # interpreted winnowing chain exactly once and fills the cache
+    # before the join arms / sizes fan out. With the cap disabled there
+    # is no guard count, so the dedicated materialize pass stays.
+    e = e.persist() if max_hash_df is not None else materialize(e)
     if max_hash_df is not None:
         over = _oversized_buckets(
             e, ["h"], max_hash_df, stats_out, "winnow_overlap_pairs"

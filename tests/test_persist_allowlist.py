@@ -61,6 +61,15 @@ ALLOWLIST = {
         "populates ga's cache before the band/verify branches fan out; "
         "the uncapped branch of the same site uses materialize()",
     ),
+    ("operators/dedup.py", "winnow_overlap_pairs"): (
+        1,
+        "single-chain: on the default capped path the stop-fingerprint "
+        "guard's eager oversized-bucket count is the first action over "
+        "the exploded fingerprint table (one chain) and evaluates the "
+        "interpreted winnowing selection exactly once into the cache "
+        "before the pair-join arms and sizes fan out (r13); the "
+        "cap-disabled branch of the same site uses materialize()",
+    ),
     ("operators/dedup.py", "simhash_dedup"): (
         1,
         "single-chain: on the default capped path the giant-bucket "
