@@ -564,9 +564,15 @@ def prepare_lsh_corpus(
             f"bands={bands} must divide num_hashes={num_hashes} "
             "(trailing hashes would be silently ignored)"
         )
-    # both materialized: a percolating/joining consumer reads the
-    # band table AND the gram table in one job (stage-race guard, r10)
-    gr = materialize(_gram_arrays(_widen(df), id_col, text_col, n, analyzer))
+    # both cached: a percolating/joining consumer reads the band table
+    # AND the gram table in one job (stage-race guard, r10). The gram
+    # cache is NOT separately counted (r13, the minhash/simhash/winnow
+    # trim): the band table derives from it in ONE chain, so the first
+    # eager pass below — the guard's oversized-bucket count on the
+    # capped path, the band-table materialize on the uncapped path —
+    # runs the gram pipeline exactly once and fills BOTH caches before
+    # any consumer fans out.
+    gr = _gram_arrays(_widen(df), id_col, text_col, n, analyzer).persist()
     if max_bucket_size is None:
         return LshCorpus(
             grams=gr,
@@ -577,8 +583,9 @@ def prepare_lsh_corpus(
     # full band table cached only for THIS prepare pass (the oversize
     # scan + the small-bucket anti-join both read it), then released —
     # everything derived from it is itself materialized, so nothing
-    # lazy references it afterwards
-    full = materialize(_band_table(gr, num_hashes, bands))
+    # lazy references it afterwards. Not separately counted either:
+    # the guard's eager count is its single-chain first consumer.
+    full = _band_table(gr, num_hashes, bands).persist()
     over = _oversized_buckets(
         full, ["band", "bh"], max_bucket_size, stats_out,
         "prepare_lsh_corpus",

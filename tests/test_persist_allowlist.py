@@ -61,6 +61,15 @@ ALLOWLIST = {
         "populates ga's cache before the band/verify branches fan out; "
         "the uncapped branch of the same site uses materialize()",
     ),
+    ("operators/dedup.py", "prepare_lsh_corpus"): (
+        2,
+        "single-chain: the band table derives from the gram cache in "
+        "one chain, so the first eager pass — the giant-bucket guard's "
+        "oversized-bucket count (capped) or the band-table materialize "
+        "(uncapped) — runs the gram pipeline once and fills both "
+        "caches before any consumer fans out (r13); the full band "
+        "table's own first consumer is that same guard count",
+    ),
     ("operators/dedup.py", "winnow_overlap_pairs"): (
         1,
         "single-chain: on the default capped path the stop-fingerprint "
